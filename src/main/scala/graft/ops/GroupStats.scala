@@ -1,0 +1,107 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Grouped aggregates A1-A7 (SURVEY.md §2.4) with the reference's
+  * pinned semantics: exact interpolated medians, pandas mode tie-break,
+  * order-deterministic "first".
+  */
+object GroupStats {
+
+  /** Exact interpolated median — matches `pandas.Series.median`
+    * including even-count interpolation (reference:
+    * Requirements/ExamplePipelineCode.md:183-186). `percentile_approx`
+    * does NOT match and must not be used on the oracle path; the
+    * 100 TB variant is `approx_percentile` behind [[approxMedian]].
+    */
+  def exactMedian(c: Column): Column = percentile(c, lit(0.5))
+
+  /** Sketch median for the scale path (t-digest-style, bounded error). */
+  def approxMedian(c: Column, accuracy: Int = 10000): Column =
+    percentile_approx(c, lit(0.5), lit(accuracy))
+
+  /** A4 — grouped mode with pandas `idxmax` tie-break: among tied
+    * counts pick the SMALLEST value (reference vectorized mode:
+    * Requirements/ExamplePipelineCode.md:188-202; pandas groupby sorts
+    * keys so idxmax lands on the smallest). Two-level aggregate +
+    * ranked window; do NOT swap in Spark's `mode()` (tie-break
+    * unspecified).
+    *
+    * Returns one row per group: groupCols :+ outCol.
+    */
+  def modeWithTieBreak(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      outCol: String): DataFrame = {
+    val counted = df
+      .filter(col(valueCol).isNotNull)
+      .groupBy((groupCols :+ valueCol).map(col): _*)
+      .agg(count(lit(1)).as("__cnt"))
+    val w = Window
+      .partitionBy(groupCols.map(col): _*)
+      .orderBy(col("__cnt").desc, col(valueCol).asc)
+    counted
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1)
+      .select(groupCols.map(col) :+ col(valueCol).as(outCol): _*)
+  }
+
+  /** A1+A2+A4+A5 in (almost) one pass: per-cycle count, exact median,
+    * mode (tie-broken), and chronologically-first timestamp/state.
+    * "First" must be order-deterministic, so it is `min_by` on the
+    * timestamp (+ a unique tiebreak column when provided) — never bare
+    * `first()` (reference: Requirements/ExamplePipelineCode.md:438-441).
+    *
+    * The mode needs its own two-level aggregate (A4), joined back on
+    * the group key — the join is a broadcast at verdict scale and an
+    * AQE-planned shuffle join at 100 TB (both sides already hash-
+    * partitioned on the group key by their aggregates, so no extra
+    * exchange).
+    */
+  def cycleStats(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      tsCol: String,
+      stateCol: String): DataFrame = {
+    val base = df
+      .groupBy(groupCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("count"),
+        exactMedian(col(valueCol)).as("median_" + valueCol),
+        min(col(tsCol)).as("first_" + tsCol),
+        min_by(col(stateCol), col(tsCol)).as("first_" + stateCol))
+    val modes = modeWithTieBreak(df, groupCols, valueCol, "mode_" + valueCol)
+    base.join(modes, groupCols, "left")
+  }
+
+  /** P5 + P6 — the reference's valid-cycle predicate: at least
+    * `minCount` rows, positive median, computable positive mode
+    * (reference: Requirements/ExamplePipelineCode.md:210-215).
+    */
+  def validCyclePredicate(valueCol: String, minCount: Long = 4): Column =
+    col("count") >= minCount &&
+      col(s"median_$valueCol") > 0 &&
+      col(s"mode_$valueCol").isNotNull && col(s"mode_$valueCol") > 0
+
+  /** J2 — keep only rows whose group key passes `validCyclePredicate`:
+    * a left-semi join against the aggregated valid-key set (reference:
+    * Requirements/ExamplePipelineCode.md:211-218). The valid set is
+    * small (one row per cycle), so Spark broadcasts it.
+    */
+  def filterValidCycles(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      tsCol: String,
+      stateCol: String,
+      minCount: Long = 4): DataFrame = {
+    val valid = cycleStats(df, groupCols, valueCol, tsCol, stateCol)
+      .filter(validCyclePredicate(valueCol, minCount))
+      .select(groupCols.map(col): _*)
+    df.join(broadcast(valid), groupCols, "left_semi")
+  }
+}

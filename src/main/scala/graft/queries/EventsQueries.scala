@@ -1,0 +1,310 @@
+package graft.queries
+
+import graft.ops.{GroupStats, Scalars, Segmentation}
+import graft.sources.Sources
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Oracle-checked time-series pack over the `events` fixture — the
+  * HVAC workload's operators (SURVEY.md §2.4/2.5/2.8) with
+  * `user_id ~ device`, `event_type ~ tstate`, `value ~ energy`,
+  * `ts ~ timeStamp`.
+  *
+  * Exactness: `value` has 2 decimals, so medians interpolate on exact
+  * cent values — both engines compute median over BIGINT cents and
+  * divide by 100.0, giving bit-identical doubles. Mean/stddev use
+  * exact DECIMAL sums cast to DOUBLE with the identical final-step
+  * arithmetic on both engines.
+  */
+object EventsQueries {
+
+  /** Shared DuckDB CTE: cycle labeling (two levels — nested window
+    * functions are illegal in one projection on both engines).
+    */
+  private val labSql: String =
+    """WITH chg AS (
+      |  SELECT user_id, ts, event_id, event_type, value,
+      |    CASE WHEN lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |           IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS c
+      |  FROM events
+      |), lab AS (
+      |  SELECT user_id, ts, event_id, event_type, value,
+      |    SUM(c) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS cycle
+      |  FROM chg
+      |)""".stripMargin
+
+  private def labeled(spark: SparkSession, dir: String): DataFrame =
+    Segmentation.labelCycles(
+      Sources.events(spark, dir),
+      partitionCols = Seq("user_id"),
+      orderCols = Seq(col("ts"), col("event_id")),
+      stateCol = "event_type")
+
+  /** Exact-median-in-cents of a 2-decimal double column (bit-stable
+    * across engines; see class doc).
+    */
+  private def centsMedian(c: org.apache.spark.sql.Column) =
+    (GroupStats.exactMedian(round(c * 100, 0).cast("long")) / lit(100.0))
+
+  /** W1 + A1/A2/A4/A5 — per-cycle stats: count, median, mode
+    * (tie-broken), chronologically-first timestamp, state.
+    */
+  def q12CycleStats(spark: SparkSession, dir: String): DataFrame = {
+    val lab = labeled(spark, dir)
+    val base = lab
+      .groupBy(col("user_id"), col("cycle"))
+      .agg(
+        count(lit(1)).as("n"),
+        centsMedian(col("value")).as("median_value"),
+        min(col("ts")).as("first_ts"),
+        min(col("event_type")).as("state"))
+    val modes = GroupStats.modeWithTieBreak(lab, Seq("user_id", "cycle"), "value", "mode_value")
+    base.join(modes, Seq("user_id", "cycle")).orderBy("user_id", "cycle")
+  }
+
+  val q12Sql: String = labSql +
+    """, base AS (
+      |  SELECT user_id, cycle, count(*) AS n,
+      |    quantile_cont(CAST(round(value*100, 0) AS BIGINT), 0.5)/100.0 AS median_value,
+      |    CAST(min(ts) AS TIMESTAMP) AS first_ts, min(event_type) AS state
+      |  FROM lab GROUP BY user_id, cycle
+      |), md AS (
+      |  SELECT user_id, cycle, value AS mode_value FROM (
+      |    SELECT user_id, cycle, value,
+      |      row_number() OVER (PARTITION BY user_id, cycle ORDER BY count(*) DESC, value ASC) AS rk
+      |    FROM lab GROUP BY user_id, cycle, value)
+      |  WHERE rk = 1
+      |)
+      |SELECT base.user_id, base.cycle, n, median_value, first_ts, state, mode_value
+      |FROM base JOIN md ON base.user_id = md.user_id AND base.cycle = md.cycle
+      |ORDER BY base.user_id, base.cycle""".stripMargin
+
+  /** P5 + J2 — rows surviving the valid-cycle predicate (>= 4 rows,
+    * positive median, positive mode) via left-semi join.
+    */
+  def q13ValidCycleRows(spark: SparkSession, dir: String): DataFrame =
+    GroupStats.filterValidCycles(
+      labeled(spark, dir), Seq("user_id", "cycle"), "value", "ts", "event_type")
+      .select("user_id", "cycle", "event_id", "event_type", "value")
+      .orderBy("event_id")
+
+  val q13Sql: String = labSql +
+    """, stats AS (
+      |  SELECT user_id, cycle, count(*) AS n,
+      |    quantile_cont(value, 0.5) AS med
+      |  FROM lab GROUP BY user_id, cycle
+      |), md AS (
+      |  SELECT user_id, cycle, value AS mode_v FROM (
+      |    SELECT user_id, cycle, value,
+      |      row_number() OVER (PARTITION BY user_id, cycle ORDER BY count(*) DESC, value ASC) AS rk
+      |    FROM lab GROUP BY user_id, cycle, value)
+      |  WHERE rk = 1
+      |), valid AS (
+      |  SELECT stats.user_id, stats.cycle
+      |  FROM stats JOIN md ON stats.user_id = md.user_id AND stats.cycle = md.cycle
+      |  WHERE n >= 4 AND med > 0 AND mode_v > 0
+      |)
+      |SELECT lab.user_id, lab.cycle, event_id, event_type, value
+      |FROM lab SEMI JOIN valid ON lab.user_id = valid.user_id AND lab.cycle = valid.cycle
+      |ORDER BY event_id""".stripMargin
+
+  /** A2/A5 — curation: valid cycles collapsed to their median value +
+    * first timestamp + state (ExamplePipelineCode.md:418-441).
+    */
+  def q14CycleCuration(spark: SparkSession, dir: String): DataFrame =
+    GroupStats.filterValidCycles(
+      labeled(spark, dir), Seq("user_id", "cycle"), "value", "ts", "event_type")
+      .groupBy(col("user_id"), col("cycle"))
+      .agg(
+        centsMedian(col("value")).as("median_energy_cycle"),
+        min(col("ts")).as("first_ts"),
+        min(col("event_type")).as("state"))
+      .orderBy("user_id", "cycle")
+
+  private val validCte: String =
+    """, stats AS (
+      |  SELECT user_id, cycle, count(*) AS n, quantile_cont(value, 0.5) AS med
+      |  FROM lab GROUP BY user_id, cycle
+      |), md AS (
+      |  SELECT user_id, cycle, value AS mode_v FROM (
+      |    SELECT user_id, cycle, value,
+      |      row_number() OVER (PARTITION BY user_id, cycle ORDER BY count(*) DESC, value ASC) AS rk
+      |    FROM lab GROUP BY user_id, cycle, value)
+      |  WHERE rk = 1
+      |), valid AS (
+      |  SELECT stats.user_id, stats.cycle
+      |  FROM stats JOIN md ON stats.user_id = md.user_id AND stats.cycle = md.cycle
+      |  WHERE n >= 4 AND med > 0 AND mode_v > 0
+      |), curated AS (
+      |  SELECT lab.user_id, lab.cycle,
+      |    quantile_cont(CAST(round(value*100, 0) AS BIGINT), 0.5)/100.0 AS median_energy_cycle,
+      |    CAST(min(ts) AS TIMESTAMP) AS first_ts, min(event_type) AS state
+      |  FROM lab SEMI JOIN valid ON lab.user_id = valid.user_id AND lab.cycle = valid.cycle
+      |  GROUP BY lab.user_id, lab.cycle
+      |)""".stripMargin
+
+  val q14Sql: String = labSql + validCte +
+    """
+      |SELECT user_id, cycle, median_energy_cycle, first_ts, state
+      |FROM curated
+      |ORDER BY user_id, cycle""".stripMargin
+
+  /** A7 — per-stage baseline threshold: round(median of per-cycle
+    * medians) (ExamplePipelineCode.md:456-484; variance gating lives in
+    * the pipeline, not this oracle query). Median-of-medians works in
+    * half-cents, still exact.
+    */
+  def q15BaselineThresholds(spark: SparkSession, dir: String): DataFrame =
+    GroupStats.filterValidCycles(
+      labeled(spark, dir), Seq("user_id", "cycle"), "value", "ts", "event_type")
+      .groupBy(col("user_id"), col("event_type"), col("cycle"))
+      .agg(centsMedian(col("value")).as("mec"))
+      .groupBy(col("event_type"))
+      .agg(
+        round(GroupStats.exactMedian(round(col("mec") * 200, 0).cast("long")) / lit(200.0), 0).as("threshold"),
+        count(lit(1)).as("n_cycles"))
+      .orderBy("event_type")
+
+  val q15Sql: String = labSql +
+    """, curated AS (
+      |  SELECT lab.user_id, event_type, lab.cycle,
+      |    quantile_cont(CAST(round(value*100, 0) AS BIGINT), 0.5)/100.0 AS mec
+      |  FROM lab SEMI JOIN (
+      |    SELECT s.user_id, s.cycle FROM
+      |      (SELECT user_id, cycle, count(*) AS n, quantile_cont(value, 0.5) AS med
+      |       FROM lab GROUP BY user_id, cycle) s
+      |    JOIN (SELECT user_id, cycle, value AS mode_v FROM (
+      |            SELECT user_id, cycle, value,
+      |              row_number() OVER (PARTITION BY user_id, cycle ORDER BY count(*) DESC, value ASC) AS rk
+      |            FROM lab GROUP BY user_id, cycle, value) WHERE rk = 1) m
+      |      ON s.user_id = m.user_id AND s.cycle = m.cycle
+      |    WHERE n >= 4 AND med > 0 AND mode_v > 0
+      |  ) valid ON lab.user_id = valid.user_id AND lab.cycle = valid.cycle
+      |  GROUP BY lab.user_id, event_type, lab.cycle
+      |)
+      |SELECT event_type,
+      |  round(quantile_cont(CAST(round(mec*200, 0) AS BIGINT), 0.5)/200.0, 0) AS threshold,
+      |  count(*) AS n_cycles
+      |FROM curated
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
+  /** F5/F6 + A3 — Sunday-aligned weekly per-stage stats with exact
+    * decimal sums; stddev_pop via the explicit sum-of-squares form so
+    * both engines run the identical double arithmetic.
+    */
+  def q16WeeklyStats(spark: SparkSession, dir: String): DataFrame = {
+    val dv = col("value").cast(DecimalType(18, 2))
+    Sources.events(spark, dir)
+      .withColumn("week_start", Scalars.sundayWeekStart(col("ts")))
+      .groupBy(col("week_start"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(dv).cast("double").as("sum_value"),
+        sum(dv * dv).cast("double").as("sum_sq"))
+      .select(
+        col("week_start"), col("event_type"), col("n"),
+        (col("sum_value") / col("n")).as("mean"),
+        sqrt(greatest(
+          col("sum_sq") / col("n") - (col("sum_value") / col("n")) * (col("sum_value") / col("n")),
+          lit(0.0))).as("std_dev"))
+      .orderBy("week_start", "event_type")
+  }
+
+  val q16Sql: String =
+    """WITH agg AS (
+      |  SELECT CAST(ts AS DATE) - CAST(dayofweek(CAST(ts AS DATE)) AS INT) AS week_start,
+      |    event_type, count(*) AS n,
+      |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+      |    CAST(sum(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_sq
+      |  FROM events
+      |  GROUP BY 1, 2
+      |)
+      |SELECT week_start, event_type, n,
+      |  sum_value / n AS mean,
+      |  sqrt(greatest(sum_sq / n - (sum_value / n) * (sum_value / n), 0.0)) AS std_dev
+      |FROM agg
+      |ORDER BY week_start, event_type""".stripMargin
+
+  /** W2/O3 — per-stage recency top-k (k=3 here; the pipeline uses
+    * k=5000 for the GMM cap).
+    */
+  def q17RecencyTopK(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("ts").desc, col("event_id").desc)
+    Sources.events(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select("event_type", "rn", "event_id", "ts", "value")
+      .orderBy("event_type", "rn")
+  }
+
+  val q17Sql: String =
+    """SELECT event_type, rn, event_id, CAST(ts AS TIMESTAMP) AS ts, value
+      |FROM (SELECT event_type, event_id, ts, value,
+      |        row_number() OVER (PARTITION BY event_type ORDER BY ts DESC, event_id DESC) AS rn
+      |      FROM events)
+      |WHERE rn <= 3
+      |ORDER BY event_type, rn""".stripMargin
+
+  /** F1/F3/F4/F9-style scalar pack: string tail lower, second floor,
+    * date extraction, regex JSON field extraction.
+    */
+  def q18ScalarPack(spark: SparkSession, dir: String): DataFrame =
+    Sources.events(spark, dir)
+      .select(
+        col("event_id"),
+        lower(expr("right(event_type, 2)")).as("tail2"),
+        date_trunc("second", col("ts")).as("ts_sec"),
+        to_date(col("ts")).as("d"),
+        regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("int").as("k"))
+      .orderBy("event_id")
+
+  val q18Sql: String =
+    """SELECT event_id,
+      |  lower(right(event_type, 2)) AS tail2,
+      |  CAST(date_trunc('second', ts) AS TIMESTAMP) AS ts_sec,
+      |  CAST(ts AS DATE) AS d,
+      |  CAST(regexp_extract(props, '"k": (\d+)', 1) AS INT) AS k
+      |FROM events
+      |ORDER BY event_id""".stripMargin
+
+  /** S7 — time-bucketed source-style aggregate: hourly event counts and
+    * exact sums per stage.
+    */
+  def q19HourlyAgg(spark: SparkSession, dir: String): DataFrame =
+    Sources.events(spark, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"))
+      .orderBy("hour", "event_type")
+
+  val q19Sql: String =
+    """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type, count(*) AS n,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY hour, event_type""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q12_cycle_stats" -> (q12CycleStats _),
+    "q13_valid_cycle_rows" -> (q13ValidCycleRows _),
+    "q14_cycle_curation" -> (q14CycleCuration _),
+    "q15_baseline_thresholds" -> (q15BaselineThresholds _),
+    "q16_weekly_stats" -> (q16WeeklyStats _),
+    "q17_recency_topk" -> (q17RecencyTopK _),
+    "q18_scalar_pack" -> (q18ScalarPack _),
+    "q19_hourly_agg" -> (q19HourlyAgg _))
+
+  val oracle: Map[String, String] = Map(
+    "q12_cycle_stats" -> q12Sql,
+    "q13_valid_cycle_rows" -> q13Sql,
+    "q14_cycle_curation" -> q14Sql,
+    "q15_baseline_thresholds" -> q15Sql,
+    "q16_weekly_stats" -> q16Sql,
+    "q17_recency_topk" -> q17Sql,
+    "q18_scalar_pack" -> q18Sql,
+    "q19_hourly_agg" -> q19Sql)
+}
