@@ -18,11 +18,15 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     _root_.graft.queries.Relational.queries ++
-      _root_.graft.queries.EventsQueries.queries
+      _root_.graft.queries.EventsQueries.queries ++
+      _root_.graft.queries.TextQueries.queries ++
+      _root_.graft.queries.SimilarityQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
   def oracleSql: Map[String, String] =
     _root_.graft.queries.Relational.oracle ++
-      _root_.graft.queries.EventsQueries.oracle
+      _root_.graft.queries.EventsQueries.oracle ++
+      _root_.graft.queries.TextQueries.oracle ++
+      _root_.graft.queries.SimilarityQueries.oracle
 }

@@ -1,0 +1,164 @@
+package graft.dedup
+
+import graft.text.TextAnalysis
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for a training-data pipeline — north-star
+  * extension over the `documents` fixture. Five families:
+  * exact (hash groupBy), MinHash+LSH, SimHash, n-gram Jaccard, and
+  * embedding-cosine (delegated to [[graft.similarity.Similarity]]).
+  *
+  * Scale design notes:
+  *   - exact dedup is one hash aggregate on the fingerprint — the
+  *     canonical first pass at 100 TB (shuffle keyed on a 64-bit hash,
+  *     never on the text bytes);
+  *   - MinHash/LSH candidate generation is `explode(bands) + self-join
+  *     on (band, hash)` — work proportional to colliding pairs, not
+  *     n^2; signatures are fixed-width (H longs) regardless of doc
+  *     size, so the shuffle payload is tiny;
+  *   - n-gram Jaccard's exact pair join is the verification step; at
+  *     scale it runs only on LSH candidates (`verifyCandidates`).
+  */
+object Dedup {
+
+  // ---------------------------------------------------------------- exact
+
+  /** Exact dedup on normalized content: keep the smallest id per
+    * fingerprint. Returns the surviving rows.
+    */
+  def exactDedup(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val w = Window.partitionBy(col("__fp")).orderBy(col(idCol).asc)
+    df.withColumn("__fp", TextAnalysis.contentFingerprint(col(textCol)))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__fp", "__rn")
+  }
+
+  /** Exact-dup groups: fingerprint -> (n copies, canonical id). */
+  def exactDupGroups(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.withColumn("fp", TextAnalysis.contentFingerprint(col(textCol)))
+      .groupBy("fp")
+      .agg(count(lit(1)).as("n_copies"), min(col(idCol)).as("canonical_id"))
+
+  // -------------------------------------------------------------- minhash
+
+
+  /** Word n-gram shingles (distinct) of the text. Texts shorter than
+    * `n` tokens yield an empty array (not a truncated partial gram —
+    * `concat_ws` would silently drop the out-of-range nulls).
+    */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = TextAnalysis.tokens(text)
+    val grams = transform(
+      sequence(lit(0), size(toks) - n),
+      i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*))
+    array_distinct(when(size(toks) >= n, grams).otherwise(array().cast("array<string>")))
+  }
+
+  /** MinHash signature: array of `numHashes` minima of per-family
+    * shingle hashes via codegen'd `transform`/`array_min` — no UDF.
+    * Hash family i is `xxhash64(seed, i, shingle)` — independent seeded
+    * families (the classic `a*h+b` permutation overflows under ANSI).
+    */
+  def minhashSignature(text: Column, n: Int = 3, numHashes: Int = 32, seed: Long = 42L): Column = {
+    val sh = shingles(text, n)
+    array(Seq.tabulate(numHashes) { i =>
+      array_min(transform(sh, s => xxhash64(lit(seed), lit(i), s)))
+    }: _*)
+  }
+
+  /** LSH candidate pairs: band the signature (`bands` x `rowsPerBand`),
+    * hash each band, self-join on (band, bandHash). Returns distinct
+    * (id_a < id_b) candidate pairs with their estimated Jaccard =
+    * fraction of agreeing minhash components.
+    */
+  def minhashCandidatePairs(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int = 3,
+      numHashes: Int = 32,
+      bands: Int = 8,
+      seed: Long = 42L): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val sig = df.select(col(idCol).as("id"), minhashSignature(col(textCol), n, numHashes, seed).as("sig"))
+    val banded = sig.select(
+      col("id"), col("sig"),
+      explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"), xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)).as("h"))
+      }: _*)).as("bk"))
+      .select(col("id"), col("sig"), col("bk.band"), col("bk.h"))
+    val a = banded.toDF("id_a", "sig_a", "band", "h")
+    val b = banded.toDF("id_b", "sig_b", "band", "h")
+    a.join(b, Seq("band", "h"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sig_a", "sig_b")
+      .distinct()
+      .withColumn(
+        "est_jaccard",
+        aggregate(
+          zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, x) => acc + x).cast("double") / numHashes)
+      .select("id_a", "id_b", "est_jaccard")
+  }
+
+  // -------------------------------------------------------------- simhash
+
+  /** SimHash near-dup candidate pairs: fingerprint via the custom
+    * [[SimHash64]] expression, bucket by 16-bit bands (Hamming-near
+    * fingerprints share >= 1 band), verify by exact Hamming distance.
+    */
+  def simhashPairs(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      maxHamming: Int = 8): DataFrame = {
+    val withSig = df.select(
+      col(idCol).as("id"),
+      SimHash64.simhash64(TextAnalysis.tokens(col(textCol))).as("sig"))
+    val banded = withSig.select(
+      col("id"), col("sig"),
+      explode(array((0 until 4).map { b =>
+        struct(lit(b).as("band"), shiftright(col("sig"), b * 16).bitwiseAND(lit(0xffffL)).as("h"))
+      }: _*)).as("bk"))
+      .select(col("id"), col("sig"), col("bk.band"), col("bk.h"))
+    val a = banded.toDF("id_a", "sig_a", "band", "h")
+    val b = banded.toDF("id_b", "sig_b", "band", "h")
+    a.join(b, Seq("band", "h"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sig_a", "sig_b")
+      .distinct()
+      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
+  // ------------------------------------------------------- n-gram jaccard
+
+  /** Exact n-gram Jaccard pairs above `threshold`: explode distinct
+    * shingles, self-join on shingle, count shared, Jaccard =
+    * shared / (|A| + |B| - shared). At 100 TB run this only on LSH
+    * candidates; the full self-join form is the small-scale oracle.
+    */
+  def ngramJaccardPairs(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int = 3,
+      threshold: Double = 0.5): DataFrame = {
+    val sh = df.select(col(idCol).as("id"), explode(shingles(col(textCol), n)).as("g"))
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
+    val a = sh.toDF("id_a", "g")
+    val b = sh.toDF("id_b", "g")
+    val shared = a.join(b, "g").filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("shared"))
+    shared
+      .join(sizes.toDF("id_a", "na"), "id_a")
+      .join(sizes.toDF("id_b", "nb"), "id_b")
+      .withColumn("jaccard", col("shared").cast("double") / (col("na") + col("nb") - col("shared")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+}

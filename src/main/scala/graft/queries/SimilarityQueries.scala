@@ -1,0 +1,83 @@
+package graft.queries
+
+import graft.similarity.Similarity
+import graft.sources.Sources
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Similarity-search pack over the `embeddings` fixture. Cosine math
+  * accumulates floats in a different order than DuckDB's list
+  * functions would, so these are rows-only in the driver gate; the
+  * brute-force/ANN agreement and hand-computed cosines are pinned by
+  * unit tests instead. One exact aggregate (q31) stays oracle-checked.
+  */
+object SimilarityQueries {
+
+  private val planes16 = Similarity.hyperplanes(dim = 64, numPlanes = 16, seed = 42L)
+  private val planes32 = Similarity.hyperplanes(dim = 64, numPlanes = 32, seed = 42L)
+
+  private def queryVec(spark: SparkSession, dir: String, vecId: Long): Array[Float] =
+    Sources.embeddings(spark, dir)
+      .filter(col("vec_id") === vecId)
+      .select("embedding")
+      .head()
+      .getSeq[Float](0)
+      .toArray
+
+  /** Exact brute-force cosine top-10 neighbors of vec 0. */
+  def q28KnnBrute(spark: SparkSession, dir: String): DataFrame = {
+    val q = queryVec(spark, dir, 0L)
+    Similarity.cosineTopK(
+      Sources.embeddings(spark, dir).filter(col("vec_id") =!= 0L),
+      "embedding", q, k = 10, idCol = "vec_id")
+      .select("vec_id", "label", "cosine")
+  }
+
+  /** ANN top-10 via 32-plane random-hyperplane signatures with
+    * Hamming-threshold multiprobe; recall vs q28 is pinned by a unit
+    * test.
+    */
+  def q29KnnAnn(spark: SparkSession, dir: String): DataFrame = {
+    val q = queryVec(spark, dir, 0L)
+    Similarity.annTopK(
+      Sources.embeddings(spark, dir).filter(col("vec_id") =!= 0L),
+      "embedding", q, k = 10, idCol = "vec_id", planes32)
+      .select("vec_id", "label", "cosine")
+  }
+
+  /** Embedding near-dup pairs via LSH bucket self-join + exact
+    * verification. Threshold 0.4: the fixture's embeddings are
+    * near-orthogonal (max pairwise cosine ~0.51), so 0.4 is where the
+    * "most similar pairs" population lives; real dedup runs would use
+    * ~0.95 on genuinely duplicated corpora.
+    */
+  def q30EmbeddingNearDup(spark: SparkSession, dir: String): DataFrame =
+    Similarity.nearDupPairs(
+      Sources.embeddings(spark, dir), "embedding", "vec_id",
+      threshold = 0.4, planes16, bands = 8)
+      .orderBy("id_a", "id_b")
+
+  /** Per-label corpus stats — exact ints, oracle-checked (keeps one
+    * embeddings-table query in the hash gate).
+    */
+  def q31LabelStats(spark: SparkSession, dir: String): DataFrame =
+    Sources.embeddings(spark, dir)
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vectors"), min(col("vec_id")).as("first_vec"), max(col("vec_id")).as("last_vec"))
+      .orderBy("label")
+
+  val q31Sql: String =
+    """SELECT label, count(*) AS n_vectors, min(vec_id) AS first_vec, max(vec_id) AS last_vec
+      |FROM embeddings
+      |GROUP BY label
+      |ORDER BY label""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q28_knn_brute" -> (q28KnnBrute _),
+    "q29_knn_ann" -> (q29KnnAnn _),
+    "q30_embedding_near_dup" -> (q30EmbeddingNearDup _),
+    "q31_label_stats" -> (q31LabelStats _))
+
+  val oracle: Map[String, String] = Map(
+    "q31_label_stats" -> q31Sql)
+}

@@ -1,0 +1,170 @@
+package graft.queries
+
+import graft.dedup.Dedup
+import graft.sources.Sources
+import graft.text.TextAnalysis
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis + dedup pack over the `documents` fixture. Oracle
+  * where ANSI-SQL-expressible (token stats, exact dedup groups,
+  * quality score, n-gram Jaccard pairs); hash-based ops (minhash,
+  * simhash, fingerprints, langid voting) are rows-only — their
+  * semantics are pinned by unit tests instead.
+  */
+object TextQueries {
+
+  /** Token counting (whitespace + n_chars cross-check). */
+  def q20TokenStats(spark: SparkSession, dir: String): DataFrame =
+    Sources.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+        length(col("text")).as("len_chars"),
+        col("n_chars"))
+      .orderBy("doc_id")
+
+  val q20Sql: String =
+    """SELECT doc_id,
+      |  len(string_split(text, ' ')) AS n_tokens,
+      |  length(text) AS len_chars,
+      |  n_chars
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
+  /** Exact-dedup groups keyed by md5 of the text (md5 is identical in
+    * both engines; the engine's own path uses xxhash64 — same
+    * semantics, pinned by unit test).
+    */
+  def q21ExactDedup(spark: SparkSession, dir: String): DataFrame =
+    Sources.documents(spark, dir)
+      .groupBy(md5(col("text").cast("binary")).as("fp"))
+      .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("canonical_id"))
+      .orderBy("fp")
+
+  val q21Sql: String =
+    """SELECT md5(text) AS fp, count(*) AS n_copies, min(doc_id) AS canonical_id
+      |FROM documents
+      |GROUP BY md5(text)
+      |ORDER BY fp""".stripMargin
+
+  /** Quality scoring: identical double formula on both engines
+    * (length band x (1 - stopword ratio) x token-length band).
+    */
+  def q22QualityScore(spark: SparkSession, dir: String): DataFrame =
+    Sources.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+        TextAnalysis.stopwordCount(col("text")).as("n_stop"),
+        TextAnalysis.qualityScore(col("text")).as("quality"))
+      .orderBy("doc_id")
+
+  val q22Sql: String = {
+    val stops = TextAnalysis.stopwords("en").map(w => s"'$w'").mkString(", ")
+    s"""WITH t AS (
+       |  SELECT doc_id, text,
+       |    CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tokens,
+       |    CAST(len(list_filter(string_split(text, ' '), x -> x IN ($stops))) AS DOUBLE) AS n_stop
+       |  FROM documents
+       |)
+       |SELECT doc_id,
+       |  CAST(n_tokens AS INT) AS n_tokens,
+       |  CAST(n_stop AS INT) AS n_stop,
+       |  least(n_tokens / 50.0, 1.0) * (1.0 - n_stop / n_tokens) *
+       |    (CASE WHEN (CAST(length(text) AS DOUBLE) - (n_tokens - 1)) / n_tokens BETWEEN 3.0 AND 10.0
+       |          THEN 1.0 ELSE 0.5 END) AS quality
+       |FROM t
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** Exact n-gram Jaccard near-dup pairs (threshold 0.5 — the fixture
+    * separates real near-dups at ~0.99 from background at <0.3, so the
+    * threshold is boundary-safe). The DuckDB mirror builds trigrams by
+    * positional self-join.
+    */
+  def q23NgramJaccardPairs(spark: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(Sources.documents(spark, dir), "text", "doc_id", n = 3, threshold = 0.5)
+      .orderBy("id_a", "id_b")
+
+  val q23Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text,' ')) AS w,
+      |         generate_subscripts(string_split(text,' '),1) AS i
+      |  FROM documents
+      |), ng AS (
+      |  SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS g
+      |  FROM toks a JOIN toks b ON a.doc_id=b.doc_id AND b.i=a.i+1
+      |              JOIN toks c ON a.doc_id=c.doc_id AND c.i=a.i+2
+      |), sizes AS (SELECT doc_id, count(*) n FROM ng GROUP BY doc_id),
+      |shared AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+      |  FROM ng a JOIN ng b ON a.g = b.g AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2
+      |)
+      |SELECT id_a, id_b, c*1.0/(sa.n + sb.n - c) AS jaccard
+      |FROM shared
+      |JOIN sizes sa ON sa.doc_id = id_a
+      |JOIN sizes sb ON sb.doc_id = id_b
+      |WHERE c*1.0/(sa.n + sb.n - c) >= 0.5
+      |ORDER BY id_a, id_b""".stripMargin
+
+  /** Per-language corpus stats (declared lang column). */
+  def q24LangStats(spark: SparkSession, dir: String): DataFrame =
+    Sources.documents(spark, dir)
+      .groupBy(col("lang"), col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        (sum(col("n_chars")).cast("double") / count(lit(1))).as("avg_chars"))
+      .orderBy("lang", "source")
+
+  val q24Sql: String =
+    """SELECT lang, source, count(*) AS n_docs, sum(n_chars) AS sum_chars,
+      |  CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars
+      |FROM documents
+      |GROUP BY lang, source
+      |ORDER BY lang, source""".stripMargin
+
+  // ---------------------------------------------------------- rows-only
+
+  /** Heuristic language ID + fingerprints (hash-based -> rows-only). */
+  def q25LangIdFingerprint(spark: SparkSession, dir: String): DataFrame =
+    Sources.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        col("lang").as("declared_lang"),
+        TextAnalysis.langId(col("text")).as("detected_lang"),
+        TextAnalysis.contentFingerprint(col("text")).as("fp64"),
+        TextAnalysis.winnowFingerprint(col("text")).as("winnow_fp"),
+        TextAnalysis.bpeishTokenCount(col("text")).as("n_bpeish"))
+      .orderBy("doc_id")
+
+  /** MinHash LSH candidate pairs (est. Jaccard >= 0.5). */
+  def q26MinhashPairs(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashCandidatePairs(Sources.documents(spark, dir), "text", "doc_id")
+      .filter(col("est_jaccard") >= 0.5)
+      .orderBy("id_a", "id_b")
+
+  /** SimHash near-dup pairs (Hamming <= 8) via the custom expression. */
+  def q27SimhashPairs(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(Sources.documents(spark, dir), "text", "doc_id")
+      .orderBy("id_a", "id_b")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q20_token_stats" -> (q20TokenStats _),
+    "q21_exact_dedup" -> (q21ExactDedup _),
+    "q22_quality_score" -> (q22QualityScore _),
+    "q23_ngram_jaccard_pairs" -> (q23NgramJaccardPairs _),
+    "q24_lang_stats" -> (q24LangStats _),
+    "q25_langid_fingerprint" -> (q25LangIdFingerprint _),
+    "q26_minhash_pairs" -> (q26MinhashPairs _),
+    "q27_simhash_pairs" -> (q27SimhashPairs _))
+
+  val oracle: Map[String, String] = Map(
+    "q20_token_stats" -> q20Sql,
+    "q21_exact_dedup" -> q21Sql,
+    "q22_quality_score" -> q22Sql,
+    "q23_ngram_jaccard_pairs" -> q23Sql,
+    "q24_lang_stats" -> q24Sql)
+}

@@ -1,0 +1,140 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`) —
+  * north-star extension (not reference parity; the reference is a
+  * scalar-timeseries engine).
+  *
+  * All vector math is built from codegen'd higher-order functions
+  * (`zip_with` + `aggregate`), so it runs inside whole-stage codegen
+  * with no UDF/serialization cost. Scale design:
+  *   - brute-force top-k is a single scan + `TakeOrderedAndProject`
+  *     (no shuffle of the losers) — the exact baseline at any scale;
+  *   - the LSH path buckets by random-hyperplane signature so the
+  *     pairwise work drops from O(n^2) to O(sum bucket^2), and the
+  *     bucket join shuffles on the (band, key) pair like any hash join.
+  */
+object Similarity {
+
+  /** dot(a, b) accumulated in double, left-to-right. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  private def vecLit(v: Array[Float]): Column = array(v.map(x => lit(x)): _*)
+
+  /** Exact brute-force cosine top-k against a literal query vector.
+    * Plans as scan -> project -> TakeOrderedAndProject: each partition
+    * keeps only its local top-k, so this survives any row count.
+    */
+  def cosineTopK(df: DataFrame, vecCol: String, queryVec: Array[Float], k: Int, idCol: String): DataFrame = {
+    val q = vecLit(queryVec)
+    df.withColumn("cosine", cosine(col(vecCol), q))
+      .orderBy(col("cosine").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** Deterministic random hyperplanes (seeded LCG — no JDK RNG so the
+    * signature is stable across JVMs/versions).
+    */
+  def hyperplanes(dim: Int, numPlanes: Int, seed: Long = 42L): Array[Array[Float]] = {
+    var s = seed
+    def next(): Double = { s = s * 6364136223846793005L + 1442695040888963407L; (s >>> 11).toDouble / (1L << 53).toDouble }
+    Array.fill(numPlanes, dim) {
+      // Box-Muller standard normal
+      val u1 = math.max(next(), 1e-12); val u2 = next()
+      (math.sqrt(-2 * math.log(u1)) * math.cos(2 * math.Pi * u2)).toFloat
+    }
+  }
+
+  /** Pack sign-of-dot bits against `planes` into a Long signature
+    * column (random-hyperplane LSH: P[bit_a == bit_b] = 1 - angle/pi).
+    */
+  def rhpSignature(vec: Column, planes: Array[Array[Float]]): Column = {
+    require(planes.length <= 63, "signature packs into one long")
+    planes.zipWithIndex
+      .map { case (p, i) => when(dot(vec, vecLit(p)) > 0, lit(1L << i)).otherwise(lit(0L)) }
+      .reduce(_ + _)
+  }
+
+  /** Split a packed signature into `bands` band-hash columns of
+    * `bitsPerBand` bits each; near vectors collide on >= 1 band whp.
+    */
+  def bandColumns(sig: Column, bands: Int, bitsPerBand: Int): Seq[Column] =
+    (0 until bands).map { b =>
+      shiftright(sig, b * bitsPerBand).bitwiseAND(lit((1L << bitsPerBand) - 1)).as(s"band_$b")
+    }
+
+  /** Driver-side signature of a query vector (same arithmetic as
+    * [[rhpSignature]] up to float/double rounding of the dot).
+    */
+  def signatureOf(queryVec: Array[Float], planes: Array[Array[Float]]): Long =
+    planes.zipWithIndex.map { case (p, i) =>
+      val d = p.zip(queryVec).map { case (a, b) => a.toDouble * b.toDouble }.foldLeft(0.0)(_ + _)
+      if (d > 0) 1L << i else 0L
+    }.sum
+
+  /** Single-query ANN top-k, multiprobe style: candidates = rows whose
+    * signature is within `maxHamming` bits of the query's (an unbiased
+    * angle estimate — sharper with more planes), exact cosine only on
+    * candidates. The filter is one codegen'd `bit_count(xor)` per row:
+    * no shuffle, and the expensive O(dim) cosine runs on the ~20-40%
+    * of rows that pass. Recall degrades gracefully as true similarity
+    * approaches noise (LSH can only promise recall for genuinely close
+    * vectors); `maxHamming ~ 0.45 * planes` is a good default band.
+    */
+  def annTopK(
+      df: DataFrame,
+      vecCol: String,
+      queryVec: Array[Float],
+      k: Int,
+      idCol: String,
+      planes: Array[Array[Float]],
+      maxHamming: Int = -1): DataFrame = {
+    val limitBits = if (maxHamming >= 0) maxHamming else math.max(1, (planes.length * 0.45).toInt)
+    val qSig = signatureOf(queryVec, planes)
+    df.withColumn("__sig", rhpSignature(col(vecCol), planes))
+      .filter(bit_count(col("__sig").bitwiseXOR(lit(qSig))) <= limitBits)
+      .withColumn("cosine", cosine(col(vecCol), vecLit(queryVec)))
+      .orderBy(col("cosine").desc, col(idCol).asc)
+      .limit(k)
+      .drop("__sig")
+  }
+
+  /** All-pairs near-duplicate mining above a cosine threshold: LSH
+    * band-bucket self-join (the scale path — candidate generation is a
+    * shuffle on (band, hash), never a cross join), then exact cosine
+    * verification on candidates.
+    */
+  def nearDupPairs(
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      threshold: Double,
+      planes: Array[Array[Float]],
+      bands: Int = 8): DataFrame = {
+    val bitsPerBand = planes.length / bands
+    val withSig = df.select(col(idCol), col(vecCol)).withColumn("__sig", rhpSignature(col(vecCol), planes))
+    val exploded = withSig.select(
+      col(idCol), col(vecCol),
+      explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          shiftright(col("__sig"), b * bitsPerBand).bitwiseAND(lit((1L << bitsPerBand) - 1)).as("h"))
+      }: _*)).as("bk"))
+      .select(col(idCol), col(vecCol), col("bk.band"), col("bk.h"))
+    val a = exploded.toDF("id_a", "vec_a", "band", "h")
+    val b = exploded.toDF("id_b", "vec_b", "band", "h")
+    a.join(b, Seq("band", "h"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "vec_a", "vec_b")
+      .distinct()
+      .withColumn("cosine", cosine(col("vec_a"), col("vec_b")))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
+}

@@ -1,0 +1,79 @@
+package graft.dedup
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+
+  private def docs = {
+    import sqlImplicits._
+    val base = (1 to 50).map(i => s"w$i").mkString(" ")
+    val nearDup = (1 to 48).map(i => s"w$i").mkString(" ") + " x y" // ~0.9 shingle overlap
+    val other = (100 to 160).map(i => s"v$i").mkString(" ")
+    Seq(
+      (1L, base),
+      (2L, base), // exact dup of 1
+      (3L, nearDup), // near dup of 1
+      (4L, other)).toDF("doc_id", "text")
+  }
+
+  test("exactDedup keeps smallest id per normalized content") {
+    import sqlImplicits._
+    val kept = Dedup.exactDedup(docs, "text", "doc_id").select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(1L, 3L, 4L))
+    val groups = Dedup.exactDupGroups(docs, "text", "doc_id")
+      .filter(col("n_copies") > 1).collect()
+    assert(groups.length == 1 && groups(0).getAs[Long]("canonical_id") == 1L)
+  }
+
+  test("shingles: distinct word n-grams; short text yields empty") {
+    import sqlImplicits._
+    val df = Seq("a b c d", "a b").toDF("text")
+    val out = df.select(Dedup.shingles(col("text"), 3).as("s")).collect()
+    assert(out(0).getSeq[String](0).toSet == Set("a b c", "b c d"))
+    assert(out(1).getSeq[String](0).isEmpty)
+  }
+
+  test("minhash LSH surfaces exact+near dups with high est_jaccard, skips unrelated") {
+    val pairs = Dedup.minhashCandidatePairs(docs, "text", "doc_id")
+      .collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) -> r.getAs[Double]("est_jaccard"))
+      .toMap
+    assert(pairs((1L, 2L)) == 1.0) // exact dup: identical signatures
+    assert(pairs((1L, 3L)) > 0.5) // near dup
+    assert(!pairs.keySet.exists { case (a, b) => b == 4L || a == 4L }) // unrelated never collides
+  }
+
+  test("minhash est_jaccard approximates exact ngram jaccard") {
+    val exact = Dedup.ngramJaccardPairs(docs, "text", "doc_id", n = 3, threshold = 0.0)
+      .filter(col("id_a") === 1 && col("id_b") === 3)
+      .select("jaccard").head().getDouble(0)
+    val est = Dedup.minhashCandidatePairs(docs, "text", "doc_id")
+      .filter(col("id_a") === 1 && col("id_b") === 3)
+      .select("est_jaccard").head().getDouble(0)
+    assert(math.abs(exact - est) < 0.25, s"exact=$exact est=$est")
+  }
+
+  test("simhash: identical -> distance 0 via pairs; unrelated far apart") {
+    val pairs = Dedup.simhashPairs(docs, "text", "doc_id", maxHamming = 12)
+      .collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) -> r.getAs[Int]("hamming"))
+      .toMap
+    assert(pairs((1L, 2L)) == 0)
+    assert(pairs.contains((1L, 3L)))
+    assert(!pairs.contains((1L, 4L)) && !pairs.contains((3L, 4L)))
+  }
+
+  test("simhash64 expression is deterministic and order-insensitive for same multiset") {
+    import sqlImplicits._
+    val df = Seq("b a c a", "a a b c").toDF("text")
+    val sigs = df.select(SimHash64.simhash64(split(col("text"), " ")).as("s")).as[Long].collect()
+    assert(sigs(0) == sigs(1)) // same token multiset, order-free
+  }
+
+  test("ngram jaccard pairs: thresholds filter correctly") {
+    val all = Dedup.ngramJaccardPairs(docs, "text", "doc_id", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(all.toSet == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+  }
+}

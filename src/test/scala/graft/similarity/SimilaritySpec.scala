@@ -1,0 +1,60 @@
+package graft.similarity
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+
+  test("cosine matches hand computation") {
+    import sqlImplicits._
+    val df = Seq((Array(1.0f, 0.0f), Array(0.6f, 0.8f))).toDF("a", "b")
+    val c = df.select(Similarity.cosine(col("a"), col("b")).as("c")).as[Double].head()
+    assert(math.abs(c - 0.6) < 1e-6)
+  }
+
+  test("brute-force topk returns true nearest neighbors on fixture") {
+    val top = SimilarityTestData.brute(spark).collect()
+    assert(top.length == 10)
+    val cosines = top.map(_.getAs[Double]("cosine"))
+    assert(cosines.sameElements(cosines.sorted.reverse)) // descending
+    assert(cosines.head <= 1.0 + 1e-9)
+  }
+
+  test("ANN topk recall >= 0.6 vs brute force on fixture, exact scores") {
+    val brute = SimilarityTestData.brute(spark).collect().map(_.getAs[Long]("vec_id")).toSet
+    val ann = SimilarityTestData.ann(spark).collect().map(_.getAs[Long]("vec_id")).toSet
+    val recall = (brute intersect ann).size.toDouble / brute.size
+    assert(recall >= 0.6, s"recall=$recall")
+  }
+
+  test("near-dup pairs: a planted duplicate vector is found at threshold") {
+    import sqlImplicits._
+    val v = Array.tabulate(8)(i => (i + 1).toFloat)
+    val v2 = v.map(x => x * 1.001f) // same direction
+    val w = Array.tabulate(8)(i => if (i % 2 == 0) 1.0f else -1.0f)
+    val df = Seq((1L, v), (2L, v2), (3L, w)).toDF("vec_id", "embedding")
+    val planes = Similarity.hyperplanes(8, 16)
+    val pairs = Similarity.nearDupPairs(df, "embedding", "vec_id", 0.99, planes, bands = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq == Seq((1L, 2L)))
+  }
+
+  test("rhp signature: same vector same sig; opposite vector flips all bits") {
+    import sqlImplicits._
+    val v = Array.tabulate(8)(i => (i + 1).toFloat)
+    val df = Seq((1L, v), (2L, v), (3L, v.map(-_))).toDF("id", "vec")
+    val planes = Similarity.hyperplanes(8, 16)
+    val sigs = df.select(Similarity.rhpSignature(col("vec"), planes).as("s")).as[Long].collect()
+    assert(sigs(0) == sigs(1))
+    assert((sigs(0) ^ sigs(2)) == 0xffffL) // all 16 bits differ
+  }
+}
+
+/** Shared fixture queries evaluated on sf0.001 embeddings. */
+object SimilarityTestData {
+  import graft.queries.SimilarityQueries
+  def brute(spark: org.apache.spark.sql.SparkSession) =
+    SimilarityQueries.queries("q28_knn_brute")(spark, "/root/testdata/sf0.001")
+  def ann(spark: org.apache.spark.sql.SparkSession) =
+    SimilarityQueries.queries("q29_knn_ann")(spark, "/root/testdata/sf0.001")
+}
