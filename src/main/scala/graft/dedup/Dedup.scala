@@ -57,17 +57,25 @@ object Dedup {
     array_distinct(when(size(toks) >= n, grams).otherwise(array().cast("array<string>")))
   }
 
-  /** MinHash signature: array of `numHashes` minima of per-family
-    * shingle hashes via codegen'd `transform`/`array_min` — no UDF.
-    * Hash family i is `xxhash64(seed, i, shingle)` — independent seeded
-    * families (the classic `a*h+b` permutation overflows under ANSI).
+  /** MinHash family from a pre-hashed shingle array (`array<long>`):
+    * family i = min over `xxhash64(seed, i, baseHash)` — independent
+    * seeded families (the classic `a*h+b` permutation overflows under
+    * ANSI), hashing longs not strings.
     */
-  def minhashSignature(text: Column, n: Int = 3, numHashes: Int = 32, seed: Long = 42L): Column = {
-    val sh = shingles(text, n)
+  def minhashFromHashes(baseHashes: Column, numHashes: Int, seed: Long): Column =
     array(Seq.tabulate(numHashes) { i =>
-      array_min(transform(sh, s => xxhash64(lit(seed), lit(i), s)))
+      array_min(transform(baseHashes, h => xxhash64(lit(seed), lit(i), h)))
     }: _*)
-  }
+
+  /** One-shot minhash signature of a text column. PERFORMANCE NOTE:
+    * inside a single projection Catalyst does not CSE higher-order
+    * subexpressions, so the `numHashes` families each reference the
+    * shingle pipeline; prefer the staged form used by
+    * [[minhashCandidatePairs]] (shingles -> base hashes -> families in
+    * separate projections) on hot paths.
+    */
+  def minhashSignature(text: Column, n: Int = 3, numHashes: Int = 32, seed: Long = 42L): Column =
+    minhashFromHashes(transform(shingles(text, n), s => xxhash64(s)), numHashes, seed)
 
   /** LSH candidate pairs: band the signature (`bands` x `rowsPerBand`),
     * hash each band, self-join on (band, bandHash). Returns distinct
@@ -83,7 +91,14 @@ object Dedup {
       bands: Int = 8,
       seed: Long = 42L): DataFrame = {
     val rowsPerBand = numHashes / bands
-    val sig = df.select(col(idCol).as("id"), minhashSignature(col(textCol), n, numHashes, seed).as("sig"))
+    // Staged projections: each step materializes an attribute the next
+    // references, so the shingle pipeline runs ONCE per row instead of
+    // once per hash family (CollapseProject keeps non-cheap multi-
+    // referenced aliases in their own project).
+    val sig = df
+      .select(col(idCol).as("id"), shingles(col(textCol), n).as("__sh"))
+      .select(col("id"), transform(col("__sh"), s => xxhash64(s)).as("__h"))
+      .select(col("id"), minhashFromHashes(col("__h"), numHashes, seed).as("sig"))
     val banded = sig.select(
       col("id"), col("sig"),
       explode(array((0 until bands).map { b =>

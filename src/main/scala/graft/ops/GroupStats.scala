@@ -49,17 +49,24 @@ object GroupStats {
       .select(groupCols.map(col) :+ col(valueCol).as(outCol): _*)
   }
 
-  /** A1+A2+A4+A5 in (almost) one pass: per-cycle count, exact median,
-    * mode (tie-broken), and chronologically-first timestamp/state.
-    * "First" must be order-deterministic, so it is `min_by` on the
-    * timestamp (+ a unique tiebreak column when provided) — never bare
-    * `first()` (reference: Requirements/ExamplePipelineCode.md:438-441).
+  /** A1+A2+A4+A5 in ONE shuffle: per-cycle count, exact median, mode
+    * (tie-broken), and chronologically-first timestamp/state.
     *
-    * The mode needs its own two-level aggregate (A4), joined back on
-    * the group key — the join is a broadcast at verdict scale and an
-    * AQE-planned shuffle join at 100 TB (both sides already hash-
-    * partitioned on the group key by their aggregates, so no extra
-    * exchange).
+    * Shape: two-level aggregation on progressively coarser keys —
+    * `groupBy(keys :+ value)` first (massive map-side partial
+    * reduction: one row per distinct value per cycle), then
+    * `groupBy(keys)` where
+    *   - median = weighted exact `percentile(value, 0.5, cnt)`
+    *     (identical to the exact median over the expanded multiset,
+    *     so pandas/DuckDB parity holds);
+    *   - mode   = `max_by(value, (cnt, -value))` — the pandas idxmax
+    *     tie-break (smallest value among tied counts) without a join
+    *     (reference: Requirements/ExamplePipelineCode.md:188-202);
+    *   - first  = min over (ts, state) structs — order-deterministic,
+    *     never bare `first()` (ExamplePipelineCode.md:438-441).
+    * Both aggregations hash-partition on a prefix of the same keys, so
+    * the plan has exactly one exchange — this is the 100 TB shape
+    * (the earlier base-join-modes form shuffled twice and joined).
     */
   def cycleStats(
       df: DataFrame,
@@ -67,15 +74,19 @@ object GroupStats {
       valueCol: String,
       tsCol: String,
       stateCol: String): DataFrame = {
-    val base = df
+    val perValue = df
+      .groupBy((groupCols :+ valueCol).map(col): _*)
+      .agg(
+        count(lit(1)).as("__cnt"),
+        min(struct(col(tsCol), col(stateCol))).as("__first"))
+    perValue
       .groupBy(groupCols.map(col): _*)
       .agg(
-        count(lit(1)).as("count"),
-        exactMedian(col(valueCol)).as("median_" + valueCol),
-        min(col(tsCol)).as("first_" + tsCol),
-        min_by(col(stateCol), col(tsCol)).as("first_" + stateCol))
-    val modes = modeWithTieBreak(df, groupCols, valueCol, "mode_" + valueCol)
-    base.join(modes, groupCols, "left")
+        sum(col("__cnt")).as("count"),
+        percentile(col(valueCol), lit(0.5), col("__cnt")).as("median_" + valueCol),
+        max_by(col(valueCol), struct(col("__cnt"), -col(valueCol))).as("mode_" + valueCol),
+        min(col("__first")).getField(tsCol).as("first_" + tsCol),
+        min(col("__first")).getField(stateCol).as("first_" + stateCol))
   }
 
   /** P5 + P6 — the reference's valid-cycle predicate: at least

@@ -42,27 +42,35 @@ object EventsQueries {
       orderCols = Seq(col("ts"), col("event_id")),
       stateCol = "event_type")
 
-  /** Exact-median-in-cents of a 2-decimal double column (bit-stable
-    * across engines; see class doc).
+  /** Single-shuffle per-cycle stats core (see GroupStats.cycleStats
+    * doc): level-1 groupBy adds `value` to the keys (map-side partial
+    * agg), level-2 computes weighted exact median (in cents), max_by
+    * mode with the smallest-value tie-break, ordered-first ts/state.
     */
-  private def centsMedian(c: org.apache.spark.sql.Column) =
-    (GroupStats.exactMedian(round(c * 100, 0).cast("long")) / lit(100.0))
+  private def cycleStatsCore(lab: DataFrame): DataFrame =
+    lab
+      .groupBy(col("user_id"), col("cycle"), col("value"))
+      .agg(
+        count(lit(1)).as("__cnt"),
+        min(col("ts")).as("__mts"),
+        min(col("event_type")).as("__mstate"))
+      .groupBy(col("user_id"), col("cycle"))
+      .agg(
+        sum(col("__cnt")).as("n"),
+        (percentile(round(col("value") * 100, 0).cast("long"), lit(0.5), col("__cnt")) / lit(100.0))
+          .as("median_value"),
+        (percentile(col("value"), lit(0.5), col("__cnt"))).as("median_raw"),
+        max_by(col("value"), struct(col("__cnt"), -col("value"))).as("mode_value"),
+        min(col("__mts")).as("first_ts"),
+        min(col("__mstate")).as("state"))
 
   /** W1 + A1/A2/A4/A5 — per-cycle stats: count, median, mode
     * (tie-broken), chronologically-first timestamp, state.
     */
-  def q12CycleStats(spark: SparkSession, dir: String): DataFrame = {
-    val lab = labeled(spark, dir)
-    val base = lab
-      .groupBy(col("user_id"), col("cycle"))
-      .agg(
-        count(lit(1)).as("n"),
-        centsMedian(col("value")).as("median_value"),
-        min(col("ts")).as("first_ts"),
-        min(col("event_type")).as("state"))
-    val modes = GroupStats.modeWithTieBreak(lab, Seq("user_id", "cycle"), "value", "mode_value")
-    base.join(modes, Seq("user_id", "cycle")).orderBy("user_id", "cycle")
-  }
+  def q12CycleStats(spark: SparkSession, dir: String): DataFrame =
+    cycleStatsCore(labeled(spark, dir))
+      .select("user_id", "cycle", "n", "median_value", "first_ts", "state", "mode_value")
+      .orderBy("user_id", "cycle")
 
   val q12Sql: String = labSql +
     """, base AS (
@@ -81,14 +89,24 @@ object EventsQueries {
       |FROM base JOIN md ON base.user_id = md.user_id AND base.cycle = md.cycle
       |ORDER BY base.user_id, base.cycle""".stripMargin
 
-  /** P5 + J2 — rows surviving the valid-cycle predicate (>= 4 rows,
-    * positive median, positive mode) via left-semi join.
+  /** Valid-cycle key set (P5): >= 4 rows, positive median, positive
+    * mode — one shuffle via the stats core; broadcast into the
+    * semi-join by the callers.
     */
-  def q13ValidCycleRows(spark: SparkSession, dir: String): DataFrame =
-    GroupStats.filterValidCycles(
-      labeled(spark, dir), Seq("user_id", "cycle"), "value", "ts", "event_type")
+  private def validCycleKeys(lab: DataFrame): DataFrame =
+    cycleStatsCore(lab)
+      .filter(col("n") >= 4 && col("median_raw") > 0 && col("mode_value") > 0)
+      .select("user_id", "cycle")
+
+  /** P5 + J2 — rows surviving the valid-cycle predicate (>= 4 rows,
+    * positive median, positive mode) via broadcast left-semi join.
+    */
+  def q13ValidCycleRows(spark: SparkSession, dir: String): DataFrame = {
+    val lab = labeled(spark, dir)
+    lab.join(broadcast(validCycleKeys(lab)), Seq("user_id", "cycle"), "left_semi")
       .select("user_id", "cycle", "event_id", "event_type", "value")
       .orderBy("event_id")
+  }
 
   val q13Sql: String = labSql +
     """, stats AS (
@@ -111,16 +129,17 @@ object EventsQueries {
       |ORDER BY event_id""".stripMargin
 
   /** A2/A5 — curation: valid cycles collapsed to their median value +
-    * first timestamp + state (ExamplePipelineCode.md:418-441).
+    * first timestamp + state (ExamplePipelineCode.md:418-441). No
+    * semi-join needed at all: the stats core already holds the
+    * per-cycle aggregates, so curation is a filter + projection of it.
     */
   def q14CycleCuration(spark: SparkSession, dir: String): DataFrame =
-    GroupStats.filterValidCycles(
-      labeled(spark, dir), Seq("user_id", "cycle"), "value", "ts", "event_type")
-      .groupBy(col("user_id"), col("cycle"))
-      .agg(
-        centsMedian(col("value")).as("median_energy_cycle"),
-        min(col("ts")).as("first_ts"),
-        min(col("event_type")).as("state"))
+    cycleStatsCore(labeled(spark, dir))
+      .filter(col("n") >= 4 && col("median_raw") > 0 && col("mode_value") > 0)
+      .select(
+        col("user_id"), col("cycle"),
+        col("median_value").as("median_energy_cycle"),
+        col("first_ts"), col("state"))
       .orderBy("user_id", "cycle")
 
   private val validCte: String =
@@ -157,10 +176,9 @@ object EventsQueries {
     * half-cents, still exact.
     */
   def q15BaselineThresholds(spark: SparkSession, dir: String): DataFrame =
-    GroupStats.filterValidCycles(
-      labeled(spark, dir), Seq("user_id", "cycle"), "value", "ts", "event_type")
-      .groupBy(col("user_id"), col("event_type"), col("cycle"))
-      .agg(centsMedian(col("value")).as("mec"))
+    cycleStatsCore(labeled(spark, dir))
+      .filter(col("n") >= 4 && col("median_raw") > 0 && col("mode_value") > 0)
+      .select(col("state").as("event_type"), col("median_value").as("mec"))
       .groupBy(col("event_type"))
       .agg(
         round(GroupStats.exactMedian(round(col("mec") * 200, 0).cast("long")) / lit(200.0), 0).as("threshold"),

@@ -119,20 +119,39 @@ object Similarity {
       planes: Array[Array[Float]],
       bands: Int = 8): DataFrame = {
     val bitsPerBand = planes.length / bands
-    val withSig = df.select(col(idCol), col(vecCol)).withColumn("__sig", rhpSignature(col(vecCol), planes))
-    val exploded = withSig.select(
-      col(idCol), col(vecCol),
-      explode(array((0 until bands).map { b =>
-        struct(lit(b).as("band"),
-          shiftright(col("__sig"), b * bitsPerBand).bitwiseAND(lit((1L << bitsPerBand) - 1)).as("h"))
-      }: _*)).as("bk"))
-      .select(col(idCol), col(vecCol), col("bk.band"), col("bk.h"))
-    val a = exploded.toDF("id_a", "vec_a", "band", "h")
-    val b = exploded.toDF("id_b", "vec_b", "band", "h")
-    a.join(b, Seq("band", "h"))
+    val vecs = df.select(col(idCol), col(vecCol))
+    // Candidate generation over (id, band, hash) ONLY — the wide
+    // vector payload must not ride through the self-join + distinct
+    // (at n vectors per bucket that shuffle is O(pairs x dim); with
+    // bare ids it is O(pairs x 16 bytes)). Vectors join back once per
+    // distinct candidate pair for exact verification.
+    val banded = vecs
+      .withColumn("__sig", rhpSignature(col(vecCol), planes))
+      .select(
+        col(idCol), col("__sig"),
+        explode(array((0 until bands).map { b =>
+          struct(lit(b).as("band"),
+            shiftright(col("__sig"), b * bitsPerBand).bitwiseAND(lit((1L << bitsPerBand) - 1)).as("h"))
+        }: _*)).as("bk"))
+      .select(col(idCol), col("__sig"), col("bk.band"), col("bk.h"))
+    val a = banded.toDF("id_a", "sig_a", "band", "h")
+    val b = banded.toDF("id_b", "sig_b", "band", "h")
+    // Second-stage prune before touching vectors: full-signature
+    // Hamming distance bounds the angle estimate, and bit_count over a
+    // pair of longs is ~free next to a 64-float cosine. Keep pairs
+    // whose estimated agreement could still clear `threshold` (half
+    // the bits disagreeing = orthogonal; generous 1.35x slack keeps
+    // recall while cutting most random collisions).
+    val maxDisagree =
+      math.ceil(planes.length * (math.acos(math.min(threshold, 1.0)) / math.Pi) * 1.35).toInt
+    val candidates = a.join(b, Seq("band", "h"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "vec_a", "vec_b")
+      .filter(bit_count(col("sig_a").bitwiseXOR(col("sig_b"))) <= maxDisagree)
+      .select("id_a", "id_b")
       .distinct()
+    candidates
+      .join(vecs.toDF("id_a", "vec_a"), "id_a")
+      .join(vecs.toDF("id_b", "vec_b"), "id_b")
       .withColumn("cosine", cosine(col("vec_a"), col("vec_b")))
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")

@@ -1,0 +1,101 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming twins of the batch operators (SURVEY.md §2.10).
+  * The reference is batch-only ("Analytics Approach: Batch Processing",
+  * Requirements/requirements.md:6); these are the engine's additive
+  * capability: the same weekly/hourly aggregations and cycle
+  * segmentation over an unbounded `events` stream.
+  *
+  * Design: `readStream` on the events schema -> watermarked windowed
+  * aggregations (tumbling/sliding/session), and exact cycle labeling
+  * as keyed state via `flatMapGroupsWithState` (a cycle ends on a
+  * tstate *change*, not a time gap, so `session_window` alone cannot
+  * express it — this is the documented custom-state case).
+  */
+object StreamingOps {
+
+  /** The events schema as seen after Sources.events normalization. */
+  val eventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Streaming source over a directory of parquet events (the batch
+    * fixture doubles as a stream when copied into a watched dir).
+    */
+  def readEventsStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(eventsSchema).parquet(dir)
+
+  /** Tumbling-window per-stage aggregate (streaming twin of the hourly
+    * rollup S7/q19): exact sums in decimal, late data bounded by the
+    * watermark.
+    */
+  def hourlyStageAgg(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"))
+      .select(col("window.start").as("hour"), col("event_type"), col("n"), col("sum_value"))
+
+  /** Sliding-window mean (5 min window, 1 min slide) per stage. */
+  def slidingMean(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "5 minutes", "1 minute"), col("event_type"))
+      .agg(avg(col("value")).as("mean_value"), count(lit(1)).as("n"))
+
+  /** Session windows per device: a session closes after `gap` of
+    * inactivity — the time-gap complement of cycle segmentation.
+    */
+  def deviceSessions(events: DataFrame, gap: String = "30 minutes", watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"), col("sum_value"))
+
+  // ------------------------------------------------- stateful cycles
+
+  final case class EventIn(event_id: Long, ts: java.sql.Timestamp, user_id: Long, event_type: String, value: Double)
+  final case class CycleOut(user_id: Long, event_id: Long, ts: java.sql.Timestamp, event_type: String, value: Double, cycle: Long)
+  final case class CycleState(lastType: String, cycle: Long)
+
+  /** W1's streaming twin: per-device run-length cycle ids via keyed
+    * state. Exact parity with the batch `Segmentation.labelCycles`
+    * REQUIRES in-order arrival per key (we sort each micro-batch's
+    * group by (ts, event_id); cross-batch reordering is bounded by the
+    * upstream source, as in any event-time-ordered log). State is one
+    * (lastType, cycle) pair per device — O(devices) state, the minimal
+    * possible.
+    */
+  def cycleLabelStream(events: Dataset[EventIn]): Dataset[CycleOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (userId: Long, rows: Iterator[EventIn], state: GroupState[CycleState]) => {
+          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var st = state.getOption.getOrElse(CycleState(null, 0L))
+          val out = sorted.map { e =>
+            if (st.lastType == null || st.lastType != e.event_type)
+              st = CycleState(e.event_type, st.cycle + 1)
+            CycleOut(userId, e.event_id, e.ts, e.event_type, e.value, st.cycle)
+          }
+          state.update(st)
+          out.iterator
+        })
+  }
+}

@@ -1,0 +1,79 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.sources.Sources
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Streaming twins driven synchronously: batch fixture parquet copied
+  * into a watched dir, memory sink, `processAllAvailable()`.
+  */
+class StreamingOpsSpec extends SparkSpec {
+
+  private lazy val streamDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    // lossless micro-timestamp rewrite of the nano fixture
+    Sources.events(spark, "/root/testdata/sf0.001")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  private def runToBatch(df: DataFrame, name: String): DataFrame = {
+    val q = df.writeStream.outputMode("append").format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
+
+  private def runComplete(df: DataFrame, name: String): DataFrame = {
+    val q = df.writeStream.outputMode("complete").format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
+
+  test("hourly tumbling aggregate matches the batch q19 result") {
+    val stream = StreamingOps.readEventsStream(spark, streamDir)
+    val got = runComplete(StreamingOps.hourlyStageAgg(stream), "hourly")
+      .orderBy("hour", "event_type")
+    val want = graft.queries.EventsQueries.queries("q19_hourly_agg")(spark, "/root/testdata/sf0.001")
+    val g = got.collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    val w = want.collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(g.toSeq == w.toSeq)
+  }
+
+  test("sliding windows produce overlapping buckets") {
+    val stream = StreamingOps.readEventsStream(spark, streamDir)
+    val got = runComplete(StreamingOps.slidingMean(stream), "sliding")
+    assert(got.count() > 0)
+    // one event falls into up to 5 overlapping 5-min/1-min windows
+    val perEventWindows = got.agg(sum("n")).head().getLong(0)
+    val nEvents = spark.read.parquet(streamDir).count()
+    assert(perEventWindows > nEvents, s"$perEventWindows windows vs $nEvents events")
+  }
+
+  test("session windows close after the gap and cover all events") {
+    val stream = StreamingOps.readEventsStream(spark, streamDir)
+    val got = runComplete(StreamingOps.deviceSessions(stream, gap = "30 minutes"), "sessions")
+    assert(got.count() > 0)
+    assert(got.agg(sum("n_events")).head().getLong(0) == spark.read.parquet(streamDir).count())
+    // session bounds are consistent
+    assert(got.filter(col("session_end") < col("session_start")).count() == 0)
+  }
+
+  test("stateful cycle labeling matches batch labelCycles exactly") {
+    import sqlImplicits._
+    val stream = StreamingOps.readEventsStream(spark, streamDir)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[StreamingOps.EventIn]
+    val got = runToBatch(StreamingOps.cycleLabelStream(stream).toDF(), "cycles")
+      .select("user_id", "event_id", "cycle")
+    val batch = graft.ops.Segmentation.labelCycles(
+      spark.read.parquet(streamDir),
+      Seq("user_id"), Seq(col("ts"), col("event_id")), "event_type")
+      .select("user_id", "event_id", "cycle")
+    val g = got.orderBy("user_id", "event_id").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val b = batch.orderBy("user_id", "event_id").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(g.toSeq == b.toSeq)
+  }
+}
