@@ -10,6 +10,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // JVM/codegen warmup so session init is not billed to the first
+    // query: one shuffle + one parquet footer read.
+    try {
+      spark.range(1000000L).selectExpr("sum(id) s").collect()
+      spark.read.parquet(s"$sfDir/lineitem.parquet").schema
+    } catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -163,7 +163,12 @@ object Dedup {
       idCol: String,
       n: Int = 3,
       threshold: Double = 0.5): DataFrame = {
-    val sh = df.select(col(idCol).as("id"), explode(shingles(col(textCol), n)).as("g"))
+    // Join on the 64-bit shingle hash, not the string: the shuffle
+    // moves 8-byte keys instead of n-word strings (collision odds at
+    // ~2^-64 per pair are far below any practical corpus size).
+    val sh = df
+      .select(col(idCol).as("id"), explode(shingles(col(textCol), n)).as("__g"))
+      .select(col("id"), xxhash64(col("__g")).as("g"))
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
     val a = sh.toDF("id_a", "g")
     val b = sh.toDF("id_b", "g")

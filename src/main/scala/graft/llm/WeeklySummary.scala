@@ -1,0 +1,108 @@
+package graft.llm
+
+import graft.ops.{GroupStats, Scalars}
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+/** The reference's GenAI analysis stage re-expressed Spark-first
+  * (reference: Requirements/ExampleAiCode.md:156-495): weekly
+  * Sunday-aligned per-stage statistics, stage-pair expansion for
+  * High-variance stages, prompt assembly, and a pluggable LLM client.
+  *
+  * The data plane stays lazy DataFrames; ONLY the final weekly summary
+  * (tiny by construction: weeks x stages rows) is collected for prompt
+  * assembly, exactly as the reference keeps the LLM call out of the
+  * data path (ExampleAiCode.md:387-417 is a driver-side provider
+  * switch; ExamplePipelineCode.md:486-493 pins it as manual-trigger).
+  */
+object WeeklySummary {
+
+  /** Stage-pair expansion: for every High-variance stage, analysis
+    * covers the stage plus its configured counterpart (the reference's
+    * Python-set algebra over stage names,
+    * ExampleAiCode.md:177-191) — driver-side Scala, not a data op.
+    */
+  def stagesToAnalyse(
+      highVariance: Set[String],
+      pairs: Seq[(String, String)]): Set[String] =
+    pairs.foldLeft(highVariance) { case (acc, (a, b)) =>
+      if (acc.contains(a) || acc.contains(b)) acc + a + b else acc
+    }
+
+  /** Weekly per-stage stats over the analysis window (F5/F6 + A2/A3):
+    * Sunday week buckets, count, mean, exact median, population std —
+    * all rounded to int for the prompt (ExampleAiCode.md:236-241).
+    */
+  def weeklyStats(
+      df: DataFrame,
+      tsCol: String,
+      stageCol: String,
+      valueCol: String,
+      stages: Set[String]): DataFrame =
+    df.filter(col(stageCol).isInCollection(stages))
+      .withColumn("week_start", Scalars.sundayWeekStart(col(tsCol)))
+      .withColumn("week_label", Scalars.weekLabel(col(tsCol)))
+      .groupBy(col("week_start"), col("week_label"), col(stageCol).as("stage"))
+      .agg(
+        count(lit(1)).as("count"),
+        round(avg(col(valueCol)), 0).cast("int").as("mean"),
+        round(GroupStats.exactMedian(col(valueCol)), 0).cast("int").as("median"),
+        round(stddev_pop(col(valueCol)), 0).cast("int").as("std_dev"))
+      .orderBy("week_start", "stage")
+
+  /** Prompt assembly from the *collected* weekly summary — the f-string
+    * report of the reference (ExampleAiCode.md:246-269,250-383),
+    * driver-side by design.
+    */
+  def buildPrompt(deviceId: String, weekly: Array[Row]): String = {
+    val byWeek = weekly.groupBy(_.getAs[String]("week_label")).toSeq.sortBy(_._1)
+    val body = byWeek.map { case (label, rows) =>
+      val lines = rows.sortBy(_.getAs[String]("stage")).map { r =>
+        f"  ${r.getAs[String]("stage")}%s: count=${r.getAs[Long]("count")}%d, " +
+          f"mean=${r.getAs[Int]("mean")}%d, median=${r.getAs[Int]("median")}%d, " +
+          f"std_dev=${r.getAs[Int]("std_dev")}%d"
+      }
+      s"Week $label:\n" + lines.mkString("\n")
+    }.mkString("\n\n")
+    s"""You are an HVAC power-consumption analyst. Device: $deviceId.
+       |Weekly per-stage power statistics (watts):
+       |
+       |$body
+       |
+       |Identify anomalous weeks, likely equipment issues (e.g. short
+       |cycling, stage failure), and whether consumption is drifting.
+       |""".stripMargin
+  }
+
+  /** Pluggable LLM boundary. The engine ships only [[EchoLlm]] — this
+    * environment has no network; a production client implements this
+    * trait per provider (the reference's OpenAI/Azure/Anthropic/Google
+    * switch, ExampleAiCode.md:387-417).
+    */
+  trait LlmClient { def complete(prompt: String): String }
+
+  /** Deterministic stub: summarizes the prompt instead of calling out. */
+  object EchoLlm extends LlmClient {
+    def complete(prompt: String): String =
+      s"[stub-llm] analysed ${prompt.linesIterator.count(_.startsWith("Week "))} weeks; " +
+        s"prompt_chars=${prompt.length}"
+  }
+
+  /** End-to-end AI stage: weekly stats -> collect -> prompt -> client.
+    * Returns (prompt, response).
+    */
+  def analyse(
+      df: DataFrame,
+      deviceId: String,
+      tsCol: String,
+      stageCol: String,
+      valueCol: String,
+      highVariance: Set[String],
+      pairs: Seq[(String, String)] = Seq(("cooling_stage_1", "cooling_stage_2"), ("heating_stage_1", "heating_stage_2")),
+      client: LlmClient = EchoLlm): (String, String) = {
+    val stages = stagesToAnalyse(highVariance, pairs)
+    val weekly = weeklyStats(df, tsCol, stageCol, valueCol, stages).collect()
+    val prompt = buildPrompt(deviceId, weekly)
+    (prompt, client.complete(prompt))
+  }
+}

@@ -1,0 +1,40 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+
+/** Sinks (S8). The reference has no programmatic sink in-repo; its
+  * documented downstream writes are a display path and "Update the
+  * alert threshold database with the calculated thresholds (if the
+  * power variance is low enough)" (reference:
+  * Requirements/requirements.md:43-46). Here: parquet writers (the
+  * harness contract) including a date-partitioned layout for partition
+  * pruning at scale, and the guarded threshold write-back.
+  */
+object Sinks {
+
+  def writeParquet(df: DataFrame, path: String, mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).parquet(path)
+
+  /** Date-partitioned layout: queries with a date predicate then prune
+    * whole partitions at planning time — the 100 TB default for any
+    * time-series table.
+    */
+  def writePartitionedByDate(df: DataFrame, tsCol: String, path: String): Unit =
+    df.withColumn("dt", to_date(col(tsCol)))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("dt")
+      .parquet(path)
+
+  /** Threshold write-back, guarded: only rows with a defined threshold
+    * (i.e. Low-variance stages) are appended — the reference's "if the
+    * power variance is low enough" condition. A production target is
+    * `format("jdbc").mode("append")` with the same guard; the harness
+    * writes parquet.
+    */
+  def writeBackThresholds(thresholds: DataFrame, path: String): Unit =
+    thresholds
+      .filter(col("threshold").isNotNull)
+      .write.mode(SaveMode.Append)
+      .parquet(path)
+}
