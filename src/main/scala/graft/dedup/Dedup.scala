@@ -91,14 +91,11 @@ object Dedup {
       bands: Int = 8,
       seed: Long = 42L): DataFrame = {
     val rowsPerBand = numHashes / bands
-    // Staged projections: each step materializes an attribute the next
-    // references, so the shingle pipeline runs ONCE per row instead of
-    // once per hash family (CollapseProject keeps non-cheap multi-
-    // referenced aliases in their own project).
+    // Single-pass signature via the MinHashSig expression (shingles
+    // built in their own projection so they are computed once per row).
     val sig = df
       .select(col(idCol).as("id"), shingles(col(textCol), n).as("__sh"))
-      .select(col("id"), transform(col("__sh"), s => xxhash64(s)).as("__h"))
-      .select(col("id"), minhashFromHashes(col("__h"), numHashes, seed).as("sig"))
+      .select(col("id"), MinHashSig.minhashSig(col("__sh"), numHashes, seed).as("sig"))
     val banded = sig.select(
       col("id"), col("sig"),
       explode(array((0 until bands).map { b =>

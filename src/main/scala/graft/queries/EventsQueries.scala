@@ -306,7 +306,37 @@ object EventsQueries {
       |GROUP BY 1, 2
       |ORDER BY hour, event_type""".stripMargin
 
+  /** As-of join (composed operator — see [[graft.ops.AsOfJoin]]): for
+    * every error event, the most recent purchase of the same user at
+    * or before it. Right side pre-deduped to one purchase per
+    * (user, ts) so tie behavior is deterministic on both engines.
+    */
+  def q32AsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Sources.events(spark, dir)
+    val errors = ev.filter(col("event_type") === "error").select("user_id", "event_id", "ts")
+    val w = Window.partitionBy(col("user_id"), col("ts")).orderBy(col("event_id").desc)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select("user_id", "ts", "event_id", "value")
+    graft.ops.AsOfJoin.asOf(errors, purchases, Seq("user_id"), "ts", "ts", Seq("event_id", "value"))
+      .select(
+        col("user_id"), col("event_id"),
+        col("right_event_id"), col("right_value"), col("right_ts"))
+      .orderBy("event_id")
+  }
+
+  val q32Sql: String =
+    """WITH e AS (SELECT * FROM events WHERE event_type = 'error'),
+      |p AS (SELECT * FROM (
+      |        SELECT *, row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+      |        FROM events WHERE event_type = 'purchase') WHERE rn = 1)
+      |SELECT e.user_id, e.event_id,
+      |  p.event_id AS right_event_id, p.value AS right_value, CAST(p.ts AS TIMESTAMP) AS right_ts
+      |FROM e ASOF LEFT JOIN p ON e.user_id = p.user_id AND p.ts <= e.ts
+      |ORDER BY e.event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q32_asof_join" -> (q32AsofJoin _),
     "q12_cycle_stats" -> (q12CycleStats _),
     "q13_valid_cycle_rows" -> (q13ValidCycleRows _),
     "q14_cycle_curation" -> (q14CycleCuration _),
@@ -317,6 +347,7 @@ object EventsQueries {
     "q19_hourly_agg" -> (q19HourlyAgg _))
 
   val oracle: Map[String, String] = Map(
+    "q32_asof_join" -> q32Sql,
     "q12_cycle_stats" -> q12Sql,
     "q13_valid_cycle_rows" -> q13Sql,
     "q14_cycle_curation" -> q14Sql,

@@ -1,0 +1,48 @@
+package graft.ops
+
+import graft.SparkSpec
+
+class AsOfJoinSpec extends SparkSpec {
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("as-of join picks the latest right row at-or-before each left row, per key") {
+    import sqlImplicits._
+    val left = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "l1"),
+      (1L, ts("2024-01-01 12:00:00"), "l2"),
+      (2L, ts("2024-01-01 09:00:00"), "l3")) // key 2 has no earlier right row
+      .toDF("user_id", "ts", "tag")
+    val right = Seq(
+      (1L, ts("2024-01-01 09:30:00"), 10.0),
+      (1L, ts("2024-01-01 11:00:00"), 20.0),
+      (1L, ts("2024-01-01 13:00:00"), 30.0), // after every left row
+      (2L, ts("2024-01-01 09:30:00"), 40.0)) // after l3
+      .toDF("user_id", "ts", "v")
+    val out = AsOfJoin.asOf(left, right, Seq("user_id"), "ts", "ts", Seq("v"))
+      .orderBy("user_id", "ts").collect()
+    assert(out(0).getAs[String]("tag") == "l1" && out(0).getAs[Double]("right_v") == 10.0)
+    assert(out(1).getAs[String]("tag") == "l2" && out(1).getAs[Double]("right_v") == 20.0)
+    assert(out(2).getAs[String]("tag") == "l3" && out(2).isNullAt(out(2).fieldIndex("right_v")))
+  }
+
+  test("exact-timestamp right row matches (<= semantics)") {
+    import sqlImplicits._
+    val left = Seq((1L, ts("2024-01-01 10:00:00"), "l")).toDF("user_id", "ts", "tag")
+    val right = Seq((1L, ts("2024-01-01 10:00:00"), 7.0)).toDF("user_id", "ts", "v")
+    val out = AsOfJoin.asOf(left, right, Seq("user_id"), "ts", "ts", Seq("v")).collect()
+    assert(out(0).getAs[Double]("right_v") == 7.0)
+  }
+
+  test("tolerance drops stale matches") {
+    import sqlImplicits._
+    val left = Seq((1L, ts("2024-01-01 10:00:00"), "l")).toDF("user_id", "ts", "tag")
+    val right = Seq((1L, ts("2024-01-01 08:00:00"), 7.0)).toDF("user_id", "ts", "v")
+    val strict = AsOfJoin.asOf(left, right, Seq("user_id"), "ts", "ts", Seq("v"),
+      toleranceSeconds = Some(3600)).collect()
+    assert(strict(0).isNullAt(strict(0).fieldIndex("right_v")))
+    val loose = AsOfJoin.asOf(left, right, Seq("user_id"), "ts", "ts", Seq("v"),
+      toleranceSeconds = Some(3 * 3600)).collect()
+    assert(loose(0).getAs[Double]("right_v") == 7.0)
+  }
+}
