@@ -1,0 +1,52 @@
+package graft
+
+import graft.dedup.{MinHashSig, SimHash64}
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+/** Session extensions exposing the engine's custom Catalyst
+  * expressions to SQL:
+  *
+  *   spark.sql("SELECT simhash64(split(text, ' ')) FROM docs")
+  *   spark.sql("SELECT minhash_sig(shingles, 32, 42) FROM docs")
+  *
+  * Register with
+  * `SparkSession.builder().withExtensions(new GraftExtensions)` or
+  * `spark.sql.extensions=graft.GraftExtensions`. Injection-based
+  * registration is the supported extension point for adding functions
+  * without patching Spark (SparkSessionExtensions.injectFunction).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "simhash64(tokens)")
+        SimHash64(children.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
+      (children: Seq[Expression]) => {
+        def litInt(e: Expression, d: Int): Int = e match {
+          case Literal(v: Int, _) => v
+          case Literal(v: Long, _) => v.toInt
+          case _ => d
+        }
+        def litLong(e: Expression, d: Long): Long = e match {
+          case Literal(v: Int, _) => v.toLong
+          case Literal(v: Long, _) => v
+          case _ => d
+        }
+        children match {
+          case Seq(sh) => MinHashSig(sh, 32, 42L)
+          case Seq(sh, n) => MinHashSig(sh, litInt(n, 32), 42L)
+          case Seq(sh, n, seed) => MinHashSig(sh, litInt(n, 32), litLong(seed, 42L))
+          case _ => throw new IllegalArgumentException("minhash_sig(shingles[, numHashes[, seed]])")
+        }
+      }))
+  }
+}

@@ -335,8 +335,33 @@ object EventsQueries {
       |FROM e ASOF LEFT JOIN p ON e.user_id = p.user_id AND p.ts <= e.ts
       |ORDER BY e.event_id""".stripMargin
 
+  /** Analytic window frame (moving aggregate) — 5-row trailing sum and
+    * mean per device; decimal window sums keep both engines bit-equal
+    * (segment-tree vs incremental evaluation reassociate double adds).
+    */
+  def q34MovingAvg(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id")).rowsBetween(-4, 0)
+    Sources.events(spark, dir)
+      .select(
+        col("user_id"), col("event_id"),
+        sum(col("value").cast(DecimalType(18, 2))).over(w).cast("double").as("mov_sum"),
+        count(lit(1)).over(w).as("n_window"))
+      .withColumn("mov_avg", col("mov_sum") / col("n_window"))
+      .orderBy("event_id")
+  }
+
+  val q34Sql: String =
+    """SELECT user_id, event_id,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS mov_sum,
+      |  count(*) OVER w AS n_window,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) / (count(*) OVER w) AS mov_avg
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+      |ORDER BY event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q32_asof_join" -> (q32AsofJoin _),
+    "q34_moving_avg" -> (q34MovingAvg _),
     "q12_cycle_stats" -> (q12CycleStats _),
     "q13_valid_cycle_rows" -> (q13ValidCycleRows _),
     "q14_cycle_curation" -> (q14CycleCuration _),
@@ -348,6 +373,7 @@ object EventsQueries {
 
   val oracle: Map[String, String] = Map(
     "q32_asof_join" -> q32Sql,
+    "q34_moving_avg" -> q34Sql,
     "q12_cycle_stats" -> q12Sql,
     "q13_valid_cycle_rows" -> q13Sql,
     "q14_cycle_curation" -> q14Sql,

@@ -244,7 +244,47 @@ object Relational {
       |)
       |ORDER BY tag, nationkey""".stripMargin
 
+  /** ROLLUP hierarchy totals (grouping-sets family, §2.4 "free" row):
+    * revenue by (returnflag, linestatus) with subtotals and grand
+    * total; `grouping()` flags disambiguate real NULLs from rollup
+    * NULLs.
+    */
+  def q33Rollup(spark: SparkSession, dir: String): DataFrame =
+    Sources.lineitem(spark, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity")).as("sum_qty"),
+        count(lit(1)).as("n"),
+        grouping(col("l_returnflag")).as("g_rf"),
+        grouping(col("l_linestatus")).as("g_ls"))
+      .orderBy(col("g_rf"), col("g_ls"), col("l_returnflag"), col("l_linestatus"))
+
+  val q33Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  sum(l_quantity) AS sum_qty, count(*) AS n,
+      |  CAST(grouping(l_returnflag) AS TINYINT) AS g_rf,
+      |  CAST(grouping(l_linestatus) AS TINYINT) AS g_ls
+      |FROM lineitem
+      |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      |ORDER BY g_rf, g_ls, l_returnflag, l_linestatus""".stripMargin
+
+  /** Sketch variants for the 100 TB path (rows-only: HLL/KLL results
+    * are implementation-specific): approx distinct counts and
+    * approx percentiles next to their exact anchors.
+    */
+  def q35ApproxSketches(spark: SparkSession, dir: String): DataFrame =
+    Sources.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        graft.ops.GroupStats.exactMedian(col("l_quantity")).as("exact_median"),
+        percentile_approx(col("l_quantity"), lit(0.5), lit(10000)).as("approx_median"))
+      .orderBy("l_returnflag")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q33_rollup" -> (q33Rollup _),
+    "q35_approx_sketches" -> (q35ApproxSketches _),
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q2_filter_project" -> (q2FilterProject _),
     "q3_revenue_by_nation" -> (q3RevenueByNation _),
@@ -258,6 +298,7 @@ object Relational {
     "q11_set_ops" -> (q11SetOps _))
 
   val oracle: Map[String, String] = Map(
+    "q33_rollup" -> q33Sql,
     "q1_pricing_summary" -> q1Sql,
     "q2_filter_project" -> q2Sql,
     "q3_revenue_by_nation" -> q3Sql,

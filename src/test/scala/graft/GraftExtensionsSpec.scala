@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Custom expressions are reachable from SQL via the injected
+  * extensions (own session: extensions bind at session build time).
+  */
+class GraftExtensionsSpec extends AnyFunSuite {
+
+  // getOrCreate() would silently return the suite-shared session and
+  // skip the extensions, so clear the default first (same underlying
+  // SparkContext; the shared session is restored afterwards).
+  private lazy val spark: SparkSession = {
+    val prev = SparkSession.getDefaultSession
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    val s = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-ext-tests")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    prev.foreach(SparkSession.setDefaultSession)
+    s
+  }
+
+  test("simhash64 and minhash_sig are callable from SQL") {
+    spark.sparkContext.setLogLevel("WARN")
+    val row = spark.sql(
+      """SELECT simhash64(split('a b c a', ' ')) AS sh,
+        |       minhash_sig(array('a b c', 'b c d'), 8, 42) AS mh""".stripMargin).head()
+    assert(row.getLong(0) != 0L)
+    assert(row.getSeq[Long](1).length == 8)
+    // SQL result equals the Column-API result
+    import spark.implicits._
+    val viaColumn = Seq("a b c a").toDF("t")
+      .select(graft.dedup.SimHash64.simhash64(org.apache.spark.sql.functions.split($"t", " ")))
+      .head().getLong(0)
+    assert(row.getLong(0) == viaColumn)
+  }
+}

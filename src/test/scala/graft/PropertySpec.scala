@@ -1,0 +1,71 @@
+package graft
+
+import graft.ops.{Gmm, Variance}
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property pins (SURVEY.md §5.3) for the pure-Scala algorithmic
+  * layer, via ScalaCheck generators sampled under a fixed seed (the
+  * scalatest<->scalacheck bridge artifact is not in the offline cache,
+  * so sampling is driven manually — still generator-randomized, still
+  * reproducible).
+  */
+class PropertySpec extends AnyFunSuite {
+
+  private def samples[A](gen: Gen[A], n: Int = 60): Seq[A] =
+    (0 until n).flatMap(i => gen.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  private val values: Gen[Array[Double]] =
+    Gen.nonEmptyListOf(Gen.choose(1.0, 10000.0)).map(_.toArray)
+
+  test("median bounded by min/max and order-insensitive") {
+    samples(values).foreach { xs =>
+      val m = Variance.medianOf(xs)
+      assert(m >= xs.min && m <= xs.max)
+      assert(Variance.medianOf(xs.reverse) == m)
+      assert(Variance.medianOf(xs.sorted.reverse) == m)
+    }
+  }
+
+  test("rCV is scale-invariant: rcv(kx) == rcv(x) for k > 0") {
+    def rcv(xs: Array[Double]): Double = {
+      val m = Variance.medianOf(xs)
+      Variance.medianOf(xs.map(x => math.abs(x - m))) / m
+    }
+    val ks = samples(Gen.choose(0.5, 100.0), 10)
+    samples(values, 20).filter(_.length > 1).foreach { xs =>
+      ks.foreach(k => assert(math.abs(rcv(xs) - rcv(xs.map(_ * k))) < 1e-9, s"k=$k"))
+    }
+  }
+
+  test("variance classification is a total deterministic function") {
+    samples(values).foreach { xs =>
+      val a = Variance.classify("s", xs)
+      val b = Variance.classify("s", xs)
+      assert(a == b)
+      assert(a.variance == "High" || a.variance == "Low")
+    }
+  }
+
+  test("GMM fit: weights sum to ~1, variances positive, BIC finite") {
+    samples(Gen.listOfN(80, Gen.choose(1.0, 10000.0)).map(_.toArray), 20).foreach { xs =>
+      (1 to 3).foreach { k =>
+        val f = Gmm.fit(xs, k)
+        assert(math.abs(f.components.map(_.weight).sum - 1.0) < 1e-6)
+        assert(f.components.forall(_.variance > 0))
+        assert(!f.bic.isNaN && !f.bic.isInfinite)
+      }
+    }
+  }
+
+  test("Sunday snap-back lands on Sunday within 6 days (pure mirror of F5)") {
+    samples(Gen.choose(0L, 20000L), 200).foreach { epochDay =>
+      val d = java.time.LocalDate.ofEpochDay(epochDay)
+      val dow = d.getDayOfWeek.getValue % 7 // Sun -> 0, mirrors dayofweek()-1
+      val ws = d.minusDays(dow.toLong)
+      assert(ws.getDayOfWeek == java.time.DayOfWeek.SUNDAY)
+      assert(java.time.temporal.ChronoUnit.DAYS.between(ws, d) <= 6)
+    }
+  }
+}
