@@ -147,6 +147,27 @@ object Dedup {
       .select("id_a", "id_b", "hamming")
   }
 
+  // ---------------------------------------------------- embedding cosine
+
+  /** Embedding-cosine near-duplicates — delegates to the similarity
+    * module's LSH-bucketed pair miner (random-hyperplane bands +
+    * Hamming prune + exact cosine verification).
+    */
+  def embeddingNearDupPairs(
+      df: org.apache.spark.sql.DataFrame,
+      vecCol: String,
+      idCol: String,
+      threshold: Double = 0.95,
+      numPlanes: Int = 16,
+      bands: Int = 8,
+      seed: Long = 42L): org.apache.spark.sql.DataFrame =
+    graft.similarity.Similarity.nearDupPairs(
+      df, vecCol, idCol, threshold,
+      graft.similarity.Similarity.hyperplanes(dimOf(df, vecCol), numPlanes, seed), bands)
+
+  private def dimOf(df: org.apache.spark.sql.DataFrame, vecCol: String): Int =
+    df.select(size(col(vecCol))).head().getInt(0)
+
   // ------------------------------------------------------- n-gram jaccard
 
   /** Exact n-gram Jaccard pairs above `threshold`: explode distinct
