@@ -45,17 +45,29 @@ object Dedup {
   // -------------------------------------------------------------- minhash
 
 
-  /** Word n-gram shingles (distinct) of the text. Texts shorter than
-    * `n` tokens yield an empty array (not a truncated partial gram —
-    * `concat_ws` would silently drop the out-of-range nulls).
+  /** Word n-gram shingles (distinct) from a TOKEN ARRAY column. Texts
+    * shorter than `n` tokens yield an empty array (not a truncated
+    * partial gram — `concat_ws` would silently drop out-of-range
+    * nulls).
+    *
+    * PERFORMANCE CONTRACT: pass an *attribute* (a column materialized
+    * by a previous projection), not an inline `split(...)` expression —
+    * interpreted higher-order functions do not CSE, so an inline
+    * expression would re-split the text for every element_at (3 x
+    * shingleCount times per row). See the staged call sites.
     */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = TextAnalysis.tokens(text)
+  def shinglesFromTokens(toks: Column, n: Int): Column = {
     val grams = transform(
       sequence(lit(0), size(toks) - n),
       i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*))
     array_distinct(when(size(toks) >= n, grams).otherwise(array().cast("array<string>")))
   }
+
+  /** One-shot form over raw text — fine for small frames/tests; hot
+    * paths stage tokens first (see performance contract above).
+    */
+  def shingles(text: Column, n: Int): Column =
+    shinglesFromTokens(TextAnalysis.tokens(text), n)
 
   /** MinHash family from a pre-hashed shingle array (`array<long>`):
     * family i = min over `xxhash64(seed, i, baseHash)` — independent
@@ -91,10 +103,12 @@ object Dedup {
       bands: Int = 8,
       seed: Long = 42L): DataFrame = {
     val rowsPerBand = numHashes / bands
-    // Single-pass signature via the MinHashSig expression (shingles
-    // built in their own projection so they are computed once per row).
+    // Fully staged: tokens -> shingles -> signature, each in its own
+    // projection so every step reads attributes (computed once per
+    // row), then the single-pass MinHashSig expression.
     val sig = df
-      .select(col(idCol).as("id"), shingles(col(textCol), n).as("__sh"))
+      .select(col(idCol).as("id"), TextAnalysis.tokens(col(textCol)).as("__t"))
+      .select(col("id"), shinglesFromTokens(col("__t"), n).as("__sh"))
       .select(col("id"), MinHashSig.minhashSig(col("__sh"), numHashes, seed).as("sig"))
     val banded = sig.select(
       col("id"), col("sig"),
@@ -184,8 +198,10 @@ object Dedup {
     // Join on the 64-bit shingle hash, not the string: the shuffle
     // moves 8-byte keys instead of n-word strings (collision odds at
     // ~2^-64 per pair are far below any practical corpus size).
+    // Tokens and shingles staged as attributes (see shinglesFromTokens).
     val sh = df
-      .select(col(idCol).as("id"), explode(shingles(col(textCol), n)).as("__g"))
+      .select(col(idCol).as("id"), TextAnalysis.tokens(col(textCol)).as("__t"))
+      .select(col("id"), explode(shinglesFromTokens(col("__t"), n)).as("__g"))
       .select(col("id"), xxhash64(col("__g")).as("g"))
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
     val a = sh.toDF("id_a", "g")

@@ -119,7 +119,23 @@ object Similarity {
       planes: Array[Array[Float]],
       bands: Int = 8): DataFrame = {
     val bitsPerBand = planes.length / bands
-    val vecs = df.select(col(idCol), col(vecCol))
+    val firstRow = df.select(size(col(vecCol))).take(1)
+    if (firstRow.isEmpty)
+      return df.select(col(idCol).as("id_a"), col(idCol).as("id_b"), lit(0.0).as("cosine")).limit(0)
+    // Normalize ONCE per vector (staged projections so the norm is an
+    // attribute): per-pair verification is then a bare dot product —
+    // the norm would otherwise be recomputed for both sides of every
+    // candidate pair (3 interpreted array passes per pair instead of 1).
+    val dim = firstRow.head.getInt(0)
+    val vecs = df
+      .select(col(idCol), col(vecCol))
+      .withColumn("__norm", norm(col(vecCol)))
+      .select(col(idCol), transform(col(vecCol), x => x / col("__norm")).as(vecCol))
+    // Refined 63-bit signature, used ONLY for the Hamming prune: the
+    // candidate bands must stay coarse (recall), but the prune can be
+    // precise — 63 planes give a sharp angle estimate, so far fewer
+    // random band-collisions survive to the expensive vector join.
+    val refinePlanes = hyperplanes(dim, 63, seed = 1042L)
     // Candidate generation over (id, band, hash) ONLY — the wide
     // vector payload must not ride through the self-join + distinct
     // (at n vectors per bucket that shuffle is O(pairs x dim); with
@@ -127,32 +143,33 @@ object Similarity {
     // distinct candidate pair for exact verification.
     val banded = vecs
       .withColumn("__sig", rhpSignature(col(vecCol), planes))
+      .withColumn("__rsig", rhpSignature(col(vecCol), refinePlanes))
       .select(
-        col(idCol), col("__sig"),
+        col(idCol), col("__rsig"),
         explode(array((0 until bands).map { b =>
           struct(lit(b).as("band"),
             shiftright(col("__sig"), b * bitsPerBand).bitwiseAND(lit((1L << bitsPerBand) - 1)).as("h"))
         }: _*)).as("bk"))
-      .select(col(idCol), col("__sig"), col("bk.band"), col("bk.h"))
-    val a = banded.toDF("id_a", "sig_a", "band", "h")
-    val b = banded.toDF("id_b", "sig_b", "band", "h")
-    // Second-stage prune before touching vectors: full-signature
-    // Hamming distance bounds the angle estimate, and bit_count over a
-    // pair of longs is ~free next to a 64-float cosine. Keep pairs
-    // whose estimated agreement could still clear `threshold` (half
-    // the bits disagreeing = orthogonal; generous 1.35x slack keeps
-    // recall while cutting most random collisions).
+      .select(col(idCol), col("__rsig"), col("bk.band"), col("bk.h"))
+    val a = banded.toDF("id_a", "rsig_a", "band", "h")
+    val b = banded.toDF("id_b", "rsig_b", "band", "h")
+    // Second-stage prune before touching vectors: refined-signature
+    // Hamming distance is an unbiased angle estimate, and bit_count
+    // over a pair of longs is ~free next to a dim-float dot. Keep
+    // pairs whose estimated angle could still clear `threshold`
+    // (1.15x slack on the expected flip count keeps ~90% recall at
+    // 63 bits while dropping most random band collisions).
     val maxDisagree =
-      math.ceil(planes.length * (math.acos(math.min(threshold, 1.0)) / math.Pi) * 1.35).toInt
+      math.ceil(refinePlanes.length * (math.acos(math.min(threshold, 1.0)) / math.Pi) * 1.15).toInt
     val candidates = a.join(b, Seq("band", "h"))
       .filter(col("id_a") < col("id_b"))
-      .filter(bit_count(col("sig_a").bitwiseXOR(col("sig_b"))) <= maxDisagree)
+      .filter(bit_count(col("rsig_a").bitwiseXOR(col("rsig_b"))) <= maxDisagree)
       .select("id_a", "id_b")
       .distinct()
     candidates
       .join(vecs.toDF("id_a", "vec_a"), "id_a")
       .join(vecs.toDF("id_b", "vec_b"), "id_b")
-      .withColumn("cosine", cosine(col("vec_a"), col("vec_b")))
+      .withColumn("cosine", dot(col("vec_a"), col("vec_b"))) // unit vectors
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
   }
