@@ -27,6 +27,17 @@ object HvacPipeline {
   val MinSamplesCurated = 20 // ExamplePipelineCode.md:303
   val MinCyclesForIssues = 10 // ExamplePipelineCode.md:347,353
 
+  /** J1 — minute-level feed merge: the reference joins the thermostat
+    * feed (timeStamp, tstate) with the energy feed (timeStamp, energy)
+    * for one device window (reference:
+    * Requirements/ExamplePipelineCode.md:25-26,108-112; output schema
+    * :140-147). Both feeds are minute-aligned, so an equi-join on
+    * (device, ts) suffices; drifting feeds would go through
+    * [[graft.ops.AsOfJoin]] instead.
+    */
+  def mergeFeeds(control: DataFrame, energy: DataFrame, keys: Seq[String], tsCol: String): DataFrame =
+    control.join(energy, keys :+ tsCol, "inner")
+
   /** Step 1 — ingest + cycle labeling (J1/W1; the merge of feeds is a
     * no-op for the single events fixture; cycles per device key).
     */

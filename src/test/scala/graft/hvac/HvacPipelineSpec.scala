@@ -25,4 +25,13 @@ class HvacPipelineSpec extends SparkSpec {
   test("entry returns >0 rows (driver smoke)") {
     assert(graft.SparkEntry.entry(spark).count() > 0)
   }
+
+  test("mergeFeeds joins minute-aligned control and energy feeds (J1)") {
+    import sqlImplicits._
+    val control = Seq((1L, 100L, 2), (1L, 160L, 2), (1L, 220L, 0)).toDF("dev", "ts", "tstate")
+    val energy = Seq((1L, 100L, 500.0), (1L, 160L, 520.0), (1L, 280L, 0.0)).toDF("dev", "ts", "energy")
+    val merged = HvacPipeline.mergeFeeds(control, energy, Seq("dev"), "ts")
+    assert(merged.columns.toSet == Set("dev", "ts", "tstate", "energy"))
+    assert(merged.count() == 2) // only aligned minutes survive
+  }
 }
