@@ -54,12 +54,14 @@ object Similarity {
 
   /** Pack sign-of-dot bits against `planes` into a Long signature
     * column (random-hyperplane LSH: P[bit_a == bit_b] = 1 - angle/pi).
+    * Backed by the [[RhpSig]] Catalyst expression — one tight
+    * multiply-accumulate loop per row instead of `numPlanes`
+    * interpreted higher-order passes; dot accumulates in double,
+    * matching the driver-side [[signatureOf]] bit-for-bit.
     */
   def rhpSignature(vec: Column, planes: Array[Array[Float]]): Column = {
     require(planes.length <= 63, "signature packs into one long")
-    planes.zipWithIndex
-      .map { case (p, i) => when(dot(vec, vecLit(p)) > 0, lit(1L << i)).otherwise(lit(0L)) }
-      .reduce(_ + _)
+    RhpSig.rhpSig(vec, planes)
   }
 
   /** Split a packed signature into `bands` band-hash columns of

@@ -26,6 +26,26 @@ object Sinks {
       .partitionBy("dt")
       .parquet(path)
 
+  /** Bucketed managed table: rows hash-partitioned into `numBuckets`
+    * files per partition by `keys` and registered in the session
+    * catalog. Two tables bucketed the same way join WITHOUT a shuffle
+    * (both sides already satisfy the join's clustering) — the
+    * co-located-join layout for repeatedly-joined 100 TB fact tables.
+    * Requires `saveAsTable` (bucket metadata lives in the catalog, not
+    * the files).
+    */
+  def writeBucketed(
+      df: DataFrame,
+      table: String,
+      keys: Seq[String],
+      numBuckets: Int,
+      sortBy: Seq[String] = Nil): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite).format("parquet")
+      .bucketBy(numBuckets, keys.head, keys.tail: _*)
+    (if (sortBy.nonEmpty) w.sortBy(sortBy.head, sortBy.tail: _*) else w)
+      .saveAsTable(table)
+  }
+
   /** Threshold write-back, guarded: only rows with a defined threshold
     * (i.e. Low-variance stages) are appended — the reference's "if the
     * power variance is low enough" condition. A production target is

@@ -32,6 +32,31 @@ class SinksSpec extends SparkSpec {
     assert(back.filter(col("threshold").isNull).count() == 0)
   }
 
+  test("bucketed tables join without a shuffle (co-located join)") {
+    // idempotent: drop catalog entries AND stale managed locations
+    Seq("b_orders", "b_lineitem").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t)
+      if (loc.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete()
+        }
+        rm(loc)
+      }
+    }
+    val orders = Sources.orders(spark, "/root/testdata/sf0.001")
+    val lineitem = Sources.lineitem(spark, "/root/testdata/sf0.001")
+    Sinks.writeBucketed(orders, "b_orders", Seq("o_orderkey"), 4)
+    Sinks.writeBucketed(lineitem.withColumnRenamed("l_orderkey", "o_orderkey"), "b_lineitem", Seq("o_orderkey"), 4)
+    val joined = spark.table("b_orders").join(spark.table("b_lineitem"), "o_orderkey")
+    // force a non-broadcast join so bucketing is what removes the shuffle
+    val smj = joined.hint("merge")
+    assert(smj.count() == lineitem.count())
+    val plan = smj.queryExecution.executedPlan.toString()
+    assert(!plan.contains("Exchange hashpartitioning"), s"unexpected shuffle:\n$plan")
+  }
+
   test("registry reads every fixture table") {
     graft.sources.Sources.tableNames.foreach { t =>
       val reader = SourceRegistry.get(t)
