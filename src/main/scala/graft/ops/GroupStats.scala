@@ -74,6 +74,11 @@ object GroupStats {
       valueCol: String,
       tsCol: String,
       stateCol: String): DataFrame = {
+    // NOTE: stateCol must stay an AGGREGATE here (min over (ts,state)
+    // structs), not a level-1 grouping key — this helper makes no
+    // functional-dependence assumption, and grouping by state would
+    // split the per-value counts that feed the mode. The events query
+    // core applies that optimization where state IS constant per cycle.
     val perValue = df
       .groupBy((groupCols :+ valueCol).map(col): _*)
       .agg(

@@ -49,11 +49,15 @@ object EventsQueries {
     */
   private def cycleStatsCore(lab: DataFrame): DataFrame =
     lab
-      .groupBy(col("user_id"), col("cycle"), col("value"))
+      // event_type rides in the level-1 GROUPING KEYS, not as an
+      // aggregate: it is constant within a cycle (cycles are runs of
+      // constant state), so the grouping is unchanged — but a
+      // min(string) aggregate buffer would force SortAggregate, while
+      // key-only strings keep level 1 a codegen'd HashAggregate.
+      .groupBy(col("user_id"), col("cycle"), col("value"), col("event_type"))
       .agg(
         count(lit(1)).as("__cnt"),
-        min(col("ts")).as("__mts"),
-        min(col("event_type")).as("__mstate"))
+        min(col("ts")).as("__mts"))
       .groupBy(col("user_id"), col("cycle"))
       .agg(
         sum(col("__cnt")).as("n"),
@@ -62,7 +66,7 @@ object EventsQueries {
         (percentile(col("value"), lit(0.5), col("__cnt"))).as("median_raw"),
         max_by(col("value"), struct(col("__cnt"), -col("value"))).as("mode_value"),
         min(col("__mts")).as("first_ts"),
-        min(col("__mstate")).as("state"))
+        min(col("event_type")).as("state"))
 
   /** W1 + A1/A2/A4/A5 — per-cycle stats: count, median, mode
     * (tie-broken), chronologically-first timestamp, state.
