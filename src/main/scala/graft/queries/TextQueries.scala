@@ -151,7 +151,14 @@ object TextQueries {
     Dedup.simhashPairs(Sources.documents(spark, dir), "text", "doc_id")
       .orderBy("id_a", "id_b")
 
+  /** The full curation pipeline (annotate -> exact dedup -> near
+    * dedup -> quality gate) as one rows-only query.
+    */
+  def q36CurationPipeline(spark: SparkSession, dir: String): DataFrame =
+    graft.text.CurationPipeline.curatedDf(spark, dir)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q36_curation_pipeline" -> (q36CurationPipeline _),
     "q20_token_stats" -> (q20TokenStats _),
     "q21_exact_dedup" -> (q21ExactDedup _),
     "q22_quality_score" -> (q22QualityScore _),

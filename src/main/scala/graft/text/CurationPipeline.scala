@@ -1,0 +1,79 @@
+package graft.text
+
+import graft.core.{Pipeline, PipelineContext, Processor}
+import graft.dedup.Dedup
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data curation pipeline: the engine's Processor framework
+  * driving the text/dedup operator families end-to-end, the way a
+  * pretraining-corpus build would at 100 TB:
+  *
+  *   annotate (langid/quality/fingerprints) -> exact dedup (hash
+  *   groupBy on the 64-bit fingerprint) -> near-dedup (MinHash-LSH
+  *   candidates, keep the smallest doc per duplicate cluster) ->
+  *   quality gate -> curated corpus + survival stats.
+  *
+  * Every stage is a lazy DataFrame transform; only the final stats
+  * are collected. Near-dup clustering uses the candidate pair list's
+  * transitive closure approximated by "drop the larger id of every
+  * verified pair" — one pass, no iterative connected components; at
+  * corpus scale a label-propagation pass can replace it without
+  * touching the other stages.
+  */
+object CurationPipeline {
+
+  val annotate: Processor = Processor("Annotate", required = Seq("documents")) { ctx =>
+    val docs = ctx.table("documents")
+    ctx.withTable("annotated", docs
+      .withColumn("detected_lang", TextAnalysis.langId(col("text")))
+      .withColumn("n_tokens", TextAnalysis.tokenCount(col("text")))
+      .withColumn("quality", TextAnalysis.qualityScore(col("text")))
+      .withColumn("fp", TextAnalysis.contentFingerprint(col("text"))))
+  }
+
+  val exactDedup: Processor = Processor("ExactDedup", required = Seq("annotated")) { ctx =>
+    ctx.withTable("exact_deduped", Dedup.exactDedup(ctx.table("annotated"), "text", "doc_id"))
+  }
+
+  /** Drop the larger doc of every near-dup pair above the threshold. */
+  val nearDedup: Processor = Processor("NearDedup", required = Seq("exact_deduped")) { ctx =>
+    val docs = ctx.table("exact_deduped")
+    val losers = Dedup.minhashCandidatePairs(docs, "text", "doc_id")
+      .filter(col("est_jaccard") >= 0.5)
+      .select(col("id_b").as("doc_id"))
+      .distinct()
+    ctx.withTable("near_deduped", docs.join(broadcast(losers), Seq("doc_id"), "left_anti"))
+  }
+
+  val qualityGate: Processor = Processor("QualityGate", required = Seq("near_deduped")) { ctx =>
+    val minQ = ctx.config.getOrElse("min_quality", "0.3").toDouble
+    ctx.withTable("curated", ctx.table("near_deduped").filter(col("quality") >= minQ))
+  }
+
+  val stats: Processor = Processor("CurationStats", required = Seq("curated")) { ctx =>
+    val n0 = ctx.table("documents").count()
+    val n1 = ctx.table("exact_deduped").count()
+    val n2 = ctx.table("near_deduped").count()
+    val n3 = ctx.table("curated").count()
+    ctx.withResult("curation_stats", Map(
+      "input" -> n0, "after_exact_dedup" -> n1,
+      "after_near_dedup" -> n2, "curated" -> n3))
+  }
+
+  val steps: Seq[Processor] = Seq(annotate, exactDedup, nearDedup, qualityGate, stats)
+
+  def pipeline: Pipeline = new Pipeline(steps)
+
+  def run(spark: SparkSession, sfDir: String, minQuality: Double = 0.3): PipelineContext =
+    pipeline.run(PipelineContext(
+      "corpus-curation",
+      config = Map("min_quality" -> minQuality.toString),
+      tables = Map("documents" -> graft.sources.Sources.documents(spark, sfDir))))
+
+  /** Queries-map entry: the curated corpus with its annotations. */
+  def curatedDf(spark: SparkSession, sfDir: String): DataFrame =
+    run(spark, sfDir).table("curated")
+      .select("doc_id", "detected_lang", "n_tokens", "quality", "fp")
+      .orderBy("doc_id")
+}

@@ -61,6 +61,32 @@ class StreamingOpsSpec extends SparkSpec {
     assert(got.filter(col("session_end") < col("session_start")).count() == 0)
   }
 
+  test("watermark drops late data beyond the bound (append mode)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import sqlImplicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val agg = StreamingOps.hourlyStageAgg(
+      input.toDF().toDF("ts", "event_type", "value"), watermark = "1 hour")
+    val q = agg.writeStream.outputMode("append").format("memory").queryName("wm").start()
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // batch 1: events up to 12:30 -> watermark becomes 11:30
+    input.addData((ts("2024-01-01 10:10:00"), "a", 1.0), (ts("2024-01-01 12:30:00"), "a", 2.0))
+    q.processAllAvailable()
+    // batch 2: a VERY late row for the already-closed 10:00 window
+    input.addData((ts("2024-01-01 10:20:00"), "a", 100.0))
+    q.processAllAvailable()
+    // batch 3: advance far so every window closes and emits
+    input.addData((ts("2024-01-01 20:00:00"), "a", 3.0))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("wm").collect()
+      .map(r => r.getTimestamp(0).toString -> r.getDouble(3)).toMap
+    // the 10:00 window emitted WITHOUT the late 100.0 row
+    assert(out("2024-01-01 10:00:00.0") == 1.0, out.toString)
+    assert(out("2024-01-01 12:00:00.0") == 2.0)
+  }
+
   test("stateful cycle labeling matches batch labelCycles exactly") {
     import sqlImplicits._
     val stream = StreamingOps.readEventsStream(spark, streamDir)
