@@ -63,7 +63,11 @@ object CurationPipeline {
 
   val steps: Seq[Processor] = Seq(annotate, exactDedup, nearDedup, qualityGate, stats)
 
-  def pipeline: Pipeline = new Pipeline(steps)
+  /** Checkpointing ON: the stats step counts every intermediate table,
+    * and without persistence each count would recompute the MinHash
+    * candidate stage from scratch (3x the heaviest work).
+    */
+  def pipeline: Pipeline = new Pipeline(steps, enableCheckpoints = true)
 
   def run(spark: SparkSession, sfDir: String, minQuality: Double = 0.3): PipelineContext =
     pipeline.run(PipelineContext(
