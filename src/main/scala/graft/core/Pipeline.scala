@@ -55,7 +55,9 @@ final class Pipeline(
               else logged.withWarning(s"${p.name} failed, continuing: ${e.getMessage}")
           }
         if (enableCheckpoints) {
-          next.tables.valuesIterator.foreach(_.persist())
+          next.tables.valuesIterator
+            .filter(_.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+            .foreach(_.persist())
           checkpointStore.put(p.name, next)
         }
         next
