@@ -57,6 +57,18 @@ object SimilarityQueries {
       threshold = 0.4, planes16, bands = 8)
       .orderBy("id_a", "id_b")
 
+  /** IVF ANN: deterministic spherical k-means cells, probe the 3
+    * nearest of 8 — the data-adaptive complement of the RHP-LSH path.
+    */
+  def q37KnnIvf(spark: SparkSession, dir: String): DataFrame = {
+    val df = Sources.embeddings(spark, dir)
+    val model = graft.similarity.Ivf.train(df, "embedding", k = 8, iters = 5)
+    val idx = graft.similarity.Ivf.index(df.filter(col("vec_id") =!= 0L), "embedding", "vec_id", model)
+    val q = queryVec(spark, dir, 0L)
+    graft.similarity.Ivf.topK(idx, "embedding", "vec_id", q, k = 10, model, nprobe = 3)
+      .select("vec_id", "cosine")
+  }
+
   /** Per-label corpus stats — exact ints, oracle-checked (keeps one
     * embeddings-table query in the hash gate).
     */
@@ -76,7 +88,8 @@ object SimilarityQueries {
     "q28_knn_brute" -> (q28KnnBrute _),
     "q29_knn_ann" -> (q29KnnAnn _),
     "q30_embedding_near_dup" -> (q30EmbeddingNearDup _),
-    "q31_label_stats" -> (q31LabelStats _))
+    "q31_label_stats" -> (q31LabelStats _),
+    "q37_knn_ivf" -> (q37KnnIvf _))
 
   val oracle: Map[String, String] = Map(
     "q31_label_stats" -> q31Sql)

@@ -1,0 +1,123 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** IVF (inverted-file) ANN index: deterministic k-means over unit
+  * vectors partitions the corpus into `k` cells; a query probes only
+  * its `nprobe` nearest cells, so the exact-cosine work drops to
+  * ~nprobe/k of the corpus. The complement of the RHP-LSH path: IVF
+  * adapts to the data distribution (clustered corpora prune far
+  * better), LSH is data-independent.
+  *
+  * Scale design: training samples a bounded number of vectors to the
+  * driver (k-means on a sample is standard practice at any corpus
+  * size); assignment is a columnar argmin over centroid dot products
+  * (`array_min` over (neg-dot, cell) structs — one scan, codegen'd
+  * comparisons); the assigned table is the persisted "index", ideally
+  * written bucketed by `cell` so a probe reads only its buckets.
+  */
+object Ivf {
+
+  final case class Model(centroids: Array[Array[Float]]) {
+    def k: Int = centroids.length
+  }
+
+  /** Deterministic spherical k-means on a driver-side sample:
+    * seeded-LCG sample choice, init = evenly spaced points of the
+    * sample ordered by their first coordinate (no RNG in init), `iters`
+    * Lloyd rounds with cosine assignment, centroids re-normalized.
+    */
+  def train(
+      df: DataFrame,
+      vecCol: String,
+      k: Int,
+      iters: Int = 10,
+      sampleSize: Int = 10000,
+      seed: Long = 42L): Model = {
+    val n = df.count()
+    val fraction = math.min(1.0, sampleSize.toDouble / math.max(n, 1))
+    val sample = df.sample(withReplacement = false, fraction, seed)
+      .select(vecCol).collect().map(_.getSeq[Float](0).toArray.map(_.toDouble))
+    require(sample.length >= k, s"sample ${sample.length} < k=$k")
+    val unit = sample.map(normalize)
+    var centroids = unit.sortBy(_.head).zipWithIndex
+      .collect { case (v, i) if i % math.max(unit.length / k, 1) == 0 => v }
+      .take(k)
+    var iter = 0
+    while (iter < iters) {
+      val sums = Array.fill(centroids.length)(new Array[Double](unit.head.length))
+      val counts = new Array[Int](centroids.length)
+      unit.foreach { v =>
+        val c = nearest(v, centroids)
+        counts(c) += 1
+        var i = 0
+        while (i < v.length) { sums(c)(i) += v(i); i += 1 }
+      }
+      centroids = centroids.indices.map { c =>
+        if (counts(c) == 0) centroids(c) else normalize(sums(c))
+      }.toArray
+      iter += 1
+    }
+    Model(centroids.map(_.map(_.toFloat)))
+  }
+
+  private def normalize(v: Array[Double]): Array[Double] = {
+    val n = math.sqrt(v.map(x => x * x).sum)
+    if (n == 0) v else v.map(_ / n)
+  }
+
+  private def nearest(v: Array[Double], cs: Array[Array[Double]]): Int = {
+    var best = 0
+    var bestDot = Double.NegativeInfinity
+    var c = 0
+    while (c < cs.length) {
+      var d = 0.0
+      var i = 0
+      while (i < v.length) { d += v(i) * cs(c)(i); i += 1 }
+      if (d > bestDot) { bestDot = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  private def centroidLit(c: Array[Float]): Column = array(c.map(x => lit(x)): _*)
+
+  /** Cell assignment column: argmin over (-dot(vec, centroid_c), c)
+    * structs — cosine assignment assuming unit-normalized input.
+    */
+  def cellOf(vec: Column, model: Model): Column =
+    array_min(array(model.centroids.zipWithIndex.map { case (c, i) =>
+      struct((-Similarity.dot(vec, centroidLit(c))).as("negdot"), lit(i).as("cell"))
+    }: _*)).getField("cell")
+
+  /** Build the index table: rows + `cell`. Vectors are normalized once
+    * so probes are bare dot products.
+    */
+  def index(df: DataFrame, vecCol: String, idCol: String, model: Model): DataFrame =
+    df.select(col(idCol), col(vecCol))
+      .withColumn("__n", Similarity.norm(col(vecCol)))
+      .select(col(idCol), transform(col(vecCol), x => x / col("__n")).as(vecCol))
+      .withColumn("cell", cellOf(col(vecCol), model))
+
+  /** Top-k by cosine probing only the query's `nprobe` nearest cells. */
+  def topK(
+      indexed: DataFrame,
+      vecCol: String,
+      idCol: String,
+      queryVec: Array[Float],
+      k: Int,
+      model: Model,
+      nprobe: Int = 2): DataFrame = {
+    val qUnit = normalize(queryVec.map(_.toDouble))
+    val cells = model.centroids.indices
+      .sortBy(c => -qUnit.zip(model.centroids(c)).map { case (a, b) => a * b }.sum)
+      .take(nprobe)
+    val qLit = array(qUnit.map(x => lit(x.toFloat)): _*)
+    indexed
+      .filter(col("cell").isin(cells.map(Integer.valueOf): _*))
+      .withColumn("cosine", Similarity.dot(col(vecCol), qLit))
+      .orderBy(col("cosine").desc, col(idCol).asc)
+      .limit(k)
+  }
+}

@@ -1,0 +1,63 @@
+package graft.similarity
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class IvfSpec extends SparkSpec {
+
+  // Three well-separated directions + jitter: clustered data is IVF's
+  // home turf, so probing 1 cell of 3 must achieve perfect recall.
+  private def clustered = {
+    import sqlImplicits._
+    val dirs = Seq(
+      Array(1.0f, 0f, 0f, 0f), Array(0f, 1.0f, 0f, 0f), Array(0f, 0f, 1.0f, 0f))
+    val rows = for {
+      (d, c) <- dirs.zipWithIndex
+      i <- 0 until 40
+    } yield {
+      val jitter = d.indices.map(j => d(j) + (((i * 7 + j * 13 + c * 29) % 10) - 5) * 0.01f).toArray
+      ((c * 40 + i).toLong, jitter)
+    }
+    rows.toDF("vec_id", "embedding")
+  }
+
+  test("deterministic training: same data -> same centroids") {
+    val m1 = Ivf.train(clustered, "embedding", k = 3, iters = 5)
+    val m2 = Ivf.train(clustered, "embedding", k = 3, iters = 5)
+    assert(m1.centroids.map(_.toSeq).toSeq == m2.centroids.map(_.toSeq).toSeq)
+  }
+
+  test("index assigns each natural cluster to a single cell") {
+    val model = Ivf.train(clustered, "embedding", k = 3, iters = 5)
+    val idx = Ivf.index(clustered, "embedding", "vec_id", model)
+    // every group of 40 planted vectors lands in exactly one cell
+    val spread = idx.withColumn("trueCluster", (col("vec_id") / 40).cast("int"))
+      .groupBy("trueCluster").agg(countDistinct("cell").as("cells"))
+      .agg(max("cells")).head().getLong(0)
+    assert(spread == 1L)
+  }
+
+  test("nprobe=1 recall is perfect on clustered data and scans one cell") {
+    val model = Ivf.train(clustered, "embedding", k = 3, iters = 5)
+    val idx = Ivf.index(clustered, "embedding", "vec_id", model)
+    val query = Array(0.98f, 0.05f, 0.02f, 0.0f) // near cluster 0
+    val got = Ivf.topK(idx, "embedding", "vec_id", query, k = 10, model, nprobe = 1)
+      .collect().map(_.getAs[Long]("vec_id"))
+    assert(got.length == 10)
+    assert(got.forall(_ < 40), got.mkString(",")) // all from cluster 0
+    // matches brute force exactly
+    val brute = Similarity.cosineTopK(clustered, "embedding", query, 10, "vec_id")
+      .collect().map(_.getAs[Long]("vec_id"))
+    assert(got.toSeq == brute.toSeq)
+  }
+
+  test("works on the embeddings fixture (rows-only sanity)") {
+    val df = graft.sources.Sources.embeddings(spark, "/root/testdata/sf0.001")
+    val model = Ivf.train(df, "embedding", k = 8, iters = 5)
+    val idx = Ivf.index(df, "embedding", "vec_id", model)
+    assert(idx.select(countDistinct("cell")).head().getLong(0) == 8)
+    val q = df.filter(col("vec_id") === 0L).select("embedding").head().getSeq[Float](0).toArray
+    val top = Ivf.topK(idx.filter(col("vec_id") =!= 0L), "embedding", "vec_id", q, 10, model, nprobe = 3)
+    assert(top.count() == 10)
+  }
+}
