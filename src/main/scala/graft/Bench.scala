@@ -24,7 +24,14 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // Bare line on stdout (build.sbt's StdoutOutput strategy keeps it
+    // unprefixed) + a file copy, so the driver can parse either way.
+    println(line)
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get("bench.json"),
+        line.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case _: Throwable => () }
     spark.stop()
   }
 }

@@ -31,7 +31,7 @@ object EventsQueries {
       |  FROM events
       |), lab AS (
       |  SELECT user_id, ts, event_id, event_type, value,
-      |    SUM(c) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS cycle
+      |    CAST(SUM(c) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cycle
       |  FROM chg
       |)""".stripMargin
 

@@ -120,7 +120,7 @@ object TextQueries {
       .orderBy("lang", "source")
 
   val q24Sql: String =
-    """SELECT lang, source, count(*) AS n_docs, sum(n_chars) AS sum_chars,
+    """SELECT lang, source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
       |  CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars
       |FROM documents
       |GROUP BY lang, source

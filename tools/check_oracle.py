@@ -49,6 +49,14 @@ def main():
         if len(g) != len(w):
             print(f"FAIL {name}: rows {len(g)} vs {len(w)}"); n_fail += 1; continue
         exact = True; worst = 0.0; worst_col = None
+        # dtype-strict: the driver hashes raw values, so int64-vs-float64
+        # (e.g. DuckDB SUM(int)->HUGEINT->float64) must FAIL here too.
+        dtype_bad = [c for c in g.columns
+                     if g[c].dtype.kind != w[c].dtype.kind
+                     and not (g[c].dtype.kind in "OU" and w[c].dtype.kind in "OU")]
+        if dtype_bad:
+            print(f"FAIL {name}: dtype mismatch {[ (c, str(g[c].dtype), str(w[c].dtype)) for c in dtype_bad ]}")
+            n_fail += 1; continue
         for c in g.columns:
             a, b = g[c], w[c]
             if pd.api.types.is_float_dtype(a) or pd.api.types.is_float_dtype(b):
