@@ -103,13 +103,14 @@ object Dedup {
       bands: Int = 8,
       seed: Long = 42L): DataFrame = {
     val rowsPerBand = numHashes / bands
-    // Fully staged: tokens -> shingles -> signature, each in its own
-    // projection so every step reads attributes (computed once per
-    // row), then the single-pass MinHashSig expression.
+    require(numHashes % bands == 0, s"numHashes=$numHashes must divide into bands=$bands")
+    // Two tight expressions end to end: text -> distinct shingle
+    // hashes (one byte-level pass, [[ShingleHashes]]) -> signature
+    // (one pass over the hash array, [[MinHashSig]]). No strings are
+    // built and no interpreted higher-order function runs on this path.
     val sig = df
-      .select(col(idCol).as("id"), TextAnalysis.tokens(col(textCol)).as("__t"))
-      .select(col("id"), shinglesFromTokens(col("__t"), n).as("__sh"))
-      .select(col("id"), MinHashSig.minhashSig(col("__sh"), numHashes, seed).as("sig"))
+      .select(col(idCol).as("id"), ShingleHashes.shingleHashes(col(textCol), n).as("__gh"))
+      .select(col("id"), MinHashSig.minhashSig(col("__gh"), numHashes, seed).as("sig"))
     val banded = sig.select(
       col("id"), col("sig"),
       explode(array((0 until bands).map { b =>
@@ -172,12 +173,13 @@ object Dedup {
       vecCol: String,
       idCol: String,
       threshold: Double = 0.95,
-      numPlanes: Int = 16,
+      numPlanes: Int = 64,
       bands: Int = 8,
-      seed: Long = 42L): org.apache.spark.sql.DataFrame =
+      seed: Long = 42L,
+      probeHamming: Int = 0): org.apache.spark.sql.DataFrame =
     graft.similarity.Similarity.nearDupPairs(
       df, vecCol, idCol, threshold,
-      graft.similarity.Similarity.hyperplanes(dimOf(df, vecCol), numPlanes, seed), bands)
+      graft.similarity.Similarity.hyperplanes(dimOf(df, vecCol), numPlanes, seed), bands, probeHamming)
 
   private def dimOf(df: org.apache.spark.sql.DataFrame, vecCol: String): Int =
     df.select(size(col(vecCol))).head().getInt(0)
@@ -197,12 +199,10 @@ object Dedup {
       threshold: Double = 0.5): DataFrame = {
     // Join on the 64-bit shingle hash, not the string: the shuffle
     // moves 8-byte keys instead of n-word strings (collision odds at
-    // ~2^-64 per pair are far below any practical corpus size).
-    // Tokens and shingles staged as attributes (see shinglesFromTokens).
+    // ~2^-64 per pair are far below any practical corpus size). The
+    // hashes come straight off the byte-level ShingleHashes pass.
     val sh = df
-      .select(col(idCol).as("id"), TextAnalysis.tokens(col(textCol)).as("__t"))
-      .select(col("id"), explode(shinglesFromTokens(col("__t"), n)).as("__g"))
-      .select(col("id"), xxhash64(col("__g")).as("g"))
+      .select(col(idCol).as("id"), explode(ShingleHashes.shingleHashes(col(textCol), n)).as("g"))
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
     val a = sh.toDF("id_a", "g")
     val b = sh.toDF("id_b", "g")
@@ -212,6 +212,44 @@ object Dedup {
       .join(sizes.toDF("id_a", "na"), "id_a")
       .join(sizes.toDF("id_b", "nb"), "id_b")
       .withColumn("jaccard", col("shared").cast("double") / (col("na") + col("nb") - col("shared")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** The 100 TB n-gram Jaccard path: exact verification restricted to
+    * LSH candidate pairs. Candidate generation is the banded MinHash
+    * self-join (work ~ colliding pairs); verification joins each
+    * candidate to its two distinct-shingle-hash sets and computes the
+    * EXACT Jaccard — identical arithmetic to [[ngramJaccardPairs]]
+    * (|intersect| / (|a| + |b| - |intersect|) over the same distinct
+    * sets), so on any corpus where the bands reach the target recall
+    * the two results are equal row for row (pinned by DedupSpec).
+    *
+    * Default banding (32 hashes = 16 bands x 2 rows) holds candidate
+    * recall >= 99% down to Jaccard 0.5 (1 - (1 - 0.5^2)^16), the usual
+    * near-dup threshold; [[ngramJaccardPairs]]'s full self-join recall
+    * is 100% by construction but costs O(sum over shingle-buckets^2)
+    * and exists as the small-scale oracle.
+    */
+  def verifyCandidates(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int = 3,
+      threshold: Double = 0.5,
+      numHashes: Int = 32,
+      bands: Int = 16,
+      seed: Long = 42L): DataFrame = {
+    val gs = df.select(col(idCol).as("id"), ShingleHashes.shingleHashes(col(textCol), n).as("gs"))
+    val cand = minhashCandidatePairs(df, textCol, idCol, n, numHashes, bands, seed)
+      .select("id_a", "id_b")
+    cand
+      .join(gs.toDF("id_a", "gs_a"), "id_a")
+      .join(gs.toDF("id_b", "gs_b"), "id_b")
+      .withColumn("shared", size(array_intersect(col("gs_a"), col("gs_b"))).cast("long"))
+      .withColumn(
+        "jaccard",
+        col("shared").cast("double") / (size(col("gs_a")) + size(col("gs_b")) - col("shared")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }

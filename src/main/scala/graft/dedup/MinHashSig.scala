@@ -27,10 +27,18 @@ case class MinHashSig(child: Expression, numHashes: Int, seed: Long)
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     child.dataType match {
-      case ArrayType(StringType, _) => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case ArrayType(StringType | LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
       case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-        s"minhash_sig needs array<string>, got $other")
+        s"minhash_sig needs array<string> or array<long>, got $other")
     }
+
+  // Pre-hashed shingles ([[ShingleHashes]]) skip the per-string FNV:
+  // the element IS the base hash.
+  @transient private lazy val longInput: Boolean = child.dataType match {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  }
 
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
@@ -39,7 +47,7 @@ case class MinHashSig(child: Expression, numHashes: Int, seed: Long)
     var i = 0
     while (i < n) {
       if (!arr.isNullAt(i)) {
-        val base = fnv1a(arr.getUTF8String(i))
+        val base = if (longInput) arr.getLong(i) else fnv1a(arr.getUTF8String(i))
         var f = 0
         while (f < numHashes) {
           // splitmix64-style finalizer over (base ^ family-tweaked seed)

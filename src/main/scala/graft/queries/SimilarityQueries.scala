@@ -13,8 +13,8 @@ import org.apache.spark.sql.functions._
   */
 object SimilarityQueries {
 
-  private val planes16 = Similarity.hyperplanes(dim = 64, numPlanes = 16, seed = 42L)
   private val planes32 = Similarity.hyperplanes(dim = 64, numPlanes = 32, seed = 42L)
+  private val planes64 = Similarity.hyperplanes(dim = 64, numPlanes = 64, seed = 42L)
 
   private def queryVec(spark: SparkSession, dir: String, vecId: Long): Array[Float] =
     Sources.embeddings(spark, dir)
@@ -49,12 +49,15 @@ object SimilarityQueries {
     * verification. Threshold 0.4: the fixture's embeddings are
     * near-orthogonal (max pairwise cosine ~0.51), so 0.4 is where the
     * "most similar pairs" population lives; real dedup runs would use
-    * ~0.95 on genuinely duplicated corpora.
+    * ~0.95 on genuinely duplicated corpora. 64 planes = 8 bands x 8
+    * bits (256 buckets/band — selective at any n) with Hamming-2
+    * multiprobe to hold recall at this deliberately low threshold;
+    * at production thresholds probeHamming=0 suffices.
     */
   def q30EmbeddingNearDup(spark: SparkSession, dir: String): DataFrame =
     Similarity.nearDupPairs(
       Sources.embeddings(spark, dir), "embedding", "vec_id",
-      threshold = 0.4, planes16, bands = 8)
+      threshold = 0.4, planes64, bands = 8, probeHamming = 2)
       .orderBy("id_a", "id_b")
 
   /** IVF ANN: deterministic spherical k-means cells, probe the 3

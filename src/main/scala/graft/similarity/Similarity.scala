@@ -7,9 +7,12 @@ import org.apache.spark.sql.functions._
   * north-star extension (not reference parity; the reference is a
   * scalar-timeseries engine).
   *
-  * All vector math is built from codegen'd higher-order functions
-  * (`zip_with` + `aggregate`), so it runs inside whole-stage codegen
-  * with no UDF/serialization cost. Scale design:
+  * Vector math: the hot signature paths use the [[RhpSig]] Catalyst
+  * expression (tight JVM multiply-accumulate); the column-function
+  * forms (`zip_with` + `aggregate`) are INTERPRETED (higher-order
+  * functions are CodegenFallback), so they are staged so each pass
+  * reads attributes computed once per row — fine for per-candidate
+  * verification, wrong for per-row × per-plane work. Scale design:
   *   - brute-force top-k is a single scan + `TakeOrderedAndProject`
   *     (no shuffle of the losers) — the exact baseline at any scale;
   *   - the LSH path buckets by random-hyperplane signature so the
@@ -60,7 +63,7 @@ object Similarity {
     * matching the driver-side [[signatureOf]] bit-for-bit.
     */
   def rhpSignature(vec: Column, planes: Array[Array[Float]]): Column = {
-    require(planes.length <= 63, "signature packs into one long")
+    require(planes.length <= 64, "signature packs into one long")
     RhpSig.rhpSig(vec, planes)
   }
 
@@ -108,10 +111,30 @@ object Similarity {
       .drop("__sig")
   }
 
+  /** XOR masks of `bits` width with popcount <= radius — the probe
+    * neighborhood for multiprobe LSH (identity mask first).
+    */
+  private[similarity] def probeMasks(bits: Int, radius: Int): Seq[Long] =
+    (0 to radius).flatMap(k =>
+      (0 until bits).combinations(k).map(_.foldLeft(0L)((m, p) => m | (1L << p))).toSeq)
+
   /** All-pairs near-duplicate mining above a cosine threshold: LSH
     * band-bucket self-join (the scale path — candidate generation is a
     * shuffle on (band, hash), never a cross join), then exact cosine
     * verification on candidates.
+    *
+    * Bands must be >= 8 bits wide (enforced): a k-bit band has 2^k
+    * buckets, and below ~8 bits the per-band bucket join degenerates
+    * toward O(n^2 / 2^k) regardless of the data. Wide bands cost
+    * recall at mid thresholds; `probeHamming` buys it back by also
+    * joining each row against buckets within that Hamming radius of
+    * its band value (probe side only — candidate (a,b) surfaces when
+    * a's exact key hits one of b's probes). Per-band collision
+    * probability for a pair with per-bit agreement p rises from p^k to
+    * sum_{d<=r} C(k,d) p^(k-d) (1-p)^d, at an emit-factor cost of
+    * sum_{d<=r} C(k,d) keys per band. probeHamming=0 is the
+    * production near-dup setting (threshold ~0.9+, where p^k alone
+    * holds recall); radius 1-2 serves mid-threshold mining.
     */
   def nearDupPairs(
       df: DataFrame,
@@ -119,8 +142,15 @@ object Similarity {
       idCol: String,
       threshold: Double,
       planes: Array[Array[Float]],
-      bands: Int = 8): DataFrame = {
+      bands: Int = 8,
+      probeHamming: Int = 0): DataFrame = {
+    require(planes.length % bands == 0,
+      s"planes=${planes.length} must divide evenly into bands=$bands")
     val bitsPerBand = planes.length / bands
+    require(bitsPerBand >= 8,
+      s"bitsPerBand=$bitsPerBand: bands narrower than 8 bits (<256 buckets) degenerate " +
+        s"toward the all-pairs join at scale; size planes = bands x k with k >= 8")
+    require(probeHamming >= 0 && probeHamming <= bitsPerBand, s"probeHamming=$probeHamming")
     val firstRow = df.select(size(col(vecCol))).take(1)
     if (firstRow.isEmpty)
       return df.select(col(idCol).as("id_a"), col(idCol).as("id_b"), lit(0.0).as("cosine")).limit(0)
@@ -143,18 +173,29 @@ object Similarity {
     // (at n vectors per bucket that shuffle is O(pairs x dim); with
     // bare ids it is O(pairs x 16 bytes)). Vectors join back once per
     // distinct candidate pair for exact verification.
-    val banded = vecs
+    val bandMask = if (bitsPerBand == 64) -1L else (1L << bitsPerBand) - 1
+    val sigs = vecs
       .withColumn("__sig", rhpSignature(col(vecCol), planes))
       .withColumn("__rsig", rhpSignature(col(vecCol), refinePlanes))
-      .select(
-        col(idCol), col("__rsig"),
-        explode(array((0 until bands).map { b =>
-          struct(lit(b).as("band"),
-            shiftright(col("__sig"), b * bitsPerBand).bitwiseAND(lit((1L << bitsPerBand) - 1)).as("h"))
-        }: _*)).as("bk"))
+    def bandVal(b: Int): Column =
+      shiftright(col("__sig"), b * bitsPerBand).bitwiseAND(lit(bandMask))
+    // Exact side: one (band, key) per band. Probe side: the same keys
+    // XOR'd with every mask in the probe neighborhood (identity mask
+    // included, so radius 0 reduces to the plain symmetric join).
+    val masks = probeMasks(bitsPerBand, probeHamming)
+    val exact = sigs.select(
+      col(idCol), col("__rsig"),
+      explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"), bandVal(b).as("h"))
+      }: _*)).as("bk"))
       .select(col(idCol), col("__rsig"), col("bk.band"), col("bk.h"))
-    val a = banded.toDF("id_a", "rsig_a", "band", "h")
-    val b = banded.toDF("id_b", "rsig_b", "band", "h")
+    val probed = sigs.select(
+      col(idCol), col("__rsig"),
+      explode(array((for { b <- 0 until bands; m <- masks } yield
+        struct(lit(b).as("band"), bandVal(b).bitwiseXOR(lit(m)).as("h"))): _*)).as("bk"))
+      .select(col(idCol), col("__rsig"), col("bk.band"), col("bk.h"))
+    val a = exact.toDF("id_a", "rsig_a", "band", "h")
+    val b = probed.toDF("id_b", "rsig_b", "band", "h")
     // Second-stage prune before touching vectors: refined-signature
     // Hamming distance is an unbiased angle estimate, and bit_count
     // over a pair of longs is ~free next to a dim-float dot. Keep

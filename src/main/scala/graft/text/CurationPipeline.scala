@@ -36,11 +36,14 @@ object CurationPipeline {
     ctx.withTable("exact_deduped", Dedup.exactDedup(ctx.table("annotated"), "text", "doc_id"))
   }
 
-  /** Drop the larger doc of every near-dup pair above the threshold. */
+  /** Drop the larger doc of every near-dup pair above the threshold —
+    * LSH candidates verified by EXACT n-gram Jaccard
+    * ([[Dedup.verifyCandidates]]), so the survival decision uses a
+    * true threshold, not the minhash estimate.
+    */
   val nearDedup: Processor = Processor("NearDedup", required = Seq("exact_deduped")) { ctx =>
     val docs = ctx.table("exact_deduped")
-    val losers = Dedup.minhashCandidatePairs(docs, "text", "doc_id")
-      .filter(col("est_jaccard") >= 0.5)
+    val losers = Dedup.verifyCandidates(docs, "text", "doc_id", n = 3, threshold = 0.5)
       .select(col("id_b").as("doc_id"))
       .distinct()
     ctx.withTable("near_deduped", docs.join(broadcast(losers), Seq("doc_id"), "left_anti"))

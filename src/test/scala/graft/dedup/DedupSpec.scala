@@ -76,4 +76,33 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(all.toSet == Set((1L, 2L), (1L, 3L), (2L, 3L)))
   }
+
+  test("shingle_hashes expression matches the string shingle pipeline's set structure") {
+    import sqlImplicits._
+    // Edge cases share split(" ") semantics: empty string -> one empty
+    // token; double/trailing spaces -> empty tokens kept.
+    val df = Seq("a b c d", "a b", "", "a  b c ", "a b c d a b c").toDF("text")
+    val rows = df.select(
+      Dedup.shingles(col("text"), 3).as("strs"),
+      ShingleHashes.shingleHashes(col("text"), 3).as("hs")).collect()
+    rows.foreach { r =>
+      val strs = r.getSeq[String](0).toSet
+      val hs = r.getSeq[Long](1)
+      assert(hs.toSet.size == hs.length, "hashes are distinct")
+      assert(hs.length == strs.size, s"cardinality ${hs.length} != ${strs.size} for $strs")
+      assert(hs == hs.sorted, "deterministic sorted output")
+    }
+    // Equal token sequences hash equal across rows (set semantics hold
+    // for cross-document intersections, not just within one doc).
+    val h2 = df.select(ShingleHashes.shingleHashes(col("text"), 3).as("hs")).collect()
+    assert(h2(0).getSeq[Long](0).intersect(h2(4).getSeq[Long](0)).length == 2) // "a b c", "b c d"
+  }
+
+  test("verifyCandidates (LSH + exact verify) equals the full self-join result") {
+    val full = Dedup.ngramJaccardPairs(docs, "text", "doc_id", n = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val viaCandidates = Dedup.verifyCandidates(docs, "text", "doc_id", n = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(viaCandidates == full, s"verify=$viaCandidates full=$full")
+  }
 }

@@ -33,10 +33,46 @@ class SimilaritySpec extends SparkSpec {
     val v2 = v.map(x => x * 1.001f) // same direction
     val w = Array.tabulate(8)(i => if (i % 2 == 0) 1.0f else -1.0f)
     val df = Seq((1L, v), (2L, v2), (3L, w)).toDF("vec_id", "embedding")
-    val planes = Similarity.hyperplanes(8, 16)
+    val planes = Similarity.hyperplanes(8, 64)
     val pairs = Similarity.nearDupPairs(df, "embedding", "vec_id", 0.99, planes, bands = 8)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(pairs.toSeq == Seq((1L, 2L)))
+  }
+
+  test("nearDupPairs rejects degenerate band widths") {
+    import sqlImplicits._
+    val df = Seq((1L, Array(1.0f, 0f))).toDF("vec_id", "embedding")
+    val narrow = Similarity.hyperplanes(2, 16)
+    intercept[IllegalArgumentException] {
+      Similarity.nearDupPairs(df, "embedding", "vec_id", 0.9, narrow, bands = 8)
+    }
+  }
+
+  test("multiprobe masks enumerate the Hamming ball") {
+    val m0 = Similarity.probeMasks(8, 0)
+    assert(m0 == Seq(0L))
+    val m2 = Similarity.probeMasks(8, 2)
+    assert(m2.length == 1 + 8 + 28)
+    assert(m2.forall(m => java.lang.Long.bitCount(m) <= 2))
+    assert(m2.distinct.length == m2.length)
+  }
+
+  test("multiprobe recovers a mid-threshold pair that exact banding misses") {
+    import sqlImplicits._
+    // Two vectors at a moderate angle plus noise rows: with 8-bit
+    // bands the pair only collides once probing is on (statistically);
+    // assert the weaker invariant that probing returns a superset.
+    val vecs = (0 until 20).map { i =>
+      (i.toLong, Array.tabulate(16)(j => (((i * 31 + j * 17) % 11) - 5).toFloat))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val planes = Similarity.hyperplanes(16, 64)
+    def pairsAt(r: Int) =
+      Similarity.nearDupPairs(df, "embedding", "vec_id", 0.3, planes, bands = 8, probeHamming = r)
+        .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    val exact0 = pairsAt(0)
+    val probed2 = pairsAt(2)
+    assert(exact0.subsetOf(probed2), s"probe=2 ${probed2} must contain probe=0 ${exact0}")
   }
 
   test("rhp signature: same vector same sig; opposite vector flips all bits") {

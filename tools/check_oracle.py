@@ -27,6 +27,20 @@ def load(sf_dir, out_dir):
 
 def canon(df):
     df = df.reindex(sorted(df.columns), axis=1)
+    # Normalize datetime-like columns to datetime64[us] so comparisons
+    # are value-level: pandas reads Spark parquet DATE as object-of-
+    # datetime.date while DuckDB yields datetime64[us] (same values);
+    # ns-vs-us width differences likewise normalize away. The driver
+    # hashes canonical string values, so a pure-representation gap must
+    # not fail here — but int-vs-float stays a failure (see dtype gate).
+    import datetime
+    for c in df.columns:
+        if df[c].dtype.kind == "M":
+            df[c] = df[c].astype("datetime64[us]")
+        elif df[c].dtype.kind == "O" and len(df) and isinstance(
+                df[c].dropna().iloc[0] if df[c].notna().any() else None,
+                (datetime.date, datetime.datetime)):
+            df[c] = pd.to_datetime(df[c]).astype("datetime64[us]")
     df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
     return df
 
