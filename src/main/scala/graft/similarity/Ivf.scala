@@ -11,10 +11,10 @@ import org.apache.spark.sql.functions._
   * better), LSH is data-independent.
   *
   * Scale design: training samples a bounded number of vectors to the
-  * driver (k-means on a sample is standard practice at any corpus
-  * size); assignment is a columnar argmin over centroid dot products
-  * (`array_min` over (neg-dot, cell) structs — one scan, codegen'd
-  * comparisons); the assigned table is the persisted "index", ideally
+  * driver in ONE action (hash-ordered TakeOrderedAndProject — k-means
+  * on a sample is standard practice at any corpus size); assignment is
+  * the [[NearestCell]] expression (one tight argmax-dot loop per row,
+  * one scan); the assigned table is the persisted "index", ideally
   * written bucketed by `cell` so a probe reads only its buckets.
   */
 object Ivf {
@@ -24,9 +24,14 @@ object Ivf {
   }
 
   /** Deterministic spherical k-means on a driver-side sample:
-    * seeded-LCG sample choice, init = evenly spaced points of the
-    * sample ordered by their first coordinate (no RNG in init), `iters`
-    * Lloyd rounds with cosine assignment, centroids re-normalized.
+    * ONE action — the sample is the `sampleSize` rows with the
+    * smallest `xxhash64(vec, seed)`, which plans as
+    * `TakeOrderedAndProject` (each partition keeps only its local
+    * top-N by hash, the driver merges): a pseudo-random, seed-stable
+    * uniform sample with no preliminary `count()` scan and no
+    * fraction-sampling second pass. Init = evenly spaced points of the
+    * sample ordered by their first coordinate (no RNG), `iters` Lloyd
+    * rounds with cosine assignment, centroids re-normalized.
     */
   def train(
       df: DataFrame,
@@ -35,10 +40,11 @@ object Ivf {
       iters: Int = 10,
       sampleSize: Int = 10000,
       seed: Long = 42L): Model = {
-    val n = df.count()
-    val fraction = math.min(1.0, sampleSize.toDouble / math.max(n, 1))
-    val sample = df.sample(withReplacement = false, fraction, seed)
-      .select(vecCol).collect().map(_.getSeq[Float](0).toArray.map(_.toDouble))
+    val sample = df
+      .select(col(vecCol))
+      .orderBy(xxhash64(col(vecCol), lit(seed)).asc)
+      .limit(sampleSize)
+      .collect().map(_.getSeq[Float](0).toArray.map(_.toDouble))
     require(sample.length >= k, s"sample ${sample.length} < k=$k")
     val unit = sample.map(normalize)
     var centroids = unit.sortBy(_.head).zipWithIndex
@@ -81,15 +87,13 @@ object Ivf {
     best
   }
 
-  private def centroidLit(c: Array[Float]): Column = array(c.map(x => lit(x)): _*)
-
-  /** Cell assignment column: argmin over (-dot(vec, centroid_c), c)
-    * structs — cosine assignment assuming unit-normalized input.
+  /** Cell assignment column: argmax dot(vec, centroid) (cosine
+    * assignment assuming unit-normalized input), ties to the smallest
+    * cell — one tight [[NearestCell]] loop per row instead of k
+    * interpreted higher-order dot products.
     */
   def cellOf(vec: Column, model: Model): Column =
-    array_min(array(model.centroids.zipWithIndex.map { case (c, i) =>
-      struct((-Similarity.dot(vec, centroidLit(c))).as("negdot"), lit(i).as("cell"))
-    }: _*)).getField("cell")
+    NearestCell.nearestCell(vec, model.centroids)
 
   /** Build the index table: rows + `cell`. Vectors are normalized once
     * so probes are bare dot products.

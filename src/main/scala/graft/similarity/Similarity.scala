@@ -21,9 +21,15 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** dot(a, b) accumulated in double, left-to-right. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  /** dot(a, b) accumulated in double, left-to-right — the [[VecDot]]
+    * expression (one tight loop per pair; the equivalent
+    * `aggregate(zip_with(...))` column form evaluates interpreted and
+    * boxes per element, which dominates per-candidate verification
+    * cost in all-pairs mining). Operands widen to double before the
+    * multiply, matching how an exact SQL oracle (DuckDB DOUBLE[])
+    * computes the same product.
+    */
+  def dot(a: Column, b: Column): Column = VecDot.vecDot(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 

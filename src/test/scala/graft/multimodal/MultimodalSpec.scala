@@ -27,6 +27,44 @@ class MultimodalSpec extends SparkSpec {
     assert(f1.forall(r => r.n_bytes > 0))
   }
 
+  test("ImageIoDecoder decodes a real PNG payload into pixel-derived features") {
+    import sqlImplicits._
+    // Two genuine PNGs rendered in-memory: one all-dark, one all-bright,
+    // plus a half/half image whose left and right cells must differ.
+    def png(fill: (Int, Int) => Int, w: Int = 32, h: Int = 32): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, fill(x, y))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val dark = png((_, _) => 0x000000)
+    val bright = png((_, _) => 0xffffff)
+    val split = png((x, _) => if (x < 16) 0x000000 else 0xffffff)
+    val decoder = new Multimodal.ImageIoDecoder()
+
+    val fDark = decoder.decode("image", dark, 16)
+    val fBright = decoder.decode("image", bright, 16)
+    val fSplit = decoder.decode("image", split, 16)
+    assert(fDark.forall(v => math.abs(v - (-1.0f)) < 1e-3), fDark.mkString(","))
+    assert(fBright.forall(v => math.abs(v - 1.0f) < 1e-3), fBright.mkString(","))
+    // 4x4 grid over a left-dark/right-bright image: column 0 dark, column 3 bright
+    assert(fSplit(0) < -0.9f && fSplit(3) > 0.9f, fSplit.mkString(","))
+
+    // end-to-end through the batched mapPartitions path
+    val rows = Seq(
+      Multimodal.MediaRow(1L, "image", dark, Map.empty),
+      Multimodal.MediaRow(2L, "image", bright, Map.empty),
+      Multimodal.MediaRow(3L, "audio", Array[Byte](1, 2, 3), Map.empty)) // falls back to stub
+    val ds = spark.createDataset(rows)
+    val out = Multimodal.extractFeatures(ds, dim = 16, decoder = decoder)
+      .collect().sortBy(_.media_id)
+    assert(out.length == 3)
+    assert(out(0).features.forall(_ < -0.9f))
+    assert(out(1).features.forall(_ > 0.9f))
+    assert(out(2).features.length == 16) // stub path still shapes correctly
+  }
+
   test("frame sampling explodes every-Nth frame index for videos only") {
     val frames = Multimodal.sampleFrames(media.toDF(), everyN = 5)
     val kinds = media.toDF().filter(col("kind") === "video").count()
