@@ -5,11 +5,13 @@ import graft.sources.Sources
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Similarity-search pack over the `embeddings` fixture. Cosine math
-  * accumulates floats in a different order than DuckDB's list
-  * functions would, so these are rows-only in the driver gate; the
-  * brute-force/ANN agreement and hand-computed cosines are pinned by
-  * unit tests instead. One exact aggregate (q31) stays oracle-checked.
+/** Similarity-search pack over the `embeddings` fixture. Exact paths
+  * (brute KNN q28, label stats q31) are oracle-checked hash-exact —
+  * q28 including its cosine doubles (see [[q28KnnBrute]]). The
+  * APPROXIMATE paths (ANN q29, IVF q37, LSH mining q30) are rows-only
+  * by nature: their results legitimately differ from the exact
+  * top-k/pair set (recall < 1 is the contract), so agreement bounds
+  * are pinned by unit tests instead of an equality oracle.
   */
 object SimilarityQueries {
 
@@ -36,7 +38,13 @@ object SimilarityQueries {
     ivfModelCache.getOrElseUpdate(dir,
       graft.similarity.Ivf.train(Sources.embeddings(spark, dir), "embedding", k = 8, iters = 5))
 
-  /** Exact brute-force cosine top-10 neighbors of vec 0. */
+  /** Exact brute-force cosine top-10 neighbors of vec 0 — fully
+    * oracle-checked INCLUDING the cosine doubles: [[VecDot]]
+    * accumulates left-to-right in double over float inputs widened to
+    * double, which is bit-identical to DuckDB's
+    * `list_cosine_similarity` over `DOUBLE[]` casts of the same
+    * column.
+    */
   def q28KnnBrute(spark: SparkSession, dir: String): DataFrame = {
     val q = queryVec(spark, dir, 0L)
     Similarity.cosineTopK(
@@ -44,6 +52,14 @@ object SimilarityQueries {
       "embedding", q, k = 10, idCol = "vec_id")
       .select("vec_id", "label", "cosine")
   }
+
+  val q28Sql: String =
+    """WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
+      |s AS (SELECT vec_id, label,
+      |        list_cosine_similarity(embedding::DOUBLE[], (SELECT qe FROM q)) AS cosine
+      |      FROM embeddings WHERE vec_id <> 0)
+      |SELECT vec_id, label, cosine FROM s
+      |ORDER BY cosine DESC, vec_id ASC LIMIT 10""".stripMargin
 
   /** ANN top-10 via 32-plane random-hyperplane signatures with
     * Hamming-threshold multiprobe; recall vs q28 is pinned by a unit
@@ -107,5 +123,6 @@ object SimilarityQueries {
     "q37_knn_ivf" -> (q37KnnIvf _))
 
   val oracle: Map[String, String] = Map(
+    "q28_knn_brute" -> q28Sql,
     "q31_label_stats" -> q31Sql)
 }

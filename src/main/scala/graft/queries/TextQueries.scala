@@ -7,10 +7,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis + dedup pack over the `documents` fixture. Oracle
-  * where ANSI-SQL-expressible (token stats, exact dedup groups,
-  * quality score, n-gram Jaccard pairs); hash-based ops (minhash,
-  * simhash, fingerprints, langid voting) are rows-only — their
-  * semantics are pinned by unit tests instead.
+  * where SQL-reproducible (token stats, exact dedup groups, quality
+  * score, n-gram Jaccard pairs, the minhash PAIR SET, and the full
+  * 4-stage curation pipeline); hash-VALUED outputs (simhash distances,
+  * fingerprints, minhash estimates) stay rows-only — their semantics
+  * are pinned by unit tests instead.
   */
 object TextQueries {
 
@@ -144,11 +145,41 @@ object TextQueries {
         TextAnalysis.bpeishTokenCount(col("text")).as("n_bpeish"))
       .orderBy("doc_id")
 
-  /** MinHash LSH candidate pairs (est. Jaccard >= 0.5). */
+  /** MinHash LSH near-dup pairs (est. Jaccard >= 0.5), projected to
+    * the (id_a, id_b) pair set so it oracle-checks against the EXACT
+    * trigram-Jaccard pair set: on this fixture (near-dups at ~0.99 vs
+    * background <0.3) the minhash estimate classifies every pair the
+    * same way the exact computation does, which is precisely the
+    * claim a minhash dedup stage makes. The estimate itself is pinned
+    * by DedupSpec (not hashable: it depends on the signature hashes).
+    */
   def q26MinhashPairs(spark: SparkSession, dir: String): DataFrame =
     Dedup.minhashCandidatePairs(Sources.documents(spark, dir), "text", "doc_id")
       .filter(col("est_jaccard") >= 0.5)
+      .select("id_a", "id_b")
       .orderBy("id_a", "id_b")
+
+  val q26Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text,' ')) AS w,
+      |         generate_subscripts(string_split(text,' '),1) AS i
+      |  FROM documents
+      |), ng AS (
+      |  SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS g
+      |  FROM toks a JOIN toks b ON a.doc_id=b.doc_id AND b.i=a.i+1
+      |              JOIN toks c ON a.doc_id=c.doc_id AND c.i=a.i+2
+      |), sizes AS (SELECT doc_id, count(*) n FROM ng GROUP BY doc_id),
+      |shared AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+      |  FROM ng a JOIN ng b ON a.g = b.g AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2
+      |)
+      |SELECT id_a, id_b
+      |FROM shared
+      |JOIN sizes sa ON sa.doc_id = id_a
+      |JOIN sizes sb ON sb.doc_id = id_b
+      |WHERE c*1.0/(sa.n + sb.n - c) >= 0.5
+      |ORDER BY id_a, id_b""".stripMargin
 
   /** SimHash near-dup pairs (Hamming <= 8) via the custom expression. */
   def q27SimhashPairs(spark: SparkSession, dir: String): DataFrame =
@@ -156,10 +187,71 @@ object TextQueries {
       .orderBy("id_a", "id_b")
 
   /** The full curation pipeline (annotate -> exact dedup -> near
-    * dedup -> quality gate) as one rows-only query.
+    * dedup -> quality gate), oracle-checked hash-exact end to end:
+    * the DuckDB mirror re-derives every stage from first principles —
+    * exact dedup by the normalized TEXT (the engine's xxhash64
+    * fingerprint partitions identically), near-dedup by exact trigram
+    * Jaccard (the engine's LSH+verify path reaches the same pair set
+    * on this fixture), the q22 quality formula, and the stopword-vote
+    * language ID (list_sort over (neg-hits, lang) structs == the
+    * engine's array_min argmax).
     */
   def q36CurationPipeline(spark: SparkSession, dir: String): DataFrame =
     graft.text.CurationPipeline.curatedDf(spark, dir)
+
+  val q36Sql: String = {
+    def inList(ws: Seq[String]): String = ws.map(w => s"'$w'").mkString(", ")
+    val langCandidates = TextAnalysis.stopwords.toSeq.sortBy(_._1).map { case (lang, ws) =>
+      s"{'neg': -len(list_filter(toks, x -> x IN (${inList(ws)}))), 'lang': '$lang'}"
+    }.mkString(", ")
+    val enStops = inList(TextAnalysis.stopwords("en"))
+    s"""WITH annotated AS (
+       |  SELECT doc_id, text,
+       |    string_split(text, ' ') AS toks,
+       |    CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+       |    trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+       |  FROM documents
+       |), lang_pick AS (
+       |  SELECT doc_id, list_sort([$langCandidates])[1] AS best FROM annotated
+       |), langed AS (
+       |  SELECT a.doc_id, a.text, a.toks, a.n_tokens, a.norm,
+       |    CASE WHEN best.neg < 0 THEN best.lang ELSE 'und' END AS detected_lang
+       |  FROM annotated a JOIN lang_pick USING (doc_id)
+       |), exact_deduped AS (
+       |  SELECT * FROM langed
+       |  WHERE doc_id = (SELECT min(doc_id) FROM langed l2 WHERE l2.norm = langed.norm)
+       |), toksx AS (
+       |  SELECT doc_id, unnest(toks) AS w, generate_subscripts(toks, 1) AS i FROM exact_deduped
+       |), ng AS (
+       |  SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS g
+       |  FROM toksx a JOIN toksx b ON a.doc_id=b.doc_id AND b.i=a.i+1
+       |               JOIN toksx c ON a.doc_id=c.doc_id AND c.i=a.i+2
+       |), sizes AS (SELECT doc_id, count(*) n FROM ng GROUP BY doc_id),
+       |shared AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+       |  FROM ng a JOIN ng b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2
+       |), losers AS (
+       |  SELECT DISTINCT id_b AS doc_id FROM shared
+       |  JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+       |  WHERE c*1.0/(sa.n + sb.n - c) >= 0.5
+       |), near_deduped AS (
+       |  SELECT * FROM exact_deduped WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+       |), q AS (
+       |  SELECT doc_id, detected_lang, n_tokens,
+       |    CAST(len(list_filter(toks, x -> x IN ($enStops))) AS DOUBLE) AS n_stop,
+       |    CAST(n_tokens AS DOUBLE) AS nt, text
+       |  FROM near_deduped
+       |)
+       |SELECT doc_id, detected_lang, n_tokens,
+       |  least(nt / 50.0, 1.0) * (1.0 - n_stop / nt) *
+       |    (CASE WHEN (CAST(length(text) AS DOUBLE) - (nt - 1)) / nt BETWEEN 3.0 AND 10.0
+       |          THEN 1.0 ELSE 0.5 END) AS quality
+       |FROM q
+       |WHERE least(nt / 50.0, 1.0) * (1.0 - n_stop / nt) *
+       |    (CASE WHEN (CAST(length(text) AS DOUBLE) - (nt - 1)) / nt BETWEEN 3.0 AND 10.0
+       |          THEN 1.0 ELSE 0.5 END) >= 0.3
+       |ORDER BY doc_id""".stripMargin
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q36_curation_pipeline" -> (q36CurationPipeline _),
@@ -177,5 +269,7 @@ object TextQueries {
     "q21_exact_dedup" -> q21Sql,
     "q22_quality_score" -> q22Sql,
     "q23_ngram_jaccard_pairs" -> q23Sql,
-    "q24_lang_stats" -> q24Sql)
+    "q24_lang_stats" -> q24Sql,
+    "q26_minhash_pairs" -> q26Sql,
+    "q36_curation_pipeline" -> q36Sql)
 }

@@ -78,9 +78,14 @@ object CurationPipeline {
       config = Map("min_quality" -> minQuality.toString),
       tables = Map("documents" -> graft.sources.Sources.documents(spark, sfDir))))
 
-  /** Queries-map entry: the curated corpus with its annotations. */
+  /** Queries-map entry: the curated corpus with its annotations.
+    * `fp` (the xxhash64 dedup key) stays internal — the projection is
+    * chosen so EVERY column is DuckDB-reproducible and the whole
+    * 4-stage pipeline oracle-checks hash-exact (see
+    * [[graft.queries.TextQueries.q36Sql]]).
+    */
   def curatedDf(spark: SparkSession, sfDir: String): DataFrame =
     run(spark, sfDir).table("curated")
-      .select("doc_id", "detected_lang", "n_tokens", "quality", "fp")
+      .select("doc_id", "detected_lang", "n_tokens", "quality")
       .orderBy("doc_id")
 }
