@@ -117,7 +117,7 @@ object Ivf {
     val cells = model.centroids.indices
       .sortBy(c => -qUnit.zip(model.centroids(c)).map { case (a, b) => a * b }.sum)
       .take(nprobe)
-    val qLit = array(qUnit.map(x => lit(x.toFloat)): _*)
+    val qLit = array(qUnit.toIndexedSeq.map(x => lit(x.toFloat)): _*)
     indexed
       .filter(col("cell").isin(cells.map(Integer.valueOf): _*))
       .withColumn("cosine", Similarity.dot(col(vecCol), qLit))

@@ -35,7 +35,7 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
-  private def vecLit(v: Array[Float]): Column = array(v.map(x => lit(x)): _*)
+  private def vecLit(v: Array[Float]): Column = array(v.toIndexedSeq.map(x => lit(x)): _*)
 
   /** Exact brute-force cosine top-k against a literal query vector.
     * Plans as scan -> project -> TakeOrderedAndProject: each partition
@@ -195,11 +195,13 @@ object Similarity {
         struct(lit(b).as("band"), bandVal(b).as("h"))
       }: _*)).as("bk"))
       .select(col(idCol), col("__rsig"), col("bk.band"), col("bk.h"))
-    val probed = sigs.select(
-      col(idCol), col("__rsig"),
-      explode(array((for { b <- 0 until bands; m <- masks } yield
-        struct(lit(b).as("band"), bandVal(b).bitwiseXOR(lit(m)).as("h"))): _*)).as("bk"))
-      .select(col(idCol), col("__rsig"), col("bk.band"), col("bk.h"))
+    // Probe side = the exact keys crossed with the mask neighborhood —
+    // a SECOND tiny Generate over a literal mask array, not one
+    // bands x masks struct-array projection (which at radius 2 is a
+    // ~600-expression CreateArray that falls out of codegen).
+    val probed = exact
+      .withColumn("__m", explode(lit(masks.toArray)))
+      .select(col(idCol), col("__rsig"), col("band"), col("h").bitwiseXOR(col("__m")).as("h"))
     val a = exact.toDF("id_a", "rsig_a", "band", "h")
     val b = probed.toDF("id_b", "rsig_b", "band", "h")
     // Second-stage prune before touching vectors: refined-signature
