@@ -1,6 +1,7 @@
 package graft
 
-import graft.dedup.{MinHashSig, SimHash64}
+import graft.dedup.{MinHashSig, ShingleHashes, SimHash64}
+import graft.similarity.VecDot
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -10,6 +11,8 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
   *
   *   spark.sql("SELECT simhash64(split(text, ' ')) FROM docs")
   *   spark.sql("SELECT minhash_sig(shingles, 32, 42) FROM docs")
+  *   spark.sql("SELECT shingle_hashes(text, 3) FROM docs")
+  *   spark.sql("SELECT vec_dot(a.embedding, b.embedding) FROM ...")
   *
   * Register with
   * `SparkSession.builder().withExtensions(new GraftExtensions)` or
@@ -47,6 +50,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           case Seq(sh, n, seed) => MinHashSig(sh, litInt(n, 32), litLong(seed, 42L))
           case _ => throw new IllegalArgumentException("minhash_sig(shingles[, numHashes[, seed]])")
         }
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("shingle_hashes"),
+      new ExpressionInfo(classOf[ShingleHashes].getName, "shingle_hashes"),
+      (children: Seq[Expression]) => children match {
+        case Seq(text) => ShingleHashes(text, 3)
+        case Seq(text, Literal(n: Int, _)) => ShingleHashes(text, n)
+        case _ => throw new IllegalArgumentException("shingle_hashes(text[, n])")
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "vec_dot(a, b)")
+        VecDot(children.head, children(1))
       }))
   }
 }

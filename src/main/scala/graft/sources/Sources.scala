@@ -86,5 +86,16 @@ object SourceRegistry {
   def get(name: String): Reader =
     registry.getOrElse(name, throw new NoSuchElementException(s"no source registered under '$name'"))
 
+  /** Read through the registry with the connector retry policy (S1)
+    * applied to the driver-side reader invocation — transient
+    * connection failures (classified by [[Jdbc.classify]]) retry with
+    * backoff, fatal ones fail fast. Executor-side reads inherit Spark
+    * task retry; this guards the planning/connection step the same way
+    * the reference's connectors wrap their own connect+execute
+    * (adx_plugin.py:131-165, mysql_plugin.py:181-192).
+    */
+  def read(name: String, spark: SparkSession, dir: String, maxRetries: Int = 3): DataFrame =
+    Jdbc.withRetries(maxRetries) { get(name)(spark, dir) }
+
   def registered: Set[String] = registry.keySet.toSet
 }

@@ -67,6 +67,30 @@ object StreamingOps {
         col("session_window.end").as("session_end"),
         col("user_id"), col("n_events"), col("sum_value"))
 
+  /** Streaming exact dedup — the ingestion twin of
+    * [[graft.dedup.Dedup.exactDedup]] for a continuously-arriving
+    * corpus: keep the FIRST document per content fingerprint
+    * (casefold/whitespace-normalized 64-bit hash). State is one 8-byte
+    * key per distinct document. With an event-time column,
+    * `dropDuplicatesWithinWatermark` bounds that state to the
+    * watermark horizon (the production shape — an unbounded seen-set
+    * cannot live in executor state forever at corpus scale; the
+    * global-history variant belongs in a compacted key store); without
+    * one it falls back to the unbounded exact form for finite runs.
+    */
+  def exactDedupStream(
+      docs: DataFrame,
+      textCol: String,
+      tsCol: Option[String] = None,
+      watermark: String = "1 hour"): DataFrame = {
+    val withFp = docs.withColumn("__fp", graft.text.TextAnalysis.contentFingerprint(col(textCol)))
+    val deduped = tsCol match {
+      case Some(ts) => withFp.withWatermark(ts, watermark).dropDuplicatesWithinWatermark("__fp")
+      case None => withFp.dropDuplicates("__fp")
+    }
+    deduped.drop("__fp")
+  }
+
   // ------------------------------------------------- stateful cycles
 
   final case class EventIn(event_id: Long, ts: java.sql.Timestamp, user_id: Long, event_type: String, value: Double)

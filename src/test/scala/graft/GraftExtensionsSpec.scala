@@ -40,4 +40,19 @@ class GraftExtensionsSpec extends AnyFunSuite {
       .head().getLong(0)
     assert(row.getLong(0) == viaColumn)
   }
+
+  test("shingle_hashes and vec_dot are callable from SQL") {
+    spark.sparkContext.setLogLevel("WARN")
+    val row = spark.sql(
+      """SELECT shingle_hashes('a b c d', 3) AS sh,
+        |       vec_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d""".stripMargin).head()
+    assert(row.getSeq[Long](0).length == 2) // "a b c", "b c d"
+    assert(row.getDouble(1) == 11.0)
+    // SQL shingle hashes equal the Column-API hashes
+    import spark.implicits._
+    val viaColumn = Seq("a b c d").toDF("t")
+      .select(graft.dedup.ShingleHashes.shingleHashes($"t", 3))
+      .head().getSeq[Long](0)
+    assert(row.getSeq[Long](0) == viaColumn)
+  }
 }

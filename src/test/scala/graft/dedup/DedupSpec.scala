@@ -98,6 +98,27 @@ class DedupSpec extends SparkSpec {
     assert(h2(0).getSeq[Long](0).intersect(h2(4).getSeq[Long](0)).length == 2) // "a b c", "b c d"
   }
 
+  test("shingle_hashes cardinality matches distinct string shingles on random texts") {
+    import sqlImplicits._
+    // seeded random texts over a small vocabulary with erratic spacing
+    var s = 123456789L
+    def nextInt(n: Int): Int = { s = s * 6364136223846793005L + 1442695040888963407L; ((s >>> 33) % n).toInt }
+    val vocab = Vector("a", "bb", "ccc", "dd", "e", "", "ff")
+    val texts = (0 until 80).map { _ =>
+      (0 until (nextInt(12))).map(_ => vocab(nextInt(vocab.size))).mkString(" ")
+    }
+    val df = texts.toDF("text")
+    for (n <- Seq(2, 3, 4)) {
+      val rows = df.select(
+        Dedup.shingles(col("text"), n).as("strs"),
+        ShingleHashes.shingleHashes(col("text"), n).as("hs")).collect()
+      rows.foreach { r =>
+        assert(r.getSeq[Long](1).length == r.getSeq[String](0).toSet.size,
+          s"n=$n text shingles ${r.getSeq[String](0)}")
+      }
+    }
+  }
+
   test("verifyCandidates (LSH + exact verify) equals the full self-join result") {
     val full = Dedup.ngramJaccardPairs(docs, "text", "doc_id", n = 3, threshold = 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet

@@ -75,6 +75,24 @@ class SimilaritySpec extends SparkSpec {
     assert(exact0.subsetOf(probed2), s"probe=2 ${probed2} must contain probe=0 ${exact0}")
   }
 
+  test("VecDot equals the interpreted HOF dot bit-for-bit on random double vectors") {
+    import sqlImplicits._
+    import org.apache.spark.sql.functions.{aggregate, zip_with, lit}
+    // seeded LCG vectors — no external generator needed
+    var s = 987654321L
+    def next(): Double = { s = s * 6364136223846793005L + 1442695040888963407L; ((s >>> 11).toDouble / (1L << 53).toDouble) * 20 - 10 }
+    val rows = (0 until 50).map(i => (i.toLong, Array.fill(17)(next()), Array.fill(17)(next())))
+    val df = rows.toDF("id", "a", "b")
+    val got = df.select(
+      Similarity.dot(col("a"), col("b")).as("fast"),
+      aggregate(zip_with(col("a"), col("b"), (x, y) => x * y), lit(0.0), (acc, x) => acc + x).as("hof"))
+      .collect()
+    got.foreach { r =>
+      assert(java.lang.Double.doubleToRawLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToRawLongBits(r.getDouble(1)), s"${r.getDouble(0)} vs ${r.getDouble(1)}")
+    }
+  }
+
   test("rhp signature: same vector same sig; opposite vector flips all bits") {
     import sqlImplicits._
     val v = Array.tabulate(8)(i => (i + 1).toFloat)

@@ -68,6 +68,17 @@ class JdbcSpec extends SparkSpec {
     assert(Jdbc.classify(new RuntimeException("Communications link failure")) == Jdbc.Retryable)
   }
 
+  test("SourceRegistry.read applies the connector retry policy to flaky readers") {
+    var attempts = 0
+    SourceRegistry.register("flaky_source", (s, d) => {
+      attempts += 1
+      if (attempts < 3) throw new SQLException("connection lost", "08006")
+      Sources.read(s, d, "region")
+    })
+    val df = SourceRegistry.read("flaky_source", spark, "/root/testdata/sf0.001")
+    assert(df.count() == 5 && attempts == 3)
+  }
+
   test("retry loop: retryable succeeds on a later attempt, fatal fails fast") {
     var calls = 0
     val out = Jdbc.withRetries(maxRetries = 3, backoffMs = 1L) {

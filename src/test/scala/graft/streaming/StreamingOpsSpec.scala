@@ -87,6 +87,30 @@ class StreamingOpsSpec extends SparkSpec {
     assert(out("2024-01-01 12:00:00.0") == 2.0)
   }
 
+  test("streaming exact dedup keeps one doc per normalized content, across batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import sqlImplicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val deduped = StreamingOps.exactDedupStream(
+      input.toDF().toDF("doc_id", "text"), "text")
+    val q = deduped.writeStream.outputMode("append").format("memory").queryName("dedup").start()
+    input.addData((1L, "alpha beta"), (2L, "ALPHA   beta")) // same normalized content
+    q.processAllAvailable()
+    input.addData((3L, "alpha beta"), (4L, "gamma delta")) // dup arrives in a LATER batch
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("dedup").collect().map(_.getLong(0)).sorted
+    assert(out.length == 2, out.mkString(","))
+    assert(out.contains(4L))
+    assert(!out.contains(3L)) // cross-batch duplicate dropped by state
+    // batch parity on the same data
+    val batchKept = graft.dedup.Dedup.exactDedup(
+      Seq((1L, "alpha beta"), (2L, "ALPHA   beta"), (3L, "alpha beta"), (4L, "gamma delta"))
+        .toDF("doc_id", "text"), "text", "doc_id").count()
+    assert(batchKept == 2)
+  }
+
   test("stateful cycle labeling matches batch labelCycles exactly") {
     import sqlImplicits._
     val stream = StreamingOps.readEventsStream(spark, streamDir)
