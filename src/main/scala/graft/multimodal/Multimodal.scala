@@ -114,6 +114,86 @@ object Multimodal {
     }
   }
 
+  /** REAL audio decoder over `javax.sound.sampled` (JDK-native — WAV/
+    * AIFF/AU containers, PCM 8/16-bit): decode frames, mono-mix, pool
+    * per-window RMS amplitude into `dim` cells scaled to [-1, 1] (an
+    * energy-envelope embedding that is a genuine function of the
+    * samples). Non-PCM payloads and other kinds fall back.
+    */
+  final class AudioDecoder(fallback: Decoder = FakeDecoder) extends Decoder {
+    def decode(kind: String, bytes: Array[Byte], dim: Int): Array[Float] = {
+      if (kind != "audio" || bytes.isEmpty) return fallback.decode(kind, bytes, dim)
+      val samples =
+        try {
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          try pcmSamples(ais) finally ais.close()
+        } catch { case scala.util.control.NonFatal(_) => null }
+      if (samples == null || samples.isEmpty) return fallback.decode(kind, bytes, dim)
+      val out = new Array[Float](dim)
+      var d = 0
+      while (d < dim) {
+        val s0 = samples.length.toLong * d / dim
+        val s1 = math.max(s0 + 1, samples.length.toLong * (d + 1) / dim)
+        var sum = 0.0
+        var i = s0
+        while (i < math.min(s1, samples.length)) { sum += samples(i.toInt) * samples(i.toInt); i += 1 }
+        val rms = math.sqrt(sum / (s1 - s0))
+        out(d) = (2.0 * rms - 1.0).toFloat
+        d += 1
+      }
+      out
+    }
+
+    /** Mono-mixed samples in [-1, 1] from an 8/16-bit PCM stream. */
+    private def pcmSamples(ais: javax.sound.sampled.AudioInputStream): Array[Double] = {
+      val fmt = ais.getFormat
+      val bits = fmt.getSampleSizeInBits
+      val channels = fmt.getChannels
+      if (bits != 8 && bits != 16) return null
+      val raw = ais.readAllBytes()
+      val bytesPerSample = bits / 8
+      val frameBytes = bytesPerSample * channels
+      val frames = raw.length / frameBytes
+      if (frames == 0) return null
+      val out = new Array[Double](frames)
+      var f = 0
+      while (f < frames) {
+        var acc = 0.0
+        var c = 0
+        while (c < channels) {
+          val off = f * frameBytes + c * bytesPerSample
+          val v =
+            if (bits == 8) ((raw(off) & 0xff) - 128) / 128.0
+            else {
+              val lo = if (fmt.isBigEndian) raw(off + 1) else raw(off)
+              val hi = if (fmt.isBigEndian) raw(off) else raw(off + 1)
+              ((hi << 8) | (lo & 0xff)) / 32768.0
+            }
+          acc += v
+          c += 1
+        }
+        out(f) = acc / channels
+        f += 1
+      }
+      out
+    }
+  }
+
+  /** JDK-native decoder for everything the JDK can decode: images via
+    * [[ImageIoDecoder]], audio via [[AudioDecoder]]; video (no JDK
+    * codec) falls back to the deterministic stub.
+    */
+  final class JdkMediaDecoder(fallback: Decoder = FakeDecoder) extends Decoder {
+    private val images = new ImageIoDecoder(fallback)
+    private val audio = new AudioDecoder(fallback)
+    def decode(kind: String, bytes: Array[Byte], dim: Int): Array[Float] = kind match {
+      case "image" => images.decode(kind, bytes, dim)
+      case "audio" => audio.decode(kind, bytes, dim)
+      case _ => fallback.decode(kind, bytes, dim)
+    }
+  }
+
   /** Batched per-partition feature extraction. `mapPartitions` (not
     * per-row UDF) so `decoder.open()` runs once per partition; at
     * scale, media tables are repartitioned by size so each task holds

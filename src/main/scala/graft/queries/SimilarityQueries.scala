@@ -100,9 +100,36 @@ object SimilarityQueries {
       .select("vec_id", "cosine")
   }
 
-  /** Per-label corpus stats — exact ints, oracle-checked (keeps one
-    * embeddings-table query in the hash gate).
+  /** Batch KNN JOIN over the IVF index: top-5 neighbors for every
+    * query vector (vec_id < 20) in ONE distributed join — the shape a
+    * driver-side literal query cannot scale to. Probing all 8 cells
+    * makes the result exact, so the whole thing is oracle-checked
+    * hash-exact INCLUDING cosines (normalize-then-dot is the same
+    * double arithmetic in both engines); the pruned nprobe < k
+    * behavior (cluster-local candidates, recall) is pinned by IvfSpec.
     */
+  def q38KnnJoin(spark: SparkSession, dir: String): DataFrame = {
+    val df = Sources.embeddings(spark, dir)
+    val model = ivfModel(spark, dir)
+    val idx = graft.similarity.Ivf.index(df, "embedding", "vec_id", model)
+    val queries = df.filter(col("vec_id") < 20L).select(col("vec_id").as("q_id"), col("embedding"))
+    graft.similarity.Ivf.knnJoin(
+      idx, "embedding", "vec_id", queries, "embedding", "q_id",
+      k = 5, model, nprobe = model.k)
+      .orderBy("q_id", "rank")
+  }
+
+  val q38Sql: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |n AS (SELECT vec_id, list_transform(v, x -> x / sqrt(list_inner_product(v, v))) AS u FROM e),
+      |q AS (SELECT vec_id AS q_id, u AS qu FROM n WHERE vec_id < 20),
+      |j AS (SELECT q_id, n.vec_id, list_inner_product(qu, n.u) AS cosine FROM q, n),
+      |r AS (SELECT q_id, vec_id, cosine,
+      |        row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id ASC) AS rk
+      |      FROM j)
+      |SELECT q_id, vec_id, cosine, CAST(rk AS INT) AS rank FROM r
+      |WHERE rk <= 5
+      |ORDER BY q_id, rank""".stripMargin
   def q31LabelStats(spark: SparkSession, dir: String): DataFrame =
     Sources.embeddings(spark, dir)
       .groupBy(col("label"))
@@ -120,9 +147,11 @@ object SimilarityQueries {
     "q29_knn_ann" -> (q29KnnAnn _),
     "q30_embedding_near_dup" -> (q30EmbeddingNearDup _),
     "q31_label_stats" -> (q31LabelStats _),
-    "q37_knn_ivf" -> (q37KnnIvf _))
+    "q37_knn_ivf" -> (q37KnnIvf _),
+    "q38_knn_join" -> (q38KnnJoin _))
 
   val oracle: Map[String, String] = Map(
     "q28_knn_brute" -> q28Sql,
-    "q31_label_stats" -> q31Sql)
+    "q31_label_stats" -> q31Sql,
+    "q38_knn_join" -> q38Sql)
 }

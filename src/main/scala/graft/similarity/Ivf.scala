@@ -104,6 +104,61 @@ object Ivf {
       .select(col(idCol), transform(col(vecCol), x => x / col("__n")).as(vecCol))
       .withColumn("cell", cellOf(col(vecCol), model))
 
+  /** Approximate KNN JOIN: top-k cosine neighbors from the indexed
+    * corpus for EVERY row of a query table — the batch form of
+    * [[topK]] (a driver-side literal query vector cannot carry a
+    * million query rows). Each query row probes its `nprobe` nearest
+    * cells ([[NearestCells]] — one tight loop), candidates co-locate
+    * by `cell` (a plain equi-join: bucket-colocated when the index is
+    * written via [[writeIndex]], shuffle-on-cell otherwise — never a
+    * cross join), exact dots run on candidates only, and the per-query
+    * top-k is a ranked window that Spark executes as WindowGroupLimit
+    * (losers die map-side).
+    *
+    * Output: (qIdCol, idCol, cosine, rank), rank 1..k per query.
+    */
+  def knnJoin(
+      indexed: DataFrame,
+      vecCol: String,
+      idCol: String,
+      queries: DataFrame,
+      qVecCol: String,
+      qIdCol: String,
+      k: Int,
+      model: Model,
+      nprobe: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val qNorm = queries
+      .select(col(qIdCol), col(qVecCol))
+      .withColumn("__n", Similarity.norm(col(qVecCol)))
+      .select(col(qIdCol), transform(col(qVecCol), x => x / col("__n")).as("__qv"))
+    val probes = qNorm.select(
+      col(qIdCol), col("__qv"),
+      explode(NearestCells.nearestCells(col("__qv"), model.centroids, nprobe)).as("cell"))
+    val w = Window.partitionBy(qIdCol).orderBy(col("cosine").desc, col(idCol).asc)
+    probes
+      .join(indexed.select(col(idCol), col(vecCol), col("cell")), "cell")
+      .withColumn("cosine", Similarity.dot(col("__qv"), col(vecCol)))
+      .select(col(qIdCol), col(idCol), col("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Persist the index bucketed by `cell`: a probe-side equi-join on
+    * `cell` then reads co-located buckets with NO shuffle of the
+    * (wide) index — the at-scale layout the module doc promises.
+    * `saveAsTable` is required (bucket metadata lives in the catalog).
+    */
+  def writeIndex(indexed: DataFrame, tableName: String, buckets: Int): Unit =
+    indexed.write
+      .mode("overwrite")
+      .bucketBy(buckets, "cell")
+      .sortBy("cell")
+      .saveAsTable(tableName)
+
+  def readIndex(spark: org.apache.spark.sql.SparkSession, tableName: String): DataFrame =
+    spark.table(tableName)
+
   /** Top-k by cosine probing only the query's `nprobe` nearest cells. */
   def topK(
       indexed: DataFrame,

@@ -72,3 +72,78 @@ object NearestCell {
   def nearestCell(vec: Column, centroids: Array[Array[Float]]): Column =
     ColumnBridge.column(NearestCell(ColumnBridge.expression(vec), centroids.map(_.toSeq).toSeq))
 }
+
+/** The `nprobe` nearest cells (by dot product, descending; ties to the
+  * smaller index) as an `array<int>` — the multi-cell probe assignment
+  * used by batch KNN joins. Same tight-loop pattern as [[NearestCell]]
+  * with a small partial selection instead of a single argmax.
+  */
+case class NearestCells(child: Expression, centroids: Seq[Seq[Float]], nprobe: Int)
+  extends UnaryExpression with CodegenFallback {
+
+  require(centroids.nonEmpty, "at least one centroid")
+  require(nprobe >= 1 && nprobe <= centroids.length, s"nprobe=$nprobe of ${centroids.length}")
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  @transient private lazy val flat: Array[Float] = centroids.flatten.toArray
+  @transient private lazy val k: Int = centroids.length
+  @transient private lazy val dim: Int = centroids.head.length
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"nearest_cells needs array<float|double>, got $other")
+    }
+
+  @transient private lazy val isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val n = math.min(arr.numElements(), dim)
+    val dots = new Array[Double](k)
+    var c = 0
+    while (c < k) {
+      var acc = 0.0
+      val base = c * dim
+      var i = 0
+      while (i < n) {
+        val v = if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+        acc += v * flat(base + i)
+        i += 1
+      }
+      dots(c) = acc
+      c += 1
+    }
+    // selection sort of the top nprobe — k is small (k-means cells)
+    val out = new Array[Int](nprobe)
+    val taken = new Array[Boolean](k)
+    var s = 0
+    while (s < nprobe) {
+      var best = -1
+      var bestDot = Double.NegativeInfinity
+      var j = 0
+      while (j < k) {
+        if (!taken(j) && dots(j) > bestDot) { bestDot = dots(j); best = j }
+        j += 1
+      }
+      taken(best) = true
+      out(s) = best
+      s += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCells = copy(child = newChild)
+  override def prettyName: String = "nearest_cells"
+}
+
+object NearestCells {
+  def nearestCells(vec: Column, centroids: Array[Array[Float]], nprobe: Int): Column =
+    ColumnBridge.column(NearestCells(ColumnBridge.expression(vec), centroids.map(_.toSeq).toSeq, nprobe))
+}

@@ -65,6 +65,33 @@ class MultimodalSpec extends SparkSpec {
     assert(out(2).features.length == 16) // stub path still shapes correctly
   }
 
+  test("AudioDecoder decodes a real WAV payload into amplitude-derived features") {
+    import javax.sound.sampled._
+    // 16-bit mono PCM: first half silence, second half full-amplitude square
+    val rate = 8000f
+    val n = 8000
+    val pcm = new Array[Byte](n * 2)
+    for (i <- n / 2 until n) {
+      val v: Short = if (i % 8 < 4) 32000 else -32000
+      pcm(i * 2) = (v & 0xff).toByte
+      pcm(i * 2 + 1) = ((v >> 8) & 0xff).toByte
+    }
+    val fmt = new AudioFormat(rate, 16, 1, true, false)
+    val ais = new AudioInputStream(new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    val wav = bos.toByteArray
+
+    val decoder = new Multimodal.AudioDecoder()
+    val f = decoder.decode("audio", wav, 8)
+    assert(f.length == 8)
+    // silent first half -> rms 0 -> -1; loud second half -> rms ~0.98 -> ~+0.95
+    assert(f.take(4).forall(v => math.abs(v - (-1.0f)) < 1e-3), f.mkString(","))
+    assert(f.drop(4).forall(_ > 0.8f), f.mkString(","))
+    // non-audio payload falls back to the stub shape
+    assert(new Multimodal.JdkMediaDecoder().decode("video", Array[Byte](1, 2), 8).length == 8)
+  }
+
   test("frame sampling explodes every-Nth frame index for videos only") {
     val frames = Multimodal.sampleFrames(media.toDF(), everyN = 5)
     val kinds = media.toDF().filter(col("kind") === "video").count()

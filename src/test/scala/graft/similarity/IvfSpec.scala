@@ -51,6 +51,61 @@ class IvfSpec extends SparkSpec {
     assert(got.toSeq == brute.toSeq)
   }
 
+  test("knnJoin with full probing equals per-query brute force") {
+    val model = Ivf.train(clustered, "embedding", k = 3, iters = 5)
+    val idx = Ivf.index(clustered, "embedding", "vec_id", model)
+    val queries = clustered.limit(7).toDF("qid", "qvec")
+    val got = Ivf.knnJoin(idx, "embedding", "vec_id", queries, "qvec", "qid", k = 5, model, nprobe = 3)
+      .collect()
+      .groupBy(_.getAs[Long]("qid"))
+      .map { case (q, rows) => q -> rows.sortBy(_.getAs[Int]("rank")).map(_.getAs[Long]("vec_id")).toSeq }
+    queries.collect().foreach { r =>
+      val qid = r.getLong(0)
+      val qv = r.getSeq[Float](1).toArray
+      val brute = Similarity.cosineTopK(clustered, "embedding", qv, 5, "vec_id")
+        .collect().map(_.getAs[Long]("vec_id")).toSeq
+      // set-compare: the two paths normalize at different points, so
+      // float rounding may legally reorder near-ties within the set
+      assert(got(qid).toSet == brute.toSet, s"qid=$qid got=${got(qid)} brute=$brute")
+      assert(got(qid).head == qid, "a query's nearest neighbor is itself")
+    }
+  }
+
+  test("knnJoin with nprobe=1 stays within the query's own cluster") {
+    val model = Ivf.train(clustered, "embedding", k = 3, iters = 5)
+    val idx = Ivf.index(clustered, "embedding", "vec_id", model)
+    val queries = clustered.toDF("qid", "qvec")
+    val joined = Ivf.knnJoin(idx, "embedding", "vec_id", queries, "qvec", "qid", k = 10, model, nprobe = 1)
+    // every neighbor of a query from cluster c is itself from cluster c
+    val crossCluster = joined
+      .withColumn("qc", (col("qid") / 40).cast("int"))
+      .withColumn("nc", (col("vec_id") / 40).cast("int"))
+      .filter(col("qc") =!= col("nc"))
+      .count()
+    assert(crossCluster == 0L)
+    assert(joined.groupBy("qid").count().agg(min("count")).head().getLong(0) == 10L)
+  }
+
+  test("bucketed index join probes without shuffling the index side") {
+    val model = Ivf.train(clustered, "embedding", k = 3, iters = 5)
+    val idx = Ivf.index(clustered, "embedding", "vec_id", model)
+    Ivf.writeIndex(idx, "ivf_idx_test", buckets = 3)
+    try {
+      val bucketed = Ivf.readIndex(spark, "ivf_idx_test")
+      val queries = clustered.limit(5).toDF("qid", "qvec")
+      val joined = Ivf.knnJoin(bucketed, "embedding", "vec_id", queries, "qvec", "qid", k = 3, model, nprobe = 2)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("Bucketed: true"), plan.take(2000))
+      // results match the unbucketed index
+      val plain = Ivf.knnJoin(idx, "embedding", "vec_id", queries, "qvec", "qid", k = 3, model, nprobe = 2)
+      val a = joined.orderBy("qid", "rank").collect().map(r => (r.getLong(0), r.getLong(1)))
+      val b = plain.orderBy("qid", "rank").collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(a.toSeq == b.toSeq)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS ivf_idx_test")
+    }
+  }
+
   test("works on the embeddings fixture (rows-only sanity)") {
     val df = graft.sources.Sources.embeddings(spark, "/root/testdata/sf0.001")
     val model = Ivf.train(df, "embedding", k = 8, iters = 5)
