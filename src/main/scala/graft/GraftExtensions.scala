@@ -66,5 +66,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.size == 2, "vec_dot(a, b)")
         VecDot(children.head, children(1))
       }))
+    // Flag-gated optimizer rule: exact percentile -> t-digest sketch
+    // when spark.graft.approxRewrite=true (see ApproxRewrite scaladoc).
+    ext.injectOptimizerRule(_ => new graft.plans.ApproxRewrite)
   }
 }

@@ -1,0 +1,41 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.catalyst.expressions.aggregate.{ApproximatePercentile, Percentile}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+
+/** Flag-gated exact->approximate rewrite (`Rule[LogicalPlan]`,
+  * injected by [[graft.GraftExtensions]]): when
+  * `spark.graft.approxRewrite=true`, unweighted exact `percentile`
+  * aggregates become t-digest `approx_percentile` at the default
+  * accuracy — the documented trade at 100 TB, where an exact
+  * percentile buffers every value per group while the sketch is
+  * fixed-size and merges map-side.
+  *
+  * Deliberately narrow: weighted percentiles (a frequency column —
+  * the engine's single-shuffle cycle-stats core) and `reverse`
+  * percentiles have no sketch equivalent and are left exact; the flag
+  * defaults to OFF so every oracle-exact query stays bit-exact unless
+  * a session opts in.
+  */
+class ApproxRewrite extends Rule[LogicalPlan] {
+
+  private def unitFrequency(p: Percentile): Boolean = p.third match {
+    case Literal(v: Long, _) => v == 1L
+    case Literal(v: Int, _) => v == 1
+    case _ => false
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (!conf.getConfString(ApproxRewrite.Flag, "false").toBoolean) plan
+    else plan.transformAllExpressions {
+      case p: Percentile if unitFrequency(p) && !p.reverse =>
+        new ApproximatePercentile(
+          p.first, p.second, Literal(ApproximatePercentile.DEFAULT_PERCENTILE_ACCURACY))
+    }
+}
+
+object ApproxRewrite {
+  val Flag = "spark.graft.approxRewrite"
+}

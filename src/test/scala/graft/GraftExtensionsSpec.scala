@@ -41,6 +41,30 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(row.getLong(0) == viaColumn)
   }
 
+  test("approx-rewrite rule swaps exact percentile for t-digest only when flagged") {
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    val df = (1 to 1000).map(i => ("g", i.toDouble)).toDF("g", "v")
+    df.createOrReplaceTempView("approx_src")
+    def optimizedPlan: String = {
+      val q = spark.sql("SELECT g, percentile(v, 0.5) AS med FROM approx_src GROUP BY g")
+      q.queryExecution.optimizedPlan.toString
+    }
+    spark.conf.set(graft.plans.ApproxRewrite.Flag, "false")
+    assert(optimizedPlan.contains("percentile(") && !optimizedPlan.contains("percentile_approx"))
+    try {
+      spark.conf.set(graft.plans.ApproxRewrite.Flag, "true")
+      assert(optimizedPlan.contains("percentile_approx"), optimizedPlan)
+      // value sanity: t-digest median of 1..1000 lands near 500
+      val med = spark.sql("SELECT percentile(v, 0.5) FROM approx_src").head().getDouble(0)
+      assert(math.abs(med - 500.0) < 20.0, med.toString)
+      // weighted percentile (frequency column) must stay EXACT
+      val weighted = spark.sql("SELECT percentile(v, 0.5, CAST(2 AS BIGINT)) FROM approx_src")
+        .queryExecution.optimizedPlan.toString
+      assert(!weighted.contains("percentile_approx"), weighted)
+    } finally spark.conf.set(graft.plans.ApproxRewrite.Flag, "false")
+  }
+
   test("shingle_hashes and vec_dot are callable from SQL") {
     spark.sparkContext.setLogLevel("WARN")
     val row = spark.sql(

@@ -75,6 +75,27 @@ class SimilaritySpec extends SparkSpec {
     assert(exact0.subsetOf(probed2), s"probe=2 ${probed2} must contain probe=0 ${exact0}")
   }
 
+  test("nearDupPairs holds recall >= 0.8 with exact precision vs brute force on the fixture") {
+    val df = graft.sources.Sources.embeddings(spark, "/root/testdata/sf0.001")
+    val threshold = 0.4
+    // brute-force truth: all-pairs exact cosine (fixture is small)
+    val a = df.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+    val b = df.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+    val truth = a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .filter(Similarity.cosine(col("va"), col("vb")) >= threshold)
+      .select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planes = Similarity.hyperplanes(64, 64, seed = 42L)
+    val mined = Similarity.nearDupPairs(df, "embedding", "vec_id", threshold, planes, bands = 8, probeHamming = 2)
+      .select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.nonEmpty, "fixture must contain pairs above the threshold")
+    // precision is 1.0 by construction (exact cosine verification)
+    assert(mined.subsetOf(truth), s"false positives: ${mined diff truth}")
+    val recall = (mined intersect truth).size.toDouble / truth.size
+    assert(recall >= 0.8, s"recall=$recall (${mined.size}/${truth.size})")
+  }
+
   test("VecDot equals the interpreted HOF dot bit-for-bit on random double vectors") {
     import sqlImplicits._
     import org.apache.spark.sql.functions.{aggregate, zip_with, lit}
