@@ -147,14 +147,18 @@ object TextQueries {
 
   /** MinHash LSH near-dup pairs (est. Jaccard >= 0.5), projected to
     * the (id_a, id_b) pair set so it oracle-checks against the EXACT
-    * trigram-Jaccard pair set: on this fixture (near-dups at ~0.99 vs
-    * background <0.3) the minhash estimate classifies every pair the
-    * same way the exact computation does, which is precisely the
-    * claim a minhash dedup stage makes. The estimate itself is pinned
-    * by DedupSpec (not hashable: it depends on the signature hashes).
+    * trigram-Jaccard pair set: on this fixture (near-dups at >= 0.8 vs
+    * background <= 0.14) the minhash estimate classifies every pair
+    * the same way the exact computation does, which is precisely the
+    * claim a minhash dedup stage makes. Banding is 16 bands x 2 rows:
+    * candidate-miss odds for a Jaccard-0.8 pair are (1-0.8^2)^16 ~
+    * 8e-8, vs 1.5% at the 8x4 default — the sf0.1 corpus actually has
+    * such a pair, so the wide banding is what keeps the pair set
+    * exactly equal at 10x scale too. The estimate itself is pinned by
+    * DedupSpec (not hashable: it depends on the signature hashes).
     */
   def q26MinhashPairs(spark: SparkSession, dir: String): DataFrame =
-    Dedup.minhashCandidatePairs(Sources.documents(spark, dir), "text", "doc_id")
+    Dedup.minhashCandidatePairs(Sources.documents(spark, dir), "text", "doc_id", bands = 16)
       .filter(col("est_jaccard") >= 0.5)
       .select("id_a", "id_b")
       .orderBy("id_a", "id_b")
