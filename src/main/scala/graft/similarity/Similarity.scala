@@ -169,11 +169,16 @@ object Similarity {
       .select(col(idCol), col(vecCol))
       .withColumn("__norm", norm(col(vecCol)))
       .select(col(idCol), transform(col(vecCol), x => x / col("__norm")).as(vecCol))
-    // Refined 63-bit signature, used ONLY for the Hamming prune: the
-    // candidate bands must stay coarse (recall), but the prune can be
-    // precise — 63 planes give a sharp angle estimate, so far fewer
-    // random band-collisions survive to the expensive vector join.
+    // Refined 126-bit signature (two 63-plane longs), used ONLY for
+    // the Hamming prune: the candidate bands must stay coarse
+    // (recall), but the prune can be precise — at 126 bits the
+    // background's flip count concentrates (sigma ~5.6 bits around
+    // 63), so the cut keeps ~5% of random band-collisions instead of
+    // the ~13% a single 63-bit signature passes, at the cost of one
+    // extra long per row through the join. Survivor count is what the
+    // expensive per-pair vector join pays for.
     val refinePlanes = hyperplanes(dim, 63, seed = 1042L)
+    val refinePlanes2 = hyperplanes(dim, 63, seed = 2042L)
     // Candidate generation over (id, band, hash) ONLY — the wide
     // vector payload must not ride through the self-join + distinct
     // (at n vectors per bucket that shuffle is O(pairs x dim); with
@@ -183,6 +188,7 @@ object Similarity {
     val sigs = vecs
       .withColumn("__sig", rhpSignature(col(vecCol), planes))
       .withColumn("__rsig", rhpSignature(col(vecCol), refinePlanes))
+      .withColumn("__rsig2", rhpSignature(col(vecCol), refinePlanes2))
     def bandVal(b: Int): Column =
       shiftright(col("__sig"), b * bitsPerBand).bitwiseAND(lit(bandMask))
     // Exact side: one (band, key) per band. Probe side: the same keys
@@ -190,31 +196,35 @@ object Similarity {
     // included, so radius 0 reduces to the plain symmetric join).
     val masks = probeMasks(bitsPerBand, probeHamming)
     val exact = sigs.select(
-      col(idCol), col("__rsig"),
+      col(idCol), col("__rsig"), col("__rsig2"),
       explode(array((0 until bands).map { b =>
         struct(lit(b).as("band"), bandVal(b).as("h"))
       }: _*)).as("bk"))
-      .select(col(idCol), col("__rsig"), col("bk.band"), col("bk.h"))
+      .select(col(idCol), col("__rsig"), col("__rsig2"), col("bk.band"), col("bk.h"))
     // Probe side = the exact keys crossed with the mask neighborhood —
     // a SECOND tiny Generate over a literal mask array, not one
     // bands x masks struct-array projection (which at radius 2 is a
     // ~600-expression CreateArray that falls out of codegen).
     val probed = exact
       .withColumn("__m", explode(lit(masks.toArray)))
-      .select(col(idCol), col("__rsig"), col("band"), col("h").bitwiseXOR(col("__m")).as("h"))
-    val a = exact.toDF("id_a", "rsig_a", "band", "h")
-    val b = probed.toDF("id_b", "rsig_b", "band", "h")
+      .select(col(idCol), col("__rsig"), col("__rsig2"),
+        col("band"), col("h").bitwiseXOR(col("__m")).as("h"))
+    val a = exact.toDF("id_a", "rsig_a", "rsig2_a", "band", "h")
+    val b = probed.toDF("id_b", "rsig_b", "rsig2_b", "band", "h")
     // Second-stage prune before touching vectors: refined-signature
-    // Hamming distance is an unbiased angle estimate, and bit_count
-    // over a pair of longs is ~free next to a dim-float dot. Keep
-    // pairs whose estimated angle could still clear `threshold`
-    // (1.15x slack on the expected flip count keeps ~90% recall at
-    // 63 bits while dropping most random band collisions).
+    // Hamming distance is an unbiased angle estimate, and two
+    // bit_counts over long pairs are ~free next to a dim-float dot.
+    // Keep pairs whose estimated angle could still clear `threshold`
+    // (1.15x slack on the expected flip count keeps ~95% recall at
+    // 126 bits while dropping ~95% of random band collisions).
+    val refineBits = refinePlanes.length + refinePlanes2.length
     val maxDisagree =
-      math.ceil(refinePlanes.length * (math.acos(math.min(threshold, 1.0)) / math.Pi) * 1.15).toInt
+      math.ceil(refineBits * (math.acos(math.min(threshold, 1.0)) / math.Pi) * 1.15).toInt
     val candidates = a.join(b, Seq("band", "h"))
       .filter(col("id_a") < col("id_b"))
-      .filter(bit_count(col("rsig_a").bitwiseXOR(col("rsig_b"))) <= maxDisagree)
+      .filter(
+        (bit_count(col("rsig_a").bitwiseXOR(col("rsig_b"))) +
+          bit_count(col("rsig2_a").bitwiseXOR(col("rsig2_b")))) <= maxDisagree)
       .select("id_a", "id_b")
       .distinct()
     candidates
