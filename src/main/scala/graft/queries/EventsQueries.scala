@@ -273,7 +273,7 @@ object EventsQueries {
   }
 
   val q17Sql: String =
-    """SELECT event_type, rn, event_id, CAST(ts AS TIMESTAMP) AS ts, value
+    """SELECT event_type, CAST(rn AS INT) AS rn, event_id, CAST(ts AS TIMESTAMP) AS ts, value
       |FROM (SELECT event_type, event_id, ts, value,
       |        row_number() OVER (PARTITION BY event_type ORDER BY ts DESC, event_id DESC) AS rn
       |      FROM events)

@@ -27,8 +27,8 @@ object TextQueries {
 
   val q20Sql: String =
     """SELECT doc_id,
-      |  len(string_split(text, ' ')) AS n_tokens,
-      |  length(text) AS len_chars,
+      |  CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+      |  CAST(length(text) AS INT) AS len_chars,
       |  n_chars
       |FROM documents
       |ORDER BY doc_id""".stripMargin

@@ -65,8 +65,11 @@ def main():
         exact = True; worst = 0.0; worst_col = None
         # dtype-strict: the driver hashes raw values, so int64-vs-float64
         # (e.g. DuckDB SUM(int)->HUGEINT->float64) must FAIL here too.
+        # Full-dtype compare (not just kind): int32-vs-int64 width skew
+        # also fails, except object-vs-object (strings) and datetimes,
+        # which canon() already normalized to datetime64[us].
         dtype_bad = [c for c in g.columns
-                     if g[c].dtype.kind != w[c].dtype.kind
+                     if str(g[c].dtype) != str(w[c].dtype)
                      and not (g[c].dtype.kind in "OU" and w[c].dtype.kind in "OU")]
         if dtype_bad:
             print(f"FAIL {name}: dtype mismatch {[ (c, str(g[c].dtype), str(w[c].dtype)) for c in dtype_bad ]}")
