@@ -48,13 +48,42 @@ object Sinks {
 
   /** Threshold write-back, guarded: only rows with a defined threshold
     * (i.e. Low-variance stages) are appended — the reference's "if the
-    * power variance is low enough" condition. A production target is
-    * `format("jdbc").mode("append")` with the same guard; the harness
-    * writes parquet.
+    * power variance is low enough" condition. The harness writes
+    * parquet; [[writeBackThresholdsJdbc]] is the database form.
     */
   def writeBackThresholds(thresholds: DataFrame, path: String): Unit =
     thresholds
       .filter(col("threshold").isNotNull)
       .write.mode(SaveMode.Append)
       .parquet(path)
+
+  /** JDBC writer with the connector retry policy around the driver-side
+    * connection (the executor-side inserts inherit Spark task retry).
+    */
+  def writeJdbc(
+      df: DataFrame,
+      url: String,
+      dbtable: String,
+      props: Map[String, String] = Map.empty,
+      mode: SaveMode = SaveMode.Append,
+      maxRetries: Int = 3): Unit =
+    Jdbc.withRetries(maxRetries) {
+      val w = df.write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", dbtable)
+      props.foldLeft(w) { case (acc, (k, v)) => acc.option(k, v) }
+        .mode(mode)
+        .save()
+    }
+
+  /** The reference's actual write-back target shape: guarded threshold
+    * rows appended to an alert-threshold DATABASE table
+    * (requirements.md:43-46 + mysql_plugin's DML branch).
+    */
+  def writeBackThresholdsJdbc(
+      thresholds: DataFrame,
+      url: String,
+      dbtable: String,
+      props: Map[String, String] = Map.empty): Unit =
+    writeJdbc(thresholds.filter(col("threshold").isNotNull), url, dbtable, props)
 }

@@ -68,6 +68,21 @@ class JdbcSpec extends SparkSpec {
     assert(Jdbc.classify(new RuntimeException("Communications link failure")) == Jdbc.Retryable)
   }
 
+  test("jdbc write-back: guarded thresholds land in the database, nulls filtered") {
+    import sqlImplicits._
+    val thresholds = Seq(
+      ("cooling_stage_1", Some(1200.0)),
+      ("heating_stage_1", None),
+      ("fan_stage", Some(340.0))).toDF("stage", "threshold")
+    Sinks.writeBackThresholdsJdbc(thresholds, url, "alert_thresholds", props)
+    val back = Jdbc.read(spark, url, "alert_thresholds", props)
+    assert(back.count() == 2) // the null-threshold stage never writes
+    assert(back.filter(col("threshold").isNull).count() == 0)
+    val conn = DriverManager.getConnection(url)
+    try conn.createStatement().execute("DROP TABLE alert_thresholds")
+    finally conn.close()
+  }
+
   test("SourceRegistry.read applies the connector retry policy to flaky readers") {
     var attempts = 0
     SourceRegistry.register("flaky_source", (s, d) => {
