@@ -94,23 +94,13 @@ object Dedup {
     * (id_a < id_b) candidate pairs with their estimated Jaccard =
     * fraction of agreeing minhash components.
     */
-  def minhashCandidatePairs(
-      df: DataFrame,
-      textCol: String,
-      idCol: String,
-      n: Int = 3,
-      numHashes: Int = 32,
-      bands: Int = 8,
-      seed: Long = 42L): DataFrame = {
+  /** Banded self-join over a precomputed (id, sig) signature table:
+    * distinct (id_a < id_b) pairs colliding on >= 1 (band, bandHash)
+    * key, signatures carried through for estimation.
+    */
+  private def candidatePairsFromSig(sig: DataFrame, numHashes: Int, bands: Int): DataFrame = {
     val rowsPerBand = numHashes / bands
     require(numHashes % bands == 0, s"numHashes=$numHashes must divide into bands=$bands")
-    // Two tight expressions end to end: text -> distinct shingle
-    // hashes (one byte-level pass, [[ShingleHashes]]) -> signature
-    // (one pass over the hash array, [[MinHashSig]]). No strings are
-    // built and no interpreted higher-order function runs on this path.
-    val sig = df
-      .select(col(idCol).as("id"), ShingleHashes.shingleHashes(col(textCol), n).as("__gh"))
-      .select(col("id"), MinHashSig.minhashSig(col("__gh"), numHashes, seed).as("sig"))
     val banded = sig.select(
       col("id"), col("sig"),
       explode(array((0 until bands).map { b =>
@@ -123,6 +113,24 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b", "sig_a", "sig_b")
       .distinct()
+  }
+
+  def minhashCandidatePairs(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int = 3,
+      numHashes: Int = 32,
+      bands: Int = 8,
+      seed: Long = 42L): DataFrame = {
+    // Two tight expressions end to end: text -> distinct shingle
+    // hashes (one byte-level pass, [[ShingleHashes]]) -> signature
+    // (one pass over the hash array, [[MinHashSig]]). No strings are
+    // built and no interpreted higher-order function runs on this path.
+    val sig = df
+      .select(col(idCol).as("id"), ShingleHashes.shingleHashes(col(textCol), n).as("__gh"))
+      .select(col("id"), MinHashSig.minhashSig(col("__gh"), numHashes, seed).as("sig"))
+    candidatePairsFromSig(sig, numHashes, bands)
       .withColumn(
         "est_jaccard",
         aggregate(
@@ -230,6 +238,13 @@ object Dedup {
     * near-dup threshold; [[ngramJaccardPairs]]'s full self-join recall
     * is 100% by construction but costs O(sum over shingle-buckets^2)
     * and exists as the small-scale oracle.
+    *
+    * The shingle-hash table is computed ONCE and persisted
+    * (MEMORY_AND_DISK): three branches consume it — the signature
+    * pass and both sides of the verification join — and without the
+    * persist each branch would re-run the full-corpus byte-level
+    * shingling. It stays cached after the action (an index a repeated
+    * dedup workload wants warm); `spark.catalog.clearCache()` drops it.
     */
   def verifyCandidates(
       df: DataFrame,
@@ -241,8 +256,9 @@ object Dedup {
       bands: Int = 16,
       seed: Long = 42L): DataFrame = {
     val gs = df.select(col(idCol).as("id"), ShingleHashes.shingleHashes(col(textCol), n).as("gs"))
-    val cand = minhashCandidatePairs(df, textCol, idCol, n, numHashes, bands, seed)
-      .select("id_a", "id_b")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sig = gs.select(col("id"), MinHashSig.minhashSig(col("gs"), numHashes, seed).as("sig"))
+    val cand = candidatePairsFromSig(sig, numHashes, bands).select("id_a", "id_b")
     cand
       .join(gs.toDF("id_a", "gs_a"), "id_a")
       .join(gs.toDF("id_b", "gs_b"), "id_b")

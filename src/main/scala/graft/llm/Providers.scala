@@ -41,9 +41,32 @@ object Providers {
     val m = java.util.regex.Pattern
       .compile("\"" + field + "\"\\s*:\\s*\"((?:[^\"\\\\]|\\\\.)*)\"")
       .matcher(json)
-    if (m.find())
-      m.group(1).replace("\\n", "\n").replace("\\\"", "\"").replace("\\\\", "\\")
-    else json
+    if (m.find()) unescape(m.group(1)) else json
+  }
+
+  /** Single left-to-right unescape pass — sequential `.replace` calls
+    * corrupt content where a literal backslash precedes an escape
+    * letter (e.g. `C:\\newfile` would gain a newline).
+    */
+  private def unescape(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      if (s(i) == '\\' && i + 1 < s.length) {
+        s(i + 1) match {
+          case 'n' => sb.append('\n'); i += 2
+          case 'r' => sb.append('\r'); i += 2
+          case 't' => sb.append('\t'); i += 2
+          case '"' => sb.append('"'); i += 2
+          case '\\' => sb.append('\\'); i += 2
+          case 'u' if i + 5 < s.length =>
+            try { sb.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar); i += 6 }
+            catch { case _: NumberFormatException => sb.append(s(i)); i += 1 }
+          case _ => sb.append(s(i)); i += 1
+        }
+      } else { sb.append(s(i)); i += 1 }
+    }
+    sb.toString
   }
 
   final class HttpLlm(

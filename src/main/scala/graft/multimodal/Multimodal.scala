@@ -145,12 +145,22 @@ object Multimodal {
       out
     }
 
-    /** Mono-mixed samples in [-1, 1] from an 8/16-bit PCM stream. */
+    /** Mono-mixed samples in [-1, 1] from an 8/16-bit linear-PCM
+      * stream. Encoding is checked, not just the bit width: ULAW/ALAW
+      * report 8 sample bits but are companded, and 8-bit PCM comes in
+      * both signed (AIFF) and unsigned (WAV) flavors — anything
+      * outside plain linear PCM routes to the fallback (null).
+      */
     private def pcmSamples(ais: javax.sound.sampled.AudioInputStream): Array[Double] = {
+      import javax.sound.sampled.AudioFormat.Encoding
       val fmt = ais.getFormat
       val bits = fmt.getSampleSizeInBits
       val channels = fmt.getChannels
+      val enc = fmt.getEncoding
+      val signed = enc == Encoding.PCM_SIGNED
+      if (enc != Encoding.PCM_SIGNED && enc != Encoding.PCM_UNSIGNED) return null
       if (bits != 8 && bits != 16) return null
+      if (bits == 16 && !signed) return null // unsigned 16-bit PCM is nonstandard
       val raw = ais.readAllBytes()
       val bytesPerSample = bits / 8
       val frameBytes = bytesPerSample * channels
@@ -164,7 +174,8 @@ object Multimodal {
         while (c < channels) {
           val off = f * frameBytes + c * bytesPerSample
           val v =
-            if (bits == 8) ((raw(off) & 0xff) - 128) / 128.0
+            if (bits == 8 && signed) raw(off) / 128.0
+            else if (bits == 8) ((raw(off) & 0xff) - 128) / 128.0
             else {
               val lo = if (fmt.isBigEndian) raw(off + 1) else raw(off)
               val hi = if (fmt.isBigEndian) raw(off) else raw(off + 1)

@@ -4,6 +4,7 @@ import org.apache.spark.sql.catalyst.expressions.Literal
 import org.apache.spark.sql.catalyst.expressions.aggregate.{ApproximatePercentile, Percentile}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.DoubleType
 
 /** Flag-gated exact->approximate rewrite (`Rule[LogicalPlan]`,
   * injected by [[graft.GraftExtensions]]): when
@@ -15,7 +16,11 @@ import org.apache.spark.sql.catalyst.rules.Rule
   *
   * Deliberately narrow: weighted percentiles (a frequency column —
   * the engine's single-shuffle cycle-stats core) and `reverse`
-  * percentiles have no sketch equivalent and are left exact; the flag
+  * percentiles have no sketch equivalent and are left exact, and only
+  * DOUBLE value columns rewrite — `Percentile` always returns DOUBLE
+  * while `ApproximatePercentile` returns the CHILD's type, so an
+  * integer-column rewrite would silently change the aggregate's
+  * dataType mid-plan (the parent still reads it as double). The flag
   * defaults to OFF so every oracle-exact query stays bit-exact unless
   * a session opts in.
   */
@@ -30,7 +35,8 @@ class ApproxRewrite extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan =
     if (!conf.getConfString(ApproxRewrite.Flag, "false").toBoolean) plan
     else plan.transformAllExpressions {
-      case p: Percentile if unitFrequency(p) && !p.reverse =>
+      case p: Percentile
+          if unitFrequency(p) && !p.reverse && p.first.dataType == DoubleType =>
         new ApproximatePercentile(
           p.first, p.second, Literal(ApproximatePercentile.DEFAULT_PERCENTILE_ACCURACY))
     }

@@ -127,6 +127,9 @@ object Ivf {
       k: Int,
       model: Model,
       nprobe: Int = 2): DataFrame = {
+    require(qIdCol != idCol,
+      s"query id column '$qIdCol' must differ from the index id column — both appear in the " +
+        s"output (alias one side, e.g. queries.select(col(\"$idCol\").as(\"q_id\"), ...))")
     import org.apache.spark.sql.expressions.Window
     val qNorm = queries
       .select(col(qIdCol), col(qVecCol))

@@ -10,16 +10,23 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 /** dot(a, b) as a single Catalyst expression: one multiply-accumulate
   * loop per pair, accumulated in double left-to-right — bit-identical
   * to the column-function form `aggregate(zip_with(a, b, _*_), 0.0,
-  * _+_)` it replaces on hot paths. The HOF form evaluates interpreted
-  * (CodegenFallback, boxing per element); on per-candidate
-  * verification in all-pairs mining that is the dominant cost once
-  * candidate generation is banded. Mixed float/double operands are
-  * fine (each side widens to double).
+  * _+_)` it replaces on hot paths, INCLUDING the malformed-input
+  * contract: mismatched lengths or a null element yield NULL (the HOF
+  * form's zip_with pads the shorter side with nulls, poisoning the
+  * sum), so truncated or hole-y embeddings fall out of threshold
+  * filters and top-k instead of ranking with a silently-wrong score.
+  * The HOF form evaluates interpreted (CodegenFallback, boxing per
+  * element); on per-candidate verification in all-pairs mining that
+  * is the dominant cost once candidate generation is banded. Mixed
+  * float/double operands are fine (each side widens to double).
   */
 case class VecDot(left: Expression, right: Expression)
   extends BinaryExpression with CodegenFallback {
 
   override def dataType: DataType = DoubleType
+
+  // null even for non-null children: mismatched lengths / null elements
+  override def nullable: Boolean = true
 
   private def elemOk(dt: DataType): Boolean = dt match {
     case ArrayType(FloatType | DoubleType, _) => true
@@ -44,10 +51,12 @@ case class VecDot(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val xv = if (leftFloat) x.getFloat(i).toDouble else x.getDouble(i)
       val yv = if (rightFloat) y.getFloat(i).toDouble else y.getDouble(i)
       acc += xv * yv

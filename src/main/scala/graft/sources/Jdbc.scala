@@ -43,21 +43,24 @@ object Jdbc {
     * Non-SQLExceptions walk the cause chain looking for one.
     */
   def classify(e: Throwable): ErrorClass = {
-    def sqlState(t: Throwable): Option[String] = t match {
-      case s: SQLException => Option(s.getSQLState)
-      case null => None
-      case _ => Option(t.getCause).flatMap(sqlState)
+    // Walk the full cause chain: wrappers (SparkException, runtime
+    // shims) often bury both the SQLState and the transient-sounding
+    // message one or more levels down.
+    val chain = Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(10).toSeq
+    val state = chain.collectFirst {
+      case s: SQLException if s.getSQLState != null => s.getSQLState
     }
-    sqlState(e) match {
-      case Some(state) if state.startsWith("08") => Retryable
-      case Some(state) if state.startsWith("40") => Retryable
+    state match {
+      case Some(st) if st.startsWith("08") => Retryable
+      case Some(st) if st.startsWith("40") => Retryable
       case Some("XX000") | Some("HYT00") | Some("HYT01") => Retryable
       case _ =>
-        // Driver-agnostic transient signals without a usable SQLState.
-        val msg = Option(e.getMessage).getOrElse("").toLowerCase
+        // Driver-agnostic transient signals without a usable SQLState —
+        // checked on every message in the chain, not just the wrapper's.
+        val msgs = chain.flatMap(t => Option(t.getMessage)).map(_.toLowerCase)
         val transient = Seq("connection reset", "connection refused", "timeout", "timed out",
           "communications link failure", "broken pipe")
-        if (transient.exists(msg.contains)) Retryable else Fatal
+        if (msgs.exists(m => transient.exists(m.contains))) Retryable else Fatal
     }
   }
 
@@ -67,6 +70,7 @@ object Jdbc {
     * (mysql_plugin.py:181-192 / adx_plugin.py:131-165).
     */
   private[sources] def withRetries[T](maxRetries: Int = 3, backoffMs: Long = 200L)(f: => T): T = {
+    require(maxRetries >= 1, s"maxRetries=$maxRetries must be >= 1")
     var attempt = 0
     var last: Throwable = null
     while (attempt < maxRetries) {

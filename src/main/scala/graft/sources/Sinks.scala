@@ -57,8 +57,13 @@ object Sinks {
       .write.mode(SaveMode.Append)
       .parquet(path)
 
-  /** JDBC writer with the connector retry policy around the driver-side
-    * connection (the executor-side inserts inherit Spark task retry).
+  /** JDBC writer. Retry policy is IDEMPOTENCY-AWARE: only
+    * `Overwrite`/`Truncate` writes (which restart from a clean table)
+    * go through the reconnect-and-retry loop; an `Append` that fails
+    * mid-job may already have committed some partitions' INSERTs, so
+    * blind re-running would duplicate rows — it runs once and
+    * surfaces the failure for the caller to reconcile (executor-side
+    * task retry still applies within the job either way).
     */
   def writeJdbc(
       df: DataFrame,
@@ -66,8 +71,8 @@ object Sinks {
       dbtable: String,
       props: Map[String, String] = Map.empty,
       mode: SaveMode = SaveMode.Append,
-      maxRetries: Int = 3): Unit =
-    Jdbc.withRetries(maxRetries) {
+      maxRetries: Int = 3): Unit = {
+    def save(): Unit = {
       val w = df.write.format("jdbc")
         .option("url", url)
         .option("dbtable", dbtable)
@@ -75,6 +80,8 @@ object Sinks {
         .mode(mode)
         .save()
     }
+    if (mode == SaveMode.Overwrite) Jdbc.withRetries(maxRetries)(save()) else save()
+  }
 
   /** The reference's actual write-back target shape: guarded threshold
     * rows appended to an alert-threshold DATABASE table

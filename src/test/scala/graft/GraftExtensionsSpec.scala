@@ -62,6 +62,13 @@ class GraftExtensionsSpec extends AnyFunSuite {
       val weighted = spark.sql("SELECT percentile(v, 0.5, CAST(2 AS BIGINT)) FROM approx_src")
         .queryExecution.optimizedPlan.toString
       assert(!weighted.contains("percentile_approx"), weighted)
+      // non-double value columns must stay exact too: Percentile returns
+      // DOUBLE but ApproximatePercentile returns the child's type, so a
+      // rewrite would change the aggregate's dataType mid-plan
+      val intCol = spark.sql("SELECT percentile(CAST(v AS BIGINT), 0.5) FROM approx_src")
+      assert(!intCol.queryExecution.optimizedPlan.toString.contains("percentile_approx"))
+      val medInt = intCol.head().getDouble(0)
+      assert(medInt == 500.5, medInt.toString) // still the exact interpolated median
     } finally spark.conf.set(graft.plans.ApproxRewrite.Flag, "false")
   }
 

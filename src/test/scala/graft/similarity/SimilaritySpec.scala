@@ -114,6 +114,18 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("VecDot yields NULL for mismatched lengths or null elements, like the HOF form") {
+    import org.apache.spark.sql.functions.expr
+    val row = spark.range(1).select(
+      Similarity.dot(expr("array(1.0D, 2.0D)"), expr("array(3.0D, 4.0D)")).as("ok"),
+      Similarity.dot(expr("array(1.0D, 2.0D, 9.0D)"), expr("array(3.0D, 4.0D)")).as("mismatch"),
+      Similarity.dot(expr("array(1.0D, CAST(NULL AS DOUBLE))"), expr("array(3.0D, 4.0D)")).as("hole"))
+      .head()
+    assert(row.getDouble(0) == 11.0)
+    assert(row.isNullAt(1), "length mismatch must not silently truncate")
+    assert(row.isNullAt(2), "null element must poison the dot")
+  }
+
   test("rhp signature: same vector same sig; opposite vector flips all bits") {
     import sqlImplicits._
     val v = Array.tabulate(8)(i => (i + 1).toFloat)

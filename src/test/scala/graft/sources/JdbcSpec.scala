@@ -66,6 +66,13 @@ class JdbcSpec extends SparkSpec {
     assert(Jdbc.classify(new RuntimeException("wrapper",
       new SQLException("link down", "08S01"))) == Jdbc.Retryable)
     assert(Jdbc.classify(new RuntimeException("Communications link failure")) == Jdbc.Retryable)
+    // transient message buried in the cause chain behind a stateless SQLException
+    assert(Jdbc.classify(new RuntimeException("query failed",
+      new SQLException("Connection reset"))) == Jdbc.Retryable)
+    // SQLState deeper than a stateless wrapper SQLException
+    assert(Jdbc.classify(new SQLException("outer, no state",
+      new SQLException("deadlock", "40001"))) == Jdbc.Retryable)
+    intercept[IllegalArgumentException] { Jdbc.withRetries(maxRetries = 0) { 42 } }
   }
 
   test("jdbc write-back: guarded thresholds land in the database, nulls filtered") {
