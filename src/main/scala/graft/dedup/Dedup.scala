@@ -139,6 +139,52 @@ object Dedup {
       .select("id_a", "id_b", "est_jaccard")
   }
 
+  /** Transitive duplicate clusters from a verified pair list:
+    * iterative min-label propagation (the dataframe form of connected
+    * components). Returns (id, cluster) where `cluster` is the
+    * smallest id reachable through the pair graph — dedup keeps one
+    * doc per cluster instead of per pair, which matters when near-dups
+    * chain (a~b, b~c but a!~c: drop-larger-of-each-pair keeps only a,
+    * cluster resolution lets policy pick a canonical doc per GROUP).
+    *
+    * Scale shape: each round is one join + one aggregate on (id,
+    * label) pairs — label propagation converges in O(cluster diameter)
+    * rounds, and near-dup clusters are shallow (diameter rarely >
+    * ~5-10 even at corpus scale, because similarity is near-
+    * transitive). Labels persist per round and the loop stops on a
+    * zero-changes round; the per-round driver `count()` is the
+    * convergence test every iterative distributed CC variant pays.
+    */
+  def dupClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      val neighborMin = edges
+        .join(labels.toDF("dst", "dst_label"), "dst")
+        .groupBy(col("src").as("id"))
+        .agg(min(col("dst_label")).as("nmin"))
+      val updated = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"), least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val changed = updated.join(labels.toDF("id", "old"), "id")
+        .filter(col("label") =!= col("old")).count()
+      labels.unpersist()
+      labels = updated
+      converged = changed == 0
+      iter += 1
+    }
+    edges.unpersist()
+    labels.withColumnRenamed("label", "cluster")
+  }
+
   // -------------------------------------------------------------- simhash
 
   /** SimHash near-dup candidate pairs: fingerprint via the custom

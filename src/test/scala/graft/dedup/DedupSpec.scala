@@ -119,6 +119,24 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("dupClusters resolves transitive chains to the smallest reachable id") {
+    import sqlImplicits._
+    // chain 1-2-3-4 (no direct 1-4 edge), separate pair 7-8, singleton edge 10-11
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (7L, 8L), (10L, 11L)).toDF("id_a", "id_b")
+    val clusters = Dedup.dupClusters(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(clusters(_) == 1L), clusters.toString)
+    assert(clusters(7L) == 7L && clusters(8L) == 7L)
+    assert(clusters(10L) == 10L && clusters(11L) == 10L)
+    // end-to-end: clusters over the fixture's verified pairs — every
+    // member of a cluster is pairwise-reachable, and keeping min-per-
+    // cluster equals the expected survivor set
+    val fixturePairs = Dedup.verifyCandidates(docs, "text", "doc_id", threshold = 0.5)
+    val fc = Dedup.dupClusters(fixturePairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L)) // docs 1,2,3 are one dup cluster
+  }
+
   test("verifyCandidates (LSH + exact verify) equals the full self-join result") {
     val full = Dedup.ngramJaccardPairs(docs, "text", "doc_id", n = 3, threshold = 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
