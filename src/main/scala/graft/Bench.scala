@@ -42,18 +42,24 @@ object Bench {
       spark.range(1000000L).selectExpr("sum(id) s").collect()
       spark.read.parquet(s"$sfDir/lineitem.parquet").schema
     } catch { case NonFatal(_) => () }
+    // A throwing query must not masquerade as a fast successful one:
+    // its median is reported as -1, it is excluded from the total, and
+    // its name lands in the "failed" list.
     val results = SparkEntry.queries.map { case (name, fn) =>
+      var failed = false
       val times = (0 until math.max(runs, 1)).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case NonFatal(_) => -1L }
+        try { fn(spark, sfDir).count() } catch { case NonFatal(_) => failed = true }
         (System.nanoTime() - t0) / 1e9
       }
-      name -> median(times)
+      name -> (if (failed) -1.0 else median(times))
     }
+    val failedNames = results.collect { case (k, v) if v < 0 => k }.toSeq.sorted
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs}"""
+    val total = results.values.filter(_ >= 0).sum
+    val failedJson = failedNames.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"failed":$failedJson}"""
     // Bare line on stdout (build.sbt's StdoutOutput strategy keeps it
     // unprefixed) + a file copy, so the driver can parse either way.
     println(line)

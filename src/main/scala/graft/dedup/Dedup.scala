@@ -152,8 +152,16 @@ object Dedup {
     * rounds, and near-dup clusters are shallow (diameter rarely >
     * ~5-10 even at corpus scale, because similarity is near-
     * transitive). Labels persist per round and the loop stops on a
-    * zero-changes round; the per-round driver `count()` is the
-    * convergence test every iterative distributed CC variant pays.
+    * zero-changes round; the convergence probe is an `isEmpty` on the
+    * changed set (early-exits on the first surviving row) rather than
+    * a full `count()` — every iterative distributed CC variant pays
+    * one control-plane action per round, but it need not be a full
+    * scan.
+    *
+    * If a cluster's diameter exceeds `maxIter` the loop stops WITHOUT
+    * converging and the returned labels may split that cluster; this
+    * is logged as a warning. Pass a larger `maxIter` (rounds are
+    * cheap once the pair list is small) if the warning fires.
     */
   def dupClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     import org.apache.spark.storage.StorageLevel
@@ -174,16 +182,24 @@ object Dedup {
       val updated = labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"), least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      val changed = updated.join(labels.toDF("id", "old"), "id")
-        .filter(col("label") =!= col("old")).count()
+      // isEmpty plans a limit(1): the probe stops at the FIRST changed
+      // row instead of counting all of them — same convergence signal,
+      // strictly less work per round.
+      val anyChanged = !updated.join(labels.toDF("id", "old"), "id")
+        .filter(col("label") =!= col("old")).isEmpty
       labels.unpersist()
       labels = updated
-      converged = changed == 0
+      converged = !anyChanged
       iter += 1
     }
+    if (!converged) log.warn(
+      s"dupClusters: stopped at maxIter=$maxIter before convergence — a cluster's diameter " +
+        s"exceeds $maxIter rounds and its labels are split; re-run with a larger maxIter")
     edges.unpersist()
     labels.withColumnRenamed("label", "cluster")
   }
+
+  @transient private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
   // -------------------------------------------------------------- simhash
 
@@ -290,7 +306,11 @@ object Dedup {
     * pass and both sides of the verification join — and without the
     * persist each branch would re-run the full-corpus byte-level
     * shingling. It stays cached after the action (an index a repeated
-    * dedup workload wants warm); `spark.catalog.clearCache()` drops it.
+    * dedup workload wants warm); callers that run ONE dedup pass and
+    * move on should use [[verifyCandidatesReleasable]] and invoke the
+    * returned release handle after their action, which unpersists just
+    * this dataset (`spark.catalog.clearCache()` remains the blunt
+    * global fallback).
     */
   def verifyCandidates(
       df: DataFrame,
@@ -300,7 +320,24 @@ object Dedup {
       threshold: Double = 0.5,
       numHashes: Int = 32,
       bands: Int = 16,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L): DataFrame =
+    verifyCandidatesReleasable(df, textCol, idCol, n, threshold, numHashes, bands, seed)._1
+
+  /** [[verifyCandidates]] plus a scoped release handle: calling the
+    * returned thunk unpersists the internal shingle-hash cache (a
+    * no-op if already dropped). Call it AFTER the action that consumes
+    * the pairs — the result DataFrame is lazy and releasing early
+    * forces each verification branch to re-shingle the corpus.
+    */
+  def verifyCandidatesReleasable(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int = 3,
+      threshold: Double = 0.5,
+      numHashes: Int = 32,
+      bands: Int = 16,
+      seed: Long = 42L): (DataFrame, () => Unit) = {
     val gs = df.select(col(idCol).as("id"), ShingleHashes.shingleHashes(col(textCol), n).as("gs"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sig = gs.select(col("id"), MinHashSig.minhashSig(col("gs"), numHashes, seed).as("sig"))
@@ -313,6 +350,6 @@ object Dedup {
         "jaccard",
         col("shared").cast("double") / (size(col("gs_a")) + size(col("gs_b")) - col("shared")))
       .filter(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
+      .select("id_a", "id_b", "jaccard") -> (() => { gs.unpersist(); () })
   }
 }

@@ -196,9 +196,12 @@ object TextQueries {
     * exact dedup by the normalized TEXT (the engine's xxhash64
     * fingerprint partitions identically), near-dedup by exact trigram
     * Jaccard (the engine's LSH+verify path reaches the same pair set
-    * on this fixture), the q22 quality formula, and the stopword-vote
-    * language ID (list_sort over (neg-hits, lang) structs == the
-    * engine's array_min argmax).
+    * on this fixture) resolved to transitive duplicate clusters via a
+    * RECURSIVE CTE (mirror of the engine's min-label-propagation
+    * [[graft.dedup.Dedup.dupClusters]] — survivor = cluster minimum),
+    * the q22 quality formula, and the stopword-vote language ID
+    * (list_sort over (neg-hits, lang) structs == the engine's
+    * array_min argmax).
     */
   def q36CurationPipeline(spark: SparkSession, dir: String): DataFrame =
     graft.text.CurationPipeline.curatedDf(spark, dir)
@@ -209,7 +212,7 @@ object TextQueries {
       s"{'neg': -len(list_filter(toks, x -> x IN (${inList(ws)}))), 'lang': '$lang'}"
     }.mkString(", ")
     val enStops = inList(TextAnalysis.stopwords("en"))
-    s"""WITH annotated AS (
+    s"""WITH RECURSIVE annotated AS (
        |  SELECT doc_id, text,
        |    string_split(text, ' ') AS toks,
        |    CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
@@ -234,10 +237,19 @@ object TextQueries {
        |shared AS (
        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
        |  FROM ng a JOIN ng b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2
-       |), losers AS (
-       |  SELECT DISTINCT id_b AS doc_id FROM shared
+       |), pairs AS (
+       |  SELECT id_a, id_b FROM shared
        |  JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
        |  WHERE c*1.0/(sa.n + sb.n - c) >= 0.5
+       |), dedges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM pairs
+       |  UNION SELECT id_b AS src, id_a AS dst FROM pairs
+       |), reach AS (
+       |  SELECT src, dst FROM dedges
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN dedges e ON r.dst = e.src
+       |), losers AS (
+       |  SELECT src AS doc_id FROM reach GROUP BY src HAVING min(dst) < src
        |), near_deduped AS (
        |  SELECT * FROM exact_deduped WHERE doc_id NOT IN (SELECT doc_id FROM losers)
        |), q AS (

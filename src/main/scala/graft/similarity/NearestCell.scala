@@ -120,7 +120,12 @@ case class NearestCells(child: Expression, centroids: Seq[Seq[Float]], nprobe: I
       dots(c) = acc
       c += 1
     }
-    // selection sort of the top nprobe — k is small (k-means cells)
+    // selection sort of the top nprobe — k is small (k-means cells).
+    // NaN dots (a zero-norm or NaN-element vector) never win a `>`
+    // comparison, so without the best == -1 fallback the selection
+    // would index taken(-1); the fallback takes the first untaken
+    // cell, keeping the probe list total and deterministic even for
+    // degenerate query vectors.
     val out = new Array[Int](nprobe)
     val taken = new Array[Boolean](k)
     var s = 0
@@ -129,7 +134,7 @@ case class NearestCells(child: Expression, centroids: Seq[Seq[Float]], nprobe: I
       var bestDot = Double.NegativeInfinity
       var j = 0
       while (j < k) {
-        if (!taken(j) && dots(j) > bestDot) { bestDot = dots(j); best = j }
+        if (!taken(j) && (best == -1 || dots(j) > bestDot)) { bestDot = dots(j); best = j }
         j += 1
       }
       taken(best) = true

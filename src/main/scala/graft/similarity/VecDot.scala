@@ -8,13 +8,19 @@ import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
 /** dot(a, b) as a single Catalyst expression: one multiply-accumulate
-  * loop per pair, accumulated in double left-to-right — bit-identical
-  * to the column-function form `aggregate(zip_with(a, b, _*_), 0.0,
-  * _+_)` it replaces on hot paths, INCLUDING the malformed-input
-  * contract: mismatched lengths or a null element yield NULL (the HOF
-  * form's zip_with pads the shorter side with nulls, poisoning the
-  * sum), so truncated or hole-y embeddings fall out of threshold
-  * filters and top-k instead of ranking with a silently-wrong score.
+  * loop per pair, accumulated in double left-to-right. For DOUBLE
+  * arrays this is bit-identical to the column-function form
+  * `aggregate(zip_with(a, b, _*_), 0.0, _+_)` it replaces on hot
+  * paths; for FLOAT arrays it is deliberately NOT — the HOF form
+  * multiplies two FloatType operands in float before widening, while
+  * this expression widens each operand to double first, matching how
+  * a DuckDB `DOUBLE[]` oracle computes the same product (that widen-
+  * first arithmetic is what makes q28/q38 cosine doubles hash-exact).
+  * It keeps the HOF form's malformed-input contract: mismatched
+  * lengths or a null element yield NULL (zip_with pads the shorter
+  * side with nulls, poisoning the sum), so truncated or hole-y
+  * embeddings fall out of threshold filters and top-k instead of
+  * ranking with a silently-wrong score.
   * The HOF form evaluates interpreted (CodegenFallback, boxing per
   * element); on per-candidate verification in all-pairs mining that
   * is the dominant cost once candidate generation is banded. Mixed

@@ -15,11 +15,12 @@ import org.apache.spark.sql.functions._
   *   quality gate -> curated corpus + survival stats.
   *
   * Every stage is a lazy DataFrame transform; only the final stats
-  * are collected. Near-dup clustering uses the candidate pair list's
-  * transitive closure approximated by "drop the larger id of every
-  * verified pair" — one pass, no iterative connected components; at
-  * corpus scale a label-propagation pass can replace it without
-  * touching the other stages.
+  * are collected. Near-dup survival is CLUSTER-canonical: verified
+  * pairs resolve to transitive duplicate clusters
+  * ([[Dedup.dupClusters]], min-label propagation) and one doc — the
+  * smallest id — survives per cluster, so chained near-dups
+  * (a~b, b~c) collapse to a single survivor instead of whatever a
+  * per-pair drop happens to leave.
   */
 object CurationPipeline {
 
@@ -36,16 +37,21 @@ object CurationPipeline {
     ctx.withTable("exact_deduped", Dedup.exactDedup(ctx.table("annotated"), "text", "doc_id"))
   }
 
-  /** Drop the larger doc of every near-dup pair above the threshold —
-    * LSH candidates verified by EXACT n-gram Jaccard
-    * ([[Dedup.verifyCandidates]]), so the survival decision uses a
-    * true threshold, not the minhash estimate.
+  /** Keep one doc per transitive duplicate cluster: LSH candidates
+    * verified by EXACT n-gram Jaccard ([[Dedup.verifyCandidates]], so
+    * the survival decision uses a true threshold, not the minhash
+    * estimate), resolved to connected components
+    * ([[Dedup.dupClusters]]), smallest doc_id per cluster survives.
+    * The cluster pass runs on the verified PAIR LIST — thousands of
+    * rows where the corpus has billions — so its iterative joins are
+    * control-plane-cheap next to the shingling scan.
     */
   val nearDedup: Processor = Processor("NearDedup", required = Seq("exact_deduped")) { ctx =>
     val docs = ctx.table("exact_deduped")
-    val losers = Dedup.verifyCandidates(docs, "text", "doc_id", n = 3, threshold = 0.5)
-      .select(col("id_b").as("doc_id"))
-      .distinct()
+    val pairs = Dedup.verifyCandidates(docs, "text", "doc_id", n = 3, threshold = 0.5)
+    val losers = Dedup.dupClusters(pairs)
+      .filter(col("id") =!= col("cluster"))
+      .select(col("id").as("doc_id"))
     ctx.withTable("near_deduped", docs.join(broadcast(losers), Seq("doc_id"), "left_anti"))
   }
 

@@ -137,6 +137,31 @@ class DedupSpec extends SparkSpec {
     assert(fc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L)) // docs 1,2,3 are one dup cluster
   }
 
+  test("pipeline near-dedup is cluster-canonical: an open chain keeps only the cluster minimum") {
+    import sqlImplicits._
+    // doc 3 is a near-dup of BOTH 1 and 2 (shared prefix + a slice of
+    // each unique suffix), while 1 and 2 are NOT near-dups of each
+    // other: verified pairs form the open chain (1,3),(2,3). A per-pair
+    // drop-larger policy would keep {1,2}; cluster-canonical survival
+    // (dupClusters: one doc per connected component) keeps only 1.
+    val shared = (1 to 20).map(i => s"s$i")
+    val ua = (1 to 20).map(i => s"a$i")
+    val ub = (1 to 20).map(i => s"b$i")
+    val d1 = (shared ++ ua).mkString(" ")
+    val d2 = (shared ++ ub).mkString(" ")
+    val d3 = (shared ++ ua.take(9) ++ ub.take(9)).mkString(" ")
+    val chainDocs = Seq((1L, d1), (2L, d2), (3L, d3)).toDF("doc_id", "text")
+    val pairs = Dedup.verifyCandidates(chainDocs, "text", "doc_id", threshold = 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 3L), (2L, 3L)), s"fixture precondition drifted: $pairs")
+    val ctx = graft.core.PipelineContext(
+      "chain-test", config = Map("min_quality" -> "0.0"),
+      tables = Map("documents" -> chainDocs))
+    val out = graft.text.CurationPipeline.pipeline.run(ctx)
+    val survivors = out.table("curated").select("doc_id").as[Long].collect().toSet
+    assert(survivors == Set(1L), s"expected cluster-canonical survivor {1}, got $survivors")
+  }
+
   test("verifyCandidates (LSH + exact verify) equals the full self-join result") {
     val full = Dedup.ngramJaccardPairs(docs, "text", "doc_id", n = 3, threshold = 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet

@@ -51,6 +51,22 @@ class IvfSpec extends SparkSpec {
     assert(got.toSeq == brute.toSeq)
   }
 
+  test("nearestCells stays total on NaN vectors (zero-norm queries after normalization)") {
+    import sqlImplicits._
+    // A zero-norm query vector turns into all-NaN after x/norm(x)
+    // normalization; NaN never wins a `>` comparison, so without the
+    // fallback the probe selection would index -1. The fixed selection
+    // must return nprobe DISTINCT cells deterministically, not throw.
+    val model = Ivf.train(clustered, "embedding", k = 3, iters = 5)
+    val nan = Seq((0L, Array(Float.NaN, Float.NaN, Float.NaN, Float.NaN)))
+      .toDF("vec_id", "embedding")
+    val cells = nan
+      .select(NearestCells.nearestCells(col("embedding"), model.centroids, 2).as("cells"))
+      .head().getSeq[Int](0)
+    assert(cells.length == 2 && cells.toSet.size == 2, cells.toString)
+    assert(cells == Seq(0, 1)) // first-untaken fallback => index order
+  }
+
   test("knnJoin with full probing equals per-query brute force") {
     val model = Ivf.train(clustered, "embedding", k = 3, iters = 5)
     val idx = Ivf.index(clustered, "embedding", "vec_id", model)
