@@ -151,12 +151,23 @@ object Dedup {
     * label) pairs — label propagation converges in O(cluster diameter)
     * rounds, and near-dup clusters are shallow (diameter rarely >
     * ~5-10 even at corpus scale, because similarity is near-
-    * transitive). Labels persist per round and the loop stops on a
-    * zero-changes round; the convergence probe is an `isEmpty` on the
-    * changed set (early-exits on the first surviving row) rather than
-    * a full `count()` — every iterative distributed CC variant pays
-    * one control-plane action per round, but it need not be a full
-    * scan.
+    * transitive). The loop stops on a zero-changes round: each row of
+    * the new generation carries a `__chg` bit and one map-side-
+    * combined `max(__chg)` aggregate (one boolean per partition
+    * crosses the wire) reports convergence.
+    *
+    * LINEAGE DISCIPLINE (load-bearing for any iterative DataFrame
+    * algorithm): every generation is EAGERLY `localCheckpoint`ed. The
+    * loop references the previous labels twice per round, so without
+    * truncation the logical plan DOUBLES per round — caches would
+    * short-circuit execution, but analysis, optimization and
+    * cache-lookup still walk the exponentially growing tree, and every
+    * downstream consumer of the result inherits it (measured: ~3s of
+    * driver time by round 3 over a 256-pair input, growing per round).
+    * Checkpointed generations are plain LogicalRDDs, so each round and
+    * every consumer plans against a flat base. On a cluster where
+    * executor loss matters, swap localCheckpoint for a reliable
+    * `checkpoint` (HDFS dir) — same structure, durable blocks.
     *
     * If a cluster's diameter exceeds `maxIter` the loop stops WITHOUT
     * converging and the returned labels may split that cluster; this
@@ -164,14 +175,17 @@ object Dedup {
     * cheap once the pair list is small) if the warning fires.
     */
   def dupClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    import org.apache.spark.storage.StorageLevel
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    // One pass of the (possibly expensive — LSH mining) upstream plan,
+    // then everything below works on the flat checkpointed pair list;
+    // without this the union would run the upstream twice.
+    val p = pairs.select(col("id_a"), col("id_b")).localCheckpoint(true)
+    val edges = p.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(p.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
@@ -180,22 +194,20 @@ object Dedup {
         .groupBy(col("src").as("id"))
         .agg(min(col("dst_label")).as("nmin"))
       val updated = labels.join(neighborMin, Seq("id"), "left")
-        .select(col("id"), least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      // isEmpty plans a limit(1): the probe stops at the FIRST changed
-      // row instead of counting all of them — same convergence signal,
-      // strictly less work per round.
-      val anyChanged = !updated.join(labels.toDF("id", "old"), "id")
-        .filter(col("label") =!= col("old")).isEmpty
-      labels.unpersist()
-      labels = updated
+        .select(
+          col("id"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"),
+          (coalesce(col("nmin"), col("label")) < col("label")).as("__chg"))
+        .localCheckpoint(true) // eager: materialize + truncate lineage
+      // (null max => empty label table => converged)
+      val anyChanged = java.lang.Boolean.TRUE == updated.agg(max(col("__chg"))).head().get(0)
+      labels = updated.select("id", "label")
       converged = !anyChanged
       iter += 1
     }
     if (!converged) log.warn(
       s"dupClusters: stopped at maxIter=$maxIter before convergence — a cluster's diameter " +
         s"exceeds $maxIter rounds and its labels are split; re-run with a larger maxIter")
-    edges.unpersist()
     labels.withColumnRenamed("label", "cluster")
   }
 

@@ -16,7 +16,6 @@ import org.apache.spark.sql.functions._
 object SimilarityQueries {
 
   private val planes32 = Similarity.hyperplanes(dim = 64, numPlanes = 32, seed = 42L)
-  private val planes64 = Similarity.hyperplanes(dim = 64, numPlanes = 64, seed = 42L)
 
   // Driver-side memos: the query vector and the trained IVF model are
   // properties of the DATASET, not of a query invocation — re-fetching
@@ -77,15 +76,17 @@ object SimilarityQueries {
     * verification. Threshold 0.4: the fixture's embeddings are
     * near-orthogonal (max pairwise cosine ~0.51), so 0.4 is where the
     * "most similar pairs" population lives; real dedup runs would use
-    * ~0.95 on genuinely duplicated corpora. 64 planes = 8 bands x 8
-    * bits (256 buckets/band — selective at any n) with Hamming-2
-    * multiprobe to hold recall at this deliberately low threshold;
-    * at production thresholds probeHamming=0 suffices.
+    * ~0.95 on genuinely duplicated corpora. The banding and probe
+    * radius are DERIVED from (threshold, targetRecall) by
+    * [[Similarity.lshGeometry]] — at 0.4/0.95 that resolves to
+    * 8 bands x 8 bits with Hamming-2 probing (split across the join
+    * sides), and at production thresholds the same call derives
+    * radius-0 wide bands, so copying this call site at scale is safe.
     */
   def q30EmbeddingNearDup(spark: SparkSession, dir: String): DataFrame =
-    Similarity.nearDupPairs(
+    Similarity.nearDupPairsAuto(
       Sources.embeddings(spark, dir), "embedding", "vec_id",
-      threshold = 0.4, planes64, bands = 8, probeHamming = 2)
+      threshold = 0.4, targetRecall = 0.95, numPlanes = 64)
       .orderBy("id_a", "id_b")
 
   /** IVF ANN: deterministic spherical k-means cells, probe the 3

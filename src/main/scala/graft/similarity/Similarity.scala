@@ -124,6 +124,90 @@ object Similarity {
     (0 to radius).flatMap(k =>
       (0 until bits).combinations(k).map(_.foldLeft(0L)((m, p) => m | (1L << p))).toSeq)
 
+  /** A derived LSH parameterization: how to band `numPlanes` sign bits
+    * and how far to multiprobe so a pair AT `threshold` cosine is
+    * recalled with probability >= the target. `expectedRecall` is that
+    * at-threshold collision probability (pairs above threshold do
+    * strictly better); `emitFactor` is the number of (band, key) join
+    * rows emitted per input vector across both sides of the self-join —
+    * the shuffle cost the geometry buys its recall with.
+    */
+  final case class LshGeometry(
+      bands: Int, bitsPerBand: Int, probeHamming: Int,
+      expectedRecall: Double, emitFactor: Long)
+
+  /** Derive (bands, bitsPerBand, probeHamming) from (threshold,
+    * targetRecall) instead of hand-tuning per call site.
+    *
+    * Per-bit agreement for a pair at cosine t is p = 1 - acos(t)/pi
+    * (random-hyperplane LSH). A k-bit band probed to Hamming radius r
+    * collides with probability q = sum_{d<=r} C(k,d) p^(k-d) (1-p)^d,
+    * and b independent bands give recall 1 - (1-q)^b. The search space
+    * is every divisor split of `numPlanes` with bands >= 8 bits wide
+    * (narrower bands degenerate toward the all-pairs join — same rule
+    * [[nearDupPairs]] enforces) and probe radius 0..3; among shapes
+    * meeting the target the CHEAPEST emit factor wins, so callers at
+    * production thresholds (~0.95) automatically get radius-0 wide
+    * bands while mid-threshold mining pays for exactly the probing it
+    * needs. If NO shape reaches the target (very low thresholds), the
+    * best-recall shape is returned and a warning logged — the caller
+    * asked for more recall than `numPlanes` sign bits can resolve.
+    */
+  def lshGeometry(threshold: Double, targetRecall: Double = 0.95, numPlanes: Int = 64): LshGeometry = {
+    require(numPlanes >= 8 && numPlanes <= 64, s"numPlanes=$numPlanes must be in [8, 64] (one long)")
+    require(targetRecall > 0.0 && targetRecall < 1.0, s"targetRecall=$targetRecall must be in (0, 1)")
+    val p = 1.0 - math.acos(math.max(-1.0, math.min(1.0, threshold))) / math.Pi
+    def choose(n: Int, d: Int): Double = (0 until d).map(i => (n - i).toDouble / (i + 1)).product
+    def maskCount(k: Int, r: Int): Double = (0 to r).map(choose(k, _)).sum
+    val candidates = for {
+      bands <- (1 to numPlanes).filter(numPlanes % _ == 0)
+      k = numPlanes / bands
+      if k >= 8
+      r <- 0 to math.min(3, k)
+    } yield {
+      val q = (0 to r).map(d => choose(k, d) * math.pow(p, (k - d).toDouble) * math.pow(1.0 - p, d.toDouble)).sum
+      val recall = 1.0 - math.pow(1.0 - q, bands.toDouble)
+      // both sides of the self-join probe half the radius each (see
+      // nearDupPairs): keys per vector = bands x (|ball(ceil r/2)| + |ball(floor r/2)|)
+      val emit = (bands * (maskCount(k, r - r / 2) + maskCount(k, r / 2))).toLong
+      LshGeometry(bands, k, r, recall, emit)
+    }
+    val viable = candidates.filter(_.expectedRecall >= targetRecall)
+    if (viable.nonEmpty) viable.minBy(g => (g.emitFactor, -g.expectedRecall))
+    else {
+      val best = candidates.maxBy(g => (g.expectedRecall, -g.emitFactor))
+      log.warn(s"lshGeometry: no ($numPlanes-plane) banding reaches recall $targetRecall at " +
+        s"threshold $threshold; best achievable is ${best.expectedRecall} with $best")
+      best
+    }
+  }
+
+  @transient private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** [[nearDupPairs]] with the LSH geometry DERIVED from (threshold,
+    * targetRecall) via [[lshGeometry]] — the call shape that is safe
+    * to copy at scale: a user mining at 0.95 automatically gets
+    * radius-0 wide bands; dropping the threshold to 0.4 automatically
+    * buys the probing that keeps recall, and the emit-factor cost is
+    * visible in the derived geometry rather than hidden in a copied
+    * magic constant.
+    */
+  def nearDupPairsAuto(
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      threshold: Double,
+      targetRecall: Double = 0.95,
+      numPlanes: Int = 64,
+      seed: Long = 42L): DataFrame = {
+    val g = lshGeometry(threshold, targetRecall, numPlanes)
+    val firstRow = df.select(size(col(vecCol))).take(1)
+    if (firstRow.isEmpty)
+      return df.select(col(idCol).as("id_a"), col(idCol).as("id_b"), lit(0.0).as("cosine")).limit(0)
+    val dim = firstRow.head.getInt(0)
+    nearDupPairs(df, vecCol, idCol, threshold, hyperplanes(dim, numPlanes, seed), g.bands, g.probeHamming)
+  }
+
   /** All-pairs near-duplicate mining above a cosine threshold: LSH
     * band-bucket self-join (the scale path — candidate generation is a
     * shuffle on (band, hash), never a cross join), then exact cosine
@@ -133,14 +217,17 @@ object Similarity {
     * buckets, and below ~8 bits the per-band bucket join degenerates
     * toward O(n^2 / 2^k) regardless of the data. Wide bands cost
     * recall at mid thresholds; `probeHamming` buys it back by also
-    * joining each row against buckets within that Hamming radius of
-    * its band value (probe side only — candidate (a,b) surfaces when
-    * a's exact key hits one of b's probes). Per-band collision
-    * probability for a pair with per-bit agreement p rises from p^k to
+    * joining rows against buckets within that Hamming radius of their
+    * band value — the radius is split half per join side (see the
+    * in-body comment), which covers the same Hamming ball at roughly
+    * half the emitted keys. Per-band collision probability for a pair
+    * with per-bit agreement p rises from p^k to
     * sum_{d<=r} C(k,d) p^(k-d) (1-p)^d, at an emit-factor cost of
-    * sum_{d<=r} C(k,d) keys per band. probeHamming=0 is the
-    * production near-dup setting (threshold ~0.9+, where p^k alone
-    * holds recall); radius 1-2 serves mid-threshold mining.
+    * |ball(ceil r/2)| + |ball(floor r/2)| keys per band across the two
+    * sides. probeHamming=0 is the production near-dup setting
+    * (threshold ~0.9+, where p^k alone holds recall); radius 1-2
+    * serves mid-threshold mining. Prefer [[nearDupPairsAuto]], which
+    * derives all three knobs from (threshold, targetRecall).
     */
   def nearDupPairs(
       df: DataFrame,
@@ -191,26 +278,34 @@ object Similarity {
       .withColumn("__rsig2", rhpSignature(col(vecCol), refinePlanes2))
     def bandVal(b: Int): Column =
       shiftright(col("__sig"), b * bitsPerBand).bitwiseAND(lit(bandMask))
-    // Exact side: one (band, key) per band. Probe side: the same keys
-    // XOR'd with every mask in the probe neighborhood (identity mask
-    // included, so radius 0 reduces to the plain symmetric join).
-    val masks = probeMasks(bitsPerBand, probeHamming)
+    // Probe radius is SPLIT across the two join sides: a pair whose
+    // band keys differ in d <= r bits surfaces when side A flips
+    // d1 <= ceil(r/2) of the differing bits and side B flips the other
+    // d2 <= floor(r/2) (any d <= r1+r2 admits such a split), so both
+    // sides probe only half the radius. At r=2 this emits
+    // bands x (9+9) keys per vector instead of bands x (1+37) — the
+    // Hamming ball grows combinatorially, so half the radius on each
+    // side is ~2x fewer shuffled rows, with identical candidate
+    // coverage. Radius 0 reduces to the plain symmetric join.
     val exact = sigs.select(
       col(idCol), col("__rsig"), col("__rsig2"),
       explode(array((0 until bands).map { b =>
         struct(lit(b).as("band"), bandVal(b).as("h"))
       }: _*)).as("bk"))
       .select(col(idCol), col("__rsig"), col("__rsig2"), col("bk.band"), col("bk.h"))
-    // Probe side = the exact keys crossed with the mask neighborhood —
-    // a SECOND tiny Generate over a literal mask array, not one
-    // bands x masks struct-array projection (which at radius 2 is a
-    // ~600-expression CreateArray that falls out of codegen).
-    val probed = exact
-      .withColumn("__m", explode(lit(masks.toArray)))
-      .select(col(idCol), col("__rsig"), col("__rsig2"),
-        col("band"), col("h").bitwiseXOR(col("__m")).as("h"))
-    val a = exact.toDF("id_a", "rsig_a", "rsig2_a", "band", "h")
-    val b = probed.toDF("id_b", "rsig_b", "rsig2_b", "band", "h")
+    // Each probed side = the exact keys crossed with its half-radius
+    // mask neighborhood — a SECOND tiny Generate over a literal mask
+    // array, not one bands x masks struct-array projection (which at
+    // radius 2 is a ~600-expression CreateArray that falls out of
+    // codegen).
+    def probed(radius: Int): DataFrame =
+      if (radius == 0) exact
+      else exact
+        .withColumn("__m", explode(lit(probeMasks(bitsPerBand, radius).toArray)))
+        .select(col(idCol), col("__rsig"), col("__rsig2"),
+          col("band"), col("h").bitwiseXOR(col("__m")).as("h"))
+    val a = probed(probeHamming - probeHamming / 2).toDF("id_a", "rsig_a", "rsig2_a", "band", "h")
+    val b = probed(probeHamming / 2).toDF("id_b", "rsig_b", "rsig2_b", "band", "h")
     // Second-stage prune before touching vectors: refined-signature
     // Hamming distance is an unbiased angle estimate, and two
     // bit_counts over long pairs are ~free next to a dim-float dot.

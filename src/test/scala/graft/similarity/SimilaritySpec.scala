@@ -75,6 +75,33 @@ class SimilaritySpec extends SparkSpec {
     assert(exact0.subsetOf(probed2), s"probe=2 ${probed2} must contain probe=0 ${exact0}")
   }
 
+  test("lshGeometry derives probing from (threshold, targetRecall)") {
+    // mid-threshold mining needs radius-2 probing over 8x8 banding
+    val mid = Similarity.lshGeometry(threshold = 0.4, targetRecall = 0.95, numPlanes = 64)
+    assert(mid.bands == 8 && mid.bitsPerBand == 8 && mid.probeHamming == 2, mid.toString)
+    assert(mid.expectedRecall >= 0.95 && mid.expectedRecall <= 1.0)
+    // production thresholds derive radius-0 geometry (no probe explosion)
+    val hi = Similarity.lshGeometry(threshold = 0.95, targetRecall = 0.9, numPlanes = 64)
+    assert(hi.probeHamming == 0, hi.toString)
+    assert(hi.emitFactor < mid.emitFactor,
+      s"higher threshold must emit fewer keys: $hi vs $mid")
+    // bands never narrower than 8 bits — the same degeneracy rule
+    // nearDupPairs enforces at require()
+    for (t <- Seq(0.2, 0.5, 0.8, 0.99); g = Similarity.lshGeometry(t, 0.9, 64))
+      assert(g.bitsPerBand >= 8, g.toString)
+  }
+
+  test("nearDupPairsAuto equals the hand-tuned geometry's verified pair set on the fixture") {
+    val df = graft.sources.Sources.embeddings(spark, "/root/testdata/sf0.001")
+    val planes = Similarity.hyperplanes(64, 64, seed = 42L)
+    val hand = Similarity.nearDupPairs(df, "embedding", "vec_id", 0.4, planes, bands = 8, probeHamming = 2)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val auto = Similarity.nearDupPairsAuto(df, "embedding", "vec_id", threshold = 0.4, targetRecall = 0.95)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(auto == hand, s"auto=$auto hand=$hand")
+    assert(auto.nonEmpty)
+  }
+
   test("nearDupPairs holds recall >= 0.8 with exact precision vs brute force on the fixture") {
     val df = graft.sources.Sources.embeddings(spark, "/root/testdata/sf0.001")
     val threshold = 0.4
