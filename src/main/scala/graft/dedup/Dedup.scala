@@ -173,16 +173,95 @@ object Dedup {
     * converging and the returned labels may split that cluster; this
     * is logged as a warning. Pass a larger `maxIter` (rounds are
     * cheap once the pair list is small) if the warning fires.
+    *
+    * ADAPTIVE EXECUTION: the verified pair list is control-plane-sized
+    * by construction (thousands-to-millions of edges where the corpus
+    * has billions of docs — it only contains near-duplicates that
+    * survived exact verification). Below `collectThreshold` edges the
+    * labels are computed by DRIVER-SIDE union-find over the collected
+    * pairs: ONE extra job (the collect off the already-checkpointed
+    * list) instead of 2 jobs x O(diameter) propagation rounds, with
+    * labels identical to the distributed fixpoint (both are "smallest
+    * id reachable"; pinned by DedupSpec against the forced-distributed
+    * path). Above the threshold the distributed min-label-propagation
+    * loop runs — that is the genuinely-huge-graph fallback, and each
+    * superseded checkpointed generation is unpersisted as soon as the
+    * next one materializes so at most two generations of blocks are
+    * live at any time.
     */
-  def dupClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    // One pass of the (possibly expensive — LSH mining) upstream plan,
-    // then everything below works on the flat checkpointed pair list;
-    // without this the union would run the upstream twice.
+  def dupClusters(
+      pairs: DataFrame,
+      maxIter: Int = 20,
+      collectThreshold: Long = 10000000L): DataFrame = {
+    // One pass of the (possibly expensive — LSH mining) upstream plan;
+    // both execution paths below consume the flat checkpointed list
+    // (the union-find path would otherwise need a count + a collect =
+    // two upstream runs to size itself safely).
     val p = pairs.select(col("id_a"), col("id_b")).localCheckpoint(true)
+    val nEdges = p.count() // cheap: counts the checkpointed blocks
+    val out =
+      if (nEdges <= collectThreshold) dupClustersLocal(p)
+      else dupClustersDistributed(p, maxIter)
+    out
+  }
+
+  /** Driver-side exact union-find over a (materialized, small) pair
+    * list: union by smaller-id root + path halving, then one pass
+    * assigning every member its root — the root IS the component
+    * minimum because unions always attach the larger root under the
+    * smaller. One Spark job (the collect); the result is a local
+    * relation, so downstream broadcast joins against it are free.
+    * Generic over the id column's type (ids collect as boxed
+    * `Comparable`s — long/int/string/decimal/date all order exactly as
+    * SQL `least`/`min` does on a single column type).
+    */
+  private def dupClustersLocal(p: DataFrame): DataFrame = {
+    val spark = p.sparkSession
+    val idType = p.schema.fields(0).dataType
+    val rows = p.collect()
+    unpersistCheckpointBlocks(p)
+    val parent = new java.util.HashMap[Any, Any]()
+    def find(x0: Any): Any = {
+      var x = x0
+      var px = parent.getOrDefault(x, x)
+      while (px != x) { // path halving
+        val ppx = parent.getOrDefault(px, px)
+        parent.put(x, ppx)
+        x = px
+        px = parent.getOrDefault(x, x)
+      }
+      x
+    }
+    def lt(a: Any, b: Any): Boolean = a match {
+      case c: Comparable[_] => c.asInstanceOf[Comparable[Any]].compareTo(b) < 0
+      case _ => String.valueOf(a) < String.valueOf(b)
+    }
+    val ids = new java.util.LinkedHashSet[Any]()
+    rows.foreach { r =>
+      val a = r.get(0)
+      val b = r.get(1)
+      if (a != null && b != null) {
+        ids.add(a); ids.add(b)
+        val ra = find(a)
+        val rb = find(b)
+        if (ra != rb) { if (lt(ra, rb)) parent.put(rb, ra) else parent.put(ra, rb) }
+      }
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", idType, nullable = false),
+      org.apache.spark.sql.types.StructField("cluster", idType, nullable = false)))
+    val outRows = new java.util.ArrayList[org.apache.spark.sql.Row](ids.size())
+    ids.forEach(id => outRows.add(org.apache.spark.sql.Row(id, find(id))))
+    spark.createDataFrame(outRows, schema)
+  }
+
+  /** Distributed min-label propagation (the above-threshold path). */
+  private def dupClustersDistributed(p: DataFrame, maxIter: Int): DataFrame = {
     val edges = p.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(p.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()
       .localCheckpoint(true)
+    unpersistCheckpointBlocks(p) // edges carry everything the loop needs
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
       .localCheckpoint(true)
@@ -201,6 +280,7 @@ object Dedup {
         .localCheckpoint(true) // eager: materialize + truncate lineage
       // (null max => empty label table => converged)
       val anyChanged = java.lang.Boolean.TRUE == updated.agg(max(col("__chg"))).head().get(0)
+      unpersistCheckpointBlocks(labels) // superseded generation's blocks
       labels = updated.select("id", "label")
       converged = !anyChanged
       iter += 1
@@ -208,8 +288,21 @@ object Dedup {
     if (!converged) log.warn(
       s"dupClusters: stopped at maxIter=$maxIter before convergence — a cluster's diameter " +
         s"exceeds $maxIter rounds and its labels are split; re-run with a larger maxIter")
+    // edges' blocks are dead once the loop exits; the FINAL labels
+    // generation stays persisted — it backs the returned DataFrame.
+    unpersistCheckpointBlocks(edges)
     labels.withColumnRenamed("label", "cluster")
   }
+
+  /** Drop the storage blocks behind an eagerly `localCheckpoint`ed
+    * DataFrame (no-op for any other plan shape). Only call once the
+    * checkpointed generation can never be read again — local
+    * checkpoints cannot be recomputed after their blocks are gone.
+    */
+  private def unpersistCheckpointBlocks(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collectFirst {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }.foreach(_.unpersist(false))
 
   @transient private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
@@ -264,7 +357,7 @@ object Dedup {
       graft.similarity.Similarity.hyperplanes(dimOf(df, vecCol), numPlanes, seed), bands, probeHamming)
 
   private def dimOf(df: org.apache.spark.sql.DataFrame, vecCol: String): Int =
-    df.select(size(col(vecCol))).head().getInt(0)
+    df.select(size(col(vecCol)).as("d")).filter(col("d").isNotNull).head().getInt(0)
 
   // ------------------------------------------------------- n-gram jaccard
 

@@ -117,15 +117,18 @@ case class NearestCells(child: Expression, centroids: Seq[Seq[Float]], nprobe: I
         acc += v * flat(base + i)
         i += 1
       }
-      dots(c) = acc
+      // NaN dots (a NaN query element or NaN centroid) sanitize to
+      // -Inf so a NaN cell can never out-rank a finite one: NaN never
+      // wins '>' but also never LOSES it once it is the incumbent, so
+      // an unsanitized NaN at a low index would block every genuinely
+      // nearer cell behind it.
+      dots(c) = if (java.lang.Double.isNaN(acc)) Double.NegativeInfinity else acc
       c += 1
     }
     // selection sort of the top nprobe — k is small (k-means cells).
-    // NaN dots (a zero-norm or NaN-element vector) never win a `>`
-    // comparison, so without the best == -1 fallback the selection
-    // would index taken(-1); the fallback takes the first untaken
-    // cell, keeping the probe list total and deterministic even for
-    // degenerate query vectors.
+    // With all dots finite (post-sanitize) the best == -1 clause takes
+    // the first untaken cell on all-(-Inf) ties, keeping the probe
+    // list total and deterministic even for degenerate query vectors.
     val out = new Array[Int](nprobe)
     val taken = new Array[Boolean](k)
     var s = 0

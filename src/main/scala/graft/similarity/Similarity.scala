@@ -199,13 +199,21 @@ object Similarity {
       threshold: Double,
       targetRecall: Double = 0.95,
       numPlanes: Int = 64,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L,
+      dim: Int = 0): DataFrame = {
     val g = lshGeometry(threshold, targetRecall, numPlanes)
-    val firstRow = df.select(size(col(vecCol))).take(1)
-    if (firstRow.isEmpty)
-      return df.select(col(idCol).as("id_a"), col(idCol).as("id_b"), lit(0.0).as("cosine")).limit(0)
-    val dim = firstRow.head.getInt(0)
-    nearDupPairs(df, vecCol, idCol, threshold, hyperplanes(dim, numPlanes, seed), g.bands, g.probeHamming)
+    // Callers that know the embedding dimension pass it and the whole
+    // call stays a lazy transform; dim = 0 falls back to a one-row
+    // probe (the only Spark action on this path — null vectors are
+    // skipped, and an empty/all-null frame short-circuits to an empty
+    // result since there is nothing to pair).
+    val d = if (dim > 0) dim else {
+      val firstRow = df.select(size(col(vecCol)).as("d")).filter(col("d").isNotNull).take(1)
+      if (firstRow.isEmpty)
+        return df.select(col(idCol).as("id_a"), col(idCol).as("id_b"), lit(0.0).as("cosine")).limit(0)
+      firstRow.head.getInt(0)
+    }
+    nearDupPairs(df, vecCol, idCol, threshold, hyperplanes(d, numPlanes, seed), g.bands, g.probeHamming)
   }
 
   /** All-pairs near-duplicate mining above a cosine threshold: LSH
@@ -244,14 +252,14 @@ object Similarity {
       s"bitsPerBand=$bitsPerBand: bands narrower than 8 bits (<256 buckets) degenerate " +
         s"toward the all-pairs join at scale; size planes = bands x k with k >= 8")
     require(probeHamming >= 0 && probeHamming <= bitsPerBand, s"probeHamming=$probeHamming")
-    val firstRow = df.select(size(col(vecCol))).take(1)
-    if (firstRow.isEmpty)
-      return df.select(col(idCol).as("id_a"), col(idCol).as("id_b"), lit(0.0).as("cosine")).limit(0)
+    // The embedding dimension is already encoded in the planes the
+    // caller supplied — no input probe, the whole builder is a lazy
+    // transform (an empty input flows through to an empty result).
+    val dim = planes.head.length
     // Normalize ONCE per vector (staged projections so the norm is an
     // attribute): per-pair verification is then a bare dot product —
     // the norm would otherwise be recomputed for both sides of every
     // candidate pair (3 interpreted array passes per pair instead of 1).
-    val dim = firstRow.head.getInt(0)
     val vecs = df
       .select(col(idCol), col(vecCol))
       .withColumn("__norm", norm(col(vecCol)))

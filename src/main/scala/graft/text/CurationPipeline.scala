@@ -14,13 +14,17 @@ import org.apache.spark.sql.functions._
   *   candidates, keep the smallest doc per duplicate cluster) ->
   *   quality gate -> curated corpus + survival stats.
   *
-  * Every stage is a lazy DataFrame transform; only the final stats
-  * are collected. Near-dup survival is CLUSTER-canonical: verified
-  * pairs resolve to transitive duplicate clusters
-  * ([[Dedup.dupClusters]], min-label propagation) and one doc — the
-  * smallest id — survives per cluster, so chained near-dups
-  * (a~b, b~c) collapse to a single survivor instead of whatever a
-  * per-pair drop happens to leave.
+  * Every stage except near-dedup is a lazy DataFrame transform; the
+  * near-dedup step MATERIALIZES the verified pair list at
+  * processor-execution time (one pass of the annotate -> exact-dedup
+  * -> shingle -> LSH -> verify upstream) because cluster resolution
+  * is a fixpoint over it — [[Dedup.dupClusters]] then resolves the
+  * materialized list with driver-side union-find (one collect; the
+  * list is control-plane-sized by construction) or distributed label
+  * propagation above ~10 M edges. Survival is CLUSTER-canonical: one
+  * doc — the smallest id — survives per connected component, so
+  * chained near-dups (a~b, b~c) collapse to a single survivor
+  * instead of whatever a per-pair drop happens to leave.
   */
 object CurationPipeline {
 
@@ -48,8 +52,14 @@ object CurationPipeline {
     */
   val nearDedup: Processor = Processor("NearDedup", required = Seq("exact_deduped")) { ctx =>
     val docs = ctx.table("exact_deduped")
-    val pairs = Dedup.verifyCandidates(docs, "text", "doc_id", n = 3, threshold = 0.5)
-    val losers = Dedup.dupClusters(pairs)
+    val (pairs, release) =
+      Dedup.verifyCandidatesReleasable(docs, "text", "doc_id", n = 3, threshold = 0.5)
+    // dupClusters materializes `pairs` eagerly at call time, so the
+    // shingle-hash cache inside verifyCandidates is consumed exactly
+    // once and can be released as soon as the call returns.
+    val clusters = Dedup.dupClusters(pairs)
+    release()
+    val losers = clusters
       .filter(col("id") =!= col("cluster"))
       .select(col("id").as("doc_id"))
     ctx.withTable("near_deduped", docs.join(broadcast(losers), Seq("doc_id"), "left_anti"))

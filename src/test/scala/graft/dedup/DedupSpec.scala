@@ -137,6 +137,28 @@ class DedupSpec extends SparkSpec {
     assert(fc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L)) // docs 1,2,3 are one dup cluster
   }
 
+  test("dupClusters: driver union-find and forced-distributed propagation yield identical labels") {
+    import sqlImplicits._
+    // deterministic pseudo-random edge soup: chains, stars, singleton
+    // pairs, duplicate + reversed edges, plus a long path (diameter 9)
+    var s = 987654321L
+    def nextInt(n: Int): Int = { s = s * 6364136223846793005L + 1442695040888963407L; ((s >>> 33) % n).toInt }
+    val random = (0 until 120).map(_ => (nextInt(40).toLong, nextInt(40).toLong)).filter(p => p._1 != p._2)
+    val path = (100L until 109L).map(i => (i, i + 1))
+    val pairs = (random ++ path ++ random.map(_.swap)).toDF("id_a", "id_b")
+    val local = Dedup.dupClusters(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dist = Dedup.dupClusters(pairs, maxIter = 20, collectThreshold = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(local == dist, s"local=$local dist=$dist")
+    assert(local(109L) == 100L) // long chain resolved to its minimum
+    // string ids exercise the generic Comparable ordering path
+    val spairs = Seq(("b", "c"), ("a", "b"), ("x", "y")).toDF("id_a", "id_b")
+    val slocal = Dedup.dupClusters(spairs)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(slocal == Map("a" -> "a", "b" -> "a", "c" -> "a", "x" -> "x", "y" -> "x"))
+  }
+
   test("pipeline near-dedup is cluster-canonical: an open chain keeps only the cluster minimum") {
     import sqlImplicits._
     // doc 3 is a near-dup of BOTH 1 and 2 (shared prefix + a slice of

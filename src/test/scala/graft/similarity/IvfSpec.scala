@@ -67,6 +67,23 @@ class IvfSpec extends SparkSpec {
     assert(cells == Seq(0, 1)) // first-untaken fallback => index order
   }
 
+  test("nearestCells: a NaN centroid never out-ranks finite cells for a finite query") {
+    import sqlImplicits._
+    // One poisoned centroid (NaN element) with a finite query makes a
+    // MIXED dots array. An unsanitized NaN incumbent never loses '>':
+    // cell 0 would win the first slot and block the true nearest cell.
+    // Post-sanitize (NaN -> -Inf) the finite cells rank first.
+    val centroids = Array(
+      Array(Float.NaN, 0f, 0f, 0f),
+      Array(0f, 1f, 0f, 0f),
+      Array(1f, 0f, 0f, 0f))
+    val q = Seq((0L, Array(1f, 0f, 0f, 0f))).toDF("vec_id", "embedding")
+    val cells = q
+      .select(NearestCells.nearestCells(col("embedding"), centroids, 2).as("cells"))
+      .head().getSeq[Int](0)
+    assert(cells == Seq(2, 1), cells.toString) // NaN cell ranks last, not first
+  }
+
   test("knnJoin with full probing equals per-query brute force") {
     val model = Ivf.train(clustered, "embedding", k = 3, iters = 5)
     val idx = Ivf.index(clustered, "embedding", "vec_id", model)
