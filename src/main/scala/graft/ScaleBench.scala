@@ -1,0 +1,181 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import scala.util.control.NonFatal
+
+/** Scale-up measurement for the dedup / similarity block — the
+  * engine's evidence that its 100 TB claims are measured, not
+  * extrapolated from sf0.1.
+  *
+  * The driver's fixtures stop at sf0.1 (5 k docs / 2 k embeddings), so
+  * this main DERIVES larger fixtures from them deterministically
+  * rather than synthesizing a foreign distribution: scale xN unions N
+  * copies of the sf0.1 tables where copy k
+  *
+  *   - offsets ids by k * 10^7 (id spaces stay disjoint);
+  *   - suffixes every document token with `_k` — within-copy shingle
+  *     structure (and therefore the per-copy duplicate population) is
+  *     PRESERVED EXACTLY while cross-copy shingle overlap is zero, so
+  *     the true-duplicate workload grows linearly in N by
+  *     construction and any super-linear runtime is the algorithm's
+  *     own doing;
+  *   - flips embedding element signs by a seeded per-(copy, index)
+  *     pattern — norms and within-copy dot products are bit-preserved
+  *     (both sides flip together), cross-copy cosines are scrambled
+  *     toward the near-orthogonal background.
+  *
+  * Fixtures land under `target/scale/x<N>/` (gitignored, rebuilt on
+  * demand); results append one JSON object per scale to
+  * `BENCH_scale.json` plus a fitted per-query scaling exponent
+  * alpha = log(t_hi / t_lo) / log(hi / lo) — alpha ~ 1 is linear,
+  * ~ 2 is the all-pairs cliff this block exists to avoid.
+  *
+  * Run: `runMain graft.ScaleBench` (optionally: baseDir outJson
+  * scalesCsv, default `/root/testdata/sf0.1 BENCH_scale.json 1,3,10`).
+  */
+object ScaleBench {
+
+  private val CopyStride = 10000000L
+
+  def ensureFixture(spark: SparkSession, baseDir: String, outDir: String, n: Int): Unit = {
+    val done = new java.io.File(s"$outDir/_DONE")
+    if (done.exists()) return
+    val docs = graft.sources.Sources.documents(spark, baseDir)
+    val emb = graft.sources.Sources.embeddings(spark, baseDir)
+    val docCopies = (0 until n).map { k =>
+      if (k == 0) docs
+      else docs.select(
+        (col("doc_id") + lit(k * CopyStride)).as("doc_id"),
+        array_join(transform(split(col("text"), " "), w => concat(w, lit(s"_$k"))), " ").as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    }
+    docCopies.reduce(_.unionByName(_))
+      .repartition(32).write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+    val embCopies = (0 until n).map { k =>
+      if (k == 0) emb
+      else emb.select(
+        (col("vec_id") + lit(k * CopyStride)).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          when(pmod(xxhash64(lit(k), i), lit(2)) === 0, x).otherwise(-x)).as("embedding"),
+        col("label"))
+    }
+    embCopies.reduce(_.unionByName(_))
+      .repartition(32).write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+    done.createNewFile()
+    ()
+  }
+
+  /** The measured block: every operator family whose 100 TB story is
+    * "bucketed, never all-pairs" — plus the single-query brute scan as
+    * the known-linear control.
+    */
+  private def block(spark: SparkSession, dir: String): Seq[(String, () => Long)] = {
+    def docs = graft.sources.Sources.documents(spark, dir)
+    def emb = graft.sources.Sources.embeddings(spark, dir)
+    Seq(
+      "exact_dedup" -> (() => graft.dedup.Dedup.exactDedup(docs, "text", "doc_id").count()),
+      "minhash_candidates" -> (() =>
+        graft.dedup.Dedup.minhashCandidatePairs(docs, "text", "doc_id").count()),
+      "lsh_verified_jaccard" -> (() => {
+        val (pairs, release) =
+          graft.dedup.Dedup.verifyCandidatesReleasable(docs, "text", "doc_id", n = 3, threshold = 0.5)
+        val c = pairs.count(); release(); c
+      }),
+      "curation_pipeline" -> (() =>
+        graft.text.CurationPipeline.run(spark, dir).table("curated").count()),
+      // broadcastVerify: the vector table is n x 64 floats (15 MB at
+      // x30) — broadcast verification keeps the near-quadratic
+      // mid-threshold candidate stream entirely map-side (see the
+      // nearDupPairs scaladoc; without it, 30x mining shuffles ~27 GB
+      // of vector-carrying candidates).
+      "embedding_neardup_mid04" -> (() =>
+        graft.similarity.Similarity
+          .nearDupPairsAuto(emb, "embedding", "vec_id", threshold = 0.4, dim = 64,
+            broadcastVerify = true).count()),
+      "embedding_neardup_prod095" -> (() =>
+        graft.similarity.Similarity
+          .nearDupPairsAuto(emb, "embedding", "vec_id", threshold = 0.95, dim = 64,
+            broadcastVerify = true).count()),
+      "ivf_knn_join" -> (() => {
+        val model = graft.similarity.Ivf.train(emb, "embedding", k = 8, iters = 5)
+        val idx = graft.similarity.Ivf.index(emb, "embedding", "vec_id", model)
+        // FIXED 20-query batch (ids 0-19 live only in copy 0) so the
+        // measurement isolates index-side growth; a growing query set
+        // would conflate both sides into an artificial N^2.
+        val queries = emb.filter(col("vec_id") < 20L)
+          .select(col("vec_id").as("q_id"), col("embedding"))
+        graft.similarity.Ivf
+          .knnJoin(idx, "embedding", "vec_id", queries, "embedding", "q_id", k = 5, model, nprobe = 3)
+          .count()
+      }),
+      "brute_topk_control" -> (() =>
+        graft.similarity.Similarity.cosineTopK(emb, "embedding",
+          Array.fill(64)(0.125f), 10, "vec_id").count()))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val baseDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val outPath = args.lift(1).getOrElse("BENCH_scale.json")
+    val scales = args.lift(2).getOrElse("1,3,10").split(",").map(_.trim.toInt).toSeq
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try { spark.range(1000000L).selectExpr("sum(id) s").collect() } catch { case NonFatal(_) => () }
+
+    val perScale = scales.map { x =>
+      val dir = s"target/scale/x$x"
+      ensureFixture(spark, baseDir, dir, x)
+      // Per-scale warmup: touch both inputs and JIT the hot custom
+      // expressions on a tiny slice so the FIRST timed query of a
+      // scale is not billed for compilation (observed: 2.4 s vs 0.7 s
+      // on the first embedding query without this).
+      val nDocs = graft.sources.Sources.documents(spark, dir).count()
+      val nEmb = graft.sources.Sources.embeddings(spark, dir).count()
+      try graft.similarity.Similarity.nearDupPairsAuto(
+        graft.sources.Sources.embeddings(spark, dir).limit(256),
+        "embedding", "vec_id", threshold = 0.5, dim = 64).count()
+      catch { case NonFatal(_) => () }
+      val times = block(spark, dir).map { case (name, thunk) =>
+        var rowsOut = -1L
+        val ts = (0 until math.max(1, runs)).map { _ =>
+          val t0 = System.nanoTime()
+          try rowsOut = thunk() catch { case NonFatal(e) => System.err.println(s"$name x$x: $e") }
+          (System.nanoTime() - t0) / 1e9
+        }
+        spark.catalog.clearCache()
+        println(f"  x$x%-3d $name%-26s ${ts.min}%8.2f s  rows=$rowsOut")
+        (name, ts.min, rowsOut)
+      }
+      (x, nDocs, nEmb, times)
+    }
+    val names = perScale.head._4.map(_._1)
+    val lo = perScale.head
+    val hi = perScale.last
+    val alphas = names.map { n =>
+      val tLo = lo._4.find(_._1 == n).get._2
+      val tHi = hi._4.find(_._1 == n).get._2
+      n -> math.log(tHi / tLo) / math.log(hi._1.toDouble / lo._1)
+    }
+    def jnum(d: Double): String = f"$d%.4f"
+    val scaleJson = perScale.map { case (x, nDocs, nEmb, times) =>
+      val qs = times.map { case (n, t, r) => s""""$n":{"sec":${jnum(t)},"rows":$r}""" }.mkString(",")
+      s"""{"scale_x":$x,"docs":$nDocs,"embeddings":$nEmb,"queries":{$qs}}"""
+    }.mkString("[", ",", "]")
+    val alphaJson = alphas.map { case (n, a) => s""""$n":${jnum(a)}""" }.mkString("{", ",", "}")
+    val line =
+      s"""{"base":"$baseDir","unit":"sec","runs":$runs,"metric":"min","scales":$scaleJson,""" +
+        s""""alpha_log_time_ratio":$alphaJson,""" +
+        s""""alpha_note":"alpha=log(t_x${hi._1}/t_x${lo._1})/log(${hi._1}/${lo._1}); 1=linear, 2=quadratic"}"""
+    println(line)
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+        line.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case NonFatal(_) => () }
+    spark.stop()
+  }
+}

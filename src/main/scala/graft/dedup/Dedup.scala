@@ -447,9 +447,15 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sig = gs.select(col("id"), MinHashSig.minhashSig(col("gs"), numHashes, seed).as("sig"))
     val cand = candidatePairsFromSig(sig, numHashes, bands).select("id_a", "id_b")
+    // shuffle-hash the two shingle-set lookups: the candidate stream
+    // must stay streaming — sort-merge would sort candidate rows that
+    // carry a whole shingle-hash ARRAY after the first join (same
+    // payload-through-sort hazard as the vector verify join in
+    // graft.similarity.Similarity, where it was measured at ~60 GB of
+    // spill at 30x scale).
     cand
-      .join(gs.toDF("id_a", "gs_a"), "id_a")
-      .join(gs.toDF("id_b", "gs_b"), "id_b")
+      .join(gs.toDF("id_a", "gs_a").hint("shuffle_hash"), "id_a")
+      .join(gs.toDF("id_b", "gs_b").hint("shuffle_hash"), "id_b")
       .withColumn("shared", size(array_intersect(col("gs_a"), col("gs_b"))).cast("long"))
       .withColumn(
         "jaccard",

@@ -86,7 +86,10 @@ object SimilarityQueries {
   def q30EmbeddingNearDup(spark: SparkSession, dir: String): DataFrame =
     Similarity.nearDupPairsAuto(
       Sources.embeddings(spark, dir), "embedding", "vec_id",
-      threshold = 0.4, targetRecall = 0.95, numPlanes = 64)
+      threshold = 0.4, targetRecall = 0.95, numPlanes = 64,
+      // fixture vector table is KBs-to-MBs: broadcast verification
+      // keeps the mid-threshold candidate stream map-side end to end
+      broadcastVerify = true)
       .orderBy("id_a", "id_b")
 
   /** IVF ANN: deterministic spherical k-means cells, probe the 3

@@ -200,7 +200,8 @@ object Similarity {
       targetRecall: Double = 0.95,
       numPlanes: Int = 64,
       seed: Long = 42L,
-      dim: Int = 0): DataFrame = {
+      dim: Int = 0,
+      broadcastVerify: Boolean = false): DataFrame = {
     val g = lshGeometry(threshold, targetRecall, numPlanes)
     // Callers that know the embedding dimension pass it and the whole
     // call stays a lazy transform; dim = 0 falls back to a one-row
@@ -213,7 +214,8 @@ object Similarity {
         return df.select(col(idCol).as("id_a"), col(idCol).as("id_b"), lit(0.0).as("cosine")).limit(0)
       firstRow.head.getInt(0)
     }
-    nearDupPairs(df, vecCol, idCol, threshold, hyperplanes(d, numPlanes, seed), g.bands, g.probeHamming)
+    nearDupPairs(df, vecCol, idCol, threshold, hyperplanes(d, numPlanes, seed),
+      g.bands, g.probeHamming, broadcastVerify)
   }
 
   /** All-pairs near-duplicate mining above a cosine threshold: LSH
@@ -244,7 +246,8 @@ object Similarity {
       threshold: Double,
       planes: Array[Array[Float]],
       bands: Int = 8,
-      probeHamming: Int = 0): DataFrame = {
+      probeHamming: Int = 0,
+      broadcastVerify: Boolean = false): DataFrame = {
     require(planes.length % bands == 0,
       s"planes=${planes.length} must divide evenly into bands=$bands")
     val bitsPerBand = planes.length / bands
@@ -330,9 +333,35 @@ object Similarity {
           bit_count(col("rsig2_a").bitwiseXOR(col("rsig2_b")))) <= maxDisagree)
       .select("id_a", "id_b")
       .distinct()
+    // Verification join strategy — the candidate stream must NEVER be
+    // sorted or shuffled carrying a dim-float payload:
+    //   - default (`broadcastVerify = false`): SHUFFLE-HASH, not
+    //     sort-merge, for the two vector lookups. At mid thresholds
+    //     the candidate stream can approach O(n^2) rows and the second
+    //     join's input carries vec_a — sort-merge would SORT that wide
+    //     stream (measured at 30x sf0.1: ~60 GB of sort spill, disk
+    //     exhaustion), while a shuffled hash join builds its table
+    //     from the per-partition slice of the SMALL (id, vec) side and
+    //     only exchanges the stream, never sorts it. This is the shape
+    //     that stays correct at ANY corpus size.
+    //   - `broadcastVerify = true`: broadcast-hash both lookups — ZERO
+    //     exchanges of the candidate stream (it flows map-side from
+    //     the band join straight through verification). Correct
+    //     whenever n x dim x 4 bytes fits an executor/driver broadcast
+    //     (~15 MB at 60 k x 64; viable up to a few million vectors) —
+    //     which is exactly the regime where mid-threshold mining's
+    //     near-quadratic candidate volume shows up, so the option
+    //     matters most where it is also safe. Measured at 30x sf0.1 /
+    //     threshold 0.4: the difference between disk exhaustion and
+    //     completing in memory.
+    val vecA = vecs.toDF("id_a", "vec_a")
+    val vecB = vecs.toDF("id_b", "vec_b")
+    val (ja, jb) =
+      if (broadcastVerify) (broadcast(vecA), broadcast(vecB))
+      else (vecA.hint("shuffle_hash"), vecB.hint("shuffle_hash"))
     candidates
-      .join(vecs.toDF("id_a", "vec_a"), "id_a")
-      .join(vecs.toDF("id_b", "vec_b"), "id_b")
+      .join(ja, "id_a")
+      .join(jb, "id_b")
       .withColumn("cosine", dot(col("vec_a"), col("vec_b"))) // unit vectors
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
