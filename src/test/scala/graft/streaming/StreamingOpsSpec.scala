@@ -126,4 +126,31 @@ class StreamingOpsSpec extends SparkSpec {
     val b = batch.orderBy("user_id", "event_id").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(g.toSeq == b.toSeq)
   }
+
+  test("streaming minhash candidates match the batch pair set across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import sqlImplicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = (1 to 50).map(i => s"w$i").mkString(" ")
+    val nearDup = (1 to 48).map(i => s"w$i").mkString(" ") + " x y"
+    val nearDup2 = (3 to 50).map(i => s"w$i").mkString(" ") + " p q"
+    val other = (100 to 160).map(i => s"v$i").mkString(" ")
+    val batch1 = Seq((1L, base), (4L, other))
+    val batch2 = Seq((2L, base), (3L, nearDup)) // dups of batch-1 docs arrive LATER
+    val batch3 = Seq((5L, nearDup2)) // chains onto 1/2/3 a batch later still
+    val input = MemoryStream[(Long, String)]
+    val stream = StreamingOps.minhashCandidatesStream(
+      input.toDF().toDF("doc_id", "text"), "text", "doc_id")
+    val q = stream.toDF().writeStream.outputMode("append").format("memory").queryName("mhc").start()
+    Seq(batch1, batch2, batch3).foreach { b => input.addData(b); q.processAllAvailable() }
+    q.stop()
+    val got = spark.table("mhc").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet // distinct folds multi-band emits
+    val want = graft.dedup.Dedup.minhashCandidatePairs(
+      (batch1 ++ batch2 ++ batch3).toDF("doc_id", "text"), "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == want, s"stream=$got batch=$want")
+    assert(want.exists { case (a, b, _) => a == 1L && b == 2L }) // cross-batch exact dup surfaced
+    assert(!want.exists { case (a, b, _) => a == 4L || b == 4L }) // unrelated never collides
+  }
 }
