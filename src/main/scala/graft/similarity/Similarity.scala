@@ -153,6 +153,20 @@ object Similarity {
     * best-recall shape is returned and a warning logged — the caller
     * asked for more recall than `numPlanes` sign bits can resolve.
     */
+  /** MEASURED SCALE CAVEAT (ScaleBench, 30x sf0.1): a k-bit band has
+    * only 2^k buckets, so at mid thresholds the candidate count tracks
+    * the BACKGROUND pair distribution, which is quadratic in corpus
+    * size — 60 k near-orthogonal vectors at threshold 0.4 yield ~10^9
+    * band-join rows and an 833 k-pair true result. That cost is
+    * intrinsic to the selectivity asked for (the output itself is
+    * near-quadratic: a 0.4 cut sits ~3 sigma into the random-cosine
+    * distribution), not to the plan — runtime stays sub-linear per
+    * emitted pair, and production thresholds (~0.95) keep both
+    * candidates and output sparse (measured flat to 30x). Mine at mid
+    * thresholds only on corpora small enough that the O(n^2) tail is
+    * acceptable, and pass `broadcastVerify` when n x dim floats fit a
+    * broadcast.
+    */
   def lshGeometry(threshold: Double, targetRecall: Double = 0.95, numPlanes: Int = 64): LshGeometry = {
     require(numPlanes >= 8 && numPlanes <= 64, s"numPlanes=$numPlanes must be in [8, 64] (one long)")
     require(targetRecall > 0.0 && targetRecall < 1.0, s"targetRecall=$targetRecall must be in (0, 1)")
