@@ -57,16 +57,25 @@ class AdxLikeTableProvider extends TableProvider {
       opt("url").orNull,
       opt("table").orNull,
       schema,
-      opt("maxRetries").map(_.toInt).getOrElse(3))
+      opt("maxRetries").map(_.toInt).getOrElse(3),
+      opt("partitionColumn"),
+      opt("numPartitions").map(_.toInt).getOrElse(1))
   }
 
   override def supportsExternalMetadata(): Boolean = true
 }
 
-private class AdxLikeTable(url: String, tableName: String, tableSchema: StructType, maxRetries: Int)
+private class AdxLikeTable(
+    url: String,
+    tableName: String,
+    tableSchema: StructType,
+    maxRetries: Int,
+    partitionColumn: Option[String],
+    numPartitions: Int)
   extends Table with SupportsRead {
   require(url != null, "option 'url' is required")
   require(tableName != null, "option 'table' is required")
+  require(numPartitions >= 1, s"numPartitions=$numPartitions must be >= 1")
 
   override def name(): String = s"adxlike:$tableName"
   override def schema(): StructType = tableSchema
@@ -74,10 +83,16 @@ private class AdxLikeTable(url: String, tableName: String, tableSchema: StructTy
     java.util.EnumSet.of(TableCapability.BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new AdxLikeScanBuilder(url, tableName, tableSchema, maxRetries)
+    new AdxLikeScanBuilder(url, tableName, tableSchema, maxRetries, partitionColumn, numPartitions)
 }
 
-private class AdxLikeScanBuilder(url: String, table: String, full: StructType, maxRetries: Int)
+private class AdxLikeScanBuilder(
+    url: String,
+    table: String,
+    full: StructType,
+    maxRetries: Int,
+    partitionColumn: Option[String],
+    numPartitions: Int)
   extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
   private var pushed: Array[Filter] = Array.empty
@@ -95,7 +110,8 @@ private class AdxLikeScanBuilder(url: String, table: String, full: StructType, m
     required = requiredSchema
   }
 
-  override def build(): Scan = new AdxLikeScan(url, table, required, pushed, maxRetries, full)
+  override def build(): Scan =
+    new AdxLikeScan(url, table, required, pushed, maxRetries, full, partitionColumn, numPartitions)
 }
 
 private class AdxLikeScan(
@@ -104,16 +120,22 @@ private class AdxLikeScan(
     schema: StructType,
     pushed: Array[Filter],
     maxRetries: Int,
-    fullSchema: StructType) extends Scan with Batch {
+    fullSchema: StructType,
+    partitionColumn: Option[String],
+    numPartitions: Int) extends Scan with Batch {
 
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
   override def description(): String =
     s"AdxLike table=$table PushedFilters: [${pushed.mkString(", ")}], " +
-      s"ReadColumns: [${schema.fieldNames.mkString(", ")}]"
+      s"ReadColumns: [${schema.fieldNames.mkString(", ")}]" +
+      partitionColumn.map(c => s", Partitioned: MOD($c, $numPartitions)").getOrElse("")
 
   override def planInputPartitions(): Array[InputPartition] =
-    Array(AdxLikePartition(AdxLike.compileQuery(table, schema, pushed, fullSchema)))
+    AdxLike.compilePartitionQueries(
+      table, schema, pushed, fullSchema, partitionColumn, numPartitions)
+      .map(AdxLikePartition.apply)
+      .toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
     new AdxLikeReaderFactory(url, schema, maxRetries)
@@ -244,6 +266,33 @@ private[sources] object AdxLike {
         "\"" + f.metadata.getString(RemoteNameKey).replace("\"", "\"\"") + "\""
       case _ => name
     }
+
+  /** One remote query per partition: with `partitionColumn` set and
+    * `numPartitions` > 1, partition i reads the disjoint slice
+    * `MOD(col, n) = i` — the executor fleet shares the scan the same
+    * way [[Jdbc.readPartitioned]] shards its range, but compiled into
+    * the remote query text. The column should be a non-negative
+    * integral key (ids); rows where `col` is NULL or negative may be
+    * dropped/skewed by MOD semantics, so pick a surrogate key.
+    */
+  def compilePartitionQueries(
+      table: String,
+      schema: StructType,
+      pushed: Array[Filter],
+      full: StructType,
+      partitionColumn: Option[String],
+      numPartitions: Int): Seq[String] = {
+    val base = compileQuery(table, schema, pushed, full)
+    partitionColumn match {
+      case Some(c) if numPartitions > 1 =>
+        val rid = remoteId(full, c)
+        (0 until numPartitions).map { i =>
+          val pred = s"MOD($rid, $numPartitions) = $i"
+          if (base.contains(" WHERE ")) s"$base AND ($pred)" else s"$base WHERE $pred"
+        }
+      case _ => Seq(base)
+    }
+  }
 
   /** Compile the pruned projection + pushed predicates into the
     * remote query — the connector ships query TEXT, exactly like the

@@ -167,6 +167,88 @@ object StreamingOps {
         })
   }
 
+  final case class BandedDocT(band: Int, h: Long, id: Long, sig: Seq[Long], ts: java.sql.Timestamp)
+  final case class BucketStateT(docs: List[(Long, Seq[Long], Long)])
+
+  /** [[minhashCandidatesStream]] with the PRODUCTION state bound: each
+    * seen document expires `ttlMs` after its event time, enforced two
+    * ways — entries past the watermark-relative TTL are evicted before
+    * any new arrival pairs against them (a bucket that keeps receiving
+    * data never pairs against expired history), and idle buckets get
+    * an event-time timeout that clears their state entirely. Total
+    * state is therefore bounded by the corpus volume of one TTL
+    * horizon instead of the whole stream — the same horizon-bound
+    * contract as `dropDuplicatesWithinWatermark` on the exact-dedup
+    * twin, applied to a keyed near-dup seen-set.
+    *
+    * Semantics vs the unbounded twin: identical WITHIN the horizon; a
+    * near-dup arriving more than `ttlMs` (event time) after its
+    * partner is intentionally NOT reported (pinned by the spec).
+    */
+  def minhashCandidatesStreamTtl(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      tsCol: String,
+      ttlMs: Long = 3600000L,
+      lateness: String = "10 seconds",
+      n: Int = 3,
+      numHashes: Int = 32,
+      bands: Int = 8,
+      seed: Long = 42L): Dataset[CandPair] = {
+    import docs.sparkSession.implicits._
+    require(numHashes % bands == 0, s"numHashes=$numHashes must divide into bands=$bands")
+    require(ttlMs > 0, s"ttlMs=$ttlMs must be positive")
+    val rowsPerBand = numHashes / bands
+    val sig = docs
+      .withWatermark(tsCol, lateness)
+      .select(col(idCol).cast("long").as("id"), col(tsCol).as("ts"),
+        graft.dedup.ShingleHashes.shingleHashes(col(textCol), n).as("__gh"))
+      .select(col("id"), col("ts"),
+        graft.dedup.MinHashSig.minhashSig(col("__gh"), numHashes, seed).as("sig"))
+    val banded = sig.select(
+      col("id"), col("sig"), col("ts"),
+      explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)).as("h"))
+      }: _*)).as("bk"))
+      .select(col("bk.band").as("band"), col("bk.h").as("h"), col("id"), col("sig"), col("ts"))
+      .as[BandedDocT]
+    banded
+      .groupByKey(d => (d.band, d.h))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (_: (Int, Long), rows: Iterator[BandedDocT], state: GroupState[BucketStateT]) => {
+          val wm = state.getCurrentWatermarkMs()
+          def live(docs: List[(Long, Seq[Long], Long)]) = docs.filter(_._3 + ttlMs > wm)
+          if (state.hasTimedOut) {
+            val kept = live(state.getOption.map(_.docs).getOrElse(Nil))
+            if (kept.isEmpty) state.remove()
+            else {
+              state.update(BucketStateT(kept))
+              state.setTimeoutTimestamp(kept.map(_._3).min + ttlMs)
+            }
+            Iterator.empty
+          } else {
+            var seen = live(state.getOption.map(_.docs).getOrElse(Nil))
+            val out = scala.collection.mutable.ListBuffer.empty[CandPair]
+            rows.toSeq.sortBy(_.id).foreach { d =>
+              seen.foreach { case (oid, osig, _) =>
+                if (oid != d.id) {
+                  val eq = osig.iterator.zip(d.sig.iterator).count { case (x, y) => x == y }
+                  out += CandPair(math.min(oid, d.id), math.max(oid, d.id), eq.toDouble / numHashes)
+                }
+              }
+              seen = (d.id, d.sig, d.ts.getTime) :: seen
+            }
+            state.update(BucketStateT(seen))
+            // earliest remaining expiry; all kept entries satisfy
+            // ts + ttl > watermark, so this is a legal future timestamp
+            state.setTimeoutTimestamp(seen.map(_._3).min + ttlMs)
+            out.iterator
+          }
+        })
+  }
+
   // ------------------------------------------------- stateful cycles
 
   final case class EventIn(event_id: Long, ts: java.sql.Timestamp, user_id: Long, event_type: String, value: Double)

@@ -99,6 +99,21 @@ class AdxLikeSourceSpec extends SparkSpec {
     assert(Jdbc.classify(e) == Jdbc.Fatal)
   }
 
+  test("partitioned read shards via MOD in the remote queries without changing results") {
+    seed()
+    val df = spark.read.format(fmt)
+      .option("url", url).option("table", "readings")
+      .option("partitionColumn", "id").option("numPartitions", "4").load()
+    assert(df.rdd.getNumPartitions == 4)
+    assert(df.agg(org.apache.spark.sql.functions.sum(col("id"))).head().getLong(0) == 465L)
+    // each partition's compiled query carries its disjoint MOD slice
+    assert(AdxLike.lastQuery.contains("MOD(\"ID\", 4) ="), AdxLike.lastQuery)
+    // pushdown composes with partitioning
+    assert(df.filter(col("temp") > 10.0).count() == 10)
+    assert(AdxLike.lastQuery.contains("\"TEMP\" > 10.0") &&
+      AdxLike.lastQuery.contains("MOD(\"ID\", 4) ="), AdxLike.lastQuery)
+  }
+
   test("registry integration: the DSv2 source reads through SourceRegistry like any source") {
     seed()
     SourceRegistry.register("adx_readings", (s, _) =>

@@ -153,4 +153,34 @@ class StreamingOpsSpec extends SparkSpec {
     assert(want.exists { case (a, b, _) => a == 1L && b == 2L }) // cross-batch exact dup surfaced
     assert(!want.exists { case (a, b, _) => a == 4L || b == 4L }) // unrelated never collides
   }
+
+  test("TTL-bounded streaming minhash: partners within the horizon pair, expired history does not") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import sqlImplicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val textX = (1 to 50).map(i => s"w$i").mkString(" ")
+    val other = (100 to 160).map(i => s"v$i").mkString(" ")
+    val input = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val stream = StreamingOps.minhashCandidatesStreamTtl(
+      input.toDF().toDF("doc_id", "text", "ts"), "text", "doc_id", "ts",
+      ttlMs = 3600000L, lateness = "10 seconds")
+    val q = stream.toDF().writeStream.outputMode("append").format("memory").queryName("mhcttl").start()
+    // doc 1 at 10:00; its state expires (event-time) at 11:00
+    input.addData((1L, textX, ts("2024-01-01 10:00:00")))
+    q.processAllAvailable()
+    // unrelated marker at 13:00 advances the watermark far past 11:00
+    input.addData((99L, other, ts("2024-01-01 13:00:00")))
+    q.processAllAvailable()
+    // doc 2: same text as doc 1 but 3h later -> partner EXPIRED, no pair
+    input.addData((2L, textX, ts("2024-01-01 13:05:00")))
+    q.processAllAvailable()
+    // doc 3: same text, 5 min after doc 2 -> within horizon, pair (2,3)
+    input.addData((3L, textX, ts("2024-01-01 13:10:00")))
+    q.processAllAvailable()
+    q.stop()
+    val pairs = spark.table("mhcttl").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((2L, 3L)), s"expected only the in-horizon pair, got $pairs")
+  }
 }
