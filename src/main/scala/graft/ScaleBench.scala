@@ -26,8 +26,8 @@ import scala.util.control.NonFatal
   *     toward the near-orthogonal background.
   *
   * Fixtures land under `target/scale/x<N>/` (gitignored, rebuilt on
-  * demand); results append one JSON object per scale to
-  * `BENCH_scale.json` plus a fitted per-query scaling exponent
+  * demand); `BENCH_scale.json` is (re)written with one
+  * object per scale plus a fitted per-query scaling exponent
   * alpha = log(t_hi / t_lo) / log(hi / lo) — alpha ~ 1 is linear,
   * ~ 2 is the all-pairs cliff this block exists to avoid.
   *
@@ -156,11 +156,15 @@ object ScaleBench {
     val names = perScale.head._4.map(_._1)
     val lo = perScale.head
     val hi = perScale.last
-    val alphas = names.map { n =>
-      val tLo = lo._4.find(_._1 == n).get._2
-      val tHi = hi._4.find(_._1 == n).get._2
-      n -> math.log(tHi / tLo) / math.log(hi._1.toDouble / lo._1)
-    }
+    // a single-scale run has no ratio to fit (0/0 would print bare
+    // NaN and break the JSON) — emit an empty alpha object instead
+    val alphas =
+      if (perScale.size < 2) Seq.empty
+      else names.map { n =>
+        val tLo = lo._4.find(_._1 == n).get._2
+        val tHi = hi._4.find(_._1 == n).get._2
+        n -> math.log(tHi / tLo) / math.log(hi._1.toDouble / lo._1)
+      }
     def jnum(d: Double): String = f"$d%.4f"
     val scaleJson = perScale.map { case (x, nDocs, nEmb, times) =>
       val qs = times.map { case (n, t, r) => s""""$n":{"sec":${jnum(t)},"rows":$r}""" }.mkString(",")

@@ -188,6 +188,12 @@ object Dedup {
     * superseded checkpointed generation is unpersisted as soon as the
     * next one materializes so at most two generations of blocks are
     * live at any time.
+    *
+    * SIZE THE THRESHOLD TO THE DRIVER: the default (10 M edges)
+    * collects a few GB of boxed rows at the limit — right for the
+    * multi-GB driver a 100 TB job runs with, too big for a default
+    * 1 GB driver heap; pass a smaller `collectThreshold` (or 0 to
+    * force the distributed path) on small drivers.
     */
   def dupClusters(
       pairs: DataFrame,

@@ -30,8 +30,18 @@ object HttpTransport {
   final case class HttpStatusException(status: Int, body: String)
     extends RuntimeException(s"HTTP $status: ${body.take(200)}")
 
+  /** Retry ONLY transient failures; permanent I/O faults (bad cert,
+    * unknown host) fail fast like a 4xx — the same
+    * whitelist-the-transient discipline as the JDBC classifier.
+    * NOTE: a retried 5xx MAY double-submit on a non-idempotent
+    * endpoint (the server can have processed the request before
+    * failing to reply); callers for whom that matters should pass
+    * `maxAttempts = 1` and handle retries with an idempotency key.
+    */
   private[llm] def retryable(e: Throwable): Boolean = e match {
     case HttpStatusException(s, _) => s == 429 || s == 408 || s / 100 == 5
+    case _: javax.net.ssl.SSLException => false // misconfigured TLS never heals
+    case _: java.net.UnknownHostException => false // typo'd host never heals
     case _: java.net.http.HttpTimeoutException => true
     case _: java.net.ConnectException => true
     case _: java.io.IOException => true // reset / broken pipe / GOAWAY
@@ -48,28 +58,8 @@ object HttpTransport {
       timeout: Duration = Duration.ofSeconds(60),
       client: HttpClient = defaultClient): Providers.Transport = {
     require(maxAttempts >= 1, s"maxAttempts=$maxAttempts must be >= 1")
-    spec => execute(client, spec, timeout, maxAttempts, backoffMs)
-  }
-
-  private def execute(
-      client: HttpClient,
-      spec: Providers.RequestSpec,
-      timeout: Duration,
-      maxAttempts: Int,
-      backoffMs: Long): String = {
-    var attempt = 0
-    var last: Throwable = null
-    while (attempt < maxAttempts) {
-      try return send(client, spec, timeout)
-      catch {
-        case e: Throwable if retryable(e) && attempt < maxAttempts - 1 =>
-          last = e
-          attempt += 1
-          Thread.sleep(backoffMs * attempt)
-        case e: Throwable => throw e
-      }
-    }
-    throw last
+    spec => graft.core.Retry.withRetries(maxAttempts, backoffMs)(retryable)(
+      send(client, spec, timeout))
   }
 
   private def send(client: HttpClient, spec: Providers.RequestSpec, timeout: Duration): String = {

@@ -39,7 +39,12 @@ import org.apache.spark.unsafe.types.UTF8String
   *   .option("url", "jdbc:derby:memory:db").option("table", "t").load()
   * }}}
   */
-class AdxLikeTableProvider extends TableProvider {
+class AdxLikeTableProvider extends TableProvider with DataSourceRegister {
+
+  /** `spark.read.format("adxlike")` — registered via the standard
+    * META-INF/services DataSourceRegister SPI.
+    */
+  override def shortName(): String = "adxlike"
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     AdxLike.resolveSchema(
@@ -269,11 +274,14 @@ private[sources] object AdxLike {
 
   /** One remote query per partition: with `partitionColumn` set and
     * `numPartitions` > 1, partition i reads the disjoint slice
-    * `MOD(col, n) = i` — the executor fleet shares the scan the same
-    * way [[Jdbc.readPartitioned]] shards its range, but compiled into
-    * the remote query text. The column should be a non-negative
-    * integral key (ids); rows where `col` is NULL or negative may be
-    * dropped/skewed by MOD semantics, so pick a surrogate key.
+    * `MOD(MOD(col, n) + n, n) = i` over an integral column. The
+    * double-MOD folds NEGATIVE values into [0, n) (SQL MOD of a
+    * negative is negative in most dialects — a bare `MOD(col,n)=i`
+    * would silently drop those rows), and partition 0 additionally
+    * takes `col IS NULL` rows, so the union of the partitions is
+    * EXACTLY the unpartitioned result for any data. Same sharding
+    * contract as [[Jdbc.readPartitioned]], compiled into the remote
+    * query text.
     */
   def compilePartitionQueries(
       table: String,
@@ -287,7 +295,8 @@ private[sources] object AdxLike {
       case Some(c) if numPartitions > 1 =>
         val rid = remoteId(full, c)
         (0 until numPartitions).map { i =>
-          val pred = s"MOD($rid, $numPartitions) = $i"
+          val slice = s"MOD(MOD($rid, $numPartitions) + $numPartitions, $numPartitions) = $i"
+          val pred = if (i == 0) s"($slice) OR ($rid IS NULL)" else slice
           if (base.contains(" WHERE ")) s"$base AND ($pred)" else s"$base WHERE $pred"
         }
       case _ => Seq(base)
@@ -315,6 +324,11 @@ private[sources] object AdxLike {
     case null => None
     case s: String => Some("'" + s.replace("'", "''") + "'")
     case b: Boolean => Some(b.toString.toUpperCase)
+    // non-finite doubles have no portable SQL literal AND different
+    // comparison semantics remote-side (Spark: NaN = NaN is true,
+    // NaN sorts above all doubles) — keep those filters in Spark
+    case d: Double if java.lang.Double.isNaN(d) || java.lang.Double.isInfinite(d) => None
+    case f: Float if java.lang.Float.isNaN(f) || java.lang.Float.isInfinite(f) => None
     case n @ (_: Int | _: Long | _: Short | _: Byte | _: Double | _: Float) => Some(n.toString)
     case d: java.math.BigDecimal => Some(d.toPlainString)
     case d: BigDecimal => Some(d.underlying.toPlainString)

@@ -69,22 +69,8 @@ object Jdbc {
     * the reference's 3-attempt reconnect loop
     * (mysql_plugin.py:181-192 / adx_plugin.py:131-165).
     */
-  private[sources] def withRetries[T](maxRetries: Int = 3, backoffMs: Long = 200L)(f: => T): T = {
-    require(maxRetries >= 1, s"maxRetries=$maxRetries must be >= 1")
-    var attempt = 0
-    var last: Throwable = null
-    while (attempt < maxRetries) {
-      try return f
-      catch {
-        case e: Throwable if classify(e) == Retryable && attempt < maxRetries - 1 =>
-          last = e
-          attempt += 1
-          Thread.sleep(backoffMs * attempt)
-        case e: Throwable => throw e
-      }
-    }
-    throw last
-  }
+  private[sources] def withRetries[T](maxRetries: Int = 3, backoffMs: Long = 200L)(f: => T): T =
+    graft.core.Retry.withRetries(maxRetries, backoffMs)(classify(_) == Retryable)(f)
 
   private def baseReader(
       spark: SparkSession,

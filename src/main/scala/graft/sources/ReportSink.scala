@@ -26,13 +26,13 @@ object ReportSink {
     sb.append(s"# $title\n\n")
     sb.append("## Schema\n\n| column | type | nullable |\n|---|---|---|\n")
     df.schema.fields.foreach { f =>
-      sb.append(s"| ${f.name} | ${f.dataType.simpleString} | ${f.nullable} |\n")
+      sb.append(s"| ${esc(f.name)} | ${f.dataType.simpleString} | ${f.nullable} |\n")
     }
     val numeric = df.schema.fields.collect {
       case f if f.dataType.isInstanceOf[NumericType] => f.name
     }
     // one job: count + min/max/mean for every numeric column
-    val aggs = count(lit(1)).as("__n") +: numeric.flatMap { c =>
+    val aggs = count(lit(1)).as("__n") +: numeric.toSeq.flatMap { c =>
       Seq(min(col(c)).as(s"__min_$c"), max(col(c)).as(s"__max_$c"),
         avg(col(c)).as(s"__avg_$c"))
     }
@@ -42,13 +42,13 @@ object ReportSink {
     if (numeric.nonEmpty) {
       sb.append("\n| column | min | max | mean |\n|---|---|---|---|\n")
       numeric.foreach { c =>
-        sb.append(s"| $c | ${fmt(stats.getAs[Any](s"__min_$c"))} | " +
+        sb.append(s"| ${esc(c)} | ${fmt(stats.getAs[Any](s"__min_$c"))} | " +
           s"${fmt(stats.getAs[Any](s"__max_$c"))} | ${fmt(stats.getAs[Any](s"__avg_$c"))} |\n")
       }
     }
     sb.append(s"\n## First ${math.min(maxRows.toLong, n)} rows\n\n")
     val names = df.schema.fieldNames
-    sb.append(names.mkString("| ", " | ", " |\n"))
+    sb.append(names.map(esc).mkString("| ", " | ", " |\n"))
     sb.append(names.map(_ => "---").mkString("| ", " | ", " |\n"))
     df.limit(maxRows).collect().foreach { row =>
       sb.append(names.indices.map(i => fmt(row.get(i))).mkString("| ", " | ", " |\n"))
@@ -56,10 +56,16 @@ object ReportSink {
     sb.toString
   }
 
+  /** Markdown-safe cell/header text (column names included). */
+  private def esc(s: String): String = s.replace("|", "\\|").replace("\n", " ")
+
   private def fmt(v: Any): String = v match {
     case null => ""
-    case d: Double => if (d == math.rint(d) && math.abs(d) < 1e15) d.toLong.toString else f"$d%.6g"
-    case other => other.toString.replace("|", "\\|").replace("\n", " ")
+    case d: Double =>
+      // Locale.ROOT: dot-decimal regardless of the JVM default locale
+      if (d == math.rint(d) && math.abs(d) < 1e15) d.toLong.toString
+      else String.format(java.util.Locale.ROOT, "%.6g", java.lang.Double.valueOf(d))
+    case other => esc(other.toString)
   }
 
   /** Render and write the report file (driver-side, local or any

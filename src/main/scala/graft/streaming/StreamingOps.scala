@@ -97,6 +97,19 @@ object StreamingOps {
   final case class CandPair(id_a: Long, id_b: Long, est_jaccard: Double)
   final case class BucketState(docs: List[(Long, Seq[Long])])
 
+  /** The streaming twins key state by a LONG id: fail fast (with the
+    * batch-parity caveat) rather than let an ANSI cast blow up mid-
+    * stream — the batch [[graft.dedup.Dedup.minhashCandidatePairs]] is
+    * id-type-generic, the keyed-state twins are not.
+    */
+  private def requireIntegralId(docs: DataFrame, idCol: String): Unit =
+    docs.schema(idCol).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => ()
+      case other => throw new IllegalArgumentException(
+        s"minhash candidate streaming keys state by a long id; '$idCol' is $other — " +
+          "map ids to an integral surrogate first (the BATCH path is id-type-generic)")
+    }
+
   /** Streaming MinHash-LSH near-dup candidates — the ingestion twin of
     * [[graft.dedup.Dedup.minhashCandidatePairs]]: each arriving doc is
     * signed ([[graft.dedup.ShingleHashes]] -> [[graft.dedup.MinHashSig]],
@@ -132,6 +145,7 @@ object StreamingOps {
       seed: Long = 42L): Dataset[CandPair] = {
     import docs.sparkSession.implicits._
     require(numHashes % bands == 0, s"numHashes=$numHashes must divide into bands=$bands")
+    requireIntegralId(docs, idCol)
     val rowsPerBand = numHashes / bands
     val sig = docs
       .select(col(idCol).cast("long").as("id"),
@@ -199,6 +213,7 @@ object StreamingOps {
     import docs.sparkSession.implicits._
     require(numHashes % bands == 0, s"numHashes=$numHashes must divide into bands=$bands")
     require(ttlMs > 0, s"ttlMs=$ttlMs must be positive")
+    requireIntegralId(docs, idCol)
     val rowsPerBand = numHashes / bands
     val sig = docs
       .withWatermark(tsCol, lateness)

@@ -101,17 +101,42 @@ class AdxLikeSourceSpec extends SparkSpec {
 
   test("partitioned read shards via MOD in the remote queries without changing results") {
     seed()
+    // NULL and negative partition-key rows must survive sharding:
+    // SQL MOD of a negative is negative and MOD(NULL) is NULL, so a
+    // naive MOD(col,n)=i union would silently drop both
+    val conn = DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      st.execute("INSERT INTO readings VALUES (NULL, 'devx', 0.0, 0.00, NULL)")
+      st.execute("INSERT INTO readings VALUES (-7, 'devy', 0.0, 0.00, NULL)")
+      st.close()
+    } finally conn.close()
     val df = spark.read.format(fmt)
       .option("url", url).option("table", "readings")
       .option("partitionColumn", "id").option("numPartitions", "4").load()
     assert(df.rdd.getNumPartitions == 4)
-    assert(df.agg(org.apache.spark.sql.functions.sum(col("id"))).head().getLong(0) == 465L)
-    // each partition's compiled query carries its disjoint MOD slice
-    assert(AdxLike.lastQuery.contains("MOD(\"ID\", 4) ="), AdxLike.lastQuery)
+    assert(df.count() == 32) // 30 + NULL-id + negative-id rows
+    assert(df.agg(org.apache.spark.sql.functions.sum(col("id"))).head().getLong(0) == 458L)
+    // each partition's compiled query carries its folded MOD slice
+    assert(AdxLike.lastQuery.contains("MOD(MOD(\"ID\", 4) + 4, 4) ="), AdxLike.lastQuery)
     // pushdown composes with partitioning
     assert(df.filter(col("temp") > 10.0).count() == 10)
     assert(AdxLike.lastQuery.contains("\"TEMP\" > 10.0") &&
-      AdxLike.lastQuery.contains("MOD(\"ID\", 4) ="), AdxLike.lastQuery)
+      AdxLike.lastQuery.contains("MOD(MOD(\"ID\", 4) + 4, 4) ="), AdxLike.lastQuery)
+  }
+
+  test("non-finite double literals are never pushed; the filter stays in Spark") {
+    seed()
+    val q = table.filter(col("temp") === Double.NaN)
+    assert(q.count() == 0) // evaluated Spark-side, remote query untouched
+    assert(!AdxLike.lastQuery.contains("NaN"), AdxLike.lastQuery)
+  }
+
+  test("short name 'adxlike' resolves through the DataSourceRegister SPI") {
+    seed()
+    val df = spark.read.format("adxlike")
+      .option("url", url).option("table", "readings").load()
+    assert(df.count() == 30)
   }
 
   test("registry integration: the DSv2 source reads through SourceRegistry like any source") {
