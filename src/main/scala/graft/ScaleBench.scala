@@ -142,14 +142,23 @@ object ScaleBench {
       catch { case NonFatal(_) => () }
       val times = block(spark, dir).map { case (name, thunk) =>
         var rowsOut = -1L
+        var err: Option[String] = None
         val ts = (0 until math.max(1, runs)).map { _ =>
           val t0 = System.nanoTime()
-          try rowsOut = thunk() catch { case NonFatal(e) => System.err.println(s"$name x$x: $e") }
+          try rowsOut = thunk() catch {
+            case NonFatal(e) =>
+              err = Some(e.toString.takeWhile(_ != '\n').take(200))
+              System.err.println(s"$name x$x: $e")
+          }
           (System.nanoTime() - t0) / 1e9
         }
         spark.catalog.clearCache()
-        println(f"  x$x%-3d $name%-26s ${ts.min}%8.2f s  rows=$rowsOut")
-        (name, ts.min, rowsOut)
+        // A failed run must not masquerade as a measurement: the
+        // timing is nulled in the JSON and the query is excluded from
+        // the alpha fit (a thrown query's wall time measures nothing).
+        val sec: Option[Double] = if (err.isEmpty) Some(ts.min) else None
+        println(f"  x$x%-3d $name%-26s ${sec.fold("ERROR")(t => f"$t%8.2f s")}  rows=$rowsOut")
+        (name, sec, rowsOut, err)
       }
       (x, nDocs, nEmb, times)
     }
@@ -160,14 +169,19 @@ object ScaleBench {
     // NaN and break the JSON) — emit an empty alpha object instead
     val alphas =
       if (perScale.size < 2) Seq.empty
-      else names.map { n =>
-        val tLo = lo._4.find(_._1 == n).get._2
-        val tHi = hi._4.find(_._1 == n).get._2
-        n -> math.log(tHi / tLo) / math.log(hi._1.toDouble / lo._1)
+      else names.flatMap { n =>
+        for {
+          tLo <- lo._4.find(_._1 == n).flatMap(_._2)
+          tHi <- hi._4.find(_._1 == n).flatMap(_._2)
+        } yield n -> math.log(tHi / tLo) / math.log(hi._1.toDouble / lo._1)
       }
     def jnum(d: Double): String = f"$d%.4f"
     val scaleJson = perScale.map { case (x, nDocs, nEmb, times) =>
-      val qs = times.map { case (n, t, r) => s""""$n":{"sec":${jnum(t)},"rows":$r}""" }.mkString(",")
+      val qs = times.map { case (n, t, r, err) =>
+        val sec = t.fold("null")(jnum)
+        val e = err.fold("")(m => s""","error":"${m.replace("\\", "\\\\").replace("\"", "\\\"")}"""")
+        s""""$n":{"sec":$sec,"rows":$r$e}"""
+      }.mkString(",")
       s"""{"scale_x":$x,"docs":$nDocs,"embeddings":$nEmb,"queries":{$qs}}"""
     }.mkString("[", ",", "]")
     val alphaJson = alphas.map { case (n, a) => s""""$n":${jnum(a)}""" }.mkString("{", ",", "}")

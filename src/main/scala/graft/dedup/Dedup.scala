@@ -246,8 +246,12 @@ object Dedup {
     rows.foreach { r =>
       val a = r.get(0)
       val b = r.get(1)
+      // A null endpoint voids the EDGE, not the partner NODE: the
+      // non-null side stays in the output as a singleton, matching
+      // the distributed path's node set across collectThreshold.
+      if (a != null) ids.add(a)
+      if (b != null) ids.add(b)
       if (a != null && b != null) {
-        ids.add(a); ids.add(b)
         val ra = find(a)
         val rb = find(b)
         if (ra != rb) { if (lt(ra, rb)) parent.put(rb, ra) else parent.put(ra, rb) }
@@ -263,14 +267,21 @@ object Dedup {
 
   /** Distributed min-label propagation (the above-threshold path). */
   private def dupClustersDistributed(p: DataFrame, maxIter: Int): DataFrame = {
+    // Null-endpoint edges are dropped, but their non-null partner
+    // still seeds a singleton label row — the same null semantics as
+    // the driver-side union-find (nodes from any non-null endpoint,
+    // edges only when both ends are non-null).
     val edges = p.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(p.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .where(col("src").isNotNull && col("dst").isNotNull)
       .distinct()
       .localCheckpoint(true)
-    unpersistCheckpointBlocks(p) // edges carry everything the loop needs
-    var labels = edges.select(col("src").as("id")).distinct()
+    var labels = p.select(col("id_a").as("id"))
+      .union(p.select(col("id_b").as("id")))
+      .where(col("id").isNotNull).distinct()
       .withColumn("label", col("id"))
       .localCheckpoint(true)
+    unpersistCheckpointBlocks(p) // edges + labels carry everything the loop needs
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {

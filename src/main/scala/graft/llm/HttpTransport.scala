@@ -72,8 +72,12 @@ object HttpTransport {
     else throw HttpStatusException(resp.statusCode(), resp.body())
   }
 
+  // Redirect.NEVER: the JDK client rewrites a redirected POST into a
+  // body-less GET, so a 3xx from a provider endpoint would silently
+  // send an empty request. Refusing to follow makes the 3xx surface
+  // as HttpStatusException (non-retryable) instead.
   private lazy val defaultClient: HttpClient = HttpClient.newBuilder()
     .connectTimeout(Duration.ofSeconds(10))
-    .followRedirects(HttpClient.Redirect.NORMAL)
+    .followRedirects(HttpClient.Redirect.NEVER)
     .build()
 }

@@ -232,6 +232,14 @@ private[sources] object AdxLike {
       try {
         val rs = conn.createStatement().executeQuery(s"SELECT * FROM $table WHERE 1=0")
         val md = rs.getMetaData
+        val remoteNames = (1 to md.getColumnCount).map(md.getColumnName)
+        // Lowercasing for ergonomics must not merge two remote columns
+        // that differ only by case into duplicate Spark field names —
+        // keep the exact remote case for any colliding group.
+        val collided: Set[String] = remoteNames.groupBy(_.toLowerCase)
+          .collect { case (lc, vs) if vs.distinct.size > 1 => lc }.toSet
+        def sparkName(remote: String): String =
+          if (collided(remote.toLowerCase)) remote else remote.toLowerCase
         StructType((1 to md.getColumnCount).map { i =>
           val dt = md.getColumnType(i) match {
             case Types.INTEGER | Types.SMALLINT | Types.TINYINT => IntegerType
@@ -249,7 +257,7 @@ private[sources] object AdxLike {
           // name (exact case) rides in field metadata so compiled
           // query text can QUOTE it — a column named like a reserved
           // word (`at`, `order`, ...) must not break the connector.
-          StructField(md.getColumnName(i).toLowerCase, dt,
+          StructField(sparkName(md.getColumnName(i)), dt,
             md.isNullable(i) != java.sql.ResultSetMetaData.columnNoNulls,
             new MetadataBuilder().putString(AdxLike.RemoteNameKey, md.getColumnName(i)).build())
         })
@@ -328,8 +336,14 @@ private[sources] object AdxLike {
     // comparison semantics remote-side (Spark: NaN = NaN is true,
     // NaN sorts above all doubles) — keep those filters in Spark
     case d: Double if java.lang.Double.isNaN(d) || java.lang.Double.isInfinite(d) => None
-    case f: Float if java.lang.Float.isNaN(f) || java.lang.Float.isInfinite(f) => None
-    case n @ (_: Int | _: Long | _: Short | _: Byte | _: Double | _: Float) => Some(n.toString)
+    // Float literals stay Spark-side entirely: the remote compares a
+    // REAL column at DOUBLE precision against the decimal text, so
+    // `= 0.1f` pushed as `= 0.1` can drop rows Spark's float
+    // comparison keeps (and range boundaries shift the same way).
+    // Double is safe — Java's shortest round-trip string parses back
+    // to the identical double remote-side.
+    case _: Float => None
+    case n @ (_: Int | _: Long | _: Short | _: Byte | _: Double) => Some(n.toString)
     case d: java.math.BigDecimal => Some(d.toPlainString)
     case d: BigDecimal => Some(d.underlying.toPlainString)
     case t: java.sql.Timestamp => Some(s"TIMESTAMP('$t')")

@@ -159,6 +159,25 @@ class DedupSpec extends SparkSpec {
     assert(slocal == Map("a" -> "a", "b" -> "a", "c" -> "a", "x" -> "x", "y" -> "x"))
   }
 
+  test("dupClusters: a null endpoint voids the edge, not the partner node, on BOTH paths") {
+    import sqlImplicits._
+    // (5, null) must keep 5 as a singleton; (null, null) contributes
+    // nothing; the 1-2 edge is unaffected. Identical output across the
+    // collectThreshold boundary.
+    val pairs = Seq(
+      (Some(1L), Some(2L)),
+      (Some(5L), None),
+      (None, Some(6L)),
+      (Option.empty[Long], Option.empty[Long])).toDF("id_a", "id_b")
+    val expected = Map(1L -> 1L, 2L -> 1L, 5L -> 5L, 6L -> 6L)
+    val local = Dedup.dupClusters(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dist = Dedup.dupClusters(pairs, maxIter = 20, collectThreshold = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(local == expected, s"local=$local")
+    assert(dist == expected, s"dist=$dist")
+  }
+
   test("pipeline near-dedup is cluster-canonical: an open chain keeps only the cluster minimum") {
     import sqlImplicits._
     // doc 3 is a near-dup of BOTH 1 and 2 (shared prefix + a slice of
