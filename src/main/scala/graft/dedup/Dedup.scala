@@ -357,24 +357,25 @@ object Dedup {
   // ---------------------------------------------------- embedding cosine
 
   /** Embedding-cosine near-duplicates — delegates to the similarity
-    * module's LSH-bucketed pair miner (random-hyperplane bands +
-    * Hamming prune + exact cosine verification).
+    * module's derived-geometry pair miner (random-hyperplane bands +
+    * Hamming prune + exact cosine verification), so the dedup facade
+    * and the similarity module share one code path. Pass `dim` when
+    * the embedding dimension is known (it usually is) to keep
+    * DataFrame construction a pure lazy transform; `dim = 0` falls
+    * back to [[graft.similarity.Similarity.nearDupPairsAuto]]'s
+    * one-row probe.
     */
   def embeddingNearDupPairs(
       df: org.apache.spark.sql.DataFrame,
       vecCol: String,
       idCol: String,
       threshold: Double = 0.95,
+      targetRecall: Double = 0.95,
       numPlanes: Int = 64,
-      bands: Int = 8,
       seed: Long = 42L,
-      probeHamming: Int = 0): org.apache.spark.sql.DataFrame =
-    graft.similarity.Similarity.nearDupPairs(
-      df, vecCol, idCol, threshold,
-      graft.similarity.Similarity.hyperplanes(dimOf(df, vecCol), numPlanes, seed), bands, probeHamming)
-
-  private def dimOf(df: org.apache.spark.sql.DataFrame, vecCol: String): Int =
-    df.select(size(col(vecCol)).as("d")).filter(col("d").isNotNull).head().getInt(0)
+      dim: Int = 0): org.apache.spark.sql.DataFrame =
+    graft.similarity.Similarity.nearDupPairsAuto(
+      df, vecCol, idCol, threshold, targetRecall, numPlanes, seed, dim)
 
   // ------------------------------------------------------- n-gram jaccard
 

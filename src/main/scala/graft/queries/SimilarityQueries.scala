@@ -87,6 +87,9 @@ object SimilarityQueries {
     Similarity.nearDupPairsAuto(
       Sources.embeddings(spark, dir), "embedding", "vec_id",
       threshold = 0.4, targetRecall = 0.95, numPlanes = 64,
+      // known fixture dimension: with dim passed, building this
+      // DataFrame is a pure lazy transform (no probe job)
+      dim = 64,
       // fixture vector table is KBs-to-MBs: broadcast verification
       // keeps the mid-threshold candidate stream map-side end to end
       broadcastVerify = true)

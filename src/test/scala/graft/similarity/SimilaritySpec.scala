@@ -102,6 +102,64 @@ class SimilaritySpec extends SparkSpec {
     assert(auto.nonEmpty)
   }
 
+  test("q30 DataFrame construction fires no jobs beyond the bare source read (dim passed)") {
+    // The parquet read itself fires a schema-inference job, so "zero
+    // jobs" is the wrong bar; the regression guarded against is the
+    // construction-time take(1) dim probe, which would add a scan job
+    // ON TOP of the read's. Stage markers + a sentinel action (events
+    // arrive in submission order) attribute each job to its phase.
+    val jobs = new java.util.concurrent.ConcurrentLinkedQueue[(String, String)]()
+    @volatile var stage = "warmup"
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.add(stage -> js.properties.getProperty("spark.job.description", ""))
+    }
+    var syncN = 0
+    // Tagged sentinel: wait for THIS sentinel's own event (not just any
+    // event of the current stage) so late-arriving stage jobs cannot
+    // bleed into the next bucket.
+    def sync(next: String): Unit = {
+      syncN += 1
+      val tag = s"graft-sync-$syncN"
+      spark.sparkContext.setJobDescription(tag)
+      try spark.range(1).count() finally spark.sparkContext.setJobDescription(null)
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (!jobs.toArray.exists(_.asInstanceOf[(String, String)]._2 == tag) &&
+        System.nanoTime() < deadline) Thread.sleep(10)
+      stage = next
+    }
+    def countStage(s: String): Int = jobs.toArray.count { j =>
+      val (st, desc) = j.asInstanceOf[(String, String)]
+      st == s && !desc.startsWith("graft-sync")
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      graft.sources.Sources.embeddings(spark, "/root/testdata/sf0.001") // warm listing caches
+      sync("read")
+      graft.sources.Sources.embeddings(spark, "/root/testdata/sf0.001")
+      sync("q30build")
+      val df = graft.queries.SimilarityQueries
+        .queries("q30_embedding_near_dup")(spark, "/root/testdata/sf0.001")
+      sync("done")
+      val readJobs = countStage("read")
+      val buildJobs = countStage("q30build")
+      assert(buildJobs <= readJobs,
+        s"q30 construction fired $buildJobs jobs vs $readJobs for the bare read — a probe is back")
+      assert(df.columns.toSeq == Seq("id_a", "id_b", "cosine"))
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("Dedup.embeddingNearDupPairs facade equals nearDupPairsAuto") {
+    val df = graft.sources.Sources.embeddings(spark, "/root/testdata/sf0.001")
+    val viaFacade = graft.dedup.Dedup
+      .embeddingNearDupPairs(df, "embedding", "vec_id", threshold = 0.4, dim = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val direct = Similarity
+      .nearDupPairsAuto(df, "embedding", "vec_id", threshold = 0.4, dim = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaFacade == direct && viaFacade.nonEmpty, s"facade=$viaFacade direct=$direct")
+  }
+
   test("nearDupPairs holds recall >= 0.8 with exact precision vs brute force on the fixture") {
     val df = graft.sources.Sources.embeddings(spark, "/root/testdata/sf0.001")
     val threshold = 0.4
