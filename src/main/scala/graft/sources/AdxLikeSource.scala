@@ -1,9 +1,10 @@
 package graft.sources
 
-import java.sql.{Connection, DriverManager, ResultSet, Types}
+import java.sql.{Connection, DriverManager, ResultSet, ResultSetMetaData, Types}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.{Expression, NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate._
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
@@ -46,11 +47,19 @@ class AdxLikeTableProvider extends TableProvider with DataSourceRegister {
     */
   override def shortName(): String = "adxlike"
 
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    AdxLike.resolveSchema(
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val resolved = AdxLike.resolveSchema(
       options.get("url"),
       options.get("table"),
       Option(options.get("maxRetries")).map(_.toInt).getOrElse(3))
+    // Kusto-normalized ingest declares the listed string-typed reals
+    // as DOUBLE up front — the reader coerces them (see AdxLikeReader)
+    val reals = AdxLike.realColumnsOf(
+      Option(options.get("normalize")), Option(options.get("kustoRealColumns")))
+    if (reals.isEmpty) resolved
+    else StructType(resolved.map(f =>
+      if (reals(f.name)) f.copy(dataType = DoubleType) else f))
+  }
 
   override def getTable(
       schema: StructType,
@@ -64,7 +73,9 @@ class AdxLikeTableProvider extends TableProvider with DataSourceRegister {
       schema,
       opt("maxRetries").map(_.toInt).getOrElse(3),
       opt("partitionColumn"),
-      opt("numPartitions").map(_.toInt).getOrElse(1))
+      opt("numPartitions").map(_.toInt).getOrElse(1),
+      AdxLike.normalizeKusto(opt("normalize")),
+      AdxLike.realColumnsOf(opt("normalize"), opt("kustoRealColumns")))
   }
 
   override def supportsExternalMetadata(): Boolean = true
@@ -76,7 +87,9 @@ private class AdxLikeTable(
     tableSchema: StructType,
     maxRetries: Int,
     partitionColumn: Option[String],
-    numPartitions: Int)
+    numPartitions: Int,
+    normalize: Boolean,
+    realCols: Set[String])
   extends Table with SupportsRead {
   require(url != null, "option 'url' is required")
   require(tableName != null, "option 'table' is required")
@@ -88,7 +101,8 @@ private class AdxLikeTable(
     java.util.EnumSet.of(TableCapability.BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new AdxLikeScanBuilder(url, tableName, tableSchema, maxRetries, partitionColumn, numPartitions)
+    new AdxLikeScanBuilder(url, tableName, tableSchema, maxRetries, partitionColumn,
+      numPartitions, normalize, realCols)
 }
 
 private class AdxLikeScanBuilder(
@@ -97,26 +111,97 @@ private class AdxLikeScanBuilder(
     full: StructType,
     maxRetries: Int,
     partitionColumn: Option[String],
-    numPartitions: Int)
-  extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    numPartitions: Int,
+    normalize: Boolean,
+    realCols: Set[String])
+  extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates with SupportsPushDownLimit {
 
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = full
+  private var agg: Option[(AdxLike.CompiledAgg, StructType)] = None
+  private var limit: Option[Int] = None
+
+  /** MOD-sharded reads return each shard's rows separately, so any
+    * remote aggregate is only a PARTIAL (per-shard) result Spark must
+    * merge; a single partition returns the final answer.
+    */
+  private def sharded: Boolean = partitionColumn.isDefined && numPartitions > 1
+
+  /** Kusto normalization rewrites these columns' VALUES post-read
+    * (timestamps floored to the second, string reals coerced), so the
+    * remote's raw values disagree with what Spark filters/aggregates
+    * see — predicates and aggregates touching them must stay
+    * Spark-side.
+    */
+  private def normalized(name: String): Boolean = normalize && (
+    realCols(name) ||
+      full.fields.exists(f => f.name == name && f.dataType == TimestampType))
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    val (supported, rejected) = filters.partition(f => AdxLike.compileFilter(f).isDefined)
+    val (supported, rejected) = filters.partition(f =>
+      AdxLike.compileFilter(f).isDefined && !f.references.exists(normalized))
     pushed = supported
     rejected // Spark re-applies these above the scan
   }
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def pruneColumns(requiredSchema: StructType): Unit = {
-    // Spark hands back a subset of `full` in table-column order.
-    required = requiredSchema
+  /** The reference's ingress pushes `summarize ... by bin(...)` into
+    * the remote query (reference: src/plugins/README.md:33-38); this is
+    * the SQL-dialect counterpart: GROUP BY + aggregate list compiled
+    * into the query text. Complete pushdown (Spark trusts the remote
+    * result as final) only without sharding.
+    */
+  override def supportCompletePushDown(a: Aggregation): Boolean =
+    !sharded && AdxLike.compileAggregation(a, full, allowDistinct = true, normalized).isDefined
+
+  override def pushAggregation(a: Aggregation): Boolean = {
+    // Per-shard partial aggregates are only mergeable for
+    // min/max/count/sum; DISTINCT and AVG are not (Spark decomposes
+    // avg into sum+count itself before attempting partial pushdown,
+    // but guard here regardless).
+    val complete = !sharded
+    val unmergeable = a.aggregateExpressions.exists {
+      case c: Count => c.isDistinct
+      case s: Sum   => s.isDistinct
+      case _: Avg   => true
+      case _        => false
+    }
+    if (!complete && unmergeable) return false
+    AdxLike.compileAggregation(a, full, allowDistinct = complete, normalized).flatMap { c =>
+      // Resolve the remote result types from the cluster itself (a
+      // metadata-only probe), like schema resolution — Derby's
+      // COUNT/SUM output types differ from Spark's and Spark casts
+      // per the schema we declare here.
+      try Some((c, AdxLike.resolveAggSchema(url, table, c, maxRetries)))
+      catch { case _: Exception => None }
+    } match {
+      case Some(resolved) => agg = Some(resolved); true
+      case None => false
+    }
   }
 
-  override def build(): Scan =
-    new AdxLikeScan(url, table, required, pushed, maxRetries, full, partitionColumn, numPartitions)
+  override def pushLimit(l: Int): Boolean = { limit = Some(l); true }
+  /** A sharded read applies the limit per shard — Spark keeps its own
+    * final limit; single-partition FETCH FIRST is exact.
+    */
+  override def isPartiallyPushed(): Boolean = sharded
+
+  override def pruneColumns(requiredSchema: StructType): Unit = {
+    // Spark hands back a subset of `full` in table-column order. With
+    // an aggregate pushed, the scan's output IS the aggregate schema;
+    // the post-agg "columns" Spark asks for are not table columns.
+    if (agg.isEmpty) required = requiredSchema
+  }
+
+  override def build(): Scan = {
+    val (schema, compiledAgg) = agg match {
+      case Some((c, s)) => (s, Some(c))
+      case None => (required, None)
+    }
+    new AdxLikeScan(url, table, schema, pushed, maxRetries, full, partitionColumn,
+      numPartitions, compiledAgg, limit, normalize, realCols)
+  }
 }
 
 private class AdxLikeScan(
@@ -127,41 +212,65 @@ private class AdxLikeScan(
     maxRetries: Int,
     fullSchema: StructType,
     partitionColumn: Option[String],
-    numPartitions: Int) extends Scan with Batch {
+    numPartitions: Int,
+    agg: Option[AdxLike.CompiledAgg],
+    limit: Option[Int],
+    normalize: Boolean,
+    realCols: Set[String]) extends Scan with Batch {
 
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
   override def description(): String =
     s"AdxLike table=$table PushedFilters: [${pushed.mkString(", ")}], " +
       s"ReadColumns: [${schema.fieldNames.mkString(", ")}]" +
-      partitionColumn.map(c => s", Partitioned: MOD($c, $numPartitions)").getOrElse("")
+      agg.map(c => s", PushedAggregates: [${c.selectList.drop(c.groupBy.length).mkString(", ")}]" +
+        s", PushedGroupBy: [${c.groupBy.mkString(", ")}]").getOrElse("") +
+      limit.map(n => s", PushedLimit: $n").getOrElse("") +
+      partitionColumn.map(c => s", Partitioned: MOD($c, $numPartitions)").getOrElse("") +
+      (if (normalize) ", Normalize: kusto" else "")
 
   override def planInputPartitions(): Array[InputPartition] =
     AdxLike.compilePartitionQueries(
-      table, schema, pushed, fullSchema, partitionColumn, numPartitions)
+      table, schema, pushed, fullSchema, partitionColumn, numPartitions, agg, limit)
       .map(AdxLikePartition.apply)
       .toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new AdxLikeReaderFactory(url, schema, maxRetries)
+    new AdxLikeReaderFactory(url, schema, maxRetries, normalize,
+      if (normalize) realCols else Set.empty)
 }
 
 private case class AdxLikePartition(sql: String) extends InputPartition
 
-private class AdxLikeReaderFactory(url: String, schema: StructType, maxRetries: Int)
+private class AdxLikeReaderFactory(
+    url: String,
+    schema: StructType,
+    maxRetries: Int,
+    normalize: Boolean,
+    realCols: Set[String])
   extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val sql = partition.asInstanceOf[AdxLikePartition].sql
     AdxLike.recordQuery(sql)
-    new AdxLikeReader(url, sql, schema, maxRetries)
+    new AdxLikeReader(url, sql, schema, maxRetries, normalize, realCols)
   }
 }
 
 /** One partition's reader: managed connection + compiled query under
   * the shared retry policy, ResultSet decoded straight to InternalRow.
   */
-private class AdxLikeReader(url: String, sql: String, schema: StructType, maxRetries: Int)
+private class AdxLikeReader(
+    url: String,
+    sql: String,
+    schema: StructType,
+    maxRetries: Int,
+    normalize: Boolean,
+    realCols: Set[String])
   extends PartitionReader[InternalRow] {
+
+  // per-field Kusto normalization decisions, resolved once
+  private val coerceReal: Array[Boolean] =
+    schema.fields.map(f => realCols.contains(f.name))
 
   // connect + execute under the connector retry policy, like the
   // reference's execute_query reconnect loop (adx_plugin.py:131-165)
@@ -187,6 +296,17 @@ private class AdxLikeReader(url: String, sql: String, schema: StructType, maxRet
     val v: Any = schema.fields(i).dataType match {
       case IntegerType => rs.getInt(i + 1)
       case LongType => rs.getLong(i + 1)
+      // a Kusto-normalized "real" arrives as remote text — coerce the
+      // special values and parse failures exactly like
+      // [[graft.ops.Scalars.coerceSpecialDouble]] (adx_plugin.py:252-257)
+      case DoubleType if coerceReal(i) =>
+        rs.getString(i + 1) match {
+          case null => null
+          case "NaN" => Double.NaN
+          case "Infinity" => Double.PositiveInfinity
+          case "-Infinity" => Double.NegativeInfinity
+          case s => try s.toDouble catch { case _: NumberFormatException => null }
+        }
       case DoubleType => rs.getDouble(i + 1)
       case FloatType => rs.getFloat(i + 1)
       case BooleanType => rs.getBoolean(i + 1)
@@ -199,7 +319,14 @@ private class AdxLikeReader(url: String, sql: String, schema: StructType, maxRet
         else org.apache.spark.sql.types.Decimal(new scala.math.BigDecimal(bd), d.precision, d.scale)
       case TimestampType =>
         val ts = rs.getTimestamp(i + 1)
-        if (ts == null) null else ts.getTime * 1000L + (ts.getNanos / 1000L) % 1000L
+        if (ts == null) null
+        else {
+          val micros = ts.getTime * 1000L + (ts.getNanos / 1000L) % 1000L
+          // Kusto normalization floors every timestamp to the whole
+          // second (adx_plugin.py:259-262); floorMod keeps pre-epoch
+          // values on the date_trunc("second") contract
+          if (normalize) micros - Math.floorMod(micros, 1000000L) else micros
+        }
       case DateType =>
         val dt = rs.getDate(i + 1)
         if (dt == null) null else dt.toLocalDate.toEpochDay.toInt
@@ -241,23 +368,11 @@ private[sources] object AdxLike {
         def sparkName(remote: String): String =
           if (collided(remote.toLowerCase)) remote else remote.toLowerCase
         StructType((1 to md.getColumnCount).map { i =>
-          val dt = md.getColumnType(i) match {
-            case Types.INTEGER | Types.SMALLINT | Types.TINYINT => IntegerType
-            case Types.BIGINT => LongType
-            case Types.DOUBLE | Types.FLOAT => DoubleType
-            case Types.REAL => FloatType
-            case Types.BOOLEAN | Types.BIT => BooleanType
-            case Types.DECIMAL | Types.NUMERIC =>
-              DecimalType(md.getPrecision(i), md.getScale(i))
-            case Types.TIMESTAMP => TimestampType
-            case Types.DATE => DateType
-            case _ => StringType
-          }
           // Spark-side name is lowercased for ergonomics; the remote
           // name (exact case) rides in field metadata so compiled
           // query text can QUOTE it — a column named like a reserved
           // word (`at`, `order`, ...) must not break the connector.
-          StructField(sparkName(md.getColumnName(i)), dt,
+          StructField(sparkName(md.getColumnName(i)), sparkType(md, i),
             md.isNullable(i) != java.sql.ResultSetMetaData.columnNoNulls,
             new MetadataBuilder().putString(AdxLike.RemoteNameKey, md.getColumnName(i)).build())
         })
@@ -265,7 +380,68 @@ private[sources] object AdxLike {
     }
   }
 
+  private def sparkType(md: ResultSetMetaData, i: Int): DataType =
+    md.getColumnType(i) match {
+      case Types.INTEGER | Types.SMALLINT | Types.TINYINT => IntegerType
+      case Types.BIGINT => LongType
+      case Types.DOUBLE | Types.FLOAT => DoubleType
+      case Types.REAL => FloatType
+      case Types.BOOLEAN | Types.BIT => BooleanType
+      case Types.DECIMAL | Types.NUMERIC =>
+        DecimalType(md.getPrecision(i), md.getScale(i))
+      case Types.TIMESTAMP => TimestampType
+      case Types.DATE => DateType
+      case _ => StringType
+    }
+
+  /** Result schema of a pushed aggregate, resolved from the cluster
+    * itself with a metadata-only probe (`WHERE 1=0`), exactly like
+    * table schema resolution: the remote's aggregate OUTPUT types are
+    * dialect facts (Derby COUNT -> INTEGER, Spark count -> long), and
+    * declaring what the remote actually returns lets Spark insert the
+    * right casts / final merge on top. Spark binds the scan output
+    * POSITIONALLY (group columns first, then aggregates), so names
+    * here only need to be unique.
+    */
+  def resolveAggSchema(
+      url: String,
+      table: String,
+      agg: CompiledAgg,
+      maxRetries: Int): StructType =
+    Jdbc.withRetries(maxRetries) {
+      val conn = DriverManager.getConnection(url)
+      try {
+        val sql = renderQuery(table, agg.selectList.mkString(", "), Seq("1=0"), agg.groupBy, None)
+        val md = conn.createStatement().executeQuery(sql).getMetaData
+        StructType((1 to md.getColumnCount).map { i =>
+          val name =
+            if (i <= agg.groupNames.length) agg.groupNames(i - 1)
+            else s"agg_${i - agg.groupNames.length - 1}"
+          StructField(name, sparkType(md, i), nullable = true)
+        })
+      } finally conn.close()
+    }
+
   val RemoteNameKey = "adxlike.remoteName"
+
+  /** `option("normalize", "kusto")` — the connector applies the SAME
+    * ingest normalization as the parquet path's
+    * [[Sources.normalizeKustoLike]] + per-column
+    * [[graft.ops.Scalars.coerceSpecialDouble]]: every timestamp is
+    * floored to the whole second during decode, and the columns named
+    * in `option("kustoRealColumns", "a,b")` (Kusto-declared reals that
+    * arrive as text — the type knowledge the reference takes from the
+    * Kusto schema, supplied here by the caller) are declared DOUBLE
+    * and coerced ("NaN"/"Infinity"/"-Infinity" to specials, parse
+    * failures to null). Normalized columns never participate in
+    * pushdown: the remote's raw values differ from what Spark sees.
+    */
+  def normalizeKusto(normalize: Option[String]): Boolean =
+    normalize.exists(_.equalsIgnoreCase("kusto"))
+
+  def realColumnsOf(normalize: Option[String], realColumns: Option[String]): Set[String] =
+    if (!normalizeKusto(normalize)) Set.empty
+    else realColumns.toSet.flatMap((s: String) => s.split(",").map(_.trim.toLowerCase).filter(_.nonEmpty))
 
   /** Quoted remote identifier for a Spark-side column name: the exact
     * remote case from schema metadata, double-quoted (reserved-word
@@ -280,6 +456,96 @@ private[sources] object AdxLike {
       case _ => name
     }
 
+  /** A pushed aggregation compiled to remote SQL text: the SELECT
+    * list is group columns first then aggregate expressions (the
+    * positional order Spark binds the scan output by), `groupBy` the
+    * GROUP BY column list, `groupNames` the Spark-side names of the
+    * group columns.
+    */
+  case class CompiledAgg(selectList: Seq[String], groupBy: Seq[String], groupNames: Seq[String])
+
+  /** Compile an [[Aggregation]] to remote SQL, or None if any piece
+    * has no exact remote form (everything then stays Spark-side).
+    * Only plain-column group-bys and min/max/count/sum/avg over plain
+    * columns compile. Integral SUM is widened to BIGINT remote-side
+    * (Spark's sum(int) is a long — the remote must not overflow at
+    * INT first) and non-double AVG inputs are cast to DOUBLE (Derby's
+    * AVG(INT) truncates to INT; Spark's avg is always a double).
+    * Decimal AVG never pushes: the remote's result scale differs from
+    * Spark's decimal-avg scale rules. DISTINCT only compiles when the
+    * remote result is final (`allowDistinct` — single partition).
+    */
+  def compileAggregation(
+      a: Aggregation,
+      full: StructType,
+      allowDistinct: Boolean,
+      blocked: String => Boolean = _ => false): Option[CompiledAgg] = {
+    def fieldOf(e: Expression): Option[StructField] = e match {
+      case nr: NamedReference if nr.fieldNames.length == 1 && !blocked(nr.fieldNames()(0)) =>
+        full.fields.find(_.name == nr.fieldNames()(0))
+      case _ => None
+    }
+    def rid(f: StructField): String = remoteId(full, f.name)
+    def distinct(d: Boolean): Option[String] =
+      if (!d) Some("") else if (allowDistinct) Some("DISTINCT ") else None
+    def asDouble(f: StructField): String = f.dataType match {
+      case DoubleType => rid(f)
+      case _ => s"CAST(${rid(f)} AS DOUBLE)"
+    }
+    val groups = a.groupByExpressions.toSeq.map(fieldOf)
+    if (groups.exists(_.isEmpty)) return None
+    val aggs: Seq[Option[String]] = a.aggregateExpressions.toSeq.map {
+      case _: CountStar => Some("COUNT(*)")
+      case c: Count =>
+        for (d <- distinct(c.isDistinct); f <- fieldOf(c.column))
+          yield s"COUNT($d${rid(f)})"
+      case m: Min => fieldOf(m.column).map(f => s"MIN(${rid(f)})")
+      case m: Max => fieldOf(m.column).map(f => s"MAX(${rid(f)})")
+      case s: Sum =>
+        for {
+          d <- distinct(s.isDistinct)
+          f <- fieldOf(s.column)
+          e <- f.dataType match {
+            case ByteType | ShortType | IntegerType => Some(s"CAST(${rid(f)} AS BIGINT)")
+            case LongType | _: DecimalType => Some(rid(f))
+            case FloatType | DoubleType => Some(asDouble(f))
+            case _ => None
+          }
+        } yield s"SUM($d$e)"
+      case v: Avg =>
+        for {
+          d <- distinct(v.isDistinct)
+          f <- fieldOf(v.column)
+          e <- f.dataType match {
+            case ByteType | ShortType | IntegerType | LongType | FloatType | DoubleType =>
+              Some(asDouble(f))
+            case _ => None // decimal avg: remote scale rules differ from Spark's
+          }
+        } yield s"AVG($d$e)"
+      case _ => None // GeneralAggregateFunc etc. stay Spark-side
+    }
+    if (aggs.exists(_.isEmpty)) None
+    else {
+      val gb = groups.flatten.map(rid)
+      Some(CompiledAgg(gb ++ aggs.flatten, gb, groups.flatten.map(_.name)))
+    }
+  }
+
+  /** Render one remote query from its compiled pieces, clause order
+    * fixed: WHERE conjuncts before GROUP BY, limit last (standard
+    * `FETCH FIRST n ROWS ONLY`).
+    */
+  def renderQuery(
+      table: String,
+      select: String,
+      where: Seq[String],
+      groupBy: Seq[String],
+      limit: Option[Int]): String =
+    s"SELECT $select FROM $table" +
+      (if (where.isEmpty) "" else where.map(w => s"($w)").mkString(" WHERE ", " AND ", "")) +
+      (if (groupBy.isEmpty) "" else groupBy.mkString(" GROUP BY ", ", ", "")) +
+      limit.map(n => s" FETCH FIRST $n ROWS ONLY").getOrElse("")
+
   /** One remote query per partition: with `partitionColumn` set and
     * `numPartitions` > 1, partition i reads the disjoint slice
     * `MOD(MOD(col, n) + n, n) = i` over an integral column. The
@@ -289,7 +555,9 @@ private[sources] object AdxLike {
     * takes `col IS NULL` rows, so the union of the partitions is
     * EXACTLY the unpartitioned result for any data. Same sharding
     * contract as [[Jdbc.readPartitioned]], compiled into the remote
-    * query text.
+    * query text. The shard predicate lands in WHERE, i.e. BEFORE any
+    * pushed GROUP BY — a sharded aggregate is a valid per-shard
+    * partial that Spark merges.
     */
   def compilePartitionQueries(
       table: String,
@@ -297,17 +565,23 @@ private[sources] object AdxLike {
       pushed: Array[Filter],
       full: StructType,
       partitionColumn: Option[String],
-      numPartitions: Int): Seq[String] = {
-    val base = compileQuery(table, schema, pushed, full)
+      numPartitions: Int,
+      agg: Option[CompiledAgg] = None,
+      limit: Option[Int] = None): Seq[String] = {
+    val select = agg.map(_.selectList.mkString(", ")).getOrElse(
+      if (schema.isEmpty) "1"
+      else schema.fieldNames.map(remoteId(full, _)).mkString(", "))
+    val groupBy = agg.map(_.groupBy).getOrElse(Nil)
+    val where = pushed.flatMap(f => compileFilter(f, remoteId(full, _))).toSeq
     partitionColumn match {
       case Some(c) if numPartitions > 1 =>
         val rid = remoteId(full, c)
         (0 until numPartitions).map { i =>
           val slice = s"MOD(MOD($rid, $numPartitions) + $numPartitions, $numPartitions) = $i"
           val pred = if (i == 0) s"($slice) OR ($rid IS NULL)" else slice
-          if (base.contains(" WHERE ")) s"$base AND ($pred)" else s"$base WHERE $pred"
+          renderQuery(table, select, where :+ pred, groupBy, limit)
         }
-      case _ => Seq(base)
+      case _ => Seq(renderQuery(table, select, where, groupBy, limit))
     }
   }
 
@@ -319,14 +593,8 @@ private[sources] object AdxLike {
       table: String,
       schema: StructType,
       pushed: Array[Filter],
-      full: StructType): String = {
-    val cols =
-      if (schema.isEmpty) "1"
-      else schema.fieldNames.map(remoteId(full, _)).mkString(", ")
-    val where = pushed.flatMap(f => compileFilter(f, remoteId(full, _)))
-    val wsql = if (where.isEmpty) "" else where.mkString(" WHERE (", ") AND (", ")")
-    s"SELECT $cols FROM $table$wsql"
-  }
+      full: StructType): String =
+    compilePartitionQueries(table, schema, pushed, full, None, 1).head
 
   private def lit(v: Any): Option[String] = v match {
     case null => None

@@ -125,6 +125,148 @@ class AdxLikeSourceSpec extends SparkSpec {
       AdxLike.lastQuery.contains("MOD(MOD(\"ID\", 4) + 4, 4) ="), AdxLike.lastQuery)
   }
 
+  test("aggregates compile into the remote GROUP BY (complete pushdown, single partition)") {
+    seed()
+    val q = table.groupBy(col("device"))
+      .agg(count(lit(1)).as("n"), sum("id").as("s"), avg("id").as("a"),
+        min("amount").as("mn"), max("temp").as("mx"))
+    val got = q.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDecimal(4), r.getDouble(5))).toSet
+    // expected via the plain JDBC path (no aggregate pushdown there)
+    val exp = Jdbc.read(spark, url, "readings", Map.empty)
+      .groupBy(col("DEVICE"))
+      .agg(count(lit(1)), sum("ID"), avg("ID"), min("AMOUNT"), max("TEMP"))
+      .collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+          r.getDecimal(4), r.getDouble(5))).toSet
+    assert(got == exp)
+    val sent = AdxLike.lastQuery
+    assert(sent.contains("GROUP BY \"DEVICE\""), sent)
+    assert(sent.contains("COUNT(*)") && sent.contains("SUM(\"ID\")"), sent)
+    // integral AVG is cast to DOUBLE remote-side — Derby's AVG(BIGINT)
+    // truncates to a whole number, Spark's avg never does
+    assert(sent.contains("AVG(CAST(\"ID\" AS DOUBLE))"), sent)
+    assert(q.queryExecution.executedPlan.toString.contains("PushedAggregates"), "plan should advertise the pushed aggregate")
+    // the avg values are true doubles (dev1 ids: 1,4,...,28 -> 14.5)
+    assert(got.exists { case (d, _, _, a, _, _) => d == "dev1" && a == 14.5 })
+  }
+
+  test("count() pushes COUNT(*) as the entire remote query") {
+    seed()
+    assert(table.count() == 30L)
+    assert(AdxLike.lastQuery == "SELECT COUNT(*) FROM readings", AdxLike.lastQuery)
+  }
+
+  test("sharded reads push PARTIAL per-shard aggregates that Spark merges") {
+    seed()
+    val df = spark.read.format(fmt)
+      .option("url", url).option("table", "readings")
+      .option("partitionColumn", "id").option("numPartitions", "4").load()
+    val q = df.groupBy(col("device"))
+      .agg(count(lit(1)).as("n"), sum("temp").as("s"), min("id").as("mn"), max("id").as("mx"))
+    val got = q.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3), r.getLong(4))).toSet
+    val exp = Jdbc.read(spark, url, "readings", Map.empty)
+      .groupBy(col("DEVICE"))
+      .agg(count(lit(1)), sum("TEMP"), min("ID"), max("ID"))
+      .collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3), r.getLong(4))).toSet
+    assert(got == exp)
+    // each shard's remote query aggregates ITS slice; Spark's final
+    // agg merges the four partials
+    val sent = AdxLike.lastQuery
+    assert(sent.contains("GROUP BY \"DEVICE\"") && sent.contains("MOD(MOD(\"ID\", 4) + 4, 4) ="), sent)
+  }
+
+  test("DISTINCT pushes only when the remote result is final") {
+    seed()
+    // single partition: complete pushdown, DISTINCT compiles
+    val single = table.agg(count_distinct(col("device")).as("d"))
+    assert(single.head().getLong(0) == 3L)
+    assert(AdxLike.lastQuery.contains("COUNT(DISTINCT \"DEVICE\")"), AdxLike.lastQuery)
+    // sharded: per-shard DISTINCT counts are not mergeable — the scan
+    // must refuse, and Spark computes the distinct itself
+    val df = spark.read.format(fmt)
+      .option("url", url).option("table", "readings")
+      .option("partitionColumn", "id").option("numPartitions", "4").load()
+    assert(df.agg(count_distinct(col("device"))).head().getLong(0) == 3L)
+    assert(!AdxLike.lastQuery.contains("DISTINCT"), AdxLike.lastQuery)
+  }
+
+  test("avg over a sharded source still yields exact results") {
+    seed()
+    val df = spark.read.format(fmt)
+      .option("url", url).option("table", "readings")
+      .option("partitionColumn", "id").option("numPartitions", "4").load()
+    // avg is not a mergeable partial — either Spark decomposes it into
+    // pushable sum+count or keeps it Spark-side; both must be exact
+    val r = df.groupBy(col("device")).agg(avg("id").as("a"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(r == Map("dev0" -> 16.5, "dev1" -> 14.5, "dev2" -> 15.5), r.toString)
+  }
+
+  test("limit pushes as FETCH FIRST; sharded limit is per-shard partial") {
+    seed()
+    assert(table.limit(5).collect().length == 5)
+    assert(AdxLike.lastQuery.contains("FETCH FIRST 5 ROWS ONLY"), AdxLike.lastQuery)
+    // composes with a pushed filter
+    val q = table.filter(col("id") <= 10L).limit(3)
+    assert(q.collect().length == 3)
+    assert(AdxLike.lastQuery.contains("\"ID\" <= 10") &&
+      AdxLike.lastQuery.contains("FETCH FIRST 3 ROWS ONLY"), AdxLike.lastQuery)
+    // sharded: each shard ships at most n rows, Spark takes the final n
+    val df = spark.read.format(fmt)
+      .option("url", url).option("table", "readings")
+      .option("partitionColumn", "id").option("numPartitions", "4").load()
+    assert(df.limit(7).collect().length == 7)
+    assert(AdxLike.lastQuery.contains("FETCH FIRST 7 ROWS ONLY"), AdxLike.lastQuery)
+  }
+
+  test("normalize=kusto floors timestamps and coerces string reals like the parquet path") {
+    val conn = DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      try st.execute("DROP TABLE kusto_rows") catch { case _: SQLException => () }
+      st.execute("CREATE TABLE kusto_rows (id INT, val VARCHAR(16), ts TIMESTAMP)")
+      st.execute("INSERT INTO kusto_rows VALUES (1, 'NaN', TIMESTAMP('2026-01-01 10:00:00.75'))")
+      st.execute("INSERT INTO kusto_rows VALUES (2, 'Infinity', TIMESTAMP('2026-01-01 10:00:01.25'))")
+      st.execute("INSERT INTO kusto_rows VALUES (3, '-Infinity', TIMESTAMP('2026-01-01 10:00:02'))")
+      st.execute("INSERT INTO kusto_rows VALUES (4, '12.5', NULL)")
+      st.execute("INSERT INTO kusto_rows VALUES (5, 'oops', TIMESTAMP('2026-01-01 10:00:03.999'))")
+      st.execute("INSERT INTO kusto_rows VALUES (6, NULL, TIMESTAMP('2026-01-01 10:00:04.5'))")
+      st.close()
+    } finally conn.close()
+    val df = spark.read.format("adxlike")
+      .option("url", url).option("table", "kusto_rows")
+      .option("normalize", "kusto").option("kustoRealColumns", "val")
+      .load()
+    assert(df.schema("val").dataType == org.apache.spark.sql.types.DoubleType)
+    // oracle: the parquet path's normalization applied to the raw read
+    val raw = spark.read.format("adxlike")
+      .option("url", url).option("table", "kusto_rows").load()
+    val expected = Sources.normalizeKustoLike(
+      raw.withColumn("val", graft.ops.Scalars.coerceSpecialDouble(col("val"))))
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getInt(0), Option(r.get(1)).map(_.toString), Option(r.get(2)).map(_.toString))
+    assert(df.collect().map(key).toSet == expected.collect().map(key).toSet)
+    // normalized columns never push — remote raw values differ from
+    // what Spark filters see (coerced doubles, floored seconds)
+    // Spark's double semantics apply to the COERCED values: NaN and
+    // Infinity both sort above 10.0 (NaN greatest), so 1, 2, 4 pass
+    val q = df.filter(col("val") > 10.0 && col("id") >= 1)
+    assert(q.collect().map(_.getInt(0)).sorted.toSeq == Seq(1, 2, 4))
+    val sent = AdxLike.lastQuery
+    assert(sent.contains("\"ID\" >= 1"), sent)
+    // VAL may appear in the SELECT list (it is read) but never in WHERE
+    assert(!sent.substring(sent.indexOf(" WHERE ")).contains("\"VAL\""), sent)
+    // aggregates over normalized columns stay Spark-side too: the max
+    // is the FLOORED second, which a remote MAX would get wrong
+    val m = df.agg(max("ts")).head().getTimestamp(0)
+    assert(m.toString == "2026-01-01 10:00:04.0", m.toString)
+    assert(!AdxLike.lastQuery.contains("MAX"), AdxLike.lastQuery)
+  }
+
   test("non-finite double literals are never pushed; the filter stays in Spark") {
     seed()
     val q = table.filter(col("temp") === Double.NaN)
