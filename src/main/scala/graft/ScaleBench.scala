@@ -68,11 +68,20 @@ object ScaleBench {
 
   /** The measured block: every operator family whose 100 TB story is
     * "bucketed, never all-pairs" — plus the single-query brute scan as
-    * the known-linear control.
+    * the known-linear control. `extra` records per-query JSON fields
+    * beyond sec/rows (the cc entries report rounds-to-convergence and
+    * per-round seconds through it).
     */
-  private def block(spark: SparkSession, dir: String): Seq[(String, () => Long)] = {
+  private def block(
+      spark: SparkSession,
+      dir: String,
+      x: Int,
+      extra: (String, String) => Unit): Seq[(String, () => Long)] = {
     def docs = graft.sources.Sources.documents(spark, dir)
     def emb = graft.sources.Sources.embeddings(spark, dir)
+    def ccExtra(name: String, run: graft.dedup.Dedup.CcRun): Unit = extra(name,
+      s""","rounds":${run.rounds},"converged":${run.converged},""" +
+        s""""round_secs":[${run.roundSecs.map(s => f"$s%.3f").mkString(",")}]""")
     Seq(
       "exact_dedup" -> (() => graft.dedup.Dedup.exactDedup(docs, "text", "doc_id").count()),
       "minhash_candidates" -> (() =>
@@ -111,7 +120,37 @@ object ScaleBench {
       }),
       "brute_topk_control" -> (() =>
         graft.similarity.Similarity.cosineTopK(emb, "embedding",
-          Array.fill(64)(0.125f), 10, "vec_id").count()))
+          Array.fill(64)(0.125f), 10, "vec_id").count()),
+      // The path that actually runs at 100 TB: dupClusters FORCED onto
+      // the distributed label-propagation branch (collectThreshold=0
+      // semantics) over this scale's real verified pair list. rows =
+      // distinct clusters (a correctness signal, not just volume).
+      "dup_clusters_forced_distributed" -> (() => {
+        val (pairs, release) = graft.dedup.Dedup
+          .verifyCandidatesReleasable(docs, "text", "doc_id", n = 3, threshold = 0.5)
+        val p = pairs.select(col("id_a"), col("id_b")).localCheckpoint(true)
+        release()
+        val run = graft.dedup.Dedup.dupClustersDistributedRun(p, maxIter = 25)
+        val nClusters = run.labels.dropDuplicates("cluster").count()
+        ccExtra("dup_clusters_forced_distributed", run)
+        nClusters
+      }),
+      // Worst-case-diameter synthetic: x*300k nodes in ORDERED chains
+      // of 100k (component min at one end — plain one-hop propagation
+      // would need 100k rounds; pointer halving needs ~log2). rows
+      // must equal the constructed 3x chains or the labeling is wrong.
+      "cc_chain_distributed" -> (() => {
+        val chainLen = 100000L
+        val nNodes = x * 300000L
+        val p = spark.range(nNodes)
+          .filter(pmod(col("id") + 1, lit(chainLen)) =!= 0 && col("id") + 1 < nNodes)
+          .select(col("id").as("id_a"), (col("id") + 1).as("id_b"))
+          .localCheckpoint(true)
+        val run = graft.dedup.Dedup.dupClustersDistributedRun(p, maxIter = 25)
+        val nClusters = run.labels.dropDuplicates("cluster").count()
+        ccExtra("cc_chain_distributed", run)
+        nClusters
+      }))
   }
 
   def main(args: Array[String]): Unit = {
@@ -127,6 +166,7 @@ object ScaleBench {
     spark.sparkContext.setLogLevel("WARN")
     try { spark.range(1000000L).selectExpr("sum(id) s").collect() } catch { case NonFatal(_) => () }
 
+    val extras = scala.collection.concurrent.TrieMap.empty[(Int, String), String]
     val perScale = scales.map { x =>
       val dir = s"target/scale/x$x"
       ensureFixture(spark, baseDir, dir, x)
@@ -140,7 +180,7 @@ object ScaleBench {
         graft.sources.Sources.embeddings(spark, dir).limit(256),
         "embedding", "vec_id", threshold = 0.5, dim = 64).count()
       catch { case NonFatal(_) => () }
-      val times = block(spark, dir).map { case (name, thunk) =>
+      val times = block(spark, dir, x, (n, j) => extras((x, n)) = j).map { case (name, thunk) =>
         var rowsOut = -1L
         var err: Option[String] = None
         val ts = (0 until math.max(1, runs)).map { _ =>
@@ -180,7 +220,8 @@ object ScaleBench {
       val qs = times.map { case (n, t, r, err) =>
         val sec = t.fold("null")(jnum)
         val e = err.fold("")(m => s""","error":"${m.replace("\\", "\\\\").replace("\"", "\\\"")}"""")
-        s""""$n":{"sec":$sec,"rows":$r$e}"""
+        val ex = extras.getOrElse((x, n), "")
+        s""""$n":{"sec":$sec,"rows":$r$e$ex}"""
       }.mkString(",")
       s"""{"scale_x":$x,"docs":$nDocs,"embeddings":$nEmb,"queries":{$qs}}"""
     }.mkString("[", ",", "]")

@@ -13,9 +13,13 @@ import org.apache.spark.sql.types._
   *
   * Image decode is REAL ([[Multimodal.ImageIoDecoder]], JDK
   * `javax.imageio`: PNG/JPEG/GIF/BMP -> grid-pooled luminance
-  * features). Audio/video codecs are not in the JDK, so those kinds
-  * fall back to [[FakeDecoder]] (deterministic features from the
-  * bytes) — an honest stub behind the same `Decoder` seam. The
+  * features), audio decode is REAL ([[Multimodal.AudioDecoder]],
+  * WAV/AIFF linear PCM), and video decode is REAL for the one
+  * multi-frame container the JDK ships a codec for — animated GIF
+  * ([[Multimodal.VideoDecoder]], per-frame pixels pooled over
+  * temporal slices). Codecs the JDK lacks (MP4/WebM, compressed
+  * audio) fall back to [[FakeDecoder]] (deterministic features from
+  * the bytes) — an honest stub behind the same `Decoder` seam. The
   * Spark-side contract — schema, batch iteration, partition sizing,
   * output shape — is real and tested for all kinds.
   */
@@ -63,12 +67,78 @@ object Multimodal {
     }
   }
 
+  /** Grid-pooled mean luminance of one decoded image into `cells`
+    * values scaled to [-1, 1] — the shared resize-and-embed stand-in
+    * whose output is a genuine function of the pixels (images pool the
+    * whole frame; video pools each sampled frame).
+    */
+  private[multimodal] def gridPool(img: java.awt.image.BufferedImage, cells: Int): Array[Float] = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val gw = math.max(1, math.ceil(math.sqrt(cells.toDouble)).toInt)
+    val gh = math.max(1, math.ceil(cells.toDouble / gw).toInt)
+    val out = new Array[Float](cells)
+    var d = 0
+    while (d < cells) {
+      val cx = d % gw
+      val cy = d / gw
+      val x0 = w * cx / gw
+      val x1 = math.max(x0 + 1, w * (cx + 1) / gw)
+      val y0 = h * cy / gh
+      val y1 = math.max(y0 + 1, h * (cy + 1) / gh)
+      var sum = 0.0
+      var n = 0
+      var y = y0
+      while (y < math.min(y1, h)) {
+        var x = x0
+        while (x < math.min(x1, w)) {
+          val rgb = img.getRGB(x, y)
+          val r = (rgb >> 16) & 0xff
+          val g = (rgb >> 8) & 0xff
+          val b = rgb & 0xff
+          sum += (0.299 * r + 0.587 * g + 0.114 * b) / 255.0
+          n += 1
+          x += 1
+        }
+        y += 1
+      }
+      out(d) = if (n == 0) 0.0f else (2.0 * sum / n - 1.0).toFloat
+      d += 1
+    }
+    out
+  }
+
+  /** All frames the JDK can decode from an encoded payload — one for
+    * still formats, EVERY frame for a multi-frame container (animated
+    * GIF via the JDK's GIF `ImageReader`; frames are the reader's raw
+    * per-frame images, not composited against prior frames). Empty on
+    * undecodable input.
+    */
+  private[multimodal] def decodeFrames(bytes: Array[Byte]): IndexedSeq[java.awt.image.BufferedImage] =
+    try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(new java.io.ByteArrayInputStream(bytes))
+      if (iis == null) return IndexedSeq.empty
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) IndexedSeq.empty
+        else {
+          val reader = readers.next()
+          try {
+            reader.setInput(iis)
+            val n = reader.getNumImages(true)
+            (0 until n).flatMap { i =>
+              try Option(reader.read(i))
+              catch { case scala.util.control.NonFatal(_) => None }
+            }
+          } finally reader.dispose()
+        }
+      } finally iis.close()
+    } catch { case scala.util.control.NonFatal(_) => IndexedSeq.empty }
+
   /** REAL image decoder over `javax.imageio` (JDK-native — PNG, JPEG,
     * GIF, BMP): decode to a BufferedImage, grid-pool mean luminance
-    * into `dim` cells (a resize-and-embed stand-in whose output is a
-    * genuine function of the pixels), scaled to [-1, 1]. Non-image
-    * kinds and undecodable payloads fall back to the supplied decoder
-    * (audio/video codecs are not in the JDK; that part stays stubbed).
+    * into `dim` cells ([[gridPool]]). Non-image kinds and undecodable
+    * payloads fall back to the supplied decoder.
     */
   final class ImageIoDecoder(fallback: Decoder = FakeDecoder) extends Decoder {
     def decode(kind: String, bytes: Array[Byte], dim: Int): Array[Float] = {
@@ -78,37 +148,38 @@ object Multimodal {
         catch { case scala.util.control.NonFatal(_) => null }
       if (img == null || img.getWidth == 0 || img.getHeight == 0)
         return fallback.decode(kind, bytes, dim)
-      val w = img.getWidth
-      val h = img.getHeight
-      val gw = math.max(1, math.ceil(math.sqrt(dim.toDouble)).toInt)
-      val gh = math.max(1, math.ceil(dim.toDouble / gw).toInt)
+      gridPool(img, dim)
+    }
+  }
+
+  /** REAL video decoder for the one multi-frame container the JDK
+    * ships a codec for — animated GIF via `javax.imageio`'s GIF
+    * reader. Features are (temporal slice) x (spatial cell): `dim` is
+    * split across up to `dim / 16` temporal slices (at least one, at
+    * most one per frame), each slice represented by its middle frame
+    * grid-pooled spatially — frame ORDER is preserved in the layout,
+    * so a reversed clip embeds differently. Single-frame payloads
+    * degrade to plain spatial pooling; payloads no JDK reader decodes
+    * (MP4/WebM/...) fall back to the supplied decoder — that residue
+    * is the honest stub boundary.
+    */
+  final class VideoDecoder(fallback: Decoder = FakeDecoder) extends Decoder {
+    def decode(kind: String, bytes: Array[Byte], dim: Int): Array[Float] = {
+      if (kind != "video" || bytes.isEmpty) return fallback.decode(kind, bytes, dim)
+      val frames = decodeFrames(bytes)
+      if (frames.isEmpty) return fallback.decode(kind, bytes, dim)
+      val gt = math.max(1, math.min(frames.length, math.max(1, dim / 16)))
       val out = new Array[Float](dim)
-      var d = 0
-      while (d < dim) {
-        val cx = d % gw
-        val cy = d / gw
-        val x0 = w * cx / gw
-        val x1 = math.max(x0 + 1, w * (cx + 1) / gw)
-        val y0 = h * cy / gh
-        val y1 = math.max(y0 + 1, h * (cy + 1) / gh)
-        var sum = 0.0
-        var n = 0
-        var y = y0
-        while (y < math.min(y1, h)) {
-          var x = x0
-          while (x < math.min(x1, w)) {
-            val rgb = img.getRGB(x, y)
-            val r = (rgb >> 16) & 0xff
-            val g = (rgb >> 8) & 0xff
-            val b = rgb & 0xff
-            sum += (0.299 * r + 0.587 * g + 0.114 * b) / 255.0
-            n += 1
-            x += 1
-          }
-          y += 1
-        }
-        out(d) = if (n == 0) 0.0f else (2.0 * sum / n - 1.0).toFloat
-        d += 1
+      var offset = 0
+      var t = 0
+      while (t < gt) {
+        val cells = dim * (t + 1) / gt - dim * t / gt
+        val f0 = frames.length * t / gt
+        val f1 = math.max(f0 + 1, frames.length * (t + 1) / gt)
+        val pooled = gridPool(frames((f0 + f1 - 1) / 2), cells)
+        System.arraycopy(pooled, 0, out, offset, cells)
+        offset += cells
+        t += 1
       }
       out
     }
@@ -192,15 +263,19 @@ object Multimodal {
   }
 
   /** JDK-native decoder for everything the JDK can decode: images via
-    * [[ImageIoDecoder]], audio via [[AudioDecoder]]; video (no JDK
-    * codec) falls back to the deterministic stub.
+    * [[ImageIoDecoder]], audio via [[AudioDecoder]], video via
+    * [[VideoDecoder]] (animated GIF — real decoded frames); only
+    * codecs the JDK lacks (MP4/WebM audio-video, compressed audio)
+    * fall back to the deterministic stub.
     */
   final class JdkMediaDecoder(fallback: Decoder = FakeDecoder) extends Decoder {
     private val images = new ImageIoDecoder(fallback)
     private val audio = new AudioDecoder(fallback)
+    private val video = new VideoDecoder(fallback)
     def decode(kind: String, bytes: Array[Byte], dim: Int): Array[Float] = kind match {
       case "image" => images.decode(kind, bytes, dim)
       case "audio" => audio.decode(kind, bytes, dim)
+      case "video" => video.decode(kind, bytes, dim)
       case _ => fallback.decode(kind, bytes, dim)
     }
   }
@@ -227,7 +302,9 @@ object Multimodal {
 
   /** Frame-sampling plumbing for video rows: emit (media_id, frame_idx)
     * every `everyN` frames based on metadata frame counts — a pure
-    * column-level explode, the real decode would be applied downstream.
+    * column-level explode that never touches payload bytes (the scale
+    * path when frame counts are catalogued); [[sampleFrameFeatures]]
+    * is the decoded counterpart.
     */
   def sampleFrames(media: DataFrame, everyN: Int): DataFrame = {
     val frames = coalesce(element_at(col("meta"), "n_frames").cast("int"), lit(0))
@@ -236,6 +313,31 @@ object Multimodal {
       .select(
         col("media_id"),
         explode(sequence(lit(0), frames - 1, lit(everyN))).as("frame_idx"))
+  }
+
+  final case class FrameFeatures(media_id: Long, frame_idx: Int, features: Array[Float])
+
+  /** REAL frame sampling: decode each video payload's frames
+    * ([[decodeFrames]] — animated GIF in this container-free build)
+    * and emit every `everyN`-th ACTUAL frame with its grid-pooled
+    * pixel features. Per-partition batching like [[extractFeatures]];
+    * rows whose payload no JDK reader decodes produce no frames
+    * (callers route those through the stubbed [[Decoder]] path).
+    */
+  def sampleFrameFeatures(
+      media: Dataset[MediaRow],
+      everyN: Int,
+      dim: Int = 64): Dataset[FrameFeatures] = {
+    import media.sparkSession.implicits._
+    require(everyN >= 1, s"everyN=$everyN must be >= 1")
+    media.mapPartitions { rows =>
+      rows.filter(r => r.kind == "video" && r.bytes != null && r.bytes.nonEmpty).flatMap { r =>
+        val frames = decodeFrames(r.bytes)
+        frames.indices.collect {
+          case i if i % everyN == 0 => FrameFeatures(r.media_id, i, gridPool(frames(i), dim))
+        }
+      }
+    }
   }
 
   /** Build a synthetic media table from any (id, text) frame — test

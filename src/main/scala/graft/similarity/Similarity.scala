@@ -134,7 +134,36 @@ object Similarity {
     */
   final case class LshGeometry(
       bands: Int, bitsPerBand: Int, probeHamming: Int,
-      expectedRecall: Double, emitFactor: Long)
+      expectedRecall: Double, emitFactor: Long) {
+
+    /** Predicted BACKGROUND candidate volume for a corpus of `n`
+      * vectors — the expected band-join rows contributed by random
+      * (near-orthogonal) pairs, whose per-bit agreement is 1/2 so two
+      * band keys land within Hamming radius r with probability
+      * |ball(k, r)| / 2^k:
+      *
+      *   bands x C(n, 2) x maskCount(k, r) / 2^k
+      *
+      * This is the quantity that made the measured x30 mid-threshold
+      * surprise (ScaleBench: ~1e9 band-join rows at 60 k vectors,
+      * threshold 0.4) PREDICTABLE: true near-dups add to it, but at
+      * any realistic dup rate the background quadratic dominates the
+      * join cost. [[nearDupPairsAuto]] warns when this exceeds its
+      * candidate budget; callers sizing a run at scale should check it
+      * first — it is the difference between a flat production
+      * threshold and an intrinsic O(n^2) mid-threshold mine.
+      */
+    def expectedBackgroundCandidates(n: Long): Double =
+      bands.toDouble * n.toDouble * (n - 1.0) / 2.0 *
+        Similarity.maskCount(bitsPerBand, probeHamming) / math.pow(2.0, bitsPerBand.toDouble)
+  }
+
+  private[similarity] def choose(n: Int, d: Int): Double =
+    (0 until d).map(i => (n - i).toDouble / (i + 1)).product
+
+  /** |Hamming ball| of radius r in k bits: sum_{d<=r} C(k, d). */
+  private[similarity] def maskCount(k: Int, r: Int): Double =
+    (0 to r).map(choose(k, _)).sum
 
   /** Derive (bands, bitsPerBand, probeHamming) from (threshold,
     * targetRecall) instead of hand-tuning per call site.
@@ -171,8 +200,6 @@ object Similarity {
     require(numPlanes >= 8 && numPlanes <= 64, s"numPlanes=$numPlanes must be in [8, 64] (one long)")
     require(targetRecall > 0.0 && targetRecall < 1.0, s"targetRecall=$targetRecall must be in (0, 1)")
     val p = 1.0 - math.acos(math.max(-1.0, math.min(1.0, threshold))) / math.Pi
-    def choose(n: Int, d: Int): Double = (0 until d).map(i => (n - i).toDouble / (i + 1)).product
-    def maskCount(k: Int, r: Int): Double = (0 to r).map(choose(k, _)).sum
     val candidates = for {
       bands <- (1 to numPlanes).filter(numPlanes % _ == 0)
       k = numPlanes / bands
@@ -215,8 +242,23 @@ object Similarity {
       numPlanes: Int = 64,
       seed: Long = 42L,
       dim: Int = 0,
-      broadcastVerify: Boolean = false): DataFrame = {
+      broadcastVerify: Boolean = false,
+      corpusSize: Long = 0L,
+      candidateBudget: Long = 100000000L): DataFrame = {
     val g = lshGeometry(threshold, targetRecall, numPlanes)
+    // Callers that know the corpus size get the x30 surprise as a
+    // WARNING at plan time instead of a 97-second discovery at run
+    // time (counting here would fire a job — size is caller-supplied,
+    // like dim).
+    if (corpusSize > 0) {
+      val predicted = g.expectedBackgroundCandidates(corpusSize)
+      if (predicted > candidateBudget.toDouble) log.warn(
+        f"nearDupPairsAuto: predicted background candidate volume $predicted%.3g rows " +
+          f"(n=$corpusSize, $g) exceeds the budget of $candidateBudget rows — " +
+          "this threshold/recall buys a near-quadratic band join at this corpus size; " +
+          "raise the threshold, lower targetRecall, or accept the cost knowingly " +
+          "(broadcastVerify keeps the verify stage map-side when vectors fit a broadcast)")
+    }
     // Callers that know the embedding dimension pass it and the whole
     // call stays a lazy transform; dim = 0 falls back to a one-row
     // probe (the only Spark action on this path — null vectors are

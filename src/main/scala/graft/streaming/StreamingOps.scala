@@ -264,6 +264,76 @@ object StreamingOps {
         })
   }
 
+  /** Static shingle-hash index backing streaming exact verification —
+    * the stream-side mirror of the persisted `gs` table inside
+    * [[graft.dedup.Dedup.verifyCandidatesReleasable]]: one row per
+    * document with its distinct byte-level shingle hashes. Compute it
+    * over the indexed corpus, persist it, and refresh per ingestion
+    * epoch (a static table is planned ONCE per micro-batch join — a
+    * growing corpus needs a periodic snapshot swap, the standard
+    * stream-static pattern).
+    */
+  def shingleIndex(corpus: DataFrame, textCol: String, idCol: String, n: Int = 3): DataFrame =
+    corpus.select(col(idCol).cast("long").as("id"),
+      graft.dedup.ShingleHashes.shingleHashes(col(textCol), n).as("gs"))
+
+  /** Exact-verification stage for the streaming candidate feed — the
+    * streaming counterpart of the batch LSH->exact path
+    * ([[graft.dedup.Dedup.verifyCandidates]]): each candidate pair is
+    * stream-static joined against the precomputed [[shingleIndex]] on
+    * BOTH endpoints and its TRUE Jaccard computed with the identical
+    * arithmetic (|intersect| / (|a| + |b| - |shared|) over the same
+    * distinct shingle-hash sets), keeping only pairs at or above
+    * `threshold`.
+    *
+    * Parity contract (pinned by StreamingOpsSpec): over any stream
+    * prefix whose docs are all covered by the index, `distinct
+    * (id_a, id_b, jaccard)` equals batch `verifyCandidates` on the
+    * union of those batches — estimated-Jaccard candidates in, exact
+    * verified pairs out, with bit-identical jaccard values. Like the
+    * candidate stream, a pair colliding in multiple bands is verified
+    * once per colliding band (`dropDuplicates("id_a","id_b")`
+    * downstream when exactly-once pairs are required); a candidate
+    * whose endpoint is missing from the index is unverifiable and
+    * dropped (coverage is the index refresh contract).
+    *
+    * Scale shape: the static sides carry the shingle ARRAYS, so both
+    * joins are shuffle-hash hinted exactly like the batch verify —
+    * array payloads must not pass through a sort-merge sort (the
+    * measured ~60 GB spill hazard documented there).
+    */
+  def verifiedNearDupStream(
+      candidates: Dataset[CandPair],
+      index: DataFrame,
+      threshold: Double = 0.5): DataFrame =
+    candidates.toDF()
+      .join(index.select(col("id").as("id_a"), col("gs").as("gs_a")).hint("shuffle_hash"), "id_a")
+      .join(index.select(col("id").as("id_b"), col("gs").as("gs_b")).hint("shuffle_hash"), "id_b")
+      .withColumn("shared", size(array_intersect(col("gs_a"), col("gs_b"))).cast("long"))
+      .withColumn(
+        "jaccard",
+        col("shared").cast("double") / (size(col("gs_a")) + size(col("gs_b")) - col("shared")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+
+  /** End-to-end streaming near-dedup: MinHash-LSH candidates via keyed
+    * state ([[minhashCandidatesStream]]) -> exact verification against
+    * the static corpus index ([[verifiedNearDupStream]]).
+    */
+  def minhashVerifiedStream(
+      docs: DataFrame,
+      index: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int = 3,
+      threshold: Double = 0.5,
+      numHashes: Int = 32,
+      bands: Int = 8,
+      seed: Long = 42L): DataFrame =
+    verifiedNearDupStream(
+      minhashCandidatesStream(docs, textCol, idCol, n, numHashes, bands, seed),
+      index, threshold)
+
   // ------------------------------------------------- stateful cycles
 
   final case class EventIn(event_id: Long, ts: java.sql.Timestamp, user_id: Long, event_type: String, value: Double)

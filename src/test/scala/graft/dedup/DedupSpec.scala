@@ -159,6 +159,23 @@ class DedupSpec extends SparkSpec {
     assert(slocal == Map("a" -> "a", "b" -> "a", "c" -> "a", "x" -> "x", "y" -> "x"))
   }
 
+  test("distributed propagation converges in ~log2(diameter) rounds on an ordered chain") {
+    import sqlImplicits._
+    // an ORDERED 2000-node chain is the worst case for one-hop min
+    // propagation (the minimum sits at one end: 2000 rounds without
+    // pointer halving). With halving, reach doubles per round:
+    // d_r = 2*d_{r-1} + 1 -> ceil(log2(2001)) = 11 rounds + 1 to
+    // detect the fixpoint.
+    val pairs = (0L until 1999L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val run = Dedup.dupClustersDistributedRun(
+      pairs.select(col("id_a"), col("id_b")).localCheckpoint(true), maxIter = 20)
+    assert(run.converged, s"did not converge in 20 rounds (rounds=${run.rounds})")
+    assert(run.rounds <= 13, s"pointer halving should need ~12 rounds, took ${run.rounds}")
+    assert(run.roundSecs.length == run.rounds)
+    val labels = run.labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.size == 2000 && labels.values.forall(_ == 0L))
+  }
+
   test("dupClusters: a null endpoint voids the edge, not the partner node, on BOTH paths") {
     import sqlImplicits._
     // (5, null) must keep 5 as a singleton; (null, null) contributes

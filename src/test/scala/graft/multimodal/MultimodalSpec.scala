@@ -92,6 +92,57 @@ class MultimodalSpec extends SparkSpec {
     assert(new Multimodal.JdkMediaDecoder().decode("video", Array[Byte](1, 2), 8).length == 8)
   }
 
+  test("VideoDecoder decodes a real 3-frame animated GIF into per-frame pixel features") {
+    import sqlImplicits._
+    // a genuine animated GIF written frame-by-frame with the JDK's own
+    // GIF writer: black -> mid-gray -> white (palette-exact solids)
+    def frame(gray: Int, w: Int = 16, h: Int = 16): java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val rgb = (gray << 16) | (gray << 8) | gray
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+      img
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    val writer = javax.imageio.ImageIO.getImageWritersBySuffix("gif").next()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    Seq(0, 128, 255).foreach(g =>
+      writer.writeToSequence(new javax.imageio.IIOImage(frame(g), null, null), null))
+    writer.endWriteSequence()
+    writer.dispose()
+    ios.close()
+    val gif = bos.toByteArray
+
+    // every decoded frame surfaces, in order, with pixel-true features
+    val rows = Seq(Multimodal.MediaRow(7L, "video", gif, Map.empty))
+    val perFrame = Multimodal.sampleFrameFeatures(spark.createDataset(rows), everyN = 1, dim = 4)
+      .collect().sortBy(_.frame_idx)
+    assert(perFrame.map(_.frame_idx).toSeq == Seq(0, 1, 2))
+    assert(perFrame(0).features.forall(v => math.abs(v - (-1.0f)) < 1e-2), perFrame(0).features.mkString(","))
+    assert(perFrame(1).features.forall(v => math.abs(v) < 0.05f), perFrame(1).features.mkString(","))
+    assert(perFrame(2).features.forall(v => math.abs(v - 1.0f) < 1e-2), perFrame(2).features.mkString(","))
+    // every-2nd sampling keeps real frame indices 0 and 2
+    val sampled = Multimodal.sampleFrameFeatures(spark.createDataset(rows), everyN = 2, dim = 4)
+      .collect().map(_.frame_idx).sorted
+    assert(sampled.toSeq == Seq(0, 2))
+
+    // the whole-clip embedding preserves temporal order: dim 48 ->
+    // 3 slices of 16 cells, dark then mid then bright
+    val vd = new Multimodal.VideoDecoder()
+    val clip = vd.decode("video", gif, 48)
+    assert(clip.take(16).forall(_ < -0.9f), clip.mkString(","))
+    assert(clip.slice(16, 32).forall(v => math.abs(v) < 0.05f), clip.mkString(","))
+    assert(clip.drop(32).forall(_ > 0.9f), clip.mkString(","))
+    // a reversed clip embeds DIFFERENTLY (order is information)
+    assert(!(clip sameElements clip.reverse))
+    // JdkMediaDecoder routes video to the real path now; an
+    // undecodable payload still falls back to the stub shape
+    val jdk = new Multimodal.JdkMediaDecoder()
+    assert(jdk.decode("video", gif, 48).toSeq == clip.toSeq)
+    assert(jdk.decode("video", Array[Byte](1, 2, 3), 8).length == 8)
+  }
+
   test("frame sampling explodes every-Nth frame index for videos only") {
     val frames = Multimodal.sampleFrames(media.toDF(), everyN = 5)
     val kinds = media.toDF().filter(col("kind") === "video").count()

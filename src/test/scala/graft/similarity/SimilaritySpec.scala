@@ -91,6 +91,50 @@ class SimilaritySpec extends SparkSpec {
       assert(g.bitsPerBand >= 8, g.toString)
   }
 
+  test("expectedBackgroundCandidates predicts measured background collision volume within 2x") {
+    import sqlImplicits._
+    // 2000 random gaussian vectors: cosines concentrate at 0, so every
+    // band collision is BACKGROUND — the population the estimator
+    // models (the same quantity that, at the x30 fixture's 60k vectors
+    // and threshold 0.4, predicts the measured ~1e9-row band join).
+    val n = 2000
+    val dim = 16
+    val rnd = new scala.util.Random(7)
+    val vecs = Array.fill(n)(Array.fill(dim)(rnd.nextGaussian().toFloat))
+    val g = Similarity.lshGeometry(0.4, 0.95, 64)
+    assert(g.probeHamming > 0) // mid-threshold mining probes, so the ball term matters
+    // signatures via the SAME expression the production join uses
+    val sigs = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v.toSeq) }
+      .toSeq.toDF("id", "vec")
+      .select(col("id"), Similarity.rhpSignature(col("vec"), Similarity.hyperplanes(dim, 64)).as("sig"))
+      .collect().sortBy(_.getLong(0)).map(_.getLong(1))
+    val k = g.bitsPerBand
+    val mask = if (k == 64) -1L else (1L << k) - 1
+    var measured = 0L
+    var a = 0
+    while (a < n) {
+      var b = a + 1
+      while (b < n) {
+        var band = 0
+        while (band < g.bands) {
+          val ka = (sigs(a) >>> (band * k)) & mask
+          val kb = (sigs(b) >>> (band * k)) & mask
+          if (java.lang.Long.bitCount(ka ^ kb) <= g.probeHamming) measured += 1
+          band += 1
+        }
+        b += 1
+      }
+      a += 1
+    }
+    val predicted = g.expectedBackgroundCandidates(n.toLong)
+    assert(measured > 0L)
+    assert(predicted < measured * 2.0 && measured < predicted * 2.0,
+      s"predicted=$predicted measured=$measured")
+    // radius-0 sanity: the ball term degenerates to bands x C(n,2) / 2^k
+    val g0 = Similarity.LshGeometry(8, 8, 0, 1.0, 16)
+    assert(math.abs(g0.expectedBackgroundCandidates(1000) - 8.0 * 1000 * 999 / 2 / 256) < 1e-6)
+  }
+
   test("nearDupPairsAuto equals the hand-tuned geometry's verified pair set on the fixture") {
     val df = graft.sources.Sources.embeddings(spark, "/root/testdata/sf0.001")
     val planes = Similarity.hyperplanes(64, 64, seed = 42L)

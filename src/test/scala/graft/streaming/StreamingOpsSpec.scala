@@ -154,6 +154,39 @@ class StreamingOpsSpec extends SparkSpec {
     assert(!want.exists { case (a, b, _) => a == 4L || b == 4L }) // unrelated never collides
   }
 
+  test("streaming verified near-dedup equals batch verifyCandidates on the union of batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import sqlImplicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = (1 to 50).map(i => s"w$i").mkString(" ")
+    val nearDup = (1 to 48).map(i => s"w$i").mkString(" ") + " x y"
+    val nearDup2 = (3 to 50).map(i => s"w$i").mkString(" ") + " p q"
+    val other = (100 to 160).map(i => s"v$i").mkString(" ")
+    val all = Seq((1L, base), (4L, other), (2L, base), (3L, nearDup), (5L, nearDup2))
+    // the static index covers the whole corpus, like the persisted gs
+    // table inside the batch verify
+    val index = StreamingOps.shingleIndex(all.toDF("doc_id", "text"), "text", "doc_id").persist()
+    val input = MemoryStream[(Long, String)]
+    // bands=16 mirrors verifyCandidates' default banding exactly
+    val stream = StreamingOps.minhashVerifiedStream(
+      input.toDF().toDF("doc_id", "text"), index, "text", "doc_id",
+      threshold = 0.5, bands = 16)
+    val q = stream.writeStream.outputMode("append").format("memory").queryName("mvs").start()
+    Seq(Seq((1L, base), (4L, other)), Seq((2L, base), (3L, nearDup)), Seq((5L, nearDup2)))
+      .foreach { b => input.addData(b); q.processAllAvailable() }
+    q.stop()
+    val got = spark.table("mvs").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet // distinct folds multi-band verifies
+    val want = graft.dedup.Dedup.verifyCandidates(
+      all.toDF("doc_id", "text"), "text", "doc_id", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    index.unpersist()
+    // exact parity INCLUDING the bit-exact true-Jaccard values
+    assert(got == want, s"stream=$got batch=$want")
+    assert(want.exists { case (a, b, j) => a == 1L && b == 2L && j == 1.0 }) // exact dup verified at 1.0
+    assert(!want.exists { case (a, b, _) => a == 4L || b == 4L }) // unrelated never verified
+  }
+
   test("TTL-bounded streaming minhash: partners within the horizon pair, expired history does not") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import sqlImplicits._
