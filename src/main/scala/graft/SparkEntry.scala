@@ -20,7 +20,8 @@ object SparkEntry {
     _root_.graft.queries.Relational.queries ++
       _root_.graft.queries.EventsQueries.queries ++
       _root_.graft.queries.TextQueries.queries ++
-      _root_.graft.queries.SimilarityQueries.queries
+      _root_.graft.queries.SimilarityQueries.queries ++
+      _root_.graft.queries.PipelineQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
@@ -28,5 +29,6 @@ object SparkEntry {
     _root_.graft.queries.Relational.oracle ++
       _root_.graft.queries.EventsQueries.oracle ++
       _root_.graft.queries.TextQueries.oracle ++
-      _root_.graft.queries.SimilarityQueries.oracle
+      _root_.graft.queries.SimilarityQueries.oracle ++
+      _root_.graft.queries.PipelineQueries.oracle
 }

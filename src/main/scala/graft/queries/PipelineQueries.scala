@@ -1,0 +1,134 @@
+package graft.queries
+
+import graft.ops.Sampling
+import graft.sources.Sources
+import graft.text.{PiiScrub, SequencePacking}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-pipeline curation pack (engine additions beyond the
+  * reference surface): deterministic stratified sampling, token-aware
+  * sequence packing, and PII scrubbing — each oracle-exact against
+  * DuckDB running the identical integer/regex arithmetic.
+  */
+object PipelineQueries {
+
+  /** q39: stratified corpus rebalancing — downsample the dominant
+    * language (en at 25%), halve the mid-frequency ones, keep zh
+    * whole. Hash-deterministic membership (see [[Sampling]]): the
+    * oracle reproduces the exact row set, not just the rates.
+    */
+  def q39StratifiedSample(spark: SparkSession, dir: String): DataFrame =
+    Sampling.stratified(
+      Sources.documents(spark, dir), "doc_id", "lang",
+      rates = Map("en" -> 0.25, "zh" -> 1.0), defaultRate = 0.5, seed = 42L)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .orderBy("doc_id")
+
+  // thresholds inlined as literals computed by the SAME (rate * m).toLong
+  // truncation the Spark side uses — a DuckDB CAST would round-to-nearest
+  private val M = 2147483647L
+  val q39Sql: String = {
+    val en = (0.25 * M).toLong; val zh = (1.0 * M).toLong; val other = (0.5 * M).toLong
+    s"""SELECT doc_id, lang, source, n_chars
+       |FROM documents
+       |WHERE ((((doc_id * 48271 + 42) % $M) * 48271 % $M) * 48271 % $M) <
+       |  (CASE WHEN lang = 'en' THEN $en WHEN lang = 'zh' THEN $zh ELSE $other END)
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** q40: sequence packing manifest — documents laid on a per-source
+    * token tape, binned at capacity 2048 by start offset
+    * ([[SequencePacking]]), one manifest row per bin.
+    */
+  def q40SequencePacking(spark: SparkSession, dir: String): DataFrame =
+    SequencePacking.packedBins(
+      Sources.documents(spark, dir), "text", "source", "doc_id", capacity = 2048)
+      .orderBy("source", "bin")
+
+  val q40Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id, source, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |  FROM documents
+      |), o AS (
+      |  SELECT doc_id, source, n_tokens,
+      |    sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS start_offset
+      |  FROM t
+      |)
+      |SELECT source, CAST(floor(start_offset / 2048.0) AS BIGINT) AS bin,
+      |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+      |  min(doc_id) AS first_id, max(doc_id) AS last_id
+      |FROM o
+      |GROUP BY source, bin
+      |ORDER BY source, bin""".stripMargin
+
+  /** q41: PII scrub over text carrying synthetic identifiers. The
+    * fixture corpus is digit-free word soup, so the query first welds
+    * on DETERMINISTIC pseudo-PII derived from doc_id (email, NANP
+    * phone, private IP) — both engines build the identical augmented
+    * text, then scrub with the identical portable regexes
+    * ([[PiiScrub.Patterns]]); the md5 of the scrubbed text pins every
+    * replacement byte-for-byte.
+    */
+  def q41PiiScrub(spark: SparkSession, dir: String): DataFrame = {
+    val aug = Sources.documents(spark, dir).withColumn("aug", concat(
+      col("text"),
+      lit(" contact user"), col("doc_id").cast("string"),
+      lit("@mail"), pmod(col("doc_id"), lit(10L)).cast("string"), lit(".org tel 555-"),
+      lpad(pmod(col("doc_id") * 7919L, lit(1000L)).cast("string"), 3, "0"), lit("-"),
+      lpad(pmod(col("doc_id") * 104729L, lit(10000L)).cast("string"), 4, "0"),
+      lit(" ip 10."), pmod(col("doc_id"), lit(256L)).cast("string"),
+      lit(".0."), pmod(col("doc_id") * 7L, lit(256L)).cast("string"), lit(" ssn "),
+      lpad(pmod(col("doc_id") * 31L, lit(1000L)).cast("string"), 3, "0"), lit("-"),
+      lpad(pmod(col("doc_id"), lit(100L)).cast("string"), 2, "0"), lit("-"),
+      lpad(pmod(col("doc_id") * 17L, lit(10000L)).cast("string"), 4, "0")))
+    PiiScrub.scrubbed(aug, "aug")
+      .select(
+        col("doc_id"),
+        col("n_email"), col("n_phone"), col("n_ssn"), col("n_ipv4"),
+        length(col("scrubbed")).as("len_scrubbed"),
+        md5(col("scrubbed").cast("binary")).as("scrub_md5"))
+      .orderBy("doc_id")
+  }
+
+  val q41Sql: String = {
+    val Seq(email, phone, ssn, ipv4) = PiiScrub.Patterns.map(_._2)
+    def c(pat: String) = s"CAST(len(regexp_extract_all(aug, '$pat')) AS INT)"
+    s"""WITH a AS (
+       |  SELECT doc_id,
+       |    text || ' contact user' || doc_id || '@mail' || (doc_id % 10) ||
+       |      '.org tel 555-' || lpad(CAST(doc_id * 7919 % 1000 AS VARCHAR), 3, '0') || '-' ||
+       |      lpad(CAST(doc_id * 104729 % 10000 AS VARCHAR), 4, '0') ||
+       |      ' ip 10.' || (doc_id % 256) || '.0.' || (doc_id * 7 % 256) || ' ssn ' ||
+       |      lpad(CAST(doc_id * 31 % 1000 AS VARCHAR), 3, '0') || '-' ||
+       |      lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') || '-' ||
+       |      lpad(CAST(doc_id * 17 % 10000 AS VARCHAR), 4, '0') AS aug
+       |  FROM documents
+       |), s AS (
+       |  SELECT doc_id,
+       |    ${c(email)} AS n_email, ${c(phone)} AS n_phone,
+       |    ${c(ssn)} AS n_ssn, ${c(ipv4)} AS n_ipv4,
+       |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(aug,
+       |      '$email', '<EMAIL>', 'g'),
+       |      '$phone', '<PHONE>', 'g'),
+       |      '$ssn', '<SSN>', 'g'),
+       |      '$ipv4', '<IP>', 'g') AS scrubbed
+       |  FROM a
+       |)
+       |SELECT doc_id, n_email, n_phone, n_ssn, n_ipv4,
+       |  CAST(length(scrubbed) AS INT) AS len_scrubbed, md5(scrubbed) AS scrub_md5
+       |FROM s
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q39_stratified_sample" -> (q39StratifiedSample _),
+    "q40_sequence_packing" -> (q40SequencePacking _),
+    "q41_pii_scrub" -> (q41PiiScrub _))
+
+  val oracle: Map[String, String] = Map(
+    "q39_stratified_sample" -> q39Sql,
+    "q40_sequence_packing" -> q40Sql,
+    "q41_pii_scrub" -> q41Sql)
+}

@@ -2,10 +2,11 @@ package graft.sources
 
 import java.sql.{Connection, DriverManager, ResultSet, ResultSetMetaData, Types}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.{Expression, NamedReference, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate._
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -90,7 +91,7 @@ private class AdxLikeTable(
     numPartitions: Int,
     normalize: Boolean,
     realCols: Set[String])
-  extends Table with SupportsRead {
+  extends Table with SupportsRead with SupportsWrite {
   require(url != null, "option 'url' is required")
   require(tableName != null, "option 'table' is required")
   require(numPartitions >= 1, s"numPartitions=$numPartitions must be >= 1")
@@ -98,11 +99,192 @@ private class AdxLikeTable(
   override def name(): String = s"adxlike:$tableName"
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(
+      TableCapability.BATCH_READ, TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new AdxLikeScanBuilder(url, tableName, tableSchema, maxRetries, partitionColumn,
       numPartitions, normalize, realCols)
+
+  /** DSv2 write path — the connector's counterpart of the reference's
+    * guarded DML write-back (mysql_plugin's DML branch; see
+    * [[Sinks.writeJdbc]] for the policy rationale): `mode("append")`
+    * appends, `mode("overwrite")` truncates first. Normalized reads
+    * rewrite column VALUES (second-floor, text-real coercion), so a
+    * normalize=kusto table is read-only — writing Spark's rewritten
+    * values back would corrupt the remote raw data.
+    */
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(!normalize,
+      "adxlike write: option normalize=kusto is read-side only (normalized values " +
+        "differ from the remote raw data); write to a non-normalized table instead")
+    new AdxLikeWriteBuilder(url, tableName, tableSchema, info.schema(), maxRetries)
+  }
+}
+
+private class AdxLikeWriteBuilder(
+    url: String,
+    table: String,
+    full: StructType,
+    writeSchema: StructType,
+    maxRetries: Int)
+  extends WriteBuilder with SupportsTruncate {
+
+  private var truncateFirst = false
+  override def truncate(): WriteBuilder = { truncateFirst = true; this }
+  override def build(): Write =
+    new AdxLikeWrite(url, table, full, writeSchema, maxRetries, truncateFirst)
+}
+
+/** Batch write: one transactional INSERT stream per partition task.
+  * The truncate (overwrite mode) runs driver-side under the connector
+  * retry policy BEFORE any task launches — `DELETE FROM` restarts from
+  * a clean table, so retrying it is idempotent (the same
+  * idempotency-aware split as [[Sinks.writeJdbc]]). Each task writes
+  * inside ONE remote transaction committed at task commit: a failed
+  * task rolls back and Spark's task retry re-runs it cleanly
+  * (exactly-once per task). Job-level abort cannot un-commit tasks
+  * that already committed — the same contract as Spark's built-in
+  * JDBC writer, surfaced in the scaladoc instead of hidden.
+  */
+private class AdxLikeWrite(
+    url: String,
+    table: String,
+    full: StructType,
+    writeSchema: StructType,
+    maxRetries: Int,
+    truncate: Boolean)
+  extends Write with BatchWrite {
+
+  override def toBatch: BatchWrite = this
+  override def description(): String =
+    s"AdxLike write table=$table" + (if (truncate) " (truncate)" else "")
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    if (truncate) Jdbc.withRetries(maxRetries) {
+      val conn = DriverManager.getConnection(url)
+      try { conn.createStatement().executeUpdate(s"DELETE FROM $table"); () }
+      finally conn.close()
+    }
+    // For writes Spark hands the provider the INPUT dataframe's schema,
+    // not the inferred one, so the remote-name metadata that drives
+    // identifier quoting is absent — resolve the remote schema here
+    // (driver-side, under the retry policy, same as the read path) and
+    // map write columns to quoted remote identifiers case-insensitively.
+    val remote = AdxLike.resolveSchema(url, table, maxRetries)
+    def rid(name: String): String =
+      remote.fields.find(_.name.equalsIgnoreCase(name))
+        .map(f => AdxLike.remoteId(remote, f.name))
+        .getOrElse(AdxLike.remoteId(full, name))
+    val cols = writeSchema.fieldNames.map(rid)
+    val sql = s"INSERT INTO $table (${cols.mkString(", ")}) " +
+      s"VALUES (${Seq.fill(cols.length)("?").mkString(", ")})"
+    new AdxLikeWriterFactory(url, sql, writeSchema, maxRetries)
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = ()
+  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+private class AdxLikeWriterFactory(
+    url: String,
+    sql: String,
+    schema: StructType,
+    maxRetries: Int) extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new AdxLikeDataWriter(url, sql, schema, maxRetries)
+}
+
+private case class AdxLikeCommitMessage(rows: Long) extends WriterCommitMessage
+
+/** One partition's writer: managed connection under the shared retry
+  * policy (connect is the retryable step; the statement stream is not
+  * blind-retried — Spark task retry re-runs the whole rolled-back
+  * task instead), JDBC batch inserts of [[AdxLikeDataWriter.BatchRows]]
+  * rows, single transaction per task.
+  */
+private class AdxLikeDataWriter(
+    url: String,
+    sql: String,
+    schema: StructType,
+    maxRetries: Int) extends DataWriter[InternalRow] {
+
+  private val conn: Connection = Jdbc.withRetries(maxRetries) {
+    val c = DriverManager.getConnection(url)
+    try { c.setAutoCommit(false); c }
+    catch { case e: Throwable => c.close(); throw e }
+  }
+  private val stmt = conn.prepareStatement(sql)
+  private var pending = 0
+  private var total = 0L
+
+  override def write(row: InternalRow): Unit = {
+    var i = 0
+    while (i < schema.length) {
+      bind(row, i)
+      i += 1
+    }
+    stmt.addBatch()
+    pending += 1
+    total += 1
+    if (pending >= AdxLikeDataWriter.BatchRows) { stmt.executeBatch(); pending = 0 }
+  }
+
+  private def bind(row: InternalRow, i: Int): Unit = {
+    val j = i + 1
+    val dt = schema.fields(i).dataType
+    if (row.isNullAt(i)) { stmt.setNull(j, AdxLikeDataWriter.sqlType(dt)); return }
+    dt match {
+      case IntegerType => stmt.setInt(j, row.getInt(i))
+      case LongType => stmt.setLong(j, row.getLong(i))
+      case DoubleType => stmt.setDouble(j, row.getDouble(i))
+      case FloatType => stmt.setFloat(j, row.getFloat(i))
+      case BooleanType => stmt.setBoolean(j, row.getBoolean(i))
+      case StringType => stmt.setString(j, row.getUTF8String(i).toString)
+      case d: DecimalType =>
+        stmt.setBigDecimal(j, row.getDecimal(i, d.precision, d.scale).toJavaBigDecimal)
+      case TimestampType =>
+        val micros = row.getLong(i)
+        val ts = new java.sql.Timestamp(Math.floorDiv(micros, 1000000L) * 1000L)
+        ts.setNanos((Math.floorMod(micros, 1000000L) * 1000L).toInt)
+        stmt.setTimestamp(j, ts)
+      case DateType =>
+        stmt.setDate(j, java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(row.getInt(i).toLong)))
+      case other => throw new IllegalArgumentException(s"unsupported write type $other")
+    }
+  }
+
+  override def commit(): WriterCommitMessage = {
+    if (pending > 0) { stmt.executeBatch(); pending = 0 }
+    conn.commit()
+    AdxLikeCommitMessage(total)
+  }
+
+  override def abort(): Unit = {
+    try conn.rollback()
+    catch { case _: java.sql.SQLException => () }
+  }
+
+  override def close(): Unit = {
+    try stmt.close() finally conn.close()
+  }
+}
+
+private object AdxLikeDataWriter {
+  val BatchRows = 500
+
+  def sqlType(dt: DataType): Int = dt match {
+    case IntegerType => Types.INTEGER
+    case LongType => Types.BIGINT
+    case DoubleType => Types.DOUBLE
+    case FloatType => Types.REAL
+    case BooleanType => Types.BOOLEAN
+    case StringType => Types.VARCHAR
+    case _: DecimalType => Types.DECIMAL
+    case TimestampType => Types.TIMESTAMP
+    case DateType => Types.DATE
+    case other => throw new IllegalArgumentException(s"unsupported write type $other")
+  }
 }
 
 private class AdxLikeScanBuilder(
@@ -449,7 +631,7 @@ private[sources] object AdxLike {
     * bare name unquoted (quoting a lowercased name would change its
     * identity under case-sensitive quoted-identifier rules).
     */
-  private def remoteId(full: StructType, name: String): String =
+  private[sources] def remoteId(full: StructType, name: String): String =
     full.fields.find(_.name == name) match {
       case Some(f) if f.metadata.contains(RemoteNameKey) =>
         "\"" + f.metadata.getString(RemoteNameKey).replace("\"", "\"\"") + "\""

@@ -1,0 +1,73 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SamplingSpec extends SparkSpec {
+
+  private def ids(n: Int) = {
+    import sqlImplicits._
+    spark.range(n.toLong).select(col("id"),
+      (col("id") % 4).cast("string").as("grp"))
+  }
+
+  test("uniform sampling hits the rate within binomial tolerance and is deterministic") {
+    val df = ids(20000)
+    val kept = Sampling.uniform(df, "id", 0.3, seed = 7L)
+    val n = kept.count()
+    // 3-sigma binomial band around 6000
+    assert(math.abs(n - 6000.0) < 3 * math.sqrt(20000 * 0.3 * 0.7), n)
+    // deterministic: the same call yields the same ROWS, not just the same count
+    val again = Sampling.uniform(df, "id", 0.3, seed = 7L)
+    assert(kept.select("id").collect().map(_.getLong(0)).sorted.sameElements(
+      again.select("id").collect().map(_.getLong(0)).sorted))
+    // a different seed yields a genuinely different membership
+    val other = Sampling.uniform(df, "id", 0.3, seed = 8L)
+    assert(other.select("id").collect().map(_.getLong(0)).toSet !=
+      kept.select("id").collect().map(_.getLong(0)).toSet)
+  }
+
+  test("samples are nested across rates: rate r1 < r2 implies sample(r1) subset of sample(r2)") {
+    val df = ids(5000)
+    val small = Sampling.uniform(df, "id", 0.1, seed = 3L)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val big = Sampling.uniform(df, "id", 0.4, seed = 3L)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(small.subsetOf(big))
+    assert(small.nonEmpty && big.size > small.size)
+  }
+
+  test("sampling is partition-layout invariant: repartitioned input keeps the same rows") {
+    val df = ids(5000)
+    val a = Sampling.uniform(df, "id", 0.25, seed = 11L)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val b = Sampling.uniform(df.repartition(17, col("grp")), "id", 0.25, seed = 11L)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(a == b)
+  }
+
+  test("stratified rates apply per stratum; absent strata take the default") {
+    val df = ids(40000)
+    val kept = Sampling.stratified(df, "id", "grp",
+      rates = Map("0" -> 0.1, "1" -> 0.9), defaultRate = 0.5, seed = 5L)
+    val byGrp = kept.groupBy("grp").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // each stratum has 10000 rows; 3-sigma bands per rate
+    def band(rate: Double) = 3 * math.sqrt(10000 * rate * (1 - rate))
+    assert(math.abs(byGrp("0") - 1000.0) < band(0.1), byGrp)
+    assert(math.abs(byGrp("1") - 9000.0) < band(0.9), byGrp)
+    assert(math.abs(byGrp("2") - 5000.0) < band(0.5), byGrp)
+    assert(math.abs(byGrp("3") - 5000.0) < band(0.5), byGrp)
+  }
+
+  test("rate 0 keeps nothing, rate 1 keeps everything") {
+    val df = ids(1000)
+    assert(Sampling.uniform(df, "id", 0.0).count() == 0)
+    assert(Sampling.uniform(df, "id", 1.0).count() == 1000)
+  }
+
+  test("the plan is a pure filter: no shuffle anywhere") {
+    val plan = Sampling.uniform(ids(100), "id", 0.5).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+}

@@ -288,4 +288,77 @@ class AdxLikeSourceSpec extends SparkSpec {
     val df = SourceRegistry.read("adx_readings", spark, "ignored")
     assert(df.select("device").distinct().count() == 3)
   }
+
+  test("DSv2 append writes rows back through the connector, quoted reserved columns included") {
+    seed()
+    import spark.implicits._
+    val extra = Seq(
+      (101L, "dev9", 99.5, new java.math.BigDecimal("7.25"),
+        java.sql.Timestamp.valueOf("2026-02-01 12:00:00")),
+      (102L, "dev9", 98.5, null.asInstanceOf[java.math.BigDecimal],
+        null.asInstanceOf[java.sql.Timestamp]))
+      .toDF("id", "device", "temp", "amount", "at")
+      .withColumn("amount", col("amount").cast("decimal(10,2)"))
+    extra.repartition(2).write.format("adxlike")
+      .option("url", url).option("table", "readings").mode("append").save()
+    val back = table.filter(col("id") >= 101L).orderBy("id").collect()
+    assert(back.length == 2)
+    assert(back(0).getLong(0) == 101L && back(0).getString(1) == "dev9" &&
+      back(0).getDouble(2) == 99.5 &&
+      back(0).getDecimal(3) == new java.math.BigDecimal("7.25") &&
+      back(0).getTimestamp(4) == java.sql.Timestamp.valueOf("2026-02-01 12:00:00"))
+    assert(back(1).isNullAt(3) && back(1).isNullAt(4))
+    assert(table.count() == 32)
+  }
+
+  test("DSv2 overwrite truncates remote-side first; append-only columns take remote defaults") {
+    seed()
+    import spark.implicits._
+    // a PARTIAL column list: unwritten columns land NULL remote-side
+    val fresh = Seq((201L, "devX"), (202L, "devY")).toDF("id", "device")
+    fresh.write.format("adxlike")
+      .option("url", url).option("table", "readings").mode("overwrite").save()
+    val after = table.orderBy("id").collect()
+    assert(after.map(_.getLong(0)).toSeq == Seq(201L, 202L))
+    assert(after.forall(r => r.isNullAt(2) && r.isNullAt(3) && r.isNullAt(4)))
+  }
+
+  test("a write to a normalize=kusto table is rejected as read-only") {
+    seed()
+    import spark.implicits._
+    val e = intercept[Exception] {
+      Seq((1, "1.5")).toDF("id", "val").write.format("adxlike")
+        .option("url", url).option("table", "readings")
+        .option("normalize", "kusto").option("kustoRealColumns", "temp")
+        .mode("append").save()
+    }
+    assert(Iterator.iterate[Throwable](e)(_.getCause).takeWhile(_ != null).take(5)
+      .exists(_.getMessage != null))
+  }
+
+  test("write task failure rolls back its transaction; retried rows are not duplicated") {
+    seed()
+    import spark.implicits._
+    // a row violating the DOUBLE column's type discipline can't be
+    // built here; instead force failure via a duplicate-key constraint
+    val conn = DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      try st.execute("DROP TABLE strict_rows") catch { case _: SQLException => () }
+      st.execute("CREATE TABLE strict_rows (id BIGINT PRIMARY KEY, v VARCHAR(8))")
+      st.execute("INSERT INTO strict_rows VALUES (2, 'seeded')")
+      st.close()
+    } finally conn.close()
+    // id=2 collides with the seeded key -> the task's transaction
+    // rolls back; id=1 rides in the SAME task transaction and must
+    // NOT survive the failed write
+    val e = intercept[Exception] {
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v").coalesce(1)
+        .write.format("adxlike")
+        .option("url", url).option("table", "strict_rows").mode("append").save()
+    }
+    assert(e != null)
+    val left = Jdbc.read(spark, url, "strict_rows").collect()
+    assert(left.length == 1 && left.head.getString(1) == "seeded")
+  }
 }
