@@ -3,6 +3,7 @@ package graft.text
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.functions.{broadcast => bcast}
 
 /** Token-aware sequence packing (engine addition): assign documents to
   * fixed-capacity context windows ("bins") without splitting a
@@ -24,13 +25,14 @@ import org.apache.spark.sql.functions._
   * spills its tail past it — the caller either truncates the tail or
   * sizes capacity >> max doc, both standard).
   *
-  * Scale shape: one hash exchange on the stratum column, then a
-  * per-stratum window running sum — no global sort, no driver state.
-  * Strata (source shard / language / date bucket) are exactly the
-  * unit a 100 TB corpus is already partitioned by, so parallelism is
-  * the stratum count. Fully deterministic in (stratum, order column):
-  * the DuckDB oracle reproduces it bit-for-bit with the same window
-  * sum.
+  * Scale shape: [[assignBins]] is one hash exchange on the stratum
+  * column plus a per-stratum window running sum — parallelism is the
+  * stratum count, which serializes a skewed corpus (one dominant
+  * source) into a single task. [[assignBinsDistributed]] is the
+  * 100 TB form: a two-pass distributed prefix sum whose parallelism
+  * is strata x chunks and whose output is bit-identical. The window
+  * form remains as the small-scale oracle (the DuckDB oracle
+  * reproduces it bit-for-bit with the same window sum).
   */
 object SequencePacking {
 
@@ -50,6 +52,78 @@ object SequencePacking {
     df.withColumn("n_tokens", TextAnalysis.tokenCount(col(textCol)).cast("long"))
       .withColumn("start_offset", sum(col("n_tokens")).over(w) - col("n_tokens"))
       .withColumn("bin", floor(col("start_offset") / lit(capacity.toLong)))
+  }
+
+  /** Skew-safe twin of [[assignBins]]: identical (stratum, bin)
+    * assignment computed as a two-pass distributed prefix sum instead
+    * of one window per stratum.
+    *
+    * The window form serializes each stratum into a single task — fine
+    * when strata are many and balanced, a scale-killer when one source
+    * (e.g. a web crawl) dominates a 100 TB corpus. Here each stratum is
+    * split into `numChunks` CONTIGUOUS ranges of `orderCol`, so the
+    * serial running sum happens per (stratum, chunk) — parallelism is
+    * strata x chunks — and the cross-chunk carry is reconstructed from
+    * a control-plane-sized table of per-chunk token totals:
+    *
+    *   pass 1: per-stratum (min, max) of the order column — a partial
+    *           aggregate whose shuffle is one row per stratum;
+    *   pass 2: per-(stratum, chunk) token sums (same tiny-shuffle
+    *           shape), cumulative-summed over the chunk axis — a window
+    *           over ≤ numChunks rows per stratum, negligible — and
+    *           broadcast-joined back as each chunk's base offset;
+    *   pass 3: a local running sum within (stratum, chunk), offset by
+    *           the chunk base.
+    *
+    * Because chunks are contiguous in `orderCol`, ordering by
+    * (chunk, orderCol) equals ordering by orderCol, so `start_offset`
+    * (and therefore `bin`) is BIT-IDENTICAL to the window form — the
+    * window form stays as this function's oracle
+    * (SequencePackingSpec pins the equality on skewed multi-chunk
+    * data). `orderCol` must be castable to long and unique per stratum,
+    * same determinism contract as [[assignBins]].
+    */
+  def assignBinsDistributed(
+      df: DataFrame,
+      textCol: String,
+      strataCol: String,
+      orderCol: String,
+      capacity: Int,
+      numChunks: Int = 64): DataFrame = {
+    require(capacity > 0, s"capacity=$capacity must be positive")
+    require(numChunks > 0, s"numChunks=$numChunks must be positive")
+    val ord = col(orderCol).cast("long")
+    val withTok = df
+      .withColumn("n_tokens", TextAnalysis.tokenCount(col(textCol)).cast("long"))
+    // pass 1: chunk boundaries. span >= 1 guarantees <= numChunks
+    // chunks; (ord - min) / span avoids the (ord - min) * numChunks
+    // overflow a ratio-based bucket would risk on wide id spaces.
+    val bounds = withTok.groupBy(col(strataCol))
+      .agg(min(ord).as("_ord_min"), max(ord).as("_ord_max"))
+      .withColumn("_span",
+        greatest(lit(1L), floor((col("_ord_max") - col("_ord_min")) / lit(numChunks.toLong)) + 1))
+      .select(col(strataCol), col("_ord_min"), col("_span"))
+    val chunked = withTok
+      .join(bcast(bounds), Seq(strataCol))
+      .withColumn("_chunk", floor((ord - col("_ord_min")) / col("_span")))
+    // pass 2: per-chunk totals -> exclusive cumulative base per chunk.
+    // The window here runs over <= numChunks rows per stratum (the
+    // control plane), not the documents.
+    val carry = Window.partitionBy(col(strataCol)).orderBy(col("_chunk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val chunkBases = chunked.groupBy(col(strataCol), col("_chunk"))
+      .agg(sum(col("n_tokens")).as("_chunk_tokens"))
+      .withColumn("_chunk_base", coalesce(sum(col("_chunk_tokens")).over(carry), lit(0L)))
+      .select(col(strataCol), col("_chunk"), col("_chunk_base"))
+    // pass 3: local running sum, offset by the broadcast chunk base.
+    val local = Window.partitionBy(col(strataCol), col("_chunk")).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    chunked
+      .join(bcast(chunkBases), Seq(strataCol, "_chunk"))
+      .withColumn("start_offset",
+        col("_chunk_base") + sum(col("n_tokens")).over(local) - col("n_tokens"))
+      .withColumn("bin", floor(col("start_offset") / lit(capacity.toLong)))
+      .select((df.columns.map(col) ++ Seq(col("n_tokens"), col("start_offset"), col("bin"))): _*)
   }
 
   /** Packed-bin summary: one row per (stratum, bin) with document and
