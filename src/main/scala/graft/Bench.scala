@@ -45,13 +45,24 @@ object Bench {
     // A throwing query must not masquerade as a fast successful one:
     // its median is reported as -1, it is excluded from the total, and
     // its name lands in the "failed" list.
+    //
+    // Sub-second queries showed +-40% round-to-round swings on
+    // untouched code (q15: 0.93<->0.64 s across four rounds) — at that
+    // duration a single JIT tier-up or GC pause IS the measurement. So
+    // each query gets one UNTIMED warm-up execution (compiles its
+    // codegen and JITs its hot loops outside the measured window), and
+    // queries whose warm-up ran under a second are measured
+    // median-of-5 instead of median-of-`runs`.
     val results = SparkEntry.queries.map { case (name, fn) =>
       var failed = false
-      val times = (0 until math.max(runs, 1)).map { _ =>
+      def once(): Double = {
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case NonFatal(_) => failed = true }
         (System.nanoTime() - t0) / 1e9
       }
+      val warmup = once()
+      val n = if (failed) 1 else if (warmup < 1.0) math.max(runs, 5) else math.max(runs, 1)
+      val times = (0 until n).map(_ => once())
       name -> (if (failed) -1.0 else median(times))
     }
     val failedNames = results.collect { case (k, v) if v < 0 => k }.toSeq.sorted

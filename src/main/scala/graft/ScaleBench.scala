@@ -76,9 +76,22 @@ object ScaleBench {
       spark: SparkSession,
       dir: String,
       x: Int,
+      nEmb: Long,
       extra: (String, String) => Unit): Seq[(String, () => Long)] = {
     def docs = graft.sources.Sources.documents(spark, dir)
     def emb = graft.sources.Sources.embeddings(spark, dir)
+    // Candidate-budget estimator evidence: the mid-threshold entry's
+    // near-quadratic cost is PREDICTED at plan time from (geometry, n)
+    // — the prediction and whether it clears nearDupPairsAuto's
+    // default 1e8 budget land in the JSON next to the measurement
+    // (SimilaritySpec pins the formula against a measured band join).
+    locally {
+      val g = graft.similarity.Similarity.lshGeometry(threshold = 0.4)
+      val predicted = g.expectedBackgroundCandidates(nEmb)
+      extra("embedding_neardup_mid04",
+        f""","predicted_background_candidates":$predicted%.4g,"candidate_budget":100000000,""" +
+          s""""budget_exceeded":${predicted > 100000000.0}""")
+    }
     def ccExtra(name: String, run: graft.dedup.Dedup.CcRun): Unit = extra(name,
       s""","rounds":${run.rounds},"converged":${run.converged},""" +
         s""""round_secs":[${run.roundSecs.map(s => f"$s%.3f").mkString(",")}]""")
@@ -101,7 +114,7 @@ object ScaleBench {
       "embedding_neardup_mid04" -> (() =>
         graft.similarity.Similarity
           .nearDupPairsAuto(emb, "embedding", "vec_id", threshold = 0.4, dim = 64,
-            broadcastVerify = true).count()),
+            broadcastVerify = true, corpusSize = nEmb).count()),
       "embedding_neardup_prod095" -> (() =>
         graft.similarity.Similarity
           .nearDupPairsAuto(emb, "embedding", "vec_id", threshold = 0.95, dim = 64,
@@ -150,7 +163,35 @@ object ScaleBench {
         val nClusters = run.labels.dropDuplicates("cluster").count()
         ccExtra("cc_chain_distributed", run)
         nClusters
-      }))
+      }),
+      // Curation pack. Packing runs BOTH forms on the worst-case skew
+      // (ONE stratum = the whole corpus): the window form serializes
+      // every document into a single running-sum task, the distributed
+      // form keeps strata x chunks parallelism. Both return bins-used
+      // (max bin + 1) so the JSON itself witnesses the two forms agree
+      // at every scale, not just in the spec.
+      "sequence_packing_window" -> (() =>
+        graft.text.SequencePacking
+          .assignBins(docs.withColumn("stratum", lit("corpus")),
+            "text", "stratum", "doc_id", capacity = 2048)
+          .agg(max(col("bin")) + 1).head().getLong(0)),
+      "sequence_packing_distributed" -> (() =>
+        graft.text.SequencePacking
+          .assignBinsDistributed(docs.withColumn("stratum", lit("corpus")),
+            "text", "stratum", "doc_id", capacity = 2048, numChunks = 64)
+          .agg(max(col("bin")) + 1).head().getLong(0)),
+      // Stratified sampling: pure map-side filter; rows = kept docs
+      // (grows linearly with the fixture by construction).
+      "stratified_sample" -> (() =>
+        graft.ops.Sampling.stratified(docs, "doc_id", "lang",
+          rates = Map("en" -> 0.1, "de" -> 0.5), defaultRate = 0.8, seed = 42L).count()),
+      // PII scrub: codegen'd per-row regex projection; the aggregate
+      // forces both the scrubbed text and every count column.
+      "pii_scrub" -> (() =>
+        graft.text.PiiScrub.scrubbed(docs, "text")
+          .agg(sum(length(col("scrubbed"))) +
+            sum(col("n_email") + col("n_phone") + col("n_ssn") + col("n_ipv4")))
+          .head().getLong(0)))
   }
 
   def main(args: Array[String]): Unit = {
@@ -180,7 +221,7 @@ object ScaleBench {
         graft.sources.Sources.embeddings(spark, dir).limit(256),
         "embedding", "vec_id", threshold = 0.5, dim = 64).count()
       catch { case NonFatal(_) => () }
-      val times = block(spark, dir, x, (n, j) => extras((x, n)) = j).map { case (name, thunk) =>
+      val times = block(spark, dir, x, nEmb, (n, j) => extras((x, n)) = j).map { case (name, thunk) =>
         var rowsOut = -1L
         var err: Option[String] = None
         val ts = (0 until math.max(1, runs)).map { _ =>

@@ -4,6 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.functions.{broadcast => bcast}
+import org.apache.spark.sql.types.{ByteType, DecimalType, IntegerType, LongType, ShortType}
 
 /** Token-aware sequence packing (engine addition): assign documents to
   * fixed-capacity context windows ("bins") without splitting a
@@ -29,10 +30,11 @@ import org.apache.spark.sql.functions.{broadcast => bcast}
   * column plus a per-stratum window running sum — parallelism is the
   * stratum count, which serializes a skewed corpus (one dominant
   * source) into a single task. [[assignBinsDistributed]] is the
-  * 100 TB form: a two-pass distributed prefix sum whose parallelism
-  * is strata x chunks and whose output is bit-identical. The window
-  * form remains as the small-scale oracle (the DuckDB oracle
-  * reproduces it bit-for-bit with the same window sum).
+  * 100 TB form: a chunked distributed prefix sum whose parallelism
+  * is strata x chunks and whose output is bit-identical
+  * (SequencePackingSpec pins the equality on skewed multi-chunk
+  * data). The window form remains as the small-scale oracle (the
+  * DuckDB oracle reproduces it bit-for-bit with the same window sum).
   */
 object SequencePacking {
 
@@ -55,8 +57,8 @@ object SequencePacking {
   }
 
   /** Skew-safe twin of [[assignBins]]: identical (stratum, bin)
-    * assignment computed as a two-pass distributed prefix sum instead
-    * of one window per stratum.
+    * assignment computed as a chunked distributed prefix sum (three
+    * narrow passes) instead of one window per stratum.
     *
     * The window form serializes each stratum into a single task — fine
     * when strata are many and balanced, a scale-killer when one source
@@ -78,10 +80,18 @@ object SequencePacking {
     * Because chunks are contiguous in `orderCol`, ordering by
     * (chunk, orderCol) equals ordering by orderCol, so `start_offset`
     * (and therefore `bin`) is BIT-IDENTICAL to the window form — the
-    * window form stays as this function's oracle
-    * (SequencePackingSpec pins the equality on skewed multi-chunk
-    * data). `orderCol` must be castable to long and unique per stratum,
-    * same determinism contract as [[assignBins]].
+    * window form is this function's oracle and SequencePackingSpec
+    * pins the equality on skewed multi-chunk data.
+    *
+    * `orderCol` MUST be an integral type (byte/short/int/long): chunk
+    * boundaries are computed on the numeric value, and for a
+    * non-numeric column (e.g. digit strings, where "10" < "2"
+    * lexicographically) numeric chunking would disagree with the
+    * oracle's raw sort order — so anything else fails fast instead of
+    * silently diverging. NULL order values sort first under Spark's
+    * ascending order, so they are routed to a chunk before all real
+    * ones; note a null order key already breaks the per-stratum
+    * uniqueness/determinism contract shared with [[assignBins]].
     */
   def assignBinsDistributed(
       df: DataFrame,
@@ -92,36 +102,55 @@ object SequencePacking {
       numChunks: Int = 64): DataFrame = {
     require(capacity > 0, s"capacity=$capacity must be positive")
     require(numChunks > 0, s"numChunks=$numChunks must be positive")
-    val ord = col(orderCol).cast("long")
+    val orderType = df.schema(orderCol).dataType
+    require(
+      Set[org.apache.spark.sql.types.DataType](ByteType, ShortType, IntegerType, LongType)
+        .contains(orderType),
+      s"orderCol '$orderCol' must be an integral type so chunk order matches " +
+        s"the oracle's sort order; got $orderType")
+    val reserved = Seq("__sp_ord_min", "__sp_span", "__sp_chunk", "__sp_chunk_tokens", "__sp_chunk_base")
+    reserved.foreach(c => require(!df.columns.contains(c), s"input must not contain reserved column $c"))
+    // decimal(38,0) span math: (max - min) on a long column can
+    // overflow for adversarial id ranges (hash-derived ids spanning
+    // Long.Min..Long.Max); unbounded-precision decimals cannot.
+    val dec = DecimalType(38, 0)
+    val ord = col(orderCol).cast(dec)
     val withTok = df
       .withColumn("n_tokens", TextAnalysis.tokenCount(col(textCol)).cast("long"))
-    // pass 1: chunk boundaries. span >= 1 guarantees <= numChunks
-    // chunks; (ord - min) / span avoids the (ord - min) * numChunks
-    // overflow a ratio-based bucket would risk on wide id spaces.
+    // pass 1: chunk boundaries. span >= 1 guarantees <= numChunks chunks.
     val bounds = withTok.groupBy(col(strataCol))
-      .agg(min(ord).as("_ord_min"), max(ord).as("_ord_max"))
-      .withColumn("_span",
-        greatest(lit(1L), floor((col("_ord_max") - col("_ord_min")) / lit(numChunks.toLong)) + 1))
-      .select(col(strataCol), col("_ord_min"), col("_span"))
+      .agg(min(ord).as("__sp_ord_min"), max(ord).as("__sp_ord_max"))
+      .withColumn("__sp_span",
+        greatest(lit(1L).cast(dec),
+          floor((col("__sp_ord_max") - col("__sp_ord_min")) / lit(numChunks.toLong)) + 1))
+      .select(col(strataCol), col("__sp_ord_min"), col("__sp_span"))
+    // NULL order values cast to null -> null chunk; coalesce to -1 so
+    // they survive the equi-join (chunk -1 precedes every real chunk,
+    // matching the oracle's nulls-first order) instead of being
+    // silently dropped.
     val chunked = withTok
       .join(bcast(bounds), Seq(strataCol))
-      .withColumn("_chunk", floor((ord - col("_ord_min")) / col("_span")))
+      .withColumn("__sp_chunk",
+        coalesce(floor((ord - col("__sp_ord_min")) / col("__sp_span")), lit(-1L)))
     // pass 2: per-chunk totals -> exclusive cumulative base per chunk.
     // The window here runs over <= numChunks rows per stratum (the
     // control plane), not the documents.
-    val carry = Window.partitionBy(col(strataCol)).orderBy(col("_chunk"))
+    val carry = Window.partitionBy(col(strataCol)).orderBy(col("__sp_chunk"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val chunkBases = chunked.groupBy(col(strataCol), col("_chunk"))
-      .agg(sum(col("n_tokens")).as("_chunk_tokens"))
-      .withColumn("_chunk_base", coalesce(sum(col("_chunk_tokens")).over(carry), lit(0L)))
-      .select(col(strataCol), col("_chunk"), col("_chunk_base"))
+    val chunkBases = chunked.groupBy(col(strataCol), col("__sp_chunk"))
+      .agg(sum(col("n_tokens")).as("__sp_chunk_tokens"))
+      .withColumn("__sp_chunk_base",
+        coalesce(sum(col("__sp_chunk_tokens")).over(carry), lit(0L)))
+      .select(col(strataCol), col("__sp_chunk"), col("__sp_chunk_base"))
     // pass 3: local running sum, offset by the broadcast chunk base.
-    val local = Window.partitionBy(col(strataCol), col("_chunk")).orderBy(col(orderCol))
+    // Ordering by the raw column inside a chunk equals ordering by the
+    // numeric value because orderCol is integral (enforced above).
+    val local = Window.partitionBy(col(strataCol), col("__sp_chunk")).orderBy(col(orderCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     chunked
-      .join(bcast(chunkBases), Seq(strataCol, "_chunk"))
+      .join(bcast(chunkBases), Seq(strataCol, "__sp_chunk"))
       .withColumn("start_offset",
-        col("_chunk_base") + sum(col("n_tokens")).over(local) - col("n_tokens"))
+        col("__sp_chunk_base") + sum(col("n_tokens")).over(local) - col("n_tokens"))
       .withColumn("bin", floor(col("start_offset") / lit(capacity.toLong)))
       .select((df.columns.map(col) ++ Seq(col("n_tokens"), col("start_offset"), col("bin"))): _*)
   }

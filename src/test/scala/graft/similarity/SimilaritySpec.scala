@@ -255,6 +255,23 @@ class SimilaritySpec extends SparkSpec {
     assert(row.isNullAt(2), "null element must poison the dot")
   }
 
+  test("candidate budget separates mid-threshold mining from production dedup ex ante") {
+    // The x30 ScaleBench surprise IS predicted at plan time: at the
+    // measured 60k-vector corpus the mid-threshold geometry's
+    // background volume exceeds nearDupPairsAuto's default 1e8
+    // candidate budget (so the plan-time warning fires before the
+    // near-quadratic join runs), while the production threshold stays
+    // far under budget at the same corpus size. The formula itself is
+    // pinned against a measured band join in the
+    // expectedBackgroundCandidates test above.
+    val mid = Similarity.lshGeometry(threshold = 0.4)
+    assert(mid.expectedBackgroundCandidates(60000L) > 100000000.0,
+      s"mid-threshold geometry $mid must blow the default budget at 60k vectors")
+    val prod = Similarity.lshGeometry(threshold = 0.95)
+    assert(prod.expectedBackgroundCandidates(60000L) < 100000000.0,
+      s"production geometry $prod must stay under budget at 60k vectors")
+  }
+
   test("rhp signature: same vector same sig; opposite vector flips all bits") {
     import sqlImplicits._
     val v = Array.tabulate(8)(i => (i + 1).toFloat)

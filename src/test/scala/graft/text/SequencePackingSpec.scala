@@ -63,6 +63,75 @@ class SequencePackingSpec extends SparkSpec {
     assert(fromAssigned == fromManifest)
   }
 
+  /** Skewed corpus for the distributed twin: one dominant stratum
+    * (web-crawl shape) with far more rows than numChunks, irregular id
+    * spacing (i*i) so chunk populations are uneven, plus tiny strata
+    * that fit in a single chunk.
+    */
+  private def skewedDocs() = {
+    import sqlImplicits._
+    val dominant = (0 until 500).map { i =>
+      ((i.toLong * i), "crawl", Seq.fill(3 + (i * 53) % 120)("w").mkString(" "))
+    }
+    val small = (0 until 20).map { i =>
+      (1000000L + i * 7, "books", Seq.fill(10 + i)("w").mkString(" "))
+    }
+    val tiny = Seq((5000000L, "code", Seq.fill(40)("w").mkString(" ")))
+    (dominant ++ small ++ tiny).toDF("doc_id", "source", "text")
+  }
+
+  private def triple(df: org.apache.spark.sql.DataFrame) =
+    df.select("doc_id", "n_tokens", "start_offset", "bin").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+
+  test("assignBinsDistributed is bit-identical to assignBins on skewed multi-chunk data") {
+    val df = skewedDocs().repartition(7)
+    val oracle = triple(SequencePacking.assignBins(df, "text", "source", "doc_id", 512))
+    val dist = triple(
+      SequencePacking.assignBinsDistributed(df, "text", "source", "doc_id", 512, numChunks = 8))
+    assert(dist.size == 521)
+    assert(dist == oracle)
+  }
+
+  test("assignBinsDistributed matches when numChunks exceeds every stratum's row count") {
+    val df = skewedDocs()
+    val oracle = triple(SequencePacking.assignBins(df, "text", "source", "doc_id", 256))
+    val dist = triple(
+      SequencePacking.assignBinsDistributed(df, "text", "source", "doc_id", 256, numChunks = 1024))
+    assert(dist == oracle)
+    // and with a single chunk (degenerates to the window form's layout)
+    val one = triple(
+      SequencePacking.assignBinsDistributed(df, "text", "source", "doc_id", 256, numChunks = 1))
+    assert(one == oracle)
+  }
+
+  test("assignBinsDistributed rejects a non-integral orderCol instead of silently diverging") {
+    import sqlImplicits._
+    // digit strings: "10" < "2" lexicographically, so numeric chunking
+    // would disagree with the oracle's raw sort order
+    val df = Seq(("2", "s", "a b c"), ("10", "s", "d e")).toDF("doc_id", "source", "text")
+    val e = intercept[IllegalArgumentException] {
+      SequencePacking.assignBinsDistributed(df, "text", "source", "doc_id", 512)
+    }
+    assert(e.getMessage.contains("integral"))
+    // the window oracle itself accepts any orderable type
+    assert(SequencePacking.assignBins(df, "text", "source", "doc_id", 512).count() == 2)
+  }
+
+  test("assignBinsDistributed parallelism is strata x chunks, not strata") {
+    // the dominant stratum must NOT collapse into one window partition:
+    // the pass-3 window partitions by (stratum, chunk), so with 8
+    // chunks the 500-row stratum is split across 8 running sums whose
+    // chunk bases stitch the tape back together
+    val dist = SequencePacking.assignBinsDistributed(
+      skewedDocs(), "text", "source", "doc_id", 512, numChunks = 8)
+    val plan = dist.queryExecution.executedPlan.toString
+    assert(plan.contains("__sp_chunk"), plan)
+    // both carry joins are broadcast (control-plane tables), so the
+    // document stream is never shuffled for the stitch
+    assert(plan.split("BroadcastHashJoin").length - 1 >= 2, plan)
+  }
+
   test("the plan shuffles once on the stratum column: window + groupBy share the exchange") {
     val plan = SequencePacking.packedBins(docs(), "text", "source", "doc_id", 512)
       .queryExecution.executedPlan.toString
