@@ -3,7 +3,7 @@ package graft.sources
 import java.sql.{Connection, DriverManager, ResultSet, ResultSetMetaData, Types}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.{Expression, NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.{Expression, NamedReference, NullOrdering, SortDirection, SortOrder, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate._
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.write._
@@ -297,12 +297,13 @@ private class AdxLikeScanBuilder(
     normalize: Boolean,
     realCols: Set[String])
   extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
-    with SupportsPushDownAggregates with SupportsPushDownLimit {
+    with SupportsPushDownAggregates with SupportsPushDownLimit with SupportsPushDownTopN {
 
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = full
   private var agg: Option[(AdxLike.CompiledAgg, StructType)] = None
   private var limit: Option[Int] = None
+  private var orderBy: Seq[String] = Nil
 
   /** MOD-sharded reads return each shard's rows separately, so any
     * remote aggregate is only a PARTIAL (per-shard) result Spark must
@@ -364,8 +365,39 @@ private class AdxLikeScanBuilder(
   }
 
   override def pushLimit(l: Int): Boolean = { limit = Some(l); true }
-  /** A sharded read applies the limit per shard — Spark keeps its own
-    * final limit; single-partition FETCH FIRST is exact.
+
+  /** KQL `top n by col` — the dialect sibling of the pushed
+    * `summarize` (reference: src/plugins/README.md:33-38) — compiled
+    * as `ORDER BY ... FETCH FIRST n ROWS ONLY`. Sort terms must be
+    * plain non-normalized columns with an exact remote collation
+    * equivalent (numeric/temporal/boolean — string collation is a
+    * remote config fact Spark cannot assume, so string sorts stay
+    * Spark-side), and with an aggregate pushed only its GROUP BY
+    * columns are orderable (a per-shard top-N over group-column order
+    * is a valid partial: any globally-top group is in every shard's
+    * top N wherever it appears at all). Single-partition reads are
+    * exact — the reader streams the ResultSet in remote order, so
+    * Spark can drop its own Sort; sharded reads are per-shard partials
+    * merged by Spark's final top-N ([[isPartiallyPushed]]).
+    */
+  override def pushTopN(orders: Array[SortOrder], l: Int): Boolean = {
+    val compiled = orders.toSeq.map(AdxLike.compileSortOrder(_, full, normalized))
+    val aggOrderable: String => Boolean =
+      agg.fold((_: String) => true)(a => a._1.groupNames.contains(_))
+    val orderable = orders.forall(_.expression() match {
+      case nr: NamedReference if nr.fieldNames.length == 1 => aggOrderable(nr.fieldNames()(0))
+      case _ => false
+    })
+    if (compiled.exists(_.isEmpty) || !orderable) false
+    else {
+      orderBy = compiled.flatten
+      limit = Some(l)
+      true
+    }
+  }
+
+  /** A sharded read applies the limit / top-N per shard — Spark keeps
+    * its own final one; single-partition FETCH FIRST is exact.
     */
   override def isPartiallyPushed(): Boolean = sharded
 
@@ -382,7 +414,7 @@ private class AdxLikeScanBuilder(
       case None => (required, None)
     }
     new AdxLikeScan(url, table, schema, pushed, maxRetries, full, partitionColumn,
-      numPartitions, compiledAgg, limit, normalize, realCols)
+      numPartitions, compiledAgg, limit, orderBy, normalize, realCols)
   }
 }
 
@@ -397,6 +429,7 @@ private class AdxLikeScan(
     numPartitions: Int,
     agg: Option[AdxLike.CompiledAgg],
     limit: Option[Int],
+    orderBy: Seq[String],
     normalize: Boolean,
     realCols: Set[String]) extends Scan with Batch {
 
@@ -407,13 +440,14 @@ private class AdxLikeScan(
       s"ReadColumns: [${schema.fieldNames.mkString(", ")}]" +
       agg.map(c => s", PushedAggregates: [${c.selectList.drop(c.groupBy.length).mkString(", ")}]" +
         s", PushedGroupBy: [${c.groupBy.mkString(", ")}]").getOrElse("") +
-      limit.map(n => s", PushedLimit: $n").getOrElse("") +
+      (if (orderBy.isEmpty) limit.map(n => s", PushedLimit: $n").getOrElse("")
+       else s", PushedTopN: ORDER BY ${orderBy.mkString(", ")} LIMIT ${limit.getOrElse(-1)}") +
       partitionColumn.map(c => s", Partitioned: MOD($c, $numPartitions)").getOrElse("") +
       (if (normalize) ", Normalize: kusto" else "")
 
   override def planInputPartitions(): Array[InputPartition] =
     AdxLike.compilePartitionQueries(
-      table, schema, pushed, fullSchema, partitionColumn, numPartitions, agg, limit)
+      table, schema, pushed, fullSchema, partitionColumn, numPartitions, agg, limit, orderBy)
       .map(AdxLikePartition.apply)
       .toArray
 
@@ -522,7 +556,7 @@ private class AdxLikeReader(
   }
 }
 
-private[sources] object AdxLike {
+private[graft] object AdxLike {
 
   /** Last remote query text each reader executed — observability for
     * specs (asserting the WHERE clause and SELECT list actually
@@ -713,19 +747,54 @@ private[sources] object AdxLike {
     }
   }
 
+  /** One compiled ORDER BY term for a pushed top-N, or None to keep
+    * the sort Spark-side. Only plain non-blocked columns of types
+    * whose remote ordering provably equals Spark's compile:
+    * numeric/temporal/boolean totally order identically everywhere,
+    * while STRING order is a remote collation/config fact (Spark sorts
+    * binary; a remote under a case-insensitive or locale collation
+    * would return a DIFFERENT top N — silently wrong results, so it
+    * never pushes). Direction and null ordering are rendered
+    * explicitly: Spark's ASC NULLS FIRST / DESC NULLS LAST defaults
+    * are not every remote's defaults.
+    */
+  def compileSortOrder(
+      so: SortOrder,
+      full: StructType,
+      blocked: String => Boolean = _ => false): Option[String] =
+    so.expression() match {
+      case nr: NamedReference if nr.fieldNames.length == 1 && !blocked(nr.fieldNames()(0)) =>
+        full.fields.find(_.name == nr.fieldNames()(0)).collect {
+          case f if orderableRemotely(f.dataType) =>
+            val dir = if (so.direction() == SortDirection.ASCENDING) "ASC" else "DESC"
+            val nulls =
+              if (so.nullOrdering() == NullOrdering.NULLS_FIRST) "NULLS FIRST" else "NULLS LAST"
+            s"${remoteId(full, f.name)} $dir $nulls"
+        }
+      case _ => None
+    }
+
+  private def orderableRemotely(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType | FloatType | DoubleType |
+         BooleanType | TimestampType | DateType | _: DecimalType => true
+    case _ => false // strings: remote collation may disagree with Spark's binary order
+  }
+
   /** Render one remote query from its compiled pieces, clause order
-    * fixed: WHERE conjuncts before GROUP BY, limit last (standard
-    * `FETCH FIRST n ROWS ONLY`).
+    * fixed: WHERE conjuncts before GROUP BY, ORDER BY next, limit last
+    * (standard `FETCH FIRST n ROWS ONLY`).
     */
   def renderQuery(
       table: String,
       select: String,
       where: Seq[String],
       groupBy: Seq[String],
-      limit: Option[Int]): String =
+      limit: Option[Int],
+      orderBy: Seq[String] = Nil): String =
     s"SELECT $select FROM $table" +
       (if (where.isEmpty) "" else where.map(w => s"($w)").mkString(" WHERE ", " AND ", "")) +
       (if (groupBy.isEmpty) "" else groupBy.mkString(" GROUP BY ", ", ", "")) +
+      (if (orderBy.isEmpty) "" else orderBy.mkString(" ORDER BY ", ", ", "")) +
       limit.map(n => s" FETCH FIRST $n ROWS ONLY").getOrElse("")
 
   /** One remote query per partition: with `partitionColumn` set and
@@ -749,7 +818,8 @@ private[sources] object AdxLike {
       partitionColumn: Option[String],
       numPartitions: Int,
       agg: Option[CompiledAgg] = None,
-      limit: Option[Int] = None): Seq[String] = {
+      limit: Option[Int] = None,
+      orderBy: Seq[String] = Nil): Seq[String] = {
     val select = agg.map(_.selectList.mkString(", ")).getOrElse(
       if (schema.isEmpty) "1"
       else schema.fieldNames.map(remoteId(full, _)).mkString(", "))
@@ -761,9 +831,9 @@ private[sources] object AdxLike {
         (0 until numPartitions).map { i =>
           val slice = s"MOD(MOD($rid, $numPartitions) + $numPartitions, $numPartitions) = $i"
           val pred = if (i == 0) s"($slice) OR ($rid IS NULL)" else slice
-          renderQuery(table, select, where :+ pred, groupBy, limit)
+          renderQuery(table, select, where :+ pred, groupBy, limit, orderBy)
         }
-      case _ => Seq(renderQuery(table, select, where, groupBy, limit))
+      case _ => Seq(renderQuery(table, select, where, groupBy, limit, orderBy))
     }
   }
 

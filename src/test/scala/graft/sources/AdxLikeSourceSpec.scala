@@ -223,6 +223,38 @@ class AdxLikeSourceSpec extends SparkSpec {
     assert(AdxLike.lastQuery.contains("FETCH FIRST 7 ROWS ONLY"), AdxLike.lastQuery)
   }
 
+  test("top-N pushes as ORDER BY ... FETCH FIRST and matches the un-pushed plan") {
+    seed()
+    val q = table.orderBy(col("temp").desc).limit(4).select("id", "temp")
+    val got = q.collect().map(r => (r.getLong(0), r.getDouble(1)))
+    // the ORDER BY ... FETCH FIRST text reached the remote
+    assert(AdxLike.lastQuery.contains("ORDER BY \"TEMP\" DESC NULLS LAST") &&
+      AdxLike.lastQuery.contains("FETCH FIRST 4 ROWS ONLY"), AdxLike.lastQuery)
+    // and the plan advertises it
+    assert(q.queryExecution.executedPlan.toString.contains("PushedTopN"),
+      q.queryExecution.executedPlan.toString)
+    // results equal the un-pushed computation (plain JDBC scan, sorted Spark-side)
+    val want = Jdbc.read(spark, url, "readings", Map.empty)
+      .select(col("ID").as("id"), col("TEMP").as("temp"))
+      .orderBy(col("temp").desc).limit(4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.toSeq == want.toSeq)
+    // a STRING sort must stay Spark-side: remote collation is a config
+    // fact that may disagree with Spark's binary order
+    val qs = table.orderBy(col("device").desc, col("id")).limit(3)
+    val gs = qs.collect().map(_.getLong(0))
+    assert(!AdxLike.lastQuery.contains("ORDER BY"), AdxLike.lastQuery)
+    assert(gs.toSeq == Seq(2L, 5L, 8L)) // dev2 rows, smallest ids — Spark sorted
+    // sharded top-N: per-shard ORDER BY + FETCH partials, Spark merges
+    val df = spark.read.format(fmt)
+      .option("url", url).option("table", "readings")
+      .option("partitionColumn", "id").option("numPartitions", "4").load()
+    val g2 = df.orderBy(col("id").desc).limit(5).collect().map(_.getLong(0))
+    assert(g2.toSeq == Seq(30L, 29L, 28L, 27L, 26L))
+    assert(AdxLike.lastQuery.contains("ORDER BY \"ID\" DESC NULLS LAST") &&
+      AdxLike.lastQuery.contains("FETCH FIRST 5 ROWS ONLY"), AdxLike.lastQuery)
+  }
+
   test("normalize=kusto floors timestamps and coerces string reals like the parquet path") {
     val conn = DriverManager.getConnection(url)
     try {
@@ -360,5 +392,41 @@ class AdxLikeSourceSpec extends SparkSpec {
     assert(e != null)
     val left = Jdbc.read(spark, url, "strict_rows").collect()
     assert(left.length == 1 && left.head.getString(1) == "seeded")
+  }
+
+  test("multi-partition write: committed tasks persist, the failed task leaves no rows") {
+    import spark.implicits._
+    val conn = DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      try st.execute("DROP TABLE strict_rows2") catch { case _: SQLException => () }
+      st.execute("CREATE TABLE strict_rows2 (id BIGINT PRIMARY KEY, v VARCHAR(8))")
+      st.execute("INSERT INTO strict_rows2 VALUES (2, 'seeded')")
+      st.close()
+    } finally conn.close()
+    // TWO write tasks: partition 0 is clean; partition 1 holds the
+    // key collision (id=2) plus an innocent same-task row (id=3). The
+    // failing partition's rows are slowed so the clean task has
+    // certainly COMMITTED its transaction before the other aborts the
+    // job — the documented per-task exactly-once contract: job abort
+    // cannot un-commit a committed task, and the failed task's whole
+    // transaction (including id=3) rolls back. The partitions come
+    // from parallelize(_, 2) — a union of local Seq frames would be
+    // collapsed into ONE LocalRelation (one task) by the optimizer,
+    // which would test nothing.
+    val slow = udf((s: String) => { if (s == "boom") Thread.sleep(1500); s })
+    val rows = spark.sparkContext
+      .parallelize(Seq((10L, "a"), (11L, "b"), (2L, "boom"), (3L, "c")), 2)
+      .toDF("id", "v")
+    assert(rows.rdd.getNumPartitions == 2)
+    val e = intercept[Exception] {
+      rows.withColumn("v", slow(col("v")))
+        .write.format("adxlike")
+        .option("url", url).option("table", "strict_rows2").mode("append").save()
+    }
+    assert(e != null)
+    val left = Jdbc.read(spark, url, "strict_rows2").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(left == Map(2L -> "seeded", 10L -> "a", 11L -> "b"), left.toString)
   }
 }
