@@ -106,7 +106,7 @@ object StreamingOps {
     docs.schema(idCol).dataType match {
       case ByteType | ShortType | IntegerType | LongType => ()
       case other => throw new IllegalArgumentException(
-        s"minhash candidate streaming keys state by a long id; '$idCol' is $other — " +
+        s"this streaming twin keys/orders state by a long id; '$idCol' is $other — " +
           "map ids to an integral surrogate first (the BATCH path is id-type-generic)")
     }
 
@@ -333,6 +333,61 @@ object StreamingOps {
     verifiedNearDupStream(
       minhashCandidatesStream(docs, textCol, idCol, n, numHashes, bands, seed),
       index, threshold)
+
+  // ------------------------------------------- streaming curation pack
+
+  final case class PackDocIn(id: Long, stratum: String, n_tokens: Long)
+  final case class PackDocOut(id: Long, stratum: String, n_tokens: Long, start_offset: Long, bin: Long)
+  final case class PackState(offset: Long)
+
+  /** Streaming twin of [[graft.text.SequencePacking.assignBins]]:
+    * per-stratum start-offset packing with the running token offset as
+    * keyed state — one long per stratum, the minimal possible.
+    * `n_tokens` is computed BEFORE the stateful hop with the very same
+    * `TextAnalysis.tokenCount` expression as the batch form, so the
+    * token arithmetic is identical by construction and the state
+    * function only accumulates. Exact parity with the batch form
+    * (pinned by StreamingOpsSpec) REQUIRES in-order arrival per
+    * stratum: each micro-batch group is sorted by id, cross-batch
+    * order is the source's contract — same caveat as
+    * [[cycleLabelStream]]. `orderCol` must be integral, the same
+    * contract as the batch skew-safe form.
+    *
+    * The OTHER curation-pack stages need no twin at all: stratified
+    * sampling ([[graft.ops.Sampling.stratified]]) and PII scrub
+    * ([[graft.text.PiiScrub.scrubbed]]) are stateless per-row
+    * projections/filters, so the batch functions run unchanged on a
+    * streaming DataFrame — StreamingOpsSpec pins both parities there
+    * too, with no wrapper to drift.
+    */
+  def packBinsStream(
+      docs: DataFrame,
+      textCol: String,
+      strataCol: String,
+      orderCol: String,
+      capacity: Int): Dataset[PackDocOut] = {
+    import docs.sparkSession.implicits._
+    require(capacity > 0, s"capacity=$capacity must be positive")
+    requireIntegralId(docs, orderCol)
+    val prepped = docs.select(
+      col(orderCol).cast("long").as("id"),
+      col(strataCol).cast("string").as("stratum"),
+      graft.text.TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+      .as[PackDocIn]
+    prepped.groupByKey(_.stratum)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (stratum: String, rows: Iterator[PackDocIn], state: GroupState[PackState]) => {
+          var off = state.getOption.map(_.offset).getOrElse(0L)
+          val out = rows.toSeq.sortBy(_.id).map { d =>
+            // start offsets are non-negative, so long division == floor
+            val o = PackDocOut(d.id, stratum, d.n_tokens, off, off / capacity)
+            off += d.n_tokens
+            o
+          }
+          state.update(PackState(off))
+          out.iterator
+        })
+  }
 
   // ------------------------------------------------- stateful cycles
 

@@ -187,6 +187,72 @@ class StreamingOpsSpec extends SparkSpec {
     assert(!want.exists { case (a, b, _) => a == 4L || b == 4L }) // unrelated never verified
   }
 
+  test("streaming sequence packing matches batch assignBins across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import sqlImplicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // skewed strata, in-order ids per stratum (the documented arrival
+    // contract), docs of varying token counts spread over 3 batches
+    def doc(id: Long, s: String) =
+      (id, s, Seq.fill(3 + (id * 31 % 40).toInt)("w").mkString(" "))
+    val batches = Seq(
+      (0L to 9L).map(doc(_, "crawl")) ++ Seq(doc(100L, "books")),
+      (10L to 19L).map(doc(_, "crawl")),
+      (20L to 24L).map(doc(_, "crawl")) ++ Seq(doc(101L, "books")))
+    val input = MemoryStream[(Long, String, String)]
+    val stream = StreamingOps.packBinsStream(
+      input.toDF().toDF("doc_id", "source", "text"), "text", "source", "doc_id", capacity = 64)
+    val q = stream.toDF().writeStream.outputMode("append").format("memory").queryName("pack").start()
+    batches.foreach { b => input.addData(b); q.processAllAvailable() }
+    q.stop()
+    val got = spark.table("pack").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val want = graft.text.SequencePacking.assignBins(
+      batches.flatten.toDF("doc_id", "source", "text"), "text", "source", "doc_id", 64)
+      .select("doc_id", "n_tokens", "start_offset", "bin").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got.size == 27)
+    assert(got == want)
+    // the offset genuinely carried across micro-batches: batch-3 crawl
+    // docs start where batch 2 left off, not at zero
+    assert(got(20L)._2 == want(20L)._2 && want(20L)._2 > 0)
+  }
+
+  test("stateless curation stages run unchanged on a stream: sampling and scrub parity") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import sqlImplicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = (0L until 400L).map { i =>
+      (i, if (i % 3 == 0) "en" else if (i % 3 == 1) "de" else "fr",
+        s"doc $i mail-$i@example.com ip 10.0.0.$i")
+    }
+    val rates = Map("en" -> 0.2, "de" -> 0.6)
+    val input = MemoryStream[(Long, String, String)]
+    // the BATCH functions applied directly to the streaming frame:
+    // a pure filter + per-row projection needs no state and no twin
+    val curated = graft.text.PiiScrub.scrubbed(
+      graft.ops.Sampling.stratified(
+        input.toDF().toDF("doc_id", "lang", "text"),
+        "doc_id", "lang", rates, defaultRate = 0.9, seed = 7L),
+      "text")
+    val q = curated.writeStream.outputMode("append").format("memory").queryName("curate").start()
+    rows.grouped(150).foreach { b => input.addData(b); q.processAllAvailable() }
+    q.stop()
+    val got = spark.table("curate")
+      .select("doc_id", "n_email", "n_ipv4", "scrubbed").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3))).toSet
+    val want = graft.text.PiiScrub.scrubbed(
+      graft.ops.Sampling.stratified(
+        rows.toDF("doc_id", "lang", "text"), "doc_id", "lang", rates,
+        defaultRate = 0.9, seed = 7L),
+      "text")
+      .select("doc_id", "n_email", "n_ipv4", "scrubbed").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3))).toSet
+    assert(got == want)
+    assert(got.nonEmpty && got.size < rows.size) // the sampler actually filtered
+    assert(got.forall { case (_, ne, _, s) => ne == 1 && s.contains("<EMAIL>") && s.contains("<IP>") })
+  }
+
   test("TTL-bounded streaming minhash: partners within the horizon pair, expired history does not") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import sqlImplicits._
