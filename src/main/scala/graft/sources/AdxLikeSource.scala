@@ -297,13 +297,15 @@ private class AdxLikeScanBuilder(
     normalize: Boolean,
     realCols: Set[String])
   extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
-    with SupportsPushDownAggregates with SupportsPushDownLimit with SupportsPushDownTopN {
+    with SupportsPushDownAggregates with SupportsPushDownLimit with SupportsPushDownTopN
+    with SupportsPushDownOffset {
 
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = full
   private var agg: Option[(AdxLike.CompiledAgg, StructType)] = None
   private var limit: Option[Int] = None
   private var orderBy: Seq[String] = Nil
+  private var offset: Option[Int] = None
 
   /** MOD-sharded reads return each shard's rows separately, so any
     * remote aggregate is only a PARTIAL (per-shard) result Spark must
@@ -401,6 +403,22 @@ private class AdxLikeScanBuilder(
     */
   override def isPartiallyPushed(): Boolean = sharded
 
+  /** OFFSET pushdown. Spark's contract (V2ScanRelationPushDown
+    * `pushDownLimitAndOffset`): for BOTH `limit(n).offset(m)` and
+    * `offset(m).limit(n)` plans it first pushes a LIMIT equal to the
+    * absolute END of the row window, then — only if that limit was
+    * fully pushed — the offset, which is the window's START. So the
+    * remote form is `OFFSET m ROWS FETCH FIRST (limit - m) ROWS ONLY`
+    * (see [[AdxLike.renderQuery]]). OFFSET has no per-shard partial
+    * form (unlike limit/top-N, skipped prefixes cannot be merged), so
+    * a sharded read never pushes it and Spark keeps its own Offset on
+    * top of the per-shard limit partials.
+    */
+  override def pushOffset(o: Int): Boolean = {
+    if (sharded || o < 0 || limit.exists(_ <= o)) false
+    else { offset = Some(o); true }
+  }
+
   override def pruneColumns(requiredSchema: StructType): Unit = {
     // Spark hands back a subset of `full` in table-column order. With
     // an aggregate pushed, the scan's output IS the aggregate schema;
@@ -414,7 +432,7 @@ private class AdxLikeScanBuilder(
       case None => (required, None)
     }
     new AdxLikeScan(url, table, schema, pushed, maxRetries, full, partitionColumn,
-      numPartitions, compiledAgg, limit, orderBy, normalize, realCols)
+      numPartitions, compiledAgg, limit, orderBy, offset, normalize, realCols)
   }
 }
 
@@ -430,6 +448,7 @@ private class AdxLikeScan(
     agg: Option[AdxLike.CompiledAgg],
     limit: Option[Int],
     orderBy: Seq[String],
+    offset: Option[Int],
     normalize: Boolean,
     realCols: Set[String]) extends Scan with Batch {
 
@@ -442,12 +461,14 @@ private class AdxLikeScan(
         s", PushedGroupBy: [${c.groupBy.mkString(", ")}]").getOrElse("") +
       (if (orderBy.isEmpty) limit.map(n => s", PushedLimit: $n").getOrElse("")
        else s", PushedTopN: ORDER BY ${orderBy.mkString(", ")} LIMIT ${limit.getOrElse(-1)}") +
+      offset.map(k => s", PushedOffset: $k").getOrElse("") +
       partitionColumn.map(c => s", Partitioned: MOD($c, $numPartitions)").getOrElse("") +
       (if (normalize) ", Normalize: kusto" else "")
 
   override def planInputPartitions(): Array[InputPartition] =
     AdxLike.compilePartitionQueries(
-      table, schema, pushed, fullSchema, partitionColumn, numPartitions, agg, limit, orderBy)
+      table, schema, pushed, fullSchema, partitionColumn, numPartitions, agg, limit, orderBy,
+      offset)
       .map(AdxLikePartition.apply)
       .toArray
 
@@ -781,8 +802,12 @@ private[graft] object AdxLike {
   }
 
   /** Render one remote query from its compiled pieces, clause order
-    * fixed: WHERE conjuncts before GROUP BY, ORDER BY next, limit last
-    * (standard `FETCH FIRST n ROWS ONLY`).
+    * fixed: WHERE conjuncts before GROUP BY, ORDER BY next, then
+    * OFFSET before FETCH (SQL-standard `OFFSET m ROWS FETCH FIRST n
+    * ROWS ONLY`). A pushed limit is the absolute END of Spark's row
+    * window and a pushed offset its START (see
+    * `AdxLikeScanBuilder.pushOffset`), and SQL applies FETCH after
+    * OFFSET, so the fetch count is `limit - offset`.
     */
   def renderQuery(
       table: String,
@@ -790,12 +815,14 @@ private[graft] object AdxLike {
       where: Seq[String],
       groupBy: Seq[String],
       limit: Option[Int],
-      orderBy: Seq[String] = Nil): String =
+      orderBy: Seq[String] = Nil,
+      offset: Option[Int] = None): String =
     s"SELECT $select FROM $table" +
       (if (where.isEmpty) "" else where.map(w => s"($w)").mkString(" WHERE ", " AND ", "")) +
       (if (groupBy.isEmpty) "" else groupBy.mkString(" GROUP BY ", ", ", "")) +
       (if (orderBy.isEmpty) "" else orderBy.mkString(" ORDER BY ", ", ", "")) +
-      limit.map(n => s" FETCH FIRST $n ROWS ONLY").getOrElse("")
+      offset.map(k => s" OFFSET $k ROWS").getOrElse("") +
+      limit.map(n => s" FETCH FIRST ${n - offset.getOrElse(0)} ROWS ONLY").getOrElse("")
 
   /** One remote query per partition: with `partitionColumn` set and
     * `numPartitions` > 1, partition i reads the disjoint slice
@@ -819,7 +846,8 @@ private[graft] object AdxLike {
       numPartitions: Int,
       agg: Option[CompiledAgg] = None,
       limit: Option[Int] = None,
-      orderBy: Seq[String] = Nil): Seq[String] = {
+      orderBy: Seq[String] = Nil,
+      offset: Option[Int] = None): Seq[String] = {
     val select = agg.map(_.selectList.mkString(", ")).getOrElse(
       if (schema.isEmpty) "1"
       else schema.fieldNames.map(remoteId(full, _)).mkString(", "))
@@ -833,7 +861,7 @@ private[graft] object AdxLike {
           val pred = if (i == 0) s"($slice) OR ($rid IS NULL)" else slice
           renderQuery(table, select, where :+ pred, groupBy, limit, orderBy)
         }
-      case _ => Seq(renderQuery(table, select, where, groupBy, limit, orderBy))
+      case _ => Seq(renderQuery(table, select, where, groupBy, limit, orderBy, offset))
     }
   }
 

@@ -255,6 +255,37 @@ class AdxLikeSourceSpec extends SparkSpec {
       AdxLike.lastQuery.contains("FETCH FIRST 5 ROWS ONLY"), AdxLike.lastQuery)
   }
 
+  test("offset pushes as OFFSET ... ROWS and matches the un-pushed plan") {
+    seed()
+    def unpushed = Jdbc.read(spark, url, "readings", Map.empty)
+      .select(col("ID").as("id")).orderBy(col("id"))
+    // offset(m).limit(n): Spark pushes limit = window END (m+n), offset = START
+    val q1 = table.orderBy(col("id")).offset(3).limit(4).select("id")
+    val g1 = q1.collect().map(_.getLong(0))
+    assert(AdxLike.lastQuery.contains("OFFSET 3 ROWS FETCH FIRST 4 ROWS ONLY"), AdxLike.lastQuery)
+    assert(q1.queryExecution.executedPlan.toString.contains("PushedOffset"),
+      q1.queryExecution.executedPlan.toString)
+    assert(g1.toSeq == unpushed.offset(3).limit(4).collect().map(_.getLong(0)).toSeq)
+    // limit(n).offset(m): pushed limit stays the window END (n), same remote form
+    val q2 = table.orderBy(col("id")).limit(10).offset(4).select("id")
+    val g2 = q2.collect().map(_.getLong(0))
+    assert(AdxLike.lastQuery.contains("OFFSET 4 ROWS FETCH FIRST 6 ROWS ONLY"), AdxLike.lastQuery)
+    assert(g2.toSeq == unpushed.limit(10).offset(4).collect().map(_.getLong(0)).toSeq)
+    // bare offset, no limit: OFFSET alone, count is exact (order is not promised)
+    val q3 = table.offset(25).select("id")
+    val g3 = q3.collect().map(_.getLong(0))
+    assert(AdxLike.lastQuery.contains("OFFSET 25 ROWS"), AdxLike.lastQuery)
+    assert(!AdxLike.lastQuery.contains("FETCH"), AdxLike.lastQuery)
+    assert(g3.length == 5 && g3.forall(i => i >= 1 && i <= 30))
+    // sharded reads never push OFFSET (no partial form) but stay correct
+    val df = spark.read.format(fmt)
+      .option("url", url).option("table", "readings")
+      .option("partitionColumn", "id").option("numPartitions", "4").load()
+    val g4 = df.orderBy(col("id")).offset(3).limit(4).collect().map(_.getLong(0))
+    assert(!AdxLike.lastQuery.contains("OFFSET"), AdxLike.lastQuery)
+    assert(g4.toSeq == Seq(4L, 5L, 6L, 7L))
+  }
+
   test("normalize=kusto floors timestamps and coerces string reals like the parquet path") {
     val conn = DriverManager.getConnection(url)
     try {
