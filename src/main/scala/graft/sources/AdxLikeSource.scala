@@ -76,7 +76,8 @@ class AdxLikeTableProvider extends TableProvider with DataSourceRegister {
       opt("partitionColumn"),
       opt("numPartitions").map(_.toInt).getOrElse(1),
       AdxLike.normalizeKusto(opt("normalize")),
-      AdxLike.realColumnsOf(opt("normalize"), opt("kustoRealColumns")))
+      AdxLike.realColumnsOf(opt("normalize"), opt("kustoRealColumns")),
+      opt("statistics").contains("remote"))
   }
 
   override def supportsExternalMetadata(): Boolean = true
@@ -90,7 +91,8 @@ private class AdxLikeTable(
     partitionColumn: Option[String],
     numPartitions: Int,
     normalize: Boolean,
-    realCols: Set[String])
+    realCols: Set[String],
+    remoteStats: Boolean = false)
   extends Table with SupportsRead with SupportsWrite {
   require(url != null, "option 'url' is required")
   require(tableName != null, "option 'table' is required")
@@ -104,7 +106,7 @@ private class AdxLikeTable(
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new AdxLikeScanBuilder(url, tableName, tableSchema, maxRetries, partitionColumn,
-      numPartitions, normalize, realCols)
+      numPartitions, normalize, realCols, remoteStats)
 
   /** DSv2 write path — the connector's counterpart of the reference's
     * guarded DML write-back (mysql_plugin's DML branch; see
@@ -295,7 +297,8 @@ private class AdxLikeScanBuilder(
     partitionColumn: Option[String],
     numPartitions: Int,
     normalize: Boolean,
-    realCols: Set[String])
+    realCols: Set[String],
+    remoteStats: Boolean = false)
   extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates with SupportsPushDownLimit with SupportsPushDownTopN
     with SupportsPushDownOffset {
@@ -432,7 +435,7 @@ private class AdxLikeScanBuilder(
       case None => (required, None)
     }
     new AdxLikeScan(url, table, schema, pushed, maxRetries, full, partitionColumn,
-      numPartitions, compiledAgg, limit, orderBy, offset, normalize, realCols)
+      numPartitions, compiledAgg, limit, orderBy, offset, normalize, realCols, remoteStats)
   }
 }
 
@@ -450,10 +453,87 @@ private class AdxLikeScan(
     orderBy: Seq[String],
     offset: Option[Int],
     normalize: Boolean,
-    realCols: Set[String]) extends Scan with Batch {
+    realCols: Set[String],
+    remoteStats: Boolean = false)
+  extends Scan with Batch with SupportsRuntimeFiltering with SupportsReportStatistics {
 
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
+
+  /** Opt-in (`option("statistics","remote")`) planning-time stats: a
+    * memoized remote `SELECT COUNT(*)` under the SAME pushed WHERE,
+    * so Spark sizes THIS scan (post-pushdown), not the whole remote
+    * table — that drives broadcast-side selection and the DPP benefit
+    * estimate instead of the "infinitely large" default a statless
+    * DSv2 source gets. Window-aware: a pushed limit/offset bounds the
+    * count to `[offset, limit)`. Skipped when an aggregate is pushed
+    * (the group count is a different number and not worth a second
+    * remote aggregate). The memo is per-JVM and keyed by (url, count
+    * query) — an estimate, deliberately never refreshed mid-session.
+    */
+  override def estimateStatistics(): Statistics = {
+    val (rows, size) =
+      if (!remoteStats || agg.isDefined)
+        (java.util.OptionalLong.empty(), java.util.OptionalLong.empty())
+      else {
+        val where = pushed.flatMap(
+          f => AdxLike.compileFilter(f, AdxLike.remoteId(fullSchema, _))).toSeq
+        val base = AdxLike.cachedCount(
+          url, AdxLike.renderQuery(table, "COUNT(*)", where, Nil, None), maxRetries)
+        val n = math.max(0L,
+          math.min(base, limit.fold(base)(_.toLong)) - offset.fold(0L)(_.toLong))
+        (java.util.OptionalLong.of(n),
+          java.util.OptionalLong.of(n * math.max(1L, schema.defaultSize.toLong)))
+      }
+    new Statistics {
+      override def sizeInBytes(): java.util.OptionalLong = size
+      override def numRows(): java.util.OptionalLong = rows
+    }
+  }
+
+  @volatile private var runtime: Array[Filter] = Array.empty
+
+  private def normalizedCol(name: String): Boolean = normalize && (
+    realCols(name) ||
+      fullSchema.fields.exists(f => f.name == name && f.dataType == TimestampType))
+
+  /** Runtime (DPP-style) filtering: at execution time Spark hands the
+    * scan the join keys that survived the other side's selective
+    * filter, and the scan compiles them into the remote WHERE — the
+    * remote never materializes rows that cannot join. Restrictions,
+    * each a correctness fact:
+    *  - never with a pushed limit/top-N/offset: the logical Limit was
+    *    REMOVED when fully pushed, so DPP can still target this scan,
+    *    but a WHERE lands before FETCH and would change which rows
+    *    fill the window;
+    *  - with a pushed aggregate, only its GROUP BY columns (a WHERE
+    *    on a group key before GROUP BY filters exactly those groups);
+    *  - never on kusto-normalized columns (Spark's rewritten values
+    *    disagree with the remote's raw ones).
+    * Ignoring a runtime filter is always safe — unjoinable rows pass
+    * through and the join itself discards them — so unsupported or
+    * oversized filters are simply dropped.
+    */
+  override def filterAttributes(): Array[NamedReference] =
+    if (limit.isDefined || offset.isDefined) Array.empty
+    else {
+      val eligible = agg.map(_.groupNames).getOrElse(schema.fieldNames.toSeq)
+      eligible.filterNot(normalizedCol)
+        .map(org.apache.spark.sql.connector.expressions.Expressions.column)
+        .toArray
+    }
+
+  override def filter(filters: Array[Filter]): Unit =
+    runtime = filters.filter { f =>
+      AdxLike.compileFilter(f).isDefined &&
+        !f.references.exists(normalizedCol) &&
+        (f match {
+          // a join side with more distinct keys than this belongs in
+          // the join, not in a remote query's IN list
+          case org.apache.spark.sql.sources.In(_, vs) => vs.length <= AdxLike.RuntimeInCap
+          case _ => true
+        })
+    }
   override def description(): String =
     s"AdxLike table=$table PushedFilters: [${pushed.mkString(", ")}], " +
       s"ReadColumns: [${schema.fieldNames.mkString(", ")}]" +
@@ -467,8 +547,8 @@ private class AdxLikeScan(
 
   override def planInputPartitions(): Array[InputPartition] =
     AdxLike.compilePartitionQueries(
-      table, schema, pushed, fullSchema, partitionColumn, numPartitions, agg, limit, orderBy,
-      offset)
+      table, schema, pushed ++ runtime, fullSchema, partitionColumn, numPartitions, agg, limit,
+      orderBy, offset)
       .map(AdxLikePartition.apply)
       .toArray
 
@@ -587,6 +667,27 @@ private[graft] object AdxLike {
   @volatile private var lastQueryText: String = ""
   def recordQuery(sql: String): Unit = lastQueryText = sql
   def lastQuery: String = lastQueryText
+
+  /** Largest runtime-filter IN list the scan will compile into remote
+    * query text; bigger key sets stay Spark-side (the join discards
+    * the unpruned rows, so dropping the filter is always correct).
+    */
+  val RuntimeInCap = 1000
+
+  /** Planning-time COUNT memo for `option("statistics","remote")` —
+    * one remote roundtrip per distinct (url, count query) per JVM.
+    */
+  private val statsCache = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private[sources] def clearStatsCache(): Unit = statsCache.clear()
+  def cachedCount(url: String, sql: String, maxRetries: Int): Long =
+    statsCache.computeIfAbsent(url + " " + sql, _ =>
+      Long.box(Jdbc.withRetries(maxRetries) {
+        val conn = DriverManager.getConnection(url)
+        try {
+          val rs = conn.createStatement().executeQuery(sql)
+          try { rs.next(); rs.getLong(1) } finally rs.close()
+        } finally conn.close()
+      }))
 
   def resolveSchema(url: String, table: String, maxRetries: Int): StructType = {
     require(url != null, "option 'url' is required")

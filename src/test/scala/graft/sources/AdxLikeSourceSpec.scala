@@ -286,6 +286,76 @@ class AdxLikeSourceSpec extends SparkSpec {
     assert(g4.toSeq == Seq(4L, 5L, 6L, 7L))
   }
 
+  test("runtime filtering: DPP join keys reach the remote query as IN") {
+    seed()
+    import spark.implicits._
+    // RDD-backed dim: a local Seq would constant-fold into the
+    // LocalRelation and DPP would see no selective Filter node
+    val dim = spark.sparkContext.parallelize(Seq(
+      (1L, "gold"), (2L, "basic"), (17L, "gold"), (40L, "gold"))).toDF("ref_id", "tier")
+    val fact = table
+    val joined = fact.join(dim.filter(col("tier") === "gold"),
+      fact("id") === dim("ref_id")).select("id", "device")
+    // Both join sides report default (huge) stats here, so the DPP
+    // benefit estimate can never pass and reuseBroadcastOnly would
+    // degrade the pruning subquery to `true` — force the benefit path
+    // the way a real deployment with a big remote scan hits it
+    // naturally (pruning-side size >> dim overhead).
+    val dppConfs = Seq(
+      "spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly" -> "false",
+      "spark.sql.optimizer.dynamicPartitionPruning.useStats" -> "false",
+      "spark.sql.optimizer.dynamicPartitionPruning.fallbackFilterRatio" -> "10000.0")
+    dppConfs.foreach { case (k, v) => spark.conf.set(k, v) }
+    val got =
+      try joined.collect().map(_.getLong(0)).sorted
+      finally dppConfs.foreach { case (k, _) => spark.conf.unset(k) }
+    assert(got.toSeq == Seq(1L, 17L)) // 40 has no fact row
+    // the surviving join keys were compiled into the remote WHERE
+    val sent = AdxLike.lastQuery
+    assert(sent.contains("\"ID\" IN ("), sent)
+    assert(sent.contains("1") && sent.contains("17") && sent.contains("40"), sent)
+    // and the plan carries the runtime filter on the scan
+    assert(joined.queryExecution.executedPlan.toString.contains("RuntimeFilters"),
+      joined.queryExecution.executedPlan.toString)
+  }
+
+  test("remote statistics: opt-in COUNT sizes the scan post-pushdown") {
+    seed()
+    import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+    val t = spark.read.format(fmt)
+      .option("url", url).option("table", "readings")
+      .option("statistics", "remote").load()
+    def scanStats(q: org.apache.spark.sql.DataFrame) =
+      q.queryExecution.optimizedPlan
+        .collectFirst { case r: DataSourceV2ScanRelation => r }.get.stats
+    // the count runs under the pushed WHERE: temp > 10 keeps ids 21..30
+    val filtered = scanStats(t.filter(col("temp") > 10.0).select("id"))
+    assert(filtered.rowCount.contains(BigInt(10)), filtered.toString)
+    assert(filtered.sizeInBytes < 1000L, filtered.toString) // not the huge default
+    // a pushed window bounds the estimate: skip 25 of 30 rows, ask for
+    // 10 more — only 5 exist, and the estimate knows it
+    val windowed = scanStats(t.orderBy(col("id")).offset(25).limit(10).select("id"))
+    assert(windowed.rowCount.contains(BigInt(5)), windowed.toString)
+    // without the option the scan reports nothing and Spark keeps its default
+    val plain = scanStats(table.filter(col("temp") > 10.0).select("id"))
+    assert(plain.rowCount.isEmpty && plain.sizeInBytes > 1000000L, plain.toString)
+  }
+
+  test("runtime filtering never combines with a pushed row window") {
+    seed()
+    import spark.implicits._
+    val dim = spark.sparkContext.parallelize(Seq(
+      (1L, "gold"), (29L, "gold"), (30L, "basic"))).toDF("ref_id", "tier")
+    // top-3 by id desc = {30,29,28}, THEN join — if the runtime IN
+    // reached the remote before FETCH, 1 would wrongly fill the window
+    val top = table.orderBy(col("id").desc).limit(3)
+    val joined = top.join(dim.filter(col("tier") === "gold"),
+      top("id") === dim("ref_id")).select("id")
+    val got = joined.collect().map(_.getLong(0)).sorted
+    assert(got.toSeq == Seq(29L))
+    assert(!AdxLike.lastQuery.contains("IN ("), AdxLike.lastQuery)
+  }
+
   test("normalize=kusto floors timestamps and coerces string reals like the parquet path") {
     val conn = DriverManager.getConnection(url)
     try {
