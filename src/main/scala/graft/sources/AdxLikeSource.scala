@@ -290,18 +290,18 @@ private object AdxLikeDataWriter {
 }
 
 private class AdxLikeScanBuilder(
-    url: String,
+    private val url: String,
     table: String,
     full: StructType,
     maxRetries: Int,
     partitionColumn: Option[String],
     numPartitions: Int,
-    normalize: Boolean,
+    private val normalize: Boolean,
     realCols: Set[String],
     remoteStats: Boolean = false)
   extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates with SupportsPushDownLimit with SupportsPushDownTopN
-    with SupportsPushDownOffset {
+    with SupportsPushDownOffset with SupportsPushDownJoin {
 
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = full
@@ -309,6 +309,10 @@ private class AdxLikeScanBuilder(
   private var limit: Option[Int] = None
   private var orderBy: Seq[String] = Nil
   private var offset: Option[Int] = None
+  // FROM clause (table name, or a derived join subquery once a join
+  // is pushed) and the schema it exports (aliased after a join).
+  private var from: String = table
+  private var cur: StructType = full
 
   /** MOD-sharded reads return each shard's rows separately, so any
     * remote aggregate is only a PARTIAL (per-shard) result Spark must
@@ -324,7 +328,92 @@ private class AdxLikeScanBuilder(
     */
   private def normalized(name: String): Boolean = normalize && (
     realCols(name) ||
-      full.fields.exists(f => f.name == name && f.dataType == TimestampType))
+      cur.fields.exists(f => f.name == name && f.dataType == TimestampType))
+
+  /** Join pushdown (`spark.sql.optimizer.datasourceV2JoinPushdown`):
+    * two scans of the same remote become ONE remote query — `FROM
+    * (left side) JOIN (right side) ON cond` — so the join's work and
+    * its output reduction happen where the data lives; the pushed
+    * aggregate/top-N/limit paths then compose on top of the joined
+    * FROM clause unchanged (a remote GROUP BY over a remote join).
+    * Each side exports its columns under Spark's de-duplicating
+    * aliases inside its own derived table, so the ON condition can
+    * reference bare aliased names unambiguously. Compatibility is
+    * strict: same url, neither side kusto-normalized (rewritten
+    * values disagree with remote raw ones), sharded, or already
+    * holding a pushed aggregate/window (Spark's rule order never
+    * produces that state — the guard makes the invariant local). The
+    * ON condition only compiles over columns whose remote comparison
+    * provably equals Spark's (numeric/temporal/boolean — string
+    * equality is a collation/padding fact of the remote, and unlike a
+    * runtime filter a pushed join REPLACES the Spark join, so a
+    * looser remote equality would return extra rows nothing
+    * downstream removes).
+    */
+  override def isOtherSideCompatibleForJoin(other: SupportsPushDownJoin): Boolean =
+    other match {
+      case o: AdxLikeScanBuilder =>
+        o.url == url && !normalize && !o.normalize &&
+          !sharded && !o.sharded &&
+          agg.isEmpty && o.agg.isEmpty && limit.isEmpty && o.limit.isEmpty &&
+          offset.isEmpty && o.offset.isEmpty && orderBy.isEmpty && o.orderBy.isEmpty
+      case _ => false
+    }
+
+  override def pushDownJoin(
+      other: SupportsPushDownJoin,
+      joinType: org.apache.spark.sql.connector.join.JoinType,
+      leftCols: Array[SupportsPushDownJoin.ColumnWithAlias],
+      rightCols: Array[SupportsPushDownJoin.ColumnWithAlias],
+      cond: org.apache.spark.sql.connector.expressions.filter.Predicate): Boolean =
+    other match {
+      case o: AdxLikeScanBuilder =>
+        import org.apache.spark.sql.connector.join.JoinType._
+        val kw = joinType match {
+          case INNER_JOIN => "JOIN"
+          case LEFT_OUTER_JOIN => "LEFT JOIN"
+          case RIGHT_OUTER_JOIN => "RIGHT JOIN"
+        }
+        val out = StructType(exportSchema(leftCols) ++ o.exportSchema(rightCols))
+        AdxLike.compileJoinCondition(cond, out) match {
+          case None => false
+          case Some(c) =>
+            from = s"(SELECT * FROM (${exportSql(leftCols)}) ${AdxLike.freshAlias()} " +
+              s"$kw (${o.exportSql(rightCols)}) ${AdxLike.freshAlias()} ON $c) " +
+              AdxLike.freshAlias()
+            cur = out
+            required = out
+            pushed = Array.empty // both sides' filters are baked into `from`
+            true
+        }
+      case _ => false
+    }
+
+  /** One side of a pushed join: its current FROM + pushed WHERE, with
+    * every exported column renamed to Spark's collision-free alias —
+    * the derived table's output names ARE the aliases.
+    */
+  private def exportSql(cols: Array[SupportsPushDownJoin.ColumnWithAlias]): String = {
+    val select = cols.map { c =>
+      val name = Option(c.alias).getOrElse(c.colName)
+      s"${AdxLike.remoteId(cur, c.colName)} AS ${AdxLike.quoteRaw(name)}"
+    }.mkString(", ")
+    val where = pushed.flatMap(f => AdxLike.compileFilter(f, AdxLike.remoteId(cur, _))).toSeq
+    s"SELECT $select FROM $from" +
+      (if (where.isEmpty) ""
+       else where.map(w => s"($w)").mkString(" WHERE ", " AND ", ""))
+  }
+
+  private def exportSchema(
+      cols: Array[SupportsPushDownJoin.ColumnWithAlias]): Seq[StructField] =
+    cols.toSeq.map { c =>
+      val f = cur.fields.find(_.name == c.colName).getOrElse(
+        throw new IllegalStateException(s"join pushdown: unknown column ${c.colName}"))
+      val name = Option(c.alias).getOrElse(c.colName)
+      // the exported remote identifier IS the alias from here on
+      StructField(name, f.dataType, f.nullable,
+        new MetadataBuilder().putString(AdxLike.RemoteNameKey, name).build())
+    }
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (supported, rejected) = filters.partition(f =>
@@ -341,7 +430,7 @@ private class AdxLikeScanBuilder(
     * result as final) only without sharding.
     */
   override def supportCompletePushDown(a: Aggregation): Boolean =
-    !sharded && AdxLike.compileAggregation(a, full, allowDistinct = true, normalized).isDefined
+    !sharded && AdxLike.compileAggregation(a, cur, allowDistinct = true, normalized).isDefined
 
   override def pushAggregation(a: Aggregation): Boolean = {
     // Per-shard partial aggregates are only mergeable for
@@ -356,12 +445,12 @@ private class AdxLikeScanBuilder(
       case _        => false
     }
     if (!complete && unmergeable) return false
-    AdxLike.compileAggregation(a, full, allowDistinct = complete, normalized).flatMap { c =>
+    AdxLike.compileAggregation(a, cur, allowDistinct = complete, normalized).flatMap { c =>
       // Resolve the remote result types from the cluster itself (a
       // metadata-only probe), like schema resolution — Derby's
       // COUNT/SUM output types differ from Spark's and Spark casts
       // per the schema we declare here.
-      try Some((c, AdxLike.resolveAggSchema(url, table, c, maxRetries)))
+      try Some((c, AdxLike.resolveAggSchema(url, from, c, maxRetries)))
       catch { case _: Exception => None }
     } match {
       case Some(resolved) => agg = Some(resolved); true
@@ -386,7 +475,7 @@ private class AdxLikeScanBuilder(
     * merged by Spark's final top-N ([[isPartiallyPushed]]).
     */
   override def pushTopN(orders: Array[SortOrder], l: Int): Boolean = {
-    val compiled = orders.toSeq.map(AdxLike.compileSortOrder(_, full, normalized))
+    val compiled = orders.toSeq.map(AdxLike.compileSortOrder(_, cur, normalized))
     val aggOrderable: String => Boolean =
       agg.fold((_: String) => true)(a => a._1.groupNames.contains(_))
     val orderable = orders.forall(_.expression() match {
@@ -434,7 +523,7 @@ private class AdxLikeScanBuilder(
       case Some((c, s)) => (s, Some(c))
       case None => (required, None)
     }
-    new AdxLikeScan(url, table, schema, pushed, maxRetries, full, partitionColumn,
+    new AdxLikeScan(url, from, schema, pushed, maxRetries, cur, partitionColumn,
       numPartitions, compiledAgg, limit, orderBy, offset, normalize, realCols, remoteStats)
   }
 }
@@ -680,7 +769,7 @@ private[graft] object AdxLike {
   private val statsCache = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
   private[sources] def clearStatsCache(): Unit = statsCache.clear()
   def cachedCount(url: String, sql: String, maxRetries: Int): Long =
-    statsCache.computeIfAbsent(url + " " + sql, _ =>
+    statsCache.computeIfAbsent(url + "\u0000" + sql, _ =>
       Long.box(Jdbc.withRetries(maxRetries) {
         val conn = DriverManager.getConnection(url)
         try {
@@ -761,6 +850,64 @@ private[graft] object AdxLike {
     }
 
   val RemoteNameKey = "adxlike.remoteName"
+
+  /** Quote a remote identifier verbatim (no schema lookup) — used for
+    * join-pushdown aliases, whose exported names ARE the identifiers.
+    */
+  private[sources] def quoteRaw(name: String): String =
+    "\"" + name.replace("\"", "\"\"") + "\""
+
+  private val aliasCounter = new java.util.concurrent.atomic.AtomicInteger(0)
+  private[sources] def freshAlias(): String = "sq" + aliasCounter.getAndIncrement()
+
+  /** Compile a V2 join ON-condition to remote SQL, or None to keep
+    * the join in Spark. References must be single-name columns of the
+    * joined output whose remote comparison provably equals Spark's
+    * (numeric/temporal/boolean — string equality is a remote
+    * collation/padding fact, and a pushed join REPLACES the Spark
+    * join, so looser remote equality would surface extra rows).
+    * `<=>` (null-safe equal) expands to its portable SQL form.
+    */
+  private[sources] def compileJoinCondition(
+      p: org.apache.spark.sql.connector.expressions.filter.Predicate,
+      schema: StructType): Option[String] = {
+    import org.apache.spark.sql.connector.expressions.{Expression => VExpr, Literal => VLit}
+    import org.apache.spark.sql.connector.expressions.filter.{Predicate => VPred}
+    def operand(e: VExpr): Option[String] = e match {
+      case nr: NamedReference if nr.fieldNames.length == 1 =>
+        schema.fields.find(_.name == nr.fieldNames()(0)).collect {
+          case f if comparableRemotely(f.dataType) => remoteId(schema, f.name)
+        }
+      case lv: VLit[_] if comparableRemotely(lv.dataType) =>
+        lit(org.apache.spark.sql.catalyst.CatalystTypeConverters
+          .convertToScala(lv.value, lv.dataType))
+      case _ => None
+    }
+    def sub(e: VExpr): Option[String] = e match {
+      case q: VPred => compileJoinCondition(q, schema).map(s => s"($s)")
+      case _ => None
+    }
+    val kids = p.children()
+    p.name() match {
+      case op @ ("=" | "<>" | "<" | "<=" | ">" | ">=") =>
+        for (l <- operand(kids(0)); r <- operand(kids(1))) yield s"$l $op $r"
+      case "<=>" =>
+        for (l <- operand(kids(0)); r <- operand(kids(1)))
+          yield s"($l = $r OR ($l IS NULL AND $r IS NULL))"
+      case "IS_NULL" => operand(kids(0)).map(c => s"$c IS NULL")
+      case "IS_NOT_NULL" => operand(kids(0)).map(c => s"$c IS NOT NULL")
+      case "AND" => for (l <- sub(kids(0)); r <- sub(kids(1))) yield s"$l AND $r"
+      case "OR" => for (l <- sub(kids(0)); r <- sub(kids(1))) yield s"$l OR $r"
+      case "NOT" => sub(kids(0)).map(c => s"NOT $c")
+      case _ => None
+    }
+  }
+
+  private def comparableRemotely(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType | FloatType | DoubleType |
+         BooleanType | TimestampType | DateType | _: DecimalType => true
+    case _ => false // strings: collation/padding may disagree with Spark
+  }
 
   /** `option("normalize", "kusto")` — the connector applies the SAME
     * ingest normalization as the parquet path's

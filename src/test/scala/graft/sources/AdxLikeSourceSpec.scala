@@ -319,6 +319,70 @@ class AdxLikeSourceSpec extends SparkSpec {
       joined.queryExecution.executedPlan.toString)
   }
 
+  test("join pushdown: two scans of the same remote become one remote query") {
+    seed()
+    val conn = DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      try st.execute("DROP TABLE refs") catch { case _: SQLException => () }
+      st.execute("CREATE TABLE refs (rid BIGINT, device VARCHAR(16), score DOUBLE)")
+      Seq((2, "x2", 0.5), (4, "x4", 1.5), (17, "x17", 2.5), (40, "x40", 9.9))
+        .foreach { case (r, d, s) => st.execute(s"INSERT INTO refs VALUES ($r, '$d', $s)") }
+      st.close()
+    } finally conn.close()
+    def refs = spark.read.format(fmt)
+      .option("url", url).option("table", "refs").load()
+    spark.conf.set("spark.sql.optimizer.datasourceV2JoinPushdown", "true")
+    try {
+      // inner join on a numeric key, one side filtered: ONE remote
+      // query, sides' WHEREs inside their derived tables
+      val a = table; val b = refs
+      val j = a.filter(col("temp") > 1.0)
+        .join(b, a("id") === b("rid"))
+        .select(a("id"), a("device"), b("device").as("rdevice"), b("score"))
+      val got = j.collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getDouble(3)))
+      assert(got.toSet == Set((4L, "dev1", "x4", 1.5), (17L, "dev2", "x17", 2.5)))
+      val sent = AdxLike.lastQuery
+      assert(sent.contains(" JOIN ") && sent.contains(" ON "), sent)
+      assert(sent.contains("\"TEMP\" > 1.0"), sent) // side filter inside the join
+      val plan = j.queryExecution.executedPlan.toString
+      assert("BatchScan".r.findAllIn(plan).size == 1, plan) // one scan, no Spark join
+      assert(!plan.contains("HashJoin") && !plan.contains("SortMergeJoin"), plan)
+      // same results as the un-pushed plan
+      spark.conf.set("spark.sql.optimizer.datasourceV2JoinPushdown", "false")
+      val a2 = table; val b2 = refs
+      val want = a2.filter(col("temp") > 1.0)
+        .join(b2, a2("id") === b2("rid"))
+        .select(a2("id"), a2("device"), b2("device").as("rdevice"), b2("score"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getDouble(3)))
+      assert(got.toSet == want.toSet)
+      spark.conf.set("spark.sql.optimizer.datasourceV2JoinPushdown", "true")
+
+      // aggregate over the pushed join: remote GROUP BY over the joined FROM
+      val g = a.join(b, a("id") === b("rid")).groupBy(a("device"))
+        .agg(count(lit(1)).as("n"), sum(b("score")).as("s"))
+      val gotG = g.collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(gotG == Set(("dev2", 2L, 3.0), ("dev1", 1L, 1.5)), gotG.toString)
+      assert(AdxLike.lastQuery.contains(" JOIN ") &&
+        AdxLike.lastQuery.contains("GROUP BY"), AdxLike.lastQuery)
+
+      // left outer join pushes too, null-extending the right side
+      val lj = a.join(b, a("id") === b("rid"), "left")
+        .select(a("id"), b("score")).orderBy(a("id"))
+      val gotL = lj.collect().map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      assert(gotL.length == 30 && gotL.count(_._2.isDefined) == 3)
+      assert(AdxLike.lastQuery.contains("LEFT JOIN"), AdxLike.lastQuery)
+
+      // a STRING join key never pushes: remote equality is a
+      // collation/padding fact, and a pushed join replaces the join
+      val sj = a.join(b, a("device") === b("device")).select(a("id"))
+      sj.collect()
+      assert(!AdxLike.lastQuery.contains(" JOIN "), AdxLike.lastQuery)
+      assert(sj.queryExecution.executedPlan.toString.contains("Join"),
+        sj.queryExecution.executedPlan.toString)
+    } finally spark.conf.unset("spark.sql.optimizer.datasourceV2JoinPushdown")
+  }
+
   test("remote statistics: opt-in COUNT sizes the scan post-pushdown") {
     seed()
     import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
