@@ -102,11 +102,14 @@ private class AdxLikeTable(
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(
-      TableCapability.BATCH_READ, TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+      TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new AdxLikeScanBuilder(url, tableName, tableSchema, maxRetries, partitionColumn,
-      numPartitions, normalize, realCols, remoteStats)
+      numPartitions, normalize, realCols, remoteStats,
+      Option(options.get("streamOffsetColumn")),
+      Option(options.get("streamStartFrom")).getOrElse("earliest"))
 
   /** DSv2 write path — the connector's counterpart of the reference's
     * guarded DML write-back (mysql_plugin's DML branch; see
@@ -298,7 +301,9 @@ private class AdxLikeScanBuilder(
     numPartitions: Int,
     private val normalize: Boolean,
     realCols: Set[String],
-    remoteStats: Boolean = false)
+    remoteStats: Boolean = false,
+    streamOffsetCol: Option[String] = None,
+    streamStartFrom: String = "earliest")
   extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates with SupportsPushDownLimit with SupportsPushDownTopN
     with SupportsPushDownOffset with SupportsPushDownJoin {
@@ -524,7 +529,8 @@ private class AdxLikeScanBuilder(
       case None => (required, None)
     }
     new AdxLikeScan(url, from, schema, pushed, maxRetries, cur, partitionColumn,
-      numPartitions, compiledAgg, limit, orderBy, offset, normalize, realCols, remoteStats)
+      numPartitions, compiledAgg, limit, orderBy, offset, normalize, realCols, remoteStats,
+      streamOffsetCol, streamStartFrom)
   }
 }
 
@@ -543,7 +549,9 @@ private class AdxLikeScan(
     offset: Option[Int],
     normalize: Boolean,
     realCols: Set[String],
-    remoteStats: Boolean = false)
+    remoteStats: Boolean = false,
+    streamOffsetCol: Option[String] = None,
+    streamStartFrom: String = "earliest")
   extends Scan with Batch with SupportsRuntimeFiltering with SupportsReportStatistics {
 
   override def readSchema(): StructType = schema
@@ -644,6 +652,112 @@ private class AdxLikeScan(
   override def createReaderFactory(): PartitionReaderFactory =
     new AdxLikeReaderFactory(url, schema, maxRetries, normalize,
       if (normalize) realCols else Set.empty)
+
+  /** Incremental micro-batch reads over a monotonically increasing
+    * integral column (`option("streamOffsetColumn", ...)`) — the
+    * standard watermark-column ingest pattern for a remote store with
+    * no changefeed. Each trigger reads `(lastOffset, remoteMax]`;
+    * contract: rows only ever APPEND with increasing offset-column
+    * values (a late insert below the watermark is never seen — same
+    * caveat as any high-water-mark CDC). `streamStartFrom=latest`
+    * skips history; the default `earliest` replays the full table
+    * first. Pushed filters ride along in both the MAX probe and each
+    * batch's range query.
+    */
+  override def toMicroBatchStream(checkpointLocation: String):
+      org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    val col = streamOffsetCol.getOrElse(throw new IllegalArgumentException(
+      "adxlike streaming read requires option streamOffsetColumn: a monotonically " +
+        "increasing integral column that orders row arrival"))
+    val f = fullSchema.fields.find(_.name == col).getOrElse(
+      throw new IllegalArgumentException(s"streamOffsetColumn '$col' not in ${
+        fullSchema.fieldNames.mkString(", ")}"))
+    f.dataType match {
+      case ByteType | ShortType | IntegerType | LongType => ()
+      case other => throw new IllegalArgumentException(
+        s"streamOffsetColumn '$col' must be integral (monotonic watermark); it is $other")
+    }
+    require(agg.isEmpty && limit.isEmpty && orderBy.isEmpty && offset.isEmpty,
+      "adxlike streaming read: pushed aggregate/limit/top-N/offset are batch-only")
+    require(!streamStartFrom.isEmpty &&
+      (streamStartFrom == "earliest" || streamStartFrom == "latest"),
+      s"streamStartFrom must be earliest|latest, got '$streamStartFrom'")
+    new AdxLikeMicroBatchStream(url, table, schema, pushed, fullSchema, col,
+      streamStartFrom, partitionColumn, numPartitions, maxRetries, normalize, realCols)
+  }
+}
+
+/** One micro-batch source: offsets are values of the watermark column;
+  * `latestOffset` probes the remote MAX under the connector retry
+  * policy, and each batch compiles to the same sharded/partitioned
+  * remote queries as a batch read plus the half-open range predicate.
+  */
+private class AdxLikeMicroBatchStream(
+    url: String,
+    table: String,
+    schema: StructType,
+    pushed: Array[Filter],
+    full: StructType,
+    offsetCol: String,
+    startFrom: String,
+    partitionColumn: Option[String],
+    numPartitions: Int,
+    maxRetries: Int,
+    normalize: Boolean,
+    realCols: Set[String])
+  extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.{Offset => SOffset}
+
+  private def where: Seq[String] =
+    pushed.flatMap(f => AdxLike.compileFilter(f, AdxLike.remoteId(full, _))).toSeq
+
+  /** Empty table → Long.MinValue, the same floor as `earliest`. */
+  private def remoteMax(): Long = Jdbc.withRetries(maxRetries) {
+    val sql = AdxLike.renderQuery(
+      table, s"MAX(${AdxLike.remoteId(full, offsetCol)})", where, Nil, None)
+    val conn = DriverManager.getConnection(url)
+    try {
+      val rs = conn.createStatement().executeQuery(sql)
+      try {
+        rs.next()
+        val v = rs.getLong(1)
+        if (rs.wasNull()) Long.MinValue else v
+      } finally rs.close()
+    } finally conn.close()
+  }
+
+  override def initialOffset(): SOffset =
+    AdxLikeStreamOffset(if (startFrom == "latest") remoteMax() else Long.MinValue)
+
+  override def latestOffset(): SOffset = AdxLikeStreamOffset(remoteMax())
+
+  override def deserializeOffset(json: String): SOffset =
+    AdxLikeStreamOffset(json.trim.toLong)
+
+  override def planInputPartitions(start: SOffset, end: SOffset): Array[InputPartition] = {
+    val lo = start.asInstanceOf[AdxLikeStreamOffset].v
+    val hi = end.asInstanceOf[AdxLikeStreamOffset].v
+    // half-open (lo, hi]: lo = MinValue means "from the beginning"
+    val range: Array[Filter] =
+      (if (lo == Long.MinValue) Array.empty[Filter]
+       else Array[Filter](GreaterThan(offsetCol, lo))) :+ LessThanOrEqual(offsetCol, hi)
+    AdxLike.compilePartitionQueries(
+      table, schema, pushed ++ range, full, partitionColumn, numPartitions)
+      .map(AdxLikePartition.apply)
+      .toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new AdxLikeReaderFactory(url, schema, maxRetries, normalize,
+      if (normalize) realCols else Set.empty)
+
+  override def commit(end: SOffset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+private case class AdxLikeStreamOffset(v: Long)
+  extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = v.toString
 }
 
 private case class AdxLikePartition(sql: String) extends InputPartition

@@ -559,6 +559,81 @@ class AdxLikeSourceSpec extends SparkSpec {
     assert(left.length == 1 && left.head.getString(1) == "seeded")
   }
 
+  test("micro-batch streaming read: watermark-column increments arrive exactly once") {
+    val conn = DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      try st.execute("DROP TABLE stream_rows") catch { case _: SQLException => () }
+      st.execute("CREATE TABLE stream_rows (id BIGINT, v VARCHAR(8))")
+      (1 to 5).foreach(i => st.execute(s"INSERT INTO stream_rows VALUES ($i, 'a$i')"))
+      st.close()
+    } finally conn.close()
+    def insert(ids: Range): Unit = {
+      val c = DriverManager.getConnection(url)
+      try {
+        val st = c.createStatement()
+        ids.foreach(i => st.execute(s"INSERT INTO stream_rows VALUES ($i, 'a$i')"))
+        st.close()
+      } finally c.close()
+    }
+    val q = spark.readStream.format(fmt)
+      .option("url", url).option("table", "stream_rows")
+      .option("streamOffsetColumn", "id").load()
+      .writeStream.outputMode("append").format("memory").queryName("adxstream").start()
+    try {
+      q.processAllAvailable() // batch 0: full replay (earliest)
+      assert(spark.table("adxstream").count() == 5)
+      insert(6 to 9)
+      q.processAllAvailable() // batch 1: only the increment
+      insert(10 to 12)
+      q.processAllAvailable() // batch 2
+      val got = spark.table("adxstream").collect().map(_.getLong(0)).sorted
+      assert(got.toSeq == (1L to 12L), got.mkString(",")) // exactly once, no dupes
+      // the last batch's remote query carried the half-open range
+      assert(AdxLike.lastQuery.contains("\"ID\" > 9") &&
+        AdxLike.lastQuery.contains("\"ID\" <= 12"), AdxLike.lastQuery)
+    } finally q.stop()
+    // restart from a checkpoint (recoverable file sink): no replay,
+    // only rows above the checkpointed watermark
+    val ckpt = java.nio.file.Files.createTempDirectory("adxstream-ckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("adxstream-out").toString
+    def startFileSink() = spark.readStream.format(fmt)
+      .option("url", url).option("table", "stream_rows")
+      .option("streamOffsetColumn", "id").load()
+      .writeStream.option("checkpointLocation", ckpt)
+      .outputMode("append").format("parquet").option("path", out).start()
+    val q2 = startFileSink()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(spark.read.parquet(out).count() == 12)
+    insert(13 to 14)
+    val q3 = startFileSink()
+    try q3.processAllAvailable() finally q3.stop()
+    val afterRestart = spark.read.parquet(out).collect().map(_.getLong(0)).sorted
+    assert(afterRestart.toSeq == (1L to 14L), afterRestart.mkString(","))
+    // startFrom=latest skips history
+    val q4 = spark.readStream.format(fmt)
+      .option("url", url).option("table", "stream_rows")
+      .option("streamOffsetColumn", "id").option("streamStartFrom", "latest").load()
+      .writeStream.outputMode("append").format("memory").queryName("adxlatest").start()
+    try {
+      q4.processAllAvailable()
+      assert(spark.table("adxlatest").count() == 0)
+      insert(15 to 16)
+      q4.processAllAvailable()
+      assert(spark.table("adxlatest").collect().map(_.getLong(0)).sorted.toSeq == Seq(15L, 16L))
+    } finally q4.stop()
+    // a missing/non-integral offset column fails fast with a clear message
+    val e = intercept[Exception] {
+      spark.readStream.format(fmt)
+        .option("url", url).option("table", "stream_rows").load()
+        .writeStream.format("memory").queryName("adxbad").start()
+        .processAllAvailable()
+    }
+    def rootMsg(t: Throwable): String =
+      Option(t.getCause).map(rootMsg).getOrElse(t.getMessage)
+    assert(rootMsg(e).contains("streamOffsetColumn"), rootMsg(e))
+  }
+
   test("multi-partition write: committed tasks persist, the failed task leaves no rows") {
     import spark.implicits._
     val conn = DriverManager.getConnection(url)
