@@ -103,7 +103,8 @@ private class AdxLikeTable(
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(
       TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
-      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+      TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE,
+      TableCapability.TRUNCATE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new AdxLikeScanBuilder(url, tableName, tableSchema, maxRetries, partitionColumn,
@@ -159,11 +160,32 @@ private class AdxLikeWrite(
     writeSchema: StructType,
     maxRetries: Int,
     truncate: Boolean)
-  extends Write with BatchWrite {
+  extends Write with BatchWrite
+    with org.apache.spark.sql.connector.write.streaming.StreamingWrite {
 
   override def toBatch: BatchWrite = this
+  // BatchWrite and StreamingWrite both default this — disambiguate
+  override def useCommitCoordinator(): Boolean = true
   override def description(): String =
     s"AdxLike write table=$table" + (if (truncate) " (truncate)" else "")
+
+  /** The INSERT statement compiled against the REMOTE schema: for
+    * writes Spark hands the provider the input dataframe's schema, not
+    * the inferred one, so the remote-name metadata that drives
+    * identifier quoting is absent — resolve the remote schema here
+    * (driver-side, under the retry policy, same as the read path) and
+    * map write columns to quoted remote identifiers case-insensitively.
+    */
+  private def insertSql(): String = {
+    val remote = AdxLike.resolveSchema(url, table, maxRetries)
+    def rid(name: String): String =
+      remote.fields.find(_.name.equalsIgnoreCase(name))
+        .map(f => AdxLike.remoteId(remote, f.name))
+        .getOrElse(AdxLike.remoteId(full, name))
+    val cols = writeSchema.fieldNames.map(rid)
+    s"INSERT INTO $table (${cols.mkString(", ")}) " +
+      s"VALUES (${Seq.fill(cols.length)("?").mkString(", ")})"
+  }
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     if (truncate) Jdbc.withRetries(maxRetries) {
@@ -171,24 +193,93 @@ private class AdxLikeWrite(
       try { conn.createStatement().executeUpdate(s"DELETE FROM $table"); () }
       finally conn.close()
     }
-    // For writes Spark hands the provider the INPUT dataframe's schema,
-    // not the inferred one, so the remote-name metadata that drives
-    // identifier quoting is absent — resolve the remote schema here
-    // (driver-side, under the retry policy, same as the read path) and
-    // map write columns to quoted remote identifiers case-insensitively.
-    val remote = AdxLike.resolveSchema(url, table, maxRetries)
-    def rid(name: String): String =
-      remote.fields.find(_.name.equalsIgnoreCase(name))
-        .map(f => AdxLike.remoteId(remote, f.name))
-        .getOrElse(AdxLike.remoteId(full, name))
-    val cols = writeSchema.fieldNames.map(rid)
-    val sql = s"INSERT INTO $table (${cols.mkString(", ")}) " +
-      s"VALUES (${Seq.fill(cols.length)("?").mkString(", ")})"
-    new AdxLikeWriterFactory(url, sql, writeSchema, maxRetries)
+    new AdxLikeWriterFactory(url, insertSql(), writeSchema, maxRetries)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = ()
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+
+  // ------------------------------------------------- streaming sink
+
+  /** Streaming append with an epoch ledger (`<table>_graft_epochs`):
+    * every task writes its rows in one remote transaction (same
+    * exactly-once-per-task contract as the batch path), and the
+    * driver records each epoch in the ledger AFTER all its tasks
+    * committed. A restarted query re-offers the last epoch; writers
+    * see it in the ledger and drop it whole — so a FULLY committed
+    * epoch is never appended twice. The honest boundary, stated
+    * rather than hidden: a crash MID-epoch (some tasks committed,
+    * epoch not yet in the ledger) duplicates those tasks' rows on
+    * replay — per-epoch atomicity across independent remote
+    * transactions is not expressible without a staging area, which is
+    * the same boundary Spark's own JDBC usage via foreachBatch has.
+    */
+  override def toStreaming:
+      org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+    require(!truncate, "adxlike streaming write supports append mode only")
+    this
+  }
+
+  private def ledgerTable: String = s"${table}_graft_epochs"
+
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo):
+      org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory = {
+    Jdbc.withRetries(maxRetries) {
+      val conn = DriverManager.getConnection(url)
+      try {
+        try conn.createStatement().execute(
+          s"CREATE TABLE $ledgerTable (epoch_id BIGINT PRIMARY KEY)")
+        catch { case e: java.sql.SQLException if e.getSQLState == "X0Y32" => () } // exists
+      } finally conn.close()
+    }
+    new AdxLikeStreamingWriterFactory(url, insertSql(), writeSchema, maxRetries, ledgerTable)
+  }
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    Jdbc.withRetries(maxRetries) {
+      val conn = DriverManager.getConnection(url)
+      try {
+        try conn.createStatement().executeUpdate(
+          s"INSERT INTO $ledgerTable VALUES ($epochId)")
+        catch { case e: java.sql.SQLException if e.getSQLState == "23505" => () } // already recorded
+      } finally conn.close()
+    }
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+private class AdxLikeStreamingWriterFactory(
+    url: String,
+    sql: String,
+    schema: StructType,
+    maxRetries: Int,
+    ledgerTable: String)
+  extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+
+  /** A replayed epoch (already in the ledger) is dropped WHOLE by
+    * every task — the cheap per-task ledger probe is what makes a
+    * restart idempotent for fully-committed epochs.
+    */
+  override def createWriter(
+      partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] = {
+    val committed = Jdbc.withRetries(maxRetries) {
+      val conn = DriverManager.getConnection(url)
+      try {
+        val rs = conn.createStatement().executeQuery(
+          s"SELECT 1 FROM $ledgerTable WHERE epoch_id = $epochId")
+        try rs.next() finally rs.close()
+      } finally conn.close()
+    }
+    if (committed) new AdxLikeNoopWriter else new AdxLikeDataWriter(url, sql, schema, maxRetries)
+  }
+}
+
+private class AdxLikeNoopWriter extends DataWriter[InternalRow] {
+  override def write(row: InternalRow): Unit = ()
+  override def commit(): WriterCommitMessage = AdxLikeCommitMessage(0L)
+  override def abort(): Unit = ()
+  override def close(): Unit = ()
 }
 
 private class AdxLikeWriterFactory(
