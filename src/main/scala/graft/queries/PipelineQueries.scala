@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.ops.Sampling
 import graft.sources.Sources
-import graft.text.{PiiScrub, SequencePacking}
+import graft.text.{Decontamination, PiiScrub, QualityFilters, SequencePacking, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -122,13 +122,101 @@ object PipelineQueries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** q42: Gopher/C4-style repetition & quality gate — per-document
+    * signals (duplicate-token fraction, top-token / top-bigram
+    * dominance, mean token length, stopword presence) plus the 0/1
+    * keep verdict, identical double arithmetic on both engines.
+    */
+  def q42QualityFilters(spark: SparkSession, dir: String): DataFrame =
+    QualityFilters.withSignals(Sources.documents(spark, dir), "text")
+      .select(
+        col("doc_id"), col("n_tokens"), col("dup_token_frac"),
+        col("top_token_frac"), col("top_bigram_frac"), col("mean_tok_len"),
+        col("n_stop_distinct"), col("keep"))
+      .orderBy("doc_id")
+
+  val q42Sql: String = {
+    val stops = TextAnalysis.stopwords("en").map(w => s"'$w'").mkString(", ")
+    val bigrams = "list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])"
+    s"""WITH t AS (
+       |  SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents
+       |), s AS (
+       |  SELECT doc_id, text,
+       |    CAST(len(toks) AS INT) AS n_tokens,
+       |    CAST(len(toks) AS DOUBLE) AS nt,
+       |    1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS dup_token_frac,
+       |    CAST(list_max(list_transform(list_distinct(toks),
+       |        t2 -> len(list_filter(toks, x -> x = t2)))) AS DOUBLE)
+       |      / CAST(len(toks) AS DOUBLE) AS top_token_frac,
+       |    CASE WHEN len(toks) >= 2 THEN
+       |      CAST(list_max(list_transform(list_distinct($bigrams),
+       |          g -> len(list_filter($bigrams, x -> x = g)))) AS DOUBLE)
+       |        / CAST(len(toks) - 1 AS DOUBLE)
+       |      ELSE 0.0 END AS top_bigram_frac,
+       |    CAST(len(list_intersect(list_distinct(toks), [$stops])) AS INT) AS n_stop_distinct
+       |  FROM t
+       |)
+       |SELECT doc_id, n_tokens, dup_token_frac, top_token_frac, top_bigram_frac,
+       |  (CAST(length(text) AS DOUBLE) - (nt - 1.0)) / nt AS mean_tok_len,
+       |  n_stop_distinct,
+       |  CAST(n_tokens BETWEEN ${QualityFilters.MinTokens} AND ${QualityFilters.MaxTokens}
+       |    AND dup_token_frac <= ${QualityFilters.MaxDupTokenFrac}
+       |    AND top_token_frac <= ${QualityFilters.MaxTopTokenFrac}
+       |    AND top_bigram_frac <= ${QualityFilters.MaxTopBigramFrac}
+       |    AND (CAST(length(text) AS DOUBLE) - (nt - 1.0)) / nt
+       |      BETWEEN ${QualityFilters.MinMeanTokLen} AND ${QualityFilters.MaxMeanTokLen}
+       |    AND n_stop_distinct >= ${QualityFilters.MinDistinctStopwords} AS INT) AS keep
+       |FROM s
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** q43: benchmark decontamination — the corpus (doc_id % 97 != 0)
+    * checked for trigram overlap against a deterministic "evaluation
+    * set" slice (doc_id % 97 = 0); one row per contaminated document
+    * with its overlap fraction. The benchmark n-gram set broadcasts;
+    * the corpus never shuffles its text.
+    */
+  def q43Decontamination(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Sources.documents(spark, dir)
+    Decontamination.report(
+      docs.filter(pmod(col("doc_id"), lit(97L)) =!= 0L),
+      docs.filter(pmod(col("doc_id"), lit(97L)) === 0L),
+      "text", "doc_id")
+      .orderBy("doc_id")
+  }
+
+  val q43Sql: String =
+    """WITH docs AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+      |), ng AS (
+      |  SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+      |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS gs
+      |  FROM docs WHERE len(toks) >= 3
+      |), bench AS (
+      |  SELECT DISTINCT unnest(gs) AS g FROM ng WHERE doc_id % 97 = 0
+      |), corpus AS (
+      |  SELECT doc_id, len(gs) AS n_ngrams, unnest(gs) AS g FROM ng WHERE doc_id % 97 <> 0
+      |), ov AS (
+      |  SELECT doc_id, CAST(max(n_ngrams) AS INT) AS n_ngrams, count(*) AS n_overlap
+      |  FROM corpus WHERE g IN (SELECT g FROM bench) GROUP BY doc_id
+      |)
+      |SELECT doc_id, n_ngrams, n_overlap,
+      |  CAST(n_overlap AS DOUBLE) / CAST(n_ngrams AS DOUBLE) AS contam_frac,
+      |  CAST(CAST(n_overlap AS DOUBLE) / CAST(n_ngrams AS DOUBLE) >= 0.05 AS INT) AS flagged
+      |FROM ov
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q39_stratified_sample" -> (q39StratifiedSample _),
     "q40_sequence_packing" -> (q40SequencePacking _),
-    "q41_pii_scrub" -> (q41PiiScrub _))
+    "q41_pii_scrub" -> (q41PiiScrub _),
+    "q42_quality_filters" -> (q42QualityFilters _),
+    "q43_decontamination" -> (q43Decontamination _))
 
   val oracle: Map[String, String] = Map(
     "q39_stratified_sample" -> q39Sql,
     "q40_sequence_packing" -> q40Sql,
-    "q41_pii_scrub" -> q41Sql)
+    "q41_pii_scrub" -> q41Sql,
+    "q42_quality_filters" -> q42Sql,
+    "q43_decontamination" -> q43Sql)
 }

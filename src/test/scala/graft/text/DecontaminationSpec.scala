@@ -1,0 +1,66 @@
+package graft.text
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DecontaminationSpec extends SparkSpec {
+
+  private def df(rows: Seq[(Long, String)]) = {
+    import sqlImplicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("ngrams: distinct space-joined n-grams, empty under n tokens") {
+    import sqlImplicits._
+    val out = df(Seq((0L, "a b c d"), (1L, "a b a b"), (2L, "a b")))
+      .select(Decontamination.ngrams(col("text"), 3).as("g"))
+      .as[Seq[String]].collect()
+    assert(out(0) == Seq("a b c", "b c d"))
+    assert(out(1) == Seq("a b a", "b a b")) // distinct keeps first occurrence order
+    assert(out(2) == Seq.empty)
+  }
+
+  test("report counts overlapping distinct trigrams and computes the fraction") {
+    val bench = df(Seq((100L, "w1 w2 w3 w4")))
+    // doc 1 shares only 'w1 w2 w3' (1 of its 4 distinct trigrams);
+    // doc 2 shares nothing; doc 3 is a full copy (2 of 2).
+    val corpus = df(Seq(
+      (1L, "w1 w2 w3 w4x w1 w2"),
+      (2L, "x y z w q"),
+      (3L, "w1 w2 w3 w4")))
+    val got = Decontamination.report(corpus, bench, "text", "doc_id")
+      .orderBy("doc_id").collect()
+    assert(got.map(_.getAs[Long]("doc_id")).toSeq == Seq(1L, 3L)) // doc 2 absent
+    val r1 = got(0)
+    // doc 1 trigrams: {w1 w2 w3, w2 w3 w4x, w3 w4x w1, w4x w1 w2} -> 1 of 4 overlap
+    assert(r1.getAs[Int]("n_ngrams") == 4)
+    assert(r1.getAs[Long]("n_overlap") == 1L)
+    assert(r1.getAs[Double]("contam_frac") == 0.25)
+    assert(r1.getAs[Int]("flagged") == 1)
+    val r3 = got(1)
+    assert(r3.getAs[Int]("n_ngrams") == 2 && r3.getAs[Long]("n_overlap") == 2L)
+    assert(r3.getAs[Double]("contam_frac") == 1.0)
+  }
+
+  test("decontaminated removes flagged docs, keeps sub-threshold and clean ones") {
+    val bench = df(Seq((100L, "w1 w2 w3 w4")))
+    val clean = (1 to 30).map(i => s"u$i").mkString(" ")
+    // 1 shared trigram out of 28 -> frac ~0.036 < 0.05 stays
+    val mild = (Seq("w1", "w2", "w3") ++ (1 to 27).map(i => s"v$i")).mkString(" ")
+    val corpus = df(Seq((1L, clean), (2L, mild), (3L, "w1 w2 w3 w4")))
+    val kept = Decontamination.decontaminated(corpus, bench, "text", "doc_id")
+    import sqlImplicits._
+    assert(kept.select("doc_id").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+  }
+
+  test("plan shape: benchmark set broadcasts; corpus side joins without shuffling text") {
+    val docs = graft.sources.Sources.documents(spark, "/root/testdata/sf0.001")
+    val rpt = Decontamination.report(
+      docs.filter(pmod(col("doc_id"), lit(97L)) =!= 0L),
+      docs.filter(pmod(col("doc_id"), lit(97L)) === 0L),
+      "text", "doc_id")
+    rpt.collect()
+    val plan = rpt.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"), plan)
+  }
+}
