@@ -17,9 +17,11 @@ import org.apache.spark.sql.types._
   * WAV/AIFF linear PCM), and video decode is REAL for the one
   * multi-frame container the JDK ships a codec for — animated GIF
   * ([[Multimodal.VideoDecoder]], per-frame pixels pooled over
-  * temporal slices). Codecs the JDK lacks (MP4/WebM, compressed
-  * audio) fall back to [[FakeDecoder]] (deterministic features from
-  * the bytes) — an honest stub behind the same `Decoder` seam. The
+  * temporal slices) — animated GIF plus AVI holding Motion-JPEG or
+  * raw DIB frames ([[Avi]]). Codecs the JDK lacks (MP4/WebM,
+  * compressed audio) fall back to [[FakeDecoder]] (deterministic
+  * features from the bytes) — an honest stub behind the same
+  * `Decoder` seam. The
   * Spark-side contract — schema, batch iteration, partition sizing,
   * output shape — is real and tested for all kinds.
   */
@@ -109,13 +111,15 @@ object Multimodal {
   }
 
   /** All frames the JDK can decode from an encoded payload — one for
-    * still formats, EVERY frame for a multi-frame container (animated
-    * GIF via the JDK's GIF `ImageReader`; frames are the reader's raw
-    * per-frame images, not composited against prior frames). Empty on
-    * undecodable input.
+    * still formats, EVERY frame for a multi-frame container: animated
+    * GIF via the JDK's GIF `ImageReader` (frames are the reader's raw
+    * per-frame images, not composited against prior frames) and AVI
+    * via the pure-JVM RIFF walk in [[Avi]] (Motion-JPEG and raw
+    * BI_RGB DIB frames). Empty on undecodable input.
     */
   private[multimodal] def decodeFrames(bytes: Array[Byte]): IndexedSeq[java.awt.image.BufferedImage] =
-    try {
+    if (Avi.isAvi(bytes)) Avi.frames(bytes)
+    else try {
       val iis = javax.imageio.ImageIO.createImageInputStream(new java.io.ByteArrayInputStream(bytes))
       if (iis == null) return IndexedSeq.empty
       try {
@@ -152,9 +156,10 @@ object Multimodal {
     }
   }
 
-  /** REAL video decoder for the one multi-frame container the JDK
-    * ships a codec for — animated GIF via `javax.imageio`'s GIF
-    * reader. Features are (temporal slice) x (spatial cell): `dim` is
+  /** REAL video decoder for the multi-frame containers this build can
+    * open without native codecs — animated GIF via `javax.imageio`'s
+    * GIF reader, AVI/MJPEG and AVI/DIB via the [[Avi]] RIFF walk.
+    * Features are (temporal slice) x (spatial cell): `dim` is
     * split across up to `dim / 16` temporal slices (at least one, at
     * most one per frame), each slice represented by its middle frame
     * grid-pooled spatially — frame ORDER is preserved in the layout,
