@@ -1,7 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.functions._
+import org.apache.spark.sql.functions.{broadcast => bcast, _}
 
 /** Deterministic sampling for training-data curation (engine addition
   * beyond the reference surface — the rebalancing step of a corpus
@@ -78,5 +78,50 @@ object Sampling {
         when(col(strataCol) === lit(stratum), lit((rate * Mod).toLong)).otherwise(acc)
     }
     df.filter(sampleScore(col(idCol), seed) < threshold)
+  }
+
+  /** Temperature-style source mixing — the training-MIXTURE
+    * construction step: per-stratum acceptance rates are DERIVED from
+    * the corpus itself so that kept counts flatten toward the
+    * square root of the raw counts (temperature T = 2 in the
+    * published multilingual-sampling sense: kept_s ∝ sqrt(n_s),
+    * i.e. q_s ∝ p_s^(1/2)):
+    *
+    *   `rate_s = min(1, k / sqrt(n_s))`
+    *
+    * so a stratum with n_s ≤ k² survives whole while larger ones are
+    * downsampled by their own excess. `k` is the budget knob: kept_s
+    * ≈ k·sqrt(n_s) for downsampled strata.
+    *
+    * The rate arithmetic is engine-portable BY CONSTRUCTION: sqrt,
+    * divide, multiply and floor are each correctly-rounded IEEE-754
+    * operations (sqrt is exact per the standard, unlike pow — which is
+    * why the exponent is fixed at 1/2 instead of a free temperature),
+    * so the per-stratum integer threshold `floor(rate·m)` is
+    * bit-identical on any engine and membership is again a pure
+    * function of (id, seed, corpus counts) — the DuckDB oracle
+    * reproduces the exact row set.
+    *
+    * Scale shape: pass 1 is a partial-aggregated count per stratum
+    * (one row per stratum crosses the wire); the control-plane-sized
+    * rate table broadcast-joins back; the keep decision is the same
+    * zero-shuffle map-side filter as [[stratified]]. The corpus is
+    * scanned twice and shuffled never.
+    */
+  def temperatureMix(
+      df: DataFrame,
+      idCol: String,
+      strataCol: String,
+      k: Double,
+      seed: Long = 0L): DataFrame = {
+    require(k > 0.0, s"k=$k must be positive")
+    val thresholds = df.groupBy(col(strataCol))
+      .agg(count(lit(1)).as("__mix_n"))
+      .withColumn("__mix_thr",
+        floor(least(lit(1.0), lit(k) / sqrt(col("__mix_n").cast("double"))) * lit(Mod.toDouble)))
+      .select(col(strataCol), col("__mix_thr"))
+    df.join(bcast(thresholds), Seq(strataCol))
+      .filter(sampleScore(col(idCol), seed) < col("__mix_thr"))
+      .select(df.columns.map(col): _*)
   }
 }

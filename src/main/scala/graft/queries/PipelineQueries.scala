@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.ops.Sampling
 import graft.sources.Sources
-import graft.text.{Decontamination, PiiScrub, QualityFilters, SequencePacking, TextAnalysis}
+import graft.text.{CorpusStats, Decontamination, PiiScrub, QualityFilters, SequencePacking, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -206,17 +206,85 @@ object PipelineQueries {
       |FROM ov
       |ORDER BY doc_id""".stripMargin
 
+  /** q44: temperature-style source mixing — per-language acceptance
+    * rates derived from the corpus itself so kept counts flatten
+    * toward sqrt(n_lang) ([[Sampling.temperatureMix]], T = 2). The
+    * oracle recomputes the identical sqrt-derived integer thresholds
+    * and MINSTD membership, pinning the exact row set, not just the
+    * rates.
+    */
+  def q44SourceMixing(spark: SparkSession, dir: String): DataFrame =
+    Sampling.temperatureMix(
+      Sources.documents(spark, dir), "doc_id", "lang", k = 12.0, seed = 7L)
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy("doc_id")
+
+  val q44Sql: String =
+    s"""WITH c AS (
+       |  SELECT lang, count(*) AS n FROM documents GROUP BY lang
+       |), t AS (
+       |  SELECT lang,
+       |    CAST(floor(least(1.0, 12.0 / sqrt(CAST(n AS DOUBLE))) * 2147483647.0) AS BIGINT) AS thr
+       |  FROM c
+       |)
+       |SELECT d.doc_id, d.lang, d.source
+       |FROM documents d JOIN t USING (lang)
+       |WHERE ((((d.doc_id * 48271 + 7) % $M) * 48271 % $M) * 48271 % $M) < t.thr
+       |ORDER BY d.doc_id""".stripMargin
+
+  /** q45: corpus-novelty scoring — every document scored against the
+    * whole corpus's bigram document-frequency table
+    * ([[CorpusStats.noveltyReport]]): the two-pass CCNet-style filter
+    * signal, all-integer arithmetic so the oracle is hash-exact.
+    */
+  def q45CorpusNovelty(spark: SparkSession, dir: String): DataFrame =
+    CorpusStats.noveltyReport(
+      Sources.documents(spark, dir), "text", "doc_id", n = 2, rareMaxDf = 2)
+      .select(
+        col("doc_id"), col("n_ngrams"), col("n_rare").cast("int").as("n_rare"),
+        col("max_df"), col("rare_frac"), col("mean_df"))
+      .orderBy("doc_id")
+
+  val q45Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+      |), ng AS (
+      |  SELECT doc_id, list_distinct(list_transform(range(1, len(toks)),
+      |    i -> toks[i] || ' ' || toks[i+1])) AS gs
+      |  FROM t WHERE len(toks) >= 2
+      |), g AS (
+      |  SELECT doc_id, len(gs) AS n_ngrams, unnest(gs) AS g FROM ng
+      |), f AS (
+      |  SELECT g, count(*) AS df FROM g GROUP BY g
+      |), j AS (
+      |  SELECT g.doc_id, g.n_ngrams, f.df FROM g JOIN f USING (g)
+      |)
+      |SELECT doc_id,
+      |  CAST(max(n_ngrams) AS INT) AS n_ngrams,
+      |  CAST(sum(CASE WHEN df <= 2 THEN 1 ELSE 0 END) AS INT) AS n_rare,
+      |  CAST(max(df) AS BIGINT) AS max_df,
+      |  CAST(sum(CASE WHEN df <= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / CAST(max(n_ngrams) AS DOUBLE) AS rare_frac,
+      |  CAST(sum(df) AS DOUBLE) / CAST(max(n_ngrams) AS DOUBLE) AS mean_df
+      |FROM j
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q39_stratified_sample" -> (q39StratifiedSample _),
     "q40_sequence_packing" -> (q40SequencePacking _),
     "q41_pii_scrub" -> (q41PiiScrub _),
     "q42_quality_filters" -> (q42QualityFilters _),
-    "q43_decontamination" -> (q43Decontamination _))
+    "q43_decontamination" -> (q43Decontamination _),
+    "q44_source_mixing" -> (q44SourceMixing _),
+    "q45_corpus_novelty" -> (q45CorpusNovelty _))
 
   val oracle: Map[String, String] = Map(
     "q39_stratified_sample" -> q39Sql,
     "q40_sequence_packing" -> q40Sql,
     "q41_pii_scrub" -> q41Sql,
     "q42_quality_filters" -> q42Sql,
-    "q43_decontamination" -> q43Sql)
+    "q43_decontamination" -> q43Sql,
+    "q44_source_mixing" -> q44Sql,
+    "q45_corpus_novelty" -> q45Sql)
 }

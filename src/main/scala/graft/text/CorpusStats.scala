@@ -1,0 +1,82 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-statistics quality signals (engine addition): score each
+  * document against n-gram frequencies of the WHOLE corpus, the
+  * CCNet-style second pass of a curation pipeline (Wenzek et al. 2020,
+  * public paper — there a KenLM perplexity; here the engine-portable
+  * integer core of the same idea: how much of a document is made of
+  * n-grams the rest of the corpus never uses?).
+  *
+  * Unlike the per-document gates in [[QualityFilters]] (one stateless
+  * scan), this is a genuinely TWO-PASS corpus operator: pass 1 builds
+  * the n-gram document-frequency table, pass 2 scores every document
+  * against it. High `rare_frac` flags machine-generated noise and
+  * boilerplate-free gibberish; very low `rare_frac` plus high
+  * `mean_df` flags boilerplate (the same text stamped everywhere).
+  *
+  * All emitted statistics are integer counts or a single division of
+  * two exactly-representable integers, so the DuckDB oracle matches
+  * hash-exactly — no order-dependent floating-point summation
+  * anywhere.
+  *
+  * Scale shape: distinct n-grams per document explode into a
+  * corpus-sized (id, gram) relation; the document-frequency table is
+  * one partially-aggregated groupBy over it (map-side combine absorbs
+  * hot n-grams), and the score join re-shuffles both sides on the
+  * gram — both exchanges hash-partition on the same key, and AQE's
+  * skew-join split covers power-law hot grams. A production pipeline
+  * snapshots `docFrequency` per corpus release and reuses it across
+  * scoring runs; `noveltyReport` recomputes it inline because the
+  * fixture corpus is the snapshot.
+  */
+object CorpusStats {
+
+  /** Document frequency of every distinct n-gram in the corpus: one
+    * row per n-gram with the number of documents containing it.
+    * Per-document distinctness comes from [[Decontamination.ngrams]],
+    * so a gram repeated inside one document still counts once.
+    */
+  def docFrequency(df: DataFrame, textCol: String, n: Int = 2): DataFrame =
+    df.select(explode(Decontamination.ngrams(col(textCol), n)).as("g"))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("df"))
+
+  /** Per-document novelty report: distinct n-gram count, how many of
+    * those are corpus-rare (document frequency ≤ `rareMaxDf`), the
+    * rare fraction, and the mean/max document frequency of the
+    * document's n-grams. Documents with fewer than `n` tokens have no
+    * n-grams and are absent (scoring them is meaningless, and keeping
+    * the explode inner keeps the pass narrow).
+    */
+  def noveltyReport(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int = 2,
+      rareMaxDf: Int = 2): DataFrame = {
+    require(rareMaxDf >= 1, s"rareMaxDf=$rareMaxDf must be >= 1")
+    val grams = df
+      .withColumn("__cs_gs", Decontamination.ngrams(col(textCol), n))
+      .select(col(idCol), size(col("__cs_gs")).as("n_ngrams"), explode(col("__cs_gs")).as("g"))
+    // frequency table derived from the SAME exploded relation: both
+    // join sides shuffle on `g` from one lineage, so the scan+explode
+    // exchange is reused instead of recomputed (ReusedExchange in the
+    // physical plan).
+    val freq = grams.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    grams.join(freq, Seq("g"))
+      .groupBy(col(idCol))
+      .agg(
+        max(col("n_ngrams")).as("n_ngrams"),
+        sum(when(col("df") <= rareMaxDf, 1L).otherwise(0L)).as("n_rare"),
+        sum(col("df")).as("__cs_sum_df"),
+        max(col("df")).as("max_df"))
+      .withColumn("rare_frac",
+        col("n_rare").cast("double") / col("n_ngrams").cast("double"))
+      .withColumn("mean_df",
+        col("__cs_sum_df").cast("double") / col("n_ngrams").cast("double"))
+      .drop("__cs_sum_df")
+  }
+}
