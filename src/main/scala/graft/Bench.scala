@@ -53,9 +53,21 @@ object Bench {
     // codegen and JITs its hot loops outside the measured window), and
     // queries whose warm-up ran under a second are measured
     // median-of-5 instead of median-of-`runs`.
+    // Cross-query isolation: queries that cache/checkpoint (q15's
+    // baseline table, streaming pins) leave state in the shared JVM
+    // that later queries silently reuse — BENCH_r09 vs r10 showed
+    // multi-second per-query swings on IDENTICAL code purely from
+    // which predecessor had warmed what. Drop every cached relation
+    // and leaked persistent RDD between queries so each one pays its
+    // own cost and nothing else's.
+    def resetState(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
       var failed = false
       def once(): Double = {
+        resetState()
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case NonFatal(_) => failed = true }
         (System.nanoTime() - t0) / 1e9

@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Corpus-statistics quality signals (engine addition): score each
@@ -22,25 +22,32 @@ import org.apache.spark.sql.functions._
   * hash-exactly — no order-dependent floating-point summation
   * anywhere.
   *
-  * Scale shape: distinct n-grams per document explode into a
-  * corpus-sized (id, gram) relation; the document-frequency table is
-  * one partially-aggregated groupBy over it (map-side combine absorbs
-  * hot n-grams), and the score join re-shuffles both sides on the
-  * gram — both exchanges hash-partition on the same key, and AQE's
-  * skew-join split covers power-law hot grams. A production pipeline
-  * snapshots `docFrequency` per corpus release and reuses it across
-  * scoring runs; `noveltyReport` recomputes it inline because the
-  * fixture corpus is the snapshot.
+  * Scale shape: each pass explodes distinct per-document n-grams into
+  * a narrow (id, gram) relation — `split` runs once per row and the
+  * n-gram array is built once, consumed only by the generate (see
+  * [[Decontamination]] on HOF evaluation discipline) — and no
+  * exchange ever carries document text. The score join shuffles both
+  * sides on the gram; the frequency side partial-aggregates before
+  * its exchange (map-side combine absorbs hot n-grams), and AQE's
+  * skew-join split covers power-law hot grams on the raw side. The
+  * two passes each re-scan the corpus: deliberately so — reusing one
+  * shuffled exchange for both sides would halve the scans but
+  * disqualify the join from AQE skew splitting, and a power-law hot
+  * gram with no split is the worse 100 TB failure mode. A production
+  * pipeline instead snapshots `docFrequency` per corpus release and
+  * reuses it across scoring runs; `noveltyReport` recomputes it
+  * inline because the fixture corpus is the snapshot.
   */
 object CorpusStats {
 
   /** Document frequency of every distinct n-gram in the corpus: one
     * row per n-gram with the number of documents containing it.
-    * Per-document distinctness comes from [[Decontamination.ngrams]],
+    * Per-document distinctness comes from [[Decontamination.ngramsOfTokens]],
     * so a gram repeated inside one document still counts once.
     */
   def docFrequency(df: DataFrame, textCol: String, n: Int = 2): DataFrame =
-    df.select(explode(Decontamination.ngrams(col(textCol), n)).as("g"))
+    Decontamination.tokenized(df, textCol, "__cs_toks")
+      .select(explode(Decontamination.ngramsOfTokens(col("__cs_toks"), n)).as("g"))
       .groupBy(col("g"))
       .agg(count(lit(1)).as("df"))
 
@@ -58,18 +65,16 @@ object CorpusStats {
       n: Int = 2,
       rareMaxDf: Int = 2): DataFrame = {
     require(rareMaxDf >= 1, s"rareMaxDf=$rareMaxDf must be >= 1")
-    val grams = df
-      .withColumn("__cs_gs", Decontamination.ngrams(col(textCol), n))
-      .select(col(idCol), size(col("__cs_gs")).as("n_ngrams"), explode(col("__cs_gs")).as("g"))
-    // frequency table derived from the SAME exploded relation: both
-    // join sides shuffle on `g` from one lineage, so the scan+explode
-    // exchange is reused instead of recomputed (ReusedExchange in the
-    // physical plan).
+    // (id, gram): one generate over a once-built array. The inner join
+    // against `freq` preserves exactly one row per (doc, distinct
+    // gram) — every gram has df >= 1 — so the per-doc row count IS
+    // n_ngrams and no second evaluation of the array is needed.
+    val grams = Decontamination.explodedGrams(df, textCol, idCol, n)
     val freq = grams.groupBy(col("g")).agg(count(lit(1)).as("df"))
     grams.join(freq, Seq("g"))
       .groupBy(col(idCol))
       .agg(
-        max(col("n_ngrams")).as("n_ngrams"),
+        count(lit(1)).cast("int").as("n_ngrams"),
         sum(when(col("df") <= rareMaxDf, 1L).otherwise(0L)).as("n_rare"),
         sum(col("df")).as("__cs_sum_df"),
         max(col("df")).as("max_df"))

@@ -10,25 +10,68 @@ import org.apache.spark.sql.functions.{broadcast => bcast, _}
   * Scale shape: the benchmark is control-plane sized next to a 100 TB
   * corpus, so its distinct n-gram set is BROADCAST and the corpus side
   * never shuffles its text — each document explodes its distinct
-  * n-grams (a narrow generate), drops everything that misses the
-  * broadcast hash set (left-semi), and only the MATCHED rows — output-
-  * bound, contamination is rare by construction — reach the one
-  * groupBy(doc) exchange that counts overlaps. Clean documents cost a
-  * scan and nothing else.
+  * n-grams (a narrow generate), a broadcast left join marks the ones
+  * the benchmark contains, and ONE groupBy(doc) exchange counts both
+  * totals from the marked rows; map-side partial aggregation collapses
+  * each document to a single count row before the exchange (a
+  * document's grams are partition-local), so clean documents cost a
+  * scan plus one tiny aggregate row and their text never moves.
+  *
+  * Evaluation discipline: HOF lambdas get no common-subexpression
+  * elimination, so any non-attribute tree referenced inside one is
+  * re-evaluated per ELEMENT. Every entry point here therefore
+  * tokenizes into a materialized column first ([[tokenized]]) and
+  * builds n-grams off the bound attribute ([[ngramsOfTokens]]) with a
+  * single `slice` per element — never `split` inside the lambda — and
+  * the n-gram array itself is evaluated exactly once per pass
+  * (projection isolation; Catalyst does not collapse projects that
+  * would duplicate a non-cheap expression, SPARK-36718).
   */
 object Decontamination {
 
-  /** Distinct space-joined n-grams of a whitespace-tokenized text;
-    * empty array when the document has fewer than `n` tokens.
+  /** `df` plus a whitespace-token array of `textCol`, materialized
+    * once per row under `tokCol` so downstream n-gram construction
+    * references a bound attribute instead of re-running `split`.
     */
-  def ngrams(text: Column, n: Int): Column = {
+  def tokenized(df: DataFrame, textCol: String, tokCol: String): DataFrame =
+    df.withColumn(tokCol, split(col(textCol), " "))
+
+  /** Distinct space-joined n-grams of an ALREADY-TOKENIZED document;
+    * empty array when it has fewer than `n` tokens. `toks` must be a
+    * bound attribute (see [[tokenized]]) — passing a computed tree
+    * here re-evaluates it per n-gram.
+    */
+  def ngramsOfTokens(toks: Column, n: Int): Column = {
     require(n >= 1, s"n=$n must be positive")
-    val ts = split(text, " ")
-    when(size(ts) >= n,
-      array_distinct(transform(sequence(lit(1), size(ts) - (n - 1)),
-        i => concat_ws(" ", (0 until n).map(j => element_at(ts, i + j)): _*))))
+    when(size(toks) >= n,
+      array_distinct(transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => array_join(slice(toks, i, lit(n)), " "))))
       .otherwise(typedlit(Seq.empty[String]))
   }
+
+  /** Distinct space-joined n-grams of a whitespace-tokenized text;
+    * empty array when the document has fewer than `n` tokens.
+    * Convenience form for ad-hoc column use — the split tree is
+    * re-evaluated at each structural reference, so multi-signal /
+    * per-element paths should go through [[tokenized]] +
+    * [[ngramsOfTokens]] instead.
+    */
+  def ngrams(text: Column, n: Int): Column =
+    ngramsOfTokens(split(text, " "), n)
+
+  /** One row per (document, distinct n-gram). The n-gram construction
+    * is the GENERATOR expression itself — handing `explode` a bound
+    * array attribute instead invites `InferFiltersFromGenerate` +
+    * predicate pushdown to inline the whole construction (split and
+    * all) twice into a scan-level filter; with the full expression as
+    * the generator it is planned exactly once, and `split` stays in
+    * its own projection below (documents with fewer than `n` tokens
+    * vanish — they have no n-grams).
+    */
+  private[text] def explodedGrams(
+      df: DataFrame, textCol: String, idCol: String, n: Int): DataFrame =
+    tokenized(df, textCol, "__dc_toks")
+      .select(col(idCol), explode(ngramsOfTokens(col("__dc_toks"), n)).as("g"))
 
   /** One row per CONTAMINATED corpus document: its distinct n-gram
     * count, how many of those n-grams appear anywhere in `bench`, the
@@ -43,15 +86,24 @@ object Decontamination {
       idCol: String,
       n: Int = 3,
       flagThreshold: Double = 0.05): DataFrame = {
-    val benchGrams = bench
-      .select(explode(ngrams(col(textCol), n)).as("g"))
-      .distinct()
-    corpus
-      .withColumn("__dc_gs", ngrams(col(textCol), n))
-      .select(col(idCol), size(col("__dc_gs")).as("n_ngrams"), explode(col("__dc_gs")).as("g"))
-      .join(bcast(benchGrams), Seq("g"), "left_semi")
+    val benchGrams = explodedGrams(bench, textCol, idCol, n)
+      .select(col("g")).distinct()
+    // Join-with-marker: a broadcast LEFT join tags each corpus n-gram
+    // that the benchmark contains, and ONE groupBy(doc) derives both
+    // totals — `count(1)` is n_ngrams (the left join preserves exactly
+    // one row per distinct gram; the bench side is distinct) and
+    // `count(__hit)` is n_overlap. No `size()` over the gram array
+    // anywhere, so the array is evaluated exactly once, by the
+    // generate. Clean documents reach the exchange only as one
+    // map-side partially-aggregated count row each (a document's
+    // grams are partition-local — they explode from one input row),
+    // never as text.
+    explodedGrams(corpus, textCol, idCol, n)
+      .join(bcast(benchGrams.withColumn("__dc_hit", lit(1))), Seq("g"), "left")
       .groupBy(col(idCol))
-      .agg(max(col("n_ngrams")).as("n_ngrams"), count(lit(1)).as("n_overlap"))
+      .agg(count(lit(1)).cast("int").as("n_ngrams"),
+        count(col("__dc_hit")).as("n_overlap"))
+      .filter(col("n_overlap") > 0)
       .withColumn("contam_frac",
         col("n_overlap").cast("double") / col("n_ngrams").cast("double"))
       .withColumn("flagged", (col("contam_frac") >= flagThreshold).cast("int"))

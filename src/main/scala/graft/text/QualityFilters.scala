@@ -9,13 +9,18 @@ import org.apache.spark.sql.functions._
   * repeated tokens or n-grams are low-quality training data and get
   * filtered before tokenization.
   *
-  * Every signal is a codegen'd column expression over one `split` of
-  * the text — per-row work is bounded by document length (documents
-  * are context-window-scale by construction), there are no UDFs, and
-  * the whole gate is a single shuffle-free scan at any corpus size.
-  * The top-token / top-bigram counts are the O(distinct x n) nested
-  * higher-order-function form; that stays cheap because n is a
-  * document, not a corpus.
+  * Every signal is a codegen'd column expression over ONE materialized
+  * `split` of the text — [[withSignals]] binds the token array (and
+  * the bigram array) as its own projected column, so every signal and
+  * every higher-order-function lambda references a bound attribute;
+  * HOF lambdas get no common-subexpression elimination, so an inline
+  * `split` tree would re-tokenize per ELEMENT. Per-row work is bounded
+  * by document length (documents are context-window-scale by
+  * construction), there are no UDFs, and the whole gate is a single
+  * shuffle-free scan at any corpus size. The top-token / top-bigram
+  * counts are the O(distinct x n) nested higher-order-function form
+  * over the bound arrays; that stays cheap because n is a document,
+  * not a corpus.
   */
 object QualityFilters {
 
@@ -34,50 +39,82 @@ object QualityFilters {
 
   private def toks(text: Column): Column = split(text, " ")
 
-  /** Count of occurrences of the most frequent token. */
-  def topTokenCount(text: Column): Column = {
-    val ts = toks(text)
+  /** Count of occurrences of the most frequent token in an
+    * already-tokenized document. `ts` must be a bound attribute —
+    * each distinct token rescans the ARRAY (that is the algorithm),
+    * and a computed tree here would be rebuilt per distinct token.
+    */
+  def topTokenCountOfTokens(ts: Column): Column =
     array_max(transform(array_distinct(ts), t => size(filter(ts, x => x === t))))
-  }
+
+  /** Count of occurrences of the most frequent token. Convenience
+    * form for ad-hoc column use; hot paths go through a materialized
+    * token column + [[topTokenCountOfTokens]].
+    */
+  def topTokenCount(text: Column): Column = topTokenCountOfTokens(toks(text))
+
+  /** Adjacent space-joined bigrams of an already-tokenized document
+    * (empty for single-token docs, which have no bigram slots).
+    */
+  def bigramsOfTokens(ts: Column): Column =
+    when(size(ts) >= 2,
+      transform(sequence(lit(1), size(ts) - 1), i => array_join(slice(ts, i, lit(2)), " ")))
+      .otherwise(typedlit(Seq.empty[String]))
 
   /** Fraction of adjacent-bigram slots taken by the most frequent
-    * bigram (0.0 for single-token docs, which have no bigram slots).
+    * bigram, from bound token + bigram attributes.
     */
-  def topBigramFrac(text: Column): Column = {
-    val ts = toks(text)
-    val bigrams = transform(sequence(lit(1), size(ts) - 1),
-      i => concat_ws(" ", element_at(ts, i), element_at(ts, i + 1)))
+  def topBigramFracOfTokens(ts: Column, bigrams: Column): Column =
     when(size(ts) >= 2,
       array_max(transform(array_distinct(bigrams),
         g => size(filter(bigrams, x => x === g)))).cast("double") /
         (size(ts) - 1).cast("double"))
       .otherwise(lit(0.0))
+
+  /** Fraction of adjacent-bigram slots taken by the most frequent
+    * bigram (0.0 for single-token docs). Convenience form — the token
+    * array is re-evaluated at each structural reference here; hot
+    * paths use [[withSignals]] / the `OfTokens` variants.
+    */
+  def topBigramFrac(text: Column): Column = {
+    val ts = toks(text)
+    topBigramFracOfTokens(ts, bigramsOfTokens(ts))
   }
 
   /** Distinct English stopwords present — the Gopher "must contain
     * stop words" naturalness signal.
     */
   def distinctStopwordCount(text: Column, lang: String = "en"): Column =
-    size(array_intersect(array_distinct(toks(text)), lit(TextAnalysis.stopwords(lang).toArray)))
+    distinctStopwordCountOfTokens(toks(text), lang)
+
+  /** Stopword signal from a bound token attribute. */
+  def distinctStopwordCountOfTokens(ts: Column, lang: String = "en"): Column =
+    size(array_intersect(array_distinct(ts), lit(TextAnalysis.stopwords(lang).toArray)))
 
   /** Adds the signal columns and the boolean gate (`keep`, as 0/1 so
     * the oracle compare is engine-neutral) to `df`:
     * `n_tokens, dup_token_frac, top_token_frac, top_bigram_frac,
     * mean_tok_len, n_stop_distinct, keep`.
+    *
+    * The token and bigram arrays are materialized in their own
+    * projections (Catalyst does not collapse projects that would
+    * duplicate a non-cheap expression, SPARK-36718), so `split` runs
+    * exactly once per row no matter how many signals read it.
     */
   def withSignals(df: DataFrame, textCol: String): DataFrame = {
     val text = col(textCol)
-    val ts = toks(text)
+    val ts = col("__qf_toks")
+    val bg = col("__qf_bigrams")
     val nt = size(ts).cast("double")
-    val dupFrac = lit(1.0) - size(array_distinct(ts)).cast("double") / nt
-    val topTokFrac = topTokenCount(text).cast("double") / nt
-    val meanTokLen = (length(text).cast("double") - (nt - lit(1.0))) / nt
-    df.withColumn("n_tokens", size(ts))
-      .withColumn("dup_token_frac", dupFrac)
-      .withColumn("top_token_frac", topTokFrac)
-      .withColumn("top_bigram_frac", topBigramFrac(text))
-      .withColumn("mean_tok_len", meanTokLen)
-      .withColumn("n_stop_distinct", distinctStopwordCount(text))
+    df.withColumn("__qf_toks", toks(text))
+      .withColumn("__qf_bigrams", bigramsOfTokens(ts))
+      .withColumn("n_tokens", size(ts))
+      .withColumn("dup_token_frac",
+        lit(1.0) - size(array_distinct(ts)).cast("double") / nt)
+      .withColumn("top_token_frac", topTokenCountOfTokens(ts).cast("double") / nt)
+      .withColumn("top_bigram_frac", topBigramFracOfTokens(ts, bg))
+      .withColumn("mean_tok_len", (length(text).cast("double") - (nt - lit(1.0))) / nt)
+      .withColumn("n_stop_distinct", distinctStopwordCountOfTokens(ts))
       .withColumn("keep",
         (col("n_tokens").between(MinTokens, MaxTokens) &&
           col("dup_token_frac") <= MaxDupTokenFrac &&
@@ -85,6 +122,7 @@ object QualityFilters {
           col("top_bigram_frac") <= MaxTopBigramFrac &&
           col("mean_tok_len").between(MinMeanTokLen, MaxMeanTokLen) &&
           col("n_stop_distinct") >= MinDistinctStopwords).cast("int"))
+      .drop("__qf_toks", "__qf_bigrams")
   }
 
   /** The gate applied: only documents passing every rule survive. */

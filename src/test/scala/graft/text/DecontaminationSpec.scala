@@ -61,6 +61,9 @@ class DecontaminationSpec extends SparkSpec {
       "text", "doc_id")
     rpt.collect()
     val plan = rpt.queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"), plan)
+    // join-with-marker: broadcast LEFT OUTER against the distinct
+    // benchmark gram set; one downstream groupBy(doc) derives both
+    // n_ngrams (count(1)) and n_overlap (count of the marker)
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftOuter"), plan)
   }
 }
