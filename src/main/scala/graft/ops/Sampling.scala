@@ -103,10 +103,18 @@ object Sampling {
     * reproduces the exact row set.
     *
     * Scale shape: pass 1 is a partial-aggregated count per stratum
-    * (one row per stratum crosses the wire); the control-plane-sized
-    * rate table broadcast-joins back; the keep decision is the same
-    * zero-shuffle map-side filter as [[stratified]]. The corpus is
-    * scanned twice and shuffled never.
+    * (one row per stratum crosses its exchange — the ONLY shuffle in
+    * the operator, and it carries stratum keys and counts, never
+    * corpus rows); the control-plane-sized rate table broadcast-joins
+    * back; the keep decision is the same zero-shuffle map-side filter
+    * as [[stratified]]. The corpus is scanned twice and its rows are
+    * never shuffled.
+    *
+    * Rows whose stratum key is NULL are DROPPED: the rate join is an
+    * inner equi-join and SQL null-equality never matches — a NULL
+    * stratum has no defined population count, so no acceptance rate.
+    * Callers that want them kept should coalesce the stratum column
+    * to a sentinel first.
     */
   def temperatureMix(
       df: DataFrame,

@@ -70,4 +70,14 @@ class SamplingSpec extends SparkSpec {
     val plan = Sampling.uniform(ids(100), "id", 0.5).queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan)
   }
+
+  test("temperatureMix drops NULL-stratum rows (documented inner-join semantics)") {
+    import sqlImplicits._
+    val df = (1L to 200L).map(i => (i, if (i % 5 == 0) null else s"s${i % 2}"))
+      .toDF("id", "grp")
+    // k large enough that every real stratum is kept whole
+    val kept = Sampling.temperatureMix(df, "id", "grp", k = 100.0, seed = 1L)
+    assert(kept.filter($"grp".isNull).count() == 0)
+    assert(kept.count() == 160) // the 40 NULL-stratum rows are gone, rest kept
+  }
 }
