@@ -191,7 +191,41 @@ object ScaleBench {
         graft.text.PiiScrub.scrubbed(docs, "text")
           .agg(sum(length(col("scrubbed"))) +
             sum(col("n_email") + col("n_phone") + col("n_ssn") + col("n_ipv4")))
-          .head().getLong(0)))
+          .head().getLong(0)),
+      // Text pack. The token-suffix fixture keeps every entry's
+      // workload honest at xN: per-copy n-gram structure is exact and
+      // cross-copy gram overlap is zero, so gram-keyed work (the
+      // decontamination marker join, the novelty df table + score
+      // join) grows linearly in true size by construction.
+      //
+      // Decontamination: same q43 slice (doc_id % 97 is the benchmark)
+      // — the broadcast side grows linearly with the fixture, which is
+      // exactly the property to watch: alpha > 1 here would mean the
+      // broadcast gram set has stopped being control-plane sized.
+      "decontamination" -> (() => {
+        val d = docs
+        graft.text.Decontamination.report(
+          d.filter(pmod(col("doc_id"), lit(97L)) =!= 0L),
+          d.filter(pmod(col("doc_id"), lit(97L)) === 0L),
+          "text", "doc_id").count()
+      }),
+      // Corpus novelty: TWO corpus-sized exchanges keyed on a
+      // power-law gram — the single shape in the engine most exposed
+      // to skew at scale; df-table partial aggregation and AQE skew
+      // split are what an alpha near 1 certifies.
+      "corpus_novelty" -> (() =>
+        graft.text.CorpusStats
+          .noveltyReport(docs, "text", "doc_id", n = 2, rareMaxDf = 2).count()),
+      // Quality gate: forced through gophered() so the keep-gate
+      // filter makes every signal column live — a bare count() would
+      // let Catalyst prune all seven signals and time the scan.
+      "quality_filters" -> (() =>
+        graft.text.QualityFilters.gophered(docs, "text").count()),
+      // Temperature mixing: one stratum-count exchange (rows = #langs)
+      // + broadcast rate table + map-side keep filter.
+      "temperature_mix" -> (() =>
+        graft.ops.Sampling
+          .temperatureMix(docs, "doc_id", "lang", k = 12.0, seed = 7L).count()))
   }
 
   def main(args: Array[String]): Unit = {

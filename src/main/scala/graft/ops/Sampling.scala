@@ -121,15 +121,41 @@ object Sampling {
       idCol: String,
       strataCol: String,
       k: Double,
-      seed: Long = 0L): DataFrame = {
+      seed: Long = 0L): DataFrame =
+    temperatureMixWith(df, mixThresholds(df, strataCol, k), idCol, strataCol, seed)
+
+  /** Pass 1 of [[temperatureMix]] alone: the per-stratum integer
+    * acceptance thresholds `(strataCol, __mix_thr)` derived from this
+    * corpus's counts. Control-plane sized (one row per stratum) — a
+    * production pipeline snapshots it per corpus release, and the
+    * STREAMING twin applies a snapshot to new arrivals via
+    * [[temperatureMixWith]] (rates from the corpus the mixture was
+    * designed on, not from whatever prefix of the stream has been
+    * seen — per-micro-batch counts would make acceptance of a row
+    * depend on arrival batching).
+    */
+  def mixThresholds(df: DataFrame, strataCol: String, k: Double): DataFrame = {
     require(k > 0.0, s"k=$k must be positive")
-    val thresholds = df.groupBy(col(strataCol))
+    df.groupBy(col(strataCol))
       .agg(count(lit(1)).as("__mix_n"))
       .withColumn("__mix_thr",
         floor(least(lit(1.0), lit(k) / sqrt(col("__mix_n").cast("double"))) * lit(Mod.toDouble)))
       .select(col(strataCol), col("__mix_thr"))
+  }
+
+  /** Pass 2 of [[temperatureMix]] alone: apply a (snapshot) threshold
+    * table — broadcast join + the same deterministic MINSTD keep
+    * filter. Stateless per-row given the snapshot, so it runs
+    * UNCHANGED on a streaming DataFrame (stream-static broadcast
+    * join; StreamingOpsSpec pins stream-vs-batch parity).
+    */
+  def temperatureMixWith(
+      df: DataFrame,
+      thresholds: DataFrame,
+      idCol: String,
+      strataCol: String,
+      seed: Long = 0L): DataFrame =
     df.join(bcast(thresholds), Seq(strataCol))
       .filter(sampleScore(col(idCol), seed) < col("__mix_thr"))
       .select(df.columns.map(col): _*)
-  }
 }

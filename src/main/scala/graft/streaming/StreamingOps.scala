@@ -389,6 +389,103 @@ object StreamingOps {
         })
   }
 
+  // ----------------------------------- streaming text-analysis twins
+
+  /** The benchmark's distinct n-gram set collected to the driver —
+    * the streaming counterpart of [[graft.text.Decontamination]]'s
+    * broadcast: the SAME contract (an evaluation set is control-plane
+    * sized next to the corpus) that lets the batch path broadcast it
+    * lets the streaming path carry it as a literal array. Snapshot it
+    * per benchmark release, like [[shingleIndex]].
+    */
+  def benchGramSet(bench: DataFrame, textCol: String, n: Int = 3): Seq[String] =
+    graft.text.Decontamination.tokenized(bench, textCol, "__st_toks")
+      .select(explode(
+        graft.text.Decontamination.ngramsOfTokens(col("__st_toks"), n)).as("g"))
+      .distinct().collect().map(_.getString(0)).toSeq
+
+  /** Streaming twin of [[graft.text.Decontamination.report]]: a
+    * document's contamination stats depend only on its own text and
+    * the (static) benchmark gram set, so the twin is a STATELESS
+    * per-row projection — tokenize once, build the n-gram array once,
+    * and take `array_intersect` against the literal benchmark set. No
+    * explode, no state, no shuffle; emits exactly the batch report's
+    * rows (clean documents filtered out) with identical arithmetic
+    * (both sides divide the same two integers). StreamingOpsSpec pins
+    * stream-vs-batch parity.
+    */
+  def decontaminationStream(
+      docs: DataFrame,
+      benchGrams: Seq[String],
+      textCol: String,
+      idCol: String,
+      n: Int = 3,
+      flagThreshold: Double = 0.05): DataFrame =
+    graft.text.Decontamination.tokenized(docs, textCol, "__st_toks")
+      .withColumn("__st_gs",
+        graft.text.Decontamination.ngramsOfTokens(col("__st_toks"), n))
+      .select(col(idCol),
+        size(col("__st_gs")).as("n_ngrams"),
+        size(array_intersect(col("__st_gs"), lit(benchGrams.toArray)))
+          .cast("long").as("n_overlap"))
+      .filter(col("n_overlap") > 0)
+      .withColumn("contam_frac",
+        col("n_overlap").cast("double") / col("n_ngrams").cast("double"))
+      .withColumn("flagged", (col("contam_frac") >= flagThreshold).cast("int"))
+
+  final case class NovGram(id: Long, df: Long)
+  final case class NovOut(doc_id: Long, n_ngrams: Int, n_rare: Long,
+      max_df: Long, rare_frac: Double, mean_df: Double)
+
+  /** Streaming twin of [[graft.text.CorpusStats.noveltyReport]]:
+    * score ARRIVING documents against a SNAPSHOT document-frequency
+    * table ([[graft.text.CorpusStats.docFrequency]] over the corpus
+    * release — corpus-sized, so it stays a stream-static shuffle join
+    * on the gram, never a literal). The per-doc aggregation runs in
+    * `flatMapGroupsWithState` holding ZERO retained state: a
+    * document's grams explode from one input row, so every row of a
+    * doc-id group arrives in the SAME micro-batch and the group
+    * aggregates and emits immediately (the doc-atomicity contract —
+    * it holds by construction here, and a re-keyed upstream that
+    * splits a document across batches would break it, which is why it
+    * is stated). Grams absent from the snapshot are dropped by the
+    * inner join, exactly like documents unseen by the snapshotted
+    * corpus release in the batch two-pass form.
+    *
+    * Parity (pinned by StreamingOpsSpec): on a stream of documents
+    * scored against `docFrequency` of the SAME corpus, the result
+    * equals batch `noveltyReport` row-for-row, doubles bit-identical.
+    */
+  def noveltyStream(
+      docs: DataFrame,
+      dfTable: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int = 2,
+      rareMaxDf: Int = 2): Dataset[NovOut] = {
+    import docs.sparkSession.implicits._
+    require(rareMaxDf >= 1, s"rareMaxDf=$rareMaxDf must be >= 1")
+    requireIntegralId(docs, idCol)
+    graft.text.Decontamination.tokenized(docs, textCol, "__st_toks")
+      .select(col(idCol).cast("long").as("id"),
+        explode(
+          graft.text.Decontamination.ngramsOfTokens(col("__st_toks"), n)).as("g"))
+      .join(dfTable, Seq("g"))
+      .select(col("id"), col("df").cast("long").as("df"))
+      .as[NovGram]
+      .groupByKey(_.id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (id: Long, rows: Iterator[NovGram], state: GroupState[Long]) => {
+          val dfs = rows.map(_.df).toArray
+          val nN = dfs.length
+          val nRare = dfs.count(_ <= rareMaxDf).toLong
+          // state is never set: each doc's group is complete in its
+          // own micro-batch, so nothing is retained across batches
+          Iterator(NovOut(id, nN, nRare, dfs.max,
+            nRare.toDouble / nN, dfs.sum.toDouble / nN))
+        })
+  }
+
   // ------------------------------------------------- stateful cycles
 
   final case class EventIn(event_id: Long, ts: java.sql.Timestamp, user_id: Long, event_type: String, value: Double)

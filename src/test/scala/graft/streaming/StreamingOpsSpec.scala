@@ -1,6 +1,7 @@
 package graft.streaming
 
 import graft.SparkSpec
+import graft.ops.Sampling
 import graft.sources.Sources
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
@@ -281,5 +282,79 @@ class StreamingOpsSpec extends SparkSpec {
     val pairs = spark.table("mhcttl").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs == Set((2L, 3L)), s"expected only the in-horizon pair, got $pairs")
+  }
+
+  test("streaming decontamination equals the batch report across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import sqlImplicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = graft.sources.Sources.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val (benchDocs, corpusDocs) = docs.partition(_._1 % 97 == 0)
+    val bench = StreamingOps.benchGramSet(benchDocs.toDF("doc_id", "text"), "text")
+    val input = MemoryStream[(Long, String)]
+    val stream = StreamingOps.decontaminationStream(
+      input.toDF().toDF("doc_id", "text"), bench, "text", "doc_id")
+    val q = stream.writeStream.outputMode("append").format("memory").queryName("dcs").start()
+    corpusDocs.grouped(200).foreach { b => input.addData(b); q.processAllAvailable() }
+    q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("doc_id", "n_ngrams", "n_overlap", "contam_frac", "flagged").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3), r.getInt(4))).toSet
+    val got = rows(spark.table("dcs"))
+    val want = rows(graft.text.Decontamination.report(
+      corpusDocs.toDF("doc_id", "text"), benchDocs.toDF("doc_id", "text"), "text", "doc_id"))
+    assert(got == want, s"stream-batch diff: ${(got diff want) ++ (want diff got)}")
+    assert(got.nonEmpty) // the fixture slice really contaminates
+  }
+
+  test("streaming novelty scoring against a snapshot df-table equals the batch report") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import sqlImplicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val corpus = graft.sources.Sources.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text")
+    val docs = corpus.collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val dfTable = graft.text.CorpusStats.docFrequency(corpus, "text", n = 2).persist()
+    val input = MemoryStream[(Long, String)]
+    val stream = StreamingOps.noveltyStream(
+      input.toDF().toDF("doc_id", "text"), dfTable, "text", "doc_id")
+    val q = stream.toDF().writeStream.outputMode("append").format("memory").queryName("nvs").start()
+    docs.grouped(200).foreach { b => input.addData(b); q.processAllAvailable() }
+    q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("doc_id", "n_ngrams", "n_rare", "max_df", "rare_frac", "mean_df").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5))).toSet
+    val got = rows(spark.table("nvs"))
+    val want = rows(graft.text.CorpusStats.noveltyReport(corpus, "text", "doc_id"))
+    dfTable.unpersist()
+    // row-for-row parity, doubles bit-identical (same integer divides)
+    assert(got == want, s"stream-batch diff: ${(got diff want) ++ (want diff got)}")
+    assert(got.size == docs.size) // every doc scored (all have >= 2 tokens)
+  }
+
+  test("streaming temperature mixing with a snapshot rate table equals the batch row set") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import sqlImplicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val corpus = graft.sources.Sources.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "lang")
+    val docs = corpus.collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    // pass 1 snapshotted from the corpus the mixture was designed on;
+    // pass 2 is the stateless batch function applied to the stream
+    val thresholds = Sampling.mixThresholds(corpus, "lang", k = 4.0).persist()
+    val input = MemoryStream[(Long, String)]
+    val stream = Sampling.temperatureMixWith(
+      input.toDF().toDF("doc_id", "lang"), thresholds, "doc_id", "lang", seed = 7L)
+    val q = stream.writeStream.outputMode("append").format("memory").queryName("mix").start()
+    docs.grouped(200).foreach { b => input.addData(b); q.processAllAvailable() }
+    q.stop()
+    val got = spark.table("mix").select("doc_id").collect().map(_.getLong(0)).toSet
+    val want = Sampling.temperatureMix(corpus, "doc_id", "lang", k = 4.0, seed = 7L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    thresholds.unpersist()
+    assert(got == want)
+    assert(got.nonEmpty && got.size < docs.size) // the mixer actually downsampled
   }
 }
