@@ -125,7 +125,31 @@ object QualityFilters {
       .drop("__qf_toks", "__qf_bigrams")
   }
 
-  /** The gate applied: only documents passing every rule survive. */
+  /** The gate applied: only documents passing every rule survive.
+    *
+    * The keep filter must NOT be allowed to push through the signal
+    * projections: predicate pushdown substitutes aliases with no cost
+    * guard, which would inline every signal's definition — split,
+    * bigram construction and all — into one scan-level predicate that
+    * re-tokenizes per reference (measured: 21 split sites and ~30x
+    * the runtime at sf0.1). The barrier: a non-deterministic column
+    * in the projection under the filter, REFERENCED by the filter via
+    * an always-true conjunct — pushdown only crosses
+    * all-deterministic projects, and the reference keeps column
+    * pruning from deleting the barrier (an unused barrier is pruned
+    * and the now-deterministic project is pushed through again; a
+    * bare non-deterministic conjunct alone also fails, because the
+    * rule splits conjunctions and pushes the deterministic part).
+    * The column is dropped immediately; the gate's OUTPUT is
+    * unchanged and still deterministic. Trade-off: caller predicates
+    * above `gophered` stay above the gate too, so filter source
+    * columns (partitions, languages) BEFORE gating, not after.
+    * TextPlanSpec pins the barrier (one split site in the gated
+    * plan).
+    */
   def gophered(df: DataFrame, textCol: String): DataFrame =
-    withSignals(df, textCol).filter(col("keep") === 1)
+    withSignals(df, textCol)
+      .withColumn("__qf_barrier", monotonically_increasing_id())
+      .filter(col("keep") === 1 && col("__qf_barrier") >= 0)
+      .drop("__qf_barrier")
 }

@@ -52,6 +52,15 @@ class TextPlanSpec extends SparkSpec {
     assert(leaked.isEmpty, s"document text crossed an exchange: $leaked")
   }
 
+  test("gophered gate: the keep filter does not inline the signals into the scan (one split site)") {
+    // the ungated q42 below was always fine — the regression mode is
+    // the FILTER: predicate pushdown inlines aliases with no cost
+    // guard, so without the barrier the gate re-tokenized 21x per row
+    val df = graft.text.QualityFilters.gophered(
+      graft.sources.Sources.documents(spark, dir), "text")
+    assert(splitCount(df) == 1, s"expected 1 split site, plan:\n${df.queryExecution.optimizedPlan}")
+  }
+
   test("q42 quality filters: one split for all seven signals, zero shuffles") {
     val df = PipelineQueries.q42QualityFilters(spark, dir)
     assert(splitCount(df) == 1, s"expected 1 split site, plan:\n${df.queryExecution.optimizedPlan}")
