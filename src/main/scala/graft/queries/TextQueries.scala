@@ -54,11 +54,12 @@ object TextQueries {
     */
   def q22QualityScore(spark: SparkSession, dir: String): DataFrame =
     Sources.documents(spark, dir)
+      .withColumn("__toks", TextAnalysis.tokens(col("text")))
       .select(
         col("doc_id"),
-        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
-        TextAnalysis.stopwordCount(col("text")).as("n_stop"),
-        TextAnalysis.qualityScore(col("text")).as("quality"))
+        size(col("__toks")).as("n_tokens"),
+        TextAnalysis.stopwordCountOfTokens(col("__toks")).as("n_stop"),
+        TextAnalysis.qualityScoreOfTokens(col("__toks"), col("text")).as("quality"))
       .orderBy("doc_id")
 
   val q22Sql: String = {
@@ -136,12 +137,17 @@ object TextQueries {
   /** Heuristic language ID + fingerprints (hash-based -> rows-only). */
   def q25LangIdFingerprint(spark: SparkSession, dir: String): DataFrame =
     Sources.documents(spark, dir)
+      // both fingerprints share ONE materialized normalization and
+      // langId reads a materialized token array — the text-based
+      // forms would re-run the normalization regex per winnow shingle
+      .withColumn("__toks", TextAnalysis.tokens(col("text")))
+      .withColumn("__norm", TextAnalysis.normalized(col("text")))
       .select(
         col("doc_id"),
         col("lang").as("declared_lang"),
-        TextAnalysis.langId(col("text")).as("detected_lang"),
-        TextAnalysis.contentFingerprint(col("text")).as("fp64"),
-        TextAnalysis.winnowFingerprint(col("text")).as("winnow_fp"),
+        TextAnalysis.langIdOfTokens(col("__toks")).as("detected_lang"),
+        xxhash64(col("__norm")).as("fp64"),
+        TextAnalysis.winnowFingerprintOfNorm(col("__norm")).as("winnow_fp"),
         TextAnalysis.bpeishTokenCount(col("text")).as("n_bpeish"))
       .orderBy("doc_id")
 

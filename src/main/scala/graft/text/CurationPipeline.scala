@@ -30,11 +30,17 @@ object CurationPipeline {
 
   val annotate: Processor = Processor("Annotate", required = Seq("documents")) { ctx =>
     val docs = ctx.table("documents")
+    // one materialized tokenization feeds all three token signals —
+    // the text-based forms would re-split at every structural
+    // reference (langId votes once per language, qualityScore ~6x)
+    val toks = col("__ann_toks")
     ctx.withTable("annotated", docs
-      .withColumn("detected_lang", TextAnalysis.langId(col("text")))
-      .withColumn("n_tokens", TextAnalysis.tokenCount(col("text")))
-      .withColumn("quality", TextAnalysis.qualityScore(col("text")))
-      .withColumn("fp", TextAnalysis.contentFingerprint(col("text"))))
+      .withColumn("__ann_toks", TextAnalysis.tokens(col("text")))
+      .withColumn("detected_lang", TextAnalysis.langIdOfTokens(toks))
+      .withColumn("n_tokens", size(toks))
+      .withColumn("quality", TextAnalysis.qualityScoreOfTokens(toks, col("text")))
+      .withColumn("fp", TextAnalysis.contentFingerprint(col("text")))
+      .drop("__ann_toks"))
   }
 
   val exactDedup: Processor = Processor("ExactDedup", required = Seq("annotated")) { ctx =>

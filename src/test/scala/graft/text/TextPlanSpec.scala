@@ -52,6 +52,19 @@ class TextPlanSpec extends SparkSpec {
     assert(leaked.isEmpty, s"document text crossed an exchange: $leaked")
   }
 
+  test("q22 quality score: one split site feeds all three signals") {
+    val df = graft.queries.TextQueries.q22QualityScore(spark, dir)
+    assert(splitCount(df) == 1, s"expected 1 split site, plan:\n${df.queryExecution.optimizedPlan}")
+  }
+
+  test("q25 langid+fingerprints: one split site, one normalization regex") {
+    val df = graft.queries.TextQueries.q25LangIdFingerprint(spark, dir)
+    val plan = df.queryExecution.optimizedPlan.toString
+    assert(splitCount(df) == 1, s"expected 1 split site, plan:\n$plan")
+    val normCount = "regexp_replace\\(".r.findAllIn(plan).length
+    assert(normCount == 1, s"expected 1 shared normalization, got $normCount:\n$plan")
+  }
+
   test("gophered gate: the keep filter does not inline the signals into the scan (one split site)") {
     // the ungated q42 below was always fine — the regression mode is
     // the FILTER: predicate pushdown inlines aliases with no cost
