@@ -25,12 +25,14 @@ object TextAnalysis {
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
-  /** BPE-ish token estimate: word-piece regex (runs of word chars or a
-    * single non-space symbol) — the standard cheap stand-in for a real
-    * subword tokenizer count.
+  /** BPE-ish token estimate: word-piece regex count (runs of word
+    * chars or a single non-space symbol) — the standard cheap
+    * stand-in for a real subword tokenizer count. `regexp_count`
+    * counts matches without materializing the per-row match array a
+    * `size(regexp_extract_all(...))` form would allocate.
     */
   def bpeishTokenCount(text: Column): Column =
-    size(regexp_extract_all(text, lit("\\w+|[^\\w\\s]"), lit(0)))
+    regexp_count(text, lit("\\w+|[^\\w\\s]"))
 
   /** Small public stopword lists per language (top function words). */
   val stopwords: Map[String, Seq[String]] = Map(
