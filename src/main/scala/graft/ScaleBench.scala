@@ -4,9 +4,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import scala.util.control.NonFatal
 
-/** Scale-up measurement for the dedup / similarity block — the
-  * engine's evidence that its 100 TB claims are measured, not
-  * extrapolated from sf0.1.
+/** Scale-up measurement for the dedup / similarity block and the
+  * text-curation pack — the engine's evidence that its 100 TB claims
+  * are measured, not extrapolated from sf0.1.
   *
   * The driver's fixtures stop at sf0.1 (5 k docs / 2 k embeddings), so
   * this main DERIVES larger fixtures from them deterministically

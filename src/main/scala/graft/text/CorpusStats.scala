@@ -63,15 +63,30 @@ object CorpusStats {
       textCol: String,
       idCol: String,
       n: Int = 2,
+      rareMaxDf: Int = 2): DataFrame =
+    noveltyReportWith(df, docFrequency(df, textCol, n), textCol, idCol, n, rareMaxDf)
+
+  /** Score documents against a SUPPLIED document-frequency snapshot —
+    * the production single-pass form (snapshot `docFrequency` per
+    * corpus release, reuse it across scoring runs and the streaming
+    * twin). Grams absent from the snapshot are dropped by the inner
+    * join — exactly the [[noveltyReport]] semantics when the snapshot
+    * IS this corpus's table, which is also why the inline two-pass
+    * form needs no row-count correction: every gram then has df >= 1,
+    * so the join preserves one row per (doc, distinct gram) and the
+    * per-doc row count IS n_ngrams with no second evaluation of the
+    * n-gram array.
+    */
+  def noveltyReportWith(
+      df: DataFrame,
+      dfTable: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int = 2,
       rareMaxDf: Int = 2): DataFrame = {
     require(rareMaxDf >= 1, s"rareMaxDf=$rareMaxDf must be >= 1")
-    // (id, gram): one generate over a once-built array. The inner join
-    // against `freq` preserves exactly one row per (doc, distinct
-    // gram) — every gram has df >= 1 — so the per-doc row count IS
-    // n_ngrams and no second evaluation of the array is needed.
     val grams = Decontamination.explodedGrams(df, textCol, idCol, n)
-    val freq = grams.groupBy(col("g")).agg(count(lit(1)).as("df"))
-    grams.join(freq, Seq("g"))
+    grams.join(dfTable, Seq("g"))
       .groupBy(col(idCol))
       .agg(
         count(lit(1)).cast("int").as("n_ngrams"),

@@ -40,6 +40,25 @@ class CorpusStatsSpec extends SparkSpec {
     assert(row(got(2)) == ((3, 1L, 3L, 1.0 / 3.0, 2.0)))
   }
 
+  test("noveltyReportWith scores against a snapshot; unseen grams are dropped") {
+    import sqlImplicits._
+    // snapshot built from docs 1 and 2 only: dfs there are
+    // {the cat: 2, cat sat: 1, cat ran: 1}
+    val snapshot = CorpusStats.docFrequency(
+      docs.filter($"doc_id".isin(1L, 2L)), "text", n = 2)
+    val got = CorpusStats.noveltyReportWith(
+      docs, snapshot, "text", "doc_id", n = 2, rareMaxDf = 1)
+      .orderBy("doc_id").collect()
+    // doc 4's gram "cat the" is unknown to the snapshot -> dropped:
+    // scored grams {the cat(2), cat sat(1)} -> n_ngrams 2, 1 rare
+    val r4 = got.find(_.getLong(0) == 4L).get
+    assert(r4.getInt(1) == 2 && r4.getLong(2) == 1L && r4.getLong(3) == 2L)
+    // docs fully covered by the snapshot score exactly like inline
+    // noveltyReport over docs 1+2 would
+    val r1 = got.find(_.getLong(0) == 1L).get
+    assert(r1.getInt(1) == 2 && r1.getLong(2) == 1L && r1.getLong(3) == 2L)
+  }
+
   test("noveltyReport rejects a non-positive rare ceiling") {
     intercept[IllegalArgumentException] {
       CorpusStats.noveltyReport(docs, "text", "doc_id", n = 2, rareMaxDf = 0)
