@@ -270,6 +270,43 @@ object PipelineQueries {
       |GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin
 
+  /** q46: the decontamination REMOVAL applied ([[Decontamination
+    * .decontaminated]]) — the corpus minus documents at or above the
+    * flag threshold, i.e. what actually ships to training. Projected
+    * to (doc_id, lang, n_chars): every kept row, metadata intact.
+    */
+  def q46Decontaminated(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Sources.documents(spark, dir)
+    Decontamination.decontaminated(
+      docs.filter(pmod(col("doc_id"), lit(97L)) =!= 0L),
+      docs.filter(pmod(col("doc_id"), lit(97L)) === 0L),
+      "text", "doc_id")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy("doc_id")
+  }
+
+  val q46Sql: String =
+    """WITH docs AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+      |), ng AS (
+      |  SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+      |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS gs
+      |  FROM docs WHERE len(toks) >= 3
+      |), bench AS (
+      |  SELECT DISTINCT unnest(gs) AS g FROM ng WHERE doc_id % 97 = 0
+      |), corpus AS (
+      |  SELECT doc_id, len(gs) AS n_ngrams, unnest(gs) AS g FROM ng WHERE doc_id % 97 <> 0
+      |), flagged AS (
+      |  SELECT doc_id
+      |  FROM corpus WHERE g IN (SELECT g FROM bench)
+      |  GROUP BY doc_id, n_ngrams
+      |  HAVING CAST(count(*) AS DOUBLE) / CAST(n_ngrams AS DOUBLE) >= 0.05
+      |)
+      |SELECT d.doc_id, d.lang, d.n_chars
+      |FROM documents d
+      |WHERE d.doc_id % 97 <> 0 AND d.doc_id NOT IN (SELECT doc_id FROM flagged)
+      |ORDER BY d.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q39_stratified_sample" -> (q39StratifiedSample _),
     "q40_sequence_packing" -> (q40SequencePacking _),
@@ -277,7 +314,8 @@ object PipelineQueries {
     "q42_quality_filters" -> (q42QualityFilters _),
     "q43_decontamination" -> (q43Decontamination _),
     "q44_source_mixing" -> (q44SourceMixing _),
-    "q45_corpus_novelty" -> (q45CorpusNovelty _))
+    "q45_corpus_novelty" -> (q45CorpusNovelty _),
+    "q46_decontaminated" -> (q46Decontaminated _))
 
   val oracle: Map[String, String] = Map(
     "q39_stratified_sample" -> q39Sql,
@@ -286,5 +324,6 @@ object PipelineQueries {
     "q42_quality_filters" -> q42Sql,
     "q43_decontamination" -> q43Sql,
     "q44_source_mixing" -> q44Sql,
-    "q45_corpus_novelty" -> q45Sql)
+    "q45_corpus_novelty" -> q45Sql,
+    "q46_decontaminated" -> q46Sql)
 }
