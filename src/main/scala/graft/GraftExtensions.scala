@@ -66,6 +66,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.size == 2, "vec_dot(a, b)")
         VecDot(children.head, children(1))
       }))
+    ext.injectFunction((
+      FunctionIdentifier("most_frequent_count"),
+      new ExpressionInfo(classOf[graft.text.MostFrequentCount].getName, "most_frequent_count"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "most_frequent_count(array<string>)")
+        graft.text.MostFrequentCount(children.head)
+      }))
     // Flag-gated optimizer rule: exact percentile -> t-digest sketch
     // when spark.graft.approxRewrite=true (see ApproxRewrite scaladoc).
     ext.injectOptimizerRule(_ => new graft.plans.ApproxRewrite)

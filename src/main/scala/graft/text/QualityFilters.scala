@@ -18,9 +18,10 @@ import org.apache.spark.sql.functions._
   * by document length (documents are context-window-scale by
   * construction), there are no UDFs, and the whole gate is a single
   * shuffle-free scan at any corpus size. The top-token / top-bigram
-  * counts run in O(n log n) per row (sort + longest equal run) — the
-  * naive count-per-distinct-token form is quadratic on the large
-  * documents the gate itself admits (MaxTokens = 100k).
+  * counts are one O(n) pass each via the [[MostFrequentCount]]
+  * expression — the naive count-per-distinct-token column form is
+  * quadratic on the large documents the gate itself admits
+  * (MaxTokens = 100k).
   */
 object QualityFilters {
 
@@ -39,34 +40,25 @@ object QualityFilters {
 
   private def toks(text: Column): Column = split(text, " ")
 
-  /** Longest run of equal adjacent elements after sorting = count of
-    * the most frequent element, in O(n log n) instead of the naive
-    * O(distinct x n) count-per-distinct-element scan. The naive form
-    * is a real 100 TB cliff, not a style point: MaxTokens admits
-    * 100k-token documents, where distinct x n is ~5e9 comparisons for
-    * ONE row. The `prev` sentinel is null (never a token — `split`
-    * yields "" for repeated spaces but never null).
+  /** Exact count of the most frequent element — the
+    * [[MostFrequentCount]] expression: one O(n) hash-map pass, no
+    * sort, no per-element lambda dispatch. The naive count-per-
+    * distinct-element column form is a real 100 TB cliff, not a style
+    * point: MaxTokens admits 100k-token documents, where distinct x n
+    * is ~5e9 comparisons for ONE row.
     */
-  private def maxRunLength(sorted: Column): Column = {
-    val z = struct(lit(0).as("best"), lit(0).as("cur"),
-      lit(null).cast("string").as("prev"))
-    aggregate(sorted, z,
-      (acc, x) => {
-        val cur = when(acc.getField("prev").isNotNull && x === acc.getField("prev"),
-          acc.getField("cur") + 1).otherwise(lit(1))
-        struct(greatest(acc.getField("best"), cur).as("best"),
-          cur.as("cur"), x.as("prev"))
-      },
-      acc => acc.getField("best"))
-  }
+  private def mostFrequentCount(arr: Column): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      MostFrequentCount(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(arr)))
 
   /** Count of occurrences of the most frequent token in an
-    * already-tokenized document — `maxRunLength` over the sorted
-    * array. `ts` must be a bound attribute; a computed tree here
-    * would be rebuilt at each structural reference.
+    * already-tokenized document. `ts` must be a bound attribute; a
+    * computed tree here would be rebuilt at each structural
+    * reference.
     */
   def topTokenCountOfTokens(ts: Column): Column =
-    maxRunLength(array_sort(ts))
+    mostFrequentCount(ts)
 
   /** Count of occurrences of the most frequent token. Convenience
     * form for ad-hoc column use; hot paths go through a materialized
@@ -83,12 +75,12 @@ object QualityFilters {
       .otherwise(typedlit(Seq.empty[String]))
 
   /** Fraction of adjacent-bigram slots taken by the most frequent
-    * bigram, from bound token + bigram attributes — same
-    * sort-and-run-length counting as [[topTokenCountOfTokens]].
+    * bigram, from bound token + bigram attributes — same single-pass
+    * exact counting as [[topTokenCountOfTokens]].
     */
   def topBigramFracOfTokens(ts: Column, bigrams: Column): Column =
     when(size(ts) >= 2,
-      maxRunLength(array_sort(bigrams)).cast("double") /
+      mostFrequentCount(bigrams).cast("double") /
         (size(ts) - 1).cast("double"))
       .otherwise(lit(0.0))
 

@@ -86,4 +86,14 @@ class GraftExtensionsSpec extends AnyFunSuite {
       .head().getSeq[Long](0)
     assert(row.getSeq[Long](0) == viaColumn)
   }
+
+  test("most_frequent_count is callable from SQL and counts exactly") {
+    val row = spark.sql(
+      """SELECT most_frequent_count(split('a b a b a', ' ')) AS c,
+        |       most_frequent_count(CAST(array() AS ARRAY<STRING>)) AS empty,
+        |       most_frequent_count(CAST(NULL AS ARRAY<STRING>)) AS n""".stripMargin).head()
+    assert(row.getInt(0) == 3) // 'a' appears 3 times
+    assert(row.getInt(1) == 0) // empty array: no most frequent token
+    assert(row.isNullAt(2))    // null in, null out
+  }
 }
