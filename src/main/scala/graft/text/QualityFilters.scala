@@ -158,11 +158,15 @@ object QualityFilters {
     * above `gophered` stay above the gate too, so filter source
     * columns (partitions, languages) BEFORE gating, not after.
     * TextPlanSpec pins the barrier (one split site in the gated
-    * plan).
+    * plan). The barrier is `rand()` rather than
+    * `monotonically_increasing_id` because the latter is rejected on
+    * streaming DataFrames and the gate, being a stateless per-row
+    * scan, runs unchanged on streams (StreamingOpsSpec pins the
+    * parity); `rand() >= 0` is true by range.
     */
   def gophered(df: DataFrame, textCol: String): DataFrame =
     withSignals(df, textCol)
-      .withColumn("__qf_barrier", monotonically_increasing_id())
+      .withColumn("__qf_barrier", rand())
       .filter(col("keep") === 1 && col("__qf_barrier") >= 0)
       .drop("__qf_barrier")
 }

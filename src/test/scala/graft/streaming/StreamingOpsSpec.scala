@@ -334,6 +334,28 @@ class StreamingOpsSpec extends SparkSpec {
     assert(got.size == docs.size) // every doc scored (all have >= 2 tokens)
   }
 
+  test("quality gate runs unchanged on a stream: gophered parity with batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import sqlImplicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = graft.sources.Sources.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val input = MemoryStream[(Long, String)]
+    // the BATCH gate applied directly to the stream — stateless scan,
+    // and its pushdown barrier must be streaming-legal
+    val gated = graft.text.QualityFilters.gophered(
+      input.toDF().toDF("doc_id", "text"), "text")
+    val q = gated.writeStream.outputMode("append").format("memory").queryName("qgate").start()
+    docs.grouped(20).foreach { b => input.addData(b); q.processAllAvailable() }
+    q.stop()
+    val got = spark.table("qgate").select("doc_id").collect().map(_.getLong(0)).toSet
+    val want = graft.text.QualityFilters.gophered(
+      docs.toDF("doc_id", "text"), "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == want)
+    assert(got.nonEmpty && got.size < docs.size) // the gate actually filtered
+  }
+
   test("streaming temperature mixing with a snapshot rate table equals the batch row set") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import sqlImplicits._
