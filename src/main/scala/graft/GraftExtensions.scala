@@ -67,6 +67,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         VecDot(children.head, children(1))
       }))
     ext.injectFunction((
+      FunctionIdentifier("distinct_ngrams"),
+      new ExpressionInfo(classOf[graft.text.DistinctNgrams].getName, "distinct_ngrams"),
+      (children: Seq[Expression]) => children match {
+        case Seq(text) => graft.text.DistinctNgrams(text, 3)
+        case Seq(text, Literal(n: Int, _)) => graft.text.DistinctNgrams(text, n)
+        case _ => throw new IllegalArgumentException("distinct_ngrams(text[, n])")
+      }))
+    ext.injectFunction((
       FunctionIdentifier("most_frequent_count"),
       new ExpressionInfo(classOf[graft.text.MostFrequentCount].getName, "most_frequent_count"),
       (children: Seq[Expression]) => {

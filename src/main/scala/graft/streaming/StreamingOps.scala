@@ -399,9 +399,9 @@ object StreamingOps {
     * per benchmark release, like [[shingleIndex]].
     */
   def benchGramSet(bench: DataFrame, textCol: String, n: Int = 3): Seq[String] =
-    graft.text.Decontamination.tokenized(bench, textCol, "__st_toks")
+    bench
       .select(explode(
-        graft.text.Decontamination.ngramsOfTokens(col("__st_toks"), n)).as("g"))
+        graft.text.Decontamination.distinctNgrams(col(textCol), n)).as("g"))
       .distinct().collect().map(_.getString(0)).toSeq
 
   /** Streaming twin of [[graft.text.Decontamination.report]]: a
@@ -421,9 +421,9 @@ object StreamingOps {
       idCol: String,
       n: Int = 3,
       flagThreshold: Double = 0.05): DataFrame =
-    graft.text.Decontamination.tokenized(docs, textCol, "__st_toks")
+    docs
       .withColumn("__st_gs",
-        graft.text.Decontamination.ngramsOfTokens(col("__st_toks"), n))
+        graft.text.Decontamination.distinctNgrams(col(textCol), n))
       .select(col(idCol),
         size(col("__st_gs")).as("n_ngrams"),
         size(array_intersect(col("__st_gs"), lit(benchGrams.toArray)))
@@ -466,10 +466,10 @@ object StreamingOps {
     import docs.sparkSession.implicits._
     require(rareMaxDf >= 1, s"rareMaxDf=$rareMaxDf must be >= 1")
     requireIntegralId(docs, idCol)
-    graft.text.Decontamination.tokenized(docs, textCol, "__st_toks")
+    docs
       .select(col(idCol).cast("long").as("id"),
         explode(
-          graft.text.Decontamination.ngramsOfTokens(col("__st_toks"), n)).as("g"))
+          graft.text.Decontamination.distinctNgrams(col(textCol), n)).as("g"))
       .join(dfTable, Seq("g"))
       .select(col("id"), col("df").cast("long").as("df"))
       .as[NovGram]

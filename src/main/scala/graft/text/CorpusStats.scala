@@ -46,8 +46,7 @@ object CorpusStats {
     * so a gram repeated inside one document still counts once.
     */
   def docFrequency(df: DataFrame, textCol: String, n: Int = 2): DataFrame =
-    Decontamination.tokenized(df, textCol, "__cs_toks")
-      .select(explode(Decontamination.ngramsOfTokens(col("__cs_toks"), n)).as("g"))
+    df.select(explode(Decontamination.distinctNgrams(col(textCol), n)).as("g"))
       .groupBy(col("g"))
       .agg(count(lit(1)).as("df"))
 

@@ -49,29 +49,35 @@ object Decontamination {
       .otherwise(typedlit(Seq.empty[String]))
   }
 
+  /** The n-gram array as the single-pass [[DistinctNgrams]]
+    * expression — one scan over the text bytes, each gram a span view
+    * (no per-gram slice/join allocation). Null text yields a null
+    * array (fine under `explode`, which emits no rows either way).
+    */
+  def distinctNgrams(text: Column, n: Int): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      DistinctNgrams(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(text), n))
+
   /** Distinct space-joined n-grams of a whitespace-tokenized text;
-    * empty array when the document has fewer than `n` tokens.
-    * Convenience form for ad-hoc column use — the split tree is
-    * re-evaluated at each structural reference, so multi-signal /
-    * per-element paths should go through [[tokenized]] +
-    * [[ngramsOfTokens]] instead.
+    * empty array when the document has fewer than `n` tokens (or is
+    * null — the historical contract of the column-algebra form this
+    * delegates for).
     */
   def ngrams(text: Column, n: Int): Column =
-    ngramsOfTokens(split(text, " "), n)
+    coalesce(distinctNgrams(text, n), typedlit(Seq.empty[String]))
 
   /** One row per (document, distinct n-gram). The n-gram construction
     * is the GENERATOR expression itself — handing `explode` a bound
     * array attribute instead invites `InferFiltersFromGenerate` +
-    * predicate pushdown to inline the whole construction (split and
-    * all) twice into a scan-level filter; with the full expression as
-    * the generator it is planned exactly once, and `split` stays in
-    * its own projection below (documents with fewer than `n` tokens
-    * vanish — they have no n-grams).
+    * predicate pushdown to inline the whole construction twice into a
+    * scan-level filter; with [[distinctNgrams]] as the generator the
+    * single-pass expression is planned exactly once (documents with
+    * fewer than `n` tokens vanish — they have no n-grams).
     */
   private[text] def explodedGrams(
       df: DataFrame, textCol: String, idCol: String, n: Int): DataFrame =
-    tokenized(df, textCol, "__dc_toks")
-      .select(col(idCol), explode(ngramsOfTokens(col("__dc_toks"), n)).as("g"))
+    df.select(col(idCol), explode(distinctNgrams(col(textCol), n)).as("g"))
 
   /** One row per CONTAMINATED corpus document: its distinct n-gram
     * count, how many of those n-grams appear anywhere in `bench`, the
@@ -86,8 +92,8 @@ object Decontamination {
       idCol: String,
       n: Int = 3,
       flagThreshold: Double = 0.05): DataFrame = {
-    val benchGrams = explodedGrams(bench, textCol, idCol, n)
-      .select(col("g")).distinct()
+    val benchGrams = bench
+      .select(explode(distinctNgrams(col(textCol), n)).as("g")).distinct()
     // Join-with-marker: a broadcast LEFT join tags each corpus n-gram
     // that the benchmark contains, and ONE groupBy(doc) derives both
     // totals — `count(1)` is n_ngrams (the left join preserves exactly

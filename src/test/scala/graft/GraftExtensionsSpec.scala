@@ -87,6 +87,13 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(row.getSeq[Long](0) == viaColumn)
   }
 
+  test("distinct_ngrams is callable from SQL") {
+    val row = spark.sql(
+      "SELECT distinct_ngrams('a b c d', 3) AS g3, distinct_ngrams('a b a b', 2) AS g2").head()
+    assert(row.getSeq[String](0) == Seq("a b c", "b c d"))
+    assert(row.getSeq[String](1) == Seq("a b", "b a")) // first-occurrence order
+  }
+
   test("most_frequent_count is callable from SQL and counts exactly") {
     val row = spark.sql(
       """SELECT most_frequent_count(split('a b a b a', ' ')) AS c,

@@ -22,6 +22,9 @@ class TextPlanSpec extends SparkSpec {
   private def splitCount(df: DataFrame): Int =
     "split\\(".r.findAllIn(df.queryExecution.optimizedPlan.toString).length
 
+  private def ngramExprCount(df: DataFrame): Int =
+    "distinct_ngrams\\(".r.findAllIn(df.queryExecution.optimizedPlan.toString).length
+
   private def shuffles(df: DataFrame): Seq[ShuffleExchangeLike] = {
     val root = df.queryExecution.executedPlan match {
       case a: AdaptiveSparkPlanExec => a.executedPlan
@@ -36,17 +39,19 @@ class TextPlanSpec extends SparkSpec {
     collect(root)
   }
 
-  test("q43 decontamination: split planned once per pass (corpus + bench), no text in any exchange") {
+  test("q43 decontamination: one n-gram pass per side (corpus + bench), no split, no text in any exchange") {
     val df = PipelineQueries.q43Decontamination(spark, dir)
-    assert(splitCount(df) == 2, s"expected 2 split sites, plan:\n${df.queryExecution.optimizedPlan}")
+    assert(ngramExprCount(df) == 2, s"expected 2 distinct_ngrams sites, plan:\n${df.queryExecution.optimizedPlan}")
+    assert(splitCount(df) == 0, s"tokenizer leaked back into the plan:\n${df.queryExecution.optimizedPlan}")
     df.collect() // finalize AQE so executedPlan is the real one
     val leaked = shuffles(df).filter(_.output.exists(_.name == "text"))
     assert(leaked.isEmpty, s"document text crossed an exchange: $leaked")
   }
 
-  test("q45 corpus novelty: split planned once per pass (df pass + score pass), no text in any exchange") {
+  test("q45 corpus novelty: one n-gram pass per side (df pass + score pass), no split, no text in any exchange") {
     val df = PipelineQueries.q45CorpusNovelty(spark, dir)
-    assert(splitCount(df) == 2, s"expected 2 split sites, plan:\n${df.queryExecution.optimizedPlan}")
+    assert(ngramExprCount(df) == 2, s"expected 2 distinct_ngrams sites, plan:\n${df.queryExecution.optimizedPlan}")
+    assert(splitCount(df) == 0, s"tokenizer leaked back into the plan:\n${df.queryExecution.optimizedPlan}")
     df.collect()
     val leaked = shuffles(df).filter(_.output.exists(_.name == "text"))
     assert(leaked.isEmpty, s"document text crossed an exchange: $leaked")
