@@ -403,7 +403,9 @@ object Dedup {
     * the embedding dimension is known (it usually is) to keep
     * DataFrame construction a pure lazy transform; `dim = 0` falls
     * back to [[graft.similarity.Similarity.nearDupPairsAuto]]'s
-    * one-row probe.
+    * one-row probe. Pass `corpusSize` (and a `budgetPolicy`) to get
+    * the candidate-budget check enforced at plan time — see the
+    * delegate's scaladoc.
     */
   def embeddingNearDupPairs(
       df: org.apache.spark.sql.DataFrame,
@@ -413,9 +415,15 @@ object Dedup {
       targetRecall: Double = 0.95,
       numPlanes: Int = 64,
       seed: Long = 42L,
-      dim: Int = 0): org.apache.spark.sql.DataFrame =
+      dim: Int = 0,
+      corpusSize: Long = 0L,
+      candidateBudget: Long = 100000000L,
+      budgetPolicy: graft.similarity.BudgetPolicy =
+        graft.similarity.BudgetPolicy.WarnOnly): org.apache.spark.sql.DataFrame =
     graft.similarity.Similarity.nearDupPairsAuto(
-      df, vecCol, idCol, threshold, targetRecall, numPlanes, seed, dim)
+      df, vecCol, idCol, threshold, targetRecall, numPlanes, seed, dim,
+      corpusSize = corpusSize, candidateBudget = candidateBudget,
+      budgetPolicy = budgetPolicy)
 
   // ------------------------------------------------------- n-gram jaccard
 

@@ -3,6 +3,40 @@ package graft.similarity
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+/** What [[Similarity.nearDupPairsAuto]] does when the predicted
+  * background candidate volume exceeds the caller's budget. The
+  * prediction is plan-time arithmetic ([[Similarity.LshGeometry
+  * .expectedBackgroundCandidates]]); the policy decides whether a
+  * 100 TB misuse is a warning, a fast failure, or a recall trade.
+  */
+sealed trait BudgetPolicy
+object BudgetPolicy {
+  /** Log the prediction and run anyway (legacy default — the caller
+    * accepts a near-quadratic band join knowingly).
+    */
+  case object WarnOnly extends BudgetPolicy
+  /** Throw [[CandidateBudgetExceededException]] at PLAN time — the
+    * right setting for production jobs, where an over-budget mine
+    * should be a seconds-cheap failure, not a cluster-melting join
+    * discovered hours in.
+    */
+  case object FailFast extends BudgetPolicy
+  /** Re-derive the geometry as "most recall the budget can buy"
+    * ([[Similarity.lshGeometryUnderBudget]]) and run with that,
+    * logging the recall sacrificed; throws only when NO banding fits
+    * the budget at this corpus size.
+    */
+  case object AutoDegrade extends BudgetPolicy
+}
+
+/** Thrown when a near-dup mine's predicted candidate volume exceeds
+  * its budget under [[BudgetPolicy.FailFast]] (or no geometry fits
+  * under [[BudgetPolicy.AutoDegrade]]). Cheap: raised before any job
+  * runs.
+  */
+final class CandidateBudgetExceededException(msg: String)
+  extends IllegalStateException(msg)
+
 /** Similarity search over an embedding column (`array<float>`) —
   * north-star extension (not reference parity; the reference is a
   * scalar-timeseries engine).
@@ -197,10 +231,28 @@ object Similarity {
     * broadcast.
     */
   def lshGeometry(threshold: Double, targetRecall: Double = 0.95, numPlanes: Int = 64): LshGeometry = {
-    require(numPlanes >= 8 && numPlanes <= 64, s"numPlanes=$numPlanes must be in [8, 64] (one long)")
     require(targetRecall > 0.0 && targetRecall < 1.0, s"targetRecall=$targetRecall must be in (0, 1)")
+    val candidates = geometryCandidates(threshold, numPlanes)
+    val viable = candidates.filter(_.expectedRecall >= targetRecall)
+    if (viable.nonEmpty) viable.minBy(g => (g.emitFactor, -g.expectedRecall))
+    else {
+      val best = candidates.maxBy(g => (g.expectedRecall, -g.emitFactor))
+      log.warn(s"lshGeometry: no ($numPlanes-plane) banding reaches recall $targetRecall at " +
+        s"threshold $threshold; best achievable is ${best.expectedRecall} with $best")
+      best
+    }
+  }
+
+  /** Every legal banding of `numPlanes` sign bits for this threshold:
+    * the search space [[lshGeometry]] picks from (divisor splits with
+    * bands >= 8 bits wide, probe radius 0..3). Exposed so budget-aware
+    * callers ([[lshGeometryUnderBudget]]) can re-rank the same space
+    * under a candidate-volume constraint.
+    */
+  private[similarity] def geometryCandidates(threshold: Double, numPlanes: Int): Seq[LshGeometry] = {
+    require(numPlanes >= 8 && numPlanes <= 64, s"numPlanes=$numPlanes must be in [8, 64] (one long)")
     val p = 1.0 - math.acos(math.max(-1.0, math.min(1.0, threshold))) / math.Pi
-    val candidates = for {
+    for {
       bands <- (1 to numPlanes).filter(numPlanes % _ == 0)
       k = numPlanes / bands
       if k >= 8
@@ -213,14 +265,33 @@ object Similarity {
       val emit = (bands * (maskCount(k, r - r / 2) + maskCount(k, r / 2))).toLong
       LshGeometry(bands, k, r, recall, emit)
     }
-    val viable = candidates.filter(_.expectedRecall >= targetRecall)
-    if (viable.nonEmpty) viable.minBy(g => (g.emitFactor, -g.expectedRecall))
-    else {
-      val best = candidates.maxBy(g => (g.expectedRecall, -g.emitFactor))
-      log.warn(s"lshGeometry: no ($numPlanes-plane) banding reaches recall $targetRecall at " +
-        s"threshold $threshold; best achievable is ${best.expectedRecall} with $best")
-      best
-    }
+  }
+
+  /** Best-recall geometry whose PREDICTED background candidate volume
+    * at corpus size `n` stays within `candidateBudget` — the
+    * [[BudgetPolicy.AutoDegrade]] re-ranking: instead of "cheapest
+    * shape meeting the recall target" it is "most recall the budget
+    * can buy" (ties break to the cheaper emit factor). Throws
+    * [[CandidateBudgetExceededException]] if NO banding fits — every
+    * shape's background volume is at least
+    * C(n,2) / 2^numPlanes x numPlanes/8-ish, so only an enormous
+    * corpus with a tiny budget lands here, and that caller needs a
+    * different algorithm (partitioned mining / a higher threshold),
+    * not a quieter warning.
+    */
+  def lshGeometryUnderBudget(
+      threshold: Double,
+      numPlanes: Int,
+      corpusSize: Long,
+      candidateBudget: Long): LshGeometry = {
+    require(corpusSize > 0, s"corpusSize=$corpusSize must be positive")
+    val fits = geometryCandidates(threshold, numPlanes)
+      .filter(_.expectedBackgroundCandidates(corpusSize) <= candidateBudget.toDouble)
+    if (fits.isEmpty) throw new CandidateBudgetExceededException(
+      s"no $numPlanes-plane LSH banding keeps predicted background candidates within " +
+        s"$candidateBudget rows at corpus size $corpusSize (threshold $threshold) — " +
+        "raise the threshold, raise the budget, or partition the corpus before mining")
+    fits.maxBy(g => (g.expectedRecall, -g.emitFactor))
   }
 
   @transient private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
@@ -232,6 +303,18 @@ object Similarity {
     * buys the probing that keeps recall, and the emit-factor cost is
     * visible in the derived geometry rather than hidden in a copied
     * magic constant.
+    *
+    * BUDGET ENFORCEMENT: when `corpusSize` is supplied, the predicted
+    * background candidate volume is checked against `candidateBudget`
+    * BEFORE any job runs, and `budgetPolicy` decides what an
+    * over-budget mine does — [[BudgetPolicy.WarnOnly]] (default,
+    * legacy), [[BudgetPolicy.FailFast]] (throw
+    * [[CandidateBudgetExceededException]] — set this in production
+    * jobs), or [[BudgetPolicy.AutoDegrade]] (re-derive the geometry as
+    * the most recall the budget can buy via
+    * [[lshGeometryUnderBudget]]). Reference analogue: the reference
+    * pipeline caps raw sample volume per stage rather than letting a
+    * mis-sized stage run (Requirements/ExamplePipelineCode.md:232).
     */
   def nearDupPairsAuto(
       df: DataFrame,
@@ -244,20 +327,36 @@ object Similarity {
       dim: Int = 0,
       broadcastVerify: Boolean = false,
       corpusSize: Long = 0L,
-      candidateBudget: Long = 100000000L): DataFrame = {
-    val g = lshGeometry(threshold, targetRecall, numPlanes)
-    // Callers that know the corpus size get the x30 surprise as a
-    // WARNING at plan time instead of a 97-second discovery at run
-    // time (counting here would fire a job — size is caller-supplied,
-    // like dim).
-    if (corpusSize > 0) {
-      val predicted = g.expectedBackgroundCandidates(corpusSize)
-      if (predicted > candidateBudget.toDouble) log.warn(
-        f"nearDupPairsAuto: predicted background candidate volume $predicted%.3g rows " +
-          f"(n=$corpusSize, $g) exceeds the budget of $candidateBudget rows — " +
-          "this threshold/recall buys a near-quadratic band join at this corpus size; " +
-          "raise the threshold, lower targetRecall, or accept the cost knowingly " +
-          "(broadcastVerify keeps the verify stage map-side when vectors fit a broadcast)")
+      candidateBudget: Long = 100000000L,
+      budgetPolicy: BudgetPolicy = BudgetPolicy.WarnOnly): DataFrame = {
+    val derived = lshGeometry(threshold, targetRecall, numPlanes)
+    // Callers that know the corpus size get the x30 surprise ENFORCED
+    // at plan time instead of a 97-second discovery at run time
+    // (counting here would fire a job — size is caller-supplied, like
+    // dim). Policy: warn (legacy), fail fast, or degrade to the
+    // best-recall geometry the budget affords.
+    val g = if (corpusSize <= 0) derived else {
+      val predicted = derived.expectedBackgroundCandidates(corpusSize)
+      if (predicted <= candidateBudget.toDouble) derived
+      else {
+        val diagnosis =
+          f"nearDupPairsAuto: predicted background candidate volume $predicted%.3g rows " +
+            f"(n=$corpusSize, $derived) exceeds the budget of $candidateBudget rows — " +
+            "this threshold/recall buys a near-quadratic band join at this corpus size; " +
+            "raise the threshold, lower targetRecall, or accept the cost knowingly " +
+            "(broadcastVerify keeps the verify stage map-side when vectors fit a broadcast)"
+        budgetPolicy match {
+          case BudgetPolicy.FailFast => throw new CandidateBudgetExceededException(diagnosis)
+          case BudgetPolicy.WarnOnly => log.warn(diagnosis); derived
+          case BudgetPolicy.AutoDegrade =>
+            val fit = lshGeometryUnderBudget(threshold, numPlanes, corpusSize, candidateBudget)
+            log.warn(diagnosis + f" — AutoDegrade: running $fit instead " +
+              f"(at-threshold recall ${fit.expectedRecall}%.3f vs requested " +
+              f"${derived.expectedRecall}%.3f, predicted candidates " +
+              f"${fit.expectedBackgroundCandidates(corpusSize)}%.3g)")
+            fit
+        }
+      }
     }
     // Callers that know the embedding dimension pass it and the whole
     // call stays a lazy transform; dim = 0 falls back to a one-row

@@ -272,6 +272,49 @@ class SimilaritySpec extends SparkSpec {
       s"production geometry $prod must stay under budget at 60k vectors")
   }
 
+  test("FailFast budget policy throws at plan time on the x30-equivalent prediction") {
+    import sqlImplicits._
+    // 60k vectors at threshold 0.4 is the measured ScaleBench x30
+    // blow-up (~1e9 predicted candidates vs the default 1e8 budget).
+    // Under FailFast the call must throw BEFORE any job runs — the
+    // 3-row input is never touched (a job would need an action).
+    val df = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val e = intercept[CandidateBudgetExceededException] {
+      Similarity.nearDupPairsAuto(df, "embedding", "vec_id", threshold = 0.4,
+        dim = 2, corpusSize = 60000L, budgetPolicy = BudgetPolicy.FailFast)
+    }
+    assert(e.getMessage.contains("exceeds the budget"))
+  }
+
+  test("AutoDegrade re-derives the most recall the budget can buy and still runs") {
+    import sqlImplicits._
+    val over = Similarity.lshGeometry(threshold = 0.4)
+    assert(over.expectedBackgroundCandidates(60000L) > 100000000.0)
+    val fit = Similarity.lshGeometryUnderBudget(
+      threshold = 0.4, numPlanes = 64, corpusSize = 60000L, candidateBudget = 100000000L)
+    assert(fit.expectedBackgroundCandidates(60000L) <= 100000000.0,
+      s"degraded geometry $fit must fit the budget")
+    // maximal: every candidate shape with strictly more recall blows the budget
+    Similarity.geometryCandidates(0.4, 64)
+      .filter(_.expectedRecall > fit.expectedRecall)
+      .foreach(g => assert(g.expectedBackgroundCandidates(60000L) > 100000000.0,
+        s"$g out-recalls the degraded pick yet fits the budget"))
+    // and the degraded mine executes end-to-end (identical twin pair found)
+    val v = Array.tabulate(8)(i => (i + 1).toFloat)
+    val df = Seq((1L, v), (2L, v), (3L, v.map(-_))).toDF("vec_id", "embedding")
+    val pairs = Similarity.nearDupPairsAuto(df, "embedding", "vec_id", threshold = 0.4,
+        dim = 8, corpusSize = 60000L, budgetPolicy = BudgetPolicy.AutoDegrade)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.contains((1L, 2L)), s"identical pair must survive degraded geometry: ${pairs.toSeq}")
+  }
+
+  test("AutoDegrade throws when no banding fits the budget at all") {
+    intercept[CandidateBudgetExceededException] {
+      Similarity.lshGeometryUnderBudget(
+        threshold = 0.4, numPlanes = 64, corpusSize = 1000000000000L, candidateBudget = 1L)
+    }
+  }
+
   test("rhp signature: same vector same sig; opposite vector flips all bits") {
     import sqlImplicits._
     val v = Array.tabulate(8)(i => (i + 1).toFloat)
