@@ -88,9 +88,28 @@ object ScaleBench {
     locally {
       val g = graft.similarity.Similarity.lshGeometry(threshold = 0.4)
       val predicted = g.expectedBackgroundCandidates(nEmb)
+      val exceeded = predicted > 100000000.0
       extra("embedding_neardup_mid04",
         f""","predicted_background_candidates":$predicted%.4g,"candidate_budget":100000000,""" +
-          s""""budget_exceeded":${predicted > 100000000.0}""")
+          s""""budget_exceeded":$exceeded,"budget_policy":"FailFast"""")
+      // The degraded entry runs whatever geometry the budget affords
+      // at this corpus size — record what that was and the recall it
+      // kept relative to the requested shape.
+      val fit = graft.similarity.Similarity.lshGeometryUnderBudget(
+        threshold = 0.4, numPlanes = 64, corpusSize = math.max(1L, nEmb), candidateBudget = 100000000L)
+      extra("embedding_neardup_mid04_degraded",
+        f""","budget_policy":"AutoDegrade","degraded":$exceeded,""" +
+          f""""geometry":"$fit","at_threshold_recall":${fit.expectedRecall}%.4f,""" +
+          f""""predicted_background_candidates":${fit.expectedBackgroundCandidates(nEmb)}%.4g""")
+    }
+    // Record which form the packing facade routes to at this scale
+    // (single corpus stratum, so max stratum rows = the doc count).
+    locally {
+      val maxStratum = graft.text.SequencePacking.maxStratumRows(
+        docs.withColumn("stratum", lit("corpus")), "stratum")
+      extra("sequence_packing_auto",
+        s""","max_stratum_rows":$maxStratum,"window_threshold":20000,""" +
+          s""""routed":"${if (maxStratum <= 20000L) "window" else "distributed"}"""")
     }
     def ccExtra(name: String, run: graft.dedup.Dedup.CcRun): Unit = extra(name,
       s""","rounds":${run.rounds},"converged":${run.converged},""" +
@@ -111,10 +130,23 @@ object ScaleBench {
       // mid-threshold candidate stream entirely map-side (see the
       // nearDupPairs scaladoc; without it, 30x mining shuffles ~27 GB
       // of vector-carrying candidates).
+      // FailFast: at x10/x30 the predicted volume blows the 1e8
+      // budget and the thunk throws at PLAN time — the JSON records
+      // the enforcement (err = CandidateBudgetExceededException, ~0 s)
+      // instead of the 135 s near-quadratic join it replaced.
       "embedding_neardup_mid04" -> (() =>
         graft.similarity.Similarity
           .nearDupPairsAuto(emb, "embedding", "vec_id", threshold = 0.4, dim = 64,
-            broadcastVerify = true, corpusSize = nEmb).count()),
+            broadcastVerify = true, corpusSize = nEmb,
+            budgetPolicy = graft.similarity.BudgetPolicy.FailFast).count()),
+      // AutoDegrade twin: same ask, but over budget it re-derives the
+      // most-recall-under-budget geometry and runs THAT — the measured
+      // time is what a budget-respecting mid-threshold mine costs.
+      "embedding_neardup_mid04_degraded" -> (() =>
+        graft.similarity.Similarity
+          .nearDupPairsAuto(emb, "embedding", "vec_id", threshold = 0.4, dim = 64,
+            broadcastVerify = true, corpusSize = nEmb,
+            budgetPolicy = graft.similarity.BudgetPolicy.AutoDegrade).count()),
       "embedding_neardup_prod095" -> (() =>
         graft.similarity.Similarity
           .nearDupPairsAuto(emb, "embedding", "vec_id", threshold = 0.95, dim = 64,
@@ -164,16 +196,19 @@ object ScaleBench {
         ccExtra("cc_chain_distributed", run)
         nClusters
       }),
-      // Curation pack. Packing runs BOTH forms on the worst-case skew
-      // (ONE stratum = the whole corpus): the window form serializes
-      // every document into a single running-sum task, the distributed
-      // form keeps strata x chunks parallelism. Both return bins-used
-      // (max bin + 1) so the JSON itself witnesses the two forms agree
-      // at every scale, not just in the spec.
-      "sequence_packing_window" -> (() =>
+      // Curation pack. Packing runs the AUTO facade on the worst-case
+      // skew (ONE stratum = the whole corpus) with a 20 k-row window
+      // threshold, so the JSON witnesses the routing itself: x1 stays
+      // on the window form (small stratum, one task is fine), x10/x30
+      // route to the distributed chunked-prefix-sum form — replacing
+      // the raw window form's super-linear single-task tail. The
+      // distributed entry pins the 100 TB form at every scale; both
+      // return bins-used (max bin + 1) so the JSON also witnesses the
+      // forms agree at every scale, not just in the spec.
+      "sequence_packing_auto" -> (() =>
         graft.text.SequencePacking
-          .assignBins(docs.withColumn("stratum", lit("corpus")),
-            "text", "stratum", "doc_id", capacity = 2048)
+          .packBins(docs.withColumn("stratum", lit("corpus")),
+            "text", "stratum", "doc_id", capacity = 2048, windowThreshold = 20000L)
           .agg(max(col("bin")) + 1).head().getLong(0)),
       "sequence_packing_distributed" -> (() =>
         graft.text.SequencePacking

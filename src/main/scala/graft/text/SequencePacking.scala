@@ -155,6 +155,55 @@ object SequencePacking {
       .select((df.columns.map(col) ++ Seq(col("n_tokens"), col("start_offset"), col("bin"))): _*)
   }
 
+  /** Size-routed facade over [[assignBins]] / [[assignBinsDistributed]]
+    * — the call shape that is safe to copy at scale, mirroring
+    * [[graft.dedup.Dedup.dupClusters]]' collect-vs-distributed
+    * routing: the window form serializes each stratum into ONE task,
+    * which is fine for many balanced strata and a scale-killer when
+    * one source dominates, so the facade routes on the LARGEST
+    * stratum's row count. Both forms are bit-identical
+    * (SequencePackingSpec), so routing never changes the answer —
+    * only the parallelism.
+    *
+    * The routing statistic costs one aggregate job that scans ONLY
+    * the stratum column (column pruning reaches the parquet scan;
+    * the text column — the expensive bytes — is untouched), with a
+    * one-row-per-stratum shuffle. Callers whose input is an expensive
+    * computed plan rather than a source scan should either cache it
+    * first or pick a form directly; callers that already know their
+    * stratum sizes should also call a form directly and skip the
+    * probe job.
+    *
+    * `windowThreshold` defaults to 1 M rows: a single running-sum
+    * task over ~1 M docs is comfortably sub-second, while at 100 TB
+    * (billions of docs in a dominant stratum) the facade lands on the
+    * chunked-prefix-sum form whose parallelism is strata x chunks.
+    */
+  def packBins(
+      df: DataFrame,
+      textCol: String,
+      strataCol: String,
+      orderCol: String,
+      capacity: Int,
+      windowThreshold: Long = 1000000L,
+      numChunks: Int = 64): DataFrame = {
+    require(windowThreshold >= 0, s"windowThreshold=$windowThreshold must be >= 0")
+    if (maxStratumRows(df, strataCol) <= windowThreshold)
+      assignBins(df, textCol, strataCol, orderCol, capacity)
+    else
+      assignBinsDistributed(df, textCol, strataCol, orderCol, capacity, numChunks)
+  }
+
+  /** Largest per-stratum row count — [[packBins]]' routing statistic
+    * (0 for an empty frame). One aggregate job over the stratum
+    * column only.
+    */
+  def maxStratumRows(df: DataFrame, strataCol: String): Long = {
+    val row = df.groupBy(col(strataCol)).count()
+      .agg(max(col("count")).as("m")).head()
+    if (row.isNullAt(0)) 0L else row.getLong(0)
+  }
+
   /** Packed-bin summary: one row per (stratum, bin) with document and
     * token counts plus the id span — the manifest a downstream batch
     * loader reads. The window exchange on `strataCol` also satisfies

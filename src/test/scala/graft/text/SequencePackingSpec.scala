@@ -132,6 +132,34 @@ class SequencePackingSpec extends SparkSpec {
     assert(plan.split("BroadcastHashJoin").length - 1 >= 2, plan)
   }
 
+  test("packBins routes on the largest stratum: window when small, distributed when big") {
+    val df = skewedDocs() // dominant stratum = 500 rows
+    // threshold above the dominant stratum -> window form (no joins in
+    // the plan: assignBins is scan + window only)
+    val win = SequencePacking.packBins(df, "text", "source", "doc_id", 512,
+      windowThreshold = 1000L)
+    assert(!win.queryExecution.executedPlan.toString.contains("Join"),
+      "small strata must route to the join-free window form")
+    // threshold below it -> distributed form (chunk-stitch broadcast
+    // joins present)
+    val dist = SequencePacking.packBins(df, "text", "source", "doc_id", 512,
+      windowThreshold = 100L, numChunks = 8)
+    assert(dist.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+      "a dominant stratum must route to the distributed form")
+    // and routing never changes the answer
+    assert(triple(win) == triple(dist))
+  }
+
+  test("packBins routing statistic: maxStratumRows, 0 on an empty frame") {
+    val df = skewedDocs()
+    assert(SequencePacking.maxStratumRows(df, "source") == 500L)
+    assert(SequencePacking.maxStratumRows(df.filter(col("doc_id") < 0), "source") == 0L)
+    // empty frame routes to the window form and yields an empty result
+    val out = SequencePacking.packBins(
+      df.filter(col("doc_id") < 0), "text", "source", "doc_id", 512)
+    assert(out.count() == 0L)
+  }
+
   test("the plan shuffles once on the stratum column: window + groupBy share the exchange") {
     val plan = SequencePacking.packedBins(docs(), "text", "source", "doc_id", 512)
       .queryExecution.executedPlan.toString
