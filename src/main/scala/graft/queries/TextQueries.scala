@@ -151,6 +151,53 @@ object TextQueries {
         TextAnalysis.bpeishTokenCount(col("text")).as("n_bpeish"))
       .orderBy("doc_id")
 
+  /** Deterministic slice of q25, fully oracled: the language-ID vote
+    * and both token counts are pure column arithmetic DuckDB
+    * reproduces exactly (stopword-hit argmax with lexicographic
+    * tie-break; whitespace and word-piece-regex counts) — only the
+    * hash-valued fingerprints are engine-specific, and they stay in
+    * q25 (rows-only, contract-pinned by RowsOnlyContractSpec).
+    */
+  def q25aLangIdTokens(spark: SparkSession, dir: String): DataFrame =
+    Sources.documents(spark, dir)
+      .withColumn("__toks", TextAnalysis.tokens(col("text")))
+      .select(
+        col("doc_id"),
+        col("lang").as("declared_lang"),
+        TextAnalysis.langIdOfTokens(col("__toks")).as("detected_lang"),
+        size(col("__toks")).as("n_tokens"),
+        TextAnalysis.bpeishTokenCount(col("text")).as("n_bpeish"))
+      .orderBy("doc_id")
+
+  val q25aSql: String = {
+    def stops(lang: String) =
+      TextAnalysis.stopwords(lang).map(w => s"'$w'").mkString(", ")
+    // the CASE order (de, en, es, fr, zh) IS the tie-break: Spark's
+    // array_min over (neg hits, lang) structs resolves ties to the
+    // lexicographically smallest language code
+    s"""WITH h AS (
+       |  SELECT doc_id, lang, text,
+       |    len(string_split(text, ' ')) AS n_tokens,
+       |    len(list_filter(string_split(text, ' '), x -> x IN (${stops("de")}))) AS h_de,
+       |    len(list_filter(string_split(text, ' '), x -> x IN (${stops("en")}))) AS h_en,
+       |    len(list_filter(string_split(text, ' '), x -> x IN (${stops("es")}))) AS h_es,
+       |    len(list_filter(string_split(text, ' '), x -> x IN (${stops("fr")}))) AS h_fr,
+       |    len(list_filter(string_split(text, ' '), x -> x IN (${stops("zh")}))) AS h_zh
+       |  FROM documents
+       |)
+       |SELECT doc_id, lang AS declared_lang,
+       |  CASE WHEN greatest(h_de, h_en, h_es, h_fr, h_zh) = 0 THEN 'und'
+       |       WHEN h_de = greatest(h_de, h_en, h_es, h_fr, h_zh) THEN 'de'
+       |       WHEN h_en = greatest(h_de, h_en, h_es, h_fr, h_zh) THEN 'en'
+       |       WHEN h_es = greatest(h_de, h_en, h_es, h_fr, h_zh) THEN 'es'
+       |       WHEN h_fr = greatest(h_de, h_en, h_es, h_fr, h_zh) THEN 'fr'
+       |       ELSE 'zh' END AS detected_lang,
+       |  CAST(n_tokens AS INT) AS n_tokens,
+       |  CAST(len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS INT) AS n_bpeish
+       |FROM h
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** MinHash LSH near-dup pairs (est. Jaccard >= 0.5), projected to
     * the (id_a, id_b) pair set so it oracle-checks against the EXACT
     * trigram-Jaccard pair set: on this fixture (near-dups at >= 0.8 vs
@@ -283,6 +330,7 @@ object TextQueries {
     "q23_ngram_jaccard_pairs" -> (q23NgramJaccardPairs _),
     "q24_lang_stats" -> (q24LangStats _),
     "q25_langid_fingerprint" -> (q25LangIdFingerprint _),
+    "q25a_langid_tokens" -> (q25aLangIdTokens _),
     "q26_minhash_pairs" -> (q26MinhashPairs _),
     "q27_simhash_pairs" -> (q27SimhashPairs _))
 
@@ -292,6 +340,7 @@ object TextQueries {
     "q22_quality_score" -> q22Sql,
     "q23_ngram_jaccard_pairs" -> q23Sql,
     "q24_lang_stats" -> q24Sql,
+    "q25a_langid_tokens" -> q25aSql,
     "q26_minhash_pairs" -> q26Sql,
     "q36_curation_pipeline" -> q36Sql)
 }
