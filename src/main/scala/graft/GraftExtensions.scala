@@ -4,7 +4,8 @@ import graft.dedup.{MinHashSig, ShingleHashes, SimHash64}
 import graft.similarity.VecDot
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
 
 /** Session extensions exposing the engine's custom Catalyst
   * expressions to SQL:
@@ -22,6 +23,37 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
+  /** Evaluate a scalar argument that must be a CONSTANT integral —
+    * accepts any foldable integral expression (an INT or BIGINT
+    * literal, `1 + 2`, a cast), not just a bare IntegerType Literal,
+    * and rejects everything else at analysis time with an error that
+    * names the expected type instead of a bare IllegalArgument from a
+    * failed pattern match.
+    */
+  private def foldableLong(e: Expression, fn: String, arg: String): Long = {
+    val integral = e.dataType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    if (!e.foldable || !integral) throw new IllegalArgumentException(
+      s"$fn: argument '$arg' must be a foldable integral expression " +
+        s"(INT/BIGINT literal or constant), got ${e.dataType.simpleString} ${e.sql}")
+    e.eval() match {
+      case null => throw new IllegalArgumentException(s"$fn: argument '$arg' must not be null")
+      case b: Byte => b.toLong
+      case s: Short => s.toLong
+      case i: Int => i.toLong
+      case l: Long => l
+    }
+  }
+
+  private def foldableInt(e: Expression, fn: String, arg: String): Int = {
+    val l = foldableLong(e, fn, arg)
+    if (l < Int.MinValue || l > Int.MaxValue) throw new IllegalArgumentException(
+      s"$fn: argument '$arg' = $l overflows INT")
+    l.toInt
+  }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("simhash64"),
@@ -33,30 +65,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("minhash_sig"),
       new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
-      (children: Seq[Expression]) => {
-        def litInt(e: Expression, d: Int): Int = e match {
-          case Literal(v: Int, _) => v
-          case Literal(v: Long, _) => v.toInt
-          case _ => d
-        }
-        def litLong(e: Expression, d: Long): Long = e match {
-          case Literal(v: Int, _) => v.toLong
-          case Literal(v: Long, _) => v
-          case _ => d
-        }
-        children match {
-          case Seq(sh) => MinHashSig(sh, 32, 42L)
-          case Seq(sh, n) => MinHashSig(sh, litInt(n, 32), 42L)
-          case Seq(sh, n, seed) => MinHashSig(sh, litInt(n, 32), litLong(seed, 42L))
-          case _ => throw new IllegalArgumentException("minhash_sig(shingles[, numHashes[, seed]])")
-        }
+      (children: Seq[Expression]) => children match {
+        case Seq(sh) => MinHashSig(sh, 32, 42L)
+        case Seq(sh, n) => MinHashSig(sh, foldableInt(n, "minhash_sig", "numHashes"), 42L)
+        case Seq(sh, n, seed) => MinHashSig(sh, foldableInt(n, "minhash_sig", "numHashes"),
+          foldableLong(seed, "minhash_sig", "seed"))
+        case _ => throw new IllegalArgumentException("minhash_sig(shingles[, numHashes[, seed]])")
       }))
     ext.injectFunction((
       FunctionIdentifier("shingle_hashes"),
       new ExpressionInfo(classOf[ShingleHashes].getName, "shingle_hashes"),
       (children: Seq[Expression]) => children match {
         case Seq(text) => ShingleHashes(text, 3)
-        case Seq(text, Literal(n: Int, _)) => ShingleHashes(text, n)
+        case Seq(text, n) => ShingleHashes(text, foldableInt(n, "shingle_hashes", "n"))
         case _ => throw new IllegalArgumentException("shingle_hashes(text[, n])")
       }))
     ext.injectFunction((
@@ -71,7 +92,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[graft.text.DistinctNgrams].getName, "distinct_ngrams"),
       (children: Seq[Expression]) => children match {
         case Seq(text) => graft.text.DistinctNgrams(text, 3)
-        case Seq(text, Literal(n: Int, _)) => graft.text.DistinctNgrams(text, n)
+        case Seq(text, n) => graft.text.DistinctNgrams(text,
+          foldableInt(n, "distinct_ngrams", "n"))
         case _ => throw new IllegalArgumentException("distinct_ngrams(text[, n])")
       }))
     ext.injectFunction((

@@ -22,7 +22,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * for the duration of one eval).
   *
   * Empty arrays count 0 (a document with no tokens has no most
-  * frequent token); null input is null (UnaryExpression default).
+  * frequent token); null input is null (UnaryExpression default);
+  * NULL ELEMENTS ARE SKIPPED — the column-algebra forms this replaces
+  * null-propagate the `x === t` comparison so a null element never
+  * contributes to any count, and the expression is SQL-registered
+  * (`most_frequent_count`), so user arrays with nulls must get the
+  * same answer as the documented replacement semantics (an all-null
+  * array counts 0, like an empty one). Pinned by
+  * GraftExtensionsSpec's null-element case.
   */
 case class MostFrequentCount(child: Expression)
   extends UnaryExpression with CodegenFallback {
@@ -46,9 +53,12 @@ case class MostFrequentCount(child: Expression)
     var i = 0
     while (i < n) {
       // null elements (possible by type, absent from split() output)
-      // key under HashMap's null slot and count like any value
-      val c: Int = counts.merge(arr.getUTF8String(i), Integer.valueOf(1), (a, b) => a + b)
-      if (c > best) best = c
+      // are skipped: the column-algebra form's `x === t` comparison
+      // null-propagates, so nulls contribute 0 there too
+      if (!arr.isNullAt(i)) {
+        val c: Int = counts.merge(arr.getUTF8String(i), Integer.valueOf(1), (a, b) => a + b)
+        if (c > best) best = c
+      }
       i += 1
     }
     best

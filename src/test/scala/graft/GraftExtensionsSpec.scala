@@ -103,4 +103,38 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(row.getInt(1) == 0) // empty array: no most frequent token
     assert(row.isNullAt(2))    // null in, null out
   }
+
+  test("most_frequent_count skips null elements like the column-algebra form it replaces") {
+    // the `x === t` comparison in the documented replacement
+    // null-propagates, so null elements contribute 0 — a user array
+    // with nulls must not let the null "win"
+    val row = spark.sql(
+      """SELECT most_frequent_count(array('a', NULL, NULL)) AS skipped,
+        |       most_frequent_count(array(CAST(NULL AS STRING))) AS allNull""".stripMargin).head()
+    assert(row.getInt(0) == 1, "nulls must not out-count a real element")
+    assert(row.getInt(1) == 0, "an all-null array counts like an empty one")
+  }
+
+  test("constant integral args accept any foldable integral expression, reject the rest") {
+    // BIGINT literal, arithmetic, and a cast all fold to the same n
+    val row = spark.sql(
+      """SELECT distinct_ngrams('a b c d', CAST(3 AS BIGINT)) AS g1,
+        |       distinct_ngrams('a b c d', 1 + 2) AS g2,
+        |       shingle_hashes('a b c d', CAST(3 AS TINYINT)) AS sh,
+        |       minhash_sig(array('a b c'), 2 + 6, CAST(42 AS BIGINT)) AS mh""".stripMargin).head()
+    assert(row.getSeq[String](0) == Seq("a b c", "b c d"))
+    assert(row.getSeq[String](1) == Seq("a b c", "b c d"))
+    assert(row.getSeq[Long](2).length == 2)
+    assert(row.getSeq[Long](3).length == 8)
+    // non-integral / non-foldable n is an analysis-time error naming
+    // the expected type, not a bare match failure
+    val e = intercept[Exception] {
+      spark.sql("SELECT distinct_ngrams('a b', 'x')").head()
+    }
+    assert(e.getMessage.contains("foldable integral"), e.getMessage)
+    val e2 = intercept[Exception] {
+      spark.sql("SELECT shingle_hashes('a b', 2.5)").head()
+    }
+    assert(e2.getMessage.contains("foldable integral"), e2.getMessage)
+  }
 }
