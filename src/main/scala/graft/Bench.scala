@@ -60,6 +60,13 @@ object Bench {
     // which predecessor had warmed what. Drop every cached relation
     // and leaked persistent RDD between queries so each one pays its
     // own cost and nothing else's.
+    // INVARIANT: unpersisting also hits locally-checkpointed RDDs
+    // whose truncated lineage cannot be recomputed — safe only
+    // because every query rebuilds ALL of its state per invocation
+    // (none memoizes a DataFrame across calls). A future shared
+    // checkpointed fixture would be destroyed by the first reset and
+    // fail later runs; keep queries self-contained or exempt their
+    // RDDs here.
     def resetState(): Unit = {
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))

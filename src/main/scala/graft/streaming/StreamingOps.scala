@@ -420,7 +420,19 @@ object StreamingOps {
       textCol: String,
       idCol: String,
       n: Int = 3,
-      flagThreshold: Double = 0.05): DataFrame =
+      flagThreshold: Double = 0.05,
+      maxBenchGrams: Int = 1000000): DataFrame = {
+    // The gram set is embedded as a plan LITERAL and intersected per
+    // row — O(|bench|) work per document and plan/task-serialization
+    // bytes proportional to the set. That is the right shape only for
+    // a control-plane-sized benchmark set (the batch twin broadcasts
+    // instead); fail fast on corpus-sized inputs rather than
+    // serializing a multi-GB plan into every task.
+    require(benchGrams.size <= maxBenchGrams,
+      s"decontaminationStream embeds benchGrams as a plan literal: ${benchGrams.size} grams " +
+        s"exceeds maxBenchGrams=$maxBenchGrams — for large benchmark sets use a stream-static " +
+        "join against a gram table (see Decontamination.report's broadcast form) or raise the " +
+        "bound knowingly")
     docs
       .withColumn("__st_gs",
         graft.text.Decontamination.distinctNgrams(col(textCol), n))
@@ -432,6 +444,7 @@ object StreamingOps {
       .withColumn("contam_frac",
         col("n_overlap").cast("double") / col("n_ngrams").cast("double"))
       .withColumn("flagged", (col("contam_frac") >= flagThreshold).cast("int"))
+  }
 
   final case class NovGram(id: Long, df: Long)
   final case class NovOut(doc_id: Long, n_ngrams: Int, n_rare: Long,

@@ -163,6 +163,15 @@ object QualityFilters {
     * streaming DataFrames and the gate, being a stateless per-row
     * scan, runs unchanged on streams (StreamingOpsSpec pins the
     * parity); `rand() >= 0` is true by range.
+    *
+    * UPGRADE CANARY: this barrier leans on two internal Catalyst
+    * behaviors (pushdown refusing non-deterministic projects; column
+    * pruning keeping referenced columns). A Spark version bump that
+    * relaxes either would silently reintroduce the ~30x
+    * re-tokenization — which is exactly what TextPlanSpec's
+    * one-split-site assertion exists to catch: keep that spec in any
+    * upgrade CI run and treat its failure as this barrier breaking,
+    * not as a flaky test.
     */
   def gophered(df: DataFrame, textCol: String): DataFrame =
     withSignals(df, textCol)

@@ -308,6 +308,19 @@ class StreamingOpsSpec extends SparkSpec {
     assert(got.nonEmpty) // the fixture slice really contaminates
   }
 
+  test("decontaminationStream fails fast on a corpus-sized benchmark gram set") {
+    import sqlImplicits._
+    // the gram set embeds as a plan literal, so an over-bound set must
+    // be rejected before a multi-GB plan serializes into every task
+    val e = intercept[IllegalArgumentException] {
+      StreamingOps.decontaminationStream(
+        Seq((1L, "a b c")).toDF("doc_id", "text"),
+        benchGrams = Seq("a b", "b c", "c d"), "text", "doc_id",
+        maxBenchGrams = 2)
+    }
+    assert(e.getMessage.contains("stream-static"), e.getMessage)
+  }
+
   test("streaming novelty scoring against a snapshot df-table equals the batch report") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import sqlImplicits._
