@@ -251,6 +251,68 @@ object ScaleBench {
       "corpus_novelty" -> (() =>
         graft.text.CorpusStats
           .noveltyReport(docs, "text", "doc_id", n = 2, rareMaxDf = 2).count()),
+      // Corpus novelty under an ADVERSARIAL hot gram: half the docs
+      // ARE one stamped boilerplate run (the crawled-cookie-banner
+      // pathology), so a single gram carries half the corpus's
+      // (doc, gram) rows into ONE partition of the score join. The
+      // PRODUCTION shape — noveltyReportWith over a materialized
+      // docFrequency snapshot — is the skew-split-eligible one
+      // (OptimizeSkewedJoin needs Sort directly over a shuffle stage
+      // on both sides; the inline form's df-side aggregate blocks it,
+      // see the CorpusStats scaladoc) and this entry PROVES the split
+      // fires: thresholds are scaled to fixture size (the 256 MB
+      // default needs a real cluster's partition volume), many
+      // partitions stand in for a cluster-scale shuffle, broadcast is
+      // disabled so the join keeps its at-scale sort-merge shape, and
+      // the extras record whether the final adaptive plan actually
+      // split the hot partition (skew=true). CorpusStatsSpec pins the
+      // same marker plus result-invariance under the split.
+      "corpus_novelty_hotgram" -> (() => {
+        val conf = spark.conf
+        val keys = Seq(
+          "spark.sql.autoBroadcastJoinThreshold",
+          "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+          "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+          "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+          "spark.sql.shuffle.partitions")
+        val saved = keys.map(k => k -> conf.getOption(k))
+        try {
+          conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+          // 256 partitions is the local stand-in for a cluster-scale
+          // shuffle: the median partition shrinks with the partition
+          // count while the hot gram's rows cannot subdivide — which
+          // is exactly what makes one key SKEWED (and why the 256 MB
+          // default threshold only ever fires on a real cluster).
+          conf.set("spark.sql.shuffle.partitions", "256")
+          conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8192")
+          conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+          conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4096")
+          val boiler = Seq.fill(12)("spam").mkString(" ")
+          val id = col("doc_id").cast("string")
+          val hot = docs.select(col("doc_id"),
+            when(pmod(col("doc_id"), lit(2L)) === 0L, lit(boiler))
+              .otherwise(concat_ws(" ",
+                concat(lit("u"), id, lit("a")),
+                concat(lit("u"), id, lit("b")),
+                concat(lit("u"), id, lit("c")))).as("text"))
+          // collect() (not head()) so this Dataset's own adaptive
+          // execution finalizes and the plan marker is readable
+          val snapshot = graft.text.CorpusStats
+            .docFrequency(hot, "text", n = 2).localCheckpoint(true)
+          val agg = graft.text.CorpusStats
+            .noveltyReportWith(hot, snapshot, "text", "doc_id", n = 2, rareMaxDf = 2)
+            .groupBy().count()
+          val n = agg.collect()(0).getLong(0)
+          val plan = agg.queryExecution.executedPlan.toString
+          snapshot.unpersist(blocking = true)
+          extra("corpus_novelty_hotgram",
+            s""","skew_join_fired":${plan.contains("skew=true")},""" +
+              s""""skew_threshold_bytes":8192,"hot_doc_fraction":0.5""")
+          n
+        } finally saved.foreach { case (k, v) =>
+          v.fold(conf.unset(k))(conf.set(k, _))
+        }
+      }),
       // Quality gate: forced through gophered() so the keep-gate
       // filter makes every signal column live — a bare count() would
       // let Catalyst prune all seven signals and time the scan.

@@ -28,15 +28,27 @@ import org.apache.spark.sql.functions._
   * [[Decontamination]] on HOF evaluation discipline) — and no
   * exchange ever carries document text. The score join shuffles both
   * sides on the gram; the frequency side partial-aggregates before
-  * its exchange (map-side combine absorbs hot n-grams), and AQE's
-  * skew-join split covers power-law hot grams on the raw side. The
-  * two passes each re-scan the corpus: deliberately so — reusing one
+  * its exchange (map-side combine absorbs hot n-grams). The two
+  * passes each re-scan the corpus: deliberately so — reusing one
   * shuffled exchange for both sides would halve the scans but
   * disqualify the join from AQE skew splitting, and a power-law hot
-  * gram with no split is the worse 100 TB failure mode. A production
-  * pipeline instead snapshots `docFrequency` per corpus release and
+  * gram with no split is the worse 100 TB failure mode.
+  *
+  * SKEW ELIGIBILITY (measured, CorpusStatsSpec): AQE's
+  * OptimizeSkewedJoin only matches a SortMergeJoin whose children are
+  * `Sort` DIRECTLY over a shuffle stage. In the inline
+  * [[noveltyReport]] form the df-table's FINAL aggregate sits between
+  * its exchange and the join, so the rule never fires there — the
+  * spec pins that limitation. The form that actually runs at 100 TB,
+  * [[noveltyReportWith]] over a MATERIALIZED `docFrequency` snapshot
+  * (a production pipeline snapshots the table per corpus release and
   * reuses it across scoring runs; `noveltyReport` recomputes it
-  * inline because the fixture corpus is the snapshot.
+  * inline only because the fixture corpus is the snapshot), plans
+  * both join children as Sort-over-shuffle and IS skew-split
+  * eligible: CorpusStatsSpec and the ScaleBench
+  * `corpus_novelty_hotgram` entry show `SortMergeJoin(skew=true)`
+  * splitting a boilerplate hot gram carrying half the corpus's rows,
+  * with results identical to the unsplit run.
   */
 object CorpusStats {
 

@@ -64,4 +64,88 @@ class CorpusStatsSpec extends SparkSpec {
       CorpusStats.noveltyReport(docs, "text", "doc_id", n = 2, rareMaxDf = 0)
     }
   }
+
+  test("hot-gram skew: AQE splits the snapshot-scoring join; inline form is pinned ineligible") {
+    import sqlImplicits._
+    // adversarial corpus: half the docs ARE one stamped boilerplate
+    // run (the crawled-cookie-banner pathology), so a single gram
+    // carries half the score join's rows in ONE partition. The
+    // production snapshot-scoring form (noveltyReportWith over a
+    // materialized docFrequency) plans both join children as
+    // Sort-over-shuffle, which is the shape OptimizeSkewedJoin
+    // matches — assert the split actually fires (skew=true in the
+    // final adaptive plan) with thresholds scaled to fixture size,
+    // and that splitting changes nothing about the answer. The
+    // inline noveltyReport form is pinned NOT to fire (its df-side
+    // final aggregate sits between exchange and join — see the
+    // CorpusStats scaladoc).
+    val boiler = Seq.fill(12)("spam").mkString(" ")
+    val rows = (0 until 10000).map { i =>
+      (i.toLong, if (i % 2 == 0) boiler else s"u${i}a u${i}b u${i}c")
+    }
+    val df = rows.toDF("doc_id", "text").repartition(4)
+    def run(dfTable: Option[org.apache.spark.sql.DataFrame]): (Long, String, Array[Row]) = {
+      val report = dfTable match {
+        case Some(t) => CorpusStats.noveltyReportWith(df, t, "text", "doc_id", n = 2, rareMaxDf = 2)
+        case None => CorpusStats.noveltyReport(df, "text", "doc_id", n = 2, rareMaxDf = 2)
+      }
+      val sample = report.orderBy("doc_id").limit(2).collect()
+      // collect() (not head()) so the Dataset's OWN adaptive query
+      // execution runs to completion — head() builds a separate
+      // limit plan and would leave this one isFinalPlan=false
+      val agg = report.groupBy().count()
+      val n = agg.collect()(0).getLong(0)
+      (n, agg.queryExecution.executedPlan.toString, sample)
+    }
+    val conf = spark.conf
+    val keys = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled",
+      "spark.sql.shuffle.partitions")
+    val saved = keys.map(k => k -> conf.getOption(k))
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // the at-scale SMJ shape
+      // Many partitions is what makes a hot key SKEWED: the median
+      // partition shrinks with the partition count while the hot
+      // gram's rows cannot subdivide — the local stand-in for a
+      // cluster-scale shuffle (and why the 256 MB default only ever
+      // fires there). Thresholds scale down with the fixture; the
+      // hot partition stays well above 2x the median even under
+      // shuffle compression (identical-gram rows compress hard).
+      conf.set("spark.sql.shuffle.partitions", "64")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8192")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4096")
+      conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      // materialized snapshot = the per-release docFrequency table a
+      // production run reads back; localCheckpoint stands in for the
+      // parquet round-trip
+      val snapshot = CorpusStats.docFrequency(df, "text", n = 2).localCheckpoint(true)
+      val (nSplit, planSplit, sampleSplit) = run(Some(snapshot))
+      assert(planSplit.contains("skew=true"),
+        s"hot-gram snapshot-scoring join must be skew-split under fixture-scaled thresholds:\n$planSplit")
+      // the inline form's df-side aggregate blocks the rule: same data,
+      // same thresholds, no split — the documented limitation, pinned
+      val (nInline, planInline, _) = run(None)
+      assert(!planInline.contains("skew=true"), planInline)
+      assert(nInline == 10000L)
+      conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+      val (nPlain, planPlain, samplePlain) = run(Some(snapshot))
+      assert(!planPlain.contains("skew=true"), planPlain)
+      assert(nSplit == nPlain && nSplit == 10000L)
+      assert(sampleSplit.toSeq == samplePlain.toSeq)
+      // doc 0 is pure boilerplate: one distinct gram, df = 5000, not rare
+      val d0 = sampleSplit(0)
+      assert(d0.getLong(0) == 0L && d0.getInt(1) == 1 &&
+        d0.getLong(2) == 0L && d0.getLong(3) == 5000L)
+      // doc 1 is unique-only: 2 bigrams, both corpus-rare
+      val d1 = sampleSplit(1)
+      assert(d1.getLong(0) == 1L && d1.getInt(1) == 2 && d1.getLong(2) == 2L)
+    } finally saved.foreach { case (k, v) => v.fold(conf.unset(k))(conf.set(k, _)) }
+  }
 }
