@@ -151,4 +151,52 @@ class MultimodalSpec extends SparkSpec {
       .select("frame_idx").collect().map(_.getInt(0)).sorted
     assert(one.zipWithIndex.forall { case (f, i) => f == i * 5 })
   }
+
+  test("decoded-pixel features flow end-to-end into the IVF ANN path (no stub)") {
+    // The real-decoder seam in one run: genuine PNG payloads ->
+    // ImageIoDecoder pixel embeddings (luminance grid pool — the
+    // low-luminance cluster's components are all negative, the
+    // high-luminance cluster's all positive, so cross-cluster cosine
+    // is ~-1) -> Ivf.train/index/knnJoin. A dark query must retrieve
+    // only dark corpus images and a bright query only bright ones —
+    // which can only happen if the embeddings reaching the ANN index
+    // are real functions of the decoded pixels, not FakeDecoder hash
+    // noise.
+    def png(fill: (Int, Int) => Int, w: Int = 32, h: Int = 32): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, fill(x, y))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    def shade(base: Int, id: Int)(x: Int, y: Int): Int = {
+      val v = base + ((x * 7 + y * 13 + id * 29) % 32)
+      (v << 16) | (v << 8) | v
+    }
+    import sqlImplicits._
+    val decoder = new Multimodal.ImageIoDecoder()
+    def embed(rows: Seq[Multimodal.MediaRow], idOut: String) =
+      Multimodal.extractFeatures(spark.createDataset(rows), dim = 16, decoder = decoder)
+        .toDF().select(col("media_id").as(idOut), col("features").as("embedding"))
+    val corpus = (0 until 20).map { i =>
+      Multimodal.MediaRow(i.toLong, "image", png(shade(if (i < 10) 32 else 192, i)), Map.empty)
+    }
+    val feats = embed(corpus, "vec_id")
+    val model = graft.similarity.Ivf.train(feats, "embedding", k = 2, iters = 5)
+    val idx = graft.similarity.Ivf.index(feats, "embedding", "vec_id", model)
+    val queries = embed(Seq(
+      Multimodal.MediaRow(100L, "image", png(shade(32, 100)), Map.empty),
+      Multimodal.MediaRow(101L, "image", png(shade(192, 101)), Map.empty)), "q_id")
+    val nn = graft.similarity.Ivf
+      .knnJoin(idx, "embedding", "vec_id", queries, "embedding", "q_id", k = 3, model, nprobe = 1)
+      .collect()
+    val byQ = nn.groupBy(_.getAs[Long]("q_id"))
+    assert(byQ(100L).length == 3 && byQ(101L).length == 3)
+    assert(byQ(100L).forall(_.getAs[Long]("vec_id") < 10L),
+      s"dark query must retrieve dark images: ${byQ(100L).mkString(";")}")
+    assert(byQ(101L).forall(_.getAs[Long]("vec_id") >= 10L),
+      s"bright query must retrieve bright images: ${byQ(101L).mkString(";")}")
+    // and the retrieved cosines are near 1 — same-cluster pixel embeddings
+    assert(nn.forall(_.getAs[Double]("cosine") > 0.9))
+  }
 }
