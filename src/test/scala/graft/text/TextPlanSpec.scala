@@ -70,6 +70,14 @@ class TextPlanSpec extends SparkSpec {
     assert(normCount == 1, s"expected 1 shared normalization, got $normCount:\n$plan")
   }
 
+  test("q25a langid+tokens: one split site feeds the vote and both counts") {
+    // five language filters + size() all reference the bound __toks
+    // attribute — a re-derivation would show as 6+ split sites
+    val df = graft.queries.TextQueries.q25aLangIdTokens(spark, dir)
+    assert(splitCount(df) == 1,
+      s"expected 1 split site, plan:\n${df.queryExecution.optimizedPlan}")
+  }
+
   test("gophered gate: the keep filter does not inline the signals into the scan (one split site)") {
     // the ungated q42 below was always fine — the regression mode is
     // the FILTER: predicate pushdown inlines aliases with no cost
