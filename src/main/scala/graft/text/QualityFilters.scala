@@ -158,11 +158,14 @@ object QualityFilters {
     * above `gophered` stay above the gate too, so filter source
     * columns (partitions, languages) BEFORE gating, not after.
     * TextPlanSpec pins the barrier (one split site in the gated
-    * plan). The barrier is `rand()` rather than
-    * `monotonically_increasing_id` because the latter is rejected on
-    * streaming DataFrames and the gate, being a stateless per-row
-    * scan, runs unchanged on streams (StreamingOpsSpec pins the
-    * parity); `rand() >= 0` is true by range.
+    * plan). The barrier is [[graft.plans.PushdownFence]] — a
+    * dedicated always-true expression whose only job is declaring
+    * `deterministic = false`, so the plan names the intent
+    * (`pushdown_fence()`) instead of hiding it in a `rand() >= 0`
+    * that reads as an accident. It is value-deterministic (retries
+    * agree) and, being a stateless leaf, runs unchanged on streaming
+    * DataFrames (StreamingOpsSpec pins the parity; streaming rejects
+    * `monotonically_increasing_id`, the other idiom).
     *
     * UPGRADE CANARY: this barrier leans on two internal Catalyst
     * behaviors (pushdown refusing non-deterministic projects; column
@@ -171,11 +174,12 @@ object QualityFilters {
     * re-tokenization — which is exactly what TextPlanSpec's
     * one-split-site assertion exists to catch: keep that spec in any
     * upgrade CI run and treat its failure as this barrier breaking,
-    * not as a flaky test.
+    * not as a flaky test. PushdownFenceSpec pins the mechanism in
+    * isolation (with-fence vs without-fence plan shapes).
     */
   def gophered(df: DataFrame, textCol: String): DataFrame =
     withSignals(df, textCol)
-      .withColumn("__qf_barrier", rand())
-      .filter(col("keep") === 1 && col("__qf_barrier") >= 0)
+      .withColumn("__qf_barrier", graft.plans.PushdownFence.fence)
+      .filter(col("keep") === 1 && col("__qf_barrier"))
       .drop("__qf_barrier")
 }
