@@ -103,6 +103,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.size == 1, "most_frequent_count(array<string>)")
         graft.text.MostFrequentCount(children.head)
       }))
+    ext.injectFunction((
+      FunctionIdentifier("pushdown_fence"),
+      new ExpressionInfo(classOf[graft.plans.PushdownFence].getName, "pushdown_fence"),
+      (children: Seq[Expression]) => {
+        require(children.isEmpty, "pushdown_fence()")
+        graft.plans.PushdownFence()
+      }))
     // Flag-gated optimizer rule: exact percentile -> t-digest sketch
     // when spark.graft.approxRewrite=true (see ApproxRewrite scaladoc).
     ext.injectOptimizerRule(_ => new graft.plans.ApproxRewrite)

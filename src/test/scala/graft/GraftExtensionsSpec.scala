@@ -87,6 +87,13 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(row.getSeq[Long](0) == viaColumn)
   }
 
+  test("pushdown_fence is callable from SQL, true-valued, and non-deterministic in the plan") {
+    val df = spark.sql("SELECT pushdown_fence() AS f")
+    assert(df.head().getBoolean(0))
+    assert(!graft.plans.PushdownFence().deterministic)
+    intercept[Exception](spark.sql("SELECT pushdown_fence(1)").head())
+  }
+
   test("distinct_ngrams is callable from SQL") {
     val row = spark.sql(
       "SELECT distinct_ngrams('a b c d', 3) AS g3, distinct_ngrams('a b a b', 2) AS g2").head()
