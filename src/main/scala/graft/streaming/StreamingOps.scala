@@ -430,9 +430,8 @@ object StreamingOps {
     // serializing a multi-GB plan into every task.
     require(benchGrams.size <= maxBenchGrams,
       s"decontaminationStream embeds benchGrams as a plan literal: ${benchGrams.size} grams " +
-        s"exceeds maxBenchGrams=$maxBenchGrams — for large benchmark sets use a stream-static " +
-        "join against a gram table (see Decontamination.report's broadcast form) or raise the " +
-        "bound knowingly")
+        s"exceeds maxBenchGrams=$maxBenchGrams — for large benchmark sets use the stream-static " +
+        "join form (decontaminationStreamJoin over benchGramTable) or raise the bound knowingly")
     docs
       .withColumn("__st_gs",
         graft.text.Decontamination.distinctNgrams(col(textCol), n))
@@ -444,6 +443,77 @@ object StreamingOps {
       .withColumn("contam_frac",
         col("n_overlap").cast("double") / col("n_ngrams").cast("double"))
       .withColumn("flagged", (col("contam_frac") >= flagThreshold).cast("int"))
+  }
+
+  /** The benchmark gram table as a DataFrame (column `g`, distinct) —
+    * [[benchGramSet]]'s distributed counterpart for benchmark sets too
+    * large to collect and embed as a plan literal. Compute once per
+    * benchmark release and persist (or write bucketed by `g`); the
+    * static side of a stream-static join is re-planned every
+    * micro-batch, so handing an unpersisted expression here re-runs
+    * the n-gram pass per batch.
+    */
+  def benchGramTable(bench: DataFrame, textCol: String, n: Int = 3): DataFrame =
+    bench
+      .select(explode(
+        graft.text.Decontamination.distinctNgrams(col(textCol), n)).as("g"))
+      .distinct()
+
+  final case class DcHit(id: Long, hit: Option[Int])
+  final case class DcOut(doc_id: Long, n_ngrams: Int, n_overlap: Long,
+      contam_frac: Double, flagged: Int)
+
+  /** Streaming twin of [[graft.text.Decontamination.report]] for
+    * CORPUS-SIZED benchmark gram sets — the scale path
+    * [[decontaminationStream]]'s literal-size guard points at. Same
+    * join-with-marker algebra as the batch form: explode the
+    * document's distinct n-grams (the construction IS the generator,
+    * planned once), stream-static LEFT join against the gram table
+    * tagged `__dc_hit=1`, then one group pass per document derives
+    * n_ngrams (row count) and n_overlap (hit count) — no `size()`
+    * anywhere, so the gram array is evaluated exactly once and
+    * documents never cross an exchange as text. Clean documents emit
+    * nothing, exactly like the batch report. Zero retained state and
+    * the same doc-atomicity contract as [[noveltyStream]]: a
+    * document's grams explode from one input row, so its group
+    * completes within its own micro-batch.
+    *
+    * `benchGrams` must be DISTINCT on `g` (use [[benchGramTable]];
+    * duplicates would multiply joined rows and corrupt both counts)
+    * and should be persisted — the static side re-plans per batch.
+    * Parity with the batch report is pinned by StreamingOpsSpec,
+    * doubles bit-identical (same two-integer divide on both sides).
+    */
+  def decontaminationStreamJoin(
+      docs: DataFrame,
+      benchGrams: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int = 3,
+      flagThreshold: Double = 0.05): Dataset[DcOut] = {
+    import docs.sparkSession.implicits._
+    requireIntegralId(docs, idCol)
+    docs
+      .select(col(idCol).cast("long").as("id"),
+        explode(
+          graft.text.Decontamination.distinctNgrams(col(textCol), n)).as("g"))
+      .join(benchGrams.select(col("g")).withColumn("__dc_hit", lit(1)), Seq("g"), "left")
+      .select(col("id"), col("__dc_hit").as("hit"))
+      .as[DcHit]
+      .groupByKey(_.id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (id: Long, rows: Iterator[DcHit], state: GroupState[Long]) => {
+          var nN = 0
+          var nOv = 0L
+          rows.foreach { r => nN += 1; if (r.hit.isDefined) nOv += 1 }
+          // state is never set: each doc's group is complete in its
+          // own micro-batch (grams explode from one input row)
+          if (nOv == 0L) Iterator.empty
+          else {
+            val frac = nOv.toDouble / nN.toDouble
+            Iterator(DcOut(id, nN, nOv, frac, if (frac >= flagThreshold) 1 else 0))
+          }
+        })
   }
 
   final case class NovGram(id: Long, df: Long)

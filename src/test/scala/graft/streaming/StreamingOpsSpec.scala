@@ -308,6 +308,33 @@ class StreamingOpsSpec extends SparkSpec {
     assert(got.nonEmpty) // the fixture slice really contaminates
   }
 
+  test("stream-static decontamination join equals the batch report (the corpus-sized-bench path)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import sqlImplicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = graft.sources.Sources.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val (benchDocs, corpusDocs) = docs.partition(_._1 % 97 == 0)
+    // the distributed gram table — never collected to the driver
+    val gramTable = StreamingOps.benchGramTable(
+      benchDocs.toDF("doc_id", "text"), "text").persist()
+    val input = MemoryStream[(Long, String)]
+    val stream = StreamingOps.decontaminationStreamJoin(
+      input.toDF().toDF("doc_id", "text"), gramTable, "text", "doc_id")
+    val q = stream.toDF().writeStream.outputMode("append").format("memory").queryName("dcj").start()
+    corpusDocs.grouped(200).foreach { b => input.addData(b); q.processAllAvailable() }
+    q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("doc_id", "n_ngrams", "n_overlap", "contam_frac", "flagged").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3), r.getInt(4))).toSet
+    val got = rows(spark.table("dcj"))
+    val want = rows(graft.text.Decontamination.report(
+      corpusDocs.toDF("doc_id", "text"), benchDocs.toDF("doc_id", "text"), "text", "doc_id"))
+    gramTable.unpersist()
+    assert(got == want, s"stream-batch diff: ${(got diff want) ++ (want diff got)}")
+    assert(got.nonEmpty) // the fixture slice really contaminates
+  }
+
   test("decontaminationStream fails fast on a corpus-sized benchmark gram set") {
     import sqlImplicits._
     // the gram set embeds as a plan literal, so an over-bound set must
