@@ -1,0 +1,117 @@
+package graft.queries
+
+import graft.{SparkEntry, SparkSpec}
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+
+/** Suite-wide plan contracts over EVERY registered query, pinned at
+  * sf0.001 on the pre-execution plan (deterministic — AQE has not
+  * replanned yet, so counts don't depend on runtime statistics):
+  *
+  *  - no cartesian product and no broadcast nested-loop join
+  *    anywhere, including subqueries — the two shapes that turn a
+  *    100 TB join into an effectively unbounded one. Every pair
+  *    operator here is banded/bucketed by construction (LSH bands,
+  *    IVF cells, n-gram keys), so an accidental cross join is always
+  *    a bug, never intent.
+  *  - a per-query SHUFFLE BUDGET: the number of shuffle exchanges in
+  *    the initial physical plan, asserted as an exact pin. A refactor
+  *    that adds a repartition/distinct/non-colocated join fails here
+  *    with the query name, not as a silent benchmark regression three
+  *    rounds later. (AQE may merge/elide some of these at runtime —
+  *    PLANS.md records the finalized counts; this pin bounds the
+  *    planned ones.)
+  *
+  * The budget is descriptive of the CURRENT accepted plans: when a
+  * deliberate improvement lowers a count, update the pin downward;
+  * raising one should be a reviewed decision with a reason.
+  */
+class PlanContractSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def nodes(p: SparkPlan): Seq[SparkPlan] = {
+    // the AQE root exposes no children; pre-execution its
+    // executedPlan IS the initial plan
+    val inner = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case _ => p.children ++ p.subqueries
+    }
+    p +: inner.flatMap(nodes)
+  }
+
+  // name -> shuffle exchanges in the initial physical plan at sf0.001
+  private val shuffleBudget: Map[String, Int] = Map(
+    "q1_pricing_summary" -> 2,
+    "q2_filter_project" -> 1,
+    "q3_revenue_by_nation" -> 2,
+    "q4_semi_join" -> 2,
+    "q5_anti_join" -> 1,
+    "q6_topk_orders" -> 0,
+    "q7_latest_order_per_customer" -> 2,
+    "q8_supplier_spread" -> 3,
+    "q9_mode_quantity" -> 3,
+    "q10_median_quantity" -> 2,
+    "q11_set_ops" -> 5,
+    "q12_cycle_stats" -> 2,
+    "q13_valid_cycle_rows" -> 2,
+    "q14_cycle_curation" -> 2,
+    "q15_baseline_thresholds" -> 3,
+    "q16_weekly_stats" -> 2,
+    "q17_recency_topk" -> 2,
+    "q18_scalar_pack" -> 1,
+    "q19_hourly_agg" -> 2,
+    "q20_token_stats" -> 1,
+    "q21_exact_dedup" -> 2,
+    "q22_quality_score" -> 1,
+    "q23_ngram_jaccard_pairs" -> 6,
+    "q24_lang_stats" -> 2,
+    "q25_langid_fingerprint" -> 1,
+    "q25a_langid_tokens" -> 1,
+    "q26_minhash_pairs" -> 2,
+    "q27_simhash_pairs" -> 2,
+    "q28_knn_brute" -> 0,
+    "q29_knn_ann" -> 0,
+    "q30_embedding_near_dup" -> 2,
+    "q31_label_stats" -> 2,
+    "q32_asof_join" -> 3,
+    "q33_rollup" -> 2,
+    "q34_moving_avg" -> 2,
+    "q35_approx_sketches" -> 3,
+    "q36_curation_pipeline" -> 1,
+    "q37_knn_ivf" -> 0,
+    "q38_knn_join" -> 2,
+    "q39_stratified_sample" -> 1,
+    "q40_sequence_packing" -> 2,
+    "q41_pii_scrub" -> 1,
+    "q42_quality_filters" -> 1,
+    "q43_decontamination" -> 3,
+    "q44_source_mixing" -> 2,
+    "q45_corpus_novelty" -> 3,
+    "q46_decontaminated" -> 3)
+
+  test("no query plans a cartesian product or nested-loop join") {
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val all = nodes(fn(spark, dir).queryExecution.executedPlan)
+      val bad = all.filter(n =>
+        n.isInstanceOf[CartesianProductExec] || n.isInstanceOf[BroadcastNestedLoopJoinExec])
+      if (bad.isEmpty) None else Some(s"$name: ${bad.map(_.nodeName).distinct.mkString(", ")}")
+    }
+    assert(offenders.isEmpty, s"unbounded join shapes:\n${offenders.mkString("\n")}")
+  }
+
+  test("per-query shuffle budgets hold") {
+    val actual = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      name -> nodes(fn(spark, dir).queryExecution.executedPlan)
+        .count(_.isInstanceOf[ShuffleExchangeLike])
+    }
+    val diffs = actual.collect {
+      case (name, n) if shuffleBudget.get(name).exists(_ != n) =>
+        s"$name: planned $n shuffles, budget ${shuffleBudget(name)}"
+      case (name, n) if !shuffleBudget.contains(name) =>
+        s"$name -> $n (unbudgeted)"
+    }
+    assert(diffs.isEmpty, s"shuffle-budget drift:\n${diffs.mkString("\n")}")
+  }
+}
