@@ -31,6 +31,17 @@ class PlanContractSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
 
+  /** Some query constructors persist intermediate tables (q36's
+    * pipeline checkpoints); in the suite-shared session that cache
+    * would be substituted into LATER queries' plans — both inside
+    * this spec and in sibling suites' plan assertions. Reset around
+    * every audited query, same rationale as Bench.resetState.
+    */
+  private def resetState(): Unit = {
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+  }
+
   private def nodes(p: SparkPlan): Seq[SparkPlan] = {
     // the AQE root exposes no children; pre-execution its
     // executedPlan IS the initial plan
@@ -93,19 +104,23 @@ class PlanContractSpec extends SparkSpec {
 
   test("no query plans a cartesian product or nested-loop join") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      resetState()
       val all = nodes(fn(spark, dir).queryExecution.executedPlan)
       val bad = all.filter(n =>
         n.isInstanceOf[CartesianProductExec] || n.isInstanceOf[BroadcastNestedLoopJoinExec])
       if (bad.isEmpty) None else Some(s"$name: ${bad.map(_.nodeName).distinct.mkString(", ")}")
     }
+    resetState()
     assert(offenders.isEmpty, s"unbounded join shapes:\n${offenders.mkString("\n")}")
   }
 
   test("per-query shuffle budgets hold") {
     val actual = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      resetState()
       name -> nodes(fn(spark, dir).queryExecution.executedPlan)
         .count(_.isInstanceOf[ShuffleExchangeLike])
     }
+    resetState()
     val diffs = actual.collect {
       case (name, n) if shuffleBudget.get(name).exists(_ != n) =>
         s"$name: planned $n shuffles, budget ${shuffleBudget(name)}"
