@@ -91,21 +91,48 @@ object Decontamination {
       textCol: String,
       idCol: String,
       n: Int = 3,
-      flagThreshold: Double = 0.05): DataFrame = {
-    val benchGrams = bench
-      .select(explode(distinctNgrams(col(textCol), n)).as("g")).distinct()
-    // Join-with-marker: a broadcast LEFT join tags each corpus n-gram
-    // that the benchmark contains, and ONE groupBy(doc) derives both
-    // totals — `count(1)` is n_ngrams (the left join preserves exactly
-    // one row per distinct gram; the bench side is distinct) and
+      flagThreshold: Double = 0.05): DataFrame =
+    reportWith(corpus,
+      bench.select(explode(distinctNgrams(col(textCol), n)).as("g")).distinct(),
+      textCol, idCol, n, flagThreshold)
+
+  /** [[report]] against a PRECOMPUTED distinct gram table (column
+    * `g`) — the production form when the benchmark release is
+    * materialized once and reused across corpus snapshots, and the
+    * regime switch for benchmark sets too large to broadcast:
+    * `broadcastBench = true` (default) keeps the broadcast
+    * join-with-marker shape; `false` drops the hint so the planner
+    * shuffles BOTH sides on the gram key instead — corpus grams cross
+    * an exchange (never text), which is the right trade only when the
+    * gram table itself is beyond broadcast size. Mirrors the
+    * streaming twins ([[graft.streaming.StreamingOps
+    * .decontaminationStream]] literal / `decontaminationStreamJoin`
+    * shuffle) so both engines offer both regimes.
+    *
+    * `benchGrams` must be DISTINCT on `g` — duplicates multiply the
+    * left-joined rows and corrupt BOTH counts.
+    */
+  def reportWith(
+      corpus: DataFrame,
+      benchGrams: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int = 3,
+      flagThreshold: Double = 0.05,
+      broadcastBench: Boolean = true): DataFrame = {
+    // Join-with-marker: a LEFT join tags each corpus n-gram that the
+    // benchmark contains, and ONE groupBy(doc) derives both totals —
+    // `count(1)` is n_ngrams (the left join preserves exactly one row
+    // per distinct gram; the bench side is distinct) and
     // `count(__hit)` is n_overlap. No `size()` over the gram array
     // anywhere, so the array is evaluated exactly once, by the
-    // generate. Clean documents reach the exchange only as one
+    // generate. Clean documents reach the final exchange only as one
     // map-side partially-aggregated count row each (a document's
     // grams are partition-local — they explode from one input row),
     // never as text.
+    val tagged = benchGrams.select(col("g")).withColumn("__dc_hit", lit(1))
     explodedGrams(corpus, textCol, idCol, n)
-      .join(bcast(benchGrams.withColumn("__dc_hit", lit(1))), Seq("g"), "left")
+      .join(if (broadcastBench) bcast(tagged) else tagged, Seq("g"), "left")
       .groupBy(col(idCol))
       .agg(count(lit(1)).cast("int").as("n_ngrams"),
         count(col("__dc_hit")).as("n_overlap"))

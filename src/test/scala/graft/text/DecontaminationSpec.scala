@@ -66,4 +66,45 @@ class DecontaminationSpec extends SparkSpec {
     // n_ngrams (count(1)) and n_overlap (count of the marker)
     assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftOuter"), plan)
   }
+
+  test("reportWith(broadcastBench = false): same rows via a shuffled gram join") {
+    // at fixture scale AQE would auto-broadcast the tiny bench side
+    // regardless of the missing hint; turn auto-broadcast off so the
+    // plan shows the regime a beyond-broadcast benchmark would get
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.getOption(k))
+    saved.foreach { case (k, _) => spark.conf.set(k, "-1") }
+    try testBody() finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  private def testBody(): Unit = {
+    val docs = graft.sources.Sources.documents(spark, "/root/testdata/sf0.001")
+    val corpus = docs.filter(pmod(col("doc_id"), lit(97L)) =!= 0L)
+    val bench = docs.filter(pmod(col("doc_id"), lit(97L)) === 0L)
+    val gramTable = bench
+      .select(explode(Decontamination.distinctNgrams(col("text"), 3)).as("g")).distinct()
+
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("doc_id", "n_ngrams", "n_overlap", "contam_frac", "flagged").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3), r.getInt(4))).toSet
+
+    val shuffled = Decontamination.reportWith(
+      corpus, gramTable, "text", "doc_id", broadcastBench = false)
+    val want = rows(Decontamination.report(corpus, bench, "text", "doc_id"))
+    assert(rows(shuffled) == want)
+    assert(want.nonEmpty) // the fixture slice really contaminates
+
+    // the regime really switched: without the hint the planner joins
+    // the gram key with a shuffle on both sides, no broadcast of the
+    // bench set (the trade for a beyond-broadcast benchmark release)
+    shuffled.collect()
+    val plan = shuffled.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastHashJoin"), plan)
+    assert(plan.contains("LeftOuter"), plan)
+  }
 }
