@@ -143,7 +143,18 @@ object Decontamination {
   }
 
   /** The removal applied: corpus minus documents at or above the flag
-    * threshold — broadcast anti-join on the (small) flagged id list.
+    * threshold — anti-join on the flagged id list.
+    *
+    * `broadcastFlagged = true` (default) hints the flagged ids into a
+    * broadcast anti-join, so the corpus never shuffles — the right
+    * shape while the flagged set is executor-memory-sized (the normal
+    * case: contamination is a small corpus fraction). Against a
+    * benchmark release so large that flagged ids themselves are
+    * beyond broadcast, pass `false`: the planner shuffle-anti-joins
+    * on the id instead, which DOES move corpus rows (text included)
+    * through one exchange — intrinsic to removing a non-broadcastable
+    * id set; there is no third shape without pre-bucketing the corpus
+    * by id.
     */
   def decontaminated(
       corpus: DataFrame,
@@ -151,10 +162,11 @@ object Decontamination {
       textCol: String,
       idCol: String,
       n: Int = 3,
-      flagThreshold: Double = 0.05): DataFrame = {
+      flagThreshold: Double = 0.05,
+      broadcastFlagged: Boolean = true): DataFrame = {
     val flagged = report(corpus, bench, textCol, idCol, n, flagThreshold)
       .filter(col("flagged") === 1)
       .select(col(idCol))
-    corpus.join(bcast(flagged), Seq(idCol), "left_anti")
+    corpus.join(if (broadcastFlagged) bcast(flagged) else flagged, Seq(idCol), "left_anti")
   }
 }

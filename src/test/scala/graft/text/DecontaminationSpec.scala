@@ -106,5 +106,14 @@ class DecontaminationSpec extends SparkSpec {
     val plan = shuffled.queryExecution.executedPlan.toString
     assert(!plan.contains("BroadcastHashJoin"), plan)
     assert(plan.contains("LeftOuter"), plan)
+
+    // removal under the same regime: identical kept set either way
+    val keptB = Decontamination.decontaminated(corpus, bench, "text", "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    val keptS = Decontamination.decontaminated(
+      corpus, bench, "text", "doc_id", broadcastFlagged = false)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(keptB.sameElements(keptS))
+    assert(keptB.nonEmpty)
   }
 }
