@@ -322,8 +322,75 @@ object TextQueries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Fixed-window chunking (64-token windows, stride 48 => 16-token
+    * overlap): the training/RAG prep step. Fully deterministic column
+    * arithmetic — the DuckDB mirror reproduces chunk starts
+    * (generate_series), slices, and rejoined chunk text exactly.
+    * Sorted only for the oracle compare; the production form
+    * ([[graft.text.Chunking.chunks]]) is scan -> Generate, no shuffle.
+    */
+  def q47Chunking(spark: SparkSession, dir: String): DataFrame =
+    graft.text.Chunking.chunks(
+      Sources.documents(spark, dir), "text", "doc_id", window = 64, stride = 48)
+      .orderBy("doc_id", "chunk_idx")
+
+  val q47Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks,
+      |         len(string_split(text, ' ')) AS n
+      |  FROM documents
+      |), s AS (
+      |  SELECT doc_id, toks, n,
+      |    unnest(generate_series(0, CAST(greatest(ceil((n - 64) / 48.0), 0) AS BIGINT) * 48, 48)) AS start_tok
+      |  FROM t
+      |)
+      |SELECT doc_id,
+      |  CAST(start_tok // 48 AS INT) AS chunk_idx,
+      |  CAST(start_tok AS INT) AS start_tok,
+      |  CAST(least(64, n - start_tok) AS INT) AS n_chunk_tokens,
+      |  array_to_string(toks[start_tok + 1 : start_tok + 64], ' ') AS chunk_text
+      |FROM s
+      |ORDER BY doc_id, chunk_idx""".stripMargin
+
+  /** Cross-document repeated-span stats (8-token spans): the
+    * substring-dedup seed signal — how much of each document is
+    * content that also occurs in other documents. The near-dup docs
+    * in the fixture light up at dup_ratio ~1; unrelated docs sit at 0.
+    */
+  def q48RepeatedSpans(spark: SparkSession, dir: String): DataFrame =
+    graft.text.RepeatedSpans.docDupStats(
+      Sources.documents(spark, dir), "text", "doc_id", k = 8)
+      .orderBy("doc_id")
+
+  val q48Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks,
+      |         len(string_split(text, ' ')) AS n
+      |  FROM documents
+      |), pos AS (
+      |  SELECT doc_id, toks, unnest(generate_series(1, n - 7)) AS i
+      |  FROM t WHERE n >= 8
+      |), spans AS (
+      |  SELECT doc_id, array_to_string(toks[i : i + 7], ' ') AS span FROM pos
+      |), sd AS (
+      |  SELECT span, doc_id, count(*) AS occ FROM spans GROUP BY 1, 2
+      |), ss AS (
+      |  SELECT span, count(*) AS n_docs FROM sd GROUP BY 1
+      |), dup AS (
+      |  SELECT sd.doc_id, sum(occ) AS ds
+      |  FROM sd JOIN ss USING (span) WHERE ss.n_docs >= 2 GROUP BY sd.doc_id
+      |)
+      |SELECT t.doc_id,
+      |  CAST(greatest(n - 7, 0) AS INT) AS n_spans,
+      |  CAST(coalesce(ds, 0) AS INT) AS dup_spans,
+      |  CASE WHEN n >= 8 THEN CAST(coalesce(ds, 0) AS DOUBLE) / (n - 7) ELSE 0.0 END AS dup_ratio
+      |FROM t LEFT JOIN dup ON t.doc_id = dup.doc_id
+      |ORDER BY t.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q36_curation_pipeline" -> (q36CurationPipeline _),
+    "q47_chunking" -> (q47Chunking _),
+    "q48_repeated_spans" -> (q48RepeatedSpans _),
     "q20_token_stats" -> (q20TokenStats _),
     "q21_exact_dedup" -> (q21ExactDedup _),
     "q22_quality_score" -> (q22QualityScore _),
@@ -342,5 +409,7 @@ object TextQueries {
     "q24_lang_stats" -> q24Sql,
     "q25a_langid_tokens" -> q25aSql,
     "q26_minhash_pairs" -> q26Sql,
-    "q36_curation_pipeline" -> q36Sql)
+    "q36_curation_pipeline" -> q36Sql,
+    "q47_chunking" -> q47Sql,
+    "q48_repeated_spans" -> q48Sql)
 }

@@ -100,7 +100,13 @@ class PlanContractSpec extends SparkSpec {
     "q43_decontamination" -> 3,
     "q44_source_mixing" -> 2,
     "q45_corpus_novelty" -> 3,
-    "q46_decontaminated" -> 3)
+    "q46_decontaminated" -> 3,
+    // q47: scan -> Generate, zero data shuffles; the 1 is the oracle
+    // ORDER BY's range exchange (production form is unsorted)
+    "q47_chunking" -> 1,
+    // q48: (span,doc) agg + span agg + span-key join repartition +
+    // doc-grain rollup + oracle ORDER BY; all on the distinct grain
+    "q48_repeated_spans" -> 5)
 
   test("no query plans a cartesian product or nested-loop join") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
