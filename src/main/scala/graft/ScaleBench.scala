@@ -313,6 +313,31 @@ object ScaleBench {
           v.fold(conf.unset(k))(conf.set(k, _))
         }
       }),
+      // Chunking: scan -> one Generate, zero shuffles; rows = total
+      // chunks (~n_tokens/stride per doc), linear by construction —
+      // the text pack's known-linear control alongside brute_topk.
+      "chunking" -> (() =>
+        graft.text.Chunking
+          .chunks(docs, "text", "doc_id", window = 64, stride = 48).count()),
+      // Repeated spans: one position row per token, aggregated to the
+      // distinct (span, doc) grain before any join. The token-suffix
+      // fixture preserves per-copy span duplication exactly with zero
+      // cross-copy overlap, so the duplicated-span population grows
+      // linearly in N and alpha near 1 certifies the distinct-grain
+      // aggregation absorbs it (a pairwise occurrence join would go
+      // quadratic in the shared-boilerplate population instead).
+      "repeated_spans" -> (() =>
+        graft.text.RepeatedSpans
+          .docDupStats(docs, "text", "doc_id", k = 8).count()),
+      // Span removal (stage 2): same grains plus the keeper join and
+      // the per-doc removal-starts aggregate; the agg forces the
+      // pruned text so the zip_with/slice gap algebra is actually
+      // evaluated, not pruned away by a bare count.
+      "prune_spans" -> (() =>
+        graft.text.RepeatedSpans
+          .pruneSpans(docs, "text", "doc_id", k = 8)
+          .agg(sum(length(col("pruned_text"))) + sum(col("n_removed")))
+          .head().getLong(0)),
       // Quality gate: forced through gophered() so the keep-gate
       // filter makes every signal column live — a bare count() would
       // let Catalyst prune all seven signals and time the scan.

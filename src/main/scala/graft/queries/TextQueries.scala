@@ -387,10 +387,61 @@ object TextQueries {
       |FROM t LEFT JOIN dup ON t.doc_id = dup.doc_id
       |ORDER BY t.doc_id""".stripMargin
 
+  /** Span removal (substring dedup stage 2, 8-token spans): duplicated
+    * spans keep their content only in the min-doc_id keeper document.
+    * The oracle reproduces the removal at token grain (EXISTS over
+    * covered positions) — provably the same set the Spark side's
+    * interval-gap algebra keeps, so the rejoined text is hash-exact.
+    */
+  def q49PruneSpans(spark: SparkSession, dir: String): DataFrame =
+    graft.text.RepeatedSpans.pruneSpans(
+      Sources.documents(spark, dir), "text", "doc_id", k = 8)
+      .orderBy("doc_id")
+
+  val q49Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks,
+      |         len(string_split(text, ' ')) AS n
+      |  FROM documents
+      |), pos AS (
+      |  SELECT doc_id, toks, unnest(generate_series(1, n - 7)) AS i
+      |  FROM t WHERE n >= 8
+      |), spans AS (
+      |  SELECT doc_id, i, array_to_string(toks[i : i + 7], ' ') AS span FROM pos
+      |), sd AS (
+      |  SELECT span, doc_id FROM spans GROUP BY 1, 2
+      |), flag AS (
+      |  SELECT span, min(doc_id) AS keeper FROM sd GROUP BY 1 HAVING count(*) >= 2
+      |), rem AS (
+      |  SELECT s.doc_id, s.i FROM spans s JOIN flag f USING (span)
+      |  WHERE s.doc_id <> f.keeper
+      |), cov AS (
+      |  SELECT DISTINCT doc_id, i + d.d AS j
+      |  FROM rem CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS d) d
+      |), tok AS (
+      |  SELECT doc_id, unnest(generate_series(1, n)) AS j FROM t
+      |), kept AS (
+      |  SELECT tok.doc_id, tok.j
+      |  FROM tok LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.j = cov.j
+      |  WHERE cov.j IS NULL
+      |), agg AS (
+      |  SELECT kept.doc_id, count(*) AS n_kept,
+      |         string_agg(t2.toks[kept.j], ' ' ORDER BY kept.j) AS txt
+      |  FROM kept JOIN t t2 ON kept.doc_id = t2.doc_id
+      |  GROUP BY kept.doc_id
+      |)
+      |SELECT t.doc_id,
+      |  CAST(n AS INT) AS n_tokens,
+      |  CAST(n - coalesce(n_kept, 0) AS INT) AS n_removed,
+      |  coalesce(txt, '') AS pruned_text
+      |FROM t LEFT JOIN agg ON t.doc_id = agg.doc_id
+      |ORDER BY t.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q36_curation_pipeline" -> (q36CurationPipeline _),
     "q47_chunking" -> (q47Chunking _),
     "q48_repeated_spans" -> (q48RepeatedSpans _),
+    "q49_prune_spans" -> (q49PruneSpans _),
     "q20_token_stats" -> (q20TokenStats _),
     "q21_exact_dedup" -> (q21ExactDedup _),
     "q22_quality_score" -> (q22QualityScore _),
@@ -411,5 +462,6 @@ object TextQueries {
     "q26_minhash_pairs" -> q26Sql,
     "q36_curation_pipeline" -> q36Sql,
     "q47_chunking" -> q47Sql,
-    "q48_repeated_spans" -> q48Sql)
+    "q48_repeated_spans" -> q48Sql,
+    "q49_prune_spans" -> q49Sql)
 }

@@ -38,6 +38,83 @@ object RepeatedSpans {
     * documents, and `dup_ratio = dup_spans / n_spans` (0 for
     * documents shorter than one span). Unsorted (production form).
     */
+  /** Substring-level dedup, stage 2 (after [[docDupStats]] detects):
+    * REMOVE every token covered by a cross-document duplicated K-token
+    * span, keeping the span's content only in its keeper document
+    * (`min(doc_id)` among the documents containing it) — the
+    * document-granularity relaxation of "keep exactly one occurrence
+    * corpus-wide" (the classic substring-dedup policy needs a global
+    * occurrence order; keeping the whole keeper document intact keeps
+    * the semantics deterministic and relational). With
+    * `keepFirst = false` the keeper exemption is dropped — pure
+    * boilerplate scrubbing, covered content removed everywhere.
+    *
+    * Returns `(doc_id, n_tokens, n_removed, pruned_text)`.
+    *
+    * Scale shape: same linear grains as [[docDupStats]] — position
+    * stream -> distinct `(span, doc)` -> span-level keeper table ->
+    * join back on span, then ONE per-doc aggregate collecting the
+    * sorted removal starts. Token removal itself is array algebra with
+    * NO token-grain shuffle: K-token covered intervals from sorted
+    * starts have monotone ends, so the kept text is the flatten of
+    * `zip_with(gapLos, gapHis, slice)` — linear per row, no struct
+    * state, no per-token membership scan (an `exists(starts, ...)`
+    * per token would go quadratic on heavily-duplicated documents).
+    */
+  def pruneSpans(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      k: Int,
+      minDocs: Int = 2,
+      keepFirst: Boolean = true): DataFrame = {
+    require(k > 0, s"k=$k must be positive")
+    require(minDocs >= 2, s"minDocs=$minDocs: a span is 'repeated' across >= 2 documents")
+    val toksDf = df
+      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), col("__toks"), size(col("__toks")).as("__n"))
+    // (doc, 1-based span start, span text) — posexplode over the span
+    // array built once per row (see docDupStats on the empty-guard).
+    val spansPos = toksDf
+      .select(
+        col(idCol),
+        posexplode(
+          when(col("__n") >= k,
+            transform(
+              sequence(lit(1), col("__n") - lit(k - 1)),
+              i => array_join(slice(col("__toks"), i, lit(k)), " ")))
+            .otherwise(array().cast("array<string>"))).as(Seq("__pos", "span")))
+    val flagged = spansPos
+      .groupBy(col("span"), col(idCol)).agg(count(lit(1)).as("__occ"))
+      .groupBy(col("span"))
+      .agg(count(lit(1)).as("__ndocs"), min(col(idCol)).as("__keeper"))
+      .filter(col("__ndocs") >= minDocs)
+      .select(col("span"), col("__keeper"))
+    val hits = spansPos.join(flagged, "span")
+    val removedAt = (if (keepFirst) hits.filter(col(idCol) =!= col("__keeper")) else hits)
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(col("__pos") + 1)).as("__starts"))
+    val starts = coalesce(col("__starts"), array().cast("array<int>"))
+    // Gap algebra: sorted starts of equal-length-K intervals have
+    // monotone ends, so the running coverage end is always the
+    // PREVIOUS start's end — candidate gap j sits between interval
+    // j-1's end and interval j's start (plus a head gap before the
+    // first start and a tail gap after the last). Empty/overlapping
+    // gaps clamp to length 0 inside slice.
+    val gapLos = transform(
+      concat(array(lit(0)), transform(starts, s => s + lit(k - 1))), e => e + 1)
+    val gapHis = concat(transform(starts, s => s - 1), array(col("__n")))
+    val kept = flatten(zip_with(gapLos, gapHis,
+      (lo, hi) => slice(col("__toks"), lo, greatest(hi - lo + 1, lit(0)))))
+    toksDf
+      .join(removedAt, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        col("__n").as("n_tokens"),
+        (col("__n") - size(kept)).as("n_removed"),
+        array_join(kept, " ").as("pruned_text"))
+  }
+
   def docDupStats(
       df: DataFrame,
       textCol: String,

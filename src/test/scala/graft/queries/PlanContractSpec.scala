@@ -106,7 +106,11 @@ class PlanContractSpec extends SparkSpec {
     "q47_chunking" -> 1,
     // q48: (span,doc) agg + span agg + span-key join repartition +
     // doc-grain rollup + oracle ORDER BY; all on the distinct grain
-    "q48_repeated_spans" -> 5)
+    "q48_repeated_spans" -> 5,
+    // q49: same span-keyed grains as q48 feeding the removal-starts
+    // aggregate + oracle ORDER BY; the token-removal gap algebra is
+    // row-local (no token-grain shuffle)
+    "q49_prune_spans" -> 4)
 
   test("no query plans a cartesian product or nested-loop join") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

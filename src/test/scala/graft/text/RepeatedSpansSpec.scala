@@ -61,6 +61,58 @@ class RepeatedSpansSpec extends SparkSpec {
     assert(out(1).getInt(1) == 1 && out(1).getInt(2) == 1 && out(1).getDouble(3) == 1.0)
   }
 
+  test("pruneSpans: keeper doc keeps the span, others lose exactly the covered tokens") {
+    import sqlImplicits._
+    val boiler = (1 to 8).map(i => s"b$i").mkString(" ")
+    val df = Seq(
+      (1L, s"$boiler u1 u2 u3"),
+      (2L, s"$boiler v1 v2 v3"),
+      (3L, (1 to 12).map(i => s"w$i").mkString(" "))).toDF("doc_id", "text")
+    val out = RepeatedSpans.pruneSpans(df, "text", "doc_id", k = 8)
+      .orderBy("doc_id").collect()
+    // doc 1 is the keeper (min doc_id): untouched
+    assert(out(0).getInt(1) == 11 && out(0).getInt(2) == 0)
+    assert(out(0).getString(3) == s"$boiler u1 u2 u3")
+    // doc 2 loses the 8 boilerplate tokens, keeps its unique tail
+    assert(out(1).getInt(1) == 11 && out(1).getInt(2) == 8)
+    assert(out(1).getString(3) == "v1 v2 v3")
+    // doc 3 shares nothing: untouched
+    assert(out(2).getInt(2) == 0 && out(2).getString(3).startsWith("w1 "))
+  }
+
+  test("pruneSpans: overlapping covered intervals merge; fully-duplicated doc prunes to empty") {
+    import sqlImplicits._
+    val text = (1 to 20).map(i => s"t$i").mkString(" ")
+    val df = Seq((1L, text), (2L, text)).toDF("doc_id", "text")
+    val out = RepeatedSpans.pruneSpans(df, "text", "doc_id", k = 8)
+      .orderBy("doc_id").collect()
+    // keeper (doc 1) intact; doc 2: all 13 span starts flag, their
+    // overlapping [i, i+7] intervals merge to cover all 20 tokens
+    assert(out(0).getInt(2) == 0 && out(0).getString(3) == text)
+    assert(out(1).getInt(2) == 20 && out(1).getString(3) == "")
+  }
+
+  test("pruneSpans: interior removal stitches head and tail around a mid-document span") {
+    import sqlImplicits._
+    val shared = (1 to 8).map(i => s"s$i").mkString(" ")
+    val df = Seq(
+      (1L, shared),
+      (2L, s"h1 h2 $shared t1 t2")).toDF("doc_id", "text")
+    val out = RepeatedSpans.pruneSpans(df, "text", "doc_id", k = 8)
+      .orderBy("doc_id").collect()
+    assert(out(1).getInt(2) == 8)
+    assert(out(1).getString(3) == "h1 h2 t1 t2")
+  }
+
+  test("pruneSpans: keepFirst=false scrubs the keeper too") {
+    import sqlImplicits._
+    val boiler = (1 to 8).map(i => s"b$i").mkString(" ")
+    val df = Seq((1L, s"$boiler x1"), (2L, s"$boiler y1")).toDF("doc_id", "text")
+    val out = RepeatedSpans.pruneSpans(df, "text", "doc_id", k = 8, keepFirst = false)
+      .orderBy("doc_id").collect()
+    assert(out(0).getString(3) == "x1" && out(1).getString(3) == "y1")
+  }
+
   test("plan shape: position stream aggregates before any join; span key reused co-partitioned") {
     import sqlImplicits._
     val df = Seq((1L, (1 to 30).map(i => s"t$i").mkString(" "))).toDF("doc_id", "text")
