@@ -569,6 +569,129 @@ object StreamingOps {
         })
   }
 
+  // ------------------------------- streaming substring-dedup twins
+
+  final case class SpanHit(id: Long, hit: Option[Int])
+  final case class SpanStatsOut(doc_id: Long, n_spans: Int, dup_spans: Int, dup_ratio: Double)
+  final case class PruneRow(id: Long, pos: Int, tok: String, hit: Option[Int])
+  final case class PruneOut(doc_id: Long, n_tokens: Int, n_removed: Int, pruned_text: String)
+
+  /** Streaming twin of [[graft.text.RepeatedSpans.docDupStats]]:
+    * score ARRIVING documents against a SNAPSHOT span-frequency table
+    * ([[graft.text.RepeatedSpans.spanFrequency]] over the corpus
+    * release — corpus-sized, so it stays a stream-static join on the
+    * span, never a literal; persist it, the static side re-plans per
+    * micro-batch). Span positions explode from one input row
+    * (doc-atomicity, as in [[noveltyStream]]), LEFT-join the flagged
+    * span set with a hit marker, and one zero-retained-state group
+    * pass per document counts positions and hits. Documents shorter
+    * than one span emit nothing (they have no positions — the batch
+    * form reports them as `n_spans = 0` via its doc-grain left join;
+    * parity below is over the `n >= k` population).
+    *
+    * Parity (StreamingOpsSpec): streaming the SAME corpus the
+    * snapshot was built from equals batch `docDupStats` row-for-row
+    * on documents with at least one span, doubles bit-identical
+    * (same two-integer divide).
+    */
+  def repeatedSpansStream(
+      docs: DataFrame,
+      spanFreq: DataFrame,
+      textCol: String,
+      idCol: String,
+      k: Int,
+      minDocs: Int = 2): Dataset[SpanStatsOut] = {
+    import docs.sparkSession.implicits._
+    require(minDocs >= 2, s"minDocs=$minDocs: a span is 'repeated' across >= 2 documents")
+    requireIntegralId(docs, idCol)
+    val flagged = spanFreq.filter(col("n_docs") >= minDocs)
+      .select(col("span")).withColumn("__rs_hit", lit(1))
+    graft.text.RepeatedSpans.spanPositions(docs, textCol, idCol, k)
+      .select(col(idCol).cast("long").as("id"), col("span"))
+      .join(flagged, Seq("span"), "left")
+      .select(col("id"), col("__rs_hit").as("hit"))
+      .as[SpanHit]
+      .groupByKey(_.id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (id: Long, rows: Iterator[SpanHit], state: GroupState[Long]) => {
+          var nPos = 0
+          var nHit = 0
+          rows.foreach { r => nPos += 1; if (r.hit.isDefined) nHit += 1 }
+          // state is never set: a doc's positions explode from one
+          // input row, so its group completes within its micro-batch
+          Iterator(SpanStatsOut(id, nPos, nHit, nHit.toDouble / nPos))
+        })
+  }
+
+  /** Streaming twin of [[graft.text.RepeatedSpans.pruneSpans]]:
+    * remove duplicated-span content from ARRIVING documents against
+    * the same snapshot span-frequency table. The keeper exemption is
+    * evaluated against the SNAPSHOT's `keeper` column, so a streamed
+    * document keeps a flagged span only if the snapshot already named
+    * it the keeper — a genuinely new document is scrubbed of all
+    * flagged content, which is exactly the production semantics for
+    * incremental corpus growth (the snapshot owns history).
+    *
+    * Mechanics: the document fans out as BOTH token rows
+    * (`pos = -tokenIndex`, carrying the token) and span rows
+    * (`pos = +spanStart`, LEFT-joined against the flagged spans), a
+    * self-union of the same input row — still doc-atomic. One
+    * zero-retained-state group pass reassembles the token sequence,
+    * sorts the flagged starts, and applies the SAME monotone-ends gap
+    * walk as the batch form (sorted equal-length intervals — the
+    * running coverage end is the previous start's end). Output rows
+    * match batch `pruneSpans` exactly, including untouched documents.
+    */
+  def pruneSpansStream(
+      docs: DataFrame,
+      spanFreq: DataFrame,
+      textCol: String,
+      idCol: String,
+      k: Int,
+      minDocs: Int = 2,
+      keepFirst: Boolean = true): Dataset[PruneOut] = {
+    import docs.sparkSession.implicits._
+    require(k > 0, s"k=$k must be positive")
+    require(minDocs >= 2, s"minDocs=$minDocs: a span is 'repeated' across >= 2 documents")
+    requireIntegralId(docs, idCol)
+    val flagged = spanFreq.filter(col("n_docs") >= minDocs)
+      .select(col("span"), col("keeper").cast("long").as("__keeper"))
+    val tokRows = docs
+      .select(col(idCol).cast("long").as("id"),
+        posexplode(graft.text.TextAnalysis.tokens(col(textCol))).as(Seq("__t0", "tok")))
+      .select(col("id"), (-col("__t0") - 1).as("pos"), col("tok"),
+        lit(null).cast("int").as("hit"))
+    val spanRows = graft.text.RepeatedSpans.spanPositions(docs, textCol, idCol, k)
+      .select(col(idCol).cast("long").as("id"), col("pos"), col("span"))
+      .join(flagged, Seq("span"), "left")
+      .select(col("id"), col("pos"), lit(null).cast("string").as("tok"),
+        when(col("__keeper").isNotNull &&
+          (if (keepFirst) col("__keeper") =!= col("id") else lit(true)), 1)
+          .cast("int").as("hit"))
+    tokRows.unionByName(spanRows)
+      .as[PruneRow]
+      .groupByKey(_.id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (id: Long, rows: Iterator[PruneRow], state: GroupState[Long]) => {
+          val toksBuf = scala.collection.mutable.ArrayBuffer.empty[(Int, String)]
+          val startsBuf = scala.collection.mutable.ArrayBuffer.empty[Int]
+          rows.foreach { r =>
+            if (r.pos < 0) toksBuf += ((-r.pos, r.tok))
+            else if (r.hit.isDefined) startsBuf += r.pos
+          }
+          val toks = toksBuf.sortInPlace()(Ordering.by(_._1)).map(_._2)
+          val n = toks.length
+          val kept = scala.collection.mutable.ArrayBuffer.empty[String]
+          var end = 0 // highest covered 1-based token index so far
+          startsBuf.sortInPlace().foreach { s =>
+            if (s > end + 1) kept ++= toks.slice(end, s - 1)
+            end = math.max(end, s + k - 1)
+          }
+          if (end < n) kept ++= toks.slice(end, n)
+          Iterator(PruneOut(id, n, n - kept.length, kept.mkString(" ")))
+        })
+  }
+
   // ------------------------------------------------- stateful cycles
 
   final case class EventIn(event_id: Long, ts: java.sql.Timestamp, user_id: Long, event_type: String, value: Double)

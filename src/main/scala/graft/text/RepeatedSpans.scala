@@ -31,6 +31,39 @@ import org.apache.spark.sql.functions._
   */
 object RepeatedSpans {
 
+  /** `(idCol, pos, span)` — every 1-based K-token span start position
+    * with its span text; documents shorter than one span contribute no
+    * rows. One Generate per document, no shuffle (see [[docDupStats]]
+    * on the empty-array guard — `sequence(1, 0)` counts DOWN).
+    */
+  def spanPositions(df: DataFrame, textCol: String, idCol: String, k: Int): DataFrame = {
+    require(k > 0, s"k=$k must be positive")
+    df
+      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), col("__toks"), size(col("__toks")).as("__n"))
+      .select(
+        col(idCol),
+        posexplode(
+          when(col("__n") >= k,
+            transform(
+              sequence(lit(1), col("__n") - lit(k - 1)),
+              i => array_join(slice(col("__toks"), i, lit(k)), " ")))
+            .otherwise(array().cast("array<string>"))).as(Seq("__p0", "span")))
+      .select(col(idCol), (col("__p0") + 1).as("pos"), col("span"))
+  }
+
+  /** Span-level corpus snapshot: `(span, n_docs, keeper)` — how many
+    * DISTINCT documents each span occurs in, and the `min(doc_id)`
+    * keeper. This is the static side the streaming twins join against
+    * (compute once per corpus release and persist); [[docDupStats]]
+    * and [[pruneSpans]] derive the same table inline.
+    */
+  def spanFrequency(df: DataFrame, textCol: String, idCol: String, k: Int): DataFrame =
+    spanPositions(df, textCol, idCol, k)
+      .groupBy(col("span"), col(idCol)).agg(count(lit(1)).as("__occ"))
+      .groupBy(col("span"))
+      .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("keeper"))
+
   /** Per-document duplicated-span stats: `(doc_id, n_spans,
     * dup_spans, dup_ratio)` where `n_spans = max(n_tokens - k + 1,
     * 0)` is the document's span positions, `dup_spans` counts
@@ -73,27 +106,13 @@ object RepeatedSpans {
     val toksDf = df
       .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__toks"))
       .select(col(idCol), col("__toks"), size(col("__toks")).as("__n"))
-    // (doc, 1-based span start, span text) — posexplode over the span
-    // array built once per row (see docDupStats on the empty-guard).
-    val spansPos = toksDf
-      .select(
-        col(idCol),
-        posexplode(
-          when(col("__n") >= k,
-            transform(
-              sequence(lit(1), col("__n") - lit(k - 1)),
-              i => array_join(slice(col("__toks"), i, lit(k)), " ")))
-            .otherwise(array().cast("array<string>"))).as(Seq("__pos", "span")))
-    val flagged = spansPos
-      .groupBy(col("span"), col(idCol)).agg(count(lit(1)).as("__occ"))
-      .groupBy(col("span"))
-      .agg(count(lit(1)).as("__ndocs"), min(col(idCol)).as("__keeper"))
-      .filter(col("__ndocs") >= minDocs)
-      .select(col("span"), col("__keeper"))
-    val hits = spansPos.join(flagged, "span")
+    val flagged = spanFrequency(df, textCol, idCol, k)
+      .filter(col("n_docs") >= minDocs)
+      .select(col("span"), col("keeper").as("__keeper"))
+    val hits = spanPositions(df, textCol, idCol, k).join(flagged, "span")
     val removedAt = (if (keepFirst) hits.filter(col(idCol) =!= col("__keeper")) else hits)
       .groupBy(col(idCol))
-      .agg(sort_array(collect_list(col("__pos") + 1)).as("__starts"))
+      .agg(sort_array(collect_list(col("pos"))).as("__starts"))
     val starts = coalesce(col("__starts"), array().cast("array<int>"))
     // Gap algebra: sorted starts of equal-length-K intervals have
     // monotone ends, so the running coverage end is always the

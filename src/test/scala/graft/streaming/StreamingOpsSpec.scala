@@ -374,6 +374,90 @@ class StreamingOpsSpec extends SparkSpec {
     assert(got.size == docs.size) // every doc scored (all have >= 2 tokens)
   }
 
+  test("chunking runs unchanged on a stream: parity with batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import sqlImplicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = graft.sources.Sources.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val input = MemoryStream[(Long, String)]
+    // the BATCH operator applied directly to the stream — stateless
+    // scan -> Generate, so no wrapper exists to drift (same convention
+    // as the quality gate / PII scrub parities)
+    val chunked = graft.text.Chunking.chunks(
+      input.toDF().toDF("doc_id", "text"), "text", "doc_id", window = 64, stride = 48)
+    val q = chunked.writeStream.outputMode("append").format("memory").queryName("chk").start()
+    docs.grouped(100).foreach { b => input.addData(b); q.processAllAvailable() }
+    q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4))).toSet
+    val got = rows(spark.table("chk"))
+    val want = rows(graft.text.Chunking.chunks(
+      docs.toDF("doc_id", "text"), "text", "doc_id", window = 64, stride = 48))
+    assert(got == want)
+    assert(got.size > docs.size) // some documents really chunked into > 1 window
+  }
+
+  private def spanFixtureDocs(): Seq[(Long, String)] = {
+    val base = graft.sources.Sources.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    // welded boilerplate pair guarantees cross-doc duplicated spans
+    // regardless of the fixture's own duplicate population
+    val boiler = (1 to 10).map(i => s"bp$i").mkString(" ")
+    base ++ Seq((900001L, s"$boiler unique1 tail1"), (900002L, s"$boiler unique2 tail2"))
+  }
+
+  test("streaming repeated-span scoring against a span-frequency snapshot equals batch docDupStats") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import sqlImplicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = spanFixtureDocs()
+    val corpus = docs.toDF("doc_id", "text")
+    val snap = graft.text.RepeatedSpans.spanFrequency(corpus, "text", "doc_id", k = 8).persist()
+    val input = MemoryStream[(Long, String)]
+    val stream = StreamingOps.repeatedSpansStream(
+      input.toDF().toDF("doc_id", "text"), snap, "text", "doc_id", k = 8)
+    val q = stream.toDF().writeStream.outputMode("append").format("memory").queryName("rss").start()
+    docs.grouped(100).foreach { b => input.addData(b); q.processAllAvailable() }
+    q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("doc_id", "n_spans", "dup_spans", "dup_ratio").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getDouble(3))).toSet
+    val got = rows(spark.table("rss"))
+    // stream emits only docs with >= 1 span position (see scaladoc)
+    val want = rows(graft.text.RepeatedSpans.docDupStats(corpus, "text", "doc_id", k = 8)
+      .filter(col("n_spans") > 0))
+    snap.unpersist()
+    assert(got == want, s"stream-batch diff: ${(got diff want) ++ (want diff got)}")
+    assert(got.exists(_._3 > 0)) // the welded pair really flags
+  }
+
+  test("streaming span pruning against the snapshot equals batch pruneSpans, keeper exemption included") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import sqlImplicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = spanFixtureDocs()
+    val corpus = docs.toDF("doc_id", "text")
+    val snap = graft.text.RepeatedSpans.spanFrequency(corpus, "text", "doc_id", k = 8).persist()
+    val input = MemoryStream[(Long, String)]
+    val stream = StreamingOps.pruneSpansStream(
+      input.toDF().toDF("doc_id", "text"), snap, "text", "doc_id", k = 8)
+    val q = stream.toDF().writeStream.outputMode("append").format("memory").queryName("pss").start()
+    docs.grouped(100).foreach { b => input.addData(b); q.processAllAvailable() }
+    q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("doc_id", "n_tokens", "n_removed", "pruned_text").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3))).toSet
+    val got = rows(spark.table("pss"))
+    val want = rows(graft.text.RepeatedSpans.pruneSpans(corpus, "text", "doc_id", k = 8))
+    snap.unpersist()
+    assert(got == want, s"stream-batch diff: ${(got diff want) ++ (want diff got)}")
+    // keeper kept its boilerplate, the other welded doc lost exactly it
+    val byId = got.map(r => r._1 -> r).toMap
+    assert(byId(900001L)._3 == 0)
+    assert(byId(900002L)._3 == 10 && byId(900002L)._4 == "unique2 tail2")
+  }
+
   test("quality gate runs unchanged on a stream: gophered parity with batch") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import sqlImplicits._
