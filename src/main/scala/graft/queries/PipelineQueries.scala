@@ -307,7 +307,26 @@ object PipelineQueries {
       |WHERE d.doc_id % 97 <> 0 AND d.doc_id NOT IN (SELECT doc_id FROM flagged)
       |ORDER BY d.doc_id""".stripMargin
 
+  /** q50: the SAME decontamination report as q43, computed through
+    * the Bloom-prefilter regime ([[Decontamination.reportWithBloom]])
+    * — the middle-size benchmark shape where the gram set broadcasts
+    * only as ~10 bits/gram and survivors verify exactly. Shares
+    * q43's oracle verbatim: the regimes are physically different,
+    * bit-identical by contract, and the driver checks that claim
+    * hash-exact.
+    */
+  def q50DecontaminationBloom(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Sources.documents(spark, dir)
+    val bench = docs.filter(pmod(col("doc_id"), lit(97L)) === 0L)
+    Decontamination.reportWithBloom(
+      docs.filter(pmod(col("doc_id"), lit(97L)) =!= 0L),
+      bench.select(explode(Decontamination.distinctNgrams(col("text"), 3)).as("g")).distinct(),
+      "text", "doc_id")
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q50_decontamination_bloom" -> (q50DecontaminationBloom _),
     "q39_stratified_sample" -> (q39StratifiedSample _),
     "q40_sequence_packing" -> (q40SequencePacking _),
     "q41_pii_scrub" -> (q41PiiScrub _),
@@ -318,6 +337,7 @@ object PipelineQueries {
     "q46_decontaminated" -> (q46Decontaminated _))
 
   val oracle: Map[String, String] = Map(
+    "q50_decontamination_bloom" -> q43Sql,
     "q39_stratified_sample" -> q39Sql,
     "q40_sequence_packing" -> q40Sql,
     "q41_pii_scrub" -> q41Sql,

@@ -142,6 +142,84 @@ object Decontamination {
       .withColumn("flagged", (col("contam_frac") >= flagThreshold).cast("int"))
   }
 
+  /** Distributed Bloom-filter build over a distinct gram table
+    * (column `g`): per-partition filters populated with
+    * `putString` (UTF-8 bytes — the same bytes
+    * [[BloomMightContain]] probes), OR-merged up a tree. Identical
+    * mechanics to Spark's own `DataFrameStatFunctions.bloomFilter`,
+    * done here explicitly so the insert/probe byte contract is
+    * pinned in one file. `expectedItems <= 0` counts the table
+    * first (one cheap pass over a control-plane-sized side).
+    */
+  def gramBloom(
+      benchGrams: DataFrame,
+      fpp: Double = 0.01,
+      expectedItems: Long = -1L): org.apache.spark.util.sketch.BloomFilter = {
+    require(fpp > 0.0 && fpp < 1.0, s"fpp=$fpp must be in (0, 1)")
+    val n = if (expectedItems > 0) expectedItems else benchGrams.count()
+    val zero = org.apache.spark.util.sketch.BloomFilter.create(math.max(n, 1L), fpp)
+    import org.apache.spark.sql.Encoders
+    benchGrams.select(col("g").cast("string")).as(Encoders.STRING).rdd
+      .treeAggregate(zero)(
+        (f, s) => { if (s != null) f.putString(s); f },
+        (a, b) => { a.mergeInPlace(b); a })
+  }
+
+  /** [[reportWith]]'s THIRD regime — for the middle of the benchmark
+    * size range, where the exact distinct-gram set is beyond
+    * broadcast (so `broadcastBench = true` is off the table) but
+    * shuffling every corpus gram (`broadcastBench = false`) would
+    * move ~the whole corpus through an exchange to find the ~0.01%
+    * that overlaps. A Bloom filter over the bench grams is ~10 bits
+    * per gram at fpp 1% — broadcastable long after the gram strings
+    * are not — and Bloom false NEGATIVES are impossible, so every
+    * truly-contaminated gram survives the prefilter and the tiny
+    * survivor set is verified EXACTLY against the real gram table.
+    * Results are bit-identical to [[reportWith]] (DecontaminationSpec
+    * pins parity; q50 pins it against the DuckDB oracle).
+    *
+    * Plan shape (the 100 TB contract): ONE corpus scan, ONE
+    * corpus-wide exchange — the same doc-grain count rows as the
+    * broadcast regime, plus a per-doc survivor list that is empty
+    * for ~all documents (probe runs inside the map-side partial
+    * aggregate; a false positive costs one short string in one
+    * list). Survivors then explode and shuffle-semi-join the gram
+    * table — corpus participation in that join is `fpp x n_grams +
+    * true hits` rows, not the corpus. Documents with no survivors
+    * exit at the explode, which is correct, not a shortcut: no
+    * false negatives means no survivors IMPLIES no overlap, and
+    * [[reportWith]] drops zero-overlap documents too.
+    *
+    * `benchGrams` must be DISTINCT on `g` (dupes are harmless to the
+    * semi-join but corrupt the filter's sizing estimate).
+    */
+  def reportWithBloom(
+      corpus: DataFrame,
+      benchGrams: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int = 3,
+      flagThreshold: Double = 0.05,
+      fpp: Double = 0.01,
+      expectedGrams: Long = -1L): DataFrame = {
+    val bc = corpus.sparkSession.sparkContext.broadcast(
+      gramBloom(benchGrams, fpp, expectedGrams))
+    val probe = org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      BloomMightContain(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("g")), bc))
+    explodedGrams(corpus, textCol, idCol, n)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).cast("int").as("n_ngrams"),
+        collect_list(when(probe, col("g"))).as("__maybe"))
+      .select(col(idCol), col("n_ngrams"), explode(col("__maybe")).as("g"))
+      .join(benchGrams.select(col("g")), Seq("g"), "leftsemi")
+      .groupBy(col(idCol))
+      .agg(max(col("n_ngrams")).as("n_ngrams"), count(lit(1)).as("n_overlap"))
+      .withColumn("contam_frac",
+        col("n_overlap").cast("double") / col("n_ngrams").cast("double"))
+      .withColumn("flagged", (col("contam_frac") >= flagThreshold).cast("int"))
+  }
+
   /** The removal applied: corpus minus documents at or above the flag
     * threshold — anti-join on the flagged id list.
     *

@@ -116,4 +116,58 @@ class DecontaminationSpec extends SparkSpec {
     assert(keptB.sameElements(keptS))
     assert(keptB.nonEmpty)
   }
+
+  test("reportWithBloom: bit-identical to the exact regimes, survivors-only semi-join") {
+    val docs = graft.sources.Sources.documents(spark, "/root/testdata/sf0.001")
+    val corpus = docs.filter(pmod(col("doc_id"), lit(97L)) =!= 0L)
+    val bench = docs.filter(pmod(col("doc_id"), lit(97L)) === 0L)
+    val gramTable = bench
+      .select(explode(Decontamination.distinctNgrams(col("text"), 3)).as("g")).distinct()
+
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("doc_id", "n_ngrams", "n_overlap", "contam_frac", "flagged").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3), r.getInt(4))).toSet
+
+    val want = rows(Decontamination.report(corpus, bench, "text", "doc_id"))
+    val bloomed = Decontamination.reportWithBloom(corpus, gramTable, "text", "doc_id")
+    assert(rows(bloomed) == want)
+    assert(want.nonEmpty)
+
+    // plan: the probe runs map-side, the only join is the survivor
+    // LeftSemi on the gram key — no join touches the corpus grain
+    bloomed.collect()
+    val plan = bloomed.queryExecution.executedPlan.toString
+    assert(plan.contains("bloom_might_contain"), plan)
+    assert(plan.contains("LeftSemi"), plan)
+    assert(!plan.contains("LeftOuter"), plan)
+  }
+
+  test("reportWithBloom: a SATURATED filter (every probe positive) stays exact") {
+    // expectedItems=1 over hundreds of grams saturates the filter, so
+    // ~every gram survives the prefilter — the worst case the fpp
+    // bound permits. Exactness must not depend on filter quality.
+    val docs = graft.sources.Sources.documents(spark, "/root/testdata/sf0.001")
+    val corpus = docs.filter(pmod(col("doc_id"), lit(97L)) =!= 0L)
+    val bench = docs.filter(pmod(col("doc_id"), lit(97L)) === 0L)
+    val gramTable = bench
+      .select(explode(Decontamination.distinctNgrams(col("text"), 3)).as("g")).distinct()
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3), r.getInt(4))).toSet
+    val got = rows(Decontamination.reportWithBloom(
+      corpus, gramTable, "text", "doc_id", fpp = 0.5, expectedGrams = 1L))
+    assert(got == rows(Decontamination.report(corpus, bench, "text", "doc_id")))
+  }
+
+  test("gramBloom/BloomMightContain contract: no false negatives on inserted grams") {
+    val docs = graft.sources.Sources.documents(spark, "/root/testdata/sf0.001")
+    val gramTable = docs
+      .select(explode(Decontamination.distinctNgrams(col("text"), 3)).as("g")).distinct()
+    val bc = spark.sparkContext.broadcast(Decontamination.gramBloom(gramTable))
+    val probe = org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      BloomMightContain(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("g")), bc))
+    val n = gramTable.count()
+    assert(n > 100) // the contract test actually exercises a population
+    assert(gramTable.filter(probe).count() == n)
+  }
 }
