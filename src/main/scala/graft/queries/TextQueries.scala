@@ -437,7 +437,35 @@ object TextQueries {
       |FROM t LEFT JOIN agg ON t.doc_id = agg.doc_id
       |ORDER BY t.doc_id""".stripMargin
 
+  /** q51: BPE tokenizer-training pair statistics
+    * ([[graft.text.BpeStats.pairCounts]]) — corpus-frequency-weighted
+    * adjacent character pairs with the end-of-word marker, the
+    * statistic the first BPE merge maximizes. Integer-exact; total
+    * order (count desc, pair asc).
+    */
+  def q51BpePairStats(spark: SparkSession, dir: String): DataFrame =
+    graft.text.BpeStats.pairCounts(Sources.documents(spark, dir), "text")
+      .orderBy(col("pair_count").desc, col("lhs"), col("rhs"))
+
+  val q51Sql: String =
+    """WITH words AS (
+      |  SELECT unnest(string_split(text, ' ')) AS w FROM documents
+      |), wf AS (
+      |  SELECT w, count(*) AS freq FROM words WHERE length(w) > 0 GROUP BY w
+      |), pos AS (
+      |  SELECT w, freq, unnest(range(1, length(w) + 1)) AS i FROM wf
+      |), lr AS (
+      |  SELECT substr(w, i, 1) AS lhs,
+      |         CASE WHEN i = length(w) THEN '</w>' ELSE substr(w, i + 1, 1) END AS rhs,
+      |         freq
+      |  FROM pos
+      |)
+      |SELECT lhs, rhs, CAST(sum(freq) AS BIGINT) AS pair_count
+      |FROM lr GROUP BY lhs, rhs
+      |ORDER BY pair_count DESC, lhs, rhs""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q51_bpe_pair_stats" -> (q51BpePairStats _),
     "q36_curation_pipeline" -> (q36CurationPipeline _),
     "q47_chunking" -> (q47Chunking _),
     "q48_repeated_spans" -> (q48RepeatedSpans _),
@@ -453,6 +481,7 @@ object TextQueries {
     "q27_simhash_pairs" -> (q27SimhashPairs _))
 
   val oracle: Map[String, String] = Map(
+    "q51_bpe_pair_stats" -> q51Sql,
     "q20_token_stats" -> q20Sql,
     "q21_exact_dedup" -> q21Sql,
     "q22_quality_score" -> q22Sql,
