@@ -529,4 +529,87 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard") -> (() => { gs.unpersist(); () })
   }
+
+  /** Per-id LSH band keys `(id, band, h)` — the bucket join key a
+    * banded MinHash collision lives in. Shared by the self-join
+    * candidate path and the CROSS-corpus path below.
+    */
+  private def bandKeys(sig: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    require(numHashes % bands == 0, s"numHashes=$numHashes must divide into bands=$bands")
+    sig.select(
+      col("id"),
+      explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"), xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)).as("h"))
+      }: _*)).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.h").as("h"))
+  }
+
+  /** [[verifyCandidates]] ACROSS two corpora: verified n-gram-Jaccard
+    * pairs `(id_a from left, id_b from right, jaccard)` — the fuzzy
+    * analogue of benchmark decontamination (left = training corpus,
+    * right = evaluation set), where exact n-gram overlap misses
+    * paraphrased or lightly-edited contamination but MinHash banding
+    * still buckets it. Never all-pairs: candidates come from the
+    * band-key equi-join between the two signature tables (work ~
+    * cross-corpus collisions only), then each candidate verifies
+    * EXACTLY against both shingle-hash sets — same arithmetic, same
+    * banding-recall argument as the self-join path.
+    *
+    * Both shingle tables persist for the duration (each feeds its
+    * signature pass and its verification branch); the returned handle
+    * releases both. Candidate volume note: when `right` is a
+    * benchmark (control-plane-sized), the band join is corpus x
+    * bench — collisions are bounded by bench bucket occupancy, so the
+    * verify stage is output-bound the way decontamination overlap is.
+    */
+  def crossVerifyCandidatesReleasable(
+      left: DataFrame,
+      right: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int = 3,
+      threshold: Double = 0.8,
+      numHashes: Int = 32,
+      bands: Int = 16,
+      seed: Long = 42L): (DataFrame, () => Unit) = {
+    def shingles(df: DataFrame) = df
+      .select(col(idCol).as("id"), ShingleHashes.shingleHashes(col(textCol), n).as("gs"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val gsL = shingles(left)
+    val gsR = shingles(right)
+    def sigOf(gs: DataFrame) =
+      gs.select(col("id"), MinHashSig.minhashSig(col("gs"), numHashes, seed).as("sig"))
+    val cand = bandKeys(sigOf(gsL), numHashes, bands).toDF("id_a", "band", "h")
+      .join(bandKeys(sigOf(gsR), numHashes, bands).toDF("id_b", "band", "h"), Seq("band", "h"))
+      .select("id_a", "id_b")
+      .distinct()
+    val out = cand
+      .join(gsL.toDF("id_a", "gs_a").hint("shuffle_hash"), "id_a")
+      .join(gsR.toDF("id_b", "gs_b").hint("shuffle_hash"), "id_b")
+      .withColumn("shared", size(array_intersect(col("gs_a"), col("gs_b"))).cast("long"))
+      .withColumn(
+        "jaccard",
+        col("shared").cast("double") / (size(col("gs_a")) + size(col("gs_b")) - col("shared")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+    out -> (() => { gsL.unpersist(); gsR.unpersist(); () })
+  }
+
+  /** [[crossVerifyCandidatesReleasable]] leaving the shingle caches
+    * warm (the repeated-workload default; a bench harness that clears
+    * cached state between queries reclaims them).
+    */
+  def crossVerifyCandidates(
+      left: DataFrame,
+      right: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int = 3,
+      threshold: Double = 0.8,
+      numHashes: Int = 32,
+      bands: Int = 16,
+      seed: Long = 42L): DataFrame =
+    crossVerifyCandidatesReleasable(
+      left, right, textCol, idCol, n, threshold, numHashes, bands, seed)._1
 }

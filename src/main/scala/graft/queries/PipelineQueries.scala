@@ -325,7 +325,49 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** q52: FUZZY decontamination ([[Decontamination.fuzzyReport]]) —
+    * corpus documents (doc_id % 5 != 0) near-duplicate (trigram
+    * Jaccard >= 0.8) to an evaluation document (doc_id % 5 = 0),
+    * via cross-corpus banded MinHash + exact verification. The
+    * oracle recomputes the full cross Jaccard from first
+    * principles; at 16x2 banding the candidate-miss odds at the
+    * fixture's J >= 0.89 pairs are < 1e-10, so the LSH path equals
+    * the exhaustive join hash-exact.
+    */
+  def q52FuzzyDecontamination(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Sources.documents(spark, dir)
+    Decontamination.fuzzyReport(
+      docs.filter(pmod(col("doc_id"), lit(5L)) =!= 0L),
+      docs.filter(pmod(col("doc_id"), lit(5L)) === 0L),
+      "text", "doc_id")
+      .orderBy("doc_id", "bench_id")
+  }
+
+  val q52Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+      |         generate_subscripts(string_split(text, ' '), 1) AS i
+      |  FROM documents
+      |), ng AS (
+      |  SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS g
+      |  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+      |              JOIN toks c ON a.doc_id = c.doc_id AND c.i = a.i + 2
+      |), sizes AS (SELECT doc_id, count(*) n FROM ng GROUP BY doc_id),
+      |shared AS (
+      |  SELECT a.doc_id AS id_c, b.doc_id AS id_b, count(*) AS c
+      |  FROM ng a JOIN ng b ON a.g = b.g
+      |  WHERE a.doc_id % 5 <> 0 AND b.doc_id % 5 = 0
+      |  GROUP BY 1, 2
+      |)
+      |SELECT id_c AS doc_id, id_b AS bench_id, c * 1.0 / (sa.n + sb.n - c) AS jaccard
+      |FROM shared
+      |JOIN sizes sa ON sa.doc_id = id_c
+      |JOIN sizes sb ON sb.doc_id = id_b
+      |WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8
+      |ORDER BY doc_id, bench_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q52_fuzzy_decontamination" -> (q52FuzzyDecontamination _),
     "q50_decontamination_bloom" -> (q50DecontaminationBloom _),
     "q39_stratified_sample" -> (q39StratifiedSample _),
     "q40_sequence_packing" -> (q40SequencePacking _),
@@ -337,6 +379,7 @@ object PipelineQueries {
     "q46_decontaminated" -> (q46Decontaminated _))
 
   val oracle: Map[String, String] = Map(
+    "q52_fuzzy_decontamination" -> q52Sql,
     "q50_decontamination_bloom" -> q43Sql,
     "q39_stratified_sample" -> q39Sql,
     "q40_sequence_packing" -> q40Sql,

@@ -220,6 +220,26 @@ object Decontamination {
       .withColumn("flagged", (col("contam_frac") >= flagThreshold).cast("int"))
   }
 
+  /** FUZZY benchmark decontamination: corpus documents NEAR-duplicate
+    * to an evaluation document — paraphrased or lightly-edited
+    * contamination that the exact n-gram [[report]] under-counts
+    * (each edit kills its surrounding grams) but whole-document
+    * Jaccard still exposes. One row per `(doc, bench doc)` pair at or
+    * above `threshold` with the EXACT n-gram Jaccard (LSH candidates,
+    * exact verification — [[graft.dedup.Dedup
+    * .crossVerifyCandidates]], never all-pairs). Complements
+    * [[report]]: run both, union the flagged ids, remove once.
+    */
+  def fuzzyReport(
+      corpus: DataFrame,
+      bench: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int = 3,
+      threshold: Double = 0.8): DataFrame =
+    graft.dedup.Dedup.crossVerifyCandidates(corpus, bench, textCol, idCol, n, threshold)
+      .select(col("id_a").as(idCol), col("id_b").as("bench_id"), col("jaccard"))
+
   /** The removal applied: corpus minus documents at or above the flag
     * threshold — anti-join on the flagged id list.
     *

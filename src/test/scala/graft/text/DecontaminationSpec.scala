@@ -158,6 +158,44 @@ class DecontaminationSpec extends SparkSpec {
     assert(got == rows(Decontamination.report(corpus, bench, "text", "doc_id")))
   }
 
+  test("fuzzyReport: equals the exhaustive cross-corpus Jaccard join, bit-exact") {
+    val docs = graft.sources.Sources.documents(spark, "/root/testdata/sf0.001")
+    val corpus = docs.filter(pmod(col("doc_id"), lit(5L)) =!= 0L)
+    val bench = docs.filter(pmod(col("doc_id"), lit(5L)) === 0L)
+    val fuzzy = Decontamination.fuzzyReport(corpus, bench, "text", "doc_id")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // exhaustive oracle: all-pairs cross join over exact distinct-gram
+    // sets (feasible only at fixture scale — that is the point)
+    def grams(df: org.apache.spark.sql.DataFrame, id: String) = df.select(
+      col("doc_id").as(id), Decontamination.distinctNgrams(col("text"), 3).as(s"gs_$id"))
+    val want = rows(grams(corpus, "a").crossJoin(grams(bench, "b"))
+      .withColumn("shared", size(array_intersect(col("gs_a"), col("gs_b"))).cast("long"))
+      .withColumn("jaccard",
+        col("shared").cast("double") / (size(col("gs_a")) + size(col("gs_b")) - col("shared")))
+      .filter(col("jaccard") >= 0.8)
+      .select(col("a"), col("b"), col("jaccard")))
+    assert(rows(fuzzy) == want, s"diff: ${(rows(fuzzy) diff want) ++ (want diff rows(fuzzy))}")
+    assert(want.nonEmpty) // the %5 split really crosses near-dup pairs
+    // and the engine path never went all-pairs to get there
+    fuzzy.collect()
+    val plan = fuzzy.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"), plan)
+  }
+
+  test("fuzzyReport catches a paraphrase that gram-overlap under-counts") {
+    // one word edited mid-document: trigram overlap loses the 3 grams
+    // spanning the edit, whole-doc Jaccard barely moves
+    val words = (1 to 40).map(i => s"t$i")
+    val benchDoc = words.mkString(" ")
+    val edited = words.updated(20, "EDIT").mkString(" ")
+    val got = Decontamination.fuzzyReport(
+      df(Seq((1L, edited))), df(Seq((100L, benchDoc))), "text", "doc_id").collect()
+    assert(got.length == 1)
+    assert(got(0).getLong(0) == 1L && got(0).getLong(1) == 100L)
+    assert(got(0).getDouble(2) > 0.8) // 35 shared of 41 distinct union
+  }
+
   test("gramBloom/BloomMightContain contract: no false negatives on inserted grams") {
     val docs = graft.sources.Sources.documents(spark, "/root/testdata/sf0.001")
     val gramTable = docs
