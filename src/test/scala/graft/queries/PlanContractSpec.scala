@@ -110,7 +110,18 @@ class PlanContractSpec extends SparkSpec {
     // q49: same span-keyed grains as q48 feeding the removal-starts
     // aggregate + oracle ORDER BY; the token-removal gap algebra is
     // row-local (no token-grain shuffle)
-    "q49_prune_spans" -> 4)
+    "q49_prune_spans" -> 4,
+    // q50: bloom probe rides the map-side partial agg — doc-grain
+    // survivor agg + survivor-grams semi-join on the gram key +
+    // final doc-grain agg; corpus text never shuffles
+    "q50_decontamination_bloom" -> 3,
+    // q51: corpus collapses to vocab grain in ONE exchange (word
+    // freqs, map-side combine) + pair-count agg + output sort
+    "q51_bpe_pair_stats" -> 3,
+    // q52: cross-corpus LSH — band-key join (both sides) + candidate
+    // distinct + two shuffle_hash verify joins pulling the shingle
+    // sets; never all-pairs
+    "q52_fuzzy_decontamination" -> 6)
 
   test("no query plans a cartesian product or nested-loop join") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
