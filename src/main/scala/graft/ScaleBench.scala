@@ -166,6 +166,20 @@ object ScaleBench {
       "brute_topk_control" -> (() =>
         graft.similarity.Similarity.cosineTopK(emb, "embedding",
           Array.fill(64)(0.125f), 10, "vec_id").count()),
+      // SemDeDup: k-means cells sized to ~250-row occupancy (k grows
+      // with the corpus), so within-cell pair work is n x avgCell —
+      // linear at fixed occupancy; training stays a fixed-size driver
+      // sample at any scale. rows = the kept corpus.
+      "semantic_dedup" -> (() => {
+        val k = math.max(8L, nEmb / 250L).toInt
+        val model = graft.similarity.Ivf.train(emb, "embedding", k = k, iters = 5)
+        val kept = graft.similarity.SemDedup
+          .withDecisions(emb, "embedding", "vec_id", model, eps = 0.4)
+          .filter(col("removed") === 0)
+          .count()
+        extra("semantic_dedup", s""","k_cells":$k,"eps":0.4""")
+        kept
+      }),
       // The path that actually runs at 100 TB: dupClusters FORCED onto
       // the distributed label-propagation branch (collectThreshold=0
       // semantics) over this scale's real verified pair list. rows =
@@ -244,6 +258,40 @@ object ScaleBench {
           d.filter(pmod(col("doc_id"), lit(97L)) === 0L),
           "text", "doc_id").count()
       }),
+      // Bloom regime of the same report: gram set rides along as
+      // ~10 bits/gram and the probe runs inside the map-side partial
+      // agg, so only fpp x grams + true hits reach the exact
+      // semi-join. Same answer as `decontamination` by contract
+      // (q50 shares q43's oracle); the alpha certifies the probe
+      // stays corpus-linear as both sides grow.
+      "decontamination_bloom" -> (() => {
+        val d = docs
+        graft.text.Decontamination.reportWithBloom(
+          d.filter(pmod(col("doc_id"), lit(97L)) =!= 0L),
+          d.filter(pmod(col("doc_id"), lit(97L)) === 0L)
+            .select(explode(graft.text.Decontamination.distinctNgrams(col("text"), 3)).as("g"))
+            .distinct(),
+          "text", "doc_id").count()
+      }),
+      // Fuzzy (near-dup) decontamination: cross-corpus banded
+      // MinHash + exact verification. Bands join only ACROSS the
+      // corpus/bench split, so candidate volume scales with the true
+      // near-dup population (the fixture's planted dup pairs, linear
+      // in N) plus band collisions — never |corpus| x |bench|.
+      "fuzzy_decontamination" -> (() => {
+        val d = docs
+        graft.text.Decontamination.fuzzyReport(
+          d.filter(pmod(col("doc_id"), lit(5L)) =!= 0L),
+          d.filter(pmod(col("doc_id"), lit(5L)) === 0L),
+          "text", "doc_id").count()
+      }),
+      // BPE pair statistics: the corpus collapses to the vocab grain
+      // in ONE exchange (word freqs with map-side combine); pair
+      // counting is vocab-grain after that, so cost is corpus-linear
+      // in the scan and sub-linear past it (the word-soup fixture's
+      // vocab saturates while the corpus grows).
+      "bpe_pair_stats" -> (() =>
+        graft.text.BpeStats.pairCounts(docs, "text").count()),
       // Corpus novelty: TWO corpus-sized exchanges keyed on a
       // power-law gram — the single shape in the engine most exposed
       // to skew at scale; df-table partial aggregation and AQE skew

@@ -137,6 +137,61 @@ object SimilarityQueries {
       |SELECT q_id, vec_id, cosine, CAST(rk AS INT) AS rank FROM r
       |WHERE rk <= 5
       |ORDER BY q_id, rank""".stripMargin
+  /** q53: SemDeDup semantic-dedup decisions
+    * ([[graft.similarity.SemDedup.decisions]]) in a fully
+    * oracle-able configuration: cells = the `label` column (a given
+    * partition stands in for the k-means assignment, which no SQL
+    * oracle can re-derive) and the cell representative = the
+    * MIN-vec_id member's unit vector (a deterministic anchor; a mean
+    * centroid's summation order is not reproducible bit-exact across
+    * engines). Every double in the output — anchor similarity and
+    * the pair scores behind the decisions — is a single
+    * widen-then-accumulate dot product, the same arithmetic DuckDB
+    * runs over `DOUBLE[]`, so decisions AND `rep_sim` hash-exact.
+    * The k-means production path ([[graft.similarity.SemDedup
+    * .withDecisions]]) is contract-pinned in SemDedupSpec instead.
+    */
+  def q53SemanticDedup(spark: SparkSession, dir: String): DataFrame = {
+    val unit = Sources.embeddings(spark, dir)
+      .withColumn("__n", Similarity.norm(col("embedding")))
+      .select(col("vec_id"), col("label"),
+        transform(col("embedding"), x => x / col("__n")).as("u"))
+    val anchors = unit.groupBy("label")
+      .agg(min_by(col("u"), col("vec_id")).as("__au"))
+    val rep = unit.join(broadcast(anchors), Seq("label"))
+      .withColumn("rep_sim", Similarity.dot(col("u"), col("__au")))
+      .drop("__au")
+    graft.similarity.SemDedup
+      .decisions(rep, "u", "vec_id", "label", "rep_sim", eps = 0.3)
+      .select(col("vec_id"), col("label"), col("rep_sim"),
+        col("n_dup_partners"), col("removed"))
+      .orderBy("vec_id")
+  }
+
+  val q53Sql: String =
+    """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+      |n AS (SELECT vec_id, label,
+      |        list_transform(v, x -> x / sqrt(list_inner_product(v, v))) AS u FROM e),
+      |anch AS (SELECT label, min(vec_id) AS aid FROM n GROUP BY label),
+      |rep AS (SELECT n.vec_id, n.label, n.u,
+      |          list_inner_product(n.u, a.u) AS rep_sim
+      |        FROM n JOIN anch ON n.label = anch.label
+      |               JOIN n a ON a.vec_id = anch.aid),
+      |p AS (SELECT x.vec_id,
+      |        count(*) AS nd,
+      |        max(CASE WHEN y.rep_sim < x.rep_sim
+      |                   OR (y.rep_sim = x.rep_sim AND y.vec_id < x.vec_id)
+      |                 THEN 1 ELSE 0 END) AS rm
+      |      FROM rep x JOIN rep y
+      |        ON x.label = y.label AND x.vec_id <> y.vec_id
+      |      WHERE list_inner_product(x.u, y.u) >= 0.3
+      |      GROUP BY x.vec_id)
+      |SELECT r.vec_id, r.label, r.rep_sim,
+      |  CAST(coalesce(p.nd, 0) AS INT) AS n_dup_partners,
+      |  CAST(coalesce(p.rm, 0) AS INT) AS removed
+      |FROM rep r LEFT JOIN p ON r.vec_id = p.vec_id
+      |ORDER BY r.vec_id""".stripMargin
+
   def q31LabelStats(spark: SparkSession, dir: String): DataFrame =
     Sources.embeddings(spark, dir)
       .groupBy(col("label"))
@@ -155,10 +210,12 @@ object SimilarityQueries {
     "q30_embedding_near_dup" -> (q30EmbeddingNearDup _),
     "q31_label_stats" -> (q31LabelStats _),
     "q37_knn_ivf" -> (q37KnnIvf _),
-    "q38_knn_join" -> (q38KnnJoin _))
+    "q38_knn_join" -> (q38KnnJoin _),
+    "q53_semantic_dedup" -> (q53SemanticDedup _))
 
   val oracle: Map[String, String] = Map(
     "q28_knn_brute" -> q28Sql,
     "q31_label_stats" -> q31Sql,
-    "q38_knn_join" -> q38Sql)
+    "q38_knn_join" -> q38Sql,
+    "q53_semantic_dedup" -> q53Sql)
 }

@@ -121,7 +121,11 @@ class PlanContractSpec extends SparkSpec {
     // q52: cross-corpus LSH — band-key join (both sides) + candidate
     // distinct + two shuffle_hash verify joins pulling the shingle
     // sets; never all-pairs
-    "q52_fuzzy_decontamination" -> 6)
+    "q52_fuzzy_decontamination" -> 6,
+    // q53: anchor agg on label + cell self-join (both sides) +
+    // decision agg on id + decision join back (both sides); the
+    // self-join on the cell key is the by-design dominant cost
+    "q53_semantic_dedup" -> 6)
 
   test("no query plans a cartesian product or nested-loop join") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
