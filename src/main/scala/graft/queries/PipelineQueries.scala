@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.ops.Sampling
 import graft.sources.Sources
-import graft.text.{CorpusStats, Decontamination, PiiScrub, QualityFilters, SequencePacking, TextAnalysis}
+import graft.text.{CorpusStats, Decontamination, ImportanceResampling, PiiScrub, QualityFilters, SequencePacking, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -366,7 +366,51 @@ object PipelineQueries {
       |WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8
       |ORDER BY doc_id, bench_id""".stripMargin
 
+  /** q54: DSIR importance weights ([[ImportanceResampling]]) — every
+    * document scored by its hashed unigram+bigram log importance
+    * ratio toward the English subcorpus as the target distribution.
+    * Weights are exact integer sums of per-bucket fixed-point
+    * log-ratios, so the oracle compares hash-exact (see the operator
+    * Scaladoc for the determinism discipline).
+    */
+  def q54ImportanceWeights(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Sources.documents(spark, dir)
+    ImportanceResampling.weightsReport(
+      docs, col("lang") === "en", "text", "doc_id", carry = Seq("lang"))
+      .orderBy("doc_id")
+  }
+
+  val q54Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+      |         generate_subscripts(string_split(text, ' '), 1) AS i
+      |  FROM documents
+      |), grams AS (
+      |  SELECT doc_id, w AS g FROM toks
+      |  UNION ALL
+      |  SELECT a.doc_id, a.w || ' ' || b.w AS g
+      |  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+      |), bg AS (
+      |  SELECT g.doc_id, substr(md5(g.g), 1, 2) AS b, d.lang
+      |  FROM grams g JOIN documents d USING (doc_id)
+      |), stats AS (
+      |  SELECT b, count(*) AS rc,
+      |         sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS tc
+      |  FROM bg GROUP BY b
+      |), tot AS (SELECT sum(rc) AS rt, sum(tc) AS tt FROM stats),
+      |lr AS (
+      |  SELECT b, CAST(round((ln((tc + 1.0) / (tt + 256.0)) -
+      |                        ln((rc + 1.0) / (rt + 256.0))) * 1e9, 0) AS BIGINT) AS lr_nano
+      |  FROM stats CROSS JOIN tot
+      |)
+      |SELECT bg.doc_id, min(bg.lang) AS lang, count(*) AS n_grams,
+      |       CAST(sum(lr.lr_nano) AS BIGINT) AS weight_nano
+      |FROM bg JOIN lr USING (b)
+      |GROUP BY bg.doc_id
+      |ORDER BY bg.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q54_importance_weights" -> (q54ImportanceWeights _),
     "q52_fuzzy_decontamination" -> (q52FuzzyDecontamination _),
     "q50_decontamination_bloom" -> (q50DecontaminationBloom _),
     "q39_stratified_sample" -> (q39StratifiedSample _),
@@ -379,6 +423,7 @@ object PipelineQueries {
     "q46_decontaminated" -> (q46Decontaminated _))
 
   val oracle: Map[String, String] = Map(
+    "q54_importance_weights" -> q54Sql,
     "q52_fuzzy_decontamination" -> q52Sql,
     "q50_decontamination_bloom" -> q43Sql,
     "q39_stratified_sample" -> q39Sql,

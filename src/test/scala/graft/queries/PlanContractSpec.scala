@@ -125,7 +125,12 @@ class PlanContractSpec extends SparkSpec {
     // q53: anchor agg on label + cell self-join (both sides) +
     // decision agg on id + decision join back (both sides); the
     // self-join on the cell key is the by-design dominant cost
-    "q53_semantic_dedup" -> 6)
+    "q53_semantic_dedup" -> 6,
+    // q54: fit pass collapses to the 256-bucket grain (1) + the
+    // fixed-size totals window's SinglePartition exchange (1) + the
+    // score pass's doc-grain aggregate (1) + oracle ORDER BY (1);
+    // the bucket table broadcasts, grams never carry text
+    "q54_importance_weights" -> 4)
 
   test("no query plans a cartesian product or nested-loop join") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
