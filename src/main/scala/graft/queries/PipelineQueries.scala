@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.ops.Sampling
 import graft.sources.Sources
-import graft.text.{CorpusStats, Decontamination, ImportanceResampling, PiiScrub, QualityFilters, SequencePacking, TextAnalysis}
+import graft.text.{CorpusStats, Decontamination, ImportanceResampling, NgramLm, PiiScrub, QualityFilters, SequencePacking, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -409,7 +409,55 @@ object PipelineQueries {
       |GROUP BY bg.doc_id
       |ORDER BY bg.doc_id""".stripMargin
 
+  /** q55: bigram-LM perplexity scoring ([[NgramLm]]) — every document
+    * scored by the mean negative log-probability an add-one-smoothed
+    * bigram model trained on the English subcorpus assigns its
+    * bigrams (the CCNet quality signal). Integer microunit sums, so
+    * the oracle compares hash-exact; `log_ppl` is one exact integer
+    * division on top.
+    */
+  def q55PerplexityLm(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Sources.documents(spark, dir)
+    NgramLm.perplexityReport(
+      docs, col("lang") === "en", "text", "doc_id", carry = Seq("lang"))
+      .orderBy("doc_id")
+  }
+
+  val q55Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+      |         generate_subscripts(string_split(text, ' '), 1) AS i
+      |  FROM documents
+      |), ttoks AS (
+      |  SELECT t.* FROM toks t JOIN documents d USING (doc_id) WHERE d.lang = 'en'
+      |), vc AS (SELECT count(DISTINCT w) AS v FROM ttoks),
+      |den AS (
+      |  SELECT w AS w1,
+      |         CAST(round(ln((count(*) + vc.v) * 1.0) * 1e6, 0) AS BIGINT) AS d_micro
+      |  FROM ttoks CROSS JOIN vc GROUP BY w, vc.v
+      |), num AS (
+      |  SELECT a.w || ' ' || b.w AS g,
+      |         CAST(round(ln(count(*) + 1.0) * 1e6, 0) AS BIGINT) AS a_micro
+      |  FROM ttoks a JOIN ttoks b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+      |  GROUP BY 1
+      |), stream AS (
+      |  SELECT a.doc_id, a.w AS w1, a.w || ' ' || b.w AS g
+      |  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+      |), scored AS (
+      |  SELECT s.doc_id,
+      |         coalesce(num.a_micro, 0) - coalesce(den.d_micro,
+      |           (SELECT CAST(round(ln(v * 1.0) * 1e6, 0) AS BIGINT) FROM vc)) AS lp
+      |  FROM stream s LEFT JOIN num USING (g) LEFT JOIN den USING (w1)
+      |)
+      |SELECT sc.doc_id, min(d.lang) AS lang, count(*) AS n_bigrams,
+      |       CAST(sum(sc.lp) AS BIGINT) AS lp_micro_sum,
+      |       CAST(-sum(sc.lp) AS DOUBLE) / CAST(count(*) * 1000000 AS DOUBLE) AS log_ppl
+      |FROM scored sc JOIN documents d USING (doc_id)
+      |GROUP BY sc.doc_id
+      |ORDER BY sc.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q55_perplexity_lm" -> (q55PerplexityLm _),
     "q54_importance_weights" -> (q54ImportanceWeights _),
     "q52_fuzzy_decontamination" -> (q52FuzzyDecontamination _),
     "q50_decontamination_bloom" -> (q50DecontaminationBloom _),
@@ -423,6 +471,7 @@ object PipelineQueries {
     "q46_decontaminated" -> (q46Decontaminated _))
 
   val oracle: Map[String, String] = Map(
+    "q55_perplexity_lm" -> q55Sql,
     "q54_importance_weights" -> q54Sql,
     "q52_fuzzy_decontamination" -> q52Sql,
     "q50_decontamination_bloom" -> q43Sql,

@@ -7,10 +7,10 @@ import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
-/** Every word n-gram OCCURRENCE of a text column for n = 1..`maxN`,
-  * as ONE Catalyst expression — the occurrence-weighted sibling of
-  * [[DistinctNgrams]] (same byte-span construction, no dedup, all
-  * orders up to `maxN` in a single scan).
+/** Every word n-gram OCCURRENCE of a text column for n = `minN`..
+  * `maxN`, as ONE Catalyst expression — the occurrence-weighted
+  * sibling of [[DistinctNgrams]] (same byte-span construction, no
+  * dedup, all requested orders in a single scan).
   *
   * This is the feature stream of hashed-n-gram importance weighting
   * (DSIR, Xie et al. 2023): unlike the decontamination/novelty paths,
@@ -30,10 +30,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * fewer than n tokens contribute no n-grams of that order; null
   * texts yield null (UnaryExpression null-propagation).
   */
-case class GramOccurrences(child: Expression, maxN: Int)
+case class GramOccurrences(child: Expression, maxN: Int, minN: Int = 1)
   extends UnaryExpression with CodegenFallback {
 
-  require(maxN >= 1, s"maxN=$maxN must be positive")
+  require(minN >= 1, s"minN=$minN must be positive")
+  require(maxN >= minN, s"maxN=$maxN must be >= minN=$minN")
 
   override def prettyName: String = "gram_occurrences"
 
@@ -62,11 +63,11 @@ case class GramOccurrences(child: Expression, maxN: Int)
     }
     // total grams = sum over n of max(0, tokCount - n + 1)
     var total = 0
-    var n = 1
+    var n = minN
     while (n <= maxN) { total += math.max(0, tokCount - n + 1); n += 1 }
     val out = new Array[Any](total)
     var o = 0
-    n = 1
+    n = minN
     while (n <= maxN) {
       var g = 0
       val last = tokCount - n
