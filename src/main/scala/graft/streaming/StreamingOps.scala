@@ -2,6 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types._
 
@@ -689,6 +690,105 @@ object StreamingOps {
           }
           if (end < n) kept ++= toks.slice(end, n)
           Iterator(PruneOut(id, n, n - kept.length, kept.mkString(" ")))
+        })
+  }
+
+  // -------------------------- streaming model-scoring twins (LM/DSIR)
+
+  final case class LmGram(id: Long, a_micro: Option[Long], d_micro: Option[Long])
+  final case class LmOut(doc_id: Long, n_bigrams: Long, lp_micro_sum: Long, log_ppl: Double)
+
+  /** Streaming twin of [[graft.text.NgramLm.logProb]]: score ARRIVING
+    * documents against a SNAPSHOT fitted bigram model (the production
+    * CCNet regime — fit once per target-corpus release, score the
+    * stream). The bigram stream explodes from one input row
+    * (doc-atomicity as in [[noveltyStream]]), stream-static LEFT joins
+    * the two model tables on their own grains (persist them — the
+    * static side re-plans per micro-batch), and one zero-retained-
+    * state group pass per document takes the exact integer sums.
+    *
+    * `d0Micro` — the unseen-context denominator `round(ln(V)*1e6)` —
+    * is a property of the fitted model, not of any document; read it
+    * from the snapshot's one-row vocab frame
+    * (`lm.vocab.select("d0_micro")`) once at stream construction, the
+    * same control-plane materialization as [[benchGramSet]] (one row,
+    * not corpus-sized). Documents with fewer than two tokens have no
+    * bigrams and emit nothing, exactly like the batch report. Parity
+    * with [[graft.text.NgramLm.logProb]] is pinned by
+    * StreamingOpsSpec, doubles bit-identical (same integer divide).
+    */
+  def perplexityStream(
+      docs: DataFrame,
+      pairLogNum: DataFrame,
+      ctxLogDen: DataFrame,
+      d0Micro: Long,
+      textCol: String,
+      idCol: String): Dataset[LmOut] = {
+    import docs.sparkSession.implicits._
+    requireIntegralId(docs, idCol)
+    docs
+      .select(col(idCol).cast("long").as("id"),
+        explode(ColumnBridge.column(graft.text.GramOccurrences(
+          ColumnBridge.expression(col(textCol)), 2, 2))).as("g"))
+      .withColumn("w1", substring_index(col("g"), " ", 1))
+      .join(pairLogNum, Seq("g"), "left")
+      .join(ctxLogDen, Seq("w1"), "left")
+      .select(col("id"), col("a_micro"), col("d_micro"))
+      .as[LmGram]
+      .groupByKey(_.id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (id: Long, rows: Iterator[LmGram], state: GroupState[Long]) => {
+          var n = 0L
+          var lp = 0L
+          rows.foreach { r =>
+            n += 1
+            lp += r.a_micro.getOrElse(0L) - r.d_micro.getOrElse(d0Micro)
+          }
+          // state is never set: each doc's group completes in its own
+          // micro-batch (grams explode from one input row)
+          Iterator(LmOut(id, n, lp, -lp.toDouble / (n * 1000000L).toDouble))
+        })
+  }
+
+  final case class IwGram(id: Long, lr_nano: Option[Long])
+  final case class IwOut(doc_id: Long, n_grams: Long, weight_nano: Long)
+
+  /** Streaming twin of [[graft.text.ImportanceResampling.weights]]:
+    * score arriving documents against a SNAPSHOT bucket log-ratio
+    * table (fit once per corpus release — the table is <= 16^hexChars
+    * rows, so persist it and let every micro-batch's stream-static
+    * join broadcast it). Same shape as [[perplexityStream]]: gram
+    * occurrences explode from one input row, LEFT join on the bucket
+    * key, zero-retained-state per-document integer sums.
+    * `defaultNano` prices buckets missing from the snapshot
+    * ([[graft.text.ImportanceResampling.unseenBucketNano]]) — a
+    * stream, unlike self-scoring, can always surface new buckets.
+    * Parity with the batch `weights` is pinned by StreamingOpsSpec.
+    */
+  def importanceWeightsStream(
+      docs: DataFrame,
+      lrTable: DataFrame,
+      textCol: String,
+      idCol: String,
+      hexChars: Int = 2,
+      defaultNano: Long = 0L): Dataset[IwOut] = {
+    import docs.sparkSession.implicits._
+    requireIntegralId(docs, idCol)
+    docs
+      .select(col(idCol).cast("long").as("id"),
+        explode(graft.text.ImportanceResampling.gramOccurrences(col(textCol))).as("__g"))
+      .select(col("id"),
+        graft.text.ImportanceResampling.bucketOf(col("__g"), hexChars).as("b"))
+      .join(lrTable, Seq("b"), "left")
+      .select(col("id"), col("lr_nano"))
+      .as[IwGram]
+      .groupByKey(_.id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (id: Long, rows: Iterator[IwGram], state: GroupState[Long]) => {
+          var n = 0L
+          var w = 0L
+          rows.foreach { r => n += 1; w += r.lr_nano.getOrElse(defaultNano) }
+          Iterator(IwOut(id, n, w))
         })
   }
 

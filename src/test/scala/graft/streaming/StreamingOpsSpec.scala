@@ -374,6 +374,65 @@ class StreamingOpsSpec extends SparkSpec {
     assert(got.size == docs.size) // every doc scored (all have >= 2 tokens)
   }
 
+  test("streaming perplexity scoring against a snapshot bigram LM equals the batch report") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import sqlImplicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val corpus = graft.sources.Sources.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text", "lang")
+    val docs = corpus.collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    val lm = graft.text.NgramLm.fit(
+      corpus.filter(org.apache.spark.sql.functions.col("lang") === "en"), "text")
+    val pairs = lm.pairLogNum.persist()
+    val ctx = lm.ctxLogDen.persist()
+    // the unseen-context constant is a 1-row control-plane read of the
+    // model snapshot, not a corpus materialization
+    val d0 = lm.vocab.select("d0_micro").as[Long].head()
+    val input = MemoryStream[(Long, String, String)]
+    val stream = StreamingOps.perplexityStream(
+      input.toDF().toDF("doc_id", "text", "lang"), pairs, ctx, d0, "text", "doc_id")
+    val q = stream.toDF().writeStream.outputMode("append").format("memory").queryName("ppl").start()
+    docs.grouped(200).foreach { b => input.addData(b); q.processAllAvailable() }
+    q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("doc_id", "n_bigrams", "lp_micro_sum", "log_ppl").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val got = rows(spark.table("ppl"))
+    val want = rows(graft.text.NgramLm.logProb(corpus, lm, "text", "doc_id")
+      .selectExpr("doc_id", "cast(n_bigrams as long) n_bigrams", "lp_micro_sum", "log_ppl"))
+    pairs.unpersist(); ctx.unpersist()
+    // row-for-row parity, doubles bit-identical (same integer divide)
+    assert(got == want, s"stream-batch diff: ${(got diff want) ++ (want diff got)}")
+    assert(got.size == docs.size) // every doc has >= 2 tokens at this SF
+  }
+
+  test("streaming importance weights against a snapshot bucket table equals the batch report") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import sqlImplicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val corpus = graft.sources.Sources.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text", "lang")
+    val docs = corpus.collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    val lrTable = graft.text.ImportanceResampling.fitLogRatios(
+      corpus, org.apache.spark.sql.functions.col("lang") === "en", "text").persist()
+    val input = MemoryStream[(Long, String, String)]
+    val stream = StreamingOps.importanceWeightsStream(
+      input.toDF().toDF("doc_id", "text", "lang"), lrTable, "text", "doc_id")
+    val q = stream.toDF().writeStream.outputMode("append").format("memory").queryName("iws").start()
+    docs.grouped(200).foreach { b => input.addData(b); q.processAllAvailable() }
+    q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("doc_id", "n_grams", "weight_nano").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val got = rows(spark.table("iws"))
+    val want = rows(graft.text.ImportanceResampling.weights(
+      corpus, lrTable, "text", "doc_id")
+      .selectExpr("doc_id", "cast(n_grams as long) n_grams", "weight_nano"))
+    lrTable.unpersist()
+    assert(got == want, s"stream-batch diff: ${(got diff want) ++ (want diff got)}")
+    assert(got.size == docs.size) // self-scoring: every doc's buckets were fitted
+  }
+
   test("chunking runs unchanged on a stream: parity with batch") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import sqlImplicits._
