@@ -349,6 +349,44 @@ object EventsQueries {
       |FROM e ASOF LEFT JOIN p ON e.user_id = p.user_id AND p.ts <= e.ts
       |ORDER BY e.event_id""".stripMargin
 
+  /** Interval join (composed operator — see [[graft.ops.IntervalJoin]]):
+    * purchases that happened during an error-spike window. Windows are
+    * the half-open days `[day, day+1d)` whose error count reaches 70
+    * (derived from the same table, so the whole query is
+    * deterministic); points are purchase events. The join is the
+    * bucketed equi-join form — 6-hour buckets, so each day window
+    * explodes to exactly 4 bucket rows and the plan is a
+    * BroadcastHashJoin + residual, never a nested loop.
+    */
+  def q56IntervalJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Sources.events(spark, dir)
+    val windows = ev.filter(col("event_type") === "error")
+      .groupBy(date_trunc("day", col("ts")).as("window_lo"))
+      .agg(count(lit(1)).as("n_errors"))
+      .filter(col("n_errors") >= 70)
+      .withColumn("window_hi", col("window_lo") + expr("INTERVAL 1 DAY"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "ts", "user_id", "value")
+    graft.ops.IntervalJoin.pointInInterval(
+        purchases, windows, "ts", "window_lo", "window_hi",
+        bucketSeconds = 21600L, broadcastIntervals = true)
+      .select(col("event_id"), col("ts"), col("user_id"), col("value"),
+        col("window_lo"), col("n_errors"))
+      .orderBy("event_id")
+  }
+
+  val q56Sql: String =
+    """WITH w AS (
+      |  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_lo, count(*) AS n_errors
+      |  FROM events WHERE event_type = 'error'
+      |  GROUP BY 1 HAVING count(*) >= 70)
+      |SELECT e.event_id, CAST(e.ts AS TIMESTAMP) AS ts, e.user_id, e.value,
+      |  w.window_lo, w.n_errors
+      |FROM events e
+      |JOIN w ON e.ts >= w.window_lo AND e.ts < w.window_lo + INTERVAL 1 DAY
+      |WHERE e.event_type = 'purchase'
+      |ORDER BY e.event_id""".stripMargin
+
   /** Analytic window frame (moving aggregate) — 5-row trailing sum and
     * mean per device; decimal window sums keep both engines bit-equal
     * (segment-tree vs incremental evaluation reassociate double adds).
@@ -376,6 +414,7 @@ object EventsQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q32_asof_join" -> (q32AsofJoin _),
     "q34_moving_avg" -> (q34MovingAvg _),
+    "q56_interval_join" -> (q56IntervalJoin _),
     "q12_cycle_stats" -> (q12CycleStats _),
     "q13_valid_cycle_rows" -> (q13ValidCycleRows _),
     "q14_cycle_curation" -> (q14CycleCuration _),
@@ -388,6 +427,7 @@ object EventsQueries {
   val oracle: Map[String, String] = Map(
     "q32_asof_join" -> q32Sql,
     "q34_moving_avg" -> q34Sql,
+    "q56_interval_join" -> q56Sql,
     "q12_cycle_stats" -> q12Sql,
     "q13_valid_cycle_rows" -> q13Sql,
     "q14_cycle_curation" -> q14Sql,

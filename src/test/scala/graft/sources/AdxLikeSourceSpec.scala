@@ -589,9 +589,14 @@ class AdxLikeSourceSpec extends SparkSpec {
       q.processAllAvailable() // batch 2
       val got = spark.table("adxstream").collect().map(_.getLong(0)).sorted
       assert(got.toSeq == (1L to 12L), got.mkString(",")) // exactly once, no dupes
-      // the last batch's remote query carried the half-open range
-      assert(AdxLike.lastQuery.contains("\"ID\" > 9") &&
-        AdxLike.lastQuery.contains("\"ID\" <= 12"), AdxLike.lastQuery)
+      // The last batch's remote query carried a half-open increment
+      // range ending at 12. The default trigger polls concurrently
+      // with the inserts above, so the 10..12 burst may land as one
+      // micro-batch ("ID" > 9) or split ("ID" > 10/11) — any lower
+      // bound in [9, 12) proves increment-only reads (no replay).
+      val lastRange = """"ID" > (\d+)\) AND \("ID" <= 12""".r
+      val lower = lastRange.findFirstMatchIn(AdxLike.lastQuery).map(_.group(1).toInt)
+      assert(lower.exists(lo => lo >= 9 && lo < 12), AdxLike.lastQuery)
     } finally q.stop()
     // restart from a checkpoint (recoverable file sink): no replay,
     // only rows above the checkpointed watermark
