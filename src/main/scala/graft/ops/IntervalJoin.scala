@@ -68,14 +68,21 @@ object IntervalJoin {
     require(maxBucketsPerInterval > 0,
       s"maxBucketsPerInterval=$maxBucketsPerInterval must be positive")
 
-    def bucketOf(ts: Column): Column =
-      floor(unix_micros(ts) / lit(bucketSeconds * 1000000L))
+    // unix_micros only accepts TIMESTAMP; parquet timestamps without
+    // a zone annotation (pyarrow's default) arrive as TIMESTAMP_NTZ.
+    // The session-timezone shift the cast applies is IDENTICAL on the
+    // point and interval sides, so the bucket grid stays aligned and
+    // the exact residual predicate below compares the raw columns.
+    def micros(ts: Column): Column =
+      unix_micros(ts.cast(org.apache.spark.sql.types.TimestampType))
+    def bucketOf(m: Column): Column =
+      floor(m / lit(bucketSeconds * 1000000L))
 
     // hi is exclusive: an interval ending exactly on a grid line does
     // not reach into the next bucket, so the last covered bucket is
     // bucketOf(hi - 1 microsecond).
-    val loBk = bucketOf(col(loCol))
-    val hiBk = bucketOf(timestamp_micros(unix_micros(col(hiCol)) - lit(1L)))
+    val loBk = bucketOf(micros(col(loCol)))
+    val hiBk = bucketOf(micros(col(hiCol)) - lit(1L))
     val fanOut = hiBk - loBk + lit(1L)
     val overBudgetMsg = concat(
       lit(s"IntervalJoin: interval fan-out exceeds maxBucketsPerInterval=" +
@@ -92,7 +99,7 @@ object IntervalJoin {
     val rhs = if (broadcastIntervals) broadcast(exploded) else exploded
 
     points
-      .withColumn("__ij_bk", bucketOf(col(pointTs)))
+      .withColumn("__ij_bk", bucketOf(micros(col(pointTs))))
       .join(rhs, keys :+ "__ij_bk")
       .filter(col(loCol) <= col(pointTs) && col(pointTs) < col(hiCol))
       .drop("__ij_bk")

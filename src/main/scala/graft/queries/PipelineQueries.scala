@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.ops.Sampling
 import graft.sources.Sources
-import graft.text.{CorpusStats, Decontamination, ImportanceResampling, NgramLm, PiiScrub, QualityFilters, SequencePacking, TextAnalysis}
+import graft.text.{CorpusStats, Decontamination, ImportanceResampling, NgramLm, PiiScrub, QualityClassifier, QualityFilters, SequencePacking, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -456,7 +456,76 @@ object PipelineQueries {
       |GROUP BY sc.doc_id
       |ORDER BY sc.doc_id""".stripMargin
 
+  /** q57: seed-trained quality-classifier gate ([[QualityClassifier]])
+    * — fit a hashed-gram Naive Bayes on the labeled fifth of the
+    * corpus (doc_id % 5 = 1: positive iff English), score EVERY
+    * document, and keep via the GPT-3 Pareto-thresholded rule. All
+    * logs are rounded once to integer nanounits and the keep decision
+    * compares integers, so the oracle reproduces the exact keep set.
+    */
+  def q57QualityGate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Sources.documents(spark, dir)
+    QualityClassifier.gateReport(
+      docs, when(pmod(col("doc_id"), lit(5L)) === 1L, col("lang") === "en"),
+      "text", "doc_id", carry = Seq("lang"))
+      .orderBy("doc_id")
+  }
+
+  val q57Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+      |         generate_subscripts(string_split(text, ' '), 1) AS i
+      |  FROM documents
+      |), grams AS (
+      |  SELECT doc_id, w AS g FROM toks
+      |  UNION ALL
+      |  SELECT a.doc_id, a.w || ' ' || b.w AS g
+      |  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+      |), bg AS (
+      |  SELECT doc_id, substr(md5(g), 1, 2) AS b FROM grams
+      |), seeds AS (
+      |  SELECT doc_id, (lang = 'en') AS pos FROM documents WHERE doc_id % 5 = 1
+      |), sstats AS (
+      |  SELECT b,
+      |         sum(CASE WHEN pos THEN 1 ELSE 0 END) AS pc,
+      |         sum(CASE WHEN pos THEN 0 ELSE 1 END) AS nc
+      |  FROM bg JOIN seeds USING (doc_id) GROUP BY b
+      |), tot AS (SELECT sum(pc) AS pt, sum(nc) AS nt FROM sstats),
+      |llr AS (
+      |  SELECT b, CAST(round((ln((pc + 1.0) / (pt + 256.0)) -
+      |                        ln((nc + 1.0) / (nt + 256.0))) * 1e9, 0) AS BIGINT) AS llr_nano
+      |  FROM sstats CROSS JOIN tot
+      |), consts AS (
+      |  SELECT CAST(round((ln((np + 1.0) / (np + nn + 2.0)) -
+      |                     ln((nn + 1.0) / (np + nn + 2.0))) * 1e9, 0) AS BIGINT) AS prior_nano,
+      |         (SELECT CAST(round((ln(1.0 / (pt + 256.0)) -
+      |                             ln(1.0 / (nt + 256.0))) * 1e9, 0) AS BIGINT)
+      |          FROM tot) AS unseen_nano
+      |  FROM (SELECT sum(CASE WHEN pos THEN 1 ELSE 0 END) AS np,
+      |               sum(CASE WHEN pos THEN 0 ELSE 1 END) AS nn
+      |        FROM seeds)
+      |), scored AS (
+      |  SELECT bg.doc_id, count(*) AS n_grams,
+      |         CAST(sum(coalesce(llr.llr_nano, (SELECT unseen_nano FROM consts))) +
+      |              (SELECT prior_nano FROM consts) AS BIGINT) AS score_nano
+      |  FROM bg LEFT JOIN llr USING (b)
+      |  GROUP BY bg.doc_id
+      |), gated AS (
+      |  SELECT s.doc_id, d.lang, s.n_grams, s.score_nano,
+      |         CAST(round(1e9 / (1.0 + exp(-(s.score_nano / 1e9))), 0) AS BIGINT) AS prob_nano,
+      |         CAST(round((pow(1.0 - ((((s.doc_id * 48271 + 41) % 2147483647)
+      |                                  * 48271 % 2147483647) * 48271 % 2147483647 + 0.5)
+      |                               / 2147483647.0, -1.0 / 9.0) - 1.0) * 1e9, 0) AS BIGINT)
+      |           AS pareto_nano
+      |  FROM scored s JOIN documents d USING (doc_id)
+      |)
+      |SELECT doc_id, lang, n_grams, score_nano, prob_nano,
+      |       pareto_nano > 1000000000 - prob_nano AS keep
+      |FROM gated
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q57_quality_gate" -> (q57QualityGate _),
     "q55_perplexity_lm" -> (q55PerplexityLm _),
     "q54_importance_weights" -> (q54ImportanceWeights _),
     "q52_fuzzy_decontamination" -> (q52FuzzyDecontamination _),
@@ -471,6 +540,7 @@ object PipelineQueries {
     "q46_decontaminated" -> (q46Decontaminated _))
 
   val oracle: Map[String, String] = Map(
+    "q57_quality_gate" -> q57Sql,
     "q55_perplexity_lm" -> q55Sql,
     "q54_importance_weights" -> q54Sql,
     "q52_fuzzy_decontamination" -> q52Sql,

@@ -792,6 +792,64 @@ object StreamingOps {
         })
   }
 
+  final case class QgGram(id: Long, llr_nano: Option[Long])
+  final case class QgOut(doc_id: Long, n_grams: Long, score_nano: Long,
+      prob_nano: Long, keep: Boolean)
+
+  /** Streaming twin of [[graft.text.QualityClassifier.score]]: gate
+    * arriving documents against a SNAPSHOT model (fit once per
+    * release — [[graft.text.QualityClassifier.fit]] already returns a
+    * local bucket table plus plain constants, so the stream-static
+    * join broadcasts a job-free relation and the prior/unseen/Pareto
+    * arithmetic runs in the state function on exact integers). Same
+    * shape as [[importanceWeightsStream]]: grams explode from one
+    * input row, LEFT join on the bucket key, zero-retained-state
+    * per-document sums; the sigmoid/Pareto doubles replicate the
+    * batch expressions' HALF_UP rounding bit-for-bit
+    * (StreamingOpsSpec pins parity, keep decisions included).
+    */
+  def qualityGateStream(
+      docs: DataFrame,
+      model: graft.text.QualityClassifier.NbModel,
+      textCol: String,
+      idCol: String,
+      alpha: Double = 9.0,
+      seed: Long = 41L): Dataset[QgOut] = {
+    import docs.sparkSession.implicits._
+    require(alpha > 0.0, s"alpha=$alpha must be positive")
+    requireIntegralId(docs, idCol)
+    val priorNano = model.priorNano
+    val unseenNano = model.unseenNano
+    // Batch round(...) is Catalyst Round over doubles = HALF_UP on
+    // BigDecimal.valueOf — math.round (floor(x+0.5)) would diverge on
+    // negative halves, so mirror the exact semantics.
+    def halfUp(x: Double): Long =
+      java.math.BigDecimal.valueOf(x).setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+    docs
+      .select(col(idCol).cast("long").as("id"),
+        explode(graft.text.ImportanceResampling.gramOccurrences(col(textCol))).as("__g"))
+      .select(col("id"),
+        graft.text.ImportanceResampling.bucketOf(col("__g"), model.hexChars).as("b"))
+      .join(model.bucketLlr, Seq("b"), "left")
+      .select(col("id"), col("llr_nano"))
+      .as[QgGram]
+      .groupByKey(_.id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (id: Long, rows: Iterator[QgGram], state: GroupState[Long]) => {
+          var n = 0L
+          var score = priorNano
+          rows.foreach { r => n += 1; score += r.llr_nano.getOrElse(unseenNano) }
+          val prob = halfUp(1e9 / (1.0 + math.exp(-score.toDouble / 1e9)))
+          val m = 2147483647L; val a = 48271L
+          val h0 = java.lang.Math.floorMod(id * a + seed % m, m)
+          val h1 = java.lang.Math.floorMod(h0 * a, m)
+          val u = (java.lang.Math.floorMod(h1 * a, m) + 0.5) / 2147483647.0
+          val pareto = halfUp(
+            math.min((math.pow(1.0 - u, -1.0 / alpha) - 1.0) * 1e9, 2e9))
+          Iterator(QgOut(id, n, score, prob, pareto > 1000000000L - prob))
+        })
+  }
+
   // ------------------------------------------------- stateful cycles
 
   final case class EventIn(event_id: Long, ts: java.sql.Timestamp, user_id: Long, event_type: String, value: Double)

@@ -3,7 +3,6 @@ package graft.text
 import graft.ops.Sampling
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.graftbridge.ColumnBridge
 
 /** Seed-trained quality classifier with Pareto-thresholded keeping —
   * the GPT-3/LLaMA curation gate (Brown et al. 2020 appendix A;
@@ -39,29 +38,50 @@ import org.apache.spark.sql.graftbridge.ColumnBridge
   * Scale shape: [[fit]] collapses the seed documents to the
   * FIXED-SIZE bucket grain (16^hexChars rows) in one map-side-
   * combined exchange — gram text never crosses an exchange
-  * ([[GramOccurrences]] byte-span views); the prior and totals ride
-  * scalar subqueries over that fixed-size table. [[score]] is one
-  * corpus pass: grams broadcast-join the (always broadcastable)
-  * bucket table and collapse to the document grain. Fit/score as
+  * ([[GramOccurrences]] byte-span views) — and SNAPSHOTS it: the
+  * fitted model is a collected local bucket table plus plain Long
+  * constants that enter score plans as literals (never scalar
+  * subqueries, which would re-plan the fit pass per reference, nor
+  * constant-key joins, which the optimizer folds into nested-loop
+  * joins). [[score]] is one corpus pass: grams broadcast-join the
+  * (local, job-free) bucket table and collapse to the document
+  * grain. Fit/score as
   * separate passes is the [[CorpusStats]] snapshot discipline — a
   * production pipeline fits on seeds once per release and scores
   * every shard/stream against the frozen table.
   */
 object QualityClassifier {
 
-  /** Fitted model: `bucketLlr` (bucket `b`, `llr_nano`) over observed
-    * buckets; `priors` (ONE row: `n_pos`, `n_neg`, `prior_nano`,
-    * `unseen_nano` — the smoothed llr of a bucket no seed hit, for
-    * scoring outside the fitted corpus).
+  /** Fitted model — a SNAPSHOT, not a lazy plan (the
+    * [[Decontamination.gramBloom]] discipline: a production pipeline
+    * fits once per release and scores every shard against the frozen
+    * artifact). `bucketLlr` is a materialized LOCAL relation (bucket
+    * `b`, `llr_nano`) over the <= 16^hexChars observed buckets —
+    * broadcast-joining it costs no job; the class/document counts and
+    * the derived constants (`priorNano`; `unseenNano` — the smoothed
+    * llr of a bucket no seed hit, for scoring outside the fitted
+    * corpus) are plain driver values that enter score plans as
+    * literals, never as scalar subqueries that would re-plan the fit
+    * pass per reference.
     */
-  final case class NbModel(bucketLlr: DataFrame, priors: DataFrame, hexChars: Int)
+  final case class NbModel(
+      bucketLlr: DataFrame,
+      nPos: Long,
+      nNeg: Long,
+      priorNano: Long,
+      unseenNano: Long,
+      hexChars: Int)
 
   /** Train on the labeled subset of `df`: rows where `isPositive` is
     * true are good-seed documents, rows where it is false are
     * negative seeds, rows where it is NULL are unlabeled and ignored
-    * by the fit (they are still scorable). One corpus pass to the
-    * bucket grain; doc-level seed counts ride a second, seed-sized
-    * aggregation.
+    * by the fit (they are still scorable). EAGER: one corpus pass
+    * collapses the seeds to the fixed-size bucket grain and collects
+    * it (<= 16^hexChars tiny rows), plus one seed-sized aggregation
+    * for the document priors. All rounded statistics are computed
+    * IN-ENGINE over the collected integers (literal folding through
+    * Catalyst's own round/log), so they are bit-identical to the
+    * previous all-lazy form and to the ANSI oracle.
     */
   def fit(
       df: DataFrame,
@@ -69,9 +89,10 @@ object QualityClassifier {
       textCol: String,
       hexChars: Int = 2): NbModel = {
     val buckets = numBuckets(hexChars)
+    val spark = df.sparkSession
     val seeds = df.select(isPositive.as("__pos"), col(textCol))
       .filter(col("__pos").isNotNull)
-    val stats = seeds
+    val statRows = seeds
       .select(col("__pos"),
         explode(ImportanceResampling.gramOccurrences(col(textCol))).as("__g"))
       .select(col("__pos"),
@@ -80,29 +101,40 @@ object QualityClassifier {
       .agg(
         sum(when(col("__pos"), 1L).otherwise(0L)).as("__pc"),
         sum(when(col("__pos"), 0L).otherwise(1L)).as("__nc"))
-    // Gram totals per class: scalar aggregates over the FIXED-SIZE
-    // bucket table (<= 16^hexChars rows) — constant work at any
-    // corpus scale, and subquery reuse shares the bucket exchange.
-    val pt = ColumnBridge.scalar(stats.agg(sum(col("__pc"))))
-    val nt = ColumnBridge.scalar(stats.agg(sum(col("__nc"))))
-    val bucketLlr = stats.select(
-      col("b"),
-      llrNano(col("__pc"), pt, col("__nc"), nt, buckets))
-    val priors = seeds
+      .collect()
+    // Exact integer gram totals per class — driver sums over the
+    // bounded bucket table, no float involved.
+    val pt = statRows.map(_.getLong(1)).sum
+    val nt = statRows.map(_.getLong(2)).sum
+    val priorRow = seeds
       .agg(
         sum(when(col("__pos"), 1L).otherwise(0L)).as("n_pos"),
         sum(when(col("__pos"), 0L).otherwise(1L)).as("n_neg"))
-      .select(
-        col("n_pos"), col("n_neg"),
-        round((log((col("n_pos") + lit(1)).cast("double") /
-                   (col("n_pos") + col("n_neg") + lit(2)).cast("double")) -
-               log((col("n_neg") + lit(1)).cast("double") /
-                   (col("n_pos") + col("n_neg") + lit(2)).cast("double"))) * lit(1e9))
-          .cast("long").as("prior_nano"),
-        round((log(lit(1.0) / (pt + lit(buckets)).cast("double")) -
-               log(lit(1.0) / (nt + lit(buckets)).cast("double"))) * lit(1e9))
-          .cast("long").as("unseen_nano"))
-    NbModel(bucketLlr, priors, hexChars)
+      .collect().head
+    val nPos = if (priorRow.isNullAt(0)) 0L else priorRow.getLong(0)
+    val nNeg = if (priorRow.isNullAt(1)) 0L else priorRow.getLong(1)
+    // Rounded model constants and the per-bucket llr are evaluated by
+    // Spark's OWN round/log expressions (over a local relation /
+    // literals), keeping double->nano rounding bit-identical to the
+    // lazy column form — driver math.round would diverge on negative
+    // half-way values (floor(x+0.5) vs HALF_UP).
+    import spark.implicits._
+    val bucketLlr = statRows.toSeq
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toDF("b", "__pc", "__nc")
+      .select(col("b"),
+        llrNano(col("__pc"), lit(pt), col("__nc"), lit(nt), buckets))
+    val consts = spark.range(1).select(
+      round((log((lit(nPos) + lit(1)).cast("double") /
+                 (lit(nPos) + lit(nNeg) + lit(2)).cast("double")) -
+             log((lit(nNeg) + lit(1)).cast("double") /
+                 (lit(nPos) + lit(nNeg) + lit(2)).cast("double"))) * lit(1e9))
+        .cast("long").as("prior_nano"),
+      round((log(lit(1.0) / (lit(pt) + lit(buckets)).cast("double")) -
+             log(lit(1.0) / (lit(nt) + lit(buckets)).cast("double"))) * lit(1e9))
+        .cast("long").as("unseen_nano"))
+      .collect().head
+    NbModel(bucketLlr, nPos, nNeg, consts.getLong(0), consts.getLong(1), hexChars)
   }
 
   private def numBuckets(hexChars: Int): Int = {
@@ -128,7 +160,7 @@ object QualityClassifier {
     * uniform from the MINSTD stream of (`idCol`, seed)).
     *
     * Buckets absent from the model (possible only when scoring
-    * outside the fitted corpus) contribute the priors' `unseen_nano`.
+    * outside the fitted corpus) contribute `model.unseenNano`.
     * Documents with NO grams (empty/null text) are absent, as in the
     * novelty and perplexity reports.
     *
@@ -144,16 +176,20 @@ object QualityClassifier {
       alpha: Double = 9.0,
       seed: Long = 41L): DataFrame = {
     require(alpha > 0.0, s"alpha=$alpha must be positive")
-    val prior = ColumnBridge.scalar(model.priors.select(col("prior_nano")))
-    val unseen = ColumnBridge.scalar(model.priors.select(col("unseen_nano")))
     val carried = carry.map(c => min(col(c)).as(c))
     val aggs = Seq(
       count(lit(1)).as("n_grams"),
-      (sum(coalesce(col("llr_nano"), unseen)) + prior).as("score_nano")) ++ carried
+      (sum(coalesce(col("llr_nano"), lit(model.unseenNano))) +
+        lit(model.priorNano)).as("score_nano")) ++ carried
     val u = (Sampling.sampleScore(col(idCol), seed).cast("double") + lit(0.5)) /
       lit(2147483647.0)
+    // The noise is clamped at 2e9 BEFORE the long cast: the keep rule
+    // compares it against 1e9 - prob_nano <= 1e9, so any value past
+    // the clamp decides identically, and small alphas (heavy tails)
+    // can push the raw double past Long range, which ANSI cast rejects.
     val paretoNano =
-      round((pow(lit(1.0) - u, lit(-1.0 / alpha)) - lit(1.0)) * lit(1e9)).cast("long")
+      round(least((pow(lit(1.0) - u, lit(-1.0 / alpha)) - lit(1.0)) * lit(1e9),
+        lit(2e9))).cast("long")
     df.select(col(idCol) +: col(textCol) +: carry.map(col): _*)
       .select(col(idCol) +:
         explode(ImportanceResampling.gramOccurrences(col(textCol))).as("__g") +:

@@ -139,7 +139,16 @@ class PlanContractSpec extends SparkSpec {
     // at runtime (measured: 4 corpus scans total = score + unigram +
     // bigram + one un-reused subquery pass over the TRAIN subset,
     // which is the small curated corpus in the CCNet regime)
-    "q55_perplexity_lm" -> 10)
+    "q55_perplexity_lm" -> 10,
+    // q56: interval fan-out join — both sides collapse to the bucket
+    // grid key; point-side repartition join + oracle ORDER BY (the
+    // interval side broadcasts after its bounded explode)
+    "q56_interval_join" -> 2,
+    // q57: the fit pass runs EAGERLY at construction (snapshot model:
+    // local bucket table + literal constants — gramBloom discipline),
+    // so the plan is score-only: doc-grain agg (1) + oracle ORDER BY
+    // (1); the bucket-table broadcast is a job-free local relation
+    "q57_quality_gate" -> 2)
 
   test("no query plans a cartesian product or nested-loop join") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

@@ -433,6 +433,40 @@ class StreamingOpsSpec extends SparkSpec {
     assert(got.size == docs.size) // self-scoring: every doc's buckets were fitted
   }
 
+  test("streaming quality gate against a snapshot model equals the batch report, keep set included") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import sqlImplicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val corpus = graft.sources.Sources.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text", "lang")
+    val docs = corpus.collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    // the q57 labeling: the doc_id%5==1 fifth is labeled, positive iff English
+    val model = graft.text.QualityClassifier.fit(
+      corpus,
+      org.apache.spark.sql.functions.when(
+        org.apache.spark.sql.functions.pmod(
+          org.apache.spark.sql.functions.col("doc_id"),
+          org.apache.spark.sql.functions.lit(5L)) === 1L,
+        org.apache.spark.sql.functions.col("lang") === "en"),
+      "text")
+    val input = MemoryStream[(Long, String, String)]
+    val stream = StreamingOps.qualityGateStream(
+      input.toDF().toDF("doc_id", "text", "lang"), model, "text", "doc_id")
+    val q = stream.toDF().writeStream.outputMode("append").format("memory").queryName("qgs").start()
+    docs.grouped(200).foreach { b => input.addData(b); q.processAllAvailable() }
+    q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("doc_id", "n_grams", "score_nano", "prob_nano", "keep").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4))).toSet
+    val got = rows(spark.table("qgs"))
+    val want = rows(graft.text.QualityClassifier.score(corpus, model, "text", "doc_id")
+      .selectExpr("doc_id", "cast(n_grams as long) n_grams", "score_nano", "prob_nano", "keep"))
+    assert(got == want, s"stream-batch diff: ${(got diff want) ++ (want diff got)}")
+    assert(got.size == docs.size)
+    // the Pareto gate must actually split the stream at this SF
+    assert(got.exists(_._5) && got.exists(!_._5))
+  }
+
   test("chunking runs unchanged on a stream: parity with batch") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import sqlImplicits._
