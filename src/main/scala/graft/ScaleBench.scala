@@ -395,7 +395,29 @@ object ScaleBench {
       // + broadcast rate table + map-side keep filter.
       "temperature_mix" -> (() =>
         graft.ops.Sampling
-          .temperatureMix(docs, "doc_id", "lang", k = 12.0, seed = 7L).count()))
+          .temperatureMix(docs, "doc_id", "lang", k = 12.0, seed = 7L).count()),
+      // DSIR importance weights: fit collapses to the 256-bucket grain
+      // (map-side combine), score is one gram pass + broadcast bucket
+      // join + doc-grain agg — fit AND score measured together.
+      "importance_weights" -> (() =>
+        graft.text.ImportanceResampling.weightsReport(
+          docs, col("lang") === "en", "text", "doc_id").count()),
+      // Bigram-LM perplexity: fit collapses the train subset to
+      // bigram/context/vocab grains; score joins the model tables and
+      // collapses to the doc grain. Vocab grows with corpus text, so
+      // this is the one text op whose model side scales too.
+      "perplexity_lm" -> (() =>
+        graft.text.NgramLm.perplexityReport(
+          docs, col("lang") === "en", "text", "doc_id").count()),
+      // Seed-trained NB quality gate: eager snapshot fit (two seed
+      // passes to bounded grains) + one-pass score against the local
+      // bucket table — the gate's cost should track the gram count
+      // linearly at any corpus size.
+      "quality_gate" -> (() => {
+        val model = graft.text.QualityClassifier.fit(
+          docs, when(pmod(col("doc_id"), lit(5L)) === 1L, col("lang") === "en"), "text")
+        graft.text.QualityClassifier.score(docs, model, "text", "doc_id").count()
+      }))
   }
 
   def main(args: Array[String]): Unit = {

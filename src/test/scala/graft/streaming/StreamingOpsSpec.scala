@@ -467,6 +467,48 @@ class StreamingOpsSpec extends SparkSpec {
     assert(got.exists(_._5) && got.exists(!_._5))
   }
 
+  test("interval join runs unchanged on a point stream: parity with batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import sqlImplicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // Static interval side (maintenance windows); streaming points.
+    // The bucketed form is a stream-static equi-join + stateless
+    // residual, so the BATCH operator applies directly — no wrapper
+    // to drift (same convention as chunking / PII scrub parities).
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val intervals = Seq(
+      (1L, ts("2024-01-01 00:00:00"), ts("2024-01-01 06:00:00"), "w1"),
+      (1L, ts("2024-01-01 04:00:00"), ts("2024-01-01 08:00:00"), "w2"),
+      (2L, ts("2024-01-01 00:00:00"), ts("2024-01-02 00:00:00"), "w3")
+    ).toDF("user_id", "lo", "hi", "win")
+    val points = Seq(
+      (1L, ts("2024-01-01 05:00:00"), 10.0), // w1 AND w2 (overlap)
+      (1L, ts("2024-01-01 06:00:00"), 11.0), // w2 only (hi exclusive)
+      (1L, ts("2024-01-01 23:00:00"), 12.0), // none (wrong time)
+      (2L, ts("2024-01-01 23:59:59"), 13.0), // w3
+      (2L, ts("2024-01-02 00:00:00"), 14.0)  // none (hi exclusive)
+    )
+    val input = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val joined = graft.ops.IntervalJoin.pointInInterval(
+      input.toDF().toDF("user_id", "ts", "value"), intervals,
+      "ts", "lo", "hi", keys = Seq("user_id"),
+      bucketSeconds = 7200L, broadcastIntervals = true)
+    val q = joined.writeStream.outputMode("append").format("memory").queryName("ivj").start()
+    points.grouped(2).foreach { b => input.addData(b); q.processAllAvailable() }
+    q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("user_id", "ts", "value", "win").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getDouble(2), r.getString(3))).toSet
+    val got = rows(spark.table("ivj"))
+    val want = rows(graft.ops.IntervalJoin.pointInInterval(
+      points.toDF("user_id", "ts", "value"), intervals,
+      "ts", "lo", "hi", keys = Seq("user_id"),
+      bucketSeconds = 7200L, broadcastIntervals = true))
+    assert(got == want, s"stream-batch diff: ${(got diff want) ++ (want diff got)}")
+    assert(got.map(_._4) == Set("w1", "w2", "w3"))
+    assert(got.size == 4) // the 05:00 point matches two overlapping windows
+  }
+
   test("chunking runs unchanged on a stream: parity with batch") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import sqlImplicits._
