@@ -152,6 +152,35 @@ class QualityClassifierSpec extends SparkSpec {
     assert(!none.exists(identity))
   }
 
+  test("label flip negates every score exactly (NB antisymmetry survives rounding)") {
+    // Swapping the classes negates the prior, every bucket llr, and
+    // the unseen constant; HALF_UP rounds away from zero, so
+    // round(-x) == -round(x) and the integer sums negate EXACTLY.
+    def scores(label: org.apache.spark.sql.Column) =
+      QualityClassifier.gateReport(docs, label, "text", "doc_id")
+        .select("doc_id", "n_grams", "score_nano")
+        .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val pos = scores(col("label"))
+    val neg = scores(!col("label"))
+    assert(pos.keySet == neg.keySet)
+    pos.foreach { case (id, (n, s)) =>
+      assert(neg(id) == ((n, -s)), s"doc $id: $s vs ${neg(id)._2}")
+    }
+  }
+
+  test("keep sets are nested as alpha tightens the Pareto tail") {
+    // (1-u)^(-1/alpha) is pointwise non-increasing in alpha, and
+    // HALF_UP rounding is monotone, so a larger alpha can only shrink
+    // the keep set — never trade members.
+    val keeps = Seq(0.5, 2.0, 9.0, 50.0).map { a =>
+      QualityClassifier.gateReport(docs, col("label"), "text", "doc_id", alpha = a)
+        .filter(col("keep")).select("doc_id").as[Long].collect().toSet
+    }
+    keeps.sliding(2).foreach { case Seq(looser, tighter) =>
+      assert(tighter.subsetOf(looser), s"$tighter not within $looser")
+    }
+  }
+
   private def nodes(p: SparkPlan): Seq[SparkPlan] = {
     val inner = p match {
       case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
