@@ -524,7 +524,97 @@ object PipelineQueries {
       |FROM gated
       |ORDER BY doc_id""".stripMargin
 
+  /** q58: gate-then-pack — the NB quality gate ([[QualityClassifier]],
+    * q57's configuration) feeding sequence packing of the SURVIVORS
+    * into 1024-token training bins per language, in ONE corpus scan:
+    * the gate's report already carries the exact token count
+    * (`n_tokens = (n_grams + 1) div 2` — the gram stream is unigrams
+    * + bigrams = 2n - 1), so packing never re-reads text and never
+    * joins back to the corpus. The 100 TB shape of a curation tail:
+    * corpus text is touched exactly once, every later stage is
+    * doc-grain arithmetic.
+    */
+  def q58GatePack(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Sources.documents(spark, dir)
+    val gated = QualityClassifier.gateReport(
+      docs, when(pmod(col("doc_id"), lit(5L)) === 1L, col("lang") === "en"),
+      "text", "doc_id", carry = Seq("lang"))
+    val survivors = gated
+      .filter(col("keep"))
+      .withColumn("n_tokens", expr("(n_grams + 1) div 2"))
+    SequencePacking.packedBinsFromCounts(
+        survivors, "n_tokens", "lang", "doc_id", capacity = 1024)
+      .orderBy("lang", "bin")
+  }
+
+  /** q57's CTE chain through `gated`, then the q40 packing algebra
+    * over the keep set, partitioned by language.
+    */
+  val q58Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+      |         generate_subscripts(string_split(text, ' '), 1) AS i
+      |  FROM documents
+      |), grams AS (
+      |  SELECT doc_id, w AS g FROM toks
+      |  UNION ALL
+      |  SELECT a.doc_id, a.w || ' ' || b.w AS g
+      |  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+      |), bg AS (
+      |  SELECT doc_id, substr(md5(g), 1, 2) AS b FROM grams
+      |), seeds AS (
+      |  SELECT doc_id, (lang = 'en') AS pos FROM documents WHERE doc_id % 5 = 1
+      |), sstats AS (
+      |  SELECT b,
+      |         sum(CASE WHEN pos THEN 1 ELSE 0 END) AS pc,
+      |         sum(CASE WHEN pos THEN 0 ELSE 1 END) AS nc
+      |  FROM bg JOIN seeds USING (doc_id) GROUP BY b
+      |), tot AS (SELECT sum(pc) AS pt, sum(nc) AS nt FROM sstats),
+      |llr AS (
+      |  SELECT b, CAST(round((ln((pc + 1.0) / (pt + 256.0)) -
+      |                        ln((nc + 1.0) / (nt + 256.0))) * 1e9, 0) AS BIGINT) AS llr_nano
+      |  FROM sstats CROSS JOIN tot
+      |), consts AS (
+      |  SELECT CAST(round((ln((np + 1.0) / (np + nn + 2.0)) -
+      |                     ln((nn + 1.0) / (np + nn + 2.0))) * 1e9, 0) AS BIGINT) AS prior_nano,
+      |         (SELECT CAST(round((ln(1.0 / (pt + 256.0)) -
+      |                             ln(1.0 / (nt + 256.0))) * 1e9, 0) AS BIGINT)
+      |          FROM tot) AS unseen_nano
+      |  FROM (SELECT sum(CASE WHEN pos THEN 1 ELSE 0 END) AS np,
+      |               sum(CASE WHEN pos THEN 0 ELSE 1 END) AS nn
+      |        FROM seeds)
+      |), scored AS (
+      |  SELECT bg.doc_id, count(*) AS n_grams,
+      |         CAST(sum(coalesce(llr.llr_nano, (SELECT unseen_nano FROM consts))) +
+      |              (SELECT prior_nano FROM consts) AS BIGINT) AS score_nano
+      |  FROM bg LEFT JOIN llr USING (b)
+      |  GROUP BY bg.doc_id
+      |), gated AS (
+      |  SELECT s.doc_id, d.lang, s.n_grams,
+      |         CAST(round(1e9 / (1.0 + exp(-(s.score_nano / 1e9))), 0) AS BIGINT) AS prob_nano,
+      |         CAST(round((pow(1.0 - ((((s.doc_id * 48271 + 41) % 2147483647)
+      |                                  * 48271 % 2147483647) * 48271 % 2147483647 + 0.5)
+      |                               / 2147483647.0, -1.0 / 9.0) - 1.0) * 1e9, 0) AS BIGINT)
+      |           AS pareto_nano
+      |  FROM scored s JOIN documents d USING (doc_id)
+      |), kept AS (
+      |  SELECT doc_id, lang, (n_grams + 1) // 2 AS n_tokens
+      |  FROM gated WHERE pareto_nano > 1000000000 - prob_nano
+      |), o AS (
+      |  SELECT doc_id, lang, n_tokens,
+      |    sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS start_offset
+      |  FROM kept
+      |)
+      |SELECT lang, CAST(floor(start_offset / 1024.0) AS BIGINT) AS bin,
+      |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+      |  min(doc_id) AS first_id, max(doc_id) AS last_id
+      |FROM o
+      |GROUP BY lang, bin
+      |ORDER BY lang, bin""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q58_gate_pack" -> (q58GatePack _),
     "q57_quality_gate" -> (q57QualityGate _),
     "q55_perplexity_lm" -> (q55PerplexityLm _),
     "q54_importance_weights" -> (q54ImportanceWeights _),
@@ -540,6 +630,7 @@ object PipelineQueries {
     "q46_decontaminated" -> (q46Decontaminated _))
 
   val oracle: Map[String, String] = Map(
+    "q58_gate_pack" -> q58Sql,
     "q57_quality_gate" -> q57Sql,
     "q55_perplexity_lm" -> q55Sql,
     "q54_importance_weights" -> q54Sql,

@@ -47,12 +47,28 @@ object SequencePacking {
       textCol: String,
       strataCol: String,
       orderCol: String,
+      capacity: Int): DataFrame =
+    assignBinsFromCounts(
+      df.withColumn("n_tokens", TextAnalysis.tokenCount(col(textCol)).cast("long")),
+      "n_tokens", strataCol, orderCol, capacity)
+
+  /** [[assignBins]] over a PRE-COMPUTED token-count column — for
+    * composed pipelines whose upstream pass already collapsed text to
+    * the document grain (the NB quality gate's report carries
+    * `n_tokens = (n_grams + 1) div 2` exactly, since the gram stream
+    * is unigrams + bigrams = 2n - 1), so packing the survivors needs
+    * neither a second corpus scan nor a join back to the text.
+    */
+  def assignBinsFromCounts(
+      df: DataFrame,
+      tokensCol: String,
+      strataCol: String,
+      orderCol: String,
       capacity: Int): DataFrame = {
     require(capacity > 0, s"capacity=$capacity must be positive")
     val w = Window.partitionBy(strataCol).orderBy(orderCol)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.withColumn("n_tokens", TextAnalysis.tokenCount(col(textCol)).cast("long"))
-      .withColumn("start_offset", sum(col("n_tokens")).over(w) - col("n_tokens"))
+    df.withColumn("start_offset", sum(col(tokensCol)).over(w) - col(tokensCol))
       .withColumn("bin", floor(col("start_offset") / lit(capacity.toLong)))
   }
 
@@ -215,11 +231,30 @@ object SequencePacking {
       strataCol: String,
       orderCol: String,
       capacity: Int): DataFrame =
-    assignBins(df, textCol, strataCol, orderCol, capacity)
+    binSummary(assignBins(df, textCol, strataCol, orderCol, capacity),
+      "n_tokens", strataCol, orderCol)
+
+  /** [[packedBins]] over a pre-computed token-count column (see
+    * [[assignBinsFromCounts]]). */
+  def packedBinsFromCounts(
+      df: DataFrame,
+      tokensCol: String,
+      strataCol: String,
+      orderCol: String,
+      capacity: Int): DataFrame =
+    binSummary(assignBinsFromCounts(df, tokensCol, strataCol, orderCol, capacity),
+      tokensCol, strataCol, orderCol)
+
+  private def binSummary(
+      assigned: DataFrame,
+      tokensCol: String,
+      strataCol: String,
+      orderCol: String): DataFrame =
+    assigned
       .groupBy(col(strataCol), col("bin"))
       .agg(
         count(lit(1)).as("n_docs"),
-        sum(col("n_tokens")).as("total_tokens"),
+        sum(col(tokensCol)).as("total_tokens"),
         min(col(orderCol)).as("first_id"),
         max(col(orderCol)).as("last_id"))
 }

@@ -148,7 +148,13 @@ class PlanContractSpec extends SparkSpec {
     // local bucket table + literal constants — gramBloom discipline),
     // so the plan is score-only: doc-grain agg (1) + oracle ORDER BY
     // (1); the bucket-table broadcast is a job-free local relation
-    "q57_quality_gate" -> 2)
+    "q57_quality_gate" -> 2,
+    // q58: ONE corpus scan end-to-end — gate score agg (1) + the
+    // packing window's lang partition (1) + oracle ORDER BY (1); the
+    // (lang, bin) bin summary reuses the window's lang partitioning
+    // (no exchange), and packing consumes the gate's exact
+    // (n_grams+1) div 2 token counts instead of re-reading text
+    "q58_gate_pack" -> 3)
 
   test("no query plans a cartesian product or nested-loop join") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

@@ -132,6 +132,28 @@ class SequencePackingSpec extends SparkSpec {
     assert(plan.split("BroadcastHashJoin").length - 1 >= 2, plan)
   }
 
+  test("packedBinsFromCounts equals packedBins given the same counts; the gate identity holds") {
+    import sqlImplicits._
+    val d = docs()
+    val fromText = SequencePacking.packedBins(d, "text", "source", "doc_id", capacity = 512)
+      .orderBy("source", "bin").collect().toSeq
+    val withCounts = d.withColumn("tok",
+      graft.text.TextAnalysis.tokenCount(col("text")).cast("long"))
+    val fromCounts = SequencePacking.packedBinsFromCounts(
+      withCounts, "tok", "source", "doc_id", capacity = 512)
+      .orderBy("source", "bin").collect().toSeq
+    assert(fromText == fromCounts)
+    // the q58 composition identity: the gate's gram count determines
+    // the token count exactly (unigrams + bigrams = 2n - 1)
+    val mismatch = d
+      .select(col("doc_id"),
+        graft.text.TextAnalysis.tokenCount(col("text")).cast("long").as("tok"),
+        size(graft.text.ImportanceResampling.gramOccurrences(col("text"))).cast("long").as("g"))
+      .filter(expr("(g + 1) div 2") =!= col("tok"))
+      .count()
+    assert(mismatch == 0L)
+  }
+
   test("packBins routes on the largest stratum: window when small, distributed when big") {
     val df = skewedDocs() // dominant stratum = 500 rows
     // threshold above the dominant stratum -> window form (no joins in
