@@ -613,7 +613,66 @@ object PipelineQueries {
       |GROUP BY lang, bin
       |ORDER BY lang, bin""".stripMargin
 
+  /** q59: DSIR selection end-to-end — importance weights (q54's
+    * configuration) + deterministic Gumbel top-k resampling
+    * ([[ImportanceResampling.gumbelTopK]]): keep the 100 documents
+    * with the largest `weight + Gumbel(md5-derived u)` keys. The
+    * Gumbel u is 52 exact mantissa bits from the md5 of
+    * `seed:doc_id` (13 hex chars), so both engines compute the
+    * identical double key and the selected SET matches bit-for-bit —
+    * the sampling step itself is oracle-checked, not just the
+    * weights.
+    */
+  def q59Resample(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Sources.documents(spark, dir)
+    val w = ImportanceResampling.weightsReport(
+      docs, col("lang") === "en", "text", "doc_id", carry = Seq("lang"))
+    ImportanceResampling.gumbelTopK(w, "doc_id", k = 100, seed = 42L)
+      .orderBy("doc_id")
+  }
+
+  val q59Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+      |         generate_subscripts(string_split(text, ' '), 1) AS i
+      |  FROM documents
+      |), grams AS (
+      |  SELECT doc_id, w AS g FROM toks
+      |  UNION ALL
+      |  SELECT a.doc_id, a.w || ' ' || b.w AS g
+      |  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+      |), bg AS (
+      |  SELECT g.doc_id, substr(md5(g.g), 1, 2) AS b, d.lang
+      |  FROM grams g JOIN documents d USING (doc_id)
+      |), stats AS (
+      |  SELECT b, count(*) AS rc,
+      |         sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS tc
+      |  FROM bg GROUP BY b
+      |), tot AS (SELECT sum(rc) AS rt, sum(tc) AS tt FROM stats),
+      |lr AS (
+      |  SELECT b, CAST(round((ln((tc + 1.0) / (tt + 256.0)) -
+      |                        ln((rc + 1.0) / (rt + 256.0))) * 1e9, 0) AS BIGINT) AS lr_nano
+      |  FROM stats CROSS JOIN tot
+      |), wts AS (
+      |  SELECT bg.doc_id, min(bg.lang) AS lang, count(*) AS n_grams,
+      |         CAST(sum(lr.lr_nano) AS BIGINT) AS weight_nano
+      |  FROM bg JOIN lr USING (b)
+      |  GROUP BY bg.doc_id
+      |), keyed AS (
+      |  SELECT doc_id, lang, n_grams, weight_nano,
+      |         CAST(weight_nano AS DOUBLE) +
+      |         round(-ln(-ln((CAST('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 13)
+      |                             AS BIGINT) + 0.5) / 4503599627370496.0)) * 1e9, 0) AS gk
+      |  FROM wts
+      |)
+      |SELECT doc_id, lang, n_grams, weight_nano FROM (
+      |  SELECT doc_id, lang, n_grams, weight_nano
+      |  FROM keyed ORDER BY gk DESC, doc_id LIMIT 100
+      |)
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q59_resample" -> (q59Resample _),
     "q58_gate_pack" -> (q58GatePack _),
     "q57_quality_gate" -> (q57QualityGate _),
     "q55_perplexity_lm" -> (q55PerplexityLm _),
@@ -630,6 +689,7 @@ object PipelineQueries {
     "q46_decontaminated" -> (q46Decontaminated _))
 
   val oracle: Map[String, String] = Map(
+    "q59_resample" -> q59Sql,
     "q58_gate_pack" -> q58Sql,
     "q57_quality_gate" -> q57Sql,
     "q55_perplexity_lm" -> q55Sql,

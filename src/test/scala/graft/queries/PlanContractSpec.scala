@@ -154,7 +154,12 @@ class PlanContractSpec extends SparkSpec {
     // (lang, bin) bin summary reuses the window's lang partitioning
     // (no exchange), and packing consumes the gate's exact
     // (n_grams+1) div 2 token counts instead of re-reading text
-    "q58_gate_pack" -> 3)
+    "q58_gate_pack" -> 3,
+    // q59: q54's fit shuffles (bucket agg + totals window) + the doc
+    // grain agg; the Gumbel top-k is TakeOrderedAndProject (no sort
+    // exchange) and its single-partition output makes even the oracle
+    // ORDER BY exchange-free
+    "q59_resample" -> 3)
 
   test("no query plans a cartesian product or nested-loop join") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
