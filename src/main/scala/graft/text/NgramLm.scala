@@ -28,11 +28,13 @@ import org.apache.spark.sql.graftbridge.ColumnBridge
   *
   * Scale shape: [[fit]] collapses the training corpus to the vocab /
   * bigram-type grain with map-side combine (text never shuffles);
-  * the vocabulary size reaches per-row expressions as an uncorrelated
-  * SCALAR SUBQUERY ([[ColumnBridge.scalar]]) — executed once, inlined
-  * as a literal, exactly how SQL plans `(SELECT ln(v) FROM vocab)`;
-  * never a constant-key join for the optimizer to collapse into a
-  * nested-loop join. [[logProb]] is one
+  * the vocabulary size is ONE integer, collected eagerly at fit and
+  * entering every later expression as a LITERAL (the snapshot
+  * discipline of [[QualityClassifier.NbModel]] — the previous scalar
+  * subquery re-planned the unigram pass at each of its references,
+  * 10 planned exchanges for q55 vs 4 now; a constant-key join was
+  * never an option, the optimizer collapses it into a nested-loop
+  * join). [[logProb]] is one
   * corpus pass: the bigram stream joins the two model tables —
   * broadcast by default (`broadcastLm = true`; vocab-grain tables
   * fit a broadcast far beyond test scale), or hint-free for
@@ -48,10 +50,22 @@ object NgramLm {
 
   /** Fitted model: `pairLogNum` (bigram string `g`, `a_micro` =
     * round(ln(c12+1) * 1e6)), `ctxLogDen` (context `w1`, `d_micro` =
-    * round(ln(c1+V) * 1e6)), `vocab` (one row: `v`, `d0_micro` =
-    * round(ln(V) * 1e6) — the unseen-context denominator).
+    * round(ln(c1+V) * 1e6)) — both lazy, vocab-grain, potentially
+    * corpus-vocab-sized; plus the SNAPSHOT scalars `v` (vocabulary
+    * size) and `d0Micro` (round(ln(V) * 1e6), the unseen-context
+    * denominator), collected once at fit and entering score plans as
+    * literals (the [[graft.text.QualityClassifier.NbModel]]
+    * discipline — a scalar subquery here would re-plan the unigram
+    * pass at every reference; q55 planned 10 exchanges that way, 4
+    * with literals). `vocab` keeps the one-row (v, d0_micro) frame as
+    * a local relation for snapshot consumers.
     */
-  final case class BigramLm(pairLogNum: DataFrame, ctxLogDen: DataFrame, vocab: DataFrame)
+  final case class BigramLm(
+      pairLogNum: DataFrame,
+      ctxLogDen: DataFrame,
+      vocab: DataFrame,
+      v: Long,
+      d0Micro: Long)
 
   private def bigrams(text: Column): Column =
     ColumnBridge.column(GramOccurrences(ColumnBridge.expression(text), 2, 2))
@@ -61,27 +75,34 @@ object NgramLm {
 
   /** Train on `train`'s `textCol`: unigram context counts, bigram
     * counts, and the vocabulary size (distinct token TYPES), each at
-    * its own grain. All three frames stay lazy.
+    * its own grain. The two model TABLES stay lazy (they can be
+    * vocab-sized); the vocabulary size is ONE integer, so it is
+    * collected eagerly — one job over the train subset's vocab grain
+    * — and `ln(c1+V)` / `ln(V)` fold it as a literal. Both rounded
+    * constants are computed IN-ENGINE (Catalyst round/log over the
+    * collected count), bit-identical to the scalar-subquery form.
     */
   def fit(train: DataFrame, textCol: String): BigramLm = {
+    val spark = train.sparkSession
     val toks = train.select(explode(unigrams(col(textCol))).as("w"))
-    // V = distinct token types = row count of the unigram table: the
-    // vocab scalar aggregates the VOCAB-grain frame, not the corpus
-    // (and the unigram branches share one exchange via subquery reuse).
     val uni = toks.groupBy(col("w").as("w1")).agg(count(lit(1)).as("__c1"))
-    val vocab = uni.agg(count(lit(1)).as("v"))
-      .select(col("v"),
-        round(log(col("v").cast("double")) * lit(1e6)).cast("long").as("d0_micro"))
+    // V = distinct token types = row count of the unigram table: the
+    // aggregate runs over the VOCAB-grain frame, not the corpus.
+    val v = uni.agg(count(lit(1)).as("v")).collect().head.getLong(0)
+    val d0Micro = spark.range(1)
+      .select(round(log(lit(v).cast("double")) * lit(1e6)).cast("long"))
+      .collect().head.getLong(0)
+    import spark.implicits._
+    val vocab = Seq((v, d0Micro)).toDF("v", "d0_micro")
     val ctx = uni
       .select(col("w1"),
-        round(log((col("__c1") + ColumnBridge.scalar(vocab.select(col("v"))))
-          .cast("double")) * lit(1e6))
+        round(log((col("__c1") + lit(v)).cast("double")) * lit(1e6))
           .cast("long").as("d_micro"))
     val pairs = train.select(explode(bigrams(col(textCol))).as("g"))
       .groupBy(col("g"))
       .agg(round(log((count(lit(1)) + lit(1)).cast("double")) * lit(1e6))
         .cast("long").as("a_micro"))
-    BigramLm(pairs, ctx, vocab)
+    BigramLm(pairs, ctx, vocab, v, d0Micro)
   }
 
   /** Per-document log-probability report against a fitted (or
@@ -100,11 +121,10 @@ object NgramLm {
       broadcastLm: Boolean = true): DataFrame = {
     val hint: DataFrame => DataFrame = if (broadcastLm) broadcast else identity
     val carried = carry.map(c => min(col(c)).as(c))
-    val d0 = ColumnBridge.scalar(lm.vocab.select(col("d0_micro")))
     val aggs = Seq(
       count(lit(1)).as("n_bigrams"),
       sum(coalesce(col("a_micro"), lit(0L)) -
-        coalesce(col("d_micro"), d0)).as("lp_micro_sum")) ++ carried
+        coalesce(col("d_micro"), lit(lm.d0Micro))).as("lp_micro_sum")) ++ carried
     df.select(col(idCol) +: col(textCol) +: carry.map(col): _*)
       .select(col(idCol) +: explode(bigrams(col(textCol))).as("g") +: carry.map(col): _*)
       .withColumn("w1", substring_index(col("g"), " ", 1))

@@ -132,14 +132,12 @@ class PlanContractSpec extends SparkSpec {
     // the bucket table broadcasts, grams never carry text
     "q54_importance_weights" -> 4,
     // q55: the score pass is ONE corpus scan — doc-grain agg (1) +
-    // oracle ORDER BY (1); the rest are the fit side's vocab/bigram
-    // grains and the uncorrelated vocab scalar subqueries, whose
-    // subtrees re-plan the (map-side-combined, vocab-grain) unigram
-    // exchange — AQE's shared stage cache dedupes the identical ones
-    // at runtime (measured: 4 corpus scans total = score + unigram +
-    // bigram + one un-reused subquery pass over the TRAIN subset,
-    // which is the small curated corpus in the CCNet regime)
-    "q55_perplexity_lm" -> 10,
+    // oracle ORDER BY (1) — plus the fit side's unigram and bigram
+    // grain exchanges (broadcast-join subtrees). The vocabulary size
+    // is an eager fit-time snapshot entering as a literal; the
+    // previous scalar-subquery form re-planned the unigram pass per
+    // reference and budgeted 10 here
+    "q55_perplexity_lm" -> 4,
     // q56: interval fan-out join — both sides collapse to the bucket
     // grid key; point-side repartition join + oracle ORDER BY (the
     // interval side broadcasts after its bounded explode)
