@@ -111,4 +111,29 @@ class IntervalJoinSpec extends SparkSpec {
       p, i.drop("k"), "ts", "lo", "hi", Nil, 3600L)
     assert(out.select("k").collect().map(_.getLong(0)).toSeq == Seq(1L))
   }
+
+  test("TIMESTAMP_NTZ columns join identically to TIMESTAMP (parquet zone-less default)") {
+    // pyarrow-default parquet timestamps surface as TIMESTAMP_NTZ,
+    // which unix_micros rejects — the operator casts internally, and
+    // the session-zone shift cancels because BOTH sides shift. Pin the
+    // whole matrix: ntz points x ts intervals and every other combo
+    // must produce the zoned result (q56 found this at analysis time).
+    val p = points(
+      (1L, "2024-01-01 10:00:00"), (1L, "2024-01-01 12:00:00"),
+      (1L, "2024-01-01 20:00:00"), (3L, "2024-01-03 05:00:00"))
+    val i = intervals(
+      (1L, "2024-01-01 09:00:00", "2024-01-01 12:00:00", "A"),
+      (1L, "2024-01-01 09:30:00", "2024-01-01 13:00:00", "B"),
+      (3L, "2024-01-02 00:00:00", "2024-01-04 00:00:00", "D"))
+    def ntz(df: DataFrame, cols: String*): DataFrame =
+      cols.foldLeft(df)((d, c) => d.withColumn(c,
+        col(c).cast(org.apache.spark.sql.types.TimestampNTZType)))
+    val want = bucketed(p, i, 3600L)
+    assert(want.nonEmpty)
+    for ((pp, ii, tag) <- Seq(
+        (ntz(p, "ts"), i, "ntz points"),
+        (p, ntz(i, "lo", "hi"), "ntz intervals"),
+        (ntz(p, "ts"), ntz(i, "lo", "hi"), "ntz both")))
+      assert(bucketed(pp, ii, 3600L) == want, tag)
+  }
 }
