@@ -417,6 +417,19 @@ object ScaleBench {
         val model = graft.text.QualityClassifier.fit(
           docs, when(pmod(col("doc_id"), lit(5L)) === 1L, col("lang") === "en"), "text")
         graft.text.QualityClassifier.score(docs, model, "text", "doc_id").count()
+      }),
+      // Gate-then-pack composition (q58's shape): one corpus scan —
+      // the gate's n_grams determines the token count exactly, so
+      // packing the keep set needs no second text pass.
+      "gate_pack" -> (() => {
+        val model = graft.text.QualityClassifier.fit(
+          docs, when(pmod(col("doc_id"), lit(5L)) === 1L, col("lang") === "en"), "text")
+        val survivors = graft.text.QualityClassifier
+          .score(docs, model, "text", "doc_id", carry = Seq("lang"))
+          .filter(col("keep"))
+          .withColumn("n_tokens", expr("(n_grams + 1) div 2"))
+        graft.text.SequencePacking.packedBinsFromCounts(
+          survivors, "n_tokens", "lang", "doc_id", capacity = 1024).count()
       }))
   }
 
@@ -459,7 +472,15 @@ object ScaleBench {
           }
           (System.nanoTime() - t0) / 1e9
         }
+        // Same hygiene as Bench.resetState, for the same reason PLUS
+        // survival: the cc/dup-cluster entries locally CHECKPOINT, and
+        // checkpointed RDDs are pinned until explicitly unpersisted —
+        // across 4 scales x ~30 entries the leaked blocks accumulate
+        // until the driver OOMs (observed: Spark exit 52 killing the
+        // x30 block mid-sweep). Each entry rebuilds all of its state,
+        // so dropping everything between entries is always safe.
         spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
         // A failed run must not masquerade as a measurement: the
         // timing is nulled in the JSON and the query is excluded from
         // the alpha fit (a thrown query's wall time measures nothing).
