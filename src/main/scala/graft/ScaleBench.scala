@@ -420,7 +420,9 @@ object ScaleBench {
       }),
       // Gate-then-pack composition (q58's shape): one corpus scan —
       // the gate's n_grams determines the token count exactly, so
-      // packing the keep set needs no second text pass.
+      // packing the keep set needs no second text pass. Measured in
+      // the DISTRIBUTED packing form: the scale path for a dominant
+      // stratum (the window form would serialize it into one task).
       "gate_pack" -> (() => {
         val model = graft.text.QualityClassifier.fit(
           docs, when(pmod(col("doc_id"), lit(5L)) === 1L, col("lang") === "en"), "text")
@@ -429,7 +431,8 @@ object ScaleBench {
           .filter(col("keep"))
           .withColumn("n_tokens", expr("(n_grams + 1) div 2"))
         graft.text.SequencePacking.packedBinsFromCounts(
-          survivors, "n_tokens", "lang", "doc_id", capacity = 1024).count()
+          survivors, "n_tokens", "lang", "doc_id", capacity = 1024,
+          distributed = true).count()
       }))
   }
 

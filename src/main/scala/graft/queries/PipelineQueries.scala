@@ -532,7 +532,11 @@ object PipelineQueries {
     * + bigrams = 2n - 1), so packing never re-reads text and never
     * joins back to the corpus. The 100 TB shape of a curation tail:
     * corpus text is touched exactly once, every later stage is
-    * doc-grain arithmetic.
+    * doc-grain arithmetic. Packing runs the window form here —
+    * language strata are few and balanced, and it is the DuckDB
+    * oracle's exact algebra; a dominant-stratum corpus passes
+    * `distributed = true` for the bit-identical chunked prefix sum
+    * (ScaleBench's `gate_pack` measures that form).
     */
   def q58GatePack(spark: SparkSession, dir: String): DataFrame = {
     val docs = Sources.documents(spark, dir)

@@ -115,6 +115,19 @@ object SequencePacking {
       strataCol: String,
       orderCol: String,
       capacity: Int,
+      numChunks: Int = 64): DataFrame =
+    assignBinsDistributedFromCounts(
+      df.withColumn("n_tokens", TextAnalysis.tokenCount(col(textCol)).cast("long")),
+      "n_tokens", strataCol, orderCol, capacity, numChunks)
+
+  /** [[assignBinsDistributed]] over a pre-computed token-count column
+    * (see [[assignBinsFromCounts]] for when that arises). */
+  def assignBinsDistributedFromCounts(
+      df: DataFrame,
+      tokensCol: String,
+      strataCol: String,
+      orderCol: String,
+      capacity: Int,
       numChunks: Int = 64): DataFrame = {
     require(capacity > 0, s"capacity=$capacity must be positive")
     require(numChunks > 0, s"numChunks=$numChunks must be positive")
@@ -132,7 +145,6 @@ object SequencePacking {
     val dec = DecimalType(38, 0)
     val ord = col(orderCol).cast(dec)
     val withTok = df
-      .withColumn("n_tokens", TextAnalysis.tokenCount(col(textCol)).cast("long"))
     // pass 1: chunk boundaries. span >= 1 guarantees <= numChunks chunks.
     val bounds = withTok.groupBy(col(strataCol))
       .agg(min(ord).as("__sp_ord_min"), max(ord).as("__sp_ord_max"))
@@ -154,7 +166,7 @@ object SequencePacking {
     val carry = Window.partitionBy(col(strataCol)).orderBy(col("__sp_chunk"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val chunkBases = chunked.groupBy(col(strataCol), col("__sp_chunk"))
-      .agg(sum(col("n_tokens")).as("__sp_chunk_tokens"))
+      .agg(sum(col(tokensCol)).as("__sp_chunk_tokens"))
       .withColumn("__sp_chunk_base",
         coalesce(sum(col("__sp_chunk_tokens")).over(carry), lit(0L)))
       .select(col(strataCol), col("__sp_chunk"), col("__sp_chunk_base"))
@@ -166,9 +178,9 @@ object SequencePacking {
     chunked
       .join(bcast(chunkBases), Seq(strataCol, "__sp_chunk"))
       .withColumn("start_offset",
-        col("__sp_chunk_base") + sum(col("n_tokens")).over(local) - col("n_tokens"))
+        col("__sp_chunk_base") + sum(col(tokensCol)).over(local) - col(tokensCol))
       .withColumn("bin", floor(col("start_offset") / lit(capacity.toLong)))
-      .select((df.columns.map(col) ++ Seq(col("n_tokens"), col("start_offset"), col("bin"))): _*)
+      .select((df.columns.map(col) ++ Seq(col("start_offset"), col("bin"))): _*)
   }
 
   /** Size-routed facade over [[assignBins]] / [[assignBinsDistributed]]
@@ -235,14 +247,26 @@ object SequencePacking {
       "n_tokens", strataCol, orderCol)
 
   /** [[packedBins]] over a pre-computed token-count column (see
-    * [[assignBinsFromCounts]]). */
+    * [[assignBinsFromCounts]]). No probe-based routing here: counts
+    * arrive from an upstream computed plan (the gate's score pass),
+    * and a routing probe would execute that plan a second time — the
+    * caller picks the form instead. `distributed = true` is the
+    * dominant-stratum scale path (chunked prefix sum, parallelism
+    * strata x chunks, bit-identical output); the default window form
+    * is right for bounded balanced strata (languages, sources).
+    */
   def packedBinsFromCounts(
       df: DataFrame,
       tokensCol: String,
       strataCol: String,
       orderCol: String,
-      capacity: Int): DataFrame =
-    binSummary(assignBinsFromCounts(df, tokensCol, strataCol, orderCol, capacity),
+      capacity: Int,
+      distributed: Boolean = false,
+      numChunks: Int = 64): DataFrame =
+    binSummary(
+      if (distributed)
+        assignBinsDistributedFromCounts(df, tokensCol, strataCol, orderCol, capacity, numChunks)
+      else assignBinsFromCounts(df, tokensCol, strataCol, orderCol, capacity),
       tokensCol, strataCol, orderCol)
 
   private def binSummary(

@@ -143,6 +143,13 @@ class SequencePackingSpec extends SparkSpec {
       withCounts, "tok", "source", "doc_id", capacity = 512)
       .orderBy("source", "bin").collect().toSeq
     assert(fromText == fromCounts)
+    // the distributed counts form is bit-identical too (multi-chunk:
+    // 100 rows per stratum with numChunks=8 forces real chunk carries)
+    val distributed = SequencePacking.packedBinsFromCounts(
+      withCounts, "tok", "source", "doc_id", capacity = 512,
+      distributed = true, numChunks = 8)
+      .orderBy("source", "bin").collect().toSeq
+    assert(fromText == distributed)
     // the q58 composition identity: the gate's gram count determines
     // the token count exactly (unigrams + bigrams = 2n - 1)
     val mismatch = d
