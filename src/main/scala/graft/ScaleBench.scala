@@ -433,7 +433,24 @@ object ScaleBench {
         graft.text.SequencePacking.packedBinsFromCounts(
           survivors, "n_tokens", "lang", "doc_id", capacity = 1024,
           distributed = true).count()
-      }))
+      }),
+      // BM25 retrieval scoring: corpus-stats snapshot + term-grain idf
+      // pass + one (doc, term) tf aggregate + doc-grain sum. All three
+      // exchanges carry ids/terms/integers, never text; cost should
+      // track the token scan linearly.
+      "bm25" -> (() =>
+        graft.text.Bm25.score(
+          docs, "text", "doc_id", Seq("spark", "vector", "merge", "dup")).count()),
+      // Per-domain cap: the fixture's 20 sources all run hot at every
+      // scale, so this measures the WORST case — every row enters the
+      // ranked side, where the partial WindowGroupLimit bounds each
+      // map task's shuffle emission at cap rows per domain. Output is
+      // cap x #domains = CONSTANT as N grows; wall time should track
+      // the scan, and the shuffle stays bounded regardless of N.
+      "source_cap" -> (() =>
+        graft.ops.Sampling.domainCap(
+          docs.select(col("doc_id"), col("source")),
+          "doc_id", "source", cap = 100, seed = 7L).count()))
   }
 
   def main(args: Array[String]): Unit = {

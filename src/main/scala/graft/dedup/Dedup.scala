@@ -363,6 +363,41 @@ object Dedup {
 
   @transient private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
+  /** Per-cluster canonical-document selection by QUALITY — the policy
+    * layer [[dupClusters]]' scaladoc promises ("cluster resolution
+    * lets policy pick a canonical doc per GROUP"): given cluster
+    * members `(clusterCol, idCol, scoreCol)`, return one row per
+    * cluster `(cluster_id, n_members, keeper_id, keeper_score)` where
+    * the keeper is the member with the HIGHEST score, ties broken to
+    * the smallest id. Production near-dup dedup keeps the
+    * best-quality member of each duplicate group, not the smallest id
+    * — the variants differ (truncation, boilerplate injection, OCR
+    * noise) and min-id throws the cleanest copy away whenever it
+    * isn't the oldest.
+    *
+    * One exchange: the argmax is `max(struct(score, -id))` — a
+    * partial-aggregatable struct max (map-side combine), never a
+    * rank window over the member list. The member frame is
+    * control-plane-sized in practice (only docs that appear in a
+    * verified near-dup pair), but the shape stays one
+    * map-side-combined aggregate at ANY size.
+    */
+  def clusterRepresentatives(
+      members: DataFrame,
+      clusterCol: String,
+      idCol: String,
+      scoreCol: String): DataFrame =
+    members
+      .groupBy(col(clusterCol).as("cluster_id"))
+      .agg(
+        count(lit(1)).as("n_members"),
+        max(struct(col(scoreCol).as("s"), (-col(idCol)).as("negid"))).as("__best"))
+      .select(
+        col("cluster_id"),
+        col("n_members"),
+        (-col("__best.negid")).as("keeper_id"),
+        col("__best.s").as("keeper_score"))
+
   // -------------------------------------------------------------- simhash
 
   /** SimHash near-dup candidate pairs: fingerprint via the custom

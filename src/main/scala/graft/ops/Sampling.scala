@@ -158,4 +158,58 @@ object Sampling {
     df.join(bcast(thresholds), Seq(strataCol))
       .filter(sampleScore(col(idCol), seed) < col("__mix_thr"))
       .select(df.columns.map(col): _*)
+
+  /** Per-domain document cap — the Gopher-style rebalancing step that
+    * bounds any single domain's share of the corpus: keep at most
+    * `cap` rows per `domainCol` value, chosen deterministically by
+    * ascending [[sampleScore]] (a uniform-at-random-but-reproducible
+    * cap; ties impossible below, the id breaks them). Selection is a
+    * pure function of (id, seed, cap), so reruns, repartitions, and
+    * engines agree on the exact row set — the q62 oracle reproduces
+    * it from the same integer arithmetic.
+    *
+    * Scale shape — the cap must NOT cost a full-corpus shuffle, and a
+    * hot domain must not melt one reducer:
+    *   1. pass 1 counts rows per domain (one partial-aggregated
+    *      exchange carrying domain keys + counts, never corpus rows)
+    *      and keeps only the OVER-CAP domains; that list is
+    *      `localCheckpoint`ed eagerly (snapshot discipline — both
+    *      consumers below would otherwise re-plan the count pass) and
+    *      is control-plane-sized in real corpora (the long tail of
+    *      domains sits under any sane cap).
+    *   2. rows of under-cap domains pass through a broadcast ANTI
+    *      join — map-side, never shuffled, and in a web corpus that
+    *      is almost all rows.
+    *   3. only over-cap domains' rows enter the ranking window, and
+    *      Spark plans a partial `WindowGroupLimit` BEFORE that
+    *      exchange, so each map task forwards at most `cap` rows per
+    *      hot domain — the shuffle is bounded by tasks x cap per
+    *      domain, not by the domain's raw size.
+    * The corpus is scanned twice (both scans prune to the output
+    * columns; the anti/semi split trades a second cheap scan for not
+    * shuffling the dominant under-cap mass — at 100 TB a column-pruned
+    * scan is far cheaper than a corpus-wide exchange).
+    */
+  def domainCap(
+      df: DataFrame,
+      idCol: String,
+      domainCol: String,
+      cap: Int,
+      seed: Long = 0L): DataFrame = {
+    require(cap > 0, s"cap=$cap must be positive")
+    val over = df.groupBy(col(domainCol))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > cap)
+      .select(col(domainCol))
+      .localCheckpoint(true)
+    val underCapRows = df.join(bcast(over), Seq(domainCol), "left_anti")
+    val rankedRows = df.join(bcast(over), Seq(domainCol), "left_semi")
+      .withColumn("__rk",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col(domainCol))
+          .orderBy(sampleScore(col(idCol), seed).asc, col(idCol).asc)))
+      .filter(col("__rk") <= cap)
+      .select(df.columns.map(col): _*)
+    underCapRows.select(df.columns.map(col): _*).unionByName(rankedRows)
+  }
 }

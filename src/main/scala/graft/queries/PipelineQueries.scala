@@ -37,6 +37,30 @@ object PipelineQueries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** q62: per-domain document cap ([[Sampling.domainCap]]) — the
+    * Gopher-style rebalancing step bounding any single source's share:
+    * at most 20 docs per source, selected by ascending MINSTD score
+    * (deterministic uniform cap). The oracle reproduces the exact kept
+    * set from the same integer arithmetic via a rank window; the Spark
+    * side shuffles only over-cap domains' rows (broadcast anti/semi
+    * split + partial WindowGroupLimit — see the operator scaladoc).
+    */
+  def q62SourceCap(spark: SparkSession, dir: String): DataFrame =
+    Sampling.domainCap(
+      Sources.documents(spark, dir).select(col("doc_id"), col("source")),
+      "doc_id", "source", cap = 20, seed = 42L)
+      .orderBy("source", "doc_id")
+
+  val q62Sql: String =
+    s"""WITH r AS (
+       |  SELECT doc_id, source,
+       |    row_number() OVER (PARTITION BY source
+       |      ORDER BY ((((doc_id * 48271 + 42) % $M) * 48271 % $M) * 48271 % $M), doc_id) AS rn
+       |  FROM documents)
+       |SELECT doc_id, source FROM r
+       |WHERE rn <= 20
+       |ORDER BY source, doc_id""".stripMargin
+
   /** q40: sequence packing manifest — documents laid on a per-source
     * token tape, binned at capacity 2048 by start offset
     * ([[SequencePacking]]), one manifest row per bin.
@@ -684,6 +708,7 @@ object PipelineQueries {
     "q52_fuzzy_decontamination" -> (q52FuzzyDecontamination _),
     "q50_decontamination_bloom" -> (q50DecontaminationBloom _),
     "q39_stratified_sample" -> (q39StratifiedSample _),
+    "q62_source_cap" -> (q62SourceCap _),
     "q40_sequence_packing" -> (q40SequencePacking _),
     "q41_pii_scrub" -> (q41PiiScrub _),
     "q42_quality_filters" -> (q42QualityFilters _),
@@ -701,6 +726,7 @@ object PipelineQueries {
     "q52_fuzzy_decontamination" -> q52Sql,
     "q50_decontamination_bloom" -> q43Sql,
     "q39_stratified_sample" -> q39Sql,
+    "q62_source_cap" -> q62Sql,
     "q40_sequence_packing" -> q40Sql,
     "q41_pii_scrub" -> q41Sql,
     "q42_quality_filters" -> q42Sql,

@@ -464,6 +464,136 @@ object TextQueries {
       |FROM lr GROUP BY lhs, rhs
       |ORDER BY pair_count DESC, lhs, rhs""".stripMargin
 
+  /** q60: quality-aware near-dup dedup — the composition of the three
+    * policy layers: verified n-gram Jaccard pairs (q23's scale path),
+    * transitive cluster resolution ([[Dedup.dupClusters]]), and
+    * per-cluster canonical selection by QUALITY
+    * ([[Dedup.clusterRepresentatives]] — keep the best-scoring member,
+    * not the smallest id). The oracle rebuilds the clusters with a
+    * recursive-CTE transitive closure over the same pair set and picks
+    * the same keeper by (quality DESC, doc_id), so the whole chain —
+    * mining, clustering, policy — is hash-exact end to end.
+    *
+    * Plan shape: pair mining is the banded-LSH path (never all-pairs);
+    * cluster resolution consumes the control-plane-sized verified pair
+    * list eagerly (flat LogicalRDD snapshot); the final plan is one
+    * broadcast semi-join of the cluster labels against the corpus +
+    * ONE map-side-combined argmax aggregate. Corpus text is read once
+    * for quality and never shuffled.
+    */
+  def q60NearDupKeepBest(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Sources.documents(spark, dir)
+    val pairs = Dedup.verifyCandidates(docs, "text", "doc_id", n = 3, threshold = 0.5)
+    val clusters = Dedup.dupClusters(pairs)
+    val members = docs
+      .join(broadcast(clusters), docs("doc_id") === clusters("id"))
+      .withColumn("__toks", TextAnalysis.tokens(col("text")))
+      .select(col("cluster"), col("doc_id"),
+        TextAnalysis.qualityScoreOfTokens(col("__toks"), col("text")).as("quality"))
+    Dedup.clusterRepresentatives(members, "cluster", "doc_id", "quality")
+      .withColumnRenamed("keeper_score", "keeper_quality")
+      .orderBy("cluster_id")
+  }
+
+  val q60Sql: String = {
+    val stops = TextAnalysis.stopwords("en").map(w => s"'$w'").mkString(", ")
+    s"""WITH RECURSIVE toks AS (
+       |  SELECT doc_id, unnest(string_split(text,' ')) AS w,
+       |         generate_subscripts(string_split(text,' '),1) AS i
+       |  FROM documents
+       |), ng AS (
+       |  SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS g
+       |  FROM toks a JOIN toks b ON a.doc_id=b.doc_id AND b.i=a.i+1
+       |              JOIN toks c ON a.doc_id=c.doc_id AND c.i=a.i+2
+       |), sizes AS (SELECT doc_id, count(*) n FROM ng GROUP BY doc_id),
+       |shared AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+       |  FROM ng a JOIN ng b ON a.g = b.g AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2
+       |), pairs AS (
+       |  SELECT id_a, id_b FROM shared
+       |  JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+       |  WHERE c*1.0/(sa.n + sb.n - c) >= 0.5
+       |), edges AS (
+       |  SELECT id_a AS a, id_b AS b FROM pairs
+       |  UNION ALL SELECT id_b, id_a FROM pairs
+       |), reach(a, b) AS (
+       |  SELECT a, b FROM edges
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+       |), labels AS (
+       |  SELECT a AS doc_id, least(a, min(b)) AS cluster FROM reach GROUP BY a
+       |), qual AS (
+       |  SELECT doc_id,
+       |    least(n_tokens / 50.0, 1.0) * (1.0 - n_stop / n_tokens) *
+       |      (CASE WHEN (CAST(length(text) AS DOUBLE) - (n_tokens - 1)) / n_tokens BETWEEN 3.0 AND 10.0
+       |            THEN 1.0 ELSE 0.5 END) AS quality
+       |  FROM (
+       |    SELECT doc_id, text,
+       |      CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tokens,
+       |      CAST(len(list_filter(string_split(text, ' '), x -> x IN ($stops))) AS DOUBLE) AS n_stop
+       |    FROM documents
+       |  ) t0
+       |), scored AS (
+       |  SELECT l.cluster, l.doc_id, q.quality
+       |  FROM labels l JOIN qual q USING (doc_id)
+       |), r AS (
+       |  SELECT cluster, doc_id, quality,
+       |         row_number() OVER (PARTITION BY cluster ORDER BY quality DESC, doc_id) AS rn,
+       |         count(*) OVER (PARTITION BY cluster) AS nm
+       |  FROM scored
+       |)
+       |SELECT cluster AS cluster_id, nm AS n_members, doc_id AS keeper_id,
+       |       quality AS keeper_quality
+       |FROM r WHERE rn = 1
+       |ORDER BY cluster_id""".stripMargin
+  }
+
+  /** q61: BM25 relevance of every document against a four-term query
+    * (two common terms, one mid, one rare — a realistic idf spread on
+    * the fixture vocabulary). Integer-nanounit scores
+    * ([[graft.text.Bm25]]'s rounding discipline), so the oracle —
+    * which recomputes tf/df/idf and the exact same IEEE double chain
+    * from the same integers — compares hash-exact.
+    */
+  def q61Bm25(spark: SparkSession, dir: String): DataFrame =
+    graft.text.Bm25.score(
+      Sources.documents(spark, dir), "text", "doc_id", Bm25QueryTerms)
+      .orderBy("doc_id")
+
+  private val Bm25QueryTerms = Seq("spark", "vector", "merge", "dup")
+
+  val q61Sql: String = {
+    val terms = Bm25QueryTerms.map(t => s"'$t'").mkString(", ")
+    s"""WITH t AS (
+       |  SELECT doc_id, len(string_split(text,' ')) AS dl,
+       |         unnest(string_split(text,' ')) AS w
+       |  FROM documents
+       |), stats AS (
+       |  SELECT CAST(count(*) AS DOUBLE) AS n,
+       |         CAST(sum(len(string_split(text,' '))) AS DOUBLE) AS sum_dl
+       |  FROM documents
+       |), tf AS (
+       |  SELECT doc_id, dl, w, count(*) AS tf FROM t
+       |  WHERE w IN ($terms)
+       |  GROUP BY 1, 2, 3
+       |), idf AS (
+       |  SELECT w, CAST(round(ln((n - df + 0.5)/(df + 0.5) + 1.0) * 1000000.0) AS BIGINT) AS idf_micro
+       |  FROM (SELECT w, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1), stats
+       |), contrib AS (
+       |  SELECT tf.doc_id,
+       |    CAST(round((CAST(idf_micro AS DOUBLE)/1000000.0) *
+       |      ((CAST(tf AS DOUBLE) * (1.2 + 1.0)) /
+       |       (CAST(tf AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE) / (sum_dl / n)))) *
+       |      1000000000.0) AS BIGINT) AS c_nano
+       |  FROM tf JOIN idf USING (w), stats
+       |)
+       |SELECT doc_id, CAST(count(*) AS INT) AS n_terms,
+       |       CAST(sum(c_nano) AS BIGINT) AS score_nano
+       |FROM contrib GROUP BY 1
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q51_bpe_pair_stats" -> (q51BpePairStats _),
     "q36_curation_pipeline" -> (q36CurationPipeline _),
@@ -478,7 +608,9 @@ object TextQueries {
     "q25_langid_fingerprint" -> (q25LangIdFingerprint _),
     "q25a_langid_tokens" -> (q25aLangIdTokens _),
     "q26_minhash_pairs" -> (q26MinhashPairs _),
-    "q27_simhash_pairs" -> (q27SimhashPairs _))
+    "q27_simhash_pairs" -> (q27SimhashPairs _),
+    "q60_neardup_keep_best" -> (q60NearDupKeepBest _),
+    "q61_bm25" -> (q61Bm25 _))
 
   val oracle: Map[String, String] = Map(
     "q51_bpe_pair_stats" -> q51Sql,
@@ -492,5 +624,7 @@ object TextQueries {
     "q36_curation_pipeline" -> q36Sql,
     "q47_chunking" -> q47Sql,
     "q48_repeated_spans" -> q48Sql,
-    "q49_prune_spans" -> q49Sql)
+    "q49_prune_spans" -> q49Sql,
+    "q60_neardup_keep_best" -> q60Sql,
+    "q61_bm25" -> q61Sql)
 }

@@ -850,6 +850,34 @@ object StreamingOps {
         })
   }
 
+  /** Streaming twin of [[graft.text.Bm25.score]]: score ARRIVING
+    * documents against a SNAPSHOT idf table + corpus stats (fit once
+    * per corpus release — [[graft.text.Bm25.corpusStats]] /
+    * [[graft.text.Bm25.fitIdf]] collected at stream construction).
+    * A document's BM25 score depends only on its own text and the
+    * snapshot, so the twin is a STATELESS per-row projection —
+    * [[graft.text.Bm25.scoreRowLocal]], whose contributions are the
+    * same integer-nanounit chain as the batch aggregate (parity
+    * pinned by Bm25Spec and StreamingOpsSpec). The term set is
+    * control-plane-sized by the same argument as the idf broadcast in
+    * the batch plan; documents matching no query term are filtered,
+    * mirroring the batch output's row set.
+    */
+  def bm25Stream(
+      docs: DataFrame,
+      idfMicroByTerm: Map[String, Long],
+      stats: graft.text.Bm25.CorpusStats,
+      textCol: String,
+      idCol: String,
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    val (nTerms, scoreNano) =
+      graft.text.Bm25.scoreRowLocal(col(textCol), idfMicroByTerm, stats, k1, b)
+    docs
+      .select(col(idCol), nTerms.as("n_terms"), scoreNano.as("score_nano"))
+      .filter(col("n_terms") > 0)
+  }
+
   // ------------------------------------------------- stateful cycles
 
   final case class EventIn(event_id: Long, ts: java.sql.Timestamp, user_id: Long, event_type: String, value: Double)

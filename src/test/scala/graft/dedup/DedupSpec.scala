@@ -227,4 +227,43 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(viaCandidates == full, s"verify=$viaCandidates full=$full")
   }
+
+  test("clusterRepresentatives keeps the best-scoring member, ties to the smallest id") {
+    import sqlImplicits._
+    val members = Seq(
+      // cluster 1: clear best (id 12)
+      (1L, 10L, 0.4), (1L, 12L, 0.9), (1L, 11L, 0.7),
+      // cluster 2: tie on score -> smallest id (20) wins
+      (2L, 21L, 0.5), (2L, 20L, 0.5),
+      // cluster 3: singleton
+      (3L, 30L, 0.1)
+    ).toDF("cluster", "id", "score")
+    val reps = Dedup.clusterRepresentatives(members, "cluster", "id", "score")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(reps == Map(
+      1L -> ((3L, 12L, 0.9)),
+      2L -> ((2L, 20L, 0.5)),
+      3L -> ((1L, 30L, 0.1))), reps)
+  }
+
+  test("clusterRepresentatives equals the rank-window reference and plans ONE aggregate, no window") {
+    import sqlImplicits._
+    import org.apache.spark.sql.expressions.Window
+    val members = (1L to 300L)
+      .map(i => (i % 17, i, ((i * 37) % 101).toDouble / 101.0))
+      .toDF("cluster", "id", "score")
+    val viaWindow = members
+      .withColumn("__rk", row_number().over(Window.partitionBy(col("cluster"))
+        .orderBy(col("score").desc, col("id").asc)))
+      .filter(col("__rk") === 1)
+      .select(col("cluster"), col("id"), col("score"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val viaAgg = Dedup.clusterRepresentatives(members, "cluster", "id", "score")
+      .select(col("cluster_id"), col("keeper_id"), col("keeper_score"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(viaAgg == viaWindow)
+    val plan = Dedup.clusterRepresentatives(members, "cluster", "id", "score")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"argmax must be an aggregate, not a rank window:\n$plan")
+  }
 }

@@ -80,4 +80,56 @@ class SamplingSpec extends SparkSpec {
     assert(kept.filter($"grp".isNull).count() == 0)
     assert(kept.count() == 160) // the 40 NULL-stratum rows are gone, rest kept
   }
+
+  /** Skewed domains: one hot domain (600 rows), one exactly-at-cap,
+    * one under-cap.
+    */
+  private def domains = {
+    import sqlImplicits._
+    ((1L to 600L).map(i => (i, "hot")) ++
+      (601L to 650L).map(i => (i, "atcap")) ++
+      (651L to 660L).map(i => (i, "tail")))
+      .toDF("id", "dom")
+  }
+
+  test("domainCap bounds every domain at the cap and keeps under-cap domains whole") {
+    val kept = Sampling.domainCap(domains, "id", "dom", cap = 50, seed = 9L)
+    val byDom = kept.groupBy("dom").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byDom == Map("hot" -> 50L, "atcap" -> 50L, "tail" -> 10L), byDom)
+    // under/at-cap domains keep their EXACT rows (anti-join passthrough)
+    val tailIds = kept.filter(col("dom") === "tail").select("id")
+      .collect().map(_.getLong(0)).toSet
+    assert(tailIds == (651L to 660L).toSet)
+  }
+
+  test("domainCap selection equals the plain global rank window (same rows, any layout)") {
+    import org.apache.spark.sql.expressions.Window
+    val reference = domains
+      .withColumn("__rk", row_number().over(Window.partitionBy(col("dom"))
+        .orderBy(Sampling.sampleScore(col("id"), 9L).asc, col("id").asc)))
+      .filter(col("__rk") <= 50).select("id")
+      .collect().map(_.getLong(0)).toSet
+    val got = Sampling.domainCap(domains, "id", "dom", cap = 50, seed = 9L)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(got == reference)
+    val repart = Sampling.domainCap(domains.repartition(13), "id", "dom", cap = 50, seed = 9L)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(repart == reference)
+  }
+
+  test("domainCap ranks ONLY over-cap domains: under-cap rows never enter the window") {
+    val plan = Sampling.domainCap(domains, "id", "dom", cap = 50, seed = 9L)
+      .queryExecution.executedPlan.toString
+    // the pass-through side is a broadcast ANTI join (no exchange), the
+    // ranked side carries a partial WindowGroupLimit below the window's
+    // exchange so a hot domain forwards at most cap rows per map task
+    assert(plan.contains("LeftAnti"), plan)
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
+
+  test("domainCap with a cap above every domain count is the identity") {
+    val kept = Sampling.domainCap(domains, "id", "dom", cap = 1000, seed = 9L)
+    assert(kept.count() == 660)
+  }
 }

@@ -157,7 +157,19 @@ class PlanContractSpec extends SparkSpec {
     // grain agg; the Gumbel top-k is TakeOrderedAndProject (no sort
     // exchange) and its single-partition output makes even the oracle
     // ORDER BY exchange-free
-    "q59_resample" -> 3)
+    "q59_resample" -> 3,
+    // q60: the pair mine + cluster resolution run EAGERLY (flat
+    // LogicalRDD snapshot, dupClusters discipline); the plan is the
+    // broadcast label join + ONE argmax aggregate + oracle ORDER BY
+    "q60_neardup_keep_best" -> 2,
+    // q61: tf agg (doc, dl, term) + fitIdf's term-grain agg + the
+    // doc-grain score agg + oracle ORDER BY; the idf table broadcasts
+    // and corpus text never shuffles
+    "q61_bm25" -> 4,
+    // q62: the over-cap domain list is an eager snapshot (counts pass
+    // checkpointed); the plan is broadcast anti/semi joins + the
+    // over-cap-only rank window's exchange + oracle ORDER BY
+    "q62_source_cap" -> 2)
 
   test("no query plans a cartesian product or nested-loop join") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

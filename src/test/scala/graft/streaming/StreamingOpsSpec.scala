@@ -638,4 +638,30 @@ class StreamingOpsSpec extends SparkSpec {
     assert(got == want)
     assert(got.nonEmpty && got.size < docs.size) // the mixer actually downsampled
   }
+
+  test("streaming BM25 against a snapshot idf/stats equals the batch score, integers included") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import sqlImplicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val corpus = graft.sources.Sources.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text")
+    val terms = Seq("spark", "vector", "dup")
+    // fit snapshotted from the corpus the query set was designed on
+    val stats = graft.text.Bm25.corpusStats(corpus, "text")
+    val idf = graft.text.Bm25.fitIdf(corpus, "text", terms, stats).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    val docs = corpus.collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val input = MemoryStream[(Long, String)]
+    val stream = StreamingOps.bm25Stream(
+      input.toDF().toDF("doc_id", "text"), idf, stats, "text", "doc_id")
+    val q = stream.writeStream.outputMode("append").format("memory").queryName("bm25").start()
+    docs.grouped(20).foreach { b => input.addData(b); q.processAllAvailable() }
+    q.stop()
+    val got = spark.table("bm25").collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2))).toMap
+    val want = graft.text.Bm25.score(corpus, "text", "doc_id", terms).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2))).toMap
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
 }
