@@ -104,6 +104,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.text.MostFrequentCount(children.head)
       }))
     ext.injectFunction((
+      FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[graft.text.NfcNormalize].getName, "nfc_normalize"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "nfc_normalize(string)")
+        graft.text.NfcNormalize(children.head)
+      }))
+    ext.injectFunction((
       FunctionIdentifier("pushdown_fence"),
       new ExpressionInfo(classOf[graft.plans.PushdownFence].getName, "pushdown_fence"),
       (children: Seq[Expression]) => {

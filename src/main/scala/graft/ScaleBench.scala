@@ -450,7 +450,15 @@ object ScaleBench {
       "source_cap" -> (() =>
         graft.ops.Sampling.domainCap(
           docs.select(col("doc_id"), col("source")),
-          "doc_id", "source", cap = 100, seed = 7L).count()))
+          "doc_id", "source", cap = 100, seed = 7L).count()),
+      // Text normalization: pure codegen'd projection (control strip +
+      // space collapse + NFC); the aggregate forces the cleaned text.
+      // The ASCII fast path (isNormalized -> return input) makes this
+      // the cheapest per-byte op in the pack — linear by construction.
+      "normalize" -> (() =>
+        graft.text.Normalize.cleaned(docs, "text", out = "clean")
+          .agg(sum(length(col("clean"))) + sum(col("changed")))
+          .head().getLong(0)))
   }
 
   def main(args: Array[String]): Unit = {

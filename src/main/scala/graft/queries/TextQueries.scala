@@ -594,6 +594,46 @@ object TextQueries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** q63: text normalization ([[graft.text.Normalize]]) — the
+    * cleaning pass before dedup/shingling/BPE: control chars to
+    * spaces, space runs collapsed, Unicode NFC. The fixture text is
+    * clean ASCII, so (as with q41's PII) deterministic noise is WELDED
+    * on: a per-doc letter + combining acute (doc_id % 26 — recomposes
+    * under NFC for a/e/i/o/u/..., stays decomposed where no
+    * precomposition exists, exercising both NFC paths), a tab, and a
+    * double space. The cleaned text is pinned byte-for-byte by md5 —
+    * JDK `java.text.Normalizer` and DuckDB `nfc_normalize` implement
+    * the same Unicode canonical composition, and the regexes are in
+    * the Java∩RE2 portable intersection ([[graft.text.PiiScrub]]
+    * discipline).
+    */
+  def q63Normalize(spark: SparkSession, dir: String): DataFrame = {
+    val welded = Sources.documents(spark, dir).withColumn("__t",
+      concat(col("text"), lit(" x"), expr("chr(97 + pmod(doc_id, 26))"),
+        lit("́\ty  z")))
+    graft.text.Normalize.cleaned(welded, "__t", out = "clean")
+      .select(
+        col("doc_id"),
+        length(col("clean")).cast("int").as("clean_len"),
+        md5(col("clean").cast("binary")).as("clean_fp"))
+      .orderBy("doc_id")
+  }
+
+  val q63Sql: String =
+    s"""WITH welded AS (
+       |  SELECT doc_id,
+       |    text || ' x' || chr(97 + CAST(doc_id % 26 AS INT)) || '́' || chr(9) || 'y  z' AS t
+       |  FROM documents
+       |), cleaned AS (
+       |  SELECT doc_id,
+       |    nfc_normalize(trim(regexp_replace(
+       |      regexp_replace(t, '[\\x00-\\x1f\\x7f]', ' ', 'g'), ' +', ' ', 'g'))) AS clean
+       |  FROM welded
+       |)
+       |SELECT doc_id, CAST(length(clean) AS INT) AS clean_len, md5(clean) AS clean_fp
+       |FROM cleaned
+       |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q51_bpe_pair_stats" -> (q51BpePairStats _),
     "q36_curation_pipeline" -> (q36CurationPipeline _),
@@ -610,7 +650,8 @@ object TextQueries {
     "q26_minhash_pairs" -> (q26MinhashPairs _),
     "q27_simhash_pairs" -> (q27SimhashPairs _),
     "q60_neardup_keep_best" -> (q60NearDupKeepBest _),
-    "q61_bm25" -> (q61Bm25 _))
+    "q61_bm25" -> (q61Bm25 _),
+    "q63_normalize" -> (q63Normalize _))
 
   val oracle: Map[String, String] = Map(
     "q51_bpe_pair_stats" -> q51Sql,
@@ -626,5 +667,6 @@ object TextQueries {
     "q48_repeated_spans" -> q48Sql,
     "q49_prune_spans" -> q49Sql,
     "q60_neardup_keep_best" -> q60Sql,
-    "q61_bm25" -> q61Sql)
+    "q61_bm25" -> q61Sql,
+    "q63_normalize" -> q63Sql)
 }

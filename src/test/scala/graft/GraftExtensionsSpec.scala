@@ -101,6 +101,13 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(row.getSeq[String](1) == Seq("a b", "b a")) // first-occurrence order
   }
 
+  test("nfc_normalize is callable from SQL and recomposes") {
+    val row = spark.sql(
+      "SELECT nfc_normalize('café') AS c, nfc_normalize(CAST(NULL AS STRING)) AS n").head()
+    assert(row.getString(0) == "café")
+    assert(row.isNullAt(1))
+  }
+
   test("most_frequent_count is callable from SQL and counts exactly") {
     val row = spark.sql(
       """SELECT most_frequent_count(split('a b a b a', ' ')) AS c,

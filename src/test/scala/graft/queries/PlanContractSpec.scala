@@ -169,7 +169,10 @@ class PlanContractSpec extends SparkSpec {
     // q62: the over-cap domain list is an eager snapshot (counts pass
     // checkpointed); the plan is broadcast anti/semi joins + the
     // over-cap-only rank window's exchange + oracle ORDER BY
-    "q62_source_cap" -> 2)
+    "q62_source_cap" -> 2,
+    // q63: pure codegen'd per-row cleaning projection; the only
+    // exchange is the oracle ORDER BY's range partitioning
+    "q63_normalize" -> 1)
 
   test("no query plans a cartesian product or nested-loop join") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
