@@ -212,4 +212,52 @@ object Sampling {
       .select(df.columns.map(col): _*)
     underCapRows.select(df.columns.map(col): _*).unionByName(rankedRows)
   }
+
+  /** Keep the top `p` FRACTION of each stratum by score — the
+    * classifier-thresholding step of a curation pipeline stated as a
+    * RANK, not a score cutoff ("keep the best 30% per language"
+    * self-calibrates across strata whose score distributions differ;
+    * a single global threshold over- or under-keeps whole languages).
+    *
+    * Rank semantics, deliberately not an interpolated percentile: the
+    * kept set is the `ceil(p * n_s)` highest-scoring rows (ties to
+    * the smallest id), which is exact integer arithmetic on both
+    * engines — an interpolated quantile THRESHOLD is one float whose
+    * last-ulp placement (Spark computes `(1-g)a + gb`, other engines
+    * `a + (b-a)g`) can flip boundary rows, so the q64 oracle would be
+    * chasing rounding instead of semantics.
+    *
+    * Scale shape: pass 1 collapses to one (stratum, k) row per
+    * stratum (map-side-combined count, snapshot-checkpointed — the
+    * [[graft.dedup.Dedup.dupClusters]] discipline; both consumers
+    * plan against the flat row set) and its max k is collected as ONE
+    * literal; pass 2 ranks per stratum, where the `rank <= maxK`
+    * LITERAL conjunct lets Spark plan a partial `WindowGroupLimit`
+    * below the exchange (each map task forwards at most maxK rows per
+    * stratum) and the broadcast-joined per-stratum `rank <= k_s` bound
+    * applies exactly after the window. Rows with a NULL stratum are
+    * dropped (no population, no rank) — [[temperatureMix]] semantics.
+    */
+  def topFractionByScore(
+      df: DataFrame,
+      idCol: String,
+      strataCol: String,
+      scoreCol: String,
+      p: Double): DataFrame = {
+    require(p > 0.0 && p <= 1.0, s"p=$p must be in (0, 1]")
+    val ks = df.groupBy(col(strataCol))
+      .agg(ceil(lit(p) * count(lit(1)).cast("double")).cast("long").as("__k"))
+      .localCheckpoint(true)
+    // empty input: max over zero strata is NULL -> 0 (rank <= 0 keeps
+    // nothing, which is the right answer for an empty corpus)
+    val maxK = ks.agg(max(col("__k"))).collect()
+      .headOption.filterNot(_.isNullAt(0)).map(_.getLong(0)).getOrElse(0L)
+    df.join(bcast(ks), Seq(strataCol))
+      .withColumn("__rk",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col(strataCol))
+          .orderBy(col(scoreCol).desc, col(idCol).asc)))
+      .filter(col("__rk") <= lit(maxK) && col("__rk") <= col("__k"))
+      .select(df.columns.map(col): _*)
+  }
 }

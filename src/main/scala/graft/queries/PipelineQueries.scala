@@ -61,6 +61,46 @@ object PipelineQueries {
        |WHERE rn <= 20
        |ORDER BY source, doc_id""".stripMargin
 
+  /** q64: per-stratum top-fraction quality selection
+    * ([[Sampling.topFractionByScore]]) — keep the best 30% of each
+    * language by quality score, as a RANK (exact integer ceil(p·n_s)
+    * cutoff; see the operator scaladoc for why not an interpolated
+    * percentile threshold). The oracle reproduces the exact kept set
+    * via the same rank window over the q22-parity quality doubles.
+    */
+  def q64QualityTopP(spark: SparkSession, dir: String): DataFrame = {
+    val scored = Sources.documents(spark, dir)
+      .withColumn("__toks", TextAnalysis.tokens(col("text")))
+      .select(col("doc_id"), col("lang"),
+        TextAnalysis.qualityScoreOfTokens(col("__toks"), col("text")).as("quality"))
+    Sampling.topFractionByScore(scored, "doc_id", "lang", "quality", p = 0.3)
+      .orderBy("doc_id")
+  }
+
+  val q64Sql: String = {
+    val stops = TextAnalysis.stopwords("en").map(w => s"'$w'").mkString(", ")
+    s"""WITH q AS (
+       |  SELECT doc_id, lang,
+       |    least(n_tokens / 50.0, 1.0) * (1.0 - n_stop / n_tokens) *
+       |      (CASE WHEN (CAST(length(text) AS DOUBLE) - (n_tokens - 1)) / n_tokens BETWEEN 3.0 AND 10.0
+       |            THEN 1.0 ELSE 0.5 END) AS quality
+       |  FROM (
+       |    SELECT doc_id, lang, text,
+       |      CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tokens,
+       |      CAST(len(list_filter(string_split(text, ' '), x -> x IN ($stops))) AS DOUBLE) AS n_stop
+       |    FROM documents
+       |  ) t0
+       |), r AS (
+       |  SELECT doc_id, lang, quality,
+       |    row_number() OVER (PARTITION BY lang ORDER BY quality DESC, doc_id) AS rn,
+       |    count(*) OVER (PARTITION BY lang) AS n
+       |  FROM q
+       |)
+       |SELECT doc_id, lang, quality FROM r
+       |WHERE rn <= CAST(ceil(0.3 * CAST(n AS DOUBLE)) AS BIGINT)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** q40: sequence packing manifest — documents laid on a per-source
     * token tape, binned at capacity 2048 by start offset
     * ([[SequencePacking]]), one manifest row per bin.
@@ -709,6 +749,7 @@ object PipelineQueries {
     "q50_decontamination_bloom" -> (q50DecontaminationBloom _),
     "q39_stratified_sample" -> (q39StratifiedSample _),
     "q62_source_cap" -> (q62SourceCap _),
+    "q64_quality_topp" -> (q64QualityTopP _),
     "q40_sequence_packing" -> (q40SequencePacking _),
     "q41_pii_scrub" -> (q41PiiScrub _),
     "q42_quality_filters" -> (q42QualityFilters _),
@@ -727,6 +768,7 @@ object PipelineQueries {
     "q50_decontamination_bloom" -> q43Sql,
     "q39_stratified_sample" -> q39Sql,
     "q62_source_cap" -> q62Sql,
+    "q64_quality_topp" -> q64Sql,
     "q40_sequence_packing" -> q40Sql,
     "q41_pii_scrub" -> q41Sql,
     "q42_quality_filters" -> q42Sql,

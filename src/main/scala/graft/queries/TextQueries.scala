@@ -634,6 +634,35 @@ object TextQueries {
        |FROM cleaned
        |ORDER BY doc_id""".stripMargin
 
+  /** q65: per-language top-k most document-frequent bigrams
+    * ([[graft.text.CorpusStats.topGrams]]) — the boilerplate-discovery
+    * report. Integer-exact counts; ties to the smallest gram, so the
+    * ranking is a total order on both engines.
+    */
+  def q65TopGrams(spark: SparkSession, dir: String): DataFrame =
+    graft.text.CorpusStats.topGrams(
+      Sources.documents(spark, dir), "text", "lang", n = 2, k = 5)
+      .orderBy("stratum", "rank")
+
+  val q65Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, lang, unnest(string_split(text,' ')) AS w,
+      |         generate_subscripts(string_split(text,' '),1) AS i
+      |  FROM documents
+      |), ng AS (
+      |  SELECT DISTINCT a.lang AS stratum, a.doc_id, a.w || ' ' || b.w AS g
+      |  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+      |), cnt AS (
+      |  SELECT stratum, g, count(*) AS n_docs FROM ng GROUP BY 1, 2
+      |), r AS (
+      |  SELECT stratum, g, n_docs,
+      |    CAST(row_number() OVER (PARTITION BY stratum ORDER BY n_docs DESC, g) AS INT) AS rank
+      |  FROM cnt
+      |)
+      |SELECT stratum, g, n_docs, rank FROM r
+      |WHERE rank <= 5
+      |ORDER BY stratum, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q51_bpe_pair_stats" -> (q51BpePairStats _),
     "q36_curation_pipeline" -> (q36CurationPipeline _),
@@ -651,7 +680,8 @@ object TextQueries {
     "q27_simhash_pairs" -> (q27SimhashPairs _),
     "q60_neardup_keep_best" -> (q60NearDupKeepBest _),
     "q61_bm25" -> (q61Bm25 _),
-    "q63_normalize" -> (q63Normalize _))
+    "q63_normalize" -> (q63Normalize _),
+    "q65_top_grams" -> (q65TopGrams _))
 
   val oracle: Map[String, String] = Map(
     "q51_bpe_pair_stats" -> q51Sql,
@@ -668,5 +698,6 @@ object TextQueries {
     "q49_prune_spans" -> q49Sql,
     "q60_neardup_keep_best" -> q60Sql,
     "q61_bm25" -> q61Sql,
-    "q63_normalize" -> q63Sql)
+    "q63_normalize" -> q63Sql,
+    "q65_top_grams" -> q65Sql)
 }

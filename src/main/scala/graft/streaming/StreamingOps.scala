@@ -878,6 +878,40 @@ object StreamingOps {
       .filter(col("n_terms") > 0)
   }
 
+  final case class CapIn(id: Long, domain: String)
+  final case class CapOut(id: Long, domain: String)
+
+  /** Streaming twin of [[graft.ops.Sampling.domainCap]] with ARRIVAL-
+    * ORDER semantics: keep the first `cap` documents per domain across
+    * micro-batches (state = one running count per domain — O(domains),
+    * the minimal possible). The batch operator can rank the whole
+    * population by MINSTD score; a stream cannot re-rank
+    * retroactively (admitting a later row would require un-emitting an
+    * earlier one), so the streaming cap is first-come-first-kept —
+    * the same batch-vs-stream semantic split as [[exactDedupStream]]'s
+    * first-arrival winner. What IS preserved exactly: per-domain kept
+    * counts (min(cap, n_d) — StreamingOpsSpec pins them equal to the
+    * batch operator's), the cap bound itself, and determinism given
+    * one arrival order. Within a micro-batch, ties are admitted in
+    * ascending id for batch-layout independence.
+    */
+  def domainCapStream(docs: DataFrame, cap: Int): Dataset[CapOut] = {
+    import docs.sparkSession.implicits._
+    require(cap > 0, s"cap=$cap must be positive")
+    docs.toDF("id", "domain").as[CapIn]
+      .groupByKey(_.domain)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (domain: String, rows: Iterator[CapIn], state: GroupState[Long]) => {
+          var seen = state.getOption.getOrElse(0L)
+          val admitted = rows.toSeq.sortBy(_.id).iterator
+            .takeWhile(_ => seen < cap)
+            .map { r => seen += 1; CapOut(r.id, domain) }
+            .toVector
+          state.update(seen)
+          admitted.iterator
+        })
+  }
+
   // ------------------------------------------------- stateful cycles
 
   final case class EventIn(event_id: Long, ts: java.sql.Timestamp, user_id: Long, event_type: String, value: Double)

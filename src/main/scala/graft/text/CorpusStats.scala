@@ -62,6 +62,38 @@ object CorpusStats {
       .groupBy(col("g"))
       .agg(count(lit(1)).as("df"))
 
+  /** Top-`k` most document-frequent n-grams per stratum — the
+    * boilerplate-discovery report (cookie banners, license headers,
+    * navigation chrome surface as grams with outsized df within one
+    * source/language; pipelines review this list to seed
+    * [[RepeatedSpans.pruneSpans]] / stop-gram filters).
+    *
+    * Scale shape: the corpus collapses to the (stratum, gram) grain in
+    * ONE map-side-combined exchange; the top-k filter `rank <= k` is a
+    * LITERAL bound, so Spark plans a partial `WindowGroupLimit` below
+    * the window's exchange — each map task forwards at most k gram
+    * rows per stratum, and the window input is bounded by tasks x k x
+    * strata regardless of vocabulary size. Ties break to the
+    * lexicographically smallest gram (total order, oracle-stable).
+    */
+  def topGrams(
+      df: DataFrame,
+      textCol: String,
+      strataCol: String,
+      n: Int = 2,
+      k: Int = 10): DataFrame = {
+    require(k > 0, s"k=$k must be positive")
+    df.select(col(strataCol).as("stratum"),
+        explode(Decontamination.distinctNgrams(col(textCol), n)).as("g"))
+      .groupBy(col("stratum"), col("g"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("stratum"))
+          .orderBy(col("n_docs").desc, col("g").asc)))
+      .filter(col("rank") <= k)
+  }
+
   /** Per-document novelty report: distinct n-gram count, how many of
     * those are corpus-rare (document frequency ≤ `rareMaxDf`), the
     * rare fraction, and the mean/max document frequency of the

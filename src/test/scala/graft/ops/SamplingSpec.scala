@@ -132,4 +132,39 @@ class SamplingSpec extends SparkSpec {
     val kept = Sampling.domainCap(domains, "id", "dom", cap = 1000, seed = 9L)
     assert(kept.count() == 660)
   }
+
+  /** Two strata with different score distributions; scores descend
+    * with id so the expected keep set is the smallest ids per stratum.
+    */
+  private def scored = {
+    import sqlImplicits._
+    ((1L to 100L).map(i => (i, "a", 1000.0 - i)) ++
+      (101L to 110L).map(i => (i, "b", 10.0 - (i - 100))))
+      .toDF("id", "grp", "score")
+  }
+
+  test("topFractionByScore keeps exactly ceil(p*n) best rows per stratum") {
+    val kept = Sampling.topFractionByScore(scored, "id", "grp", "score", p = 0.3)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    // stratum a: ceil(0.3*100)=30 best = ids 1..30; b: ceil(0.3*10)=3 = ids 101..103
+    assert(kept == ((1L to 30L).map(_ -> "a") ++ (101L to 103L).map(_ -> "b")).toSet, kept)
+  }
+
+  test("topFractionByScore: ties break to the smallest id; p=1 keeps everything") {
+    import sqlImplicits._
+    val flat = (1L to 10L).map(i => (i, "s", 7.0)).toDF("id", "grp", "score")
+    val kept = Sampling.topFractionByScore(flat, "id", "grp", "score", p = 0.5)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == (1L to 5L).toSet, kept) // all scores equal -> 5 smallest ids
+    assert(Sampling.topFractionByScore(flat, "id", "grp", "score", p = 1.0).count() == 10)
+    assert(Sampling.topFractionByScore(flat.limit(0), "id", "grp", "score", p = 0.5).count() == 0)
+  }
+
+  test("topFractionByScore plans the literal WindowGroupLimit prefilter") {
+    val plan = Sampling.topFractionByScore(scored, "id", "grp", "score", p = 0.3)
+      .queryExecution.executedPlan.toString
+    // the rank <= maxK literal conjunct must give each map task a
+    // bounded per-stratum forward before the window's exchange
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
 }

@@ -172,7 +172,14 @@ class PlanContractSpec extends SparkSpec {
     "q62_source_cap" -> 2,
     // q63: pure codegen'd per-row cleaning projection; the only
     // exchange is the oracle ORDER BY's range partitioning
-    "q63_normalize" -> 1)
+    "q63_normalize" -> 1,
+    // q64: the (stratum, k) table is an eager snapshot; the plan is
+    // the broadcast k-join + the rank window's stratum exchange (with
+    // its literal WindowGroupLimit prefilter) + oracle ORDER BY
+    "q64_quality_topp" -> 2,
+    // q65: (stratum, gram) doc-frequency agg + the top-k window's
+    // stratum exchange (WindowGroupLimit-bounded) + oracle ORDER BY
+    "q65_top_grams" -> 3)
 
   test("no query plans a cartesian product or nested-loop join") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

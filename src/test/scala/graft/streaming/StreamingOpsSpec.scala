@@ -664,4 +664,30 @@ class StreamingOpsSpec extends SparkSpec {
     assert(got == want)
     assert(got.nonEmpty)
   }
+
+  test("streaming domain cap admits first arrivals, bounds every domain, matches batch counts") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import sqlImplicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val corpus = graft.sources.Sources.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "source")
+    val docs = corpus.collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val input = MemoryStream[(Long, String)]
+    val stream = StreamingOps.domainCapStream(input.toDF().toDF("doc_id", "source"), cap = 2)
+    val q = stream.writeStream.outputMode("append").format("memory").queryName("dcap").start()
+    docs.grouped(7).foreach { b => input.addData(b); q.processAllAvailable() }
+    q.stop()
+    val got = spark.table("dcap").collect().map(r => (r.getLong(0), r.getString(1)))
+    // cap bound holds per domain ACROSS batches
+    val perDom = got.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(perDom.values.forall(_ <= 2), perDom)
+    // kept COUNTS equal the batch operator's (min(cap, n_d) per domain)
+    val batchCounts = graft.ops.Sampling.domainCap(corpus, "doc_id", "source", cap = 2)
+      .groupBy("source").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perDom.map { case (k, v) => k -> v.toLong } == batchCounts)
+    // arrival order: the admitted ids are the first arrivals per domain
+    val expected = docs.grouped(7).flatMap(_.sortBy(_._1)).toSeq
+      .groupBy(_._2).flatMap { case (_, rs) => rs.take(2) }.toSet
+    assert(got.toSet == expected.map { case (id, d) => (id, d) })
+  }
 }

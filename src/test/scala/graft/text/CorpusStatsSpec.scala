@@ -148,4 +148,30 @@ class CorpusStatsSpec extends SparkSpec {
       assert(d1.getLong(0) == 1L && d1.getInt(1) == 2 && d1.getLong(2) == 2L)
     } finally saved.foreach { case (k, v) => v.fold(conf.unset(k))(conf.set(k, _)) }
   }
+
+  test("topGrams: per-stratum doc-frequency top-k, ties to the smallest gram") {
+    import sqlImplicits._
+    val strat = Seq(
+      (1L, "en", "the cat sat"),
+      (2L, "en", "the cat ran"),
+      (3L, "en", "the cat the cat sat"),
+      (4L, "de", "der hund lief"),
+      (5L, "de", "der hund sass")
+    ).toDF("doc_id", "lang", "text")
+    val top = CorpusStats.topGrams(strat, "text", "lang", n = 2, k = 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getInt(3))).toSet
+    // en: "the cat" in 3 docs; "cat sat" in 2 (beats "cat ran"/"cat the" at 1 by count)
+    // de: "der hund" in 2; tie at 1 between "hund lief"/"hund sass" -> lexicographic
+    assert(top == Set(
+      ("en", "the cat", 3L, 1), ("en", "cat sat", 2L, 2),
+      ("de", "der hund", 2L, 1), ("de", "hund lief", 1L, 2)), top)
+  }
+
+  test("topGrams plans the literal WindowGroupLimit prefilter below the window") {
+    import sqlImplicits._
+    val strat = (1L to 50L).map(i => (i, s"s${i % 3}", "a b c d")).toDF("doc_id", "lang", "text")
+    val plan = CorpusStats.topGrams(strat, "text", "lang", n = 2, k = 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
 }
