@@ -3,7 +3,7 @@ package graft.queries
 import graft.dedup.Dedup
 import graft.sources.Sources
 import graft.text.TextAnalysis
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis + dedup pack over the `documents` fixture. Oracle
@@ -663,6 +663,129 @@ object TextQueries {
       |WHERE rank <= 5
       |ORDER BY stratum, rank""".stripMargin
 
+  /** Shared line-welding for q66/q67: the synthetic corpus is one
+    * single-line string per document, so line structure is WELDED on
+    * deterministically (q41/q63 discipline) — tokens regrouped into
+    * 8-token lines, plus per-doc boilerplate/noise lines keyed off
+    * `doc_id` arithmetic that DuckDB reproduces exactly.
+    */
+  private def linedText(extra: Column): Column = {
+    val toks = split(col("text"), " ")
+    val nGroups = ((size(toks) + lit(7)) / lit(8)).cast("int")
+    concat(
+      array_join(
+        transform(sequence(lit(0), nGroups - 1),
+          g => array_join(slice(toks, g * lit(8) + 1, lit(8)), " ")), "\n"),
+      extra)
+  }
+
+  private val LinedSqlBase: String =
+    """array_to_string(
+      |      list_transform(range((len(string_split(text, ' ')) + 7) // 8),
+      |        g -> array_to_string((string_split(text, ' '))[g*8+1 : g*8+8], ' ')),
+      |      chr(10))""".stripMargin
+
+  /** q66: cross-document repeated-line removal
+    * ([[graft.text.LineOps.dedupLines]] — MassiveText/RefinedWeb
+    * boilerplate stripping). Boilerplate lines welded onto ~1/3 and
+    * ~1/4 of documents are scrubbed everywhere except their
+    * `min(doc_id)` keeper; the corpus's exact-duplicate documents lose
+    * every line to their keeper twin (line dedup subsumes exact
+    * dedup). Cleaned text md5-pinned byte-for-byte.
+    */
+  def q66LineDedup(spark: SparkSession, dir: String): DataFrame = {
+    val extra = concat(
+      when(col("doc_id") % 3 === 0,
+        lit("\nall rights reserved click to accept cookies")).otherwise(lit("")),
+      when(col("doc_id") % 4 === 1,
+        lit("\nsubscribe to our newsletter today")).otherwise(lit("")))
+    val welded = Sources.documents(spark, dir).withColumn("__t", linedText(extra))
+    graft.text.LineOps.dedupLines(welded, "__t", "doc_id")
+      .select(col("doc_id"), col("n_lines"), col("n_removed"),
+        md5(col("clean").cast("binary")).as("clean_fp"))
+      .orderBy("doc_id")
+  }
+
+  val q66Sql: String =
+    s"""WITH lined AS (
+       |  SELECT doc_id,
+       |    $LinedSqlBase
+       |    || CASE WHEN doc_id % 3 = 0 THEN chr(10) || 'all rights reserved click to accept cookies' ELSE '' END
+       |    || CASE WHEN doc_id % 4 = 1 THEN chr(10) || 'subscribe to our newsletter today' ELSE '' END AS t
+       |  FROM documents
+       |), lines AS (
+       |  SELECT doc_id,
+       |    generate_subscripts(string_split(t, chr(10)), 1) AS pos,
+       |    unnest(string_split(t, chr(10))) AS ln
+       |  FROM lined
+       |), stats AS (
+       |  SELECT md5(ln) AS k, count(DISTINCT doc_id) AS n_docs, min(doc_id) AS keeper
+       |  FROM lines WHERE len(ln) >= 1 GROUP BY 1
+       |), marked AS (
+       |  SELECT l.doc_id, l.pos, l.ln,
+       |    CASE WHEN s.n_docs >= 2 AND l.doc_id <> s.keeper THEN 1 ELSE 0 END AS rm
+       |  FROM lines l LEFT JOIN stats s ON md5(l.ln) = s.k
+       |)
+       |SELECT doc_id, CAST(count(*) AS INT) AS n_lines,
+       |  CAST(sum(rm) AS INT) AS n_removed,
+       |  md5(coalesce(string_agg(CASE WHEN rm = 0 THEN ln END, chr(10) ORDER BY pos), '')) AS clean_fp
+       |FROM marked GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** q67: C4-style line filtering ([[graft.text.LineOps.lineFilter]]).
+    * Welded line structure exercises every gate: terminal punctuation
+    * appears on lines where `(doc_id + line_idx) % 3 = 0`, a banned
+    * javascript line (with terminal '.') lands on `doc_id % 5 = 2`,
+    * and the final short line of most docs trips the min-words gate.
+    * Cleaned text md5-pinned.
+    */
+  def q67LineFilter(spark: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val nGroups = ((size(toks) + lit(7)) / lit(8)).cast("int")
+    val lined = concat(
+      array_join(
+        transform(sequence(lit(0), nGroups - 1),
+          g => concat(
+            array_join(slice(toks, g * lit(8) + 1, lit(8)), " "),
+            when((col("doc_id") + g) % 3 === 0, lit(".")).otherwise(lit("")))), "\n"),
+      when(col("doc_id") % 5 === 2,
+        lit("\nplease enable javascript to view this page.")).otherwise(lit("")))
+    val welded = Sources.documents(spark, dir).withColumn("__t", lined)
+    graft.text.LineOps.lineFilter(welded, "__t", "doc_id")
+      .select(col("doc_id"), col("n_lines"), col("n_kept"),
+        md5(col("clean").cast("binary")).as("clean_fp"))
+      .orderBy("doc_id")
+  }
+
+  val q67Sql: String =
+    """WITH lined AS (
+      |  SELECT doc_id,
+      |    array_to_string(
+      |      list_transform(range((len(string_split(text, ' ')) + 7) // 8),
+      |        g -> array_to_string((string_split(text, ' '))[g*8+1 : g*8+8], ' ')
+      |             || CASE WHEN (doc_id + g) % 3 = 0 THEN '.' ELSE '' END),
+      |      chr(10))
+      |    || CASE WHEN doc_id % 5 = 2 THEN chr(10) || 'please enable javascript to view this page.' ELSE '' END AS t
+      |  FROM documents
+      |), lines AS (
+      |  SELECT doc_id,
+      |    generate_subscripts(string_split(t, chr(10)), 1) AS pos,
+      |    unnest(string_split(t, chr(10))) AS ln
+      |  FROM lined
+      |), marked AS (
+      |  SELECT doc_id, pos, ln,
+      |    CASE WHEN len(string_split(ln, ' ')) >= 3
+      |          AND (ln LIKE '%.' OR ln LIKE '%!' OR ln LIKE '%?' OR ln LIKE '%"')
+      |          AND NOT contains(lower(ln), 'javascript')
+      |          AND NOT contains(lower(ln), 'cookie')
+      |          AND NOT contains(lower(ln), 'lorem ipsum')
+      |      THEN 1 ELSE 0 END AS keep
+      |  FROM lines
+      |)
+      |SELECT doc_id, CAST(count(*) AS INT) AS n_lines,
+      |  CAST(sum(keep) AS INT) AS n_kept,
+      |  md5(coalesce(string_agg(CASE WHEN keep = 1 THEN ln END, chr(10) ORDER BY pos), '')) AS clean_fp
+      |FROM marked GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q51_bpe_pair_stats" -> (q51BpePairStats _),
     "q36_curation_pipeline" -> (q36CurationPipeline _),
@@ -681,7 +804,9 @@ object TextQueries {
     "q60_neardup_keep_best" -> (q60NearDupKeepBest _),
     "q61_bm25" -> (q61Bm25 _),
     "q63_normalize" -> (q63Normalize _),
-    "q65_top_grams" -> (q65TopGrams _))
+    "q65_top_grams" -> (q65TopGrams _),
+    "q66_line_dedup" -> (q66LineDedup _),
+    "q67_line_filter" -> (q67LineFilter _))
 
   val oracle: Map[String, String] = Map(
     "q51_bpe_pair_stats" -> q51Sql,
@@ -699,5 +824,7 @@ object TextQueries {
     "q60_neardup_keep_best" -> q60Sql,
     "q61_bm25" -> q61Sql,
     "q63_normalize" -> q63Sql,
-    "q65_top_grams" -> q65Sql)
+    "q65_top_grams" -> q65Sql,
+    "q66_line_dedup" -> q66Sql,
+    "q67_line_filter" -> q67Sql)
 }

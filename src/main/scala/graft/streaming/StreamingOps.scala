@@ -517,6 +517,44 @@ object StreamingOps {
         })
   }
 
+  /** Streaming twin of [[graft.text.LineOps]] boilerplate scrubbing
+    * (`dedupLines(keepFirst = false)` against a corpus snapshot):
+    * strip every line whose md5 is in the flagged-line snapshot from
+    * each ARRIVING document. Pure stateless projection — the flagged
+    * keys embed as a plan literal (same control-plane-size regime and
+    * guard as [[decontaminationStream]]; a corpus release's repeated-
+    * line table after the `n_docs >= minDocs` cut is boilerplate-
+    * sized, not corpus-sized). Keeper exemption is deliberately absent:
+    * a NEW incoming document is never the first occurrence of a line
+    * already flagged in the snapshot, so scrub-everywhere is the only
+    * coherent streaming policy (parity is against the batch
+    * `keepFirst = false` form).
+    *
+    * Per-line cost is O(|flagged|) via `array_contains` on the sorted
+    * literal — acceptable at control-plane sizes; beyond that,
+    * snapshot the keys into a static table and run the join form in
+    * `foreachBatch`.
+    */
+  def lineScrubStream(
+      docs: DataFrame,
+      flaggedKeys: Seq[String],
+      textCol: String,
+      idCol: String,
+      maxKeys: Int = 1000000): DataFrame = {
+    require(flaggedKeys.size <= maxKeys,
+      s"lineScrubStream embeds flagged line keys as a plan literal: ${flaggedKeys.size} keys " +
+        s"exceeds maxKeys=$maxKeys — snapshot the keys into a static table and join in " +
+        "foreachBatch instead, or raise the bound knowingly")
+    val arr = split(col(textCol), "\n")
+    val keys = lit(flaggedKeys.toArray)
+    val kept = filter(arr, l => !array_contains(keys, md5(l.cast("binary"))))
+    docs.select(
+      col(idCol),
+      size(arr).cast("int").as("n_lines"),
+      (size(arr) - size(kept)).cast("int").as("n_removed"),
+      array_join(kept, "\n").as("clean"))
+  }
+
   final case class NovGram(id: Long, df: Long)
   final case class NovOut(doc_id: Long, n_ngrams: Int, n_rare: Long,
       max_df: Long, rare_frac: Double, mean_df: Double)

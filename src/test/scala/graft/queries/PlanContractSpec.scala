@@ -179,7 +179,16 @@ class PlanContractSpec extends SparkSpec {
     "q64_quality_topp" -> 2,
     // q65: (stratum, gram) doc-frequency agg + the top-k window's
     // stratum exchange (WindowGroupLimit-bounded) + oracle ORDER BY
-    "q65_top_grams" -> 3)
+    "q65_top_grams" -> 3,
+    // q66: (line_key, doc) agg + line_key agg + removal-positions doc
+    // agg + oracle ORDER BY; the flagged join is co-partitioned on the
+    // key it just aggregated on and the doc-grain reassembly join
+    // broadcasts its narrow removed side; line TEXT never shuffles
+    // (md5 keys + ints only — LineOpsSpec pins it)
+    "q66_line_dedup" -> 4,
+    // q67: pure row-local C4 line gate (one split site, codegen);
+    // the only exchange is the oracle ORDER BY
+    "q67_line_filter" -> 1)
 
   test("no query plans a cartesian product or nested-loop join") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

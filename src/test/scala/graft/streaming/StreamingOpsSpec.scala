@@ -284,6 +284,49 @@ class StreamingOpsSpec extends SparkSpec {
     assert(pairs == Set((2L, 3L)), s"expected only the in-horizon pair, got $pairs")
   }
 
+  test("streaming line scrub equals batch dedupLines(keepFirst=false) against the same snapshot") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import sqlImplicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val boiler = "all rights reserved click to accept cookies"
+    // weld line structure (8-token lines) + boilerplate onto the flat fixture
+    val docs = graft.sources.Sources.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text").collect().map { r =>
+        val id = r.getLong(0)
+        val lined = r.getString(1).split(" ").grouped(8).map(_.mkString(" ")).mkString("\n")
+        (id, if (id % 3 == 0) s"$lined\n$boiler" else lined)
+      }.toSeq
+    val corpus = docs.toDF("doc_id", "text")
+    // snapshot: the corpus release's repeated-line table
+    val flagged = graft.text.LineOps.lineFrequency(corpus, "text", "doc_id")
+      .filter($"n_docs" >= 2)
+    val keys = flagged.select("line_key").collect().map(_.getString(0)).toSeq
+    val input = MemoryStream[(Long, String)]
+    val stream = StreamingOps.lineScrubStream(
+      input.toDF().toDF("doc_id", "text"), keys, "text", "doc_id")
+    val q = stream.writeStream.outputMode("append").format("memory").queryName("lss").start()
+    docs.grouped(150).foreach { b => input.addData(b); q.processAllAvailable() }
+    q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("doc_id", "n_lines", "n_removed", "clean").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3))).toSet
+    val got = rows(spark.table("lss"))
+    val want = rows(graft.text.LineOps.dedupLines(
+      corpus, "text", "doc_id", keepFirst = false))
+    assert(got == want, s"stream-batch diff: ${(got diff want).take(3) ++ (want diff got).take(3)}")
+    assert(got.exists(_._3 > 0)) // the weld really scrubs something
+  }
+
+  test("lineScrubStream fails fast on a corpus-sized flagged-key set") {
+    import sqlImplicits._
+    val e = intercept[IllegalArgumentException] {
+      StreamingOps.lineScrubStream(
+        Seq((1L, "a\nb")).toDF("doc_id", "text"),
+        flaggedKeys = Seq("k1", "k2", "k3"), "text", "doc_id", maxKeys = 2)
+    }
+    assert(e.getMessage.contains("foreachBatch"), e.getMessage)
+  }
+
   test("streaming decontamination equals the batch report across micro-batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import sqlImplicits._
