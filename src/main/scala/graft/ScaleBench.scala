@@ -458,7 +458,29 @@ object ScaleBench {
       "normalize" -> (() =>
         graft.text.Normalize.cleaned(docs, "text", out = "clean")
           .agg(sum(length(col("clean"))) + sum(col("changed")))
-          .head().getLong(0)))
+          .head().getLong(0)),
+      // Cross-doc repeated-line removal: welded 8-token lines plus one
+      // boilerplate line on ~1/3 of documents — which stays IDENTICAL
+      // across fixture copies, so its line_key carries ~N/3 rows at
+      // every scale: the hot-key worst case the (line_key, doc) ->
+      // line_key two-level aggregate must absorb map-side. Ordinary
+      // lines stay copy-unique (suffix tokens). Only md5 keys + ints
+      // shuffle; the n_removed sum forces the full row-local
+      // reassembly of every document.
+      "line_dedup" -> (() => {
+        val lined = docs
+          .select(col("doc_id"), split(col("text"), " ").as("__tk"))
+          .select(col("doc_id"), concat(
+            array_join(
+              transform(
+                sequence(lit(0), ((size(col("__tk")) + lit(7)) / lit(8)).cast("int") - 1),
+                g => array_join(slice(col("__tk"), g * lit(8) + 1, lit(8)), " ")), "\n"),
+            when(col("doc_id") % 3 === 0,
+              lit("\nall rights reserved click to accept cookies")).otherwise(lit("")))
+            .as("__t"))
+        graft.text.LineOps.dedupLines(lined, "__t", "doc_id")
+          .agg(sum(col("n_removed"))).head().getLong(0)
+      }))
   }
 
   def main(args: Array[String]): Unit = {

@@ -739,7 +739,111 @@ object PipelineQueries {
       |)
       |ORDER BY doc_id""".stripMargin
 
+  /** q68: corpus data card ([[graft.text.DataCard.report]]) — the
+    * per-(source, lang) release summary: doc counts, corpus-wide
+    * exact-dup share, exact token distribution, nano-exact quality
+    * sums. Every double in the output is either a division of exact
+    * BIGINTs or the exact interpolated percentile both engines
+    * compute identically (q10 discipline).
+    */
+  def q68DataCard(spark: SparkSession, dir: String): DataFrame =
+    graft.text.DataCard.report(
+      Sources.documents(spark, dir), "text", "doc_id", Seq("source", "lang"))
+      .orderBy("source", "lang")
+
+  val q68Sql: String = {
+    val stops = TextAnalysis.stopwords("en").map(w => s"'$w'").mkString(", ")
+    s"""WITH perdoc AS (
+       |  SELECT doc_id, source, lang, text,
+       |    CAST(len(string_split(text, ' ')) AS DOUBLE) AS nt,
+       |    CAST(len(list_filter(string_split(text, ' '), x -> x IN ($stops))) AS DOUBLE) AS ns,
+       |    md5(text) AS fp
+       |  FROM documents
+       |), q AS (
+       |  SELECT doc_id, source, lang, CAST(nt AS INT) AS nti, fp,
+       |    CAST(round((least(nt / 50.0, 1.0) * (1.0 - ns / nt) *
+       |      (CASE WHEN (CAST(length(text) AS DOUBLE) - (nt - 1)) / nt BETWEEN 3.0 AND 10.0
+       |            THEN 1.0 ELSE 0.5 END)) * 1000000000.0) AS BIGINT) AS qn
+       |  FROM perdoc
+       |), copies AS (SELECT fp, count(*) AS c FROM q GROUP BY 1)
+       |SELECT source, lang,
+       |  count(*) AS n_docs,
+       |  CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+       |  CAST(sum(nti) AS BIGINT) AS sum_tokens,
+       |  CAST(sum(nti) AS DOUBLE) / count(*) AS mean_tokens,
+       |  quantile_cont(nti, 0.5) AS p50_tokens,
+       |  CAST(max(nti) AS INT) AS max_tokens,
+       |  CAST(sum(qn) AS BIGINT) AS sum_quality_nano
+       |FROM q JOIN copies USING (fp)
+       |GROUP BY source, lang
+       |ORDER BY source, lang""".stripMargin
+  }
+
+  /** q69: deterministic curriculum interleave
+    * ([[graft.ops.Curriculum.interleave]]) — the proportional
+    * round-robin training order from per-source MINSTD ranks and
+    * fractional positions; the whole manifest is reproduced in DuckDB
+    * from the same integer arithmetic.
+    */
+  def q69Curriculum(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Curriculum.interleave(
+      Sources.documents(spark, dir), "doc_id", "source", seed = 12345L)
+
+  val q69Sql: String =
+    """WITH s AS (
+      |  SELECT doc_id, source,
+      |    ((((doc_id * 48271 + 12345) % 2147483647) * 48271 % 2147483647) * 48271 % 2147483647) AS score
+      |  FROM documents
+      |), r AS (
+      |  SELECT doc_id, source,
+      |    CAST(row_number() OVER (PARTITION BY source ORDER BY score, doc_id) AS INT) AS src_rank,
+      |    count(*) OVER (PARTITION BY source) AS n_s
+      |  FROM s
+      |)
+      |SELECT doc_id, source, src_rank,
+      |  (CAST(src_rank AS DOUBLE) - 0.5) / CAST(n_s AS DOUBLE) AS pos_key
+      |FROM r
+      |ORDER BY pos_key, doc_id""".stripMargin
+
+  /** q70: corpus release diff ([[graft.ops.SnapshotDiff.diff]]) — the
+    * incremental-curation primitive. The "next" release is derived
+    * deterministically from the fixture: docs `% 7 = 0` removed,
+    * `% 5 = 0` edited (token appended), `% 11 = 0` re-published under
+    * a shifted id as additions — every status is exercised.
+    */
+  def q70SnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Sources.documents(spark, dir).select("doc_id", "text")
+    val kept = docs.filter(col("doc_id") % 7 =!= 0)
+      .withColumn("text",
+        when(col("doc_id") % 5 === 0, concat(col("text"), lit(" updated")))
+          .otherwise(col("text")))
+    val added = docs.filter(col("doc_id") % 11 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(col("text"), lit(" new")).as("text"))
+    graft.ops.SnapshotDiff.diff(docs, kept.unionByName(added), "text", "doc_id")
+      .orderBy("doc_id")
+  }
+
+  val q70Sql: String =
+    """WITH prev AS (SELECT doc_id, md5(text) AS fa FROM documents),
+      |nxt AS (
+      |  SELECT doc_id,
+      |    md5(CASE WHEN doc_id % 5 = 0 THEN text || ' updated' ELSE text END) AS fb
+      |  FROM documents WHERE doc_id % 7 <> 0
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, md5(text || ' new') FROM documents WHERE doc_id % 11 = 0
+      |)
+      |SELECT coalesce(p.doc_id, n.doc_id) AS doc_id,
+      |  CASE WHEN p.doc_id IS NULL THEN 'added'
+      |       WHEN n.doc_id IS NULL THEN 'removed'
+      |       WHEN fa = fb THEN 'unchanged' ELSE 'changed' END AS status
+      |FROM prev p FULL OUTER JOIN nxt n ON p.doc_id = n.doc_id
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q68_data_card" -> (q68DataCard _),
+    "q69_curriculum" -> (q69Curriculum _),
+    "q70_snapshot_diff" -> (q70SnapshotDiff _),
     "q59_resample" -> (q59Resample _),
     "q58_gate_pack" -> (q58GatePack _),
     "q57_quality_gate" -> (q57QualityGate _),
@@ -759,6 +863,9 @@ object PipelineQueries {
     "q46_decontaminated" -> (q46Decontaminated _))
 
   val oracle: Map[String, String] = Map(
+    "q68_data_card" -> q68Sql,
+    "q69_curriculum" -> q69Sql,
+    "q70_snapshot_diff" -> q70Sql,
     "q59_resample" -> q59Sql,
     "q58_gate_pack" -> q58Sql,
     "q57_quality_gate" -> q57Sql,

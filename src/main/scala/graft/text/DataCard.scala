@@ -1,0 +1,70 @@
+package graft.text
+
+import graft.ops.GroupStats
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Corpus data-card report — the per-stratum summary a dataset release
+  * ships with (public lineage: "Datasheets for Datasets" / model-card
+  * practice, and the corpus composition tables in the LLM corpus
+  * papers: docs, tokens, dup share and quality per source × language).
+  * Everything downstream mixing decides on — stratum sizes for
+  * temperature mixing ([[graft.ops.Sampling.temperatureMix]]), dup
+  * shares for dedup budgeting, token distributions for packing
+  * capacity — reads off this one table.
+  *
+  * Scale shape: ONE corpus scan computes the per-doc row (token count,
+  * md5 fingerprint, quality — text is DROPPED after this projection);
+  * the exact-dup share derives from a corpus-wide fingerprint
+  * aggregate joined back on the 32-hex key it was just shuffled on;
+  * the stratum rollup is a map-side-combined aggregate to the (tiny)
+  * stratum grain. Text never crosses an exchange.
+  *
+  * Determinism discipline: sums are exact BIGINTs (quality rounded
+  * ONCE per doc to integer nanounits — the [[graft.text.NgramLm]]
+  * convention), means are divisions of those exact integers, and the
+  * token median is the exact interpolated `percentile`
+  * ([[GroupStats.exactMedian]] — oracle-parity with DuckDB
+  * `quantile_cont`).
+  */
+object DataCard {
+
+  /** `(strataCols..., n_docs, n_dup_docs, sum_tokens, mean_tokens,
+    * p50_tokens, max_tokens, sum_quality_nano)` — one row per stratum.
+    * `n_dup_docs` counts documents whose exact text fingerprint occurs
+    * >= 2 times CORPUS-WIDE (a cross-stratum duplicate counts in both
+    * strata — the "how much of this source is copies" number).
+    */
+  def report(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      strataCols: Seq[String]): DataFrame = {
+    require(strataCols.nonEmpty, "at least one stratum column")
+    val toks = TextAnalysis.tokens(col(textCol))
+    val perDoc = df.select(
+      (strataCols.map(col) :+
+        col(idCol) :+
+        size(toks).as("__nt") :+
+        md5(col(textCol).cast("binary")).as("__fp") :+
+        round(TextAnalysis.qualityScoreOfTokens(toks, col(textCol)) * lit(1e9))
+          .cast("long").as("__qn")): _*)
+    val copies = perDoc.groupBy(col("__fp")).agg(count(lit(1)).as("__copies"))
+    perDoc
+      .join(copies, "__fp")
+      .groupBy(strataCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum((col("__copies") > 1).cast("long")).as("n_dup_docs"),
+        sum(col("__nt")).cast("long").as("sum_tokens"),
+        GroupStats.exactMedian(col("__nt")).as("p50_tokens"),
+        max(col("__nt")).as("max_tokens"),
+        sum(col("__qn")).as("sum_quality_nano"))
+      .withColumn("mean_tokens",
+        col("sum_tokens").cast("double") / col("n_docs"))
+      .select(
+        (strataCols.map(col) :+ col("n_docs") :+ col("n_dup_docs") :+
+          col("sum_tokens") :+ col("mean_tokens") :+ col("p50_tokens") :+
+          col("max_tokens") :+ col("sum_quality_nano")): _*)
+  }
+}

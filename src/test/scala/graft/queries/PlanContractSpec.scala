@@ -188,7 +188,18 @@ class PlanContractSpec extends SparkSpec {
     "q66_line_dedup" -> 4,
     // q67: pure row-local C4 line gate (one split site, codegen);
     // the only exchange is the oracle ORDER BY
-    "q67_line_filter" -> 1)
+    "q67_line_filter" -> 1,
+    // q68: fingerprint-grain copies agg (the join back is
+    // co-partitioned on the key it just aggregated on) + stratum
+    // rollup + oracle ORDER BY; text drops in the scan projection
+    // (DataCardSpec pins it)
+    "q68_data_card" -> 3,
+    // q69: ONE source-partitioned window (rank + count share it) +
+    // the training-order range exchange — which IS the deliverable
+    "q69_curriculum" -> 2,
+    // q70: id-keyed full-outer join (both sides) + oracle ORDER BY;
+    // both sides collapse to (id, md5) in their scan projections
+    "q70_snapshot_diff" -> 3)
 
   test("no query plans a cartesian product or nested-loop join") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

@@ -1,0 +1,67 @@
+package graft.text
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+
+class DataCardSpec extends SparkSpec {
+  import sqlImplicits._
+
+  private def shuffles(df: DataFrame): Seq[ShuffleExchangeLike] = {
+    val root = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    def collect(p: SparkPlan): Seq[ShuffleExchangeLike] =
+      (p match { case s: ShuffleExchangeLike => Seq(s); case _ => Seq.empty }) ++
+        p.children.flatMap(collect) ++ p.subqueries.flatMap(collect)
+    collect(root)
+  }
+
+  private val corpus = Seq(
+    (1L, "srcA", "en", "one two three four"),
+    (2L, "srcA", "en", "one two three four"),      // dup of 1, same stratum
+    (3L, "srcB", "en", "one two three four"),      // dup of 1, ACROSS strata
+    (4L, "srcB", "en", "five six"),
+    (5L, "srcB", "fr", "sept huit neuf dix onze douze")
+  ).toDF("doc_id", "source", "lang", "text")
+
+  test("per-stratum counts, cross-stratum dup share, exact token stats") {
+    val rows = DataCard.report(corpus, "text", "doc_id", Seq("source", "lang"))
+      .orderBy("source", "lang").collect()
+    assert(rows.length == 3)
+    val a = rows(0) // srcA/en: docs 1,2
+    assert(a.getAs[Long]("n_docs") == 2 && a.getAs[Long]("n_dup_docs") == 2)
+    assert(a.getAs[Long]("sum_tokens") == 8 && a.getAs[Double]("p50_tokens") == 4.0)
+    val b = rows(1) // srcB/en: docs 3 (dup across strata), 4
+    assert(b.getAs[Long]("n_docs") == 2 && b.getAs[Long]("n_dup_docs") == 1,
+      "a duplicate counts in BOTH strata it appears in")
+    assert(b.getAs[Double]("p50_tokens") == 3.0, "even-count interpolated median (4+2)/2")
+    assert(b.getAs[Int]("max_tokens") == 4)
+    val f = rows(2) // srcB/fr: doc 5
+    assert(f.getAs[Long]("n_docs") == 1 && f.getAs[Long]("n_dup_docs") == 0)
+    assert(f.getAs[Double]("mean_tokens") == 6.0)
+  }
+
+  test("quality nano sum equals the per-doc rounded quality, summed exactly") {
+    val perDoc = corpus
+      .select($"source", $"lang",
+        TextAnalysis.qualityScoreOfTokens(TextAnalysis.tokens($"text"), $"text").as("q"))
+      .collect()
+      .groupBy(r => (r.getString(0), r.getString(1)))
+      .map { case (k, rs) => k -> rs.map(r => math.round(r.getDouble(2) * 1e9)).sum }
+    val got = DataCard.report(corpus, "text", "doc_id", Seq("source", "lang"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("sum_quality_nano")).toMap
+    assert(got == perDoc)
+  }
+
+  test("document text never crosses an exchange") {
+    val df = DataCard.report(corpus, "text", "doc_id", Seq("source", "lang"))
+    df.collect()
+    val leaked = shuffles(df).filter(_.output.exists(_.name == "text"))
+    assert(leaked.isEmpty, s"text crossed an exchange: $leaked")
+  }
+}
