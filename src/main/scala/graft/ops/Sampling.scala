@@ -159,6 +159,99 @@ object Sampling {
       .filter(sampleScore(col(idCol), seed) < col("__mix_thr"))
       .select(df.columns.map(col): _*)
 
+  /** Pass 1 of [[epochMix]] alone: the per-source epoch factors
+    * `(sourceCol, __ep_n, __ep_thr)` — how many WHOLE epochs of each
+    * source the token budget buys (`__ep_n = floor(w_s·B / T_s)`) and
+    * the MINSTD threshold for the fractional epoch
+    * (`__ep_thr = floor(frac(w_s·B / T_s) · m)`). Control-plane sized
+    * (one row per source); snapshot it per release, same discipline
+    * as [[mixThresholds]]. Sources with zero weight or zero tokens
+    * are dropped (no factor, no output rows).
+    *
+    * Every arithmetic step (sum, divide, multiply, floor) is a
+    * correctly-rounded IEEE-754 operation on exact integer inputs, so
+    * the factors — and therefore the exact emitted manifest — are
+    * engine-portable (the q71 oracle recomputes them in DuckDB).
+    */
+  def epochFactors(
+      df: DataFrame,
+      sourceCol: String,
+      tokenCol: String,
+      weights: Map[String, Double],
+      tokenBudget: Long): DataFrame = {
+    require(tokenBudget > 0, s"tokenBudget=$tokenBudget must be positive")
+    require(weights.values.forall(_ >= 0.0) && weights.values.sum > 0.0,
+      "weights must be non-negative with a positive sum")
+    val wSum = weights.values.sum
+    val wCase = weights.foldLeft(lit(0.0)) { case (acc, (s, w)) =>
+      when(col(sourceCol) === lit(s), lit(w / wSum)).otherwise(acc)
+    }
+    df.groupBy(col(sourceCol))
+      .agg(sum(col(tokenCol)).as("__ep_t"))
+      .withColumn("__w", wCase)
+      .filter(col("__w") > 0.0 && col("__ep_t") > 0)
+      .withColumn("__f", col("__w") * lit(tokenBudget.toDouble) / col("__ep_t").cast("double"))
+      .select(
+        col(sourceCol),
+        floor(col("__f")).cast("int").as("__ep_n"),
+        floor((col("__f") - floor(col("__f"))) * lit(Mod.toDouble)).cast("long").as("__ep_thr"))
+  }
+
+  /** Epoch-based source upsampling to a token budget — the published
+    * "epochs per source" mixing construction (the LLaMA-style table:
+    * low-weight web data trains under one epoch, high-value sources
+    * repeat for several): source s with raw token count T_s and
+    * normalized weight w_s should contribute ~`w_s · tokenBudget`
+    * tokens, i.e. `f_s = w_s·B / T_s` epochs — every document repeats
+    * `floor(f_s)` times plus once more with probability `frac(f_s)`,
+    * decided deterministically per document by the MINSTD score (the
+    * realized token count is then within one source pass of target in
+    * expectation, with no coordination between documents).
+    *
+    * Returns the repeat MANIFEST `(idCol, sourceCol, copy_idx)` —
+    * `copy_idx` in `1..reps` distinguishes the copies so downstream
+    * packing/shuffling ([[graft.ops.Curriculum]]) can treat each
+    * repeat as its own row.
+    *
+    * Scale shape: pass 1 collapses to the source grain (one
+    * partial-aggregated exchange carrying source keys + token sums);
+    * the factor table broadcast-joins back and the repeat explode is
+    * map-side — corpus rows never shuffle, and the output volume is
+    * exactly the manifest being asked for.
+    */
+  def epochMix(
+      df: DataFrame,
+      idCol: String,
+      sourceCol: String,
+      tokenCol: String,
+      weights: Map[String, Double],
+      tokenBudget: Long,
+      seed: Long = 0L): DataFrame =
+    epochMixWith(df, epochFactors(df, sourceCol, tokenCol, weights, tokenBudget),
+      idCol, sourceCol, seed)
+
+  /** Pass 2 of [[epochMix]] alone: apply a (snapshot) factor table.
+    * Stateless per-row given the snapshot — runs unchanged on a
+    * streaming DataFrame (stream-static broadcast join), emitting
+    * each arriving document's repeats immediately.
+    */
+  def epochMixWith(
+      df: DataFrame,
+      factors: DataFrame,
+      idCol: String,
+      sourceCol: String,
+      seed: Long = 0L): DataFrame =
+    df.join(bcast(factors), Seq(sourceCol))
+      .withColumn("__reps",
+        col("__ep_n") + (sampleScore(col(idCol), seed) < col("__ep_thr")).cast("int"))
+      // sequence(1, 0) counts DOWN in Spark — guard the zero-repeat case
+      .select(
+        col(idCol),
+        col(sourceCol),
+        explode(
+          when(col("__reps") >= 1, sequence(lit(1), col("__reps")))
+            .otherwise(array().cast("array<int>"))).as("copy_idx"))
+
   /** Per-domain document cap — the Gopher-style rebalancing step that
     * bounds any single domain's share of the corpus: keep at most
     * `cap` rows per `domainCol` value, chosen deterministically by

@@ -840,7 +840,58 @@ object PipelineQueries {
       |FROM prev p FULL OUTER JOIN nxt n ON p.doc_id = n.doc_id
       |ORDER BY doc_id""".stripMargin
 
+  /** q71: epoch-based source upsampling
+    * ([[graft.ops.Sampling.epochMix]]) — the "epochs per source"
+    * mixing table realized as a repeat manifest. Four sources carry
+    * all the weight (the rest drop); the budget is sized so factors
+    * straddle 1.0 both ways, exercising whole-epoch repeats AND the
+    * fractional MINSTD pass. DuckDB reproduces the exact manifest
+    * from the same IEEE-754/integer arithmetic.
+    */
+  private val EpochWeights =
+    Map("src0" -> 0.4, "src1" -> 0.3, "src2" -> 0.2, "src3" -> 0.1)
+
+  def q71EpochMix(spark: SparkSession, dir: String): DataFrame =
+    Sampling.epochMix(
+      Sources.documents(spark, dir)
+        .withColumn("n_tokens", size(split(col("text"), " "))),
+      "doc_id", "source", "n_tokens",
+      weights = EpochWeights, tokenBudget = 200000L, seed = 5L)
+      .orderBy("doc_id", "copy_idx")
+
+  val q71Sql: String = {
+    // The engine NORMALIZES weights by their (floating) sum — which
+    // for these literals is 1.0000000000000002, not 1.0 — so the
+    // oracle must use the SAME normalized doubles bit-for-bit:
+    // Scala's shortest-round-trip Double.toString parses back to the
+    // identical IEEE-754 value under DuckDB's correctly-rounded
+    // decimal conversion.
+    val wSum = EpochWeights.values.sum
+    val cases = EpochWeights.toSeq.sorted
+      .map { case (s, w) => s"WHEN '$s' THEN ${w / wSum}" }.mkString(" ")
+    s"""WITH t AS (
+      |  SELECT source,
+      |    CAST(sum(len(string_split(text, ' '))) AS DOUBLE) AS ts,
+      |    CASE source $cases ELSE 0.0 END AS w
+      |  FROM documents GROUP BY source
+      |), r AS (""".stripMargin + "\n" +
+    """  SELECT source,
+      |    CAST(floor(w * 200000.0 / ts) AS INT) AS ne,
+      |    CAST(floor((w * 200000.0 / ts - floor(w * 200000.0 / ts)) * 2147483647.0) AS BIGINT) AS thr
+      |  FROM t WHERE w > 0 AND ts > 0
+      |), d AS (
+      |  SELECT doc_id, source,
+      |    ne + CASE WHEN (((doc_id * 48271 + 5) % 2147483647) * 48271 % 2147483647) * 48271 % 2147483647 < thr
+      |              THEN 1 ELSE 0 END AS reps
+      |  FROM documents JOIN r USING (source)
+      |)
+      |SELECT doc_id, source, CAST(unnest(generate_series(1, reps)) AS INT) AS copy_idx
+      |FROM d WHERE reps >= 1
+      |ORDER BY doc_id, copy_idx""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q71_epoch_mix" -> (q71EpochMix _),
     "q68_data_card" -> (q68DataCard _),
     "q69_curriculum" -> (q69Curriculum _),
     "q70_snapshot_diff" -> (q70SnapshotDiff _),
@@ -863,6 +914,7 @@ object PipelineQueries {
     "q46_decontaminated" -> (q46Decontaminated _))
 
   val oracle: Map[String, String] = Map(
+    "q71_epoch_mix" -> q71Sql,
     "q68_data_card" -> q68Sql,
     "q69_curriculum" -> q69Sql,
     "q70_snapshot_diff" -> q70Sql,

@@ -167,4 +167,59 @@ class SamplingSpec extends SparkSpec {
     // bounded per-stratum forward before the window's exchange
     assert(plan.contains("WindowGroupLimit"), plan)
   }
+
+  // --- epochMix ------------------------------------------------------
+
+  private def tokenDocs = {
+    import sqlImplicits._
+    // srcA: 4 docs x 10 tokens = 40; srcB: 2 docs x 10 = 20; srcC unweighted
+    (Seq.tabulate(4)(i => (i.toLong, "srcA", 10)) ++
+      Seq.tabulate(2)(i => ((10 + i).toLong, "srcB", 10)) ++
+      Seq((20L, "srcC", 10))).toDF("id", "src", "nt")
+  }
+
+  test("epochFactors: whole epochs and fractional thresholds from exact arithmetic") {
+    // budget 120, weights A=2/3, B=1/3 -> targets 80 and 40 tokens
+    // -> factors 80/40 = 2.0 epochs (no fraction) and 40/20 = 2.0
+    val f = Sampling.epochFactors(tokenDocs, "src", "nt",
+      Map("srcA" -> 2.0, "srcB" -> 1.0), tokenBudget = 120L)
+      .collect().map(r => r.getString(0) -> ((r.getInt(1), r.getLong(2)))).toMap
+    assert(f("srcA") == ((2, 0L)) && f("srcB") == ((2, 0L)))
+    assert(!f.contains("srcC"), "unweighted sources get no factor")
+    // budget 90 -> A target 60 / 40 tokens = 1.5 epochs: threshold = floor(0.5 * m)
+    val g = Sampling.epochFactors(tokenDocs, "src", "nt",
+      Map("srcA" -> 1.0), tokenBudget = 60L)
+      .collect().map(r => r.getString(0) -> ((r.getInt(1), r.getLong(2)))).toMap
+    assert(g("srcA") == ((1, (0.5 * 2147483647L.toDouble).toLong)))
+  }
+
+  test("epochMix: every doc repeats floor(f) or floor(f)+1 times; manifest is deterministic") {
+    val m = Sampling.epochMix(tokenDocs, "id", "src", "nt",
+      Map("srcA" -> 1.0), tokenBudget = 60L, seed = 3L) // f = 1.5
+    val reps = m.collect().groupBy(_.getLong(0)).map { case (id, rs) =>
+      id -> rs.map(_.getInt(2)).sorted.toSeq
+    }
+    assert(reps.keySet == Set(0L, 1L, 2L, 3L), "only weighted-source docs appear")
+    reps.values.foreach(cs => assert(cs == (1 to cs.length) && (cs.length == 1 || cs.length == 2),
+      s"copies must be 1..reps with reps in {1,2}: $cs"))
+    // deterministic across invocations
+    assert(m.collect().toSeq.toSet ==
+      Sampling.epochMix(tokenDocs, "id", "src", "nt",
+        Map("srcA" -> 1.0), tokenBudget = 60L, seed = 3L).collect().toSeq.toSet)
+  }
+
+  test("epochMix: realized tokens land within one source pass of the target") {
+    import sqlImplicits._
+    val big = spark.range(500L).select(col("id"),
+      lit("w").as("src"), (col("id") % 20 + 1).cast("int").as("nt"))
+    val total = big.agg(sum("nt")).head().getLong(0) // ~5250
+    val budget = 3L * total / 2L                      // 1.5 epochs
+    val manifest = Sampling.epochMix(big, "id", "src", "nt",
+      Map("w" -> 1.0), tokenBudget = budget, seed = 11L)
+    val realized = manifest.join(big, Seq("id", "src")).agg(sum("nt")).head().getLong(0)
+    // whole epoch (total) + Bernoulli(0.5) half epoch: 4-sigma band
+    val sigma = math.sqrt(500 * 0.25) * 10.5 // mean token count per doc
+    assert(math.abs(realized - budget.toDouble) < 4 * sigma,
+      s"realized $realized vs budget $budget")
+  }
 }

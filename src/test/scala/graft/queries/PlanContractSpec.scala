@@ -199,7 +199,11 @@ class PlanContractSpec extends SparkSpec {
     "q69_curriculum" -> 2,
     // q70: id-keyed full-outer join (both sides) + oracle ORDER BY;
     // both sides collapse to (id, md5) in their scan projections
-    "q70_snapshot_diff" -> 3)
+    "q70_snapshot_diff" -> 3,
+    // q71: one source-grain token-sum exchange (the factor table,
+    // broadcast back) + oracle ORDER BY; the repeat explode is
+    // map-side and corpus rows never shuffle
+    "q71_epoch_mix" -> 2)
 
   test("no query plans a cartesian product or nested-loop join") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

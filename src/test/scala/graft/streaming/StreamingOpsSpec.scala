@@ -254,6 +254,31 @@ class StreamingOpsSpec extends SparkSpec {
     assert(got.forall { case (_, ne, _, s) => ne == 1 && s.contains("<EMAIL>") && s.contains("<IP>") })
   }
 
+  test("epoch upsampling with a snapshot factor table runs unchanged on a stream: manifest parity") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import sqlImplicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = (0L until 300L).map(i => (i, s"src${i % 3}", (i % 15 + 1).toInt))
+    val corpus = rows.toDF("doc_id", "source", "n_tokens")
+    // snapshot discipline: factors from the corpus RELEASE the mixture
+    // was designed on, applied to arrivals stream-static
+    val factors = graft.ops.Sampling.epochFactors(
+      corpus, "source", "n_tokens", Map("src0" -> 2.0, "src1" -> 1.0), 4000L).persist()
+    val input = MemoryStream[(Long, String, Int)]
+    val stream = graft.ops.Sampling.epochMixWith(
+      input.toDF().toDF("doc_id", "source", "n_tokens"), factors, "doc_id", "source", seed = 9L)
+    val q = stream.writeStream.outputMode("append").format("memory").queryName("epm").start()
+    rows.grouped(100).foreach { b => input.addData(b); q.processAllAvailable() }
+    q.stop()
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    val got = key(spark.table("epm"))
+    val want = key(graft.ops.Sampling.epochMixWith(corpus, factors, "doc_id", "source", seed = 9L))
+    factors.unpersist()
+    assert(got == want)
+    assert(got.exists(_._3 >= 2), "the whole-epoch repeat really fires")
+  }
+
   test("TTL-bounded streaming minhash: partners within the horizon pair, expired history does not") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import sqlImplicits._
