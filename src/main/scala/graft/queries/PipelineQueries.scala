@@ -890,7 +890,40 @@ object PipelineQueries {
       |ORDER BY doc_id, copy_idx""".stripMargin
   }
 
+  private val SplitFractions = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+
+  /** q72: leakage-safe train/val/test split
+    * ([[graft.ops.Splits.assign]]) — split assignment as a pure
+    * function of the exact-dup CLUSTER canonical, so duplicate
+    * content can never straddle train and eval. The corpus's real
+    * duplicate groups exercise the cohesion; DuckDB reproduces the
+    * canonical table, the MINSTD scores, and the integer thresholds
+    * exactly.
+    */
+  def q72LeakSafeSplit(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Splits.assign(
+      Sources.documents(spark, dir), "text", "doc_id", SplitFractions, seed = 21L)
+      .orderBy("doc_id")
+
+  val q72Sql: String = {
+    // thresholds from the SAME normalized floating arithmetic the
+    // engine uses, embedded as exact integer literals
+    val th = graft.ops.Splits.thresholdTable(SplitFractions)
+    val cases = th.init.map { case (n, t) => s"WHEN sc < $t THEN '$n'" }.mkString(" ")
+    s"""WITH fp AS (SELECT doc_id, md5(text) AS f FROM documents),
+       |can AS (SELECT f, min(doc_id) AS canonical_id FROM fp GROUP BY 1),
+       |j AS (SELECT fp.doc_id, can.canonical_id FROM fp JOIN can USING (f)),
+       |s AS (
+       |  SELECT doc_id, canonical_id,
+       |    (((canonical_id * 48271 + 21) % 2147483647) * 48271 % 2147483647) * 48271 % 2147483647 AS sc
+       |  FROM j
+       |)
+       |SELECT doc_id, canonical_id, CASE $cases ELSE '${th.last._1}' END AS split
+       |FROM s ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q72_leak_safe_split" -> (q72LeakSafeSplit _),
     "q71_epoch_mix" -> (q71EpochMix _),
     "q68_data_card" -> (q68DataCard _),
     "q69_curriculum" -> (q69Curriculum _),
@@ -914,6 +947,7 @@ object PipelineQueries {
     "q46_decontaminated" -> (q46Decontaminated _))
 
   val oracle: Map[String, String] = Map(
+    "q72_leak_safe_split" -> q72Sql,
     "q71_epoch_mix" -> q71Sql,
     "q68_data_card" -> q68Sql,
     "q69_curriculum" -> q69Sql,

@@ -203,7 +203,12 @@ class PlanContractSpec extends SparkSpec {
     // q71: one source-grain token-sum exchange (the factor table,
     // broadcast back) + oracle ORDER BY; the repeat explode is
     // map-side and corpus rows never shuffle
-    "q71_epoch_mix" -> 2)
+    "q71_epoch_mix" -> 2,
+    // q72: fingerprint-grain canonical agg (the fp join back is
+    // co-partitioned; the narrow cluster table broadcasts into the
+    // id join) + oracle ORDER BY; the threshold CASE is a map-side
+    // projection and text never shuffles
+    "q72_leak_safe_split" -> 2)
 
   test("no query plans a cartesian product or nested-loop join") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
