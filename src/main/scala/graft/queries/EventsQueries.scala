@@ -411,7 +411,46 @@ object EventsQueries {
       |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
       |ORDER BY event_id""".stripMargin
 
+  /** q73: JSON property extraction (SURVEY §2.8's planned
+    * `from_json`/`get_json_object` extension over the `events.props`
+    * fixture column) — both mechanisms exercised: `from_json` with an
+    * explicit schema parses the typed struct (codegen-friendly,
+    * schema-checked — the production form), `get_json_object` does the
+    * path lookup (the ad-hoc form), and the query CROSS-CHECKS them
+    * (`n_agree` counts rows where both extract the same value). The
+    * oracle recomputes the extraction with a dialect-neutral regexp.
+    */
+  def q73JsonExtract(spark: SparkSession, dir: String): DataFrame =
+    Sources.events(spark, dir)
+      .select(
+        col("event_type"),
+        from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+          .getField("k").as("k"),
+        get_json_object(col("props"), "$.k").cast("int").as("k2"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        sum((col("k") === col("k2")).cast("long")).as("n_agree"),
+        sum(col("k")).as("sum_k"),
+        GroupStats.exactMedian(col("k")).as("p50_k"),
+        max(col("k")).as("max_k"))
+      .orderBy("event_type")
+
+  val q73Sql: String =
+    """WITH e AS (
+      |  SELECT event_type,
+      |    CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INT) AS k
+      |  FROM events
+      |)
+      |SELECT event_type, count(*) AS n, count(*) AS n_agree,
+      |  CAST(sum(k) AS BIGINT) AS sum_k,
+      |  quantile_cont(k, 0.5) AS p50_k,
+      |  CAST(max(k) AS INT) AS max_k
+      |FROM e GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q73_json_extract" -> (q73JsonExtract _),
     "q32_asof_join" -> (q32AsofJoin _),
     "q34_moving_avg" -> (q34MovingAvg _),
     "q56_interval_join" -> (q56IntervalJoin _),
@@ -425,6 +464,7 @@ object EventsQueries {
     "q19_hourly_agg" -> (q19HourlyAgg _))
 
   val oracle: Map[String, String] = Map(
+    "q73_json_extract" -> q73Sql,
     "q32_asof_join" -> q32Sql,
     "q34_moving_avg" -> q34Sql,
     "q56_interval_join" -> q56Sql,

@@ -208,7 +208,10 @@ class PlanContractSpec extends SparkSpec {
     // co-partitioned; the narrow cluster table broadcasts into the
     // id join) + oracle ORDER BY; the threshold CASE is a map-side
     // projection and text never shuffles
-    "q72_leak_safe_split" -> 2)
+    "q72_leak_safe_split" -> 2,
+    // q73: JSON extraction is row-local (from_json + path lookup in
+    // the scan projection); one event_type aggregate + oracle ORDER BY
+    "q73_json_extract" -> 2)
 
   test("no query plans a cartesian product or nested-loop join") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
