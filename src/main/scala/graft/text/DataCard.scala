@@ -35,11 +35,19 @@ object DataCard {
     * >= 2 times CORPUS-WIDE (a cross-stratum duplicate counts in both
     * strata — the "how much of this source is copies" number).
     */
+  /** SCALE NOTE: `exact = true` (the oracle form) uses Spark's exact
+    * `percentile`, whose aggregation buffer holds every distinct value
+    * with counts PER GROUP — fine up to millions of docs per stratum,
+    * wrong at web scale. `exact = false` swaps in the bounded-memory
+    * t-digest sketch ([[GroupStats.approxMedian]]) — the 100 TB form,
+    * same plan shape, median within sketch tolerance.
+    */
   def report(
       df: DataFrame,
       textCol: String,
       idCol: String,
-      strataCols: Seq[String]): DataFrame = {
+      strataCols: Seq[String],
+      exact: Boolean = true): DataFrame = {
     require(strataCols.nonEmpty, "at least one stratum column")
     val toks = TextAnalysis.tokens(col(textCol))
     val perDoc = df.select(
@@ -57,7 +65,8 @@ object DataCard {
         count(lit(1)).as("n_docs"),
         sum((col("__copies") > 1).cast("long")).as("n_dup_docs"),
         sum(col("__nt")).cast("long").as("sum_tokens"),
-        GroupStats.exactMedian(col("__nt")).as("p50_tokens"),
+        (if (exact) GroupStats.exactMedian(col("__nt"))
+         else GroupStats.approxMedian(col("__nt")).cast("double")).as("p50_tokens"),
         max(col("__nt")).as("max_tokens"),
         sum(col("__qn")).as("sum_quality_nano"))
       .withColumn("mean_tokens",

@@ -58,6 +58,20 @@ class DataCardSpec extends SparkSpec {
     assert(got == perDoc)
   }
 
+  test("approx form (the 100 TB path) agrees with exact on this fixture and keeps the schema") {
+    val exact = DataCard.report(corpus, "text", "doc_id", Seq("source", "lang"))
+      .orderBy("source", "lang").collect()
+    val approx = DataCard.report(corpus, "text", "doc_id", Seq("source", "lang"), exact = false)
+      .orderBy("source", "lang").collect()
+    assert(exact.map(_.schema.fieldNames.toSeq).head == approx.map(_.schema.fieldNames.toSeq).head)
+    // at 2-element groups the t-digest returns an exact element;
+    // interpolation differences only matter on even counts
+    exact.zip(approx).foreach { case (e, a) =>
+      assert(math.abs(e.getAs[Double]("p50_tokens") - a.getAs[Double]("p50_tokens")) <= 1.0)
+      assert(e.getAs[Long]("sum_tokens") == a.getAs[Long]("sum_tokens"))
+    }
+  }
+
   test("document text never crosses an exchange") {
     val df = DataCard.report(corpus, "text", "doc_id", Seq("source", "lang"))
     df.collect()

@@ -156,6 +156,32 @@ class LineOpsSpec extends SparkSpec {
     assert(nokeep(1).getAs[String]("clean") == "six two")
   }
 
+  test("dedupLines is idempotent: a second pass removes nothing") {
+    val d = docs(
+      (1L, s"unique alpha content\n$boiler"),
+      (2L, s"$boiler\nunique beta content"),
+      (3L, s"unique gamma content\n$boiler"))
+    val once = LineOps.dedupLines(d, "text", "doc_id")
+      .select($"doc_id", $"clean".as("text"))
+    val twice = LineOps.dedupLines(once, "text", "doc_id")
+      .orderBy("doc_id").collect()
+    // after pass 1 the boilerplate survives only in the keeper, so no
+    // line is cross-doc repeated any more
+    assert(twice.map(_.getAs[Int]("n_removed")).sum == 0)
+    assert(twice.map(_.getAs[String]("clean")).toSeq ==
+      once.orderBy("doc_id").collect().map(_.getAs[String]("text")).toSeq)
+  }
+
+  test("lineFilter is idempotent: kept lines pass the gate again unchanged") {
+    val d = docs((1L,
+      "good line with enough words here.\nshort.\nno terminal punctuation line\nanother good long line stays!"))
+    val once = LineOps.lineFilter(d, "text", "doc_id").select($"doc_id", $"clean".as("text"))
+    val twice = LineOps.lineFilter(once, "text", "doc_id").collect().head
+    assert(twice.getAs[Int]("n_kept") == twice.getAs[Int]("n_lines"))
+    assert(twice.getAs[String]("clean") ==
+      once.collect().head.getAs[String]("text"))
+  }
+
   test("lineFrequency: distinct-doc semantics and min-id keeper") {
     val d = docs(
       (3L, s"$boiler\n$boiler"), // twice in one doc: counts once
