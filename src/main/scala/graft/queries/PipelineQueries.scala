@@ -922,7 +922,64 @@ object PipelineQueries {
        |FROM s ORDER BY doc_id""".stripMargin
   }
 
+  /** q74: deterministic seeded corpus shuffle
+    * ([[graft.ops.CorpusShuffle]]) — the replayable global training
+    * order. The oracle recomputes the identical md5 permutation key
+    * and checks BOTH the per-shard rank and the decomposed global
+    * position (`shard_base + shard_pos`) against a plain global
+    * `row_number() OVER (ORDER BY key)` — proving the sharded
+    * (scale) form equals the one-task form it replaces.
+    */
+  def q74CorpusShuffle(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.CorpusShuffle.shuffled(
+      Sources.documents(spark, dir).select("doc_id"), "doc_id", seed = "graft", shardChars = 2)
+      .orderBy("doc_id")
+
+  val q74Sql: String =
+    """WITH k AS (
+      |  SELECT doc_id, md5('graft:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+      |  FROM documents
+      |)
+      |SELECT doc_id, shuffle_key, substr(shuffle_key, 1, 2) AS shard,
+      |  CAST(row_number() OVER (PARTITION BY substr(shuffle_key, 1, 2)
+      |                          ORDER BY shuffle_key, doc_id) - 1 AS BIGINT) AS shard_pos,
+      |  CAST(row_number() OVER (ORDER BY shuffle_key, doc_id) - 1 AS BIGINT) AS global_pos
+      |FROM k
+      |ORDER BY doc_id""".stripMargin
+
+  /** q75: length-bucketed batch manifest
+    * ([[graft.text.LengthBatching.batchSummary]]) — similar-length
+    * documents batched together so padding cost is per-batch max, not
+    * corpus max. Integer bucketing + rank arithmetic and an exact
+    * IEEE ratio, all reproduced by DuckDB.
+    */
+  def q75LengthBatching(spark: SparkSession, dir: String): DataFrame =
+    graft.text.LengthBatching.batchSummary(
+      Sources.documents(spark, dir), "text", "doc_id", bucketWidth = 32, batchSize = 16)
+      .orderBy("bucket", "batch_id")
+
+  val q75Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |  FROM documents
+      |), b AS (
+      |  SELECT doc_id, n_tokens, n_tokens // 32 AS bucket,
+      |    (row_number() OVER (PARTITION BY n_tokens // 32 ORDER BY doc_id) - 1) // 16 AS batch_id
+      |  FROM t
+      |)
+      |SELECT bucket, batch_id,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  max(n_tokens) AS max_tokens,
+      |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+      |  CAST(count(*) * max(n_tokens) AS BIGINT) AS padded_tokens,
+      |  CAST(sum(n_tokens) AS DOUBLE) / CAST(count(*) * max(n_tokens) AS DOUBLE) AS pad_efficiency
+      |FROM b
+      |GROUP BY bucket, batch_id
+      |ORDER BY bucket, batch_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q74_corpus_shuffle" -> (q74CorpusShuffle _),
+    "q75_length_batching" -> (q75LengthBatching _),
     "q72_leak_safe_split" -> (q72LeakSafeSplit _),
     "q71_epoch_mix" -> (q71EpochMix _),
     "q68_data_card" -> (q68DataCard _),
@@ -947,6 +1004,8 @@ object PipelineQueries {
     "q46_decontaminated" -> (q46Decontaminated _))
 
   val oracle: Map[String, String] = Map(
+    "q74_corpus_shuffle" -> q74Sql,
+    "q75_length_batching" -> q75Sql,
     "q72_leak_safe_split" -> q72Sql,
     "q71_epoch_mix" -> q71Sql,
     "q68_data_card" -> q68Sql,
