@@ -786,7 +786,27 @@ object TextQueries {
       |  md5(coalesce(string_agg(CASE WHEN keep = 1 THEN ln END, chr(10) ORDER BY pos), '')) AS clean_fp
       |FROM marked GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** q76: full BPE tokenization of the corpus — train 200 merges on
+    * the top-10k vocabulary ([[graft.text.BpeTokenizer.fit]]), then
+    * encode every document to its token-id sequence. Rows-only (the
+    * greedy merge loop is not SQL-expressible); the id stream is
+    * pinned by RowsOnlyContractSpec: an independent re-encode matches
+    * the fingerprints exactly and decode() round-trips every document
+    * to its single-spaced text.
+    */
+  def q76BpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Sources.documents(spark, dir)
+    val model = graft.text.BpeTokenizer.fit(docs, "text", numMerges = 200, maxVocab = 10000)
+    graft.text.BpeTokenizer.encode(docs, "text", "doc_id", model)
+      .select(
+        col("doc_id"),
+        col("n_bpe_tokens"),
+        md5(concat_ws(",", transform(col("token_ids"), _.cast("string"))).cast("binary")).as("ids_fp"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q76_bpe_encode" -> (q76BpeEncode _),
     "q51_bpe_pair_stats" -> (q51BpePairStats _),
     "q36_curation_pipeline" -> (q36CurationPipeline _),
     "q47_chunking" -> (q47Chunking _),

@@ -1,0 +1,123 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.{broadcast => bcast, _}
+
+/** BPE tokenizer ENCODING — the step that turns a curated corpus into
+  * the token-id sequences a training run actually consumes, completing
+  * the tokenizer story [[BpeStats]] starts (corpus pair statistics →
+  * trained merges → per-document ids). Public algorithm: Sennrich et
+  * al. 2016.
+  *
+  * Scale shape (same discipline as [[BpeStats]]): the imperative merge
+  * loop runs ONCE PER DISTINCT WORD on a vocab-grain table — its cost
+  * is bounded by vocabulary size (Heaps' law), not corpus size — and
+  * corpus-grain work is a broadcast join of positionally-exploded
+  * words against that `(word → ids)` table plus one `groupBy(doc)`
+  * reassembly exchange. The model itself (base chars + merge ranks +
+  * vocab ids) is control-plane-sized and ships as one broadcast.
+  *
+  * Token ids are assigned deterministically: base symbols (every
+  * distinct character in the corpus, plus [[BpeStats.EndOfWord]])
+  * sorted lexicographically get ids `0..B-1`, then each merge's fused
+  * symbol takes the next id in TRAINING ORDER (a fused string already
+  * seen — e.g. `(a,bc)` and `(ab,c)` both yielding `abc` — keeps its
+  * first id). Because base symbols cover every corpus character,
+  * encoding never needs an UNK token: any word outside the capped
+  * training vocabulary still segments into in-vocab symbols.
+  */
+object BpeTokenizer {
+
+  /** Trained tokenizer: ordered merges, symbol→id vocabulary, and the
+    * id→symbol inverse for decoding.
+    */
+  final case class BpeModel(
+      merges: Seq[(String, String)],
+      vocab: Map[String, Int],
+      inverse: Array[String]) {
+    def size: Int = inverse.length
+    @transient lazy val ranks: Map[(String, String), Int] = merges.zipWithIndex.toMap
+  }
+
+  /** Train a tokenizer on the corpus: one vocab-grain word-frequency
+    * pass, one bounded-distinct character pass (the base alphabet —
+    * Unicode-bounded at any corpus scale), then driver-side merge
+    * training over the deterministically capped top-`maxVocab` slice
+    * ([[BpeStats.trainMerges]]).
+    */
+  def fit(df: DataFrame, textCol: String, numMerges: Int, maxVocab: Int = 10000): BpeModel = {
+    val capped = BpeStats.cappedVocab(df, textCol, maxVocab)
+    val merges = BpeStats.trainMerges(capped, numMerges).map(_._1)
+    // base alphabet from the WHOLE corpus (not just the capped slice):
+    // guarantees every word — including tail words the cap dropped —
+    // segments into in-vocab symbols. Distinct-chars is vocab-grain
+    // after the same word aggregation wordFrequencies performs.
+    val baseChars = BpeStats.wordFrequencies(df, textCol)
+      .select(explode(split(col("w"), "")).as("c"))
+      .filter(length(col("c")) > 0)
+      .distinct()
+      .collect()
+      .map(_.getString(0))
+      .sorted(Ordering.String)
+    val base = (baseChars :+ BpeStats.EndOfWord).distinct
+    val vocab = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+    base.foreach(s => vocab.getOrElseUpdate(s, vocab.size))
+    merges.foreach { case (l, r) => vocab.getOrElseUpdate(l + r, vocab.size); () }
+    val inverse = new Array[String](vocab.size)
+    vocab.foreach { case (s, i) => inverse(i) = s }
+    BpeModel(merges, vocab.toMap, inverse)
+  }
+
+  /** Per-document token-id sequences: `(idCol, token_ids, n_bpe_tokens)`.
+    * Documents with no words (empty / all-separator text) keep an
+    * empty array. Word order is preserved via a positional explode and
+    * an `array_sort(collect_list(struct(pos, ids)))` reassembly — one
+    * corpus-grain exchange on the document id; the segmentation UDF
+    * only ever sees the distinct-word table.
+    */
+  def encode(df: DataFrame, textCol: String, idCol: String, model: BpeModel): DataFrame = {
+    val bc = df.sparkSession.sparkContext.broadcast(model)
+    val segIds = udf { (w: String) =>
+      val m = bc.value
+      BpeStats.segmentWord(w, m.ranks).map { s =>
+        m.vocab.getOrElse(s,
+          throw new IllegalStateException(
+            s"symbol '$s' not in vocab — corpus drifted since fit (new character?)"))
+      }.toArray
+    }
+    val words = df
+      .select(col(idCol), posexplode(split(col(textCol), " ")).as(Seq("__bp_pos", "__bp_w")))
+      .filter(length(col("__bp_w")) > 0)
+    val vocabSeg = words.select(col("__bp_w")).distinct()
+      .withColumn("__bp_ids", segIds(col("__bp_w")))
+    val encoded = words
+      .join(bcast(vocabSeg), Seq("__bp_w"))
+      .groupBy(col(idCol))
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("__bp_pos"), col("__bp_ids")))),
+        s => s.getField("__bp_ids"))).as("token_ids"))
+    df.select(col(idCol))
+      .join(encoded, Seq(idCol), "left")
+      .withColumn("token_ids",
+        coalesce(col("token_ids"), lit(Array.emptyIntArray)))
+      .withColumn("n_bpe_tokens", size(col("token_ids")).cast("long"))
+  }
+
+  /** Inverse of [[encode]]: token ids back to text. Exact round-trip
+    * up to separator normalization — `decode(encode(x)) ==
+    * single-spaced x` — because BPE merging is lossless (symbols
+    * concatenate back to the characters) and [[BpeStats.EndOfWord]]
+    * marks every word boundary.
+    */
+  def decode(encoded: DataFrame, tokenIdsCol: String, model: BpeModel): DataFrame = {
+    val bc = encoded.sparkSession.sparkContext.broadcast(model.inverse)
+    val detok = udf { (ids: Seq[Int]) =>
+      val inv = bc.value
+      val sb = new StringBuilder
+      ids.foreach { i => sb.append(inv(i)); () }
+      // word-final markers become separators; trailing one is trimmed
+      sb.toString.replace(BpeStats.EndOfWord, " ").stripSuffix(" ")
+    }
+    encoded.withColumn("decoded_text", detok(col(tokenIdsCol)))
+  }
+}

@@ -163,4 +163,43 @@ class RowsOnlyContractSpec extends SparkSpec {
       bruteCos.get(id).foreach(c => assert(math.abs(r.getAs[Double]("cosine") - c) <= 1e-6))
     }
   }
+
+  test("q76 contract: fingerprints match an independent re-encode; decode round-trips every doc") {
+    import graft.text.BpeTokenizer
+    val out = SparkEntry.queries("q76_bpe_encode")(spark, dir).cache()
+    try {
+      val docs = Sources.documents(spark, dir)
+      // independent re-encode with the query's published parameters
+      val model = BpeTokenizer.fit(docs, "text", numMerges = 200, maxVocab = 10000)
+      val enc = BpeTokenizer.encode(docs, "text", "doc_id", model).cache()
+      try {
+        val refp = enc.select(
+          col("doc_id"),
+          col("n_bpe_tokens").as("ref_n"),
+          md5(concat_ws(",", transform(col("token_ids"), _.cast("string"))).cast("binary")).as("ref_fp"))
+        val mismatch = out.join(refp, "doc_id")
+          .filter(col("ids_fp") =!= col("ref_fp") || col("n_bpe_tokens") =!= col("ref_n")).count()
+        assert(mismatch == 0, s"$mismatch docs diverge from the independent re-encode")
+        // BPE is lossless: decoding must reproduce the single-spaced text exactly
+        val bad = BpeTokenizer.decode(enc, "token_ids", model)
+          .join(docs, "doc_id")
+          .withColumn("expected",
+            concat_ws(" ", filter(split(col("text"), " "), w => length(w) > 0)))
+          .filter(col("decoded_text") =!= col("expected")).count()
+        assert(bad == 0, s"$bad docs fail the decode round trip")
+        // 200 merges must genuinely compress vs whitespace+char baseline:
+        // mean tokens-per-word strictly below the zero-merge chars+1 form
+        val stats = enc.join(docs, "doc_id")
+          .withColumn("nw", size(filter(split(col("text"), " "), w => length(w) > 0)).cast("long"))
+          .filter(col("nw") > 0)
+          .agg(sum("n_bpe_tokens").as("nb"), sum("nw").as("nw"),
+            sum(length(regexp_replace(col("text"), " ", "")) + size(
+              filter(split(col("text"), " "), w => length(w) > 0))).as("chars_form"))
+          .head()
+        assert(stats.getAs[Long]("nb") >= stats.getAs[Long]("nw"), "every word is >= 1 token")
+        assert(stats.getAs[Long]("nb") < stats.getAs[Long]("chars_form"),
+          "trained merges must beat the zero-merge char segmentation")
+      } finally { enc.unpersist(); () }
+    } finally { out.unpersist(); () }
+  }
 }
