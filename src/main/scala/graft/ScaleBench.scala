@@ -480,6 +480,33 @@ object ScaleBench {
             .as("__t"))
         graft.text.LineOps.dedupLines(lined, "__t", "doc_id")
           .agg(sum(col("n_removed"))).head().getLong(0)
+      }),
+      // Seeded corpus shuffle: the md5-prefix shard decomposition
+      // replaces the one-task global sort — per-shard windows over 256
+      // md5-uniform shards + a control-plane base table. The max+1
+      // aggregate forces every rank; rows must equal the doc count (a
+      // permutation-totality signal at every scale).
+      "corpus_shuffle" -> (() =>
+        graft.ops.CorpusShuffle
+          .shuffled(docs.select("doc_id"), "doc_id", seed = "scale", shardChars = 2)
+          .agg(max(col("global_pos")) + 1).head().getLong(0)),
+      // Length-bucketed batching in the DISTRIBUTED (chunked
+      // prefix-sum) form — the dominant-bucket scale path; one
+      // bucket-keyed exchange, parallelism buckets x chunks.
+      "length_batching" -> (() =>
+        graft.text.LengthBatching.batchSummary(
+          docs, "text", "doc_id", bucketWidth = 32, batchSize = 16,
+          distributed = true).count()),
+      // BPE fit + encode: fit is one vocab-grain pass + driver
+      // training on the capped top-10k slice (fixed-size at any
+      // corpus scale); encode segments each DISTINCT word once (the
+      // suffix fixture grows the vocab linearly — the honest worst
+      // case for the vocab-grain UDF) and reassembles docs with one
+      // broadcast join + one exchange. The token sum forces every id.
+      "bpe_encode" -> (() => {
+        val model = graft.text.BpeTokenizer.fit(docs, "text", numMerges = 100, maxVocab = 10000)
+        graft.text.BpeTokenizer.encode(docs, "text", "doc_id", model)
+          .agg(sum(col("n_bpe_tokens"))).head().getLong(0)
       }))
   }
 

@@ -977,7 +977,111 @@ object PipelineQueries {
       |GROUP BY bucket, batch_id
       |ORDER BY bucket, batch_id""".stripMargin
 
+  /** q77: the CORPUS RELEASE composition — the whole curation tail as
+    * one declarative plan, each stage an operator this engine already
+    * oracles in isolation: exact-dedup canonical keep (q21/q72's md5
+    * grouping), the Gopher quality gate (q42, via the production
+    * [[QualityFilters.gophered]] fenced form), benchmark
+    * decontamination removal (q46's slice convention), then the
+    * seeded shard-decomposed training-order shuffle (q74) over the
+    * survivors. Every per-doc stage commutes with restriction, so
+    * DuckDB reproduces the exact released row set AND its permutation
+    * ranks by chaining the four stages' oracle CTEs.
+    */
+  def q77CorpusRelease(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Sources.documents(spark, dir)
+    // stage 1: exact dedup — keep the smallest doc_id per md5(text)
+    // group, computed over the FULL corpus (a bench-slice canonical
+    // suppresses its corpus-side copies; deliberate and mirrored in
+    // the oracle)
+    val w = Window.partitionBy(md5(col("text").cast("binary"))).orderBy(col("doc_id"))
+    val canonical = docs.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+    // stage 2: quality gate on the corpus side of the bench split
+    val gated = QualityFilters
+      .gophered(canonical.filter(pmod(col("doc_id"), lit(97L)) =!= 0L), "text")
+      .select(col("doc_id"), col("text"), col("lang"), col("source"))
+    // stage 3: decontamination removal vs the RAW bench slice (the
+    // eval set is what it is — dup or low-quality bench docs still
+    // contaminate)
+    val released = Decontamination.decontaminated(
+      gated, docs.filter(pmod(col("doc_id"), lit(97L)) === 0L), "text", "doc_id")
+    // stage 4: replayable training order over the survivors
+    graft.ops.CorpusShuffle
+      .shuffled(released.select("doc_id", "lang", "source"), "doc_id", seed = "release")
+      .select(col("doc_id"), col("lang"), col("source"), col("shard"), col("global_pos"))
+      .orderBy("doc_id")
+  }
+
+  val q77Sql: String = {
+    val stops = TextAnalysis.stopwords("en").map(w => s"'$w'").mkString(", ")
+    val bigrams = "list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])"
+    s"""WITH fp AS (
+       |  SELECT doc_id, md5(text) AS f FROM documents
+       |), can AS (
+       |  SELECT f, min(doc_id) AS canonical FROM fp GROUP BY f
+       |), dedup AS (
+       |  SELECT fp.doc_id FROM fp JOIN can USING (f) WHERE fp.doc_id = can.canonical
+       |), t AS (
+       |  SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents
+       |), s AS (
+       |  SELECT doc_id,
+       |    CAST(len(toks) AS INT) AS n_tokens,
+       |    CAST(len(toks) AS DOUBLE) AS nt,
+       |    1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS dup_token_frac,
+       |    CAST(list_max(list_transform(list_distinct(toks),
+       |        t2 -> len(list_filter(toks, x -> x = t2)))) AS DOUBLE)
+       |      / CAST(len(toks) AS DOUBLE) AS top_token_frac,
+       |    CASE WHEN len(toks) >= 2 THEN
+       |      CAST(list_max(list_transform(list_distinct($bigrams),
+       |          g -> len(list_filter($bigrams, x -> x = g)))) AS DOUBLE)
+       |        / CAST(len(toks) - 1 AS DOUBLE)
+       |      ELSE 0.0 END AS top_bigram_frac,
+       |    (CAST(length(text) AS DOUBLE) - (CAST(len(toks) AS DOUBLE) - 1.0))
+       |      / CAST(len(toks) AS DOUBLE) AS mean_tok_len,
+       |    CAST(len(list_distinct(list_filter(toks, x -> x IN ($stops)))) AS INT) AS n_stop_distinct
+       |  FROM t
+       |), qkeep AS (
+       |  SELECT doc_id FROM s
+       |  WHERE n_tokens BETWEEN ${QualityFilters.MinTokens} AND ${QualityFilters.MaxTokens}
+       |    AND dup_token_frac <= ${QualityFilters.MaxDupTokenFrac}
+       |    AND top_token_frac <= ${QualityFilters.MaxTopTokenFrac}
+       |    AND top_bigram_frac <= ${QualityFilters.MaxTopBigramFrac}
+       |    AND mean_tok_len BETWEEN ${QualityFilters.MinMeanTokLen} AND ${QualityFilters.MaxMeanTokLen}
+       |    AND n_stop_distinct >= ${QualityFilters.MinDistinctStopwords}
+       |), ng AS (
+       |  SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+       |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS gs
+       |  FROM t WHERE len(toks) >= 3
+       |), bench AS (
+       |  SELECT DISTINCT unnest(gs) AS g FROM ng WHERE doc_id % 97 = 0
+       |), corpus AS (
+       |  SELECT doc_id, len(gs) AS n_ngrams, unnest(gs) AS g FROM ng WHERE doc_id % 97 <> 0
+       |), flagged AS (
+       |  SELECT doc_id
+       |  FROM corpus WHERE g IN (SELECT g FROM bench)
+       |  GROUP BY doc_id, n_ngrams
+       |  HAVING CAST(count(*) AS DOUBLE) / CAST(n_ngrams AS DOUBLE) >= 0.05
+       |), released AS (
+       |  SELECT d.doc_id, d.lang, d.source FROM documents d
+       |  WHERE d.doc_id % 97 <> 0
+       |    AND d.doc_id IN (SELECT doc_id FROM dedup)
+       |    AND d.doc_id IN (SELECT doc_id FROM qkeep)
+       |    AND d.doc_id NOT IN (SELECT doc_id FROM flagged)
+       |), k AS (
+       |  SELECT doc_id, lang, source,
+       |    md5('release:' || CAST(doc_id AS VARCHAR)) AS skey
+       |  FROM released
+       |)
+       |SELECT doc_id, lang, source, substr(skey, 1, 2) AS shard,
+       |  CAST(row_number() OVER (ORDER BY skey, doc_id) - 1 AS BIGINT) AS global_pos
+       |FROM k
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q77_corpus_release" -> (q77CorpusRelease _),
     "q74_corpus_shuffle" -> (q74CorpusShuffle _),
     "q75_length_batching" -> (q75LengthBatching _),
     "q72_leak_safe_split" -> (q72LeakSafeSplit _),
@@ -1004,6 +1108,7 @@ object PipelineQueries {
     "q46_decontaminated" -> (q46Decontaminated _))
 
   val oracle: Map[String, String] = Map(
+    "q77_corpus_release" -> q77Sql,
     "q74_corpus_shuffle" -> q74Sql,
     "q75_length_batching" -> q75Sql,
     "q72_leak_safe_split" -> q72Sql,

@@ -916,6 +916,27 @@ object StreamingOps {
       .filter(col("n_terms") > 0)
   }
 
+  /** Streaming twin of [[graft.text.BpeTokenizer.encode]]: tokenize
+    * ARRIVING documents under a SNAPSHOT model (fit once per tokenizer
+    * release, shipped as one broadcast). A document's token-id
+    * sequence depends only on its own text and the frozen merges, so
+    * the twin is a STATELESS per-row projection —
+    * [[graft.text.BpeTokenizer.encodeRowLocal]], token-identical to
+    * the batch encoder (parity pinned by StreamingOpsSpec). The batch
+    * path's once-per-distinct-word memoization is deliberately absent:
+    * a micro-batch has no corpus-wide distinct-word table to amortize
+    * against (see encodeRowLocal's scaladoc for the trade).
+    */
+  def bpeEncodeStream(
+      docs: DataFrame,
+      model: graft.text.BpeTokenizer.BpeModel,
+      textCol: String,
+      idCol: String): DataFrame =
+    docs.select(
+      col(idCol),
+      graft.text.BpeTokenizer.encodeRowLocal(col(textCol), model).as("token_ids"))
+      .withColumn("n_bpe_tokens", size(col("token_ids")).cast("long"))
+
   final case class CapIn(id: Long, domain: String)
   final case class CapOut(id: Long, domain: String)
 

@@ -103,6 +103,29 @@ object BpeTokenizer {
       .withColumn("n_bpe_tokens", size(col("token_ids")).cast("long"))
   }
 
+  /** Row-local encoding column: the whole document segmented in one
+    * UDF call — token-identical to [[encode]] (same segmenter, same
+    * vocab) but with NO vocab-grain memoization, so each occurrence
+    * of a word re-segments. That trade is right for a STREAM (a
+    * micro-batch has no corpus-wide distinct-word table to amortize
+    * against — [[graft.streaming.StreamingOps.bpeEncodeStream]]) and
+    * wrong for a 100 TB batch job, where [[encode]]'s
+    * once-per-distinct-word discipline wins by the corpus/vocab
+    * ratio.
+    */
+  def encodeRowLocal(textCol: org.apache.spark.sql.Column, model: BpeModel): org.apache.spark.sql.Column = {
+    val bc = org.apache.spark.sql.SparkSession.active.sparkContext.broadcast(model)
+    val enc = udf { (text: String) =>
+      val m = bc.value
+      if (text == null) Array.emptyIntArray
+      else text.split(" ", -1).iterator.filter(_.nonEmpty).flatMap { w =>
+        BpeStats.segmentWord(w, m.ranks).map(s => m.vocab.getOrElse(s,
+          throw new IllegalStateException(s"symbol '$s' not in vocab")))
+      }.toArray
+    }
+    enc(textCol)
+  }
+
   /** Inverse of [[encode]]: token ids back to text. Exact round-trip
     * up to separator normalization — `decode(encode(x)) ==
     * single-spaced x` — because BPE merging is lossless (symbols

@@ -211,7 +211,29 @@ class PlanContractSpec extends SparkSpec {
     "q72_leak_safe_split" -> 2,
     // q73: JSON extraction is row-local (from_json + path lookup in
     // the scan projection); one event_type aggregate + oracle ORDER BY
-    "q73_json_extract" -> 2)
+    "q73_json_extract" -> 2,
+    // q74: the shard window exchange (the data plane) + the shard-base
+    // control plane (per-shard count agg + its single-partition
+    // ≤256-row carry window, broadcast back) + oracle ORDER BY. Only
+    // ids and 32-char keys ever shuffle — never payload columns.
+    "q74_corpus_shuffle" -> 4,
+    // q75: ONE bucket exchange — the batching window's partitioning
+    // also satisfies the (bucket, batch) summary aggregate, so the
+    // groupBy adds no second data-plane shuffle — + oracle ORDER BY
+    "q75_length_batching" -> 2,
+    // q76: distinct-word exchange (vocab grain — the segmenter's
+    // input), one groupBy(doc) reassembly exchange (the vocab-grain
+    // (word→ids) table re-enters as a broadcast), + oracle ORDER BY;
+    // text itself never shuffles (words explode map-side)
+    "q76_bpe_encode" -> 3,
+    // q77: four composed stages — dedup fp window (1), decontamination
+    // gram exchanges (bench distinct + corpus groupBy(doc)), the
+    // shuffle stage's shard window + control plane, + oracle ORDER BY.
+    // The planned count includes REPEATED subtrees (the shard-base
+    // aggregate and the flag list each re-derive their upstream);
+    // CorpusReleaseSpec pins that exchange reuse collapses them at
+    // execution, so the runtime shape is far leaner than 12.
+    "q77_corpus_release" -> 12)
 
   test("no query plans a cartesian product or nested-loop join") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

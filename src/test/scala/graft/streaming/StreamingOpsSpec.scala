@@ -758,4 +758,26 @@ class StreamingOpsSpec extends SparkSpec {
       .groupBy(_._2).flatMap { case (_, rs) => rs.take(2) }.toSet
     assert(got.toSet == expected.map { case (id, d) => (id, d) })
   }
+
+  test("streaming BPE encode matches the batch encoder token-for-token") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import sqlImplicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val corpus = graft.sources.Sources.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text")
+    val model = graft.text.BpeTokenizer.fit(corpus, "text", numMerges = 50, maxVocab = 2000)
+    val docs = corpus.collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val input = MemoryStream[(Long, String)]
+    val stream = StreamingOps.bpeEncodeStream(
+      input.toDF().toDF("doc_id", "text"), model, "text", "doc_id")
+    val q = stream.writeStream.outputMode("append").format("memory").queryName("bpe").start()
+    docs.grouped(17).foreach { b => input.addData(b); q.processAllAvailable() }
+    q.stop()
+    val got = spark.table("bpe").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1).toList).toMap
+    val want = graft.text.BpeTokenizer.encode(corpus, "text", "doc_id", model).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](r.fieldIndex("token_ids")).toList).toMap
+    assert(got == want)
+    assert(got.nonEmpty && got.values.exists(_.nonEmpty))
+  }
 }
