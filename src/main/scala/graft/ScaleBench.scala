@@ -507,7 +507,16 @@ object ScaleBench {
         val model = graft.text.BpeTokenizer.fit(docs, "text", numMerges = 100, maxVocab = 10000)
         graft.text.BpeTokenizer.encode(docs, "text", "doc_id", model)
           .agg(sum(col("n_bpe_tokens"))).head().getLong(0)
-      }))
+      }),
+      // The q77 composition end-to-end: dedup canonical -> quality
+      // gate -> decontamination -> shuffled training order, ONE plan.
+      // Exchange reuse must keep the repeated control-plane subtrees
+      // from re-running the stages (CorpusReleaseSpec pins the
+      // marker); an alpha tracking the worst single stage — not their
+      // sum squared — is what certifies the composition adds plan
+      // depth, not asymptotic cost. rows = released docs.
+      "corpus_release" -> (() =>
+        graft.queries.PipelineQueries.q77CorpusRelease(spark, dir).count()))
   }
 
   def main(args: Array[String]): Unit = {

@@ -76,4 +76,20 @@ object CorpusShuffle {
     require(epoch >= 0, s"epoch=$epoch must be >= 0")
     shuffled(df, idCol, if (epoch == 0) seed else s"$seed:e$epoch", shardChars)
   }
+
+  /** Materialize the shuffled corpus for a training loader: parquet
+    * partitioned by `shard`, rows inside each shard file sorted by the
+    * permutation key — so a loader that walks shard directories in
+    * name order and rows in file order replays the exact global
+    * permutation, and NO global sort ever ran to produce it. Each
+    * shard lands in exactly one task (hash-repartitioned on the shard
+    * value), hence one file per shard directory; at 100 TB raise
+    * `shardChars` so per-shard bytes fit a task, exactly as
+    * [[shuffled]] prescribes.
+    */
+  def writeShards(df: DataFrame, idCol: String, seed: String, path: String, shardChars: Int = 2): Unit =
+    shuffled(df, idCol, seed, shardChars)
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("shuffle_key"), col(idCol))
+      .write.partitionBy("shard").mode("overwrite").parquet(path)
 }

@@ -66,6 +66,34 @@ class CorpusShuffleSpec extends SparkSpec {
     assert(e1.values.toSeq.sorted == (0L until 500L).toSeq)
   }
 
+  test("writeShards materializes one sorted file per shard that replays the global permutation") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-shards").toString
+    try {
+      CorpusShuffle.writeShards(ids(3000), "doc_id", seed = "w", path = dir, shardChars = 1)
+      val shardDirs = new java.io.File(dir).listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("shard=")).sortBy(_.getName)
+      assert(shardDirs.length == 16, "one directory per hex shard")
+      // one data file per shard (each shard lands in exactly one task)
+      shardDirs.foreach { d =>
+        val files = d.listFiles().filter(_.getName.endsWith(".parquet"))
+        assert(files.length == 1, s"${d.getName}: ${files.length} files")
+      }
+      // walking shards in name order and rows in FILE order replays the
+      // exact global permutation — no re-sort on read
+      val replayed = shardDirs.flatMap { d =>
+        spark.read.parquet(d.getAbsolutePath).select("global_pos")
+          .collect().map(_.getLong(0))
+      }
+      assert(replayed.toSeq == (0L until 3000L).toSeq,
+        "file order must enumerate global_pos densely in shard order")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
   test("input columns pass through untouched and reserved names are rejected") {
     import sqlImplicits._
     val df = Seq((1L, "a"), (2L, "b")).toDF("doc_id", "payload")
