@@ -971,6 +971,42 @@ object StreamingOps {
         })
   }
 
+  final case class BatchIn(id: Long, n_tokens: Long)
+  final case class BatchOut(id: Long, n_tokens: Long, bucket: Long, batch_id: Long)
+
+  /** Streaming twin of [[graft.text.LengthBatching.assignBatches]]
+    * with ARRIVAL-ORDER semantics: the bucket is the same pure
+    * integer function (`n_tokens div bucketWidth`), but batch
+    * ordinals fill in arrival order — a stream cannot re-rank by the
+    * id-ordered layout the batch operator uses (admitting a later row
+    * into an earlier batch would re-open a shipped batch). State is
+    * one running count per bucket — O(buckets), bounded by
+    * max_tokens / bucketWidth. The same batch-vs-stream semantic
+    * split as [[domainCapStream]]; what IS preserved exactly:
+    * bucket assignment, every non-final batch exactly full, per-
+    * (bucket, batch) size multiset equal to the batch operator's
+    * (StreamingOpsSpec pins it). Ties within a micro-batch are
+    * admitted in ascending id for batch-layout independence.
+    */
+  def lengthBatchingStream(docs: DataFrame, bucketWidth: Int, batchSize: Int): Dataset[BatchOut] = {
+    import docs.sparkSession.implicits._
+    require(bucketWidth > 0, s"bucketWidth=$bucketWidth must be positive")
+    require(batchSize > 0, s"batchSize=$batchSize must be positive")
+    docs.toDF("id", "n_tokens").as[BatchIn]
+      .groupByKey(_.n_tokens / bucketWidth)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (bucket: Long, rows: Iterator[BatchIn], state: GroupState[Long]) => {
+          var seen = state.getOption.getOrElse(0L)
+          val out = rows.toSeq.sortBy(_.id).map { r =>
+            val b = BatchOut(r.id, r.n_tokens, bucket, seen / batchSize)
+            seen += 1
+            b
+          }
+          state.update(seen)
+          out.iterator
+        })
+  }
+
   // ------------------------------------------------- stateful cycles
 
   final case class EventIn(event_id: Long, ts: java.sql.Timestamp, user_id: Long, event_type: String, value: Double)

@@ -74,6 +74,15 @@ object BpeTokenizer {
     * an `array_sort(collect_list(struct(pos, ids)))` reassembly — one
     * corpus-grain exchange on the document id; the segmentation UDF
     * only ever sees the distinct-word table.
+    *
+    * SCAN NOTE: the vocab-grain branch and the positional branch are
+    * separate subtrees over `df`, so the text column is read twice
+    * (the id-only left join prunes to the id column). The trade is
+    * deliberate: the alternative — segmenting per OCCURRENCE in one
+    * pass — re-runs the merge loop corpus/vocab times more often,
+    * which dwarfs a second columnar scan at any realistic ratio.
+    * Callers whose `df` is an expensive computed plan (not a source
+    * scan) should persist it first.
     */
   def encode(df: DataFrame, textCol: String, idCol: String, model: BpeModel): DataFrame = {
     val bc = df.sparkSession.sparkContext.broadcast(model)

@@ -759,6 +759,39 @@ class StreamingOpsSpec extends SparkSpec {
     assert(got.toSet == expected.map { case (id, d) => (id, d) })
   }
 
+  test("streaming length batching: same buckets, same batch-size multiset as the batch form") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import sqlImplicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val corpus = graft.sources.Sources.documents(spark, "/root/testdata/sf0.001")
+    val batch = graft.text.LengthBatching.assignBatches(
+      corpus, "text", "doc_id", bucketWidth = 32, batchSize = 16).cache()
+    try {
+      val docs = batch.select("doc_id", "n_tokens").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val input = MemoryStream[(Long, Long)]
+      val stream = StreamingOps.lengthBatchingStream(
+        input.toDF().toDF("id", "n_tokens"), bucketWidth = 32, batchSize = 16)
+      val q = stream.writeStream.outputMode("append").format("memory").queryName("lbat").start()
+      docs.grouped(23).foreach { b => input.addData(b); q.processAllAvailable() }
+      q.stop()
+      val got = spark.table("lbat").collect()
+        .map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+      // bucket assignment is EXACTLY the batch function
+      val batchBuckets = batch.select("doc_id", "bucket").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got.forall { case (id, bk, _) => batchBuckets(id) == bk })
+      // per-(bucket, batch) size multiset matches the batch operator's
+      def sizes(xs: Iterable[(Long, Long)]) =
+        xs.groupBy(identity).values.map(_.size).toSeq
+          .groupBy(identity).view.mapValues(_.size).toMap
+      val gotSizes = sizes(got.map { case (_, bk, b) => (bk, b) })
+      val wantSizes = sizes(batch.select("bucket", "batch_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))))
+      assert(gotSizes == wantSizes, s"$gotSizes != $wantSizes")
+    } finally { batch.unpersist(); () }
+  }
+
   test("streaming BPE encode matches the batch encoder token-for-token") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import sqlImplicits._
