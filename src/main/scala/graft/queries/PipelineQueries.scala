@@ -1080,7 +1080,46 @@ object PipelineQueries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** q78: per-suite decontamination attribution
+    * ([[Decontamination.reportBySuite]]) — q43's bench slice, but each
+    * bench document's `source` is its benchmark suite: one row per
+    * (contaminated doc, suite) saying WHICH benchmark it leaks from
+    * and how much. Pure integer counts + one IEEE ratio, hash-exact.
+    */
+  def q78DecontaminationSuites(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Sources.documents(spark, dir)
+    Decontamination.reportBySuite(
+      docs.filter(pmod(col("doc_id"), lit(97L)) =!= 0L),
+      docs.filter(pmod(col("doc_id"), lit(97L)) === 0L),
+      "text", "doc_id", suiteCol = "source")
+      .orderBy("doc_id", "suite")
+  }
+
+  val q78Sql: String =
+    """WITH docs AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+      |), ng AS (
+      |  SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+      |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS gs
+      |  FROM docs WHERE len(toks) >= 3
+      |), bench AS (
+      |  SELECT DISTINCT d2.source AS suite, b.g
+      |  FROM (SELECT doc_id, unnest(gs) AS g FROM ng WHERE doc_id % 97 = 0) b
+      |  JOIN documents d2 USING (doc_id)
+      |), corpus AS (
+      |  SELECT doc_id, len(gs) AS n_ngrams, unnest(gs) AS g FROM ng WHERE doc_id % 97 <> 0
+      |)
+      |SELECT c.doc_id, b.suite,
+      |  CAST(max(c.n_ngrams) AS INT) AS n_ngrams,
+      |  CAST(count(*) AS BIGINT) AS n_hits,
+      |  CAST(count(*) AS DOUBLE) / CAST(max(c.n_ngrams) AS DOUBLE) AS overlap_frac,
+      |  CAST(CAST(count(*) AS DOUBLE) / CAST(max(c.n_ngrams) AS DOUBLE) >= 0.05 AS INT) AS flagged
+      |FROM corpus c JOIN bench b USING (g)
+      |GROUP BY c.doc_id, b.suite
+      |ORDER BY doc_id, suite""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q78_decontamination_suites" -> (q78DecontaminationSuites _),
     "q77_corpus_release" -> (q77CorpusRelease _),
     "q74_corpus_shuffle" -> (q74CorpusShuffle _),
     "q75_length_batching" -> (q75LengthBatching _),
@@ -1108,6 +1147,7 @@ object PipelineQueries {
     "q46_decontaminated" -> (q46Decontaminated _))
 
   val oracle: Map[String, String] = Map(
+    "q78_decontamination_suites" -> q78Sql,
     "q77_corpus_release" -> q77Sql,
     "q74_corpus_shuffle" -> q74Sql,
     "q75_length_batching" -> q75Sql,

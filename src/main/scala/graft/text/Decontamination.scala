@@ -142,6 +142,54 @@ object Decontamination {
       .withColumn("flagged", (col("contam_frac") >= flagThreshold).cast("int"))
   }
 
+  /** Per-SUITE contamination attribution: one row per (contaminated
+    * document, benchmark suite) — which benchmark a document leaks
+    * from, not just whether it leaks. `bench` carries a `suiteCol`
+    * (e.g. the eval set name); a gram shared by several suites
+    * attributes a hit to each.
+    *
+    * Scale shape — ONE corpus pass, one corpus-grain exchange: the
+    * bench side collapses to a (gram → sorted suite array) table
+    * (control-plane sized, broadcast), the left join stays 1:1 with
+    * the corpus gram stream (so the per-doc total survives in the
+    * same aggregate), and the (doc, suite) re-aggregate happens AFTER
+    * the groupBy(doc) — its input is already hash-partitioned by the
+    * doc id, which satisfies the (doc, suite) clustering, so the
+    * second groupBy plans NO new exchange and its rows are only the
+    * contaminated documents' hit-suite pairs.
+    */
+  def reportBySuite(
+      corpus: DataFrame,
+      bench: DataFrame,
+      textCol: String,
+      idCol: String,
+      suiteCol: String,
+      n: Int = 3,
+      flagThreshold: Double = 0.05): DataFrame = {
+    val gramSuites = bench
+      .select(explode(distinctNgrams(col(textCol), n)).as("g"), col(suiteCol).as("__dc_suite"))
+      .distinct()
+      .groupBy(col("g"))
+      .agg(sort_array(collect_set(col("__dc_suite"))).as("__dc_suites"))
+    val perDoc = explodedGrams(corpus, textCol, idCol, n)
+      .join(bcast(gramSuites), Seq("g"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).cast("int").as("n_ngrams"),
+        flatten(collect_list(coalesce(col("__dc_suites"), typedlit(Seq.empty[String]))))
+          .as("__dc_hits"))
+      .filter(size(col("__dc_hits")) > 0)
+    perDoc
+      .select(col(idCol), col("n_ngrams"), explode(col("__dc_hits")).as("suite"))
+      .groupBy(col(idCol), col("suite"))
+      .agg(max(col("n_ngrams")).as("n_ngrams"), count(lit(1)).as("n_hits"))
+      .withColumn("overlap_frac",
+        col("n_hits").cast("double") / col("n_ngrams").cast("double"))
+      .withColumn("flagged", (col("overlap_frac") >= flagThreshold).cast("int"))
+      .select(col(idCol), col("suite"), col("n_ngrams"), col("n_hits"),
+        col("overlap_frac"), col("flagged"))
+  }
+
   /** Distributed Bloom-filter build over a distinct gram table
     * (column `g`): per-partition filters populated with
     * `putString` (UTF-8 bytes — the same bytes

@@ -233,7 +233,13 @@ class PlanContractSpec extends SparkSpec {
     // aggregate and the flag list each re-derive their upstream);
     // CorpusReleaseSpec pins that exchange reuse collapses them at
     // execution, so the runtime shape is far leaner than 12.
-    "q77_corpus_release" -> 12)
+    "q77_corpus_release" -> 12,
+    // q78: bench-side gram-grain exchange ((g, suite) distinct and the
+    // gram→suite-array agg share it), ONE corpus-grain groupBy(doc)
+    // exchange — the (doc, suite) re-aggregate rides the doc
+    // partitioning (subset clustering), planning no exchange of its
+    // own — + oracle ORDER BY
+    "q78_decontamination_suites" -> 3)
 
   test("no query plans a cartesian product or nested-loop join") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

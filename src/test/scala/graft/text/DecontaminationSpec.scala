@@ -208,4 +208,50 @@ class DecontaminationSpec extends SparkSpec {
     assert(n > 100) // the contract test actually exercises a population
     assert(gramTable.filter(probe).count() == n)
   }
+
+  test("reportBySuite attributes hits per suite; shared grams hit every holding suite") {
+    import sqlImplicits._
+    // suite A holds 'w1 w2 w3'; suite B holds 'w1 w2 w3' AND 'x1 x2 x3'
+    val bench = Seq(
+      (100L, "w1 w2 w3", "A"),
+      (101L, "w1 w2 w3 q9", "B"),
+      (102L, "x1 x2 x3", "B")).toDF("doc_id", "text", "suite")
+    // doc 1: 4 distinct trigrams, one shared with A and B, one with B only;
+    // doc 2: clean
+    val corpus = df(Seq(
+      (1L, "w1 w2 w3 z x1 x2 x3"),
+      (2L, "c1 c2 c3 c4")))
+    val out = Decontamination.reportBySuite(corpus, bench, "text", "doc_id", "suite",
+      flagThreshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getString(1)) ->
+        (r.getInt(2), r.getLong(3), r.getDouble(4), r.getInt(5))).toMap
+    // doc 1 has 5 distinct trigrams: w1w2w3, w2w3z, w3zx1, zx1x2, x1x2x3
+    assert(out((1L, "A")) == ((5, 1L, 0.2, 0)))
+    assert(out((1L, "B")) == ((5, 2L, 0.4, 1)))
+    assert(!out.keySet.exists(_._1 == 2L), "clean docs must be absent")
+    // consistency with the union report: distinct-gram overlap vs union
+    // bench is bounded by the per-suite sum and at least the per-suite max
+    val union = Decontamination.report(corpus, bench, "text", "doc_id")
+      .filter(col("doc_id") === 1L).head().getAs[Long]("n_overlap")
+    assert(union == 2L) // w1w2w3, x1x2x3
+    assert(out((1L, "B"))._2 <= union && union <= out((1L, "A"))._2 + out((1L, "B"))._2)
+  }
+
+  test("reportBySuite plan: one corpus exchange; the (doc, suite) re-agg rides it") {
+    val bench = df(Seq((100L, "w1 w2 w3"))).withColumn("suite", lit("A"))
+    val corpus = df(Seq((1L, "w1 w2 w3 z")))
+    val plan = Decontamination.reportBySuite(corpus, bench, "text", "doc_id", "suite")
+      .queryExecution.executedPlan
+    def shuffles(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.SparkPlan] = {
+      val inner = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case _ => p.children ++ p.subqueries
+      }
+      (if (p.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeLike]) Seq(p)
+       else Seq.empty) ++ inner.flatMap(shuffles)
+    }
+    // bench gram-grain + corpus doc-grain; NO third exchange for the
+    // per-suite aggregate (doc partitioning satisfies (doc, suite))
+    assert(shuffles(plan).length == 2, plan.toString)
+  }
 }
