@@ -135,6 +135,46 @@ object BpeTokenizer {
     enc(textCol)
   }
 
+  /** Persist a trained model as plain parquet — two tiny tables a
+    * release ships next to its shards: `vocab/` (id, symbol) and
+    * `merges/` (rank, lhs, rhs). Everything [[BpeModel]] holds is
+    * reconstructible from them, so [[load]] round-trips exactly
+    * (spec-pinned) and any other engine can read the tokenizer.
+    */
+  def save(spark: org.apache.spark.sql.SparkSession, model: BpeModel, path: String): Unit = {
+    import spark.implicits._
+    model.inverse.zipWithIndex.map { case (s, i) => (i, s) }.toSeq
+      .toDF("id", "symbol")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/vocab")
+    model.merges.zipWithIndex.map { case ((l, r), i) => (i, l, r) }
+      .toDF("rank", "lhs", "rhs")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/merges")
+  }
+
+  /** Inverse of [[save]]: rebuild the model from its parquet tables.
+    * Fails fast on a corrupt vocabulary (non-dense ids or duplicate
+    * symbols) rather than mis-tokenizing silently.
+    */
+  def load(spark: org.apache.spark.sql.SparkSession, path: String): BpeModel = {
+    val vocabRows = spark.read.parquet(s"$path/vocab")
+      .select(col("id").cast("int"), col("symbol"))
+      .collect().map(r => (r.getInt(0), r.getString(1)))
+    require(vocabRows.nonEmpty, s"$path/vocab is empty")
+    val inverse = new Array[String](vocabRows.length)
+    vocabRows.foreach { case (i, s) =>
+      require(i >= 0 && i < inverse.length, s"vocab id $i out of range (non-dense ids?)")
+      require(inverse(i) == null, s"duplicate vocab id $i")
+      inverse(i) = s
+    }
+    val vocab = inverse.zipWithIndex.toMap
+    require(vocab.size == inverse.length, "duplicate vocab symbol")
+    val merges = spark.read.parquet(s"$path/merges")
+      .select(col("rank").cast("int"), col("lhs"), col("rhs"))
+      .collect().sortBy(_.getInt(0))
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    BpeModel(merges, vocab, inverse)
+  }
+
   /** Inverse of [[encode]]: token ids back to text. Exact round-trip
     * up to separator normalization — `decode(encode(x)) ==
     * single-spaced x` — because BPE merging is lossless (symbols

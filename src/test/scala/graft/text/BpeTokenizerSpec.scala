@@ -87,6 +87,31 @@ class BpeTokenizerSpec extends SparkSpec {
     assert(ids(df) == ids(df.repartition(13)))
   }
 
+  test("save/load round-trips the model exactly and the loaded model encodes identically") {
+    val df = corpus()
+    val m = BpeTokenizer.fit(df, "text", numMerges = 6)
+    val dir = java.nio.file.Files.createTempDirectory("graft-bpe").toString
+    try {
+      BpeTokenizer.save(spark, m, dir)
+      val loaded = BpeTokenizer.load(spark, dir)
+      assert(loaded.merges == m.merges)
+      assert(loaded.vocab == m.vocab)
+      assert(loaded.inverse.toSeq == m.inverse.toSeq)
+      val a = BpeTokenizer.encode(df, "text", "doc_id", m)
+        .select("doc_id", "token_ids").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Int](1).toList).toMap
+      val b = BpeTokenizer.encode(df, "text", "doc_id", loaded)
+        .select("doc_id", "token_ids").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Int](1).toList).toMap
+      assert(a == b)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
   test("tail words outside the capped training vocab still encode (base alphabet covers them)") {
     import sqlImplicits._
     // 'zq' appears once and the cap of 2 keeps only the frequent words;
