@@ -446,6 +446,67 @@ object StreamingOps {
       .withColumn("flagged", (col("contam_frac") >= flagThreshold).cast("int"))
   }
 
+  /** Streaming twin of
+    * [[graft.text.Decontamination.reportBySuite]]: per-suite
+    * contamination attribution for ARRIVING documents against a
+    * SNAPSHOT (gram → suites) map. A document's per-suite counts
+    * depend only on its own grams and the frozen map, so the twin is
+    * a STATELESS per-row flatMap — one broadcast of the snapshot, no
+    * aggregation state, append-mode-legal. Same control-plane size
+    * discipline as [[decontaminationStream]] (the batch twin's
+    * gram→suite table is broadcast there too); output rows/columns
+    * match the batch operator exactly (StreamingOpsSpec pins parity).
+    */
+  def decontaminationSuitesStream(
+      docs: DataFrame,
+      gramSuites: Map[String, Seq[String]],
+      textCol: String,
+      idCol: String,
+      n: Int = 3,
+      flagThreshold: Double = 0.05,
+      maxGrams: Int = 1000000): DataFrame = {
+    require(gramSuites.size <= maxGrams,
+      s"decontaminationSuitesStream broadcasts the gram->suites snapshot: ${gramSuites.size} " +
+        s"grams exceeds maxGrams=$maxGrams — keep the snapshot control-plane sized")
+    val bc = docs.sparkSession.sparkContext.broadcast(gramSuites)
+    val hits = udf { (grams: Seq[String]) =>
+      val m = bc.value
+      val counts = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+      grams.foreach { g =>
+        m.getOrElse(g, Nil).foreach { s => counts.update(s, counts.getOrElse(s, 0L) + 1L) }
+      }
+      counts.toSeq
+    }
+    docs
+      .withColumn("__st_gs", graft.text.Decontamination.distinctNgrams(col(textCol), n))
+      .select(col(idCol),
+        size(col("__st_gs")).cast("int").as("n_ngrams"),
+        explode(hits(col("__st_gs"))).as("__st_h"))
+      .select(col(idCol), col("__st_h._1").as("suite"), col("n_ngrams"),
+        col("__st_h._2").as("n_hits"))
+      .withColumn("overlap_frac",
+        col("n_hits").cast("double") / col("n_ngrams").cast("double"))
+      .withColumn("flagged", (col("overlap_frac") >= flagThreshold).cast("int"))
+  }
+
+  /** [[decontaminationSuitesStream]]'s snapshot builder: collect a
+    * bench frame's (gram → sorted distinct suites) map — compute once
+    * per benchmark release, like [[benchGramSet]].
+    */
+  def gramSuiteSnapshot(
+      bench: DataFrame,
+      textCol: String,
+      suiteCol: String,
+      n: Int = 3): Map[String, Seq[String]] =
+    bench
+      .select(explode(graft.text.Decontamination.distinctNgrams(col(textCol), n)).as("g"),
+        col(suiteCol).as("s"))
+      .distinct()
+      .groupBy(col("g")).agg(sort_array(collect_set(col("s"))).as("ss"))
+      .collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1).toList.asInstanceOf[Seq[String]])
+      .toMap
+
   /** The benchmark gram table as a DataFrame (column `g`, distinct) —
     * [[benchGramSet]]'s distributed counterpart for benchmark sets too
     * large to collect and embed as a plan literal. Compute once per

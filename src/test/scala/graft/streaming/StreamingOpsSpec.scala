@@ -792,6 +792,35 @@ class StreamingOpsSpec extends SparkSpec {
     } finally { batch.unpersist(); () }
   }
 
+  test("streaming per-suite decontamination matches the batch attribution row-for-row") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import sqlImplicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val all = graft.sources.Sources.documents(spark, "/root/testdata/sf0.001")
+    val corpus = all.filter(pmod(col("doc_id"), lit(97L)) =!= 0L)
+    val bench = all.filter(pmod(col("doc_id"), lit(97L)) === 0L)
+      .withColumnRenamed("source", "suite")
+    val snapshot = StreamingOps.gramSuiteSnapshot(bench, "text", "suite")
+    val docs = corpus.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val input = MemoryStream[(Long, String)]
+    val stream = StreamingOps.decontaminationSuitesStream(
+      input.toDF().toDF("doc_id", "text"), snapshot, "text", "doc_id")
+    val q = stream.writeStream.outputMode("append").format("memory").queryName("dsuite").start()
+    docs.grouped(31).foreach { b => input.addData(b); q.processAllAvailable() }
+    q.stop()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("doc_id"), r.getAs[String]("suite")) ->
+        (r.getAs[Int]("n_ngrams"), r.getAs[Long]("n_hits"),
+          r.getAs[Double]("overlap_frac"), r.getAs[Int]("flagged"))
+    val got = spark.table("dsuite").collect().map(key).toMap
+    val want = graft.text.Decontamination
+      .reportBySuite(corpus, bench, "text", "doc_id", "suite")
+      .collect().map(key).toMap
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
   test("streaming BPE encode matches the batch encoder token-for-token") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import sqlImplicits._
