@@ -1118,7 +1118,37 @@ object PipelineQueries {
       |GROUP BY c.doc_id, b.suite
       |ORDER BY doc_id, suite""".stripMargin
 
+  /** q79: packed-bin MATERIALIZATION ([[SequencePacking
+    * .materializedBins]]) — q40's manifest plus the md5 of each bin's
+    * concatenated document tape in layout order: the trainer-facing
+    * artifact, whole-layout oracle-checked (DuckDB rebuilds the tape
+    * with `string_agg(text ORDER BY doc_id)` inside the same bins).
+    */
+  def q79BinTape(spark: SparkSession, dir: String): DataFrame =
+    SequencePacking.materializedBins(
+      Sources.documents(spark, dir), "text", "source", "doc_id", capacity = 2048)
+      .orderBy("source", "bin")
+
+  val q79Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id, source, text, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |  FROM documents
+      |), o AS (
+      |  SELECT doc_id, source, text, n_tokens,
+      |    sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS start_offset
+      |  FROM t
+      |)
+      |SELECT source, CAST(floor(start_offset / 2048.0) AS BIGINT) AS bin,
+      |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+      |  min(doc_id) AS first_id, max(doc_id) AS last_id,
+      |  md5(string_agg(text, ' ' ORDER BY doc_id)) AS tape_fp
+      |FROM o
+      |GROUP BY source, bin
+      |ORDER BY source, bin""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q79_bin_tape" -> (q79BinTape _),
     "q78_decontamination_suites" -> (q78DecontaminationSuites _),
     "q77_corpus_release" -> (q77CorpusRelease _),
     "q74_corpus_shuffle" -> (q74CorpusShuffle _),
@@ -1147,6 +1177,7 @@ object PipelineQueries {
     "q46_decontaminated" -> (q46Decontaminated _))
 
   val oracle: Map[String, String] = Map(
+    "q79_bin_tape" -> q79Sql,
     "q78_decontamination_suites" -> q78Sql,
     "q77_corpus_release" -> q77Sql,
     "q74_corpus_shuffle" -> q74Sql,

@@ -269,6 +269,34 @@ object SequencePacking {
       else assignBinsFromCounts(df, tokensCol, strataCol, orderCol, capacity),
       tokensCol, strataCol, orderCol)
 
+  /** Bin MATERIALIZATION: the [[packedBins]] manifest plus `tape_fp`
+    * — the md5 of each bin's concatenated document tape in layout
+    * order. This is the artifact a trainer actually consumes (the
+    * contiguous token tape per context window); fingerprinting it
+    * makes the whole layout — not just the counts — oracle-checkable
+    * and diffable across corpus snapshots. Same single exchange as
+    * the summary (the ordered concat is an in-partition
+    * `array_sort(collect_list)` over rows the window already
+    * co-located); the tape itself stays inside the aggregate — only
+    * the 32-char fingerprint leaves the executor.
+    */
+  def materializedBins(
+      df: DataFrame,
+      textCol: String,
+      strataCol: String,
+      orderCol: String,
+      capacity: Int): DataFrame =
+    assignBins(df, textCol, strataCol, orderCol, capacity)
+      .groupBy(col(strataCol), col("bin"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        min(col(orderCol)).as("first_id"),
+        max(col(orderCol)).as("last_id"),
+        md5(concat_ws(" ",
+          transform(array_sort(collect_list(struct(col(orderCol), col(textCol)))),
+            s => s.getField(textCol))).cast("binary")).as("tape_fp"))
+
   private def binSummary(
       assigned: DataFrame,
       tokensCol: String,

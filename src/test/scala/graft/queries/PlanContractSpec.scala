@@ -239,7 +239,12 @@ class PlanContractSpec extends SparkSpec {
     // exchange — the (doc, suite) re-aggregate rides the doc
     // partitioning (subset clustering), planning no exchange of its
     // own — + oracle ORDER BY
-    "q78_decontamination_suites" -> 3)
+    "q78_decontamination_suites" -> 3,
+    // q79: ONE stratum exchange (the packing window's partitioning
+    // also serves the bin groupBy with its in-partition ordered-tape
+    // concat) + oracle ORDER BY; only 32-char fingerprints leave the
+    // aggregate
+    "q79_bin_tape" -> 2)
 
   test("no query plans a cartesian product or nested-loop join") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

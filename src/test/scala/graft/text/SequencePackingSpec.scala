@@ -194,4 +194,29 @@ class SequencePackingSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.split("Exchange hashpartitioning").length - 1 == 1, plan)
   }
+
+  test("materializedBins: the tape is the layout-ordered concatenation, fingerprinted") {
+    import sqlImplicits._
+    // one stratum, capacity 4: docs of 2/3/2 tokens -> offsets 0,2,5 ->
+    // bins 0,0,1 (doc 2 starts at 2 < 4 and spills its tail)
+    val df = Seq(
+      (1L, "s", "a b"),
+      (2L, "s", "c d e"),
+      (3L, "s", "f g")).toDF("doc_id", "source", "text")
+    val out = SequencePacking.materializedBins(df, "text", "source", "doc_id", capacity = 4)
+      .orderBy("bin").collect()
+    assert(out.length == 2)
+    def md5hex(s: String) = {
+      val d = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      d.map("%02x".format(_)).mkString
+    }
+    assert(out(0).getAs[Long]("n_docs") == 2 && out(0).getAs[Long]("total_tokens") == 5)
+    assert(out(0).getAs[String]("tape_fp") == md5hex("a b c d e"),
+      "bin 0's tape must be docs 1,2 concatenated in id order")
+    assert(out(1).getAs[String]("tape_fp") == md5hex("f g"))
+    // the same single-exchange plan shape as the summary form
+    val plan = SequencePacking.materializedBins(docs(), "text", "source", "doc_id", 512)
+      .queryExecution.executedPlan.toString
+    assert(plan.split("Exchange hashpartitioning").length - 1 == 1, plan)
+  }
 }
