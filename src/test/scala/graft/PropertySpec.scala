@@ -68,4 +68,30 @@ class PropertySpec extends AnyFunSuite {
       assert(java.time.temporal.ChronoUnit.DAYS.between(ws, d) <= 6)
     }
   }
+
+  test("BPE segmentation is lossless and closed over the trained vocabulary (no UNK ever)") {
+    import graft.text.BpeStats
+    val word: Gen[String] =
+      Gen.nonEmptyListOf(Gen.oneOf('a', 'b', 'c')).map(_.take(12).mkString)
+    val corpusGen: Gen[List[String]] = Gen.nonEmptyListOf(word).map(_.take(25))
+    samples(corpusGen, 40).foreach { ws =>
+      val vocab = ws.groupBy(identity).map { case (w, g) => (w, g.size.toLong) }.toArray
+      samples(Gen.choose(0, 12), 3).foreach { nm =>
+        val merges = BpeStats.trainMerges(vocab, nm)
+        val ranks = merges.map(_._1).zipWithIndex.toMap
+        val products = merges.map { case ((l, r), _) => l + r }.toSet
+        ws.foreach { w =>
+          val syms = BpeStats.segmentWord(w, ranks)
+          // lossless: symbols concatenate back to the word + end marker
+          assert(syms.mkString == w + BpeStats.EndOfWord, s"$w under $nm merges")
+          // closed: every symbol is a base char, the marker, or a merge
+          // product — the invariant that makes encode() UNK-free
+          syms.foreach { s =>
+            assert(s.length == 1 || s == BpeStats.EndOfWord || products.contains(s),
+              s"symbol '$s' outside the trained vocabulary")
+          }
+        }
+      }
+    }
+  }
 }
