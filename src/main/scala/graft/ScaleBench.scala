@@ -516,7 +516,26 @@ object ScaleBench {
       // sum squared — is what certifies the composition adds plan
       // depth, not asymptotic cost. rows = released docs.
       "corpus_release" -> (() =>
-        graft.queries.PipelineQueries.q77CorpusRelease(spark, dir).count()))
+        graft.queries.PipelineQueries.q77CorpusRelease(spark, dir).count()),
+      // Per-suite decontamination: same gram-keyed shape as
+      // `decontamination` plus the suite-array explode AFTER the doc
+      // aggregate — rows are (contaminated doc, suite) pairs, so the
+      // delta over the plain report measures the attribution overhead
+      // only. bench suites = each bench doc's source (20 of them).
+      "decontamination_suites" -> (() => {
+        val d = docs
+        graft.text.Decontamination.reportBySuite(
+          d.filter(pmod(col("doc_id"), lit(97L)) =!= 0L),
+          d.filter(pmod(col("doc_id"), lit(97L)) === 0L),
+          "text", "doc_id", suiteCol = "source").count()
+      }),
+      // Bin-tape materialization: the packing exchange plus an ordered
+      // in-partition concat whose buffers hold ~capacity tokens of
+      // text per group — the one aggregate in the pack that carries
+      // text, bounded by construction; only fingerprints leave it.
+      "bin_tape" -> (() =>
+        graft.text.SequencePacking.materializedBins(
+          docs, "text", "source", "doc_id", capacity = 2048).count()))
   }
 
   def main(args: Array[String]): Unit = {

@@ -45,7 +45,10 @@ object CorpusShuffle {
     * `shard` plus one control-plane aggregate for the shard bases.
     */
   def shuffled(df: DataFrame, idCol: String, seed: String, shardChars: Int = 2): DataFrame = {
-    require(shardChars >= 1 && shardChars <= 8, s"shardChars=$shardChars must be in [1, 8]")
+    // 4 hex chars = 65536 shards, ample parallelism for any cluster;
+    // beyond that the shard-base table stops being control-plane
+    // sized (its cumsum runs in one task by design)
+    require(shardChars >= 1 && shardChars <= 4, s"shardChars=$shardChars must be in [1, 4]")
     val reserved = Seq("shuffle_key", "shard", "shard_pos", "global_pos", "__cs_count", "__cs_base")
     reserved.foreach(c => require(!df.columns.contains(c), s"input must not contain reserved column $c"))
     val keyed = df
