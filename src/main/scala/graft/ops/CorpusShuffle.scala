@@ -91,8 +91,12 @@ object CorpusShuffle {
     * [[shuffled]] prescribes.
     */
   def writeShards(df: DataFrame, idCol: String, seed: String, path: String, shardChars: Int = 2): Unit =
+    // no repartition: [[shuffled]]'s window exchange already
+    // hash-partitioned every row by shard (the broadcast join and
+    // projection preserve it), so an explicit repartition would move
+    // the whole payload a second time for nothing — sorting within
+    // the existing partitions keeps one file per shard directory
     shuffled(df, idCol, seed, shardChars)
-      .repartition(col("shard"))
       .sortWithinPartitions(col("shard"), col("shuffle_key"), col(idCol))
       .write.partitionBy("shard").mode("overwrite").parquet(path)
 }

@@ -477,8 +477,11 @@ object StreamingOps {
       }
       counts.toSeq
     }
+    // ngrams (not distinctNgrams): null text coalesces to an empty
+    // array, so a null-text record emits nothing — matching the batch
+    // twin — instead of poisoning the stream with an NPE in the UDF
     docs
-      .withColumn("__st_gs", graft.text.Decontamination.distinctNgrams(col(textCol), n))
+      .withColumn("__st_gs", graft.text.Decontamination.ngrams(col(textCol), n))
       .select(col(idCol),
         size(col("__st_gs")).cast("int").as("n_ngrams"),
         explode(hits(col("__st_gs"))).as("__st_h"))
@@ -501,7 +504,6 @@ object StreamingOps {
     bench
       .select(explode(graft.text.Decontamination.distinctNgrams(col(textCol), n)).as("g"),
         col(suiteCol).as("s"))
-      .distinct()
       .groupBy(col("g")).agg(sort_array(collect_set(col("s"))).as("ss"))
       .collect()
       .map(r => r.getString(0) -> r.getSeq[String](1).toList.asInstanceOf[Seq[String]])

@@ -87,6 +87,7 @@ object BpeTokenizer {
   def encode(df: DataFrame, textCol: String, idCol: String, model: BpeModel): DataFrame = {
     val bc = df.sparkSession.sparkContext.broadcast(model)
     val segIds = udf { (w: String) =>
+      requireNoMarker(w)
       val m = bc.value
       BpeStats.segmentWord(w, m.ranks).map { s =>
         m.vocab.getOrElse(s,
@@ -128,6 +129,7 @@ object BpeTokenizer {
       val m = bc.value
       if (text == null) Array.emptyIntArray
       else text.split(" ", -1).iterator.filter(_.nonEmpty).flatMap { w =>
+        requireNoMarker(w)
         BpeStats.segmentWord(w, m.ranks).map(s => m.vocab.getOrElse(s,
           throw new IllegalStateException(s"symbol '$s' not in vocab")))
       }.toArray
@@ -175,11 +177,24 @@ object BpeTokenizer {
     BpeModel(merges, vocab, inverse)
   }
 
+  /** A word containing the literal end-of-word marker would decode
+    * ambiguously (its in-band `</w>` is indistinguishable from a word
+    * boundary, silently corrupting the round trip), so both encode
+    * paths fail fast instead. Pre-clean such corpora (e.g. map the
+    * marker to an escape) before tokenizing.
+    */
+  private def requireNoMarker(w: String): Unit =
+    if (w.contains(BpeStats.EndOfWord)) throw new IllegalArgumentException(
+      s"word '$w' contains the reserved end-of-word marker '${BpeStats.EndOfWord}' — " +
+        "decode would be ambiguous; escape or strip it before encoding")
+
   /** Inverse of [[encode]]: token ids back to text. Exact round-trip
     * up to separator normalization — `decode(encode(x)) ==
     * single-spaced x` — because BPE merging is lossless (symbols
     * concatenate back to the characters) and [[BpeStats.EndOfWord]]
-    * marks every word boundary.
+    * marks every word boundary. PRECONDITION: no word contains the
+    * literal marker string (encode rejects such words up front — see
+    * [[requireNoMarker]]).
     */
   def decode(encoded: DataFrame, tokenIdsCol: String, model: BpeModel): DataFrame = {
     val bc = encoded.sparkSession.sparkContext.broadcast(model.inverse)

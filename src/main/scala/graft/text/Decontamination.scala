@@ -166,18 +166,21 @@ object Decontamination {
       suiteCol: String,
       n: Int = 3,
       flagThreshold: Double = 0.05): DataFrame = {
+    // collect_set deduplicates suites per gram on its own — a
+    // .distinct() here would only add a second bench-side exchange
     val gramSuites = bench
       .select(explode(distinctNgrams(col(textCol), n)).as("g"), col(suiteCol).as("__dc_suite"))
-      .distinct()
       .groupBy(col("g"))
       .agg(sort_array(collect_set(col("__dc_suite"))).as("__dc_suites"))
+    // collect_list SKIPS null inputs, so clean documents (no gram in
+    // any suite) buffer nothing — coalescing nulls to empty arrays
+    // would make every clean doc's buffer O(its gram count)
     val perDoc = explodedGrams(corpus, textCol, idCol, n)
       .join(bcast(gramSuites), Seq("g"), "left")
       .groupBy(col(idCol))
       .agg(
         count(lit(1)).cast("int").as("n_ngrams"),
-        flatten(collect_list(coalesce(col("__dc_suites"), typedlit(Seq.empty[String]))))
-          .as("__dc_hits"))
+        flatten(collect_list(col("__dc_suites"))).as("__dc_hits"))
       .filter(size(col("__dc_hits")) > 0)
     perDoc
       .select(col(idCol), col("n_ngrams"), explode(col("__dc_hits")).as("suite"))

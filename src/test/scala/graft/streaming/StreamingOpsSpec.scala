@@ -819,6 +819,17 @@ class StreamingOpsSpec extends SparkSpec {
       .collect().map(key).toMap
     assert(got == want)
     assert(got.nonEmpty)
+    // a null-text record must emit nothing (batch drops it too), not
+    // poison the stream with an NPE inside the UDF
+    val input2 = MemoryStream[(Long, String)]
+    val nullable = input2.toDF().toDF("doc_id", "text")
+      .withColumn("text", when(col("doc_id") === -1L, lit(null: String)).otherwise(col("text")))
+    val q2 = StreamingOps.decontaminationSuitesStream(nullable, snapshot, "text", "doc_id")
+      .writeStream.outputMode("append").format("memory").queryName("dsuite_null").start()
+    input2.addData(Seq((-1L, "ignored"), docs.head))
+    q2.processAllAvailable()
+    q2.stop()
+    assert(spark.table("dsuite_null").filter(col("doc_id") === -1L).count() == 0)
   }
 
   test("streaming BPE encode matches the batch encoder token-for-token") {

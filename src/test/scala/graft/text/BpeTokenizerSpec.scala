@@ -112,6 +112,21 @@ class BpeTokenizerSpec extends SparkSpec {
     }
   }
 
+  test("a word containing the literal end-of-word marker is rejected, not silently corrupted") {
+    import sqlImplicits._
+    // base alphabet covers every char of the dirty doc, so the ONLY
+    // violation is the in-band marker itself
+    val clean = Seq((1L, "see tag < / w >")).toDF("doc_id", "text")
+    val m = BpeTokenizer.fit(clean, "text", numMerges = 0)
+    val dirty = Seq((1L, s"see ${BpeStats.EndOfWord} tag")).toDF("doc_id", "text")
+    val e = intercept[Exception] {
+      BpeTokenizer.encode(dirty, "text", "doc_id", m).collect()
+    }
+    def rootMessages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ rootMessages(x.getCause))
+    assert(rootMessages(e).exists(_.contains("end-of-word marker")), e.toString)
+  }
+
   test("tail words outside the capped training vocab still encode (base alphabet covers them)") {
     import sqlImplicits._
     // 'zq' appears once and the cap of 2 keeps only the frequent words;
