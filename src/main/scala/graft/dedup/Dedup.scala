@@ -387,16 +387,21 @@ object Dedup {
       clusterCol: String,
       idCol: String,
       scoreCol: String): DataFrame =
+    // min(struct(-score, id)): highest score wins, ties to the
+    // SMALLEST id — negating the (numeric) score rather than the id
+    // keeps every id type [[dupClusters]] supports (string ids from
+    // UUID/URL keys would fail unary minus; Long.MinValue would
+    // overflow it under ANSI)
     members
       .groupBy(col(clusterCol).as("cluster_id"))
       .agg(
         count(lit(1)).as("n_members"),
-        max(struct(col(scoreCol).as("s"), (-col(idCol)).as("negid"))).as("__best"))
+        min(struct((-col(scoreCol)).as("negs"), col(idCol).as("id"))).as("__best"))
       .select(
         col("cluster_id"),
         col("n_members"),
-        (-col("__best.negid")).as("keeper_id"),
-        col("__best.s").as("keeper_score"))
+        col("__best.id").as("keeper_id"),
+        (-col("__best.negs")).as("keeper_score"))
 
   // -------------------------------------------------------------- simhash
 

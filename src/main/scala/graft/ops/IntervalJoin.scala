@@ -70,11 +70,33 @@ object IntervalJoin {
 
     // unix_micros only accepts TIMESTAMP; parquet timestamps without
     // a zone annotation (pyarrow's default) arrive as TIMESTAMP_NTZ.
-    // The session-timezone shift the cast applies is IDENTICAL on the
-    // point and interval sides, so the bucket grid stays aligned and
-    // the exact residual predicate below compares the raw columns.
+    // The bucket grid must use the SAME interpretation the exact
+    // residual predicate below uses, or grid and predicate disagree
+    // near the mismatch and true matches silently vanish:
+    //  - ALL columns NTZ: the residual compares wall times directly,
+    //    so micros come from the wall-clock FIELDS — uniform and
+    //    timezone-free. A session-zone cast here would be non-uniform
+    //    under a DST zone (the spring-forward gap maps distinct wall
+    //    times to one instant) and could drop points near a
+    //    transition. Field arithmetic is valid pre-1970 too (fields
+    //    are within-day offsets of the possibly-negative epoch day).
+    //  - any column zoned: the residual coerces NTZ through the
+    //    session zone, so micros must take the identical cast on
+    //    every column. (Mixed types under a DST session zone inherit
+    //    the cast's gap/overlap semantics — prefer homogeneous
+    //    timestamp types there.)
+    import org.apache.spark.sql.types.{DateType, TimestampNTZType, TimestampType}
+    val allNtz =
+      points.schema(pointTs).dataType == TimestampNTZType &&
+        intervals.schema(loCol).dataType == TimestampNTZType &&
+        intervals.schema(hiCol).dataType == TimestampNTZType
     def micros(ts: Column): Column =
-      unix_micros(ts.cast(org.apache.spark.sql.types.TimestampType))
+      if (allNtz)
+        unix_date(ts.cast(DateType)).cast("long") * lit(86400000000L) +
+          hour(ts).cast("long") * lit(3600000000L) +
+          minute(ts).cast("long") * lit(60000000L) +
+          (date_part(lit("SECOND"), ts) * lit(1000000)).cast("long")
+      else unix_micros(ts.cast(TimestampType))
     def bucketOf(m: Column): Column =
       floor(m / lit(bucketSeconds * 1000000L))
 

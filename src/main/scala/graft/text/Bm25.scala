@@ -63,6 +63,10 @@ object Bm25 {
       .select(TextAnalysis.tokenCount(col(textCol)).cast("long").as("dl"))
       .agg(count(lit(1)).as("n"), sum(col("dl")).as("sum_dl"))
       .collect().head
+    // an empty corpus has sum(dl) = NULL and avgdl = 0/0 — fail with
+    // a real message instead of an NPE here or NaN scores downstream
+    require(row.getLong(0) > 0,
+      "Bm25.corpusStats: empty corpus (predicate matched no documents?) — cannot derive avgdl")
     CorpusStats(row.getLong(0), row.getLong(1))
   }
 

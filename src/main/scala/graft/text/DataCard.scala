@@ -54,7 +54,10 @@ object DataCard {
       (strataCols.map(col) :+
         col(idCol) :+
         size(toks).as("__nt") :+
-        md5(col(textCol).cast("binary")).as("__fp") :+
+        // null text fingerprints to a sentinel (all-null texts are one
+        // duplicate group) — a bare md5(NULL) is NULL and the inner
+        // copies join would silently drop those docs from every stat
+        coalesce(md5(col(textCol).cast("binary")), lit("__null_text__")).as("__fp") :+
         round(TextAnalysis.qualityScoreOfTokens(toks, col(textCol)) * lit(1e9))
           .cast("long").as("__qn")): _*)
     val copies = perDoc.groupBy(col("__fp")).agg(count(lit(1)).as("__copies"))

@@ -36,7 +36,10 @@ object LengthBatching {
       numChunks: Int = 64): DataFrame = {
     require(bucketWidth > 0, s"bucketWidth=$bucketWidth must be positive")
     require(batchSize > 0, s"batchSize=$batchSize must be positive")
-    require(!df.columns.contains("__lb_one"), "input must not contain reserved column __lb_one")
+    // the output columns too: a pre-existing n_tokens would be
+    // silently replaced AND re-selected twice (ambiguous downstream)
+    val reserved = Seq("__lb_one", "n_tokens", "bucket", "batch_id", "start_offset", "bin")
+    reserved.foreach(c => require(!df.columns.contains(c), s"input must not contain reserved column $c"))
     val bucketed = df
       .withColumn("n_tokens", TextAnalysis.tokenCount(col(textCol)).cast("long"))
       .withColumn("bucket", floor(col("n_tokens") / lit(bucketWidth.toLong)))

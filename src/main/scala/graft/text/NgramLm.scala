@@ -89,6 +89,10 @@ object NgramLm {
     // V = distinct token types = row count of the unigram table: the
     // aggregate runs over the VOCAB-grain frame, not the corpus.
     val v = uni.agg(count(lit(1)).as("v")).collect().head.getLong(0)
+    // ln(0) would be NULL and the d0 collect an NPE — fail with a
+    // real message when the training predicate matched no tokens
+    require(v > 0,
+      "NgramLm.fit: training subset has no tokens (empty predicate?) — cannot fit a bigram LM")
     val d0Micro = spark.range(1)
       .select(round(log(lit(v).cast("double")) * lit(1e6)).cast("long"))
       .collect().head.getLong(0)

@@ -246,6 +246,18 @@ class DedupSpec extends SparkSpec {
       3L -> ((1L, 30L, 0.1))), reps)
   }
 
+  test("clusterRepresentatives supports string ids (every id type dupClusters emits)") {
+    import sqlImplicits._
+    val members = Seq(
+      ("c1", "url-b", 0.4), ("c1", "url-a", 0.9),
+      // tie -> lexicographically smallest id
+      ("c2", "uuid-9", 0.5), ("c2", "uuid-1", 0.5)
+    ).toDF("cluster", "id", "score")
+    val reps = Dedup.clusterRepresentatives(members, "cluster", "id", "score")
+      .collect().map(r => r.getString(0) -> (r.getString(2), r.getDouble(3))).toMap
+    assert(reps == Map("c1" -> (("url-a", 0.9)), "c2" -> (("uuid-1", 0.5))), reps)
+  }
+
   test("clusterRepresentatives equals the rank-window reference and plans ONE aggregate, no window") {
     import sqlImplicits._
     import org.apache.spark.sql.expressions.Window

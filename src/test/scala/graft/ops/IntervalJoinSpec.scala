@@ -136,4 +136,28 @@ class IntervalJoinSpec extends SparkSpec {
         (ntz(p, "ts"), ntz(i, "lo", "hi"), "ntz both")))
       assert(bucketed(pp, ii, 3600L) == want, tag)
   }
+
+  test("all-NTZ join survives a DST session timezone: points inside the spring-forward gap match") {
+    // under America/New_York, 2025-03-09 02:30 does not exist as an
+    // instant — a session-zone cast collapses it onto 03:30's instant,
+    // desyncing the bucket grid from the wall-time residual predicate.
+    // The all-NTZ path derives micros from wall-clock fields, so the
+    // contained point must survive regardless of the session zone.
+    def ntz(df: DataFrame, cols: String*): DataFrame =
+      cols.foldLeft(df)((d, c) => d.withColumn(c,
+        col(c).cast(org.apache.spark.sql.types.TimestampNTZType)))
+    val p = ntz(points(
+      (1L, "2025-03-09 02:30:00"),   // inside the DST gap
+      (1L, "2025-03-09 03:15:00"),
+      (1L, "2025-03-09 04:00:00")), "ts")
+    val i = ntz(intervals(
+      (1L, "2025-03-09 01:00:00", "2025-03-09 03:30:00", "A")), "lo", "hi")
+    val saved = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+      val got = bucketed(p, i, 1800L)
+      assert(got == Set((1L, "2025-03-09 02:30:00", "A"), (1L, "2025-03-09 03:15:00", "A")),
+        got.toString)
+    } finally spark.conf.set("spark.sql.session.timeZone", saved)
+  }
 }

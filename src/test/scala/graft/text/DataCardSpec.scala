@@ -78,4 +78,17 @@ class DataCardSpec extends SparkSpec {
     val leaked = shuffles(df).filter(_.output.exists(_.name == "text"))
     assert(leaked.isEmpty, s"text crossed an exchange: $leaked")
   }
+
+  test("null-text documents are counted, not silently dropped from the card") {
+    import sqlImplicits._
+    val withNulls = Seq(
+      (1L, "srcA", "one two"),
+      (2L, "srcA", null: String),
+      (3L, "srcA", null: String)
+    ).toDF("doc_id", "source", "text")
+    val row = DataCard.report(withNulls, "text", "doc_id", Seq("source")).head()
+    assert(row.getAs[Long]("n_docs") == 3L, "every doc must reach the card")
+    // the two null texts form one duplicate group under the sentinel
+    assert(row.getAs[Long]("n_dup_docs") == 2L)
+  }
 }
