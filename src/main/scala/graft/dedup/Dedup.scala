@@ -375,9 +375,13 @@ object Dedup {
     * noise) and min-id throws the cleanest copy away whenever it
     * isn't the oldest.
     *
-    * One exchange: the argmax is `max(struct(score, -id))` — a
-    * partial-aggregatable struct max (map-side combine), never a
-    * rank window over the member list. The member frame is
+    * One exchange: the argmax is `min(struct(-score, id, score))` — a
+    * partial-aggregatable struct min (map-side combine), never a
+    * rank window over the member list. NULL scores always LOSE (they
+    * coalesce to -inf before negation, so a scored member beats an
+    * unscored one; an all-null cluster keeps its smallest id with a
+    * null keeper_score), and the score is negated as DOUBLE so
+    * integral score columns cannot hit ANSI unary-minus overflow. The member frame is
     * control-plane-sized in practice (only docs that appear in a
     * verified near-dup pair), but the shape stays one
     * map-side-combined aggregate at ANY size.
@@ -387,21 +391,26 @@ object Dedup {
       clusterCol: String,
       idCol: String,
       scoreCol: String): DataFrame =
-    // min(struct(-score, id)): highest score wins, ties to the
-    // SMALLEST id — negating the (numeric) score rather than the id
-    // keeps every id type [[dupClusters]] supports (string ids from
-    // UUID/URL keys would fail unary minus; Long.MinValue would
-    // overflow it under ANSI)
+    // min(struct(-score, id, score)): highest score wins, ties to the
+    // SMALLEST id — negating the score rather than the id keeps every
+    // id type [[dupClusters]] supports (string ids from UUID/URL keys
+    // would fail unary minus). The negation runs on a DOUBLE copy
+    // (integral Long.MinValue would overflow ANSI unary minus) with
+    // NULL coalesced to -inf so unscored members always lose; the
+    // third field carries the ORIGINAL score out untouched.
     members
       .groupBy(col(clusterCol).as("cluster_id"))
       .agg(
         count(lit(1)).as("n_members"),
-        min(struct((-col(scoreCol)).as("negs"), col(idCol).as("id"))).as("__best"))
+        min(struct(
+          (-coalesce(col(scoreCol).cast("double"), lit(Double.NegativeInfinity))).as("negs"),
+          col(idCol).as("id"),
+          col(scoreCol).as("s"))).as("__best"))
       .select(
         col("cluster_id"),
         col("n_members"),
         col("__best.id").as("keeper_id"),
-        (-col("__best.negs")).as("keeper_score"))
+        col("__best.s").as("keeper_score"))
 
   // -------------------------------------------------------------- simhash
 

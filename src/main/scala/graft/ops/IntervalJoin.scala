@@ -67,6 +67,10 @@ object IntervalJoin {
     require(bucketSeconds > 0, s"bucketSeconds=$bucketSeconds must be positive")
     require(maxBucketsPerInterval > 0,
       s"maxBucketsPerInterval=$maxBucketsPerInterval must be positive")
+    Seq(points -> "points", intervals -> "intervals").foreach { case (d, side) =>
+      require(!d.columns.contains("__ij_bk"),
+        s"$side must not contain reserved column __ij_bk")
+    }
 
     // unix_micros only accepts TIMESTAMP; parquet timestamps without
     // a zone annotation (pyarrow's default) arrive as TIMESTAMP_NTZ.

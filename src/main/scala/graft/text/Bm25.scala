@@ -59,14 +59,16 @@ object Bm25 {
     * [[NgramLm.fit]] snapshots the vocabulary size.
     */
   def corpusStats(docs: DataFrame, textCol: String): CorpusStats = {
+    // count(dl), not count(1): null-text docs have a NULL token count
+    // and must be absent from BOTH n and sum_dl — counting them in n
+    // only would silently deflate avgdl, and counting nothing leaves
+    // an NPE unboxing the NULL sum
     val row = docs
       .select(TextAnalysis.tokenCount(col(textCol)).cast("long").as("dl"))
-      .agg(count(lit(1)).as("n"), sum(col("dl")).as("sum_dl"))
+      .agg(count(col("dl")).as("n"), sum(col("dl")).as("sum_dl"))
       .collect().head
-    // an empty corpus has sum(dl) = NULL and avgdl = 0/0 — fail with
-    // a real message instead of an NPE here or NaN scores downstream
     require(row.getLong(0) > 0,
-      "Bm25.corpusStats: empty corpus (predicate matched no documents?) — cannot derive avgdl")
+      "Bm25.corpusStats: no documents with text (empty corpus or all-null column?) — cannot derive avgdl")
     CorpusStats(row.getLong(0), row.getLong(1))
   }
 

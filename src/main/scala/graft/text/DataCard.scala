@@ -50,16 +50,20 @@ object DataCard {
       exact: Boolean = true): DataFrame = {
     require(strataCols.nonEmpty, "at least one stratum column")
     val toks = TextAnalysis.tokens(col(textCol))
+    // null text counts as 0 tokens / 0 quality (coalesce), so every
+    // stat aggregates over the SAME population n_docs reports — bare
+    // NULLs would drop those docs from sums/median/max while still
+    // inflating the mean's denominator
     val perDoc = df.select(
       (strataCols.map(col) :+
         col(idCol) :+
-        size(toks).as("__nt") :+
+        coalesce(size(toks), lit(0)).as("__nt") :+
         // null text fingerprints to a sentinel (all-null texts are one
         // duplicate group) — a bare md5(NULL) is NULL and the inner
         // copies join would silently drop those docs from every stat
         coalesce(md5(col(textCol).cast("binary")), lit("__null_text__")).as("__fp") :+
-        round(TextAnalysis.qualityScoreOfTokens(toks, col(textCol)) * lit(1e9))
-          .cast("long").as("__qn")): _*)
+        coalesce(round(TextAnalysis.qualityScoreOfTokens(toks, col(textCol)) * lit(1e9))
+          .cast("long"), lit(0L)).as("__qn")): _*)
     val copies = perDoc.groupBy(col("__fp")).agg(count(lit(1)).as("__copies"))
     perDoc
       .join(copies, "__fp")

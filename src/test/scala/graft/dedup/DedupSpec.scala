@@ -246,6 +246,18 @@ class DedupSpec extends SparkSpec {
       3L -> ((1L, 30L, 0.1))), reps)
   }
 
+  test("clusterRepresentatives: NULL scores always lose; all-null clusters keep smallest id") {
+    import sqlImplicits._
+    val members = Seq(
+      (1L, 10L, Some(0.9)), (1L, 11L, None),         // scored member beats unscored
+      (2L, 21L, None), (2L, 20L, None)               // all-null -> smallest id, null score
+    ).toDF("cluster", "id", "score")
+    val reps = Dedup.clusterRepresentatives(members, "cluster", "id", "score")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(2), if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(reps == Map(1L -> ((10L, Some(0.9))), 2L -> ((20L, None))), reps)
+  }
+
   test("clusterRepresentatives supports string ids (every id type dupClusters emits)") {
     import sqlImplicits._
     val members = Seq(

@@ -143,21 +143,28 @@ class IntervalJoinSpec extends SparkSpec {
     // desyncing the bucket grid from the wall-time residual predicate.
     // The all-NTZ path derives micros from wall-clock fields, so the
     // contained point must survive regardless of the session zone.
-    def ntz(df: DataFrame, cols: String*): DataFrame =
-      cols.foldLeft(df)((d, c) => d.withColumn(c,
-        col(c).cast(org.apache.spark.sql.types.TimestampNTZType)))
-    val p = ntz(points(
+    // Isolation: an own newSession() carries the DST zone (shared-
+    // session mutation would race parallel suites), and NTZ values are
+    // built by a string->NTZ cast (zone-free wall-time parse) — going
+    // through java.sql.Timestamp.valueOf would silently normalize the
+    // nonexistent local time on a DST-zone JVM.
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.session.timeZone", "America/New_York")
+    import s2.implicits._
+    val ntzType = org.apache.spark.sql.types.TimestampNTZType
+    val p = Seq(
       (1L, "2025-03-09 02:30:00"),   // inside the DST gap
       (1L, "2025-03-09 03:15:00"),
-      (1L, "2025-03-09 04:00:00")), "ts")
-    val i = ntz(intervals(
-      (1L, "2025-03-09 01:00:00", "2025-03-09 03:30:00", "A")), "lo", "hi")
-    val saved = spark.conf.get("spark.sql.session.timeZone")
-    try {
-      spark.conf.set("spark.sql.session.timeZone", "America/New_York")
-      val got = bucketed(p, i, 1800L)
-      assert(got == Set((1L, "2025-03-09 02:30:00", "A"), (1L, "2025-03-09 03:15:00", "A")),
-        got.toString)
-    } finally spark.conf.set("spark.sql.session.timeZone", saved)
+      (1L, "2025-03-09 04:00:00")).toDF("k", "s")
+      .select(col("k"), col("s").cast(ntzType).as("ts"))
+    val i = Seq((1L, "2025-03-09 01:00:00", "2025-03-09 03:30:00", "A"))
+      .toDF("k", "lo_s", "hi_s", "tag")
+      .select(col("k"), col("lo_s").cast(ntzType).as("lo"),
+        col("hi_s").cast(ntzType).as("hi"), col("tag"))
+    val got = IntervalJoin.pointInInterval(p, i, "ts", "lo", "hi", Seq("k"), 1800L)
+      .select(col("k"), col("ts").cast("string"), col("tag"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(got == Set((1L, "2025-03-09 02:30:00", "A"), (1L, "2025-03-09 03:15:00", "A")),
+      got.toString)
   }
 }
