@@ -84,6 +84,7 @@ object StreamingOps {
       textCol: String,
       tsCol: Option[String] = None,
       watermark: String = "1 hour"): DataFrame = {
+    require(!docs.columns.contains("__fp"), "input must not contain reserved column __fp")
     val withFp = docs.withColumn("__fp", graft.text.TextAnalysis.contentFingerprint(col(textCol)))
     val deduped = tsCol match {
       case Some(ts) => withFp.withWatermark(ts, watermark).dropDuplicatesWithinWatermark("__fp")
@@ -148,10 +149,15 @@ object StreamingOps {
     require(numHashes % bands == 0, s"numHashes=$numHashes must divide into bands=$bands")
     requireIntegralId(docs, idCol)
     val rowsPerBand = numHashes / bands
+    // null text null-propagates to a null signature; such docs must be
+    // dropped HERE — banded they would all share one constant band
+    // hash and the pairing loop would dereference the null sig (an NPE
+    // poison pill the batch path does not have)
     val sig = docs
       .select(col(idCol).cast("long").as("id"),
         graft.dedup.ShingleHashes.shingleHashes(col(textCol), n).as("__gh"))
       .select(col("id"), graft.dedup.MinHashSig.minhashSig(col("__gh"), numHashes, seed).as("sig"))
+      .filter(col("sig").isNotNull)
     val banded = sig.select(
       col("id"), col("sig"),
       explode(array((0 until bands).map { b =>
@@ -222,6 +228,7 @@ object StreamingOps {
         graft.dedup.ShingleHashes.shingleHashes(col(textCol), n).as("__gh"))
       .select(col("id"), col("ts"),
         graft.dedup.MinHashSig.minhashSig(col("__gh"), numHashes, seed).as("sig"))
+      .filter(col("sig").isNotNull) // see the unbounded twin: null-sig poison pill
     val banded = sig.select(
       col("id"), col("sig"), col("ts"),
       explode(array((0 until bands).map { b =>
@@ -248,8 +255,14 @@ object StreamingOps {
             var seen = live(state.getOption.map(_.docs).getOrElse(Nil))
             val out = scala.collection.mutable.ListBuffer.empty[CandPair]
             rows.toSeq.sortBy(_.id).foreach { d =>
-              seen.foreach { case (oid, osig, _) =>
-                if (oid != d.id) {
+              seen.foreach { case (oid, osig, ots) =>
+                // the pairwise event-time check IS the documented
+                // horizon ("a near-dup arriving more than ttlMs after
+                // its partner is NOT reported") — watermark-relative
+                // eviction alone under-enforces it whenever the
+                // watermark lags the data (same micro-batch, or a
+                // fast burst before the watermark advances)
+                if (oid != d.id && math.abs(d.ts.getTime - ots) <= ttlMs) {
                   val eq = osig.iterator.zip(d.sig.iterator).count { case (x, y) => x == y }
                   out += CandPair(math.min(oid, d.id), math.max(oid, d.id), eq.toDouble / numHashes)
                 }
@@ -370,10 +383,16 @@ object StreamingOps {
     import docs.sparkSession.implicits._
     require(capacity > 0, s"capacity=$capacity must be positive")
     requireIntegralId(docs, orderCol)
+    // a null text (or null order/stratum key) would NPE decoding into
+    // the primitive-field case class — a poison pill that kills the
+    // query and every restart; drop such rows instead (the batch form
+    // carries them with null bins — documented divergence, nothing
+    // sane to pack)
     val prepped = docs.select(
       col(orderCol).cast("long").as("id"),
       col(strataCol).cast("string").as("stratum"),
       graft.text.TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+      .filter(col("id").isNotNull && col("stratum").isNotNull && col("n_tokens").isNotNull)
       .as[PackDocIn]
     prepped.groupByKey(_.stratum)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
@@ -608,14 +627,21 @@ object StreamingOps {
       s"lineScrubStream embeds flagged line keys as a plan literal: ${flaggedKeys.size} keys " +
         s"exceeds maxKeys=$maxKeys — snapshot the keys into a static table and join in " +
         "foreachBatch instead, or raise the bound knowingly")
-    val arr = split(col(textCol), "\n")
+    // bind-once discipline (see Decontamination's scaladoc): the split
+    // and the O(lines x keys) md5 filter are staged as ATTRIBUTES so
+    // each evaluates once per row — inlined, the filter would run
+    // twice (size + array_join) and the split four times
     val keys = lit(flaggedKeys.toArray)
-    val kept = filter(arr, l => !array_contains(keys, md5(l.cast("binary"))))
-    docs.select(
-      col(idCol),
-      size(arr).cast("int").as("n_lines"),
-      (size(arr) - size(kept)).cast("int").as("n_removed"),
-      array_join(kept, "\n").as("clean"))
+    docs
+      .select(col(idCol), split(col(textCol), "\n").as("__ls_arr"))
+      .select(col(idCol), col("__ls_arr"),
+        filter(col("__ls_arr"),
+          l => !array_contains(keys, md5(l.cast("binary")))).as("__ls_kept"))
+      .select(
+        col(idCol),
+        size(col("__ls_arr")).cast("int").as("n_lines"),
+        (size(col("__ls_arr")) - size(col("__ls_kept"))).cast("int").as("n_removed"),
+        array_join(col("__ls_kept"), "\n").as("clean"))
   }
 
   final case class NovGram(id: Long, df: Long)
@@ -742,7 +768,11 @@ object StreamingOps {
     * sorts the flagged starts, and applies the SAME monotone-ends gap
     * walk as the batch form (sorted equal-length intervals — the
     * running coverage end is the previous start's end). Output rows
-    * match batch `pruneSpans` exactly, including untouched documents.
+    * match batch `pruneSpans` exactly, including untouched documents
+    * — for documents WITH tokenizable text: a null-text doc explodes
+    * to no rows and is absent here, where the batch left join emits
+    * it with null counts (documented divergence; there is nothing to
+    * prune and the stream cannot emit nullable primitives).
     */
   def pruneSpansStream(
       docs: DataFrame,
@@ -756,8 +786,15 @@ object StreamingOps {
     require(k > 0, s"k=$k must be positive")
     require(minDocs >= 2, s"minDocs=$minDocs: a span is 'repeated' across >= 2 documents")
     requireIntegralId(docs, idCol)
+    // __flagged marks JOIN MATCH separately from the keeper value:
+    // batch pruneSpans inner-joins, so flagged-ness never depends on
+    // the keeper being non-null — under keepFirst=false a null-keeper
+    // flagged span is scrubbed EVERYWHERE (the snapshot-only shape
+    // LineOps documents), and under keepFirst=true the null-keeper
+    // =!= comparison null-propagates to "kept", exactly like the
+    // batch filter
     val flagged = spanFreq.filter(col("n_docs") >= minDocs)
-      .select(col("span"), col("keeper").cast("long").as("__keeper"))
+      .select(col("span"), col("keeper").cast("long").as("__keeper"), lit(1).as("__flagged"))
     val tokRows = docs
       .select(col(idCol).cast("long").as("id"),
         posexplode(graft.text.TextAnalysis.tokens(col(textCol))).as(Seq("__t0", "tok")))
@@ -767,7 +804,7 @@ object StreamingOps {
       .select(col(idCol).cast("long").as("id"), col("pos"), col("span"))
       .join(flagged, Seq("span"), "left")
       .select(col("id"), col("pos"), lit(null).cast("string").as("tok"),
-        when(col("__keeper").isNotNull &&
+        when(col("__flagged").isNotNull &&
           (if (keepFirst) col("__keeper") =!= col("id") else lit(true)), 1)
           .cast("int").as("hit"))
     tokRows.unionByName(spanRows)
@@ -1051,11 +1088,23 @@ object StreamingOps {
     * (StreamingOpsSpec pins it). Ties within a micro-batch are
     * admitted in ascending id for batch-layout independence.
     */
-  def lengthBatchingStream(docs: DataFrame, bucketWidth: Int, batchSize: Int): Dataset[BatchOut] = {
+  def lengthBatchingStream(
+      docs: DataFrame,
+      idCol: String,
+      tokensCol: String,
+      bucketWidth: Int,
+      batchSize: Int): Dataset[BatchOut] = {
     import docs.sparkSession.implicits._
     require(bucketWidth > 0, s"bucketWidth=$bucketWidth must be positive")
     require(batchSize > 0, s"batchSize=$batchSize must be positive")
-    docs.toDF("id", "n_tokens").as[BatchIn]
+    // columns selected BY NAME — a positional toDF rename would
+    // silently swap two long columns if the caller's order differed.
+    // Null ids/counts would NPE the primitive-field decode (poison
+    // pill); dropped instead.
+    docs
+      .select(col(idCol).cast("long").as("id"), col(tokensCol).cast("long").as("n_tokens"))
+      .filter(col("id").isNotNull && col("n_tokens").isNotNull)
+      .as[BatchIn]
       .groupByKey(_.n_tokens / bucketWidth)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
         (bucket: Long, rows: Iterator[BatchIn], state: GroupState[Long]) => {
@@ -1093,8 +1142,16 @@ object StreamingOps {
           val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
           var st = state.getOption.getOrElse(CycleState(null, 0L))
           val out = sorted.map { e =>
-            if (st.lastType == null || st.lastType != e.event_type)
-              st = CycleState(e.event_type, st.cycle + 1)
+            // mirror of the batch predicate `prev.isNull || prev =!=
+            // cur` under SQL null semantics: cycle==0 means "no
+            // previous row" (first event always changes); a NULL
+            // PREVIOUS type reads as prev.isNull (change); a NULL
+            // CURRENT type null-propagates =!= to "no change".
+            // lastType always tracks the previous row's actual value
+            // — including null — exactly like lag() does.
+            val changed = st.cycle == 0L || st.lastType == null ||
+              (e.event_type != null && st.lastType != e.event_type)
+            st = CycleState(e.event_type, if (changed) st.cycle + 1 else st.cycle)
             CycleOut(userId, e.event_id, e.ts, e.event_type, e.value, st.cycle)
           }
           state.update(st)

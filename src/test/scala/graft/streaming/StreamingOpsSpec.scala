@@ -771,7 +771,7 @@ class StreamingOpsSpec extends SparkSpec {
         .map(r => (r.getLong(0), r.getLong(1))).toSeq
       val input = MemoryStream[(Long, Long)]
       val stream = StreamingOps.lengthBatchingStream(
-        input.toDF().toDF("id", "n_tokens"), bucketWidth = 32, batchSize = 16)
+        input.toDF().toDF("id", "n_tokens"), "id", "n_tokens", bucketWidth = 32, batchSize = 16)
       val q = stream.writeStream.outputMode("append").format("memory").queryName("lbat").start()
       docs.grouped(23).foreach { b => input.addData(b); q.processAllAvailable() }
       q.stop()
@@ -830,6 +830,88 @@ class StreamingOpsSpec extends SparkSpec {
     q2.processAllAvailable()
     q2.stop()
     assert(spark.table("dsuite_null").filter(col("doc_id") === -1L).count() == 0)
+  }
+
+  test("cycle stream matches batch labelCycles on NULL event types (SQL null semantics)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import sqlImplicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // batch: prev.isNull || prev =!= cur — a null CURRENT type
+    // continues the cycle (=!= null-propagates), the event AFTER a
+    // null starts a new one (prev.isNull)
+    def t(s: Long) = new java.sql.Timestamp(s * 1000L)
+    val events = Seq(
+      StreamingOps.EventIn(1L, t(1), 7L, "run", 1.0),
+      StreamingOps.EventIn(2L, t(2), 7L, null, 1.0),
+      StreamingOps.EventIn(3L, t(3), 7L, null, 1.0),
+      StreamingOps.EventIn(4L, t(4), 7L, "run", 1.0))
+    val batch = graft.ops.Segmentation.labelCycles(
+      events.toDF(), Seq("user_id"), Seq(col("ts"), col("event_id")), "event_type")
+      .select("event_id", "cycle").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val input = MemoryStream[StreamingOps.EventIn]
+    val q = StreamingOps.cycleLabelStream(input.toDS())
+      .writeStream.outputMode("append").format("memory").queryName("nullcyc").start()
+    events.grouped(2).foreach { b => input.addData(b); q.processAllAvailable() }
+    q.stop()
+    val got = spark.table("nullcyc").collect()
+      .map(r => r.getAs[Long]("event_id") -> r.getAs[Long]("cycle")).toMap
+    assert(got == batch, s"stream $got vs batch $batch")
+    assert(batch == Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 3L))
+  }
+
+  test("TTL near-dup stream enforces the pairwise event-time horizon within one micro-batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import sqlImplicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // identical texts -> same band buckets; A and B are 10h apart in
+    // EVENT time but arrive in the SAME micro-batch (watermark still
+    // behind both) — the documented ttl horizon must drop the pair;
+    // C is within the horizon of B and must pair
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val input = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val stream = StreamingOps.minhashCandidatesStreamTtl(
+      input.toDF().toDF("doc_id", "ts", "text"), "text", "doc_id", "ts",
+      ttlMs = 3600000L)
+    val q = stream.writeStream.outputMode("append").format("memory").queryName("ttlpair").start()
+    val text = "alpha beta gamma delta epsilon zeta eta theta"
+    input.addData(Seq(
+      (1L, t("2025-01-01 00:00:00"), text),
+      (2L, t("2025-01-01 10:00:00"), text),
+      (3L, t("2025-01-01 10:30:00"), text)))
+    q.processAllAvailable()
+    q.stop()
+    val pairs = spark.table("ttlpair").select("id_a", "id_b").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((2L, 3L)), s"only the within-horizon pair may surface: $pairs")
+  }
+
+  test("per-suite/minhash streams survive null-text records (no poison pill)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import sqlImplicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val nullable = input.toDF().toDF("doc_id", "text")
+      .withColumn("text", when(col("doc_id") < 0L, lit(null: String)).otherwise(col("text")))
+    val q = StreamingOps.minhashCandidatesStream(nullable, "text", "doc_id")
+      .writeStream.outputMode("append").format("memory").queryName("nullmh").start()
+    // two null-text docs would have shared the constant null-sig band
+    // hash and NPE'd in the pairing loop before the filter
+    input.addData(Seq((-1L, "x"), (-2L, "x"), (10L, "a b c d e"), (11L, "a b c d e")))
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.table("nullmh").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ids == Set((10L, 11L)), ids.toString)
+  }
+
+  test("pruneSpansStream keepFirst=false scrubs null-keeper flagged spans everywhere (batch parity)") {
+    import sqlImplicits._
+    // snapshot-only shape: span keys with NULL keeper
+    val docs = Seq((1L, "a b c d e"), (2L, "a b c z z")).toDF("doc_id", "text")
+    val snapshot = Seq(("a b c", None: Option[Long], 2L)).toDF("span", "keeper", "n_docs")
+    val got = StreamingOps.pruneSpansStream(docs, snapshot, "text", "doc_id", k = 3,
+      keepFirst = false)
+      .collect().map(r => r.doc_id -> r.pruned_text).toMap
+    assert(got == Map(1L -> "d e", 2L -> "z z"), got.toString)
   }
 
   test("streaming BPE encode matches the batch encoder token-for-token") {
