@@ -40,8 +40,12 @@ object Ivf {
       iters: Int = 10,
       sampleSize: Int = 10000,
       seed: Long = 42L): Model = {
+    // null embeddings hash to a sortable value and would land in the
+    // sample only to NPE at getSeq — skip them (failed-embedding rows
+    // are normal in a large corpus)
     val sample = df
       .select(col(vecCol))
+      .filter(col(vecCol).isNotNull)
       .orderBy(xxhash64(col(vecCol), lit(seed)).asc)
       .limit(sampleSize)
       .collect().map(_.getSeq[Float](0).toArray.map(_.toDouble))
@@ -96,12 +100,18 @@ object Ivf {
     NearestCell.nearestCell(vec, model.centroids)
 
   /** Build the index table: rows + `cell`. Vectors are normalized once
-    * so probes are bare dot products.
+    * so probes are bare dot products. DEGENERATE rows (null vector,
+    * null/NaN elements, zero norm) are dropped: they cannot
+    * participate in cosine search, and unguarded x/0 would give them
+    * NaN dots that Spark ranks ABOVE every real neighbor.
     */
   def index(df: DataFrame, vecCol: String, idCol: String, model: Model): DataFrame =
     df.select(col(idCol), col(vecCol))
       .withColumn("__n", Similarity.norm(col(vecCol)))
-      .select(col(idCol), transform(col(vecCol), x => x / col("__n")).as(vecCol))
+      .select(col(idCol),
+        when(col("__n") > 0 && !isnan(col("__n")),
+          transform(col(vecCol), x => x / col("__n"))).as(vecCol))
+      .filter(col(vecCol).isNotNull)
       .withColumn("cell", cellOf(col(vecCol), model))
 
   /** Approximate KNN JOIN: top-k cosine neighbors from the indexed
@@ -131,10 +141,15 @@ object Ivf {
       s"query id column '$qIdCol' must differ from the index id column — both appear in the " +
         s"output (alias one side, e.g. queries.select(col(\"$idCol\").as(\"q_id\"), ...))")
     import org.apache.spark.sql.expressions.Window
+    // same degenerate-vector guard as [[index]]: a zero-norm query
+    // would rank the whole probed cell by NaN
     val qNorm = queries
       .select(col(qIdCol), col(qVecCol))
       .withColumn("__n", Similarity.norm(col(qVecCol)))
-      .select(col(qIdCol), transform(col(qVecCol), x => x / col("__n")).as("__qv"))
+      .select(col(qIdCol),
+        when(col("__n") > 0 && !isnan(col("__n")),
+          transform(col(qVecCol), x => x / col("__n"))).as("__qv"))
+      .filter(col("__qv").isNotNull)
     val probes = qNorm.select(
       col(qIdCol), col("__qv"),
       explode(NearestCells.nearestCells(col("__qv"), model.centroids, nprobe)).as("cell"))

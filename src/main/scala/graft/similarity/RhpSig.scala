@@ -46,6 +46,15 @@ case class RhpSig(child: Expression, planes: Seq[Seq[Float]]) extends UnaryExpre
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val n = math.min(arr.numElements(), dim)
+    // a null ELEMENT poisons the whole signature to NULL — mirroring
+    // [[VecDot]]'s contract — instead of silently reading 0.0, which
+    // would collapse every such vector onto signature 0 (one
+    // degenerate mega-bucket passing the refine prune at distance 0)
+    var chk = 0
+    while (chk < n) {
+      if (arr.isNullAt(chk)) return null
+      chk += 1
+    }
     var sig = 0L
     var p = 0
     while (p < numPlanes) {

@@ -78,8 +78,16 @@ object SemDedup {
     * ([[Ivf.train]] — fixed-size driver sample, deterministic),
     * [[Ivf.index]] assignment, representative similarity = cosine to
     * the assigned centroid (a broadcast join against the k-row
-    * centroid table), then [[decisions]]. Returns every row with its
-    * decision columns; filter `removed = 0` for the kept corpus.
+    * centroid table), then [[decisions]]. Returns EVERY input row
+    * with ALL its original columns (the decision grain joins back on
+    * the id — the index's narrow (id, normalized-vec) projection
+    * never replaces the caller's payload or float embeddings) plus
+    * `cell`, `rep_sim`, `n_dup_partners`, `removed`. Degenerate
+    * vectors (null / zero-norm — dropped by [[Ivf.index]]) come back
+    * with null cell/rep_sim and `removed = 0`: nothing can be a
+    * semantic duplicate of garbage, and silently deleting such rows
+    * from the kept corpus would be a data-loss trap. Filter
+    * `removed = 0` for the kept corpus.
     */
   def withDecisions(
       df: DataFrame,
@@ -96,7 +104,11 @@ object SemDedup {
       .join(broadcast(cents), Seq("cell"))
       .withColumn("rep_sim", Similarity.dot(col(vecCol), col("__centroid")))
       .drop("__centroid")
-    decisions(withRep, vecCol, idCol, "cell", "rep_sim", eps)
+    val dec = decisions(withRep, vecCol, idCol, "cell", "rep_sim", eps)
+      .select(col(idCol), col("cell"), col("rep_sim"),
+        col("n_dup_partners"), col("removed"))
+    df.join(dec, Seq(idCol), "left")
+      .na.fill(0, Seq("n_dup_partners", "removed"))
   }
 
   /** [[withDecisions]] filtered to the kept corpus — the SemDeDup

@@ -77,7 +77,14 @@ object Similarity {
     */
   def cosineTopK(df: DataFrame, vecCol: String, queryVec: Array[Float], k: Int, idCol: String): DataFrame = {
     val q = vecLit(queryVec)
-    df.withColumn("cosine", cosine(col(vecCol), q))
+    // guarded: a zero-norm or NaN-element vector has cosine NaN, and
+    // Spark orders NaN ABOVE every number — unguarded it would occupy
+    // a top-k slot ahead of every real neighbor. The when() nulls it
+    // and the filter drops it.
+    val denom = norm(col(vecCol)) * norm(q)
+    df.withColumn("cosine",
+        when(denom > 0 && !isnan(denom), dot(col(vecCol), q) / denom))
+      .filter(col("cosine").isNotNull)
       .orderBy(col("cosine").desc, col(idCol).asc)
       .limit(k)
   }
@@ -110,10 +117,14 @@ object Similarity {
   /** Split a packed signature into `bands` band-hash columns of
     * `bitsPerBand` bits each; near vectors collide on >= 1 band whp.
     */
-  def bandColumns(sig: Column, bands: Int, bitsPerBand: Int): Seq[Column] =
+  def bandColumns(sig: Column, bands: Int, bitsPerBand: Int): Seq[Column] = {
+    // Scala shifts are mod 64: (1L << 64) - 1 is 0, which would zero
+    // every band value — full-width bands take the all-ones mask
+    val mask = if (bitsPerBand == 64) -1L else (1L << bitsPerBand) - 1
     (0 until bands).map { b =>
-      shiftright(sig, b * bitsPerBand).bitwiseAND(lit((1L << bitsPerBand) - 1)).as(s"band_$b")
+      shiftright(sig, b * bitsPerBand).bitwiseAND(lit(mask)).as(s"band_$b")
     }
+  }
 
   /** Driver-side signature of a query vector (same arithmetic as
     * [[rhpSignature]] up to float/double rounding of the dot).
@@ -143,9 +154,14 @@ object Similarity {
       maxHamming: Int = -1): DataFrame = {
     val limitBits = if (maxHamming >= 0) maxHamming else math.max(1, (planes.length * 0.45).toInt)
     val qSig = signatureOf(queryVec, planes)
+    // same NaN guard as [[cosineTopK]]: degenerate candidates must
+    // not outrank real ones
+    val denom = norm(col(vecCol)) * norm(vecLit(queryVec))
     df.withColumn("__sig", rhpSignature(col(vecCol), planes))
       .filter(bit_count(col("__sig").bitwiseXOR(lit(qSig))) <= limitBits)
-      .withColumn("cosine", cosine(col(vecCol), vecLit(queryVec)))
+      .withColumn("cosine",
+        when(denom > 0 && !isnan(denom), dot(col(vecCol), vecLit(queryVec)) / denom))
+      .filter(col("cosine").isNotNull)
       .orderBy(col("cosine").desc, col(idCol).asc)
       .limit(k)
       .drop("__sig")
@@ -176,7 +192,16 @@ object Similarity {
       * band keys land within Hamming radius r with probability
       * |ball(k, r)| / 2^k:
       *
-      *   bands x C(n, 2) x maskCount(k, r) / 2^k
+      *   bands x C(n, 2) x |ball(k, ceil r/2)| x |ball(k, floor r/2)| / 2^k
+      *
+      * — the BALL PRODUCT, not |ball(k, r)|: the physical join probes
+      * half the radius on each side ([[nearDupPairs]]'s split), so a
+      * random pair at band distance d joins once per (m1, m2) mask
+      * split with m1 xor m2 = diff, and summing over all mask pairs
+      * gives the product (at r=0 both forms agree; at r=2, k=8 the
+      * product is 81/256 vs the single ball's 37/256 — an event count
+      * would under-predict the join rows ~2.2x and admit over-budget
+      * jobs).
       *
       * This is the quantity that made the measured x30 mid-threshold
       * surprise (ScaleBench: ~1e9 band-join rows at 60 k vectors,
@@ -189,7 +214,9 @@ object Similarity {
       */
     def expectedBackgroundCandidates(n: Long): Double =
       bands.toDouble * n.toDouble * (n - 1.0) / 2.0 *
-        Similarity.maskCount(bitsPerBand, probeHamming) / math.pow(2.0, bitsPerBand.toDouble)
+        Similarity.maskCount(bitsPerBand, probeHamming - probeHamming / 2) *
+        Similarity.maskCount(bitsPerBand, probeHamming / 2) /
+        math.pow(2.0, bitsPerBand.toDouble)
   }
 
   private[similarity] def choose(n: Int, d: Int): Double =
@@ -364,7 +391,10 @@ object Similarity {
     // skipped, and an empty/all-null frame short-circuits to an empty
     // result since there is nothing to pair).
     val d = if (dim > 0) dim else {
-      val firstRow = df.select(size(col(vecCol)).as("d")).filter(col("d").isNotNull).take(1)
+      // d > 0, not isNotNull: with ANSI off, size(NULL) is -1 (legacy
+      // sizeOfNull), which would pass a null check and build zero
+      // planes — degenerating the whole mine to one bucket
+      val firstRow = df.select(size(col(vecCol)).as("d")).filter(col("d") > 0).take(1)
       if (firstRow.isEmpty)
         return df.select(col(idCol).as("id_a"), col(idCol).as("id_b"), lit(0.0).as("cosine")).limit(0)
       firstRow.head.getInt(0)
@@ -418,10 +448,19 @@ object Similarity {
     // attribute): per-pair verification is then a bare dot product —
     // the norm would otherwise be recomputed for both sides of every
     // candidate pair (3 interpreted array passes per pair instead of 1).
+    // DEGENERATE vectors (null, null/NaN elements, zero norm) are
+    // dropped here: unguarded, x/0 yields NaN elements, the RHP
+    // signature collapses to a constant (one mega-bucket), and NaN
+    // cosines PASS `>= threshold` (Spark orders NaN above all numbers)
+    // — spurious pairs out of garbage rows. The when() nulls the
+    // normalized vector and the filter removes the row.
     val vecs = df
       .select(col(idCol), col(vecCol))
       .withColumn("__norm", norm(col(vecCol)))
-      .select(col(idCol), transform(col(vecCol), x => x / col("__norm")).as(vecCol))
+      .select(col(idCol),
+        when(col("__norm") > 0 && !isnan(col("__norm")),
+          transform(col(vecCol), x => x / col("__norm"))).as(vecCol))
+      .filter(col(vecCol).isNotNull)
     // Refined 126-bit signature (two 63-plane longs), used ONLY for
     // the Hamming prune: the candidate bands must stay coarse
     // (recall), but the prune can be precise — at 126 bits the

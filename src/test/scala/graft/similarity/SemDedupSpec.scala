@@ -154,4 +154,36 @@ class SemDedupSpec extends SparkSpec {
       .groupBy(identity).view.mapValues(_.size).toMap
     dec.foreach { case (id, nd) => assert(nd == counts.getOrElse(id, 0), s"vec $id") }
   }
+
+  test("withDecisions keeps every input row and column; degenerate vectors survive unremoved") {
+    import sqlImplicits._
+    val good = Array.tabulate(8)(i => (i + 1).toFloat)
+    val df = Seq(
+      (1L, "payload-1", good),
+      (2L, "payload-2", good.map(_ * 3f)),          // parallel dup of 1
+      (3L, "payload-3", Array.fill(8)(0f)),         // zero norm
+      (4L, "payload-4", null: Array[Float])         // failed embedding
+    ).toDF("vec_id", "text", "embedding")
+    val model = graft.similarity.Ivf.train(df.filter(col("vec_id") <= 2L), "embedding", k = 1, iters = 2)
+    val out = graft.similarity.SemDedup.withDecisions(df, "embedding", "vec_id", model, eps = 0.9)
+    // original columns (incl. the untouched float embedding) ride through
+    assert(out.columns.toSet ==
+      Set("vec_id", "text", "embedding", "cell", "rep_sim", "n_dup_partners", "removed"))
+    val rows = out.orderBy("vec_id").collect()
+    assert(rows.length == 4, "every input row must come back")
+    assert(rows.map(_.getAs[String]("text")).toSeq ==
+      Seq("payload-1", "payload-2", "payload-3", "payload-4"))
+    // the duplicate pair resolves: exactly one of 1/2 removed
+    assert(rows.take(2).map(_.getAs[Int]("removed")).sum == 1)
+    // degenerate rows are kept with no partners and a null cell
+    Seq(2, 3).foreach { i =>
+      assert(rows(i).getAs[Int]("removed") == 0)
+      assert(rows(i).getAs[Int]("n_dup_partners") == 0)
+      assert(rows(i).isNullAt(rows(i).fieldIndex("cell")))
+    }
+    // the kept corpus keeps its payload columns
+    val kept = graft.similarity.SemDedup.semanticDedup(df, "embedding", "vec_id", model, eps = 0.9)
+    assert(kept.columns.toSeq == df.columns.toSeq)
+    assert(kept.count() == 3)
+  }
 }

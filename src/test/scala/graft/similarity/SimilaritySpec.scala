@@ -110,6 +110,14 @@ class SimilaritySpec extends SparkSpec {
       .collect().sortBy(_.getLong(0)).map(_.getLong(1))
     val k = g.bitsPerBand
     val mask = if (k == 64) -1L else (1L << k) - 1
+    // measure JOIN ROWS, the quantity the estimator models: the
+    // physical join splits the probe radius across the two sides, so
+    // a pair at band distance d joins once per (m1, m2) mask split
+    // with m1 xor m2 = diff — multiplicity, not a 0/1 collision event
+    val r1 = g.probeHamming - g.probeHamming / 2
+    val r2 = g.probeHamming / 2
+    val masks1 = (0 to r1).flatMap(w =>
+      (0 until k).combinations(w).map(_.foldLeft(0L)((m, p) => m | (1L << p))))
     var measured = 0L
     var a = 0
     while (a < n) {
@@ -119,7 +127,10 @@ class SimilaritySpec extends SparkSpec {
         while (band < g.bands) {
           val ka = (sigs(a) >>> (band * k)) & mask
           val kb = (sigs(b) >>> (band * k)) & mask
-          if (java.lang.Long.bitCount(ka ^ kb) <= g.probeHamming) measured += 1
+          val diff = ka ^ kb
+          masks1.foreach { m1 =>
+            if (java.lang.Long.bitCount(diff ^ m1) <= r2) measured += 1
+          }
           band += 1
         }
         b += 1
@@ -323,6 +334,47 @@ class SimilaritySpec extends SparkSpec {
     val sigs = df.select(Similarity.rhpSignature(col("vec"), planes).as("s")).as[Long].collect()
     assert(sigs(0) == sigs(1))
     assert((sigs(0) ^ sigs(2)) == 0xffffL) // all 16 bits differ
+  }
+
+  test("degenerate vectors (zero-norm, null) never reach top-k or near-dup output") {
+    import sqlImplicits._
+    val good = Array.tabulate(8)(i => (i + 1).toFloat)
+    val df = Seq(
+      (1L, good), (2L, good.map(_ * 2f)),
+      (3L, Array.fill(8)(0f)),     // zero norm -> NaN cosine unguarded
+      (4L, null: Array[Float])
+    ).toDF("id", "vec")
+    // NaN would sort FIRST under desc and occupy the #1 slot
+    val top = Similarity.cosineTopK(df, "vec", good, k = 3, "id")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(top == Set(1L, 2L), s"only real vectors may rank: $top")
+    // near-dup mining: ids 1/2 are parallel (cosine 1.0); the zero and
+    // null vectors must produce NO pairs (unguarded they collapse to
+    // one constant-signature bucket and pass >= threshold as NaN)
+    val pairs = Similarity.nearDupPairsAuto(df, "vec", "id", threshold = 0.9, dim = 8)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)), pairs.toString)
+  }
+
+  test("bandColumns handles full-width 64-bit bands (shift-mod-64 mask)") {
+    import sqlImplicits._
+    val sig = -2401053088876216593L // arbitrary full-width pattern
+    val out = Seq(Tuple1(sig)).toDF("sig")
+      .select(Similarity.bandColumns(col("sig"), bands = 1, bitsPerBand = 64): _*)
+      .head().getLong(0)
+    assert(out == sig, f"band_0 must be the full signature, got $out%x")
+  }
+
+  test("RhpSig null-poisons on a null ELEMENT instead of reading it as zero") {
+    import sqlImplicits._
+    val df = Seq(
+      (1L, Seq[java.lang.Float](1f, 2f, 3f, 4f)),
+      (2L, Seq[java.lang.Float](1f, null, 3f, 4f))).toDF("id", "vec")
+    val planes = Similarity.hyperplanes(4, 16)
+    val rows = df.select(col("id"), Similarity.rhpSignature(col("vec"), planes).as("s"))
+      .orderBy("id").collect()
+    assert(!rows(0).isNullAt(1))
+    assert(rows(1).isNullAt(1), "a null element must poison the signature")
   }
 }
 
