@@ -95,11 +95,16 @@ object ScaleBench {
       // The degraded entry runs whatever geometry the budget affords
       // at this corpus size — record what that was and the recall it
       // kept relative to the requested shape.
+      // minRecall = 0 here records what the unfloored geometry WOULD
+      // be; the thunk below runs with the default 0.5 floor, so when
+      // at_threshold_recall < 0.5 (x30) the entry's err field records
+      // the refusal instead of a silent 18%-recall "success".
       val fit = graft.similarity.Similarity.lshGeometryUnderBudget(
         threshold = 0.4, numPlanes = 64, corpusSize = math.max(1L, nEmb), candidateBudget = 100000000L)
       extra("embedding_neardup_mid04_degraded",
         f""","budget_policy":"AutoDegrade","degraded":$exceeded,""" +
           f""""geometry":"$fit","at_threshold_recall":${fit.expectedRecall}%.4f,""" +
+          f""""min_degraded_recall":0.5,"floor_refused":${fit.expectedRecall < 0.5},""" +
           f""""predicted_background_candidates":${fit.expectedBackgroundCandidates(nEmb)}%.4g""")
     }
     // Record which form the packing facade routes to at this scale
@@ -142,6 +147,10 @@ object ScaleBench {
       // AutoDegrade twin: same ask, but over budget it re-derives the
       // most-recall-under-budget geometry and runs THAT — the measured
       // time is what a budget-respecting mid-threshold mine costs.
+      // The default minDegradedRecall = 0.5 floor applies: at x30 the
+      // best affordable geometry keeps only 18% recall, so the thunk
+      // REFUSES (err = CandidateBudgetExceededException) rather than
+      // shipping a pair set missing 4 of every 5 duplicates.
       "embedding_neardup_mid04_degraded" -> (() =>
         graft.similarity.Similarity
           .nearDupPairsAuto(emb, "embedding", "vec_id", threshold = 0.4, dim = 64,

@@ -377,10 +377,13 @@ object Dedup {
     *
     * One exchange: the argmax is `min(struct(-score, id, score))` — a
     * partial-aggregatable struct min (map-side combine), never a
-    * rank window over the member list. NULL scores always LOSE (they
-    * coalesce to -inf before negation, so a scored member beats an
-    * unscored one; an all-null cluster keeps its smallest id with a
-    * null keeper_score), and the score is negated as DOUBLE so
+    * rank window over the member list. NULL and NaN scores always
+    * LOSE (both coalesce to -inf before negation — a NaN would
+    * otherwise negate to NaN, which Spark's total double order ranks
+    * ABOVE +inf, making a garbage score lose even to null — so a
+    * real-scored member beats an unscored or NaN-scored one; an
+    * all-null cluster keeps its smallest id with a null
+    * keeper_score), and the score is negated as DOUBLE so
     * integral score columns cannot hit ANSI unary-minus overflow. The member frame is
     * control-plane-sized in practice (only docs that appear in a
     * verified near-dup pair), but the shape stays one
@@ -396,14 +399,16 @@ object Dedup {
     // id type [[dupClusters]] supports (string ids from UUID/URL keys
     // would fail unary minus). The negation runs on a DOUBLE copy
     // (integral Long.MinValue would overflow ANSI unary minus) with
-    // NULL coalesced to -inf so unscored members always lose; the
-    // third field carries the ORIGINAL score out untouched.
+    // NULL and NaN coalesced to -inf so unscored/garbage-scored
+    // members always lose; the third field carries the ORIGINAL
+    // score out untouched.
     members
       .groupBy(col(clusterCol).as("cluster_id"))
       .agg(
         count(lit(1)).as("n_members"),
         min(struct(
-          (-coalesce(col(scoreCol).cast("double"), lit(Double.NegativeInfinity))).as("negs"),
+          (-when(isnan(col(scoreCol).cast("double")), lit(Double.NegativeInfinity))
+            .otherwise(coalesce(col(scoreCol).cast("double"), lit(Double.NegativeInfinity)))).as("negs"),
           col(idCol).as("id"),
           col(scoreCol).as("s"))).as("__best"))
       .select(

@@ -40,14 +40,20 @@ object Ivf {
       iters: Int = 10,
       sampleSize: Int = 10000,
       seed: Long = 42L): Model = {
-    // null embeddings hash to a sortable value and would land in the
-    // sample only to NPE at getSeq — skip them (failed-embedding rows
-    // are normal in a large corpus)
+    // Degenerate embeddings are excluded with the SAME norm guard as
+    // [[index]]: a whole-null vector would NPE at getSeq, a vector
+    // with a null/NaN element would NPE at unboxing or silently poison
+    // every centroid with NaN, and a zero-norm vector carries no
+    // direction. norm > 0 && !isnan(norm) rejects all four (null
+    // elements make dot() null, so norm is null and the > 0 test
+    // fails). Failed-embedding rows are normal in a large corpus.
     val sample = df
       .select(col(vecCol))
-      .filter(col(vecCol).isNotNull)
+      .withColumn("__n", Similarity.norm(col(vecCol)))
+      .filter(col("__n") > 0 && !isnan(col("__n")))
       .orderBy(xxhash64(col(vecCol), lit(seed)).asc)
       .limit(sampleSize)
+      .select(col(vecCol))
       .collect().map(_.getSeq[Float](0).toArray.map(_.toDouble))
     require(sample.length >= k, s"sample ${sample.length} < k=$k")
     val unit = sample.map(normalize)

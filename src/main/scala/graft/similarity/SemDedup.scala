@@ -95,6 +95,12 @@ object SemDedup {
       idCol: String,
       model: Ivf.Model,
       eps: Double): DataFrame = {
+    // The decision columns join back onto the caller's FULL frame; an
+    // input already carrying one of these names would produce
+    // ambiguous duplicates and a confusing na.fill failure.
+    Seq("cell", "rep_sim", "n_dup_partners", "removed")
+      .foreach(c => require(!df.columns.contains(c),
+        s"input must not contain reserved column $c"))
     val spark = df.sparkSession
     import spark.implicits._
     val cents = spark.createDataset(

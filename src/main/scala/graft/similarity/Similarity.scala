@@ -310,15 +310,29 @@ object Similarity {
       threshold: Double,
       numPlanes: Int,
       corpusSize: Long,
-      candidateBudget: Long): LshGeometry = {
+      candidateBudget: Long,
+      minRecall: Double = 0.0): LshGeometry = {
     require(corpusSize > 0, s"corpusSize=$corpusSize must be positive")
+    require(minRecall >= 0.0 && minRecall <= 1.0, s"minRecall=$minRecall must be in [0, 1]")
     val fits = geometryCandidates(threshold, numPlanes)
       .filter(_.expectedBackgroundCandidates(corpusSize) <= candidateBudget.toDouble)
     if (fits.isEmpty) throw new CandidateBudgetExceededException(
       s"no $numPlanes-plane LSH banding keeps predicted background candidates within " +
         s"$candidateBudget rows at corpus size $corpusSize (threshold $threshold) — " +
         "raise the threshold, raise the budget, or partition the corpus before mining")
-    fits.maxBy(g => (g.expectedRecall, -g.emitFactor))
+    val best = fits.maxBy(g => (g.expectedRecall, -g.emitFactor))
+    // RECALL FLOOR: "most recall the budget can buy" with no floor is
+    // a silent data-quality failure — at a large enough corpus the
+    // best affordable geometry delivers 18% recall and the caller
+    // receives a plausible-looking pair set missing 4 of every 5
+    // duplicates. Below the floor this is a refusal, not a downgrade.
+    if (best.expectedRecall < minRecall) throw new CandidateBudgetExceededException(
+      f"best under-budget $numPlanes-plane geometry ($best) delivers at-threshold recall " +
+        f"${best.expectedRecall}%.4f < required floor $minRecall%.2f at corpus size " +
+        f"$corpusSize (threshold $threshold, budget $candidateBudget) — raise the " +
+        "threshold, raise the budget, lower the floor knowingly, or partition the " +
+        "corpus before mining")
+    best
   }
 
   @transient private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
@@ -339,7 +353,11 @@ object Similarity {
     * [[CandidateBudgetExceededException]] — set this in production
     * jobs), or [[BudgetPolicy.AutoDegrade]] (re-derive the geometry as
     * the most recall the budget can buy via
-    * [[lshGeometryUnderBudget]]). Reference analogue: the reference
+    * [[lshGeometryUnderBudget]], FLOORED at `minDegradedRecall` —
+    * below the floor AutoDegrade refuses like FailFast, with the
+    * achievable recall named in the exception, because a silently
+    * 18%-recall dedup is a data-quality incident, not a degradation).
+    * Reference analogue: the reference
     * pipeline caps raw sample volume per stage rather than letting a
     * mis-sized stage run (Requirements/ExamplePipelineCode.md:232).
     */
@@ -355,7 +373,8 @@ object Similarity {
       broadcastVerify: Boolean = false,
       corpusSize: Long = 0L,
       candidateBudget: Long = 100000000L,
-      budgetPolicy: BudgetPolicy = BudgetPolicy.WarnOnly): DataFrame = {
+      budgetPolicy: BudgetPolicy = BudgetPolicy.WarnOnly,
+      minDegradedRecall: Double = 0.5): DataFrame = {
     val derived = lshGeometry(threshold, targetRecall, numPlanes)
     // Callers that know the corpus size get the x30 surprise ENFORCED
     // at plan time instead of a 97-second discovery at run time
@@ -376,7 +395,13 @@ object Similarity {
           case BudgetPolicy.FailFast => throw new CandidateBudgetExceededException(diagnosis)
           case BudgetPolicy.WarnOnly => log.warn(diagnosis); derived
           case BudgetPolicy.AutoDegrade =>
-            val fit = lshGeometryUnderBudget(threshold, numPlanes, corpusSize, candidateBudget)
+            // minDegradedRecall floors the degradation: if even the
+            // best affordable geometry misses more than half the true
+            // pairs, fail like FailFast would (the exception names the
+            // achievable recall) instead of silently shipping a
+            // mostly-empty pair set.
+            val fit = lshGeometryUnderBudget(
+              threshold, numPlanes, corpusSize, candidateBudget, minDegradedRecall)
             log.warn(diagnosis + f" — AutoDegrade: running $fit instead " +
               f"(at-threshold recall ${fit.expectedRecall}%.3f vs requested " +
               f"${derived.expectedRecall}%.3f, predicted candidates " +

@@ -258,6 +258,29 @@ class DedupSpec extends SparkSpec {
     assert(reps == Map(1L -> ((10L, Some(0.9))), 2L -> ((20L, None))), reps)
   }
 
+  test("clusterRepresentatives: NaN scores lose like NULL (never outrank via total double order)") {
+    import sqlImplicits._
+    // Unfixed, -NaN = NaN sorts ABOVE +inf in Spark's total double
+    // order, so a NaN-scored member would lose even to a null-scored
+    // one yet the struct-min would still surface garbage orderings.
+    // Contract: NaN ranks with NULL (both lose to any real score;
+    // among only NaN/NULL members the smallest id wins).
+    val members = Seq(
+      (1L, 11L, Double.NaN), (1L, 10L, 0.2),          // real score beats NaN
+      (2L, 21L, Double.NaN), (2L, 20L, Double.NaN)    // all-NaN -> smallest id
+    ).toDF("cluster", "id", "score")
+    val reps = Dedup.clusterRepresentatives(members, "cluster", "id", "score")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(reps == Map(1L -> 10L, 2L -> 20L), reps)
+    // mixed NaN + NULL: ties at -inf, smallest id wins regardless of which was NaN
+    val mixed = Seq(
+      (3L, Some(Double.NaN), 31L), (3L, Option.empty[Double], 30L)
+    ).map { case (c, s, i) => (c, i, s) }.toDF("cluster", "id", "score")
+    val rep3 = Dedup.clusterRepresentatives(mixed, "cluster", "id", "score")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(rep3 == Map(3L -> 30L), rep3)
+  }
+
   test("clusterRepresentatives supports string ids (every id type dupClusters emits)") {
     import sqlImplicits._
     val members = Seq(

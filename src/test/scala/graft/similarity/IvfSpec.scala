@@ -27,6 +27,26 @@ class IvfSpec extends SparkSpec {
     assert(m1.centroids.map(_.toSeq).toSeq == m2.centroids.map(_.toSeq).toSeq)
   }
 
+  test("train excludes degenerate vectors with the same norm guard as index") {
+    import sqlImplicits._
+    // A null ELEMENT would NPE at unboxing, a NaN element would
+    // silently poison every centroid, a zero-norm vector carries no
+    // direction — all four degenerate shapes must never reach the
+    // driver-side Lloyd loop, and the surviving model must equal the
+    // clean-corpus model (the sample hash-order keys on the vector
+    // bytes, so dropping garbage rows cannot reorder the clean ones).
+    val poisoned = clustered.select(col("vec_id"), col("embedding")).union(Seq(
+      (9001L, null: Array[java.lang.Float]),
+      (9002L, Array[java.lang.Float](1.0f, null, 0f, 0f)),
+      (9003L, Array[java.lang.Float](Float.NaN, 1f, 0f, 0f)),
+      (9004L, Array[java.lang.Float](0f, 0f, 0f, 0f))
+    ).toDF("vec_id", "embedding"))
+    val clean = Ivf.train(clustered, "embedding", k = 3, iters = 5)
+    val got = Ivf.train(poisoned, "embedding", k = 3, iters = 5)
+    assert(got.centroids.map(_.toSeq).toSeq == clean.centroids.map(_.toSeq).toSeq)
+    assert(got.centroids.forall(_.forall(x => !x.isNaN)))
+  }
+
   test("index assigns each natural cluster to a single cell") {
     val model = Ivf.train(clustered, "embedding", k = 3, iters = 5)
     val idx = Ivf.index(clustered, "embedding", "vec_id", model)

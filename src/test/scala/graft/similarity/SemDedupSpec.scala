@@ -186,4 +186,22 @@ class SemDedupSpec extends SparkSpec {
     assert(kept.columns.toSeq == df.columns.toSeq)
     assert(kept.count() == 3)
   }
+
+  test("withDecisions rejects inputs already carrying a reserved decision column") {
+    import sqlImplicits._
+    // The decision columns join back onto the caller's full frame;
+    // unguarded, a pre-existing `removed` column would surface as an
+    // ambiguous duplicate and a confusing na.fill failure instead of
+    // this named contract error.
+    val good = Array.tabulate(8)(i => (i + 1).toFloat)
+    val base = Seq((1L, good), (2L, good.map(_ * 2f))).toDF("vec_id", "embedding")
+    val model = graft.similarity.Ivf.train(base, "embedding", k = 1, iters = 2)
+    Seq("cell", "rep_sim", "n_dup_partners", "removed").foreach { c =>
+      val poisoned = base.withColumn(c, lit(0))
+      val e = intercept[IllegalArgumentException] {
+        graft.similarity.SemDedup.withDecisions(poisoned, "embedding", "vec_id", model, eps = 0.9)
+      }
+      assert(e.getMessage.contains(c), e.getMessage)
+    }
+  }
 }

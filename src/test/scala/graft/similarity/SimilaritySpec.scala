@@ -310,13 +310,43 @@ class SimilaritySpec extends SparkSpec {
       .filter(_.expectedRecall > fit.expectedRecall)
       .foreach(g => assert(g.expectedBackgroundCandidates(60000L) > 100000000.0,
         s"$g out-recalls the degraded pick yet fits the budget"))
-    // and the degraded mine executes end-to-end (identical twin pair found)
+    // and the degraded mine executes end-to-end (identical twin pair
+    // found) — floor lowered KNOWINGLY because at this corpus size the
+    // best affordable geometry is below the default 0.5 floor (the
+    // default-floor refusal is pinned by the next test)
     val v = Array.tabulate(8)(i => (i + 1).toFloat)
     val df = Seq((1L, v), (2L, v), (3L, v.map(-_))).toDF("vec_id", "embedding")
     val pairs = Similarity.nearDupPairsAuto(df, "embedding", "vec_id", threshold = 0.4,
-        dim = 8, corpusSize = 60000L, budgetPolicy = BudgetPolicy.AutoDegrade)
+        dim = 8, corpusSize = 60000L, budgetPolicy = BudgetPolicy.AutoDegrade,
+        minDegradedRecall = 0.0)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(pairs.contains((1L, 2L)), s"identical pair must survive degraded geometry: ${pairs.toSeq}")
+  }
+
+  test("AutoDegrade REFUSES below the default recall floor (x30-equivalent corpus)") {
+    import sqlImplicits._
+    // At n = 60000 (the ScaleBench x30 volume) the best geometry the
+    // 1e8 budget affords keeps only ~18% at-threshold recall — below
+    // the default minDegradedRecall = 0.5, so the mine must throw AT
+    // PLAN TIME (no job touches the 2-row frame) and the exception
+    // must NAME the achievable recall so the caller can decide.
+    val unfloored = Similarity.lshGeometryUnderBudget(
+      threshold = 0.4, numPlanes = 64, corpusSize = 60000L, candidateBudget = 100000000L)
+    assert(unfloored.expectedRecall < 0.5,
+      s"precondition: unfloored recall ${unfloored.expectedRecall} must sit below the floor")
+    val df = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val e = intercept[CandidateBudgetExceededException] {
+      Similarity.nearDupPairsAuto(df, "embedding", "vec_id", threshold = 0.4,
+        dim = 2, corpusSize = 60000L, budgetPolicy = BudgetPolicy.AutoDegrade)
+    }
+    assert(e.getMessage.contains(f"${unfloored.expectedRecall}%.4f"),
+      s"refusal must name the achievable recall: ${e.getMessage}")
+    assert(e.getMessage.contains("floor 0.5"), e.getMessage)
+    // an explicit floor BELOW the achievable recall lets the same call run
+    val ok = Similarity.lshGeometryUnderBudget(
+      threshold = 0.4, numPlanes = 64, corpusSize = 60000L,
+      candidateBudget = 100000000L, minRecall = 0.15)
+    assert(ok == unfloored, "a satisfiable floor must not change the chosen geometry")
   }
 
   test("AutoDegrade throws when no banding fits the budget at all") {
