@@ -544,7 +544,30 @@ object ScaleBench {
       // text, bounded by construction; only fingerprints leave it.
       "bin_tape" -> (() =>
         graft.text.SequencePacking.materializedBins(
-          docs, "text", "source", "doc_id", capacity = 2048).count()))
+          docs, "text", "source", "doc_id", capacity = 2048).count()),
+      // FIT ALONE, isolated from encode: the corpus pays one
+      // vocab-grain word-frequency pass; merge training runs on the
+      // driver over the capped top-10k slice — FIXED-SIZE work at any
+      // corpus scale, so the time should stay ~flat (alpha ~ the
+      // word-frequency scan's) while bpe_encode above carries the
+      // corpus-grain reassembly cost. Proves the driver loop is
+      // bounded by maxVocab, not by the 100 TB.
+      "bpe_fit" -> (() => {
+        val model = graft.text.BpeTokenizer.fit(docs, "text", numMerges = 100, maxVocab = 10000)
+        model.merges.length.toLong
+      }),
+      // Packing by TRAINED-TOKENIZER count (q80's scale twin, fit
+      // hoisted out so the entry isolates the facade): the two
+      // vocab-grain countsFromModel exchanges + the id join-back +
+      // the stratum packing exchange, in the DISTRIBUTED chunked
+      // prefix-sum form (dominant-stratum path). rows = manifest
+      // bins, growing ~linearly in the token volume.
+      "bpe_count_pack" -> (() => {
+        val model = graft.text.BpeTokenizer.fit(docs, "text", numMerges = 100, maxVocab = 10000)
+        graft.text.SequencePacking.packedBinsByBpe(
+          docs, "text", "source", "doc_id", capacity = 2048, model,
+          distributed = true).count()
+      }))
   }
 
   def main(args: Array[String]): Unit = {

@@ -1147,7 +1147,138 @@ object PipelineQueries {
       |GROUP BY source, bin
       |ORDER BY source, bin""".stripMargin
 
+  // ------------------------------------------------------ BPE counts
+  // q80/q81 pack and batch by TRAINED-TOKENIZER token count — the unit
+  // an accelerator actually pays — with the model fit on the corpus
+  // itself (numMerges = 8, maxVocab far above this fixture's distinct
+  // word count so the cap never binds and the oracle can replicate the
+  // fit uncapped). The DuckDB oracle re-derives the ENTIRE tokenizer:
+  // 8 unrolled merge rounds, each = overlap-counted adjacent-pair
+  // frequencies (weighted by word freq), argmax by (count DESC, lhs,
+  // rhs) requiring count >= 2 (the published stopping rule), then a
+  // greedy left-to-right non-overlapping fuse via the run-parity
+  // window trick (consecutive matches only arise when lhs = rhs, and
+  // greedy keeps even offsets within each run). Per the classic BPE
+  // identity — a newly fused symbol can only appear in LATER merges —
+  // the fit's final per-word segmentation equals the encode path's
+  // lowest-rank-first segmentation ([[graft.text.BpeStats
+  // .segmentWord]]), so `len(syms)` after round 8 IS `n_bpe_tokens`
+  // per word (BpeCountPackingSpec pins the fit==encode equality in
+  // Scala; the oracle run pins Scala==SQL). MATERIALIZED keeps DuckDB
+  // from exponentially inlining the round chain.
+  private val bpeNumMerges = 8
+
+  private def bpeMergeRoundSql(k: Int): String = {
+    val p = s"seg${k - 1}"
+    s"""p$k AS MATERIALIZED (
+       |  SELECT syms[i] AS l, syms[i+1] AS r, SUM(freq) AS c
+       |  FROM $p, unnest(range(1, len(syms))) AS t(i) GROUP BY 1, 2
+       |),
+       |b$k AS MATERIALIZED (SELECT l, r FROM p$k WHERE c >= 2 ORDER BY c DESC, l, r LIMIT 1),
+       |pos$k AS MATERIALIZED (
+       |  SELECT w, freq, t.i, syms[t.i] AS s, syms[t.i+1] AS nxt,
+       |    COALESCE(syms[t.i] = (SELECT l FROM b$k) AND syms[t.i+1] = (SELECT r FROM b$k), FALSE) AS m
+       |  FROM $p, unnest(range(1, len(syms)+1)) AS t(i)
+       |),
+       |run$k AS MATERIALIZED (
+       |  SELECT *, CASE WHEN m THEN i - ROW_NUMBER() OVER (PARTITION BY w, m ORDER BY i) END AS rid FROM pos$k
+       |),
+       |sel$k AS MATERIALIZED (
+       |  SELECT *, m AND ((i - MIN(i) OVER (PARTITION BY w, rid)) % 2 = 0) AS sel FROM run$k
+       |),
+       |seg$k AS MATERIALIZED (
+       |  SELECT w, freq, list(CASE WHEN sel THEN s || nxt ELSE s END ORDER BY i) AS syms
+       |  FROM (SELECT *, COALESCE(LAG(sel) OVER (PARTITION BY w ORDER BY i), FALSE) AS absorbed FROM sel$k)
+       |  WHERE NOT absorbed GROUP BY w, freq
+       |)""".stripMargin
+  }
+
+  /** CTE chain ending in `bpe_doc(doc_id, source, n_tokens)` — the
+    * per-document BPE token count, wordless documents counting 0.
+    */
+  private def bpeDocCountsSql: String = {
+    val rounds = (1 to bpeNumMerges).map(bpeMergeRoundSql).mkString(",\n")
+    s"""WITH wf AS MATERIALIZED (
+       |  SELECT w, CAST(COUNT(*) AS BIGINT) AS freq
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE len(w) > 0 GROUP BY w
+       |),
+       |seg0 AS MATERIALIZED (
+       |  SELECT w, freq, list_append(string_split(w, ''), '</w>') AS syms FROM wf
+       |),
+       |$rounds,
+       |nsub AS MATERIALIZED (SELECT w, CAST(len(syms) AS BIGINT) AS n_sub FROM seg$bpeNumMerges),
+       |docw AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+       |),
+       |bpe_doc AS (
+       |  SELECT d.doc_id, d.source, COALESCE(s.n, 0) AS n_tokens
+       |  FROM documents d LEFT JOIN (
+       |    SELECT doc_id, CAST(SUM(n_sub) AS BIGINT) AS n
+       |    FROM docw JOIN nsub USING (w) WHERE len(w) > 0 GROUP BY doc_id
+       |  ) s USING (doc_id)
+       |)""".stripMargin
+  }
+
+  /** q80: sequence packing by BPE token count
+    * ([[SequencePacking.packedBinsByBpe]]) — q40's manifest with the
+    * counts a trained tokenizer produces instead of whitespace words.
+    */
+  def q80BpePacking(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Sources.documents(spark, dir)
+    val model = graft.text.BpeTokenizer.fit(docs, "text", numMerges = bpeNumMerges, maxVocab = 100000)
+    SequencePacking.packedBinsByBpe(docs, "text", "source", "doc_id", capacity = 2048, model)
+      .orderBy("source", "bin")
+  }
+
+  val q80Sql: String =
+    s"""$bpeDocCountsSql,
+       |o AS (
+       |  SELECT doc_id, source, n_tokens,
+       |    sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS start_offset
+       |  FROM bpe_doc
+       |)
+       |SELECT source, CAST(floor(start_offset / 2048.0) AS BIGINT) AS bin,
+       |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       |  min(doc_id) AS first_id, max(doc_id) AS last_id
+       |FROM o
+       |GROUP BY source, bin
+       |ORDER BY source, bin""".stripMargin
+
+  /** q81: length-bucketed batching by BPE token count
+    * ([[LengthBatching.batchSummaryByBpe]]) — q75's manifest with
+    * buckets, padded cost, and efficiency measured in trained
+    * tokenizer tokens.
+    */
+  def q81BpeLengthBatching(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Sources.documents(spark, dir)
+    val model = graft.text.BpeTokenizer.fit(docs, "text", numMerges = bpeNumMerges, maxVocab = 100000)
+    graft.text.LengthBatching.batchSummaryByBpe(
+      docs, "text", "doc_id", model, bucketWidth = 64, batchSize = 16)
+      .orderBy("bucket", "batch_id")
+  }
+
+  val q81Sql: String =
+    s"""$bpeDocCountsSql,
+       |b AS (
+       |  SELECT doc_id, n_tokens, n_tokens // 64 AS bucket,
+       |    (row_number() OVER (PARTITION BY n_tokens // 64 ORDER BY doc_id) - 1) // 16 AS batch_id
+       |  FROM bpe_doc
+       |)
+       |SELECT bucket, batch_id,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  max(n_tokens) AS max_tokens,
+       |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+       |  CAST(count(*) * max(n_tokens) AS BIGINT) AS padded_tokens,
+       |  CAST(sum(n_tokens) AS DOUBLE) / CAST(count(*) * max(n_tokens) AS DOUBLE) AS pad_efficiency
+       |FROM b
+       |GROUP BY bucket, batch_id
+       |ORDER BY bucket, batch_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q80_bpe_packing" -> (q80BpePacking _),
+    "q81_bpe_length_batching" -> (q81BpeLengthBatching _),
     "q79_bin_tape" -> (q79BinTape _),
     "q78_decontamination_suites" -> (q78DecontaminationSuites _),
     "q77_corpus_release" -> (q77CorpusRelease _),
@@ -1177,6 +1308,8 @@ object PipelineQueries {
     "q46_decontaminated" -> (q46Decontaminated _))
 
   val oracle: Map[String, String] = Map(
+    "q80_bpe_packing" -> q80Sql,
+    "q81_bpe_length_batching" -> q81Sql,
     "q79_bin_tape" -> q79Sql,
     "q78_decontamination_suites" -> q78Sql,
     "q77_corpus_release" -> q77Sql,

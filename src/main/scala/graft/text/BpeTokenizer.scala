@@ -113,6 +113,54 @@ object BpeTokenizer {
       .withColumn("n_bpe_tokens", size(col("token_ids")).cast("long"))
   }
 
+  /** `df` plus `n_bpe_tokens` — [[encode]]'s token COUNT without
+    * materializing the id arrays, for pipelines that pack or batch by
+    * what an accelerator actually pays (BPE tokens) rather than
+    * whitespace words (whitespace counts misestimate bin occupancy on
+    * any non-English or code corpus; the gap is exactly the
+    * tokens-per-word fertility). The count is defined as the length
+    * of [[encode]]'s `token_ids` for the same model — including the
+    * drift check: a word whose segmentation leaves the vocabulary
+    * (corpus drifted since fit) throws the same error encode would,
+    * rather than silently counting tokens an encode could not emit.
+    *
+    * Scale shape, same as [[encode]]: the merge loop runs once per
+    * DISTINCT word (vocab grain), the corpus pays one broadcast join
+    * + one per-doc sum, and the counts rejoin the caller's frame with
+    * an `idCol` equi-join (wordless documents count 0). `idCol` must
+    * be globally unique — it keys the join back.
+    */
+  def countsFromModel(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      model: BpeModel): DataFrame = {
+    require(!df.columns.contains("n_bpe_tokens"),
+      "input must not contain reserved column n_bpe_tokens")
+    val bc = df.sparkSession.sparkContext.broadcast(model)
+    val segLen = udf { (w: String) =>
+      requireNoMarker(w)
+      val m = bc.value
+      val segs = BpeStats.segmentWord(w, m.ranks)
+      segs.foreach { s =>
+        if (!m.vocab.contains(s)) throw new IllegalStateException(
+          s"symbol '$s' not in vocab — corpus drifted since fit (new character?)")
+      }
+      segs.length.toLong
+    }
+    val words = df
+      .select(col(idCol), explode(split(col(textCol), " ")).as("__bp_w"))
+      .filter(length(col("__bp_w")) > 0)
+    val vocabLen = words.select(col("__bp_w")).distinct()
+      .withColumn("__bp_n", segLen(col("__bp_w")))
+    val counts = words
+      .join(bcast(vocabLen), Seq("__bp_w"))
+      .groupBy(col(idCol))
+      .agg(sum(col("__bp_n")).as("n_bpe_tokens"))
+    df.join(counts, Seq(idCol), "left")
+      .withColumn("n_bpe_tokens", coalesce(col("n_bpe_tokens"), lit(0L)))
+  }
+
   /** Row-local encoding column: the whole document segmented in one
     * UDF call — token-identical to [[encode]] (same segmenter, same
     * vocab) but with NO vocab-grain memoization, so each occurrence

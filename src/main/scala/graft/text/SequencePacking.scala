@@ -269,6 +269,51 @@ object SequencePacking {
       else assignBinsFromCounts(df, tokensCol, strataCol, orderCol, capacity),
       tokensCol, strataCol, orderCol)
 
+  /** [[packedBinsFromCounts]] with the counts taken from a trained BPE
+    * tokenizer ([[BpeTokenizer.countsFromModel]]) — packing by what the
+    * accelerator actually pays. [[assignBins]]' whitespace
+    * `TextAnalysis.tokenCount` misestimates bin occupancy by the
+    * corpus' tokens-per-word fertility (any non-English or code
+    * corpus); with a fitted model in hand the real count is one facade
+    * call. `orderCol` doubles as the globally-unique id that keys the
+    * count join (doc ids are). Scale shape = countsFromModel's
+    * vocab-grain segmentation + one id equi-join, then the packing
+    * exchange; `distributed = true` is the dominant-stratum path
+    * (chunked prefix sum, bit-identical output).
+    */
+  def packedBinsByBpe(
+      df: DataFrame,
+      textCol: String,
+      strataCol: String,
+      orderCol: String,
+      capacity: Int,
+      model: BpeTokenizer.BpeModel,
+      distributed: Boolean = false,
+      numChunks: Int = 64): DataFrame =
+    packedBinsFromCounts(
+      BpeTokenizer.countsFromModel(df, textCol, orderCol, model),
+      "n_bpe_tokens", strataCol, orderCol, capacity, distributed, numChunks)
+
+  /** Per-document bin assignment by BPE token count — [[assignBins]]
+    * with [[BpeTokenizer.countsFromModel]] counts (see
+    * [[packedBinsByBpe]]); adds `n_bpe_tokens`, `start_offset`, `bin`.
+    */
+  def assignBinsByBpe(
+      df: DataFrame,
+      textCol: String,
+      strataCol: String,
+      orderCol: String,
+      capacity: Int,
+      model: BpeTokenizer.BpeModel,
+      distributed: Boolean = false,
+      numChunks: Int = 64): DataFrame = {
+    val counted = BpeTokenizer.countsFromModel(df, textCol, orderCol, model)
+    if (distributed)
+      assignBinsDistributedFromCounts(counted, "n_bpe_tokens", strataCol, orderCol, capacity, numChunks)
+    else
+      assignBinsFromCounts(counted, "n_bpe_tokens", strataCol, orderCol, capacity)
+  }
+
   /** Bin MATERIALIZATION: the [[packedBins]] manifest plus `tape_fp`
     * — the md5 of each bin's concatenated document tape in layout
     * order. This is the artifact a trainer actually consumes (the

@@ -244,7 +244,17 @@ class PlanContractSpec extends SparkSpec {
     // also serves the bin groupBy with its in-partition ordered-tape
     // concat) + oracle ORDER BY; only 32-char fingerprints leave the
     // aggregate
-    "q79_bin_tape" -> 2)
+    "q79_bin_tape" -> 2,
+    // q80: q40's packing shape (stratum window exchange, reused by the
+    // bin summary, + oracle ORDER BY) plus countsFromModel's two: the
+    // distinct-word vocab-grain exchange and the groupBy(doc) count
+    // exchange. The count join back to the document frame broadcasts
+    // at this scale; at corpus scale it becomes an id equi-join —
+    // the facade's documented cost. Text never shuffles.
+    "q80_bpe_packing" -> 4,
+    // q81: q75's batching shape (bucket exchange reused by the summary
+    // + oracle ORDER BY) plus the same two countsFromModel exchanges.
+    "q81_bpe_length_batching" -> 4)
 
   test("no query plans a cartesian product or nested-loop join") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
