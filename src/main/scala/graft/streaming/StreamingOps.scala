@@ -599,6 +599,66 @@ object StreamingOps {
         })
   }
 
+  /** Streaming twin of the q77 GATE CHAIN — the corpus-release
+    * composition minus the permutation: exact dedup → Gopher quality
+    * gate → decontamination REMOVAL, one composed stream. Each stage
+    * is the already-pinned twin of its batch counterpart:
+    *
+    *  - dedup is [[exactDedupStream]] (cross-batch fingerprint state;
+    *    first arrival wins — equal to the batch smallest-id canonical
+    *    when ids arrive in order, the documented parity caveat);
+    *  - the gate is the BATCH [[graft.text.QualityFilters.gophered]]
+    *    itself — every signal is row-local column algebra and the
+    *    pushdown fence is a stateless leaf, so the exact batch
+    *    operator runs unchanged on the stream (no twin needed);
+    *  - decontamination removal inverts [[decontaminationStream]]'s
+    *    flag: a document whose distinct-`n`-gram overlap fraction
+    *    with the benchmark snapshot reaches `flagThreshold` is
+    *    DROPPED (the batch [[graft.text.Decontamination
+    *    .decontaminated]] left-anti); gram-free documents (< n
+    *    tokens) cannot be flagged and pass, exactly as in batch.
+    *
+    * Output = the caller's columns, append-mode-legal (dedup is the
+    * only stateful stage). Same control-plane-size guard as
+    * [[decontaminationStream]]: the gram set embeds as a plan
+    * literal. Parity (StreamingOpsSpec): over any prefix fed in id
+    * order, the kept id set equals the batch
+    * dedup→gophered→decontaminated composition on the union of those
+    * batches — q77's released set when fed the corpus slice with the
+    * bench slice's grams.
+    */
+  def releaseGateStream(
+      docs: DataFrame,
+      benchGrams: Seq[String],
+      textCol: String,
+      idCol: String,
+      tsCol: Option[String] = None,
+      watermark: String = "1 hour",
+      n: Int = 3,
+      flagThreshold: Double = 0.05,
+      maxBenchGrams: Int = 1000000): DataFrame = {
+    require(benchGrams.size <= maxBenchGrams,
+      s"releaseGateStream embeds benchGrams as a plan literal: ${benchGrams.size} grams " +
+        s"exceeds maxBenchGrams=$maxBenchGrams — snapshot the grams into a static table " +
+        "and compose decontaminationStreamJoin instead, or raise the bound knowingly")
+    Seq("__rg_gs", "__rg_overlap").foreach(c =>
+      require(!docs.columns.contains(c), s"input must not contain reserved column $c"))
+    val deduped = exactDedupStream(docs, textCol, tsCol, watermark)
+    // gophered appends signal columns; project back to the caller's
+    // frame so the composed stream's schema is its input's
+    val gated = graft.text.QualityFilters.gophered(deduped, textCol)
+      .select(docs.columns.map(col): _*)
+    gated
+      .withColumn("__rg_gs", graft.text.Decontamination.distinctNgrams(col(textCol), n))
+      .withColumn("__rg_overlap",
+        size(array_intersect(col("__rg_gs"), lit(benchGrams.toArray))).cast("long"))
+      // NaN guard is structural: the fraction is only compared when
+      // __rg_overlap > 0, which forces size(__rg_gs) > 0
+      .filter(col("__rg_overlap") === 0L ||
+        col("__rg_overlap").cast("double") / size(col("__rg_gs")).cast("double") < flagThreshold)
+      .drop("__rg_gs", "__rg_overlap")
+  }
+
   /** Streaming twin of [[graft.text.LineOps]] boilerplate scrubbing
     * (`dedupLines(keepFirst = false)` against a corpus snapshot):
     * strip every line whose md5 is in the flagged-line snapshot from

@@ -43,6 +43,43 @@ class CorpusReleaseSpec extends SparkSpec {
     } finally { out.unpersist(); () }
   }
 
+  test("writeShards materializes the FULL q77 release and replays its exact permutation") {
+    // The trainer-facing contract, end to end over the real release
+    // (not synthetic ids): materializing the release's survivors with
+    // the same seed and walking shard directories in name order, rows
+    // in file order, must replay q77's global_pos 0..N-1 byte for
+    // byte — the loader never re-sorts, and no global sort ever ran.
+    val release = PipelineQueries.q77CorpusRelease(spark, dir).cache()
+    val outDir = java.nio.file.Files.createTempDirectory("graft-release-shards").toString
+    try {
+      val expected = release
+        .select("global_pos", "doc_id", "lang", "source")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3)))
+        .sortBy(_._1).toSeq
+      assert(expected.nonEmpty)
+      graft.ops.CorpusShuffle.writeShards(
+        release.select("doc_id", "lang", "source"), "doc_id", seed = "release", path = outDir)
+      val shardDirs = new java.io.File(outDir).listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("shard=")).sortBy(_.getName)
+      val replayed = shardDirs.toSeq.flatMap { d =>
+        // FILE order within the shard — the loader's read path
+        spark.read.parquet(d.getAbsolutePath)
+          .select("global_pos", "doc_id", "lang", "source")
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3)))
+      }
+      assert(replayed.map(_._1) == expected.indices.map(_.toLong),
+        "shard-order file-order read must enumerate global_pos densely")
+      assert(replayed == expected,
+        "the materialized release must replay q77's exact permutation, payload included")
+    } finally {
+      release.unpersist()
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(outDir))
+    }
+  }
+
   test("the executed plan reuses the repeated subtrees the 12-exchange budget counts") {
     val df = PipelineQueries.q77CorpusRelease(spark, dir)
     df.collect()

@@ -403,6 +403,47 @@ class StreamingOpsSpec extends SparkSpec {
     assert(got.nonEmpty) // the fixture slice really contaminates
   }
 
+  test("releaseGateStream (q77's gate chain) matches the batch release content set") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import sqlImplicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.sources.Sources.documents(spark, dir)
+      .select("doc_id", "text").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val (benchDocs, corpusDocs) = docs.partition(_._1 % 97 == 0)
+    val bench = StreamingOps.benchGramSet(benchDocs.toDF("doc_id", "text"), "text")
+    val input = MemoryStream[(Long, String)]
+    val stream = StreamingOps.releaseGateStream(
+      input.toDF().toDF("doc_id", "text"), bench, "text", "doc_id")
+    val q = stream.writeStream.outputMode("append").format("memory").queryName("rgs").start()
+    corpusDocs.grouped(100).foreach { b => input.addData(b); q.processAllAvailable() }
+    q.stop()
+    val kept = spark.table("rgs")
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("fp"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    // Batch truth: q77's released set minus the permutation columns.
+    // Dedup's representative WITHIN a micro-batch is arbitrary (the
+    // batch path keeps the smallest id — the documented parity
+    // caveat), but gate and decontamination decide on TEXT alone, so
+    // the released CONTENT set and its cardinality are deterministic.
+    val released = graft.queries.PipelineQueries.q77CorpusRelease(spark, dir)
+      .select("doc_id")
+      .join(graft.sources.Sources.documents(spark, dir), Seq("doc_id"))
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("fp"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(kept.map(_._2).toSet == released.map(_._2).toSet,
+      "stream gate chain must keep exactly the batch release's content set")
+    assert(kept.length == released.length,
+      "one representative per surviving content group")
+    // every kept id is a corpus-side id that carries released content
+    val validIds = corpusDocs.toMap
+    kept.foreach { case (id, fp) =>
+      assert(validIds.contains(id) && id % 97 != 0)
+      assert(released.map(_._2).toSet.contains(fp))
+    }
+    assert(kept.nonEmpty)
+  }
+
   test("decontaminationStream fails fast on a corpus-sized benchmark gram set") {
     import sqlImplicits._
     // the gram set embeds as a plan literal, so an over-bound set must
