@@ -1,0 +1,157 @@
+package graft.dedup
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Containment-similarity near-duplicate detection — the measure
+  * Jaccard dedup structurally misses: a short document embedded
+  * verbatim inside a much longer one has
+  * `containment = |A ∩ B| / min(|A|, |B|) ≈ 1` while
+  * `jaccard = |A ∩ B| / |A ∪ B| ≈ |A| / |B| ≈ 0`, so MinHash/LSH
+  * Jaccard pipelines ([[Dedup.ngramJaccardPairs]]) never surface it.
+  * Boilerplate-wrapped mirrors, quote-inflated posts, and
+  * doc-in-anthology duplication are all containment-shaped; corpus
+  * curation needs both measures.
+  *
+  * Reference analogue: the reference's dedup stage is whole-document
+  * (`/root/reference/Requirements/ExamplePipelineCode.md` drops exact
+  * duplicates only); containment extends it the same way the Jaccard
+  * pack does, as a superset operator over the shared shingle machinery
+  * ([[ShingleHashes]]).
+  *
+  * Two forms, provably equal (ContainmentSpec pins it):
+  *
+  *  - [[containmentPairs]] — full shingle self-join; O(sum over
+  *    shingle buckets squared). The small-scale oracle form.
+  *  - [[containmentPairsPrefix]] — the 100 TB path: PPJoin-style
+  *    prefix filtering (Chaudhuri et al., "A Primitive Operator for
+  *    Similarity Joins", ICDE 2006 — public literature). EXACT, not
+  *    approximate: LSH banding loses containment pairs by design
+  *    (the signatures estimate Jaccard), but the prefix filter's
+  *    pigeonhole bound loses nothing, so the scale path needs no
+  *    recall contract.
+  *
+  * Prefix-filter correctness: order every shingle by (corpus document
+  * frequency ASC, hash ASC) — a global total order that puts the
+  * RAREST shingles first. For a document A with `na` distinct shingles
+  * and threshold `t`, any qualifying partner shares at least
+  * `alpha = ceil(t * na)` of them (containment uses min(|A|,|B|), so
+  * the bound holds whenever A is the smaller side, and each unordered
+  * pair is generated from its smaller member). If a partner missed all
+  * of A's first `na - alpha + 1` shingles in that order, it could
+  * share at most `alpha - 1` — contradiction. So joining only the
+  * prefix against the full shingle table finds every qualifying pair,
+  * and because prefixes hold the rarest shingles, bucket sizes stay
+  * small: the join cost tracks the frequency of RARE grams, not hot
+  * ones.
+  */
+object Containment {
+
+  /** Exact all-pairs containment over distinct word-n-gram shingle
+    * hashes: `(id_a, id_b, containment)` with `id_a < id_b` and
+    * `containment = shared / least(na, nb) >= threshold`.
+    * Small-scale oracle form — the self-join on `g` is quadratic in
+    * hot-shingle bucket sizes; use [[containmentPairsPrefix]] beyond
+    * toy scale.
+    */
+  def containmentPairs(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int = 3,
+      threshold: Double = 0.8): DataFrame = {
+    val sh = shingleTable(df, textCol, idCol, n)
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
+    val a = sh.toDF("id_a", "g")
+    val b = sh.toDF("id_b", "g")
+    val shared = a.join(b, "g").filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("shared"))
+    withContainment(shared, sizes, threshold)
+  }
+
+  /** The scale path: prefix-filtered candidate generation + exact
+    * verification. Equal to [[containmentPairs]] row for row on any
+    * input (see object scaladoc for the pigeonhole argument); the
+    * shuffle joins touch only (8-byte hash, id) pairs, never text.
+    *
+    * Plan shape at 100 TB: one shingle scan, one doc-frequency
+    * aggregate on `g`, one per-document rank window (partitioned by
+    * `id` — no global window), a prefix⋈full equi-join on `g` whose
+    * build side is the rarest-shingle slice, then verification joins
+    * keyed by candidate ids. Documents whose every shingle is hot
+    * still pay that bucket's cost — that is the measure's intrinsic
+    * price, not a plan defect (their qualifying partners genuinely
+    * live in those buckets).
+    */
+  def containmentPairsPrefix(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int = 3,
+      threshold: Double = 0.8): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"containment threshold $threshold must be in (0, 1]")
+    val sh = shingleTable(df, textCol, idCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
+
+    // Global shingle order: document frequency ASC, hash ASC. The
+    // required overlap is alpha = ceil(t * na); the 1e-9 slack guards
+    // the float product rounding a hair ABOVE the exact value (which
+    // would push ceil one too high and the prefix one too short,
+    // risking a pair sitting exactly at the threshold) — erring
+    // toward a longer prefix only adds candidates, never loses any.
+    val dfreq = sh.groupBy("g").agg(count(lit(1)).as("__dfreq"))
+    val ranked = sh.join(dfreq, "g")
+      .withColumn("__rk",
+        row_number().over(Window.partitionBy("id").orderBy(col("__dfreq").asc, col("g").asc)))
+      .join(sizes, "id")
+      .withColumn("__plen",
+        col("n_sh") - ceil(col("n_sh") * lit(threshold) - lit(1e-9)) + lit(1L))
+    val prefix = ranked.filter(col("__rk") <= col("__plen")).select("id", "g")
+
+    // Candidates: a prefix shingle of EITHER member matches the other
+    // member's full set. Generating from both sides' prefixes is
+    // slightly redundant (the smaller side's prefix suffices) but
+    // keeps the plan one symmetric join; distinct() collapses the
+    // duplicates before verification pays anything.
+    val cand = prefix.toDF("id_a", "g")
+      .join(sh.toDF("id_b", "g"), "g")
+      .filter(col("id_a") =!= col("id_b"))
+      .select(
+        least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"))
+      .distinct()
+
+    // Exact verification on candidates only: re-join each pair to its
+    // two shingle sets, count the intersection.
+    val shared = cand
+      .join(sh.toDF("id_a", "g"), "id_a")
+      .join(sh.toDF("id_b", "g"), Seq("id_b", "g"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("shared"))
+    val out = withContainment(shared, sizes, threshold)
+    // The persist above is consumed by 4 branches of ONE job; let it
+    // age out naturally rather than unpersisting under a lazy result.
+    out
+  }
+
+  /** `(id, g)` — distinct shingle-hash table; documents with fewer
+    * than `n` tokens contribute no rows (empty shingle set ⇒ they can
+    * never reach any containment threshold > 0, same contract as the
+    * Jaccard path).
+    */
+  private def shingleTable(df: DataFrame, textCol: String, idCol: String, n: Int): DataFrame =
+    df.select(
+      col(idCol).as("id"),
+      explode(ShingleHashes.shingleHashes(col(textCol), n)).as("g"))
+
+  private def withContainment(shared: DataFrame, sizes: DataFrame, threshold: Double): DataFrame =
+    shared
+      .join(sizes.toDF("id_a", "na"), "id_a")
+      .join(sizes.toDF("id_b", "nb"), "id_b")
+      .withColumn("containment",
+        col("shared").cast("double") / least(col("na"), col("nb")).cast("double"))
+      .filter(col("containment") >= threshold)
+      .select("id_a", "id_b", "containment")
+}

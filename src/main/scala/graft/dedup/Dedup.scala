@@ -427,14 +427,41 @@ object Dedup {
       df: DataFrame,
       textCol: String,
       idCol: String,
-      maxHamming: Int = 8): DataFrame = {
-    val withSig = df.select(
-      col(idCol).as("id"),
-      SimHash64.simhash64(TextAnalysis.tokens(col(textCol))).as("sig"))
-    val banded = withSig.select(
-      col("id"), col("sig"),
-      explode(array((0 until 4).map { b =>
-        struct(lit(b).as("band"), shiftright(col("sig"), b * 16).bitwiseAND(lit(0xffffL)).as("h"))
+      maxHamming: Int = 8): DataFrame =
+    hammingPairs(
+      df.select(
+        col(idCol).as("id"),
+        SimHash64.simhash64(TextAnalysis.tokens(col(textCol))).as("sig")),
+      "id", "sig", maxHamming)
+
+  /** Generic banded Hamming self-join over any 64-bit fingerprint
+    * column (SimHash, perceptual image hashes): bucket each signature
+    * by `bands` equal bit-slices, candidates share at least one slice
+    * verbatim, verify by exact `bit_count(xor)`. Output
+    * `(id_a, id_b, hamming)` with `id_a < id_b`,
+    * `hamming <= maxHamming`.
+    *
+    * Pigeonhole: `maxHamming < bands` makes the result EXACT — fewer
+    * differing bits than bands forces one band to match bit-for-bit.
+    * Above that it is a recall/candidate-volume dial (the default
+    * SimHash setting, 8 flips across 4 bands, accepts that trade and
+    * documents it at the call site). Bands stay wide (64/bands bits)
+    * so bucket values keep high cardinality — narrow bands would turn
+    * the bucket join quadratic.
+    */
+  def hammingPairs(
+      df: DataFrame,
+      idCol: String,
+      sigCol: String,
+      maxHamming: Int,
+      bands: Int = 4): DataFrame = {
+    require(bands >= 1 && 64 % bands == 0, s"bands=$bands must divide 64")
+    val width = 64 / bands
+    val mask = if (width == 64) -1L else (1L << width) - 1L
+    val banded = df.select(
+      col(idCol).as("id"), col(sigCol).as("sig"),
+      explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"), shiftright(col("sig"), b * width).bitwiseAND(lit(mask)).as("h"))
       }: _*)).as("bk"))
       .select(col("id"), col("sig"), col("bk.band"), col("bk.h"))
     val a = banded.toDF("id_a", "sig_a", "band", "h")

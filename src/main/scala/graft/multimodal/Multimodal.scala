@@ -345,6 +345,49 @@ object Multimodal {
     }
   }
 
+  /** Build a synthetic media table of REAL encoded PNGs from any
+    * (id, text) frame — test scaffolding one notch more honest than
+    * [[syntheticMedia]]: the payload actually decodes, and the pixels
+    * are a pure function of the text (gray value = text byte at the
+    * pixel's scan position), so duplicate texts yield bit-identical
+    * images and near-duplicate texts yield images differing in a few
+    * pixels — exactly the fixture a perceptual-hash dedup needs.
+    * PNG encode runs per-partition (one `ImageIO` call per row, no
+    * driver loop).
+    */
+  def syntheticImages(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      w: Int = 32,
+      h: Int = 32): Dataset[MediaRow] = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long").as("media_id"), col(textCol).as("text"))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, text) =>
+          val bytes =
+            if (text == null) Array.emptyByteArray
+            else text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val v = if (bytes.isEmpty) 0 else bytes((y * w + x) % bytes.length) & 0xff
+              img.setRGB(x, y, (v << 16) | (v << 8) | v)
+              x += 1
+            }
+            y += 1
+          }
+          val out = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", out)
+          MediaRow(id, "image", out.toByteArray,
+            Map("width" -> w.toString, "height" -> h.toString))
+        }
+      }
+  }
+
   /** Build a synthetic media table from any (id, text) frame — test
     * scaffolding: text bytes stand in for an encoded payload.
     */

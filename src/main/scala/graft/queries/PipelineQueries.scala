@@ -1276,7 +1276,50 @@ object PipelineQueries {
        |GROUP BY bucket, batch_id
        |ORDER BY bucket, batch_id""".stripMargin
 
+  /** q85: tokenizer fertility analytics — per (lang, source) corpus
+    * slice, BPE tokens per whitespace word (fertility) and characters
+    * per BPE token (compression), the two numbers that decide whether
+    * a tokenizer is fit for a corpus slice (fertility spikes on
+    * scripts/domains the merges never saw — exactly the gap q80/q81
+    * exist to price). Counts come from [[graft.text.BpeTokenizer
+    * .countsFromModel]] (vocab-grain merge loop, broadcast join); the
+    * DuckDB oracle re-derives the whole fit (the q80 CTE chain), so
+    * the match is hash-exact.
+    */
+  def q85BpeFertility(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Sources.documents(spark, dir)
+    val model = graft.text.BpeTokenizer.fit(docs, "text", numMerges = bpeNumMerges, maxVocab = 100000)
+    graft.text.BpeTokenizer.countsFromModel(docs, "text", "doc_id", model)
+      .withColumn("__nw", size(filter(split(col("text"), " "), w => length(w) > 0)).cast("long"))
+      .groupBy("lang", "source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("__nw")).as("sum_words"),
+        sum(col("n_bpe_tokens")).as("sum_tokens"),
+        (sum(col("n_bpe_tokens")).cast("double") / sum(col("__nw")).cast("double")).as("fertility"),
+        (sum(col("n_chars")).cast("double") / sum(col("n_bpe_tokens")).cast("double")).as("chars_per_token"))
+      .orderBy("lang", "source")
+  }
+
+  val q85Sql: String =
+    s"""$bpeDocCountsSql,
+       |d AS (
+       |  SELECT b.doc_id, d.lang, b.source, d.n_chars, b.n_tokens,
+       |    CAST(len(list_filter(string_split(d.text, ' '), x -> len(x) > 0)) AS BIGINT) AS n_words
+       |  FROM bpe_doc b JOIN documents d USING (doc_id)
+       |)
+       |SELECT lang, source,
+       |  count(*) AS n_docs,
+       |  CAST(sum(n_words) AS BIGINT) AS sum_words,
+       |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+       |  CAST(sum(n_tokens) AS DOUBLE) / CAST(sum(n_words) AS DOUBLE) AS fertility,
+       |  CAST(sum(n_chars) AS DOUBLE) / CAST(sum(n_tokens) AS DOUBLE) AS chars_per_token
+       |FROM d
+       |GROUP BY lang, source
+       |ORDER BY lang, source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q85_bpe_fertility" -> (q85BpeFertility _),
     "q80_bpe_packing" -> (q80BpePacking _),
     "q81_bpe_length_batching" -> (q81BpeLengthBatching _),
     "q79_bin_tape" -> (q79BinTape _),
@@ -1308,6 +1351,7 @@ object PipelineQueries {
     "q46_decontaminated" -> (q46Decontaminated _))
 
   val oracle: Map[String, String] = Map(
+    "q85_bpe_fertility" -> q85Sql,
     "q80_bpe_packing" -> q80Sql,
     "q81_bpe_length_batching" -> q81Sql,
     "q79_bin_tape" -> q79Sql,

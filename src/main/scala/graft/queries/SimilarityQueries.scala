@@ -204,7 +204,57 @@ object SimilarityQueries {
       |GROUP BY label
       |ORDER BY label""".stripMargin
 
+  /** q83: perceptual-hash image near-dup pairs over REAL encoded PNGs
+    * (deterministic pixels from each document's text —
+    * [[graft.multimodal.Multimodal.syntheticImages]]), aHash at
+    * Hamming <= 3 via the banded self-join. Rows-only: DuckDB cannot
+    * decode PNG; the contract (pair set identical to a brute-force
+    * Hamming pass over independently recomputed hashes, and duplicate
+    * texts always paired at Hamming 0) is pinned in
+    * RowsOnlyContractSpec / PerceptualHashSpec.
+    */
+  def q83PhashDups(spark: SparkSession, dir: String): DataFrame = {
+    val media = graft.multimodal.Multimodal.syntheticImages(
+      Sources.documents(spark, dir), "doc_id", "text")
+    graft.multimodal.PerceptualHash.phashDupPairs(media, maxHamming = 3, which = "ahash")
+      .orderBy("id_a", "id_b")
+  }
+
+  private val kmeansModelCache = scala.collection.concurrent.TrieMap.empty[String, graft.similarity.Ivf.Model]
+
+  private def kmeansModel(spark: SparkSession, dir: String): graft.similarity.Ivf.Model =
+    kmeansModelCache.getOrElseUpdate(dir,
+      graft.similarity.Ivf.trainDistributed(
+        Sources.embeddings(spark, dir), "embedding", k = 8, iters = 5))
+
+  /** q84: full-corpus distributed k-means ([[graft.similarity.Ivf
+    * .trainDistributed]]) cell balance — per-cell membership count and
+    * mean cosine to the centroid. Rows-only: k-means geometry is not
+    * SQL-expressible; the contract (counts sum to the corpus, every
+    * cell's mean cosine above a floor, assignments equal the
+    * driver-side fit on this sample-sized corpus) is pinned in
+    * RowsOnlyContractSpec / IvfSpec.
+    */
+  def q84KmeansCells(spark: SparkSession, dir: String): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+    val model = kmeansModel(spark, dir)
+    val cents = spark.createDataset(
+      model.centroids.toIndexedSeq.zipWithIndex.map { case (c, i) => (i, c.toSeq) })
+      .toDF("cell", "__centroid")
+    graft.similarity.Ivf.index(Sources.embeddings(spark, dir), "embedding", "vec_id", model)
+      .join(broadcast(cents), Seq("cell"))
+      .withColumn("__sim", Similarity.dot(col("embedding"), col("__centroid")))
+      .groupBy("cell")
+      .agg(
+        count(lit(1)).as("n_vectors"),
+        avg(col("__sim")).as("mean_cosine"))
+      .orderBy("cell")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q83_phash_dups" -> (q83PhashDups _),
+    "q84_kmeans_cells" -> (q84KmeansCells _),
     "q28_knn_brute" -> (q28KnnBrute _),
     "q29_knn_ann" -> (q29KnnAnn _),
     "q30_embedding_near_dup" -> (q30EmbeddingNearDup _),

@@ -805,7 +805,43 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** q82: containment near-dup pairs — the measure Jaccard dedup
+    * misses (short doc embedded in a long one). Runs the 100 TB
+    * prefix-filtered path ([[graft.dedup.Containment
+    * .containmentPairsPrefix]]), which is EXACT (pigeonhole, not LSH
+    * recall), so the DuckDB all-pairs oracle must match hash-for-hash.
+    * Threshold 0.8 is boundary-safe on this fixture: near-dup texts
+    * sit at ~0.99, background below ~0.3.
+    */
+  def q82ContainmentPairs(spark: SparkSession, dir: String): DataFrame =
+    graft.dedup.Containment.containmentPairsPrefix(
+      Sources.documents(spark, dir), "text", "doc_id", n = 3, threshold = 0.8)
+      .orderBy("id_a", "id_b")
+
+  val q82Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text,' ')) AS w,
+      |         generate_subscripts(string_split(text,' '),1) AS i
+      |  FROM documents
+      |), ng AS (
+      |  SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS g
+      |  FROM toks a JOIN toks b ON a.doc_id=b.doc_id AND b.i=a.i+1
+      |              JOIN toks c ON a.doc_id=c.doc_id AND c.i=a.i+2
+      |), sizes AS (SELECT doc_id, count(*) n FROM ng GROUP BY doc_id),
+      |shared AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+      |  FROM ng a JOIN ng b ON a.g = b.g AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2
+      |)
+      |SELECT id_a, id_b, c*1.0/least(sa.n, sb.n) AS containment
+      |FROM shared
+      |JOIN sizes sa ON sa.doc_id = id_a
+      |JOIN sizes sb ON sb.doc_id = id_b
+      |WHERE c*1.0/least(sa.n, sb.n) >= 0.8
+      |ORDER BY id_a, id_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q82_containment_pairs" -> (q82ContainmentPairs _),
     "q76_bpe_encode" -> (q76BpeEncode _),
     "q51_bpe_pair_stats" -> (q51BpePairStats _),
     "q36_curation_pipeline" -> (q36CurationPipeline _),
@@ -829,6 +865,7 @@ object TextQueries {
     "q67_line_filter" -> (q67LineFilter _))
 
   val oracle: Map[String, String] = Map(
+    "q82_containment_pairs" -> q82Sql,
     "q51_bpe_pair_stats" -> q51Sql,
     "q20_token_stats" -> q20Sql,
     "q21_exact_dedup" -> q21Sql,

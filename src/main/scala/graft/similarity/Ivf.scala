@@ -78,6 +78,71 @@ object Ivf {
     Model(centroids.map(_.map(_.toFloat)))
   }
 
+  /** Full-corpus distributed Lloyd's — the scale path [[train]]'s
+    * sampled fit approximates. Same deterministic init (the sampled
+    * fit with zero refinement rounds), then `iters` rounds where each
+    * round is ONE distributed aggregation: assign every corpus vector
+    * to its nearest centroid ([[NearestCell]], a tight per-row argmax
+    * loop), `posexplode` the vector, and sum per `(cell, pos)`
+    * map-side-combined. The driver materializes exactly `k × dim`
+    * partial-sum rows per round — a control-plane table whose size is
+    * independent of corpus row count, so 100 TB of embeddings costs
+    * `iters` scans (over a persisted, normalized, degenerate-free
+    * projection) and nothing driver-side grows with the data.
+    *
+    * Use when cluster geometry must reflect the FULL corpus (domain
+    * balancing over rare slices a 10 k sample under-represents);
+    * [[train]] remains the default for ANN cell geometry, where
+    * sampled Lloyd's is standard practice. Centroids match the
+    * driver fit to float rounding when the corpus fits in the sample
+    * (IvfSpec pins assignment equality); empty cells keep their
+    * previous centroid, exactly like [[train]].
+    */
+  def trainDistributed(
+      df: DataFrame,
+      vecCol: String,
+      k: Int,
+      iters: Int = 10,
+      sampleSize: Int = 10000,
+      seed: Long = 42L): Model = {
+    val init = train(df, vecCol, k, iters = 0, sampleSize = sampleSize, seed = seed)
+    if (iters == 0) return init
+    // Same degenerate-vector guard as [[index]]; normalized once,
+    // persisted across the Lloyd rounds, freed before returning.
+    val unit = df
+      .select(col(vecCol))
+      .withColumn("__n", Similarity.norm(col(vecCol)))
+      .filter(col("__n") > 0 && !isnan(col("__n")))
+      .select(transform(col(vecCol), x => x / col("__n")).as("__v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var centroids = init.centroids
+      val dim = centroids.head.length
+      var iter = 0
+      while (iter < iters) {
+        val partials = unit
+          .select(col("__v"), NearestCell.nearestCell(col("__v"), centroids).as("__cell"))
+          .select(col("__cell"), posexplode(col("__v")).as(Seq("__pos", "__x")))
+          .groupBy("__cell", "__pos")
+          .agg(sum(col("__x").cast("double")).as("__s"))
+          .collect()
+        val sums = Array.fill(centroids.length)(new Array[Double](dim))
+        val seen = new Array[Boolean](centroids.length)
+        partials.foreach { r =>
+          val c = r.getInt(0)
+          seen(c) = true
+          sums(c)(r.getInt(1)) = r.getDouble(2)
+        }
+        centroids = centroids.indices.map { c =>
+          if (!seen(c)) centroids(c)
+          else normalize(sums(c)).map(_.toFloat)
+        }.toArray
+        iter += 1
+      }
+      Model(centroids)
+    } finally unit.unpersist()
+  }
+
   private def normalize(v: Array[Double]): Array[Double] = {
     val n = math.sqrt(v.map(x => x * x).sum)
     if (n == 0) v else v.map(_ / n)

@@ -1,0 +1,65 @@
+package graft.dedup
+
+import graft.SparkSpec
+import graft.sources.Sources
+import org.apache.spark.sql.functions._
+
+class ContainmentSpec extends SparkSpec {
+
+  // A short doc embedded VERBATIM inside a much longer one — the pair
+  // Jaccard structurally misses (|A|/|B| is tiny) and containment must
+  // catch (shared/|A| = 1).
+  private def docs = {
+    import sqlImplicits._
+    val short = (1 to 10).map(i => s"w$i").mkString(" ")
+    val long = (100 to 200).map(i => s"v$i").mkString(" ") + " " + short +
+      " " + (300 to 400).map(i => s"u$i").mkString(" ")
+    val unrelated = (500 to 560).map(i => s"z$i").mkString(" ")
+    Seq(
+      (1L, short),
+      (2L, long),
+      (3L, unrelated)).toDF("doc_id", "text")
+  }
+
+  test("containment catches the short-in-long pair that Jaccard misses") {
+    val cont = Containment.containmentPairs(docs, "text", "doc_id", n = 3, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(cont.contains((1L, 2L)), s"short-in-long pair missing from $cont")
+    assert(cont((1L, 2L)) == 1.0, s"verbatim embedding must have containment 1.0, got ${cont((1L, 2L))}")
+    assert(!cont.keySet.exists { case (a, b) => a == 3L || b == 3L })
+    // the same pair's Jaccard is far below any dedup threshold
+    val jac = Dedup.ngramJaccardPairs(docs, "text", "doc_id", n = 3, threshold = 0.0)
+      .filter(col("id_a") === 1L && col("id_b") === 2L)
+      .select("jaccard").head().getDouble(0)
+    assert(jac < 0.1, s"fixture drifted: jaccard $jac should be tiny")
+  }
+
+  test("prefix-filtered path equals the all-pairs form on the micro fixture at several thresholds") {
+    for (t <- Seq(0.3, 0.5, 0.8, 1.0)) {
+      val exact = Containment.containmentPairs(docs, "text", "doc_id", n = 3, threshold = t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val prefix = Containment.containmentPairsPrefix(docs, "text", "doc_id", n = 3, threshold = t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(prefix == exact, s"threshold $t: prefix path diverged\nexact=$exact\nprefix=$prefix")
+    }
+  }
+
+  test("prefix-filtered path equals the all-pairs form on the documents fixture") {
+    val docsSf = Sources.documents(spark, "/root/testdata/sf0.001")
+    val exact = Containment.containmentPairs(docsSf, "text", "doc_id", threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val prefix = Containment.containmentPairsPrefix(docsSf, "text", "doc_id", threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(exact.nonEmpty, "fixture drifted: no containment pairs at 0.8")
+    assert(prefix == exact)
+  }
+
+  test("documents below the shingle width never pair; threshold bounds are validated") {
+    import sqlImplicits._
+    val tiny = Seq((1L, "a b"), (2L, "a b"), (3L, "a b c d e")).toDF("doc_id", "text")
+    assert(Containment.containmentPairsPrefix(tiny, "text", "doc_id", n = 3, threshold = 0.5).count() == 0)
+    intercept[IllegalArgumentException] {
+      Containment.containmentPairsPrefix(docs, "text", "doc_id", threshold = 0.0)
+    }
+  }
+}

@@ -254,7 +254,26 @@ class PlanContractSpec extends SparkSpec {
     "q80_bpe_packing" -> 4,
     // q81: q75's batching shape (bucket exchange reused by the summary
     // + oracle ORDER BY) plus the same two countsFromModel exchanges.
-    "q81_bpe_length_batching" -> 4)
+    "q81_bpe_length_batching" -> 4,
+    // q82: prefix-filtered containment — doc-frequency aggregate on g,
+    // per-doc rank window + size aggregate (id grain), prefix⋈full
+    // candidate join on g, candidate distinct, two verification joins
+    // keyed by ids, + oracle ORDER BY. All keys are 8-byte hashes/ids;
+    // text never shuffles.
+    "q82_containment_pairs" -> 7,
+    // q83: banded Hamming self-join (band,h) + candidate distinct;
+    // hashes are computed map-side off the synthetic PNGs, only
+    // (id, sig) pairs shuffle. + oracle ORDER BY merges into the
+    // distinct's exchange pair at this scale.
+    "q83_phash_dups" -> 2,
+    // q84: one cell-grain aggregate + oracle ORDER BY; the Lloyd
+    // rounds inside trainDistributed run as separate bounded jobs
+    // before this plan is built (control-plane actions, k×dim rows).
+    "q84_kmeans_cells" -> 2,
+    // q85: countsFromModel's two exchanges (distinct-word vocab grain,
+    // groupBy(doc) count) + the (lang, source) aggregate + oracle
+    // ORDER BY.
+    "q85_bpe_fertility" -> 4)
 
   test("no query plans a cartesian product or nested-loop join") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

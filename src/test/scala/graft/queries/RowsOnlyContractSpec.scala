@@ -4,8 +4,9 @@ import graft.{SparkEntry, SparkSpec}
 import graft.sources.Sources
 import org.apache.spark.sql.functions._
 
-/** Quantified contracts for the six rows-only queries
-  * (q25/q27/q29/q30/q35/q37): these cannot hash-match a DuckDB oracle
+/** Quantified contracts for the rows-only queries
+  * (q25/q27/q29/q30/q35/q37/q76/q83/q84): these cannot hash-match a
+  * DuckDB oracle
   * (hash-valued or approximate by design), so each one's CLAIM is
   * pinned here numerically against an exact in-Spark anchor computed
   * on the same fixture — accuracy floors, recall floors, error bounds,
@@ -201,5 +202,50 @@ class RowsOnlyContractSpec extends SparkSpec {
           "trained merges must beat the zero-merge char segmentation")
       } finally { enc.unpersist(); () }
     } finally { out.unpersist(); () }
+  }
+
+  test("q83 contract: pair set equals brute-force Hamming over independently recomputed hashes") {
+    import graft.multimodal.{Multimodal, PerceptualHash}
+    val docs = Sources.documents(spark, dir)
+    val out = SparkEntry.queries("q83_phash_dups")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // independent recomputation: hash rows straight off the generator,
+    // brute-force all pairs driver-side (500 docs -> 125k comparisons)
+    val hashed = PerceptualHash.perceptualHashes(
+      Multimodal.syntheticImages(docs, "doc_id", "text")).collect()
+    val brute = (for {
+      a <- hashed; b <- hashed
+      if a.media_id < b.media_id && java.lang.Long.bitCount(a.ahash ^ b.ahash) <= 3
+    } yield (a.media_id, b.media_id)).toSet
+    assert(out == brute, s"${(out diff brute).size} extra, ${(brute diff out).size} missing pairs")
+    assert(out.nonEmpty, "fixture drifted: no organic Hamming<=3 pairs at sf0.01")
+    // identical text ⇒ identical pixels ⇒ paired at Hamming 0: the
+    // sf0.01 corpus has no byte-identical texts, so plant one
+    val first = docs.select(col("doc_id"), col("text")).orderBy("doc_id").limit(1)
+    val planted = first.union(first.select(col("doc_id") + lit(1000000L), col("text")))
+    val plantedPairs = PerceptualHash.phashDupPairs(
+      Multimodal.syntheticImages(planted, "doc_id", "text"), maxHamming = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Number]("hamming").intValue))
+    assert(plantedPairs.length == 1 && plantedPairs.head._3 == 0,
+      s"planted exact duplicate not paired at Hamming 0: ${plantedPairs.toSeq}")
+  }
+
+  test("q84 contract: cells partition the non-degenerate corpus; every cell coheres") {
+    val out = SparkEntry.queries("q84_kmeans_cells")(spark, dir).collect()
+    assert(out.length <= 8 && out.nonEmpty)
+    // the index drops degenerate vectors (null/NaN/zero-norm) by
+    // contract, so the partition target is the indexable corpus
+    import graft.similarity.Similarity
+    val indexable = Sources.embeddings(spark, dir)
+      .withColumn("__n", Similarity.norm(col("embedding")))
+      .filter(col("__n") > 0 && !isnan(col("__n"))).count()
+    assert(out.map(_.getAs[Long]("n_vectors")).sum == indexable,
+      "cell membership must partition the indexable corpus exactly")
+    // members must sit measurably above orthogonal of their OWN
+    // centroid on average — the defining property Lloyd's optimizes
+    out.foreach { r =>
+      val mc = r.getAs[Double]("mean_cosine")
+      assert(mc > 0.1 && mc <= 1.0 + 1e-9, s"cell ${r.getAs[Int]("cell")} mean cosine $mc")
+    }
   }
 }

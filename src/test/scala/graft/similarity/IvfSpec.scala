@@ -47,6 +47,38 @@ class IvfSpec extends SparkSpec {
     assert(got.centroids.forall(_.forall(x => !x.isNaN)))
   }
 
+  test("trainDistributed matches the driver fit when the corpus fits in the sample") {
+    // Same init, same Lloyd updates — the only divergence is float
+    // summation order (driver folds in sample order, executors merge
+    // partial sums), so centroids agree to ~1e-6 and assignments agree
+    // exactly on this well-separated fixture.
+    val driver = Ivf.train(clustered, "embedding", k = 3, iters = 5)
+    val dist = Ivf.trainDistributed(clustered, "embedding", k = 3, iters = 5)
+    val maxDiff = driver.centroids.zip(dist.centroids).map { case (a, b) =>
+      a.zip(b).map { case (x, y) => math.abs(x - y) }.max
+    }.max
+    assert(maxDiff < 1e-6f, s"centroid drift $maxDiff exceeds float-rounding tolerance")
+    val dCells = Ivf.index(clustered, "embedding", "vec_id", driver)
+      .select("vec_id", "cell").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val xCells = Ivf.index(clustered, "embedding", "vec_id", dist)
+      .select("vec_id", "cell").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(dCells == xCells)
+  }
+
+  test("trainDistributed excludes degenerate vectors and stays finite") {
+    import sqlImplicits._
+    val poisoned = clustered.select(col("vec_id"), col("embedding")).union(Seq(
+      (9001L, null: Array[java.lang.Float]),
+      (9002L, Array[java.lang.Float](1.0f, null, 0f, 0f)),
+      (9003L, Array[java.lang.Float](Float.NaN, 1f, 0f, 0f)),
+      (9004L, Array[java.lang.Float](0f, 0f, 0f, 0f))
+    ).toDF("vec_id", "embedding"))
+    val got = Ivf.trainDistributed(poisoned, "embedding", k = 3, iters = 3)
+    assert(got.centroids.forall(_.forall(x => !x.isNaN)))
+    val clean = Ivf.trainDistributed(clustered, "embedding", k = 3, iters = 3)
+    assert(got.centroids.map(_.toSeq).toSeq == clean.centroids.map(_.toSeq).toSeq)
+  }
+
   test("index assigns each natural cluster to a single cell") {
     val model = Ivf.train(clustered, "embedding", k = 3, iters = 5)
     val idx = Ivf.index(clustered, "embedding", "vec_id", model)
