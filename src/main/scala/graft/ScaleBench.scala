@@ -567,6 +567,34 @@ object ScaleBench {
         graft.text.SequencePacking.packedBinsByBpe(
           docs, "text", "source", "doc_id", capacity = 2048, model,
           distributed = true).count()
+      }),
+      // Prefix-filtered containment mining (q82's scale twin): the
+      // candidate join is prefix(rarest shingles) x full table, so the
+      // cost tracks rare-gram bucket sizes — within-copy duplicate
+      // structure is preserved by the fixture, cross-copy overlap is
+      // zero, so pairs (and work) should grow ~linearly.
+      "containment_prefix" -> (() =>
+        graft.dedup.Containment.containmentPairsPrefix(
+          docs, "text", "doc_id", n = 3, threshold = 0.8).count()),
+      // Containment resolution on top of the same mining: one loser
+      // projection + a left-anti join — the delta over
+      // containment_prefix IS the resolution cost. rows = kept corpus.
+      "drop_contained" -> (() =>
+        graft.dedup.Containment.dropContained(
+          docs, "text", "doc_id", n = 3, threshold = 0.8).count()),
+      // Perceptual-hash image dedup: PNG encode+decode+hash is
+      // embarrassingly parallel map-side work (linear by construction);
+      // the banded Hamming self-join shuffles only (id, 8-byte sig).
+      "phash_dedup" -> (() =>
+        graft.multimodal.PerceptualHash.phashDupPairs(
+          graft.multimodal.Multimodal.syntheticImages(docs, "doc_id", "text"),
+          maxHamming = 3).count()),
+      // Full-corpus distributed Lloyd's: 5 rounds x one scan + a
+      // k x dim control-plane collect per round — alpha ~ the scan's,
+      // nothing driver-side grows with the corpus.
+      "kmeans_fit_distributed" -> (() => {
+        val model = graft.similarity.Ivf.trainDistributed(emb, "embedding", k = 8, iters = 5)
+        model.k.toLong
       }))
   }
 

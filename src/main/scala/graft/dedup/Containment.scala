@@ -60,7 +60,16 @@ object Containment {
       textCol: String,
       idCol: String,
       n: Int = 3,
-      threshold: Double = 0.8): DataFrame = {
+      threshold: Double = 0.8): DataFrame =
+    containmentPairsAllPairsDetailed(df, textCol, idCol, n, threshold)
+      .select("id_a", "id_b", "containment")
+
+  private def containmentPairsAllPairsDetailed(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int,
+      threshold: Double): DataFrame = {
     val sh = shingleTable(df, textCol, idCol, n)
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
     val a = sh.toDF("id_a", "g")
@@ -89,7 +98,16 @@ object Containment {
       textCol: String,
       idCol: String,
       n: Int = 3,
-      threshold: Double = 0.8): DataFrame = {
+      threshold: Double = 0.8): DataFrame =
+    containmentPairsPrefixDetailed(df, textCol, idCol, n, threshold)
+      .select("id_a", "id_b", "containment")
+
+  private def containmentPairsPrefixDetailed(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int,
+      threshold: Double): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"containment threshold $threshold must be in (0, 1]")
     val sh = shingleTable(df, textCol, idCol, n)
@@ -153,5 +171,30 @@ object Containment {
       .withColumn("containment",
         col("shared").cast("double") / least(col("na"), col("nb")).cast("double"))
       .filter(col("containment") >= threshold)
-      .select("id_a", "id_b", "containment")
+      .select("id_a", "id_b", "containment", "na", "nb")
+
+  /** Containment RESOLUTION: the caller's frame minus every document
+    * that is >= `threshold` contained in a strictly LARGER document
+    * (more distinct shingles; equal sizes — mutual containment, i.e.
+    * near-identical docs — drop the larger id, matching the exact-dup
+    * keep-smallest convention). The size order makes the drop relation
+    * acyclic, so each containment chain's largest member always
+    * survives with no union-find pass: resolution is one projection
+    * over the (already output-bounded) pair set plus a left-anti join
+    * back — nothing here grows faster than the pair mining itself.
+    */
+  def dropContained(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int = 3,
+      threshold: Double = 0.8): DataFrame = {
+    val losers = containmentPairsPrefixDetailed(df, textCol, idCol, n, threshold)
+      .select(
+        when(col("na") < col("nb"), col("id_a"))
+          .when(col("nb") < col("na"), col("id_b"))
+          .otherwise(greatest(col("id_a"), col("id_b"))).as("__loser"))
+      .distinct()
+    df.join(losers, df(idCol) === col("__loser"), "left_anti")
+  }
 }

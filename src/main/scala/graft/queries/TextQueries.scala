@@ -840,7 +840,47 @@ object TextQueries {
       |WHERE c*1.0/least(sa.n, sb.n) >= 0.8
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** q86: containment resolution — the corpus minus every document
+    * >= 0.8 contained in a strictly larger one (ties: mutual
+    * containment drops the larger id). One projection over q82's pair
+    * set + a left-anti join; the DuckDB oracle replays the same
+    * resolution over the all-pairs CTE.
+    */
+  def q86DropContained(spark: SparkSession, dir: String): DataFrame =
+    graft.dedup.Containment.dropContained(
+      Sources.documents(spark, dir), "text", "doc_id", n = 3, threshold = 0.8)
+      .select("doc_id", "lang", "source", "n_chars")
+      .orderBy("doc_id")
+
+  val q86Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text,' ')) AS w,
+      |         generate_subscripts(string_split(text,' '),1) AS i
+      |  FROM documents
+      |), ng AS (
+      |  SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS g
+      |  FROM toks a JOIN toks b ON a.doc_id=b.doc_id AND b.i=a.i+1
+      |              JOIN toks c ON a.doc_id=c.doc_id AND c.i=a.i+2
+      |), sizes AS (SELECT doc_id, count(*) n FROM ng GROUP BY doc_id),
+      |shared AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+      |  FROM ng a JOIN ng b ON a.g = b.g AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2
+      |), losers AS (
+      |  SELECT DISTINCT CASE WHEN sa.n < sb.n THEN id_a
+      |                       WHEN sb.n < sa.n THEN id_b
+      |                       ELSE greatest(id_a, id_b) END AS lid
+      |  FROM shared
+      |  JOIN sizes sa ON sa.doc_id = id_a
+      |  JOIN sizes sb ON sb.doc_id = id_b
+      |  WHERE c*1.0/least(sa.n, sb.n) >= 0.8
+      |)
+      |SELECT doc_id, lang, source, n_chars FROM documents
+      |WHERE doc_id NOT IN (SELECT lid FROM losers)
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q86_drop_contained" -> (q86DropContained _),
     "q82_containment_pairs" -> (q82ContainmentPairs _),
     "q76_bpe_encode" -> (q76BpeEncode _),
     "q51_bpe_pair_stats" -> (q51BpePairStats _),
@@ -865,6 +905,7 @@ object TextQueries {
     "q67_line_filter" -> (q67LineFilter _))
 
   val oracle: Map[String, String] = Map(
+    "q86_drop_contained" -> q86Sql,
     "q82_containment_pairs" -> q82Sql,
     "q51_bpe_pair_stats" -> q51Sql,
     "q20_token_stats" -> q20Sql,

@@ -188,6 +188,71 @@ object StreamingOps {
         })
   }
 
+  final case class BandedSig(band: Int, h: Long, id: Long, sig: Long)
+  final case class SigBucket(docs: List[(Long, Long)])
+  final case class HamPair(id_a: Long, id_b: Long, hamming: Int)
+
+  /** Streaming banded-Hamming near-dup pairs — the ingestion twin of
+    * [[graft.dedup.Dedup.hammingPairs]], generic over ANY 64-bit
+    * fingerprint stream (SimHash, perceptual image hashes): each
+    * arriving (id, sig) row is exploded to its `bands` bit-slice
+    * buckets and matched via keyed state against every earlier
+    * signature in the bucket, emitting the exact `bitCount(xor)`
+    * distance for pairs within `maxHamming` — so a near-duplicate of
+    * an image from any previous micro-batch surfaces the moment it
+    * arrives.
+    *
+    * Parity contract (StreamingOpsSpec): over any stream prefix,
+    * `distinct (id_a, id_b, hamming)` equals the batch pair set on the
+    * union of those batches (a pair within Hamming < bands of each
+    * other can collide in several buckets and is emitted once per
+    * colliding band, exactly the duplicate shape the batch path folds
+    * with its pre-verify `distinct`). State per bucket is the seen
+    * (id, sig) list — 16 bytes per doc per band; the production bound
+    * is the TTL-horizon pattern of [[minhashCandidatesStreamTtl]].
+    */
+  def hammingPairsStream(
+      hashed: DataFrame,
+      idCol: String,
+      sigCol: String,
+      maxHamming: Int,
+      bands: Int = 4): Dataset[HamPair] = {
+    import hashed.sparkSession.implicits._
+    require(bands >= 1 && 64 % bands == 0, s"bands=$bands must divide 64")
+    requireIntegralId(hashed, idCol)
+    val width = 64 / bands
+    val mask = if (width == 64) -1L else (1L << width) - 1L
+    val banded = hashed
+      .select(col(idCol).cast("long").as("id"), col(sigCol).cast("long").as("sig"))
+      .filter(col("sig").isNotNull)
+      .select(col("id"), col("sig"),
+        explode(array((0 until bands).map { b =>
+          struct(lit(b).as("band"),
+            shiftright(col("sig"), b * width).bitwiseAND(lit(mask)).as("h"))
+        }: _*)).as("bk"))
+      .select(col("bk.band").as("band"), col("bk.h").as("h"), col("id"), col("sig"))
+      .as[BandedSig]
+    banded
+      .groupByKey(d => (d.band, d.h))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (_: (Int, Long), rows: Iterator[BandedSig], state: GroupState[SigBucket]) => {
+          var seen = state.getOption.map(_.docs).getOrElse(Nil)
+          val out = scala.collection.mutable.ListBuffer.empty[HamPair]
+          rows.toSeq.sortBy(_.id).foreach { d =>
+            seen.foreach { case (oid, osig) =>
+              if (oid != d.id) {
+                val ham = java.lang.Long.bitCount(osig ^ d.sig)
+                if (ham <= maxHamming)
+                  out += HamPair(math.min(oid, d.id), math.max(oid, d.id), ham)
+              }
+            }
+            seen = (d.id, d.sig) :: seen
+          }
+          state.update(SigBucket(seen))
+          out.iterator
+        })
+  }
+
   final case class BandedDocT(band: Int, h: Long, id: Long, sig: Seq[Long], ts: java.sql.Timestamp)
   final case class BucketStateT(docs: List[(Long, Seq[Long], Long)])
 

@@ -54,6 +54,32 @@ class ContainmentSpec extends SparkSpec {
     assert(prefix == exact)
   }
 
+  test("dropContained removes the contained doc, keeps the container and bystanders") {
+    import sqlImplicits._
+    val kept = Containment.dropContained(docs, "text", "doc_id", threshold = 0.8)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(2L, 3L), s"expected container 2 and bystander 3, got $kept")
+  }
+
+  test("dropContained: mutual containment drops the larger id; chains keep only the largest doc") {
+    import sqlImplicits._
+    val base = (1 to 10).map(i => s"w$i").mkString(" ")
+    val mid = (100 to 150).map(i => s"v$i").mkString(" ") + " " + base
+    val big = (200 to 320).map(i => s"u$i").mkString(" ") + " " + mid
+    val twin = Seq(
+      (1L, base), (2L, base)).toDF("doc_id", "text")
+    val keptTwin = Containment.dropContained(twin, "text", "doc_id", threshold = 0.8)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(keptTwin == Seq(1L), s"identical docs must keep the smaller id, got $keptTwin")
+    // chain: base ⊂ mid ⊂ big; base–big may not pair directly, but
+    // base loses its pair against mid and mid loses against big, so
+    // only big survives
+    val chain = Seq((1L, base), (2L, mid), (3L, big)).toDF("doc_id", "text")
+    val keptChain = Containment.dropContained(chain, "text", "doc_id", threshold = 0.8)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(keptChain == Seq(3L), s"chain must keep only the largest doc, got $keptChain")
+  }
+
   test("documents below the shingle width never pair; threshold bounds are validated") {
     import sqlImplicits._
     val tiny = Seq((1L, "a b"), (2L, "a b"), (3L, "a b c d e")).toDF("doc_id", "text")

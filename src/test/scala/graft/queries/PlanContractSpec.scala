@@ -273,7 +273,12 @@ class PlanContractSpec extends SparkSpec {
     // q85: countsFromModel's two exchanges (distinct-word vocab grain,
     // groupBy(doc) count) + the (lang, source) aggregate + oracle
     // ORDER BY.
-    "q85_bpe_fertility" -> 4)
+    "q85_bpe_fertility" -> 4,
+    // q86: q82's 7 prefix-mining exchanges + the loser distinct + the
+    // left-anti join back to the corpus (oracle ORDER BY merges into
+    // the anti join's exchange at this scale). Resolution itself adds
+    // no data-plane shuffle beyond those two pair-grain exchanges.
+    "q86_drop_contained" -> 9)
 
   test("no query plans a cartesian product or nested-loop join") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

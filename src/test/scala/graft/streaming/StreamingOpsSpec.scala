@@ -155,6 +155,33 @@ class StreamingOpsSpec extends SparkSpec {
     assert(!want.exists { case (a, b, _) => a == 4L || b == 4L }) // unrelated never collides
   }
 
+  test("streaming banded-Hamming pairs match batch hammingPairs across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import sqlImplicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val sigA = 0x0123456789abcdefL
+    val sigB = sigA ^ 0x5L // 2 bits off A
+    val sigC = sigA ^ (0x3L << 40) // 2 bits off A in another band
+    val far = 0xfedcba9876543210L
+    val batch1 = Seq((1L, sigA), (9L, far))
+    val batch2 = Seq((2L, sigB)) // near-dup arrives a batch later
+    val batch3 = Seq((3L, sigC)) // and another, pairing with both 1 and 2
+    val input = MemoryStream[(Long, Long)]
+    val stream = StreamingOps.hammingPairsStream(
+      input.toDF().toDF("media_id", "sig"), "media_id", "sig", maxHamming = 4)
+    val q = stream.toDF().writeStream.outputMode("append").format("memory").queryName("hps").start()
+    Seq(batch1, batch2, batch3).foreach { b => input.addData(b); q.processAllAvailable() }
+    q.stop()
+    val got = spark.table("hps").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet // distinct folds multi-band emits
+    val want = graft.dedup.Dedup.hammingPairs(
+      (batch1 ++ batch2 ++ batch3).toDF("media_id", "sig"), "media_id", "sig", maxHamming = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Number]("hamming").intValue)).toSet
+    assert(got == want, s"stream=$got batch=$want")
+    assert(want.contains((1L, 2L, 2)) && want.contains((1L, 3L, 2))) // cross-batch pairs surfaced
+    assert(!want.exists { case (a, b, _) => a == 9L || b == 9L }) // far signature never pairs
+  }
+
   test("streaming verified near-dedup equals batch verifyCandidates on the union of batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import sqlImplicits._
