@@ -121,12 +121,15 @@ object Containment {
     // risking a pair sitting exactly at the threshold) — erring
     // toward a longer prefix only adds candidates, never loses any.
     val dfreq = sh.groupBy("g").agg(count(lit(1)).as("__dfreq"))
+    // Both window functions share the partition-by-id exchange (the
+    // unordered count rides the rank's partitioning), so the per-doc
+    // set size costs no extra aggregate+join here.
     val ranked = sh.join(dfreq, "g")
       .withColumn("__rk",
         row_number().over(Window.partitionBy("id").orderBy(col("__dfreq").asc, col("g").asc)))
-      .join(sizes, "id")
+      .withColumn("__nsh", count(lit(1)).over(Window.partitionBy("id")))
       .withColumn("__plen",
-        col("n_sh") - ceil(col("n_sh") * lit(threshold) - lit(1e-9)) + lit(1L))
+        col("__nsh") - ceil(col("__nsh") * lit(threshold) - lit(1e-9)) + lit(1L))
     val prefix = ranked.filter(col("__rk") <= col("__plen")).select("id", "g")
 
     // Candidates: a prefix shingle of EITHER member matches the other

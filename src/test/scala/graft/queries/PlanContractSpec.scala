@@ -256,11 +256,12 @@ class PlanContractSpec extends SparkSpec {
     // + oracle ORDER BY) plus the same two countsFromModel exchanges.
     "q81_bpe_length_batching" -> 4,
     // q82: prefix-filtered containment — doc-frequency aggregate on g,
-    // per-doc rank window + size aggregate (id grain), prefix⋈full
-    // candidate join on g, candidate distinct, two verification joins
-    // keyed by ids, + oracle ORDER BY. All keys are 8-byte hashes/ids;
-    // text never shuffles.
-    "q82_containment_pairs" -> 7,
+    // ONE per-doc window exchange (rank and set-size count share the
+    // partition-by-id shuffle), prefix⋈full candidate join on g,
+    // candidate distinct, two verification joins keyed by ids, +
+    // oracle ORDER BY. All keys are 8-byte hashes/ids; text never
+    // shuffles.
+    "q82_containment_pairs" -> 6,
     // q83: banded Hamming self-join (band,h) + candidate distinct;
     // hashes are computed map-side off the synthetic PNGs, only
     // (id, sig) pairs shuffle. + oracle ORDER BY merges into the
@@ -274,11 +275,11 @@ class PlanContractSpec extends SparkSpec {
     // groupBy(doc) count) + the (lang, source) aggregate + oracle
     // ORDER BY.
     "q85_bpe_fertility" -> 4,
-    // q86: q82's 7 prefix-mining exchanges + the loser distinct + the
+    // q86: q82's 6 prefix-mining exchanges + the loser distinct + the
     // left-anti join back to the corpus (oracle ORDER BY merges into
     // the anti join's exchange at this scale). Resolution itself adds
     // no data-plane shuffle beyond those two pair-grain exchanges.
-    "q86_drop_contained" -> 9)
+    "q86_drop_contained" -> 8)
 
   test("no query plans a cartesian product or nested-loop join") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
