@@ -60,9 +60,15 @@ object Containment {
       textCol: String,
       idCol: String,
       n: Int = 3,
-      threshold: Double = 0.8): DataFrame =
+      threshold: Double = 0.8): DataFrame = {
+    requireThreshold(threshold)
     containmentPairsAllPairsDetailed(df, textCol, idCol, n, threshold)
       .select("id_a", "id_b", "containment")
+  }
+
+  private def requireThreshold(threshold: Double): Unit =
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"containment threshold $threshold must be in (0, 1]")
 
   private def containmentPairsAllPairsDetailed(
       df: DataFrame,
@@ -108,8 +114,7 @@ object Containment {
       idCol: String,
       n: Int,
       threshold: Double): DataFrame = {
-    require(threshold > 0.0 && threshold <= 1.0,
-      s"containment threshold $threshold must be in (0, 1]")
+    requireThreshold(threshold)
     val sh = shingleTable(df, textCol, idCol, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))

@@ -1296,8 +1296,10 @@ object PipelineQueries {
         count(lit(1)).as("n_docs"),
         sum(col("__nw")).as("sum_words"),
         sum(col("n_bpe_tokens")).as("sum_tokens"),
-        (sum(col("n_bpe_tokens")).cast("double") / sum(col("__nw")).cast("double")).as("fertility"),
-        (sum(col("n_chars")).cast("double") / sum(col("n_bpe_tokens")).cast("double")).as("chars_per_token"))
+        // try_divide: an all-wordless (or all-empty) slice must yield
+        // NULL like DuckDB's `/`, not an ANSI DIVIDE_BY_ZERO crash
+        try_divide(sum(col("n_bpe_tokens")).cast("double"), sum(col("__nw")).cast("double")).as("fertility"),
+        try_divide(sum(col("n_chars")).cast("double"), sum(col("n_bpe_tokens")).cast("double")).as("chars_per_token"))
       .orderBy("lang", "source")
   }
 

@@ -40,17 +40,10 @@ object Ivf {
       iters: Int = 10,
       sampleSize: Int = 10000,
       seed: Long = 42L): Model = {
-    // Degenerate embeddings are excluded with the SAME norm guard as
-    // [[index]]: a whole-null vector would NPE at getSeq, a vector
-    // with a null/NaN element would NPE at unboxing or silently poison
-    // every centroid with NaN, and a zero-norm vector carries no
-    // direction. norm > 0 && !isnan(norm) rejects all four (null
-    // elements make dot() null, so norm is null and the > 0 test
-    // fails). Failed-embedding rows are normal in a large corpus.
-    val sample = df
-      .select(col(vecCol))
-      .withColumn("__n", Similarity.norm(col(vecCol)))
-      .filter(col("__n") > 0 && !isnan(col("__n")))
+    // Degenerate embeddings are excluded by the shared
+    // [[finiteNormed]] guard — see its scaladoc for why each shape
+    // matters. Failed-embedding rows are normal in a large corpus.
+    val sample = finiteNormed(df.select(col(vecCol)), vecCol)
       .orderBy(xxhash64(col(vecCol), lit(seed)).asc)
       .limit(sampleSize)
       .select(col(vecCol))
@@ -107,12 +100,10 @@ object Ivf {
       seed: Long = 42L): Model = {
     val init = train(df, vecCol, k, iters = 0, sampleSize = sampleSize, seed = seed)
     if (iters == 0) return init
-    // Same degenerate-vector guard as [[index]]; normalized once,
-    // persisted across the Lloyd rounds, freed before returning.
-    val unit = df
-      .select(col(vecCol))
-      .withColumn("__n", Similarity.norm(col(vecCol)))
-      .filter(col("__n") > 0 && !isnan(col("__n")))
+    // Same [[finiteNormed]] degenerate-vector guard as [[index]];
+    // normalized once, persisted across the Lloyd rounds, freed
+    // before returning.
+    val unit = finiteNormed(df.select(col(vecCol)), vecCol)
       .select(transform(col(vecCol), x => x / col("__n")).as("__v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -170,19 +161,30 @@ object Ivf {
   def cellOf(vec: Column, model: Model): Column =
     NearestCell.nearestCell(vec, model.centroids)
 
+  /** THE degenerate-vector guard, shared by [[train]],
+    * [[trainDistributed]], and [[index]] so which rows train and which
+    * get indexed can never drift apart: keeps only rows whose `vecCol`
+    * norm is finite and positive, exposing it as `__n` for callers
+    * that normalize. Rejected shapes, and why each matters — a whole-
+    * null vector would NPE at getSeq, a null element null-propagates
+    * through dot() so `__n > 0` fails, a NaN element makes the norm
+    * NaN (caught by `!isnan`) and would otherwise poison centroids or
+    * out-rank every real neighbor, and a zero-norm vector carries no
+    * direction (x/0 → NaN dots).
+    */
+  private def finiteNormed(df: DataFrame, vecCol: String): DataFrame =
+    df.withColumn("__n", Similarity.norm(col(vecCol)))
+      .filter(col("__n") > 0 && !isnan(col("__n")))
+
   /** Build the index table: rows + `cell`. Vectors are normalized once
-    * so probes are bare dot products. DEGENERATE rows (null vector,
-    * null/NaN elements, zero norm) are dropped: they cannot
-    * participate in cosine search, and unguarded x/0 would give them
-    * NaN dots that Spark ranks ABOVE every real neighbor.
+    * so probes are bare dot products. DEGENERATE rows are dropped by
+    * the shared [[finiteNormed]] guard: they cannot participate in
+    * cosine search, and unguarded x/0 would give them NaN dots that
+    * Spark ranks ABOVE every real neighbor.
     */
   def index(df: DataFrame, vecCol: String, idCol: String, model: Model): DataFrame =
-    df.select(col(idCol), col(vecCol))
-      .withColumn("__n", Similarity.norm(col(vecCol)))
-      .select(col(idCol),
-        when(col("__n") > 0 && !isnan(col("__n")),
-          transform(col(vecCol), x => x / col("__n"))).as(vecCol))
-      .filter(col(vecCol).isNotNull)
+    finiteNormed(df.select(col(idCol), col(vecCol)), vecCol)
+      .select(col(idCol), transform(col(vecCol), x => x / col("__n")).as(vecCol))
       .withColumn("cell", cellOf(col(vecCol), model))
 
   /** Approximate KNN JOIN: top-k cosine neighbors from the indexed

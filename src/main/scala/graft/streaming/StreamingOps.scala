@@ -222,9 +222,12 @@ object StreamingOps {
     requireIntegralId(hashed, idCol)
     val width = 64 / bands
     val mask = if (width == 64) -1L else (1L << width) - 1L
+    // null id OR null sig rows are dropped: the batch twin's
+    // id_a < id_b comparison silently discards null ids, while here a
+    // null would be a typed-Dataset poison pill killing the stream
     val banded = hashed
       .select(col(idCol).cast("long").as("id"), col(sigCol).cast("long").as("sig"))
-      .filter(col("sig").isNotNull)
+      .filter(col("sig").isNotNull && col("id").isNotNull)
       .select(col("id"), col("sig"),
         explode(array((0 until bands).map { b =>
           struct(lit(b).as("band"),
@@ -706,6 +709,13 @@ object StreamingOps {
       s"releaseGateStream embeds benchGrams as a plan literal: ${benchGrams.size} grams " +
         s"exceeds maxBenchGrams=$maxBenchGrams — snapshot the grams into a static table " +
         "and compose decontaminationStreamJoin instead, or raise the bound knowingly")
+    // flagThreshold = 0 would make the zero-overlap short-circuit
+    // below DIVERGE from the batch gate (contam_frac >= 0 flags every
+    // gram-bearing doc there, while the stream would keep every
+    // zero-overlap doc); the batch parity contract only makes sense
+    // for a positive threshold, so reject the degenerate value.
+    require(flagThreshold > 0.0,
+      s"flagThreshold $flagThreshold must be > 0 (0 would flag the entire gram-bearing corpus)")
     Seq("__rg_gs", "__rg_overlap").foreach(c =>
       require(!docs.columns.contains(c), s"input must not contain reserved column $c"))
     val deduped = exactDedupStream(docs, textCol, tsCol, watermark)

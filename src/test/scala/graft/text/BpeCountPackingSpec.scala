@@ -25,6 +25,28 @@ class BpeCountPackingSpec extends SparkSpec {
     ).toDF("doc_id", "text", "source")
   }
 
+  test("q80/q81/q85 oracle preconditions hold on the sf0.01 fixture (uncapped fit, BMP-safe tie order)") {
+    // The DuckDB oracle re-derives the tokenizer fit UNCAPPED and
+    // breaks pair-count ties by binary UTF-8 collation, while the
+    // Scala fit caps at maxVocab=100000 and ties by Java UTF-16
+    // order. Both are safe exactly when (a) the fixture's distinct
+    // word count stays under the cap (cap never binds) and (b) no
+    // text reaches the U+E000+ range where UTF-8 code-point order and
+    // UTF-16 code-unit order can disagree across a surrogate
+    // boundary. Pin both so fixture drift fails HERE with a named
+    // reason instead of as an inscrutable oracle hash mismatch.
+    val fixture = graft.sources.Sources.documents(spark, "/root/testdata/sf0.01")
+    val distinctWords = fixture
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .select("w").distinct().count()
+    assert(distinctWords < 100000L,
+      s"fixture has $distinctWords distinct words — the q80/q85 maxVocab=100000 'cap never binds' assumption broke")
+    val highPlane = fixture.filter(col("text").rlike("[\\uE000-\\uFFFF]")).count()
+    assert(highPlane == 0L,
+      s"$highPlane docs contain U+E000..U+FFFF chars — UTF-8 vs UTF-16 merge tie order is no longer guaranteed equal")
+  }
+
   test("countsFromModel equals encode's n_bpe_tokens for every document (wordless -> 0)") {
     val model = BpeTokenizer.fit(docs, "text", numMerges = 6, maxVocab = 1000)
     val viaEncode = BpeTokenizer.encode(docs, "text", "doc_id", model)
