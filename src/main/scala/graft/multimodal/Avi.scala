@@ -35,6 +35,64 @@ object Avi {
     bytes.length >= 12 &&
       fourcc(bytes, 0) == "RIFF" && fourcc(bytes, 8) == "AVI "
 
+  /** Minimal writer — a well-formed single-video-stream AVI holding
+    * the given images as uncompressed bottom-up BI_RGB `00db` frames,
+    * the layout [[frames]] decodes PIXEL-EXACT (no JPEG loss), so a
+    * fixture built here round-trips deterministically. Fixture/test
+    * scaffolding, not a production encoder: no index chunk, zeroed
+    * rate fields — exactly the subset the reader contract needs.
+    */
+  def buildDib(imgs: Seq[BufferedImage]): Array[Byte] = {
+    require(imgs.nonEmpty, "buildDib needs at least one frame")
+    val w = imgs.head.getWidth
+    val h = imgs.head.getHeight
+    require(imgs.forall(i => i.getWidth == w && i.getHeight == h),
+      "all frames must share one geometry")
+    def le32(v: Int): Array[Byte] =
+      ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN).putInt(v).array()
+    def chunk(id: String, body: Array[Byte]): Array[Byte] = {
+      val pad = if (body.length % 2 == 1) Array[Byte](0) else Array.emptyByteArray
+      id.getBytes("US-ASCII") ++ le32(body.length) ++ body ++ pad
+    }
+    def list(listType: String, bodies: Array[Byte]*): Array[Byte] = {
+      val inner = listType.getBytes("US-ASCII") ++ bodies.flatten
+      "LIST".getBytes("US-ASCII") ++ le32(inner.length) ++ inner
+    }
+    val stride = (w * 3 + 3) / 4 * 4
+    def dib(img: BufferedImage): Array[Byte] = {
+      val out = new Array[Byte](stride * h)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          val off = (h - 1 - y) * stride + x * 3 // bottom-up rows
+          out(off) = (rgb & 0xff).toByte
+          out(off + 1) = ((rgb >> 8) & 0xff).toByte
+          out(off + 2) = ((rgb >> 16) & 0xff).toByte
+          x += 1
+        }
+        y += 1
+      }
+      out
+    }
+    val bih = {
+      val bb = ByteBuffer.allocate(40).order(ByteOrder.LITTLE_ENDIAN)
+      bb.putInt(40).putInt(w).putInt(h)
+      bb.putShort(1).putShort(24)
+      bb.putInt(0).putInt(0).putInt(0).putInt(0).putInt(0).putInt(0) // BI_RGB
+      bb.array()
+    }
+    val avih = chunk("avih", Array.fill[Byte](56)(0))
+    val strh = chunk("strh",
+      "vids".getBytes("US-ASCII") ++ "DIB ".getBytes("US-ASCII") ++ Array.fill[Byte](48)(0))
+    val strf = chunk("strf", bih)
+    val hdrl = list("hdrl", avih, list("strl", strh, strf))
+    val movi = list("movi", imgs.map(i => chunk("00db", dib(i))): _*)
+    val inner = "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi
+    "RIFF".getBytes("US-ASCII") ++ le32(inner.length) ++ inner
+  }
+
   /** All decodable frames in container order; empty if `bytes` is not
     * an AVI or holds no decodable video frames.
     */

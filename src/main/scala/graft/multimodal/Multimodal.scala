@@ -117,7 +117,7 @@ object Multimodal {
     * via the pure-JVM RIFF walk in [[Avi]] (Motion-JPEG and raw
     * BI_RGB DIB frames). Empty on undecodable input.
     */
-  private[multimodal] def decodeFrames(bytes: Array[Byte]): IndexedSeq[java.awt.image.BufferedImage] =
+  private[graft] def decodeFrames(bytes: Array[Byte]): IndexedSeq[java.awt.image.BufferedImage] =
     if (Avi.isAvi(bytes)) Avi.frames(bytes)
     else try {
       val iis = javax.imageio.ImageIO.createImageInputStream(new java.io.ByteArrayInputStream(bytes))
@@ -199,12 +199,7 @@ object Multimodal {
   final class AudioDecoder(fallback: Decoder = FakeDecoder) extends Decoder {
     def decode(kind: String, bytes: Array[Byte], dim: Int): Array[Float] = {
       if (kind != "audio" || bytes.isEmpty) return fallback.decode(kind, bytes, dim)
-      val samples =
-        try {
-          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-            new java.io.ByteArrayInputStream(bytes))
-          try pcmSamples(ais) finally ais.close()
-        } catch { case scala.util.control.NonFatal(_) => null }
+      val samples = decodeAudioSamples(bytes)
       if (samples == null || samples.isEmpty) return fallback.decode(kind, bytes, dim)
       val out = new Array[Float](dim)
       var d = 0
@@ -221,13 +216,27 @@ object Multimodal {
       out
     }
 
-    /** Mono-mixed samples in [-1, 1] from an 8/16-bit linear-PCM
-      * stream. Encoding is checked, not just the bit width: ULAW/ALAW
-      * report 8 sample bits but are companded, and 8-bit PCM comes in
-      * both signed (AIFF) and unsigned (WAV) flavors — anything
-      * outside plain linear PCM routes to the fallback (null).
-      */
-    private def pcmSamples(ais: javax.sound.sampled.AudioInputStream): Array[Double] = {
+  }
+
+  /** Decoded mono PCM samples of an encoded audio payload (WAV/AIFF),
+    * or null when no JDK reader decodes it — the audio-side analogue
+    * of [[decodeFrames]], shared by [[AudioDecoder]] and the
+    * perceptual [[AudioFingerprint]].
+    */
+  private[multimodal] def decodeAudioSamples(bytes: Array[Byte]): Array[Double] =
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try pcmSamples(ais) finally ais.close()
+    } catch { case scala.util.control.NonFatal(_) => null }
+
+  /** Mono-mixed samples in [-1, 1] from an 8/16-bit linear-PCM
+    * stream. Encoding is checked, not just the bit width: ULAW/ALAW
+    * report 8 sample bits but are companded, and 8-bit PCM comes in
+    * both signed (AIFF) and unsigned (WAV) flavors — anything
+    * outside plain linear PCM returns null.
+    */
+  private def pcmSamples(ais: javax.sound.sampled.AudioInputStream): Array[Double] = {
       import javax.sound.sampled.AudioFormat.Encoding
       val fmt = ais.getFormat
       val bits = fmt.getSampleSizeInBits
@@ -265,7 +274,6 @@ object Multimodal {
       }
       out
     }
-  }
 
   /** JDK-native decoder for everything the JDK can decode: images via
     * [[ImageIoDecoder]], audio via [[AudioDecoder]], video via
@@ -384,6 +392,94 @@ object Multimodal {
           javax.imageio.ImageIO.write(img, "png", out)
           MediaRow(id, "image", out.toByteArray,
             Map("width" -> w.toString, "height" -> h.toString))
+        }
+      }
+  }
+
+  /** Build a synthetic media table of REAL encoded WAVs from any
+    * (id, text) frame — the audio analogue of [[syntheticImages]]:
+    * 16-bit mono linear PCM at 8 kHz whose samples are a pure
+    * function of the text (each text byte drives a short constant-
+    * amplitude segment), so duplicate texts yield bit-identical
+    * recordings and near-duplicate texts differ in a few envelope
+    * windows — the fixture an audio-fingerprint dedup needs.
+    */
+  def syntheticWavs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      samplesPerByte: Int = 64): Dataset[MediaRow] = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long").as("media_id"), col(textCol).as("text"))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, text) =>
+          val bytes =
+            if (text == null) Array.emptyByteArray
+            else text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val n = math.max(1, bytes.length) * samplesPerByte
+          val pcm = new Array[Byte](n * 2)
+          var i = 0
+          while (i < n) {
+            val b = if (bytes.isEmpty) 0 else bytes(i / samplesPerByte) & 0xff
+            // amplitude from the byte, alternating sign so each
+            // segment has genuine AC energy rather than DC offset
+            val v = (if (i % 2 == 0) 1 else -1) * (b * 96) // ≤ 24480 < 32767
+            pcm(2 * i) = (v & 0xff).toByte
+            pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+            i += 1
+          }
+          val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+          val ais = new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+          val out = new java.io.ByteArrayOutputStream()
+          javax.sound.sampled.AudioSystem.write(
+            ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+          MediaRow(id, "audio", out.toByteArray, Map("sample_rate" -> "8000"))
+        }
+      }
+  }
+
+  /** Build a synthetic media table of REAL multi-frame AVIs from any
+    * (id, text) frame — the video analogue of [[syntheticImages]]:
+    * `nFrames` uncompressed DIB frames ([[Avi.buildDib]], pixel-exact
+    * round trip) whose pixels are a pure function of the text with a
+    * per-frame scan offset, so duplicate texts yield bit-identical
+    * videos and near-duplicate texts yield videos whose frames differ
+    * in a few pixels each.
+    */
+  def syntheticVideos(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      w: Int = 16,
+      h: Int = 16,
+      nFrames: Int = 4): Dataset[MediaRow] = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long").as("media_id"), col(textCol).as("text"))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, text) =>
+          val bytes =
+            if (text == null) Array.emptyByteArray
+            else text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val frames = (0 until nFrames).map { f =>
+            val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val pos = f * w * h + y * w + x
+                val v = if (bytes.isEmpty) 0 else bytes(pos % bytes.length) & 0xff
+                img.setRGB(x, y, (v << 16) | (v << 8) | v)
+                x += 1
+              }
+              y += 1
+            }
+            img
+          }
+          MediaRow(id, "video", Avi.buildDib(frames),
+            Map("n_frames" -> nFrames.toString, "width" -> w.toString, "height" -> h.toString))
         }
       }
   }

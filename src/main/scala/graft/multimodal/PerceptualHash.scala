@@ -63,8 +63,91 @@ object PerceptualHash {
     graft.dedup.Dedup.hammingPairs(hashed, "id", "sig", maxHamming)
   }
 
+  /** `(media_id, frame_idx, ahash)` for every `everyN`-th decoded
+    * frame of every payload — the frame-grain hash table video dedup
+    * builds on (stills contribute their single frame at idx 0).
+    */
+  def frameHashes(media: Dataset[Multimodal.MediaRow], everyN: Int = 1): DataFrame = {
+    import media.sparkSession.implicits._
+    require(everyN >= 1, s"everyN=$everyN must be >= 1")
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        if (r.bytes == null || r.bytes.isEmpty) Iterator.empty
+        else {
+          val frames = Multimodal.decodeFrames(r.bytes)
+          frames.indices.iterator.collect {
+            case i if i % everyN == 0 => (r.media_id, i, aHash64(frames(i)))
+          }
+        }
+      }
+    }.toDF("media_id", "frame_idx", "ahash")
+  }
+
+  /** Video near-duplicate pairs by frame-hash agreement: two videos
+    * pair when either side's fraction of sampled frames with a
+    * Hamming-near partner in the other video reaches `minMatchFrac`
+    * (`match_frac = max` of the two coverages) — the containment
+    * measure at video granularity: a clip embedded verbatim in a
+    * longer cut scores 1.0 on its own side. The frame
+    * join is the same banded Hamming self-join as every other
+    * fingerprint path (frames keyed by a composite id; only 8-byte
+    * hashes shuffle), so the cost tracks colliding frames, never
+    * all video pairs.
+    *
+    * Output: `(id_a, id_b, matched_a, matched_b, n_a, n_b,
+    * match_frac)` with `id_a < id_b`.
+    */
+  def videoDupPairs(
+      media: Dataset[Multimodal.MediaRow],
+      maxHamming: Int = 2,
+      minMatchFrac: Double = 0.5,
+      everyN: Int = 1): DataFrame = {
+    require(minMatchFrac > 0.0 && minMatchFrac <= 1.0,
+      s"minMatchFrac $minMatchFrac must be in (0, 1]")
+    val fh = frameHashes(media, everyN)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val counts = fh.groupBy(col("media_id")).agg(count(lit(1)).as("n_frames"))
+    // composite frame key: frame_idx is bounded far below FrameStride
+    val keyed = fh.select(
+      (col("media_id") * lit(FrameStride) + col("frame_idx")).as("id"),
+      col("ahash").as("sig"))
+    // `div`, not `/`: Column./ is DOUBLE division, which silently
+    // loses exactness for composites past 2^53 — integral div keeps
+    // the full documented id range exact
+    val framePairs = graft.dedup.Dedup.hammingPairs(keyed, "id", "sig", maxHamming)
+      .select(
+        expr(s"id_a div $FrameStride").as("va"),
+        pmod(col("id_a"), lit(FrameStride)).as("fa"),
+        expr(s"id_b div $FrameStride").as("vb"),
+        pmod(col("id_b"), lit(FrameStride)).as("fb"))
+      .filter(col("va") =!= col("vb"))
+      .select(
+        least(col("va"), col("vb")).as("id_a"),
+        greatest(col("va"), col("vb")).as("id_b"),
+        when(col("va") < col("vb"), col("fa")).otherwise(col("fb")).as("fa"),
+        when(col("va") < col("vb"), col("fb")).otherwise(col("fa")).as("fb"))
+    framePairs
+      .groupBy("id_a", "id_b")
+      .agg(
+        countDistinct(col("fa")).as("matched_a"),
+        countDistinct(col("fb")).as("matched_b"))
+      .join(counts.toDF("id_a", "n_a"), "id_a")
+      .join(counts.toDF("id_b", "n_b"), "id_b")
+      .withColumn("match_frac",
+        greatest(
+          col("matched_a").cast("double") / col("n_a").cast("double"),
+          col("matched_b").cast("double") / col("n_b").cast("double")))
+      .filter(col("match_frac") >= minMatchFrac)
+      .select("id_a", "id_b", "matched_a", "matched_b", "n_a", "n_b", "match_frac")
+  }
+
+  /** Composite frame-key stride: supports videos up to one million
+    * sampled frames and media ids up to ~9.2e12 without collision.
+    */
+  private val FrameStride = 1000000L
+
   /** 8×8 average hash of one decoded frame. */
-  private[multimodal] def aHash64(img: java.awt.image.BufferedImage): Long = {
+  private[graft] def aHash64(img: java.awt.image.BufferedImage): Long = {
     val cells = Multimodal.gridPool(img, 64)
     var mean = 0.0
     var i = 0
@@ -84,7 +167,7 @@ object PerceptualHash {
     * is index r*9+c and the 8 gradients per row compare adjacent
     * indices.
     */
-  private[multimodal] def dHash64(img: java.awt.image.BufferedImage): Long = {
+  private[graft] def dHash64(img: java.awt.image.BufferedImage): Long = {
     val cells = Multimodal.gridPool(img, 72)
     var out = 0L
     var r = 0

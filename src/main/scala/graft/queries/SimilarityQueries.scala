@@ -220,6 +220,33 @@ object SimilarityQueries {
       .orderBy("id_a", "id_b")
   }
 
+  /** q87: audio-fingerprint near-dup pairs over REAL encoded WAVs
+    * (deterministic PCM from each document's text —
+    * [[graft.multimodal.Multimodal.syntheticWavs]]), energy-envelope
+    * eHash at Hamming <= 3. Rows-only: DuckDB cannot decode WAV; the
+    * brute-force recomputation contract is pinned in
+    * RowsOnlyContractSpec / AudioFingerprintSpec.
+    */
+  def q87AudioDups(spark: SparkSession, dir: String): DataFrame = {
+    val media = graft.multimodal.Multimodal.syntheticWavs(
+      Sources.documents(spark, dir), "doc_id", "text")
+    graft.multimodal.AudioFingerprint.audioDupPairs(media, maxHamming = 3, which = "ehash")
+      .orderBy("id_a", "id_b")
+  }
+
+  /** q88: video near-dup pairs by frame-hash agreement over REAL
+    * multi-frame DIB AVIs ([[graft.multimodal.Multimodal
+    * .syntheticVideos]], pixel-exact round trip) — the containment
+    * measure at video granularity. Rows-only; brute-force
+    * recomputation contract in RowsOnlyContractSpec.
+    */
+  def q88VideoDups(spark: SparkSession, dir: String): DataFrame = {
+    val media = graft.multimodal.Multimodal.syntheticVideos(
+      Sources.documents(spark, dir), "doc_id", "text")
+    graft.multimodal.PerceptualHash.videoDupPairs(media, maxHamming = 2, minMatchFrac = 0.75)
+      .orderBy("id_a", "id_b")
+  }
+
   private val kmeansModelCache = scala.collection.concurrent.TrieMap.empty[String, graft.similarity.Ivf.Model]
 
   private def kmeansModel(spark: SparkSession, dir: String): graft.similarity.Ivf.Model =
@@ -255,6 +282,8 @@ object SimilarityQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q83_phash_dups" -> (q83PhashDups _),
     "q84_kmeans_cells" -> (q84KmeansCells _),
+    "q87_audio_dups" -> (q87AudioDups _),
+    "q88_video_dups" -> (q88VideoDups _),
     "q28_knn_brute" -> (q28KnnBrute _),
     "q29_knn_ann" -> (q29KnnAnn _),
     "q30_embedding_near_dup" -> (q30EmbeddingNearDup _),

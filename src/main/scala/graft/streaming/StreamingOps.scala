@@ -209,7 +209,7 @@ object StreamingOps {
     * colliding band, exactly the duplicate shape the batch path folds
     * with its pre-verify `distinct`). State per bucket is the seen
     * (id, sig) list — 16 bytes per doc per band; the production bound
-    * is the TTL-horizon pattern of [[minhashCandidatesStreamTtl]].
+    * is [[hammingPairsStreamTtl]].
     */
   def hammingPairsStream(
       hashed: DataFrame,
@@ -253,6 +253,79 @@ object StreamingOps {
           }
           state.update(SigBucket(seen))
           out.iterator
+        })
+  }
+
+  final case class BandedSigT(band: Int, h: Long, id: Long, sig: Long, ts: java.sql.Timestamp)
+  final case class SigBucketT(docs: List[(Long, Long, Long)])
+
+  /** [[hammingPairsStream]] with the PRODUCTION state bound — the
+    * fingerprint-stream analogue of [[minhashCandidatesStreamTtl]]:
+    * each seen signature expires `ttlMs` after its event time
+    * (watermark-relative eviction + idle-bucket event-time timeout +
+    * the pairwise event-time check, the same three-way enforcement and
+    * for the same reasons — see the MinHash twin's inline comments).
+    * State is bounded by one TTL horizon of fingerprints (24 bytes per
+    * doc per band); a near-dup arriving more than `ttlMs` after its
+    * partner is intentionally NOT reported.
+    */
+  def hammingPairsStreamTtl(
+      hashed: DataFrame,
+      idCol: String,
+      sigCol: String,
+      tsCol: String,
+      maxHamming: Int,
+      ttlMs: Long = 3600000L,
+      lateness: String = "10 seconds",
+      bands: Int = 4): Dataset[HamPair] = {
+    import hashed.sparkSession.implicits._
+    require(bands >= 1 && 64 % bands == 0, s"bands=$bands must divide 64")
+    require(ttlMs > 0, s"ttlMs=$ttlMs must be positive")
+    requireIntegralId(hashed, idCol)
+    val width = 64 / bands
+    val mask = if (width == 64) -1L else (1L << width) - 1L
+    val banded = hashed
+      .withWatermark(tsCol, lateness)
+      .select(col(idCol).cast("long").as("id"), col(sigCol).cast("long").as("sig"), col(tsCol).as("ts"))
+      .filter(col("sig").isNotNull && col("id").isNotNull)
+      .select(col("id"), col("sig"), col("ts"),
+        explode(array((0 until bands).map { b =>
+          struct(lit(b).as("band"),
+            shiftright(col("sig"), b * width).bitwiseAND(lit(mask)).as("h"))
+        }: _*)).as("bk"))
+      .select(col("bk.band").as("band"), col("bk.h").as("h"), col("id"), col("sig"), col("ts"))
+      .as[BandedSigT]
+    banded
+      .groupByKey(d => (d.band, d.h))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (_: (Int, Long), rows: Iterator[BandedSigT], state: GroupState[SigBucketT]) => {
+          val wm = state.getCurrentWatermarkMs()
+          def live(docs: List[(Long, Long, Long)]) = docs.filter(_._3 + ttlMs > wm)
+          if (state.hasTimedOut) {
+            val kept = live(state.getOption.map(_.docs).getOrElse(Nil))
+            if (kept.isEmpty) state.remove()
+            else {
+              state.update(SigBucketT(kept))
+              state.setTimeoutTimestamp(kept.map(_._3).min + ttlMs)
+            }
+            Iterator.empty
+          } else {
+            var seen = live(state.getOption.map(_.docs).getOrElse(Nil))
+            val out = scala.collection.mutable.ListBuffer.empty[HamPair]
+            rows.toSeq.sortBy(_.id).foreach { d =>
+              seen.foreach { case (oid, osig, ots) =>
+                if (oid != d.id && math.abs(d.ts.getTime - ots) <= ttlMs) {
+                  val ham = java.lang.Long.bitCount(osig ^ d.sig)
+                  if (ham <= maxHamming)
+                    out += HamPair(math.min(oid, d.id), math.max(oid, d.id), ham)
+                }
+              }
+              seen = (d.id, d.sig, d.ts.getTime) :: seen
+            }
+            state.update(SigBucketT(seen))
+            state.setTimeoutTimestamp(seen.map(_._3).min + ttlMs)
+            out.iterator
+          }
         })
   }
 

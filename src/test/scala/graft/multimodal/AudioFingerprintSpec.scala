@@ -1,0 +1,83 @@
+package graft.multimodal
+
+import graft.SparkSpec
+
+class AudioFingerprintSpec extends SparkSpec {
+
+  private def wav(pcm: Array[Short], rate: Float = 8000f): Array[Byte] = {
+    val raw = new Array[Byte](pcm.length * 2)
+    var i = 0
+    while (i < pcm.length) {
+      raw(2 * i) = (pcm(i) & 0xff).toByte
+      raw(2 * i + 1) = ((pcm(i) >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(rate, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(raw), fmt, pcm.length.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  // a deterministic envelope: alternating-sign amplitude pattern with
+  // distinct loud/quiet regions so both hashes carry real structure
+  private def tone(f: Int => Int, n: Int = 6400): Array[Short] =
+    Array.tabulate(n)(i => ((if (i % 2 == 0) 1 else -1) * f(i)).toShort)
+
+  private def media(rows: (Long, Array[Byte])*) = {
+    import sqlImplicits._
+    rows.map { case (id, b) => Multimodal.MediaRow(id, "audio", b, Map.empty[String, String]) }.toDS()
+  }
+
+  private def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
+  test("identical PCM hashes identically; a gain change leaves both hashes untouched") {
+    val base = tone(i => 2000 + (i / 100 % 8) * 1500)
+    val louder = base.map(s => (s * 1.5).toShort)
+    val rows = AudioFingerprint.audioHashes(media((1L, wav(base)), (2L, wav(base)), (3L, wav(louder))))
+      .collect().sortBy(_.media_id)
+    assert(rows(0).ehash == rows(1).ehash && rows(0).dhash == rows(1).dhash)
+    assert(rows(0).ehash == rows(2).ehash, "eHash must be gain-invariant")
+    assert(rows(0).dhash == rows(2).dhash, "dHash must be gain-invariant")
+  }
+
+  test("a local edit stays Hamming-near; a different envelope is Hamming-far") {
+    val base = tone(i => 2000 + (i / 100 % 8) * 1500)
+    // silence one short region (~1 of 64 windows)
+    val edited = base.zipWithIndex.map { case (s, i) => if (i >= 300 && i < 400) 0.toShort else s }
+    val other = tone(i => 2000 + (i / 37 % 13) * 1100)
+    val rows = AudioFingerprint
+      .audioHashes(media((1L, wav(base)), (2L, wav(edited)), (3L, wav(other))))
+      .collect().sortBy(_.media_id)
+    assert(hamming(rows(0).ehash, rows(1).ehash) <= 3,
+      s"local edit drifted ${hamming(rows(0).ehash, rows(1).ehash)} eHash bits")
+    assert(hamming(rows(0).ehash, rows(2).ehash) > 10,
+      s"unrelated envelopes only ${hamming(rows(0).ehash, rows(2).ehash)} bits apart")
+  }
+
+  test("undecodable, empty, and null payloads yield no hash row") {
+    import sqlImplicits._
+    val ds = media((1L, Array[Byte](9, 9, 9)), (2L, Array.emptyByteArray))
+      .union(Seq(Multimodal.MediaRow(3L, "audio", null, Map.empty[String, String])).toDS())
+    assert(AudioFingerprint.audioHashes(ds).count() == 0)
+  }
+
+  test("audioDupPairs equals brute-force Hamming over recomputed hashes; planted dup at 0") {
+    val fills: Seq[(Long, Int => Int)] = (0 until 10).map { k =>
+      (k.toLong, (i: Int) => 1500 + (i / (50 + 13 * k) % (5 + k)) * 1200)
+    } ++ Seq(
+      (100L, (i: Int) => 2000 + (i / 80 % 7) * 1400),
+      (101L, (i: Int) => 2000 + (i / 80 % 7) * 1400))
+    val ds = media(fills.map { case (id, f) => (id, wav(tone(f))) }: _*)
+    val hashed = AudioFingerprint.audioHashes(ds).collect()
+    val brute = (for {
+      a <- hashed; b <- hashed
+      if a.media_id < b.media_id && hamming(a.ehash, b.ehash) <= 3
+    } yield (a.media_id, b.media_id)).toSet
+    val joined = AudioFingerprint.audioDupPairs(ds, maxHamming = 3, which = "ehash")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute.contains((100L, 101L)), "fixture drifted: planted dup not within Hamming 3")
+    assert(joined == brute, s"banded join diverged\nbrute=$brute\njoined=$joined")
+  }
+}

@@ -81,6 +81,52 @@ class PerceptualHashSpec extends SparkSpec {
     assert(joined == brute, s"banded join diverged\nbrute=$brute\njoined=$joined")
   }
 
+  test("frameHashes: every DIB frame hashed in order; everyN samples; undecodable yields none") {
+    import sqlImplicits._
+    def gray(v: Int) = {
+      val img = new java.awt.image.BufferedImage(16, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 16; x <- 0 until 16) {
+        val g = (v + x * 9) % 256
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+      }
+      img
+    }
+    val avi = Avi.buildDib(Seq(gray(10), gray(80), gray(160)))
+    val ds = Seq(
+      Multimodal.MediaRow(1L, "video", avi, Map.empty[String, String]),
+      Multimodal.MediaRow(2L, "video", Array[Byte](1, 2, 3), Map.empty[String, String])).toDS()
+    val all = PerceptualHash.frameHashes(ds).collect().map(r => (r.getLong(0), r.getInt(1))).sorted
+    assert(all.toSeq == Seq((1L, 0), (1L, 1), (1L, 2)))
+    val sampled = PerceptualHash.frameHashes(ds, everyN = 2).collect().map(_.getInt(1)).sorted
+    assert(sampled.toSeq == Seq(0, 2))
+  }
+
+  test("videoDupPairs: exact dup scores 1.0, embedded clip scores 1.0 on its side, unrelated never pairs") {
+    import sqlImplicits._
+    def frame(seed: Int) = {
+      val img = new java.awt.image.BufferedImage(16, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 16; x <- 0 until 16) {
+        val v = (seed * 37 + x * 11 + y * 23) % 256
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      img
+    }
+    val a = Seq(frame(1), frame(2), frame(3), frame(4))
+    val clip = Seq(frame(2), frame(3)) // contiguous slice of a
+    val other = Seq(frame(90), frame(91), frame(92))
+    val ds = Seq(
+      Multimodal.MediaRow(1L, "video", Avi.buildDib(a), Map.empty[String, String]),
+      Multimodal.MediaRow(2L, "video", Avi.buildDib(a), Map.empty[String, String]), // exact dup
+      Multimodal.MediaRow(3L, "video", Avi.buildDib(clip), Map.empty[String, String]),
+      Multimodal.MediaRow(4L, "video", Avi.buildDib(other), Map.empty[String, String])).toDS()
+    val got = PerceptualHash.videoDupPairs(ds, maxHamming = 2, minMatchFrac = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("match_frac")).toMap
+    assert(got.contains((1L, 2L)) && got((1L, 2L)) == 1.0, s"exact dup: $got")
+    assert(got.contains((1L, 3L)) && got((1L, 3L)) == 1.0, s"embedded clip must score 1.0: $got")
+    assert(got.contains((2L, 3L)))
+    assert(!got.keySet.exists { case (x, y) => x == 4L || y == 4L }, s"unrelated paired: $got")
+  }
+
   test("hammingPairs is exact below the band count and validates band geometry") {
     import sqlImplicits._
     // signatures two bit-flips apart must pair at bands=4 (pigeonhole)

@@ -279,7 +279,17 @@ class PlanContractSpec extends SparkSpec {
     // left-anti join back to the corpus (oracle ORDER BY merges into
     // the anti join's exchange at this scale). Resolution itself adds
     // no data-plane shuffle beyond those two pair-grain exchanges.
-    "q86_drop_contained" -> 8)
+    "q86_drop_contained" -> 8,
+    // q87: same shape as q83 — the banded Hamming self-join's
+    // (band,h) exchange + candidate distinct; WAV encode/decode/hash
+    // is all map-side, only (id, 8-byte sig) shuffles.
+    "q87_audio_dups" -> 2,
+    // q88: frame-grain Hamming join pair (2) + per-video frame-count
+    // aggregate + the (id_a, id_b) agreement aggregate + two count
+    // joins collapsing onto one exchange each at this scale + oracle
+    // ORDER BY. Frame payloads never shuffle — the composite-keyed
+    // hash table is 16 bytes/frame.
+    "q88_video_dups" -> 6)
 
   test("no query plans a cartesian product or nested-loop join") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

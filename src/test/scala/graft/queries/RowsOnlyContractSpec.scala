@@ -5,8 +5,8 @@ import graft.sources.Sources
 import org.apache.spark.sql.functions._
 
 /** Quantified contracts for the rows-only queries
-  * (q25/q27/q29/q30/q35/q37/q76/q83/q84): these cannot hash-match a
-  * DuckDB oracle
+  * (q25/q27/q29/q30/q35/q37/q76/q83/q84/q87/q88): these cannot
+  * hash-match a DuckDB oracle
   * (hash-valued or approximate by design), so each one's CLAIM is
   * pinned here numerically against an exact in-Spark anchor computed
   * on the same fixture — accuracy floors, recall floors, error bounds,
@@ -228,6 +228,66 @@ class RowsOnlyContractSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Number]("hamming").intValue))
     assert(plantedPairs.length == 1 && plantedPairs.head._3 == 0,
       s"planted exact duplicate not paired at Hamming 0: ${plantedPairs.toSeq}")
+  }
+
+  test("q87 contract: audio pair set equals brute-force Hamming over recomputed fingerprints") {
+    import graft.multimodal.{AudioFingerprint, Multimodal}
+    val docs = Sources.documents(spark, dir)
+    val out = SparkEntry.queries("q87_audio_dups")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hashed = AudioFingerprint.audioHashes(
+      Multimodal.syntheticWavs(docs, "doc_id", "text")).collect()
+    val brute = (for {
+      a <- hashed; b <- hashed
+      if a.media_id < b.media_id && java.lang.Long.bitCount(a.ehash ^ b.ehash) <= 3
+    } yield (a.media_id, b.media_id)).toSet
+    assert(out == brute, s"${(out diff brute).size} extra, ${(brute diff out).size} missing pairs")
+    // identical text ⇒ identical PCM ⇒ paired at Hamming 0 (planted,
+    // since the sf0.01 corpus has no byte-identical texts)
+    val first = docs.select(col("doc_id"), col("text")).orderBy("doc_id").limit(1)
+    val planted = first.union(first.select(col("doc_id") + lit(1000000L), col("text")))
+    val plantedPairs = AudioFingerprint.audioDupPairs(
+      Multimodal.syntheticWavs(planted, "doc_id", "text"), maxHamming = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Number]("hamming").intValue))
+    assert(plantedPairs.length == 1 && plantedPairs.head._3 == 0,
+      s"planted exact duplicate not paired at Hamming 0: ${plantedPairs.toSeq}")
+  }
+
+  test("q88 contract: video pair set equals brute-force frame-hash agreement") {
+    import graft.multimodal.{Multimodal, PerceptualHash}
+    val docs = Sources.documents(spark, dir)
+    val out = SparkEntry.queries("q88_video_dups")(spark, dir)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getAs[Double]("match_frac"))).toMap
+    // independent recomputation: decode every synthetic AVI's frames,
+    // hash driver-side, brute-force the agreement measure
+    val media = Multimodal.syntheticVideos(docs, "doc_id", "text").collect()
+    val hashes: Map[Long, Seq[Long]] = media.map { r =>
+      r.media_id -> Multimodal.decodeFrames(r.bytes).map(PerceptualHash.aHash64).toSeq
+    }.toMap
+    def near(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b) <= 2
+    val ids = hashes.keys.toSeq.sorted
+    val brute = (for {
+      i <- ids.indices.iterator; j <- (i + 1 until ids.length).iterator
+      (va, vb) = (ids(i), ids(j))
+      ha = hashes(va); hb = hashes(vb)
+      ma = ha.count(x => hb.exists(near(x, _))).toDouble / ha.size
+      mb = hb.count(x => ha.exists(near(x, _))).toDouble / hb.size
+      if math.max(ma, mb) >= 0.75
+    } yield (va, vb) -> math.max(ma, mb)).toMap
+    assert(out.keySet == brute.keySet,
+      s"${(out.keySet diff brute.keySet).size} extra, ${(brute.keySet diff out.keySet).size} missing pairs")
+    // matched-frame COUNTS can differ from per-frame agreement only if
+    // distinct frames collide; the fraction itself must agree
+    out.foreach { case (k, f) => assert(math.abs(f - brute(k)) < 1e-12, s"$k: $f vs ${brute(k)}") }
+    // identical text ⇒ identical AVI ⇒ every frame matches at 1.0
+    // (planted: the organic corpus has no byte-identical texts)
+    val first = docs.select(col("doc_id"), col("text")).orderBy("doc_id").limit(1)
+    val planted = first.union(first.select(col("doc_id") + lit(1000000L), col("text")))
+    val plantedPairs = PerceptualHash.videoDupPairs(
+      Multimodal.syntheticVideos(planted, "doc_id", "text"), maxHamming = 0, minMatchFrac = 1.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Double]("match_frac")))
+    assert(plantedPairs.length == 1 && plantedPairs.head._3 == 1.0,
+      s"planted exact video duplicate not fully matched: ${plantedPairs.toSeq}")
   }
 
   test("q84 contract: cells partition the non-degenerate corpus; every cell coheres") {

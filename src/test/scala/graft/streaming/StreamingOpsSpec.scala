@@ -336,6 +336,35 @@ class StreamingOpsSpec extends SparkSpec {
     assert(pairs == Set((2L, 3L)), s"expected only the in-horizon pair, got $pairs")
   }
 
+  test("TTL-bounded Hamming stream reports only in-horizon fingerprint pairs") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import sqlImplicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val sigX = 0x0123456789abcdefL
+    val far = 0xfedcba9876543210L
+    val input = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val stream = StreamingOps.hammingPairsStreamTtl(
+      input.toDF().toDF("media_id", "sig", "ts"), "media_id", "sig", "ts",
+      maxHamming = 3, ttlMs = 3600000L, lateness = "10 seconds")
+    val q = stream.toDF().writeStream.outputMode("append").format("memory").queryName("hpsttl").start()
+    input.addData((1L, sigX, ts("2024-01-01 10:00:00")))
+    q.processAllAvailable()
+    // unrelated watermark marker far past doc 1's 11:00 expiry
+    input.addData((99L, far, ts("2024-01-01 13:00:00")))
+    q.processAllAvailable()
+    // same fingerprint 3h later: partner EXPIRED, no pair
+    input.addData((2L, sigX, ts("2024-01-01 13:05:00")))
+    q.processAllAvailable()
+    // two bits off, 5 min later: within horizon, pair (2,3) at Hamming 2
+    input.addData((3L, sigX ^ 0x3L, ts("2024-01-01 13:10:00")))
+    q.processAllAvailable()
+    q.stop()
+    val pairs = spark.table("hpsttl").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(pairs == Set((2L, 3L, 2)), s"expected only the in-horizon pair, got $pairs")
+  }
+
   test("streaming line scrub equals batch dedupLines(keepFirst=false) against the same snapshot") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import sqlImplicits._
