@@ -408,7 +408,7 @@ object Multimodal {
       df: DataFrame,
       idCol: String,
       textCol: String,
-      samplesPerByte: Int = 64): Dataset[MediaRow] = {
+      samplesPerByte: Int = 16): Dataset[MediaRow] = {
     import df.sparkSession.implicits._
     df.select(col(idCol).cast("long").as("media_id"), col(textCol).as("text"))
       .as[(Long, String)]
