@@ -104,16 +104,35 @@ object PerceptualHash {
       everyN: Int = 1): DataFrame = {
     require(minMatchFrac > 0.0 && minMatchFrac <= 1.0,
       s"minMatchFrac $minMatchFrac must be in (0, 1]")
+    // One decode+hash pass feeds three plan branches (counts twice,
+    // the Hamming join once); blocks are left to age out of the LRU
+    // cache after the caller's action rather than tying the result to
+    // a release handle — the same documented decision as the
+    // containment miner's shingle table.
     val fh = frameHashes(media, everyN)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val counts = fh.groupBy(col("media_id")).agg(count(lit(1)).as("n_frames"))
-    // composite frame key: frame_idx is bounded far below FrameStride
+    // Composite-key range is ENFORCED per row, not just documented: a
+    // negative media_id would decompose wrong (truncating div vs
+    // pmod), an id past maxSafeId would overflow the multiply, and a
+    // video with >= FrameStride sampled frames would spill into the
+    // next id — each silently corrupting pair attribution.
+    val maxSafeId = (Long.MaxValue - (FrameStride - 1)) / FrameStride
     val keyed = fh.select(
-      (col("media_id") * lit(FrameStride) + col("frame_idx")).as("id"),
+      when(
+        col("media_id") >= 0 && col("media_id") <= maxSafeId && col("frame_idx") < FrameStride,
+        col("media_id") * lit(FrameStride) + col("frame_idx"))
+        .otherwise(raise_error(concat(
+          lit("videoDupPairs: media_id/frame_idx outside the composite-key range: "),
+          col("media_id").cast("string"), lit("/"), col("frame_idx").cast("string"))))
+        .as("id"),
       col("ahash").as("sig"))
     // `div`, not `/`: Column./ is DOUBLE division, which silently
     // loses exactness for composites past 2^53 — integral div keeps
-    // the full documented id range exact
+    // the full id range exact. hammingPairs guarantees id_a < id_b,
+    // which with validated non-negative components implies va <= vb —
+    // so after the va =!= vb filter the video pair is already
+    // canonically ordered and fa/fb sides need no swap.
     val framePairs = graft.dedup.Dedup.hammingPairs(keyed, "id", "sig", maxHamming)
       .select(
         expr(s"id_a div $FrameStride").as("va"),
@@ -121,11 +140,7 @@ object PerceptualHash {
         expr(s"id_b div $FrameStride").as("vb"),
         pmod(col("id_b"), lit(FrameStride)).as("fb"))
       .filter(col("va") =!= col("vb"))
-      .select(
-        least(col("va"), col("vb")).as("id_a"),
-        greatest(col("va"), col("vb")).as("id_b"),
-        when(col("va") < col("vb"), col("fa")).otherwise(col("fb")).as("fa"),
-        when(col("va") < col("vb"), col("fb")).otherwise(col("fa")).as("fb"))
+      .select(col("va").as("id_a"), col("vb").as("id_b"), col("fa"), col("fb"))
     framePairs
       .groupBy("id_a", "id_b")
       .agg(

@@ -127,6 +127,16 @@ class PerceptualHashSpec extends SparkSpec {
     assert(!got.keySet.exists { case (x, y) => x == 4L || y == 4L }, s"unrelated paired: $got")
   }
 
+  test("videoDupPairs rejects a media id outside the composite-key range per row") {
+    val fill = (x: Int, y: Int) => (x * 7 + y * 13) % 256
+    val ds = media((-1L, png(fill)), (2L, png(fill)))
+    val e = intercept[Exception] {
+      PerceptualHash.videoDupPairs(ds, maxHamming = 3, minMatchFrac = 0.5).collect()
+    }
+    assert(e.getMessage.contains("composite-key range") ||
+      Option(e.getCause).exists(_.getMessage.contains("composite-key range")), e.toString)
+  }
+
   test("hammingPairs is exact below the band count and validates band geometry") {
     import sqlImplicits._
     // signatures two bit-flips apart must pair at bands=4 (pigeonhole)

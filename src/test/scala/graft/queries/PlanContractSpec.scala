@@ -285,11 +285,12 @@ class PlanContractSpec extends SparkSpec {
     // is all map-side, only (id, 8-byte sig) shuffles.
     "q87_audio_dups" -> 2,
     // q88: frame-grain Hamming join pair (2) + per-video frame-count
-    // aggregate + the (id_a, id_b) agreement aggregate + two count
-    // joins collapsing onto one exchange each at this scale + oracle
-    // ORDER BY. Frame payloads never shuffle — the composite-keyed
-    // hash table is 16 bytes/frame.
-    "q88_video_dups" -> 6)
+    // aggregate + the (id_a, id_b) agreement aggregate + count joins
+    // + oracle ORDER BY collapsing onto shared exchanges at this
+    // scale (dropping the dead least/greatest swap let one more
+    // exchange be reused: 6 -> 5). Frame payloads never shuffle — the
+    // composite-keyed hash table is 16 bytes/frame.
+    "q88_video_dups" -> 5)
 
   test("no query plans a cartesian product or nested-loop join") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
