@@ -1320,7 +1320,45 @@ object PipelineQueries {
        |GROUP BY lang, source
        |ORDER BY lang, source""".stripMargin
 
+  /** q89: chunking by trained-tokenizer budget
+    * ([[graft.text.Chunking.chunksByBpe]]) — context-window fills
+    * priced in BPE tokens, words never split, crossing-allowed
+    * prefix-sum chunk assignment (the packing-manifest convention).
+    * The oracle re-derives the tokenizer (q80's CTE chain) and replays
+    * the same prefix-sum grouping, including the ordered chunk-text
+    * reassembly — hash-exact.
+    */
+  def q89BpeChunking(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Sources.documents(spark, dir)
+    val model = graft.text.BpeTokenizer.fit(docs, "text", numMerges = bpeNumMerges, maxVocab = 100000)
+    graft.text.Chunking.chunksByBpe(docs, "text", "doc_id", model, budget = 256)
+      .orderBy("doc_id", "chunk_idx")
+  }
+
+  val q89Sql: String =
+    s"""$bpeDocCountsSql,
+       |wpos AS (
+       |  SELECT doc_id, w, i FROM (
+       |    SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+       |           generate_subscripts(string_split(text, ' '), 1) AS i
+       |    FROM documents)
+       |  WHERE len(w) > 0
+       |),
+       |wc AS (
+       |  SELECT doc_id, i, w, n_sub,
+       |    sum(n_sub) OVER (PARTITION BY doc_id ORDER BY i) AS cum
+       |  FROM wpos JOIN nsub USING (w)
+       |)
+       |SELECT doc_id, CAST((cum - n_sub) // 256 AS BIGINT) AS chunk_idx,
+       |  count(*) AS n_words,
+       |  CAST(sum(n_sub) AS BIGINT) AS n_tokens,
+       |  string_agg(w, ' ' ORDER BY i) AS chunk_text
+       |FROM wc
+       |GROUP BY doc_id, chunk_idx
+       |ORDER BY doc_id, chunk_idx""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q89_bpe_chunking" -> (q89BpeChunking _),
     "q85_bpe_fertility" -> (q85BpeFertility _),
     "q80_bpe_packing" -> (q80BpePacking _),
     "q81_bpe_length_batching" -> (q81BpeLengthBatching _),
@@ -1353,6 +1391,7 @@ object PipelineQueries {
     "q46_decontaminated" -> (q46Decontaminated _))
 
   val oracle: Map[String, String] = Map(
+    "q89_bpe_chunking" -> q89Sql,
     "q85_bpe_fertility" -> q85Sql,
     "q80_bpe_packing" -> q80Sql,
     "q81_bpe_length_batching" -> q81Sql,

@@ -137,7 +137,28 @@ object BpeTokenizer {
       model: BpeModel): DataFrame = {
     require(!df.columns.contains("n_bpe_tokens"),
       "input must not contain reserved column n_bpe_tokens")
-    val bc = df.sparkSession.sparkContext.broadcast(model)
+    val words = df
+      .select(col(idCol), explode(split(col(textCol), " ")).as("__bp_w"))
+      .filter(length(col("__bp_w")) > 0)
+    val counts = words
+      .join(bcast(vocabTokenCounts(words, model)), Seq("__bp_w"))
+      .groupBy(col(idCol))
+      .agg(sum(col("__bp_n")).as("n_bpe_tokens"))
+    df.join(counts, Seq(idCol), "left")
+      .withColumn("n_bpe_tokens", coalesce(col("n_bpe_tokens"), lit(0L)))
+  }
+
+  /** `(__bp_w, __bp_n)` — the BPE token count of every DISTINCT word
+    * in `words`' `__bp_w` column: the vocab-grain table every
+    * count-by-model consumer ([[countsFromModel]],
+    * [[graft.text.Chunking.chunksByBpe]]) broadcasts back onto its
+    * corpus-grain rows, so the segmenting merge loop runs once per
+    * distinct word regardless of corpus size. Fails the same way
+    * [[encode]] would on a word whose segmentation leaves the
+    * vocabulary (corpus drifted since fit).
+    */
+  private[text] def vocabTokenCounts(words: DataFrame, model: BpeModel): DataFrame = {
+    val bc = words.sparkSession.sparkContext.broadcast(model)
     val segLen = udf { (w: String) =>
       requireNoMarker(w)
       val m = bc.value
@@ -148,17 +169,8 @@ object BpeTokenizer {
       }
       segs.length.toLong
     }
-    val words = df
-      .select(col(idCol), explode(split(col(textCol), " ")).as("__bp_w"))
-      .filter(length(col("__bp_w")) > 0)
-    val vocabLen = words.select(col("__bp_w")).distinct()
+    words.select(col("__bp_w")).distinct()
       .withColumn("__bp_n", segLen(col("__bp_w")))
-    val counts = words
-      .join(bcast(vocabLen), Seq("__bp_w"))
-      .groupBy(col(idCol))
-      .agg(sum(col("__bp_n")).as("n_bpe_tokens"))
-    df.join(counts, Seq(idCol), "left")
-      .withColumn("n_bpe_tokens", coalesce(col("n_bpe_tokens"), lit(0L)))
   }
 
   /** Row-local encoding column: the whole document segmented in one

@@ -58,4 +58,54 @@ object Chunking {
         least(lit(window), col("__n") - col("start_tok")).as("n_chunk_tokens"),
         array_join(slice(col("__toks"), col("start_tok") + 1, lit(window)), " ").as("chunk_text"))
   }
+
+  /** Chunking by TRAINED-TOKENIZER budget — the unit a context window
+    * actually holds: split each document into consecutive word runs
+    * whose BPE token totals fill a `budget`, assigning every word to
+    * chunk `floor(tokens_before_word / budget)` (the same
+    * crossing-allowed prefix-sum convention as the packing manifest:
+    * a word whose tokens straddle a boundary starts the next chunk's
+    * count but stays whole — words are never split). Whitespace-window
+    * chunking ([[chunks]]) misprices context budgets on any
+    * non-English or code corpus by exactly the tokens-per-word
+    * fertility; this form prices them in the accelerator's own unit.
+    *
+    * Scale shape: the segmenting merge loop runs once per DISTINCT
+    * word ([[BpeTokenizer.vocabTokenCounts]], broadcast back), the
+    * per-document prefix sum is a window partitioned by `idCol` (no
+    * global window), and chunk reassembly is one aggregate whose
+    * ordered concat sorts WITHIN each chunk's collected struct array.
+    * Wordless documents yield no chunks (nothing to budget).
+    *
+    * Output: `(idCol, chunk_idx, n_words, n_tokens, chunk_text)`.
+    */
+  def chunksByBpe(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      model: BpeTokenizer.BpeModel,
+      budget: Int): DataFrame = {
+    require(budget > 0, s"budget=$budget must be positive")
+    val words = df
+      .select(col(idCol), posexplode(split(col(textCol), " ")).as(Seq("__pos", "__bp_w")))
+      .filter(length(col("__bp_w")) > 0)
+    val counted = words
+      .join(broadcast(BpeTokenizer.vocabTokenCounts(words, model)), Seq("__bp_w"))
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy(col("__pos"))
+    counted
+      .withColumn("__cum", sum(col("__bp_n")).over(byDoc))
+      // integral `div`, not `/`: double division would round the
+      // boundary word's chunk for prefix sums past 2^53
+      .withColumn("chunk_idx", expr(s"(__cum - __bp_n) div $budget"))
+      .groupBy(col(idCol), col("chunk_idx"))
+      .agg(
+        count(lit(1)).as("n_words"),
+        sum(col("__bp_n")).as("n_tokens"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("__pos"), col("__bp_w")))),
+          s => s.getField("__bp_w")),
+          " ").as("chunk_text"))
+  }
 }

@@ -290,7 +290,12 @@ class PlanContractSpec extends SparkSpec {
     // scale (dropping the dead least/greatest swap let one more
     // exchange be reused: 6 -> 5). Frame payloads never shuffle — the
     // composite-keyed hash table is 16 bytes/frame.
-    "q88_video_dups" -> 5)
+    "q88_video_dups" -> 5,
+    // q89: vocabTokenCounts' distinct-word exchange + the per-doc
+    // prefix-sum window / chunk aggregate exchange (shared
+    // partitioning) + oracle ORDER BY. The vocab table joins back by
+    // broadcast; chunk text reassembles in-aggregate.
+    "q89_bpe_chunking" -> 3)
 
   test("no query plans a cartesian product or nested-loop join") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

