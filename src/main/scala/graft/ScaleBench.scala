@@ -599,7 +599,29 @@ object ScaleBench {
       "kmeans_fit_distributed" -> (() => {
         val model = graft.similarity.Ivf.trainDistributed(emb, "embedding", k = 8, iters = 5)
         model.k.toLong
-      }))
+      }),
+      // Audio-fingerprint dedup: WAV synth+decode+hash is map-side
+      // linear work like phash_dedup; the Hamming join shuffles only
+      // (id, sig).
+      "audio_dedup" -> (() =>
+        graft.multimodal.AudioFingerprint.audioDupPairs(
+          graft.multimodal.Multimodal.syntheticWavs(docs, "doc_id", "text"),
+          maxHamming = 3).count()),
+      // Frame-level video dedup: 4 DIB frames per doc, frame-grain
+      // Hamming join + agreement aggregate — decode-linear plus a
+      // join that tracks colliding frames.
+      "video_dedup" -> (() =>
+        graft.multimodal.PerceptualHash.videoDupPairs(
+          graft.multimodal.Multimodal.syntheticVideos(docs, "doc_id", "text"),
+          maxHamming = 2, minMatchFrac = 0.75).count()),
+      // Chunking by trained-tokenizer budget: the two vocab-grain
+      // exchanges + the per-doc window/aggregate exchange — fit
+      // memoized outside the timed counts like bpe_count_pack.
+      "bpe_chunking" -> {
+        lazy val chunkModel = graft.text.BpeTokenizer.fit(docs, "text", numMerges = 100, maxVocab = 10000)
+        () =>
+          graft.text.Chunking.chunksByBpe(docs, "text", "doc_id", chunkModel, budget = 256).count()
+      })
   }
 
   def main(args: Array[String]): Unit = {
