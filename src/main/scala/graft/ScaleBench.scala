@@ -615,8 +615,10 @@ object ScaleBench {
           graft.multimodal.Multimodal.syntheticVideos(docs, "doc_id", "text"),
           maxHamming = 2, minMatchFrac = 0.75).count()),
       // Chunking by trained-tokenizer budget: the two vocab-grain
-      // exchanges + the per-doc window/aggregate exchange — fit
-      // memoized outside the timed counts like bpe_count_pack.
+      // exchanges + the per-doc window/aggregate exchange. Like
+      // bpe_count_pack, the fit is lazily memoized so only the FIRST
+      // timed run could include it (min-of-runs excludes it at the
+      // default SPARK_GRAFT_BENCH_RUNS=2; a runs=1 sweep bills it).
       "bpe_chunking" -> {
         lazy val chunkModel = graft.text.BpeTokenizer.fit(docs, "text", numMerges = 100, maxVocab = 10000)
         () =>

@@ -95,9 +95,7 @@ object BpeTokenizer {
             s"symbol '$s' not in vocab — corpus drifted since fit (new character?)"))
       }.toArray
     }
-    val words = df
-      .select(col(idCol), posexplode(split(col(textCol), " ")).as(Seq("__bp_pos", "__bp_w")))
-      .filter(length(col("__bp_w")) > 0)
+    val words = positionedWords(df, textCol, idCol)
     val vocabSeg = words.select(col("__bp_w")).distinct()
       .withColumn("__bp_ids", segIds(col("__bp_w")))
     val encoded = words
@@ -137,9 +135,7 @@ object BpeTokenizer {
       model: BpeModel): DataFrame = {
     require(!df.columns.contains("n_bpe_tokens"),
       "input must not contain reserved column n_bpe_tokens")
-    val words = df
-      .select(col(idCol), explode(split(col(textCol), " ")).as("__bp_w"))
-      .filter(length(col("__bp_w")) > 0)
+    val words = positionedWords(df, textCol, idCol)
     val counts = words
       .join(bcast(vocabTokenCounts(words, model)), Seq("__bp_w"))
       .groupBy(col(idCol))
@@ -157,6 +153,15 @@ object BpeTokenizer {
     * [[encode]] would on a word whose segmentation leaves the
     * vocabulary (corpus drifted since fit).
     */
+  /** `(idCol, __bp_pos, __bp_w)` — THE word grain every count/encode/
+    * chunk facade shares: split on single spaces, drop empty tokens,
+    * keep the 0-based text position. One definition so the count and
+    * chunk grains can never silently diverge on separator semantics.
+    */
+  private[text] def positionedWords(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(col(idCol), posexplode(split(col(textCol), " ")).as(Seq("__bp_pos", "__bp_w")))
+      .filter(length(col("__bp_w")) > 0)
+
   private[text] def vocabTokenCounts(words: DataFrame, model: BpeModel): DataFrame = {
     val bc = words.sparkSession.sparkContext.broadcast(model)
     val segLen = udf { (w: String) =>

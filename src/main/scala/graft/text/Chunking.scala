@@ -75,7 +75,11 @@ object Chunking {
     * per-document prefix sum is a window partitioned by `idCol` (no
     * global window), and chunk reassembly is one aggregate whose
     * ordered concat sorts WITHIN each chunk's collected struct array.
-    * Wordless documents yield no chunks (nothing to budget).
+    * Wordless documents yield no chunks (nothing to budget). `idCol`
+    * must be globally unique (same contract as
+    * [[BpeTokenizer.countsFromModel]]) — duplicate ids would merge
+    * two documents' words into one prefix-sum partition and
+    * interleave their chunks.
     *
     * Output: `(idCol, chunk_idx, n_words, n_tokens, chunk_text)`.
     */
@@ -86,13 +90,15 @@ object Chunking {
       model: BpeTokenizer.BpeModel,
       budget: Int): DataFrame = {
     require(budget > 0, s"budget=$budget must be positive")
-    val words = df
-      .select(col(idCol), posexplode(split(col(textCol), " ")).as(Seq("__pos", "__bp_w")))
-      .filter(length(col("__bp_w")) > 0)
+    Seq("chunk_idx", "n_words", "n_tokens", "chunk_text",
+      "__bp_pos", "__bp_w", "__bp_n", "__cum").foreach(c =>
+      require(idCol != c && textCol != c,
+        s"idCol/textCol must not collide with reserved column $c"))
+    val words = BpeTokenizer.positionedWords(df, textCol, idCol)
     val counted = words
       .join(broadcast(BpeTokenizer.vocabTokenCounts(words, model)), Seq("__bp_w"))
     val byDoc = org.apache.spark.sql.expressions.Window
-      .partitionBy(idCol).orderBy(col("__pos"))
+      .partitionBy(idCol).orderBy(col("__bp_pos"))
     counted
       .withColumn("__cum", sum(col("__bp_n")).over(byDoc))
       // integral `div`, not `/`: double division would round the
@@ -104,7 +110,7 @@ object Chunking {
         sum(col("__bp_n")).as("n_tokens"),
         array_join(
           transform(
-            array_sort(collect_list(struct(col("__pos"), col("__bp_w")))),
+            array_sort(collect_list(struct(col("__bp_pos"), col("__bp_w")))),
           s => s.getField("__bp_w")),
           " ").as("chunk_text"))
   }

@@ -57,29 +57,34 @@ class BpeCountPackingSpec extends SparkSpec {
       .orderBy("doc_id", "chunk_idx").collect()
     // wordless doc 4 yields no chunks
     assert(!out.exists(_.getLong(0) == 4L))
-    // per doc: chunk token totals sum to the doc's count; chunk_idx are
-    // exactly the distinct floor(prefix/budget) values; concatenated
-    // chunk text reproduces the single-spaced document
-    val byDoc = out.groupBy(_.getLong(0))
-    docs.collect().foreach { d =>
+    // FULL driver-side replay: segment every word with the model's own
+    // ranks, prefix-sum, and rebuild the exact expected chunk table —
+    // (doc, chunk_idx) -> (n_words, n_tokens, chunk_text) — so any
+    // boundary off-by-one (e.g. using cum instead of cum - n) fails
+    // here with the diverging chunk named
+    val expected = docs.collect().flatMap { d =>
       val id = d.getLong(0)
-      if (perDoc.getOrElse(id, 0L) > 0L) {
-        val chunks = byDoc(id).sortBy(_.getLong(1))
-        assert(chunks.map(_.getLong(3)).sum == perDoc(id), s"doc $id token sum")
-        val reassembled = chunks.map(_.getString(4)).mkString(" ")
-        val expected = d.getString(1).split(" ").filter(_.nonEmpty).mkString(" ")
-        assert(reassembled == expected, s"doc $id reassembly")
-        // every chunk except possibly the last carries >= budget - (max
-        // word cost - 1) tokens and only boundary-crossing words may
-        // push a chunk past budget
-        chunks.init.foreach { c =>
-          assert(c.getLong(3) >= 1, s"doc $id empty mid chunk")
-        }
-        // crossing-allowed convention: cumulative starts align with
-        // floor((cum - n)/budget) — verified structurally by chunk_idx
-        // being nondecreasing and starting at 0
-        assert(chunks.head.getLong(1) == 0L)
+      val ws = d.getString(1).split(" ").filter(_.nonEmpty)
+      var cum = 0L
+      ws.map { w =>
+        val n = BpeStats.segmentWord(w, model.ranks).length.toLong
+        val idx = cum / budget
+        cum += n
+        (id, idx, w, n)
       }
+    }.groupBy(t => (t._1, t._2)).map { case ((id, idx), rows) =>
+      (id, idx) -> ((rows.length.toLong, rows.map(_._4).sum, rows.map(_._3).mkString(" ")))
+    }
+    val got = out.map(r =>
+      (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    assert(got == expected,
+      s"chunk table diverged:\nextra=${got.keySet diff expected.keySet}\n" +
+        s"missing=${expected.keySet diff got.keySet}\n" +
+        s"diff=${got.collect { case (k, v) if expected.get(k).exists(_ != v) => (k, v, expected(k)) }}")
+    // and the per-doc totals agree with the independent count facade
+    val byDoc = out.groupBy(_.getLong(0))
+    perDoc.filter(_._2 > 0L).foreach { case (id, n) =>
+      assert(byDoc(id).map(_.getLong(3)).sum == n, s"doc $id token sum vs countsFromModel")
     }
     // a single word costing more than the budget still lands whole
     val big = Seq((1L, "abcdefghij")).toDF("doc_id", "text") // 10 chars + </w> > 4 tokens unmerged
