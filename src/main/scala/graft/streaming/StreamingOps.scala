@@ -1245,6 +1245,28 @@ object StreamingOps {
       graft.text.BpeTokenizer.encodeRowLocal(col(textCol), model).as("token_ids"))
       .withColumn("n_bpe_tokens", size(col("token_ids")).cast("long"))
 
+  /** Streaming twin of [[graft.text.Chunking.chunksByBpe]] — chunk
+    * assignment is purely per-document, so the stream form is a
+    * STATELESS projection: each arriving doc's whole chunk list
+    * computes row-locally ([[graft.text.Chunking.chunksRowLocal]],
+    * same segmenter / prefix-sum convention / vocab-drift failure as
+    * the batch form — ChunkingStreamSpec pins exact row-set parity)
+    * and explodes to `(idCol, chunk_idx, n_words, n_tokens,
+    * chunk_text)`. Wordless documents yield no rows, like the batch
+    * form.
+    */
+  def bpeChunkStream(
+      docs: DataFrame,
+      model: graft.text.BpeTokenizer.BpeModel,
+      textCol: String,
+      idCol: String,
+      budget: Int): DataFrame =
+    docs.select(
+      col(idCol),
+      explode(graft.text.Chunking.chunksRowLocal(col(textCol), model, budget)).as("__c"))
+      .select(col(idCol), col("__c.chunk_idx"), col("__c.n_words"),
+        col("__c.n_tokens"), col("__c.chunk_text"))
+
   final case class CapIn(id: Long, domain: String)
   final case class CapOut(id: Long, domain: String)
 

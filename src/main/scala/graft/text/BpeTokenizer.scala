@@ -144,15 +144,6 @@ object BpeTokenizer {
       .withColumn("n_bpe_tokens", coalesce(col("n_bpe_tokens"), lit(0L)))
   }
 
-  /** `(__bp_w, __bp_n)` — the BPE token count of every DISTINCT word
-    * in `words`' `__bp_w` column: the vocab-grain table every
-    * count-by-model consumer ([[countsFromModel]],
-    * [[graft.text.Chunking.chunksByBpe]]) broadcasts back onto its
-    * corpus-grain rows, so the segmenting merge loop runs once per
-    * distinct word regardless of corpus size. Fails the same way
-    * [[encode]] would on a word whose segmentation leaves the
-    * vocabulary (corpus drifted since fit).
-    */
   /** `(idCol, __bp_pos, __bp_w)` — THE word grain every count/encode/
     * chunk facade shares: split on single spaces, drop empty tokens,
     * keep the 0-based text position. One definition so the count and
@@ -162,6 +153,15 @@ object BpeTokenizer {
     df.select(col(idCol), posexplode(split(col(textCol), " ")).as(Seq("__bp_pos", "__bp_w")))
       .filter(length(col("__bp_w")) > 0)
 
+  /** `(__bp_w, __bp_n)` — the BPE token count of every DISTINCT word
+    * in `words`' `__bp_w` column: the vocab-grain table every
+    * count-by-model consumer ([[countsFromModel]],
+    * [[graft.text.Chunking.chunksByBpe]]) broadcasts back onto its
+    * corpus-grain rows, so the segmenting merge loop runs once per
+    * distinct word regardless of corpus size. Fails the same way
+    * [[encode]] would on a word whose segmentation leaves the
+    * vocabulary (corpus drifted since fit).
+    */
   private[text] def vocabTokenCounts(words: DataFrame, model: BpeModel): DataFrame = {
     val bc = words.sparkSession.sparkContext.broadcast(model)
     val segLen = udf { (w: String) =>
@@ -248,7 +248,7 @@ object BpeTokenizer {
     * paths fail fast instead. Pre-clean such corpora (e.g. map the
     * marker to an escape) before tokenizing.
     */
-  private def requireNoMarker(w: String): Unit =
+  private[text] def requireNoMarker(w: String): Unit =
     if (w.contains(BpeStats.EndOfWord)) throw new IllegalArgumentException(
       s"word '$w' contains the reserved end-of-word marker '${BpeStats.EndOfWord}' — " +
         "decode would be ambiguous; escape or strip it before encoding")

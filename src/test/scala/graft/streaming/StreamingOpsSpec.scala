@@ -336,6 +336,33 @@ class StreamingOpsSpec extends SparkSpec {
     assert(pairs == Set((2L, 3L)), s"expected only the in-horizon pair, got $pairs")
   }
 
+  test("streaming BPE chunking matches the batch chunk table row for row") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import sqlImplicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val corpus = Seq(
+      (0L, "lower lowest low low newer newest new wide"),
+      (1L, "newer newest new lower wider widest wide low"),
+      (2L, "   "), // wordless: no chunks
+      (3L, "wider widest wide newer low lowest"))
+    val model = graft.text.BpeTokenizer.fit(
+      corpus.toDF("doc_id", "text"), "text", numMerges = 8, maxVocab = 100000)
+    val input = MemoryStream[(Long, String)]
+    val stream = StreamingOps.bpeChunkStream(
+      input.toDF().toDF("doc_id", "text"), model, "text", "doc_id", budget = 5)
+    val q = stream.writeStream.outputMode("append").format("memory").queryName("bcs").start()
+    corpus.grouped(2).foreach { b => input.addData(b); q.processAllAvailable() }
+    q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))).toSet
+    val got = rows(spark.table("bcs"))
+    val want = rows(graft.text.Chunking.chunksByBpe(
+      corpus.toDF("doc_id", "text"), "text", "doc_id", model, budget = 5))
+    assert(got == want, s"stream=$got batch=$want")
+    assert(!got.exists(_._1 == 2L)) // wordless doc yields nothing
+    assert(got.exists(_._2 >= 1L), "fixture drifted: every doc fits one chunk")
+  }
+
   test("TTL-bounded Hamming stream reports only in-horizon fingerprint pairs") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import sqlImplicits._
