@@ -108,12 +108,42 @@ object Containment {
     containmentPairsPrefixDetailed(df, textCol, idCol, n, threshold)
       .select("id_a", "id_b", "containment")
 
+  /** [[containmentPairsPrefix]] with an explicit release handle over
+    * the persisted shingle table (see [[graft.core.Releasable]]) —
+    * for long-lived applications that mine containment repeatedly and
+    * must not accumulate session-lifetime cache entries. Call
+    * `release()` after the terminal action on `result`.
+    */
+  def containmentPairsPrefixReleasable(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int = 3,
+      threshold: Double = 0.8): graft.core.Releasable[DataFrame] = {
+    val (out, sh) = containmentPairsPrefixImpl(df, textCol, idCol, n, threshold)
+    graft.core.Releasable(
+      out.select("id_a", "id_b", "containment"),
+      () => { sh.unpersist(blocking = false); () })
+  }
+
   private def containmentPairsPrefixDetailed(
       df: DataFrame,
       textCol: String,
       idCol: String,
       n: Int,
-      threshold: Double): DataFrame = {
+      threshold: Double): DataFrame =
+    containmentPairsPrefixImpl(df, textCol, idCol, n, threshold)._1
+
+  /** Returns the pair frame plus the persisted shingle table backing
+    * it, so the public wrappers can either drop the handle (default:
+    * LRU ages it out) or surface it ([[containmentPairsPrefixReleasable]]).
+    */
+  private def containmentPairsPrefixImpl(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int,
+      threshold: Double): (DataFrame, DataFrame) = {
     requireThreshold(threshold)
     val sh = shingleTable(df, textCol, idCol, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -157,9 +187,11 @@ object Containment {
       .join(sh.toDF("id_b", "g"), Seq("id_b", "g"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("shared"))
     val out = withContainment(shared, sizes, threshold)
-    // The persist above is consumed by 4 branches of ONE job; let it
-    // age out naturally rather than unpersisting under a lazy result.
-    out
+    // The persist above is consumed by 4 branches of ONE job; the
+    // default wrappers let it age out naturally rather than
+    // unpersisting under a lazy result, and the Releasable wrapper
+    // hands the choice to the caller.
+    (out, sh)
   }
 
   /** `(id, g)` — distinct shingle-hash table; documents with fewer

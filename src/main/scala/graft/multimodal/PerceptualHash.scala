@@ -101,14 +101,25 @@ object PerceptualHash {
       media: Dataset[Multimodal.MediaRow],
       maxHamming: Int = 2,
       minMatchFrac: Double = 0.5,
-      everyN: Int = 1): DataFrame = {
+      everyN: Int = 1): DataFrame =
+    videoDupPairsReleasable(media, maxHamming, minMatchFrac, everyN).result
+
+  /** [[videoDupPairs]] with an explicit release handle over the
+    * persisted frame-hash table (see [[graft.core.Releasable]]) — for
+    * long-lived applications that must not accumulate session-lifetime
+    * cache entries. Call `release()` after the terminal action; the
+    * default entry point drops the handle and lets the cache age out
+    * of the LRU store, the right trade for one-shot batch jobs.
+    */
+  def videoDupPairsReleasable(
+      media: Dataset[Multimodal.MediaRow],
+      maxHamming: Int = 2,
+      minMatchFrac: Double = 0.5,
+      everyN: Int = 1): graft.core.Releasable[DataFrame] = {
     require(minMatchFrac > 0.0 && minMatchFrac <= 1.0,
       s"minMatchFrac $minMatchFrac must be in (0, 1]")
     // One decode+hash pass feeds three plan branches (counts twice,
-    // the Hamming join once); blocks are left to age out of the LRU
-    // cache after the caller's action rather than tying the result to
-    // a release handle — the same documented decision as the
-    // containment miner's shingle table.
+    // the Hamming join once).
     val fh = frameHashes(media, everyN)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val counts = fh.groupBy(col("media_id")).agg(count(lit(1)).as("n_frames"))
@@ -141,7 +152,7 @@ object PerceptualHash {
         pmod(col("id_b"), lit(FrameStride)).as("fb"))
       .filter(col("va") =!= col("vb"))
       .select(col("va").as("id_a"), col("vb").as("id_b"), col("fa"), col("fb"))
-    framePairs
+    val out = framePairs
       .groupBy("id_a", "id_b")
       .agg(
         countDistinct(col("fa")).as("matched_a"),
@@ -154,6 +165,7 @@ object PerceptualHash {
           col("matched_b").cast("double") / col("n_b").cast("double")))
       .filter(col("match_frac") >= minMatchFrac)
       .select("id_a", "id_b", "matched_a", "matched_b", "n_a", "n_b", "match_frac")
+    graft.core.Releasable(out, () => { fh.unpersist(blocking = false); () })
   }
 
   /** Composite frame-key stride: supports videos up to one million

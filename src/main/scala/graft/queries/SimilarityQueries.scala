@@ -249,8 +249,28 @@ object SimilarityQueries {
 
   private val kmeansModelCache = scala.collection.concurrent.TrieMap.empty[String, graft.similarity.Ivf.Model]
 
+  /** Cache key = dir + a cheap content fingerprint (max mtime + total
+    * byte length under `embeddings.parquet`), so regenerating the
+    * fixture at the same path within one JVM invalidates the entry
+    * instead of silently reusing a model trained on the old data.
+    * Unreadable paths fingerprint as "absent" and miss the cache on
+    * every call — correctness over caching.
+    */
+  private def embeddingsFingerprint(dir: String): String = {
+    def walk(f: java.io.File): (Long, Long) =
+      if (f.isDirectory) {
+        val children = Option(f.listFiles()).getOrElse(Array.empty)
+        children.foldLeft((f.lastModified(), 0L)) { case ((m, s), c) =>
+          val (cm, cs) = walk(c); (math.max(m, cm), s + cs)
+        }
+      } else (f.lastModified(), f.length())
+    val root = new java.io.File(s"$dir/embeddings.parquet")
+    if (!root.exists()) s"absent:${System.nanoTime()}"
+    else { val (m, s) = walk(root); s"$m:$s" }
+  }
+
   private def kmeansModel(spark: SparkSession, dir: String): graft.similarity.Ivf.Model =
-    kmeansModelCache.getOrElseUpdate(dir,
+    kmeansModelCache.getOrElseUpdate(s"$dir|${embeddingsFingerprint(dir)}",
       graft.similarity.Ivf.trainDistributed(
         Sources.embeddings(spark, dir), "embedding", k = 8, iters = 5))
 

@@ -68,8 +68,16 @@ object LengthBatching {
     // replaced AND re-selected twice (ambiguous downstream)
     val reserved = Seq("__lb_one", "bucket", "batch_id", "start_offset", "bin")
     reserved.foreach(c => require(!df.columns.contains(c), s"input must not contain reserved column $c"))
+    // Integral `div`, not `Column./` + floor: double division loses
+    // exactness past 2^53, and this is a generic entry point for
+    // arbitrary caller-supplied count columns (the repo-wide
+    // div-vs-slash convention — see chunksByBpe, videoDupPairs). The
+    // bigint cast keeps fractional count columns working (truncation,
+    // identical to the old floor for the non-negative counts this
+    // models).
     val bucketed = df
-      .withColumn("bucket", floor(col(tokensCol) / lit(bucketWidth.toLong)))
+      .withColumn("bucket",
+        expr(s"cast(`$tokensCol` as bigint) div ${bucketWidth.toLong}"))
       .withColumn("__lb_one", lit(1L))
     val assigned =
       if (distributed)

@@ -44,6 +44,26 @@ class ContainmentSpec extends SparkSpec {
     }
   }
 
+  test("releasable variant matches the plain path and releases its persisted shingle table") {
+    // CacheManager dedups persists by logical plan, so earlier tests'
+    // shingle caches would mask this call's entry — start clean.
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val rel = Containment.containmentPairsPrefixReleasable(docs, "text", "doc_id", n = 3, threshold = 0.8)
+    val got = rel.result.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(spark.sparkContext.getPersistentRDDs.keySet.diff(before).nonEmpty,
+      "expected the shingle table to be persisted during the run")
+    rel.release()
+    rel.release() // idempotent
+    assert(spark.sparkContext.getPersistentRDDs.keySet.diff(before).isEmpty,
+      "release() must drop every cache entry this call added")
+    val plain = Containment.containmentPairsPrefix(docs, "text", "doc_id", n = 3, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == plain)
+    spark.catalog.clearCache()
+  }
+
   test("prefix-filtered path equals the all-pairs form on the documents fixture") {
     val docsSf = Sources.documents(spark, "/root/testdata/sf0.001")
     val exact = Containment.containmentPairs(docsSf, "text", "doc_id", threshold = 0.8)

@@ -127,6 +127,39 @@ class PerceptualHashSpec extends SparkSpec {
     assert(!got.keySet.exists { case (x, y) => x == 4L || y == 4L }, s"unrelated paired: $got")
   }
 
+  test("videoDupPairsReleasable matches the plain path and releases its frame-hash cache") {
+    import sqlImplicits._
+    def frame(seed: Int) = {
+      val img = new java.awt.image.BufferedImage(16, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 16; x <- 0 until 16) {
+        val v = (seed * 37 + x * 11 + y * 23) % 256
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      img
+    }
+    val a = Seq(frame(1), frame(2), frame(3))
+    val ds = Seq(
+      Multimodal.MediaRow(1L, "video", Avi.buildDib(a), Map.empty[String, String]),
+      Multimodal.MediaRow(2L, "video", Avi.buildDib(a), Map.empty[String, String])).toDS()
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val plain = PerceptualHash.videoDupPairs(ds, maxHamming = 2, minMatchFrac = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val beforeRel = spark.sparkContext.getPersistentRDDs.keySet
+    val rel = PerceptualHash.videoDupPairsReleasable(ds, maxHamming = 2, minMatchFrac = 0.9)
+    val got = rel.result.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == plain && got == Set((1L, 2L)))
+    assert(spark.sparkContext.getPersistentRDDs.keySet.diff(beforeRel).nonEmpty,
+      "expected the frame-hash table to be persisted during the run")
+    rel.release()
+    rel.release() // idempotent
+    assert(spark.sparkContext.getPersistentRDDs.keySet.diff(beforeRel).isEmpty,
+      "release() must drop the cache entry this call added")
+    // the default entry point's cache ages out via LRU; drop it here so
+    // this suite leaves no residue for later suites
+    spark.sparkContext.getPersistentRDDs.keySet.diff(before)
+      .foreach(id => spark.sparkContext.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+  }
+
   test("videoDupPairs rejects a media id outside the composite-key range per row") {
     val fill = (x: Int, y: Int) => (x * 7 + y * 13) % 256
     val ds = media((-1L, png(fill)), (2L, png(fill)))
