@@ -71,7 +71,16 @@ object Bench {
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Local-iteration escape hatch: SPARK_GRAFT_BENCH_ONLY=q83_...,q88_...
+    // limits the run to the named queries. The driver never sets it,
+    // so round benches always cover the full registry.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter { case (k, _) => names(k) }
+      case None => SparkEntry.queries
+    }
+    val results = selected.map { case (name, fn) =>
       var failed = false
       def once(): Double = {
         resetState()

@@ -593,6 +593,14 @@ object ScaleBench {
         graft.multimodal.PerceptualHash.phashDupPairs(
           graft.multimodal.Multimodal.syntheticImages(docs, "doc_id", "text"),
           maxHamming = 3).count()),
+      // Cluster form of phash_dedup: output LINEAR in ids (the pair
+      // form's rows explode quadratically with duplicate-class size —
+      // its alpha tracks its own output, not the algorithm). CC runs
+      // in signature space; no id-level pair is ever materialized.
+      "phash_dedup_clusters" -> (() =>
+        graft.multimodal.PerceptualHash.phashDupClusters(
+          graft.multimodal.Multimodal.syntheticImages(docs, "doc_id", "text"),
+          maxHamming = 3).count()),
       // Full-corpus distributed Lloyd's: 5 rounds x one scan + a
       // k x dim control-plane collect per round — alpha ~ the scan's,
       // nothing driver-side grows with the corpus.
@@ -605,6 +613,12 @@ object ScaleBench {
       // (id, sig).
       "audio_dedup" -> (() =>
         graft.multimodal.AudioFingerprint.audioDupPairs(
+          graft.multimodal.Multimodal.syntheticWavs(docs, "doc_id", "text"),
+          maxHamming = 3).count()),
+      // Cluster form of audio_dedup — same linear-output rationale as
+      // phash_dedup_clusters.
+      "audio_dedup_clusters" -> (() =>
+        graft.multimodal.AudioFingerprint.audioDupClusters(
           graft.multimodal.Multimodal.syntheticWavs(docs, "doc_id", "text"),
           maxHamming = 3).count()),
       // Frame-level video dedup: 4 DIB frames per doc, frame-grain

@@ -448,6 +448,16 @@ object Dedup {
     * documents it at the call site). Bands stay wide (64/bands bits)
     * so bucket values keep high cardinality — narrow bands would turn
     * the bucket join quadratic.
+    *
+    * SCALE SHAPE: the banded join runs over DISTINCT signatures, not
+    * rows — a corpus with huge duplicate classes (many ids sharing one
+    * fingerprint, the normal case for a crawl) pays the quadratic
+    * candidate cost only in signature space, where each class is ONE
+    * node. Id-level pairs are then materialized by two linear
+    * membership joins (`sig → ids`), so the only remaining quadratic
+    * term is the OUTPUT itself — intrinsic to asking for pairs. When
+    * pairs themselves are not needed, [[hammingClusters]] skips that
+    * expansion entirely and stays linear in ids.
     */
   def hammingPairs(
       df: DataFrame,
@@ -455,24 +465,104 @@ object Dedup {
       sigCol: String,
       maxHamming: Int,
       bands: Int = 4): DataFrame = {
+    val members = memberTable(df, idCol, sigCol)
+    val sigEdges = sigHammingEdges(members, maxHamming, bands)
+    // Cross-signature pairs: expand each near-sig edge to its member
+    // cross product. Edges have sig_a < sig_b, so each unordered id
+    // pair appears once per edge; least/greatest restores id order.
+    // The self-pair filter only matters if one id carries BOTH sigs.
+    val cross = sigEdges
+      .join(members.toDF("id_x", "sig_a"), "sig_a")
+      .join(members.toDF("id_y", "sig_b"), "sig_b")
+      .filter(col("id_x") =!= col("id_y"))
+      .select(
+        least(col("id_x"), col("id_y")).as("id_a"),
+        greatest(col("id_x"), col("id_y")).as("id_b"),
+        col("hamming"))
+    // Identical-signature pairs (Hamming 0): a shuffle join on sig —
+    // linear in members — expanding each duplicate class to its pairs.
+    val intra = members.toDF("id_a", "sig")
+      .join(members.toDF("id_b", "sig"), "sig")
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(lit(0L)).as("hamming")) // typed like the cross branch
+    cross.unionByName(intra).select("id_a", "id_b", "hamming")
+  }
+
+  /** Distinct `(id, sig)` members with null ids/sigs dropped — a null
+    * on either side never pairs (matching the pre-distinct form, where
+    * null band keys fell out of the join and null ids failed
+    * `id_a < id_b`).
+    */
+  private def memberTable(df: DataFrame, idCol: String, sigCol: String): DataFrame =
+    df.select(col(idCol).as("id"), col(sigCol).as("sig"))
+      .where(col("id").isNotNull && col("sig").isNotNull)
+      .distinct()
+
+  /** Near-signature edges `(sig_a, sig_b, hamming)` with
+    * `sig_a < sig_b`, `hamming <= maxHamming`, over the DISTINCT
+    * signatures of `members` — the signature-space half of
+    * [[hammingPairs]] / [[hammingClusters]].
+    */
+  private def sigHammingEdges(members: DataFrame, maxHamming: Int, bands: Int): DataFrame = {
     require(bands >= 1 && 64 % bands == 0, s"bands=$bands must divide 64")
     val width = 64 / bands
     val mask = if (width == 64) -1L else (1L << width) - 1L
-    val banded = df.select(
-      col(idCol).as("id"), col(sigCol).as("sig"),
+    val sigs = members.select("sig").distinct()
+    val banded = sigs.select(
+      col("sig"),
       explode(array((0 until bands).map { b =>
         struct(lit(b).as("band"), shiftright(col("sig"), b * width).bitwiseAND(lit(mask)).as("h"))
       }: _*)).as("bk"))
-      .select(col("id"), col("sig"), col("bk.band"), col("bk.h"))
-    val a = banded.toDF("id_a", "sig_a", "band", "h")
-    val b = banded.toDF("id_b", "sig_b", "band", "h")
-    a.join(b, Seq("band", "h"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sig_a", "sig_b")
+      .select(col("sig"), col("bk.band"), col("bk.h"))
+    banded.toDF("sig_a", "band", "h")
+      .join(banded.toDF("sig_b", "band", "h"), Seq("band", "h"))
+      .filter(col("sig_a") < col("sig_b"))
+      .select("sig_a", "sig_b")
       .distinct()
       .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
       .filter(col("hamming") <= maxHamming)
-      .select("id_a", "id_b", "hamming")
+  }
+
+  /** Hamming near-duplicate CLUSTERS without materializing pairs:
+    * `(id, cluster)` for EVERY input id (singletons label themselves),
+    * where `cluster` is the smallest id in the id's connected
+    * component under the "Hamming(sig_a, sig_b) <= maxHamming" edge
+    * relation — exactly the labels
+    * `dupClusters(hammingPairs(df, ...))` would assign (pinned by
+    * DedupSpec), plus the singleton rows pair-based clustering cannot
+    * see.
+    *
+    * This is the 100 TB dedup shape: [[hammingPairs]]' output is
+    * quadratic in duplicate-class size (a 10 k-copy boilerplate class
+    * is 50 M pairs), but dedup only needs the PARTITION, which is
+    * linear. Connected components run in SIGNATURE space (each
+    * duplicate class is one node), labels map back to ids by one
+    * membership join, and the id-space cluster label (min member id)
+    * comes from one more map-side-combined aggregate — no id-level
+    * pair is ever materialized. Feed the result straight to
+    * [[clusterRepresentatives]] for keep-best resolution.
+    */
+  def hammingClusters(
+      df: DataFrame,
+      idCol: String,
+      sigCol: String,
+      maxHamming: Int,
+      bands: Int = 4,
+      maxIter: Int = 20,
+      collectThreshold: Long = 10000000L): DataFrame = {
+    val members = memberTable(df, idCol, sigCol)
+    val sigEdges = sigHammingEdges(members, maxHamming, bands)
+    val sigLabels = dupClusters(
+      sigEdges.select(col("sig_a").as("id_a"), col("sig_b").as("id_b")),
+      maxIter, collectThreshold)
+    // Singleton signatures never reach dupClusters (it only sees edge
+    // endpoints); they label themselves via the coalesce.
+    val labeled = members
+      .join(sigLabels.toDF("sig", "sig_cluster"), Seq("sig"), "left")
+      .select(col("id"), coalesce(col("sig_cluster"), col("sig")).as("__sc"))
+    val reps = labeled.groupBy("__sc").agg(min(col("id")).as("cluster"))
+    labeled.join(reps, "__sc").select("id", "cluster")
   }
 
   // ---------------------------------------------------- embedding cosine

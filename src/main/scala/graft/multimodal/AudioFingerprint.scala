@@ -62,6 +62,24 @@ object AudioFingerprint {
     graft.dedup.Dedup.hammingPairs(hashed, "id", "sig", maxHamming)
   }
 
+  /** Audio near-duplicate CLUSTERS: `(media_id, cluster)` for every
+    * decodable payload — the linear-output production form of
+    * [[audioDupPairs]] (see [[graft.dedup.Dedup.hammingClusters]]:
+    * pair output is quadratic in duplicate-class size; the partition
+    * is linear and is all dedup needs).
+    */
+  def audioDupClusters(
+      media: Dataset[Multimodal.MediaRow],
+      maxHamming: Int = 3,
+      which: String = "ehash"): DataFrame = {
+    require(which == "ehash" || which == "dhash", s"which=$which must be ehash|dhash")
+    val hashed = audioHashes(media).toDF()
+      .select(org.apache.spark.sql.functions.col("media_id").as("id"),
+        org.apache.spark.sql.functions.col(which).as("sig"))
+    graft.dedup.Dedup.hammingClusters(hashed, "id", "sig", maxHamming)
+      .withColumnRenamed("id", "media_id")
+  }
+
   /** Per-window RMS over `n` equal time slices; slices that round to
     * zero samples (inputs shorter than `n`) contribute 0 energy.
     */

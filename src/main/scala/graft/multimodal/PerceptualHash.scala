@@ -63,6 +63,26 @@ object PerceptualHash {
     graft.dedup.Dedup.hammingPairs(hashed, "id", "sig", maxHamming)
   }
 
+  /** Image near-duplicate CLUSTERS: `(media_id, cluster)` for every
+    * decodable payload, `cluster` = the smallest media_id in the
+    * Hamming-connected component — the linear-output production form
+    * of [[phashDupPairs]] (see [[graft.dedup.Dedup.hammingClusters]]:
+    * pair output is quadratic in duplicate-class size — a crawl's
+    * 10 k-copy logo is 50 M pairs — while the partition is linear and
+    * is all dedup needs; feed the labels to
+    * [[graft.dedup.Dedup.clusterRepresentatives]] for keep-best).
+    */
+  def phashDupClusters(
+      media: Dataset[Multimodal.MediaRow],
+      maxHamming: Int = 3,
+      which: String = "ahash"): DataFrame = {
+    require(which == "ahash" || which == "dhash", s"which=$which must be ahash|dhash")
+    val hashed = perceptualHashes(media).toDF()
+      .select(col("media_id").as("id"), col(which).as("sig"))
+    graft.dedup.Dedup.hammingClusters(hashed, "id", "sig", maxHamming)
+      .withColumnRenamed("id", "media_id")
+  }
+
   /** `(media_id, frame_idx, ahash)` for every `everyN`-th decoded
     * frame of every payload — the frame-grain hash table video dedup
     * builds on (stills contribute their single frame at idx 0).

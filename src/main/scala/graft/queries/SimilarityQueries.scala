@@ -220,6 +220,23 @@ object SimilarityQueries {
       .orderBy("id_a", "id_b")
   }
 
+  /** q90: perceptual-hash image near-dup CLUSTERS — the same corpus
+    * and Hamming relation as q83, but emitting the linear `(media_id,
+    * cluster)` partition instead of the quadratic pair list (the
+    * 100 TB dedup shape; connected components run in signature space —
+    * [[graft.multimodal.PerceptualHash.phashDupClusters]]). Rows-only:
+    * DuckDB cannot decode PNG; the contract (labels equal driver-side
+    * union-find over the brute-force pair set, singletons label
+    * themselves, every decodable payload labeled exactly once) is
+    * pinned in RowsOnlyContractSpec / DedupSpec.
+    */
+  def q90PhashClusters(spark: SparkSession, dir: String): DataFrame = {
+    val media = graft.multimodal.Multimodal.syntheticImages(
+      Sources.documents(spark, dir), "doc_id", "text")
+    graft.multimodal.PerceptualHash.phashDupClusters(media, maxHamming = 3, which = "ahash")
+      .orderBy("media_id")
+  }
+
   /** q87: audio-fingerprint near-dup pairs over REAL encoded WAVs
     * (deterministic PCM from each document's text —
     * [[graft.multimodal.Multimodal.syntheticWavs]]), energy-envelope
@@ -302,6 +319,7 @@ object SimilarityQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q83_phash_dups" -> (q83PhashDups _),
     "q84_kmeans_cells" -> (q84KmeansCells _),
+    "q90_phash_clusters" -> (q90PhashClusters _),
     "q87_audio_dups" -> (q87AudioDups _),
     "q88_video_dups" -> (q88VideoDups _),
     "q28_knn_brute" -> (q28KnnBrute _),

@@ -137,6 +137,46 @@ class DedupSpec extends SparkSpec {
     assert(fc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L)) // docs 1,2,3 are one dup cluster
   }
 
+  test("hammingPairs equals brute force; hammingClusters equals union-find over those pairs plus singletons") {
+    import sqlImplicits._
+    // duplicate class {1,2,3}, a near sig 4 (2 bit flips off the class),
+    // a second class {6,7}, a singleton 5 far from everything, and a
+    // sig chain 8-9-10 where only ADJACENT members are within range
+    // (tests transitivity: clusters must merge what pairs only chain)
+    val s0 = 0x0123456789abcdefL
+    val sigs = Seq(
+      (1L, s0), (2L, s0), (3L, s0),
+      (4L, s0 ^ 3L), // hamming 2 from s0
+      (5L, ~s0),
+      (6L, 0x7777000011110000L), (7L, 0x7777000011110000L),
+      (8L, 0x1000L), (9L, 0x1000L ^ 7L), (10L, 0x1000L ^ 7L ^ 0x70L)
+    ).toDF("id", "sig")
+    val pairs = Dedup.hammingPairs(sigs, "id", "sig", maxHamming = 3)
+    val got = pairs.collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) -> r.getAs[Int]("hamming")).toMap
+    val raw = sigs.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val brute = (for {
+      (ia, sa) <- raw; (ib, sb) <- raw
+      if ia < ib && java.lang.Long.bitCount(sa ^ sb) <= 3
+    } yield (ia, ib) -> java.lang.Long.bitCount(sa ^ sb)).toMap
+    assert(got == brute, s"got=$got brute=$brute")
+    assert(got((1L, 2L)) == 0 && got((1L, 4L)) == 2 && !got.contains((8L, 10L)))
+    val clusters = Dedup.hammingClusters(sigs, "id", "sig", maxHamming = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fromPairs = Dedup.dupClusters(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fromPairs.forall { case (id, c) => clusters(id) == c },
+      s"clusters=$clusters fromPairs=$fromPairs")
+    assert(clusters == fromPairs ++ Map(5L -> 5L), // singleton only in the cluster view
+      s"clusters=$clusters")
+    assert(clusters(10L) == 8L, "chain must resolve transitively to its minimum")
+    // forced-distributed sig-space CC path yields the same labels
+    val distClusters = Dedup.hammingClusters(
+      sigs, "id", "sig", maxHamming = 3, collectThreshold = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(distClusters == clusters)
+  }
+
   test("dupClusters: driver union-find and forced-distributed propagation yield identical labels") {
     import sqlImplicits._
     // deterministic pseudo-random edge soup: chains, stars, singleton

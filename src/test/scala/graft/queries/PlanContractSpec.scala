@@ -81,7 +81,15 @@ class PlanContractSpec extends SparkSpec {
     "q25_langid_fingerprint" -> 1,
     "q25a_langid_tokens" -> 1,
     "q26_minhash_pairs" -> 2,
-    "q27_simhash_pairs" -> 2,
+    // q27/q83/q87: hammingPairs now bands over DISTINCT signatures —
+    // 7 planned exchanges (member distinct, sig distinct, banded join
+    // pair, sig-pair distinct, the two membership-expansion joins +
+    // intra-class self-join sharing members' sig partitioning), every
+    // one linear in members/sigs with 8-byte keys, REPLACING the old
+    // pair-grain distinct that was quadratic in duplicate-class size
+    // (x30 scale sweep: 1.4 M pair rows through one exchange).
+    // Reviewed trade: more small exchanges, no quadratic one.
+    "q27_simhash_pairs" -> 7,
     "q28_knn_brute" -> 0,
     "q29_knn_ann" -> 0,
     "q30_embedding_near_dup" -> 2,
@@ -262,11 +270,10 @@ class PlanContractSpec extends SparkSpec {
     // oracle ORDER BY. All keys are 8-byte hashes/ids; text never
     // shuffles.
     "q82_containment_pairs" -> 6,
-    // q83: banded Hamming self-join (band,h) + candidate distinct;
+    // q83: distinct-signature banded Hamming join — see the q27 note;
     // hashes are computed map-side off the synthetic PNGs, only
-    // (id, sig) pairs shuffle. + oracle ORDER BY merges into the
-    // distinct's exchange pair at this scale.
-    "q83_phash_dups" -> 2,
+    // (id, sig) rows shuffle, all exchanges linear in members/sigs.
+    "q83_phash_dups" -> 7,
     // q84: one cell-grain aggregate + oracle ORDER BY; the Lloyd
     // rounds inside trainDistributed run as separate bounded jobs
     // before this plan is built (control-plane actions, k×dim rows).
@@ -280,17 +287,24 @@ class PlanContractSpec extends SparkSpec {
     // the anti join's exchange at this scale). Resolution itself adds
     // no data-plane shuffle beyond those two pair-grain exchanges.
     "q86_drop_contained" -> 8,
-    // q87: same shape as q83 — the banded Hamming self-join's
-    // (band,h) exchange + candidate distinct; WAV encode/decode/hash
-    // is all map-side, only (id, 8-byte sig) shuffles.
-    "q87_audio_dups" -> 2,
-    // q88: frame-grain Hamming join pair (2) + per-video frame-count
-    // aggregate + the (id_a, id_b) agreement aggregate + count joins
-    // + oracle ORDER BY collapsing onto shared exchanges at this
-    // scale (dropping the dead least/greatest swap let one more
-    // exchange be reused: 6 -> 5). Frame payloads never shuffle — the
-    // composite-keyed hash table is 16 bytes/frame.
-    "q88_video_dups" -> 5,
+    // q87: same shape as q83 (distinct-signature Hamming join, see
+    // the q27 note); WAV encode/decode/hash is all map-side, only
+    // (id, 8-byte sig) rows shuffle.
+    "q87_audio_dups" -> 7,
+    // q88: the frame-grain Hamming join inherits q27's 7-exchange
+    // distinct-signature shape (duplicated frames across copies of a
+    // video are exactly the huge-duplicate-class case it exists for)
+    // + per-video frame-count aggregate + the (id_a, id_b) agreement
+    // aggregate + count joins with the oracle ORDER BY collapsing
+    // onto shared exchanges at this scale. Frame payloads never
+    // shuffle — the composite-keyed hash table is 16 bytes/frame.
+    "q88_video_dups" -> 11,
+    // q90: hammingClusters — member distinct + labeled-members join
+    // + min-id rep aggregate (+ oracle ORDER BY merging in at this
+    // scale); the signature-space CC rounds run as separate bounded
+    // jobs before this plan is built. NO pair-grain shuffle at all:
+    // the quadratic expansion q83 pays for its output never happens.
+    "q90_phash_clusters" -> 3,
     // q89: vocabTokenCounts' distinct-word exchange + the per-doc
     // prefix-sum window / chunk aggregate exchange (shared
     // partitioning) + oracle ORDER BY. The vocab table joins back by

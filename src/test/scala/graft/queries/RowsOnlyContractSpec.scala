@@ -5,7 +5,7 @@ import graft.sources.Sources
 import org.apache.spark.sql.functions._
 
 /** Quantified contracts for the rows-only queries
-  * (q25/q27/q29/q30/q35/q37/q76/q83/q84/q87/q88): these cannot
+  * (q25/q27/q29/q30/q35/q37/q76/q83/q84/q87/q88/q90): these cannot
   * hash-match a DuckDB oracle
   * (hash-valued or approximate by design), so each one's CLAIM is
   * pinned here numerically against an exact in-Spark anchor computed
@@ -228,6 +228,31 @@ class RowsOnlyContractSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Number]("hamming").intValue))
     assert(plantedPairs.length == 1 && plantedPairs.head._3 == 0,
       s"planted exact duplicate not paired at Hamming 0: ${plantedPairs.toSeq}")
+  }
+
+  test("q90 contract: cluster labels equal union-find over the brute-force pair set; singletons self-labeled") {
+    import graft.multimodal.{Multimodal, PerceptualHash}
+    val docs = Sources.documents(spark, dir)
+    val got = SparkEntry.queries("q90_phash_clusters")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // independent recomputation: hash rows off the generator, brute
+    // force pairs, driver-side union-find to component minima
+    val hashed = PerceptualHash.perceptualHashes(
+      Multimodal.syntheticImages(docs, "doc_id", "text")).collect()
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = { val p = parent.getOrElse(x, x); if (p == x) x else { val r = find(p); parent(x) = r; r } }
+    for {
+      a <- hashed; b <- hashed
+      if a.media_id < b.media_id && java.lang.Long.bitCount(a.ahash ^ b.ahash) <= 3
+    } {
+      val (ra, rb) = (find(a.media_id), find(b.media_id))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    val want = hashed.map(h => h.media_id -> find(h.media_id)).toMap
+    assert(got == want,
+      s"${(got.toSet diff want.toSet).size} wrong labels, ${(want.keySet diff got.keySet).size} missing ids")
+    assert(got.size == hashed.length, "every decodable payload labeled exactly once")
+    assert(want.values.toSet.subsetOf(want.keySet), "labels are member ids")
   }
 
   test("q87 contract: audio pair set equals brute-force Hamming over recomputed fingerprints") {
