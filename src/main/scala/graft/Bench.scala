@@ -109,15 +109,20 @@ object Bench {
     // full-name line in the bench.json file copy.
     val shortKey = "^(q[0-9]+[a-z]?)".r
     def short(k: String) = shortKey.findFirstIn(k).getOrElse(k)
+    // Locale-pinned formatting: the default-locale `f` interpolator
+    // emits "0,123" under comma-decimal locales (de_DE etc.) —
+    // invalid JSON, the exact failure this compact line exists to
+    // avoid. ROOT guarantees a dot regardless of the host JVM.
+    def fmt3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     // Fall back to full names on prefix collision (would otherwise
     // emit duplicate JSON keys).
     val collide = results.keys.groupBy(short).collect { case (p, ks) if ks.size > 1 => p }.toSet
     val qsCompact = results.map { case (k, v) =>
       val sk = if (collide(short(k))) k else short(k)
-      "\"" + sk + "\":" + (if (v < 0) "-1" else f"$v%.3f")
+      "\"" + sk + "\":" + (if (v < 0) "-1" else fmt3(v))
     }.mkString("{", ",", "}")
     val compact =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qsCompact,"sf":"$sfDir","runs":$runs,"failed":$failedJson}"""
+      s"""{"metric":"total","value":${fmt3(total)},"unit":"sec","queries":$qsCompact,"sf":"$sfDir","runs":$runs,"failed":$failedJson}"""
     // Bare line on stdout (build.sbt's StdoutOutput strategy keeps it
     // unprefixed) + a file copy, so the driver can parse either way.
     println(compact)

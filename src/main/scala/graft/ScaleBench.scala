@@ -628,6 +628,14 @@ object ScaleBench {
         graft.multimodal.PerceptualHash.videoDupPairs(
           graft.multimodal.Multimodal.syntheticVideos(docs, "doc_id", "text"),
           maxHamming = 2, minMatchFrac = 0.75).count()),
+      // Cluster form at VIDEO granularity: ordered frame-component
+      // sequence equality — no video pair and no frame pair beyond
+      // the signature-space CC is ever materialized; output and every
+      // exchange linear in frames/videos.
+      "video_dedup_clusters" -> (() =>
+        graft.multimodal.PerceptualHash.videoDupClusters(
+          graft.multimodal.Multimodal.syntheticVideos(docs, "doc_id", "text"),
+          maxHamming = 2).count()),
       // Chunking by trained-tokenizer budget: the two vocab-grain
       // exchanges + the per-doc window/aggregate exchange. Like
       // bpe_count_pack, the fit is lazily memoized so only the FIRST

@@ -458,6 +458,21 @@ object Dedup {
     * term is the OUTPUT itself — intrinsic to asking for pairs. When
     * pairs themselves are not needed, [[hammingClusters]] skips that
     * expansion entirely and stays linear in ids.
+    *
+    * OUTPUT GRAIN with multi-sig ids: every production wrapper feeds
+    * one sig per id (a hash function emits one fingerprint per
+    * payload) and then each unordered pair appears EXACTLY ONCE. If
+    * an id carries SEVERAL distinct sigs, the pair list is at
+    * (id_a, id_b, connecting-relation) grain — the same id pair can
+    * appear once per qualifying sig edge, at that edge's distance
+    * (e.g. once at Hamming 0 through a shared sig and once at
+    * Hamming h through a near one). `min(hamming)` over the rows is
+    * the true minimum cross-sig distance; [[dupClusters]] consumes
+    * duplicate edges unchanged (union-find is idempotent), so
+    * clustering downstream never needs the dedupe and the common
+    * case never pays a pair-grain aggregate for it. Callers that
+    * need strict (id_a, id_b) grain from a multi-sig input aggregate
+    * the result themselves: `groupBy(id_a, id_b).agg(min(hamming))`.
     */
   def hammingPairs(
       df: DataFrame,
@@ -524,13 +539,42 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** `(sig, comp)` component labels over the DISTINCT values of
+    * `sigCol` under the banded `Hamming <= maxHamming` edge relation
+    * — the raw signature-space half of [[hammingClusters]] for
+    * callers whose keys ARE the signatures (e.g. frame-hash
+    * vocabularies) and who would otherwise pay the id-grain
+    * member/collapse exchanges for nothing. Only signatures that
+    * participate in at least one edge appear; singletons are their
+    * own component — callers `coalesce(comp, sig)` after a left
+    * join. The result is EAGER (the CC runs as bounded jobs) and,
+    * below `collectThreshold` edges, a LOCAL relation — downstream
+    * joins against it broadcast for free.
+    */
+  private[graft] def sigComponents(
+      df: DataFrame,
+      sigCol: String,
+      maxHamming: Int,
+      bands: Int = 4,
+      maxIter: Int = 20,
+      collectThreshold: Long = 10000000L): DataFrame = {
+    val sigs = df.select(col(sigCol).as("sig")).where(col("sig").isNotNull)
+    val edges = sigHammingEdges(sigs, maxHamming, bands)
+    dupClusters(
+      edges.select(col("sig_a").as("id_a"), col("sig_b").as("id_b")),
+      maxIter, collectThreshold)
+      .select(col("id").as("sig"), col("cluster").as("comp"))
+  }
+
   /** Hamming near-duplicate CLUSTERS without materializing pairs:
-    * `(id, cluster)` for EVERY input id (singletons label themselves),
-    * where `cluster` is the smallest id in the id's connected
-    * component under the "Hamming(sig_a, sig_b) <= maxHamming" edge
-    * relation — exactly the labels
+    * ONE `(id, cluster)` row for EVERY input id (singletons label
+    * themselves), where `cluster` is the smallest id in the id's
+    * connected component under the "Hamming(sig_a, sig_b) <=
+    * maxHamming" edge relation — exactly the labels
     * `dupClusters(hammingPairs(df, ...))` would assign (pinned by
-    * DedupSpec), plus the singleton rows pair-based clustering cannot
+    * DedupSpec, INCLUDING ids that carry several sigs: such an id
+    * bridges its sigs' components here just as it does in the pair
+    * path), plus the singleton rows pair-based clustering cannot
     * see.
     *
     * This is the 100 TB dedup shape: [[hammingPairs]]' output is
@@ -553,16 +597,35 @@ object Dedup {
       collectThreshold: Long = 10000000L): DataFrame = {
     val members = memberTable(df, idCol, sigCol)
     val sigEdges = sigHammingEdges(members, maxHamming, bands)
+    // An id carrying SEVERAL sigs bridges their components exactly as
+    // it does in the pair-based path (hammingPairs pairs it with both
+    // sides, so union-find merges them through it). Reproduce that
+    // bridge IN SIGNATURE SPACE: per multi-sig id, star edges from
+    // its minimum sig to each other sig — linear in members (one
+    // map-side-combined min per id + one join), empty for the normal
+    // one-sig-per-id corpus, and transitive closure falls out of the
+    // CC itself (id1 spanning c1/c2 and id2 spanning c2/c3 chain into
+    // one component).
+    val anchors = members.groupBy("id").agg(min(col("sig")).as("anchor"))
+    val idEdges = members.join(anchors, "id")
+      .filter(col("sig") =!= col("anchor"))
+      .select(col("anchor").as("sig_a"), col("sig").as("sig_b"))
     val sigLabels = dupClusters(
-      sigEdges.select(col("sig_a").as("id_a"), col("sig_b").as("id_b")),
+      sigEdges.select(col("sig_a").as("id_a"), col("sig_b").as("id_b"))
+        .unionByName(idEdges.select(col("sig_a").as("id_a"), col("sig_b").as("id_b"))),
       maxIter, collectThreshold)
     // Singleton signatures never reach dupClusters (it only sees edge
     // endpoints); they label themselves via the coalesce.
     val labeled = members
       .join(sigLabels.toDF("sig", "sig_cluster"), Seq("sig"), "left")
       .select(col("id"), coalesce(col("sig_cluster"), col("sig")).as("__sc"))
-    val reps = labeled.groupBy("__sc").agg(min(col("id")).as("cluster"))
-    labeled.join(reps, "__sc").select("id", "cluster")
+    // One row per id even when it carried several sigs: the star
+    // edges above put all of an id's sigs in ONE component, so the
+    // per-id min collapses duplicate (id, __sc) rows without ever
+    // choosing between labels — they are already equal.
+    val perId = labeled.groupBy("id").agg(min(col("__sc")).as("__sc"))
+    val reps = perId.groupBy("__sc").agg(min(col("id")).as("cluster"))
+    perId.join(reps, "__sc").select("id", "cluster")
   }
 
   // ---------------------------------------------------- embedding cosine

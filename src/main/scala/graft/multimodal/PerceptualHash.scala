@@ -188,6 +188,64 @@ object PerceptualHash {
     graft.core.Releasable(out, () => { fh.unpersist(blocking = false); () })
   }
 
+  /** Video near-duplicate CLUSTERS without any pair materialization —
+    * the linear-output dedup shape at VIDEO granularity: `(media_id,
+    * cluster)` for every decodable video, where two videos share a
+    * cluster iff their ORDERED sequences of frame-hash COMPONENTS are
+    * identical. A component is a connected component of the sampled
+    * frame hashes under `Hamming <= maxHamming` (computed in
+    * signature space via [[graft.dedup.Dedup.hammingClusters]] over
+    * the distinct frame hashes), so per-frame re-encode noise is
+    * absorbed by the component closure while the video-level match
+    * stays EXACT equality on the abstracted sequence — a 10 k-copy
+    * video class is ONE group-by key, never 50 M pairs.
+    *
+    * Relation to [[videoDupPairs]]: byte-identical (and per-frame
+    * Hamming-near, order-preserving) copies cluster together here and
+    * pair at `match_frac` 1.0 there. The pair API remains the tool
+    * for CONTAINMENT questions (a clip inside a longer cut, frame
+    * reordering, partial overlap below 1.0) — those are intrinsically
+    * pairwise and cannot be expressed as a linear partition. The two
+    * can also disagree at the margin: component closure links frames
+    * transitively beyond `maxHamming` (merging what strict per-frame
+    * distance would not), while the ordered-equality requirement
+    * splits same-frames-different-order videos that containment
+    * accepts. PerceptualHashSpec pins the exact semantics (order and
+    * length sensitivity, noise absorption); RowsOnlyContractSpec's
+    * q93 contract pins parity with a driver-side recomputation and
+    * the fixture-level agreement with the pair path.
+    *
+    * Scale shape, end to end: decode map-side; the component CC runs
+    * over DISTINCT frame hashes (bounded jobs, see
+    * [[graft.dedup.Dedup.hammingClusters]]); the hash→component map
+    * joins back at frame grain (8-byte keys); the per-video sequence
+    * is one `collect_list` bounded by frames-per-video (`everyN`
+    * dials it); the final group-by shuffles one comp-array per video.
+    * Every exchange is linear in frames or videos.
+    */
+  def videoDupClusters(
+      media: Dataset[Multimodal.MediaRow],
+      maxHamming: Int = 2,
+      everyN: Int = 1): DataFrame = {
+    val fh = frameHashes(media, everyN)
+    // (frame hash -> component) over the DISTINCT hashes — the raw
+    // signature-space CC (comp = min hash in the Hamming-connected
+    // component). Singleton hashes are absent from the label table
+    // and coalesce to themselves; below the collect threshold the
+    // table is a local relation, so the join broadcasts.
+    val comps = graft.dedup.Dedup.sigComponents(
+      fh.select(col("ahash")), "ahash", maxHamming)
+      .select(col("sig").as("ahash"), col("comp").as("__comp"))
+    val seqs = fh.join(comps, Seq("ahash"), "left")
+      .groupBy("media_id")
+      .agg(transform(
+        sort_array(collect_list(struct(col("frame_idx"),
+          coalesce(col("__comp"), col("ahash")).as("__c")))),
+        f => f.getField("__c")).as("__fseq"))
+    val reps = seqs.groupBy("__fseq").agg(min(col("media_id")).as("cluster"))
+    seqs.join(reps, "__fseq").select("media_id", "cluster")
+  }
+
   /** Composite frame-key stride: supports videos up to one million
     * sampled frames and media ids up to ~9.2e12 without collision.
     */

@@ -237,6 +237,53 @@ object SimilarityQueries {
       .orderBy("media_id")
   }
 
+  /** q91: audio-fingerprint near-dup CLUSTERS — q87's corpus and
+    * Hamming relation in the linear `(media_id, cluster)` partition
+    * form (see q90 / [[graft.multimodal.AudioFingerprint
+    * .audioDupClusters]]). Rows-only: DuckDB cannot decode WAV; the
+    * contract mirrors q90's (labels equal driver-side union-find over
+    * the brute-force pair set, singletons self-labeled, every
+    * decodable payload labeled exactly once) in RowsOnlyContractSpec.
+    */
+  def q91AudioClusters(spark: SparkSession, dir: String): DataFrame = {
+    val media = graft.multimodal.Multimodal.syntheticWavs(
+      Sources.documents(spark, dir), "doc_id", "text")
+    graft.multimodal.AudioFingerprint.audioDupClusters(media, maxHamming = 3, which = "ehash")
+      .orderBy("media_id")
+  }
+
+  /** q92: end-to-end image dedup RESOLUTION — the trainer-facing
+    * artifact the cluster API exists for: label every decodable image
+    * by Hamming component ([[graft.multimodal.PerceptualHash
+    * .phashDupClusters]]), score each member by its encoded payload
+    * size (bigger encode = more pixel detail survived — a
+    * deterministic stand-in for a quality model; any score column
+    * slots in), keep the best-scoring member per cluster
+    * ([[graft.dedup.Dedup.clusterRepresentatives]], ties to the
+    * smallest id). Output: one surviving image per duplicate class
+    * `(cluster_id, n_members, keeper_id, keeper_score)`. Rows-only:
+    * DuckDB cannot decode PNG; the contract (clusters partition the
+    * decodable corpus, exactly one representative per cluster,
+    * representative = argmax score with min-id ties, scores equal the
+    * recomputed payload sizes) is pinned in RowsOnlyContractSpec.
+    *
+    * Scale shape: clusters are linear in ids (no pair list), the
+    * score join is id-grain, and the keep-best argmax is ONE
+    * map-side-combined struct-min aggregate — the whole resolution
+    * stays linear at 100 TB.
+    */
+  def q92ImageDedupResolution(spark: SparkSession, dir: String): DataFrame = {
+    val media = graft.multimodal.Multimodal.syntheticImages(
+      Sources.documents(spark, dir), "doc_id", "text")
+    val clusters = graft.multimodal.PerceptualHash.phashDupClusters(
+      media, maxHamming = 3, which = "ahash")
+    val scores = media.toDF().select(
+      col("media_id"), length(col("bytes")).cast("double").as("score"))
+    val members = clusters.join(scores, "media_id")
+    graft.dedup.Dedup.clusterRepresentatives(members, "cluster", "media_id", "score")
+      .orderBy("cluster_id")
+  }
+
   /** q87: audio-fingerprint near-dup pairs over REAL encoded WAVs
     * (deterministic PCM from each document's text —
     * [[graft.multimodal.Multimodal.syntheticWavs]]), energy-envelope
@@ -264,16 +311,35 @@ object SimilarityQueries {
       .orderBy("id_a", "id_b")
   }
 
+  /** q93: video near-dup CLUSTERS — q88's corpus in the linear
+    * `(media_id, cluster)` partition form ([[graft.multimodal
+    * .PerceptualHash.videoDupClusters]]): videos cluster when their
+    * ordered frame-hash COMPONENT sequences are identical, so no
+    * video pair (and no frame pair beyond the signature-space CC) is
+    * ever materialized. Rows-only: DuckDB cannot decode AVI; the
+    * contract (labels equal a driver-side recomputation of the
+    * documented semantics; byte-identical videos share a cluster;
+    * fixture-level agreement with the q88 pair path at full match) is
+    * pinned in RowsOnlyContractSpec / VideoClusterSpec.
+    */
+  def q93VideoClusters(spark: SparkSession, dir: String): DataFrame = {
+    val media = graft.multimodal.Multimodal.syntheticVideos(
+      Sources.documents(spark, dir), "doc_id", "text")
+    graft.multimodal.PerceptualHash.videoDupClusters(media, maxHamming = 2)
+      .orderBy("media_id")
+  }
+
   private val kmeansModelCache = scala.collection.concurrent.TrieMap.empty[String, graft.similarity.Ivf.Model]
 
   /** Cache key = dir + a cheap content fingerprint (max mtime + total
     * byte length under `embeddings.parquet`), so regenerating the
     * fixture at the same path within one JVM invalidates the entry
     * instead of silently reusing a model trained on the old data.
-    * Unreadable paths fingerprint as "absent" and miss the cache on
-    * every call — correctness over caching.
+    * `None` for unreadable paths — those BYPASS the cache entirely
+    * (compute without inserting; a nonce key would add an entry per
+    * call and the map would grow without bound in a long-lived JVM).
     */
-  private def embeddingsFingerprint(dir: String): String = {
+  private def embeddingsFingerprint(dir: String): Option[String] = {
     def walk(f: java.io.File): (Long, Long) =
       if (f.isDirectory) {
         val children = Option(f.listFiles()).getOrElse(Array.empty)
@@ -282,14 +348,28 @@ object SimilarityQueries {
         }
       } else (f.lastModified(), f.length())
     val root = new java.io.File(s"$dir/embeddings.parquet")
-    if (!root.exists()) s"absent:${System.nanoTime()}"
-    else { val (m, s) = walk(root); s"$m:$s" }
+    if (!root.exists()) None
+    else { val (m, s) = walk(root); Some(s"$m:$s") }
   }
 
-  private def kmeansModel(spark: SparkSession, dir: String): graft.similarity.Ivf.Model =
-    kmeansModelCache.getOrElseUpdate(s"$dir|${embeddingsFingerprint(dir)}",
-      graft.similarity.Ivf.trainDistributed(
-        Sources.embeddings(spark, dir), "embedding", k = 8, iters = 5))
+  /** One live entry per dir: a fingerprint change (fixture
+    * regenerated in place) evicts the superseded entry instead of
+    * stranding it — the cache is bounded by the number of DISTINCT
+    * dirs a JVM touches, not by how often each is rewritten.
+    */
+  private def kmeansModel(spark: SparkSession, dir: String): graft.similarity.Ivf.Model = {
+    def train() = graft.similarity.Ivf.trainDistributed(
+      Sources.embeddings(spark, dir), "embedding", k = 8, iters = 5)
+    embeddingsFingerprint(dir) match {
+      case None => train()
+      case Some(fp) =>
+        val key = s"$dir|$fp"
+        kmeansModelCache.keys
+          .filter(k => k.startsWith(s"$dir|") && k != key)
+          .foreach(kmeansModelCache.remove)
+        kmeansModelCache.getOrElseUpdate(key, train())
+    }
+  }
 
   /** q84: full-corpus distributed k-means ([[graft.similarity.Ivf
     * .trainDistributed]]) cell balance — per-cell membership count and
@@ -320,6 +400,9 @@ object SimilarityQueries {
     "q83_phash_dups" -> (q83PhashDups _),
     "q84_kmeans_cells" -> (q84KmeansCells _),
     "q90_phash_clusters" -> (q90PhashClusters _),
+    "q91_audio_clusters" -> (q91AudioClusters _),
+    "q92_image_dedup_resolution" -> (q92ImageDedupResolution _),
+    "q93_video_clusters" -> (q93VideoClusters _),
     "q87_audio_dups" -> (q87AudioDups _),
     "q88_video_dups" -> (q88VideoDups _),
     "q28_knn_brute" -> (q28KnnBrute _),

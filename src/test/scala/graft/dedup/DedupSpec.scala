@@ -177,6 +177,55 @@ class DedupSpec extends SparkSpec {
     assert(distClusters == clusters)
   }
 
+  test("hammingClusters: an id carrying several sigs bridges their components exactly like the pair path") {
+    import sqlImplicits._
+    // id 1 holds TWO sigs 64 bits apart, each near another id's sig;
+    // id 5 holds a sig near 1's second sig AND a third far sig near
+    // id 6's — so the pair path chains {1,2,3,5,6} through the shared
+    // ids and the cluster path must produce the SAME partition (the
+    // round-14 bug: sig-components were labeled independently, so id 1
+    // appeared twice with different labels and the chain never merged).
+    val sA = 0L
+    val sB = ~0L
+    val sD = 0x00000000FFFF0000L
+    val members = Seq(
+      (1L, sA), (1L, sB), // multi-sig id
+      (2L, sA ^ 1L), // near sA
+      (3L, sB ^ 2L), // near sB
+      (4L, 0x0F0F0F0F00000000L), // far from everything: singleton
+      (5L, sB ^ 4L), (5L, sD), // second multi-sig id, chains B->D
+      (6L, sD ^ 8L) // near sD
+    ).toDF("id", "sig")
+    val pairs = Dedup.hammingPairs(members, "id", "sig", maxHamming = 3)
+    val clusters = Dedup.hammingClusters(members, "id", "sig", maxHamming = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fromPairs = Dedup.dupClusters(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters == fromPairs ++ Map(4L -> 4L), s"clusters=$clusters fromPairs=$fromPairs")
+    assert(clusters == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 1L, 6L -> 1L))
+    // exactly ONE row per id even though ids 1 and 5 carry two sigs
+    val idRows = Dedup.hammingClusters(members, "id", "sig", maxHamming = 3)
+      .groupBy("id").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(idRows.values.forall(_ == 1L), s"duplicate id rows: $idRows")
+    // forced-distributed sig-space CC agrees
+    val dist = Dedup.hammingClusters(members, "id", "sig", maxHamming = 3, collectThreshold = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dist == clusters)
+    // hammingPairs' documented multi-sig grain: per-pair MIN distance
+    // equals brute force over all cross-sig combinations (rows may
+    // repeat a pair once per connecting sig edge — that is the
+    // documented contract, and dupClusters above consumed it exactly)
+    val raw = members.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val bruteMin = (for {
+      (ia, sa) <- raw; (ib, sb) <- raw
+      if ia != ib && java.lang.Long.bitCount(sa ^ sb) <= 3
+    } yield (math.min(ia, ib), math.max(ia, ib)) -> java.lang.Long.bitCount(sa ^ sb))
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).min }
+    val gotMin = pairs.groupBy("id_a", "id_b").agg(min(col("hamming")).as("h"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Number]("h").intValue).toMap
+    assert(gotMin == bruteMin, s"got=$gotMin brute=$bruteMin")
+  }
+
   test("dupClusters: driver union-find and forced-distributed propagation yield identical labels") {
     import sqlImplicits._
     // deterministic pseudo-random edge soup: chains, stars, singleton

@@ -127,6 +127,59 @@ class PerceptualHashSpec extends SparkSpec {
     assert(!got.keySet.exists { case (x, y) => x == 4L || y == 4L }, s"unrelated paired: $got")
   }
 
+  test("videoDupClusters: exact dups cluster; order, length and unrelated content split; one row per video") {
+    import sqlImplicits._
+    def frame(seed: Int) = {
+      val img = new java.awt.image.BufferedImage(16, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 16; x <- 0 until 16) {
+        val v = (seed * 37 + x * 11 + y * 23) % 256
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      img
+    }
+    val f = (1 to 3).map(frame)
+    val ds = Seq(
+      Multimodal.MediaRow(1L, "video", Avi.buildDib(f), Map.empty[String, String]),
+      Multimodal.MediaRow(2L, "video", Avi.buildDib(f), Map.empty[String, String]), // exact dup
+      Multimodal.MediaRow(3L, "video", Avi.buildDib(Seq(f(1), f(0), f(2))), Map.empty[String, String]), // reordered
+      Multimodal.MediaRow(4L, "video", Avi.buildDib(f.take(2)), Map.empty[String, String]), // truncated
+      Multimodal.MediaRow(5L, "video", Avi.buildDib(Seq(frame(90), frame(91), frame(92))), Map.empty[String, String]),
+      Multimodal.MediaRow(6L, "video", Array[Byte](1, 2, 3), Map.empty[String, String])) // undecodable
+      .toDS()
+    val got = PerceptualHash.videoDupClusters(ds, maxHamming = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 4L, 5L -> 5L),
+      s"got=$got") // ordered-sequence equality: only the byte dup merges; undecodable absent
+  }
+
+  test("videoDupClusters absorbs per-frame Hamming noise through the component closure") {
+    import sqlImplicits._
+    // engineered EXACT 1-bit aHash flip: an 8x8 frame pools one pixel
+    // per grid cell; every other cell alternates 0/200 (pinned far
+    // from the mean ~101), and cell (0,0) sits just below (90) or
+    // just above (110) it — only bit 0 differs between the variants
+    def img8(p00: Int) = {
+      val img = new java.awt.image.BufferedImage(8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 8; x <- 0 until 8) {
+        val v = if (x == 0 && y == 0) p00 else if (((y * 8 + x) & 1) == 1) 200 else 0
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      img
+    }
+    val d = hamming(PerceptualHash.aHash64(img8(90)), PerceptualHash.aHash64(img8(110)))
+    assert(d == 1, s"fixture drifted: engineered flip moved $d aHash bits, need exactly 1")
+    val ds = Seq(
+      Multimodal.MediaRow(1L, "video", Avi.buildDib(Seq(img8(90), img8(90))), Map.empty[String, String]),
+      Multimodal.MediaRow(2L, "video", Avi.buildDib(Seq(img8(110), img8(90))), Map.empty[String, String]))
+      .toDS()
+    val got = PerceptualHash.videoDupClusters(ds, maxHamming = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L), s"noisy first frame must fold into the component: $got")
+    val strict = PerceptualHash.videoDupClusters(ds, maxHamming = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(strict == Map(1L -> 1L, 2L -> 2L), s"at maxHamming 0 the noisy frame must split: $strict")
+  }
+
   test("videoDupPairsReleasable matches the plain path and releases its frame-hash cache") {
     import sqlImplicits._
     def frame(seed: Int) = {

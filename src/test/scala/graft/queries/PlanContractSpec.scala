@@ -300,11 +300,25 @@ class PlanContractSpec extends SparkSpec {
     // shuffle — the composite-keyed hash table is 16 bytes/frame.
     "q88_video_dups" -> 11,
     // q90: hammingClusters — member distinct + labeled-members join
+    // + the per-id collapse aggregate (multi-sig ids fold to one row)
     // + min-id rep aggregate (+ oracle ORDER BY merging in at this
-    // scale); the signature-space CC rounds run as separate bounded
-    // jobs before this plan is built. NO pair-grain shuffle at all:
-    // the quadratic expansion q83 pays for its output never happens.
-    "q90_phash_clusters" -> 3,
+    // scale); the signature-space CC rounds (now including the
+    // same-id bridge edges) run as separate bounded jobs before this
+    // plan is built. NO pair-grain shuffle at all: the quadratic
+    // expansion q83 pays for its output never happens.
+    "q90_phash_clusters" -> 4,
+    // q91: audio twin of q90 — identical cluster shape over eHash.
+    "q91_audio_clusters" -> 4,
+    // q92: q90's cluster shape + the id-grain score join + the ONE
+    // map-side-combined keep-best aggregate (clusterRepresentatives;
+    // the ORDER BY merges into it at this scale). No pair grain.
+    "q92_image_dedup_resolution" -> 5,
+    // q93: hash->component map joins BROADCAST (local relation below
+    // the collect threshold), so the data plane is just the per-video
+    // sequence aggregate + sequence-key rep aggregate + join back +
+    // ORDER BY; the signature-space CC runs as bounded jobs. No
+    // video pair and no frame pair is ever materialized.
+    "q93_video_clusters" -> 4,
     // q89: vocabTokenCounts' distinct-word exchange + the per-doc
     // prefix-sum window / chunk aggregate exchange (shared
     // partitioning) + oracle ORDER BY. The vocab table joins back by
