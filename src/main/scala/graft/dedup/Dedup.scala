@@ -594,8 +594,32 @@ object Dedup {
       maxHamming: Int,
       bands: Int = 4,
       maxIter: Int = 20,
-      collectThreshold: Long = 10000000L): DataFrame = {
+      collectThreshold: Long = 10000000L): DataFrame =
+    hammingClustersReleasable(df, idCol, sigCol, maxHamming, bands, maxIter, collectThreshold).result
+
+  /** [[hammingClusters]] with an explicit release handle over the
+    * persisted member table (see [[graft.core.Releasable]]). The
+    * `(id, sig)` members feed FOUR plan branches (signature distinct,
+    * anchor aggregate, bridge join, membership join) and typically
+    * sit behind an expensive upstream (media decode, tokenization) —
+    * without the persist that upstream would re-execute once per
+    * branch. The table itself is 16-ish bytes per id
+    * (MEMORY_AND_DISK, spills rather than evicts), the eager
+    * signature-space CC materializes it as its first job, and the
+    * default entry point lets it age out of the LRU store — the
+    * right trade for one-shot batch jobs; long-lived services call
+    * this variant and `release()` after their terminal action.
+    */
+  def hammingClustersReleasable(
+      df: DataFrame,
+      idCol: String,
+      sigCol: String,
+      maxHamming: Int,
+      bands: Int = 4,
+      maxIter: Int = 20,
+      collectThreshold: Long = 10000000L): graft.core.Releasable[DataFrame] = {
     val members = memberTable(df, idCol, sigCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sigEdges = sigHammingEdges(members, maxHamming, bands)
     // An id carrying SEVERAL sigs bridges their components exactly as
     // it does in the pair-based path (hammingPairs pairs it with both
@@ -625,7 +649,9 @@ object Dedup {
     // choosing between labels — they are already equal.
     val perId = labeled.groupBy("id").agg(min(col("__sc")).as("__sc"))
     val reps = perId.groupBy("__sc").agg(min(col("id")).as("cluster"))
-    perId.join(reps, "__sc").select("id", "cluster")
+    graft.core.Releasable(
+      perId.join(reps, "__sc").select("id", "cluster"),
+      () => { members.unpersist(blocking = false); () })
   }
 
   // ---------------------------------------------------- embedding cosine

@@ -226,8 +226,21 @@ object PerceptualHash {
   def videoDupClusters(
       media: Dataset[Multimodal.MediaRow],
       maxHamming: Int = 2,
-      everyN: Int = 1): DataFrame = {
+      everyN: Int = 1): DataFrame =
+    videoDupClustersReleasable(media, maxHamming, everyN).result
+
+  /** [[videoDupClusters]] with an explicit release handle over the
+    * persisted frame-hash table (see [[graft.core.Releasable]] and
+    * [[videoDupPairsReleasable]] — same rationale: one decode pass
+    * feeds both the signature-space CC and the per-video sequence
+    * aggregate).
+    */
+  def videoDupClustersReleasable(
+      media: Dataset[Multimodal.MediaRow],
+      maxHamming: Int = 2,
+      everyN: Int = 1): graft.core.Releasable[DataFrame] = {
     val fh = frameHashes(media, everyN)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // (frame hash -> component) over the DISTINCT hashes — the raw
     // signature-space CC (comp = min hash in the Hamming-connected
     // component). Singleton hashes are absent from the label table
@@ -243,7 +256,9 @@ object PerceptualHash {
           coalesce(col("__comp"), col("ahash")).as("__c")))),
         f => f.getField("__c")).as("__fseq"))
     val reps = seqs.groupBy("__fseq").agg(min(col("media_id")).as("cluster"))
-    seqs.join(reps, "__fseq").select("media_id", "cluster")
+    graft.core.Releasable(
+      seqs.join(reps, "__fseq").select("media_id", "cluster"),
+      () => { fh.unpersist(blocking = false); () })
   }
 
   /** Composite frame-key stride: supports videos up to one million
