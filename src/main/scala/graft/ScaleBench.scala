@@ -608,6 +608,35 @@ object ScaleBench {
         val model = graft.similarity.Ivf.trainDistributed(emb, "embedding", k = 8, iters = 5)
         model.k.toLong
       }),
+      // PQ encode + ADC top-k + exact rerank (q96's scale twin): the
+      // codebook fit is a driver-side sampled Lloyd's (lazy, billed
+      // once like bpe_count_pack); encode is one map-side pass; the
+      // ADC scan is m byte-lookups per row resolving as
+      // TakeOrderedAndProject; rerank touches exactly k x expand raw
+      // rows. Alpha should track the SCAN — everything else is
+      // output-bounded.
+      "pq_topk_rerank" -> {
+        lazy val pqm = graft.similarity.Pq.train(emb, "embedding", dim = 64, m = 8, ksub = 16)
+        lazy val pqQuery: Array[Double] = emb.select("embedding").head()
+          .getSeq[Float](0).toArray.map(_.toDouble)
+        () => {
+          val enc = graft.similarity.Pq.encode(emb, "embedding", "vec_id", pqm)
+          graft.similarity.Pq.topKRerank(
+            enc, pqm, emb, "embedding", "vec_id", pqQuery, k = 10, expand = 10).count()
+        }
+      },
+      // Cluster-balanced sampling: map-side cell assignment + ONE
+      // cell-partitioned window whose row_number<=cap plans as a
+      // partial WindowGroupLimit — shuffle volume is bounded by
+      // mapPartitions x k x cap, so the timed cost should track the
+      // assignment SCAN (linear), never the window. rows = kept
+      // sample, saturating at k x cap once every cell fills.
+      "cluster_balanced_sample" -> {
+        lazy val sampleModel = graft.similarity.Ivf.trainDistributed(emb, "embedding", k = 8, iters = 5)
+        () =>
+          graft.similarity.ClusterSampling.clusterBalancedSample(
+            emb, "embedding", "vec_id", sampleModel, perCellCap = 200, seed = 7).count()
+      },
       // Audio-fingerprint dedup: WAV synth+decode+hash is map-side
       // linear work like phash_dedup; the Hamming join shuffles only
       // (id, sig).
@@ -621,6 +650,15 @@ object ScaleBench {
         graft.multimodal.AudioFingerprint.audioDupClusters(
           graft.multimodal.Multimodal.syntheticWavs(docs, "doc_id", "text"),
           maxHamming = 3).count()),
+      // Spectral (FFT) audio dedup: same decode + distinct-signature
+      // Hamming join as audio_dedup, plus ~64 1024-point FFTs per
+      // payload map-side — the delta over audio_dedup IS the
+      // spectral kernel's cost, and it must stay linear (decode-bound
+      // alpha) because the FFT count is capped per payload.
+      "audio_dedup_spectral" -> (() =>
+        graft.multimodal.AudioFingerprint.audioDupPairs(
+          graft.multimodal.Multimodal.syntheticWavs(docs, "doc_id", "text"),
+          maxHamming = 3, which = "shash").count()),
       // Frame-level video dedup: 4 DIB frames per doc, frame-grain
       // Hamming join + agreement aggregate — decode-linear plus a
       // join that tracks colliding frames.

@@ -20,18 +20,30 @@ import org.apache.spark.sql.{DataFrame, Dataset}
   *    envelope gradient signs, additionally tolerant of slow level
   *    drift across the recording.
   *
-  * This is the classic coarse energy-envelope family (the spectral
-  * refinement — per-band energies under an FFT — shares the exact
-  * same Spark plumbing; the envelope form keeps the kernel
-  * dependency-free and deterministic). Decode + hash runs
+  * Plus the spectral refinement of the same family:
+  *
+  *  - sHash: Welch-averaged power spectrum (Hann-windowed 1024-point
+  *    frames, radix-2 FFT, per-bin power averaged across frames),
+  *    65 geometrically spaced frequency bands; bit i = band i+1's
+  *    mean power above band i's — spectral gradient signs, the
+  *    single-signature form of the Haitsma–Kalker band-energy-delta
+  *    fingerprint. Gain-invariant (comparisons survive any positive
+  *    scaling) and, unlike the envelope hashes, insensitive to
+  *    time-domain edits that preserve spectral content (small
+  *    shifts, re-windowing), because frame averaging discards phase.
+  *
+  * All three share the exact same Spark plumbing and the same banded
+  * Hamming join downstream. Decode + hash runs
   * `mapPartitions`-batched; undecodable payloads yield no row, same
   * contract as [[PerceptualHash.perceptualHashes]].
   */
 object AudioFingerprint {
 
-  final case class AudioHashRow(media_id: Long, ehash: Long, dhash: Long)
+  final case class AudioHashRow(media_id: Long, ehash: Long, dhash: Long, shash: Long)
 
-  /** `(media_id, ehash, dhash)` for every decodable audio payload. */
+  /** `(media_id, ehash, dhash, shash)` for every decodable audio
+    * payload.
+    */
   def audioHashes(media: Dataset[Multimodal.MediaRow]): Dataset[AudioHashRow] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
@@ -40,7 +52,8 @@ object AudioFingerprint {
         else {
           val samples = Multimodal.decodeAudioSamples(r.bytes)
           if (samples == null || samples.isEmpty) Iterator.empty
-          else Iterator.single(AudioHashRow(r.media_id, eHash64(samples), dHash64(samples)))
+          else Iterator.single(
+            AudioHashRow(r.media_id, eHash64(samples), dHash64(samples), sHash64(samples)))
         }
       }
     }
@@ -55,7 +68,8 @@ object AudioFingerprint {
       media: Dataset[Multimodal.MediaRow],
       maxHamming: Int = 3,
       which: String = "ehash"): DataFrame = {
-    require(which == "ehash" || which == "dhash", s"which=$which must be ehash|dhash")
+    require(which == "ehash" || which == "dhash" || which == "shash",
+      s"which=$which must be ehash|dhash|shash")
     val hashed = audioHashes(media).toDF()
       .select(org.apache.spark.sql.functions.col("media_id").as("id"),
         org.apache.spark.sql.functions.col(which).as("sig"))
@@ -72,7 +86,8 @@ object AudioFingerprint {
       media: Dataset[Multimodal.MediaRow],
       maxHamming: Int = 3,
       which: String = "ehash"): DataFrame = {
-    require(which == "ehash" || which == "dhash", s"which=$which must be ehash|dhash")
+    require(which == "ehash" || which == "dhash" || which == "shash",
+      s"which=$which must be ehash|dhash|shash")
     val hashed = audioHashes(media).toDF()
       .select(org.apache.spark.sql.functions.col("media_id").as("id"),
         org.apache.spark.sql.functions.col(which).as("sig"))
@@ -122,5 +137,156 @@ object AudioFingerprint {
       i += 1
     }
     out
+  }
+
+  /** Frame length for the Welch spectrum (power of two for the
+    * radix-2 FFT); 512 positive-frequency bins.
+    */
+  private val FftN = 1024
+  /** Cap on averaged frames: bounds the kernel at 64 FFTs per
+    * payload regardless of recording length.
+    */
+  private val MaxFrames = 64
+
+  /** Spectral hash: 65 geometric frequency bands over the
+    * Welch-averaged power spectrum; bit i = mean power of band i+1
+    * above band i. See the object doc for the invariances.
+    */
+  private[multimodal] def sHash64(samples: Array[Double]): Long = {
+    val spec = welchPowerSpectrum(samples)
+    // 66 geometric band edges over bins [1, FftN/2) — bin 0 (DC)
+    // carries level offset, not timbre, and is excluded. Geometric
+    // spacing mirrors pitch perception: equal band count per octave.
+    val half = FftN / 2
+    val edges = new Array[Int](66)
+    var j = 0
+    while (j < 66) {
+      val e = math.round(math.pow(half.toDouble, j / 65.0)).toInt
+      // enforce strictly increasing edges (the low octaves round to
+      // the same bin otherwise)
+      edges(j) = if (j == 0) 1 else math.max(e, edges(j - 1) + 1)
+      j += 1
+    }
+    val bandMean = new Array[Double](65)
+    var b = 0
+    while (b < 65) {
+      val lo = math.min(edges(b), half)
+      val hi = math.min(edges(b + 1), half)
+      var sum = 0.0
+      var i = lo
+      while (i < hi) { sum += spec(i); i += 1 }
+      bandMean(b) = if (hi > lo) sum / (hi - lo) else 0.0
+      b += 1
+    }
+    // Noise gate, RELATIVE so gain invariance survives: bands below
+    // -60 dB of the loudest band are clamped to zero. Without it,
+    // signal-free bands compare codec/quantization noise against
+    // codec/quantization noise and those bits flip on any re-encode
+    // (observed: 5 drifted bits from one 16-bit requantization).
+    var maxBand = 0.0
+    b = 0
+    while (b < 65) { if (bandMean(b) > maxBand) maxBand = bandMean(b); b += 1 }
+    val floor = maxBand * 1e-6
+    b = 0
+    while (b < 65) { if (bandMean(b) < floor) bandMean(b) = 0.0; b += 1 }
+    var out = 0L
+    var i = 0
+    while (i < 64) {
+      if (bandMean(i + 1) > bandMean(i)) out |= (1L << i)
+      i += 1
+    }
+    out
+  }
+
+  /** Welch power-spectrum estimate: Hann-windowed non-overlapping
+    * [[FftN]]-sample frames (at most [[MaxFrames]], evenly spread
+    * across the recording so a long file's tail still contributes),
+    * per-bin power averaged across frames. Inputs shorter than one
+    * frame are zero-padded.
+    */
+  private def welchPowerSpectrum(samples: Array[Double]): Array[Double] = {
+    val half = FftN / 2
+    val nFrames = math.max(1, math.min(MaxFrames, samples.length / FftN))
+    val hann = new Array[Double](FftN)
+    var i = 0
+    while (i < FftN) {
+      hann(i) = 0.5 * (1.0 - math.cos(2.0 * math.Pi * i / (FftN - 1)))
+      i += 1
+    }
+    val acc = new Array[Double](half)
+    val re = new Array[Double](FftN)
+    val im = new Array[Double](FftN)
+    var f = 0
+    while (f < nFrames) {
+      // Evenly spread frame starts (integer arithmetic, no overlap
+      // when the file is long enough for nFrames disjoint frames).
+      val start =
+        if (nFrames == 1) 0L
+        else math.max(0L, (samples.length.toLong - FftN) * f / (nFrames - 1))
+      i = 0
+      while (i < FftN) {
+        val s = start + i
+        re(i) = if (s < samples.length) samples(s.toInt) * hann(i) else 0.0
+        im(i) = 0.0
+        i += 1
+      }
+      fftInPlace(re, im)
+      i = 0
+      while (i < half) { acc(i) += re(i) * re(i) + im(i) * im(i); i += 1 }
+      f += 1
+    }
+    i = 0
+    while (i < half) { acc(i) /= nFrames; i += 1 }
+    acc
+  }
+
+  /** Iterative radix-2 Cooley–Tukey FFT, in place over parallel
+    * re/im arrays whose length must be a power of two.
+    */
+  private[multimodal] def fftInPlace(re: Array[Double], im: Array[Double]): Unit = {
+    val n = re.length
+    require(n > 0 && (n & (n - 1)) == 0, s"FFT length $n must be a power of two")
+    // bit-reversal permutation
+    var i = 1
+    var j = 0
+    while (i < n) {
+      var bit = n >> 1
+      while ((j & bit) != 0) { j ^= bit; bit >>= 1 }
+      j |= bit
+      if (i < j) {
+        val tr = re(i); re(i) = re(j); re(j) = tr
+        val ti = im(i); im(i) = im(j); im(j) = ti
+      }
+      i += 1
+    }
+    // butterflies
+    var len = 2
+    while (len <= n) {
+      val ang = -2.0 * math.Pi / len
+      val wr = math.cos(ang)
+      val wi = math.sin(ang)
+      var base = 0
+      while (base < n) {
+        var cr = 1.0
+        var ci = 0.0
+        var k = 0
+        while (k < len / 2) {
+          val ar = re(base + k); val ai = im(base + k)
+          val br = re(base + k + len / 2); val bi = im(base + k + len / 2)
+          val tr = br * cr - bi * ci
+          val ti = br * ci + bi * cr
+          re(base + k) = ar + tr
+          im(base + k) = ai + ti
+          re(base + k + len / 2) = ar - tr
+          im(base + k + len / 2) = ai - ti
+          val ncr = cr * wr - ci * wi
+          ci = cr * wi + ci * wr
+          cr = ncr
+          k += 1
+        }
+        base += len
+      }
+      len <<= 1
+    }
   }
 }

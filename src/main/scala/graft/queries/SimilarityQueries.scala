@@ -396,8 +396,68 @@ object SimilarityQueries {
       .orderBy("cell")
   }
 
+  /** q94: cluster-balanced sample census — cap every k-means cell of
+    * the embedding corpus at 10 members chosen in deterministic hash
+    * order ([[graft.similarity.ClusterSampling]]) and report per cell
+    * how many rows existed and how many survived. Rows-only: k-means
+    * geometry is not SQL-expressible; the contract (n_kept =
+    * min(n_total, cap) per cell, totals sum to the finite-vector
+    * corpus, the kept set is identical across reruns and NESTED under
+    * a larger cap) is pinned in RowsOnlyContractSpec.
+    */
+  def q94ClusterBalancedSample(spark: SparkSession, dir: String): DataFrame = {
+    val model = kmeansModel(spark, dir)
+    graft.similarity.ClusterSampling.cellCensus(
+      Sources.embeddings(spark, dir), "embedding", "vec_id", model,
+      perCellCap = 10, seed = 42)
+      .orderBy("cell")
+  }
+
+  /** q96: product-quantized ANN top-k ([[graft.similarity.Pq]]) —
+    * the compressed-vector scale path in its production composition:
+    * train m=8/ksub=16 codebooks on the corpus, encode every
+    * embedding to 8 BYTES, shortlist 100 candidates for the same
+    * top-10 cosine query as q28 by asymmetric distance over the code
+    * table (m lookups per row, TakeOrderedAndProject), then rerank
+    * the shortlist by TRUE cosine against the raw vectors (a bounded
+    * `isin` pushed to the scan — never a full-corpus join).
+    * Rows-only: codebook geometry is not SQL-expressible and the
+    * shortlist is approximate by design; the contract (recall@10
+    * floor vs the exact brute-force anchor, scores = recomputed
+    * exact cosines) is pinned in RowsOnlyContractSpec; PqSpec pins
+    * ADC exactness on a codebook-sized vocabulary.
+    */
+  def q96KnnPq(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Sources.embeddings(spark, dir).filter(col("vec_id") =!= 0L)
+    val q = queryVec(spark, dir, 0L).map(_.toDouble)
+    val model = graft.similarity.Pq.train(emb, "embedding", dim = 64, m = 8, ksub = 16)
+    val enc = graft.similarity.Pq.encode(emb, "embedding", "vec_id", model)
+    graft.similarity.Pq.topKRerank(
+      enc, model, emb, "embedding", "vec_id", q, k = 10, expand = 10)
+      .withColumnRenamed("id", "vec_id")
+  }
+
+  /** q95: spectral audio near-dup pairs — [[graft.multimodal
+    * .AudioFingerprint]] sHash (Welch power spectrum, 65 geometric
+    * bands, band-delta signs) at Hamming <= 3 over the same encoded
+    * WAVs as q87. The spectral hash survives time-domain edits the
+    * energy envelope does not (phase is discarded by frame
+    * averaging). Rows-only: DuckDB cannot decode WAV or run an FFT;
+    * the brute-force recomputation contract is pinned in
+    * RowsOnlyContractSpec / AudioFingerprintSpec.
+    */
+  def q95AudioDupsSpectral(spark: SparkSession, dir: String): DataFrame = {
+    val media = graft.multimodal.Multimodal.syntheticWavs(
+      Sources.documents(spark, dir), "doc_id", "text")
+    graft.multimodal.AudioFingerprint.audioDupPairs(media, maxHamming = 3, which = "shash")
+      .orderBy("id_a", "id_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q83_phash_dups" -> (q83PhashDups _),
+    "q94_cluster_balanced_sample" -> (q94ClusterBalancedSample _),
+    "q95_audio_dups_spectral" -> (q95AudioDupsSpectral _),
+    "q96_knn_pq" -> (q96KnnPq _),
     "q84_kmeans_cells" -> (q84KmeansCells _),
     "q90_phash_clusters" -> (q90PhashClusters _),
     "q91_audio_clusters" -> (q91AudioClusters _),

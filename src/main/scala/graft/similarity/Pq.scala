@@ -1,0 +1,249 @@
+package graft.similarity
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Product quantization — the compressed-vector leg of the ANN stack
+  * (public literature: Jégou, Douze, Schmid, "Product Quantization
+  * for Nearest Neighbor Search", TPAMI 2011). [[Ivf]] shrinks the
+  * CANDIDATE SET (probe a few cells); PQ shrinks the VECTORS: split
+  * each unit-normalized embedding into `m` subvectors, vector-
+  * quantize every subspace against its own `ksub`-entry codebook,
+  * and store one byte per subspace. A 64-dim float vector (256 bytes)
+  * becomes an 8-byte code at m=8 — the difference between a 100 TB
+  * embedding corpus whose scan is I/O-bound and a 3 TB code table
+  * that fits the page cache of a modest cluster.
+  *
+  * Search is asymmetric distance computation (ADC): the query stays
+  * exact; the driver precomputes the `m x ksub` table of
+  * dot(query subvector, sub-centroid) once, and scoring a row is `m`
+  * table lookups + adds — no float-vector arithmetic per row at all.
+  * The scan is embarrassingly parallel (`mapPartitions` over the
+  * code table, the table rides the closure: ~`m x ksub` floats), and
+  * top-k resolves as `TakeOrderedAndProject` (each partition
+  * forwards only its local top-k — no global sort, no full shuffle).
+  *
+  * Training mirrors [[Ivf.train]]'s conventions: a deterministic
+  * driver-side sample (smallest `xxhash64(vec, seed)` rows via
+  * `TakeOrderedAndProject`), unit normalization so ADC dots
+  * approximate cosine, then independent L2 Lloyd's per subspace with
+  * the same RNG-free evenly-spaced init. Degenerate vectors
+  * (null / NaN / zero norm) are excluded everywhere by the same
+  * guard as [[Ivf.index]].
+  */
+object Pq {
+
+  /** `codebooks(s)(c)` = sub-centroid `c` of subspace `s`, each of
+    * length `dim / m`.
+    */
+  final case class Model(dim: Int, m: Int, ksub: Int, codebooks: Array[Array[Array[Float]]]) {
+    require(dim % m == 0, s"dim=$dim must be divisible by m=$m")
+    require(ksub >= 1 && ksub <= 256, s"ksub=$ksub must fit one byte")
+    def dsub: Int = dim / m
+  }
+
+  /** Fit `m` independent sub-quantizers on a deterministic sample.
+    * `ksub <= 256` so a code is one byte per subspace.
+    */
+  def train(
+      df: DataFrame,
+      vecCol: String,
+      dim: Int,
+      m: Int = 8,
+      ksub: Int = 16,
+      iters: Int = 10,
+      sampleSize: Int = 10000,
+      seed: Long = 42L): Model = {
+    require(m >= 1 && dim % m == 0, s"dim=$dim must be divisible by m=$m")
+    require(ksub >= 1 && ksub <= 256, s"ksub=$ksub must fit one byte")
+    val n = Similarity.norm(col(vecCol))
+    val sample = df.select(col(vecCol))
+      .filter(n > 0 && !isnan(n))
+      .orderBy(xxhash64(col(vecCol), lit(seed)).asc)
+      .limit(sampleSize)
+      .collect().map { r =>
+        val v = r.getSeq[Float](0).toArray.map(_.toDouble)
+        val norm = math.sqrt(v.map(x => x * x).sum)
+        v.map(_ / norm)
+      }
+    require(sample.length >= ksub, s"sample ${sample.length} < ksub=$ksub")
+    val dsub = dim / m
+    val codebooks = Array.tabulate(m) { s =>
+      val subs = sample.map(_.slice(s * dsub, (s + 1) * dsub))
+      lloydL2(subs, ksub, iters).map(_.map(_.toFloat))
+    }
+    Model(dim, m, ksub, codebooks)
+  }
+
+  /** Plain L2 Lloyd's on driver-side points: evenly spaced init over
+    * the points sorted by first coordinate (RNG-free, the [[Ivf]]
+    * discipline), empty cells keep their previous centroid.
+    */
+  private def lloydL2(points: Array[Array[Double]], k: Int, iters: Int): Array[Array[Double]] = {
+    import scala.math.Ordering.Implicits.seqOrdering
+    val d = points.head.length
+    var centroids = points.sortBy(_.toSeq).zipWithIndex
+      .collect { case (v, i) if i % math.max(points.length / k, 1) == 0 => v }
+      .take(k)
+    var iter = 0
+    while (iter < iters) {
+      val sums = Array.fill(centroids.length)(new Array[Double](d))
+      val counts = new Array[Int](centroids.length)
+      points.foreach { p =>
+        val c = nearestL2(p, centroids)
+        counts(c) += 1
+        var i = 0
+        while (i < d) { sums(c)(i) += p(i); i += 1 }
+      }
+      centroids = centroids.indices.map { c =>
+        if (counts(c) == 0) centroids(c)
+        else { val o = new Array[Double](d); var i = 0; while (i < d) { o(i) = sums(c)(i) / counts(c); i += 1 }; o }
+      }.toArray
+      iter += 1
+    }
+    centroids
+  }
+
+  private def nearestL2(p: Array[Double], cs: Array[Array[Double]]): Int = {
+    var best = 0
+    var bestD = Double.PositiveInfinity
+    var c = 0
+    while (c < cs.length) {
+      var dist = 0.0
+      var i = 0
+      while (i < p.length) { val t = p(i) - cs(c)(i); dist += t * t; i += 1 }
+      if (dist < bestD) { bestD = dist; best = c }
+      c += 1
+    }
+    best
+  }
+
+  final case class CodeRow(id: Long, code: Array[Byte])
+
+  /** Encode the corpus: `(id, code)` with one byte per subspace —
+    * the table a 100 TB deployment persists (and scans) instead of
+    * the raw vectors. Vectors are unit-normalized before
+    * sub-quantization (ADC dots then approximate cosine); degenerate
+    * rows are dropped by the shared guard.
+    */
+  def encode(df: DataFrame, vecCol: String, idCol: String, model: Model): Dataset[CodeRow] = {
+    import df.sparkSession.implicits._
+    val n = Similarity.norm(col(vecCol))
+    df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+      .filter(n.isNotNull && n > 0 && !isnan(n))
+      .as[(Long, Array[Float])]
+      .mapPartitions { rows =>
+        val dsub = model.dsub
+        rows.map { case (id, vf) =>
+          val v = vf.map(_.toDouble)
+          val norm = math.sqrt(v.map(x => x * x).sum)
+          val code = new Array[Byte](model.m)
+          var s = 0
+          while (s < model.m) {
+            val cb = model.codebooks(s)
+            var best = 0
+            var bestD = Double.PositiveInfinity
+            var c = 0
+            while (c < cb.length) {
+              var dist = 0.0
+              var i = 0
+              while (i < dsub) {
+                val t = v(s * dsub + i) / norm - cb(c)(i)
+                dist += t * t
+                i += 1
+              }
+              if (dist < bestD) { bestD = dist; best = c }
+              c += 1
+            }
+            code(s) = best.toByte
+            s += 1
+          }
+          CodeRow(id, code)
+        }
+      }
+  }
+
+  final case class Scored(id: Long, score: Double)
+
+  /** ADC top-k: approximate cosine neighbors of one query vector
+    * over the encoded corpus. The `m x ksub` lookup table is built
+    * once on the driver; each row costs `m` lookups; the k winners
+    * resolve as `TakeOrderedAndProject`. Output:
+    * `(id, score, rank)`, rank 1..k by approximate cosine desc, ties
+    * to the smaller id (deterministic).
+    */
+  def topK(
+      encoded: Dataset[CodeRow],
+      model: Model,
+      query: Array[Double],
+      k: Int): DataFrame = {
+    import encoded.sparkSession.implicits._
+    require(query.length == model.dim, s"query dim ${query.length} != model dim ${model.dim}")
+    val qn = math.sqrt(query.map(x => x * x).sum)
+    require(qn > 0 && !qn.isNaN, "query vector must have positive finite norm")
+    val dsub = model.dsub
+    // table(s)(c) = dot(normalized query subvector s, sub-centroid c)
+    val table: Array[Array[Double]] = Array.tabulate(model.m) { s =>
+      Array.tabulate(model.ksub) { c =>
+        val cb = model.codebooks(s)
+        if (c >= cb.length) Double.NegativeInfinity
+        else {
+          var d = 0.0
+          var i = 0
+          while (i < dsub) { d += (query(s * dsub + i) / qn) * cb(c)(i); i += 1 }
+          d
+        }
+      }
+    }
+    encoded
+      .mapPartitions { rows =>
+        rows.map { r =>
+          var sc = 0.0
+          var s = 0
+          while (s < table.length) { sc += table(s)(r.code(s) & 0xff); s += 1 }
+          Scored(r.id, sc)
+        }
+      }
+      .toDF("id", "score")
+      .orderBy(col("score").desc, col("id").asc)
+      .limit(k)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("score").desc, col("id").asc)))
+  }
+
+  /** The production search shape: ADC SHORTLIST, exact RERANK. The
+    * code-table scan ([[topK]]) over-fetches `k * expand` candidates
+    * — cheap, it is the same m-lookup scan — then exactly `k *
+    * expand` raw vectors are re-read by an `isin` filter the engine
+    * pushes to the vector table's scan (a bounded id list, never a
+    * join against the full corpus) and reranked by TRUE cosine.
+    * Quantization error then only costs recall when a true neighbor
+    * falls outside the whole shortlist, not when codes merely
+    * reorder the head — recall@k at expand=10 is typically near the
+    * shortlist's ceiling. Output: `(id, cosine, rank)`, rank 1..k by
+    * exact cosine desc, ties to the smaller id.
+    */
+  def topKRerank(
+      encoded: Dataset[CodeRow],
+      model: Model,
+      raw: DataFrame,
+      vecCol: String,
+      idCol: String,
+      query: Array[Double],
+      k: Int,
+      expand: Int = 10): DataFrame = {
+    require(expand >= 1, s"expand=$expand must be >= 1")
+    val shortlist: Array[Long] = topK(encoded, model, query, k * expand)
+      .collect().map(_.getLong(0))
+    val qf = query.map(_.toFloat)
+    raw
+      .filter(col(idCol).isin(shortlist.toIndexedSeq: _*))
+      .withColumn("cosine", Similarity.cosine(col(vecCol), Similarity.vecLit(qf)))
+      .filter(!isnan(col("cosine")))
+      .orderBy(col("cosine").desc, col(idCol).asc)
+      .limit(k)
+      .select(col(idCol).cast("long").as("id"), col("cosine"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("cosine").desc, col("id").asc)))
+  }
+}

@@ -69,7 +69,7 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
-  private def vecLit(v: Array[Float]): Column = array(v.toIndexedSeq.map(x => lit(x)): _*)
+  private[similarity] def vecLit(v: Array[Float]): Column = array(v.toIndexedSeq.map(x => lit(x)): _*)
 
   /** Exact brute-force cosine top-k against a literal query vector.
     * Plans as scan -> project -> TakeOrderedAndProject: each partition

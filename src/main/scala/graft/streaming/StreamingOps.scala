@@ -329,6 +329,49 @@ object StreamingOps {
         })
   }
 
+  final case class MediaTsRow(media_id: Long, bytes: Array[Byte], ts: java.sql.Timestamp)
+  final case class PHashTsRow(media_id: Long, ahash: Long, ts: java.sql.Timestamp)
+
+  /** Streaming image near-dup mining, end to end: map-side
+    * decode + aHash over an unbounded `(media_id, bytes, ts)` stream
+    * feeding [[hammingPairsStreamTtl]] — a near-duplicate of any
+    * image seen within the TTL horizon surfaces the micro-batch it
+    * arrives. The payload bytes never enter state and never shuffle:
+    * they are consumed map-side by the decoder and only the 8-byte
+    * fingerprint reaches the keyed state store, so state is bounded
+    * by one TTL horizon of fingerprints exactly as in the text twin.
+    * Undecodable payloads yield no row (the batch contract,
+    * [[graft.multimodal.PerceptualHash.perceptualHashes]]).
+    *
+    * Parity contract (StreamingOpsSpec): distinct pairs over any
+    * stream prefix equal the batch
+    * [[graft.multimodal.PerceptualHash.phashDupPairs]] set on the
+    * union of those batches, within one TTL horizon.
+    */
+  def phashDupPairsStreamTtl(
+      media: DataFrame,
+      maxHamming: Int = 3,
+      ttlMs: Long = 3600000L,
+      lateness: String = "10 seconds",
+      bands: Int = 4): Dataset[HamPair] = {
+    import media.sparkSession.implicits._
+    val hashed = media
+      .select(col("media_id").cast("long").as("media_id"), col("bytes"), col("ts"))
+      .as[MediaTsRow]
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          if (r.bytes == null || r.bytes.isEmpty) Iterator.empty
+          else {
+            val frames = graft.multimodal.Multimodal.decodeFrames(r.bytes)
+            if (frames.isEmpty) Iterator.empty
+            else Iterator.single(PHashTsRow(
+              r.media_id, graft.multimodal.PerceptualHash.aHash64(frames.head), r.ts))
+          }
+        }
+      }.toDF()
+    hammingPairsStreamTtl(hashed, "media_id", "ahash", "ts", maxHamming, ttlMs, lateness, bands)
+  }
+
   final case class BandedDocT(band: Int, h: Long, id: Long, sig: Seq[Long], ts: java.sql.Timestamp)
   final case class BucketStateT(docs: List[(Long, Seq[Long], Long)])
 

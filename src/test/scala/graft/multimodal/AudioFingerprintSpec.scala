@@ -63,6 +63,74 @@ class AudioFingerprintSpec extends SparkSpec {
     assert(AudioFingerprint.audioHashes(ds).count() == 0)
   }
 
+  // real sinusoids at 8 kHz for the spectral tests (the alternating-
+  // sign `tone` fixture is an envelope fixture; sHash needs genuine
+  // frequency content)
+  private def sines(freqs: Seq[(Double, Double)], n: Int = 20480): Array[Short] =
+    Array.tabulate(n) { i =>
+      freqs.map { case (f, a) => a * math.sin(2 * math.Pi * f * i / 8000.0) }.sum.toShort
+    }
+
+  test("FFT: an impulse is spectrally flat; a pure tone peaks at its bin") {
+    val n = 64
+    val re = new Array[Double](n); val im = new Array[Double](n)
+    re(0) = 1.0
+    AudioFingerprint.fftInPlace(re, im)
+    (0 until n).foreach { i =>
+      val mag = math.hypot(re(i), im(i))
+      assert(math.abs(mag - 1.0) < 1e-9, s"impulse bin $i magnitude $mag != 1")
+    }
+    val re2 = Array.tabulate(n)(i => math.cos(2 * math.Pi * 5 * i / n))
+    val im2 = new Array[Double](n)
+    AudioFingerprint.fftInPlace(re2, im2)
+    val mags = (0 until n).map(i => math.hypot(re2(i), im2(i)))
+    assert(math.abs(mags(5) - n / 2.0) < 1e-9, s"tone bin magnitude ${mags(5)} != ${n / 2}")
+    (0 until n).filterNot(i => i == 5 || i == n - 5).foreach { i =>
+      assert(mags(i) < 1e-9, s"leakage at bin $i: ${mags(i)}")
+    }
+  }
+
+  test("sHash is gain-invariant and survives a time shift; different spectra are far") {
+    val base = sines(Seq((440.0, 6000.0), (880.0, 3000.0), (1320.0, 1500.0)))
+    val louder = base.map(s => (s * 1.4).toShort)
+    val shifted = base.drop(163) // ~20 ms cut: phase scrambled, spectrum intact
+    val other = sines(Seq((300.0, 6000.0), (700.0, 3000.0), (2500.0, 1500.0)))
+    // exact invariance on the real-valued signal (band comparisons
+    // scale uniformly under any positive gain) ...
+    val dbl = base.map(_.toDouble)
+    assert(AudioFingerprint.sHash64(dbl) == AudioFingerprint.sHash64(dbl.map(_ * 1.4)),
+      "sHash must be exactly gain-invariant on the real-valued signal")
+    val rows = AudioFingerprint.audioHashes(media(
+      (1L, wav(base)), (2L, wav(louder)), (3L, wav(shifted)), (4L, wav(other))))
+      .collect().sortBy(_.media_id)
+    // ... and Hamming-near through 16-bit re-quantization, whose
+    // truncation noise can flip bits in the signal-free high bands
+    assert(hamming(rows(0).shash, rows(1).shash) <= 3,
+      s"quantized gain change drifted ${hamming(rows(0).shash, rows(1).shash)} sHash bits")
+    assert(hamming(rows(0).shash, rows(2).shash) <= 3,
+      s"time shift drifted ${hamming(rows(0).shash, rows(2).shash)} sHash bits")
+    assert(hamming(rows(0).shash, rows(3).shash) > 10,
+      s"unrelated spectra only ${hamming(rows(0).shash, rows(3).shash)} bits apart")
+  }
+
+  test("audioDupPairs which=shash equals brute force over recomputed spectral hashes") {
+    val fills: Seq[(Long, Array[Short])] = (0 until 8).map { k =>
+      (k.toLong, sines(Seq((200.0 + 150.0 * k, 6000.0), (900.0 + 70.0 * k, 2500.0))))
+    } ++ Seq(
+      (100L, sines(Seq((440.0, 5000.0), (1100.0, 2000.0)))),
+      (101L, sines(Seq((440.0, 5000.0), (1100.0, 2000.0)))))
+    val ds = media(fills.map { case (id, pcm) => (id, wav(pcm)) }: _*)
+    val hashed = AudioFingerprint.audioHashes(ds).collect()
+    val brute = (for {
+      a <- hashed; b <- hashed
+      if a.media_id < b.media_id && hamming(a.shash, b.shash) <= 3
+    } yield (a.media_id, b.media_id)).toSet
+    val joined = AudioFingerprint.audioDupPairs(ds, maxHamming = 3, which = "shash")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute.contains((100L, 101L)), "fixture drifted: planted dup not within Hamming 3")
+    assert(joined == brute, s"banded join diverged\nbrute=$brute\njoined=$joined")
+  }
+
   test("audioDupPairs equals brute-force Hamming over recomputed hashes; planted dup at 0") {
     val fills: Seq[(Long, Int => Int)] = (0 until 10).map { k =>
       (k.toLong, (i: Int) => 1500 + (i / (50 + 13 * k) % (5 + k)) * 1200)

@@ -319,6 +319,23 @@ class PlanContractSpec extends SparkSpec {
     // ORDER BY; the signature-space CC runs as bounded jobs. No
     // video pair and no frame pair is ever materialized.
     "q93_video_clusters" -> 4,
+    // q94: cell assignment is map-side (NearestCell, no join); the
+    // cap window shuffles by cell (partial WindowGroupLimit below
+    // it) and the kept-census aggregate shares that partitioning;
+    // the totals aggregate shuffles once; the k-row kept side then
+    // joins the totals by BROADCAST, + oracle ORDER BY.
+    "q94_cluster_balanced_sample" -> 3,
+    // q95: q87's exact shape (distinct-signature banded Hamming
+    // join) over the spectral hash.
+    "q95_audio_dups_spectral" -> 7,
+    // q96: the AUDITED plan is the rerank leg — a bounded-id isin
+    // filter pushed to the scan, exact cosine, TakeOrderedAndProject
+    // (no shuffle); even the k-row global rank window plans without
+    // an exchange on the already-single-partition limit output. The
+    // ADC shortlist runs as separate bounded jobs at construction
+    // time (code-table scan + TakeOrderedAndProject, also
+    // shuffle-free).
+    "q96_knn_pq" -> 0,
     // q89: vocabTokenCounts' distinct-word exchange + the per-doc
     // prefix-sum window / chunk aggregate exchange (shared
     // partitioning) + oracle ORDER BY. The vocab table joins back by

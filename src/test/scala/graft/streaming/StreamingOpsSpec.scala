@@ -392,6 +392,49 @@ class StreamingOpsSpec extends SparkSpec {
     assert(pairs == Set((2L, 3L, 2)), s"expected only the in-horizon pair, got $pairs")
   }
 
+  test("streaming phash dedup (decode map-side) equals batch phashDupPairs within the horizon") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import sqlImplicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def png(fill: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(32, 32, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 32; x <- 0 until 32) {
+        val v = fill(x, y) & 0xff
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val base = png((x, y) => (x * 7 + y * 13) % 256)
+    val retouch = png((x, y) => if (x < 2 && y < 2) 255 else (x * 7 + y * 13) % 256)
+    val other = png((x, y) => ((x / 8) * 97 + (y / 8) * 31) % 256)
+    val broken = Array[Byte](1, 2, 3)
+    val batches = Seq(
+      Seq((1L, base, ts("2024-01-01 10:00:00")), (4L, other, ts("2024-01-01 10:00:01"))),
+      Seq((2L, base, ts("2024-01-01 10:05:00")), (9L, broken, ts("2024-01-01 10:05:01"))),
+      Seq((3L, retouch, ts("2024-01-01 10:10:00"))))
+    val input = MemoryStream[(Long, Array[Byte], java.sql.Timestamp)]
+    val stream = StreamingOps.phashDupPairsStreamTtl(
+      input.toDF().toDF("media_id", "bytes", "ts"), maxHamming = 3, ttlMs = 3600000L)
+    val q = stream.toDF().writeStream.outputMode("append").format("memory").queryName("phstream").start()
+    batches.foreach { b => input.addData(b); q.processAllAvailable() }
+    q.stop()
+    val got = spark.table("phstream").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet // distinct folds multi-band emits
+    val allMedia = batches.flatten.map { case (id, b, _) =>
+      graft.multimodal.Multimodal.MediaRow(id, "image", b, Map.empty[String, String])
+    }.toDS()
+    val want = graft.multimodal.PerceptualHash.phashDupPairs(allMedia, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Number]("hamming").intValue)).toSet
+    assert(got == want, s"stream=$got batch=$want")
+    assert(want.contains((1L, 2L, 0)), "exact copy must pair at Hamming 0 across micro-batches")
+    assert(want.exists { case (a, b, _) => (a, b) == ((1L, 3L)) || (a, b) == ((2L, 3L)) },
+      "retouch must pair with the base family")
+    assert(!want.exists { case (a, b, _) => a == 9L || b == 9L }, "undecodable payload never pairs")
+  }
+
   test("streaming line scrub equals batch dedupLines(keepFirst=false) against the same snapshot") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import sqlImplicits._
