@@ -691,6 +691,16 @@ object ScaleBench {
     val outPath = args.lift(1).getOrElse("BENCH_scale.json")
     val scales = args.lift(2).getOrElse("1,3,10").split(",").map(_.trim.toInt).toSeq
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
+    // Selective re-sweep: SPARK_GRAFT_SCALE_ONLY=name1,name2 runs just
+    // those entries and MERGES their rows into an existing outPath
+    // (per-scale queries and their alpha entries are replaced; every
+    // other entry's prior measurement is preserved). A full 4-scale
+    // sweep is ~40 min, almost all of it re-measuring entries that did
+    // not change; this keeps the artifact append-refreshable.
+    val only: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_SCALE_ONLY")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+        .filter(_.nonEmpty)
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -713,7 +723,9 @@ object ScaleBench {
         graft.sources.Sources.embeddings(spark, dir).limit(256),
         "embedding", "vec_id", threshold = 0.5, dim = 64).count()
       catch { case NonFatal(_) => () }
-      val times = block(spark, dir, x, nEmb, (n, j) => extras((x, n)) = j).map { case (name, thunk) =>
+      val entries = block(spark, dir, x, nEmb, (n, j) => extras((x, n)) = j)
+        .filter { case (name, _) => only.forall(_.contains(name)) }
+      val times = entries.map { case (name, thunk) =>
         var rowsOut = -1L
         var err: Option[String] = None
         val ts = (0 until math.max(1, runs)).map { _ =>
@@ -773,9 +785,56 @@ object ScaleBench {
         s""""alpha_note":"alpha=log(t_x${hi._1}/t_x${lo._1})/log(${hi._1}/${lo._1}); 1=linear, 2=quadratic"}"""
     println(line)
     try {
-      java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
-        line.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val path = java.nio.file.Paths.get(outPath)
+      val out =
+        if (only.isDefined && java.nio.file.Files.exists(path))
+          mergeSweeps(
+            new String(java.nio.file.Files.readAllBytes(path),
+              java.nio.charset.StandardCharsets.UTF_8), line)
+        else line
+      java.nio.file.Files.write(path,
+        out.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch { case NonFatal(_) => () }
     spark.stop()
+  }
+
+  /** Merge a selective sweep (`fresh`) into a prior full sweep
+    * (`prior`): per matching `scale_x`, the fresh entries replace (or
+    * add to) that scale's `queries` object; fresh `alpha` entries
+    * replace (or add to) the alpha object; every other prior
+    * measurement is untouched. Scales present only in the fresh sweep
+    * are appended. Falls back to the fresh line whole if the prior
+    * artifact does not parse.
+    */
+  private[graft] def mergeSweeps(prior: String, fresh: String): String = {
+    import com.fasterxml.jackson.databind.ObjectMapper
+    import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+    val m = new ObjectMapper()
+    try {
+      val oldRoot = m.readTree(prior).asInstanceOf[ObjectNode]
+      val newRoot = m.readTree(fresh).asInstanceOf[ObjectNode]
+      val oldScales = oldRoot.get("scales").asInstanceOf[ArrayNode]
+      val newScales = newRoot.get("scales").asInstanceOf[ArrayNode]
+      (0 until newScales.size()).foreach { i =>
+        val ns = newScales.get(i).asInstanceOf[ObjectNode]
+        val x = ns.get("scale_x").asLong()
+        val hit = (0 until oldScales.size())
+          .map(oldScales.get(_).asInstanceOf[ObjectNode])
+          .find(_.get("scale_x").asLong() == x)
+        hit match {
+          case Some(os) =>
+            val oq = os.get("queries").asInstanceOf[ObjectNode]
+            val nq = ns.get("queries").asInstanceOf[ObjectNode]
+            nq.fieldNames().forEachRemaining(f => oq.set(f, nq.get(f)))
+          case None => oldScales.add(ns)
+        }
+      }
+      (oldRoot.get("alpha_log_time_ratio"), newRoot.get("alpha_log_time_ratio")) match {
+        case (oa: ObjectNode, na: ObjectNode) =>
+          na.fieldNames().forEachRemaining(f => oa.set(f, na.get(f)))
+        case _ => ()
+      }
+      m.writeValueAsString(oldRoot)
+    } catch { case NonFatal(_) => fresh }
   }
 }
