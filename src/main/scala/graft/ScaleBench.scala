@@ -625,6 +625,24 @@ object ScaleBench {
             enc, pqm, emb, "embedding", "vec_id", pqQuery, k = 10, expand = 10).count()
         }
       },
+      // IVF-PQ (IVFADC) shortlist + exact rerank (q97's scale twin):
+      // vs pq_topk_rerank the ADC scan reads only nprobe/k of the
+      // code table (the probed-cell isin prunes the rest), so the
+      // at-scale curve should sit BELOW flat PQ's and stay
+      // scan-bound. IVF geometry and residual codebooks are lazy
+      // one-time fits like pqm.
+      "ivfpq_topk_rerank" -> {
+        lazy val ivfm = graft.similarity.Ivf.train(emb, "embedding", k = 8, iters = 5)
+        lazy val pqr = graft.similarity.Pq.trainResidual(emb, "embedding", ivfm, m = 8, ksub = 16)
+        lazy val pqQuery2: Array[Double] = emb.select("embedding").head()
+          .getSeq[Float](0).toArray.map(_.toDouble)
+        () => {
+          val enc = graft.similarity.Pq.encodeIvf(emb, "embedding", "vec_id", ivfm, pqr)
+          graft.similarity.Pq.topKIvfRerank(
+            enc, pqr, ivfm, emb, "embedding", "vec_id", pqQuery2,
+            k = 10, nprobe = 4, expand = 10).count()
+        }
+      },
       // Cluster-balanced sampling: map-side cell assignment + ONE
       // cell-partitioned window whose row_number<=cap plans as a
       // partial WindowGroupLimit — shuffle volume is bounded by

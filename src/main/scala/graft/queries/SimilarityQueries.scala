@@ -437,6 +437,30 @@ object SimilarityQueries {
       .withColumnRenamed("id", "vec_id")
   }
 
+  /** q97: IVF-PQ (IVFADC) top-k ([[graft.similarity.Pq.topKIvfRerank]])
+    * — the full big-corpus ANN composition: the q84 k-means geometry
+    * prunes the SCAN (probe 4 of 8 inverted lists), residual PQ codes
+    * shrink the VECTORS (8 bytes each), the ADC shortlist of 100 is
+    * reranked by TRUE cosine via a bounded `isin`. Same top-10 cosine
+    * query as q28/q96, so the three are directly comparable: exact
+    * brute force, flat PQ, IVF-PQ. Rows-only: codebook and cell
+    * geometry are not SQL-expressible and the probe is approximate by
+    * design; the contract (recall@10 floor vs the exact anchor,
+    * scores = recomputed exact cosines) is pinned in
+    * RowsOnlyContractSpec; PqSpec pins ADC-with-residual exactness
+    * and cell-assignment parity with [[graft.similarity.Ivf.cellOf]].
+    */
+  def q97KnnIvfPq(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Sources.embeddings(spark, dir).filter(col("vec_id") =!= 0L)
+    val q = queryVec(spark, dir, 0L).map(_.toDouble)
+    val ivf = kmeansModel(spark, dir)
+    val pq = graft.similarity.Pq.trainResidual(emb, "embedding", ivf, m = 8, ksub = 16)
+    val enc = graft.similarity.Pq.encodeIvf(emb, "embedding", "vec_id", ivf, pq)
+    graft.similarity.Pq.topKIvfRerank(
+      enc, pq, ivf, emb, "embedding", "vec_id", q, k = 10, nprobe = 4, expand = 10)
+      .withColumnRenamed("id", "vec_id")
+  }
+
   /** q95: spectral audio near-dup pairs — [[graft.multimodal
     * .AudioFingerprint]] sHash (Welch power spectrum, 65 geometric
     * bands, band-delta signs) at Hamming <= 3 over the same encoded
@@ -458,6 +482,7 @@ object SimilarityQueries {
     "q94_cluster_balanced_sample" -> (q94ClusterBalancedSample _),
     "q95_audio_dups_spectral" -> (q95AudioDupsSpectral _),
     "q96_knn_pq" -> (q96KnnPq _),
+    "q97_knn_ivfpq" -> (q97KnnIvfPq _),
     "q84_kmeans_cells" -> (q84KmeansCells _),
     "q90_phash_clusters" -> (q90PhashClusters _),
     "q91_audio_clusters" -> (q91AudioClusters _),

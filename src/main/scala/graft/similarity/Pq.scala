@@ -120,6 +120,215 @@ object Pq {
 
   final case class CodeRow(id: Long, code: Array[Byte])
 
+  /** `(id, cell, code)` — the IVF-PQ index row: which inverted list
+    * the vector lives in, and the one-byte-per-subspace code of its
+    * RESIDUAL against that cell's centroid.
+    */
+  final case class IvfCodeRow(id: Long, cell: Int, code: Array[Byte])
+
+  /** Argmax dot(v, centroid), ties to the smallest index — the
+    * driver-side twin of [[NearestCell]]'s assignment rule, so
+    * training, encoding, and the column expression can never drift.
+    */
+  private def nearestCellDot(v: Array[Double], cents: Array[Array[Float]]): Int = {
+    var best = 0
+    var bestDot = Double.NegativeInfinity
+    var c = 0
+    while (c < cents.length) {
+      var d = 0.0
+      var i = 0
+      while (i < v.length) { d += v(i) * cents(c)(i); i += 1 }
+      if (d > bestDot) { bestDot = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** Fit PQ codebooks on RESIDUALS — the IVFADC composition (Jégou,
+    * Douze, Schmid 2011 §IV): each sampled unit vector is assigned to
+    * its nearest IVF centroid and the codebooks quantize
+    * `unit − centroid` pooled across cells. Residuals are far more
+    * concentrated than raw vectors (the centroid already explains the
+    * cell's direction), so the same `m x ksub` budget spends its
+    * precision on the part of the vector the cell does NOT explain —
+    * the reason IVF-PQ recalls better than flat PQ at equal bytes.
+    * Same deterministic sampling and RNG-free Lloyd's as [[train]].
+    */
+  def trainResidual(
+      df: DataFrame,
+      vecCol: String,
+      ivf: Ivf.Model,
+      m: Int = 8,
+      ksub: Int = 16,
+      iters: Int = 10,
+      sampleSize: Int = 10000,
+      seed: Long = 42L): Model = {
+    val dim = ivf.centroids.head.length
+    require(m >= 1 && dim % m == 0, s"dim=$dim must be divisible by m=$m")
+    require(ksub >= 1 && ksub <= 256, s"ksub=$ksub must fit one byte")
+    val n = Similarity.norm(col(vecCol))
+    val sample = df.select(col(vecCol))
+      .filter(n > 0 && !isnan(n))
+      .orderBy(xxhash64(col(vecCol), lit(seed)).asc)
+      .limit(sampleSize)
+      .collect().map { r =>
+        val v = r.getSeq[Float](0).toArray.map(_.toDouble)
+        val norm = math.sqrt(v.map(x => x * x).sum)
+        v.map(_ / norm)
+      }
+    require(sample.length >= ksub, s"sample ${sample.length} < ksub=$ksub")
+    val residuals = sample.map { u =>
+      val cell = nearestCellDot(u, ivf.centroids)
+      val cent = ivf.centroids(cell)
+      Array.tabulate(dim)(i => u(i) - cent(i))
+    }
+    val dsub = dim / m
+    val codebooks = Array.tabulate(m) { s =>
+      val subs = residuals.map(_.slice(s * dsub, (s + 1) * dsub))
+      lloydL2(subs, ksub, iters).map(_.map(_.toFloat))
+    }
+    Model(dim, m, ksub, codebooks)
+  }
+
+  /** Build the IVF-PQ index: `(id, cell, code)` with one byte per
+    * subspace coding the residual against the row's cell centroid.
+    * At scale this is THE persisted artifact — written bucketed (or
+    * partitioned) by `cell`, a probe reads only its `nprobe` inverted
+    * lists and each row it touches is `m` bytes, not `4*dim`.
+    * Degenerate rows are dropped by the shared norm guard.
+    */
+  def encodeIvf(
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      ivf: Ivf.Model,
+      pq: Model): Dataset[IvfCodeRow] = {
+    import df.sparkSession.implicits._
+    require(pq.dim == ivf.centroids.head.length,
+      s"pq dim ${pq.dim} != ivf dim ${ivf.centroids.head.length}")
+    val n = Similarity.norm(col(vecCol))
+    df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+      .filter(n.isNotNull && n > 0 && !isnan(n))
+      .as[(Long, Array[Float])]
+      .mapPartitions { rows =>
+        val dsub = pq.dsub
+        rows.map { case (id, vf) =>
+          val v = vf.map(_.toDouble)
+          val norm = math.sqrt(v.map(x => x * x).sum)
+          val u = v.map(_ / norm)
+          val cell = nearestCellDot(u, ivf.centroids)
+          val cent = ivf.centroids(cell)
+          val code = new Array[Byte](pq.m)
+          var s = 0
+          while (s < pq.m) {
+            val cb = pq.codebooks(s)
+            var best = 0
+            var bestD = Double.PositiveInfinity
+            var c = 0
+            while (c < cb.length) {
+              var dist = 0.0
+              var i = 0
+              while (i < dsub) {
+                val t = (u(s * dsub + i) - cent(s * dsub + i)) - cb(c)(i)
+                dist += t * t
+                i += 1
+              }
+              if (dist < bestD) { bestD = dist; best = c }
+              c += 1
+            }
+            code(s) = best.toByte
+            s += 1
+          }
+          IvfCodeRow(id, cell, code)
+        }
+      }
+  }
+
+  /** IVFADC top-k: probe the query's `nprobe` nearest cells only.
+    * Approximate cosine of a row in cell `c` decomposes as
+    * `dot(q, centroid_c) + sum_s table(s)(code_s)` — one per-cell
+    * constant plus `m` lookups in the residual ADC table, both built
+    * once on the driver. The `cell isin probed` filter is a plain
+    * pushable predicate: against a cell-bucketed/partitioned index it
+    * prunes (k - nprobe)/k of the SCAN, which is where the at-scale
+    * win lives (the flat [[topK]] must still read every code).
+    * Output: `(id, score, rank)`, ties to the smaller id.
+    */
+  def topKIvf(
+      encoded: Dataset[IvfCodeRow],
+      pq: Model,
+      ivf: Ivf.Model,
+      query: Array[Double],
+      k: Int,
+      nprobe: Int = 2): DataFrame = {
+    import encoded.sparkSession.implicits._
+    require(query.length == pq.dim, s"query dim ${query.length} != model dim ${pq.dim}")
+    val qn = math.sqrt(query.map(x => x * x).sum)
+    require(qn > 0 && !qn.isNaN, "query vector must have positive finite norm")
+    val qu = query.map(_ / qn)
+    val dsub = pq.dsub
+    val cellConst: Array[Double] = ivf.centroids.map { cent =>
+      var d = 0.0
+      var i = 0
+      while (i < qu.length) { d += qu(i) * cent(i); i += 1 }
+      d
+    }
+    val probed: Array[Int] = cellConst.indices
+      .sortBy(c => (-cellConst(c), c))
+      .take(math.min(nprobe, ivf.k))
+      .toArray
+    val table: Array[Array[Double]] = Array.tabulate(pq.m) { s =>
+      Array.tabulate(pq.ksub) { c =>
+        val cb = pq.codebooks(s)
+        if (c >= cb.length) Double.NegativeInfinity
+        else {
+          var d = 0.0
+          var i = 0
+          while (i < dsub) { d += qu(s * dsub + i) * cb(c)(i); i += 1 }
+          d
+        }
+      }
+    }
+    encoded
+      .filter(col("cell").isin(probed.map(Integer.valueOf).toIndexedSeq: _*))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          var sc = cellConst(r.cell)
+          var s = 0
+          while (s < table.length) { sc += table(s)(r.code(s) & 0xff); s += 1 }
+          Scored(r.id, sc)
+        }
+      }
+      .toDF("id", "score")
+      .orderBy(col("score").desc, col("id").asc)
+      .limit(k)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("score").desc, col("id").asc)))
+  }
+
+  /** IVFADC shortlist, exact rerank — [[topKRerank]]'s composition
+    * with the probed scan: only `nprobe/k` of the code table is read
+    * for the shortlist, then `k * expand` raw vectors are re-read by
+    * a bounded `isin` and reranked by TRUE cosine. The production
+    * big-corpus search shape. Output: `(id, cosine, rank)`.
+    */
+  def topKIvfRerank(
+      encoded: Dataset[IvfCodeRow],
+      pq: Model,
+      ivf: Ivf.Model,
+      raw: DataFrame,
+      vecCol: String,
+      idCol: String,
+      query: Array[Double],
+      k: Int,
+      nprobe: Int = 2,
+      expand: Int = 10): DataFrame = {
+    require(expand >= 1, s"expand=$expand must be >= 1")
+    val shortlist: Array[Long] = topKIvf(encoded, pq, ivf, query, k * expand, nprobe)
+      .collect().map(_.getLong(0))
+    rerankExact(raw, vecCol, idCol, query, k, shortlist)
+  }
+
   /** Encode the corpus: `(id, code)` with one byte per subspace —
     * the table a 100 TB deployment persists (and scans) instead of
     * the raw vectors. Vectors are unit-normalized before
@@ -235,6 +444,20 @@ object Pq {
     require(expand >= 1, s"expand=$expand must be >= 1")
     val shortlist: Array[Long] = topK(encoded, model, query, k * expand)
       .collect().map(_.getLong(0))
+    rerankExact(raw, vecCol, idCol, query, k, shortlist)
+  }
+
+  /** Exact-cosine rerank of a bounded shortlist: the id list rides an
+    * `isin` the engine pushes to the vector table's scan — never a
+    * join against the full corpus.
+    */
+  private def rerankExact(
+      raw: DataFrame,
+      vecCol: String,
+      idCol: String,
+      query: Array[Double],
+      k: Int,
+      shortlist: Array[Long]): DataFrame = {
     val qf = query.map(_.toFloat)
     raw
       .filter(col(idCol).isin(shortlist.toIndexedSeq: _*))

@@ -336,6 +336,11 @@ class PlanContractSpec extends SparkSpec {
     // time (code-table scan + TakeOrderedAndProject, also
     // shuffle-free).
     "q96_knn_pq" -> 0,
+    // q97: same audited shape as q96 — the rerank leg is a bounded-id
+    // isin filter + exact cosine + TakeOrderedAndProject, no exchange.
+    // The IVFADC shortlist runs as bounded jobs at construction time,
+    // its scan pruned to the probed cells by a pushable isin filter.
+    "q97_knn_ivfpq" -> 0,
     // q89: vocabTokenCounts' distinct-word exchange + the per-doc
     // prefix-sum window / chunk aggregate exchange (shared
     // partitioning) + oracle ORDER BY. The vocab table joins back by

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 /** Quantified contracts for the rows-only queries
   * (q25/q27/q29/q30/q35/q37/q76/q83/q84/q87/q88/q90/q91/q92/q93/
-  * q94/q95/q96):
+  * q94/q95/q96/q97):
   * these cannot
   * hash-match a DuckDB oracle
   * (hash-valued or approximate by design), so each one's CLAIM is
@@ -536,6 +536,47 @@ class RowsOnlyContractSpec extends SparkSpec {
     assert(recall >= 0.7, s"PQ-rerank recall@10 $recall below floor 0.7 (got=${out.map(_._1).toSeq})")
     // the reported scores must be TRUE cosines of the returned rows
     // (quantization may only affect WHICH rows survive, not scores)
+    val byId = exactRows.toMap
+    out.foreach { case (id, score, _) =>
+      assert(math.abs(score - byId(id)) < 1e-6, s"id=$id score $score != exact cosine ${byId(id)}")
+    }
+  }
+
+  test("q97 contract: IVF-PQ rerank recall@10 floor vs exact brute force; scores are true cosines") {
+    val out = SparkEntry.queries("q97_knn_ivfpq")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2)))
+    assert(out.length == 10 && out.map(_._3).toSeq == (1 to 10))
+    val emb = Sources.embeddings(spark, dir)
+    val q = emb.filter(col("vec_id") === 0L).select("embedding")
+      .head().getSeq[Float](0).toArray.map(_.toDouble)
+    val exactRows = emb.filter(col("vec_id") =!= 0L)
+      .select(col("vec_id"), col("embedding")).collect().flatMap { r =>
+        val v = r.getSeq[Float](1).map(_.toDouble)
+        val nv = math.sqrt(v.map(x => x * x).sum)
+        val nq = math.sqrt(q.map(x => x * x).sum)
+        if (nv > 0 && !nv.isNaN) {
+          val c = v.zip(q).map { case (a, b) => a * b }.sum / (nv * nq)
+          if (c.isNaN) None else Some(r.getLong(0) -> c)
+        } else None
+      }
+    val exactTop = exactRows.sortBy { case (id, c) => (-c, id) }.take(10)
+    val recall = out.map(_._1).count(exactTop.map(_._1).toSet.contains) / 10.0
+    // two approximations stack: nprobe=4 of 8 cells can hide a true
+    // neighbor in an unprobed list, and the residual-ADC shortlist of
+    // 100 can miss within a probed one. On this fixture (near-
+    // orthogonal noise — PQ's hardest regime) the info line below
+    // records the measurement; floored with slack against fixture
+    // regeneration.
+    // Measured 0.6 on this fixture — almost exactly the nprobe/k=0.5
+    // scan coverage, which is the THEORETICAL expectation when
+    // neighbors scatter uniformly over cells (orthogonal noise gives
+    // IVF nothing to adapt to; on clustered corpora the probed cells
+    // concentrate the true neighbors and recall rises toward the
+    // shortlist ceiling). Floor 0.5 = the coverage bound.
+    info(s"measured IVF-PQ rerank recall@10 = $recall")
+    assert(recall >= 0.5, s"IVF-PQ rerank recall@10 $recall below floor 0.5 (got=${out.map(_._1).toSeq})")
+    // reported scores must be TRUE cosines (quantization affects
+    // WHICH rows survive, never the reported score)
     val byId = exactRows.toMap
     out.foreach { case (id, score, _) =>
       assert(math.abs(score - byId(id)) < 1e-6, s"id=$id score $score != exact cosine ${byId(id)}")

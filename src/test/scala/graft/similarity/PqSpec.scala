@@ -82,6 +82,80 @@ class PqSpec extends SparkSpec {
     }
   }
 
+  test("encodeIvf assigns the same cell as Ivf.cellOf — train/encode/expression parity") {
+    val m = 4
+    val df = corpus(64, m)
+    val ivf = Ivf.train(df, "embedding", k = 4, iters = 5, sampleSize = 64)
+    val pq = Pq.trainResidual(df, "embedding", ivf, m = m, ksub = 4, iters = 5, sampleSize = 64)
+    val got = Pq.encodeIvf(df, "embedding", "vec_id", ivf, pq)
+      .collect().map(r => r.id -> r.cell).toMap
+    val want = Ivf.index(df, "embedding", "vec_id", ivf)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(got == want)
+  }
+
+  test("topKIvf scores are exactly dot(q_unit, centroid + decoded residual); nprobe=k equals full ADC") {
+    val m = 4
+    val df = corpus(64, m)
+    val ivf = Ivf.train(df, "embedding", k = 4, iters = 5, sampleSize = 64)
+    val pq = Pq.trainResidual(df, "embedding", ivf, m = m, ksub = 4, iters = 5, sampleSize = 64)
+    val enc = Pq.encodeIvf(df, "embedding", "vec_id", ivf, pq)
+    val q = Array(1.0, 0.2, 0.9, -0.1, 0.3, 1.0, -0.7, 0.4)
+    val qn = math.sqrt(q.map(x => x * x).sum)
+    val qu = q.map(_ / qn)
+    // driver-side full-ADC anchor over every encoded row
+    val dsub = pq.dsub
+    val adc = enc.collect().map { r =>
+      val cent = ivf.centroids(r.cell)
+      var sc = qu.zip(cent).map { case (a, b) => a * b }.sum
+      (0 until pq.m).foreach { s =>
+        val cw = pq.codebooks(s)(r.code(s) & 0xff)
+        (0 until dsub).foreach(i => sc += qu(s * dsub + i) * cw(i))
+      }
+      (r.id, sc)
+    }
+    val wantTop = adc.sortBy { case (id, sc) => (-sc, id) }.take(10).toSeq
+    val got = Pq.topKIvf(enc, pq, ivf, q, k = 10, nprobe = ivf.k)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got.map(_._1) == wantTop.map(_._1), s"got=${got.map(_._1)} want=${wantTop.map(_._1)}")
+    got.zip(wantTop).foreach { case ((_, g), (_, w)) =>
+      assert(math.abs(g - w) < 1e-9, s"score $g != driver ADC $w")
+    }
+  }
+
+  test("nprobe=1 returns only rows of the query's nearest cell; rerank scores are true cosines") {
+    val m = 4
+    val df = corpus(64, m)
+    val ivf = Ivf.train(df, "embedding", k = 4, iters = 5, sampleSize = 64)
+    val pq = Pq.trainResidual(df, "embedding", ivf, m = m, ksub = 4, iters = 5, sampleSize = 64)
+    val enc = Pq.encodeIvf(df, "embedding", "vec_id", ivf, pq)
+    val q = Array(1.0, 0.2, 0.9, -0.1, 0.3, 1.0, -0.7, 0.4)
+    val qn = math.sqrt(q.map(x => x * x).sum)
+    val qu = q.map(_ / qn)
+    val nearest = ivf.centroids.indices.maxBy { c =>
+      // strict argmax with ties to the smaller index, as in assignment
+      val d = qu.zip(ivf.centroids(c)).map { case (a, b) => a * b }.sum
+      (d, -c)
+    }
+    val cellOf = enc.collect().map(r => r.id -> r.cell).toMap
+    val got1 = Pq.topKIvf(enc, pq, ivf, q, k = 10, nprobe = 1)
+      .collect().map(_.getLong(0))
+    assert(got1.nonEmpty && got1.forall(cellOf(_) == nearest))
+    // rerank: cosine column equals the exact recomputation per id
+    val rer = Pq.topKIvfRerank(enc, pq, ivf, df, "embedding", "vec_id", q,
+      k = 5, nprobe = ivf.k, expand = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2)))
+    assert(rer.map(_._3).toSeq == (1 to rer.length))
+    val byId = df.collect().map { r =>
+      val v = r.getSeq[Float](1).map(_.toDouble)
+      val nv = math.sqrt(v.map(x => x * x).sum)
+      r.getLong(0) -> v.zip(q).map { case (a, b) => a * b }.sum / (nv * qn)
+    }.toMap
+    rer.foreach { case (id, c, _) =>
+      assert(math.abs(c - byId(id)) < 1e-6, s"id=$id cosine $c != exact ${byId(id)}")
+    }
+  }
+
   test("topK resolves as TakeOrderedAndProject — local top-k per partition, no global sort shuffle") {
     val m = 4
     val df = corpus(64, m)
@@ -90,5 +164,13 @@ class PqSpec extends SparkSpec {
     val plan = Pq.topK(enc, model, Array.fill(2 * m)(0.5), k = 5)
       .queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), s"expected TakeOrderedAndProject:\n$plan")
+    val ivf = Ivf.train(df, "embedding", k = 4, iters = 5, sampleSize = 64)
+    val pq = Pq.trainResidual(df, "embedding", ivf, m = m, ksub = 4, iters = 5, sampleSize = 64)
+    val ivfPlan = Pq.topKIvf(
+      Pq.encodeIvf(df, "embedding", "vec_id", ivf, pq), pq, ivf,
+      Array.fill(2 * m)(0.5), k = 5, nprobe = 2)
+      .queryExecution.executedPlan.toString
+    assert(ivfPlan.contains("TakeOrderedAndProject"), s"expected TakeOrderedAndProject:\n$ivfPlan")
+    assert(ivfPlan.contains("cell"), s"expected the probed-cell filter in the plan:\n$ivfPlan")
   }
 }
