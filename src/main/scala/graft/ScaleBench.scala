@@ -601,6 +601,18 @@ object ScaleBench {
         graft.multimodal.PerceptualHash.phashDupClusters(
           graft.multimodal.Multimodal.syntheticImages(docs, "doc_id", "text"),
           maxHamming = 3).count()),
+      // Incremental (batch vs reference) image dedup: both legs
+      // decode map-side; the cross banded join runs in signature
+      // space, so the cost is two hash scans + collision-bound
+      // candidates + the (intrinsic) cross-pair output. Alpha should
+      // track the decode scans like phash_dedup.
+      "phash_dedup_incremental" -> (() =>
+        graft.multimodal.PerceptualHash.phashDupPairsAgainst(
+          graft.multimodal.Multimodal.syntheticImages(
+            docs.filter(col("doc_id") % 3 === 0), "doc_id", "text"),
+          graft.multimodal.Multimodal.syntheticImages(
+            docs.filter(col("doc_id") % 3 =!= 0), "doc_id", "text"),
+          maxHamming = 3).count()),
       // Full-corpus distributed Lloyd's: 5 rounds x one scan + a
       // k x dim control-plane collect per round — alpha ~ the scan's,
       // nothing driver-side grows with the corpus.

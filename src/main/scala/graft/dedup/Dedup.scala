@@ -520,16 +520,7 @@ object Dedup {
     * [[hammingPairs]] / [[hammingClusters]].
     */
   private def sigHammingEdges(members: DataFrame, maxHamming: Int, bands: Int): DataFrame = {
-    require(bands >= 1 && 64 % bands == 0, s"bands=$bands must divide 64")
-    val width = 64 / bands
-    val mask = if (width == 64) -1L else (1L << width) - 1L
-    val sigs = members.select("sig").distinct()
-    val banded = sigs.select(
-      col("sig"),
-      explode(array((0 until bands).map { b =>
-        struct(lit(b).as("band"), shiftright(col("sig"), b * width).bitwiseAND(lit(mask)).as("h"))
-      }: _*)).as("bk"))
-      .select(col("sig"), col("bk.band"), col("bk.h"))
+    val banded = bandedSigs(members.select("sig"), bands)
     banded.toDF("sig_a", "band", "h")
       .join(banded.toDF("sig_b", "band", "h"), Seq("band", "h"))
       .filter(col("sig_a") < col("sig_b"))
@@ -537,6 +528,93 @@ object Dedup {
       .distinct()
       .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
       .filter(col("hamming") <= maxHamming)
+  }
+
+  /** One `(sig, band, h)` row per equal bit-slice of each DISTINCT
+    * non-null signature — the bucketing half every banded Hamming
+    * join shares, so the self-join and the cross-corpus join can
+    * never slice differently.
+    */
+  private def bandedSigs(sigs: DataFrame, bands: Int): DataFrame = {
+    require(bands >= 1 && 64 % bands == 0, s"bands=$bands must divide 64")
+    val width = 64 / bands
+    val mask = if (width == 64) -1L else (1L << width) - 1L
+    sigs.toDF("sig").where(col("sig").isNotNull).distinct().select(
+      col("sig"),
+      explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"), shiftright(col("sig"), b * width).bitwiseAND(lit(mask)).as("h"))
+      }: _*)).as("bk"))
+      .select(col("sig"), col("bk.band"), col("bk.h"))
+  }
+
+  /** Near-signature edges BETWEEN two signature sets:
+    * `(sig_a from left, sig_b from right, hamming <= maxHamming)`,
+    * equal signatures included (hamming 0). Both sides band over
+    * their DISTINCT signatures, so the candidate join cost is
+    * collision-bound in signature space regardless of how many rows
+    * share a fingerprint on either side.
+    */
+  private def sigHammingEdgesAgainst(
+      leftSigs: DataFrame,
+      rightSigs: DataFrame,
+      maxHamming: Int,
+      bands: Int): DataFrame =
+    bandedSigs(leftSigs, bands).toDF("sig_a", "band", "h")
+      .join(bandedSigs(rightSigs, bands).toDF("sig_b", "band", "h"), Seq("band", "h"))
+      .select("sig_a", "sig_b")
+      .distinct()
+      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+      .filter(col("hamming") <= maxHamming)
+
+  /** [[hammingPairs]] ACROSS two corpora — the INCREMENTAL dedup
+    * primitive: `left` is the new batch, `right` the reference index
+    * already ingested, output `(id_a from left, id_b from right,
+    * hamming)` for every cross pair within `maxHamming`. The id
+    * spaces are independent (id_a = id_b is a legitimate cross match,
+    * not a self pair) and equal signatures match at hamming 0. Same
+    * pigeonhole exactness (`maxHamming < bands`) and same
+    * distinct-signature scale shape as the self-join: a daily crawl
+    * re-checking against a year of history pays banding on TWO
+    * signature vocabularies plus the (intrinsic) output, never
+    * batch x history row pairs. Multi-sig grain as in
+    * [[hammingPairs]]: one row per connecting sig edge.
+    */
+  def hammingPairsAgainst(
+      left: DataFrame,
+      right: DataFrame,
+      idCol: String,
+      sigCol: String,
+      maxHamming: Int,
+      bands: Int = 4): DataFrame = {
+    val mL = memberTable(left, idCol, sigCol)
+    val mR = memberTable(right, idCol, sigCol)
+    sigHammingEdgesAgainst(mL.select("sig"), mR.select("sig"), maxHamming, bands)
+      .join(mL.toDF("id_a", "sig_a"), "sig_a")
+      .join(mR.toDF("id_b", "sig_b"), "sig_b")
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
+  /** Keep only the rows of `df` whose signature is NOT within
+    * `maxHamming` of ANY reference signature — the linear-output form
+    * of [[hammingPairsAgainst]] for the ingest gate that doesn't need
+    * to know WHICH reference row matched. One banded signature-space
+    * join builds the "seen" signature set; the batch then anti-joins
+    * it (output linear in the batch, no id-grain pair ever exists).
+    * Rows with a NULL signature are KEPT: an unhashable payload
+    * cannot be proven seen, and silently dropping it would lose data
+    * — gate them explicitly upstream if that is the policy.
+    */
+  def dropSeenHamming(
+      df: DataFrame,
+      ref: DataFrame,
+      sigCol: String,
+      maxHamming: Int,
+      bands: Int = 4): DataFrame = {
+    val seen = sigHammingEdgesAgainst(
+      df.select(col(sigCol)), ref.select(col(sigCol)), maxHamming, bands)
+      .select(col("sig_a").as("__seen_sig"))
+      .distinct()
+    df.join(seen, col(sigCol) === col("__seen_sig"), "left_anti")
   }
 
   /** `(sig, comp)` component labels over the DISTINCT values of

@@ -63,6 +63,47 @@ object PerceptualHash {
     graft.dedup.Dedup.hammingPairs(hashed, "id", "sig", maxHamming)
   }
 
+  /** [[phashDupPairs]] ACROSS two image corpora — incremental image
+    * dedup: `(id_a from batch, id_b from reference, hamming)` for
+    * every cross pair within `maxHamming` (equal hashes match at 0;
+    * the id spaces are independent). The shape a crawl ingest gate
+    * runs daily: new batch vs the already-ingested index, candidate
+    * cost bound in signature space ([[graft.dedup.Dedup
+    * .hammingPairsAgainst]]), decode map-side on both legs.
+    */
+  def phashDupPairsAgainst(
+      batch: Dataset[Multimodal.MediaRow],
+      reference: Dataset[Multimodal.MediaRow],
+      maxHamming: Int = 3,
+      which: String = "ahash"): DataFrame = {
+    require(which == "ahash" || which == "dhash", s"which=$which must be ahash|dhash")
+    def hashed(m: Dataset[Multimodal.MediaRow]) = perceptualHashes(m).toDF()
+      .select(col("media_id").as("id"), col(which).as("sig"))
+    graft.dedup.Dedup.hammingPairsAgainst(
+      hashed(batch), hashed(reference), "id", "sig", maxHamming)
+  }
+
+  /** Keep only the batch images whose perceptual hash is NOT within
+    * `maxHamming` of any reference image — the ingest-gate form of
+    * [[phashDupPairsAgainst]] (output linear in the batch). Returns
+    * `(media_id, <which>)` for the surviving DECODABLE batch rows;
+    * undecodable payloads hash to nothing and are excluded here
+    * (unlike [[graft.dedup.Dedup.dropSeenHamming]]'s null-keep rule —
+    * an image that cannot be decoded has no business passing an
+    * image-dedup gate silently; route it to a quarantine path).
+    */
+  def dropSeenImages(
+      batch: Dataset[Multimodal.MediaRow],
+      reference: Dataset[Multimodal.MediaRow],
+      maxHamming: Int = 3,
+      which: String = "ahash"): DataFrame = {
+    require(which == "ahash" || which == "dhash", s"which=$which must be ahash|dhash")
+    def hashed(m: Dataset[Multimodal.MediaRow]) = perceptualHashes(m).toDF()
+      .select(col("media_id"), col(which))
+    graft.dedup.Dedup.dropSeenHamming(
+      hashed(batch), hashed(reference), which, maxHamming)
+  }
+
   /** Image near-duplicate CLUSTERS: `(media_id, cluster)` for every
     * decodable payload, `cluster` = the smallest media_id in the
     * Hamming-connected component — the linear-output production form

@@ -461,6 +461,28 @@ object SimilarityQueries {
       .withColumnRenamed("id", "vec_id")
   }
 
+  /** q98: INCREMENTAL image dedup — the ingest-gate shape: the corpus
+    * splits into a reference index (doc_id % 3 != 0, "already
+    * ingested") and a new batch (doc_id % 3 == 0), and the batch's
+    * images pair against the reference by perceptual hash at
+    * Hamming <= 3 ([[graft.multimodal.PerceptualHash
+    * .phashDupPairsAgainst]] → [[graft.dedup.Dedup
+    * .hammingPairsAgainst]]). Cross-corpus only — batch-internal
+    * duplicates are q83's job. Rows-only: DuckDB cannot decode PNG;
+    * the brute-force cross-recomputation contract (exact equality,
+    * pigeonhole at maxHamming < bands) is pinned in
+    * RowsOnlyContractSpec / DedupSpec.
+    */
+  def q98PhashIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Sources.documents(spark, dir)
+    val batch = graft.multimodal.Multimodal.syntheticImages(
+      docs.filter(col("doc_id") % 3 === 0), "doc_id", "text")
+    val ref = graft.multimodal.Multimodal.syntheticImages(
+      docs.filter(col("doc_id") % 3 =!= 0), "doc_id", "text")
+    graft.multimodal.PerceptualHash.phashDupPairsAgainst(batch, ref, maxHamming = 3, which = "ahash")
+      .orderBy("id_a", "id_b")
+  }
+
   /** q95: spectral audio near-dup pairs — [[graft.multimodal
     * .AudioFingerprint]] sHash (Welch power spectrum, 65 geometric
     * bands, band-delta signs) at Hamming <= 3 over the same encoded
@@ -483,6 +505,7 @@ object SimilarityQueries {
     "q95_audio_dups_spectral" -> (q95AudioDupsSpectral _),
     "q96_knn_pq" -> (q96KnnPq _),
     "q97_knn_ivfpq" -> (q97KnnIvfPq _),
+    "q98_phash_incremental" -> (q98PhashIncremental _),
     "q84_kmeans_cells" -> (q84KmeansCells _),
     "q90_phash_clusters" -> (q90PhashClusters _),
     "q91_audio_clusters" -> (q91AudioClusters _),

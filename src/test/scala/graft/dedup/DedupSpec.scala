@@ -177,6 +177,41 @@ class DedupSpec extends SparkSpec {
     assert(distClusters == clusters)
   }
 
+  test("hammingPairsAgainst equals brute cross force; dropSeenHamming keeps exactly the unseen (nulls kept)") {
+    import sqlImplicits._
+    val s0 = 0x0123456789abcdefL
+    // batch: an exact ref duplicate (1), a near one (2, hamming 2),
+    // an over-threshold one (3, hamming 5), a novel sig (4), a null
+    // sig (5), and an id COLLIDING with a ref id (6 vs ref 6) at
+    // hamming 1 — cross corpora that is a real match, not a self pair
+    val batch = Seq(
+      (1L, Some(s0)), (2L, Some(s0 ^ 3L)), (3L, Some(s0 ^ 0x1fL)),
+      (4L, Some(~s0)), (5L, None), (6L, Some(0x4444L ^ 1L))
+    ).toDF("id", "sig")
+    val ref = Seq(
+      (10L, Some(s0)), (11L, Some(s0)), (6L, Some(0x4444L)), (12L, Some(0x9999999999999999L))
+    ).toDF("id", "sig")
+    val got = Dedup.hammingPairsAgainst(batch, ref, "id", "sig", maxHamming = 3)
+      .collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) -> r.getAs[Int]("hamming")).toMap
+    val bRaw = Seq((1L, s0), (2L, s0 ^ 3L), (3L, s0 ^ 0x1fL), (4L, ~s0), (6L, 0x4444L ^ 1L))
+    val rRaw = Seq((10L, s0), (11L, s0), (6L, 0x4444L), (12L, 0x9999999999999999L))
+    val brute = (for {
+      (ia, sa) <- bRaw; (ib, sb) <- rRaw
+      if java.lang.Long.bitCount(sa ^ sb) <= 3
+    } yield (ia, ib) -> java.lang.Long.bitCount(sa ^ sb)).toMap
+    assert(got == brute, s"got=$got brute=$brute")
+    // the exact dup pairs BOTH ref copies at hamming 0; the shared id
+    // 6 matches across corpora; 3 and 4 pair with nothing
+    assert(got((1L, 10L)) == 0 && got((1L, 11L)) == 0 && got((6L, 6L)) == 1)
+    assert(!got.keys.exists { case (a, _) => a == 3L || a == 4L })
+    val kept = Dedup.dropSeenHamming(batch, ref, "sig", maxHamming = 3)
+      .collect().map(_.getLong(0)).toSet
+    // seen: 1 (exact), 2 (near), 6 (near) — kept: 3, 4, and the
+    // null-sig row 5 (unhashable is never silently dropped)
+    assert(kept == Set(3L, 4L, 5L), s"kept=$kept")
+  }
+
   test("hammingClusters: an id carrying several sigs bridges their components exactly like the pair path") {
     import sqlImplicits._
     // id 1 holds TWO sigs 64 bits apart, each near another id's sig;

@@ -341,6 +341,12 @@ class PlanContractSpec extends SparkSpec {
     // The IVFADC shortlist runs as bounded jobs at construction time,
     // its scan pruned to the probed cells by a pushable isin filter.
     "q97_knn_ivfpq" -> 0,
+    // q98: cross-corpus banded Hamming join — both sides' distinct
+    // (id,sig) members + distinct sigs band and join in signature
+    // space, the two membership joins map ids back (broadcast at this
+    // scale), + oracle ORDER BY; decode stays map-side on both legs
+    // (8-byte keys shuffle).
+    "q98_phash_incremental" -> 5,
     // q89: vocabTokenCounts' distinct-word exchange + the per-doc
     // prefix-sum window / chunk aggregate exchange (shared
     // partitioning) + oracle ORDER BY. The vocab table joins back by

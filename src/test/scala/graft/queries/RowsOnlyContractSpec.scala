@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 /** Quantified contracts for the rows-only queries
   * (q25/q27/q29/q30/q35/q37/q76/q83/q84/q87/q88/q90/q91/q92/q93/
-  * q94/q95/q96/q97):
+  * q94/q95/q96/q97/q98):
   * these cannot
   * hash-match a DuckDB oracle
   * (hash-valued or approximate by design), so each one's CLAIM is
@@ -540,6 +540,42 @@ class RowsOnlyContractSpec extends SparkSpec {
     out.foreach { case (id, score, _) =>
       assert(math.abs(score - byId(id)) < 1e-6, s"id=$id score $score != exact cosine ${byId(id)}")
     }
+  }
+
+  test("q98 contract: incremental phash pairs equal the brute cross-recomputation; planted dup pairs at 0") {
+    import graft.multimodal.{Multimodal, PerceptualHash}
+    val out = SparkEntry.queries("q98_phash_incremental")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Number](2).intValue))
+    // exact anchor: recompute both sides' hashes with the SAME kernel
+    // and cross-filter driver-side (maxHamming 3 < bands 4 makes the
+    // banded join pigeonhole-exact, so equality must be perfect)
+    val docs = Sources.documents(spark, dir)
+    def hashes(cond: org.apache.spark.sql.Column) = PerceptualHash.perceptualHashes(
+      Multimodal.syntheticImages(docs.filter(cond), "doc_id", "text"))
+      .collect().map(r => (r.media_id, r.ahash))
+    val b = hashes(col("doc_id") % 3 === 0)
+    val r = hashes(col("doc_id") % 3 =!= 0)
+    val brute = (for {
+      (ia, sa) <- b; (ib, sb) <- r
+      if java.lang.Long.bitCount(sa ^ sb) <= 3
+    } yield (ia, ib, java.lang.Long.bitCount(sa ^ sb))).sorted
+    assert(out.toSeq.sorted == brute.toSeq, s"got=${out.length} rows, want=${brute.length}")
+    info(s"organic cross pairs at sf0.01 = ${brute.length}")
+    // planted positive: copy one reference doc into the batch id
+    // space (doc_id % 3 == 0 guaranteed by construction) — the exact
+    // duplicate must cross-pair at Hamming 0
+    val refDoc = docs.filter(col("doc_id") % 3 =!= 0)
+      .select(col("doc_id"), col("text")).orderBy("doc_id").limit(1)
+    val plantedId = 3000000L
+    val plantedBatch = Multimodal.syntheticImages(
+      refDoc.select(lit(plantedId).as("doc_id"), col("text")), "doc_id", "text")
+    val refMedia = Multimodal.syntheticImages(
+      docs.filter(col("doc_id") % 3 =!= 0), "doc_id", "text")
+    val planted = PerceptualHash.phashDupPairsAgainst(plantedBatch, refMedia, maxHamming = 0)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getAs[Number](2).intValue))
+    val refId = refDoc.head().getLong(0)
+    assert(planted.exists(p => p._1 == plantedId && p._2 == refId && p._3 == 0),
+      s"planted duplicate not cross-paired at Hamming 0: ${planted.toSeq}")
   }
 
   test("q97 contract: IVF-PQ rerank recall@10 floor vs exact brute force; scores are true cosines") {
