@@ -613,6 +613,15 @@ object ScaleBench {
           graft.multimodal.Multimodal.syntheticImages(
             docs.filter(col("doc_id") % 3 =!= 0), "doc_id", "text"),
           maxHamming = 3).count()),
+      // Text ingest gate (batch vs reference SimHash anti-join):
+      // output linear in the batch and reference text never shuffles
+      // — cost is the two fingerprint scans + the banded signature
+      // join, so alpha should track the scans.
+      "novel_docs_gate" -> (() =>
+        graft.dedup.Dedup.dropSeenSimhash(
+          docs.filter(col("doc_id") % 3 === 0),
+          docs.filter(col("doc_id") % 3 =!= 0),
+          "text", maxHamming = 3).count()),
       // Full-corpus distributed Lloyd's: 5 rounds x one scan + a
       // k x dim control-plane collect per round — alpha ~ the scan's,
       // nothing driver-side grows with the corpus.

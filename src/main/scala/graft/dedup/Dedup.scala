@@ -434,6 +434,30 @@ object Dedup {
         SimHash64.simhash64(TextAnalysis.tokens(col(textCol))).as("sig")),
       "id", "sig", maxHamming)
 
+  /** [[dropSeenHamming]] at the TEXT level — the incremental ingest
+    * gate for documents: keep only the rows of `df` whose SimHash is
+    * NOT within `maxHamming` of any reference document's. The default
+    * `maxHamming = 3` stays under the 4-band pigeonhole so the gate is
+    * EXACT in fingerprint space (unlike [[simhashPairs]]' default 8,
+    * which trades recall for reach — a gate that silently loses
+    * recall as the reference grows would be a correctness bug, not a
+    * tuning choice). Null/empty texts hash like any text (SimHash of
+    * no tokens); both sides pay one fingerprint scan and the banded
+    * signature join — reference text is never shuffled.
+    */
+  def dropSeenSimhash(
+      df: DataFrame,
+      ref: DataFrame,
+      textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    def sig(c: Column) = SimHash64.simhash64(TextAnalysis.tokens(c))
+    dropSeenHamming(
+      df.withColumn("__sig", sig(col(textCol))),
+      ref.select(sig(col(textCol)).as("__sig")),
+      "__sig", maxHamming)
+      .drop("__sig")
+  }
+
   /** Generic banded Hamming self-join over any 64-bit fingerprint
     * column (SimHash, perceptual image hashes): bucket each signature
     * by `bands` equal bit-slices, candidates share at least one slice
@@ -535,7 +559,7 @@ object Dedup {
     * join shares, so the self-join and the cross-corpus join can
     * never slice differently.
     */
-  private def bandedSigs(sigs: DataFrame, bands: Int): DataFrame = {
+  private[graft] def bandedSigs(sigs: DataFrame, bands: Int): DataFrame = {
     require(bands >= 1 && 64 % bands == 0, s"bands=$bands must divide 64")
     val width = 64 / bands
     val mask = if (width == 64) -1L else (1L << width) - 1L

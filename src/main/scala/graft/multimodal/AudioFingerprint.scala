@@ -76,6 +76,47 @@ object AudioFingerprint {
     graft.dedup.Dedup.hammingPairs(hashed, "id", "sig", maxHamming)
   }
 
+  /** [[audioDupPairs]] ACROSS two audio corpora — incremental audio
+    * dedup, the twin of [[PerceptualHash.phashDupPairsAgainst]]:
+    * `(id_a from batch, id_b from reference, hamming)` for every
+    * cross pair within `maxHamming` (id spaces independent, equal
+    * fingerprints match at 0; decode map-side on both legs).
+    */
+  def audioDupPairsAgainst(
+      batch: Dataset[Multimodal.MediaRow],
+      reference: Dataset[Multimodal.MediaRow],
+      maxHamming: Int = 3,
+      which: String = "ehash"): DataFrame = {
+    require(which == "ehash" || which == "dhash" || which == "shash",
+      s"which=$which must be ehash|dhash|shash")
+    def hashed(m: Dataset[Multimodal.MediaRow]) = audioHashes(m).toDF()
+      .select(org.apache.spark.sql.functions.col("media_id").as("id"),
+        org.apache.spark.sql.functions.col(which).as("sig"))
+    graft.dedup.Dedup.hammingPairsAgainst(
+      hashed(batch), hashed(reference), "id", "sig", maxHamming)
+  }
+
+  /** Keep only the batch payloads whose fingerprint is NOT within
+    * `maxHamming` of any reference payload — the audio ingest gate,
+    * twin of [[PerceptualHash.dropSeenImages]] (and like it, only
+    * DECODABLE batch rows can pass: an undecodable payload has no
+    * fingerprint and is excluded — quarantine it upstream). Output:
+    * `(media_id, <which>)` of the admitted rows.
+    */
+  def dropSeenAudio(
+      batch: Dataset[Multimodal.MediaRow],
+      reference: Dataset[Multimodal.MediaRow],
+      maxHamming: Int = 3,
+      which: String = "ehash"): DataFrame = {
+    require(which == "ehash" || which == "dhash" || which == "shash",
+      s"which=$which must be ehash|dhash|shash")
+    def hashed(m: Dataset[Multimodal.MediaRow]) = audioHashes(m).toDF()
+      .select(org.apache.spark.sql.functions.col("media_id"),
+        org.apache.spark.sql.functions.col(which))
+    graft.dedup.Dedup.dropSeenHamming(
+      hashed(batch), hashed(reference), which, maxHamming)
+  }
+
   /** Audio near-duplicate CLUSTERS: `(media_id, cluster)` for every
     * decodable payload — the linear-output production form of
     * [[audioDupPairs]] (see [[graft.dedup.Dedup.hammingClusters]]:

@@ -243,6 +243,29 @@ object TextQueries {
     Dedup.simhashPairs(Sources.documents(spark, dir), "text", "doc_id")
       .orderBy("id_a", "id_b")
 
+  /** q99: the text INGEST GATE — a new batch of documents
+    * (doc_id % 3 == 0) admitted against the already-ingested
+    * reference corpus (doc_id % 3 != 0) by SimHash at Hamming <= 3
+    * ([[graft.dedup.Dedup.dropSeenSimhash]] → the banded
+    * cross-corpus signature join of [[graft.dedup.Dedup
+    * .dropSeenHamming]]). Output: the surviving batch doc_ids —
+    * LINEAR in the batch; no pair list, and reference text never
+    * shuffles. Rows-only: SimHash is a custom weighted fingerprint
+    * DuckDB cannot reproduce; the contract (kept set equals the
+    * brute-force cross-Hamming recomputation, planted exact
+    * duplicate is gated out) is pinned in RowsOnlyContractSpec /
+    * DedupSpec.
+    */
+  def q99NovelDocsGate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Sources.documents(spark, dir)
+    Dedup.dropSeenSimhash(
+      docs.filter(col("doc_id") % 3 === 0),
+      docs.filter(col("doc_id") % 3 =!= 0),
+      "text", maxHamming = 3)
+      .select("doc_id")
+      .orderBy("doc_id")
+  }
+
   /** The full curation pipeline (annotate -> exact dedup -> near
     * dedup -> quality gate), oracle-checked hash-exact end to end:
     * the DuckDB mirror re-derives every stage from first principles —
@@ -897,6 +920,7 @@ object TextQueries {
     "q25a_langid_tokens" -> (q25aLangIdTokens _),
     "q26_minhash_pairs" -> (q26MinhashPairs _),
     "q27_simhash_pairs" -> (q27SimhashPairs _),
+    "q99_novel_docs_gate" -> (q99NovelDocsGate _),
     "q60_neardup_keep_best" -> (q60NearDupKeepBest _),
     "q61_bm25" -> (q61Bm25 _),
     "q63_normalize" -> (q63Normalize _),

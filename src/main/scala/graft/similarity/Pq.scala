@@ -306,6 +306,29 @@ object Pq {
         org.apache.spark.sql.expressions.Window.orderBy(col("score").desc, col("id").asc)))
   }
 
+  /** Persist the IVF-PQ index PARTITIONED by cell — the at-scale
+    * layout the probe path assumes: each inverted list is its own
+    * parquet directory, so [[topKIvf]]'s `cell isin probed` predicate
+    * becomes a PARTITION filter and a probe at nprobe of k cells
+    * READS nprobe/k of the index (directories never opened), on top
+    * of each touched row being `m` bytes. With k sized so a cell is
+    * a few files, this is the layout a 100 TB corpus serves
+    * interactive ANN from.
+    */
+  def writeIndex(encoded: Dataset[IvfCodeRow], path: String): Unit =
+    encoded.toDF().write.mode("overwrite").partitionBy("cell").parquet(path)
+
+  /** Read back a [[writeIndex]] layout. The partition column comes
+    * back typed by directory inference; it is cast and re-ordered to
+    * the [[IvfCodeRow]] shape so every probe API accepts the result.
+    */
+  def readIndex(spark: org.apache.spark.sql.SparkSession, path: String): Dataset[IvfCodeRow] = {
+    import spark.implicits._
+    spark.read.parquet(path)
+      .select(col("id").cast("long").as("id"), col("cell").cast("int").as("cell"), col("code"))
+      .as[IvfCodeRow]
+  }
+
   /** IVFADC shortlist, exact rerank — [[topKRerank]]'s composition
     * with the probed scan: only `nprobe/k` of the code table is read
     * for the shortlist, then `k * expand` raw vectors are re-read by

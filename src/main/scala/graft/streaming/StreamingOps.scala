@@ -329,6 +329,72 @@ object StreamingOps {
         })
   }
 
+  final case class SeenHit(id: Long, sig: Long, hit: Option[Int])
+  final case class KeptSig(id: Long, sig: Long)
+
+  /** Streaming twin of [[graft.dedup.Dedup.dropSeenHamming]] — the
+    * live ingest gate: each arriving (id, sig) row is admitted iff
+    * its signature is NOT within `maxHamming` of any signature in the
+    * STATIC reference index. The reference is banded once
+    * ([[graft.dedup.Dedup.bandedSigs]] — the same slicing as every
+    * batch join, so gate and batch can never disagree) and the stream
+    * side takes ONE stream-static LEFT join per arriving band slice:
+    * a candidate reference signature rides back on the row, the exact
+    * `bitCount(xor)` verifies it, and a per-id group pass admits the
+    * ids with zero verified hits. ZERO retained state (the group
+    * completes in its own micro-batch — all of an id's band rows
+    * explode from one input row) and the static side broadcasts /
+    * re-plans per micro-batch, so the gate's cost per batch is the
+    * batch's own size, independent of stream history. Persist the
+    * banded reference table — it re-plans every micro-batch.
+    *
+    * Parity (StreamingOpsSpec): kept ids over any stream prefix equal
+    * the batch gate on the union of those batches. Pigeonhole
+    * exactness carries over unchanged (`maxHamming < bands`). Rows
+    * with null id or sig are dropped (typed-Dataset poison pills;
+    * the batch twin KEEPS null sigs — gate them upstream, as its
+    * scaladoc already directs).
+    */
+  def dropSeenHammingStream(
+      hashed: DataFrame,
+      refSigs: DataFrame,
+      idCol: String,
+      sigCol: String,
+      maxHamming: Int = 3,
+      bands: Int = 4): Dataset[KeptSig] = {
+    import hashed.sparkSession.implicits._
+    require(bands >= 1 && 64 % bands == 0, s"bands=$bands must divide 64")
+    requireIntegralId(hashed, idCol)
+    val width = 64 / bands
+    val mask = if (width == 64) -1L else (1L << width) - 1L
+    val bandedRef = graft.dedup.Dedup.bandedSigs(refSigs, bands)
+      .toDF("ref_sig", "band", "h")
+    hashed
+      .select(col(idCol).cast("long").as("id"), col(sigCol).cast("long").as("sig"))
+      .filter(col("sig").isNotNull && col("id").isNotNull)
+      .select(col("id"), col("sig"),
+        explode(array((0 until bands).map { b =>
+          struct(lit(b).as("band"),
+            shiftright(col("sig"), b * width).bitwiseAND(lit(mask)).as("h"))
+        }: _*)).as("bk"))
+      .select(col("id"), col("sig"), col("bk.band").as("band"), col("bk.h").as("h"))
+      .join(bandedRef, Seq("band", "h"), "left")
+      .select(col("id"), col("sig"),
+        when(col("ref_sig").isNotNull &&
+          bit_count(col("sig").bitwiseXOR(col("ref_sig"))) <= maxHamming, lit(1)).as("hit"))
+      .as[SeenHit]
+      .groupByKey(_.id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (id: Long, rows: Iterator[SeenHit], state: GroupState[Long]) => {
+          // state is never set: all of an id's band rows explode from
+          // one input row, so its group completes in its micro-batch
+          var sig = 0L
+          var hits = 0
+          rows.foreach { r => sig = r.sig; if (r.hit.isDefined) hits += 1 }
+          if (hits == 0) Iterator.single(KeptSig(id, sig)) else Iterator.empty
+        })
+  }
+
   final case class MediaTsRow(media_id: Long, bytes: Array[Byte], ts: java.sql.Timestamp)
   final case class PHashTsRow(media_id: Long, ahash: Long, ts: java.sql.Timestamp)
 

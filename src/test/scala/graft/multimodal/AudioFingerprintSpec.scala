@@ -56,6 +56,23 @@ class AudioFingerprintSpec extends SparkSpec {
       s"unrelated envelopes only ${hamming(rows(0).ehash, rows(2).ehash)} bits apart")
   }
 
+  test("incremental wrappers: cross pairs surface the re-ingested clip; the gate admits only the novel one") {
+    val base = tone(i => 2000 + (i / 100 % 8) * 1500)
+    val louder = base.map(s => (s * 1.5).toShort) // gain change: same fingerprint
+    val other = tone(i => 2000 + (i / 37 % 13) * 1100)
+    val batch = media((100L, wav(base)), (101L, wav(louder)), (102L, wav(other)))
+    val ref = media((1L, wav(base)))
+    val pairs = AudioFingerprint.audioDupPairsAgainst(batch, ref, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Number](2).intValue))
+    assert(pairs.exists(p => p._1 == 100L && p._2 == 1L && p._3 == 0), s"pairs=${pairs.toSeq}")
+    assert(pairs.exists(p => p._1 == 101L && p._2 == 1L && p._3 == 0),
+      s"gain-changed copy must cross-pair at 0: ${pairs.toSeq}")
+    assert(!pairs.exists(_._1 == 102L), s"novel clip cross-paired: ${pairs.toSeq}")
+    val kept = AudioFingerprint.dropSeenAudio(batch, ref, maxHamming = 3)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(102L), s"kept=$kept")
+  }
+
   test("undecodable, empty, and null payloads yield no hash row") {
     import sqlImplicits._
     val ds = media((1L, Array[Byte](9, 9, 9)), (2L, Array.emptyByteArray))

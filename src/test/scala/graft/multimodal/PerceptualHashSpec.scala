@@ -55,6 +55,24 @@ class PerceptualHashSpec extends SparkSpec {
     assert(rows(0).dhash == rows(1).dhash, "uniform brightness shift must not change gradient signs")
   }
 
+  test("incremental wrappers: cross pairs match ids across corpora; the gate admits only the novel image") {
+    val fill = (x: Int, y: Int) => (x * 7 + y * 13) % 256
+    val retouch = (x: Int, y: Int) => if (x < 2 && y < 2) 255 else fill(x, y)
+    val other = (x: Int, y: Int) => ((x / 8) * 97 + (y / 8) * 31) % 256
+    // batch: an exact copy of a reference image, a light retouch of
+    // it, and a genuinely new image; reference: the original
+    val batch = media((100L, png(fill)), (101L, png(retouch)), (102L, png(other)))
+    val ref = media((1L, png(fill)))
+    val pairs = PerceptualHash.phashDupPairsAgainst(batch, ref, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Number](2).intValue))
+    assert(pairs.exists(p => p._1 == 100L && p._2 == 1L && p._3 == 0), s"pairs=${pairs.toSeq}")
+    assert(pairs.exists(p => p._1 == 101L && p._2 == 1L && p._3 <= 3), s"pairs=${pairs.toSeq}")
+    assert(!pairs.exists(_._1 == 102L), s"novel image cross-paired: ${pairs.toSeq}")
+    val kept = PerceptualHash.dropSeenImages(batch, ref, maxHamming = 3)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(102L), s"kept=$kept")
+  }
+
   test("undecodable and empty payloads yield no hash row") {
     val ds = media((1L, Array[Byte](1, 2, 3)), (2L, Array.emptyByteArray)).union {
       import sqlImplicits._

@@ -347,6 +347,11 @@ class PlanContractSpec extends SparkSpec {
     // scale), + oracle ORDER BY; decode stays map-side on both legs
     // (8-byte keys shuffle).
     "q98_phash_incremental" -> 5,
+    // q99: the text gate — batch SimHash scan, both sides' distinct
+    // sigs band and join in signature space, the seen set anti-joins
+    // back (broadcast at this scale), + oracle ORDER BY. Reference
+    // text never shuffles.
+    "q99_novel_docs_gate" -> 4,
     // q89: vocabTokenCounts' distinct-word exchange + the per-doc
     // prefix-sum window / chunk aggregate exchange (shared
     // partitioning) + oracle ORDER BY. The vocab table joins back by

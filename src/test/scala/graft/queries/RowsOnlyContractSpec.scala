@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 /** Quantified contracts for the rows-only queries
   * (q25/q27/q29/q30/q35/q37/q76/q83/q84/q87/q88/q90/q91/q92/q93/
-  * q94/q95/q96/q97/q98):
+  * q94/q95/q96/q97/q98/q99):
   * these cannot
   * hash-match a DuckDB oracle
   * (hash-valued or approximate by design), so each one's CLAIM is
@@ -576,6 +576,41 @@ class RowsOnlyContractSpec extends SparkSpec {
     val refId = refDoc.head().getLong(0)
     assert(planted.exists(p => p._1 == plantedId && p._2 == refId && p._3 == 0),
       s"planted duplicate not cross-paired at Hamming 0: ${planted.toSeq}")
+  }
+
+  test("q99 contract: kept docs equal the brute cross-Hamming recomputation; planted duplicate gated out") {
+    import graft.dedup.{Dedup, SimHash64}
+    import graft.text.TextAnalysis
+    val kept = SparkEntry.queries("q99_novel_docs_gate")(spark, dir)
+      .collect().map(_.getLong(0)).toSet
+    // exact anchor: recompute both sides' SimHashes with the SAME
+    // expression and cross-filter driver-side (maxHamming 3 < bands 4
+    // = pigeonhole-exact, so set equality must be perfect)
+    val docs = Sources.documents(spark, dir)
+    def sigs(cond: org.apache.spark.sql.Column) = docs.filter(cond)
+      .select(col("doc_id"),
+        SimHash64.simhash64(TextAnalysis.tokens(col("text"))).as("sig"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val b = sigs(col("doc_id") % 3 === 0)
+    val r = sigs(col("doc_id") % 3 =!= 0)
+    val refSigs = r.map(_._2)
+    val brute = b.collect {
+      case (id, s) if !refSigs.exists(rs => java.lang.Long.bitCount(rs ^ s) <= 3) => id
+    }.toSet
+    assert(kept == brute, s"kept=${kept.size} brute=${brute.size} diff=${kept.diff(brute).take(5)}/${brute.diff(kept).take(5)}")
+    info(s"batch=${b.length}, kept=${kept.size} (${b.length - kept.size} gated as seen at sf0.01)")
+    // planted positive: a byte-identical copy of a reference doc in
+    // the batch id space MUST be gated out (Hamming 0)
+    val refDoc = docs.filter(col("doc_id") % 3 =!= 0)
+      .select(col("doc_id"), col("text")).orderBy("doc_id").limit(1)
+    val plantedId = 3000003L // % 3 == 0 by construction
+    val plantedKept = Dedup.dropSeenSimhash(
+      refDoc.select(lit(plantedId).as("doc_id"), col("text")),
+      docs.filter(col("doc_id") % 3 =!= 0),
+      "text", maxHamming = 3)
+      .collect()
+    assert(plantedKept.isEmpty,
+      s"planted exact duplicate passed the gate: ${plantedKept.toSeq}")
   }
 
   test("q97 contract: IVF-PQ rerank recall@10 floor vs exact brute force; scores are true cosines") {

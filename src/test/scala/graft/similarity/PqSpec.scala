@@ -156,6 +156,30 @@ class PqSpec extends SparkSpec {
     }
   }
 
+  test("writeIndex/readIndex round-trips; a probe over the layout plans a cell PARTITION filter and matches in-memory") {
+    val m = 4
+    val df = corpus(64, m)
+    val ivf = Ivf.train(df, "embedding", k = 4, iters = 5, sampleSize = 64)
+    val pq = Pq.trainResidual(df, "embedding", ivf, m = m, ksub = 4, iters = 5, sampleSize = 64)
+    val enc = Pq.encodeIvf(df, "embedding", "vec_id", ivf, pq)
+    val path = java.nio.file.Files.createTempDirectory("pq_idx_spec").toString + "/idx"
+    Pq.writeIndex(enc, path)
+    val back = Pq.readIndex(spark, path)
+    assert(back.collect().map(r => (r.id, r.cell, r.code.toSeq)).toSet ==
+      enc.collect().map(r => (r.id, r.cell, r.code.toSeq)).toSet)
+    val q = Array(1.0, 0.2, 0.9, -0.1, 0.3, 1.0, -0.7, 0.4)
+    val probe = Pq.topKIvf(back, pq, ivf, q, k = 10, nprobe = 2)
+    // the probed-cell isin must reach the scan as a PARTITION filter
+    // — unprobed inverted lists are directories never opened
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cell"),
+      s"expected a cell partition filter in:\n${plan.take(2000)}")
+    val want = Pq.topKIvf(enc, pq, ivf, q, k = 10, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val got = probe.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == want, s"got=$got want=$want")
+  }
+
   test("topK resolves as TakeOrderedAndProject — local top-k per partition, no global sort shuffle") {
     val m = 4
     val df = corpus(64, m)

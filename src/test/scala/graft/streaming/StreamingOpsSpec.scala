@@ -182,6 +182,34 @@ class StreamingOpsSpec extends SparkSpec {
     assert(!want.exists { case (a, b, _) => a == 9L || b == 9L }) // far signature never pairs
   }
 
+  test("streaming dropSeen gate equals the batch gate on the union of batches; static ref never grows state") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import sqlImplicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val r0 = 0x0123456789abcdefL
+    val r1 = 0x7777000011110000L
+    val refSigs = Seq(r0, r1).toDF("sig").persist()
+    // arriving batch rows: exact hit, near hit (hamming 2), near the
+    // second ref sig, over-threshold (hamming 5), novel
+    val batch1 = Seq((1L, r0), (2L, r0 ^ 3L), (5L, ~r0))
+    val batch2 = Seq((3L, r1 ^ 0x11L), (4L, r0 ^ 0x1fL))
+    val input = MemoryStream[(Long, Long)]
+    val stream = StreamingOps.dropSeenHammingStream(
+      input.toDF().toDF("doc_id", "sig"), refSigs, "doc_id", "sig", maxHamming = 3)
+    val q = stream.toDF().writeStream.outputMode("append").format("memory").queryName("dsg").start()
+    Seq(batch1, batch2).foreach { b => input.addData(b); q.processAllAvailable() }
+    q.stop()
+    val got = spark.table("dsg").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = graft.dedup.Dedup.dropSeenHamming(
+      (batch1 ++ batch2).toDF("doc_id", "sig"), refSigs, "sig", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want, s"stream=$got batch=$want")
+    // 1 (exact), 2 (near), 3 (near r1) gated; 4 (hamming 5) and the
+    // novel 5 admitted
+    assert(got == Set((4L, r0 ^ 0x1fL), (5L, ~r0)), s"got=$got")
+    refSigs.unpersist()
+  }
+
   test("streaming verified near-dedup equals batch verifyCandidates on the union of batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import sqlImplicits._
