@@ -622,6 +622,28 @@ object ScaleBench {
           docs.filter(col("doc_id") % 3 === 0),
           docs.filter(col("doc_id") % 3 =!= 0),
           "text", maxHamming = 3).count()),
+      // Jaccard ingest gate (batch vs reference MinHash banding +
+      // exact set-overlap verify): the shingle explode dominates the
+      // per-row cost and the band join is collision-bound, so alpha
+      // should track the two shingle scans like minhash_dedup.
+      "jaccard_gate" -> (() =>
+        graft.dedup.Dedup.dropSeenJaccard(
+          docs.filter(col("doc_id") % 3 === 0),
+          docs.filter(col("doc_id") % 3 =!= 0),
+          "text", "doc_id", threshold = 0.8).count()),
+      // Semantic ingest gate (batch embeddings vs reference by
+      // cosine >= 0.9 via the cross-corpus LSH join): candidate
+      // volume is nBatch x nRef / 2^bits per band — batch-bound in
+      // the gate regime, so alpha should track the two signature
+      // scans, not the product.
+      "embedding_gate" -> {
+        lazy val gatePlanes = graft.similarity.Similarity.hyperplanes(64, 64)
+        () =>
+          graft.similarity.Similarity.dropSeenEmbedding(
+            emb.filter(col("vec_id") % 3 === 0),
+            emb.filter(col("vec_id") % 3 =!= 0),
+            "embedding", "vec_id", threshold = 0.9, gatePlanes).count()
+      },
       // Full-corpus distributed Lloyd's: 5 rounds x one scan + a
       // k x dim control-plane collect per round — alpha ~ the scan's,
       // nothing driver-side grows with the corpus.

@@ -873,7 +873,14 @@ object Dedup {
       seed: Long = 42L): (DataFrame, () => Unit) = {
     val gs = df.select(col(idCol).as("id"), ShingleHashes.shingleHashes(col(textCol), n).as("gs"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sig = gs.select(col("id"), MinHashSig.minhashSig(col("gs"), numHashes, seed).as("sig"))
+    // Shingle-less docs (< n tokens) never reach a positive Jaccard
+    // threshold, so they leave the candidate stage entirely. This is
+    // not just a skip: their MinHash signature is the all-sentinel
+    // vector, so EVERY such doc would collide with every other in
+    // every band (a quadratic candidate class of provable
+    // non-matches) and the exact verify would then divide 0 by 0.
+    val sig = gs.filter(size(col("gs")) > 0)
+      .select(col("id"), MinHashSig.minhashSig(col("gs"), numHashes, seed).as("sig"))
     val cand = candidatePairsFromSig(sig, numHashes, bands).select("id_a", "id_b")
     // shuffle-hash the two shingle-set lookups: the candidate stream
     // must stay streaming — sort-merge would sort candidate rows that
@@ -940,8 +947,12 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val gsL = shingles(left)
     val gsR = shingles(right)
-    def sigOf(gs: DataFrame) =
-      gs.select(col("id"), MinHashSig.minhashSig(col("gs"), numHashes, seed).as("sig"))
+    // same shingle-less exclusion as the self-join path: an empty
+    // shingle set cannot match at threshold > 0, and its all-sentinel
+    // signature would otherwise collide with every other empty doc's
+    // in every band and 0/0 at verification
+    def sigOf(gs: DataFrame) = gs.filter(size(col("gs")) > 0)
+      .select(col("id"), MinHashSig.minhashSig(col("gs"), numHashes, seed).as("sig"))
     val cand = bandKeys(sigOf(gsL), numHashes, bands).toDF("id_a", "band", "h")
       .join(bandKeys(sigOf(gsR), numHashes, bands).toDF("id_b", "band", "h"), Seq("band", "h"))
       .select("id_a", "id_b")
@@ -974,4 +985,60 @@ object Dedup {
       seed: Long = 42L): DataFrame =
     crossVerifyCandidatesReleasable(
       left, right, textCol, idCol, n, threshold, numHashes, bands, seed)._1
+
+  /** The n-gram-JACCARD ingest gate — keep only the rows of `df`
+    * whose text is NOT within exact Jaccard >= `threshold` of any
+    * reference document ([[crossVerifyCandidatesReleasable]] finds
+    * the seen ids; one anti join removes them). Completes the
+    * dropSeen family: [[dropSeenSimhash]] gates on weighted-token
+    * fingerprints (cheap, Hamming-exact), this one on SET OVERLAP of
+    * word n-grams (robust to reordering beyond SimHash's reach,
+    * pays the shingle explode), [[dropSeenHamming]] on any 64-bit
+    * media hash, [[graft.similarity.Similarity.dropSeenEmbedding]]
+    * on meaning.
+    *
+    * EXACTNESS: every gating decision is verified by the exact
+    * Jaccard over distinct shingle-hash sets, so a gated row is
+    * ALWAYS truly seen (perfect precision); recall is the MinHash
+    * banding's — at the default 16 bands x 2 rows a 0.8-Jaccard pair
+    * escapes with probability (1 - 0.8^2)^16 ~ 8e-8, vanishing as
+    * similarity rises toward the exact-duplicate case a gate exists
+    * for. Rows whose text yields NO shingles (< n tokens, empty,
+    * null) are KEPT — same null rule as every dropSeen member: an
+    * unhashable row cannot be proven seen (their all-sentinel
+    * signatures do collide in candidate space, but 0-over-0 Jaccard
+    * is NaN, which never passes the threshold).
+    *
+    * The returned release handle drops both shingle caches — call it
+    * after the action; [[dropSeenJaccard]] leaves them warm
+    * (repeated-ingest default).
+    */
+  def dropSeenJaccardReleasable(
+      df: DataFrame,
+      ref: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int = 3,
+      threshold: Double = 0.8,
+      numHashes: Int = 32,
+      bands: Int = 16,
+      seed: Long = 42L): (DataFrame, () => Unit) = {
+    val (pairs, release) = crossVerifyCandidatesReleasable(
+      df, ref, textCol, idCol, n, threshold, numHashes, bands, seed)
+    val seen = pairs.select(col("id_a").as("__seen_id")).distinct()
+    df.join(seen, col(idCol) === col("__seen_id"), "left_anti") -> release
+  }
+
+  /** [[dropSeenJaccardReleasable]] leaving the shingle caches warm. */
+  def dropSeenJaccard(
+      df: DataFrame,
+      ref: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int = 3,
+      threshold: Double = 0.8,
+      numHashes: Int = 32,
+      bands: Int = 16,
+      seed: Long = 42L): DataFrame =
+    dropSeenJaccardReleasable(df, ref, textCol, idCol, n, threshold, numHashes, bands, seed)._1
 }

@@ -499,7 +499,36 @@ object SimilarityQueries {
       .orderBy("id_a", "id_b")
   }
 
+  /** q100: the SEMANTIC ingest gate — a new batch of embeddings
+    * (vec_id % 3 == 0) admitted against the already-ingested
+    * reference corpus (vec_id % 3 != 0) at cosine >= 0.4
+    * ([[graft.similarity.Similarity.dropSeenEmbedding]] → the
+    * cross-corpus LSH band join of [[Similarity.nearDupPairsAgainst]]
+    * with exact-cosine verification; the embedding-space member of
+    * the dropSeen family, next to q99's SimHash and q98's pHash).
+    * Geometry derived by [[Similarity.lshGeometry]] at targetRecall
+    * 0.95 — the gate is APPROXIMATE by design (an LSH miss passes),
+    * so rows-only; the contract (gated set ⊆ the brute cross filter
+    * with perfect precision, recall floor, planted exact duplicate
+    * gated out) is pinned in RowsOnlyContractSpec.
+    */
+  def q100EmbeddingGate(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Sources.embeddings(spark, dir)
+    val g = Similarity.lshGeometry(threshold = 0.4, targetRecall = 0.95, numPlanes = 64)
+    Similarity.dropSeenEmbedding(
+      emb.filter(col("vec_id") % 3 === 0),
+      emb.filter(col("vec_id") % 3 =!= 0),
+      "embedding", "vec_id", threshold = 0.4,
+      planes = Similarity.hyperplanes(dim = 64, numPlanes = 64),
+      bands = g.bands, probeHamming = g.probeHamming,
+      // fixture vector table is KBs: exact-cosine verify stays map-side
+      broadcastVerify = true)
+      .select("vec_id")
+      .orderBy("vec_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q100_embedding_gate" -> (q100EmbeddingGate _),
     "q83_phash_dups" -> (q83PhashDups _),
     "q94_cluster_balanced_sample" -> (q94ClusterBalancedSample _),
     "q95_audio_dups_spectral" -> (q95AudioDupsSpectral _),

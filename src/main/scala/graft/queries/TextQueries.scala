@@ -266,6 +266,53 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** q101: q99's SET-OVERLAP sibling — the same batch-vs-reference
+    * split gated on exact trigram Jaccard >= 0.8
+    * ([[graft.dedup.Dedup.dropSeenJaccard]]: cross-corpus MinHash
+    * banding finds candidates, exact Jaccard over distinct
+    * shingle-hash sets verifies every gating decision). ORACLE-EXACT,
+    * not rows-only, on q26/q36's fixture argument: the verify stage
+    * is the same arithmetic DuckDB runs over the same distinct
+    * trigram sets, and at 16 bands x 2 rows a 0.8-Jaccard candidate
+    * escapes banding with probability ~8e-8 — so the kept set equals
+    * the exact SQL recomputation row for row.
+    */
+  def q101JaccardGate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Sources.documents(spark, dir)
+    Dedup.dropSeenJaccard(
+      docs.filter(col("doc_id") % 3 === 0),
+      docs.filter(col("doc_id") % 3 =!= 0),
+      "text", "doc_id", n = 3, threshold = 0.8)
+      .select("doc_id")
+      .orderBy("doc_id")
+  }
+
+  val q101Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text,' ')) AS w,
+      |         generate_subscripts(string_split(text,' '),1) AS i
+      |  FROM documents
+      |), ng AS (
+      |  SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS g
+      |  FROM toks a JOIN toks b ON a.doc_id=b.doc_id AND b.i=a.i+1
+      |              JOIN toks c ON a.doc_id=c.doc_id AND c.i=a.i+2
+      |), sizes AS (SELECT doc_id, count(*) n FROM ng GROUP BY doc_id),
+      |shared AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+      |  FROM ng a JOIN ng b ON a.g = b.g
+      |  WHERE a.doc_id % 3 = 0 AND b.doc_id % 3 != 0
+      |  GROUP BY 1, 2
+      |), seen AS (
+      |  SELECT DISTINCT id_a
+      |  FROM shared
+      |  JOIN sizes sa ON sa.doc_id = id_a
+      |  JOIN sizes sb ON sb.doc_id = id_b
+      |  WHERE c*1.0/(sa.n + sb.n - c) >= 0.8
+      |)
+      |SELECT doc_id FROM documents
+      |WHERE doc_id % 3 = 0 AND doc_id NOT IN (SELECT id_a FROM seen)
+      |ORDER BY doc_id""".stripMargin
+
   /** The full curation pipeline (annotate -> exact dedup -> near
     * dedup -> quality gate), oracle-checked hash-exact end to end:
     * the DuckDB mirror re-derives every stage from first principles —
@@ -921,6 +968,7 @@ object TextQueries {
     "q26_minhash_pairs" -> (q26MinhashPairs _),
     "q27_simhash_pairs" -> (q27SimhashPairs _),
     "q99_novel_docs_gate" -> (q99NovelDocsGate _),
+    "q101_jaccard_gate" -> (q101JaccardGate _),
     "q60_neardup_keep_best" -> (q60NearDupKeepBest _),
     "q61_bm25" -> (q61Bm25 _),
     "q63_normalize" -> (q63Normalize _),
@@ -939,6 +987,7 @@ object TextQueries {
     "q24_lang_stats" -> q24Sql,
     "q25a_langid_tokens" -> q25aSql,
     "q26_minhash_pairs" -> q26Sql,
+    "q101_jaccard_gate" -> q101Sql,
     "q36_curation_pipeline" -> q36Sql,
     "q47_chunking" -> q47Sql,
     "q48_repeated_spans" -> q48Sql,

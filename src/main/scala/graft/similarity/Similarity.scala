@@ -428,6 +428,123 @@ object Similarity {
       g.bands, g.probeHamming, broadcastVerify)
   }
 
+  /** [[nearDupPairs]] ACROSS two corpora — the SEMANTIC ingest
+    * primitive: `batch` vectors paired against a `ref` corpus at
+    * cosine >= threshold, output `(id_a from batch, id_b from ref,
+    * cosine)`. Id spaces are independent (no `id_a < id_b` — a batch
+    * row may legitimately share an id with a reference row). The
+    * staging mirrors [[nearDupPairs]] stage for stage (same staged
+    * normalization, same split-radius probing, same 126-bit refine
+    * prune, same never-shuffle-wide-payloads verify) so the two paths
+    * cannot drift in recall behavior; candidate volume is
+    * `nBatch x nRef / 2^bits` per band — for the ingest-gate shape
+    * (small batch, huge reference) that is batch-bound, the regime
+    * where the self-mine's quadratic budget machinery is unnecessary.
+    */
+  def nearDupPairsAgainst(
+      batch: DataFrame,
+      ref: DataFrame,
+      vecCol: String,
+      idCol: String,
+      threshold: Double,
+      planes: Array[Array[Float]],
+      bands: Int = 8,
+      probeHamming: Int = 0,
+      broadcastVerify: Boolean = false): DataFrame = {
+    require(planes.length % bands == 0,
+      s"planes=${planes.length} must divide evenly into bands=$bands")
+    val bitsPerBand = planes.length / bands
+    require(bitsPerBand >= 8,
+      s"bitsPerBand=$bitsPerBand: bands narrower than 8 bits (<256 buckets) degenerate " +
+        s"toward the all-pairs join at scale; size planes = bands x k with k >= 8")
+    require(probeHamming >= 0 && probeHamming <= bitsPerBand, s"probeHamming=$probeHamming")
+    val dim = planes.head.length
+    val refinePlanes = hyperplanes(dim, 63, seed = 1042L)
+    val refinePlanes2 = hyperplanes(dim, 63, seed = 2042L)
+    val bandMask = if (bitsPerBand == 64) -1L else (1L << bitsPerBand) - 1
+    // same staged normalization + degenerate-vector guard as
+    // nearDupPairs (see its in-body comment for each shape's failure)
+    def unit(df: DataFrame): DataFrame = df
+      .select(col(idCol), col(vecCol))
+      .withColumn("__norm", norm(col(vecCol)))
+      .select(col(idCol),
+        when(col("__norm") > 0 && !isnan(col("__norm")),
+          transform(col(vecCol), x => x / col("__norm"))).as(vecCol))
+      .filter(col(vecCol).isNotNull)
+    def probedKeys(vecs: DataFrame, radius: Int): DataFrame = {
+      val sigs = vecs
+        .withColumn("__sig", rhpSignature(col(vecCol), planes))
+        .withColumn("__rsig", rhpSignature(col(vecCol), refinePlanes))
+        .withColumn("__rsig2", rhpSignature(col(vecCol), refinePlanes2))
+      val exact = sigs.select(
+        col(idCol), col("__rsig"), col("__rsig2"),
+        explode(array((0 until bands).map { b =>
+          struct(lit(b).as("band"),
+            shiftright(col("__sig"), b * bitsPerBand).bitwiseAND(lit(bandMask)).as("h"))
+        }: _*)).as("bk"))
+        .select(col(idCol), col("__rsig"), col("__rsig2"), col("bk.band"), col("bk.h"))
+      if (radius == 0) exact
+      else exact
+        .withColumn("__m", explode(lit(probeMasks(bitsPerBand, radius).toArray)))
+        .select(col(idCol), col("__rsig"), col("__rsig2"),
+          col("band"), col("h").bitwiseXOR(col("__m")).as("h"))
+    }
+    val batchU = unit(batch)
+    val refU = unit(ref)
+    val a = probedKeys(batchU, probeHamming - probeHamming / 2)
+      .toDF("id_a", "rsig_a", "rsig2_a", "band", "h")
+    val b = probedKeys(refU, probeHamming / 2)
+      .toDF("id_b", "rsig_b", "rsig2_b", "band", "h")
+    val refineBits = refinePlanes.length + refinePlanes2.length
+    val maxDisagree =
+      math.ceil(refineBits * (math.acos(math.min(threshold, 1.0)) / math.Pi) * 1.15).toInt
+    val candidates = a.join(b, Seq("band", "h"))
+      .filter(
+        (bit_count(col("rsig_a").bitwiseXOR(col("rsig_b"))) +
+          bit_count(col("rsig2_a").bitwiseXOR(col("rsig2_b")))) <= maxDisagree)
+      .select("id_a", "id_b")
+      .distinct()
+    val vecA = batchU.toDF("id_a", "vec_a")
+    val vecB = refU.toDF("id_b", "vec_b")
+    val (ja, jb) =
+      if (broadcastVerify) (broadcast(vecA), broadcast(vecB))
+      else (vecA.hint("shuffle_hash"), vecB.hint("shuffle_hash"))
+    candidates
+      .join(ja, "id_a")
+      .join(jb, "id_b")
+      .withColumn("cosine", dot(col("vec_a"), col("vec_b"))) // unit vectors
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
+
+  /** Keep only the batch rows whose vector is NOT within
+    * cosine >= threshold of ANY reference vector — the semantic
+    * ingest gate, the embedding-space member of the dropSeen family
+    * ([[graft.dedup.Dedup.dropSeenHamming]] is the fingerprint one).
+    * LSH recall caveat carries over: a true near-duplicate missed by
+    * the banding PASSES the gate — derive (planes, bands,
+    * probeHamming) from [[lshGeometry]] at the recall the gate's
+    * policy requires. Degenerate batch vectors (null/NaN/zero-norm)
+    * are KEPT, mirroring dropSeenHamming's null rule: an unhashable
+    * row cannot be proven seen.
+    */
+  def dropSeenEmbedding(
+      batch: DataFrame,
+      ref: DataFrame,
+      vecCol: String,
+      idCol: String,
+      threshold: Double,
+      planes: Array[Array[Float]],
+      bands: Int = 8,
+      probeHamming: Int = 0,
+      broadcastVerify: Boolean = false): DataFrame = {
+    val seen = nearDupPairsAgainst(
+      batch, ref, vecCol, idCol, threshold, planes, bands, probeHamming, broadcastVerify)
+      .select(col("id_a").as("__seen_id"))
+      .distinct()
+    batch.join(seen, col(idCol) === col("__seen_id"), "left_anti")
+  }
+
   /** All-pairs near-duplicate mining above a cosine threshold: LSH
     * band-bucket self-join (the scale path — candidate generation is a
     * shuffle on (band, hash), never a cross join), then exact cosine

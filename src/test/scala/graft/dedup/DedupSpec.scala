@@ -352,6 +352,46 @@ class DedupSpec extends SparkSpec {
     assert(viaCandidates == full, s"verify=$viaCandidates full=$full")
   }
 
+  test("dropSeenJaccard keeps exactly the unseen; shingle-less rows always pass; planted dup gated") {
+    import sqlImplicits._
+    val base = (1 to 50).map(i => s"w$i").mkString(" ")
+    val nearDup = (1 to 45).map(i => s"w$i").mkString(" ") // high-overlap prefix
+    val mild = (1 to 25).map(i => s"w$i").mkString(" ") + " " +
+      (200 to 224).map(i => s"z$i").mkString(" ") // ~0.3 overlap: below 0.8
+    val other = (100 to 160).map(i => s"v$i").mkString(" ")
+    val batch = Seq(
+      (1L, base), // exact dup of ref 10 -> gated
+      (2L, nearDup), // jaccard vs base = 43/48 ~ 0.896 -> gated
+      (3L, mild), // ~0.3 -> kept
+      (4L, other), // novel -> kept
+      (5L, "one two"), // < 3 tokens: no shingles -> kept
+      (6L, "") // empty: no shingles -> kept
+    ).toDF("doc_id", "text")
+    val ref = Seq((10L, base), (11L, "a b")).toDF("doc_id", "text")
+    val kept = Dedup.dropSeenJaccard(batch, ref, "text", "doc_id", n = 3, threshold = 0.8)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(3L, 4L, 5L, 6L), s"kept=$kept")
+    // brute parity: the gated set equals the exact cross-Jaccard filter
+    val shingleSets = (id: Long, t: String) => t.split(" ").filter(_.nonEmpty)
+      .sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+    val bRaw = Seq((1L, base), (2L, nearDup), (3L, mild), (4L, other), (5L, "one two"), (6L, ""))
+    val rRaw = Seq((10L, base), (11L, "a b"))
+    val bruteSeen = bRaw.collect {
+      case (id, t) if rRaw.exists { case (_, rt) =>
+        val (a, b) = (shingleSets(id, t), shingleSets(0L, rt))
+        val inter = a.intersect(b).size
+        a.nonEmpty && b.nonEmpty &&
+          inter.toDouble / (a.size + b.size - inter) >= 0.8
+      } => id
+    }.toSet
+    assert(bRaw.map(_._1).toSet.diff(kept) == bruteSeen, s"gated=${bRaw.map(_._1).toSet.diff(kept)} brute=$bruteSeen")
+    // the release handle drops the caches without changing the result
+    val (df2, release) = Dedup.dropSeenJaccardReleasable(batch, ref, "text", "doc_id")
+    val kept2 = df2.collect().map(_.getLong(0)).toSet
+    release()
+    assert(kept2 == kept)
+  }
+
   test("clusterRepresentatives keeps the best-scoring member, ties to the smallest id") {
     import sqlImplicits._
     val members = Seq(

@@ -352,6 +352,21 @@ class PlanContractSpec extends SparkSpec {
     // back (broadcast at this scale), + oracle ORDER BY. Reference
     // text never shuffles.
     "q99_novel_docs_gate" -> 4,
+    // q100: the embedding gate — both sides' probed band keys
+    // exchange into the signature join (2), the verified pair set
+    // dedups (1), the seen-id set dedups (1); the exact-cosine verify
+    // joins are broadcast (broadcastVerify) and the anti join + oracle
+    // ORDER BY plan without further exchanges at this scale.
+    // Reference vectors never shuffle.
+    "q100_embedding_gate" -> 4,
+    // q101: the Jaccard gate — both sides' band keys exchange into
+    // the signature join (2), the candidate pair set dedups (1), the
+    // exact-Jaccard verify re-joins both shingle tables by id with
+    // shuffle_hash (2 candidate-side + 2 shingle-side exchanges;
+    // broadcast would be wrong for full-corpus shingle arrays), the
+    // seen-id set dedups (1). The anti join and oracle ORDER BY plan
+    // without further exchanges at this scale.
+    "q101_jaccard_gate" -> 8,
     // q89: vocabTokenCounts' distinct-word exchange + the per-doc
     // prefix-sum window / chunk aggregate exchange (shared
     // partitioning) + oracle ORDER BY. The vocab table joins back by

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 /** Quantified contracts for the rows-only queries
   * (q25/q27/q29/q30/q35/q37/q76/q83/q84/q87/q88/q90/q91/q92/q93/
-  * q94/q95/q96/q97/q98/q99):
+  * q94/q95/q96/q97/q98/q99/q100):
   * these cannot
   * hash-match a DuckDB oracle
   * (hash-valued or approximate by design), so each one's CLAIM is
@@ -652,5 +652,53 @@ class RowsOnlyContractSpec extends SparkSpec {
     out.foreach { case (id, score, _) =>
       assert(math.abs(score - byId(id)) < 1e-6, s"id=$id score $score != exact cosine ${byId(id)}")
     }
+  }
+
+  test("q100 contract: gated rows truly seen (perfect precision), recall floor vs brute cross filter, planted dup gated") {
+    import graft.similarity.Similarity
+    val kept = SparkEntry.queries("q100_embedding_gate")(spark, dir)
+      .collect().map(_.getLong(0)).toSet
+    // exact anchor: brute cross cosine over unit vectors, driver-side
+    val emb = Sources.embeddings(spark, dir)
+    def unitVecs(cond: org.apache.spark.sql.Column): Array[(Long, Array[Double])] =
+      emb.filter(cond).select("vec_id", "embedding").collect().flatMap { r =>
+        val v = r.getSeq[Float](1).toArray.map(_.toDouble)
+        val n = math.sqrt(v.map(x => x * x).sum)
+        if (n > 0 && !n.isNaN) Some(r.getLong(0) -> v.map(_ / n)) else None
+      }
+    val b = unitVecs(col("vec_id") % 3 === 0)
+    val r = unitVecs(col("vec_id") % 3 =!= 0)
+    val bruteSeen = b.collect {
+      case (id, u) if r.exists { case (_, ru) =>
+        u.zip(ru).map { case (x, y) => x * y }.sum >= 0.4 } => id
+    }.toSet
+    val batchIds = emb.filter(col("vec_id") % 3 === 0)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val gated = batchIds.diff(kept)
+    // PERFECT PRECISION: the verify stage recomputes the exact cosine,
+    // so a gated row is ALWAYS truly seen — set inclusion, no slack
+    assert(gated.subsetOf(bruteSeen),
+      s"gated rows not in brute seen set: ${gated.diff(bruteSeen).take(5)}")
+    // recall: an LSH band-join miss passes the gate by design; the
+    // geometry targets 0.95 at threshold 0.4 — floored with slack
+    // against fixture regeneration
+    val recall = if (bruteSeen.isEmpty) 1.0 else gated.size.toDouble / bruteSeen.size
+    info(s"batch=${batchIds.size}, brute-seen=${bruteSeen.size}, gated=${gated.size}, recall=$recall")
+    assert(bruteSeen.nonEmpty, "fixture has no cross-split pair at 0.4 — gate untested")
+    assert(recall >= 0.8, s"q100 gate recall $recall below 0.8 floor (|bruteSeen|=${bruteSeen.size})")
+    // planted positive: a byte-identical copy of a reference vector in
+    // the batch id space MUST be gated out (cosine 1.0, same signature)
+    val refVec = emb.filter(col("vec_id") % 3 =!= 0)
+      .select(col("vec_id"), col("embedding")).orderBy("vec_id").limit(1)
+    val g = Similarity.lshGeometry(threshold = 0.4, targetRecall = 0.95, numPlanes = 64)
+    val plantedKept = Similarity.dropSeenEmbedding(
+      refVec.select(lit(3000000L).as("vec_id"), col("embedding")),
+      emb.filter(col("vec_id") % 3 =!= 0),
+      "embedding", "vec_id", threshold = 0.4,
+      planes = Similarity.hyperplanes(dim = 64, numPlanes = 64),
+      bands = g.bands, probeHamming = g.probeHamming, broadcastVerify = true)
+      .collect()
+    assert(plantedKept.isEmpty,
+      s"planted exact duplicate passed the semantic gate: ${plantedKept.toSeq}")
   }
 }

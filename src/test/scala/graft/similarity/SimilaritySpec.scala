@@ -39,6 +39,42 @@ class SimilaritySpec extends SparkSpec {
     assert(pairs.toSeq == Seq((1L, 2L)))
   }
 
+  test("nearDupPairsAgainst pairs across corpora exactly like the brute cross filter on a clustered fixture") {
+    import sqlImplicits._
+    val v = Array.tabulate(8)(i => (i + 1).toFloat)
+    val v2 = v.map(x => x * 1.001f) // same direction as v
+    val w = Array.tabulate(8)(i => if (i % 2 == 0) 1.0f else -1.0f)
+    val u = Array.tabulate(8)(i => if (i < 4) 2.0f else -1.0f)
+    // batch: re-ingest of v (should pair), a novel direction, a
+    // zero-norm degenerate, and an id COLLIDING with a ref id
+    val batch = Seq((1L, v2), (2L, u), (3L, Array.fill(8)(0f)), (10L, v.map(_ * 0.5f)))
+      .toDF("vec_id", "embedding")
+    val ref = Seq((10L, v), (11L, w)).toDF("vec_id", "embedding")
+    val planes = Similarity.hyperplanes(8, 64)
+    val got = Similarity.nearDupPairsAgainst(batch, ref, "embedding", "vec_id", 0.99, planes, bands = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute cross filter (unit-normalized cosine >= 0.99)
+    def unit(a: Array[Float]) = {
+      val n = math.sqrt(a.map(x => x * x.toDouble).sum); a.map(_ / n)
+    }
+    val bRaw = Seq(1L -> v2, 2L -> u, 10L -> v.map(_ * 0.5f))
+    val rRaw = Seq(10L -> v, 11L -> w)
+    val brute = (for {
+      (ia, va) <- bRaw; (ib, vb) <- rRaw
+      c = unit(va).zip(unit(vb)).map { case (x, y) => x * y }.sum
+      if c >= 0.99
+    } yield (ia, ib)).toSet
+    assert(got == brute, s"got=$got brute=$brute")
+    // the id collision (batch 10 vs ref 10, same direction) is a real
+    // cross match — no id_a < id_b suppression across corpora
+    assert(got.contains((10L, 10L)) && got.contains((1L, 10L)), s"got=$got")
+    val kept = Similarity.dropSeenEmbedding(batch, ref, "embedding", "vec_id", 0.99, planes, bands = 8)
+      .collect().map(_.getLong(0)).toSet
+    // 1 and 10 gated as seen; the novel 2 and the zero-norm 3 pass
+    // (degenerate rows cannot be proven seen)
+    assert(kept == Set(2L, 3L), s"kept=$kept")
+  }
+
   test("nearDupPairs rejects degenerate band widths") {
     import sqlImplicits._
     val df = Seq((1L, Array(1.0f, 0f))).toDF("vec_id", "embedding")
