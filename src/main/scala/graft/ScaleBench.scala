@@ -631,6 +631,17 @@ object ScaleBench {
           docs.filter(col("doc_id") % 3 === 0),
           docs.filter(col("doc_id") % 3 =!= 0),
           "text", "doc_id", threshold = 0.8).count()),
+      // Coverage ingest gate (batch vs reference asymmetric
+      // containment): the prefix filter lives on the BATCH side and
+      // orders by reference document frequency, so candidates are
+      // batch-prefix x ref-bucket collisions — alpha should track the
+      // two shingle scans, with the ref dfreq aggregate the largest
+      // corpus-sized term.
+      "containment_gate" -> (() =>
+        graft.dedup.Containment.dropSeenContained(
+          docs.filter(col("doc_id") % 3 === 0),
+          docs.filter(col("doc_id") % 3 =!= 0),
+          "text", "doc_id", threshold = 0.8).count()),
       // Semantic ingest gate (batch embeddings vs reference by
       // cosine >= 0.9 via the cross-corpus LSH join): candidate
       // volume is nBatch x nRef / 2^bits per band — batch-bound in

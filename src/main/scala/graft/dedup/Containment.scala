@@ -237,4 +237,105 @@ object Containment {
       .distinct()
     df.join(losers, df(idCol) === col("__loser"), "left_anti")
   }
+
+  /** Containment ACROSS two corpora — the COVERAGE pair miner behind
+    * [[dropSeenContained]]: `(id_a from batch, id_b from ref,
+    * containment)` where `containment = |A ∩ B| / |A|`, the
+    * ASYMMETRIC form — how much of the NEW document's shingle set a
+    * reference document already covers. This is deliberately not the
+    * symmetric `/ least(na, nb)` of [[containmentPairs]]: an ingest
+    * gate asks "is this arrival mostly old content?" (a quote-heavy
+    * re-scrape of an indexed page), and a tiny reference snippet
+    * inside a huge new document must NOT gate it.
+    *
+    * Id spaces are independent (no `id_a < id_b`); output pairs are
+    * EXACT — the prefix filter loses nothing (pigeonhole: coverage >=
+    * t needs `alpha = ceil(t*na)` shared shingles, so a qualifying
+    * reference doc must intersect the first `na - alpha + 1` of A's
+    * shingles under ANY fixed global order). The prefix lives on the
+    * BATCH side only and is ordered by REFERENCE document frequency
+    * ascending, so in the gate regime (small batch, huge reference)
+    * the candidate join probes `batch-prefix x ref` — and a batch
+    * shingle the reference has never seen (dfreq 0, ranked first)
+    * fills prefixes while generating ZERO candidates.
+    */
+  def containmentPairsAgainst(
+      batch: DataFrame,
+      ref: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int = 3,
+      threshold: Double = 0.8): DataFrame =
+    containmentPairsAgainstReleasable(batch, ref, textCol, idCol, n, threshold).result
+
+  /** [[containmentPairsAgainst]] with a release handle over the two
+    * persisted shingle tables (each feeds multiple join branches).
+    * Call `release()` after the terminal action.
+    */
+  def containmentPairsAgainstReleasable(
+      batch: DataFrame,
+      ref: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int = 3,
+      threshold: Double = 0.8): graft.core.Releasable[DataFrame] = {
+    requireThreshold(threshold)
+    val shA = shingleTable(batch, textCol, idCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val shB = shingleTable(ref, textCol, idCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // rarest-in-reference first; absent shingles (dfreq 0 via the
+    // left join) sort before everything and never produce candidates
+    val dfreqRef = shB.groupBy("g").agg(count(lit(1)).as("__dfreq"))
+    val ranked = shA.join(dfreqRef, Seq("g"), "left")
+      .na.fill(0L, Seq("__dfreq"))
+      .withColumn("__rk",
+        row_number().over(Window.partitionBy("id").orderBy(col("__dfreq").asc, col("g").asc)))
+      .withColumn("__nsh", count(lit(1)).over(Window.partitionBy("id")))
+      // same 1e-9 ceil slack as the self-join path: err toward a
+      // longer prefix, never a lost pair
+      .withColumn("__plen",
+        col("__nsh") - ceil(col("__nsh") * lit(threshold) - lit(1e-9)) + lit(1L))
+    val cand = ranked.filter(col("__rk") <= col("__plen")).select("id", "g")
+      .toDF("id_a", "g")
+      .join(shB.toDF("id_b", "g"), "g")
+      .select("id_a", "id_b")
+      .distinct()
+    val shared = cand
+      .join(shA.toDF("id_a", "g"), "id_a")
+      .join(shB.toDF("id_b", "g"), Seq("id_b", "g"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("shared"))
+    val out = shared
+      .join(shA.groupBy("id").agg(count(lit(1)).as("na")).toDF("id_a", "na"), "id_a")
+      .withColumn("containment", col("shared").cast("double") / col("na").cast("double"))
+      .filter(col("containment") >= threshold)
+      .select("id_a", "id_b", "containment")
+    graft.core.Releasable(out,
+      () => { shA.unpersist(blocking = false); shB.unpersist(blocking = false); () })
+  }
+
+  /** The COVERAGE ingest gate — keep only the batch rows whose
+    * shingle set is NOT >= `threshold` covered by any single
+    * reference document ([[containmentPairsAgainst]] finds the seen
+    * ids, one anti join removes them). EXACT, like every containment
+    * API here (the prefix filter is lossless); batch rows with no
+    * shingles (< n tokens, empty, null) are KEPT — the family-wide
+    * rule: an unhashable row cannot be proven seen. Note the
+    * per-single-document semantics: a new doc stitched together from
+    * MANY reference docs (each covering a small fraction) passes —
+    * that composition is what [[graft.text.Decontamination]]'s
+    * aggregate n-gram overlap measures instead.
+    */
+  def dropSeenContained(
+      batch: DataFrame,
+      ref: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int = 3,
+      threshold: Double = 0.8): DataFrame = {
+    val seen = containmentPairsAgainst(batch, ref, textCol, idCol, n, threshold)
+      .select(col("id_a").as("__seen_id"))
+      .distinct()
+    batch.join(seen, batch(idCol) === col("__seen_id"), "left_anti")
+  }
 }

@@ -922,6 +922,51 @@ object TextQueries {
       .select("doc_id", "lang", "source", "n_chars")
       .orderBy("doc_id")
 
+  /** q102: the COVERAGE ingest gate — the batch (doc_id % 3 == 0)
+    * minus every document whose shingle set is >= 0.8 covered by a
+    * single reference document (doc_id % 3 != 0):
+    * [[graft.dedup.Containment.dropSeenContained]], the ASYMMETRIC
+    * `shared / n_batch` measure (a re-scrape of indexed content is
+    * gated; a huge new doc quoting a reference snippet is not).
+    * Oracle-exact like all containment queries — the batch-side
+    * prefix filter is pigeonhole-lossless, so the kept set equals
+    * the all-pairs SQL recomputation.
+    */
+  def q102ContainmentGate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Sources.documents(spark, dir)
+    graft.dedup.Containment.dropSeenContained(
+      docs.filter(col("doc_id") % 3 === 0),
+      docs.filter(col("doc_id") % 3 =!= 0),
+      "text", "doc_id", n = 3, threshold = 0.8)
+      .select("doc_id")
+      .orderBy("doc_id")
+  }
+
+  val q102Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text,' ')) AS w,
+      |         generate_subscripts(string_split(text,' '),1) AS i
+      |  FROM documents
+      |), ng AS (
+      |  SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS g
+      |  FROM toks a JOIN toks b ON a.doc_id=b.doc_id AND b.i=a.i+1
+      |              JOIN toks c ON a.doc_id=c.doc_id AND c.i=a.i+2
+      |), sizes AS (SELECT doc_id, count(*) n FROM ng GROUP BY doc_id),
+      |shared AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+      |  FROM ng a JOIN ng b ON a.g = b.g
+      |  WHERE a.doc_id % 3 = 0 AND b.doc_id % 3 != 0
+      |  GROUP BY 1, 2
+      |), seen AS (
+      |  SELECT DISTINCT id_a
+      |  FROM shared
+      |  JOIN sizes sa ON sa.doc_id = id_a
+      |  WHERE c*1.0/sa.n >= 0.8
+      |)
+      |SELECT doc_id FROM documents
+      |WHERE doc_id % 3 = 0 AND doc_id NOT IN (SELECT id_a FROM seen)
+      |ORDER BY doc_id""".stripMargin
+
   val q86Sql: String =
     """WITH toks AS (
       |  SELECT doc_id, unnest(string_split(text,' ')) AS w,
@@ -969,6 +1014,7 @@ object TextQueries {
     "q27_simhash_pairs" -> (q27SimhashPairs _),
     "q99_novel_docs_gate" -> (q99NovelDocsGate _),
     "q101_jaccard_gate" -> (q101JaccardGate _),
+    "q102_containment_gate" -> (q102ContainmentGate _),
     "q60_neardup_keep_best" -> (q60NearDupKeepBest _),
     "q61_bm25" -> (q61Bm25 _),
     "q63_normalize" -> (q63Normalize _),
@@ -988,6 +1034,7 @@ object TextQueries {
     "q25a_langid_tokens" -> q25aSql,
     "q26_minhash_pairs" -> q26Sql,
     "q101_jaccard_gate" -> q101Sql,
+    "q102_containment_gate" -> q102Sql,
     "q36_curation_pipeline" -> q36Sql,
     "q47_chunking" -> q47Sql,
     "q48_repeated_spans" -> q48Sql,

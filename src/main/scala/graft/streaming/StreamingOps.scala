@@ -395,6 +395,93 @@ object StreamingOps {
         })
   }
 
+  final case class SeenVecHit(id: Long, vec: Seq[Float], hit: Option[Int])
+  final case class KeptVec(id: Long, vec: Seq[Float])
+
+  /** [[graft.similarity.Similarity.dropSeenEmbedding]]'s Structured
+    * Streaming twin — the SEMANTIC ingest gate over an unbounded
+    * `(id, vec)` stream against a STATIC reference corpus: admit only
+    * the arrivals with no reference vector at cosine >= `threshold`.
+    * Same construction as [[dropSeenHammingStream]] lifted to
+    * embedding space: the reference unit-normalizes once into a
+    * banded RHP-signature table (persist it — it re-plans every
+    * micro-batch), each arrival pays one signature + one stream-static
+    * LEFT join per band slice, the candidate reference unit vector
+    * rides back on the row and the exact dot verifies it (the same
+    * [[graft.similarity.VecDot]] arithmetic as the batch gate, so
+    * stream and batch can never disagree on a candidate), and a
+    * per-id group pass admits ids with zero verified hits. ZERO
+    * retained state — all of an id's band rows explode from one input
+    * row, so its group completes in its own micro-batch and the
+    * per-batch cost is the batch's own size, independent of history.
+    *
+    * Radius-0 banding only (the gate regime: high thresholds where
+    * exact band collision carries the recall); LSH recall caveats
+    * carry over from the batch twin — a banding miss passes the gate.
+    * Output rows carry the ORIGINAL (un-normalized) vector.
+    *
+    * Parity (StreamingOpsSpec): kept ids over any stream prefix equal
+    * the batch gate on the union of those batches — minus degenerate
+    * rows: null/NaN/zero-norm vectors are DROPPED here (typed-Dataset
+    * poison pills, the [[dropSeenHammingStream]] rule) where the
+    * batch twin keeps them; gate them upstream.
+    */
+  def dropSeenEmbeddingStream(
+      vecs: DataFrame,
+      ref: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      planes: Array[Array[Float]],
+      bands: Int = 8): Dataset[KeptVec] = {
+    import vecs.sparkSession.implicits._
+    import graft.similarity.Similarity
+    require(planes.length % bands == 0,
+      s"planes=${planes.length} must divide evenly into bands=$bands")
+    val bitsPerBand = planes.length / bands
+    require(bitsPerBand >= 8,
+      s"bitsPerBand=$bitsPerBand: bands narrower than 8 bits degenerate toward all-pairs")
+    requireIntegralId(vecs, idCol)
+    val mask = if (bitsPerBand == 64) -1L else (1L << bitsPerBand) - 1L
+    def withUnit(df: DataFrame, vc: String) = df
+      .withColumn("__norm", Similarity.norm(col(vc)))
+      .withColumn("__uvec",
+        when(col("__norm") > 0 && !isnan(col("__norm")),
+          transform(col(vc), x => x / col("__norm"))))
+      .filter(col("__uvec").isNotNull)
+      .drop("__norm")
+    def bandKeys(sig: org.apache.spark.sql.Column) = explode(array((0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        shiftright(sig, b * bitsPerBand).bitwiseAND(lit(mask)).as("h"))
+    }: _*))
+    val bandedRef = withUnit(ref.select(col(vecCol)), vecCol)
+      .withColumn("__rsig", Similarity.rhpSignature(col("__uvec"), planes))
+      .select(col("__uvec").as("ref_uvec"), bandKeys(col("__rsig")).as("bk"))
+      .select(col("ref_uvec"), col("bk.band").as("band"), col("bk.h").as("h"))
+    withUnit(
+      vecs.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+        .filter(col("id").isNotNull),
+      "vec")
+      .withColumn("__sig", Similarity.rhpSignature(col("__uvec"), planes))
+      .select(col("id"), col("vec"), col("__uvec"), bandKeys(col("__sig")).as("bk"))
+      .select(col("id"), col("vec"), col("__uvec"), col("bk.band").as("band"), col("bk.h").as("h"))
+      .join(bandedRef, Seq("band", "h"), "left")
+      .select(col("id"), col("vec"),
+        when(col("ref_uvec").isNotNull &&
+          Similarity.dot(col("__uvec"), col("ref_uvec")) >= threshold, lit(1)).as("hit"))
+      .as[SeenVecHit]
+      .groupByKey(_.id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (id: Long, rows: Iterator[SeenVecHit], state: GroupState[Long]) => {
+          // state is never set: all of an id's band rows explode from
+          // one input row, so its group completes in its micro-batch
+          var vec: Seq[Float] = null
+          var hits = 0
+          rows.foreach { r => vec = r.vec; if (r.hit.isDefined) hits += 1 }
+          if (hits == 0) Iterator.single(KeptVec(id, vec)) else Iterator.empty
+        })
+  }
+
   final case class MediaTsRow(media_id: Long, bytes: Array[Byte], ts: java.sql.Timestamp)
   final case class PHashTsRow(media_id: Long, ahash: Long, ts: java.sql.Timestamp)
 

@@ -100,6 +100,55 @@ class ContainmentSpec extends SparkSpec {
     assert(keptChain == Seq(3L), s"chain must keep only the largest doc, got $keptChain")
   }
 
+  test("containmentPairsAgainst equals the brute asymmetric cross filter; dropSeenContained keeps the unseen") {
+    import sqlImplicits._
+    val short = (1 to 10).map(i => s"w$i").mkString(" ")
+    val long = (100 to 200).map(i => s"v$i").mkString(" ") + " " + short +
+      " " + (300 to 400).map(i => s"u$i").mkString(" ")
+    val halfOld = (1 to 8).map(i => s"w$i").mkString(" ") + " " +
+      (700 to 708).map(i => s"y$i").mkString(" ") // ~6/15 covered: below 0.8
+    val novel = (500 to 560).map(i => s"z$i").mkString(" ")
+    // batch: a verbatim re-scrape of ref content (gated, coverage 1),
+    // a doc half-built from old content (kept at 0.8), a novel doc
+    // (kept), a shingle-less doc (kept), and an id colliding with a
+    // ref id (gated — cross corpora, a real match)
+    val batch = Seq((1L, short), (2L, halfOld), (3L, novel), (4L, "a b"), (10L, short))
+      .toDF("doc_id", "text")
+    val ref = Seq((10L, long), (11L, (900 to 950).map(i => s"q$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = Containment.containmentPairsAgainst(batch, ref, "text", "doc_id", n = 3, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // brute asymmetric cross filter over driver-side shingle sets
+    def sh(t: String) = t.split(" ").filter(_.nonEmpty).sliding(3).filter(_.length == 3)
+      .map(_.mkString(" ")).toSet
+    val bRaw = Seq((1L, short), (2L, halfOld), (3L, novel), (4L, "a b"), (10L, short))
+    val rRaw = Seq((10L, long), (11L, (900 to 950).map(i => s"q$i").mkString(" ")))
+    val brute = (for {
+      (ia, ta) <- bRaw; (ib, tb) <- rRaw
+      a = sh(ta); b = sh(tb)
+      if a.nonEmpty
+      c = a.intersect(b).size.toDouble / a.size
+      if c >= 0.8
+    } yield (ia, ib) -> c).toMap
+    assert(got == brute, s"got=$got brute=$brute")
+    assert(got((1L, 10L)) == 1.0 && got((10L, 10L)) == 1.0, s"got=$got")
+    // the asymmetry: ref's short content inside batch's long doc does
+    // NOT gate the long doc — seed the reverse shape and check
+    val gotRev = Containment.containmentPairsAgainst(
+      Seq((20L, long)).toDF("doc_id", "text"),
+      Seq((21L, short)).toDF("doc_id", "text"),
+      "text", "doc_id", n = 3, threshold = 0.8).collect()
+    assert(gotRev.isEmpty, s"snippet-in-new-doc must not qualify: ${gotRev.toSeq}")
+    val kept = Containment.dropSeenContained(batch, ref, "text", "doc_id", n = 3, threshold = 0.8)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 3L, 4L), s"kept=$kept")
+    // release handle: same rows, then unpersists
+    val rel = Containment.containmentPairsAgainstReleasable(batch, ref, "text", "doc_id")
+    val relRows = rel.result.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    rel.release()
+    assert(relRows == got.keySet)
+  }
+
   test("documents below the shingle width never pair; threshold bounds are validated") {
     import sqlImplicits._
     val tiny = Seq((1L, "a b"), (2L, "a b"), (3L, "a b c d e")).toDF("doc_id", "text")

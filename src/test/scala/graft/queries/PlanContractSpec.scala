@@ -367,6 +367,13 @@ class PlanContractSpec extends SparkSpec {
     // seen-id set dedups (1). The anti join and oracle ORDER BY plan
     // without further exchanges at this scale.
     "q101_jaccard_gate" -> 8,
+    // q102: the coverage gate — the ref dfreq aggregate (1), the
+    // batch-side rank window's partition-by-id exchange (1), the
+    // candidate distinct (1), the verify shared-count aggregate (1),
+    // the seen distinct (1); the prefix x ref candidate join and the
+    // verify joins reuse broadcast/partitionings at this scale and the
+    // anti join + oracle ORDER BY add none.
+    "q102_containment_gate" -> 5,
     // q89: vocabTokenCounts' distinct-word exchange + the per-doc
     // prefix-sum window / chunk aggregate exchange (shared
     // partitioning) + oracle ORDER BY. The vocab table joins back by

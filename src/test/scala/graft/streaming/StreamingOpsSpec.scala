@@ -210,6 +210,44 @@ class StreamingOpsSpec extends SparkSpec {
     refSigs.unpersist()
   }
 
+  test("streaming embedding gate equals batch dropSeenEmbedding on the union of batches (degenerates dropped)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import sqlImplicits._
+    import graft.similarity.Similarity
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val v = Array.tabulate(8)(i => (i + 1).toFloat)
+    val w = Array.tabulate(8)(i => if (i % 2 == 0) 1.0f else -1.0f)
+    val u = Array.tabulate(8)(i => if (i < 4) 2.0f else -1.0f)
+    val ref = Seq((10L, v), (11L, w)).toDF("vec_id", "embedding").persist()
+    val planes = Similarity.hyperplanes(8, 64)
+    // arrivals: re-ingest of v (gated), novel direction (kept),
+    // zero-norm degenerate (dropped by the stream, kept by batch),
+    // rescaled w (gated: cosine 1), anti-parallel v (kept)
+    val batch1 = Seq((1L, v.map(_ * 1.001f)), (2L, u))
+    val batch2 = Seq((3L, Array.fill(8)(0f)), (4L, w.map(_ * 0.5f)), (5L, v.map(x => -x)))
+    val input = MemoryStream[(Long, Array[Float])]
+    val stream = StreamingOps.dropSeenEmbeddingStream(
+      input.toDF().toDF("vec_id", "embedding"), ref, "vec_id", "embedding",
+      threshold = 0.99, planes)
+    val q = stream.toDF().writeStream.outputMode("append").format("memory").queryName("dse").start()
+    Seq(batch1, batch2).foreach { b => input.addData(b); q.processAllAvailable() }
+    q.stop()
+    val got = spark.table("dse").collect().map(_.getLong(0)).toSet
+    val want = Similarity.dropSeenEmbedding(
+      (batch1 ++ batch2).toDF("vec_id", "embedding"), ref,
+      "embedding", "vec_id", threshold = 0.99, planes)
+      .collect().map(_.getLong(0)).toSet
+    // parity up to the documented degenerate rule: the batch gate
+    // keeps the zero-norm row 3 (cannot be proven seen), the stream
+    // drops it as a poison pill
+    assert(want == Set(2L, 3L, 5L) && got == want - 3L, s"stream=$got batch=$want")
+    // output carries the ORIGINAL un-normalized vector
+    val vec2 = spark.table("dse").collect()
+      .find(_.getLong(0) == 2L).get.getSeq[Float](1)
+    assert(vec2 == u.toSeq, s"vec2=$vec2")
+    ref.unpersist()
+  }
+
   test("streaming verified near-dedup equals batch verifyCandidates on the union of batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import sqlImplicits._
