@@ -66,7 +66,7 @@ object CorpusShuffle {
       .withColumn("shard_pos", row_number().over(w).cast("long") - 1L)
       .join(bcast(bases), Seq("shard"))
       .withColumn("global_pos", col("__cs_base") + col("shard_pos"))
-      .select((df.columns.map(col) ++
+      .select((df.columns.toIndexedSeq.map(col) ++
         Seq(col("shuffle_key"), col("shard"), col("shard_pos"), col("global_pos"))): _*)
   }
 

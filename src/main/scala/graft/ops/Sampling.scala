@@ -157,7 +157,7 @@ object Sampling {
       seed: Long = 0L): DataFrame =
     df.join(bcast(thresholds), Seq(strataCol))
       .filter(sampleScore(col(idCol), seed) < col("__mix_thr"))
-      .select(df.columns.map(col): _*)
+      .select(df.columns.toIndexedSeq.map(col): _*)
 
   /** Pass 1 of [[epochMix]] alone: the per-source epoch factors
     * `(sourceCol, __ep_n, __ep_thr)` — how many WHOLE epochs of each
@@ -302,8 +302,8 @@ object Sampling {
           .partitionBy(col(domainCol))
           .orderBy(sampleScore(col(idCol), seed).asc, col(idCol).asc)))
       .filter(col("__rk") <= cap)
-      .select(df.columns.map(col): _*)
-    underCapRows.select(df.columns.map(col): _*).unionByName(rankedRows)
+      .select(df.columns.toIndexedSeq.map(col): _*)
+    underCapRows.select(df.columns.toIndexedSeq.map(col): _*).unionByName(rankedRows)
   }
 
   /** Keep the top `p` FRACTION of each stratum by score — the
@@ -351,6 +351,6 @@ object Sampling {
           .partitionBy(col(strataCol))
           .orderBy(col(scoreCol).desc, col(idCol).asc)))
       .filter(col("__rk") <= lit(maxK) && col("__rk") <= col("__k"))
-      .select(df.columns.map(col): _*)
+      .select(df.columns.toIndexedSeq.map(col): _*)
   }
 }

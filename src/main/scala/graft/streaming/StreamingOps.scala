@@ -482,6 +482,154 @@ object StreamingOps {
         })
   }
 
+  final case class SeenJacHit(id: Long, hit: Option[Int])
+  final case class KeptId(id: Long)
+
+  /** [[graft.dedup.Dedup.dropSeenJaccard]]'s Structured Streaming
+    * twin — the n-gram-overlap ingest gate over an unbounded
+    * `(id, text)` stream against a STATIC reference corpus: admit
+    * only arrivals with no reference document at exact Jaccard >=
+    * `threshold`. `refIndex` is the [[shingleIndex]] of the reference
+    * (persist it — the derived banded signature table re-plans every
+    * micro-batch). Each arrival pays one shingle+signature pass, one
+    * stream-static LEFT join per banded MinHash key against the
+    * reference's banded signatures, one stream-static join pulling
+    * each candidate's reference shingle set, and the EXACT Jaccard
+    * (identical arithmetic to the batch gate) decides the hit; a
+    * per-id group pass admits ids with zero verified hits. ZERO
+    * retained state — all of an id's rows derive from one input row,
+    * so its group completes in its own micro-batch.
+    *
+    * FULL batch parity, including the empty case: a shingle-less
+    * arrival's all-sentinel signature finds no banded match (the
+    * reference side excludes empty docs, the batch rule), so it is
+    * KEPT — same "unhashable rows cannot be proven seen" rule as the
+    * batch twin, with no divergence to document. Output is the kept
+    * ids only (carrying text through the band explode would multiply
+    * the payload by `bands`); semi-join the caller's frame to
+    * recover full rows. MinHash recall caveats carry over from the
+    * batch gate.
+    */
+  def dropSeenJaccardStream(
+      docs: DataFrame,
+      refIndex: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int = 3,
+      threshold: Double = 0.8,
+      numHashes: Int = 32,
+      bands: Int = 16,
+      seed: Long = 42L): Dataset[KeptId] = {
+    import docs.sparkSession.implicits._
+    import graft.dedup.{MinHashSig, ShingleHashes}
+    require(numHashes % bands == 0, s"numHashes=$numHashes must divide into bands=$bands")
+    requireIntegralId(docs, idCol)
+    val rowsPerBand = numHashes / bands
+    def bandKeys(sig: org.apache.spark.sql.Column) = explode(array((0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64(slice(sig, b * rowsPerBand + 1, rowsPerBand)).as("h"))
+    }: _*))
+    // static banded reference signatures; empty docs excluded exactly
+    // as in the batch candidate stage
+    val bandedRef = refIndex.filter(size(col("gs")) > 0)
+      .select(col("id").as("ref_id"), MinHashSig.minhashSig(col("gs"), numHashes, seed).as("__sig"))
+      .select(col("ref_id"), bandKeys(col("__sig")).as("bk"))
+      .select(col("ref_id"), col("bk.band").as("band"), col("bk.h").as("h"))
+    val refGs = refIndex.select(col("id").as("ref_id"), col("gs").as("gs_b"))
+    docs
+      .select(col(idCol).cast("long").as("id"),
+        ShingleHashes.shingleHashes(col(textCol), n).as("gs"))
+      .filter(col("id").isNotNull)
+      .withColumn("__sig", MinHashSig.minhashSig(col("gs"), numHashes, seed))
+      .select(col("id"), col("gs"), bandKeys(col("__sig")).as("bk"))
+      .select(col("id"), col("gs"), col("bk.band").as("band"), col("bk.h").as("h"))
+      .join(bandedRef, Seq("band", "h"), "left")
+      // candidate shingle sets arrive by id join, not by riding the
+      // banded table (which would duplicate every ref array x bands)
+      .join(refGs.hint("shuffle_hash"), Seq("ref_id"), "left")
+      .select(col("id"),
+        when(col("gs_b").isNotNull && {
+          val shared = size(array_intersect(col("gs"), col("gs_b"))).cast("long")
+          shared.cast("double") / (size(col("gs")) + size(col("gs_b")) - shared) >= threshold
+        }, lit(1)).as("hit"))
+      .as[SeenJacHit]
+      .groupByKey(_.id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (id: Long, rows: Iterator[SeenJacHit], state: GroupState[Long]) => {
+          // state is never set: all of an id's rows derive from one
+          // input row, so its group completes in its micro-batch
+          var hits = 0
+          rows.foreach { r => if (r.hit.isDefined) hits += 1 }
+          if (hits == 0) Iterator.single(KeptId(id)) else Iterator.empty
+        })
+  }
+
+  final case class ContHit(id: Long, na: Long, ref_id: Option[Long])
+
+  /** [[graft.dedup.Containment.dropSeenContained]]'s Structured
+    * Streaming twin — the COVERAGE ingest gate over an unbounded
+    * `(id, text)` stream: admit only arrivals whose shingle set is
+    * NOT >= `threshold` covered by any single static reference
+    * document. EXACT like the batch gate (containment has no LSH
+    * recall), so parity is full set equality, shingle-less arrivals
+    * included (no shingles ⇒ coverage undefined ⇒ kept, the
+    * family-wide rule).
+    *
+    * Construction differs from the batch path deliberately: the
+    * batch prefix filter needs a per-corpus rank — a second stateful
+    * hop a stream cannot afford — so the stream joins EVERY arrival
+    * shingle against the static exploded reference shingle table
+    * (`refIndex` = [[shingleIndex]] of the reference; persist it) and
+    * one `flatMapGroupsWithState` pass per id counts shared shingles
+    * per candidate reference doc and tests `shared / na >= t`
+    * in-memory. Cost per micro-batch is the arrival shingles times
+    * their reference document frequency — the un-prefix-filtered
+    * candidate volume, bounded by the micro-batch, not the stream
+    * history; hot-shingle-heavy corpora should gate in larger batch
+    * windows with the prefix-filtered batch twin instead. ZERO
+    * retained state: all of an id's rows derive from one input row.
+    */
+  def dropSeenContainedStream(
+      docs: DataFrame,
+      refIndex: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int = 3,
+      threshold: Double = 0.8): Dataset[KeptId] = {
+    import docs.sparkSession.implicits._
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"containment threshold $threshold must be in (0, 1]")
+    requireIntegralId(docs, idCol)
+    val refSh = refIndex.select(col("id").as("ref_id"), explode(col("gs")).as("g"))
+    docs
+      .select(col(idCol).cast("long").as("id"),
+        graft.dedup.ShingleHashes.shingleHashes(col(textCol), n).as("gs"))
+      .filter(col("id").isNotNull)
+      .withColumn("na", size(col("gs")).cast("long"))
+      // explode_outer keeps shingle-less arrivals as one null-g row
+      // (joins nothing, na = 0 ⇒ kept)
+      .select(col("id"), col("na"), explode_outer(col("gs")).as("g"))
+      .join(refSh.hint("shuffle_hash"), Seq("g"), "left")
+      .select(col("id"), col("na"), col("ref_id"))
+      .as[ContHit]
+      .groupByKey(_.id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (id: Long, rows: Iterator[ContHit], state: GroupState[Long]) => {
+          // state is never set: all of an id's rows derive from one
+          // input row, so its group completes in its micro-batch.
+          // Shared-count map is bounded by this arrival's shingle
+          // count (distinct shingles ⇒ one row per (g, ref match)).
+          var na = 0L
+          val shared = scala.collection.mutable.HashMap.empty[Long, Long]
+          rows.foreach { r =>
+            na = r.na
+            r.ref_id.foreach(rid => shared.update(rid, shared.getOrElse(rid, 0L) + 1L))
+          }
+          val seen = na > 0 && shared.valuesIterator.exists(c => c.toDouble / na >= threshold)
+          if (seen) Iterator.empty else Iterator.single(KeptId(id))
+        })
+  }
+
   final case class MediaTsRow(media_id: Long, bytes: Array[Byte], ts: java.sql.Timestamp)
   final case class PHashTsRow(media_id: Long, ahash: Long, ts: java.sql.Timestamp)
 
@@ -991,7 +1139,7 @@ object StreamingOps {
     // gophered appends signal columns; project back to the caller's
     // frame so the composed stream's schema is its input's
     val gated = graft.text.QualityFilters.gophered(deduped, textCol)
-      .select(docs.columns.map(col): _*)
+      .select(docs.columns.toIndexedSeq.map(col): _*)
     gated
       .withColumn("__rg_gs", graft.text.Decontamination.distinctNgrams(col(textCol), n))
       .withColumn("__rg_overlap",

@@ -87,7 +87,7 @@ object LengthBatching {
         SequencePacking.assignBinsFromCounts(bucketed, "__lb_one", "bucket", idCol, batchSize)
     assigned
       .withColumn("batch_id", col("bin"))
-      .select((df.columns.map(col) ++ Seq(col("bucket"), col("batch_id"))): _*)
+      .select((df.columns.toIndexedSeq.map(col) ++ Seq(col("bucket"), col("batch_id"))): _*)
   }
 
   /** [[assignBatches]] by BPE token count: adds `n_bpe_tokens`,

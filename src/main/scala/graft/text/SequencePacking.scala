@@ -180,7 +180,7 @@ object SequencePacking {
       .withColumn("start_offset",
         col("__sp_chunk_base") + sum(col(tokensCol)).over(local) - col(tokensCol))
       .withColumn("bin", floor(col("start_offset") / lit(capacity.toLong)))
-      .select((df.columns.map(col) ++ Seq(col("start_offset"), col("bin"))): _*)
+      .select((df.columns.toIndexedSeq.map(col) ++ Seq(col("start_offset"), col("bin"))): _*)
   }
 
   /** Size-routed facade over [[assignBins]] / [[assignBinsDistributed]]

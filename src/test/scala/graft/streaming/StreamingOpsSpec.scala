@@ -248,6 +248,66 @@ class StreamingOpsSpec extends SparkSpec {
     ref.unpersist()
   }
 
+  test("streaming jaccard gate equals batch dropSeenJaccard on the union of batches, empties included") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import sqlImplicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = (1 to 50).map(i => s"w$i").mkString(" ")
+    val nearDup = (1 to 45).map(i => s"w$i").mkString(" ") // 43/48 ~ 0.896 vs base
+    val mild = (1 to 25).map(i => s"w$i").mkString(" ") + " " +
+      (200 to 224).map(i => s"z$i").mkString(" ") // ~0.3: below 0.8
+    val other = (100 to 160).map(i => s"v$i").mkString(" ")
+    val ref = Seq((10L, base), (11L, "a b")).toDF("doc_id", "text")
+    val index = StreamingOps.shingleIndex(ref, "text", "doc_id").persist()
+    val batch1 = Seq((1L, base), (2L, nearDup))
+    val batch2 = Seq((3L, mild), (4L, other), (5L, "one two"), (6L, ""))
+    val input = MemoryStream[(Long, String)]
+    val stream = StreamingOps.dropSeenJaccardStream(
+      input.toDF().toDF("doc_id", "text"), index, "text", "doc_id", threshold = 0.8)
+    val q = stream.toDF().writeStream.outputMode("append").format("memory").queryName("djg").start()
+    Seq(batch1, batch2).foreach { b => input.addData(b); q.processAllAvailable() }
+    q.stop()
+    val got = spark.table("djg").collect().map(_.getLong(0)).toSet
+    val want = graft.dedup.Dedup.dropSeenJaccard(
+      (batch1 ++ batch2).toDF("doc_id", "text"), ref, "text", "doc_id", threshold = 0.8)
+      .collect().map(_.getLong(0)).toSet
+    index.unpersist()
+    // FULL parity — shingle-less arrivals (5, 6) kept by BOTH twins
+    assert(got == want, s"stream=$got batch=$want")
+    assert(got == Set(3L, 4L, 5L, 6L), s"got=$got")
+  }
+
+  test("streaming containment gate equals batch dropSeenContained exactly on the union of batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import sqlImplicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val short = (1 to 10).map(i => s"w$i").mkString(" ")
+    val long = (100 to 200).map(i => s"v$i").mkString(" ") + " " + short +
+      " " + (300 to 400).map(i => s"u$i").mkString(" ")
+    val halfOld = (1 to 8).map(i => s"w$i").mkString(" ") + " " +
+      (700 to 708).map(i => s"y$i").mkString(" ")
+    val novel = (500 to 560).map(i => s"z$i").mkString(" ")
+    val ref = Seq((10L, long), (11L, (900 to 950).map(i => s"q$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val index = StreamingOps.shingleIndex(ref, "text", "doc_id").persist()
+    val batch1 = Seq((1L, short), (2L, halfOld)) // 1 gated (coverage 1), 2 kept (~0.4)
+    val batch2 = Seq((3L, novel), (4L, "a b"))   // both kept (novel; shingle-less)
+    val input = MemoryStream[(Long, String)]
+    val stream = StreamingOps.dropSeenContainedStream(
+      input.toDF().toDF("doc_id", "text"), index, "text", "doc_id", threshold = 0.8)
+    val q = stream.toDF().writeStream.outputMode("append").format("memory").queryName("dcg").start()
+    Seq(batch1, batch2).foreach { b => input.addData(b); q.processAllAvailable() }
+    q.stop()
+    val got = spark.table("dcg").collect().map(_.getLong(0)).toSet
+    val want = graft.dedup.Containment.dropSeenContained(
+      (batch1 ++ batch2).toDF("doc_id", "text"), ref, "text", "doc_id", threshold = 0.8)
+      .collect().map(_.getLong(0)).toSet
+    index.unpersist()
+    // EXACT parity — both twins verify the exact coverage
+    assert(got == want, s"stream=$got batch=$want")
+    assert(got == Set(2L, 3L, 4L), s"got=$got")
+  }
+
   test("streaming verified near-dedup equals batch verifyCandidates on the union of batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import sqlImplicits._
