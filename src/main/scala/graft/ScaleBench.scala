@@ -622,6 +622,21 @@ object ScaleBench {
           docs.filter(col("doc_id") % 3 === 0),
           docs.filter(col("doc_id") % 3 =!= 0),
           "text", maxHamming = 3).count()),
+      // Durable two-epoch ingest: epoch 1 writes the reference
+      // corpus's signatures to a fresh parquet index, epoch 2 gates
+      // the batch against it and appends. Adds one 8-byte-per-doc
+      // index write + read to novel_docs_gate's cost — alpha should
+      // track that gate's.
+      "ingest_epochs" -> (() => {
+        val path = java.nio.file.Files.createTempDirectory("scale_seen_index_").toString
+        graft.dedup.SeenIndex.gateAndUpdateSimhash(
+          docs.filter(col("doc_id") % 3 =!= 0), "text", path).release()
+        val e2 = graft.dedup.SeenIndex.gateAndUpdateSimhash(
+          docs.filter(col("doc_id") % 3 === 0), "text", path)
+        val n = e2.result.count()
+        e2.release()
+        n
+      }),
       // Jaccard ingest gate (batch vs reference MinHash banding +
       // exact set-overlap verify): the shingle explode dominates the
       // per-row cost and the band join is collision-bound, so alpha

@@ -1,0 +1,123 @@
+package graft.dedup
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+/** A DURABLE seen-signature index — the cross-RUN state behind the
+  * dropSeen ingest gates. The in-memory gates
+  * ([[Dedup.dropSeenHamming]] and friends) answer "is this batch row
+  * near anything in that reference frame"; a production ingest
+  * pipeline runs DAILY, and its reference is every signature ever
+  * admitted — state that must outlive the session. This object gives
+  * that state a layout and a lifecycle:
+  *
+  *   - LAYOUT: a parquet directory of single-column `(sig: Long)`
+  *     rows. Appends may duplicate signatures across epochs — readers
+  *     never care, because every consumer ([[Dedup.hammingPairs]]'
+  *     distinct-signature banding, the gates) collapses to DISTINCT
+  *     signatures before joining, so compaction is an optimization,
+  *     not a correctness step. At 8 bytes per signature a year of a
+  *     billion-doc crawl is ~8 GB — a broadcast-sized object for the
+  *     cluster that produced it.
+  *   - LIFECYCLE: [[gateAndUpdateSimhash]] = read index → gate the
+  *     batch → append the ADMITTED rows' signatures → return the
+  *     admitted rows. The append is the transition that makes a
+  *     re-ingest of today's batch tomorrow gate to zero — pinned by
+  *     SeenIndexSpec's two-epoch test.
+  *
+  * WITHIN-batch duplicates are deliberately out of scope: two copies
+  * of a NOVEL document arriving in the same batch both pass (neither
+  * is in history yet) and both signatures land in the index once
+  * (distinct before append). Same-batch dedup is
+  * [[Dedup.exactDedup]]/[[Dedup.hammingPairs]]' job — run it before
+  * or after the gate; the gate's contract is strictly "not seen in
+  * any PRIOR epoch".
+  *
+  * CONCURRENCY: one writer per index directory (the daily-ingest
+  * shape). Parquet append is not transactional across writers;
+  * concurrent ingests of the same index need an external lock or a
+  * table format with commit semantics.
+  */
+object SeenIndex {
+
+  private val schema = StructType(Seq(StructField("sig", LongType, nullable = false)))
+
+  /** The index's signature frame — a single `sig` column, possibly
+    * with cross-epoch duplicates. A missing or empty directory reads
+    * as an EMPTY index (the bootstrap case: the first epoch gates
+    * against nothing and seeds the index), not an error.
+    */
+  def read(spark: SparkSession, path: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p) && fs.listStatus(p).exists(_.getPath.getName.endsWith(".parquet")))
+      spark.read.schema(schema).parquet(path)
+    else
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+  }
+
+  /** Append `sigs` (any frame with a long `sigCol`) to the index —
+    * nulls dropped (an unhashable row has nothing to remember),
+    * distinct WITHIN the append (cross-epoch duplicates are the
+    * reader's non-problem, same-file duplicates are just waste).
+    */
+  def append(sigs: DataFrame, sigCol: String, path: String): Unit =
+    sigs.select(col(sigCol).cast("long").as("sig"))
+      .filter(col("sig").isNotNull)
+      .distinct()
+      .write.mode("append").parquet(path)
+
+  /** One ingest epoch at the TEXT level: gate `batch` by SimHash
+    * against everything previously admitted (exact in fingerprint
+    * space at the default `maxHamming = 3 < 4` bands — the
+    * [[Dedup.dropSeenSimhash]] pigeonhole), append the admitted
+    * signatures, return the admitted rows. The returned frame is
+    * PERSISTED (the gate result is consumed twice: the index append
+    * that already ran, and whatever the caller does next) — call the
+    * returned [[graft.core.Releasable]]'s `release()` after the
+    * terminal action.
+    */
+  def gateAndUpdateSimhash(
+      batch: DataFrame,
+      textCol: String,
+      path: String,
+      maxHamming: Int = 3): graft.core.Releasable[DataFrame] = {
+    val spark = batch.sparkSession
+    val hashed = batch.withColumn("__sig",
+      SimHash64.simhash64(graft.text.TextAnalysis.tokens(col(textCol))))
+    // EAGER localCheckpoint, not persist: the gate READS the very
+    // directory the append below WRITES, so a lazy (or evicted-cache)
+    // result would re-list the index on its next action and find its
+    // OWN appended signatures — every admitted row would then gate
+    // against itself and vanish. Checkpointing pins the admitted set
+    // to the pre-append file listing and truncates the lineage, so no
+    // consumer can ever re-execute the read. (Same lineage discipline
+    // as dupClusters; on a cluster where executor loss matters use a
+    // reliable checkpoint dir.)
+    val kept = Dedup.dropSeenHamming(hashed, read(spark, path).select(col("sig").as("__sig")),
+      "__sig", maxHamming)
+      .localCheckpoint(true)
+    append(kept, "__sig", path)
+    graft.core.Releasable(kept.drop("__sig"), () => { kept.unpersist(blocking = false); () })
+  }
+
+  /** [[gateAndUpdateSimhash]] for any precomputed 64-bit signature
+    * column (perceptual hashes, audio fingerprints): gate on
+    * `sigCol`, append the admitted signatures, return admitted rows.
+    */
+  def gateAndUpdateHamming(
+      batch: DataFrame,
+      sigCol: String,
+      path: String,
+      maxHamming: Int = 3): graft.core.Releasable[DataFrame] = {
+    val spark = batch.sparkSession
+    // eager localCheckpoint for the same read-what-you-write reason
+    // as gateAndUpdateSimhash (see its in-body comment)
+    val kept = Dedup.dropSeenHamming(batch, read(spark, path).select(col("sig").as(sigCol)),
+      sigCol, maxHamming)
+      .localCheckpoint(true)
+    append(kept, sigCol, path)
+    graft.core.Releasable(kept, () => { kept.unpersist(blocking = false); () })
+  }
+}

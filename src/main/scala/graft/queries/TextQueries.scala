@@ -313,6 +313,32 @@ object TextQueries {
       |WHERE doc_id % 3 = 0 AND doc_id NOT IN (SELECT id_a FROM seen)
       |ORDER BY doc_id""".stripMargin
 
+  /** q103: the DURABLE ingest lifecycle — q99's gate made stateful
+    * across RUNS via [[graft.dedup.SeenIndex]]: epoch 1 ingests the
+    * reference corpus (doc_id % 3 != 0) into a fresh on-disk
+    * signature index, epoch 2 gates the batch (doc_id % 3 == 0)
+    * against everything epoch 1 admitted and appends its own
+    * survivors. Output: epoch 2's admitted doc_ids — by construction
+    * EXACTLY q99's kept set (same SimHash gate, same pigeonhole
+    * bound), which RowsOnlyContractSpec pins, plus the epoch
+    * semantics (a third epoch re-ingesting epoch 2's survivors gates
+    * to zero — SeenIndexSpec). Each invocation uses its own temp
+    * index dir, so the query is deterministic and re-runnable.
+    */
+  def q103IngestEpochs(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Sources.documents(spark, dir)
+    val path = java.nio.file.Files.createTempDirectory("q103_seen_index_").toString
+    // epoch 1 seeds the index (the append runs inside the call);
+    // its admitted frame is not this query's output
+    graft.dedup.SeenIndex.gateAndUpdateSimhash(
+      docs.filter(col("doc_id") % 3 =!= 0), "text", path).release()
+    graft.dedup.SeenIndex.gateAndUpdateSimhash(
+      docs.filter(col("doc_id") % 3 === 0), "text", path)
+      .result // checkpointed: never recomputes, safe to return un-released
+      .select("doc_id")
+      .orderBy("doc_id")
+  }
+
   /** The full curation pipeline (annotate -> exact dedup -> near
     * dedup -> quality gate), oracle-checked hash-exact end to end:
     * the DuckDB mirror re-derives every stage from first principles —
@@ -1015,6 +1041,7 @@ object TextQueries {
     "q99_novel_docs_gate" -> (q99NovelDocsGate _),
     "q101_jaccard_gate" -> (q101JaccardGate _),
     "q102_containment_gate" -> (q102ContainmentGate _),
+    "q103_ingest_epochs" -> (q103IngestEpochs _),
     "q60_neardup_keep_best" -> (q60NearDupKeepBest _),
     "q61_bm25" -> (q61Bm25 _),
     "q63_normalize" -> (q63Normalize _),

@@ -1,0 +1,75 @@
+package graft.dedup
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SeenIndexSpec extends SparkSpec {
+
+  private def tmpDir(): String =
+    java.nio.file.Files.createTempDirectory("seen_index_").toString
+
+  test("two-epoch text ingest: epoch 1 seeds, epoch 2 gates against it, re-ingest gates to zero") {
+    import sqlImplicits._
+    val path = tmpDir()
+    val base = (1 to 50).map(i => s"w$i").mkString(" ")
+    val other = (100 to 160).map(i => s"v$i").mkString(" ")
+    val novel = (500 to 560).map(i => s"z$i").mkString(" ")
+    // bootstrap: a missing index reads empty, so epoch 1 keeps all
+    assert(SeenIndex.read(spark, path).count() == 0)
+    val e1 = SeenIndex.gateAndUpdateSimhash(
+      Seq((1L, base), (2L, other)).toDF("doc_id", "text"), "text", path)
+    assert(e1.result.collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+    e1.release()
+    // epoch 2: an exact re-ingest of epoch-1 content is gated, the
+    // novel doc passes and is remembered in turn
+    val batch2 = Seq((10L, base), (11L, novel)).toDF("doc_id", "text")
+    val e2 = SeenIndex.gateAndUpdateSimhash(batch2, "text", path)
+    val kept2 = e2.result.collect().map(_.getLong(0)).toSet
+    e2.release()
+    assert(kept2 == Set(11L), s"kept2=$kept2")
+    // cross-session anchor: epoch-2 admission equals the stateless
+    // gate against the union of all previously ADMITTED docs
+    val statelessKept = Dedup.dropSeenSimhash(
+      batch2, Seq((1L, base), (2L, other)).toDF("doc_id", "text"), "text")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept2 == statelessKept)
+    // epoch 3: re-ingesting epoch 2's survivor gates to ZERO — the
+    // append in epoch 2 is what makes the index remember it
+    val e3 = SeenIndex.gateAndUpdateSimhash(
+      Seq((20L, novel)).toDF("doc_id", "text"), "text", path)
+    assert(e3.result.isEmpty)
+    e3.release()
+    // the index holds exactly the admitted signatures (3 distinct)
+    assert(SeenIndex.read(spark, path).distinct().count() == 3)
+  }
+
+  test("generic Hamming epochs: near signatures gate, the admitted frame keeps its columns") {
+    import sqlImplicits._
+    val path = tmpDir()
+    val s0 = 0x0123456789abcdefL
+    val e1 = SeenIndex.gateAndUpdateHamming(
+      Seq((1L, s0, "a")).toDF("media_id", "ahash", "tag"), "ahash", path)
+    assert(e1.result.columns.toSeq == Seq("media_id", "ahash", "tag"))
+    assert(e1.result.count() == 1)
+    e1.release()
+    // near (hamming 2) and far arrivals: only the far one is admitted
+    val e2 = SeenIndex.gateAndUpdateHamming(
+      Seq((2L, s0 ^ 3L, "b"), (3L, ~s0, "c")).toDF("media_id", "ahash", "tag"), "ahash", path)
+    val kept = e2.result.collect().map(r => (r.getLong(0), r.getString(2))).toSet
+    e2.release()
+    assert(kept == Set((3L, "c")), s"kept=$kept")
+    // within-batch duplicates both pass (history-only contract), one sig lands
+    val e3 = SeenIndex.gateAndUpdateHamming(
+      Seq((4L, 0x7777L, "d"), (5L, 0x7777L, "e")).toDF("media_id", "ahash", "tag"), "ahash", path)
+    assert(e3.result.count() == 2)
+    e3.release()
+    assert(SeenIndex.read(spark, path).filter(col("sig") === 0x7777L).count() == 1)
+  }
+
+  test("append drops null signatures; empty-dir bootstrap reads as empty") {
+    import sqlImplicits._
+    val path = tmpDir()
+    SeenIndex.append(Seq(Some(1L), None, Some(1L)).toDF("sig"), "sig", path)
+    assert(SeenIndex.read(spark, path).collect().map(_.getLong(0)).toSeq == Seq(1L))
+  }
+}

@@ -374,6 +374,11 @@ class PlanContractSpec extends SparkSpec {
     // verify joins reuse broadcast/partitionings at this scale and the
     // anti join + oracle ORDER BY add none.
     "q102_containment_gate" -> 5,
+    // q103: both ingest epochs already RAN eagerly inside the query
+    // constructor (gate + index append, checkpointed); the audited
+    // plan is just the checkpointed admitted set + oracle ORDER BY's
+    // range exchange.
+    "q103_ingest_epochs" -> 1,
     // q89: vocabTokenCounts' distinct-word exchange + the per-doc
     // prefix-sum window / chunk aggregate exchange (shared
     // partitioning) + oracle ORDER BY. The vocab table joins back by

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 /** Quantified contracts for the rows-only queries
   * (q25/q27/q29/q30/q35/q37/q76/q83/q84/q87/q88/q90/q91/q92/q93/
-  * q94/q95/q96/q97/q98/q99/q100):
+  * q94/q95/q96/q97/q98/q99/q100/q103):
   * these cannot
   * hash-match a DuckDB oracle
   * (hash-valued or approximate by design), so each one's CLAIM is
@@ -652,6 +652,18 @@ class RowsOnlyContractSpec extends SparkSpec {
     out.foreach { case (id, score, _) =>
       assert(math.abs(score - byId(id)) < 1e-6, s"id=$id score $score != exact cosine ${byId(id)}")
     }
+  }
+
+  test("q103 contract: the durable two-epoch ingest admits exactly q99's kept set") {
+    val viaIndex = SparkEntry.queries("q103_ingest_epochs")(spark, dir)
+      .collect().map(_.getLong(0)).toSet
+    val stateless = SparkEntry.queries("q99_novel_docs_gate")(spark, dir)
+      .collect().map(_.getLong(0)).toSet
+    // same SimHash gate, same pigeonhole bound — the index round-trip
+    // through parquet must not change a single admission
+    assert(viaIndex == stateless,
+      s"index path diverged: onlyIndex=${viaIndex.diff(stateless).take(5)} onlyStateless=${stateless.diff(viaIndex).take(5)}")
+    info(s"epoch-2 admitted ${viaIndex.size} docs (== stateless gate)")
   }
 
   test("q100 contract: gated rows truly seen (perfect precision), recall floor vs brute cross filter, planted dup gated") {
