@@ -670,6 +670,26 @@ object ScaleBench {
             emb.filter(col("vec_id") % 3 =!= 0),
             "embedding", "vec_id", threshold = 0.9, gatePlanes).count()
       },
+      // Durable two-epoch embedding ingest: epoch 1 writes the
+      // reference vectors to a fresh parquet index, epoch 2 gates the
+      // batch against it and appends. Adds one (8 + 4*dim)-byte-per-
+      // vector index write + read to embedding_gate's cost — alpha
+      // should track that gate's.
+      "embedding_ingest_epochs" -> {
+        lazy val gatePlanes = graft.similarity.Similarity.hyperplanes(64, 64)
+        () => {
+          val path = java.nio.file.Files.createTempDirectory("scale_vec_index_").toString
+          graft.dedup.SeenIndex.gateAndUpdateEmbedding(
+            emb.filter(col("vec_id") % 3 =!= 0), "embedding", "vec_id", path,
+            threshold = 0.9, planes = gatePlanes).release()
+          val e2 = graft.dedup.SeenIndex.gateAndUpdateEmbedding(
+            emb.filter(col("vec_id") % 3 === 0), "embedding", "vec_id", path,
+            threshold = 0.9, planes = gatePlanes)
+          val n = e2.result.count()
+          e2.release()
+          n
+        }
+      },
       // Full-corpus distributed Lloyd's: 5 rounds x one scan + a
       // k x dim control-plane collect per round — alpha ~ the scan's,
       // nothing driver-side grows with the corpus.

@@ -2,7 +2,7 @@ package graft.dedup
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, StructField, StructType}
+import org.apache.spark.sql.types.{ArrayType, FloatType, LongType, StructField, StructType}
 
 /** A DURABLE seen-signature index — the cross-RUN state behind the
   * dropSeen ingest gates. The in-memory gates
@@ -118,6 +118,75 @@ object SeenIndex {
       sigCol, maxHamming)
       .localCheckpoint(true)
     append(kept, sigCol, path)
+    graft.core.Releasable(kept, () => { kept.unpersist(blocking = false); () })
+  }
+
+  // ---- the EMBEDDING index: same lifecycle, vector-valued state ----
+
+  private val vecSchema = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("vec", ArrayType(FloatType, containsNull = true), nullable = true)))
+
+  /** The vector index's frame — `(id, vec)` rows, the admitted
+    * embeddings. Unlike the 8-byte signature index this is
+    * (8 + 4*dim) bytes per row (~264 GB for a billion 64-dim docs):
+    * NOT broadcast-sized, and it doesn't need to be — the gate's band
+    * join shuffles only band keys + refine signatures, and the exact
+    * verify is a shuffle-hash join on candidate ids, so the reference
+    * vectors stream from parquet without ever being collected
+    * (`broadcastVerify` stays an opt-in for small indexes). A missing
+    * or empty directory reads as an EMPTY index (bootstrap).
+    */
+  def readVectors(spark: SparkSession, path: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p) && fs.listStatus(p).exists(_.getPath.getName.endsWith(".parquet")))
+      spark.read.schema(vecSchema).parquet(path)
+    else
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], vecSchema)
+  }
+
+  /** Append `(idCol, vecCol)` rows to the vector index — null vectors
+    * dropped (the gate's read-side normalization would discard them
+    * anyway; a zero-norm or NaN vector IS appended but never gates
+    * anything, mirroring the family rule that unhashable rows can't
+    * be proven seen), distinct within the append.
+    */
+  def appendVectors(df: DataFrame, vecCol: String, idCol: String, path: String): Unit =
+    df.select(col(idCol).cast("long").as("id"), col(vecCol).cast("array<float>").as("vec"))
+      .filter(col("vec").isNotNull)
+      .distinct()
+      .write.mode("append").parquet(path)
+
+  /** One ingest epoch at the EMBEDDING level — the durable form of
+    * [[graft.similarity.Similarity.dropSeenEmbedding]]: gate `batch`
+    * by cosine >= `threshold` against every previously admitted
+    * vector, append the admitted `(id, vec)` rows, return the
+    * admitted rows. APPROXIMATE exactly like its stateless twin (an
+    * LSH miss passes the gate) — derive (planes, bands, probeHamming)
+    * from [[graft.similarity.Similarity.lshGeometry]] at the recall
+    * the gate's policy requires; the index round-trip itself changes
+    * no admission (pinned by the q104 contract). Eager localCheckpoint
+    * for the same read-what-you-write reason as
+    * [[gateAndUpdateSimhash]] (see its in-body comment).
+    */
+  def gateAndUpdateEmbedding(
+      batch: DataFrame,
+      vecCol: String,
+      idCol: String,
+      path: String,
+      threshold: Double,
+      planes: Array[Array[Float]],
+      bands: Int = 8,
+      probeHamming: Int = 0,
+      broadcastVerify: Boolean = false): graft.core.Releasable[DataFrame] = {
+    val spark = batch.sparkSession
+    val ref = readVectors(spark, path)
+      .select(col("id").as(idCol), col("vec").as(vecCol))
+    val kept = graft.similarity.Similarity.dropSeenEmbedding(
+      batch, ref, vecCol, idCol, threshold, planes, bands, probeHamming, broadcastVerify)
+      .localCheckpoint(true)
+    appendVectors(kept, vecCol, idCol, path)
     graft.core.Releasable(kept, () => { kept.unpersist(blocking = false); () })
   }
 }

@@ -527,8 +527,40 @@ object SimilarityQueries {
       .orderBy("vec_id")
   }
 
+  /** q104: the DURABLE semantic ingest lifecycle — q100's gate made
+    * stateful across RUNS via [[graft.dedup.SeenIndex]]'s vector
+    * index: epoch 1 ingests the reference embeddings
+    * (vec_id % 3 != 0) into a fresh on-disk `(id, vec)` index, epoch
+    * 2 gates the batch (vec_id % 3 == 0) against everything epoch 1
+    * admitted and appends its own survivors. Epoch 1 gates against an
+    * EMPTY index, so it admits the whole reference corpus — which
+    * makes epoch 2's admission by construction EXACTLY q100's kept
+    * set (same geometry, same verify), pinned in
+    * RowsOnlyContractSpec; the epoch semantics (re-ingest gates to
+    * zero) are pinned in SeenIndexSpec. Each invocation uses its own
+    * temp index dir, so the query is deterministic and re-runnable.
+    */
+  def q104EmbeddingEpochs(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Sources.embeddings(spark, dir)
+    val g = Similarity.lshGeometry(threshold = 0.4, targetRecall = 0.95, numPlanes = 64)
+    val planes = Similarity.hyperplanes(dim = 64, numPlanes = 64)
+    val path = java.nio.file.Files.createTempDirectory("q104_vec_index_").toString
+    graft.dedup.SeenIndex.gateAndUpdateEmbedding(
+      emb.filter(col("vec_id") % 3 =!= 0), "embedding", "vec_id", path,
+      threshold = 0.4, planes = planes, bands = g.bands,
+      probeHamming = g.probeHamming, broadcastVerify = true).release()
+    graft.dedup.SeenIndex.gateAndUpdateEmbedding(
+      emb.filter(col("vec_id") % 3 === 0), "embedding", "vec_id", path,
+      threshold = 0.4, planes = planes, bands = g.bands,
+      probeHamming = g.probeHamming, broadcastVerify = true)
+      .result // checkpointed: never recomputes, safe to return un-released
+      .select("vec_id")
+      .orderBy("vec_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q100_embedding_gate" -> (q100EmbeddingGate _),
+    "q104_embedding_epochs" -> (q104EmbeddingEpochs _),
     "q83_phash_dups" -> (q83PhashDups _),
     "q94_cluster_balanced_sample" -> (q94ClusterBalancedSample _),
     "q95_audio_dups_spectral" -> (q95AudioDupsSpectral _),

@@ -66,6 +66,40 @@ class SeenIndexSpec extends SparkSpec {
     assert(SeenIndex.read(spark, path).filter(col("sig") === 0x7777L).count() == 1)
   }
 
+  test("embedding epochs: near vectors gate, novel and degenerate vectors pass, re-ingest gates to zero") {
+    import sqlImplicits._
+    val path = tmpDir()
+    val dim = 8
+    val planes = graft.similarity.Similarity.hyperplanes(dim, numPlanes = 64)
+    def gate(rows: Seq[(Long, Seq[Float])]) =
+      SeenIndex.gateAndUpdateEmbedding(
+        rows.toDF("vec_id", "embedding"), "embedding", "vec_id", path,
+        threshold = 0.9, planes = planes, bands = 8, broadcastVerify = true)
+    val e1 = Seq(1f, 0f, 0f, 0f, 0f, 0f, 0f, 0f)
+    val e2 = Seq(0f, 1f, 0f, 0f, 0f, 0f, 0f, 0f)
+    val novel = Seq(0f, 0f, 0f, 1f, 0f, 0f, 0f, 0f)
+    // bootstrap: empty index admits everything
+    val r1 = gate(Seq((1L, e1), (2L, e2)))
+    assert(r1.result.collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+    r1.release()
+    // epoch 2: an exact copy of an admitted vector is gated (identical
+    // unit vectors share every band, cosine 1.0 — no LSH luck needed);
+    // the orthogonal novel vector passes; the zero-norm degenerate is
+    // KEPT (unhashable rows can't be proven seen, the family rule)
+    val r2 = gate(Seq((10L, e1), (11L, novel), (12L, Seq.fill(dim)(0f))))
+    val kept2 = r2.result.collect().map(_.getLong(0)).toSet
+    r2.release()
+    assert(kept2 == Set(11L, 12L), s"kept2=$kept2")
+    // epoch 3: re-ingesting epoch 2's finite survivor gates to ZERO;
+    // the degenerate is admitted again (never enters the gate's
+    // normalized space even though its row sits in the index)
+    val r3 = gate(Seq((20L, novel), (21L, Seq.fill(dim)(0f))))
+    assert(r3.result.collect().map(_.getLong(0)).toSet == Set(21L))
+    r3.release()
+    // the index holds every admitted non-null vector row
+    assert(SeenIndex.readVectors(spark, path).count() == 5)
+  }
+
   test("append drops null signatures; empty-dir bootstrap reads as empty") {
     import sqlImplicits._
     val path = tmpDir()

@@ -379,6 +379,10 @@ class PlanContractSpec extends SparkSpec {
     // plan is just the checkpointed admitted set + oracle ORDER BY's
     // range exchange.
     "q103_ingest_epochs" -> 1,
+    // q104: same shape as q103 — both embedding epochs already RAN
+    // eagerly inside the query constructor; the audited plan is the
+    // checkpointed admitted set + oracle ORDER BY's range exchange.
+    "q104_embedding_epochs" -> 1,
     // q89: vocabTokenCounts' distinct-word exchange + the per-doc
     // prefix-sum window / chunk aggregate exchange (shared
     // partitioning) + oracle ORDER BY. The vocab table joins back by

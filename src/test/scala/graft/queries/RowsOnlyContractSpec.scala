@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 /** Quantified contracts for the rows-only queries
   * (q25/q27/q29/q30/q35/q37/q76/q83/q84/q87/q88/q90/q91/q92/q93/
-  * q94/q95/q96/q97/q98/q99/q100/q103):
+  * q94/q95/q96/q97/q98/q99/q100/q103/q104):
   * these cannot
   * hash-match a DuckDB oracle
   * (hash-valued or approximate by design), so each one's CLAIM is
@@ -664,6 +664,18 @@ class RowsOnlyContractSpec extends SparkSpec {
     assert(viaIndex == stateless,
       s"index path diverged: onlyIndex=${viaIndex.diff(stateless).take(5)} onlyStateless=${stateless.diff(viaIndex).take(5)}")
     info(s"epoch-2 admitted ${viaIndex.size} docs (== stateless gate)")
+  }
+
+  test("q104 contract: the durable two-epoch embedding ingest admits exactly q100's kept set") {
+    val viaIndex = SparkEntry.queries("q104_embedding_epochs")(spark, dir)
+      .collect().map(_.getLong(0)).toSet
+    val stateless = SparkEntry.queries("q100_embedding_gate")(spark, dir)
+      .collect().map(_.getLong(0)).toSet
+    // same LSH geometry, same exact-cosine verify — the vector-index
+    // round-trip through parquet must not change a single admission
+    assert(viaIndex == stateless,
+      s"index path diverged: onlyIndex=${viaIndex.diff(stateless).take(5)} onlyStateless=${stateless.diff(viaIndex).take(5)}")
+    info(s"epoch-2 admitted ${viaIndex.size} vectors (== stateless gate)")
   }
 
   test("q100 contract: gated rows truly seen (perfect precision), recall floor vs brute cross filter, planted dup gated") {
