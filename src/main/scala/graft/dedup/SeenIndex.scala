@@ -121,6 +121,74 @@ object SeenIndex {
     graft.core.Releasable(kept, () => { kept.unpersist(blocking = false); () })
   }
 
+  /** Rewrite the index down to one copy of each distinct signature.
+    * Pure OPTIMIZATION — every reader already collapses to distinct
+    * signatures, so compaction changes no gate decision (spec-pinned);
+    * it exists because a year of daily appends accumulates cross-epoch
+    * duplicate rows and small files. Materializes the distinct set to
+    * a temp sibling directory FIRST (the rewrite plan reads the very
+    * files being replaced), then swaps by delete + rename. Not safe
+    * concurrent with a writer — the object's one-writer-per-index
+    * rule covers compaction too; object stores where rename is a copy
+    * should compact during a scheduled quiet window.
+    */
+  def compact(spark: SparkSession, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return
+    val tmp = new org.apache.hadoop.fs.Path(path + ".compact-tmp")
+    read(spark, path).distinct().write.mode("overwrite").parquet(tmp.toString)
+    fs.delete(p, true)
+    fs.rename(tmp, p)
+    ()
+  }
+
+  /** The durable gate as a STREAMING ingest loop — the production
+    * shape: every micro-batch runs one [[gateAndUpdateSimhash]] epoch
+    * against the index at `indexPath`, writes the admitted rows to
+    * `outPath` (parquet append), and appends their signatures to the
+    * index. Cross-batch dedup state lives entirely in the index
+    * DIRECTORY — unlike the stateless stream-static twins
+    * ([[graft.streaming.StreamingOps.dropSeenHammingStream]] gates
+    * against a FIXED reference), the reference here GROWS with every
+    * admitted arrival, and a restarted query (or a different cluster
+    * entirely) resumes with everything any prior run admitted.
+    *
+    * Delivery semantics, honestly: the output write runs BEFORE the
+    * index append, so a failure between the two re-admits the batch
+    * on retry — duplicate rows in `outPath` (at-least-once), never
+    * lost rows (the reverse order would silently DROP a batch: its
+    * signatures would already be in the index, so the retry would
+    * gate every row against itself). The index itself is a SET —
+    * re-appending the same signatures is convergent, not corrupting.
+    * Exactly-once needs a transactional sink (e.g. the epoch-ledgered
+    * [[graft.sources]] streaming sink) holding both writes; this is
+    * the plain-parquet form.
+    */
+  def gateStreamSimhash(
+      stream: DataFrame,
+      textCol: String,
+      indexPath: String,
+      outPath: String,
+      checkpointDir: String,
+      maxHamming: Int = 3): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val hashed = batch.withColumn("__sig",
+          SimHash64.simhash64(graft.text.TextAnalysis.tokens(col(textCol))))
+        val kept = Dedup.dropSeenHamming(
+          hashed, read(batch.sparkSession, indexPath).select(col("sig").as("__sig")),
+          "__sig", maxHamming)
+          .localCheckpoint(true) // same read-what-you-write pin as gateAndUpdateSimhash
+        try {
+          kept.drop("__sig").write.mode("append").parquet(outPath)
+          append(kept, "__sig", indexPath)
+        } finally kept.unpersist(blocking = false)
+        ()
+      }
+      .start()
+
   // ---- the EMBEDDING index: same lifecycle, vector-valued state ----
 
   private val vecSchema = StructType(Seq(

@@ -100,10 +100,67 @@ class SeenIndexSpec extends SparkSpec {
     assert(SeenIndex.readVectors(spark, path).count() == 5)
   }
 
+  test("streaming ingest loop: each micro-batch gates against the GROWING index; a restarted query resumes from it") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import sqlImplicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val idx = tmpDir(); val out = tmpDir()
+    val base = (1 to 50).map(i => s"w$i").mkString(" ")
+    val novel = (500 to 560).map(i => s"z$i").mkString(" ")
+    val later = (900 to 960).map(i => s"y$i").mkString(" ")
+    def admitted(): Set[Long] =
+      spark.read.schema("doc_id LONG, text STRING").parquet(out)
+        .collect().map(_.getLong(0)).toSet
+    val input = MemoryStream[(Long, String)]
+    val q = SeenIndex.gateStreamSimhash(
+      input.toDF().toDF("doc_id", "text"), "text", idx, out, tmpDir())
+    // batch 1 bootstraps: both docs admitted and remembered
+    input.addData((1L, base), (2L, novel)); q.processAllAvailable()
+    assert(admitted() == Set(1L, 2L))
+    // batch 2 gates against batch 1's admissions — cross-BATCH state
+    // the stateless stream-static twin cannot express
+    input.addData((10L, base), (11L, later)); q.processAllAvailable()
+    assert(admitted() == Set(1L, 2L, 11L))
+    q.stop()
+    // a brand-new query (fresh checkpoint, fresh stream) resumes from
+    // the index directory: re-ingesting history gates to zero
+    val input2 = MemoryStream[(Long, String)]
+    val q2 = SeenIndex.gateStreamSimhash(
+      input2.toDF().toDF("doc_id", "text"), "text", idx, out, tmpDir())
+    input2.addData((20L, novel), (21L, later)); q2.processAllAvailable()
+    q2.stop()
+    assert(admitted() == Set(1L, 2L, 11L))
+    // and the streamed lifecycle left the same index a batch epoch would
+    assert(SeenIndex.read(spark, idx).distinct().count() == 3)
+  }
+
   test("append drops null signatures; empty-dir bootstrap reads as empty") {
     import sqlImplicits._
     val path = tmpDir()
     SeenIndex.append(Seq(Some(1L), None, Some(1L)).toDF("sig"), "sig", path)
     assert(SeenIndex.read(spark, path).collect().map(_.getLong(0)).toSeq == Seq(1L))
+  }
+
+  test("compact collapses cross-epoch duplicate rows without changing any gate decision") {
+    import sqlImplicits._
+    val path = tmpDir()
+    // three epochs appending overlapping signature sets
+    SeenIndex.append(Seq(1L, 2L, 3L).toDF("sig"), "sig", path)
+    SeenIndex.append(Seq(2L, 3L, 4L).toDF("sig"), "sig", path)
+    SeenIndex.append(Seq(3L, 4L, 5L).toDF("sig"), "sig", path)
+    assert(SeenIndex.read(spark, path).count() == 9)
+    val gateBefore = Dedup.dropSeenHamming(
+      Seq((1L, 5L), (2L, 1024L)).toDF("id", "sig"), SeenIndex.read(spark, path), "sig",
+      maxHamming = 0).collect().map(_.getLong(0)).toSet
+    SeenIndex.compact(spark, path)
+    // physically one row per distinct signature now
+    assert(SeenIndex.read(spark, path).count() == 5)
+    assert(SeenIndex.read(spark, path).collect().map(_.getLong(0)).toSet == Set(1L, 2L, 3L, 4L, 5L))
+    val gateAfter = Dedup.dropSeenHamming(
+      Seq((1L, 5L), (2L, 1024L)).toDF("id", "sig"), SeenIndex.read(spark, path), "sig",
+      maxHamming = 0).collect().map(_.getLong(0)).toSet
+    assert(gateBefore == gateAfter && gateAfter == Set(2L))
+    // compacting a missing index is a no-op, not an error
+    SeenIndex.compact(spark, tmpDir() + "/never-written")
   }
 }
