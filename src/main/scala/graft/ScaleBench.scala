@@ -613,6 +613,25 @@ object ScaleBench {
           graft.multimodal.Multimodal.syntheticImages(
             docs.filter(col("doc_id") % 3 =!= 0), "doc_id", "text"),
           maxHamming = 3).count()),
+      // Durable two-epoch image ingest: decode + hash map-side in each
+      // epoch, 8-byte signatures to the index. Output is linear in the
+      // batch (a gate, not a pair miner), so unlike
+      // phash_dedup_incremental's intrinsic pair growth, alpha should
+      // sit at the decode floor.
+      "phash_ingest_epochs" -> (() => {
+        def hashes(part: org.apache.spark.sql.DataFrame) =
+          graft.multimodal.PerceptualHash.perceptualHashes(
+            graft.multimodal.Multimodal.syntheticImages(part, "doc_id", "text"))
+            .toDF().select(col("media_id"), col("ahash"))
+        val path = java.nio.file.Files.createTempDirectory("scale_phash_index_").toString
+        graft.dedup.SeenIndex.gateAndUpdateHamming(
+          hashes(docs.filter(col("doc_id") % 3 =!= 0)), "ahash", path).release()
+        val e2 = graft.dedup.SeenIndex.gateAndUpdateHamming(
+          hashes(docs.filter(col("doc_id") % 3 === 0)), "ahash", path)
+        val n = e2.result.count()
+        e2.release()
+        n
+      }),
       // Text ingest gate (batch vs reference SimHash anti-join):
       // output linear in the batch and reference text never shuffles
       // — cost is the two fingerprint scans + the banded signature

@@ -172,6 +172,17 @@ object Containment {
     // slightly redundant (the smaller side's prefix suffices) but
     // keeps the plan one symmetric join; distinct() collapses the
     // duplicates before verification pays anything.
+    //
+    // Tried and MEASURED SLOWER (round 15, keep the receipt): carrying
+    // __nsh onto the full side to enforce the smaller-side restriction
+    // at join time (filter prefix.n <= full.n before distinct) needs
+    // the full side to grow from the window branch too, and that
+    // duplicated window work cost 1.5-2.3x at x10-x30 in BENCH_scale
+    // (containment_prefix 18.7 -> 43.9 s at x10) while cutting few
+    // candidates here — near-dup corpora pair docs of SIMILAR size, so
+    // the spurious direction the filter removes is rare. Revisit only
+    // with a size-skewed fixture that shows the spurious half
+    // dominating verification.
     val cand = prefix.toDF("id_a", "g")
       .join(sh.toDF("id_b", "g"), "g")
       .filter(col("id_a") =!= col("id_b"))

@@ -483,6 +483,36 @@ object SimilarityQueries {
       .orderBy("id_a", "id_b")
   }
 
+  /** q105: the durable MEDIA ingest lifecycle — q103's two-epoch shape
+    * for perceptual hashes, wiring [[graft.dedup.SeenIndex
+    * .gateAndUpdateHamming]]: epoch 1 decodes and hashes the reference
+    * images (doc_id % 3 != 0) map-side and seeds a fresh on-disk
+    * signature index with their aHashes, epoch 2 gates the batch
+    * (doc_id % 3 == 0) against everything epoch 1 admitted and appends
+    * its own survivors. Only 8-byte hashes ever reach the index or a
+    * shuffle — payload bytes stay in the decode scan. Epoch 2's
+    * admission is by construction EXACTLY the stateless
+    * [[graft.multimodal.PerceptualHash.dropSeenImages]] kept set (same
+    * gate, same pigeonhole bound; undecodable rows KEPT by both, the
+    * family rule) — pinned in RowsOnlyContractSpec. Rows-only: DuckDB
+    * cannot decode PNG. Each invocation uses its own temp index dir.
+    */
+  def q105ImageIngestEpochs(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Sources.documents(spark, dir)
+    def hashes(part: DataFrame) =
+      graft.multimodal.PerceptualHash.perceptualHashes(
+        graft.multimodal.Multimodal.syntheticImages(part, "doc_id", "text"))
+        .toDF().select(col("media_id"), col("ahash"))
+    val path = java.nio.file.Files.createTempDirectory("q105_phash_index_").toString
+    graft.dedup.SeenIndex.gateAndUpdateHamming(
+      hashes(docs.filter(col("doc_id") % 3 =!= 0)), "ahash", path).release()
+    graft.dedup.SeenIndex.gateAndUpdateHamming(
+      hashes(docs.filter(col("doc_id") % 3 === 0)), "ahash", path)
+      .result // checkpointed: never recomputes, safe to return un-released
+      .select("media_id")
+      .orderBy("media_id")
+  }
+
   /** q95: spectral audio near-dup pairs — [[graft.multimodal
     * .AudioFingerprint]] sHash (Welch power spectrum, 65 geometric
     * bands, band-delta signs) at Hamming <= 3 over the same encoded
@@ -561,6 +591,7 @@ object SimilarityQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q100_embedding_gate" -> (q100EmbeddingGate _),
     "q104_embedding_epochs" -> (q104EmbeddingEpochs _),
+    "q105_image_ingest_epochs" -> (q105ImageIngestEpochs _),
     "q83_phash_dups" -> (q83PhashDups _),
     "q94_cluster_balanced_sample" -> (q94ClusterBalancedSample _),
     "q95_audio_dups_spectral" -> (q95AudioDupsSpectral _),

@@ -383,6 +383,10 @@ class PlanContractSpec extends SparkSpec {
     // eagerly inside the query constructor; the audited plan is the
     // checkpointed admitted set + oracle ORDER BY's range exchange.
     "q104_embedding_epochs" -> 1,
+    // q105: q103's shape for perceptual hashes — decode/hash ran
+    // map-side inside the eager epochs; checkpointed admitted set +
+    // oracle ORDER BY.
+    "q105_image_ingest_epochs" -> 1,
     // q89: vocabTokenCounts' distinct-word exchange + the per-doc
     // prefix-sum window / chunk aggregate exchange (shared
     // partitioning) + oracle ORDER BY. The vocab table joins back by

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 /** Quantified contracts for the rows-only queries
   * (q25/q27/q29/q30/q35/q37/q76/q83/q84/q87/q88/q90/q91/q92/q93/
-  * q94/q95/q96/q97/q98/q99/q100/q103/q104):
+  * q94/q95/q96/q97/q98/q99/q100/q103/q104/q105):
   * these cannot
   * hash-match a DuckDB oracle
   * (hash-valued or approximate by design), so each one's CLAIM is
@@ -676,6 +676,25 @@ class RowsOnlyContractSpec extends SparkSpec {
     assert(viaIndex == stateless,
       s"index path diverged: onlyIndex=${viaIndex.diff(stateless).take(5)} onlyStateless=${stateless.diff(viaIndex).take(5)}")
     info(s"epoch-2 admitted ${viaIndex.size} vectors (== stateless gate)")
+  }
+
+  test("q105 contract: the durable two-epoch image ingest admits exactly the stateless dropSeenImages kept set") {
+    val docs = graft.sources.Sources.documents(spark, dir)
+    val viaIndex = SparkEntry.queries("q105_image_ingest_epochs")(spark, dir)
+      .collect().map(_.getLong(0)).toSet
+    val stateless = graft.multimodal.PerceptualHash.dropSeenImages(
+      graft.multimodal.Multimodal.syntheticImages(docs.filter(col("doc_id") % 3 === 0), "doc_id", "text"),
+      graft.multimodal.Multimodal.syntheticImages(docs.filter(col("doc_id") % 3 =!= 0), "doc_id", "text"))
+      .collect().map(_.getLong(0)).toSet
+    // same aHash gate, same pigeonhole bound — the index round-trip
+    // through parquet must not change a single admission
+    assert(viaIndex == stateless,
+      s"index path diverged: onlyIndex=${viaIndex.diff(stateless).take(5)} onlyStateless=${stateless.diff(viaIndex).take(5)}")
+    // the batch side is 1/3 of the corpus and not everything dupes:
+    // the gate must be admitting a real, nonempty subset
+    val nBatch = docs.filter(col("doc_id") % 3 === 0).count()
+    assert(viaIndex.nonEmpty && viaIndex.size <= nBatch)
+    info(s"epoch-2 admitted ${viaIndex.size}/$nBatch images (== stateless gate)")
   }
 
   test("q100 contract: gated rows truly seen (perfect precision), recall floor vs brute cross filter, planted dup gated") {
