@@ -68,6 +68,75 @@ object SeenIndex {
       .distinct()
       .write.mode("append").parquet(path)
 
+  // ---- retention windows: optional epoch tags on the same layout ----
+
+  private val epochSchema = StructType(Seq(
+    StructField("sig", LongType, nullable = false),
+    StructField("epoch", LongType, nullable = true)))
+
+  /** [[append]] with an EPOCH tag — the retention-enabling form: rows
+    * carry the ingest epoch (a day number, a crawl id, any monotone
+    * long) so [[readWindow]] can expire history. Tagged and untagged
+    * appends mix freely in one directory: parquet schema projection
+    * reads an untagged file's epoch as NULL, and null means NEVER
+    * EXPIRES — the conservative direction (a legacy signature keeps
+    * gating forever rather than silently aging out). [[read]] keeps
+    * working unchanged over tagged files (it projects just `sig`), so
+    * adopting epochs never breaks an un-windowed consumer.
+    */
+  def appendEpoch(sigs: DataFrame, sigCol: String, path: String, epoch: Long): Unit =
+    sigs.select(col(sigCol).cast("long").as("sig"), lit(epoch).cast("long").as("epoch"))
+      .filter(col("sig").isNotNull)
+      .distinct()
+      .write.mode("append").parquet(path)
+
+  /** The signature frame restricted to epochs >= `minEpoch`, plus
+    * every untagged row — the RECRAWL-WINDOW read. A pipeline that
+    * wants "re-admit content not seen in the last 90 days" gates
+    * against `readWindow(spark, path, today - 90)` instead of
+    * [[read]].
+    */
+  def readWindow(spark: SparkSession, path: String, minEpoch: Long): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p) && fs.listStatus(p).exists(_.getPath.getName.endsWith(".parquet")))
+      spark.read.schema(epochSchema).parquet(path)
+        .filter(col("epoch").isNull || col("epoch") >= minEpoch)
+        .select("sig")
+    else
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+  }
+
+  /** [[gateAndUpdateSimhash]] with a RETENTION WINDOW: gate only
+    * against signatures admitted at epoch >= `minEpoch` (untagged
+    * history never expires), tag this batch's admissions with
+    * `epoch`. A document whose every prior sighting has aged out of
+    * the window is re-admitted — and re-remembered at the current
+    * epoch, resetting its clock. Note the exact semantics: only
+    * epochs where a copy was ADMITTED extend the memory, because a
+    * GATED copy writes nothing — expiry is measured from the last
+    * admission, not the last sighting.
+    */
+  def gateAndUpdateSimhashWindow(
+      batch: DataFrame,
+      textCol: String,
+      path: String,
+      epoch: Long,
+      minEpoch: Long,
+      maxHamming: Int = 3): graft.core.Releasable[DataFrame] = {
+    val spark = batch.sparkSession
+    val hashed = batch.withColumn("__sig",
+      SimHash64.simhash64(graft.text.TextAnalysis.tokens(col(textCol))))
+    // eager localCheckpoint for the same read-what-you-write reason
+    // as gateAndUpdateSimhash (see its in-body comment)
+    val kept = Dedup.dropSeenHamming(
+      hashed, readWindow(spark, path, minEpoch).select(col("sig").as("__sig")),
+      "__sig", maxHamming)
+      .localCheckpoint(true)
+    appendEpoch(kept, "__sig", path, epoch)
+    graft.core.Releasable(kept.drop("__sig"), () => { kept.unpersist(blocking = false); () })
+  }
+
   /** One ingest epoch at the TEXT level: gate `batch` by SimHash
     * against everything previously admitted (exact in fingerprint
     * space at the default `maxHamming = 3 < 4` bands — the
@@ -121,23 +190,35 @@ object SeenIndex {
     graft.core.Releasable(kept, () => { kept.unpersist(blocking = false); () })
   }
 
-  /** Rewrite the index down to one copy of each distinct signature.
+  /** Rewrite the index down to one row per distinct signature.
     * Pure OPTIMIZATION — every reader already collapses to distinct
     * signatures, so compaction changes no gate decision (spec-pinned);
     * it exists because a year of daily appends accumulates cross-epoch
-    * duplicate rows and small files. Materializes the distinct set to
-    * a temp sibling directory FIRST (the rewrite plan reads the very
-    * files being replaced), then swaps by delete + rename. Not safe
-    * concurrent with a writer — the object's one-writer-per-index
-    * rule covers compaction too; object stores where rename is a copy
-    * should compact during a scheduled quiet window.
+    * duplicate rows and small files. Epoch tags survive: a signature
+    * keeps its LATEST epoch (so [[readWindow]] expires it at exactly
+    * the moment the uncompacted rows would have), and an untagged
+    * sighting dominates every tagged one (never-expires stays
+    * never-expires). Materializes the compacted set to a temp sibling
+    * directory FIRST (the rewrite plan reads the very files being
+    * replaced), then swaps by delete + rename. Not safe concurrent
+    * with a writer — the object's one-writer-per-index rule covers
+    * compaction too; object stores where rename is a copy should
+    * compact during a scheduled quiet window.
     */
   def compact(spark: SparkSession, path: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) return
     val tmp = new org.apache.hadoop.fs.Path(path + ".compact-tmp")
-    read(spark, path).distinct().write.mode("overwrite").parquet(tmp.toString)
+    spark.read.schema(epochSchema).parquet(path)
+      .groupBy("sig")
+      .agg(
+        max(col("epoch")).as("__max_epoch"),
+        max(when(col("epoch").isNull, 1).otherwise(0)).as("__untagged"))
+      .select(col("sig"),
+        when(col("__untagged") === 1, lit(null).cast("long"))
+          .otherwise(col("__max_epoch")).as("epoch"))
+      .write.mode("overwrite").parquet(tmp.toString)
     fs.delete(p, true)
     fs.rename(tmp, p)
     ()

@@ -141,6 +141,39 @@ class SeenIndexSpec extends SparkSpec {
     assert(SeenIndex.read(spark, path).collect().map(_.getLong(0)).toSeq == Seq(1L))
   }
 
+  test("retention window: history expires, re-admission resets the clock, untagged rows never expire, compact preserves it all") {
+    import sqlImplicits._
+    val path = tmpDir()
+    val docA = (1 to 50).map(i => s"w$i").mkString(" ")
+    val docB = (100 to 160).map(i => s"v$i").mkString(" ")
+    def gate(id: Long, text: String, epoch: Long, minEpoch: Long): Set[Long] = {
+      val r = SeenIndex.gateAndUpdateSimhashWindow(
+        Seq((id, text)).toDF("doc_id", "text"), "text", path, epoch, minEpoch)
+      val kept = r.result.collect().map(_.getLong(0)).toSet
+      r.release(); kept
+    }
+    // epoch 1 bootstraps; epoch 2's window still covers epoch 1 -> gated
+    assert(gate(1L, docA, epoch = 1, minEpoch = 0) == Set(1L))
+    assert(gate(2L, docA, epoch = 2, minEpoch = 1).isEmpty)
+    // epoch 10 with a window starting at 5: the epoch-1 admission has
+    // EXPIRED, so the same content is re-admitted and re-tagged at 10
+    assert(gate(3L, docA, epoch = 10, minEpoch = 5) == Set(3L))
+    // epoch 11, window from 6: the epoch-10 re-admission is live again
+    assert(gate(4L, docA, epoch = 11, minEpoch = 6).isEmpty)
+    // an UNTAGGED admission (the pre-retention API) never expires
+    SeenIndex.gateAndUpdateSimhash(
+      Seq((20L, docB)).toDF("doc_id", "text"), "text", path).release()
+    assert(gate(21L, docB, epoch = 1000, minEpoch = 999).isEmpty)
+    // compact: one row per sig, docA's sig keeps its LATEST epoch (10)
+    // and docB's stays untagged — the SAME decisions replay after
+    SeenIndex.compact(spark, path)
+    assert(gate(5L, docA, epoch = 12, minEpoch = 6).isEmpty)  // epoch-10 tag survived
+    assert(gate(6L, docA, epoch = 20, minEpoch = 11) == Set(6L)) // and still expires
+    assert(gate(22L, docB, epoch = 2000, minEpoch = 1999).isEmpty) // untagged survived
+    // plain read() sees every signature regardless of tags
+    assert(SeenIndex.read(spark, path).distinct().count() == 2)
+  }
+
   test("compact collapses cross-epoch duplicate rows without changing any gate decision") {
     import sqlImplicits._
     val path = tmpDir()
