@@ -30,9 +30,14 @@ import org.apache.spark.sql.functions._
   */
 object PerceptualHash {
 
-  final case class PHashRow(media_id: Long, ahash: Long, dhash: Long)
+  final case class PHashRow(media_id: Long, ahash: Long, dhash: Long, n_bytes: Long)
 
-  /** `(media_id, ahash, dhash)` for every decodable payload. */
+  /** `(media_id, ahash, dhash, n_bytes)` for every decodable payload.
+    * `n_bytes` (the ENCODED payload size) rides along so consumers
+    * that need a cheap per-image quality proxy next to the hashes —
+    * q92's keep-best resolution scores by it — get both from ONE
+    * decode pass instead of re-scanning the payload bytes.
+    */
   def perceptualHashes(media: Dataset[Multimodal.MediaRow]): Dataset[PHashRow] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
@@ -41,7 +46,8 @@ object PerceptualHash {
         else {
           val frames = Multimodal.decodeFrames(r.bytes)
           if (frames.isEmpty) Iterator.empty
-          else Iterator.single(PHashRow(r.media_id, aHash64(frames.head), dHash64(frames.head)))
+          else Iterator.single(
+            PHashRow(r.media_id, aHash64(frames.head), dHash64(frames.head), r.bytes.length.toLong))
         }
       }
     }

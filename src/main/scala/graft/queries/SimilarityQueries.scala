@@ -270,15 +270,22 @@ object SimilarityQueries {
     * Scale shape: clusters are linear in ids (no pair list), the
     * score join is id-grain, and the keep-best argmax is ONE
     * map-side-combined struct-min aggregate — the whole resolution
-    * stays linear at 100 TB.
+    * stays linear at 100 TB. The corpus is decoded ONCE: the hash
+    * pass carries `n_bytes` alongside the hashes (PHashRow), the
+    * hashed table is persisted, and both the cluster miner and the
+    * score branch read it — the previous shape paid a second full
+    * media scan just for `length(bytes)`.
     */
   def q92ImageDedupResolution(spark: SparkSession, dir: String): DataFrame = {
     val media = graft.multimodal.Multimodal.syntheticImages(
       Sources.documents(spark, dir), "doc_id", "text")
-    val clusters = graft.multimodal.PerceptualHash.phashDupClusters(
-      media, maxHamming = 3, which = "ahash")
-    val scores = media.toDF().select(
-      col("media_id"), length(col("bytes")).cast("double").as("score"))
+    val hashed = graft.multimodal.PerceptualHash.perceptualHashes(media).toDF()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val clusters = graft.dedup.Dedup.hammingClusters(
+      hashed.select(col("media_id").as("id"), col("ahash").as("sig")),
+      "id", "sig", maxHamming = 3)
+      .withColumnRenamed("id", "media_id")
+    val scores = hashed.select(col("media_id"), col("n_bytes").cast("double").as("score"))
     val members = clusters.join(scores, "media_id")
     graft.dedup.Dedup.clusterRepresentatives(members, "cluster", "media_id", "score")
       .orderBy("cluster_id")
