@@ -200,16 +200,23 @@ object SeenIndex {
     * sighting dominates every tagged one (never-expires stays
     * never-expires). Materializes the compacted set to a temp sibling
     * directory FIRST (the rewrite plan reads the very files being
-    * replaced), then swaps by delete + rename. Not safe concurrent
-    * with a writer — the object's one-writer-per-index rule covers
-    * compaction too; object stores where rename is a copy should
-    * compact during a scheduled quiet window.
+    * replaced), then swaps old-out/new-in by two renames: the
+    * original moves to `<path>.compact-old` BEFORE anything is
+    * deleted, so no crash point leaves the machine without a full
+    * copy of the index on disk (a crash between the renames leaves
+    * `.compact-old` + `.compact-tmp`; recovery is renaming either
+    * back). The backup is deleted only after the new index is in
+    * place. Not safe concurrent with a writer — the object's
+    * one-writer-per-index rule covers compaction too; object stores
+    * where rename is a copy should compact during a scheduled quiet
+    * window.
     */
   def compact(spark: SparkSession, path: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) return
     val tmp = new org.apache.hadoop.fs.Path(path + ".compact-tmp")
+    val bak = new org.apache.hadoop.fs.Path(path + ".compact-old")
     spark.read.schema(epochSchema).parquet(path)
       .groupBy("sig")
       .agg(
@@ -219,8 +226,10 @@ object SeenIndex {
         when(col("__untagged") === 1, lit(null).cast("long"))
           .otherwise(col("__max_epoch")).as("epoch"))
       .write.mode("overwrite").parquet(tmp.toString)
-    fs.delete(p, true)
+    fs.delete(bak, true) // stale backup from a prior crashed compaction
+    fs.rename(p, bak)
     fs.rename(tmp, p)
+    fs.delete(bak, true)
     ()
   }
 
