@@ -102,10 +102,13 @@ object ScaleBench {
       val fit = graft.similarity.Similarity.lshGeometryUnderBudget(
         threshold = 0.4, numPlanes = 64, corpusSize = math.max(1L, nEmb), candidateBudget = 100000000L)
       extra("embedding_neardup_mid04_degraded",
-        f""","budget_policy":"AutoDegrade","degraded":$exceeded,""" +
-          f""""geometry":"$fit","at_threshold_recall":${fit.expectedRecall}%.4f,""" +
-          f""""min_degraded_recall":0.5,"floor_refused":${fit.expectedRecall < 0.5},""" +
-          f""""predicted_background_candidates":${fit.expectedBackgroundCandidates(nEmb)}%.4g""")
+        s""","budget_policy":"AutoDegrade","degraded":$exceeded,""" +
+          s""""geometry":"$fit","at_threshold_recall":${
+            String.format(java.util.Locale.ROOT, "%.4f", Double.box(fit.expectedRecall))},""" +
+          s""""min_degraded_recall":0.5,"floor_refused":${fit.expectedRecall < 0.5},""" +
+          s""""predicted_background_candidates":${
+            String.format(java.util.Locale.ROOT, "%.4g",
+              Double.box(fit.expectedBackgroundCandidates(nEmb)))}""")
     }
     // Record which form the packing facade routes to at this scale
     // (single corpus stratum, so max stratum rows = the doc count).
@@ -118,7 +121,9 @@ object ScaleBench {
     }
     def ccExtra(name: String, run: graft.dedup.Dedup.CcRun): Unit = extra(name,
       s""","rounds":${run.rounds},"converged":${run.converged},""" +
-        s""""round_secs":[${run.roundSecs.map(s => f"$s%.3f").mkString(",")}]""")
+        s""""round_secs":[${run.roundSecs
+          .map(s => String.format(java.util.Locale.ROOT, "%.3f", Double.box(s)))
+          .mkString(",")}]""")
     Seq(
       "exact_dedup" -> (() => graft.dedup.Dedup.exactDedup(docs, "text", "doc_id").count()),
       "minhash_candidates" -> (() =>
@@ -894,7 +899,10 @@ object ScaleBench {
           tHi <- hi._4.find(_._1 == n).flatMap(_._2)
         } yield n -> math.log(tHi / tLo) / math.log(hi._1.toDouble / lo._1)
       }
-    def jnum(d: Double): String = f"$d%.4f"
+    // Locale-pinned like Bench.fmt3: the default-locale `f`
+    // interpolator would emit "0,1234" under comma-decimal locales —
+    // invalid JSON in the committed artifact.
+    def jnum(d: Double): String = String.format(java.util.Locale.ROOT, "%.4f", Double.box(d))
     val scaleJson = perScale.map { case (x, nDocs, nEmb, times) =>
       val qs = times.map { case (n, t, r, err) =>
         val sec = t.fold("null")(jnum)

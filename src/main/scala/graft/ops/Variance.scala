@@ -41,7 +41,11 @@ object Variance {
     val med = medianOf(values)
     val rcv = if (med != 0) Some(medianOf(values.map(v => math.abs(v - med))) / med) else None
     if (rcv.exists(_ > p.rcvThreshold))
-      return VarianceVerdict(stage, "High", f"high_rcv(${rcv.get}%.4f>${p.rcvThreshold}%.2f)",
+      // Locale.ROOT: the reason string is DATA (compared in specs and
+      // write-back outputs), so it must not vary with the JVM locale
+      return VarianceVerdict(stage, "High",
+        String.format(java.util.Locale.ROOT, "high_rcv(%.4f>%.2f)",
+          Double.box(rcv.get), Double.box(p.rcvThreshold)),
         0, Nil, Nil, Nil, rcv, n.toLong)
 
     val fit = Gmm.bestByBic(values, p.maxComponents)
