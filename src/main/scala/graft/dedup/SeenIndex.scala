@@ -190,6 +190,29 @@ object SeenIndex {
     graft.core.Releasable(kept, () => { kept.unpersist(blocking = false); () })
   }
 
+  /** [[gateAndUpdateHamming]] with a RETENTION WINDOW — the media
+    * form of [[gateAndUpdateSimhashWindow]], same epoch semantics
+    * (untagged history never expires; expiry measured from the last
+    * ADMISSION, because a gated copy writes nothing).
+    */
+  def gateAndUpdateHammingWindow(
+      batch: DataFrame,
+      sigCol: String,
+      path: String,
+      epoch: Long,
+      minEpoch: Long,
+      maxHamming: Int = 3): graft.core.Releasable[DataFrame] = {
+    val spark = batch.sparkSession
+    // eager localCheckpoint for the same read-what-you-write reason
+    // as gateAndUpdateSimhash (see its in-body comment)
+    val kept = Dedup.dropSeenHamming(
+      batch, readWindow(spark, path, minEpoch).select(col("sig").as(sigCol)),
+      sigCol, maxHamming)
+      .localCheckpoint(true)
+    appendEpoch(kept, sigCol, path, epoch)
+    graft.core.Releasable(kept, () => { kept.unpersist(blocking = false); () })
+  }
+
   /** Rewrite the index down to one row per distinct signature.
     * Pure OPTIMIZATION — every reader already collapses to distinct
     * signatures, so compaction changes no gate decision (spec-pinned);
@@ -285,6 +308,9 @@ object SeenIndex {
     StructField("id", LongType, nullable = false),
     StructField("vec", ArrayType(FloatType, containsNull = true), nullable = true)))
 
+  private val vecEpochSchema = StructType(vecSchema.fields :+
+    StructField("epoch", LongType, nullable = true))
+
   /** The vector index's frame — `(id, vec)` rows, the admitted
     * embeddings. Unlike the 8-byte signature index this is
     * (8 + 4*dim) bytes per row (~264 GB for a billion 64-dim docs):
@@ -316,6 +342,32 @@ object SeenIndex {
       .distinct()
       .write.mode("append").parquet(path)
 
+  /** [[appendVectors]] with an EPOCH tag — same mixing rules as the
+    * signature index's [[appendEpoch]] (untagged files read as epoch
+    * NULL = never expires; [[readVectors]] keeps working unchanged).
+    */
+  def appendVectorsEpoch(
+      df: DataFrame, vecCol: String, idCol: String, path: String, epoch: Long): Unit =
+    df.select(col(idCol).cast("long").as("id"), col(vecCol).cast("array<float>").as("vec"),
+        lit(epoch).cast("long").as("epoch"))
+      .filter(col("vec").isNotNull)
+      .distinct()
+      .write.mode("append").parquet(path)
+
+  /** The vector frame restricted to epochs >= `minEpoch` plus every
+    * untagged row — [[readWindow]] for embeddings.
+    */
+  def readVectorsWindow(spark: SparkSession, path: String, minEpoch: Long): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p) && fs.listStatus(p).exists(_.getPath.getName.endsWith(".parquet")))
+      spark.read.schema(vecEpochSchema).parquet(path)
+        .filter(col("epoch").isNull || col("epoch") >= minEpoch)
+        .select("id", "vec")
+    else
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], vecSchema)
+  }
+
   /** One ingest epoch at the EMBEDDING level — the durable form of
     * [[graft.similarity.Similarity.dropSeenEmbedding]]: gate `batch`
     * by cosine >= `threshold` against every previously admitted
@@ -345,6 +397,35 @@ object SeenIndex {
       batch, ref, vecCol, idCol, threshold, planes, bands, probeHamming, broadcastVerify)
       .localCheckpoint(true)
     appendVectors(kept, vecCol, idCol, path)
+    graft.core.Releasable(kept, () => { kept.unpersist(blocking = false); () })
+  }
+
+  /** [[gateAndUpdateEmbedding]] with a RETENTION WINDOW — the
+    * semantic form of [[gateAndUpdateSimhashWindow]], same epoch
+    * semantics (untagged history never expires; expiry measured from
+    * the last ADMISSION).
+    */
+  def gateAndUpdateEmbeddingWindow(
+      batch: DataFrame,
+      vecCol: String,
+      idCol: String,
+      path: String,
+      epoch: Long,
+      minEpoch: Long,
+      threshold: Double,
+      planes: Array[Array[Float]],
+      bands: Int = 8,
+      probeHamming: Int = 0,
+      broadcastVerify: Boolean = false): graft.core.Releasable[DataFrame] = {
+    val spark = batch.sparkSession
+    val ref = readVectorsWindow(spark, path, minEpoch)
+      .select(col("id").as(idCol), col("vec").as(vecCol))
+    // eager localCheckpoint for the same read-what-you-write reason
+    // as gateAndUpdateSimhash (see its in-body comment)
+    val kept = graft.similarity.Similarity.dropSeenEmbedding(
+      batch, ref, vecCol, idCol, threshold, planes, bands, probeHamming, broadcastVerify)
+      .localCheckpoint(true)
+    appendVectorsEpoch(kept, vecCol, idCol, path, epoch)
     graft.core.Releasable(kept, () => { kept.unpersist(blocking = false); () })
   }
 }

@@ -174,6 +174,53 @@ class SeenIndexSpec extends SparkSpec {
     assert(SeenIndex.read(spark, path).distinct().count() == 2)
   }
 
+  test("retention window for precomputed hashes: the media form expires and resets like the text form") {
+    import sqlImplicits._
+    val path = tmpDir()
+    val s0 = 0x0f0f0f0f0f0f0f0fL
+    def gate(id: Long, sig: Long, epoch: Long, minEpoch: Long): Set[Long] = {
+      val r = SeenIndex.gateAndUpdateHammingWindow(
+        Seq((id, sig)).toDF("media_id", "ahash"), "ahash", path, epoch, minEpoch)
+      val kept = r.result.collect().map(_.getLong(0)).toSet
+      r.release(); kept
+    }
+    assert(gate(1L, s0, epoch = 1, minEpoch = 0) == Set(1L))
+    // a NEAR signature (hamming 2) inside the window is gated
+    assert(gate(2L, s0 ^ 3L, epoch = 2, minEpoch = 1).isEmpty)
+    // outside the window the epoch-1 admission has expired
+    assert(gate(3L, s0, epoch = 10, minEpoch = 5) == Set(3L))
+    assert(gate(4L, s0, epoch = 11, minEpoch = 6).isEmpty)
+  }
+
+  test("retention window for embeddings: vector history expires, untagged vectors never do") {
+    import sqlImplicits._
+    val path = tmpDir()
+    val dim = 8
+    val planes = graft.similarity.Similarity.hyperplanes(dim, numPlanes = 64)
+    val e1 = Seq(1f, 0f, 0f, 0f, 0f, 0f, 0f, 0f)
+    val e2 = Seq(0f, 0f, 1f, 0f, 0f, 0f, 0f, 0f)
+    def gate(id: Long, v: Seq[Float], epoch: Long, minEpoch: Long): Set[Long] = {
+      val r = SeenIndex.gateAndUpdateEmbeddingWindow(
+        Seq((id, v)).toDF("vec_id", "embedding"), "embedding", "vec_id", path,
+        epoch, minEpoch, threshold = 0.9, planes = planes, broadcastVerify = true)
+      val kept = r.result.collect().map(_.getLong(0)).toSet
+      r.release(); kept
+    }
+    assert(gate(1L, e1, epoch = 1, minEpoch = 0) == Set(1L))
+    assert(gate(2L, e1, epoch = 2, minEpoch = 1).isEmpty)   // in window -> gated
+    assert(gate(3L, e1, epoch = 10, minEpoch = 5) == Set(3L)) // expired -> re-admitted
+    assert(gate(4L, e1, epoch = 11, minEpoch = 6).isEmpty)  // clock reset at 10
+    // an UNTAGGED vector (pre-retention API) never expires
+    SeenIndex.gateAndUpdateEmbedding(
+      Seq((20L, e2)).toDF("vec_id", "embedding"), "embedding", "vec_id", path,
+      threshold = 0.9, planes = planes, broadcastVerify = true).release()
+    assert(gate(21L, e2, epoch = 1000, minEpoch = 999).isEmpty)
+    // the un-windowed read sees every ADMITTED vector regardless of
+    // tags: ids 1 and 3 (tagged epochs 1 and 10) plus 20 (untagged);
+    // gated arrivals (2, 4, 21) never reached the index
+    assert(SeenIndex.readVectors(spark, path).select("id").distinct().count() == 3)
+  }
+
   test("compact collapses cross-epoch duplicate rows without changing any gate decision") {
     import sqlImplicits._
     val path = tmpDir()
