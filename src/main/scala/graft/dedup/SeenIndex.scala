@@ -43,14 +43,97 @@ object SeenIndex {
 
   private val schema = StructType(Seq(StructField("sig", LongType, nullable = false)))
 
+  /** The pigeonhole bound every Hamming gate in this object relies on:
+    * [[Dedup.dropSeenHamming]] bands signatures into 4 slices, so the
+    * banded candidate stage is EXACT only for `maxHamming < 4` (a
+    * signature differing in <= 3 bits must agree on at least one
+    * 16-bit slice). A larger radius would silently turn the gate
+    * approximate — it starts MISSING true near-duplicates — so the
+    * entry points refuse it loudly instead.
+    */
+  private def requireExactRadius(maxHamming: Int): Unit =
+    require(maxHamming >= 0 && maxHamming < 4,
+      s"maxHamming=$maxHamming: the gate's 4-band pigeonhole is exact only for " +
+        "maxHamming < 4; a larger radius would silently miss true near-duplicates. " +
+        "Use Dedup.dropSeenHamming directly with more bands if you need a wider radius.")
+
+  private def fsFor(spark: SparkSession, p: org.apache.hadoop.fs.Path) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def renameOrThrow(
+      fs: org.apache.hadoop.fs.FileSystem,
+      src: org.apache.hadoop.fs.Path,
+      dst: org.apache.hadoop.fs.Path): Unit =
+    // Hadoop rename reports failure by RETURNING FALSE, not throwing;
+    // ignoring it here would let a failed swap delete the only full
+    // copy of the index (the exact failure ADVICE r15 named).
+    if (!fs.rename(src, dst))
+      throw new java.io.IOException(s"rename $src -> $dst returned false; " +
+        "compaction aborted with the original index intact")
+
+  private def deleteOrThrow(
+      fs: org.apache.hadoop.fs.FileSystem, p: org.apache.hadoop.fs.Path): Unit =
+    if (fs.exists(p) && !fs.delete(p, true))
+      throw new java.io.IOException(s"delete $p returned false")
+
+  /** Fail LOUD when the index directory is missing while a crashed
+    * [[compact]]'s leftovers exist. `read`'s missing-directory =
+    * empty-index bootstrap rule is right for a never-written index but
+    * catastrophic mid-compaction: between the two swap renames the
+    * main path does not exist, and a reader that bootstrapped empty
+    * there would silently admit EVERYTHING. The two states are
+    * distinguishable on disk — a true bootstrap has no
+    * `.compact-old`/`.compact-tmp` sibling — so readers throw with a
+    * recovery hint instead of guessing.
+    */
+  private def requireNotMidCompaction(
+      fs: org.apache.hadoop.fs.FileSystem, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    if (!fs.exists(p)) {
+      val leftovers = Seq(path + ".compact-old", path + ".compact-tmp")
+        .map(new org.apache.hadoop.fs.Path(_)).filter(fs.exists)
+      if (leftovers.nonEmpty)
+        throw new IllegalStateException(
+          s"seen index at $path is missing but ${leftovers.mkString(", ")} exist(s): " +
+            "a compaction crashed mid-swap. Reading now would bootstrap an EMPTY index " +
+            "and admit everything. Run SeenIndex.recover(spark, path) to restore the " +
+            "pre-compaction copy, then retry.")
+    }
+  }
+
+  /** Restore an index from a crashed [[compact]]/[[compactVectors]].
+    * Idempotent over every crash state the swap protocol can leave:
+    * main missing + backup present -> the backup (a complete
+    * pre-compaction copy) moves back; main missing + only the temp
+    * present (the backup was already consumed, so the temp write is
+    * known complete) -> the compacted copy moves in; main present ->
+    * the swap finished, only stale leftovers are deleted. A no-op on
+    * a healthy or never-written index.
+    */
+  def recover(spark: SparkSession, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = fsFor(spark, p)
+    val bak = new org.apache.hadoop.fs.Path(path + ".compact-old")
+    val tmp = new org.apache.hadoop.fs.Path(path + ".compact-tmp")
+    if (!fs.exists(p)) {
+      if (fs.exists(bak)) renameOrThrow(fs, bak, p)
+      else if (fs.exists(tmp)) renameOrThrow(fs, tmp, p)
+    }
+    deleteOrThrow(fs, tmp)
+    deleteOrThrow(fs, bak)
+  }
+
   /** The index's signature frame — a single `sig` column, possibly
     * with cross-epoch duplicates. A missing or empty directory reads
     * as an EMPTY index (the bootstrap case: the first epoch gates
-    * against nothing and seeds the index), not an error.
+    * against nothing and seeds the index), not an error — UNLESS a
+    * crashed compaction's leftovers prove the index existed, in which
+    * case the read fails loud (see [[recover]]).
     */
   def read(spark: SparkSession, path: String): DataFrame = {
     val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fs = fsFor(spark, p)
+    requireNotMidCompaction(fs, path)
     if (fs.exists(p) && fs.listStatus(p).exists(_.getPath.getName.endsWith(".parquet")))
       spark.read.schema(schema).parquet(path)
     else
@@ -98,7 +181,8 @@ object SeenIndex {
     */
   def readWindow(spark: SparkSession, path: String, minEpoch: Long): DataFrame = {
     val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fs = fsFor(spark, p)
+    requireNotMidCompaction(fs, path)
     if (fs.exists(p) && fs.listStatus(p).exists(_.getPath.getName.endsWith(".parquet")))
       spark.read.schema(epochSchema).parquet(path)
         .filter(col("epoch").isNull || col("epoch") >= minEpoch)
@@ -124,6 +208,7 @@ object SeenIndex {
       epoch: Long,
       minEpoch: Long,
       maxHamming: Int = 3): graft.core.Releasable[DataFrame] = {
+    requireExactRadius(maxHamming)
     val spark = batch.sparkSession
     val hashed = batch.withColumn("__sig",
       SimHash64.simhash64(graft.text.TextAnalysis.tokens(col(textCol))))
@@ -152,6 +237,7 @@ object SeenIndex {
       textCol: String,
       path: String,
       maxHamming: Int = 3): graft.core.Releasable[DataFrame] = {
+    requireExactRadius(maxHamming)
     val spark = batch.sparkSession
     val hashed = batch.withColumn("__sig",
       SimHash64.simhash64(graft.text.TextAnalysis.tokens(col(textCol))))
@@ -180,6 +266,7 @@ object SeenIndex {
       sigCol: String,
       path: String,
       maxHamming: Int = 3): graft.core.Releasable[DataFrame] = {
+    requireExactRadius(maxHamming)
     val spark = batch.sparkSession
     // eager localCheckpoint for the same read-what-you-write reason
     // as gateAndUpdateSimhash (see its in-body comment)
@@ -202,6 +289,7 @@ object SeenIndex {
       epoch: Long,
       minEpoch: Long,
       maxHamming: Int = 3): graft.core.Releasable[DataFrame] = {
+    requireExactRadius(maxHamming)
     val spark = batch.sparkSession
     // eager localCheckpoint for the same read-what-you-write reason
     // as gateAndUpdateSimhash (see its in-body comment)
@@ -234,26 +322,69 @@ object SeenIndex {
     * where rename is a copy should compact during a scheduled quiet
     * window.
     */
-  def compact(spark: SparkSession, path: String): Unit = {
+  def compact(spark: SparkSession, path: String): Unit =
+    compactInto(spark, path) { df =>
+      df.groupBy("sig")
+        .agg(
+          max(col("epoch")).as("__max_epoch"),
+          max(when(col("epoch").isNull, 1).otherwise(0)).as("__untagged"))
+        .select(col("sig"),
+          when(col("__untagged") === 1, lit(null).cast("long"))
+            .otherwise(col("__max_epoch")).as("epoch"))
+    }(epochSchema)
+
+  /** [[compact]] for the VECTOR index — the same one-row-per-distinct
+    * rewrite over `(id, vec)` keys (grouping on the array column is
+    * fine: Spark hashes and compares arrays element-wise), the same
+    * epoch rules (a pair keeps its LATEST epoch; an untagged sighting
+    * dominates every tagged one), the same crash-safe backup-then-swap.
+    * This is the index that NEEDS compaction most: at (8 + 4*dim)
+    * bytes per row a year of daily appends of overlapping vectors is
+    * the big duplicate bill, where the signature index's was 8 bytes.
+    */
+  def compactVectors(spark: SparkSession, path: String): Unit =
+    compactInto(spark, path) { df =>
+      df.groupBy("id", "vec")
+        .agg(
+          max(col("epoch")).as("__max_epoch"),
+          max(when(col("epoch").isNull, 1).otherwise(0)).as("__untagged"))
+        .select(col("id"), col("vec"),
+          when(col("__untagged") === 1, lit(null).cast("long"))
+            .otherwise(col("__max_epoch")).as("epoch"))
+    }(vecEpochSchema)
+
+  /** The shared compaction body: materialize `rewrite(index)` to a
+    * temp sibling FIRST (the rewrite plan reads the very files being
+    * replaced), then swap old-out/new-in by two CHECKED renames — the
+    * original moves to `<path>.compact-old` before anything is
+    * deleted, so no crash point leaves the machine without a full
+    * copy on disk, and every rename/delete's boolean result is
+    * verified (Hadoop reports failure by returning false; an
+    * unchecked false on the final rename would leave the main path
+    * missing and then delete the backup — the one sequence that CAN
+    * lose the index). A crash between the renames leaves
+    * `.compact-old`/`.compact-tmp`, which readers detect and refuse
+    * (see [[requireNotMidCompaction]]) and [[recover]] repairs. Not
+    * safe concurrent with a writer — the object's
+    * one-writer-per-index rule covers compaction too; object stores
+    * where rename is a copy should compact during a scheduled quiet
+    * window, and readers must be quiesced across the swap for the
+    * same reason.
+    */
+  private def compactInto(spark: SparkSession, path: String)(
+      rewrite: DataFrame => DataFrame)(readSchema: StructType): Unit = {
     val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fs = fsFor(spark, p)
+    requireNotMidCompaction(fs, path) // a crashed prior swap needs recover(), not another compact
     if (!fs.exists(p)) return
     val tmp = new org.apache.hadoop.fs.Path(path + ".compact-tmp")
     val bak = new org.apache.hadoop.fs.Path(path + ".compact-old")
-    spark.read.schema(epochSchema).parquet(path)
-      .groupBy("sig")
-      .agg(
-        max(col("epoch")).as("__max_epoch"),
-        max(when(col("epoch").isNull, 1).otherwise(0)).as("__untagged"))
-      .select(col("sig"),
-        when(col("__untagged") === 1, lit(null).cast("long"))
-          .otherwise(col("__max_epoch")).as("epoch"))
+    rewrite(spark.read.schema(readSchema).parquet(path))
       .write.mode("overwrite").parquet(tmp.toString)
-    fs.delete(bak, true) // stale backup from a prior crashed compaction
-    fs.rename(p, bak)
-    fs.rename(tmp, p)
-    fs.delete(bak, true)
-    ()
+    deleteOrThrow(fs, bak) // stale backup from a prior compaction that crashed after its swap
+    renameOrThrow(fs, p, bak)
+    renameOrThrow(fs, tmp, p)
+    deleteOrThrow(fs, bak)
   }
 
   /** The durable gate as a STREAMING ingest loop — the production
@@ -274,9 +405,9 @@ object SeenIndex {
     * signatures would already be in the index, so the retry would
     * gate every row against itself). The index itself is a SET —
     * re-appending the same signatures is convergent, not corrupting.
-    * Exactly-once needs a transactional sink (e.g. the epoch-ledgered
-    * [[graft.sources]] streaming sink) holding both writes; this is
-    * the plain-parquet form.
+    * When duplicates in `outPath` are unacceptable, use
+    * [[gateStreamSimhashExactlyOnce]] — the ledgered form whose
+    * replays are idempotent end to end.
     */
   def gateStreamSimhash(
       stream: DataFrame,
@@ -284,7 +415,8 @@ object SeenIndex {
       indexPath: String,
       outPath: String,
       checkpointDir: String,
-      maxHamming: Int = 3): org.apache.spark.sql.streaming.StreamingQuery =
+      maxHamming: Int = 3): org.apache.spark.sql.streaming.StreamingQuery = {
+    requireExactRadius(maxHamming)
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -301,6 +433,206 @@ object SeenIndex {
         ()
       }
       .start()
+  }
+
+  /** [[gateStreamSimhash]] for any precomputed 64-bit signature column
+    * — the MEDIA form of the durable streaming ingest loop (perceptual
+    * hashes, audio fingerprints): every micro-batch gates on `sigCol`
+    * against the growing index, writes the admitted rows (signature
+    * column included) to `outPath`, appends their signatures. Same
+    * at-least-once semantics, same restart-resume: a new query over
+    * the same index directory gates against everything any prior run
+    * admitted.
+    */
+  def gateStreamHamming(
+      stream: DataFrame,
+      sigCol: String,
+      indexPath: String,
+      outPath: String,
+      checkpointDir: String,
+      maxHamming: Int = 3): org.apache.spark.sql.streaming.StreamingQuery = {
+    requireExactRadius(maxHamming)
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val kept = Dedup.dropSeenHamming(
+          batch, read(batch.sparkSession, indexPath).select(col("sig").as(sigCol)),
+          sigCol, maxHamming)
+          .localCheckpoint(true) // same read-what-you-write pin as gateAndUpdateSimhash
+        try {
+          kept.write.mode("append").parquet(outPath)
+          append(kept, sigCol, indexPath)
+        } finally kept.unpersist(blocking = false)
+        ()
+      }
+      .start()
+  }
+
+  // ---- EXACTLY-ONCE streaming ingest: the ledgered form ----
+
+  /** The `_epochs` ledger directory inside the index: underscore-
+    * prefixed, so every parquet read of the index ignores it (Spark's
+    * file index skips `_`/`.` paths). It holds one empty marker file
+    * per micro-batch: `alloc-<key>-<epoch>` records the epoch number
+    * allocated to a (checkpoint, batchId) pair — the allocation is
+    * what survives a crash, so a replayed batch re-uses ITS OWN epoch
+    * — and `committed-<key>` records that the batch's output AND
+    * index append both finished, making any later replay a pure
+    * no-op.
+    */
+  private def epochsDir(indexPath: String) =
+    new org.apache.hadoop.fs.Path(indexPath, "_epochs")
+
+  /** The stable identity of one logical micro-batch: the checkpoint
+    * location names the QUERY (it is the one thing Structured
+    * Streaming keeps fixed across restarts) and the batchId names the
+    * batch within it. Hex-hashed to stay filename-safe.
+    */
+  private[dedup] def batchKey(checkpointDir: String, batchId: Long): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.digest(s"$checkpointDir#$batchId".getBytes("UTF-8"))
+      .map(b => f"${b & 0xff}%02x").mkString
+  }
+
+  /** Allocate (or on replay, LOOK UP) the epoch number for batch
+    * `key`. Numbers live in the marker FILENAMES — `alloc-<key>-<n>`
+    * — so neither allocation nor lookup reads file contents, and a
+    * replayed batch finds its prior allocation by prefix. Monotone
+    * under the one-writer rule (concurrent writers on one index are
+    * out of contract for the whole object).
+    */
+  private[dedup] def allocEpoch(
+      fs: org.apache.hadoop.fs.FileSystem, indexPath: String, key: String): Long = {
+    val dir = epochsDir(indexPath)
+    fs.mkdirs(dir)
+    val names = fs.listStatus(dir).map(_.getPath.getName)
+    names.collectFirst { case n if n.startsWith(s"alloc-$key-") =>
+      n.substring(s"alloc-$key-".length).toLong
+    }.getOrElse {
+      val next = names.collect {
+        case n if n.startsWith("alloc-") => n.substring(n.lastIndexOf('-') + 1).toLong
+      }.foldLeft(0L)(math.max) + 1L
+      fs.create(new org.apache.hadoop.fs.Path(dir, s"alloc-$key-$next"), false).close()
+      next
+    }
+  }
+
+  private def committedMarker(indexPath: String, key: String) =
+    new org.apache.hadoop.fs.Path(epochsDir(indexPath), s"committed-$key")
+
+  /** The index's signatures EXCLUDING rows tagged `epoch` — the
+    * replay view: a re-attempted batch must not gate against its own
+    * prior (crashed) append, or every row it admitted would vanish
+    * from the retry and the overwritten output would silently DROP
+    * the batch.
+    */
+  private def readExcluding(spark: SparkSession, path: String, epoch: Long): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = fsFor(spark, p)
+    requireNotMidCompaction(fs, path)
+    if (fs.exists(p) && fs.listStatus(p).exists(_.getPath.getName.endsWith(".parquet")))
+      spark.read.schema(epochSchema).parquet(path)
+        .filter(col("epoch").isNull || col("epoch") =!= epoch)
+        .select("sig")
+    else
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+  }
+
+  /** One EXACTLY-ONCE ingest batch — the body [[gateStreamSimhashExactlyOnce]]
+    * runs per micro-batch, factored out so the crash contract is
+    * directly testable (SeenIndexSpec kills it at each `crashpoint`
+    * and replays). The protocol makes every step idempotent under
+    * replay-from-anywhere:
+    *
+    *   1. committed marker present -> the batch fully finished; the
+    *      replay does NOTHING (this is what upgrades at-least-once to
+    *      exactly-once).
+    *   2. the batch's epoch number is allocated once and re-found on
+    *      replay ([[allocEpoch]]), so step 3 is deterministic even
+    *      after a crash BETWEEN index append and marker write.
+    *   3. gate against the index MINUS rows tagged with this batch's
+    *      own epoch ([[readExcluding]]) -> the kept set is a pure
+    *      function of (batch, committed history), identical on every
+    *      attempt.
+    *   4. output lands at `outPath/epoch=<allocated>` with OVERWRITE
+    *      — the deterministic location + deterministic kept set make
+    *      the write idempotent, and keying by the ALLOCATED epoch
+    *      (not the raw batchId) keeps locations unique when a second
+    *      query with a fresh checkpoint — whose batchIds restart at 0
+    *      — resumes the same index: its batch 0 gets a NEW epoch, so
+    *      it can never overwrite a prior run's output. A reader of
+    *      `outPath` sees each admitted row exactly once, with an
+    *      `epoch` partition column.
+    *   5. the index append tags rows with the batch's epoch; a replay
+    *      may duplicate rows AT THE SAME EPOCH — the index is a set
+    *      to every reader and [[compact]] collapses them, so the
+    *      duplication is convergent, never visible.
+    *   6. the committed marker is written LAST.
+    *
+    * The loop must OWN its index exclusively: epoch tags here are
+    * allocation counters, not calendar days — mixing in
+    * [[gateAndUpdateSimhashWindow]]-style calendar epochs on the same
+    * directory could collide a calendar value with an allocated
+    * counter and corrupt a replay's exclusion (and violates the
+    * one-writer rule anyway).
+    */
+  private[dedup] def exactlyOnceEpochSimhash(
+      batch: DataFrame,
+      textCol: String,
+      key: String,
+      indexPath: String,
+      outPath: String,
+      maxHamming: Int,
+      crashpoint: String => Unit = _ => ()): Unit = {
+    val spark = batch.sparkSession
+    val fs = fsFor(spark, new org.apache.hadoop.fs.Path(indexPath))
+    if (fs.exists(committedMarker(indexPath, key))) return
+    val epoch = allocEpoch(fs, indexPath, key)
+    crashpoint("allocated")
+    val hashed = batch.withColumn("__sig",
+      SimHash64.simhash64(graft.text.TextAnalysis.tokens(col(textCol))))
+    val kept = Dedup.dropSeenHamming(
+      hashed, readExcluding(spark, indexPath, epoch).select(col("sig").as("__sig")),
+      "__sig", maxHamming)
+      .localCheckpoint(true) // same read-what-you-write pin as gateAndUpdateSimhash
+    try {
+      crashpoint("gated")
+      kept.drop("__sig").write.mode("overwrite").parquet(s"$outPath/epoch=$epoch")
+      crashpoint("output")
+      appendEpoch(kept, "__sig", indexPath, epoch)
+      crashpoint("appended")
+      fs.create(committedMarker(indexPath, key), true).close()
+    } finally kept.unpersist(blocking = false)
+  }
+
+  /** [[gateStreamSimhash]] with EXACTLY-ONCE output — the composed
+    * form its at-least-once sibling's scaladoc promises. Admitted
+    * rows land under `outPath/epoch=<n>/` (read `outPath` as one
+    * parquet table; partition discovery adds an `epoch` column); the
+    * per-batch protocol is [[exactlyOnceEpochSimhash]]'s. A crash at
+    * ANY point replays to the identical output — no duplicate rows,
+    * no dropped batch — because the gate excludes the batch's own
+    * prior append and the output location is deterministic. The index
+    * append itself stays convergent-at-least-once (same-epoch
+    * duplicate rows that every reader collapses), which is exactly as
+    * strong as it needs to be: the user-visible rows are the output.
+    */
+  def gateStreamSimhashExactlyOnce(
+      stream: DataFrame,
+      textCol: String,
+      indexPath: String,
+      outPath: String,
+      checkpointDir: String,
+      maxHamming: Int = 3): org.apache.spark.sql.streaming.StreamingQuery = {
+    requireExactRadius(maxHamming)
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        exactlyOnceEpochSimhash(
+          batch, textCol, batchKey(checkpointDir, batchId), indexPath, outPath, maxHamming)
+      }
+      .start()
+  }
 
   // ---- the EMBEDDING index: same lifecycle, vector-valued state ----
 
@@ -323,7 +655,8 @@ object SeenIndex {
     */
   def readVectors(spark: SparkSession, path: String): DataFrame = {
     val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fs = fsFor(spark, p)
+    requireNotMidCompaction(fs, path)
     if (fs.exists(p) && fs.listStatus(p).exists(_.getPath.getName.endsWith(".parquet")))
       spark.read.schema(vecSchema).parquet(path)
     else
@@ -359,7 +692,8 @@ object SeenIndex {
     */
   def readVectorsWindow(spark: SparkSession, path: String, minEpoch: Long): DataFrame = {
     val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fs = fsFor(spark, p)
+    requireNotMidCompaction(fs, path)
     if (fs.exists(p) && fs.listStatus(p).exists(_.getPath.getName.endsWith(".parquet")))
       spark.read.schema(vecEpochSchema).parquet(path)
         .filter(col("epoch").isNull || col("epoch") >= minEpoch)
@@ -428,4 +762,43 @@ object SeenIndex {
     appendVectorsEpoch(kept, vecCol, idCol, path, epoch)
     graft.core.Releasable(kept, () => { kept.unpersist(blocking = false); () })
   }
+
+  /** [[gateStreamSimhash]] at the EMBEDDING level — the durable
+    * streaming ingest loop for the semantic gate: every micro-batch
+    * runs one [[gateAndUpdateEmbedding]] epoch against the vector
+    * index at `indexPath`, writes the admitted rows to `outPath`, and
+    * appends their `(id, vec)` pairs. Same at-least-once ordering
+    * (output before append — a failure between the two re-admits the
+    * batch on retry, never drops it), same restart-resume (a new
+    * query, or a new cluster, gates against everything any prior run
+    * admitted), same APPROXIMATE caveat as the batch gate (an LSH
+    * banding miss passes).
+    */
+  def gateStreamEmbedding(
+      stream: DataFrame,
+      vecCol: String,
+      idCol: String,
+      indexPath: String,
+      outPath: String,
+      checkpointDir: String,
+      threshold: Double,
+      planes: Array[Array[Float]],
+      bands: Int = 8,
+      probeHamming: Int = 0,
+      broadcastVerify: Boolean = false): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val ref = readVectors(batch.sparkSession, indexPath)
+          .select(col("id").as(idCol), col("vec").as(vecCol))
+        val kept = graft.similarity.Similarity.dropSeenEmbedding(
+          batch, ref, vecCol, idCol, threshold, planes, bands, probeHamming, broadcastVerify)
+          .localCheckpoint(true) // same read-what-you-write pin as gateAndUpdateSimhash
+        try {
+          kept.write.mode("append").parquet(outPath)
+          appendVectors(kept, vecCol, idCol, indexPath)
+        } finally kept.unpersist(blocking = false)
+        ()
+      }
+      .start()
 }

@@ -243,4 +243,233 @@ class SeenIndexSpec extends SparkSpec {
     // compacting a missing index is a no-op, not an error
     SeenIndex.compact(spark, tmpDir() + "/never-written")
   }
+
+  test("compactVectors collapses duplicate (id, vec) rows, keeps the latest epoch, untagged dominates, decisions unchanged") {
+    import sqlImplicits._
+    val path = tmpDir()
+    val dim = 8
+    val planes = graft.similarity.Similarity.hyperplanes(dim, numPlanes = 64)
+    val e1 = Seq(1f, 0f, 0f, 0f, 0f, 0f, 0f, 0f)
+    val e2 = Seq(0f, 0f, 1f, 0f, 0f, 0f, 0f, 0f)
+    // the same (id, vec) lands at epochs 3 and 7, plus an untagged copy
+    // of a second vector and a tagged duplicate of it
+    SeenIndex.appendVectorsEpoch(Seq((1L, e1)).toDF("id", "vec"), "vec", "id", path, 3L)
+    SeenIndex.appendVectorsEpoch(Seq((1L, e1)).toDF("id", "vec"), "vec", "id", path, 7L)
+    SeenIndex.appendVectors(Seq((2L, e2)).toDF("id", "vec"), "vec", "id", path)
+    SeenIndex.appendVectorsEpoch(Seq((2L, e2)).toDF("id", "vec"), "vec", "id", path, 5L)
+    assert(SeenIndex.readVectors(spark, path).count() == 4)
+    def gate(id: Long, v: Seq[Float], epoch: Long, minEpoch: Long): Set[Long] = {
+      val r = SeenIndex.gateAndUpdateEmbeddingWindow(
+        Seq((id, v)).toDF("vec_id", "embedding"), "embedding", "vec_id", path,
+        epoch, minEpoch, threshold = 0.9, planes = planes, broadcastVerify = true)
+      val kept = r.result.collect().map(_.getLong(0)).toSet
+      r.release(); kept
+    }
+    SeenIndex.compactVectors(spark, path)
+    // physically one row per distinct (id, vec) now
+    assert(SeenIndex.readVectors(spark, path).count() == 2)
+    // e1 kept its LATEST epoch (7): live in a window from 6, expired from 8
+    assert(gate(10L, e1, epoch = 9, minEpoch = 6).isEmpty)
+    assert(gate(11L, e1, epoch = 20, minEpoch = 15) == Set(11L))
+    // e2's untagged sighting dominates its epoch-5 tag: never expires
+    assert(gate(12L, e2, epoch = 1000, minEpoch = 999).isEmpty)
+    // compacting a missing vector index is a no-op, not an error
+    SeenIndex.compactVectors(spark, tmpDir() + "/never-written")
+  }
+
+  test("mid-compaction crash states: reads fail loud with a recovery hint, recover() restores, true bootstrap still reads empty") {
+    import sqlImplicits._
+    import org.apache.hadoop.fs.Path
+    val path = tmpDir() + "/idx"
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    SeenIndex.append(Seq(1L, 2L, 3L).toDF("sig"), "sig", path)
+    // crash state A: after rename(p, bak), before rename(tmp, p) —
+    // the main dir is missing, the backup holds the full copy
+    assert(fs.rename(new Path(path), new Path(path + ".compact-old")))
+    val exA = intercept[IllegalStateException] { SeenIndex.read(spark, path) }
+    assert(exA.getMessage.contains("recover"), exA.getMessage)
+    intercept[IllegalStateException] { SeenIndex.readWindow(spark, path, 0L) }
+    intercept[IllegalStateException] { SeenIndex.compact(spark, path) }
+    SeenIndex.recover(spark, path)
+    assert(SeenIndex.read(spark, path).collect().map(_.getLong(0)).toSet == Set(1L, 2L, 3L))
+    assert(!fs.exists(new Path(path + ".compact-old")))
+    // crash state B: backup already consumed, only the (complete)
+    // compacted temp remains — recover() installs it
+    assert(fs.rename(new Path(path), new Path(path + ".compact-tmp")))
+    intercept[IllegalStateException] { SeenIndex.read(spark, path) }
+    SeenIndex.recover(spark, path)
+    assert(SeenIndex.read(spark, path).count() == 3)
+    // crash state C: swap finished, stale backup remains — reads are
+    // fine (main exists) and recover() just sweeps the leftovers
+    fs.mkdirs(new Path(path + ".compact-old"))
+    assert(SeenIndex.read(spark, path).count() == 3)
+    SeenIndex.recover(spark, path)
+    assert(!fs.exists(new Path(path + ".compact-old")))
+    // vector index: same detection
+    val vpath = tmpDir() + "/vidx"
+    SeenIndex.appendVectors(Seq((1L, Seq(1f, 0f))).toDF("id", "vec"), "vec", "id", vpath)
+    val vfs = new Path(vpath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(vfs.rename(new Path(vpath), new Path(vpath + ".compact-old")))
+    intercept[IllegalStateException] { SeenIndex.readVectors(spark, vpath) }
+    intercept[IllegalStateException] { SeenIndex.readVectorsWindow(spark, vpath, 0L) }
+    SeenIndex.recover(spark, vpath)
+    assert(SeenIndex.readVectors(spark, vpath).count() == 1)
+    // a never-written path with no leftovers is still a clean bootstrap
+    assert(SeenIndex.read(spark, tmpDir() + "/never").count() == 0)
+    // recover on a healthy or missing index is a no-op
+    SeenIndex.recover(spark, tmpDir() + "/never")
+  }
+
+  test("gates refuse a radius the 4-band pigeonhole cannot honor") {
+    import sqlImplicits._
+    val df = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val sigs = Seq((1L, 7L)).toDF("media_id", "ahash")
+    intercept[IllegalArgumentException] {
+      SeenIndex.gateAndUpdateSimhash(df, "text", tmpDir(), maxHamming = 4)
+    }
+    intercept[IllegalArgumentException] {
+      SeenIndex.gateAndUpdateSimhashWindow(df, "text", tmpDir(), 1L, 0L, maxHamming = 5)
+    }
+    intercept[IllegalArgumentException] {
+      SeenIndex.gateAndUpdateHamming(sigs, "ahash", tmpDir(), maxHamming = 4)
+    }
+    intercept[IllegalArgumentException] {
+      SeenIndex.gateAndUpdateHammingWindow(sigs, "ahash", tmpDir(), 1L, 0L, maxHamming = 4)
+    }
+    intercept[IllegalArgumentException] {
+      SeenIndex.gateAndUpdateSimhash(df, "text", tmpDir(), maxHamming = -1)
+    }
+  }
+
+  test("exactly-once ingest: a kill at EVERY crash point replays to identical output — no duplicates, no dropped batch") {
+    import sqlImplicits._
+    val idx = tmpDir() + "/idx"; val out = tmpDir() + "/out"
+    val base = (1 to 50).map(i => s"w$i").mkString(" ")
+    val other = (100 to 160).map(i => s"v$i").mkString(" ")
+    val novel = (500 to 560).map(i => s"z$i").mkString(" ")
+    def outRows(): Seq[(Long, Long)] =
+      spark.read.parquet(out).select("doc_id", "epoch")
+        .collect().map(r => (r.getLong(0), r.getAs[Number]("epoch").longValue)).toSeq
+    def run(batch: org.apache.spark.sql.DataFrame, key: String,
+            killAt: String = ""): Unit = {
+      val cp: String => Unit =
+        s => if (s == killAt) throw new RuntimeException(s"killed at $s")
+      SeenIndex.exactlyOnceEpochSimhash(batch, "text", key, idx, out, 3, cp)
+    }
+    val b0 = Seq((1L, base), (2L, other)).toDF("doc_id", "text")
+    // batch k0 (allocated epoch 1): kill after the epoch allocation, replay
+    intercept[RuntimeException] { run(b0, "k0", killAt = "allocated") }
+    // kill after the output write but BEFORE the index append (the
+    // at-least-once loop would duplicate the batch here), replay
+    intercept[RuntimeException] { run(b0, "k0", killAt = "output") }
+    run(b0, "k0")
+    assert(outRows().sorted == Seq((1L, 1L), (2L, 1L)))
+    // batch k1 (epoch 2): 10 duplicates k0's content (gated), 11 is
+    // novel. Kill AFTER the index append but before the commit marker
+    // — the case where a naive replay would gate the batch against
+    // its own appended signatures and overwrite the output with EMPTY.
+    val b1 = Seq((10L, base), (11L, novel)).toDF("doc_id", "text")
+    intercept[RuntimeException] { run(b1, "k1", killAt = "appended") }
+    run(b1, "k1")
+    assert(outRows().sorted == Seq((1L, 1L), (2L, 1L), (11L, 2L)))
+    // a replay AFTER the commit marker is a pure no-op
+    run(b1, "k1")
+    run(b0, "k0")
+    assert(outRows().sorted == Seq((1L, 1L), (2L, 1L), (11L, 2L)))
+    // decisions equal the stateless gate against all previously admitted docs
+    val statelessKept = Dedup.dropSeenSimhash(
+      b1, Seq((1L, base), (2L, other)).toDF("doc_id", "text"), "text")
+      .collect().map(_.getLong(0)).toSet
+    assert(statelessKept == Set(11L))
+    // batch k2 gates against both prior epochs' admissions
+    val b2 = Seq((20L, novel), (21L, other)).toDF("doc_id", "text")
+    run(b2, "k2")
+    assert(outRows().sorted == Seq((1L, 1L), (2L, 1L), (11L, 2L)))
+  }
+
+  test("exactly-once streaming loop: end-to-end with partition-column output and restart-resume") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import sqlImplicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val idx = tmpDir() + "/idx"; val out = tmpDir() + "/out"
+    val base = (1 to 50).map(i => s"w$i").mkString(" ")
+    val novel = (500 to 560).map(i => s"z$i").mkString(" ")
+    def admitted(): Set[Long] =
+      spark.read.parquet(out).select("doc_id").collect().map(_.getLong(0)).toSet
+    val input = MemoryStream[(Long, String)]
+    val q = SeenIndex.gateStreamSimhashExactlyOnce(
+      input.toDF().toDF("doc_id", "text"), "text", idx, out, tmpDir())
+    input.addData((1L, base), (2L, novel)); q.processAllAvailable()
+    assert(admitted() == Set(1L, 2L))
+    input.addData((10L, base)); q.processAllAvailable()
+    assert(admitted() == Set(1L, 2L))
+    q.stop()
+    // a new query (fresh checkpoint => fresh batch keys) resumes from
+    // the same index: history still gates, distinct epochs allocated
+    val input2 = MemoryStream[(Long, String)]
+    val q2 = SeenIndex.gateStreamSimhashExactlyOnce(
+      input2.toDF().toDF("doc_id", "text"), "text", idx, out, tmpDir())
+    input2.addData((20L, novel)); q2.processAllAvailable()
+    q2.stop()
+    assert(admitted() == Set(1L, 2L))
+  }
+
+  test("streaming Hamming ingest loop: micro-batches gate against the growing sig index, restart resumes") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import sqlImplicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val idx = tmpDir(); val out = tmpDir()
+    val s0 = 0x0123456789abcdefL
+    def admitted(): Set[Long] =
+      spark.read.schema("media_id LONG, ahash LONG").parquet(out)
+        .collect().map(_.getLong(0)).toSet
+    val input = MemoryStream[(Long, Long)]
+    val q = SeenIndex.gateStreamHamming(
+      input.toDF().toDF("media_id", "ahash"), "ahash", idx, out, tmpDir())
+    input.addData((1L, s0)); q.processAllAvailable()
+    assert(admitted() == Set(1L))
+    // near (hamming 2) gated by batch 1's admission; far admitted
+    input.addData((2L, s0 ^ 3L), (3L, ~s0)); q.processAllAvailable()
+    assert(admitted() == Set(1L, 3L))
+    q.stop()
+    val input2 = MemoryStream[(Long, Long)]
+    val q2 = SeenIndex.gateStreamHamming(
+      input2.toDF().toDF("media_id", "ahash"), "ahash", idx, out, tmpDir())
+    input2.addData((10L, s0), (11L, ~s0 ^ 1L)); q2.processAllAvailable()
+    q2.stop()
+    assert(admitted() == Set(1L, 3L))
+    assert(SeenIndex.read(spark, idx).distinct().count() == 2)
+  }
+
+  test("streaming embedding ingest loop: micro-batches gate against the growing vector index, restart resumes") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import sqlImplicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val idx = tmpDir(); val out = tmpDir()
+    val dim = 8
+    val planes = graft.similarity.Similarity.hyperplanes(dim, numPlanes = 64)
+    val e1 = Seq(1f, 0f, 0f, 0f, 0f, 0f, 0f, 0f)
+    val novel = Seq(0f, 0f, 0f, 1f, 0f, 0f, 0f, 0f)
+    def admitted(): Set[Long] =
+      spark.read.schema("vec_id LONG, embedding ARRAY<FLOAT>").parquet(out)
+        .collect().map(_.getLong(0)).toSet
+    def loop(in: MemoryStream[(Long, Seq[Float])]) =
+      SeenIndex.gateStreamEmbedding(
+        in.toDF().toDF("vec_id", "embedding"), "embedding", "vec_id", idx, out, tmpDir(),
+        threshold = 0.9, planes = planes, broadcastVerify = true)
+    val input = MemoryStream[(Long, Seq[Float])]
+    val q = loop(input)
+    input.addData((1L, e1)); q.processAllAvailable()
+    assert(admitted() == Set(1L))
+    // an exact copy gates against batch 1's admission; the orthogonal passes
+    input.addData((2L, e1), (3L, novel)); q.processAllAvailable()
+    assert(admitted() == Set(1L, 3L))
+    q.stop()
+    val input2 = MemoryStream[(Long, Seq[Float])]
+    val q2 = loop(input2)
+    input2.addData((10L, e1), (11L, novel)); q2.processAllAvailable()
+    q2.stop()
+    assert(admitted() == Set(1L, 3L))
+    assert(SeenIndex.readVectors(spark, idx).select("id").distinct().count() == 2)
+  }
 }
