@@ -353,7 +353,11 @@ object StreamingOps {
     * exactness carries over unchanged (`maxHamming < bands`). Rows
     * with null id or sig are dropped (typed-Dataset poison pills;
     * the batch twin KEEPS null sigs — gate them upstream, as its
-    * scaladoc already directs).
+    * scaladoc already directs). The group key is `(id, sig)`, so an
+    * id carrying SEVERAL signatures in one micro-batch gates each row
+    * independently, exactly like the batch twin; only EXACT duplicate
+    * `(id, sig)` rows within a micro-batch collapse to one output row
+    * (the one residual divergence — a batch frame would keep both).
     */
   def dropSeenHammingStream(
       hashed: DataFrame,
@@ -383,15 +387,14 @@ object StreamingOps {
         when(col("ref_sig").isNotNull &&
           bit_count(col("sig").bitwiseXOR(col("ref_sig"))) <= maxHamming, lit(1)).as("hit"))
       .as[SeenHit]
-      .groupByKey(_.id)
+      .groupByKey(r => (r.id, r.sig))
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
-        (id: Long, rows: Iterator[SeenHit], state: GroupState[Long]) => {
-          // state is never set: all of an id's band rows explode from
+        (key: (Long, Long), rows: Iterator[SeenHit], state: GroupState[Long]) => {
+          // state is never set: all of a row's band rows explode from
           // one input row, so its group completes in its micro-batch
-          var sig = 0L
           var hits = 0
-          rows.foreach { r => sig = r.sig; if (r.hit.isDefined) hits += 1 }
-          if (hits == 0) Iterator.single(KeptSig(id, sig)) else Iterator.empty
+          rows.foreach { r => if (r.hit.isDefined) hits += 1 }
+          if (hits == 0) Iterator.single(KeptSig(key._1, key._2)) else Iterator.empty
         })
   }
 
@@ -424,7 +427,10 @@ object StreamingOps {
     * the batch gate on the union of those batches — minus degenerate
     * rows: null/NaN/zero-norm vectors are DROPPED here (typed-Dataset
     * poison pills, the [[dropSeenHammingStream]] rule) where the
-    * batch twin keeps them; gate them upstream.
+    * batch twin keeps them; gate them upstream. The group key is
+    * `(id, vec)` — an id carrying several vectors in one micro-batch
+    * gates each row independently, like the batch twin; only exact
+    * duplicate `(id, vec)` rows collapse to one output row.
     */
   def dropSeenEmbeddingStream(
       vecs: DataFrame,
@@ -470,15 +476,14 @@ object StreamingOps {
         when(col("ref_uvec").isNotNull &&
           Similarity.dot(col("__uvec"), col("ref_uvec")) >= threshold, lit(1)).as("hit"))
       .as[SeenVecHit]
-      .groupByKey(_.id)
+      .groupByKey(r => (r.id, r.vec))
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
-        (id: Long, rows: Iterator[SeenVecHit], state: GroupState[Long]) => {
-          // state is never set: all of an id's band rows explode from
+        (key: (Long, Seq[Float]), rows: Iterator[SeenVecHit], state: GroupState[Long]) => {
+          // state is never set: all of a row's band rows explode from
           // one input row, so its group completes in its micro-batch
-          var vec: Seq[Float] = null
           var hits = 0
-          rows.foreach { r => vec = r.vec; if (r.hit.isDefined) hits += 1 }
-          if (hits == 0) Iterator.single(KeptVec(id, vec)) else Iterator.empty
+          rows.foreach { r => if (r.hit.isDefined) hits += 1 }
+          if (hits == 0) Iterator.single(KeptVec(key._1, key._2)) else Iterator.empty
         })
   }
 
@@ -507,8 +512,10 @@ object StreamingOps {
     * batch twin, with no divergence to document. Output is the kept
     * ids only (carrying text through the band explode would multiply
     * the payload by `bands`); semi-join the caller's frame to
-    * recover full rows. MinHash recall caveats carry over from the
-    * batch gate.
+    * recover full rows. Because the output grain is the ID, ids must
+    * be UNIQUE within a micro-batch: two same-id rows with different
+    * text would collapse into one verdict (dropped if EITHER text
+    * hits). MinHash recall caveats carry over from the batch gate.
     */
   def dropSeenJaccardStream(
       docs: DataFrame,
@@ -588,6 +595,8 @@ object StreamingOps {
     * history; hot-shingle-heavy corpora should gate in larger batch
     * windows with the prefix-filtered batch twin instead. ZERO
     * retained state: all of an id's rows derive from one input row.
+    * Id-grain output, so ids must be UNIQUE within a micro-batch
+    * (the [[dropSeenJaccardStream]] rule).
     */
   def dropSeenContainedStream(
       docs: DataFrame,

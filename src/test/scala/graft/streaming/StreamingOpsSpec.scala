@@ -210,6 +210,45 @@ class StreamingOpsSpec extends SparkSpec {
     refSigs.unpersist()
   }
 
+  test("streaming dropSeen gates each (id, sig) row independently: a multi-sig id in one micro-batch matches the batch twin") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import sqlImplicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val r0 = 0x0123456789abcdefL
+    val refSigs = Seq(r0).toDF("sig").persist()
+    // id 1 arrives TWICE in one micro-batch with different sigs: one
+    // hits the reference (gated), one is novel (kept). The batch twin
+    // gates each ROW independently — the stream must too, not collapse
+    // the id to a single verdict.
+    val batch = Seq((1L, r0), (1L, ~r0), (2L, r0 ^ 1L))
+    val input = MemoryStream[(Long, Long)]
+    val stream = StreamingOps.dropSeenHammingStream(
+      input.toDF().toDF("doc_id", "sig"), refSigs, "doc_id", "sig", maxHamming = 3)
+    val q = stream.toDF().writeStream.outputMode("append").format("memory").queryName("dsm").start()
+    input.addData(batch); q.processAllAvailable()
+    q.stop()
+    val got = spark.table("dsm").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = graft.dedup.Dedup.dropSeenHamming(
+      batch.toDF("doc_id", "sig"), refSigs, "sig", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want && got == Set((1L, ~r0)), s"stream=$got batch=$want")
+    // embedding form: same independence at the (id, vec) grain
+    val v = Array.tabulate(8)(i => (i + 1).toFloat)
+    val u = Array.tabulate(8)(i => if (i % 2 == 0) 1.0f else -1.0f)
+    val ref = Seq((10L, v)).toDF("vec_id", "embedding").persist()
+    val planes = graft.similarity.Similarity.hyperplanes(8, 64)
+    val input2 = MemoryStream[(Long, Array[Float])]
+    val stream2 = StreamingOps.dropSeenEmbeddingStream(
+      input2.toDF().toDF("vec_id", "embedding"), ref, "vec_id", "embedding",
+      threshold = 0.99, planes)
+    val q2 = stream2.toDF().writeStream.outputMode("append").format("memory").queryName("dsm2").start()
+    input2.addData(Seq((1L, v.map(_ * 2f)), (1L, u))); q2.processAllAvailable()
+    q2.stop()
+    val got2 = spark.table("dsm2").collect().map(r => (r.getLong(0), r.getSeq[Float](1))).toSet
+    assert(got2 == Set((1L, u.toSeq)), s"got2=$got2")
+    refSigs.unpersist(); ref.unpersist()
+  }
+
   test("streaming embedding gate equals batch dropSeenEmbedding on the union of batches (degenerates dropped)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import sqlImplicits._
