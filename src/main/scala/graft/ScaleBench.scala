@@ -628,7 +628,7 @@ object ScaleBench {
           graft.multimodal.PerceptualHash.perceptualHashes(
             graft.multimodal.Multimodal.syntheticImages(part, "doc_id", "text"))
             .toDF().select(col("media_id"), col("ahash"))
-        val path = java.nio.file.Files.createTempDirectory("scale_phash_index_").toString
+        val path = graft.core.TempDirs.create("scale_phash_index_")
         graft.dedup.SeenIndex.gateAndUpdateHamming(
           hashes(docs.filter(col("doc_id") % 3 =!= 0)), "ahash", path).release()
         val e2 = graft.dedup.SeenIndex.gateAndUpdateHamming(
@@ -652,7 +652,7 @@ object ScaleBench {
       // index write + read to novel_docs_gate's cost — alpha should
       // track that gate's.
       "ingest_epochs" -> (() => {
-        val path = java.nio.file.Files.createTempDirectory("scale_seen_index_").toString
+        val path = graft.core.TempDirs.create("scale_seen_index_")
         graft.dedup.SeenIndex.gateAndUpdateSimhash(
           docs.filter(col("doc_id") % 3 =!= 0), "text", path).release()
         val e2 = graft.dedup.SeenIndex.gateAndUpdateSimhash(
@@ -660,6 +660,21 @@ object ScaleBench {
         val n = e2.result.count()
         e2.release()
         n
+      }),
+      // Retention-window ingest (q106's scale twin): three windowed
+      // epochs of the SAME slice — bootstrap, expiry re-admission,
+      // clock-reset gate-to-zero. Cost is 3x ingest_epochs' per-epoch
+      // shape plus the epoch-tag filter on the index read (a pushed
+      // parquet predicate), so alpha should track ingest_epochs'.
+      "window_gate_epochs" -> (() => {
+        val path = graft.core.TempDirs.create("scale_window_index_")
+        val slice = docs.filter(col("doc_id") % 3 === 1)
+        def epoch(e: Long, minEpoch: Long): Long = {
+          val r = graft.dedup.SeenIndex.gateAndUpdateSimhashWindow(
+            slice, "text", path, e, minEpoch)
+          val n = r.result.count(); r.release(); n
+        }
+        epoch(1L, 0L) + epoch(10L, 5L) + epoch(11L, 6L)
       }),
       // Jaccard ingest gate (batch vs reference MinHash banding +
       // exact set-overlap verify): the shingle explode dominates the
@@ -702,7 +717,7 @@ object ScaleBench {
       "embedding_ingest_epochs" -> {
         lazy val gatePlanes = graft.similarity.Similarity.hyperplanes(64, 64)
         () => {
-          val path = java.nio.file.Files.createTempDirectory("scale_vec_index_").toString
+          val path = graft.core.TempDirs.create("scale_vec_index_")
           graft.dedup.SeenIndex.gateAndUpdateEmbedding(
             emb.filter(col("vec_id") % 3 =!= 0), "embedding", "vec_id", path,
             threshold = 0.9, planes = gatePlanes).release()

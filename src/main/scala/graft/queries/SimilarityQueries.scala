@@ -510,7 +510,7 @@ object SimilarityQueries {
       graft.multimodal.PerceptualHash.perceptualHashes(
         graft.multimodal.Multimodal.syntheticImages(part, "doc_id", "text"))
         .toDF().select(col("media_id"), col("ahash"))
-    val path = java.nio.file.Files.createTempDirectory("q105_phash_index_").toString
+    val path = graft.core.TempDirs.create("q105_phash_index_")
     graft.dedup.SeenIndex.gateAndUpdateHamming(
       hashes(docs.filter(col("doc_id") % 3 =!= 0)), "ahash", path).release()
     graft.dedup.SeenIndex.gateAndUpdateHamming(
@@ -581,7 +581,7 @@ object SimilarityQueries {
     val emb = Sources.embeddings(spark, dir)
     val g = Similarity.lshGeometry(threshold = 0.4, targetRecall = 0.95, numPlanes = 64)
     val planes = Similarity.hyperplanes(dim = 64, numPlanes = 64)
-    val path = java.nio.file.Files.createTempDirectory("q104_vec_index_").toString
+    val path = graft.core.TempDirs.create("q104_vec_index_")
     graft.dedup.SeenIndex.gateAndUpdateEmbedding(
       emb.filter(col("vec_id") % 3 =!= 0), "embedding", "vec_id", path,
       threshold = 0.4, planes = planes, bands = g.bands,

@@ -327,7 +327,7 @@ object TextQueries {
     */
   def q103IngestEpochs(spark: SparkSession, dir: String): DataFrame = {
     val docs = Sources.documents(spark, dir)
-    val path = java.nio.file.Files.createTempDirectory("q103_seen_index_").toString
+    val path = graft.core.TempDirs.create("q103_seen_index_")
     // epoch 1 seeds the index (the append runs inside the call);
     // its admitted frame is not this query's output
     graft.dedup.SeenIndex.gateAndUpdateSimhash(
@@ -338,6 +338,46 @@ object TextQueries {
       .select("doc_id")
       .orderBy("doc_id")
   }
+
+  /** q106: the RETENTION-WINDOW ingest lifecycle — the re-crawl
+    * pipeline shape ("re-admit content not seen in the last N days")
+    * that [[graft.dedup.SeenIndex.gateAndUpdateSimhashWindow]] exists
+    * for, run as three epochs of the SAME corpus slice against one
+    * windowed index: epoch 1 bootstraps (empty history admits every
+    * doc), epoch 10 gates against a window starting at 5 — every
+    * epoch-1 admission has AGED OUT, so the full slice is re-admitted
+    * and re-tagged at 10 — and epoch 11 (window from 6) finds the
+    * epoch-10 re-admissions live again and gates to ZERO (re-admission
+    * reset the clock). Output: every (doc_id, epoch) admission —
+    * which, precisely BECAUSE the window semantics hold, is the slice
+    * crossed with epochs {1, 10} and nothing from 11. That makes the
+    * whole lifecycle DuckDB-expressible (the oracle computes the
+    * cross product from first principles): an expiry bug would admit
+    * nothing at epoch 10, a clock-reset bug would admit rows at 11,
+    * and either breaks the hash match. The gate itself compares only
+    * against HISTORY, so within-slice near-duplicates don't perturb
+    * the bootstrap (same rule as q103).
+    */
+  def q106WindowGate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Sources.documents(spark, dir).filter(col("doc_id") % 3 === 1)
+    val path = graft.core.TempDirs.create("q106_window_index_")
+    // sequential epochs: each gate's append lands inside the call
+    // (eager localCheckpoint), so the next epoch sees it; results are
+    // checkpointed — never recompute — and safe to return un-released
+    def epoch(e: Long, minEpoch: Long): DataFrame =
+      graft.dedup.SeenIndex.gateAndUpdateSimhashWindow(docs, "text", path, e, minEpoch)
+        .result
+        .select(col("doc_id"), lit(e).as("epoch"))
+    val admitted = Seq(epoch(1L, 0L), epoch(10L, 5L), epoch(11L, 6L))
+    admitted.reduce(_ unionAll _).orderBy("epoch", "doc_id")
+  }
+
+  val q106Sql: String =
+    """SELECT doc_id, epoch
+      |FROM documents
+      |CROSS JOIN (SELECT CAST(1 AS BIGINT) AS epoch UNION ALL SELECT 10) epochs
+      |WHERE doc_id % 3 = 1
+      |ORDER BY epoch, doc_id""".stripMargin
 
   /** The full curation pipeline (annotate -> exact dedup -> near
     * dedup -> quality gate), oracle-checked hash-exact end to end:
@@ -1042,6 +1082,7 @@ object TextQueries {
     "q101_jaccard_gate" -> (q101JaccardGate _),
     "q102_containment_gate" -> (q102ContainmentGate _),
     "q103_ingest_epochs" -> (q103IngestEpochs _),
+    "q106_window_gate" -> (q106WindowGate _),
     "q60_neardup_keep_best" -> (q60NearDupKeepBest _),
     "q61_bm25" -> (q61Bm25 _),
     "q63_normalize" -> (q63Normalize _),
@@ -1062,6 +1103,7 @@ object TextQueries {
     "q26_minhash_pairs" -> q26Sql,
     "q101_jaccard_gate" -> q101Sql,
     "q102_containment_gate" -> q102Sql,
+    "q106_window_gate" -> q106Sql,
     "q36_curation_pipeline" -> q36Sql,
     "q47_chunking" -> q47Sql,
     "q48_repeated_spans" -> q48Sql,

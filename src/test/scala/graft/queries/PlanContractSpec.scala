@@ -387,6 +387,11 @@ class PlanContractSpec extends SparkSpec {
     // map-side inside the eager epochs; checkpointed admitted set +
     // oracle ORDER BY.
     "q105_image_ingest_epochs" -> 1,
+    // q106: q103's shape for the retention window — all three windowed
+    // epochs RAN eagerly inside the query constructor; the audited
+    // plan is the union of three checkpointed admitted sets + oracle
+    // ORDER BY's range exchange.
+    "q106_window_gate" -> 1,
     // q89: vocabTokenCounts' distinct-word exchange + the per-doc
     // prefix-sum window / chunk aggregate exchange (shared
     // partitioning) + oracle ORDER BY. The vocab table joins back by
