@@ -576,6 +576,39 @@ object SeenIndex {
     * counter and corrupt a replay's exclusion (and violates the
     * one-writer rule anyway).
     */
+  /** The shared exactly-once batch body: `gate(epoch)` must build the
+    * admitted-rows plan reading the index MINUS rows tagged `epoch`,
+    * `appendKept(kept, epoch)` must tag its append with `epoch`, and
+    * `project` shapes the output rows. Deterministic gates + the
+    * ledger make every step idempotent (see [[exactlyOnceEpochSimhash]]
+    * for the numbered protocol).
+    */
+  private def exactlyOnceEpoch(
+      batch: DataFrame,
+      key: String,
+      indexPath: String,
+      outPath: String,
+      crashpoint: String => Unit)(
+      gate: Long => DataFrame)(
+      appendKept: (DataFrame, Long) => Unit)(
+      project: DataFrame => DataFrame): Unit = {
+    val spark = batch.sparkSession
+    val fs = fsFor(spark, new org.apache.hadoop.fs.Path(indexPath))
+    if (fs.exists(committedMarker(indexPath, key))) return
+    val epoch = allocEpoch(fs, indexPath, key)
+    crashpoint("allocated")
+    val kept = gate(epoch)
+      .localCheckpoint(true) // same read-what-you-write pin as gateAndUpdateSimhash
+    try {
+      crashpoint("gated")
+      project(kept).write.mode("overwrite").parquet(s"$outPath/epoch=$epoch")
+      crashpoint("output")
+      appendKept(kept, epoch)
+      crashpoint("appended")
+      fs.create(committedMarker(indexPath, key), true).close()
+    } finally kept.unpersist(blocking = false)
+  }
+
   private[dedup] def exactlyOnceEpochSimhash(
       batch: DataFrame,
       textCol: String,
@@ -585,24 +618,36 @@ object SeenIndex {
       maxHamming: Int,
       crashpoint: String => Unit = _ => ()): Unit = {
     val spark = batch.sparkSession
-    val fs = fsFor(spark, new org.apache.hadoop.fs.Path(indexPath))
-    if (fs.exists(committedMarker(indexPath, key))) return
-    val epoch = allocEpoch(fs, indexPath, key)
-    crashpoint("allocated")
     val hashed = batch.withColumn("__sig",
       SimHash64.simhash64(graft.text.TextAnalysis.tokens(col(textCol))))
-    val kept = Dedup.dropSeenHamming(
-      hashed, readExcluding(spark, indexPath, epoch).select(col("sig").as("__sig")),
-      "__sig", maxHamming)
-      .localCheckpoint(true) // same read-what-you-write pin as gateAndUpdateSimhash
-    try {
-      crashpoint("gated")
-      kept.drop("__sig").write.mode("overwrite").parquet(s"$outPath/epoch=$epoch")
-      crashpoint("output")
+    exactlyOnceEpoch(batch, key, indexPath, outPath, crashpoint) { epoch =>
+      Dedup.dropSeenHamming(
+        hashed, readExcluding(spark, indexPath, epoch).select(col("sig").as("__sig")),
+        "__sig", maxHamming)
+    } { (kept, epoch) =>
       appendEpoch(kept, "__sig", indexPath, epoch)
-      crashpoint("appended")
-      fs.create(committedMarker(indexPath, key), true).close()
-    } finally kept.unpersist(blocking = false)
+    } (_.drop("__sig"))
+  }
+
+  /** [[exactlyOnceEpochSimhash]] for a precomputed 64-bit signature
+    * column — the media form. Output rows keep `sigCol`.
+    */
+  private[dedup] def exactlyOnceEpochHamming(
+      batch: DataFrame,
+      sigCol: String,
+      key: String,
+      indexPath: String,
+      outPath: String,
+      maxHamming: Int,
+      crashpoint: String => Unit = _ => ()): Unit = {
+    val spark = batch.sparkSession
+    exactlyOnceEpoch(batch, key, indexPath, outPath, crashpoint) { epoch =>
+      Dedup.dropSeenHamming(
+        batch, readExcluding(spark, indexPath, epoch).select(col("sig").as(sigCol)),
+        sigCol, maxHamming)
+    } { (kept, epoch) =>
+      appendEpoch(kept, sigCol, indexPath, epoch)
+    } (identity)
   }
 
   /** [[gateStreamSimhash]] with EXACTLY-ONCE output — the composed
@@ -630,6 +675,28 @@ object SeenIndex {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         exactlyOnceEpochSimhash(
           batch, textCol, batchKey(checkpointDir, batchId), indexPath, outPath, maxHamming)
+      }
+      .start()
+  }
+
+  /** [[gateStreamHamming]] with EXACTLY-ONCE output — the media form
+    * of [[gateStreamSimhashExactlyOnce]], same ledgered protocol,
+    * admitted rows (signature column included) landing under
+    * `outPath/epoch=<n>/`.
+    */
+  def gateStreamHammingExactlyOnce(
+      stream: DataFrame,
+      sigCol: String,
+      indexPath: String,
+      outPath: String,
+      checkpointDir: String,
+      maxHamming: Int = 3): org.apache.spark.sql.streaming.StreamingQuery = {
+    requireExactRadius(maxHamming)
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        exactlyOnceEpochHamming(
+          batch, sigCol, batchKey(checkpointDir, batchId), indexPath, outPath, maxHamming)
       }
       .start()
   }
@@ -799,6 +866,76 @@ object SeenIndex {
           appendVectors(kept, vecCol, idCol, indexPath)
         } finally kept.unpersist(blocking = false)
         ()
+      }
+      .start()
+
+  /** The vector index MINUS rows tagged `epoch` — [[readExcluding]]
+    * for embeddings (the exactly-once replay view).
+    */
+  private def readVectorsExcluding(spark: SparkSession, path: String, epoch: Long): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = fsFor(spark, p)
+    requireNotMidCompaction(fs, path)
+    if (fs.exists(p) && fs.listStatus(p).exists(_.getPath.getName.endsWith(".parquet")))
+      spark.read.schema(vecEpochSchema).parquet(path)
+        .filter(col("epoch").isNull || col("epoch") =!= epoch)
+        .select("id", "vec")
+    else
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], vecSchema)
+  }
+
+  /** [[exactlyOnceEpochSimhash]] at the EMBEDDING level — same
+    * ledgered protocol over the vector index; the gate is
+    * deterministic given fixed `planes`, so replays land on the
+    * identical admitted set.
+    */
+  private[dedup] def exactlyOnceEpochEmbedding(
+      batch: DataFrame,
+      vecCol: String,
+      idCol: String,
+      key: String,
+      indexPath: String,
+      outPath: String,
+      threshold: Double,
+      planes: Array[Array[Float]],
+      bands: Int = 8,
+      probeHamming: Int = 0,
+      broadcastVerify: Boolean = false,
+      crashpoint: String => Unit = _ => ()): Unit = {
+    val spark = batch.sparkSession
+    exactlyOnceEpoch(batch, key, indexPath, outPath, crashpoint) { epoch =>
+      val ref = readVectorsExcluding(spark, indexPath, epoch)
+        .select(col("id").as(idCol), col("vec").as(vecCol))
+      graft.similarity.Similarity.dropSeenEmbedding(
+        batch, ref, vecCol, idCol, threshold, planes, bands, probeHamming, broadcastVerify)
+    } { (kept, epoch) =>
+      appendVectorsEpoch(kept, vecCol, idCol, indexPath, epoch)
+    } (identity)
+  }
+
+  /** [[gateStreamEmbedding]] with EXACTLY-ONCE output — the semantic
+    * form of [[gateStreamSimhashExactlyOnce]], same ledgered protocol,
+    * admitted rows landing under `outPath/epoch=<n>/`. The gate stays
+    * APPROXIMATE (an LSH miss passes) but replay-deterministic.
+    */
+  def gateStreamEmbeddingExactlyOnce(
+      stream: DataFrame,
+      vecCol: String,
+      idCol: String,
+      indexPath: String,
+      outPath: String,
+      checkpointDir: String,
+      threshold: Double,
+      planes: Array[Array[Float]],
+      bands: Int = 8,
+      probeHamming: Int = 0,
+      broadcastVerify: Boolean = false): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        exactlyOnceEpochEmbedding(
+          batch, vecCol, idCol, batchKey(checkpointDir, batchId), indexPath, outPath,
+          threshold, planes, bands, probeHamming, broadcastVerify)
       }
       .start()
 }

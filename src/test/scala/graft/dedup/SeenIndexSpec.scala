@@ -387,6 +387,56 @@ class SeenIndexSpec extends SparkSpec {
     assert(outRows().sorted == Seq((1L, 1L), (2L, 1L), (11L, 2L)))
   }
 
+  test("exactly-once Hamming ingest: append-then-crash replay keeps the batch; output rows land once") {
+    import sqlImplicits._
+    val idx = tmpDir() + "/hidx"; val out = tmpDir() + "/hout"
+    val s0 = 0x0123456789abcdefL
+    val far = s0 ^ 0x00000000ffffffffL // hamming 32 from s0 AND from ~s0
+    def outRows(): Seq[(Long, Long)] =
+      spark.read.parquet(out).select("media_id", "epoch")
+        .collect().map(r => (r.getLong(0), r.getAs[Number]("epoch").longValue)).toSeq
+    def run(batch: org.apache.spark.sql.DataFrame, key: String, killAt: String = ""): Unit =
+      SeenIndex.exactlyOnceEpochHamming(batch, "ahash", key, idx, out, 3,
+        s => if (s == killAt) throw new RuntimeException(s"killed at $s"))
+    val b0 = Seq((1L, s0), (2L, ~s0)).toDF("media_id", "ahash")
+    intercept[RuntimeException] { run(b0, "k0", killAt = "output") }
+    run(b0, "k0")
+    assert(outRows().sorted == Seq((1L, 1L), (2L, 1L)))
+    // batch k1: 10 is near s0 (gated), 11 is far (kept); the crash
+    // lands AFTER the index append — the naive replay would gate 11
+    // against its own signature and overwrite the output with empty
+    val b1 = Seq((10L, s0 ^ 3L), (11L, far)).toDF("media_id", "ahash")
+    intercept[RuntimeException] { run(b1, "k1", killAt = "appended") }
+    run(b1, "k1")
+    run(b1, "k1") // committed: pure no-op
+    assert(outRows().sorted == Seq((1L, 1L), (2L, 1L), (11L, 2L)))
+  }
+
+  test("exactly-once embedding ingest: append-then-crash replay keeps the batch; output rows land once") {
+    import sqlImplicits._
+    val idx = tmpDir() + "/eidx"; val out = tmpDir() + "/eout"
+    val dim = 8
+    val planes = graft.similarity.Similarity.hyperplanes(dim, numPlanes = 64)
+    val e1 = Seq(1f, 0f, 0f, 0f, 0f, 0f, 0f, 0f)
+    val novel = Seq(0f, 0f, 0f, 1f, 0f, 0f, 0f, 0f)
+    def outRows(): Seq[(Long, Long)] =
+      spark.read.parquet(out).select("vec_id", "epoch")
+        .collect().map(r => (r.getLong(0), r.getAs[Number]("epoch").longValue)).toSeq
+    def run(batch: org.apache.spark.sql.DataFrame, key: String, killAt: String = ""): Unit =
+      SeenIndex.exactlyOnceEpochEmbedding(batch, "embedding", "vec_id", key, idx, out,
+        threshold = 0.9, planes = planes, broadcastVerify = true,
+        crashpoint = s => if (s == killAt) throw new RuntimeException(s"killed at $s"))
+    val b0 = Seq((1L, e1)).toDF("vec_id", "embedding")
+    intercept[RuntimeException] { run(b0, "k0", killAt = "output") }
+    run(b0, "k0")
+    assert(outRows() == Seq((1L, 1L)))
+    val b1 = Seq((10L, e1), (11L, novel)).toDF("vec_id", "embedding")
+    intercept[RuntimeException] { run(b1, "k1", killAt = "appended") }
+    run(b1, "k1")
+    run(b1, "k1") // committed: pure no-op
+    assert(outRows().sorted == Seq((1L, 1L), (11L, 2L)))
+  }
+
   test("exactly-once streaming loop: end-to-end with partition-column output and restart-resume") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import sqlImplicits._
