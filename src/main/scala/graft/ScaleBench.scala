@@ -676,6 +676,34 @@ object ScaleBench {
         }
         epoch(1L, 0L) + epoch(10L, 5L) + epoch(11L, 6L)
       }),
+      // Index compaction: three fully-overlapping tagged epochs (3n
+      // rows, n distinct sigs) rewritten to one row per sig via the
+      // crash-safe backup-then-swap. Cost is one groupBy over 3n
+      // 16-byte rows plus the parquet rewrite — alpha should track a
+      // plain scan+shuffle of the corpus's signatures, nothing
+      // history-super-linear.
+      "compact_index" -> (() => {
+        val path = graft.core.TempDirs.create("scale_compact_index_")
+        val sigs = docs.select(xxhash64(col("text")).as("sig"))
+        (1L to 3L).foreach(e => graft.dedup.SeenIndex.appendEpoch(sigs, "sig", path, e))
+        graft.dedup.SeenIndex.compact(spark, path)
+        graft.dedup.SeenIndex.read(spark, path).count()
+      }),
+      // Exactly-once ledgered ingest: two batches through the
+      // per-batch protocol (ledger probe + epoch alloc + own-epoch-
+      // excluded gate + epoch-keyed output overwrite + tagged append +
+      // commit marker). Adds the marker round-trips and the output
+      // parquet write to ingest_epochs' cost — both flat per batch —
+      // so alpha should track ingest_epochs'.
+      "exactly_once_epochs" -> (() => {
+        val path = graft.core.TempDirs.create("scale_eo_index_")
+        val outp = graft.core.TempDirs.create("scale_eo_out_")
+        graft.dedup.SeenIndex.exactlyOnceEpochSimhash(
+          docs.filter(col("doc_id") % 3 =!= 0), "text", "b0", path, outp, 3)
+        graft.dedup.SeenIndex.exactlyOnceEpochSimhash(
+          docs.filter(col("doc_id") % 3 === 0), "text", "b1", path, outp, 3)
+        spark.read.parquet(outp).where(col("epoch") === 2L).count()
+      }),
       // Jaccard ingest gate (batch vs reference MinHash banding +
       // exact set-overlap verify): the shingle explode dominates the
       // per-row cost and the band join is collision-bound, so alpha

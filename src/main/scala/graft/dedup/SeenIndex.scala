@@ -497,9 +497,11 @@ object SeenIndex {
   /** Allocate (or on replay, LOOK UP) the epoch number for batch
     * `key`. Numbers live in the marker FILENAMES — `alloc-<key>-<n>`
     * — so neither allocation nor lookup reads file contents, and a
-    * replayed batch finds its prior allocation by prefix. Monotone
-    * under the one-writer rule (concurrent writers on one index are
-    * out of contract for the whole object).
+    * replayed batch finds its prior allocation by prefix. A
+    * `watermark-<n>` file (written by [[compactLedger]]) floors the
+    * allocation so pruned markers can never cause epoch reuse.
+    * Monotone under the one-writer rule (concurrent writers on one
+    * index are out of contract for the whole object).
     */
   private[dedup] def allocEpoch(
       fs: org.apache.hadoop.fs.FileSystem, indexPath: String, key: String): Long = {
@@ -511,10 +513,71 @@ object SeenIndex {
     }.getOrElse {
       val next = names.collect {
         case n if n.startsWith("alloc-") => n.substring(n.lastIndexOf('-') + 1).toLong
+        case n if n.startsWith("watermark-") => n.substring("watermark-".length).toLong
       }.foldLeft(0L)(math.max) + 1L
       fs.create(new org.apache.hadoop.fs.Path(dir, s"alloc-$key-$next"), false).close()
       next
     }
+  }
+
+  /** Prune the exactly-once ledger. The `_epochs` directory grows two
+    * marker files per micro-batch forever, and [[allocEpoch]] LISTS
+    * the directory every batch — a year of 5-minute batches is 200 k
+    * files and an O(n²) listing bill over the stream's life. This
+    * collapses history: every COMMITTED batch older than the
+    * `keepLast` most recent epochs loses its marker pair, and a
+    * single `watermark-<n>` file (n = the highest pruned epoch)
+    * floors all future allocations so a pruned epoch number can never
+    * be reissued.
+    *
+    * Safety argument, honestly: a pruned batch's replay would no
+    * longer find its committed marker and would RE-RUN (re-allocating
+    * a fresh epoch — duplicate output rows). Structured Streaming
+    * only ever replays batches its own checkpoint has not committed —
+    * the most recent one(s), never deep history — so `keepLast` is a
+    * paranoia window, not a correctness knob, as long as it exceeds
+    * the number of batches the engine can have in flight (1 for the
+    * micro-batch runner). Uncommitted allocs (a batch that crashed
+    * and was never replayed, e.g. after a checkpoint was abandoned)
+    * are kept regardless: they cost one file each and pruning them
+    * would be wrong if that checkpoint ever resumes. Run it from the
+    * writer's maintenance window (same one-writer rule as
+    * [[compact]]).
+    */
+  def compactLedger(spark: SparkSession, indexPath: String, keepLast: Int = 100): Unit = {
+    require(keepLast >= 1, s"keepLast=$keepLast must be >= 1")
+    val dir = epochsDir(indexPath)
+    val fs = fsFor(spark, dir)
+    if (!fs.exists(dir)) return
+    val names = fs.listStatus(dir).map(_.getPath.getName)
+    val committed = names.collect {
+      case n if n.startsWith("committed-") => n.substring("committed-".length)
+    }.toSet
+    val allocs = names.collect {
+      case n if n.startsWith("alloc-") =>
+        val body = n.substring("alloc-".length)
+        val cut = body.lastIndexOf('-')
+        (body.substring(0, cut), body.substring(cut + 1).toLong)
+    }
+    val prunable = allocs.filter { case (key, _) => committed.contains(key) }
+      .sortBy(_._2)
+      .dropRight(keepLast)
+    if (prunable.isEmpty) return
+    val newWatermark = prunable.map(_._2).max
+    // watermark FIRST: if pruning crashes midway, a present watermark
+    // with surviving markers is safe (allocEpoch takes the max), while
+    // pruned markers without a watermark could reissue an epoch
+    fs.create(new org.apache.hadoop.fs.Path(dir, s"watermark-$newWatermark"), true).close()
+    prunable.foreach { case (key, epoch) =>
+      deleteOrThrow(fs, new org.apache.hadoop.fs.Path(dir, s"alloc-$key-$epoch"))
+      deleteOrThrow(fs, new org.apache.hadoop.fs.Path(dir, s"committed-$key"))
+    }
+    // sweep superseded watermark files (monotone: keep only the max)
+    names.collect {
+      case n if n.startsWith("watermark-") && n.substring("watermark-".length).toLong < newWatermark =>
+        deleteOrThrow(fs, new org.apache.hadoop.fs.Path(dir, n))
+    }
+    ()
   }
 
   private def committedMarker(indexPath: String, key: String) =
@@ -609,7 +672,7 @@ object SeenIndex {
     } finally kept.unpersist(blocking = false)
   }
 
-  private[dedup] def exactlyOnceEpochSimhash(
+  private[graft] def exactlyOnceEpochSimhash(
       batch: DataFrame,
       textCol: String,
       key: String,
@@ -632,7 +695,7 @@ object SeenIndex {
   /** [[exactlyOnceEpochSimhash]] for a precomputed 64-bit signature
     * column — the media form. Output rows keep `sigCol`.
     */
-  private[dedup] def exactlyOnceEpochHamming(
+  private[graft] def exactlyOnceEpochHamming(
       batch: DataFrame,
       sigCol: String,
       key: String,
@@ -889,7 +952,7 @@ object SeenIndex {
     * deterministic given fixed `planes`, so replays land on the
     * identical admitted set.
     */
-  private[dedup] def exactlyOnceEpochEmbedding(
+  private[graft] def exactlyOnceEpochEmbedding(
       batch: DataFrame,
       vecCol: String,
       idCol: String,

@@ -437,6 +437,87 @@ class SeenIndexSpec extends SparkSpec {
     assert(outRows().sorted == Seq((1L, 1L), (11L, 2L)))
   }
 
+  test("compactLedger prunes committed marker pairs behind a watermark; allocations never reuse a pruned epoch") {
+    import sqlImplicits._
+    import org.apache.hadoop.fs.Path
+    val idx = tmpDir() + "/idx"; val out = tmpDir() + "/out"
+    val fs = new Path(idx).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def doc(i: Int) = (i.toLong, (i * 100 to i * 100 + 60).map(j => s"t$j").mkString(" "))
+    def run(i: Int, killAt: String = ""): Unit =
+      SeenIndex.exactlyOnceEpochSimhash(
+        Seq(doc(i)).toDF("doc_id", "text"), "text", s"k$i", idx, out, 3,
+        s => if (s == killAt) throw new RuntimeException("kill"))
+    (0 to 4).foreach(i => run(i)) // epochs 1..5, all committed
+    intercept[RuntimeException] { run(5, killAt = "gated") } // epoch 6 allocated, never committed
+    def names() = fs.listStatus(new Path(idx, "_epochs")).map(_.getPath.getName).toSet
+    assert(names().count(_.startsWith("alloc-")) == 6)
+    SeenIndex.compactLedger(spark, idx, keepLast = 2)
+    // epochs 1-3 pruned behind watermark-3; 4, 5 kept; the uncommitted
+    // alloc-6 kept regardless (its checkpoint may resume)
+    val after = names()
+    assert(after.contains("watermark-3"), after.toString)
+    assert(after.count(_.startsWith("alloc-")) == 3, after.toString) // epochs 4, 5, 6
+    assert(after.count(_.startsWith("committed-")) == 2, after.toString)
+    // a replay of a KEPT committed batch is still a pure no-op
+    val before = spark.read.parquet(out).count()
+    run(4)
+    assert(spark.read.parquet(out).count() == before)
+    // the next batch allocates ABOVE everything ever issued (7), and
+    // still gates against the full index history (pruning touches
+    // markers, never signatures)
+    run(6)
+    val rows = spark.read.parquet(out).select("doc_id", "epoch")
+      .collect().map(r => (r.getLong(0), r.getAs[Number]("epoch").longValue)).toMap
+    assert(rows(6L) == 7L, rows.toString)
+    run(7) // doc 7 is novel -> admitted at epoch 8
+    assert(spark.read.parquet(out).count() == before + 2)
+    // re-compacting with nothing old enough to prune is a no-op
+    SeenIndex.compactLedger(spark, idx, keepLast = 100)
+    assert(names().contains("watermark-3"))
+    // compacting a never-written ledger is a no-op, not an error
+    SeenIndex.compactLedger(spark, tmpDir() + "/never")
+  }
+
+  test("exactly-once protocol fuzz: seeded random kill schedules never duplicate or drop a row") {
+    import sqlImplicits._
+    val idx = tmpDir() + "/idx"; val out = tmpDir() + "/out"
+    val rnd = new scala.util.Random(42)
+    val stages = Vector("allocated", "gated", "output", "appended")
+    def text(i: Int) = (i * 1000 to i * 1000 + 60).map(j => s"w$j").mkString(" ")
+    var nextDoc = 0L
+    var nextText = 0
+    val seenTexts = scala.collection.mutable.ArrayBuffer[Int]() // admitted text ids
+    val expected = scala.collection.mutable.Map[Long, Int]()    // doc_id -> text id
+    // 10 batches of 2 rows; each row is novel (60%) or an exact copy
+    // of a previously ADMITTED text (40%, gated). Before the final
+    // successful attempt each batch suffers 0-2 kills at random stages.
+    (0 until 10).foreach { _ =>
+      val pool = seenTexts.toVector // admitted texts BEFORE this batch (the gate is history-only)
+      val rows = (0 until 2).map { _ =>
+        val t =
+          if (pool.nonEmpty && rnd.nextDouble() < 0.4) pool(rnd.nextInt(pool.length))
+          else { nextText += 1; nextText }
+        val id = nextDoc; nextDoc += 1
+        (id, t)
+      }
+      rows.foreach { case (id, t) => if (!pool.contains(t)) expected(id) = t }
+      rows.foreach { case (_, t) => if (!seenTexts.contains(t)) seenTexts += t }
+      val batch = rows.map { case (id, t) => (id, text(t)) }.toDF("doc_id", "text")
+      val key = s"k$nextDoc"
+      (0 until rnd.nextInt(3)).foreach { _ =>
+        val killAt = stages(rnd.nextInt(stages.length))
+        intercept[RuntimeException] {
+          SeenIndex.exactlyOnceEpochSimhash(batch, "text", key, idx, out, 3,
+            s => if (s == killAt) throw new RuntimeException(s"killed at $s"))
+        }
+      }
+      SeenIndex.exactlyOnceEpochSimhash(batch, "text", key, idx, out, 3)
+    }
+    val got = spark.read.parquet(out).select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(got.length == got.distinct.length, s"duplicated rows: $got")
+    assert(got.toSet == expected.keySet, s"got=${got.sorted.toList} want=${expected.keys.toList.sorted}")
+  }
+
   test("exactly-once streaming loop: end-to-end with partition-column output and restart-resume") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import sqlImplicits._
