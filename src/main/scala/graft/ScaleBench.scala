@@ -757,6 +757,18 @@ object ScaleBench {
           n
         }
       },
+      // Vector-index compaction: three fully-overlapping tagged
+      // epochs (3n rows at 8 + 4*dim bytes each) rewritten to one row
+      // per (id, vec) — compact_index's heavy twin; the groupBy key is
+      // the vector itself, so alpha tracks a shuffle of the raw
+      // vectors, still linear.
+      "compact_vectors" -> (() => {
+        val path = graft.core.TempDirs.create("scale_compact_vecidx_")
+        (1L to 3L).foreach(e =>
+          graft.dedup.SeenIndex.appendVectorsEpoch(emb, "embedding", "vec_id", path, e))
+        graft.dedup.SeenIndex.compactVectors(spark, path)
+        graft.dedup.SeenIndex.readVectors(spark, path).count()
+      }),
       // Full-corpus distributed Lloyd's: 5 rounds x one scan + a
       // k x dim control-plane collect per round — alpha ~ the scan's,
       // nothing driver-side grows with the corpus.

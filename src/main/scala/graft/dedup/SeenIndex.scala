@@ -559,6 +559,13 @@ object SeenIndex {
         val cut = body.lastIndexOf('-')
         (body.substring(0, cut), body.substring(cut + 1).toLong)
     }
+    // a committed marker with no alloc can only be the leftover of a
+    // prune that crashed between the two deletes (allocs are created
+    // first and deleted first) — sweep it so re-runs converge
+    val allocKeys = allocs.map(_._1).toSet
+    committed.diff(allocKeys).foreach { key =>
+      deleteOrThrow(fs, new org.apache.hadoop.fs.Path(dir, s"committed-$key"))
+    }
     val prunable = allocs.filter { case (key, _) => committed.contains(key) }
       .sortBy(_._2)
       .dropRight(keepLast)
@@ -578,6 +585,85 @@ object SeenIndex {
         deleteOrThrow(fs, new org.apache.hadoop.fs.Path(dir, n))
     }
     ()
+  }
+
+  /** Operational snapshot of one index directory — the numbers a
+    * maintenance window decides from: `rows` vs `distinct` says how
+    * much a [[compact]] would reclaim, `dataFiles` says whether the
+    * small-file count justifies one, the epoch range bounds a
+    * retention window's effect, and the ledger counts say whether
+    * [[compactLedger]] is due. `midCompaction` reports (rather than
+    * throws, unlike the gates) that a crashed compaction needs
+    * [[recover]] first — a diagnostic call must work on a broken
+    * index.
+    */
+  case class IndexStats(
+      rows: Long,
+      distinct: Long,
+      untagged: Long,
+      minEpoch: Option[Long],
+      maxEpoch: Option[Long],
+      dataFiles: Long,
+      dataBytes: Long,
+      ledgerAllocs: Long,
+      ledgerCommitted: Long,
+      ledgerWatermark: Option[Long],
+      midCompaction: Boolean)
+
+  /** [[IndexStats]] for a SIGNATURE index (`distinct` = distinct
+    * sigs). One aggregate pass over the index parquet plus two
+    * directory listings; safe to call on a missing, empty, or
+    * mid-compaction directory.
+    */
+  def stats(spark: SparkSession, path: String): IndexStats =
+    statsOf(spark, path, spark.read.schema(epochSchema).parquet(path), Seq("sig"))
+
+  /** [[IndexStats]] for a VECTOR index (`distinct` = distinct
+    * `(id, vec)` pairs).
+    */
+  def vectorStats(spark: SparkSession, path: String): IndexStats =
+    statsOf(spark, path, spark.read.schema(vecEpochSchema).parquet(path), Seq("id", "vec"))
+
+  private def statsOf(
+      spark: SparkSession, path: String, load: => DataFrame,
+      keyCols: Seq[String]): IndexStats = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = fsFor(spark, p)
+    val mid = !fs.exists(p) &&
+      Seq(".compact-old", ".compact-tmp")
+        .exists(s => fs.exists(new org.apache.hadoop.fs.Path(path + s)))
+    val dataFiles =
+      if (fs.exists(p))
+        fs.listStatus(p).filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      else Array.empty[org.apache.hadoop.fs.FileStatus]
+    val (rows, dist, untagged, minE, maxE) =
+      if (dataFiles.isEmpty) (0L, 0L, 0L, None, None)
+      else {
+        val r = load.agg(
+          count(lit(1)),
+          count_distinct(struct(keyCols.map(col): _*)),
+          sum(when(col("epoch").isNull, 1L).otherwise(0L)),
+          min("epoch"), max("epoch")).head
+        (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) 0L else r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)),
+          if (r.isNullAt(4)) None else Some(r.getLong(4)))
+      }
+    val ledger = epochsDir(path)
+    val markers =
+      if (fs.exists(ledger)) fs.listStatus(ledger).map(_.getPath.getName)
+      else Array.empty[String]
+    val watermarks = markers.collect {
+      case n if n.startsWith("watermark-") => n.substring("watermark-".length).toLong
+    }
+    IndexStats(
+      rows = rows, distinct = dist, untagged = untagged,
+      minEpoch = minE, maxEpoch = maxE,
+      dataFiles = dataFiles.length.toLong, dataBytes = dataFiles.map(_.getLen).sum,
+      ledgerAllocs = markers.count(_.startsWith("alloc-")).toLong,
+      ledgerCommitted = markers.count(_.startsWith("committed-")).toLong,
+      ledgerWatermark = if (watermarks.isEmpty) None else Some(watermarks.max),
+      midCompaction = mid)
   }
 
   private def committedMarker(indexPath: String, key: String) =
@@ -724,6 +810,11 @@ object SeenIndex {
     * append itself stays convergent-at-least-once (same-epoch
     * duplicate rows that every reader collapses), which is exactly as
     * strong as it needs to be: the user-visible rows are the output.
+    *
+    * `ledgerKeepLast > 0` runs [[compactLedger]] after every committed
+    * batch so a long-lived stream's marker directory stays O(keepLast)
+    * instead of growing two files per batch forever; 0 (the default)
+    * leaves maintenance to the caller.
     */
   def gateStreamSimhashExactlyOnce(
       stream: DataFrame,
@@ -731,13 +822,15 @@ object SeenIndex {
       indexPath: String,
       outPath: String,
       checkpointDir: String,
-      maxHamming: Int = 3): org.apache.spark.sql.streaming.StreamingQuery = {
+      maxHamming: Int = 3,
+      ledgerKeepLast: Int = 0): org.apache.spark.sql.streaming.StreamingQuery = {
     requireExactRadius(maxHamming)
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         exactlyOnceEpochSimhash(
           batch, textCol, batchKey(checkpointDir, batchId), indexPath, outPath, maxHamming)
+        if (ledgerKeepLast > 0) compactLedger(batch.sparkSession, indexPath, ledgerKeepLast)
       }
       .start()
   }
@@ -745,7 +838,8 @@ object SeenIndex {
   /** [[gateStreamHamming]] with EXACTLY-ONCE output — the media form
     * of [[gateStreamSimhashExactlyOnce]], same ledgered protocol,
     * admitted rows (signature column included) landing under
-    * `outPath/epoch=<n>/`.
+    * `outPath/epoch=<n>/`. `ledgerKeepLast` as in
+    * [[gateStreamSimhashExactlyOnce]].
     */
   def gateStreamHammingExactlyOnce(
       stream: DataFrame,
@@ -753,13 +847,15 @@ object SeenIndex {
       indexPath: String,
       outPath: String,
       checkpointDir: String,
-      maxHamming: Int = 3): org.apache.spark.sql.streaming.StreamingQuery = {
+      maxHamming: Int = 3,
+      ledgerKeepLast: Int = 0): org.apache.spark.sql.streaming.StreamingQuery = {
     requireExactRadius(maxHamming)
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         exactlyOnceEpochHamming(
           batch, sigCol, batchKey(checkpointDir, batchId), indexPath, outPath, maxHamming)
+        if (ledgerKeepLast > 0) compactLedger(batch.sparkSession, indexPath, ledgerKeepLast)
       }
       .start()
   }
@@ -980,6 +1076,7 @@ object SeenIndex {
     * form of [[gateStreamSimhashExactlyOnce]], same ledgered protocol,
     * admitted rows landing under `outPath/epoch=<n>/`. The gate stays
     * APPROXIMATE (an LSH miss passes) but replay-deterministic.
+    * `ledgerKeepLast` as in [[gateStreamSimhashExactlyOnce]].
     */
   def gateStreamEmbeddingExactlyOnce(
       stream: DataFrame,
@@ -992,13 +1089,15 @@ object SeenIndex {
       planes: Array[Array[Float]],
       bands: Int = 8,
       probeHamming: Int = 0,
-      broadcastVerify: Boolean = false): org.apache.spark.sql.streaming.StreamingQuery =
+      broadcastVerify: Boolean = false,
+      ledgerKeepLast: Int = 0): org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         exactlyOnceEpochEmbedding(
           batch, vecCol, idCol, batchKey(checkpointDir, batchId), indexPath, outPath,
           threshold, planes, bands, probeHamming, broadcastVerify)
+        if (ledgerKeepLast > 0) compactLedger(batch.sparkSession, indexPath, ledgerKeepLast)
       }
       .start()
 }

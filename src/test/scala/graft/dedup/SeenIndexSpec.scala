@@ -603,4 +603,94 @@ class SeenIndexSpec extends SparkSpec {
     assert(admitted() == Set(1L, 3L))
     assert(SeenIndex.readVectors(spark, idx).select("id").distinct().count() == 2)
   }
+
+  test("stats: rows vs distinct, epoch range, file/ledger counts; a broken index reports instead of throwing") {
+    import sqlImplicits._
+    import org.apache.hadoop.fs.Path
+    val idx = tmpDir() + "/idx"
+    val fs = new Path(idx).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // never-written: all zeros, no throw
+    val empty = SeenIndex.stats(spark, idx)
+    assert(empty == SeenIndex.IndexStats(0, 0, 0, None, None, 0, 0, 0, 0, None, false))
+    val sigs = Seq(1L, 2L, 3L).toDF("sig")
+    SeenIndex.appendEpoch(sigs, "sig", idx, 1L)
+    SeenIndex.appendEpoch(sigs, "sig", idx, 2L)   // full overlap: 3 reclaimable rows
+    SeenIndex.append(Seq(9L).toDF("sig"), "sig", idx)
+    val s = SeenIndex.stats(spark, idx)
+    assert(s.rows == 7 && s.distinct == 4 && s.untagged == 1, s.toString)
+    assert(s.minEpoch.contains(1L) && s.maxEpoch.contains(2L))
+    assert(s.dataFiles >= 3 && s.dataBytes > 0)
+    assert(s.ledgerAllocs == 0 && s.ledgerCommitted == 0 && s.ledgerWatermark.isEmpty)
+    // after compact the reclaimable gap closes: one row per sig
+    SeenIndex.compact(spark, idx)
+    val c = SeenIndex.stats(spark, idx)
+    assert(c.rows == 4 && c.distinct == 4 && c.untagged == 1, c.toString)
+    // mid-compaction crash state: stats REPORTS it (the gates throw)
+    fs.rename(new Path(idx), new Path(idx + ".compact-old"))
+    val broken = SeenIndex.stats(spark, idx)
+    assert(broken.midCompaction && broken.rows == 0)
+    SeenIndex.recover(spark, idx)
+    assert(!SeenIndex.stats(spark, idx).midCompaction)
+    assert(SeenIndex.stats(spark, idx).rows == 4)
+    // the vector form: distinct = distinct (id, vec) pairs
+    val vidx = tmpDir() + "/vidx"
+    val vecs = Seq((1L, Seq(1f, 0f)), (2L, Seq(0f, 1f))).toDF("id", "vec")
+    SeenIndex.appendVectorsEpoch(vecs, "vec", "id", vidx, 1L)
+    SeenIndex.appendVectorsEpoch(vecs, "vec", "id", vidx, 2L)
+    val v = SeenIndex.vectorStats(spark, vidx)
+    assert(v.rows == 4 && v.distinct == 2 && v.untagged == 0, v.toString)
+    assert(v.minEpoch.contains(1L) && v.maxEpoch.contains(2L))
+  }
+
+  test("compactLedger sweeps the orphaned committed marker a crashed prune leaves behind") {
+    import sqlImplicits._
+    import org.apache.hadoop.fs.Path
+    val idx = tmpDir() + "/idx"; val out = tmpDir() + "/out"
+    val fs = new Path(idx).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def doc(i: Int) = (i.toLong, (i * 100 to i * 100 + 60).map(j => s"o$j").mkString(" "))
+    (0 to 3).foreach { i =>
+      SeenIndex.exactlyOnceEpochSimhash(Seq(doc(i)).toDF("doc_id", "text"), "text",
+        s"k$i", idx, out, 3)
+    }
+    // simulate a prune crash between its two deletes: alloc gone,
+    // committed still present (deletion order is alloc first)
+    val ep = new Path(idx, "_epochs")
+    assert(fs.delete(new Path(ep, "alloc-k0-1"), false))
+    SeenIndex.compactLedger(spark, idx, keepLast = 100) // nothing prunable...
+    val names = fs.listStatus(ep).map(_.getPath.getName).toSet
+    assert(!names.contains("committed-k0"), names.toString) // ...but the orphan is swept
+    assert(names.count(_.startsWith("alloc-")) == 3)
+    assert(names.count(_.startsWith("committed-")) == 3)
+  }
+
+  test("exactly-once loop with ledgerKeepLast keeps the marker directory bounded across batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import sqlImplicits._
+    import org.apache.hadoop.fs.Path
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val idx = tmpDir() + "/idx"; val out = tmpDir() + "/out"
+    val fs = new Path(idx).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def text(i: Int) = (i * 100 to i * 100 + 60).map(j => s"b$j").mkString(" ")
+    val input = MemoryStream[(Long, String)]
+    val q = SeenIndex.gateStreamSimhashExactlyOnce(
+      input.toDF().toDF("doc_id", "text"), "text", idx, out, tmpDir(),
+      maxHamming = 3, ledgerKeepLast = 1)
+    (0 until 5).foreach { i =>
+      input.addData((i.toLong, text(i)), (100L + i, text(0))) // one novel, one dup of batch 0
+      q.processAllAvailable()
+    }
+    q.stop()
+    // exactly-once decisions unaffected by the in-loop pruning: the 5
+    // novel texts admitted once each, every copy of text(0) after
+    // batch 0 gated (doc 100 rode batch 0 itself, so it was novel then)
+    val got = spark.read.parquet(out).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == Set(0L, 1L, 2L, 3L, 4L, 100L), got.toString)
+    // ledger stays O(keepLast): last committed pair + watermark, not 2 files/batch
+    val names = fs.listStatus(new Path(idx, "_epochs")).map(_.getPath.getName)
+    assert(names.count(_.startsWith("alloc-")) <= 1, names.mkString(","))
+    assert(names.count(_.startsWith("committed-")) <= 1, names.mkString(","))
+    assert(names.count(_.startsWith("watermark-")) == 1, names.mkString(","))
+    val s = SeenIndex.stats(spark, idx)
+    assert(s.ledgerAllocs <= 1 && s.ledgerWatermark.exists(_ >= 4L), s.toString)
+  }
 }
