@@ -1,5 +1,27 @@
 package graft.core
 
+/** The sibling artifacts a durable index keeps NEXT TO its directory
+  * rather than inside it — single source for the suffixes so the
+  * index lifecycle (graft.dedup.SeenIndex) and the temp-dir sweep
+  * below can never drift apart on a rename:
+  *
+  *   - `.compact-old` / `.compact-tmp`: the crash-safe compaction's
+  *     backup and staging directories.
+  *   - `.epochs`: the exactly-once ingest ledger. A SIBLING (not an
+  *     underscore dir inside the index) deliberately: compaction
+  *     swaps the whole index directory, and a ledger living inside it
+  *     would ride the swap into the backup and be deleted with it;
+  *     next to the index it survives any compaction, and creating it
+  *     never resurrects a missing index path (which would defeat the
+  *     mid-compaction fail-loud guard).
+  */
+object IndexLayout {
+  val CompactOld = ".compact-old"
+  val CompactTmp = ".compact-tmp"
+  val Ledger = ".epochs"
+  val SiblingSuffixes: Seq[String] = Seq(CompactOld, CompactTmp, Ledger)
+}
+
 /** Temp directories for queries that exercise durable-index
   * lifecycles (q103–q106, the ScaleBench ingest entries). Each
   * invocation needs a FRESH directory — the queries are deterministic
@@ -23,22 +45,25 @@ object TempDirs {
     p.toString
   }
 
-  /** Recursively delete every registered dir (and its compaction
-    * siblings, which live NEXT TO the registered path). Runs at JVM
-    * exit; callable directly for tests and long-lived services.
-    * Deletion failures are swallowed — a sweep must never mask the
-    * real exit path.
+  /** Recursively delete every registered dir (and its index sibling
+    * artifacts, which live NEXT TO the registered path — see
+    * [[IndexLayout]]). Runs at JVM exit; callable directly for tests
+    * and long-lived services. Deletion failures are swallowed — a
+    * sweep must never mask the real exit path.
     */
   private[graft] def sweep(): Unit = {
     var p = dirs.poll()
     while (p != null) {
-      Seq(p, p.resolveSibling(p.getFileName.toString + ".compact-old"),
-        p.resolveSibling(p.getFileName.toString + ".compact-tmp")).foreach { root =>
+      val siblings = IndexLayout.SiblingSuffixes
+        .map(s => p.resolveSibling(p.getFileName.toString + s))
+      (p +: siblings).foreach { root =>
         try {
           if (java.nio.file.Files.exists(root)) {
-            java.nio.file.Files.walk(root)
+            val walk = java.nio.file.Files.walk(root)
+            try walk
               .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
               .forEach(f => try java.nio.file.Files.deleteIfExists(f) catch { case _: Exception => () })
+            finally walk.close() // Files.walk holds open directory handles
           }
         } catch { case _: Exception => () }
       }

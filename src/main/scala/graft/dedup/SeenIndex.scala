@@ -90,7 +90,7 @@ object SeenIndex {
       fs: org.apache.hadoop.fs.FileSystem, path: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(path)
     if (!fs.exists(p)) {
-      val leftovers = Seq(path + ".compact-old", path + ".compact-tmp")
+      val leftovers = Seq(graft.core.IndexLayout.CompactOld, graft.core.IndexLayout.CompactTmp).map(path + _)
         .map(new org.apache.hadoop.fs.Path(_)).filter(fs.exists)
       if (leftovers.nonEmpty)
         throw new IllegalStateException(
@@ -113,8 +113,8 @@ object SeenIndex {
   def recover(spark: SparkSession, path: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = fsFor(spark, p)
-    val bak = new org.apache.hadoop.fs.Path(path + ".compact-old")
-    val tmp = new org.apache.hadoop.fs.Path(path + ".compact-tmp")
+    val bak = new org.apache.hadoop.fs.Path(path + graft.core.IndexLayout.CompactOld)
+    val tmp = new org.apache.hadoop.fs.Path(path + graft.core.IndexLayout.CompactTmp)
     if (!fs.exists(p)) {
       if (fs.exists(bak)) renameOrThrow(fs, bak, p)
       else if (fs.exists(tmp)) renameOrThrow(fs, tmp, p)
@@ -377,8 +377,8 @@ object SeenIndex {
     val fs = fsFor(spark, p)
     requireNotMidCompaction(fs, path) // a crashed prior swap needs recover(), not another compact
     if (!fs.exists(p)) return
-    val tmp = new org.apache.hadoop.fs.Path(path + ".compact-tmp")
-    val bak = new org.apache.hadoop.fs.Path(path + ".compact-old")
+    val tmp = new org.apache.hadoop.fs.Path(path + graft.core.IndexLayout.CompactTmp)
+    val bak = new org.apache.hadoop.fs.Path(path + graft.core.IndexLayout.CompactOld)
     rewrite(spark.read.schema(readSchema).parquet(path))
       .write.mode("overwrite").parquet(tmp.toString)
     deleteOrThrow(fs, bak) // stale backup from a prior compaction that crashed after its swap
@@ -470,18 +470,26 @@ object SeenIndex {
 
   // ---- EXACTLY-ONCE streaming ingest: the ledgered form ----
 
-  /** The `_epochs` ledger directory inside the index: underscore-
-    * prefixed, so every parquet read of the index ignores it (Spark's
-    * file index skips `_`/`.` paths). It holds one empty marker file
-    * per micro-batch: `alloc-<key>-<epoch>` records the epoch number
-    * allocated to a (checkpoint, batchId) pair — the allocation is
-    * what survives a crash, so a replayed batch re-uses ITS OWN epoch
-    * — and `committed-<key>` records that the batch's output AND
-    * index append both finished, making any later replay a pure
-    * no-op.
+  /** The `<path>.epochs` ledger directory NEXT TO the index. A
+    * sibling, not a subdirectory, for two load-bearing reasons:
+    * [[compact]]'s backup-then-swap renames the whole index directory,
+    * and a ledger inside it would ride the swap into `.compact-old`
+    * and be deleted with the backup — destroying every committed
+    * marker (a replay would re-run as epoch 1 and OVERWRITE the first
+    * batch's output); and creating the ledger must never resurrect a
+    * missing index path, or the mid-compaction fail-loud guard
+    * ([[requireNotMidCompaction]]) would see the path exist and let a
+    * batch gate against an empty index. (Parquet reads never see it
+    * either way — it is not under the index path at all.) It holds
+    * one empty marker file per micro-batch: `alloc-<key>-<epoch>`
+    * records the epoch number allocated to a (checkpoint, batchId)
+    * pair — the allocation is what survives a crash, so a replayed
+    * batch re-uses ITS OWN epoch — and `committed-<key>` records that
+    * the batch's output AND index append both finished, making any
+    * later replay a pure no-op.
     */
   private def epochsDir(indexPath: String) =
-    new org.apache.hadoop.fs.Path(indexPath, "_epochs")
+    new org.apache.hadoop.fs.Path(indexPath + graft.core.IndexLayout.Ledger)
 
   /** The stable identity of one logical micro-batch: the checkpoint
     * location names the QUERY (it is the one thing Structured
@@ -508,8 +516,15 @@ object SeenIndex {
     val dir = epochsDir(indexPath)
     fs.mkdirs(dir)
     val names = fs.listStatus(dir).map(_.getPath.getName)
-    names.collectFirst { case n if n.startsWith(s"alloc-$key-") =>
-      n.substring(s"alloc-$key-".length).toLong
+    // the suffix must be PURE digits: a bare prefix match would let
+    // key "a" claim key "a-7"'s marker "alloc-a-7-2" (keys from
+    // batchKey are md5 hex, but the free-form-key forms must not
+    // cross-match on a dash)
+    val prefix = s"alloc-$key-"
+    names.collectFirst {
+      case n if n.startsWith(prefix) && n.length > prefix.length &&
+        n.substring(prefix.length).forall(_.isDigit) =>
+        n.substring(prefix.length).toLong
     }.getOrElse {
       val next = names.collect {
         case n if n.startsWith("alloc-") => n.substring(n.lastIndexOf('-') + 1).toLong
@@ -520,7 +535,7 @@ object SeenIndex {
     }
   }
 
-  /** Prune the exactly-once ledger. The `_epochs` directory grows two
+  /** Prune the exactly-once ledger. The `.epochs` directory grows two
     * marker files per micro-batch forever, and [[allocEpoch]] LISTS
     * the directory every batch — a year of 5-minute batches is 200 k
     * files and an O(n²) listing bill over the stream's life. This
@@ -630,7 +645,7 @@ object SeenIndex {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = fsFor(spark, p)
     val mid = !fs.exists(p) &&
-      Seq(".compact-old", ".compact-tmp")
+      Seq(graft.core.IndexLayout.CompactOld, graft.core.IndexLayout.CompactTmp)
         .exists(s => fs.exists(new org.apache.hadoop.fs.Path(path + s)))
     val dataFiles =
       if (fs.exists(p))
@@ -743,6 +758,12 @@ object SeenIndex {
       project: DataFrame => DataFrame): Unit = {
     val spark = batch.sparkSession
     val fs = fsFor(spark, new org.apache.hadoop.fs.Path(indexPath))
+    // fail BEFORE touching the ledger: a crashed compaction must stop
+    // the protocol here, not after an epoch is allocated (the gate's
+    // readExcluding would throw anyway — the ledger is a sibling, so
+    // nothing below recreates the missing index path — but failing
+    // first keeps the crash state untouched for recover())
+    requireNotMidCompaction(fs, indexPath)
     if (fs.exists(committedMarker(indexPath, key))) return
     val epoch = allocEpoch(fs, indexPath, key)
     crashpoint("allocated")

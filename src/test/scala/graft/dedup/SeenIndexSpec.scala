@@ -449,7 +449,7 @@ class SeenIndexSpec extends SparkSpec {
         s => if (s == killAt) throw new RuntimeException("kill"))
     (0 to 4).foreach(i => run(i)) // epochs 1..5, all committed
     intercept[RuntimeException] { run(5, killAt = "gated") } // epoch 6 allocated, never committed
-    def names() = fs.listStatus(new Path(idx, "_epochs")).map(_.getPath.getName).toSet
+    def names() = fs.listStatus(new Path(idx + ".epochs")).map(_.getPath.getName).toSet
     assert(names().count(_.startsWith("alloc-")) == 6)
     SeenIndex.compactLedger(spark, idx, keepLast = 2)
     // epochs 1-3 pruned behind watermark-3; 4, 5 kept; the uncommitted
@@ -654,7 +654,7 @@ class SeenIndexSpec extends SparkSpec {
     }
     // simulate a prune crash between its two deletes: alloc gone,
     // committed still present (deletion order is alloc first)
-    val ep = new Path(idx, "_epochs")
+    val ep = new Path(idx + ".epochs")
     assert(fs.delete(new Path(ep, "alloc-k0-1"), false))
     SeenIndex.compactLedger(spark, idx, keepLast = 100) // nothing prunable...
     val names = fs.listStatus(ep).map(_.getPath.getName).toSet
@@ -686,11 +686,75 @@ class SeenIndexSpec extends SparkSpec {
     val got = spark.read.parquet(out).select("doc_id").collect().map(_.getLong(0)).toSet
     assert(got == Set(0L, 1L, 2L, 3L, 4L, 100L), got.toString)
     // ledger stays O(keepLast): last committed pair + watermark, not 2 files/batch
-    val names = fs.listStatus(new Path(idx, "_epochs")).map(_.getPath.getName)
+    val names = fs.listStatus(new Path(idx + ".epochs")).map(_.getPath.getName)
     assert(names.count(_.startsWith("alloc-")) <= 1, names.mkString(","))
     assert(names.count(_.startsWith("committed-")) <= 1, names.mkString(","))
     assert(names.count(_.startsWith("watermark-")) == 1, names.mkString(","))
     val s = SeenIndex.stats(spark, idx)
     assert(s.ledgerAllocs <= 1 && s.ledgerWatermark.exists(_ >= 4L), s.toString)
+  }
+
+  test("compact preserves the exactly-once ledger: committed batches stay no-ops, the next epoch allocates above") {
+    import sqlImplicits._
+    import org.apache.hadoop.fs.Path
+    val idx = tmpDir() + "/idx"; val out = tmpDir() + "/out"
+    val fs = new Path(idx).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def doc(i: Int) = (i.toLong, (i * 100 to i * 100 + 60).map(j => s"c$j").mkString(" "))
+    def run(i: Int) = SeenIndex.exactlyOnceEpochSimhash(
+      Seq(doc(i)).toDF("doc_id", "text"), "text", s"k$i", idx, out, 3)
+    (0 to 2).foreach(run) // epochs 1..3 committed
+    SeenIndex.compact(spark, idx)
+    // the ledger is a SIBLING of the index dir, so the compaction's
+    // whole-directory swap cannot have touched it
+    val names = fs.listStatus(new Path(idx + ".epochs")).map(_.getPath.getName).toSet
+    assert(names.count(_.startsWith("committed-")) == 3, names.toString)
+    // a replay of a committed batch is still a pure no-op
+    val before = spark.read.parquet(out).count()
+    run(1)
+    assert(spark.read.parquet(out).count() == before)
+    // the next batch allocates ABOVE the pre-compaction epochs — no
+    // epoch reuse, so no output overwrite
+    run(3)
+    val epochs = spark.read.parquet(out).select("epoch")
+      .collect().map(_.getAs[Number](0).longValue).toSet
+    assert(epochs == Set(1L, 2L, 3L, 4L), epochs.toString)
+  }
+
+  test("exactly-once batch fails loud in a mid-compaction crash state instead of gating against an empty index") {
+    import sqlImplicits._
+    import org.apache.hadoop.fs.Path
+    val idx = tmpDir() + "/idx"; val out = tmpDir() + "/out"
+    val fs = new Path(idx).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val text = (1 to 60).map(i => s"m$i").mkString(" ")
+    SeenIndex.exactlyOnceEpochSimhash(
+      Seq((1L, text)).toDF("doc_id", "text"), "text", "k1", idx, out, 3)
+    // crash state: the swap's first rename happened, the second didn't
+    assert(fs.rename(new Path(idx), new Path(idx + ".compact-old")))
+    val e = intercept[IllegalStateException] {
+      SeenIndex.exactlyOnceEpochSimhash(
+        Seq((2L, text)).toDF("doc_id", "text"), "text", "k2", idx, out, 3)
+    }
+    assert(e.getMessage.contains("recover"))
+    // nothing recreated the index path (the ledger is a sibling), so
+    // recover() still sees the crash state and restores the backup
+    assert(!fs.exists(new Path(idx)))
+    SeenIndex.recover(spark, idx)
+    // after recovery the duplicate is gated against the restored history
+    SeenIndex.exactlyOnceEpochSimhash(
+      Seq((2L, text)).toDF("doc_id", "text"), "text", "k2", idx, out, 3)
+    assert(spark.read.parquet(out).select("doc_id")
+      .collect().map(_.getLong(0)).toSet == Set(1L))
+  }
+
+  test("epoch allocation is dash-safe: a key that is a dash-prefix of another never claims its marker") {
+    import org.apache.hadoop.fs.Path
+    val idx = tmpDir() + "/idx"
+    val fs = new Path(idx).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(SeenIndex.allocEpoch(fs, idx, "a-7") == 1L) // marker alloc-a-7-1
+    // key "a" must NOT parse alloc-a-7-1 as its own allocation
+    assert(SeenIndex.allocEpoch(fs, idx, "a") == 2L)
+    // replays still find their own markers
+    assert(SeenIndex.allocEpoch(fs, idx, "a-7") == 1L)
+    assert(SeenIndex.allocEpoch(fs, idx, "a") == 2L)
   }
 }
