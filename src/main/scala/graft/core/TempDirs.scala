@@ -19,7 +19,9 @@ object IndexLayout {
   val CompactOld = ".compact-old"
   val CompactTmp = ".compact-tmp"
   val Ledger = ".epochs"
-  val SiblingSuffixes: Seq[String] = Seq(CompactOld, CompactTmp, Ledger)
+  /** The crash-state pair a mid-compaction check looks for. */
+  val CompactSuffixes: Seq[String] = Seq(CompactOld, CompactTmp)
+  val SiblingSuffixes: Seq[String] = CompactSuffixes :+ Ledger
 }
 
 /** Temp directories for queries that exercise durable-index

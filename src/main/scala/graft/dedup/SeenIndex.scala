@@ -76,6 +76,15 @@ object SeenIndex {
     if (fs.exists(p) && !fs.delete(p, true))
       throw new java.io.IOException(s"delete $p returned false")
 
+  /** `<path><suffix>` with the path NORMALIZED first: a trailing slash
+    * in a caller's index path must not turn a sibling artifact into a
+    * CHILD of the index directory ("/data/idx/" + ".epochs" would
+    * nest the ledger inside the index, silently defeating the sibling
+    * layout). Hadoop Path normalization strips the trailing slash.
+    */
+  private def sibling(path: String, suffix: String) =
+    new org.apache.hadoop.fs.Path(new org.apache.hadoop.fs.Path(path).toString + suffix)
+
   /** Fail LOUD when the index directory is missing while a crashed
     * [[compact]]'s leftovers exist. `read`'s missing-directory =
     * empty-index bootstrap rule is right for a never-written index but
@@ -90,8 +99,8 @@ object SeenIndex {
       fs: org.apache.hadoop.fs.FileSystem, path: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(path)
     if (!fs.exists(p)) {
-      val leftovers = Seq(graft.core.IndexLayout.CompactOld, graft.core.IndexLayout.CompactTmp).map(path + _)
-        .map(new org.apache.hadoop.fs.Path(_)).filter(fs.exists)
+      val leftovers =
+        graft.core.IndexLayout.CompactSuffixes.map(sibling(path, _)).filter(fs.exists)
       if (leftovers.nonEmpty)
         throw new IllegalStateException(
           s"seen index at $path is missing but ${leftovers.mkString(", ")} exist(s): " +
@@ -113,8 +122,8 @@ object SeenIndex {
   def recover(spark: SparkSession, path: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = fsFor(spark, p)
-    val bak = new org.apache.hadoop.fs.Path(path + graft.core.IndexLayout.CompactOld)
-    val tmp = new org.apache.hadoop.fs.Path(path + graft.core.IndexLayout.CompactTmp)
+    val bak = sibling(path, graft.core.IndexLayout.CompactOld)
+    val tmp = sibling(path, graft.core.IndexLayout.CompactTmp)
     if (!fs.exists(p)) {
       if (fs.exists(bak)) renameOrThrow(fs, bak, p)
       else if (fs.exists(tmp)) renameOrThrow(fs, tmp, p)
@@ -377,8 +386,8 @@ object SeenIndex {
     val fs = fsFor(spark, p)
     requireNotMidCompaction(fs, path) // a crashed prior swap needs recover(), not another compact
     if (!fs.exists(p)) return
-    val tmp = new org.apache.hadoop.fs.Path(path + graft.core.IndexLayout.CompactTmp)
-    val bak = new org.apache.hadoop.fs.Path(path + graft.core.IndexLayout.CompactOld)
+    val tmp = sibling(path, graft.core.IndexLayout.CompactTmp)
+    val bak = sibling(path, graft.core.IndexLayout.CompactOld)
     rewrite(spark.read.schema(readSchema).parquet(path))
       .write.mode("overwrite").parquet(tmp.toString)
     deleteOrThrow(fs, bak) // stale backup from a prior compaction that crashed after its swap
@@ -487,9 +496,28 @@ object SeenIndex {
     * batch re-uses ITS OWN epoch — and `committed-<key>` records that
     * the batch's output AND index append both finished, making any
     * later replay a pure no-op.
+    *
+    * THE INDEX AND ITS LEDGER ARE A UNIT: move, copy, back up, or
+    * delete them together. Deleting the index alone leaves committed
+    * markers behind, and a stream restarted from scratch on the SAME
+    * checkpoint path re-derives the old batch keys, finds them
+    * committed, and silently DROPS its first batches; copying the
+    * index alone strands the copy with an empty ledger, so its first
+    * batch re-allocates epoch 1 and OVERWRITES `outPath/epoch=1`.
+    * [[dropLedger]] exists so a full reset never forgets the sibling.
     */
   private def epochsDir(indexPath: String) =
-    new org.apache.hadoop.fs.Path(indexPath + graft.core.IndexLayout.Ledger)
+    sibling(indexPath, graft.core.IndexLayout.Ledger)
+
+  /** Delete the `<indexPath>.epochs` ledger — part of a FULL pipeline
+    * reset (index + ledger + output + checkpoint together; see
+    * [[epochsDir]] for why resetting any strict subset corrupts
+    * delivery: stale committed markers silently drop batches, a
+    * fresh ledger against old output overwrites epoch 1). A no-op on
+    * a never-written ledger.
+    */
+  def dropLedger(spark: SparkSession, indexPath: String): Unit =
+    deleteOrThrow(fsFor(spark, epochsDir(indexPath)), epochsDir(indexPath))
 
   /** The stable identity of one logical micro-batch: the checkpoint
     * location names the QUERY (it is the one thing Structured
@@ -645,8 +673,7 @@ object SeenIndex {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = fsFor(spark, p)
     val mid = !fs.exists(p) &&
-      Seq(graft.core.IndexLayout.CompactOld, graft.core.IndexLayout.CompactTmp)
-        .exists(s => fs.exists(new org.apache.hadoop.fs.Path(path + s)))
+      graft.core.IndexLayout.CompactSuffixes.exists(s => fs.exists(sibling(path, s)))
     val dataFiles =
       if (fs.exists(p))
         fs.listStatus(p).filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
@@ -836,6 +863,9 @@ object SeenIndex {
     * batch so a long-lived stream's marker directory stays O(keepLast)
     * instead of growing two files per batch forever; 0 (the default)
     * leaves maintenance to the caller.
+    *
+    * The index and its `<indexPath>.epochs` ledger are a UNIT — reset,
+    * copy, or back them up together (see [[dropLedger]]).
     */
   def gateStreamSimhashExactlyOnce(
       stream: DataFrame,

@@ -746,6 +746,50 @@ class SeenIndexSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet == Set(1L))
   }
 
+  test("dropLedger completes a full reset: without it stale committed markers silently drop replayed batches") {
+    import sqlImplicits._
+    import org.apache.hadoop.fs.Path
+    val idx = tmpDir() + "/idx"; val out = tmpDir() + "/out"
+    val fs = new Path(idx).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val text = (1 to 60).map(i => s"r$i").mkString(" ")
+    SeenIndex.exactlyOnceEpochSimhash(
+      Seq((1L, text)).toDF("doc_id", "text"), "text", "k1", idx, out, 3)
+    // a PARTIAL reset (index + output, ledger forgotten): the stale
+    // committed marker makes the re-run a no-op — the batch is DROPPED
+    fs.delete(new Path(idx), true); fs.delete(new Path(out), true)
+    SeenIndex.exactlyOnceEpochSimhash(
+      Seq((1L, text)).toDF("doc_id", "text"), "text", "k1", idx, out, 3)
+    assert(!fs.exists(new Path(out)), "stale committed marker must no-op (the documented hazard)")
+    // the FULL reset adds dropLedger: the same batch now lands at epoch 1
+    SeenIndex.dropLedger(spark, idx)
+    fs.delete(new Path(idx), true)
+    SeenIndex.exactlyOnceEpochSimhash(
+      Seq((1L, text)).toDF("doc_id", "text"), "text", "k1", idx, out, 3)
+    assert(spark.read.parquet(out).select("doc_id", "epoch")
+      .collect().map(r => (r.getLong(0), r.getAs[Number](1).longValue)).toSet == Set((1L, 1L)))
+    // idempotent on a never-written ledger
+    SeenIndex.dropLedger(spark, tmpDir() + "/never")
+  }
+
+  test("a trailing slash in the index path still places every sibling artifact NEXT TO the index") {
+    import sqlImplicits._
+    import org.apache.hadoop.fs.Path
+    val idx = tmpDir() + "/idx"
+    val fs = new Path(idx).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = tmpDir() + "/out"
+    val text = (1 to 60).map(i => s"s$i").mkString(" ")
+    // ledger: created via the slashed path, must land as a sibling
+    SeenIndex.exactlyOnceEpochSimhash(
+      Seq((1L, text)).toDF("doc_id", "text"), "text", "k1", idx + "/", out, 3)
+    assert(fs.exists(new Path(idx + ".epochs")), "ledger must be a sibling, not a child")
+    assert(!fs.exists(new Path(idx, ".epochs")))
+    // compaction through the slashed path: the swap must not try to
+    // rename the index into its own child
+    SeenIndex.compact(spark, idx + "/")
+    assert(SeenIndex.read(spark, idx).count() == 1)
+    assert(!fs.exists(new Path(idx, ".compact-tmp")))
+  }
+
   test("epoch allocation is dash-safe: a key that is a dash-prefix of another never claims its marker") {
     import org.apache.hadoop.fs.Path
     val idx = tmpDir() + "/idx"
