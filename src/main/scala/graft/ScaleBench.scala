@@ -704,6 +704,62 @@ object ScaleBench {
           docs.filter(col("doc_id") % 3 === 0), "text", "b1", path, outp, 3)
         spark.read.parquet(outp).where(col("epoch") === 2L).count()
       }),
+      // Gate cost vs HISTORY DEPTH, batch held FIXED. The corpus-x
+      // ingest entries scale batch and history together, so their
+      // alphas cannot separate "cheap per batch row" from "flat as
+      // history grows"; this one holds the batch at the x1 originals
+      // (doc_id < CopyStride, ~1.7k docs) while the indexed history
+      // grows with x. The index build runs OUTSIDE the timed thunk
+      // (lazy, billed to run 1; metric=min takes run 2) — the thunk
+      // pays only the gate: a scan of the 8-byte signature index (the
+      // ONLY term that grows with history), distinct, band join,
+      // anti-join. rows stays CONSTANT across scales (copy texts are
+      // word-suffixed, so they never collide with the originals);
+      // alpha ~ 0 is the "gate cost flat in history size" claim made
+      // measurable instead of inferred.
+      "simhash_gate_vs_history" -> {
+        lazy val hist = {
+          val p = graft.core.TempDirs.create("scale_hist_sigs_")
+          graft.dedup.SeenIndex.append(
+            docs.filter(col("doc_id") % 3 =!= 0)
+              .select(graft.dedup.SimHash64.simhash64(
+                graft.text.TextAnalysis.tokens(col("text"))).as("sig")),
+            "sig", p)
+          p
+        }
+        () => {
+          val batch = docs
+            .filter(col("doc_id") % 3 === 0 && col("doc_id") < CopyStride)
+            .withColumn("__sig", graft.dedup.SimHash64.simhash64(
+              graft.text.TextAnalysis.tokens(col("text"))))
+          graft.dedup.Dedup.dropSeenHamming(
+            batch,
+            graft.dedup.SeenIndex.read(spark, hist).select(col("sig").as("__sig")),
+            "__sig", maxHamming = 3).count()
+        }
+      },
+      // The embedding twin: fixed ~0.7k-vector batch against a vector
+      // index that grows with x ((8 + 4*dim) B/row — the scan term is
+      // 33x the signature index's but still the only history-linear
+      // term; the band join ships LSH keys, the verify joins by
+      // candidate id).
+      "embedding_gate_vs_history" -> {
+        lazy val gatePlanes = graft.similarity.Similarity.hyperplanes(64, 64)
+        lazy val hist = {
+          val p = graft.core.TempDirs.create("scale_hist_vecs_")
+          graft.dedup.SeenIndex.appendVectors(
+            emb.filter(col("vec_id") % 3 =!= 0), "embedding", "vec_id", p)
+          p
+        }
+        () => {
+          val batch = emb.filter(col("vec_id") % 3 === 0 && col("vec_id") < CopyStride)
+          graft.similarity.Similarity.dropSeenEmbedding(
+            batch,
+            graft.dedup.SeenIndex.readVectors(spark, hist)
+              .select(col("id").as("vec_id"), col("vec").as("embedding")),
+            "embedding", "vec_id", threshold = 0.9, gatePlanes).count()
+        }
+      },
       // Jaccard ingest gate (batch vs reference MinHash banding +
       // exact set-overlap verify): the shingle explode dominates the
       // per-row cost and the band join is collision-bound, so alpha
