@@ -790,6 +790,49 @@ class SeenIndexSpec extends SparkSpec {
     assert(!fs.exists(new Path(idx, ".compact-tmp")))
   }
 
+  test("model-based property: random append/compact schedules preserve windowed visibility for every cutoff") {
+    import sqlImplicits._
+    // In-memory model of the index's VISIBILITY semantics: a sig is
+    // visible at cutoff m iff it has any untagged row (never expires)
+    // or any row tagged >= m. compact() must preserve visibility at
+    // EVERY cutoff (untagged dominates, else latest epoch survives) —
+    // the one invariant all gate/window behavior reduces to.
+    val idx = tmpDir() + "/idx"
+    val rnd = new scala.util.Random(7)
+    var hasUntagged = Map.empty[Long, Boolean].withDefaultValue(false)
+    var maxEpoch = Map.empty[Long, Long]
+    def visibleModel(m: Long): Set[Long] =
+      (hasUntagged.keySet ++ maxEpoch.keySet).filter(s =>
+        hasUntagged(s) || maxEpoch.get(s).exists(_ >= m)).toSet
+    def visibleIndex(m: Long): Set[Long] =
+      SeenIndex.readWindow(spark, idx, m).collect().map(_.getLong(0)).toSet
+    (0 until 24).foreach { step =>
+      val sigs = Seq.fill(1 + rnd.nextInt(4))(rnd.nextInt(12).toLong).distinct
+      rnd.nextInt(3) match {
+        case 0 => // tagged append at a random epoch
+          val e = 1L + rnd.nextInt(8)
+          SeenIndex.appendEpoch(sigs.toDF("sig"), "sig", idx, e)
+          sigs.foreach(s => maxEpoch += s -> math.max(e, maxEpoch.getOrElse(s, Long.MinValue)))
+        case 1 => // untagged append: those sigs never expire
+          SeenIndex.append(sigs.toDF("sig"), "sig", idx)
+          sigs.foreach(s => hasUntagged += s -> true)
+        case 2 =>
+          SeenIndex.compact(spark, idx)
+      }
+      // check a random cutoff every step, all cutoffs after compaction
+      val cutoffs = if (step % 6 == 5) 0L to 9L else Seq(rnd.nextInt(10).toLong)
+      cutoffs.foreach { m =>
+        assert(visibleIndex(m) == visibleModel(m),
+          s"step=$step cutoff=$m: index=${visibleIndex(m)} model=${visibleModel(m)}")
+      }
+    }
+    // terminal compact: full visibility parity at every cutoff, and
+    // the physical index is minimal (one row per sig)
+    SeenIndex.compact(spark, idx)
+    (0L to 9L).foreach(m => assert(visibleIndex(m) == visibleModel(m)))
+    assert(SeenIndex.read(spark, idx).count() == visibleModel(0L).size)
+  }
+
   test("epoch allocation is dash-safe: a key that is a dash-prefix of another never claims its marker") {
     import org.apache.hadoop.fs.Path
     val idx = tmpDir() + "/idx"
