@@ -26,19 +26,28 @@ object Dedup {
   // ---------------------------------------------------------------- exact
 
   /** Exact dedup on normalized content: keep the smallest id per
-    * fingerprint. Returns the surviving rows.
+    * fingerprint. Returns the surviving rows. NULL-text rows are ALL
+    * kept: `xxhash64(null)` is the seed constant, so fingerprinting
+    * them would silently collapse every document with missing text
+    * into one survivor — the unhashable-rows-kept rule (see
+    * [[dropSeenHamming]]) applies to the self-dedup too.
     */
   def exactDedup(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val w = Window.partitionBy(col("__fp")).orderBy(col(idCol).asc)
-    df.withColumn("__fp", TextAnalysis.contentFingerprint(col(textCol)))
+    df.withColumn("__fp",
+        when(col(textCol).isNotNull, TextAnalysis.contentFingerprint(col(textCol))))
       .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
+      .filter(col("__fp").isNull || col("__rn") === 1)
       .drop("__fp", "__rn")
   }
 
-  /** Exact-dup groups: fingerprint -> (n copies, canonical id). */
+  /** Exact-dup groups: fingerprint -> (n copies, canonical id).
+    * NULL-text rows form no group (they are not copies of each other
+    * — see [[exactDedup]]).
+    */
   def exactDupGroups(df: DataFrame, textCol: String, idCol: String): DataFrame =
-    df.withColumn("fp", TextAnalysis.contentFingerprint(col(textCol)))
+    df.filter(col(textCol).isNotNull)
+      .withColumn("fp", TextAnalysis.contentFingerprint(col(textCol)))
       .groupBy("fp")
       .agg(count(lit(1)).as("n_copies"), min(col(idCol)).as("canonical_id"))
 
@@ -69,43 +78,30 @@ object Dedup {
   def shingles(text: Column, n: Int): Column =
     shinglesFromTokens(TextAnalysis.tokens(text), n)
 
-  /** MinHash family from a pre-hashed shingle array (`array<long>`):
-    * family i = min over `xxhash64(seed, i, baseHash)` — independent
-    * seeded families (the classic `a*h+b` permutation overflows under
-    * ANSI), hashing longs not strings.
+  /** The MinHash band-slicing expression every banded join in this
+    * family derives its bucket keys from — ONE definition so the
+    * self-join candidate path ([[candidatePairsFromSig]]) and the
+    * cross-corpus path ([[bandKeys]]) can never slice a signature
+    * differently (the Hamming family shares [[bandedSigs]] for the
+    * same reason). One `(band, h)` struct per band, `h` =
+    * `xxhash64` of the band's `rowsPerBand`-component slice.
     */
-  def minhashFromHashes(baseHashes: Column, numHashes: Int, seed: Long): Column =
-    array(Seq.tabulate(numHashes) { i =>
-      array_min(transform(baseHashes, h => xxhash64(lit(seed), lit(i), h)))
+  private def bandStructs(sig: Column, numHashes: Int, bands: Int): Column = {
+    require(numHashes % bands == 0, s"numHashes=$numHashes must divide into bands=$bands")
+    val rowsPerBand = numHashes / bands
+    array((0 until bands).map { b =>
+      struct(lit(b).as("band"), xxhash64(slice(sig, b * rowsPerBand + 1, rowsPerBand)).as("h"))
     }: _*)
+  }
 
-  /** One-shot minhash signature of a text column. PERFORMANCE NOTE:
-    * inside a single projection Catalyst does not CSE higher-order
-    * subexpressions, so the `numHashes` families each reference the
-    * shingle pipeline; prefer the staged form used by
-    * [[minhashCandidatePairs]] (shingles -> base hashes -> families in
-    * separate projections) on hot paths.
-    */
-  def minhashSignature(text: Column, n: Int = 3, numHashes: Int = 32, seed: Long = 42L): Column =
-    minhashFromHashes(transform(shingles(text, n), s => xxhash64(s)), numHashes, seed)
-
-  /** LSH candidate pairs: band the signature (`bands` x `rowsPerBand`),
-    * hash each band, self-join on (band, bandHash). Returns distinct
-    * (id_a < id_b) candidate pairs with their estimated Jaccard =
-    * fraction of agreeing minhash components.
-    */
   /** Banded self-join over a precomputed (id, sig) signature table:
     * distinct (id_a < id_b) pairs colliding on >= 1 (band, bandHash)
     * key, signatures carried through for estimation.
     */
   private def candidatePairsFromSig(sig: DataFrame, numHashes: Int, bands: Int): DataFrame = {
-    val rowsPerBand = numHashes / bands
-    require(numHashes % bands == 0, s"numHashes=$numHashes must divide into bands=$bands")
     val banded = sig.select(
       col("id"), col("sig"),
-      explode(array((0 until bands).map { b =>
-        struct(lit(b).as("band"), xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)).as("h"))
-      }: _*)).as("bk"))
+      explode(bandStructs(col("sig"), numHashes, bands)).as("bk"))
       .select(col("id"), col("sig"), col("bk.band"), col("bk.h"))
     val a = banded.toDF("id_a", "sig_a", "band", "h")
     val b = banded.toDF("id_b", "sig_b", "band", "h")
@@ -115,6 +111,11 @@ object Dedup {
       .distinct()
   }
 
+  /** LSH candidate pairs: band the signature (`bands` x `rowsPerBand`),
+    * hash each band, self-join on (band, bandHash). Returns distinct
+    * (id_a < id_b) candidate pairs with their estimated Jaccard =
+    * fraction of agreeing minhash components.
+    */
   def minhashCandidatePairs(
       df: DataFrame,
       textCol: String,
@@ -219,7 +220,8 @@ object Dedup {
     * relation, so downstream broadcast joins against it are free.
     * Generic over the id column's type (ids collect as boxed
     * `Comparable`s — long/int/string/decimal/date all order exactly as
-    * SQL `least`/`min` does on a single column type).
+    * SQL `least`/`min` does on a single column type; strings compare
+    * as BINARY UTF-8, Spark's order, not Java's UTF-16 `compareTo`).
     */
   private def dupClustersLocal(p: DataFrame): DataFrame = {
     val spark = p.sparkSession
@@ -238,8 +240,18 @@ object Dedup {
       }
       x
     }
-    def lt(a: Any, b: Any): Boolean = a match {
-      case c: Comparable[_] => c.asInstanceOf[Comparable[Any]].compareTo(b) < 0
+    def lt(a: Any, b: Any): Boolean = (a, b) match {
+      // Strings must order the way Spark's min() does — BINARY UTF-8
+      // bytes. Java's compareTo compares UTF-16 code units, which
+      // disagrees for supplementary-plane characters (a surrogate
+      // 0xD800.. sorts below 0xE000..0xFFFF in UTF-16 but its UTF-8
+      // encoding 0xF0.. sorts ABOVE theirs), and the local path must
+      // pick the identical cluster minimum as the distributed one.
+      case (x: String, y: String) =>
+        java.util.Arrays.compareUnsigned(
+          x.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+          y.getBytes(java.nio.charset.StandardCharsets.UTF_8)) < 0
+      case (c: Comparable[_], _) => c.asInstanceOf[Comparable[Any]].compareTo(b) < 0
       case _ => String.valueOf(a) < String.valueOf(b)
     }
     val ids = new java.util.LinkedHashSet[Any]()
@@ -441,9 +453,14 @@ object Dedup {
     * EXACT in fingerprint space (unlike [[simhashPairs]]' default 8,
     * which trades recall for reach — a gate that silently loses
     * recall as the reference grows would be a correctness bug, not a
-    * tuning choice). Null/empty texts hash like any text (SimHash of
-    * no tokens); both sides pay one fingerprint scan and the banded
-    * signature join — reference text is never shuffled.
+    * tuning choice). A NULL text yields a NULL signature and the row
+    * is KEPT ([[dropSeenHamming]]'s unhashable rule — it cannot be
+    * proven seen); an empty text hashes as one empty token, so empty
+    * texts DO gate each other. The reference pays one fingerprint
+    * scan and its text never shuffles; the BATCH side is evaluated
+    * twice per action (once building the seen set, once in the
+    * anti-join) — on a static batch whose upstream is expensive,
+    * materialize the `(id, text)` projection first.
     */
   def dropSeenSimhash(
       df: DataFrame,
@@ -669,8 +686,14 @@ object Dedup {
   }
 
   /** Hamming near-duplicate CLUSTERS without materializing pairs:
-    * ONE `(id, cluster)` row for EVERY input id (singletons label
-    * themselves), where `cluster` is the smallest id in the id's
+    * ONE `(id, cluster)` row for EVERY input id that carries at least
+    * one NON-NULL sig (singletons label themselves). Ids whose every
+    * sig is NULL are ABSENT — deliberately, matching the pair path
+    * and the media wrappers' "every decodable payload" contract: an
+    * unhashable id can be proven neither duplicate nor unique in hash
+    * space, so a keep-one-per-cluster policy must union such ids back
+    * explicitly rather than have this function guess a label for
+    * them. `cluster` is the smallest id in the id's
     * connected component under the "Hamming(sig_a, sig_b) <=
     * maxHamming" edge relation — exactly the labels
     * `dupClusters(hammingPairs(df, ...))` would assign (pinned by
@@ -792,7 +815,11 @@ object Dedup {
   /** Exact n-gram Jaccard pairs above `threshold`: explode distinct
     * shingles, self-join on shingle, count shared, Jaccard =
     * shared / (|A| + |B| - shared). At 100 TB run this only on LSH
-    * candidates; the full self-join form is the small-scale oracle.
+    * candidates; the full self-join form is the small-scale oracle —
+    * and as the oracle it stays unpersisted, so the shingle explode
+    * re-runs per plan branch (sizes + both join sides); the
+    * production path ([[verifyCandidates]]) persists its shingle
+    * table instead.
     */
   def ngramJaccardPairs(
       df: DataFrame,
@@ -882,37 +909,42 @@ object Dedup {
     val sig = gs.filter(size(col("gs")) > 0)
       .select(col("id"), MinHashSig.minhashSig(col("gs"), numHashes, seed).as("sig"))
     val cand = candidatePairsFromSig(sig, numHashes, bands).select("id_a", "id_b")
-    // shuffle-hash the two shingle-set lookups: the candidate stream
-    // must stay streaming — sort-merge would sort candidate rows that
-    // carry a whole shingle-hash ARRAY after the first join (same
-    // payload-through-sort hazard as the vector verify join in
-    // graft.similarity.Similarity, where it was measured at ~60 GB of
-    // spill at 30x scale).
+    verifyJaccard(cand, gs, gs, threshold) -> (() => { gs.unpersist(); () })
+  }
+
+  /** Exact-Jaccard verification of a candidate `(id_a, id_b)` stream
+    * against two (persisted) `(id, gs)` shingle-hash tables — ONE
+    * definition so the self-join and cross-corpus paths can never
+    * diverge arithmetically (decontamination relies on the cross form
+    * matching the dedup form row for row; DedupSpec pins the parity).
+    * shuffle_hash on both lookups: the candidate stream must stay
+    * streaming — sort-merge would sort candidate rows that carry a
+    * whole shingle-hash ARRAY after the first join (same
+    * payload-through-sort hazard as the vector verify join in
+    * graft.similarity.Similarity, where it was measured at ~60 GB of
+    * spill at 30x scale).
+    */
+  private def verifyJaccard(
+      cand: DataFrame, gsA: DataFrame, gsB: DataFrame, threshold: Double): DataFrame =
     cand
-      .join(gs.toDF("id_a", "gs_a").hint("shuffle_hash"), "id_a")
-      .join(gs.toDF("id_b", "gs_b").hint("shuffle_hash"), "id_b")
+      .join(gsA.toDF("id_a", "gs_a").hint("shuffle_hash"), "id_a")
+      .join(gsB.toDF("id_b", "gs_b").hint("shuffle_hash"), "id_b")
       .withColumn("shared", size(array_intersect(col("gs_a"), col("gs_b"))).cast("long"))
       .withColumn(
         "jaccard",
         col("shared").cast("double") / (size(col("gs_a")) + size(col("gs_b")) - col("shared")))
       .filter(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard") -> (() => { gs.unpersist(); () })
-  }
+      .select("id_a", "id_b", "jaccard")
 
   /** Per-id LSH band keys `(id, band, h)` — the bucket join key a
     * banded MinHash collision lives in. Shared by the self-join
     * candidate path and the CROSS-corpus path below.
     */
-  private def bandKeys(sig: DataFrame, numHashes: Int, bands: Int): DataFrame = {
-    val rowsPerBand = numHashes / bands
-    require(numHashes % bands == 0, s"numHashes=$numHashes must divide into bands=$bands")
+  private def bandKeys(sig: DataFrame, numHashes: Int, bands: Int): DataFrame =
     sig.select(
       col("id"),
-      explode(array((0 until bands).map { b =>
-        struct(lit(b).as("band"), xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)).as("h"))
-      }: _*)).as("bk"))
+      explode(bandStructs(col("sig"), numHashes, bands)).as("bk"))
       .select(col("id"), col("bk.band").as("band"), col("bk.h").as("h"))
-  }
 
   /** [[verifyCandidates]] ACROSS two corpora: verified n-gram-Jaccard
     * pairs `(id_a from left, id_b from right, jaccard)` — the fuzzy
@@ -957,16 +989,7 @@ object Dedup {
       .join(bandKeys(sigOf(gsR), numHashes, bands).toDF("id_b", "band", "h"), Seq("band", "h"))
       .select("id_a", "id_b")
       .distinct()
-    val out = cand
-      .join(gsL.toDF("id_a", "gs_a").hint("shuffle_hash"), "id_a")
-      .join(gsR.toDF("id_b", "gs_b").hint("shuffle_hash"), "id_b")
-      .withColumn("shared", size(array_intersect(col("gs_a"), col("gs_b"))).cast("long"))
-      .withColumn(
-        "jaccard",
-        col("shared").cast("double") / (size(col("gs_a")) + size(col("gs_b")) - col("shared")))
-      .filter(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
-    out -> (() => { gsL.unpersist(); gsR.unpersist(); () })
+    verifyJaccard(cand, gsL, gsR, threshold) -> (() => { gsL.unpersist(); gsR.unpersist(); () })
   }
 
   /** [[crossVerifyCandidatesReleasable]] leaving the shingle caches

@@ -85,12 +85,20 @@ object StreamingOps {
       tsCol: Option[String] = None,
       watermark: String = "1 hour"): DataFrame = {
     require(!docs.columns.contains("__fp"), "input must not contain reserved column __fp")
-    val withFp = docs.withColumn("__fp", graft.text.TextAnalysis.contentFingerprint(col(textCol)))
+    // NULL texts pass through un-deduped on their own branch: their
+    // fingerprint would be xxhash64's seed constant (and dropDuplicates
+    // treats even NULL keys as equal), so keeping them in the keyed
+    // branch would collapse every missing-text row into one survivor —
+    // the batch exactDedup keeps them all, and parity must hold.
+    val withFp = docs.withColumn("__fp",
+      when(col(textCol).isNotNull, graft.text.TextAnalysis.contentFingerprint(col(textCol))))
+    val unhashable = withFp.filter(col("__fp").isNull)
+    val hashable = withFp.filter(col("__fp").isNotNull)
     val deduped = tsCol match {
-      case Some(ts) => withFp.withWatermark(ts, watermark).dropDuplicatesWithinWatermark("__fp")
-      case None => withFp.dropDuplicates("__fp")
+      case Some(ts) => hashable.withWatermark(ts, watermark).dropDuplicatesWithinWatermark("__fp")
+      case None => hashable.dropDuplicates("__fp")
     }
-    deduped.drop("__fp")
+    deduped.unionByName(unhashable).drop("__fp")
   }
 
   // --------------------------------------------- streaming near-dedup

@@ -26,6 +26,37 @@ class DedupSpec extends SparkSpec {
     assert(groups.length == 1 && groups(0).getAs[Long]("canonical_id") == 1L)
   }
 
+  test("exactDedup keeps ALL null-text rows; exactDupGroups forms no group from them") {
+    import sqlImplicits._
+    val df = Seq(
+      (1L, Some("same text")), (2L, Some("same text")),
+      (3L, None), (4L, None), (5L, None)).toDF("doc_id", "text")
+    // xxhash64(null) is a CONSTANT — fingerprinting nulls would
+    // collapse docs 3/4/5 into one survivor (data loss)
+    val kept = Dedup.exactDedup(df, "text", "doc_id").select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(1L, 3L, 4L, 5L))
+    val groups = Dedup.exactDupGroups(df, "text", "doc_id").collect()
+    assert(groups.length == 1 && groups(0).getAs[Long]("n_copies") == 2L)
+  }
+
+  test("dupClusters: local and distributed paths pick the same minimum for supplementary-plane string ids") {
+    import sqlImplicits._
+    // U+FFFD < U+10000 in UTF-8 binary (Spark's min) but the REVERSE
+    // under Java's UTF-16 compareTo (the surrogate 0xD800 sorts below
+    // 0xFFFD) — the canonical cluster id must not flip across
+    // collectThreshold
+    val lo = "\uFFFD"          // U+FFFD, UTF-8: EF BF BD
+    val hi = "\uD800\uDC00"   // U+10000, UTF-8: F0 90 80 80
+    val pairs = Seq((lo, hi)).toDF("id_a", "id_b")
+    def labels(threshold: Long) =
+      Dedup.dupClusters(pairs, collectThreshold = threshold)
+        .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    val local = labels(1000000L)
+    val dist = labels(0L)
+    assert(local == dist, s"local=$local dist=$dist")
+    assert(local(hi) == lo) // the UTF-8-smaller id is canonical on both paths
+  }
+
   test("shingles: distinct word n-grams; short text yields empty") {
     import sqlImplicits._
     val df = Seq("a b c d", "a b").toDF("text")

@@ -112,6 +112,25 @@ class StreamingOpsSpec extends SparkSpec {
     assert(batchKept == 2)
   }
 
+  test("streaming exact dedup passes every null-text row through, matching the batch rule") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import sqlImplicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, Option[String])]
+    val deduped = StreamingOps.exactDedupStream(
+      input.toDF().toDF("doc_id", "text"), "text")
+    val q = deduped.writeStream.outputMode("append").format("memory").queryName("nulldedup").start()
+    input.addData((1L, Some("alpha")), (2L, None), (3L, None))
+    q.processAllAvailable()
+    input.addData((4L, None), (5L, Some("alpha")))
+    q.processAllAvailable()
+    q.stop()
+    // nulls 2/3/4 ALL kept (unhashable rows can't be proven duplicates);
+    // the real duplicate 5 still gated by cross-batch state
+    val out = spark.table("nulldedup").collect().map(_.getLong(0)).sorted
+    assert(out.toSeq == Seq(1L, 2L, 3L, 4L), out.mkString(","))
+  }
+
   test("stateful cycle labeling matches batch labelCycles exactly") {
     import sqlImplicits._
     val stream = StreamingOps.readEventsStream(spark, streamDir)
