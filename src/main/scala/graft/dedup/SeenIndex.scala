@@ -941,14 +941,17 @@ object SeenIndex {
   }
 
   /** Append `(idCol, vecCol)` rows to the vector index — null vectors
-    * dropped (the gate's read-side normalization would discard them
-    * anyway; a zero-norm or NaN vector IS appended but never gates
-    * anything, mirroring the family rule that unhashable rows can't
-    * be proven seen), distinct within the append.
+    * AND null ids dropped (the gate's read-side normalization would
+    * discard a null vector anyway, and a null-id reference row can
+    * never gate anything: the exact-verify stage joins candidates by
+    * id, where a null key never matches — it would be dead weight at
+    * (8 + 4*dim) bytes/row; a zero-norm or NaN vector IS appended but
+    * never gates anything, mirroring the family rule that unhashable
+    * rows can't be proven seen), distinct within the append.
     */
   def appendVectors(df: DataFrame, vecCol: String, idCol: String, path: String): Unit =
     df.select(col(idCol).cast("long").as("id"), col(vecCol).cast("array<float>").as("vec"))
-      .filter(col("vec").isNotNull)
+      .filter(col("vec").isNotNull && col("id").isNotNull)
       .distinct()
       .write.mode("append").parquet(path)
 
@@ -960,7 +963,7 @@ object SeenIndex {
       df: DataFrame, vecCol: String, idCol: String, path: String, epoch: Long): Unit =
     df.select(col(idCol).cast("long").as("id"), col(vecCol).cast("array<float>").as("vec"),
         lit(epoch).cast("long").as("epoch"))
-      .filter(col("vec").isNotNull)
+      .filter(col("vec").isNotNull && col("id").isNotNull)
       .distinct()
       .write.mode("append").parquet(path)
 

@@ -76,14 +76,18 @@ object Similarity {
     * keeps only its local top-k, so this survives any row count.
     */
   def cosineTopK(df: DataFrame, vecCol: String, queryVec: Array[Float], k: Int, idCol: String): DataFrame = {
+    require(queryVec.nonEmpty, "queryVec must be non-empty")
     val q = vecLit(queryVec)
-    // guarded: a zero-norm or NaN-element vector has cosine NaN, and
-    // Spark orders NaN ABOVE every number — unguarded it would occupy
-    // a top-k slot ahead of every real neighbor. The when() nulls it
-    // and the filter drops it.
+    // guarded: a zero-norm, NaN-element or Inf-element vector has
+    // cosine NaN (x/Inf is NaN too), and Spark orders NaN ABOVE every
+    // number — unguarded it would occupy a top-k slot ahead of every
+    // real neighbor. The when() nulls it and the filter drops it.
+    // A row vector whose LENGTH mismatches queryVec dots to NULL
+    // (VecDot's contract) and is dropped by the same filter.
     val denom = norm(col(vecCol)) * norm(q)
     df.withColumn("cosine",
-        when(denom > 0 && !isnan(denom), dot(col(vecCol), q) / denom))
+        when(denom > 0 && !isnan(denom) && denom < lit(Double.PositiveInfinity),
+          dot(col(vecCol), q) / denom))
       .filter(col("cosine").isNotNull)
       .orderBy(col("cosine").desc, col(idCol).asc)
       .limit(k)
@@ -153,14 +157,18 @@ object Similarity {
       planes: Array[Array[Float]],
       maxHamming: Int = -1): DataFrame = {
     val limitBits = if (maxHamming >= 0) maxHamming else math.max(1, (planes.length * 0.45).toInt)
+    require(queryVec.length == planes.head.length,
+      s"queryVec dim ${queryVec.length} != planes dim ${planes.head.length} — " +
+        "signatureOf would silently zip-truncate and every cosine would be NULL")
     val qSig = signatureOf(queryVec, planes)
-    // same NaN guard as [[cosineTopK]]: degenerate candidates must
-    // not outrank real ones
+    // same NaN/Inf guard as [[cosineTopK]]: degenerate candidates
+    // must not outrank real ones
     val denom = norm(col(vecCol)) * norm(vecLit(queryVec))
     df.withColumn("__sig", rhpSignature(col(vecCol), planes))
       .filter(bit_count(col("__sig").bitwiseXOR(lit(qSig))) <= limitBits)
       .withColumn("cosine",
-        when(denom > 0 && !isnan(denom), dot(col(vecCol), vecLit(queryVec)) / denom))
+        when(denom > 0 && !isnan(denom) && denom < lit(Double.PositiveInfinity),
+          dot(col(vecCol), vecLit(queryVec)) / denom))
       .filter(col("cosine").isNotNull)
       .orderBy(col("cosine").desc, col(idCol).asc)
       .limit(k)
@@ -381,6 +389,19 @@ object Similarity {
     // (counting here would fire a job — size is caller-supplied, like
     // dim). Policy: warn (legacy), fail fast, or degrade to the
     // best-recall geometry the budget affords.
+    // The recall floor binds whenever AutoDegrade's budget machinery
+    // is engaged — including the UNDER-budget path: lshGeometry's
+    // no-viable-shape fallback returns the best-achievable geometry
+    // with only a warning, and a mine that fits the budget but
+    // delivers 30% recall is the same data-quality incident the
+    // over-budget floor refuses.
+    if (corpusSize > 0 && budgetPolicy == BudgetPolicy.AutoDegrade &&
+        derived.expectedRecall < minDegradedRecall)
+      throw new CandidateBudgetExceededException(
+        f"nearDupPairsAuto: the best $numPlanes-plane geometry for threshold $threshold " +
+          f"($derived) delivers at-threshold recall ${derived.expectedRecall}%.4f < the " +
+          f"required floor $minDegradedRecall%.2f before any budget question arises — " +
+          "raise the threshold, add planes, or lower the floor knowingly")
     val g = if (corpusSize <= 0) derived else {
       val predicted = derived.expectedBackgroundCandidates(corpusSize)
       if (predicted <= candidateBudget.toDouble) derived
@@ -432,10 +453,10 @@ object Similarity {
     * primitive: `batch` vectors paired against a `ref` corpus at
     * cosine >= threshold, output `(id_a from batch, id_b from ref,
     * cosine)`. Id spaces are independent (no `id_a < id_b` — a batch
-    * row may legitimately share an id with a reference row). The
-    * staging mirrors [[nearDupPairs]] stage for stage (same staged
-    * normalization, same split-radius probing, same 126-bit refine
-    * prune, same never-shuffle-wide-payloads verify) so the two paths
+    * row may legitimately share an id with a reference row). One
+    * body with [[nearDupPairs]] ([[minePairs]] — same staged
+    * normalization, split-radius probing, 126-bit refine prune, and
+    * never-shuffle-wide-payloads verify), so the two paths literally
     * cannot drift in recall behavior; candidate volume is
     * `nBatch x nRef / 2^bits` per band — for the ingest-gate shape
     * (small batch, huge reference) that is batch-bound, the regime
@@ -450,72 +471,9 @@ object Similarity {
       planes: Array[Array[Float]],
       bands: Int = 8,
       probeHamming: Int = 0,
-      broadcastVerify: Boolean = false): DataFrame = {
-    require(planes.length % bands == 0,
-      s"planes=${planes.length} must divide evenly into bands=$bands")
-    val bitsPerBand = planes.length / bands
-    require(bitsPerBand >= 8,
-      s"bitsPerBand=$bitsPerBand: bands narrower than 8 bits (<256 buckets) degenerate " +
-        s"toward the all-pairs join at scale; size planes = bands x k with k >= 8")
-    require(probeHamming >= 0 && probeHamming <= bitsPerBand, s"probeHamming=$probeHamming")
-    val dim = planes.head.length
-    val refinePlanes = hyperplanes(dim, 63, seed = 1042L)
-    val refinePlanes2 = hyperplanes(dim, 63, seed = 2042L)
-    val bandMask = if (bitsPerBand == 64) -1L else (1L << bitsPerBand) - 1
-    // same staged normalization + degenerate-vector guard as
-    // nearDupPairs (see its in-body comment for each shape's failure)
-    def unit(df: DataFrame): DataFrame = df
-      .select(col(idCol), col(vecCol))
-      .withColumn("__norm", norm(col(vecCol)))
-      .select(col(idCol),
-        when(col("__norm") > 0 && !isnan(col("__norm")),
-          transform(col(vecCol), x => x / col("__norm"))).as(vecCol))
-      .filter(col(vecCol).isNotNull)
-    def probedKeys(vecs: DataFrame, radius: Int): DataFrame = {
-      val sigs = vecs
-        .withColumn("__sig", rhpSignature(col(vecCol), planes))
-        .withColumn("__rsig", rhpSignature(col(vecCol), refinePlanes))
-        .withColumn("__rsig2", rhpSignature(col(vecCol), refinePlanes2))
-      val exact = sigs.select(
-        col(idCol), col("__rsig"), col("__rsig2"),
-        explode(array((0 until bands).map { b =>
-          struct(lit(b).as("band"),
-            shiftright(col("__sig"), b * bitsPerBand).bitwiseAND(lit(bandMask)).as("h"))
-        }: _*)).as("bk"))
-        .select(col(idCol), col("__rsig"), col("__rsig2"), col("bk.band"), col("bk.h"))
-      if (radius == 0) exact
-      else exact
-        .withColumn("__m", explode(lit(probeMasks(bitsPerBand, radius).toArray)))
-        .select(col(idCol), col("__rsig"), col("__rsig2"),
-          col("band"), col("h").bitwiseXOR(col("__m")).as("h"))
-    }
-    val batchU = unit(batch)
-    val refU = unit(ref)
-    val a = probedKeys(batchU, probeHamming - probeHamming / 2)
-      .toDF("id_a", "rsig_a", "rsig2_a", "band", "h")
-    val b = probedKeys(refU, probeHamming / 2)
-      .toDF("id_b", "rsig_b", "rsig2_b", "band", "h")
-    val refineBits = refinePlanes.length + refinePlanes2.length
-    val maxDisagree =
-      math.ceil(refineBits * (math.acos(math.min(threshold, 1.0)) / math.Pi) * 1.15).toInt
-    val candidates = a.join(b, Seq("band", "h"))
-      .filter(
-        (bit_count(col("rsig_a").bitwiseXOR(col("rsig_b"))) +
-          bit_count(col("rsig2_a").bitwiseXOR(col("rsig2_b")))) <= maxDisagree)
-      .select("id_a", "id_b")
-      .distinct()
-    val vecA = batchU.toDF("id_a", "vec_a")
-    val vecB = refU.toDF("id_b", "vec_b")
-    val (ja, jb) =
-      if (broadcastVerify) (broadcast(vecA), broadcast(vecB))
-      else (vecA.hint("shuffle_hash"), vecB.hint("shuffle_hash"))
-    candidates
-      .join(ja, "id_a")
-      .join(jb, "id_b")
-      .withColumn("cosine", dot(col("vec_a"), col("vec_b"))) // unit vectors
-      .filter(col("cosine") >= threshold)
-      .select("id_a", "id_b", "cosine")
-  }
+      broadcastVerify: Boolean = false): DataFrame =
+    minePairs(batch, Some(ref), vecCol, idCol, threshold, planes, bands,
+      probeHamming, broadcastVerify)
 
   /** Keep only the batch rows whose vector is NOT within
     * cosine >= threshold of ANY reference vector — the semantic
@@ -524,9 +482,12 @@ object Similarity {
     * LSH recall caveat carries over: a true near-duplicate missed by
     * the banding PASSES the gate — derive (planes, bands,
     * probeHamming) from [[lshGeometry]] at the recall the gate's
-    * policy requires. Degenerate batch vectors (null/NaN/zero-norm)
-    * are KEPT, mirroring dropSeenHamming's null rule: an unhashable
-    * row cannot be proven seen.
+    * policy requires. Degenerate batch vectors (null/NaN/zero-norm/
+    * Inf-norm) are KEPT, mirroring dropSeenHamming's null rule: an
+    * unhashable row cannot be proven seen. Rows with a NULL id are
+    * also always kept — the verify stage joins by id, so a null-id
+    * row can never be proven seen either; gate null ids upstream if
+    * they can occur.
     */
   def dropSeenEmbedding(
       batch: DataFrame,
@@ -574,7 +535,105 @@ object Similarity {
       planes: Array[Array[Float]],
       bands: Int = 8,
       probeHamming: Int = 0,
-      broadcastVerify: Boolean = false): DataFrame = {
+      broadcastVerify: Boolean = false): DataFrame =
+    minePairs(df, None, vecCol, idCol, threshold, planes, bands,
+      probeHamming, broadcastVerify)
+
+  /** The staged normalization every miner and gate shares: `(id,
+    * unit-vector)` rows. Normalize ONCE per vector (staged projections
+    * so the norm is an attribute): per-pair verification is then a
+    * bare dot product — the norm would otherwise be recomputed for
+    * both sides of every candidate pair. DEGENERATE vectors (null,
+    * null/NaN elements, zero norm, and INFINITE norm — x/Inf is NaN
+    * element-wise, the same poison as x/0) are dropped here:
+    * unguarded, the RHP signature of a NaN vector collapses to a
+    * constant (one mega-bucket), and NaN cosines PASS `>= threshold`
+    * (Spark orders NaN above all numbers) — spurious pairs out of
+    * garbage rows. The when() nulls the normalized vector and the
+    * filter removes the row.
+    */
+  private def unitVectors(df: DataFrame, vecCol: String, idCol: String): DataFrame =
+    df.select(col(idCol), col(vecCol))
+      .withColumn("__norm", norm(col(vecCol)))
+      .select(col(idCol),
+        when(col("__norm") > 0 && !isnan(col("__norm")) &&
+            col("__norm") < lit(Double.PositiveInfinity),
+          transform(col(vecCol), x => x / col("__norm"))).as(vecCol))
+      .filter(col(vecCol).isNotNull)
+
+  /** Refine-prune cut: the max 126-bit flip count a candidate pair may
+    * show and still be worth an exact verify. A TRUE at-threshold
+    * pair's flip count is Binomial(n, f) with f = acos(threshold)/pi,
+    * so cutting at mean + 2 sigma keeps ~97.7% of at-threshold pairs
+    * at EVERY threshold. (The previous multiplicative 1.15x slack was
+    * 0.15 * mean — UNDER one sigma at high thresholds, where the mean
+    * is small: exact binomial survival was ~0.80 at threshold >= 0.9,
+    * silently spending a fifth of the recall the banding machinery
+    * budgets for.) Random pairs flip ~n/2 = 63 bits, far above any
+    * cut this produces for threshold > 0, so the prune still drops
+    * the vast majority of band collisions.
+    */
+  private[similarity] def refineCut(refineBits: Int, threshold: Double): Int = {
+    val f = math.acos(math.min(threshold, 1.0)) / math.Pi
+    val mean = refineBits * f
+    val sigma = math.sqrt(refineBits * f * (1.0 - f))
+    math.ceil(mean + 2.0 * sigma).toInt
+  }
+
+  /** The banded-RHP mining core — ONE body behind [[nearDupPairs]]
+    * (ref = None: self-join over `df`) and [[nearDupPairsAgainst]]
+    * (ref = Some: batch x reference, independent id spaces, no
+    * `id_a < id_b`), so the self-mine and the ingest gates
+    * (q100/q104-q106, the SeenIndex embedding loops) can never drift
+    * in guard, probe, prune, or verify behavior.
+    *
+    * Stages, each with its scale rationale:
+    *  - [[unitVectors]] normalization + degenerate-row guard.
+    *  - Candidate generation over (id, band, hash) ONLY — the wide
+    *    vector payload must not ride through the band join + distinct
+    *    (at n vectors per bucket that shuffle is O(pairs x dim); with
+    *    bare ids it is O(pairs x 16 bytes)). Rows with a NULL id can
+    *    never pair or gate: the verify stage joins by id, so null-id
+    *    candidates vanish there — gate null-id rows upstream if ids
+    *    can be missing.
+    *  - Probe radius SPLIT across the two join sides: a pair whose
+    *    band keys differ in d <= r bits surfaces when side A flips
+    *    d1 <= ceil(r/2) of the differing bits and side B the other
+    *    d2 <= floor(r/2) (any d <= r1+r2 admits such a split). The
+    *    Hamming ball grows combinatorially, so half the radius per
+    *    side is ~2x fewer shuffled rows with identical coverage; the
+    *    probed side is a SECOND tiny Generate over a literal mask
+    *    array, not one bands x masks struct-array projection (which
+    *    at radius 2 is a ~600-expression CreateArray that falls out
+    *    of codegen). Radius 0 reduces to the plain symmetric join.
+    *  - Refined 126-bit signature (two 63-plane longs) prune BEFORE
+    *    touching vectors: the candidate bands must stay coarse
+    *    (recall), but the prune can be precise — at 126 bits the
+    *    background's flip count concentrates (sigma ~5.6 bits around
+    *    63). Two bit_counts over long pairs are ~free next to a
+    *    dim-float dot; the cut is [[refineCut]]'s mean + 2 sigma.
+    *  - Verification join strategy — the candidate stream must NEVER
+    *    be sorted or shuffled carrying a dim-float payload:
+    *    default = SHUFFLE-HASH for the two vector lookups (sort-merge
+    *    would SORT the wide stream — measured at 30x sf0.1: ~60 GB of
+    *    sort spill, disk exhaustion — while a shuffled hash join
+    *    builds its table from the small (id, vec) side and only
+    *    exchanges the stream); `broadcastVerify = true` = broadcast
+    *    both lookups, ZERO exchanges of the candidate stream, correct
+    *    whenever n x dim x 4 bytes fits a broadcast (~15 MB at
+    *    60 k x 64) — exactly the regime where mid-threshold mining's
+    *    near-quadratic candidate volume shows up.
+    */
+  private def minePairs(
+      df: DataFrame,
+      ref: Option[DataFrame],
+      vecCol: String,
+      idCol: String,
+      threshold: Double,
+      planes: Array[Array[Float]],
+      bands: Int,
+      probeHamming: Int,
+      broadcastVerify: Boolean): DataFrame = {
     require(planes.length % bands == 0,
       s"planes=${planes.length} must divide evenly into bands=$bands")
     val bitsPerBand = planes.length / bands
@@ -582,116 +641,44 @@ object Similarity {
       s"bitsPerBand=$bitsPerBand: bands narrower than 8 bits (<256 buckets) degenerate " +
         s"toward the all-pairs join at scale; size planes = bands x k with k >= 8")
     require(probeHamming >= 0 && probeHamming <= bitsPerBand, s"probeHamming=$probeHamming")
-    // The embedding dimension is already encoded in the planes the
-    // caller supplied — no input probe, the whole builder is a lazy
-    // transform (an empty input flows through to an empty result).
     val dim = planes.head.length
-    // Normalize ONCE per vector (staged projections so the norm is an
-    // attribute): per-pair verification is then a bare dot product —
-    // the norm would otherwise be recomputed for both sides of every
-    // candidate pair (3 interpreted array passes per pair instead of 1).
-    // DEGENERATE vectors (null, null/NaN elements, zero norm) are
-    // dropped here: unguarded, x/0 yields NaN elements, the RHP
-    // signature collapses to a constant (one mega-bucket), and NaN
-    // cosines PASS `>= threshold` (Spark orders NaN above all numbers)
-    // — spurious pairs out of garbage rows. The when() nulls the
-    // normalized vector and the filter removes the row.
-    val vecs = df
-      .select(col(idCol), col(vecCol))
-      .withColumn("__norm", norm(col(vecCol)))
-      .select(col(idCol),
-        when(col("__norm") > 0 && !isnan(col("__norm")),
-          transform(col(vecCol), x => x / col("__norm"))).as(vecCol))
-      .filter(col(vecCol).isNotNull)
-    // Refined 126-bit signature (two 63-plane longs), used ONLY for
-    // the Hamming prune: the candidate bands must stay coarse
-    // (recall), but the prune can be precise — at 126 bits the
-    // background's flip count concentrates (sigma ~5.6 bits around
-    // 63), so the cut keeps ~5% of random band-collisions instead of
-    // the ~13% a single 63-bit signature passes, at the cost of one
-    // extra long per row through the join. Survivor count is what the
-    // expensive per-pair vector join pays for.
     val refinePlanes = hyperplanes(dim, 63, seed = 1042L)
     val refinePlanes2 = hyperplanes(dim, 63, seed = 2042L)
-    // Candidate generation over (id, band, hash) ONLY — the wide
-    // vector payload must not ride through the self-join + distinct
-    // (at n vectors per bucket that shuffle is O(pairs x dim); with
-    // bare ids it is O(pairs x 16 bytes)). Vectors join back once per
-    // distinct candidate pair for exact verification.
     val bandMask = if (bitsPerBand == 64) -1L else (1L << bitsPerBand) - 1
-    val sigs = vecs
-      .withColumn("__sig", rhpSignature(col(vecCol), planes))
-      .withColumn("__rsig", rhpSignature(col(vecCol), refinePlanes))
-      .withColumn("__rsig2", rhpSignature(col(vecCol), refinePlanes2))
-    def bandVal(b: Int): Column =
-      shiftright(col("__sig"), b * bitsPerBand).bitwiseAND(lit(bandMask))
-    // Probe radius is SPLIT across the two join sides: a pair whose
-    // band keys differ in d <= r bits surfaces when side A flips
-    // d1 <= ceil(r/2) of the differing bits and side B flips the other
-    // d2 <= floor(r/2) (any d <= r1+r2 admits such a split), so both
-    // sides probe only half the radius. At r=2 this emits
-    // bands x (9+9) keys per vector instead of bands x (1+37) — the
-    // Hamming ball grows combinatorially, so half the radius on each
-    // side is ~2x fewer shuffled rows, with identical candidate
-    // coverage. Radius 0 reduces to the plain symmetric join.
-    val exact = sigs.select(
-      col(idCol), col("__rsig"), col("__rsig2"),
-      explode(array((0 until bands).map { b =>
-        struct(lit(b).as("band"), bandVal(b).as("h"))
-      }: _*)).as("bk"))
-      .select(col(idCol), col("__rsig"), col("__rsig2"), col("bk.band"), col("bk.h"))
-    // Each probed side = the exact keys crossed with its half-radius
-    // mask neighborhood — a SECOND tiny Generate over a literal mask
-    // array, not one bands x masks struct-array projection (which at
-    // radius 2 is a ~600-expression CreateArray that falls out of
-    // codegen).
-    def probed(radius: Int): DataFrame =
+    val aU = unitVectors(df, vecCol, idCol)
+    val bU = ref.map(unitVectors(_, vecCol, idCol)).getOrElse(aU)
+    def probedKeys(vecs: DataFrame, radius: Int): DataFrame = {
+      val sigs = vecs
+        .withColumn("__sig", rhpSignature(col(vecCol), planes))
+        .withColumn("__rsig", rhpSignature(col(vecCol), refinePlanes))
+        .withColumn("__rsig2", rhpSignature(col(vecCol), refinePlanes2))
+      val exact = sigs.select(
+        col(idCol), col("__rsig"), col("__rsig2"),
+        explode(array((0 until bands).map { b =>
+          struct(lit(b).as("band"),
+            shiftright(col("__sig"), b * bitsPerBand).bitwiseAND(lit(bandMask)).as("h"))
+        }: _*)).as("bk"))
+        .select(col(idCol), col("__rsig"), col("__rsig2"), col("bk.band"), col("bk.h"))
       if (radius == 0) exact
       else exact
         .withColumn("__m", explode(lit(probeMasks(bitsPerBand, radius).toArray)))
         .select(col(idCol), col("__rsig"), col("__rsig2"),
           col("band"), col("h").bitwiseXOR(col("__m")).as("h"))
-    val a = probed(probeHamming - probeHamming / 2).toDF("id_a", "rsig_a", "rsig2_a", "band", "h")
-    val b = probed(probeHamming / 2).toDF("id_b", "rsig_b", "rsig2_b", "band", "h")
-    // Second-stage prune before touching vectors: refined-signature
-    // Hamming distance is an unbiased angle estimate, and two
-    // bit_counts over long pairs are ~free next to a dim-float dot.
-    // Keep pairs whose estimated angle could still clear `threshold`
-    // (1.15x slack on the expected flip count keeps ~95% recall at
-    // 126 bits while dropping ~95% of random band collisions).
-    val refineBits = refinePlanes.length + refinePlanes2.length
-    val maxDisagree =
-      math.ceil(refineBits * (math.acos(math.min(threshold, 1.0)) / math.Pi) * 1.15).toInt
-    val candidates = a.join(b, Seq("band", "h"))
-      .filter(col("id_a") < col("id_b"))
+    }
+    val a = probedKeys(aU, probeHamming - probeHamming / 2)
+      .toDF("id_a", "rsig_a", "rsig2_a", "band", "h")
+    val b = probedKeys(bU, probeHamming / 2)
+      .toDF("id_b", "rsig_b", "rsig2_b", "band", "h")
+    val maxDisagree = refineCut(refinePlanes.length + refinePlanes2.length, threshold)
+    val joined = a.join(b, Seq("band", "h"))
+    val candidates = (if (ref.isEmpty) joined.filter(col("id_a") < col("id_b")) else joined)
       .filter(
         (bit_count(col("rsig_a").bitwiseXOR(col("rsig_b"))) +
           bit_count(col("rsig2_a").bitwiseXOR(col("rsig2_b")))) <= maxDisagree)
       .select("id_a", "id_b")
       .distinct()
-    // Verification join strategy — the candidate stream must NEVER be
-    // sorted or shuffled carrying a dim-float payload:
-    //   - default (`broadcastVerify = false`): SHUFFLE-HASH, not
-    //     sort-merge, for the two vector lookups. At mid thresholds
-    //     the candidate stream can approach O(n^2) rows and the second
-    //     join's input carries vec_a — sort-merge would SORT that wide
-    //     stream (measured at 30x sf0.1: ~60 GB of sort spill, disk
-    //     exhaustion), while a shuffled hash join builds its table
-    //     from the per-partition slice of the SMALL (id, vec) side and
-    //     only exchanges the stream, never sorts it. This is the shape
-    //     that stays correct at ANY corpus size.
-    //   - `broadcastVerify = true`: broadcast-hash both lookups — ZERO
-    //     exchanges of the candidate stream (it flows map-side from
-    //     the band join straight through verification). Correct
-    //     whenever n x dim x 4 bytes fits an executor/driver broadcast
-    //     (~15 MB at 60 k x 64; viable up to a few million vectors) —
-    //     which is exactly the regime where mid-threshold mining's
-    //     near-quadratic candidate volume shows up, so the option
-    //     matters most where it is also safe. Measured at 30x sf0.1 /
-    //     threshold 0.4: the difference between disk exhaustion and
-    //     completing in memory.
-    val vecA = vecs.toDF("id_a", "vec_a")
-    val vecB = vecs.toDF("id_b", "vec_b")
+    val vecA = aU.toDF("id_a", "vec_a")
+    val vecB = bU.toDF("id_b", "vec_b")
     val (ja, jb) =
       if (broadcastVerify) (broadcast(vecA), broadcast(vecB))
       else (vecA.hint("shuffle_hash"), vecB.hint("shuffle_hash"))
