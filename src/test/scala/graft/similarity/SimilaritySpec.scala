@@ -39,6 +39,30 @@ class SimilaritySpec extends SparkSpec {
     assert(pairs.toSeq == Seq((1L, 2L)))
   }
 
+  test("Inf-element vectors are degenerate: never paired, never gated, never in a top-k slot") {
+    import sqlImplicits._
+    val v = Array.tabulate(8)(i => (i + 1).toFloat)
+    val inf = Array.tabulate(8)(i => if (i == 0) Float.PositiveInfinity else 1.0f)
+    val inf2 = Array.tabulate(8)(i => if (i == 1) Float.PositiveInfinity else 2.0f)
+    val df = Seq((1L, v), (2L, inf), (3L, inf2)).toDF("vec_id", "embedding")
+    val planes = Similarity.hyperplanes(8, 64)
+    // unguarded, x/Inf normalizes to NaN elements, both Inf rows land
+    // in one LSH mega-bucket and their NaN cosine PASSES >= threshold
+    // (Spark orders NaN above all numbers) — they must pair with
+    // nothing instead
+    val pairs = Similarity.nearDupPairs(df, "embedding", "vec_id", 0.5, planes, bands = 8)
+    assert(pairs.isEmpty, pairs.collect().mkString(","))
+    // a NaN cosine must not outrank every real neighbor either
+    val top = Similarity.cosineTopK(df, "embedding", v, k = 2, "vec_id")
+      .collect().map(_.getLong(0))
+    assert(top.toSeq == Seq(1L), top.mkString(","))
+    // and the gate must KEEP the unprovable rows, not drop them as "seen"
+    val kept = Similarity.dropSeenEmbedding(
+      df, Seq((10L, v)).toDF("vec_id", "embedding"), "embedding", "vec_id",
+      threshold = 0.9, planes).collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 3L), kept.toString)
+  }
+
   test("nearDupPairsAgainst pairs across corpora exactly like the brute cross filter on a clustered fixture") {
     import sqlImplicits._
     val v = Array.tabulate(8)(i => (i + 1).toFloat)
