@@ -86,7 +86,7 @@ object Dedup {
     * same reason). One `(band, h)` struct per band, `h` =
     * `xxhash64` of the band's `rowsPerBand`-component slice.
     */
-  private def bandStructs(sig: Column, numHashes: Int, bands: Int): Column = {
+  private[graft] def bandStructs(sig: Column, numHashes: Int, bands: Int): Column = {
     require(numHashes % bands == 0, s"numHashes=$numHashes must divide into bands=$bands")
     val rowsPerBand = numHashes / bands
     array((0 until bands).map { b =>

@@ -165,13 +165,10 @@ object StreamingOps {
       .select(col(idCol).cast("long").as("id"),
         graft.dedup.ShingleHashes.shingleHashes(col(textCol), n).as("__gh"))
       .select(col("id"), graft.dedup.MinHashSig.minhashSig(col("__gh"), numHashes, seed).as("sig"))
-      .filter(col("sig").isNotNull)
+      .filter(col("sig").isNotNull && col("id").isNotNull) // null id = typed-decode poison pill
     val banded = sig.select(
       col("id"), col("sig"),
-      explode(array((0 until bands).map { b =>
-        struct(lit(b).as("band"),
-          xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)).as("h"))
-      }: _*)).as("bk"))
+      explode(graft.dedup.Dedup.bandStructs(col("sig"), numHashes, bands)).as("bk"))
       .select(col("bk.band").as("band"), col("bk.h").as("h"), col("id"), col("sig"))
       .as[BandedDoc]
     banded
@@ -295,7 +292,9 @@ object StreamingOps {
     val banded = hashed
       .withWatermark(tsCol, lateness)
       .select(col(idCol).cast("long").as("id"), col(sigCol).cast("long").as("sig"), col(tsCol).as("ts"))
-      .filter(col("sig").isNotNull && col("id").isNotNull)
+      // a null ts would NPE at d.ts.getTime in the state function —
+      // the same replay-forever poison pill as a null id
+      .filter(col("sig").isNotNull && col("id").isNotNull && col("ts").isNotNull)
       .select(col("id"), col("sig"), col("ts"),
         explode(array((0 until bands).map { b =>
           struct(lit(b).as("band"),
@@ -415,8 +414,13 @@ object StreamingOps {
     * the arrivals with no reference vector at cosine >= `threshold`.
     * Same construction as [[dropSeenHammingStream]] lifted to
     * embedding space: the reference unit-normalizes once into a
-    * banded RHP-signature table (persist it — it re-plans every
-    * micro-batch), each arrival pays one signature + one stream-static
+    * banded RHP-signature table — NOTE the banding is derived INSIDE
+    * this function, downstream of `ref`, so persisting the input does
+    * not stop the normalize+signature pass re-executing every
+    * micro-batch; at reference sizes where that matters, run the
+    * batch gate in foreachBatch against a precomputed signature store
+    * instead (the [[graft.dedup.SeenIndex]] loops are exactly that
+    * shape). Each arrival pays one signature + one stream-static
     * LEFT join per band slice, the candidate reference unit vector
     * rides back on the row and the exact dot verifies it (the same
     * [[graft.similarity.VecDot]] arithmetic as the batch gate, so
@@ -438,7 +442,11 @@ object StreamingOps {
     * batch twin keeps them; gate them upstream. The group key is
     * `(id, vec)` — an id carrying several vectors in one micro-batch
     * gates each row independently, like the batch twin; only exact
-    * duplicate `(id, vec)` rows collapse to one output row.
+    * duplicate `(id, vec)` rows collapse to one output row. COST
+    * NOTE: that key ships the dim-float vector through the group
+    * exchange once per band row (bands x ~4*dim bytes per arrival) —
+    * fine at gate-batch sizes; at firehose volume use the durable
+    * foreachBatch loops, whose band join exchanges only LSH keys.
     */
   def dropSeenEmbeddingStream(
       vecs: DataFrame,
@@ -457,10 +465,17 @@ object StreamingOps {
       s"bitsPerBand=$bitsPerBand: bands narrower than 8 bits degenerate toward all-pairs")
     requireIntegralId(vecs, idCol)
     val mask = if (bitsPerBand == 64) -1L else (1L << bitsPerBand) - 1L
+    // same degenerate guard as the batch miners' unitVectors
+    // (Similarity.scala): null / NaN / zero AND INFINITE norms are
+    // excluded — x/Inf is NaN element-wise, and a NaN dot PASSES
+    // ">= threshold" under Spark's NaN ordering, so an unguarded Inf
+    // row would be silently gated (arrival side) or spuriously gate
+    // everything in its buckets (reference side)
     def withUnit(df: DataFrame, vc: String) = df
       .withColumn("__norm", Similarity.norm(col(vc)))
       .withColumn("__uvec",
-        when(col("__norm") > 0 && !isnan(col("__norm")),
+        when(col("__norm") > 0 && !isnan(col("__norm")) &&
+            col("__norm") < lit(Double.PositiveInfinity),
           transform(col(vc), x => x / col("__norm"))))
       .filter(col("__uvec").isNotNull)
       .drop("__norm")
@@ -675,6 +690,7 @@ object StreamingOps {
     import media.sparkSession.implicits._
     val hashed = media
       .select(col("media_id").cast("long").as("media_id"), col("bytes"), col("ts"))
+      .filter(col("media_id").isNotNull) // typed-decode poison pill
       .as[MediaTsRow]
       .mapPartitions { rows =>
         rows.flatMap { r =>
@@ -730,13 +746,12 @@ object StreamingOps {
         graft.dedup.ShingleHashes.shingleHashes(col(textCol), n).as("__gh"))
       .select(col("id"), col("ts"),
         graft.dedup.MinHashSig.minhashSig(col("__gh"), numHashes, seed).as("sig"))
-      .filter(col("sig").isNotNull) // see the unbounded twin: null-sig poison pill
+      // null sig/id: typed-decode poison pills (see the unbounded
+      // twin); null ts would NPE at .getTime in the state function
+      .filter(col("sig").isNotNull && col("id").isNotNull && col("ts").isNotNull)
     val banded = sig.select(
       col("id"), col("sig"), col("ts"),
-      explode(array((0 until bands).map { b =>
-        struct(lit(b).as("band"),
-          xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)).as("h"))
-      }: _*)).as("bk"))
+      explode(graft.dedup.Dedup.bandStructs(col("sig"), numHashes, bands)).as("bk"))
       .select(col("bk.band").as("band"), col("bk.h").as("h"), col("id"), col("sig"), col("ts"))
       .as[BandedDocT]
     banded
@@ -1079,6 +1094,7 @@ object StreamingOps {
     import docs.sparkSession.implicits._
     requireIntegralId(docs, idCol)
     docs
+      .filter(col(idCol).isNotNull) // typed-decode poison pill
       .select(col(idCol).cast("long").as("id"),
         explode(
           graft.text.Decontamination.distinctNgrams(col(textCol), n)).as("g"))
@@ -1191,7 +1207,8 @@ object StreamingOps {
       flaggedKeys: Seq[String],
       textCol: String,
       idCol: String,
-      maxKeys: Int = 1000000): DataFrame = {
+      maxKeys: Int = 1000000,
+      minChars: Int = 1): DataFrame = {
     require(flaggedKeys.size <= maxKeys,
       s"lineScrubStream embeds flagged line keys as a plan literal: ${flaggedKeys.size} keys " +
         s"exceeds maxKeys=$maxKeys — snapshot the keys into a static table and join in " +
@@ -1205,7 +1222,13 @@ object StreamingOps {
       .select(col(idCol), split(col(textCol), "\n").as("__ls_arr"))
       .select(col(idCol), col("__ls_arr"),
         filter(col("__ls_arr"),
-          l => !array_contains(keys, md5(l.cast("binary")))).as("__ls_kept"))
+          // lines shorter than minChars are EXEMPT from scrubbing,
+          // matching the batch form (LineOps.dedupAgainstFlagged
+          // filters length >= minChars before flag lookup) — a
+          // flagged short key must not strip blank separator lines
+          // the batch twin keeps
+          l => length(l) < minChars ||
+            !array_contains(keys, md5(l.cast("binary")))).as("__ls_kept"))
       .select(
         col(idCol),
         size(col("__ls_arr")).cast("int").as("n_lines"),
@@ -1247,6 +1270,7 @@ object StreamingOps {
     require(rareMaxDf >= 1, s"rareMaxDf=$rareMaxDf must be >= 1")
     requireIntegralId(docs, idCol)
     docs
+      .filter(col(idCol).isNotNull) // typed-decode poison pill
       .select(col(idCol).cast("long").as("id"),
         explode(
           graft.text.Decontamination.distinctNgrams(col(textCol), n)).as("g"))
@@ -1303,7 +1327,8 @@ object StreamingOps {
     requireIntegralId(docs, idCol)
     val flagged = spanFreq.filter(col("n_docs") >= minDocs)
       .select(col("span")).withColumn("__rs_hit", lit(1))
-    graft.text.RepeatedSpans.spanPositions(docs, textCol, idCol, k)
+    // null-id rows dropped: typed-decode poison pill
+    graft.text.RepeatedSpans.spanPositions(docs.filter(col(idCol).isNotNull), textCol, idCol, k)
       .select(col(idCol).cast("long").as("id"), col("span"))
       .join(flagged, Seq("span"), "left")
       .select(col("id"), col("__rs_hit").as("hit"))
@@ -1364,12 +1389,13 @@ object StreamingOps {
     // batch filter
     val flagged = spanFreq.filter(col("n_docs") >= minDocs)
       .select(col("span"), col("keeper").cast("long").as("__keeper"), lit(1).as("__flagged"))
-    val tokRows = docs
+    val safeDocs = docs.filter(col(idCol).isNotNull) // typed-decode poison pill
+    val tokRows = safeDocs
       .select(col(idCol).cast("long").as("id"),
         posexplode(graft.text.TextAnalysis.tokens(col(textCol))).as(Seq("__t0", "tok")))
       .select(col("id"), (-col("__t0") - 1).as("pos"), col("tok"),
         lit(null).cast("int").as("hit"))
-    val spanRows = graft.text.RepeatedSpans.spanPositions(docs, textCol, idCol, k)
+    val spanRows = graft.text.RepeatedSpans.spanPositions(safeDocs, textCol, idCol, k)
       .select(col(idCol).cast("long").as("id"), col("pos"), col("span"))
       .join(flagged, Seq("span"), "left")
       .select(col("id"), col("pos"), lit(null).cast("string").as("tok"),
@@ -1434,6 +1460,7 @@ object StreamingOps {
     import docs.sparkSession.implicits._
     requireIntegralId(docs, idCol)
     docs
+      .filter(col(idCol).isNotNull) // typed-decode poison pill
       .select(col(idCol).cast("long").as("id"),
         explode(ColumnBridge.column(graft.text.GramOccurrences(
           ColumnBridge.expression(col(textCol)), 2, 2))).as("g"))
@@ -1482,6 +1509,7 @@ object StreamingOps {
     import docs.sparkSession.implicits._
     requireIntegralId(docs, idCol)
     docs
+      .filter(col(idCol).isNotNull) // typed-decode poison pill
       .select(col(idCol).cast("long").as("id"),
         explode(graft.text.ImportanceResampling.gramOccurrences(col(textCol))).as("__g"))
       .select(col("id"),
@@ -1533,6 +1561,7 @@ object StreamingOps {
     def halfUp(x: Double): Long =
       java.math.BigDecimal.valueOf(x).setScale(0, java.math.RoundingMode.HALF_UP).longValue()
     docs
+      .filter(col(idCol).isNotNull) // typed-decode poison pill
       .select(col(idCol).cast("long").as("id"),
         explode(graft.text.ImportanceResampling.gramOccurrences(col(textCol))).as("__g"))
       .select(col("id"),
@@ -1645,10 +1674,17 @@ object StreamingOps {
     * one arrival order. Within a micro-batch, ties are admitted in
     * ascending id for batch-layout independence.
     */
-  def domainCapStream(docs: DataFrame, cap: Int): Dataset[CapOut] = {
+  def domainCapStream(
+      docs: DataFrame, idCol: String, domainCol: String, cap: Int): Dataset[CapOut] = {
     import docs.sparkSession.implicits._
     require(cap > 0, s"cap=$cap must be positive")
-    docs.toDF("id", "domain").as[CapIn]
+    requireIntegralId(docs, idCol)
+    // columns by NAME, not position (a positional toDF mis-keys any
+    // (domain, id)-ordered frame and arity-errors on wider ones);
+    // null ids dropped: typed-decode poison pill
+    docs.select(col(idCol).cast("long").as("id"), col(domainCol).cast("string").as("domain"))
+      .filter(col("id").isNotNull)
+      .as[CapIn]
       .groupByKey(_.domain)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
         (domain: String, rows: Iterator[CapIn], state: GroupState[Long]) => {

@@ -112,6 +112,40 @@ class StreamingOpsSpec extends SparkSpec {
     assert(batchKept == 2)
   }
 
+  test("null ids and null timestamps are dropped, never typed-decode poison pills that kill the query") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import sqlImplicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // a null id reaching .as[BandedDoc] would NPE the micro-batch and
+    // checkpoint replay would re-hit it forever — the row must be
+    // dropped instead (the batch twin's id_a < id_b discards it too)
+    val in1 = MemoryStream[(Option[Long], String)]
+    val q1 = StreamingOps.minhashCandidatesStream(
+      in1.toDF().toDF("doc_id", "text"), "text", "doc_id")
+      .writeStream.outputMode("append").format("memory").queryName("np1").start()
+    val t = (1 to 50).map(i => s"w$i").mkString(" ")
+    in1.addData((Some(1L), t), (None, t), (Some(2L), t))
+    q1.processAllAvailable(); q1.stop()
+    assert(spark.table("np1").collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((1L, 2L)))
+    // a null event time would NPE at ts.getTime in the TTL state
+    // function — same poison-pill class, same drop rule
+    val in2 = MemoryStream[(Option[Long], Long, Option[java.sql.Timestamp])]
+    val q2 = StreamingOps.hammingPairsStreamTtl(
+      in2.toDF().toDF("media_id", "ahash", "ts"), "media_id", "ahash", "ts",
+      maxHamming = 3)
+      .writeStream.outputMode("append").format("memory").queryName("np2").start()
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    in2.addData(
+      (Some(1L), 7L, Some(ts0)),
+      (Some(2L), 7L, None),          // null ts: dropped, not an NPE
+      (None, 7L, Some(ts0)),         // null id: dropped
+      (Some(3L), 7L, Some(ts0)))
+    q2.processAllAvailable(); q2.stop()
+    assert(spark.table("np2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((1L, 3L)))
+  }
+
   test("streaming exact dedup passes every null-text row through, matching the batch rule") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import sqlImplicits._
@@ -1092,7 +1126,8 @@ class StreamingOpsSpec extends SparkSpec {
       .select("doc_id", "source")
     val docs = corpus.collect().map(r => (r.getLong(0), r.getString(1))).toSeq
     val input = MemoryStream[(Long, String)]
-    val stream = StreamingOps.domainCapStream(input.toDF().toDF("doc_id", "source"), cap = 2)
+    val stream = StreamingOps.domainCapStream(
+      input.toDF().toDF("doc_id", "source"), "doc_id", "source", cap = 2)
     val q = stream.writeStream.outputMode("append").format("memory").queryName("dcap").start()
     docs.grouped(7).foreach { b => input.addData(b); q.processAllAvailable() }
     q.stop()
