@@ -124,7 +124,8 @@ private class AdxLikeTable(
     require(!normalize,
       "adxlike write: option normalize=kusto is read-side only (normalized values " +
         "differ from the remote raw data); write to a non-normalized table instead")
-    new AdxLikeWriteBuilder(url, tableName, tableSchema, info.schema(), maxRetries)
+    new AdxLikeWriteBuilder(url, tableName, tableSchema, info.schema(), maxRetries,
+      info.queryId())
   }
 }
 
@@ -133,13 +134,14 @@ private class AdxLikeWriteBuilder(
     table: String,
     full: StructType,
     writeSchema: StructType,
-    maxRetries: Int)
+    maxRetries: Int,
+    queryId: String)
   extends WriteBuilder with SupportsTruncate {
 
   private var truncateFirst = false
   override def truncate(): WriteBuilder = { truncateFirst = true; this }
   override def build(): Write =
-    new AdxLikeWrite(url, table, full, writeSchema, maxRetries, truncateFirst)
+    new AdxLikeWrite(url, table, full, writeSchema, maxRetries, truncateFirst, queryId)
 }
 
 /** Batch write: one transactional INSERT stream per partition task.
@@ -159,7 +161,8 @@ private class AdxLikeWrite(
     full: StructType,
     writeSchema: StructType,
     maxRetries: Int,
-    truncate: Boolean)
+    truncate: Boolean,
+    queryId: String)
   extends Write with BatchWrite
     with org.apache.spark.sql.connector.write.streaming.StreamingWrite {
 
@@ -207,7 +210,11 @@ private class AdxLikeWrite(
     * driver records each epoch in the ledger AFTER all its tasks
     * committed. A restarted query re-offers the last epoch; writers
     * see it in the ledger and drop it whole — so a FULLY committed
-    * epoch is never appended twice. The honest boundary, stated
+    * epoch is never appended twice. The ledger key is
+    * (query_id, epoch_id), NOT epoch_id alone: a NEW query (or a
+    * fresh checkpoint) restarts its epoch ids at 0, and an
+    * epoch-only key would match the OLD query's committed epochs and
+    * silently DROP the new query's first micro-batches whole. The honest boundary, stated
     * rather than hidden: a crash MID-epoch (some tasks committed,
     * epoch not yet in the ledger) duplicates those tasks' rows on
     * replay — per-epoch atomicity across independent remote
@@ -229,19 +236,24 @@ private class AdxLikeWrite(
       val conn = DriverManager.getConnection(url)
       try {
         try conn.createStatement().execute(
-          s"CREATE TABLE $ledgerTable (epoch_id BIGINT PRIMARY KEY)")
+          s"CREATE TABLE $ledgerTable (query_id VARCHAR(128) NOT NULL, " +
+            "epoch_id BIGINT NOT NULL, PRIMARY KEY (query_id, epoch_id))")
         catch { case e: java.sql.SQLException if e.getSQLState == "X0Y32" => () } // exists
       } finally conn.close()
     }
-    new AdxLikeStreamingWriterFactory(url, insertSql(), writeSchema, maxRetries, ledgerTable)
+    new AdxLikeStreamingWriterFactory(
+      url, insertSql(), writeSchema, maxRetries, ledgerTable, queryIdLit)
   }
+
+  // queryId is Spark's UUID string; escape defensively anyway
+  private def queryIdLit: String = "'" + queryId.replace("'", "''") + "'" 
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
     Jdbc.withRetries(maxRetries) {
       val conn = DriverManager.getConnection(url)
       try {
         try conn.createStatement().executeUpdate(
-          s"INSERT INTO $ledgerTable VALUES ($epochId)")
+          s"INSERT INTO $ledgerTable VALUES ($queryIdLit, $epochId)")
         catch { case e: java.sql.SQLException if e.getSQLState == "23505" => () } // already recorded
       } finally conn.close()
     }
@@ -254,7 +266,8 @@ private class AdxLikeStreamingWriterFactory(
     sql: String,
     schema: StructType,
     maxRetries: Int,
-    ledgerTable: String)
+    ledgerTable: String,
+    queryIdLit: String)
   extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
 
   /** A replayed epoch (already in the ledger) is dropped WHOLE by
@@ -267,7 +280,7 @@ private class AdxLikeStreamingWriterFactory(
       val conn = DriverManager.getConnection(url)
       try {
         val rs = conn.createStatement().executeQuery(
-          s"SELECT 1 FROM $ledgerTable WHERE epoch_id = $epochId")
+          s"SELECT 1 FROM $ledgerTable WHERE query_id = $queryIdLit AND epoch_id = $epochId")
         try rs.next() finally rs.close()
       } finally conn.close()
     }
@@ -310,7 +323,12 @@ private class AdxLikeDataWriter(
     try { c.setAutoCommit(false); c }
     catch { case e: Throwable => c.close(); throw e }
   }
-  private val stmt = conn.prepareStatement(sql)
+  // guard like the reader's constructor: a throw here happens before
+  // Spark holds the DataWriter, so close() would never run and the
+  // open connection would leak once per task attempt
+  private val stmt =
+    try conn.prepareStatement(sql)
+    catch { case e: Throwable => conn.close(); throw e }
   private var pending = 0
   private var total = 0L
 
@@ -511,9 +529,31 @@ private class AdxLikeScanBuilder(
         new MetadataBuilder().putString(AdxLike.RemoteNameKey, name).build())
     }
 
+  /** A remote STRING comparison is a collation/padding fact of the
+    * remote that Spark cannot assume matches its own binary
+    * semantics (a case-insensitive collation equates 'abc'/'ABC'; a
+    * locale collation can order 'B' ABOVE 'b', so a pushed range
+    * predicate EXCLUDES rows Spark would keep — un-repairable by
+    * re-filtering above the scan, because the rows never arrive).
+    * String comparisons therefore stay Spark-side entirely — the
+    * same reasoning as orderableRemotely's refusal of string sort
+    * keys and comparableRemotely's of string join keys. Null checks
+    * carry no comparison and remain pushable.
+    */
+  private def comparesStrings(f: Filter): Boolean = f match {
+    case IsNull(_) | IsNotNull(_) => false
+    case And(l, r) => comparesStrings(l) || comparesStrings(r)
+    case Or(l, r) => comparesStrings(l) || comparesStrings(r)
+    case Not(c) => comparesStrings(c)
+    case other => other.references.exists(a =>
+      full.fields.find(_.name.equalsIgnoreCase(a))
+        .exists(_.dataType == org.apache.spark.sql.types.StringType))
+  }
+
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (supported, rejected) = filters.partition(f =>
-      AdxLike.compileFilter(f).isDefined && !f.references.exists(normalized))
+      AdxLike.compileFilter(f).isDefined && !f.references.exists(normalized) &&
+        !comparesStrings(f))
     pushed = supported
     rejected // Spark re-applies these above the scan
   }
@@ -547,7 +587,13 @@ private class AdxLikeScanBuilder(
       // COUNT/SUM output types differ from Spark's and Spark casts
       // per the schema we declare here.
       try Some((c, AdxLike.resolveAggSchema(url, from, c, maxRetries)))
-      catch { case _: Exception => None }
+      catch {
+        // a FATAL error (auth, missing table) will fail the scan too —
+        // surface it at planning instead of masking it as an unpushed
+        // aggregate; only exhausted transients degrade to the raw plan
+        case e: Exception if Jdbc.classify(e) == Jdbc.Fatal => throw e
+        case _: Exception => None
+      }
     } match {
       case Some(resolved) => agg = Some(resolved); true
       case None => false

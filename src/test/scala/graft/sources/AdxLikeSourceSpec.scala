@@ -52,13 +52,18 @@ class AdxLikeSourceSpec extends SparkSpec {
     val q = table.filter(col("temp") > 10.0 && col("device") === "dev1").select("id")
     val rows = q.collect().map(_.getLong(0)).sorted
     assert(rows.nonEmpty && rows.forall(i => i * 0.5 > 10.0 && i % 3 == 1))
-    // the compiled query carried both predicates AND the pruned SELECT
+    // the numeric predicate pushed into the remote query; the STRING
+    // equality stayed Spark-side (remote string comparison is a
+    // collation/padding fact Spark cannot assume matches its binary
+    // semantics), so DEVICE rides back for the Spark-side filter
     val sent = AdxLike.lastQuery
-    assert(sent.startsWith("SELECT \"ID\" FROM readings"), sent)
-    assert(sent.contains("\"TEMP\" > 10.0") && sent.contains("\"DEVICE\" = 'dev1'"), sent)
-    // and the plan advertises them (the scan's description)
+    assert(sent.contains("\"TEMP\" > 10.0"), sent)
+    assert(!sent.contains("\"DEVICE\" = 'dev1'"), sent)
+    assert(sent.contains("\"DEVICE\""), sent) // column kept for the re-filter
+    // and the plan advertises the pushed one (the scan's description)
     val plan = q.queryExecution.executedPlan.toString
     assert(plan.contains("PushedFilters") && plan.contains("GreaterThan(temp,10.0)"), plan)
+    assert(!plan.contains("EqualTo(device"), plan)
   }
 
   test("unsupported predicates stay in Spark; supported ones still push") {
@@ -687,16 +692,27 @@ class AdxLikeSourceSpec extends SparkSpec {
     // is dropped whole: simulate the replay the checkpoint protects
     // against by writing through a factory for an epoch already in
     // the ledger
-    val epochs = Jdbc.read(spark, url, "stream_sink_graft_epochs")
-      .collect().map(_.getLong(0)).sorted
+    val ledger = Jdbc.read(spark, url, "stream_sink_graft_epochs").collect()
+    val epochs = ledger.map(_.getAs[Long]("EPOCH_ID")).sorted
+    val qids = ledger.map(_.getAs[String]("QUERY_ID")).distinct
     assert(epochs.nonEmpty, "ledger should hold committed epochs")
-    val factory = new AdxLikeStreamingWriterFactory(
+    assert(qids.length == 1, s"one query wrote: $qids") // restart keeps the stable query id
+    val qidLit = s"'${qids.head}'"
+    def factory(qLit: String) = new AdxLikeStreamingWriterFactory(
       url, "INSERT INTO stream_sink (\"ID\", \"V\") VALUES (?, ?)",
-      Jdbc.read(spark, url, "stream_sink").schema, 3, "stream_sink_graft_epochs")
-    val replayed = factory.createWriter(0, 0L, epochs.last)
+      Jdbc.read(spark, url, "stream_sink").schema, 3, "stream_sink_graft_epochs", qLit)
+    val replayed = factory(qidLit).createWriter(0, 0L, epochs.last)
     assert(replayed.isInstanceOf[AdxLikeNoopWriter]) // whole epoch dropped
-    val fresh = factory.createWriter(0, 0L, epochs.max + 1000L)
+    val fresh = factory(qidLit).createWriter(0, 0L, epochs.max + 1000L)
     assert(!fresh.isInstanceOf[AdxLikeNoopWriter]); fresh.close()
+    // a DIFFERENT query's epoch ids restart at 0 — they must never
+    // match this query's committed epochs, or the new query's first
+    // micro-batches would be silently dropped whole (the ledger key
+    // is (query_id, epoch_id), not epoch_id alone)
+    val otherQuery = factory("'another-query-uuid'").createWriter(0, 0L, epochs.head)
+    assert(!otherQuery.isInstanceOf[AdxLikeNoopWriter],
+      "a fresh query's epoch must not be swallowed by an old query's ledger rows")
+    otherQuery.close()
   }
 
   test("multi-partition write: committed tasks persist, the failed task leaves no rows") {
