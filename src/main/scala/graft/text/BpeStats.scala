@@ -30,6 +30,26 @@ object BpeStats {
     */
   val EndOfWord = "</w>"
 
+  /** One string per Unicode CODE POINT of `word` — the character grain
+    * every BPE step shares. The Spark-side passes are code-point
+    * grained already (`split(w, "")` and `substr` never split a
+    * surrogate pair), so the JVM-side merge loop and segmenter must be
+    * too: splitting on UTF-16 code units (`w.map(_.toString)`) would
+    * train base symbols the segmenter can never produce — any
+    * supplementary-plane character (emoji, rare CJK) then throws a
+    * spurious "corpus drifted since fit" on the very corpus fit ran on.
+    */
+  private[text] def codePointStrings(word: String): scala.collection.mutable.ArrayBuffer[String] = {
+    val buf = new scala.collection.mutable.ArrayBuffer[String](word.length)
+    var i = 0
+    while (i < word.length) {
+      val n = Character.charCount(word.codePointAt(i))
+      buf += word.substring(i, i + n)
+      i += n
+    }
+    buf
+  }
+
   /** `(w, freq)` — corpus word frequencies. The single corpus-grain
     * pass everything in this object hangs off; empty tokens (from
     * repeated separators) are dropped. One exchange, vocab-grain
@@ -94,9 +114,10 @@ object BpeStats {
       vocab: Array[(String, Long)],
       numMerges: Int): Seq[((String, String), Long)] = {
     require(numMerges >= 0, s"numMerges=$numMerges must be >= 0")
-    // mutable symbol sequences, one per word type
+    // mutable symbol sequences, one per word type (code-point grain —
+    // see codePointStrings)
     val words = vocab.map { case (w, f) =>
-      (scala.collection.mutable.ArrayBuffer.from(w.map(_.toString)) += EndOfWord, f)
+      (codePointStrings(w) += EndOfWord, f)
     }
     val merges = scala.collection.mutable.ListBuffer.empty[((String, String), Long)]
     var round = 0
@@ -140,7 +161,7 @@ object BpeStats {
     */
   def segmentWord(word: String, ranks: Map[(String, String), Int]): Seq[String] = {
     if (word.isEmpty) return Seq.empty
-    val syms = scala.collection.mutable.ArrayBuffer.from(word.map(_.toString)) += EndOfWord
+    val syms = codePointStrings(word) += EndOfWord
     var done = false
     while (!done && syms.length > 1) {
       var bestRank = Int.MaxValue

@@ -87,13 +87,8 @@ object BpeTokenizer {
   def encode(df: DataFrame, textCol: String, idCol: String, model: BpeModel): DataFrame = {
     val bc = df.sparkSession.sparkContext.broadcast(model)
     val segIds = udf { (w: String) =>
-      requireNoMarker(w)
       val m = bc.value
-      BpeStats.segmentWord(w, m.ranks).map { s =>
-        m.vocab.getOrElse(s,
-          throw new IllegalStateException(
-            s"symbol '$s' not in vocab — corpus drifted since fit (new character?)"))
-      }.toArray
+      segmentChecked(w, m).map(m.vocab).toArray
     }
     val words = positionedWords(df, textCol, idCol)
     val vocabSeg = words.select(col("__bp_w")).distinct()
@@ -104,8 +99,7 @@ object BpeTokenizer {
       .agg(flatten(transform(
         array_sort(collect_list(struct(col("__bp_pos"), col("__bp_ids")))),
         s => s.getField("__bp_ids"))).as("token_ids"))
-    df.select(col(idCol))
-      .join(encoded, Seq(idCol), "left")
+    joinBackNullSafe(df.select(col(idCol)), encoded, idCol)
       .withColumn("token_ids",
         coalesce(col("token_ids"), lit(Array.emptyIntArray)))
       .withColumn("n_bpe_tokens", size(col("token_ids")).cast("long"))
@@ -125,8 +119,9 @@ object BpeTokenizer {
     * Scale shape, same as [[encode]]: the merge loop runs once per
     * DISTINCT word (vocab grain), the corpus pays one broadcast join
     * + one per-doc sum, and the counts rejoin the caller's frame with
-    * an `idCol` equi-join (wordless documents count 0). `idCol` must
-    * be globally unique — it keys the join back.
+    * a null-safe `idCol` join (wordless documents count 0; a null id
+    * is one key like any other — see [[joinBackNullSafe]]). `idCol`
+    * must be globally unique — it keys the join back.
     */
   def countsFromModel(
       df: DataFrame,
@@ -140,7 +135,7 @@ object BpeTokenizer {
       .join(bcast(vocabTokenCounts(words, model)), Seq("__bp_w"))
       .groupBy(col(idCol))
       .agg(sum(col("__bp_n")).as("n_bpe_tokens"))
-    df.join(counts, Seq(idCol), "left")
+    joinBackNullSafe(df, counts, idCol)
       .withColumn("n_bpe_tokens", coalesce(col("n_bpe_tokens"), lit(0L)))
   }
 
@@ -148,10 +143,30 @@ object BpeTokenizer {
     * chunk facade shares: split on single spaces, drop empty tokens,
     * keep the 0-based text position. One definition so the count and
     * chunk grains can never silently diverge on separator semantics.
+    *
+    * NULL ids are one key like any other: the facades join their
+    * aggregates back NULL-SAFELY ([[joinBackNullSafe]]), so a single
+    * null-id document gets its real count/ids — a plain equi-join
+    * would silently stamp it 0 tokens / an empty array. Several
+    * null-id documents merge, exactly as several rows sharing any
+    * other id would — the uniqueness contract, not a null special
+    * case.
     */
   private[text] def positionedWords(df: DataFrame, textCol: String, idCol: String): DataFrame =
     df.select(col(idCol), posexplode(split(col(textCol), " ")).as(Seq("__bp_pos", "__bp_w")))
       .filter(length(col("__bp_w")) > 0)
+
+  /** Left-join a per-id aggregate (column `idCol` + payload) back onto
+    * `df` with NULL-SAFE key equality — the one join-back every facade
+    * uses, so none can silently drop a null-id document's aggregate
+    * (a null key never plain-equi-joins; `<=>` matches it).
+    */
+  private[text] def joinBackNullSafe(df: DataFrame, agg: DataFrame, idCol: String): DataFrame = {
+    require(!df.columns.contains("__bp_id"),
+      "input must not contain reserved column __bp_id")
+    df.join(agg.withColumnRenamed(idCol, "__bp_id"),
+      col(idCol) <=> col("__bp_id"), "left").drop("__bp_id")
+  }
 
   /** `(__bp_w, __bp_n)` — the BPE token count of every DISTINCT word
     * in `words`' `__bp_w` column: the vocab-grain table every
@@ -164,18 +179,27 @@ object BpeTokenizer {
     */
   private[text] def vocabTokenCounts(words: DataFrame, model: BpeModel): DataFrame = {
     val bc = words.sparkSession.sparkContext.broadcast(model)
-    val segLen = udf { (w: String) =>
-      requireNoMarker(w)
-      val m = bc.value
-      val segs = BpeStats.segmentWord(w, m.ranks)
-      segs.foreach { s =>
-        if (!m.vocab.contains(s)) throw new IllegalStateException(
-          s"symbol '$s' not in vocab — corpus drifted since fit (new character?)")
-      }
-      segs.length.toLong
-    }
+    val segLen = udf { (w: String) => segmentChecked(w, bc.value).length.toLong }
     words.select(col("__bp_w")).distinct()
       .withColumn("__bp_n", segLen(col("__bp_w")))
+  }
+
+  /** [[BpeStats.segmentWord]] plus the two encode-path contracts every
+    * count/encode/chunk facade shares: the in-band end-of-word-marker
+    * rejection ([[requireNoMarker]]) and the vocab drift check (a
+    * segmentation symbol outside the model's vocabulary means the
+    * corpus drifted since fit — fail rather than count/emit tokens an
+    * encode could not produce). ONE definition so the four call sites
+    * can never silently diverge on the failure contract.
+    */
+  private[text] def segmentChecked(w: String, m: BpeModel): Seq[String] = {
+    requireNoMarker(w)
+    val segs = BpeStats.segmentWord(w, m.ranks)
+    segs.foreach { s =>
+      if (!m.vocab.contains(s)) throw new IllegalStateException(
+        s"symbol '$s' not in vocab — corpus drifted since fit (new character?)")
+    }
+    segs
   }
 
   /** Row-local encoding column: the whole document segmented in one
@@ -193,11 +217,8 @@ object BpeTokenizer {
     val enc = udf { (text: String) =>
       val m = bc.value
       if (text == null) Array.emptyIntArray
-      else text.split(" ", -1).iterator.filter(_.nonEmpty).flatMap { w =>
-        requireNoMarker(w)
-        BpeStats.segmentWord(w, m.ranks).map(s => m.vocab.getOrElse(s,
-          throw new IllegalStateException(s"symbol '$s' not in vocab")))
-      }.toArray
+      else text.split(" ", -1).iterator.filter(_.nonEmpty)
+        .flatMap(w => segmentChecked(w, m).map(m.vocab)).toArray
     }
     enc(textCol)
   }

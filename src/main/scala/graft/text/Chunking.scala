@@ -139,12 +139,7 @@ object Chunking {
         val ws = text.split(" ", -1).filter(_.nonEmpty)
         var cum = 0L
         val rows = ws.map { w =>
-          BpeTokenizer.requireNoMarker(w)
-          val segs = BpeStats.segmentWord(w, m.ranks)
-          segs.foreach { s =>
-            if (!m.vocab.contains(s)) throw new IllegalStateException(
-              s"symbol '$s' not in vocab — corpus drifted since fit (new character?)")
-          }
+          val segs = BpeTokenizer.segmentChecked(w, m)
           val idx = cum / budget
           cum += segs.length
           (idx, w, segs.length.toLong)

@@ -73,11 +73,17 @@ object LengthBatching {
     // arbitrary caller-supplied count columns (the repo-wide
     // div-vs-slash convention — see chunksByBpe, videoDupPairs). The
     // bigint cast keeps fractional count columns working (truncation,
-    // identical to the old floor for the non-negative counts this
-    // models).
+    // identical to the old floor for non-negative counts). A NEGATIVE
+    // count fails fast: a token count cannot be negative, and div's
+    // truncation toward zero would silently merge legacy -1 sentinels
+    // into bucket 0 with genuinely empty documents (nulls ride through
+    // as null buckets, matching the facades' null-count behavior).
     val bucketed = df
       .withColumn("bucket",
-        expr(s"cast(`$tokensCol` as bigint) div ${bucketWidth.toLong}"))
+        when(col(tokensCol) < 0, raise_error(lit(
+          s"assignBatchesFromCounts: negative $tokensCol — token counts must be >= 0 " +
+            "(a -1 missing-count sentinel would silently land in bucket 0)")))
+          .otherwise(expr(s"cast(`$tokensCol` as bigint) div ${bucketWidth.toLong}")))
       .withColumn("__lb_one", lit(1L))
     val assigned =
       if (distributed)

@@ -47,10 +47,13 @@ object SequencePacking {
       textCol: String,
       strataCol: String,
       orderCol: String,
-      capacity: Int): DataFrame =
+      capacity: Int): DataFrame = {
+    require(!df.columns.contains("n_tokens"),
+      "input must not contain reserved column n_tokens")
     assignBinsFromCounts(
       df.withColumn("n_tokens", TextAnalysis.tokenCount(col(textCol)).cast("long")),
       "n_tokens", strataCol, orderCol, capacity)
+  }
 
   /** [[assignBins]] over a PRE-COMPUTED token-count column — for
     * composed pipelines whose upstream pass already collapsed text to
@@ -66,6 +69,11 @@ object SequencePacking {
       orderCol: String,
       capacity: Int): DataFrame = {
     require(capacity > 0, s"capacity=$capacity must be positive")
+    // output-column guard (both forms): a pre-existing start_offset/bin
+    // would be silently replaced here and duplicated by the distributed
+    // form's final select — ambiguous far from the cause
+    Seq("start_offset", "bin").foreach(c =>
+      require(!df.columns.contains(c), s"input must not contain reserved column $c"))
     val w = Window.partitionBy(strataCol).orderBy(orderCol)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.withColumn("start_offset", sum(col(tokensCol)).over(w) - col(tokensCol))
@@ -115,10 +123,13 @@ object SequencePacking {
       strataCol: String,
       orderCol: String,
       capacity: Int,
-      numChunks: Int = 64): DataFrame =
+      numChunks: Int = 64): DataFrame = {
+    require(!df.columns.contains("n_tokens"),
+      "input must not contain reserved column n_tokens")
     assignBinsDistributedFromCounts(
       df.withColumn("n_tokens", TextAnalysis.tokenCount(col(textCol)).cast("long")),
       "n_tokens", strataCol, orderCol, capacity, numChunks)
+  }
 
   /** [[assignBinsDistributed]] over a pre-computed token-count column
     * (see [[assignBinsFromCounts]] for when that arises). */
@@ -137,7 +148,8 @@ object SequencePacking {
         .contains(orderType),
       s"orderCol '$orderCol' must be an integral type so chunk order matches " +
         s"the oracle's sort order; got $orderType")
-    val reserved = Seq("__sp_ord_min", "__sp_span", "__sp_chunk", "__sp_chunk_tokens", "__sp_chunk_base")
+    val reserved = Seq("__sp_ord_min", "__sp_span", "__sp_chunk", "__sp_chunk_tokens",
+      "__sp_chunk_base", "start_offset", "bin")
     reserved.foreach(c => require(!df.columns.contains(c), s"input must not contain reserved column $c"))
     // decimal(38,0) span math: (max - min) on a long column can
     // overflow for adversarial id ranges (hash-derived ids spanning
@@ -290,9 +302,9 @@ object SequencePacking {
       model: BpeTokenizer.BpeModel,
       distributed: Boolean = false,
       numChunks: Int = 64): DataFrame =
-    packedBinsFromCounts(
-      BpeTokenizer.countsFromModel(df, textCol, orderCol, model),
-      "n_bpe_tokens", strataCol, orderCol, capacity, distributed, numChunks)
+    binSummary(
+      assignBinsByBpe(df, textCol, strataCol, orderCol, capacity, model, distributed, numChunks),
+      "n_bpe_tokens", strataCol, orderCol)
 
   /** Per-document bin assignment by BPE token count — [[assignBins]]
     * with [[BpeTokenizer.countsFromModel]] counts (see

@@ -127,6 +127,44 @@ class BpeTokenizerSpec extends SparkSpec {
     assert(rootMessages(e).exists(_.contains("end-of-word marker")), e.toString)
   }
 
+  test("supplementary-plane text: fit and segmentation share the code-point grain") {
+    import sqlImplicits._
+    // U+1F600 (😀) is two UTF-16 code units; a code-unit segmenter
+    // would emit lone surrogates that fit's code-point base alphabet
+    // never contains, throwing a spurious "corpus drifted since fit"
+    // on the very corpus fit ran on
+    val df = Seq((1L, "hi 😀"), (2L, "😀😀 ok")).toDF("doc_id", "text")
+    val m = BpeTokenizer.fit(df, "text", numMerges = 3)
+    assert(m.vocab.contains("😀"), "the emoji must be ONE base symbol")
+    assert(!m.vocab.contains("\uD83D"), "no lone surrogate in the vocab")
+    // counting, encoding and chunking all run the segmenter — none may throw
+    val counts = BpeTokenizer.countsFromModel(df, "text", "doc_id", m)
+      .select("doc_id", "n_bpe_tokens").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(counts.values.forall(_ > 0L))
+    val enc = BpeTokenizer.encode(df, "text", "doc_id", m)
+    val dec = BpeTokenizer.decode(enc, "token_ids", m).orderBy("doc_id").collect()
+    assert(dec(0).getAs[String]("decoded_text") == "hi 😀")
+    assert(dec(1).getAs[String]("decoded_text") == "😀😀 ok")
+    // zero-merge segmentation of the emoji word: one char + end marker
+    assert(BpeStats.segmentWord("😀", Map.empty) ==
+      Seq("😀", BpeStats.EndOfWord))
+  }
+
+  test("a null id is one key like any other: its count/ids join back null-safely, never 0-stamped") {
+    import sqlImplicits._
+    val m = BpeTokenizer.fit(Seq((1L, "aa bb")).toDF("doc_id", "text"), "text", numMerges = 0)
+    val df = Seq((Some(1L), "aa bb"), (None, "aa"), (Some(2L), "  ")).toDF("doc_id", "text")
+    // a plain equi-join back would stamp the null-id doc 0 tokens
+    val counts = BpeTokenizer.countsFromModel(df, "text", "doc_id", m)
+      .select("doc_id", "n_bpe_tokens").collect()
+      .map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0))) -> r.getLong(1)).toMap
+    assert(counts == Map(Some(1L) -> 6L, None -> 3L, Some(2L) -> 0L))
+    val enc = BpeTokenizer.encode(df, "text", "doc_id", m)
+      .filter(col("doc_id").isNull).head()
+    assert(enc.getAs[Long]("n_bpe_tokens") == 3L)
+  }
+
   test("tail words outside the capped training vocab still encode (base alphabet covers them)") {
     import sqlImplicits._
     // 'zq' appears once and the cap of 2 keeps only the frequent words;

@@ -56,6 +56,25 @@ class LengthBatchingSpec extends SparkSpec {
     assert(m.getAs[Double]("pad_efficiency") == 6.0 / 9.0)
   }
 
+  test("a negative pre-computed count fails fast instead of joining bucket 0") {
+    import sqlImplicits._
+    // div truncates toward zero: a legacy -1 missing-count sentinel
+    // would silently share bucket 0 with genuinely empty documents
+    val counts = Seq((1L, 10L), (2L, -1L)).toDF("doc_id", "n_tok")
+    val e = intercept[Exception] {
+      LengthBatching.assignBatchesFromCounts(counts, "n_tok", "doc_id",
+        bucketWidth = 32, batchSize = 4).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("negative n_tok")), e.toString)
+    // nulls keep riding through as null buckets (the facades' null-count behavior)
+    val withNull = Seq((1L, Some(10L)), (2L, None)).toDF("doc_id", "n_tok")
+    val rows = LengthBatching.assignBatchesFromCounts(withNull, "n_tok", "doc_id",
+      bucketWidth = 32, batchSize = 4).collect()
+    assert(rows.length == 2 && rows.exists(r => r.isNullAt(r.fieldIndex("bucket"))))
+  }
+
   test("bucketing cuts padding cost vs one global batch pool") {
     // padded cost with buckets must be <= the single-pool padded cost
     // (every batch's max <= global max)

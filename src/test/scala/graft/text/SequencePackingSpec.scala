@@ -195,6 +195,27 @@ class SequencePackingSpec extends SparkSpec {
     assert(plan.split("Exchange hashpartitioning").length - 1 == 1, plan)
   }
 
+  test("pre-existing output columns are rejected, not silently replaced or duplicated") {
+    // bin: a previous packing pass being repacked would silently lose
+    // its assignment (window form) or emit the column twice
+    // (distributed form's final select) — both fail fast instead
+    val repack = SequencePacking.assignBins(docs(), "text", "source", "doc_id", capacity = 512)
+    val e1 = intercept[IllegalArgumentException] {
+      SequencePacking.assignBins(repack, "text", "source", "doc_id", capacity = 256)
+    }
+    assert(e1.getMessage.contains("n_tokens"))
+    val e2 = intercept[IllegalArgumentException] {
+      SequencePacking.assignBinsFromCounts(
+        repack.drop("n_tokens", "start_offset"), "bin", "source", "doc_id", capacity = 256)
+    }
+    assert(e2.getMessage.contains("bin"))
+    val e3 = intercept[IllegalArgumentException] {
+      SequencePacking.assignBinsDistributedFromCounts(
+        repack.drop("n_tokens", "bin"), "start_offset", "source", "doc_id", capacity = 256)
+    }
+    assert(e3.getMessage.contains("start_offset"))
+  }
+
   test("materializedBins: the tape is the layout-ordered concatenation, fingerprinted") {
     import sqlImplicits._
     // one stratum, capacity 4: docs of 2/3/2 tokens -> offsets 0,2,5 ->
