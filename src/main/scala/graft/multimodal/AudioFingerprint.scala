@@ -1,6 +1,7 @@
 package graft.multimodal
 
 import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions.col
 
 /** Perceptual audio fingerprinting — the audio-side counterpart of
   * [[PerceptualHash]]: re-encoded or lightly edited copies of one
@@ -59,22 +60,31 @@ object AudioFingerprint {
     }
   }
 
+  /** The `(id, sig)` projection every pair/gate/cluster entry point
+    * feeds the banded Hamming machinery — one definition of the
+    * `which` validation and the decode-and-project, so adding a
+    * fourth hash kind is one edit, not four.
+    */
+  private def sigView(
+      media: Dataset[Multimodal.MediaRow],
+      which: String,
+      idName: String,
+      sigName: String): DataFrame = {
+    require(which == "ehash" || which == "dhash" || which == "shash",
+      s"which=$which must be ehash|dhash|shash")
+    audioHashes(media).toDF().select(col("media_id").as(idName), col(which).as(sigName))
+  }
+
   /** Near-duplicate audio pairs: `(id_a, id_b, hamming)` with
-    * `id_a < id_b` over `which` ("ehash" | "dhash") at most
+    * `id_a < id_b` over `which` ("ehash" | "dhash" | "shash") at most
     * `maxHamming` apart — exact for `maxHamming < bands` (pigeonhole,
     * see [[graft.dedup.Dedup.hammingPairs]]).
     */
   def audioDupPairs(
       media: Dataset[Multimodal.MediaRow],
       maxHamming: Int = 3,
-      which: String = "ehash"): DataFrame = {
-    require(which == "ehash" || which == "dhash" || which == "shash",
-      s"which=$which must be ehash|dhash|shash")
-    val hashed = audioHashes(media).toDF()
-      .select(org.apache.spark.sql.functions.col("media_id").as("id"),
-        org.apache.spark.sql.functions.col(which).as("sig"))
-    graft.dedup.Dedup.hammingPairs(hashed, "id", "sig", maxHamming)
-  }
+      which: String = "ehash"): DataFrame =
+    graft.dedup.Dedup.hammingPairs(sigView(media, which, "id", "sig"), "id", "sig", maxHamming)
 
   /** [[audioDupPairs]] ACROSS two audio corpora — incremental audio
     * dedup, the twin of [[PerceptualHash.phashDupPairsAgainst]]:
@@ -86,15 +96,10 @@ object AudioFingerprint {
       batch: Dataset[Multimodal.MediaRow],
       reference: Dataset[Multimodal.MediaRow],
       maxHamming: Int = 3,
-      which: String = "ehash"): DataFrame = {
-    require(which == "ehash" || which == "dhash" || which == "shash",
-      s"which=$which must be ehash|dhash|shash")
-    def hashed(m: Dataset[Multimodal.MediaRow]) = audioHashes(m).toDF()
-      .select(org.apache.spark.sql.functions.col("media_id").as("id"),
-        org.apache.spark.sql.functions.col(which).as("sig"))
+      which: String = "ehash"): DataFrame =
     graft.dedup.Dedup.hammingPairsAgainst(
-      hashed(batch), hashed(reference), "id", "sig", maxHamming)
-  }
+      sigView(batch, which, "id", "sig"), sigView(reference, which, "id", "sig"),
+      "id", "sig", maxHamming)
 
   /** Keep only the batch payloads whose fingerprint is NOT within
     * `maxHamming` of any reference payload — the audio ingest gate,
@@ -107,15 +112,10 @@ object AudioFingerprint {
       batch: Dataset[Multimodal.MediaRow],
       reference: Dataset[Multimodal.MediaRow],
       maxHamming: Int = 3,
-      which: String = "ehash"): DataFrame = {
-    require(which == "ehash" || which == "dhash" || which == "shash",
-      s"which=$which must be ehash|dhash|shash")
-    def hashed(m: Dataset[Multimodal.MediaRow]) = audioHashes(m).toDF()
-      .select(org.apache.spark.sql.functions.col("media_id"),
-        org.apache.spark.sql.functions.col(which))
+      which: String = "ehash"): DataFrame =
     graft.dedup.Dedup.dropSeenHamming(
-      hashed(batch), hashed(reference), which, maxHamming)
-  }
+      sigView(batch, which, "media_id", which), sigView(reference, which, "media_id", which),
+      which, maxHamming)
 
   /** Audio near-duplicate CLUSTERS: `(media_id, cluster)` for every
     * decodable payload — the linear-output production form of
@@ -126,15 +126,9 @@ object AudioFingerprint {
   def audioDupClusters(
       media: Dataset[Multimodal.MediaRow],
       maxHamming: Int = 3,
-      which: String = "ehash"): DataFrame = {
-    require(which == "ehash" || which == "dhash" || which == "shash",
-      s"which=$which must be ehash|dhash|shash")
-    val hashed = audioHashes(media).toDF()
-      .select(org.apache.spark.sql.functions.col("media_id").as("id"),
-        org.apache.spark.sql.functions.col(which).as("sig"))
-    graft.dedup.Dedup.hammingClusters(hashed, "id", "sig", maxHamming)
+      which: String = "ehash"): DataFrame =
+    graft.dedup.Dedup.hammingClusters(sigView(media, which, "id", "sig"), "id", "sig", maxHamming)
       .withColumnRenamed("id", "media_id")
-  }
 
   /** Per-window RMS over `n` equal time slices; slices that round to
     * zero samples (inputs shorter than `n`) contribute 0 energy.

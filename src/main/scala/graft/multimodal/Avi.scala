@@ -25,10 +25,12 @@ object Avi {
   /** The video stream's decode-relevant header state: its stream index
     * (frame chunks are tagged `%02d` + dc/db) and the
     * BITMAPINFOHEADER fields needed to rebuild a BMP for raw frames.
+    * (The strh fourcc is deliberately NOT kept: [[decodeFrame]] picks
+    * the format from payload magic bytes + `biCompression`, the only
+    * signals hostile or sloppy encoders can't lie about usefully.)
     */
   private final case class VideoStream(
       index: Int,
-      compression: String,
       infoHeader: Array[Byte])
 
   def isAvi(bytes: Array[Byte]): Boolean =
@@ -96,12 +98,25 @@ object Avi {
   /** All decodable frames in container order; empty if `bytes` is not
     * an AVI or holds no decodable video frames.
     */
-  def frames(bytes: Array[Byte]): IndexedSeq[BufferedImage] = {
+  def frames(bytes: Array[Byte]): IndexedSeq[BufferedImage] =
+    framesAt(bytes, n => 0 until n).map(_._2)
+
+  /** SELECTED decodable frames: `pick(frameCount)` names the container
+    * frame indices to decode (out-of-range entries ignored), and the
+    * result is `(container index, frame)` for each picked payload that
+    * decodes. The container walk touches only chunk HEADERS — payload
+    * bytes are copied and decoded solely for picked frames — so
+    * first-frame hashing or sparse sampling of a long clip pays for
+    * the frames it uses, not the whole tape.
+    */
+  def framesAt(bytes: Array[Byte], pick: Int => Seq[Int]): IndexedSeq[(Int, BufferedImage)] = {
     if (!isAvi(bytes)) return IndexedSeq.empty
     try {
       var video: Option[VideoStream] = None
       var streamCount = 0
-      val payloads = IndexedSeq.newBuilder[Array[Byte]]
+      // (body offset, size) of each video frame chunk — headers only,
+      // no payload copies during the walk
+      val ranges = IndexedSeq.newBuilder[(Int, Int)]
 
       def walk(start: Int, end: Int, inMovi: Boolean): Unit = {
         var off = start
@@ -109,7 +124,11 @@ object Avi {
           val id = fourcc(bytes, off)
           val size = u32(bytes, off + 4)
           val body = off + 8
-          if (size < 0 || body + size > end) return // truncated: stop
+          // `size > end - body`, NOT `body + size > end`: a crafted
+          // size near Int.MaxValue would overflow the addition, slip
+          // past the guard and throw below — discarding the frames
+          // already recovered instead of stopping with them
+          if (size < 0 || size > end - body) return // truncated: stop
           if (id == "LIST" && size >= 4) {
             val listType = fourcc(bytes, body)
             walk(body + 4, body + size, inMovi || listType == "movi" || listType == "rec ")
@@ -117,7 +136,7 @@ object Avi {
             // one strh per stream, in stream order; remember which
             // stream is the (first) video stream
             if (fourcc(bytes, body) == "vids" && video.isEmpty)
-              video = Some(VideoStream(streamCount, fourcc(bytes, body + 4), Array.emptyByteArray))
+              video = Some(VideoStream(streamCount, Array.emptyByteArray))
             streamCount += 1
           } else if (!inMovi && id == "strf" && size >= 40) {
             // the strf immediately follows its stream's strh; attach
@@ -131,7 +150,7 @@ object Avi {
               id(0).isDigit && id(1).isDigit && (id.endsWith("dc") || id.endsWith("db"))) {
             val streamNo = (id(0) - '0') * 10 + (id(1) - '0')
             if (video.exists(_.index == streamNo) && size > 0)
-              payloads += java.util.Arrays.copyOfRange(bytes, body, body + size)
+              ranges += ((body, size))
           }
           off = body + size + (size & 1) // chunks are word-aligned
         }
@@ -139,7 +158,13 @@ object Avi {
 
       walk(12, bytes.length, inMovi = false)
       val v = video.getOrElse(return IndexedSeq.empty)
-      payloads.result().flatMap(decodeFrame(v, _))
+      val rs = ranges.result()
+      pick(rs.length).distinct.sorted
+        .filter(i => i >= 0 && i < rs.length)
+        .flatMap { i =>
+          val (body, size) = rs(i)
+          decodeFrame(v, java.util.Arrays.copyOfRange(bytes, body, body + size)).map(i -> _)
+        }.toIndexedSeq
     } catch { case scala.util.control.NonFatal(_) => IndexedSeq.empty }
   }
 

@@ -115,10 +115,26 @@ object Multimodal {
     * GIF via the JDK's GIF `ImageReader` (frames are the reader's raw
     * per-frame images, not composited against prior frames) and AVI
     * via the pure-JVM RIFF walk in [[Avi]] (Motion-JPEG and raw
-    * BI_RGB DIB frames). Empty on undecodable input.
+    * BI_RGB DIB frames). Empty on undecodable input. Callers that use
+    * a SUBSET of the frames must go through [[decodeFramesAt]] — this
+    * form materializes every frame's pixels at once.
     */
   private[graft] def decodeFrames(bytes: Array[Byte]): IndexedSeq[java.awt.image.BufferedImage] =
-    if (Avi.isAvi(bytes)) Avi.frames(bytes)
+    decodeFramesAt(bytes, n => 0 until n).map(_._2)
+
+  /** SELECTED frames of an encoded payload: `pick(frameCount)` names
+    * the container frame indices to decode; the result pairs each
+    * picked index with its decoded frame (undecodable picks are
+    * skipped). Only the PICKED frames' pixels are ever decoded or held
+    * — frame counting reads container/stream headers — so hashing the
+    * first frame of a 1000-frame clip, or sampling every Nth, costs
+    * the frames used rather than the whole tape (the per-row analogue
+    * of column pruning).
+    */
+  private[graft] def decodeFramesAt(
+      bytes: Array[Byte],
+      pick: Int => Seq[Int]): IndexedSeq[(Int, java.awt.image.BufferedImage)] =
+    if (Avi.isAvi(bytes)) Avi.framesAt(bytes, pick)
     else try {
       val iis = javax.imageio.ImageIO.createImageInputStream(new java.io.ByteArrayInputStream(bytes))
       if (iis == null) return IndexedSeq.empty
@@ -129,15 +145,25 @@ object Multimodal {
           val reader = readers.next()
           try {
             reader.setInput(iis)
-            val n = reader.getNumImages(true)
-            (0 until n).flatMap { i =>
-              try Option(reader.read(i))
+            val n = reader.getNumImages(true) // header scan, no pixel decode
+            pick(n).distinct.sorted.filter(i => i >= 0 && i < n).flatMap { i =>
+              try Option(reader.read(i)).map(i -> _)
               catch { case scala.util.control.NonFatal(_) => None }
-            }
+            }.toIndexedSeq
           } finally reader.dispose()
         }
       } finally iis.close()
     } catch { case scala.util.control.NonFatal(_) => IndexedSeq.empty }
+
+  /** The first decodable frame — the one-frame fast path every
+    * still-image hash wants: on the common path no other frame's
+    * pixels are decoded. Only when frame 0 itself fails to decode does
+    * it fall back to scanning the remaining frames, preserving the
+    * "first DECODABLE frame" contract on partially-corrupt media.
+    */
+  private[graft] def decodeFirstFrame(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    decodeFramesAt(bytes, _ => Seq(0)).headOption.map(_._2)
+      .orElse(decodeFramesAt(bytes, n => 1 until n).headOption.map(_._2))
 
   /** REAL image decoder over `javax.imageio` (JDK-native — PNG, JPEG,
     * GIF, BMP): decode to a BufferedImage, grid-pool mean luminance
@@ -169,26 +195,46 @@ object Multimodal {
     * is the honest stub boundary.
     */
   final class VideoDecoder(fallback: Decoder = FakeDecoder) extends Decoder {
+    // the middle frame of temporal slice t when n frames split into gt
+    // slices — shared by the pick (which frames to decode) and the
+    // layout loop so they can never disagree
+    private def middle(n: Int, gt: Int, t: Int): Int = {
+      val f0 = n * t / gt
+      val f1 = math.max(f0 + 1, n * (t + 1) / gt)
+      (f0 + f1 - 1) / 2
+    }
+    private def slices(n: Int, dim: Int): Int =
+      math.max(1, math.min(n, math.max(1, dim / 16)))
     def decode(kind: String, bytes: Array[Byte], dim: Int): Array[Float] = {
       if (kind != "video" || bytes.isEmpty) return fallback.decode(kind, bytes, dim)
-      val frames = decodeFrames(bytes)
-      if (frames.isEmpty) return fallback.decode(kind, bytes, dim)
-      val gt = math.max(1, math.min(frames.length, math.max(1, dim / 16)))
+      // decode ONLY each slice's middle frame (<= dim/16 of them): a
+      // 500-frame clip pays for the handful of frames the embedding
+      // actually pools, not the whole tape
+      var n = 0
+      val picked = decodeFramesAt(bytes, { c =>
+        n = c
+        (0 until slices(c, dim)).map(t => middle(c, slices(c, dim), t))
+      }).toMap
+      if (picked.isEmpty) return fallback.decode(kind, bytes, dim)
+      // layout over the CONTAINER frame count: an undecodable middle
+      // frame contributes zeroed cells rather than shifting its
+      // neighbors' slices
+      val gt = slices(n, dim)
       val out = new Array[Float](dim)
       var offset = 0
       var t = 0
       while (t < gt) {
         val cells = dim * (t + 1) / gt - dim * t / gt
-        val f0 = frames.length * t / gt
-        val f1 = math.max(f0 + 1, frames.length * (t + 1) / gt)
-        val pooled = gridPool(frames((f0 + f1 - 1) / 2), cells)
-        System.arraycopy(pooled, 0, out, offset, cells)
+        picked.get(middle(n, gt, t)).foreach { f =>
+          System.arraycopy(gridPool(f, cells), 0, out, offset, cells)
+        }
         offset += cells
         t += 1
       }
       out
     }
   }
+
 
   /** REAL audio decoder over `javax.sound.sampled` (JDK-native — WAV/
     * AIFF/AU containers, PCM 8/16-bit): decode frames, mono-mix, pool
@@ -320,6 +366,7 @@ object Multimodal {
     * is the decoded counterpart.
     */
   def sampleFrames(media: DataFrame, everyN: Int): DataFrame = {
+    require(everyN >= 1, s"everyN=$everyN must be >= 1")
     val frames = coalesce(element_at(col("meta"), "n_frames").cast("int"), lit(0))
     media
       .filter(col("kind") === "video" && frames > 0)
@@ -345,9 +392,10 @@ object Multimodal {
     require(everyN >= 1, s"everyN=$everyN must be >= 1")
     media.mapPartitions { rows =>
       rows.filter(r => r.kind == "video" && r.bytes != null && r.bytes.nonEmpty).flatMap { r =>
-        val frames = decodeFrames(r.bytes)
-        frames.indices.collect {
-          case i if i % everyN == 0 => FrameFeatures(r.media_id, i, gridPool(frames(i), dim))
+        // decode only the sampled frames (decodeFramesAt) — everyN=10
+        // must not pay for the 9 frames per stride it skips
+        decodeFramesAt(r.bytes, n => 0 until n by everyN).map {
+          case (i, f) => FrameFeatures(r.media_id, i, gridPool(f, dim))
         }
       }
     }
@@ -491,7 +539,9 @@ object Multimodal {
     import spark.implicits._
     df.select(
       col(idCol).cast("long").as("media_id"),
-      element_at(array(lit("image"), lit("audio"), lit("video")), (col(idCol) % 3 + 1).cast("int")).as("kind"),
+      // pmod, not %: Spark's % keeps the dividend's sign, so a negative
+      // id would index 0 (runtime error) or wrap from the array's end
+      element_at(array(lit("image"), lit("audio"), lit("video")), (pmod(col(idCol), lit(3)) + 1).cast("int")).as("kind"),
       col(textCol).cast("binary").as("bytes"),
       map(
         lit("n_frames"), (col(idCol) % 30 + 1).cast("string"),

@@ -44,10 +44,12 @@ object PerceptualHash {
       rows.flatMap { r =>
         if (r.bytes == null || r.bytes.isEmpty) Iterator.empty
         else {
-          val frames = Multimodal.decodeFrames(r.bytes)
-          if (frames.isEmpty) Iterator.empty
-          else Iterator.single(
-            PHashRow(r.media_id, aHash64(frames.head), dHash64(frames.head), r.bytes.length.toLong))
+          // first frame only — decodeFirstFrame never materializes the
+          // rest of a multi-frame payload (a 1000-frame clip would
+          // otherwise decode 1000 images to hash one)
+          Multimodal.decodeFirstFrame(r.bytes).iterator.map { f =>
+            PHashRow(r.media_id, aHash64(f), dHash64(f), r.bytes.length.toLong)
+          }
         }
       }
     }
@@ -130,9 +132,11 @@ object PerceptualHash {
       .withColumnRenamed("id", "media_id")
   }
 
-  /** `(media_id, frame_idx, ahash)` for every `everyN`-th decoded
+  /** `(media_id, frame_idx, ahash)` for every `everyN`-th container
     * frame of every payload — the frame-grain hash table video dedup
-    * builds on (stills contribute their single frame at idx 0).
+    * builds on (stills contribute their single frame at idx 0). Only
+    * the sampled frames are decoded ([[Multimodal.decodeFramesAt]]);
+    * `everyN = 10` pays for a tenth of the tape, not all of it.
     */
   def frameHashes(media: Dataset[Multimodal.MediaRow], everyN: Int = 1): DataFrame = {
     import media.sparkSession.implicits._
@@ -140,11 +144,8 @@ object PerceptualHash {
     media.mapPartitions { rows =>
       rows.flatMap { r =>
         if (r.bytes == null || r.bytes.isEmpty) Iterator.empty
-        else {
-          val frames = Multimodal.decodeFrames(r.bytes)
-          frames.indices.iterator.collect {
-            case i if i % everyN == 0 => (r.media_id, i, aHash64(frames(i)))
-          }
+        else Multimodal.decodeFramesAt(r.bytes, n => 0 until n by everyN).iterator.map {
+          case (i, f) => (r.media_id, i, aHash64(f))
         }
       }
     }.toDF("media_id", "frame_idx", "ahash")

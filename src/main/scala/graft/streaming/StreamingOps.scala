@@ -695,11 +695,8 @@ object StreamingOps {
       .mapPartitions { rows =>
         rows.flatMap { r =>
           if (r.bytes == null || r.bytes.isEmpty) Iterator.empty
-          else {
-            val frames = graft.multimodal.Multimodal.decodeFrames(r.bytes)
-            if (frames.isEmpty) Iterator.empty
-            else Iterator.single(PHashTsRow(
-              r.media_id, graft.multimodal.PerceptualHash.aHash64(frames.head), r.ts))
+          else graft.multimodal.Multimodal.decodeFirstFrame(r.bytes).iterator.map { f =>
+            PHashTsRow(r.media_id, graft.multimodal.PerceptualHash.aHash64(f), r.ts)
           }
         }
       }.toDF()

@@ -140,6 +140,39 @@ class AviSpec extends SparkSpec {
     assert(dec.decode("video", junkFrames, 16).sameElements(stub))
   }
 
+  test("a crafted near-Int.MaxValue chunk size stops the walk WITH the frames already recovered") {
+    // body + size would overflow Int and slip past a naive truncation
+    // guard; the walk must stop and keep the first frame, not throw
+    // and discard it
+    val goodFrame = chunk("00dc", jpegBytes(solidImage(16, 16, 0xff0000)))
+    val evil = "00dc".getBytes("US-ASCII") ++ le32(0x7ffffff0) ++ Array.fill[Byte](8)(1)
+    val avih = chunk("avih", Array.fill[Byte](56)(0))
+    val strh = chunk("strh",
+      "vids".getBytes("US-ASCII") ++ "MJPG".getBytes("US-ASCII") ++ Array.fill[Byte](48)(0))
+    val strf = chunk("strf", bitmapInfoHeader(16, 16, 24, 0x47504A4D))
+    val hdrl = list("hdrl", avih, list("strl", strh, strf))
+    val movi = list("movi", goodFrame, evil)
+    val inner = "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi
+    val avi = "RIFF".getBytes("US-ASCII") ++ le32(inner.length) ++ inner
+    assert(Avi.frames(avi).length == 1)
+  }
+
+  test("framesAt decodes exactly the picked container frames; out-of-range picks are ignored") {
+    val colors = Seq(0xff0000, 0x00ff00, 0x0000ff, 0xffffff)
+    val avi = buildAvi(colors.map(c => jpegBytes(solidImage(16, 16, c))), 16, 16)
+    val got = Avi.framesAt(avi, n => Seq(2, 0, n + 5, -1))
+    assert(got.map(_._1) == Seq(0, 2))
+    def dominant(img: java.awt.image.BufferedImage) = {
+      val rgb = img.getRGB(8, 8)
+      Seq(("r", (rgb >> 16) & 0xff), ("g", (rgb >> 8) & 0xff), ("b", rgb & 0xff)).maxBy(_._2)._1
+    }
+    assert(dominant(got(0)._2) == "r")
+    assert(dominant(got(1)._2) == "b")
+    // decodeFirstFrame sees the same frame 0 without touching the rest
+    val first = Multimodal.decodeFirstFrame(avi)
+    assert(first.isDefined && dominant(first.get) == "r")
+  }
+
   test("sampleFrameFeatures strides real AVI frames through the batched Spark path") {
     val frames = (0 until 5).map(i => jpegBytes(solidImage(16, 16, i * 0x303030)))
     val avi = buildAvi(frames, 16, 16)

@@ -143,6 +143,22 @@ class MultimodalSpec extends SparkSpec {
     assert(jdk.decode("video", Array[Byte](1, 2, 3), 8).length == 8)
   }
 
+  test("syntheticMedia assigns a kind to negative ids too (pmod, not %)") {
+    import sqlImplicits._
+    val df = Seq((-1L, "a"), (-2L, "b"), (-3L, "c")).toDF("doc_id", "text")
+    val kinds = Multimodal.syntheticMedia(spark, df, "doc_id", "text")
+      .collect().map(r => r.media_id -> r.kind).toMap
+    // % would index 0 (runtime error) for -3 and wrap for -1/-2
+    assert(kinds == Map(-1L -> "video", -2L -> "audio", -3L -> "image"))
+  }
+
+  test("sampleFrames rejects a non-positive stride up front") {
+    val e = intercept[IllegalArgumentException] {
+      Multimodal.sampleFrames(media.toDF(), everyN = 0)
+    }
+    assert(e.getMessage.contains("everyN"))
+  }
+
   test("frame sampling explodes every-Nth frame index for videos only") {
     val frames = Multimodal.sampleFrames(media.toDF(), everyN = 5)
     val kinds = media.toDF().filter(col("kind") === "video").count()
