@@ -45,9 +45,12 @@ object WeeklySummary {
       .groupBy(col("week_start"), col("week_label"), col(stageCol).as("stage"))
       .agg(
         count(lit(1)).as("count"),
-        round(avg(col(valueCol)), 0).cast("int").as("mean"),
-        round(GroupStats.exactMedian(col(valueCol)), 0).cast("int").as("median"),
-        round(stddev_pop(col(valueCol)), 0).cast("int").as("std_dev"))
+        // bround = Python's int(round(x, 0)) — HALF_EVEN; Spark's
+        // round is HALF_UP and flips every exact .5 (which even-count
+        // integer medians hit constantly)
+        bround(avg(col(valueCol)), 0).cast("int").as("mean"),
+        bround(GroupStats.exactMedian(col(valueCol)), 0).cast("int").as("median"),
+        bround(stddev_pop(col(valueCol)), 0).cast("int").as("std_dev"))
       .orderBy("week_start", "stage")
 
   /** Prompt assembly from the *collected* weekly summary — the f-string

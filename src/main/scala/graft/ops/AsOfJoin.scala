@@ -52,13 +52,20 @@ object AsOfJoin {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val filled = lTagged.unionByName(rTagged)
       .withColumn("__match", last(col("__pay"), ignoreNulls = true).over(w))
+    // Staleness as a timestamp DIFFERENCE (DayTimeInterval), never
+    // unix_timestamp: that truncates to whole seconds (admitting
+    // matches up to ~1s past tolerance) and coerces TIMESTAMP_NTZ
+    // through the session zone (wrong by 3600s across a DST edge) —
+    // the exact pitfalls IntervalJoin documents. Subtraction is
+    // microsecond-exact and type-correct for both timestamp flavors.
     val gated = toleranceSeconds match {
       case Some(tol) =>
         filled.withColumn(
           "__match",
           when(
             col("__match").isNotNull &&
-              (unix_timestamp(col("__ts")) - unix_timestamp(col("__match.__rts"))) <= tol,
+              (col("__ts") - col("__match.__rts")) <=
+                make_dt_interval(lit(0), lit(0), lit(0), lit(tol.toDouble)),
             col("__match")))
       case None => filled
     }

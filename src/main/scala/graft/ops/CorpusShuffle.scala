@@ -52,8 +52,16 @@ object CorpusShuffle {
     val reserved = Seq("shuffle_key", "shard", "shard_pos", "global_pos", "__cs_count", "__cs_base")
     reserved.foreach(c => require(!df.columns.contains(c), s"input must not contain reserved column $c"))
     val keyed = df
+      // null ids fail fast: concat_ws SKIPS null arguments, so every
+      // null-id row would share the one key md5(seed) with a null
+      // tie-break — their relative order (and global_pos) would then
+      // differ run to run, the exact nondeterminism this operator
+      // exists to prevent
       .withColumn("shuffle_key",
-        md5(concat_ws(":", lit(seed), col(idCol).cast("string")).cast("binary")))
+        when(col(idCol).isNull, raise_error(lit(
+          s"shuffled: null $idCol — the permutation key is a pure function of the id; " +
+            "assign unique non-null ids first")))
+          .otherwise(md5(concat_ws(":", lit(seed), col(idCol).cast("string")).cast("binary"))))
       .withColumn("shard", substring(col("shuffle_key"), 1, shardChars))
     val w = Window.partitionBy(col("shard")).orderBy(col("shuffle_key"), col(idCol))
     // shard bases: per-shard counts cumulative-summed over the shard

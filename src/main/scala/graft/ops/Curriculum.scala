@@ -39,6 +39,7 @@ object Curriculum {
       idCol: String,
       sourceCol: String,
       seed: Long = 0L): DataFrame = {
+    Sampling.requireIntegralId(df, idCol, "interleave")
     val w = Window.partitionBy(col(sourceCol))
       .orderBy(Sampling.sampleScore(col(idCol), seed), col(idCol))
     val wAll = Window.partitionBy(col(sourceCol))

@@ -84,12 +84,20 @@ object GroupStats {
       .agg(
         count(lit(1)).as("__cnt"),
         min(struct(col(tsCol), col(stateCol))).as("__first"))
+    // NULL values follow pandas: Series.count()/median()/mode() all
+    // drop NaN, so the null-value group contributes to NOTHING except
+    // the ordered first (whose row still exists). Without the guards a
+    // 10-null/4-real cycle reports count=14 and mode=null — the latter
+    // flipping validCyclePredicate against a cycle pandas accepts.
+    .withColumn("__real_cnt", when(col(valueCol).isNotNull, col("__cnt")).otherwise(lit(0L)))
     perValue
       .groupBy(groupCols.map(col): _*)
       .agg(
-        sum(col("__cnt")).as("count"),
+        sum(col("__real_cnt")).as("count"),
         percentile(col(valueCol), lit(0.5), col("__cnt")).as("median_" + valueCol),
-        max_by(col(valueCol), struct(col("__cnt"), -col(valueCol))).as("mode_" + valueCol),
+        max_by(col(valueCol),
+          when(col(valueCol).isNotNull, struct(col("__cnt"), -col(valueCol))))
+          .as("mode_" + valueCol),
         min(col("__first")).getField(tsCol).as("first_" + tsCol),
         min(col("__first")).getField(stateCol).as("first_" + stateCol))
   }

@@ -39,6 +39,23 @@ object Sampling {
   private val Mod = 2147483647L // 2^31 - 1 (prime)
   private val Mult = 48271L     // MINSTD multiplier
 
+  /** The MINSTD score is pure integer arithmetic over a LONG id, so
+    * every DataFrame-level consumer fails fast on a non-integral id
+    * column: under ANSI a string id would otherwise surface as a bare
+    * CAST error mid-job (or, with ANSI off, score NULL and silently
+    * empty the sample / null every split). Hash non-integral ids to a
+    * BIGINT surrogate first (e.g. `xxhash64`).
+    */
+  private[graft] def requireIntegralId(df: DataFrame, idCol: String, caller: String): Unit =
+    df.schema(idCol).dataType match {
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+          org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => ()
+      case other => throw new IllegalArgumentException(
+        s"$caller: id column '$idCol' is $other — the MINSTD sample score is integer " +
+          "arithmetic over a long id; hash non-integral ids to a BIGINT surrogate first " +
+          "(e.g. xxhash64)")
+    }
+
   /** Uniform [0, m) sampling score of an integral id column —
     * overflow-safe in BIGINT for |id| < ~1.9e14 (the first round's
     * id * 48271 must stay inside Long; fixture ids and the scale
@@ -55,6 +72,7 @@ object Sampling {
     */
   def uniform(df: DataFrame, idCol: String, rate: Double, seed: Long = 0L): DataFrame = {
     require(rate >= 0.0 && rate <= 1.0, s"rate=$rate must be in [0,1]")
+    requireIntegralId(df, idCol, "uniform")
     df.filter(sampleScore(col(idCol), seed) < lit((rate * Mod).toLong))
   }
 
@@ -73,6 +91,7 @@ object Sampling {
       seed: Long = 0L): DataFrame = {
     require((rates.values ++ Seq(defaultRate)).forall(r => r >= 0.0 && r <= 1.0),
       "all rates must be in [0,1]")
+    requireIntegralId(df, idCol, "stratified")
     val threshold = rates.foldLeft(lit((defaultRate * Mod).toLong)) {
       case (acc, (stratum, rate)) =>
         when(col(strataCol) === lit(stratum), lit((rate * Mod).toLong)).otherwise(acc)
@@ -154,10 +173,12 @@ object Sampling {
       thresholds: DataFrame,
       idCol: String,
       strataCol: String,
-      seed: Long = 0L): DataFrame =
+      seed: Long = 0L): DataFrame = {
+    requireIntegralId(df, idCol, "temperatureMixWith")
     df.join(bcast(thresholds), Seq(strataCol))
       .filter(sampleScore(col(idCol), seed) < col("__mix_thr"))
       .select(df.columns.toIndexedSeq.map(col): _*)
+  }
 
   /** Pass 1 of [[epochMix]] alone: the per-source epoch factors
     * `(sourceCol, __ep_n, __ep_thr)` — how many WHOLE epochs of each
@@ -240,7 +261,8 @@ object Sampling {
       factors: DataFrame,
       idCol: String,
       sourceCol: String,
-      seed: Long = 0L): DataFrame =
+      seed: Long = 0L): DataFrame = {
+    requireIntegralId(df, idCol, "epochMixWith")
     df.join(bcast(factors), Seq(sourceCol))
       .withColumn("__reps",
         col("__ep_n") + (sampleScore(col(idCol), seed) < col("__ep_thr")).cast("int"))
@@ -251,6 +273,7 @@ object Sampling {
         explode(
           when(col("__reps") >= 1, sequence(lit(1), col("__reps")))
             .otherwise(array().cast("array<int>"))).as("copy_idx"))
+  }
 
   /** Per-domain document cap — the Gopher-style rebalancing step that
     * bounds any single domain's share of the corpus: keep at most
@@ -290,6 +313,7 @@ object Sampling {
       cap: Int,
       seed: Long = 0L): DataFrame = {
     require(cap > 0, s"cap=$cap must be positive")
+    requireIntegralId(df, idCol, "domainCap")
     val over = df.groupBy(col(domainCol))
       .agg(count(lit(1)).as("__n"))
       .filter(col("__n") > cap)
@@ -314,8 +338,11 @@ object Sampling {
     *
     * Rank semantics, deliberately not an interpolated percentile: the
     * kept set is the `ceil(p * n_s)` highest-scoring rows (ties to
-    * the smallest id), which is exact integer arithmetic on both
-    * engines — an interpolated quantile THRESHOLD is one float whose
+    * the smallest id). The keep-count is computed in DOUBLE — a `p`
+    * with no exact binary form (e.g. 0.1) can round the count up one
+    * past the mathematical ceil — but it is the SAME double expression
+    * on both engines, so the kept set is engine-exact; an interpolated
+    * quantile THRESHOLD by contrast is one float whose
     * last-ulp placement (Spark computes `(1-g)a + gb`, other engines
     * `a + (b-a)g`) can flip boundary rows, so the q64 oracle would be
     * chasing rounding instead of semantics.

@@ -24,6 +24,17 @@ object Segmentation {
     *
     * `orderCols` must make the order total (include a unique id as
     * tiebreak) — Spark guarantees no implicit row order.
+    *
+    * NULL states are a state value like any other: the change detector
+    * is null-safe equality (`IS DISTINCT FROM` — exactly the oracle
+    * SQL's form), so a run of null states is ONE cycle, and entering or
+    * leaving it is a change. (The previous `prev.isNull || prev =!=
+    * cur` form silently merged the first null row into the prior cycle
+    * and then shattered the rest of the null run — and disagreed with
+    * the engine's own DuckDB oracle.) One degenerate corner is shared
+    * with the oracle: a partition-LEADING null run labels cycle 0,
+    * because lag() cannot distinguish "no previous row" from "previous
+    * state was null".
     */
   def labelCycles(
       df: DataFrame,
@@ -35,7 +46,7 @@ object Segmentation {
       if (partitionCols.isEmpty) Window.orderBy(orderCols: _*)
       else Window.partitionBy(partitionCols.map(col): _*).orderBy(orderCols: _*)
     val prev = lag(col(stateCol), 1).over(w)
-    val change = when(prev.isNull || prev =!= col(stateCol), 1).otherwise(0)
+    val change = when(prev <=> col(stateCol), 0).otherwise(1)
     // Two projections: nesting lag() inside the running sum's window is
     // not allowed by the analyzer.
     df.withColumn("__chg", change)

@@ -22,6 +22,11 @@ object Skew {
 
   /** Join a skewed fact table to a (small-ish) dimension on `keys`,
     * spreading each key across `saltFactor` buckets.
+    *
+    * Only FACT-preserving join types are accepted: the dim side is
+    * exploded `saltFactor` times, so a right/full outer join would
+    * emit up to `saltFactor - 1` spurious null-extended copies of any
+    * dim row whose (key, salt) bucket holds no fact row.
     */
   def saltedJoin(
       fact: DataFrame,
@@ -31,6 +36,10 @@ object Skew {
       saltFrom: Seq[String],
       joinType: String = "inner"): DataFrame = {
     require(saltFactor > 0)
+    require(Set("inner", "left", "leftouter", "leftsemi", "leftanti")
+      .contains(joinType.toLowerCase(java.util.Locale.ROOT).replace("_", "")),
+      s"saltedJoin: joinType=$joinType is not fact-preserving — the exploded dim side " +
+        "would duplicate unmatched dim rows; use inner/left/left_semi/left_anti")
     val saltedFact = fact.withColumn("__salt", salt(saltFactor, saltFrom.map(col): _*))
     val saltedDim = dim
       .withColumn("__salt", explode(sequence(lit(0), lit(saltFactor - 1))))

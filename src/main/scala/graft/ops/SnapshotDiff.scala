@@ -28,14 +28,20 @@ object SnapshotDiff {
       next: DataFrame,
       textCol: String,
       idCol: String): DataFrame = {
-    val a = prev.select(col(idCol), md5(col(textCol).cast("binary")).as("__fp_a"))
-    val b = next.select(col(idCol), md5(col(textCol).cast("binary")).as("__fp_b"))
+    // presence markers, NOT fingerprint nullity: md5(null text) is
+    // null, so classifying by the fingerprint would report a null-text
+    // document present in both snapshots as "added"; the null-safe
+    // fingerprint compare then calls two null texts "unchanged"
+    val a = prev.select(col(idCol), md5(col(textCol).cast("binary")).as("__fp_a"),
+      lit(true).as("__in_a"))
+    val b = next.select(col(idCol), md5(col(textCol).cast("binary")).as("__fp_b"),
+      lit(true).as("__in_b"))
     a.join(b, Seq(idCol), "full_outer")
       .select(
         col(idCol),
-        when(col("__fp_a").isNull, lit("added"))
-          .when(col("__fp_b").isNull, lit("removed"))
-          .when(col("__fp_a") === col("__fp_b"), lit("unchanged"))
+        when(col("__in_a").isNull, lit("added"))
+          .when(col("__in_b").isNull, lit("removed"))
+          .when(col("__fp_a") <=> col("__fp_b"), lit("unchanged"))
           .otherwise(lit("changed")).as("status"))
   }
 

@@ -56,6 +56,8 @@ object Splits {
       fractions: Seq[(String, Double)],
       seed: Long = 0L): DataFrame = {
     val th = thresholds(fractions)
+    Sampling.requireIntegralId(df, idCol, "assignWith")
+    Sampling.requireIntegralId(clusters, "canonical_id", "assignWith")
     val joined = df.select(col(idCol))
       .join(clusters.select(col(idCol), col("canonical_id")), Seq(idCol), "left")
       .select(col(idCol), coalesce(col("canonical_id"), col(idCol)).as("canonical_id"))

@@ -39,8 +39,11 @@ object TimeWindows {
         stddev_pop(col(valueCol)).as("std_dev"))
   }
 
-  /** The reference's prompt-facing rounded form: round(x, 0) as int
-    * (Requirements/ExampleAiCode.md:238-241).
+  /** The reference's prompt-facing rounded form: `int(round(x, 0))`
+    * (Requirements/ExampleAiCode.md:238-241). Python's float round is
+    * HALF_EVEN (banker's), so this is `bround`, not Spark's HALF_UP
+    * `round` — medians of even-count integer data land on exact .5
+    * constantly, and those round the other way under HALF_UP.
     */
   def roundedWeeklyStats(
       df: DataFrame,
@@ -48,7 +51,7 @@ object TimeWindows {
       groupCols: Seq[String],
       valueCol: String): DataFrame =
     weeklyStats(df, tsCol, groupCols, valueCol)
-      .withColumn("mean", round(col("mean"), 0).cast("int"))
-      .withColumn("median", round(col("median"), 0).cast("int"))
-      .withColumn("std_dev", round(col("std_dev"), 0).cast("int"))
+      .withColumn("mean", bround(col("mean"), 0).cast("int"))
+      .withColumn("median", bround(col("median"), 0).cast("int"))
+      .withColumn("std_dev", bround(col("std_dev"), 0).cast("int"))
 }

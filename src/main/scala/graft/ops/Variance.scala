@@ -51,9 +51,13 @@ object Variance {
     val fit = Gmm.bestByBic(values, p.maxComponents)
     val significant = fit.components.filter(_.weight >= p.minSignificantWeight)
     val sep = p.separationThreshold * math.abs(med)
+    // "at least two modes ... meaningfully separated" is an ANY-PAIR
+    // condition (ExampleAiCode.md's separation filtering), and the
+    // widest pair of sorted means is last - head — an adjacent-gap
+    // check would wrongly call {0, 6, 12} unimodal at sep = 10
     val multimodal = significant.length >= 2 && {
       val ms = significant.map(_.mean).sorted
-      ms.sliding(2).exists(pair => pair(1) - pair(0) >= sep)
+      ms.last - ms.head >= sep
     }
     val verdict = if (multimodal) "High" else "Low"
     val reason =

@@ -836,7 +836,7 @@ object PipelineQueries {
       |SELECT coalesce(p.doc_id, n.doc_id) AS doc_id,
       |  CASE WHEN p.doc_id IS NULL THEN 'added'
       |       WHEN n.doc_id IS NULL THEN 'removed'
-      |       WHEN fa = fb THEN 'unchanged' ELSE 'changed' END AS status
+      |       WHEN fa IS NOT DISTINCT FROM fb THEN 'unchanged' ELSE 'changed' END AS status
       |FROM prev p FULL OUTER JOIN nxt n ON p.doc_id = n.doc_id
       |ORDER BY doc_id""".stripMargin
 

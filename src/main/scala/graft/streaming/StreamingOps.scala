@@ -1766,15 +1766,13 @@ object StreamingOps {
           val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
           var st = state.getOption.getOrElse(CycleState(null, 0L))
           val out = sorted.map { e =>
-            // mirror of the batch predicate `prev.isNull || prev =!=
-            // cur` under SQL null semantics: cycle==0 means "no
-            // previous row" (first event always changes); a NULL
-            // PREVIOUS type reads as prev.isNull (change); a NULL
-            // CURRENT type null-propagates =!= to "no change".
-            // lastType always tracks the previous row's actual value
-            // — including null — exactly like lag() does.
-            val changed = st.cycle == 0L || st.lastType == null ||
-              (e.event_type != null && st.lastType != e.event_type)
+            // mirror of the batch change detector `prev IS DISTINCT
+            // FROM cur` (null-safe): a null state is a state value —
+            // a null run is one cycle, entering/leaving it changes.
+            // The initial lastType=null doubles as lag()'s null on the
+            // first row, including the shared leading-null-run=cycle-0
+            // degeneracy (see Segmentation.labelCycles).
+            val changed = !java.util.Objects.equals(st.lastType, e.event_type)
             st = CycleState(e.event_type, if (changed) st.cycle + 1 else st.cycle)
             CycleOut(userId, e.event_id, e.ts, e.event_type, e.value, st.cycle)
           }

@@ -176,6 +176,7 @@ object QualityClassifier {
       alpha: Double = 9.0,
       seed: Long = 41L): DataFrame = {
     require(alpha > 0.0, s"alpha=$alpha must be positive")
+    graft.ops.Sampling.requireIntegralId(df, idCol, "QualityClassifier.score")
     val carried = carry.map(c => min(col(c)).as(c))
     val aggs = Seq(
       count(lit(1)).as("n_grams"),

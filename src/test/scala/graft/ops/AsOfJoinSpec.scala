@@ -45,4 +45,18 @@ class AsOfJoinSpec extends SparkSpec {
       toleranceSeconds = Some(3 * 3600)).collect()
     assert(loose(0).getAs[Double]("right_v") == 7.0)
   }
+
+  test("tolerance is microsecond-exact, not truncated to whole seconds") {
+    import sqlImplicits._
+    // staleness 60.8s vs tolerance 60: unix_timestamp would truncate
+    // both stamps to seconds and keep the stale match (60 <= 60)
+    val left = Seq((1L, ts("2024-01-01 10:01:00.9"), "l")).toDF("user_id", "ts", "tag")
+    val right = Seq((1L, ts("2024-01-01 10:00:00.1"), 7.0)).toDF("user_id", "ts", "v")
+    val strict = AsOfJoin.asOf(left, right, Seq("user_id"), "ts", "ts", Seq("v"),
+      toleranceSeconds = Some(60)).collect()
+    assert(strict(0).isNullAt(strict(0).fieldIndex("right_v")))
+    val loose = AsOfJoin.asOf(left, right, Seq("user_id"), "ts", "ts", Seq("v"),
+      toleranceSeconds = Some(61)).collect()
+    assert(loose(0).getAs[Double]("right_v") == 7.0)
+  }
 }

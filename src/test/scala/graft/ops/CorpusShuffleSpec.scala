@@ -7,6 +7,17 @@ class CorpusShuffleSpec extends SparkSpec {
 
   private def ids(n: Int) = spark.range(n.toLong).select(col("id").as("doc_id"))
 
+  test("a null id fails fast — concat_ws would silently collapse null-id rows onto one key") {
+    import sqlImplicits._
+    val df = Seq(Some(1L), None, Some(2L)).toDF("doc_id")
+    val e = intercept[Exception] {
+      CorpusShuffle.shuffled(df, "doc_id", seed = "s1").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("null doc_id")), e.toString)
+  }
+
   test("global_pos is a permutation of 0..n-1 and decomposes as shard_base + shard_pos") {
     val out = CorpusShuffle.shuffled(ids(5000), "doc_id", seed = "s1").cache()
     try {

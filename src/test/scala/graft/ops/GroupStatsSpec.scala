@@ -40,6 +40,31 @@ class GroupStatsSpec extends SparkSpec {
     assert(out.count() == 4)
   }
 
+  test("cycleStats: null values drop from count/median/mode like pandas (first-row survives)") {
+    import sqlImplicits._
+    // pandas Series.count()/median()/mode() all skip NaN: a
+    // 3-null/4-real cycle counts 4 and its mode is a real value —
+    // without the guards count=7 and the null group wins max_by,
+    // flipping validCyclePredicate against a cycle pandas accepts
+    val df = Seq(
+      (1, Option.empty[Double], 1L, "run"), (1, None, 2L, "run"), (1, None, 3L, "run"),
+      (1, Some(5.0), 4L, "run"), (1, Some(5.0), 5L, "run"),
+      (1, Some(7.0), 6L, "run"), (1, Some(7.0), 7L, "run"))
+      .toDF("cycle", "energy", "ts", "state")
+    val row = GroupStats.cycleStats(df, Seq("cycle"), "energy", "ts", "state").head()
+    assert(row.getAs[Long]("count") == 4L)
+    assert(row.getAs[Double]("mode_energy") == 5.0) // tie -> smallest real value
+    assert(row.getAs[Double]("median_energy") == 6.0)
+    assert(row.getAs[Long]("first_ts") == 1L) // the null-value row still holds "first"
+    // an all-null cycle reports count 0 and null mode (and so fails the
+    // valid-cycle gate), never a phantom count
+    val allNull = Seq((1, Option.empty[Double], 1L, "run"), (1, None, 2L, "run"),
+      (1, None, 3L, "run"), (1, None, 4L, "run"))
+      .toDF("cycle", "energy", "ts", "state")
+    val r2 = GroupStats.cycleStats(allNull, Seq("cycle"), "energy", "ts", "state").head()
+    assert(r2.getAs[Long]("count") == 0L && r2.isNullAt(r2.fieldIndex("mode_energy")))
+  }
+
   test("cycleStats: ordered-first semantics via min/min_by") {
     import sqlImplicits._
     val df = Seq((3L, 9, 1, 5.0), (1L, 7, 1, 6.0), (2L, 8, 1, 6.0)).toDF("ts", "tstate", "cycle", "energy")

@@ -11,6 +11,21 @@ class SamplingSpec extends SparkSpec {
       (col("id") % 4).cast("string").as("grp"))
   }
 
+  test("a non-integral id column is rejected loudly, never silently sampled to nothing") {
+    import sqlImplicits._
+    // string ids: ANSI cast would throw a bare error mid-job (ANSI
+    // off: null scores -> zero rows at any rate); the guard names the
+    // fix instead
+    val df = Seq(("a3f9", "en"), ("b2c1", "fr")).toDF("doc_id", "lang")
+    Seq(
+      () => Sampling.uniform(df, "doc_id", 0.5),
+      () => Sampling.stratified(df, "doc_id", "lang", Map("en" -> 0.5)),
+      () => graft.ops.Curriculum.interleave(df, "doc_id", "lang")).foreach { f =>
+      val e = intercept[IllegalArgumentException](f())
+      assert(e.getMessage.contains("xxhash64"), e.getMessage)
+    }
+  }
+
   test("uniform sampling hits the rate within binomial tolerance and is deterministic") {
     val df = ids(20000)
     val kept = Sampling.uniform(df, "id", 0.3, seed = 7L)

@@ -17,6 +17,24 @@ class SegmentationSpec extends SparkSpec {
     assert(out.toSeq == Seq(1L, 1L, 2L, 2L, 2L, 3L, 4L))
   }
 
+  test("labelCycles: a null state is a state value — null runs are one cycle (IS DISTINCT FROM)") {
+    import sqlImplicits._
+    // the oracle SQL's own change detector; [A, null, null, A] must be
+    // three cycles, not the first null merging into A's cycle
+    val df = Seq(
+      (1L, Some("A"), 1), (2L, None, 1), (3L, None, 1), (4L, Some("A"), 1))
+      .toDF("ts", "tstate", "dev")
+    val out = Segmentation.labelCycles(df, Seq("dev"), Seq(col("ts")), "tstate")
+      .orderBy("ts").select("cycle").as[Long].collect()
+    assert(out.toSeq == Seq(1L, 2L, 2L, 3L))
+    // shared lag() degeneracy: a partition-LEADING null run is cycle 0
+    val lead = Seq((1L, None, 1), (2L, None, 1), (3L, Some("A"), 1))
+      .toDF("ts", "tstate", "dev")
+    val out2 = Segmentation.labelCycles(lead, Seq("dev"), Seq(col("ts")), "tstate")
+      .orderBy("ts").select("cycle").as[Long].collect()
+    assert(out2.toSeq == Seq(0L, 0L, 1L))
+  }
+
   test("labelCycles: independent numbering per partition key") {
     import sqlImplicits._
     val df = Seq((1L, 1, 1), (2L, 2, 1), (1L, 5, 2), (2L, 5, 2)).toDF("ts", "tstate", "dev")

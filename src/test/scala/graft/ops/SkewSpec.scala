@@ -20,6 +20,21 @@ class SkewSpec extends SparkSpec {
     assert(p == s)
   }
 
+  test("non-fact-preserving join types are rejected (exploded dim would duplicate)") {
+    import sqlImplicits._
+    val fact = Seq((1L, "a")).toDF("k", "f")
+    val dim = Seq((1L, "d"), (2L, "d2")).toDF("k", "d")
+    Seq("right", "right_outer", "full", "full_outer").foreach { jt =>
+      val e = intercept[IllegalArgumentException] {
+        Skew.saltedJoin(fact, dim, Seq("k"), 4, Seq("f"), jt)
+      }
+      assert(e.getMessage.contains("fact-preserving"), jt)
+    }
+    // the fact-preserving set still works
+    assert(Skew.saltedJoin(fact, dim, Seq("k"), 4, Seq("f"), "left_anti").count() == 0)
+    assert(Skew.saltedJoin(fact, dim, Seq("k"), 4, Seq("f"), "left_semi").count() == 1)
+  }
+
   test("salt spreads a hot key across buckets") {
     import sqlImplicits._
     val df = (1 to 1000).map(i => (1L, i.toLong)).toDF("k", "payload")

@@ -25,6 +25,22 @@ class SnapshotDiffSpec extends SparkSpec {
     assert(got == Map("unchanged" -> 1L, "changed" -> 1L, "removed" -> 1L, "added" -> 1L))
   }
 
+  test("null-text documents classify by PRESENCE, not fingerprint nullity") {
+    // md5(null) is null — fingerprint-nullity classification would
+    // call a null-text doc present in both snapshots "added"
+    val p = Seq((1L, Option.empty[String]), (2L, Some("x")), (3L, Option.empty[String]))
+      .toDF("doc_id", "text")
+    val n = Seq((1L, Option.empty[String]), (2L, Option.empty[String]), (4L, Option.empty[String]))
+      .toDF("doc_id", "text")
+    val got = SnapshotDiff.diff(p, n, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(
+      1L -> "unchanged", // null -> null: same (absent) content
+      2L -> "changed",   // text -> null
+      3L -> "removed",
+      4L -> "added"))
+  }
+
   test("identical releases are all-unchanged; empty prev is all-added") {
     val same = SnapshotDiff.diff(prev, prev, "text", "doc_id")
       .collect().map(_.getString(1)).toSet

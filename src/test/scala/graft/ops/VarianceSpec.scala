@@ -30,6 +30,20 @@ class VarianceSpec extends SparkSpec {
     assert(v.variance == "High", v.reason)
   }
 
+  test("trimodal data whose ADJACENT gaps sit under sep but whose span exceeds it -> High") {
+    // clusters at 85/100/115: median 100 -> sep = 20; adjacent gaps 15
+    // each, widest pair 30. "At least two meaningfully separated
+    // modes" is an ANY-PAIR condition — an adjacent-gap check would
+    // wrongly return Low. rCV here is ~0.15, below the 0.35 gate, so
+    // the verdict must come from the GMM separation rule.
+    val xs = gaussians(40, 85, 0.5, 3L) ++ gaussians(40, 100, 0.5, 5L) ++
+      gaussians(40, 115, 0.5, 11L)
+    val v = Variance.classify("cool3", xs)
+    assert(v.rcv.exists(_ < 0.35), v.rcv.toString)
+    assert(v.variance == "High", v.reason)
+    assert(v.reason.startsWith("multimodal"), v.reason)
+  }
+
   test("high-dispersion data -> High via rCV gate (>0.35)") {
     // alternating values around widely spread medians
     val xs = Array.tabulate(120)(i => if (i % 2 == 0) 100.0 else 300.0)

@@ -1222,9 +1222,9 @@ class StreamingOpsSpec extends SparkSpec {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import sqlImplicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
-    // batch: prev.isNull || prev =!= cur — a null CURRENT type
-    // continues the cycle (=!= null-propagates), the event AFTER a
-    // null starts a new one (prev.isNull)
+    // batch change detector is null-safe (prev IS DISTINCT FROM cur,
+    // the oracle SQL's own form): a null state is a state value, so
+    // the null RUN is one cycle and entering/leaving it changes
     def t(s: Long) = new java.sql.Timestamp(s * 1000L)
     val events = Seq(
       StreamingOps.EventIn(1L, t(1), 7L, "run", 1.0),
@@ -1242,7 +1242,7 @@ class StreamingOpsSpec extends SparkSpec {
     val got = spark.table("nullcyc").collect()
       .map(r => r.getAs[Long]("event_id") -> r.getAs[Long]("cycle")).toMap
     assert(got == batch, s"stream $got vs batch $batch")
-    assert(batch == Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 3L))
+    assert(batch == Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 3L))
   }
 
   test("TTL near-dup stream enforces the pairwise event-time horizon within one micro-batch") {
