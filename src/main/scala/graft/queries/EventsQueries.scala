@@ -46,6 +46,14 @@ object EventsQueries {
     * doc): level-1 groupBy adds `value` to the keys (map-side partial
     * agg), level-2 computes weighted exact median (in cents), max_by
     * mode with the smallest-value tie-break, ordered-first ts/state.
+    *
+    * NULL-value semantics here are SQL's, deliberately NOT the
+    * pandas-parity operator's ([[graft.ops.GroupStats.cycleStats]],
+    * which drops nulls from count/mode like Series.count/mode): this
+    * core's contract is hash-exactness against its own oracle SQL,
+    * whose `count(*)` counts null-value rows and whose mode ranking
+    * places the null group exactly where Spark's struct max_by does
+    * (strictly-max count wins, ties lose to any real value).
     */
   private def cycleStatsCore(lab: DataFrame): DataFrame =
     lab

@@ -20,12 +20,16 @@ object SimilarityQueries {
   // Driver-side memos: the query vector and the trained IVF model are
   // properties of the DATASET, not of a query invocation — re-fetching
   // or re-training per call would fire redundant driver actions (the
-  // round-2 audit's q37 finding). Keyed by sfDir; both are tiny.
-  private val queryVecCache = scala.collection.concurrent.TrieMap.empty[(String, Long), Array[Float]]
+  // round-2 audit's q37 finding). Both go through the same
+  // content-fingerprint invalidation as [[kmeansModel]]: regenerating
+  // embeddings.parquet at the same path within one JVM must not leave
+  // the exact queries (q28/q38) searching stale data the oracle no
+  // longer sees.
+  private val queryVecCache = scala.collection.concurrent.TrieMap.empty[String, Array[Float]]
   private val ivfModelCache = scala.collection.concurrent.TrieMap.empty[String, graft.similarity.Ivf.Model]
 
   private def queryVec(spark: SparkSession, dir: String, vecId: Long): Array[Float] =
-    queryVecCache.getOrElseUpdate((dir, vecId),
+    memoByFingerprint(queryVecCache, dir, s"qv:$vecId")(
       Sources.embeddings(spark, dir)
         .filter(col("vec_id") === vecId)
         .select("embedding")
@@ -34,7 +38,7 @@ object SimilarityQueries {
         .toArray)
 
   private def ivfModel(spark: SparkSession, dir: String): graft.similarity.Ivf.Model =
-    ivfModelCache.getOrElseUpdate(dir,
+    memoByFingerprint(ivfModelCache, dir, "ivf")(
       graft.similarity.Ivf.train(Sources.embeddings(spark, dir), "embedding", k = 8, iters = 5))
 
   /** Exact brute-force cosine top-10 neighbors of vec 0 — fully
@@ -279,8 +283,12 @@ object SimilarityQueries {
   def q92ImageDedupResolution(spark: SparkSession, dir: String): DataFrame = {
     val media = graft.multimodal.Multimodal.syntheticImages(
       Sources.documents(spark, dir), "doc_id", "text")
+    // eager localCheckpoint, not persist: same single decode pass for
+    // both consumers, but the blocks are reclaimed by the
+    // ContextCleaner once the frame is unreachable — a plain persist
+    // here leaked one cache entry per invocation for the JVM lifetime
     val hashed = graft.multimodal.PerceptualHash.perceptualHashes(media).toDF()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val clusters = graft.dedup.Dedup.hammingClusters(
       hashed.select(col("media_id").as("id"), col("ahash").as("sig")),
       "id", "sig", maxHamming = 3)
@@ -359,24 +367,32 @@ object SimilarityQueries {
     else { val (m, s) = walk(root); Some(s"$m:$s") }
   }
 
-  /** One live entry per dir: a fingerprint change (fixture
+  /** One live entry per (dir, kind): a fingerprint change (fixture
     * regenerated in place) evicts the superseded entry instead of
-    * stranding it — the cache is bounded by the number of DISTINCT
-    * dirs a JVM touches, not by how often each is rewritten.
+    * stranding it — each cache is bounded by the number of DISTINCT
+    * dirs a JVM touches, not by how often each is rewritten. The one
+    * memo discipline behind [[kmeansModel]], [[ivfModel]] and
+    * [[queryVec]].
     */
-  private def kmeansModel(spark: SparkSession, dir: String): graft.similarity.Ivf.Model = {
-    def train() = graft.similarity.Ivf.trainDistributed(
-      Sources.embeddings(spark, dir), "embedding", k = 8, iters = 5)
+  private def memoByFingerprint[T](
+      cache: scala.collection.concurrent.TrieMap[String, T],
+      dir: String,
+      kind: String)(compute: => T): T =
     embeddingsFingerprint(dir) match {
-      case None => train()
+      case None => compute // unreadable path: bypass, never insert
       case Some(fp) =>
-        val key = s"$dir|$fp"
-        kmeansModelCache.keys
-          .filter(k => k.startsWith(s"$dir|") && k != key)
-          .foreach(kmeansModelCache.remove)
-        kmeansModelCache.getOrElseUpdate(key, train())
+        val prefix = s"$dir|$kind|"
+        val key = prefix + fp
+        cache.keys
+          .filter(k => k.startsWith(prefix) && k != key)
+          .foreach(cache.remove)
+        cache.getOrElseUpdate(key, compute)
     }
-  }
+
+  private def kmeansModel(spark: SparkSession, dir: String): graft.similarity.Ivf.Model =
+    memoByFingerprint(kmeansModelCache, dir, "kmeans")(
+      graft.similarity.Ivf.trainDistributed(
+        Sources.embeddings(spark, dir), "embedding", k = 8, iters = 5))
 
   /** q84: full-corpus distributed k-means ([[graft.similarity.Ivf
     * .trainDistributed]]) cell balance — per-cell membership count and

@@ -193,7 +193,7 @@ object TextQueries {
        |       WHEN h_fr = greatest(h_de, h_en, h_es, h_fr, h_zh) THEN 'fr'
        |       ELSE 'zh' END AS detected_lang,
        |  CAST(n_tokens AS INT) AS n_tokens,
-       |  CAST(len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS INT) AS n_bpeish
+       |  CAST(len(regexp_extract_all(text, '\\w+|[^\\w \\t\\n\\x0B\\f\\r]')) AS INT) AS n_bpeish
        |FROM h
        |ORDER BY doc_id""".stripMargin
   }
@@ -405,7 +405,7 @@ object TextQueries {
        |  SELECT doc_id, text,
        |    string_split(text, ' ') AS toks,
        |    CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
-       |    trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+       |    trim(regexp_replace(lower(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')) AS norm
        |  FROM documents
        |), lang_pick AS (
        |  SELECT doc_id, list_sort([$langCandidates])[1] AS best FROM annotated

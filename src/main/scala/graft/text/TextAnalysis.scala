@@ -32,7 +32,9 @@ object TextAnalysis {
     * `size(regexp_extract_all(...))` form would allocate.
     */
   def bpeishTokenCount(text: Column): Column =
-    regexp_count(text, lit("\\w+|[^\\w\\s]"))
+    // explicit whitespace class — see [[normalized]] for why \s is not
+    // portable between Java and the oracle's RE2
+    regexp_count(text, lit("\\w+|[^\\w \\t\\n\\x0B\\f\\r]"))
 
   /** Small public stopword lists per language (top function words). */
   val stopwords: Map[String, Seq[String]] = Map(
@@ -100,7 +102,10 @@ object TextAnalysis {
     * `xxhash64` directly.
     */
   def normalized(text: Column): Column =
-    trim(regexp_replace(lower(text), "\\s+", " "))
+    // explicit class, not \s: Java's \s is [ \t\n\x0B\f\r] but RE2's
+    // (the oracle engine's) excludes \x0B — the class is the portable
+    // spelling of the SAME set, mirrored verbatim in the oracle SQL
+    trim(regexp_replace(lower(text), "[ \\t\\n\\x0B\\f\\r]+", " "))
 
   /** Rolling-hash (winnow-style) fingerprint over a BOUND normalized
     * attribute: min xxhash over k-char shingles — stable under local

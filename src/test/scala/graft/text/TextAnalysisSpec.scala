@@ -36,6 +36,19 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.toSeq == Seq("en", "es", "de", "und"))
   }
 
+  test("normalization squeezes VERTICAL TAB like Java's \\s — the portable class the oracle mirrors") {
+    import sqlImplicits._
+    // \x0B is in Java's \s but NOT RE2's; both engines now spell the
+    // explicit class [ \t\n\x0B\f\r]+, so a vertical-tab document
+    // fingerprints identically on both
+    val got = Seq("a\u000B\u000Bb\tc").toDF("text")
+      .select(TextAnalysis.normalized(col("text"))).head().getString(0)
+    assert(got == "a b c")
+    val bpeish = Seq("x\u000By!").toDF("text")
+      .select(TextAnalysis.bpeishTokenCount(col("text"))).head().getInt(0)
+    assert(bpeish == 3) // x, y, ! — the vertical tab is whitespace, not a symbol
+  }
+
   test("content fingerprint is case/whitespace-normalized and collision-discriminating") {
     import sqlImplicits._
     val df = Seq("Hello  World", "hello world", "hello worlds").toDF("text")
