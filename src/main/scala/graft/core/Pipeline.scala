@@ -46,21 +46,29 @@ final class Pipeline(
     steps.foldLeft(initial) { (ctx, p) =>
       if (!shouldExecute(p, ctx)) ctx.logStep(p.name, 0.0, skipped = true)
       else {
-        val next =
-          try p(ctx)
+        val attempt =
+          try Right(p(ctx))
           catch {
             case NonFatal(e) =>
               val logged = ctx.logError(p.name, Option(e.getMessage).getOrElse(e.getClass.getName))
               if (stopOnError) throw new PipelineStepException(p.name, logged, e)
-              else logged.withWarning(s"${p.name} failed, continuing: ${e.getMessage}")
+              else Left(logged.withWarning(s"${p.name} failed, continuing: ${e.getMessage}"))
           }
-        if (enableCheckpoints) {
-          next.tables.valuesIterator
-            .filter(_.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
-            .foreach(_.persist())
-          checkpointStore.put(p.name, next)
+        attempt match {
+          case Right(next) =>
+            if (enableCheckpoints) {
+              next.tables.valuesIterator
+                .filter(_.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+                .foreach(_.persist())
+              checkpointStore.put(p.name, next)
+            }
+            next
+          case Left(failed) =>
+            // NO checkpoint for a step that never completed: recording
+            // the pre-step context under the step's name would make a
+            // later runPartial resume silently skip the step's work
+            failed
         }
-        next
       }
     }
 }

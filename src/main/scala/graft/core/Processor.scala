@@ -24,6 +24,14 @@ trait Processor extends Serializable {
   /** Per-table columns that must be present (table -> column names). */
   def requiredColumns: Map[String, Seq[String]] = Map.empty
 
+  /** Driver-side `results` keys that must exist before this step runs
+    * — the control-plane twin of [[requiredTables]] (a step gated off
+    * by a Pipeline condition, or a runPartial slice starting past the
+    * producer, should fail with the framework's named error rather
+    * than a bare `key not found` from Map.apply).
+    */
+  def requiredResults: Seq[String] = Nil
+
   def process(ctx: PipelineContext): PipelineContext
 
   /** Throws IllegalStateException on a missing table or column —
@@ -34,6 +42,11 @@ trait Processor extends Serializable {
     requiredTables.foreach { t =>
       if (!ctx.hasTable(t))
         throw new IllegalStateException(s"$name: required table '$t' missing from context")
+    }
+    requiredResults.foreach { k =>
+      if (!ctx.results.contains(k))
+        throw new IllegalStateException(
+          s"$name: required result '$k' missing from context (producer step gated off or not in the slice?)")
     }
     requiredColumns.foreach { case (t, cols) =>
       val schema: StructType = ctx.table(t).schema
@@ -60,10 +73,14 @@ trait Processor extends Serializable {
 
 object Processor {
   /** Lift a plain function into a named Processor. */
-  def apply(stepName: String, required: Seq[String] = Nil)(fn: PipelineContext => PipelineContext): Processor =
+  def apply(
+      stepName: String,
+      required: Seq[String] = Nil,
+      requiredRes: Seq[String] = Nil)(fn: PipelineContext => PipelineContext): Processor =
     new Processor {
       override def name: String = stepName
       override def requiredTables: Seq[String] = required
+      override def requiredResults: Seq[String] = requiredRes
       override def process(ctx: PipelineContext): PipelineContext = fn(ctx)
     }
 }

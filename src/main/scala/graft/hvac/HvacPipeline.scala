@@ -58,7 +58,12 @@ object HvacPipeline {
       valueCol = "value",
       tsCol = "ts",
       stateCol = "event_type")
-    ctx.withTable("cleaned", cleaned)
+    // eager localCheckpoint: four later steps fire separate driver
+    // actions over this frame (variance collect, cycle counts,
+    // short-cycling, curation) — without it each one re-executes the
+    // scan + two-level cycleStats aggregation + semi-join; blocks are
+    // reclaimed when the context becomes unreachable
+    ctx.withTable("cleaned", cleaned.localCheckpoint(true))
   }
 
   private def classifyPerStage(
@@ -66,7 +71,13 @@ object HvacPipeline {
       df: DataFrame,
       params: Variance.Params): Seq[VarianceVerdict] = {
     import spark.implicits._
+    // null values never reach the typed decode: filterValidCycles
+    // deliberately keeps a valid cycle's null-value rows (they cannot
+    // disqualify it), and the pandas reference drops NaN from every
+    // variance statistic — without the filter the non-nullable Double
+    // decode kills the whole pipeline on one null watt reading
     df.select(col("event_type").as("stage"), col("value"))
+      .filter(col("value").isNotNull)
       .as[(String, Double)]
       .groupByKey(_._1)
       .mapGroups { (stage, rows) =>
@@ -91,7 +102,8 @@ object HvacPipeline {
   /** Step 4 — per-stage issues: low distinct-cycle count (A6) +
     * short-cycling on High-variance stages with enough cycles.
     */
-  val identifyIssues: Processor = Processor("IdentifyIssues", required = Seq("cleaned")) { ctx =>
+  val identifyIssues: Processor = Processor("IdentifyIssues", required = Seq("cleaned"),
+    requiredRes = Seq("variance_raw")) { ctx =>
     val verdicts = ctx.result[Seq[VarianceVerdict]]("variance_raw")
     val high = verdicts.filter(_.variance == "High").map(_.stage).toSet
     val cleaned = ctx.table("cleaned")
@@ -123,7 +135,8 @@ object HvacPipeline {
     * stages contribute nothing (the reference refuses to curate them,
     * ExamplePipelineCode.md:444-453).
     */
-  val curate: Processor = Processor("CurateStageData", required = Seq("cleaned")) { ctx =>
+  val curate: Processor = Processor("CurateStageData", required = Seq("cleaned"),
+    requiredRes = Seq("variance_raw")) { ctx =>
     val verdicts = ctx.result[Seq[VarianceVerdict]]("variance_raw")
     val low = verdicts.filter(_.variance == "Low").map(_.stage)
     val cleaned = ctx.table("cleaned")
@@ -133,18 +146,32 @@ object HvacPipeline {
       .agg(
         GroupStats.exactMedian(col("value")).as("median_energy_cycle"),
         min(col("ts")).as("first_ts"))
-    ctx.withTable("curated", curated)
+    // two later steps (re-classification, thresholds) each fire a
+    // driver action over this aggregate — same eager-snapshot
+    // rationale as "cleaned"
+    ctx.withTable("curated", curated.localCheckpoint(true))
   }
 
   /** Step 6 — re-classify on per-cycle medians; a stage that looks
     * multimodal on its curated medians is upgraded to High
     * (ExamplePipelineCode.md:275-332).
     */
-  val varianceCurated: Processor = Processor("IdentifyPowerVarianceCurated", required = Seq("curated")) { ctx =>
+  val varianceCurated: Processor = Processor("IdentifyPowerVarianceCurated", required = Seq("curated"),
+    requiredRes = Seq("variance_raw")) { ctx =>
     val spark = ctx.table("curated").sparkSession
+    // same recency cap as the RAW classification: classifyPerStage
+    // materializes one stage's samples in one task, so an uncapped
+    // curated path would hold every cycle median of a stage in memory
+    // — fine on the fixture, an OOM at billions of cycles. The cap is
+    // a deliberate engine guard beyond the reference (whose pandas
+    // frame is already all-in-memory); 5000 most recent cycles is the
+    // same statistical budget the raw pass runs on.
+    val cappedCurated = Segmentation.recencyTopK(
+      ctx.table("curated"), Seq("event_type"), "first_ts", MaxRawSamplesPerStage,
+      Seq(col("user_id").desc, col("cycle").desc))
     val curatedVerdicts = classifyPerStage(
       spark,
-      ctx.table("curated").select(col("event_type"), col("median_energy_cycle").as("value")),
+      cappedCurated.select(col("event_type"), col("median_energy_cycle").as("value")),
       Variance.Params(minSamples = MinSamplesCurated))
     val raw = ctx.result[Seq[VarianceVerdict]]("variance_raw")
     val byStage = curatedVerdicts.map(v => v.stage -> v).toMap
@@ -159,14 +186,18 @@ object HvacPipeline {
     * per stage; None for High-variance or empty stages
     * (ExamplePipelineCode.md:456-484).
     */
-  val thresholds: Processor = Processor("CalculateBaselines", required = Seq("curated")) { ctx =>
+  val thresholds: Processor = Processor("CalculateBaselines", required = Seq("curated"),
+    requiredRes = Seq("variance_final")) { ctx =>
     val fin = ctx.result[Seq[VarianceVerdict]]("variance_final")
     val low = fin.filter(_.variance == "Low").map(_.stage).toSet
     val medians = ctx
       .table("curated")
       .filter(col("event_type").isInCollection(low))
       .groupBy("event_type")
-      .agg(round(GroupStats.exactMedian(col("median_energy_cycle")), 0).as("threshold"))
+      // bround = Python round() (HALF_EVEN) — the reference's
+      // round(median, 0); Spark's HALF_UP round flips every exact .5,
+      // which medians of even-count integer watt data hit constantly
+      .agg(bround(GroupStats.exactMedian(col("median_energy_cycle")), 0).as("threshold"))
       .collect()
       .map(r => r.getString(0) -> r.getDouble(1))
       .toMap

@@ -59,6 +59,12 @@ object Providers {
           case 't' => sb.append('\t'); i += 2
           case '"' => sb.append('"'); i += 2
           case '\\' => sb.append('\\'); i += 2
+          // the remaining legal JSON escapes: serializers commonly
+          // escape forward slashes, and \b/\f are valid if rare —
+          // leaving them produces stray backslashes in extracted text
+          case '/' => sb.append('/'); i += 2
+          case 'b' => sb.append('\b'); i += 2
+          case 'f' => sb.append('\f'); i += 2
           case 'u' if i + 5 < s.length =>
             try { sb.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar); i += 6 }
             catch { case _: NumberFormatException => sb.append(s(i)); i += 1 }

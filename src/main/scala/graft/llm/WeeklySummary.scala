@@ -1,6 +1,6 @@
 package graft.llm
 
-import graft.ops.{GroupStats, Scalars}
+import graft.ops.TimeWindows
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
 
@@ -31,7 +31,12 @@ object WeeklySummary {
 
   /** Weekly per-stage stats over the analysis window (F5/F6 + A2/A3):
     * Sunday week buckets, count, mean, exact median, population std —
-    * all rounded to int for the prompt (ExampleAiCode.md:236-241).
+    * all rounded to int for the prompt (ExampleAiCode.md:236-241;
+    * `count` is the reference's `len(stage_df)`, so it counts
+    * null-value rows too). The aggregation is
+    * [[graft.ops.TimeWindows.roundedWeeklyStats]] — ONE definition of
+    * the week bucket + HALF_EVEN rounding, this facade only scopes the
+    * stages and renames for the prompt.
     */
   def weeklyStats(
       df: DataFrame,
@@ -39,18 +44,9 @@ object WeeklySummary {
       stageCol: String,
       valueCol: String,
       stages: Set[String]): DataFrame =
-    df.filter(col(stageCol).isInCollection(stages))
-      .withColumn("week_start", Scalars.sundayWeekStart(col(tsCol)))
-      .withColumn("week_label", Scalars.weekLabel(col(tsCol)))
-      .groupBy(col("week_start"), col("week_label"), col(stageCol).as("stage"))
-      .agg(
-        count(lit(1)).as("count"),
-        // bround = Python's int(round(x, 0)) — HALF_EVEN; Spark's
-        // round is HALF_UP and flips every exact .5 (which even-count
-        // integer medians hit constantly)
-        bround(avg(col(valueCol)), 0).cast("int").as("mean"),
-        bround(GroupStats.exactMedian(col(valueCol)), 0).cast("int").as("median"),
-        bround(stddev_pop(col(valueCol)), 0).cast("int").as("std_dev"))
+    TimeWindows.roundedWeeklyStats(
+      df.filter(col(stageCol).isInCollection(stages)), tsCol, Seq(stageCol), valueCol)
+      .withColumnRenamed(stageCol, "stage")
       .orderBy("week_start", "stage")
 
   /** Prompt assembly from the *collected* weekly summary — the f-string
@@ -58,12 +54,18 @@ object WeeklySummary {
     * driver-side by design.
     */
   def buildPrompt(deviceId: String, weekly: Array[Row]): String = {
+    // a stage whose values are ALL null has count > 0 (len semantics)
+    // but null mean/median/std — render n/a, never a fabricated 0
+    // (getAs[Int] silently unboxes null to 0) that the LLM would read
+    // as a real zero-watt anomaly
+    def stat(r: Row, c: String): String =
+      if (r.isNullAt(r.fieldIndex(c))) "n/a" else r.getAs[Int](c).toString
     val byWeek = weekly.groupBy(_.getAs[String]("week_label")).toSeq.sortBy(_._1)
     val body = byWeek.map { case (label, rows) =>
       val lines = rows.sortBy(_.getAs[String]("stage")).map { r =>
-        f"  ${r.getAs[String]("stage")}%s: count=${r.getAs[Long]("count")}%d, " +
-          f"mean=${r.getAs[Int]("mean")}%d, median=${r.getAs[Int]("median")}%d, " +
-          f"std_dev=${r.getAs[Int]("std_dev")}%d"
+        s"  ${r.getAs[String]("stage")}: count=${r.getAs[Long]("count")}, " +
+          s"mean=${stat(r, "mean")}, median=${stat(r, "median")}, " +
+          s"std_dev=${stat(r, "std_dev")}"
       }
       s"Week $label:\n" + lines.mkString("\n")
     }.mkString("\n\n")

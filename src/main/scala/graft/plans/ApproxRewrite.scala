@@ -32,8 +32,16 @@ class ApproxRewrite extends Rule[LogicalPlan] {
     case _ => false
   }
 
+  /** Tolerant flag parse: a malformed value (e.g. "1", "yes") leaves
+    * the rewrite OFF instead of throwing from inside the optimizer —
+    * which would fail EVERY query in the session, not just skip an
+    * optional optimization.
+    */
+  private def enabled: Boolean =
+    conf.getConfString(ApproxRewrite.Flag, "false").trim.equalsIgnoreCase("true")
+
   override def apply(plan: LogicalPlan): LogicalPlan =
-    if (!conf.getConfString(ApproxRewrite.Flag, "false").toBoolean) plan
+    if (!enabled) plan
     else plan.transformAllExpressions {
       case p: Percentile
           if unitFrequency(p) && !p.reverse && p.first.dataType == DoubleType =>

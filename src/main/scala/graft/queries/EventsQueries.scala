@@ -195,7 +195,10 @@ object EventsQueries {
   /** A7 — per-stage baseline threshold: round(median of per-cycle
     * medians) (ExamplePipelineCode.md:456-484; variance gating lives in
     * the pipeline, not this oracle query). Median-of-medians works in
-    * half-cents, still exact.
+    * half-cents, still exact. The OUTER round is the reference's
+    * Python round() — HALF_EVEN, so `bround` here and `round_even` in
+    * the oracle; the inner cents/half-cents rounds are the engine's
+    * own quantization and stay HALF_UP on both sides.
     */
   def q15BaselineThresholds(spark: SparkSession, dir: String): DataFrame =
     cycleStatsCore(labeled(spark, dir))
@@ -203,7 +206,7 @@ object EventsQueries {
       .select(col("state").as("event_type"), col("median_value").as("mec"))
       .groupBy(col("event_type"))
       .agg(
-        round(GroupStats.exactMedian(round(col("mec") * 200, 0).cast("long")) / lit(200.0), 0).as("threshold"),
+        bround(GroupStats.exactMedian(round(col("mec") * 200, 0).cast("long")) / lit(200.0), 0).as("threshold"),
         count(lit(1)).as("n_cycles"))
       .orderBy("event_type")
 
@@ -225,7 +228,7 @@ object EventsQueries {
       |  GROUP BY lab.user_id, event_type, lab.cycle
       |)
       |SELECT event_type,
-      |  round(quantile_cont(CAST(round(mec*200, 0) AS BIGINT), 0.5)/200.0, 0) AS threshold,
+      |  round_even(quantile_cont(CAST(round(mec*200, 0) AS BIGINT), 0.5)/200.0, 0) AS threshold,
       |  count(*) AS n_cycles
       |FROM curated
       |GROUP BY event_type

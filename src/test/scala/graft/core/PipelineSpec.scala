@@ -52,6 +52,24 @@ class PipelineSpec extends SparkSpec {
     assert(err.getMessage.contains("no_such_col"))
   }
 
+  test("a FAILED step records no checkpoint (resume must re-run it, not skip its work)") {
+    val good = Processor("Good")(c => c.withResult("g", 1))
+    val bad = Processor("Boom")(_ => throw new RuntimeException("nope"))
+    val pipe = new Pipeline(Seq(good, bad), stopOnError = false, enableCheckpoints = true)
+    pipe.run(ctx)
+    assert(pipe.checkpoints.contains("Good"))
+    assert(!pipe.checkpoints.contains("Boom"),
+      "a checkpoint under the failed step's name would make runPartial resume skip it")
+  }
+
+  test("requiredResults gates a step with a named error, not a bare key-not-found") {
+    val consumer = Processor("Needs", requiredRes = Seq("variance_raw"))(c =>
+      c.withResult("out", c.result[Int]("variance_raw") + 1))
+    val e = intercept[IllegalStateException](consumer(ctx))
+    assert(e.getMessage.contains("required result 'variance_raw'"), e.getMessage)
+    assert(consumer(ctx.withResult("variance_raw", 1)).result[Int]("out") == 2)
+  }
+
   test("runPartial slices inclusively by name") {
     val ps = Seq("A", "B", "C").map(n => Processor(n)(c => c.withResult(n, 1)))
     val out = new Pipeline(ps).runPartial(ctx, "B", "C")

@@ -29,6 +29,24 @@ class HvacEdgeSpec extends SparkSpec {
     assert(ctx.table("curated").count() == 0)
   }
 
+  test("a null watt reading inside a VALID cycle flows through, dropped from variance stats") {
+    import sqlImplicits._
+    // one 8-row cycle (valid: count >= 4, positive median/mode) whose
+    // middle readings are null — filterValidCycles keeps the rows, and
+    // the typed variance decode must not NPE on them (pandas drops NaN)
+    val events = (1L to 8L).map { i =>
+      val v: Option[Double] = if (i == 4L || i == 5L) None else Some(100.0 + i)
+      (i, ts(f"2024-01-01 00:0${i - 1}%d:00"), 1L, "a", v)
+    }.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val ctx = HvacPipeline.pipeline.run(
+      PipelineContext("edge-null", tables = Map("events" -> events)))
+    assert(ctx.errors.isEmpty, ctx.errors.toString)
+    assert(ctx.table("cleaned").count() == 8) // null rows kept by the valid-cycle semi-join
+    val verdicts = ctx.result[Seq[VarianceVerdict]]("variance_final")
+    assert(verdicts.map(_.stage) == Seq("a"))
+    assert(verdicts.head.nSamples == 6L, "nulls excluded from the classified sample")
+  }
+
   test("checkpointed pipeline records a context per executed step") {
     import sqlImplicits._
     val p1 = Processor("A")(c => c.withTable("t", Seq(1, 2, 3).toDF("x")))

@@ -72,4 +72,11 @@ class ProvidersSpec extends AnyFunSuite {
     assert(Providers.jsonEscape("a\"b\\c\nd\te") == "a\\\"b\\\\c\\nd\\te")
     assert(Providers.jsonEscape("\u0001") == "\\u0001")
   }
+  test("extraction unescapes ALL legal JSON escapes, including \\/ \\b \\f") {
+    // serializers commonly escape forward slashes; a missed escape
+    // leaves stray backslashes in the assistant text
+    val body = """{"content":"a\/b\b\f end"}"""
+    val got = Providers.extractField(body, "content")
+    assert(got == "a/b\b\f end", got.map(_.toInt).mkString(","))
+  }
 }
