@@ -57,20 +57,10 @@ object Bench {
     // baseline table, streaming pins) leave state in the shared JVM
     // that later queries silently reuse — BENCH_r09 vs r10 showed
     // multi-second per-query swings on IDENTICAL code purely from
-    // which predecessor had warmed what. Drop every cached relation
-    // and leaked persistent RDD between queries so each one pays its
-    // own cost and nothing else's.
-    // INVARIANT: unpersisting also hits locally-checkpointed RDDs
-    // whose truncated lineage cannot be recomputed — safe only
-    // because every query rebuilds ALL of its state per invocation
-    // (none memoizes a DataFrame across calls). A future shared
-    // checkpointed fixture would be destroyed by the first reset and
-    // fail later runs; keep queries self-contained or exempt their
-    // RDDs here.
-    def resetState(): Unit = {
-      spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
-    }
+    // which predecessor had warmed what. The reset and its safety
+    // invariant live in ONE place ([[graft.core.CacheHygiene]]) shared
+    // with ScaleBench and ExplainAudit.
+    def resetState(): Unit = graft.core.CacheHygiene.resetAll(spark)
     // Local-iteration escape hatch: SPARK_GRAFT_BENCH_ONLY=q83_...,q88_...
     // limits the run to the named queries. The driver never sets it,
     // so round benches always cover the full registry.

@@ -77,7 +77,8 @@ object ScaleBench {
       dir: String,
       x: Int,
       nEmb: Long,
-      extra: (String, String) => Unit): Seq[(String, () => Long)] = {
+      extra: (String, String) => Unit,
+      wanted: String => Boolean): Seq[(String, () => Long)] = {
     def docs = graft.sources.Sources.documents(spark, dir)
     def emb = graft.sources.Sources.embeddings(spark, dir)
     // Candidate-budget estimator evidence: the mid-threshold entry's
@@ -85,12 +86,18 @@ object ScaleBench {
     // — the prediction and whether it clears nearDupPairsAuto's
     // default 1e8 budget land in the JSON next to the measurement
     // (SimilaritySpec pins the formula against a measured band join).
-    locally {
+    // Extras blocks are gated on `wanted`: they run REAL Spark jobs
+    // (geometry predictions are cheap, maxStratumRows is a full
+    // aggregation), and a selective SPARK_GRAFT_SCALE_ONLY re-sweep
+    // must not pay for entries it then filters out.
+    if (wanted("embedding_neardup_mid04") || wanted("embedding_neardup_mid04_degraded")) {
       val g = graft.similarity.Similarity.lshGeometry(threshold = 0.4)
       val predicted = g.expectedBackgroundCandidates(nEmb)
       val exceeded = predicted > 100000000.0
       extra("embedding_neardup_mid04",
-        f""","predicted_background_candidates":$predicted%.4g,"candidate_budget":100000000,""" +
+        s""","predicted_background_candidates":${
+          String.format(java.util.Locale.ROOT, "%.4g", Double.box(predicted))
+        },"candidate_budget":100000000,""" +
           s""""budget_exceeded":$exceeded,"budget_policy":"FailFast"""")
       // The degraded entry runs whatever geometry the budget affords
       // at this corpus size — record what that was and the recall it
@@ -112,7 +119,7 @@ object ScaleBench {
     }
     // Record which form the packing facade routes to at this scale
     // (single corpus stratum, so max stratum rows = the doc count).
-    locally {
+    if (wanted("sequence_packing_auto")) {
       val maxStratum = graft.text.SequencePacking.maxStratumRows(
         docs.withColumn("stratum", lit("corpus")), "stratum")
       extra("sequence_packing_auto",
@@ -965,7 +972,8 @@ object ScaleBench {
         graft.sources.Sources.embeddings(spark, dir).limit(256),
         "embedding", "vec_id", threshold = 0.5, dim = 64).count()
       catch { case NonFatal(_) => () }
-      val entries = block(spark, dir, x, nEmb, (n, j) => extras((x, n)) = j)
+      val entries = block(spark, dir, x, nEmb, (n, j) => extras((x, n)) = j,
+        n => only.forall(_.contains(n)))
         .filter { case (name, _) => only.forall(_.contains(name)) }
       val times = entries.map { case (name, thunk) =>
         var rowsOut = -1L
@@ -979,15 +987,9 @@ object ScaleBench {
           }
           (System.nanoTime() - t0) / 1e9
         }
-        // Same hygiene as Bench.resetState, for the same reason PLUS
-        // survival: the cc/dup-cluster entries locally CHECKPOINT, and
-        // checkpointed RDDs are pinned until explicitly unpersisted —
-        // across 4 scales x ~30 entries the leaked blocks accumulate
-        // until the driver OOMs (observed: Spark exit 52 killing the
-        // x30 block mid-sweep). Each entry rebuilds all of its state,
-        // so dropping everything between entries is always safe.
-        spark.catalog.clearCache()
-        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+        // Same hygiene as Bench, same invariant — one definition
+        // (graft.core.CacheHygiene carries the OOM/exit-52 history).
+        graft.core.CacheHygiene.resetAll(spark)
         // A failed run must not masquerade as a measurement: the
         // timing is nulled in the JSON and the query is excluded from
         // the alpha fit (a thrown query's wall time measures nothing).
@@ -1014,10 +1016,23 @@ object ScaleBench {
     // interpolator would emit "0,1234" under comma-decimal locales —
     // invalid JSON in the committed artifact.
     def jnum(d: Double): String = String.format(java.util.Locale.ROOT, "%.4f", Double.box(d))
+    // full JSON string escaping (same contract as Verify's oracle
+    // dump): an exception message with a tab or CR — Spark analysis
+    // errors embed plan fragments — would otherwise corrupt the whole
+    // artifact and lose the sweep's measurements
+    def jstr(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => String.format(java.util.Locale.ROOT, "\\u%04x", Int.box(c.toInt))
+      case c => c.toString
+    } + "\""
     val scaleJson = perScale.map { case (x, nDocs, nEmb, times) =>
       val qs = times.map { case (n, t, r, err) =>
         val sec = t.fold("null")(jnum)
-        val e = err.fold("")(m => s""","error":"${m.replace("\\", "\\\\").replace("\"", "\\\"")}"""")
+        val e = err.fold("")(m => s""","error":${jstr(m)}""")
         val ex = extras.getOrElse((x, n), "")
         s""""$n":{"sec":$sec,"rows":$r$e$ex}"""
       }.mkString(",")

@@ -229,20 +229,28 @@ private class AdxLikeWrite(
 
   private def ledgerTable: String = s"${table}_graft_epochs"
 
+  // Memoized per query, NOT per epoch: the factory is re-created every
+  // micro-batch, but neither the remote schema behind insertSql (a
+  // remote metadata roundtrip) nor the ledger's existence (a DDL
+  // roundtrip) can change across epochs of one query — re-running both
+  // per epoch charged two driver-side remote calls per trigger forever.
+  private lazy val streamInsertSql: String = insertSql()
+  private lazy val ledgerReady: Unit = Jdbc.withRetries(maxRetries) {
+    val conn = DriverManager.getConnection(url)
+    try {
+      try conn.createStatement().execute(
+        s"CREATE TABLE $ledgerTable (query_id VARCHAR(128) NOT NULL, " +
+          "epoch_id BIGINT NOT NULL, PRIMARY KEY (query_id, epoch_id))")
+      catch { case e: java.sql.SQLException if e.getSQLState == "X0Y32" => () } // exists
+    } finally conn.close()
+  }
+
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo):
       org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory = {
-    Jdbc.withRetries(maxRetries) {
-      val conn = DriverManager.getConnection(url)
-      try {
-        try conn.createStatement().execute(
-          s"CREATE TABLE $ledgerTable (query_id VARCHAR(128) NOT NULL, " +
-            "epoch_id BIGINT NOT NULL, PRIMARY KEY (query_id, epoch_id))")
-        catch { case e: java.sql.SQLException if e.getSQLState == "X0Y32" => () } // exists
-      } finally conn.close()
-    }
+    ledgerReady
     new AdxLikeStreamingWriterFactory(
-      url, insertSql(), writeSchema, maxRetries, ledgerTable, queryIdLit)
+      url, streamInsertSql, writeSchema, maxRetries, ledgerTable, queryIdLit)
   }
 
   // queryId is Spark's UUID string; escape defensively anyway
@@ -440,9 +448,8 @@ private class AdxLikeScanBuilder(
     * see — predicates and aggregates touching them must stay
     * Spark-side.
     */
-  private def normalized(name: String): Boolean = normalize && (
-    realCols(name) ||
-      cur.fields.exists(f => f.name == name && f.dataType == TimestampType))
+  private def normalized(name: String): Boolean =
+    AdxLike.normalizedColumn(normalize, realCols, cur, name)
 
   /** Join pushdown (`spark.sql.optimizer.datasourceV2JoinPushdown`):
     * two scans of the same remote become ONE remote query — `FROM
@@ -488,7 +495,22 @@ private class AdxLikeScanBuilder(
           case LEFT_OUTER_JOIN => "LEFT JOIN"
           case RIGHT_OUTER_JOIN => "RIGHT JOIN"
         }
-        val out = StructType(exportSchema(leftCols) ++ o.exportSchema(rightCols))
+        // the null-extended side's columns MUST report nullable even
+        // when the remote declares them NOT NULL: Spark rebuilds the
+        // join output straight from this readSchema (no outer-join
+        // nullability fix-up in V2ScanRelationPushDown), so a
+        // non-nullable field would make codegen skip the null check on
+        // unmatched rows — NULL silently reads as 0/false and
+        // IsNull filters constant-fold away
+        val leftFields = exportSchema(leftCols)
+        val rightFields = o.exportSchema(rightCols)
+        val out = joinType match {
+          case LEFT_OUTER_JOIN =>
+            StructType(leftFields ++ rightFields.map(_.copy(nullable = true)))
+          case RIGHT_OUTER_JOIN =>
+            StructType(leftFields.map(_.copy(nullable = true)) ++ rightFields)
+          case _ => StructType(leftFields ++ rightFields)
+        }
         AdxLike.compileJoinCondition(cond, out) match {
           case None => false
           case Some(c) =>
@@ -727,9 +749,8 @@ private class AdxLikeScan(
 
   @volatile private var runtime: Array[Filter] = Array.empty
 
-  private def normalizedCol(name: String): Boolean = normalize && (
-    realCols(name) ||
-      fullSchema.fields.exists(f => f.name == name && f.dataType == TimestampType))
+  private def normalizedCol(name: String): Boolean =
+    AdxLike.normalizedColumn(normalize, realCols, fullSchema, name)
 
   /** Runtime (DPP-style) filtering: at execution time Spark hands the
     * scan the join keys that survived the other side's selective
@@ -1101,6 +1122,22 @@ private[graft] object AdxLike {
     }
 
   val RemoteNameKey = "adxlike.remoteName"
+
+  /** Pushability rule for kusto-normalized columns, ONE definition for
+    * the scan builder and the runtime scan (they must never diverge: a
+    * column the planner correctly blocked must not become pushable at
+    * runtime). A normalized column's remote raw values disagree with
+    * what Spark sees — second-floored timestamps, coerced string reals
+    * — so predicates and aggregates on it stay Spark-side.
+    */
+  private[sources] def normalizedColumn(
+      normalize: Boolean,
+      realCols: Set[String],
+      schema: StructType,
+      name: String): Boolean =
+    normalize && (
+      realCols(name) ||
+        schema.fields.exists(f => f.name == name && f.dataType == TimestampType))
 
   /** Quote a remote identifier verbatim (no schema lookup) — used for
     * join-pushdown aliases, whose exported names ARE the identifiers.

@@ -54,6 +54,11 @@ object Jdbc {
       case Some(st) if st.startsWith("08") => Retryable
       case Some(st) if st.startsWith("40") => Retryable
       case Some("XX000") | Some("HYT00") | Some("HYT01") => Retryable
+      // fatal states short-circuit BEFORE the message heuristic: an
+      // auth failure whose message happens to contain "timeout" (SQL
+      // Server's "Login failed ... connection timeout expired") must
+      // fail fast, not loop on an undiagnosed credential problem
+      case Some(st) if st.startsWith("28") || st.startsWith("42") => Fatal
       case _ =>
         // Driver-agnostic transient signals without a usable SQLState —
         // checked on every message in the chain, not just the wrapper's.

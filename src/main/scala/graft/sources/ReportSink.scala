@@ -31,10 +31,14 @@ object ReportSink {
     val numeric = df.schema.fields.collect {
       case f if f.dataType.isInstanceOf[NumericType] => f.name
     }
-    // one job: count + min/max/mean for every numeric column
+    // one job: count + min/max/mean for every numeric column.
+    // Backtick-quoted: a column name containing a dot (legal, common
+    // from JSON ingest) would otherwise parse as struct-field access
+    // and fail the whole report.
     val aggs = count(lit(1)).as("__n") +: numeric.toSeq.flatMap { c =>
-      Seq(min(col(c)).as(s"__min_$c"), max(col(c)).as(s"__max_$c"),
-        avg(col(c)).as(s"__avg_$c"))
+      val qc = col(s"`$c`")
+      Seq(min(qc).as(s"__min_$c"), max(qc).as(s"__max_$c"),
+        avg(qc).as(s"__avg_$c"))
     }
     val stats = df.agg(aggs.head, aggs.tail: _*).head()
     val n = stats.getAs[Long]("__n")

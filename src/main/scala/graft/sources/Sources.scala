@@ -80,6 +80,11 @@ object SourceRegistry {
   private val registry = scala.collection.concurrent.TrieMap.empty[String, Reader]
 
   Sources.tableNames.foreach(n => register(n, (s, d) => Sources.read(s, d, n)))
+  // events is NOT the generic parquet reader: its ts column is parquet
+  // TIMESTAMP(NANOS), which Sources.events rebuilds into a real
+  // TimestampType — the bare reader would either throw (flag off) or
+  // hand registry consumers raw nanos as a LongType (flag on)
+  register("events", (s, d) => Sources.events(s, d))
 
   def register(name: String, reader: Reader): Unit = registry.put(name, reader)
 

@@ -330,7 +330,11 @@ class AdxLikeSourceSpec extends SparkSpec {
     try {
       val st = conn.createStatement()
       try st.execute("DROP TABLE refs") catch { case _: SQLException => () }
-      st.execute("CREATE TABLE refs (rid BIGINT, device VARCHAR(16), score DOUBLE)")
+      // NOT NULL on purpose: the null-extended side of a pushed outer
+      // join must still read back as NULLABLE (a non-nullable
+      // readSchema would make codegen skip the null check and read
+      // unmatched rows' NULL score as 0.0)
+      st.execute("CREATE TABLE refs (rid BIGINT NOT NULL, device VARCHAR(16) NOT NULL, score DOUBLE NOT NULL)")
       Seq((2, "x2", 0.5), (4, "x4", 1.5), (17, "x17", 2.5), (40, "x40", 9.9))
         .foreach { case (r, d, s) => st.execute(s"INSERT INTO refs VALUES ($r, '$d', $s)") }
       st.close()
@@ -371,11 +375,16 @@ class AdxLikeSourceSpec extends SparkSpec {
       assert(AdxLike.lastQuery.contains(" JOIN ") &&
         AdxLike.lastQuery.contains("GROUP BY"), AdxLike.lastQuery)
 
-      // left outer join pushes too, null-extending the right side
+      // left outer join pushes too, null-extending the right side —
+      // whose remote NOT NULL columns must flip to nullable in the
+      // pushed readSchema, or unmatched rows' NULLs silently read 0.0
       val lj = a.join(b, a("id") === b("rid"), "left")
         .select(a("id"), b("score")).orderBy(a("id"))
+      assert(lj.schema("score").nullable,
+        "null-extended side must be nullable in the pushed join schema")
       val gotL = lj.collect().map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getDouble(1))))
       assert(gotL.length == 30 && gotL.count(_._2.isDefined) == 3)
+      assert(gotL.count(_._2.contains(0.0)) == 0, "an unmatched row's NULL must never read as 0.0")
       assert(AdxLike.lastQuery.contains("LEFT JOIN"), AdxLike.lastQuery)
 
       // a STRING join key never pushes: remote equality is a

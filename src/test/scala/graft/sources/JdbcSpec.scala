@@ -57,6 +57,14 @@ class JdbcSpec extends SparkSpec {
     assert(df.select("device").distinct().count() == 3)
   }
 
+  test("the registry's 'events' reader is the typed one: ts comes back as a real timestamp") {
+    // the generic parquet reader would either throw on TIMESTAMP(NANOS)
+    // or hand consumers raw nanos as a LongType
+    val df = SourceRegistry.get("events")(spark, "/root/testdata/sf0.001")
+    assert(df.schema("ts").dataType == org.apache.spark.sql.types.TimestampNTZType,
+      df.schema.treeString)
+  }
+
   test("classification: auth/syntax are fatal, connection/deadlock retryable") {
     assert(Jdbc.classify(new SQLException("denied", "28000")) == Jdbc.Fatal)
     assert(Jdbc.classify(new SQLException("bad sql", "42X01")) == Jdbc.Fatal)
@@ -72,6 +80,13 @@ class JdbcSpec extends SparkSpec {
     // SQLState deeper than a stateless wrapper SQLException
     assert(Jdbc.classify(new SQLException("outer, no state",
       new SQLException("deadlock", "40001"))) == Jdbc.Retryable)
+    // a FATAL state short-circuits the transient-message heuristic:
+    // an auth failure whose message mentions "timeout" (SQL Server's
+    // "Login failed ... connection timeout expired") must fail fast
+    assert(Jdbc.classify(new SQLException(
+      "Login failed for user: connection timeout expired", "28000")) == Jdbc.Fatal)
+    assert(Jdbc.classify(new SQLException(
+      "syntax error near 'timeout'", "42000")) == Jdbc.Fatal)
     intercept[IllegalArgumentException] { Jdbc.withRetries(maxRetries = 0) { 42 } }
   }
 

@@ -23,6 +23,13 @@ class ReportSinkSpec extends SparkSpec {
     assert(!md.contains("| 3 | d"), "limit(2) must bound the sample")
   }
 
+  test("a column name containing a dot reports stats instead of failing as struct access") {
+    import sqlImplicits._
+    val dotted = Seq((1L, 2.0), (2L, 4.0)).toDF("id", "price.usd")
+    val md = ReportSink.render(dotted, "Dotted", maxRows = 2)
+    assert(md.contains("| price.usd | 2 | 4 | 3 |"), md)
+  }
+
   test("render is total on an empty frame and write lands the file") {
     import sqlImplicits._
     val empty = Seq.empty[(Long, Double)].toDF("k", "v")
