@@ -69,6 +69,29 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("BPE grain is the code point: surrogate pairs stay whole through train and segment") {
+    import graft.text.BpeStats
+    // supplementary-plane characters are two UTF-16 code units; the
+    // trainer and segmenter must never split one (a lone surrogate
+    // symbol can never match fit's code-point base alphabet)
+    val cps = Seq("a", "b", "😀", "😂")
+    val word: Gen[String] = Gen.nonEmptyListOf(Gen.oneOf(cps)).map(_.take(8).mkString)
+    val corpusGen: Gen[List[String]] = Gen.nonEmptyListOf(word).map(_.take(15))
+    samples(corpusGen, 25).foreach { ws =>
+      val vocab = ws.groupBy(identity).map { case (w, g) => (w, g.size.toLong) }.toArray
+      val merges = BpeStats.trainMerges(vocab, 6)
+      val ranks = merges.map(_._1).zipWithIndex.toMap
+      ws.foreach { w =>
+        val syms = BpeStats.segmentWord(w, ranks)
+        assert(syms.mkString == w + BpeStats.EndOfWord, w)
+        syms.foreach { s =>
+          assert(!Character.isLowSurrogate(s.head), s"symbol starts mid-pair: $s")
+          assert(!Character.isHighSurrogate(s.last), s"symbol ends mid-pair: $s")
+        }
+      }
+    }
+  }
+
   test("BPE segmentation is lossless and closed over the trained vocabulary (no UNK ever)") {
     import graft.text.BpeStats
     val word: Gen[String] =
