@@ -31,14 +31,27 @@ object Dedup {
     * them would silently collapse every document with missing text
     * into one survivor — the unhashable-rows-kept rule (see
     * [[dropSeenHamming]]) applies to the self-dedup too.
+    *
+    * Shape: min-aggregate + id semi-join, NOT a fingerprint-partitioned
+    * window. The window form funnels every duplicate class into ONE
+    * task's sort (a crawl's million-copy boilerplate class = one
+    * straggler) and would sort the null-text rows in a single
+    * partition too; its null-or-rank filter is a disjunction
+    * `InferWindowGroupLimit` cannot rewrite to a partial group-limit.
+    * The aggregate map-side combines each class to one 16-byte
+    * (fp, min id) pair per task before its only exchange; the keeper
+    * semi-join is keyed on the UNIQUE id, so it is skew-free no matter
+    * how large a duplicate class is.
     */
   def exactDedup(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val w = Window.partitionBy(col("__fp")).orderBy(col(idCol).asc)
-    df.withColumn("__fp",
-        when(col(textCol).isNotNull, TextAnalysis.contentFingerprint(col(textCol))))
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__fp").isNull || col("__rn") === 1)
-      .drop("__fp", "__rn")
+    val hashable = df.filter(col(textCol).isNotNull)
+    val keepers = hashable
+      .select(TextAnalysis.contentFingerprint(col(textCol)).as("__fp"), col(idCol).as("__keep_id"))
+      .groupBy(col("__fp"))
+      .agg(min(col("__keep_id")).as("__keep_id"))
+      .select(col("__keep_id"))
+    df.filter(col(textCol).isNull)
+      .unionByName(hashable.join(keepers, col(idCol) === col("__keep_id"), "left_semi"))
   }
 
   /** Exact-dup groups: fingerprint -> (n copies, canonical id).
@@ -99,15 +112,22 @@ object Dedup {
     * key, signatures carried through for estimation.
     */
   private def candidatePairsFromSig(sig: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    // Only (id, band, h) rides the band join, and the pair distinct
+    // keys on bare (id_a, id_b): the 32-long signatures (~270 B each)
+    // are a pure function of the id, so carrying them through the
+    // join and the distinct's aggregate would move ~30x the bytes the
+    // candidate stream needs (minePairs documents the same rule for
+    // its vector payload). Consumers that need signatures re-join
+    // them at id grain ([[minhashCandidatePairs]]).
     val banded = sig.select(
-      col("id"), col("sig"),
+      col("id"),
       explode(bandStructs(col("sig"), numHashes, bands)).as("bk"))
-      .select(col("id"), col("sig"), col("bk.band"), col("bk.h"))
-    val a = banded.toDF("id_a", "sig_a", "band", "h")
-    val b = banded.toDF("id_b", "sig_b", "band", "h")
+      .select(col("id"), col("bk.band"), col("bk.h"))
+    val a = banded.toDF("id_a", "band", "h")
+    val b = banded.toDF("id_b", "band", "h")
     a.join(b, Seq("band", "h"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sig_a", "sig_b")
+      .select("id_a", "id_b")
       .distinct()
   }
 
@@ -131,7 +151,15 @@ object Dedup {
     val sig = df
       .select(col(idCol).as("id"), ShingleHashes.shingleHashes(col(textCol), n).as("__gh"))
       .select(col("id"), MinHashSig.minhashSig(col("__gh"), numHashes, seed).as("sig"))
+      // feeds the banding pass and the two id-grain signature lookups
+      // below — lazy persist, one shingling/minhash pass total (LRU
+      // trade as documented at PerceptualHash.videoDupPairsReleasable)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // signatures rejoin AT ID GRAIN after the distinct — shuffle-hash
+    // so the candidate stream is never sorted carrying the arrays
     candidatePairsFromSig(sig, numHashes, bands)
+      .join(sig.toDF("id_a", "sig_a").hint("shuffle_hash"), "id_a")
+      .join(sig.toDF("id_b", "sig_b").hint("shuffle_hash"), "id_b")
       .withColumn(
         "est_jaccard",
         aggregate(

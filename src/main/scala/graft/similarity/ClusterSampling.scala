@@ -78,14 +78,20 @@ object ClusterSampling {
       model: Ivf.Model,
       perCellCap: Long,
       seed: Long = 0L): DataFrame = {
-    val kept = clusterBalancedSample(df, vecCol, idCol, model, perCellCap, seed)
-      .groupBy(col("cell")).agg(count(lit(1)).as("n_kept"))
+    // ONE ranked pass: the cell assignment (k x dim MACs per row — the
+    // dominant cost) and its exchange run once, and both counts fall
+    // out of the same aggregate; a sample-branch + totals-branch join
+    // would run the full-corpus assignment twice for numbers derivable
+    // together.
     val n: Column = Similarity.norm(col(vecCol))
-    val totals = df
-      .filter(n > 0 && !isnan(n))
+    df.filter(n > 0 && !isnan(n))
       .withColumn("cell", Ivf.cellOf(col(vecCol), model))
-      .groupBy(col("cell")).agg(count(lit(1)).as("n_total"))
-    totals.join(kept, Seq("cell"), "left")
-      .select(col("cell"), col("n_total"), coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(col("cell"))
+          .orderBy(graft.ops.Sampling.sampleScore(col(idCol), seed).asc, col(idCol).asc)))
+      .groupBy(col("cell"))
+      .agg(
+        count(lit(1)).as("n_total"),
+        sum(when(col("__rk") <= lit(perCellCap), 1L).otherwise(0L)).as("n_kept"))
   }
 }

@@ -110,6 +110,14 @@ object SemDedup {
       .join(broadcast(cents), Seq("cell"))
       .withColumn("rep_sim", Similarity.dot(col(vecCol), col("__centroid")))
       .drop("__centroid")
+      // three consumers (the pair join's two sides + the decision
+      // join-back): without the persist each one re-runs the
+      // full-corpus cell assignment (k x dim MACs per row — the
+      // operator's dominant cost). Lazy persist keeps DataFrame
+      // construction job-free; the entry ages out of the LRU store
+      // (the one-shot-batch trade documented at
+      // PerceptualHash.videoDupPairsReleasable).
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dec = decisions(withRep, vecCol, idCol, "cell", "rep_sim", eps)
       .select(col(idCol), col("cell"), col("rep_sim"),
         col("n_dup_partners"), col("removed"))

@@ -645,13 +645,23 @@ object Similarity {
     val refinePlanes = hyperplanes(dim, 63, seed = 1042L)
     val refinePlanes2 = hyperplanes(dim, 63, seed = 2042L)
     val bandMask = if (bitsPerBand == 64) -1L else (1L << bitsPerBand) - 1
-    val aU = unitVectors(df, vecCol, idCol)
-    val bU = ref.map(unitVectors(_, vecCol, idCol)).getOrElse(aU)
-    def probedKeys(vecs: DataFrame, radius: Int): DataFrame = {
-      val sigs = vecs
-        .withColumn("__sig", rhpSignature(col(vecCol), planes))
-        .withColumn("__rsig", rhpSignature(col(vecCol), refinePlanes))
-        .withColumn("__rsig2", rhpSignature(col(vecCol), refinePlanes2))
+    // ONE persisted (id, unit-vec, 3 signatures) projection per side:
+    // four plan branches consume each side (both probedKeys legs of
+    // the self-join + the two verify lookups), and with asymmetric
+    // probe masks ReuseExchange cannot collapse them — unpersisted,
+    // the full-corpus scan + normalization would run up to 4x and the
+    // 190-plane signature pass twice. Lazy persist keeps DataFrame
+    // construction job-free (PlanContractSpec pins that for q30); the
+    // entry ages out of the LRU store, the one-shot-batch trade
+    // documented at PerceptualHash.videoDupPairsReleasable.
+    def sigged(vecs: DataFrame): DataFrame = vecs
+      .withColumn("__sig", rhpSignature(col(vecCol), planes))
+      .withColumn("__rsig", rhpSignature(col(vecCol), refinePlanes))
+      .withColumn("__rsig2", rhpSignature(col(vecCol), refinePlanes2))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val aS = sigged(unitVectors(df, vecCol, idCol))
+    val bS = ref.map(r => sigged(unitVectors(r, vecCol, idCol))).getOrElse(aS)
+    def probedKeys(sigs: DataFrame, radius: Int): DataFrame = {
       val exact = sigs.select(
         col(idCol), col("__rsig"), col("__rsig2"),
         explode(array((0 until bands).map { b =>
@@ -665,9 +675,9 @@ object Similarity {
         .select(col(idCol), col("__rsig"), col("__rsig2"),
           col("band"), col("h").bitwiseXOR(col("__m")).as("h"))
     }
-    val a = probedKeys(aU, probeHamming - probeHamming / 2)
+    val a = probedKeys(aS, probeHamming - probeHamming / 2)
       .toDF("id_a", "rsig_a", "rsig2_a", "band", "h")
-    val b = probedKeys(bU, probeHamming / 2)
+    val b = probedKeys(bS, probeHamming / 2)
       .toDF("id_b", "rsig_b", "rsig2_b", "band", "h")
     val maxDisagree = refineCut(refinePlanes.length + refinePlanes2.length, threshold)
     val joined = a.join(b, Seq("band", "h"))
@@ -677,8 +687,10 @@ object Similarity {
           bit_count(col("rsig2_a").bitwiseXOR(col("rsig2_b")))) <= maxDisagree)
       .select("id_a", "id_b")
       .distinct()
-    val vecA = aU.toDF("id_a", "vec_a")
-    val vecB = bU.toDF("id_b", "vec_b")
+    // the verify lookups read the SAME persisted projection (pruned to
+    // (id, vec)) — no second scan of the vector source
+    val vecA = aS.select(col(idCol), col(vecCol)).toDF("id_a", "vec_a")
+    val vecB = bS.select(col(idCol), col(vecCol)).toDF("id_b", "vec_b")
     val (ja, jb) =
       if (broadcastVerify) (broadcast(vecA), broadcast(vecB))
       else (vecA.hint("shuffle_hash"), vecB.hint("shuffle_hash"))

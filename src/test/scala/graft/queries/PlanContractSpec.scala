@@ -80,7 +80,14 @@ class PlanContractSpec extends SparkSpec {
     "q24_lang_stats" -> 2,
     "q25_langid_fingerprint" -> 1,
     "q25a_langid_tokens" -> 1,
-    "q26_minhash_pairs" -> 2,
+    // q26: 6 LIGHT exchanges after the payload trim — the band join
+    // and pair-distinct now carry only (id, band, h) / (id_a, id_b)
+    // (the 32-long signatures previously rode both, ~30x the bytes),
+    // and the est_jaccard signatures rejoin at id grain through two
+    // shuffle-hash lookups against the persisted sig table. More
+    // exchanges, far fewer bytes: the candidate stream is 16-byte
+    // pairs and the sig table shuffles once per lookup.
+    "q26_minhash_pairs" -> 6,
     // q27/q83/q87: hammingPairs now bands over DISTINCT signatures —
     // 7 planned exchanges (member distinct, sig distinct, banded join
     // pair, sig-pair distinct, the two membership-expansion joins +
@@ -324,7 +331,10 @@ class PlanContractSpec extends SparkSpec {
     // it) and the kept-census aggregate shares that partitioning;
     // the totals aggregate shuffles once; the k-row kept side then
     // joins the totals by BROADCAST, + oracle ORDER BY.
-    "q94_cluster_balanced_sample" -> 3,
+    // q94: the census is ONE ranked pass — the window exchange on the
+    // cell satisfies the counts groupBy, so sample+totals no longer
+    // assign cells twice (was 3)
+    "q94_cluster_balanced_sample" -> 2,
     // q95: q87's exact shape (distinct-signature banded Hamming
     // join) over the spectral hash.
     "q95_audio_dups_spectral" -> 7,
