@@ -109,26 +109,59 @@ object Dedup {
 
   /** Banded self-join over a precomputed (id, sig) signature table:
     * distinct (id_a < id_b) pairs colliding on >= 1 (band, bandHash)
-    * key, signatures carried through for estimation.
+    * key — the same output set as an id-grain band join, computed in
+    * SIGNATURE-CLASS space.
+    *
+    * Scale shape (the same discipline as the Hamming family's
+    * distinct-signature banding): ids collapse to signature classes
+    * (surrogate key = min id per identical signature), the band
+    * self-join runs over ONE row per class — so a 10k-copy boilerplate
+    * class is one node, not 10k x 10k x bands join rows — and id
+    * pairs expand afterwards: cross-class collisions join each class
+    * pair's members (every combination collides by construction, in
+    * canonical least/greatest order, so no post-expansion distinct is
+    * needed), and same-class members pair directly (identical
+    * signatures collide in every band). The pair OUTPUT remains
+    * quadratic in class size — intrinsic to a pair API; the clusters
+    * API is the linear-output form — but the join and the distinct no
+    * longer are. Only ids and 8-byte band keys ride any exchange; the
+    * signatures re-join at id grain where needed
+    * ([[minhashCandidatePairs]]).
     */
   private def candidatePairsFromSig(sig: DataFrame, numHashes: Int, bands: Int): DataFrame = {
-    // Only (id, band, h) rides the band join, and the pair distinct
-    // keys on bare (id_a, id_b): the 32-long signatures (~270 B each)
-    // are a pure function of the id, so carrying them through the
-    // join and the distinct's aggregate would move ~30x the bytes the
-    // candidate stream needs (minePairs documents the same rule for
-    // its vector payload). Consumers that need signatures re-join
-    // them at id grain ([[minhashCandidatePairs]]).
-    val banded = sig.select(
-      col("id"),
-      explode(bandStructs(col("sig"), numHashes, bands)).as("bk"))
-      .select(col("id"), col("bk.band"), col("bk.h"))
-    val a = banded.toDF("id_a", "band", "h")
-    val b = banded.toDF("id_b", "band", "h")
-    a.join(b, Seq("band", "h"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
+    // class table (sig -> surrogate key = min id) via a map-side
+    // combined AGGREGATE, never a sig-partitioned window (a window
+    // would put each mega-class in one task — the hazard this shape
+    // exists to remove); both it and the member map are multi-consumer
+    // so they persist lazily (LRU trade, see videoDupPairsReleasable)
+    val classKeys = sig
+      .groupBy(col("sig")).agg(min(col("id")).as("__sk"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val members = sig.join(classKeys, Seq("sig"))
+      .select(col("id"), col("__sk"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // one banded row set per CLASS
+    val classes = classKeys
+      .select(col("__sk"), explode(bandStructs(col("sig"), numHashes, bands)).as("bk"))
+      .select(col("__sk"), col("bk.band"), col("bk.h"))
+    val a = classes.toDF("sk_a", "band", "h")
+    val b = classes.toDF("sk_b", "band", "h")
+    // sk_a <= sk_b keeps the SELF pair (every class collides with
+    // itself in every band), so one expansion join covers both the
+    // cross-class pairs and the within-class pairs
+    val classPairs = a.join(b, Seq("band", "h"))
+      .filter(col("sk_a") <= col("sk_b"))
+      .select("sk_a", "sk_b")
       .distinct()
+    classPairs
+      .join(members.toDF("__ma", "sk_a").hint("shuffle_hash"), "sk_a")
+      .join(members.toDF("__mb", "sk_b").hint("shuffle_hash"), "sk_b")
+      // distinct classes: every member combination collides (ordered
+      // least/greatest); same class: keep each unordered pair once
+      .filter(col("sk_a") =!= col("sk_b") || col("__ma") < col("__mb"))
+      .select(
+        least(col("__ma"), col("__mb")).as("id_a"),
+        greatest(col("__ma"), col("__mb")).as("id_b"))
   }
 
   /** LSH candidate pairs: band the signature (`bands` x `rowsPerBand`),

@@ -76,18 +76,21 @@ class PlanContractSpec extends SparkSpec {
     "q20_token_stats" -> 1,
     "q21_exact_dedup" -> 2,
     "q22_quality_score" -> 1,
-    "q23_ngram_jaccard_pairs" -> 6,
+    // q23/q26: MinHash candidates now band over SIGNATURE CLASSES
+    // (surrogate key = min id; the Hamming family's discipline) and
+    // expand to id pairs afterwards — a 10k-copy class is one banded
+    // node, not 10k x bands join rows. More exchanges than the old
+    // id-grain join, but every one carries ids/8-byte band keys in
+    // class space; the old shape's cost was quadratic in class size.
+    "q23_ngram_jaccard_pairs" -> 10,
     "q24_lang_stats" -> 2,
     "q25_langid_fingerprint" -> 1,
     "q25a_langid_tokens" -> 1,
-    // q26: 6 LIGHT exchanges after the payload trim — the band join
-    // and pair-distinct now carry only (id, band, h) / (id_a, id_b)
-    // (the 32-long signatures previously rode both, ~30x the bytes),
-    // and the est_jaccard signatures rejoin at id grain through two
-    // shuffle-hash lookups against the persisted sig table. More
-    // exchanges, far fewer bytes: the candidate stream is 16-byte
-    // pairs and the sig table shuffles once per lookup.
-    "q26_minhash_pairs" -> 6,
+    // q26: class-space banding (see q23) + the est_jaccard signatures
+    // rejoining at id grain through shuffle-hash lookups against the
+    // persisted sig table — light exchanges where the old two were
+    // payload-heavy (signatures rode the band join AND the distinct).
+    "q26_minhash_pairs" -> 10,
     // q27/q83/q87: hammingPairs now bands over DISTINCT signatures —
     // 7 planned exchanges (member distinct, sig distinct, banded join
     // pair, sig-pair distinct, the two membership-expansion joins +
