@@ -351,9 +351,16 @@ object StreamingOps {
     * ids with zero verified hits. ZERO retained state (the group
     * completes in its own micro-batch — all of an id's band rows
     * explode from one input row) and the static side broadcasts /
-    * re-plans per micro-batch, so the gate's cost per batch is the
-    * batch's own size, independent of stream history. Persist the
-    * banded reference table — it re-plans every micro-batch.
+    * re-plans per micro-batch, so the gate's RETAINED cost is the
+    * batch's own size, independent of stream history. HONEST static
+    * caveat: the bands-way explode over the reference is derived
+    * INSIDE this function, so persisting `refSigs` does not stop the
+    * |ref| x bands banding from re-running each trigger — a
+    * reference-sized per-batch tax at second-scale triggers over a
+    * huge index. At that regime, gate in a `foreachBatch` loop with
+    * [[graft.dedup.Dedup.dropSeenHamming]] over a persisted banded
+    * table instead (the [[graft.dedup.SeenIndex]] ingest loops are
+    * exactly that shape).
     *
     * Parity (StreamingOpsSpec): kept ids over any stream prefix equal
     * the batch gate on the union of those batches. Pigeonhole
@@ -517,9 +524,16 @@ object StreamingOps {
     * twin — the n-gram-overlap ingest gate over an unbounded
     * `(id, text)` stream against a STATIC reference corpus: admit
     * only arrivals with no reference document at exact Jaccard >=
-    * `threshold`. `refIndex` is the [[shingleIndex]] of the reference
-    * (persist it — the derived banded signature table re-plans every
-    * micro-batch). Each arrival pays one shingle+signature pass, one
+    * `threshold`. `refIndex` is the [[shingleIndex]] of the reference.
+    * HONEST static caveat: the reference's MinHash signatures and
+    * banding are derived INSIDE this function, so persisting
+    * `refIndex` caches only the shingle arrays — the 32-hash
+    * signature pass over the whole reference re-runs every trigger, a
+    * reference-sized per-batch tax at second-scale triggers. At that
+    * regime gate in a `foreachBatch` loop against a persisted
+    * signature table ([[graft.dedup.SeenIndex.gateStreamSimhash]] is
+    * the durable form of exactly that shape). Each arrival pays one
+    * shingle+signature pass, one
     * stream-static LEFT join per banded MinHash key against the
     * reference's banded signatures, one stream-static join pulling
     * each candidate's reference shingle set, and the EXACT Jaccard
@@ -618,6 +632,11 @@ object StreamingOps {
     * history; hot-shingle-heavy corpora should gate in larger batch
     * windows with the prefix-filtered batch twin instead. ZERO
     * retained state: all of an id's rows derive from one input row.
+    * HONEST static caveat: the exploded (ref_id, shingle) table is
+    * built INSIDE this function — persisting `refIndex` does not stop
+    * the corpus-token-sized explode + hash build from re-running per
+    * trigger; a huge reference at short triggers belongs in a
+    * `foreachBatch` loop over a persisted exploded table.
     * Id-grain output, so ids must be UNIQUE within a micro-batch
     * (the [[dropSeenJaccardStream]] rule).
     */
@@ -847,6 +866,13 @@ object StreamingOps {
   /** End-to-end streaming near-dedup: MinHash-LSH candidates via keyed
     * state ([[minhashCandidatesStream]]) -> exact verification against
     * the static corpus index ([[verifiedNearDupStream]]).
+    *
+    * STATE BOUND: this composes the UNBOUNDED candidate miner (the
+    * finite-run / parity shape — its seen-set grows with the whole
+    * stream). A production firehose should compose
+    * [[minhashCandidatesStreamTtl]] (event-time-expired state) with
+    * [[verifiedNearDupStream]] directly; the unbounded default is not
+    * a production endorsement.
     */
   def minhashVerifiedStream(
       docs: DataFrame,
@@ -887,6 +913,15 @@ object StreamingOps {
     * projections/filters, so the batch functions run unchanged on a
     * streaming DataFrame — StreamingOpsSpec pins both parities there
     * too, with no wrapper to drift.
+    *
+    * THROUGHPUT CEILING, stated plainly: parallelism is the stratum
+    * count (one state key per stratum) and each stratum's micro-batch
+    * slice is buffered and sorted in ONE task — the same
+    * serialization the batch facade's window form has, WITHOUT a
+    * distributed escape (a stream cannot chunk a running offset).
+    * A handful-of-strata firehose belongs in a `foreachBatch` loop
+    * over [[graft.text.SequencePacking.assignBinsDistributed]]
+    * with carried offsets, not in this stateful twin.
     */
   def packBinsStream(
       docs: DataFrame,
@@ -1141,6 +1176,13 @@ object StreamingOps {
     * dedup→gophered→decontaminated composition on the union of those
     * batches — q77's released set when fed the corpus slice with the
     * bench slice's grams.
+    *
+    * STATE BOUND: with the default `tsCol = None` the dedup stage is
+    * the UNBOUNDED seen-set (one fingerprint per distinct doc,
+    * forever) — the finite-run / parity shape. A production firehose
+    * must pass `tsCol` (+ `watermark`) for expiring state, or gate
+    * through the durable [[graft.dedup.SeenIndex]] loops; do not
+    * inherit the unbounded default silently.
     */
   def releaseGateStream(
       docs: DataFrame,
@@ -1686,12 +1728,20 @@ object StreamingOps {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
         (domain: String, rows: Iterator[CapIn], state: GroupState[Long]) => {
           var seen = state.getOption.getOrElse(0L)
-          val admitted = rows.toSeq.sortBy(_.id).iterator
-            .takeWhile(_ => seen < cap)
-            .map { r => seen += 1; CapOut(r.id, domain) }
-            .toVector
-          state.update(seen)
-          admitted.iterator
+          // short-circuit an already-capped domain BEFORE buffering:
+          // a Zipfian mega-domain keeps arriving forever after its cap
+          // is hit, and sorting its whole micro-batch slice to emit
+          // nothing would spend unbounded single-task memory on zero
+          // output for the stream's lifetime
+          if (seen >= cap) { rows.foreach(_ => ()); Iterator.empty }
+          else {
+            val admitted = rows.toSeq.sortBy(_.id).iterator
+              .takeWhile(_ => seen < cap)
+              .map { r => seen += 1; CapOut(r.id, domain) }
+              .toVector
+            state.update(seen)
+            admitted.iterator
+          }
         })
   }
 
@@ -1711,6 +1761,13 @@ object StreamingOps {
     * (bucket, batch) size multiset equal to the batch operator's
     * (StreamingOpsSpec pins it). Ties within a micro-batch are
     * admitted in ascending id for batch-layout independence.
+    *
+    * THROUGHPUT CEILING: O(buckets) state keys also means at most
+    * `buckets` concurrent tasks, each buffering and sorting its whole
+    * per-bucket micro-batch slice — and Zipfian document lengths make
+    * the middle buckets hot. A firehose belongs in a `foreachBatch`
+    * loop over the batch operator with carried per-bucket counts, as
+    * with [[packBinsStream]].
     */
   def lengthBatchingStream(
       docs: DataFrame,
@@ -1754,8 +1811,12 @@ object StreamingOps {
     * REQUIRES in-order arrival per key (we sort each micro-batch's
     * group by (ts, event_id); cross-batch reordering is bounded by the
     * upstream source, as in any event-time-ordered log). State is one
-    * (lastType, cycle) pair per device — O(devices) state, the minimal
-    * possible.
+    * (lastType, cycle) pair per device — minimal PER KEY, but the key
+    * set grows with all-time device cardinality (NoTimeout — cycle
+    * numbering must survive idle gaps, so the state cannot expire
+    * without renumbering a returning device). Fleets with heavy
+    * device churn should partition long-idle devices out upstream or
+    * run the batch operator over bounded windows.
     */
   def cycleLabelStream(events: Dataset[EventIn]): Dataset[CycleOut] = {
     import events.sparkSession.implicits._
