@@ -30,7 +30,13 @@ object Dedup {
     * kept: `xxhash64(null)` is the seed constant, so fingerprinting
     * them would silently collapse every document with missing text
     * into one survivor — the unhashable-rows-kept rule (see
-    * [[dropSeenHamming]]) applies to the self-dedup too.
+    * [[dropSeenHamming]]) applies to the self-dedup too. NULL-id rows
+    * are ALSO all kept: they cannot win or lose an id-keyed
+    * survivorship (min skips nulls, the keeper semi-join never
+    * matches a null key), so routing them through the keyed machinery
+    * would silently DELETE them — the same null rule the dropSeen
+    * family documents. Assign ids upstream if null-id rows should
+    * compete for survivorship.
     *
     * Shape: min-aggregate + id semi-join, NOT a fingerprint-partitioned
     * window. The window form funnels every duplicate class into ONE
@@ -44,13 +50,13 @@ object Dedup {
     * how large a duplicate class is.
     */
   def exactDedup(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val hashable = df.filter(col(textCol).isNotNull)
+    val hashable = df.filter(col(textCol).isNotNull && col(idCol).isNotNull)
     val keepers = hashable
       .select(TextAnalysis.contentFingerprint(col(textCol)).as("__fp"), col(idCol).as("__keep_id"))
       .groupBy(col("__fp"))
       .agg(min(col("__keep_id")).as("__keep_id"))
       .select(col("__keep_id"))
-    df.filter(col(textCol).isNull)
+    df.filter(col(textCol).isNull || col(idCol).isNull)
       .unionByName(hashable.join(keepers, col(idCol) === col("__keep_id"), "left_semi"))
   }
 
@@ -127,8 +133,14 @@ object Dedup {
     * longer are. Only ids and 8-byte band keys ride any exchange; the
     * signatures re-join at id grain where needed
     * ([[minhashCandidatePairs]]).
+    *
+    * Returns the pair frame AND a release thunk for the two internal
+    * persists (class table + member map) — callers thread it into
+    * their own Releasable handle so a long-lived session's repeated
+    * mining calls don't pin cache entries for the JVM lifetime.
     */
-  private def candidatePairsFromSig(sig: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+  private def candidatePairsFromSig(
+      sig: DataFrame, numHashes: Int, bands: Int): (DataFrame, () => Unit) = {
     // class table (sig -> surrogate key = min id) via a map-side
     // combined AGGREGATE, never a sig-partitioned window (a window
     // would put each mega-class in one task — the hazard this shape
@@ -153,7 +165,7 @@ object Dedup {
       .filter(col("sk_a") <= col("sk_b"))
       .select("sk_a", "sk_b")
       .distinct()
-    classPairs
+    val pairs = classPairs
       .join(members.toDF("__ma", "sk_a").hint("shuffle_hash"), "sk_a")
       .join(members.toDF("__mb", "sk_b").hint("shuffle_hash"), "sk_b")
       // distinct classes: every member combination collides (ordered
@@ -162,6 +174,7 @@ object Dedup {
       .select(
         least(col("__ma"), col("__mb")).as("id_a"),
         greatest(col("__ma"), col("__mb")).as("id_b"))
+    pairs -> (() => { classKeys.unpersist(); members.unpersist(); () })
   }
 
   /** LSH candidate pairs: band the signature (`bands` x `rowsPerBand`),
@@ -176,7 +189,24 @@ object Dedup {
       n: Int = 3,
       numHashes: Int = 32,
       bands: Int = 8,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L): DataFrame =
+    minhashCandidatePairsReleasable(df, textCol, idCol, n, numHashes, bands, seed)._1
+
+  /** [[minhashCandidatePairs]] plus a scoped release handle for the
+    * three internal persists (the signature table and the banding
+    * pass's class/member maps). The plain form leaves them cached —
+    * the LRU trade a repeated dedup workload wants; a long-lived
+    * session running ONE mining pass should call the thunk after its
+    * terminal action (same contract as [[verifyCandidatesReleasable]]).
+    */
+  def minhashCandidatePairsReleasable(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int = 3,
+      numHashes: Int = 32,
+      bands: Int = 8,
+      seed: Long = 42L): (DataFrame, () => Unit) = {
     // Two tight expressions end to end: text -> distinct shingle
     // hashes (one byte-level pass, [[ShingleHashes]]) -> signature
     // (one pass over the hash array, [[MinHashSig]]). No strings are
@@ -190,7 +220,8 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // signatures rejoin AT ID GRAIN after the distinct — shuffle-hash
     // so the candidate stream is never sorted carrying the arrays
-    candidatePairsFromSig(sig, numHashes, bands)
+    val (cand, releaseBanding) = candidatePairsFromSig(sig, numHashes, bands)
+    val pairs = cand
       .join(sig.toDF("id_a", "sig_a").hint("shuffle_hash"), "id_a")
       .join(sig.toDF("id_b", "sig_b").hint("shuffle_hash"), "id_b")
       .withColumn(
@@ -199,6 +230,7 @@ object Dedup {
           zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1).otherwise(0)),
           lit(0), (acc, x) => acc + x).cast("double") / numHashes)
       .select("id_a", "id_b", "est_jaccard")
+    pairs -> (() => { releaseBanding(); sig.unpersist(); () })
   }
 
   /** Transitive duplicate clusters from a verified pair list:
@@ -945,10 +977,11 @@ object Dedup {
     verifyCandidatesReleasable(df, textCol, idCol, n, threshold, numHashes, bands, seed)._1
 
   /** [[verifyCandidates]] plus a scoped release handle: calling the
-    * returned thunk unpersists the internal shingle-hash cache (a
-    * no-op if already dropped). Call it AFTER the action that consumes
-    * the pairs — the result DataFrame is lazy and releasing early
-    * forces each verification branch to re-shingle the corpus.
+    * returned thunk unpersists the internal shingle-hash cache AND the
+    * banding pass's class/member maps (a no-op if already dropped).
+    * Call it AFTER the action that consumes the pairs — the result
+    * DataFrame is lazy and releasing early forces each verification
+    * branch to re-shingle the corpus.
     */
   def verifyCandidatesReleasable(
       df: DataFrame,
@@ -969,8 +1002,9 @@ object Dedup {
     // non-matches) and the exact verify would then divide 0 by 0.
     val sig = gs.filter(size(col("gs")) > 0)
       .select(col("id"), MinHashSig.minhashSig(col("gs"), numHashes, seed).as("sig"))
-    val cand = candidatePairsFromSig(sig, numHashes, bands).select("id_a", "id_b")
-    verifyJaccard(cand, gs, gs, threshold) -> (() => { gs.unpersist(); () })
+    val (cand, releaseBanding) = candidatePairsFromSig(sig, numHashes, bands)
+    verifyJaccard(cand.select("id_a", "id_b"), gs, gs, threshold) ->
+      (() => { releaseBanding(); gs.unpersist(); () })
   }
 
   /** Exact-Jaccard verification of a candidate `(id_a, id_b)` stream

@@ -94,7 +94,21 @@ object SemDedup {
       vecCol: String,
       idCol: String,
       model: Ivf.Model,
-      eps: Double): DataFrame = {
+      eps: Double): DataFrame =
+    withDecisionsReleasable(df, vecCol, idCol, model, eps)._1
+
+  /** [[withDecisions]] plus a scoped release handle for the internal
+    * persisted cell-assignment projection (the plain form leaves it
+    * cached for the LRU to age out — see the in-body comment; a
+    * long-lived session running one pass should call the thunk after
+    * its terminal action).
+    */
+  def withDecisionsReleasable(
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      model: Ivf.Model,
+      eps: Double): (DataFrame, () => Unit) = {
     // The decision columns join back onto the caller's FULL frame; an
     // input already carrying one of these names would produce
     // ambiguous duplicates and a confusing na.fill failure.
@@ -121,8 +135,9 @@ object SemDedup {
     val dec = decisions(withRep, vecCol, idCol, "cell", "rep_sim", eps)
       .select(col(idCol), col("cell"), col("rep_sim"),
         col("n_dup_partners"), col("removed"))
-    df.join(dec, Seq(idCol), "left")
+    val out = df.join(dec, Seq(idCol), "left")
       .na.fill(0, Seq("n_dup_partners", "removed"))
+    out -> (() => { withRep.unpersist(); () })
   }
 
   /** [[withDecisions]] filtered to the kept corpus — the SemDeDup

@@ -473,6 +473,25 @@ object Similarity {
       probeHamming: Int = 0,
       broadcastVerify: Boolean = false): DataFrame =
     minePairs(batch, Some(ref), vecCol, idCol, threshold, planes, bands,
+      probeHamming, broadcastVerify)._1
+
+  /** [[nearDupPairsAgainst]] plus a scoped release handle for BOTH
+    * sides' internal persisted signature projections — the form the
+    * per-micro-batch ingest loops need (each batch persists fresh
+    * projections; without a handle a long-running stream pins two
+    * cache entries per micro-batch until LRU pressure).
+    */
+  def nearDupPairsAgainstReleasable(
+      batch: DataFrame,
+      ref: DataFrame,
+      vecCol: String,
+      idCol: String,
+      threshold: Double,
+      planes: Array[Array[Float]],
+      bands: Int = 8,
+      probeHamming: Int = 0,
+      broadcastVerify: Boolean = false): (DataFrame, () => Unit) =
+    minePairs(batch, Some(ref), vecCol, idCol, threshold, planes, bands,
       probeHamming, broadcastVerify)
 
   /** Keep only the batch rows whose vector is NOT within
@@ -498,12 +517,30 @@ object Similarity {
       planes: Array[Array[Float]],
       bands: Int = 8,
       probeHamming: Int = 0,
-      broadcastVerify: Boolean = false): DataFrame = {
-    val seen = nearDupPairsAgainst(
-      batch, ref, vecCol, idCol, threshold, planes, bands, probeHamming, broadcastVerify)
-      .select(col("id_a").as("__seen_id"))
-      .distinct()
-    batch.join(seen, col(idCol) === col("__seen_id"), "left_anti")
+      broadcastVerify: Boolean = false): DataFrame =
+    dropSeenEmbeddingReleasable(
+      batch, ref, vecCol, idCol, threshold, planes, bands, probeHamming, broadcastVerify)._1
+
+  /** [[dropSeenEmbedding]] plus a scoped release handle for the
+    * miner's internal signature persists — what the durable ingest
+    * loops call per micro-batch (they eagerly checkpoint the gate
+    * result, so the internals are releasable the moment the
+    * checkpoint materializes).
+    */
+  def dropSeenEmbeddingReleasable(
+      batch: DataFrame,
+      ref: DataFrame,
+      vecCol: String,
+      idCol: String,
+      threshold: Double,
+      planes: Array[Array[Float]],
+      bands: Int = 8,
+      probeHamming: Int = 0,
+      broadcastVerify: Boolean = false): (DataFrame, () => Unit) = {
+    val (pairs, release) = minePairs(
+      batch, Some(ref), vecCol, idCol, threshold, planes, bands, probeHamming, broadcastVerify)
+    val seen = pairs.select(col("id_a").as("__seen_id")).distinct()
+    batch.join(seen, col(idCol) === col("__seen_id"), "left_anti") -> release
   }
 
   /** All-pairs near-duplicate mining above a cosine threshold: LSH
@@ -536,6 +573,25 @@ object Similarity {
       bands: Int = 8,
       probeHamming: Int = 0,
       broadcastVerify: Boolean = false): DataFrame =
+    minePairs(df, None, vecCol, idCol, threshold, planes, bands,
+      probeHamming, broadcastVerify)._1
+
+  /** [[nearDupPairs]] plus a scoped release handle for the internal
+    * persisted (id, unit-vec, signatures) projection. The plain form
+    * leaves it cached (the LRU trade a repeated mining workload
+    * wants); a long-lived session running one pass should call the
+    * thunk after its terminal action (same contract as
+    * [[graft.dedup.Dedup.verifyCandidatesReleasable]]).
+    */
+  def nearDupPairsReleasable(
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      threshold: Double,
+      planes: Array[Array[Float]],
+      bands: Int = 8,
+      probeHamming: Int = 0,
+      broadcastVerify: Boolean = false): (DataFrame, () => Unit) =
     minePairs(df, None, vecCol, idCol, threshold, planes, bands,
       probeHamming, broadcastVerify)
 
@@ -633,7 +689,7 @@ object Similarity {
       planes: Array[Array[Float]],
       bands: Int,
       probeHamming: Int,
-      broadcastVerify: Boolean): DataFrame = {
+      broadcastVerify: Boolean): (DataFrame, () => Unit) = {
     require(planes.length % bands == 0,
       s"planes=${planes.length} must divide evenly into bands=$bands")
     val bitsPerBand = planes.length / bands
@@ -694,11 +750,12 @@ object Similarity {
     val (ja, jb) =
       if (broadcastVerify) (broadcast(vecA), broadcast(vecB))
       else (vecA.hint("shuffle_hash"), vecB.hint("shuffle_hash"))
-    candidates
+    val pairs = candidates
       .join(ja, "id_a")
       .join(jb, "id_b")
       .withColumn("cosine", dot(col("vec_a"), col("vec_b"))) // unit vectors
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
+    pairs -> (() => { aS.unpersist(); if (ref.nonEmpty) bS.unpersist(); () })
   }
 }

@@ -39,6 +39,20 @@ class DedupSpec extends SparkSpec {
     assert(groups.length == 1 && groups(0).getAs[Long]("n_copies") == 2L)
   }
 
+  test("exactDedup keeps ALL null-id rows: they cannot compete in an id-keyed survivorship") {
+    import sqlImplicits._
+    // min(__keep_id) skips nulls and the keeper semi-join never matches
+    // a null key — unguarded, rows 10/11 would silently VANISH (the
+    // delete-not-dedup failure ADVICE r16 named)
+    val df = Seq(
+      (Some(1L), "same text"), (Some(2L), "same text"),
+      (None, "same text"), (None, "only null-id copy")).toDF("doc_id", "text")
+    val kept = Dedup.exactDedup(df, "text", "doc_id")
+      .collect().map(r => (if (r.isNullAt(0)) -1L else r.getLong(0), r.getString(1))).toSet
+    assert(kept == Set((1L, "same text"), (-1L, "same text"), (-1L, "only null-id copy")),
+      kept.toString)
+  }
+
   test("dupClusters: local and distributed paths pick the same minimum for supplementary-plane string ids") {
     import sqlImplicits._
     // U+FFFD < U+10000 in UTF-8 binary (Spark's min) but the REVERSE
@@ -73,6 +87,40 @@ class DedupSpec extends SparkSpec {
     assert(pairs((1L, 2L)) == 1.0) // exact dup: identical signatures
     assert(pairs((1L, 3L)) > 0.5) // near dup
     assert(!pairs.keySet.exists { case (a, b) => b == 4L || a == 4L }) // unrelated never collides
+  }
+
+  test("releasable mining variants match the plain paths and drop every cache entry they added") {
+    // CacheManager dedups persists by logical plan, so earlier tests'
+    // caches would mask this call's entries — start clean (same
+    // discipline as ContainmentSpec's releasable test).
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    // minhash candidates: sig + the banding pass's class/member maps
+    val (cand, releaseCand) = Dedup.minhashCandidatePairsReleasable(docs, "text", "doc_id")
+    val got = cand.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(spark.sparkContext.getPersistentRDDs.keySet.diff(before).nonEmpty,
+      "expected the signature/class tables to be persisted during the run")
+    releaseCand()
+    releaseCand() // idempotent
+    assert(spark.sparkContext.getPersistentRDDs.keySet.diff(before).isEmpty,
+      "release() must drop every cache entry minhashCandidatePairsReleasable added")
+    assert(got == Dedup.minhashCandidatePairs(docs, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+    // verified pairs: the shingle cache AND the banding internals both
+    // ride the one returned handle
+    val (pairs, releasePairs) = Dedup.verifyCandidatesReleasable(
+      docs, "text", "doc_id", n = 3, threshold = 0.5)
+    val gotPairs = pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(spark.sparkContext.getPersistentRDDs.keySet.diff(before).nonEmpty)
+    releasePairs()
+    assert(spark.sparkContext.getPersistentRDDs.keySet.diff(before).isEmpty,
+      "release() must drop the shingle cache and the banding class/member maps")
+    assert(gotPairs == Dedup.verifyCandidates(docs, "text", "doc_id", n = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+    spark.catalog.clearCache()
   }
 
   test("minhash est_jaccard approximates exact ngram jaccard") {

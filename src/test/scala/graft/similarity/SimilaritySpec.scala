@@ -39,6 +39,38 @@ class SimilaritySpec extends SparkSpec {
     assert(pairs.toSeq == Seq((1L, 2L)))
   }
 
+  test("releasable miner variants match the plain paths and drop every cache entry they added") {
+    import sqlImplicits._
+    val v = Array.tabulate(8)(i => (i + 1).toFloat)
+    val v2 = v.map(x => x * 1.001f)
+    val w = Array.tabulate(8)(i => if (i % 2 == 0) 1.0f else -1.0f)
+    val df = Seq((1L, v), (2L, v2), (3L, w)).toDF("vec_id", "embedding")
+    val planes = Similarity.hyperplanes(8, 64)
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val (pairs, release) = Similarity.nearDupPairsReleasable(
+      df, "embedding", "vec_id", 0.99, planes, bands = 8)
+    val got = pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(spark.sparkContext.getPersistentRDDs.keySet.diff(before).nonEmpty,
+      "expected the signature projection to be persisted during the run")
+    release()
+    release() // idempotent
+    assert(spark.sparkContext.getPersistentRDDs.keySet.diff(before).isEmpty,
+      "release() must drop the miner's internal persists")
+    assert(got == Seq((1L, 2L)))
+    // the cross-corpus gate's releasable form: both sides' projections
+    // ride the one handle
+    val ref = Seq((10L, v)).toDF("vec_id", "embedding")
+    val (kept, releaseGate) = Similarity.dropSeenEmbeddingReleasable(
+      df, ref, "embedding", "vec_id", 0.99, planes, bands = 8)
+    assert(kept.collect().map(_.getLong(0)).toSet == Set(3L))
+    releaseGate()
+    assert(spark.sparkContext.getPersistentRDDs.keySet.diff(before).isEmpty,
+      "release() must drop BOTH sides' signature projections")
+    spark.catalog.clearCache()
+  }
+
   test("Inf-element vectors are degenerate: never paired, never gated, never in a top-k slot") {
     import sqlImplicits._
     val v = Array.tabulate(8)(i => (i + 1).toFloat)
