@@ -617,7 +617,10 @@ object ScaleBench {
       // decode map-side; the cross banded join runs in signature
       // space, so the cost is two hash scans + collision-bound
       // candidates + the (intrinsic) cross-pair output. Alpha should
-      // track the decode scans like phash_dedup.
+      // track the decode scans like phash_dedup. (Adjudicated r17:
+      // the α ~0.9 here IS that decode floor — both sides re-decode
+      // in full every run; phash_incremental_vs_history below
+      // isolates the join term and measures it flat.)
       "phash_dedup_incremental" -> (() =>
         graft.multimodal.PerceptualHash.phashDupPairsAgainst(
           graft.multimodal.Multimodal.syntheticImages(
@@ -625,6 +628,38 @@ object ScaleBench {
           graft.multimodal.Multimodal.syntheticImages(
             docs.filter(col("doc_id") % 3 =!= 0), "doc_id", "text"),
           maxHamming = 3).count()),
+      // phash_dedup_incremental's cost vs HISTORY DEPTH, batch held
+      // FIXED — the same separation simhash_gate_vs_history makes for
+      // the text gate. The parent entry decodes BOTH sides in full
+      // every run, so its α can only show the decode floor; here the
+      // reference history's hashes are computed OUTSIDE the timed
+      // thunk (lazy, billed to run 1; metric=min takes run 2) and
+      // grow with x, while the batch stays the x1 originals. The
+      // thunk pays one constant batch decode + the banded cross join
+      // against the growing distinct-signature vocabulary — α ~ 0
+      // pins the incremental candidate stage as collision-bound in
+      // signature space, not history-quadratic.
+      "phash_incremental_vs_history" -> {
+        lazy val histHashes = {
+          val p = graft.core.TempDirs.create("scale_phash_hist_")
+          graft.multimodal.PerceptualHash.perceptualHashes(
+            graft.multimodal.Multimodal.syntheticImages(
+              docs.filter(col("doc_id") % 3 =!= 0), "doc_id", "text"))
+            .toDF().select(col("media_id"), col("ahash"))
+            .write.mode("overwrite").parquet(p)
+          p
+        }
+        () => {
+          val batch = graft.multimodal.PerceptualHash.perceptualHashes(
+            graft.multimodal.Multimodal.syntheticImages(
+              docs.filter(col("doc_id") % 3 === 0 && col("doc_id") < CopyStride),
+              "doc_id", "text"))
+            .toDF().select(col("media_id"), col("ahash"))
+          graft.dedup.Dedup.hammingPairsAgainst(
+            batch, spark.read.parquet(histHashes), "media_id", "ahash",
+            maxHamming = 3).count()
+        }
+      },
       // Durable two-epoch image ingest: decode + hash map-side in each
       // epoch, 8-byte signatures to the index. Output is linear in the
       // batch (a gate, not a pair miner), so unlike
@@ -710,6 +745,24 @@ object ScaleBench {
         graft.dedup.SeenIndex.exactlyOnceEpochSimhash(
           docs.filter(col("doc_id") % 3 === 0), "text", "b1", path, outp, 3)
         spark.read.parquet(outp).where(col("epoch") === 2L).count()
+      }),
+      // Windowed exactly-once ingest (the composed re-crawl shape):
+      // three ledgered batches of the SAME slice with an advancing
+      // admission clock — bootstrap, in-window gate-to-zero, aged-out
+      // full re-admission. Adds one pushed parquet predicate on the
+      // admitted column to exactly_once_epochs' per-batch cost, so
+      // alpha should track it.
+      "window_exactly_once_epochs" -> (() => {
+        val path = graft.core.TempDirs.create("scale_weo_index_")
+        val outp = graft.core.TempDirs.create("scale_weo_out_")
+        val slice = docs.filter(col("doc_id") % 3 === 1)
+        graft.dedup.SeenIndex.exactlyOnceEpochSimhashWindow(
+          slice, "text", "b0", path, outp, 3, admittedAt = 100L, minAdmitted = 0L)
+        graft.dedup.SeenIndex.exactlyOnceEpochSimhashWindow(
+          slice, "text", "b1", path, outp, 3, admittedAt = 150L, minAdmitted = 70L)
+        graft.dedup.SeenIndex.exactlyOnceEpochSimhashWindow(
+          slice, "text", "b2", path, outp, 3, admittedAt = 300L, minAdmitted = 220L)
+        spark.read.parquet(outp).count()
       }),
       // Gate cost vs HISTORY DEPTH, batch held FIXED. The corpus-x
       // ingest entries scale batch and history together, so their

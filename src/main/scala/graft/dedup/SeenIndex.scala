@@ -166,6 +166,21 @@ object SeenIndex {
     StructField("sig", LongType, nullable = false),
     StructField("epoch", LongType, nullable = true)))
 
+  /** [[epochSchema]] plus the `admitted` stamp — the windowed
+    * EXACTLY-ONCE layout. The two long columns answer two DIFFERENT
+    * questions and must never share a column (the collision the
+    * pre-composition scaladoc warned about): `epoch` is the ledger's
+    * ALLOCATION COUNTER, keyed on by a replay's own-epoch exclusion;
+    * `admitted` is the ADMISSION STAMP (wall-clock millis, a day
+    * number — any monotone long the caller's clock produces), keyed
+    * on by retention-window expiry. Files written by the unstamped
+    * appends project `admitted` as NULL = never expires, so every
+    * pre-composition index keeps gating forever under a windowed
+    * reader — the conservative direction.
+    */
+  private val winEpochSchema = StructType(epochSchema.fields :+
+    StructField("admitted", LongType, nullable = true))
+
   /** [[append]] with an EPOCH tag — the retention-enabling form: rows
     * carry the ingest epoch (a day number, a crawl id, any monotone
     * long) so [[readWindow]] can expire history. Tagged and untagged
@@ -318,7 +333,15 @@ object SeenIndex {
     * keeps its LATEST epoch (so [[readWindow]] expires it at exactly
     * the moment the uncompacted rows would have), and an untagged
     * sighting dominates every tagged one (never-expires stays
-    * never-expires). Materializes the compacted set to a temp sibling
+    * never-expires). Admission stamps (the windowed-exactly-once
+    * column) survive by the same rule — latest stamp, unstamped
+    * dominates — so [[readWindowAdmitted]] visibility is preserved at
+    * every cutoff. NOTE: collapsing to one row per SIG merges the
+    * epoch tags a replay's own-epoch exclusion keys on, so an index
+    * driven by the windowed-exactly-once loops (where one signature
+    * legitimately holds several admission epochs) should use
+    * [[compactWindowed]] instead, which keeps the `(sig, epoch)`
+    * grain. Materializes the compacted set to a temp sibling
     * directory FIRST (the rewrite plan reads the very files being
     * replaced), then swaps old-out/new-in by two renames: the
     * original moves to `<path>.compact-old` BEFORE anything is
@@ -336,11 +359,15 @@ object SeenIndex {
       df.groupBy("sig")
         .agg(
           max(col("epoch")).as("__max_epoch"),
-          max(when(col("epoch").isNull, 1).otherwise(0)).as("__untagged"))
+          max(when(col("epoch").isNull, 1).otherwise(0)).as("__untagged"),
+          max(col("admitted")).as("__max_admitted"),
+          max(when(col("admitted").isNull, 1).otherwise(0)).as("__unstamped"))
         .select(col("sig"),
           when(col("__untagged") === 1, lit(null).cast("long"))
-            .otherwise(col("__max_epoch")).as("epoch"))
-    }(epochSchema)
+            .otherwise(col("__max_epoch")).as("epoch"),
+          when(col("__unstamped") === 1, lit(null).cast("long"))
+            .otherwise(col("__max_admitted")).as("admitted"))
+    }(winEpochSchema)
 
   /** [[compact]] for the VECTOR index — the same one-row-per-distinct
     * rewrite over `(id, vec)` keys (grouping on the array column is
@@ -356,11 +383,15 @@ object SeenIndex {
       df.groupBy("id", "vec")
         .agg(
           max(col("epoch")).as("__max_epoch"),
-          max(when(col("epoch").isNull, 1).otherwise(0)).as("__untagged"))
+          max(when(col("epoch").isNull, 1).otherwise(0)).as("__untagged"),
+          max(col("admitted")).as("__max_admitted"),
+          max(when(col("admitted").isNull, 1).otherwise(0)).as("__unstamped"))
         .select(col("id"), col("vec"),
           when(col("__untagged") === 1, lit(null).cast("long"))
-            .otherwise(col("__max_epoch")).as("epoch"))
-    }(vecEpochSchema)
+            .otherwise(col("__max_epoch")).as("epoch"),
+          when(col("__unstamped") === 1, lit(null).cast("long"))
+            .otherwise(col("__max_admitted")).as("admitted"))
+    }(vecWinEpochSchema)
 
   /** The shared compaction body: materialize `rewrite(index)` to a
     * temp sibling FIRST (the rewrite plan reads the very files being
@@ -685,7 +716,7 @@ object SeenIndex {
           count(lit(1)),
           count_distinct(struct(keyCols.map(col): _*)),
           sum(when(col("epoch").isNull, 1L).otherwise(0L)),
-          min("epoch"), max("epoch")).head
+          min("epoch"), max("epoch")).head()
         (r.getLong(0), r.getLong(1),
           if (r.isNullAt(2)) 0L else r.getLong(2),
           if (r.isNullAt(3)) None else Some(r.getLong(3)),
@@ -765,14 +796,22 @@ object SeenIndex {
     * [[gateAndUpdateSimhashWindow]]-style calendar epochs on the same
     * directory could collide a calendar value with an allocated
     * counter and corrupt a replay's exclusion (and violates the
-    * one-writer rule anyway).
+    * one-writer rule anyway). When the pipeline needs BOTH retention
+    * expiry and exactly-once output, use the composed forms
+    * ([[gateStreamSimhashWindowExactlyOnce]] and siblings): they keep
+    * the counter in `epoch` and carry the retention clock in a
+    * separate `admitted` column, so the two semantics never share a
+    * value space.
     */
   /** The shared exactly-once batch body: `gate(epoch)` must build the
-    * admitted-rows plan reading the index MINUS rows tagged `epoch`,
-    * `appendKept(kept, epoch)` must tag its append with `epoch`, and
-    * `project` shapes the output rows. Deterministic gates + the
-    * ledger make every step idempotent (see [[exactlyOnceEpochSimhash]]
-    * for the numbered protocol).
+    * admitted-rows plan reading the index MINUS rows tagged `epoch`
+    * and return it with a release thunk for any internal persists the
+    * gate holds (released the moment the eager checkpoint
+    * materializes — a per-micro-batch loop must not pin cache entries
+    * batch after batch), `appendKept(kept, epoch)` must tag its
+    * append with `epoch`, and `project` shapes the output rows.
+    * Deterministic gates + the ledger make every step idempotent (see
+    * [[exactlyOnceEpochSimhash]] for the numbered protocol).
     */
   private def exactlyOnceEpoch(
       batch: DataFrame,
@@ -780,7 +819,7 @@ object SeenIndex {
       indexPath: String,
       outPath: String,
       crashpoint: String => Unit)(
-      gate: Long => DataFrame)(
+      gate: Long => (DataFrame, () => Unit))(
       appendKept: (DataFrame, Long) => Unit)(
       project: DataFrame => DataFrame): Unit = {
     val spark = batch.sparkSession
@@ -794,8 +833,10 @@ object SeenIndex {
     if (fs.exists(committedMarker(indexPath, key))) return
     val epoch = allocEpoch(fs, indexPath, key)
     crashpoint("allocated")
-    val kept = gate(epoch)
-      .localCheckpoint(true) // same read-what-you-write pin as gateAndUpdateSimhash
+    val (gated, releaseGate) = gate(epoch)
+    val kept =
+      try gated.localCheckpoint(true) // same read-what-you-write pin as gateAndUpdateSimhash
+      finally releaseGate()
     try {
       crashpoint("gated")
       project(kept).write.mode("overwrite").parquet(s"$outPath/epoch=$epoch")
@@ -820,7 +861,7 @@ object SeenIndex {
     exactlyOnceEpoch(batch, key, indexPath, outPath, crashpoint) { epoch =>
       Dedup.dropSeenHamming(
         hashed, readExcluding(spark, indexPath, epoch).select(col("sig").as("__sig")),
-        "__sig", maxHamming)
+        "__sig", maxHamming) -> (() => ())
     } { (kept, epoch) =>
       appendEpoch(kept, "__sig", indexPath, epoch)
     } (_.drop("__sig"))
@@ -841,7 +882,7 @@ object SeenIndex {
     exactlyOnceEpoch(batch, key, indexPath, outPath, crashpoint) { epoch =>
       Dedup.dropSeenHamming(
         batch, readExcluding(spark, indexPath, epoch).select(col("sig").as(sigCol)),
-        sigCol, maxHamming)
+        sigCol, maxHamming) -> (() => ())
     } { (kept, epoch) =>
       appendEpoch(kept, sigCol, indexPath, epoch)
     } (identity)
@@ -919,6 +960,13 @@ object SeenIndex {
 
   private val vecEpochSchema = StructType(vecSchema.fields :+
     StructField("epoch", LongType, nullable = true))
+
+  /** [[winEpochSchema]] for the vector index — `(id, vec, epoch,
+    * admitted)`, same counter-vs-stamp split, same unstamped =
+    * never-expires projection rule.
+    */
+  private val vecWinEpochSchema = StructType(vecEpochSchema.fields :+
+    StructField("admitted", LongType, nullable = true))
 
   /** The vector index's frame — `(id, vec)` rows, the admitted
     * embeddings. Unlike the 8-byte signature index this is
@@ -1007,9 +1055,11 @@ object SeenIndex {
     val spark = batch.sparkSession
     val ref = readVectors(spark, path)
       .select(col("id").as(idCol), col("vec").as(vecCol))
-    val kept = graft.similarity.Similarity.dropSeenEmbedding(
+    val (gated, releaseMiner) = graft.similarity.Similarity.dropSeenEmbeddingReleasable(
       batch, ref, vecCol, idCol, threshold, planes, bands, probeHamming, broadcastVerify)
-      .localCheckpoint(true)
+    // eager checkpoint materializes the gate, so the miner's internal
+    // persists are releasable immediately
+    val kept = try gated.localCheckpoint(true) finally releaseMiner()
     appendVectors(kept, vecCol, idCol, path)
     graft.core.Releasable(kept, () => { kept.unpersist(blocking = false); () })
   }
@@ -1035,10 +1085,11 @@ object SeenIndex {
     val ref = readVectorsWindow(spark, path, minEpoch)
       .select(col("id").as(idCol), col("vec").as(vecCol))
     // eager localCheckpoint for the same read-what-you-write reason
-    // as gateAndUpdateSimhash (see its in-body comment)
-    val kept = graft.similarity.Similarity.dropSeenEmbedding(
+    // as gateAndUpdateSimhash (see its in-body comment); miner
+    // internals released the moment it materializes
+    val (gated, releaseMiner) = graft.similarity.Similarity.dropSeenEmbeddingReleasable(
       batch, ref, vecCol, idCol, threshold, planes, bands, probeHamming, broadcastVerify)
-      .localCheckpoint(true)
+    val kept = try gated.localCheckpoint(true) finally releaseMiner()
     appendVectorsEpoch(kept, vecCol, idCol, path, epoch)
     graft.core.Releasable(kept, () => { kept.unpersist(blocking = false); () })
   }
@@ -1071,9 +1122,13 @@ object SeenIndex {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val ref = readVectors(batch.sparkSession, indexPath)
           .select(col("id").as(idCol), col("vec").as(vecCol))
-        val kept = graft.similarity.Similarity.dropSeenEmbedding(
+        val (gated, releaseMiner) = graft.similarity.Similarity.dropSeenEmbeddingReleasable(
           batch, ref, vecCol, idCol, threshold, planes, bands, probeHamming, broadcastVerify)
-          .localCheckpoint(true) // same read-what-you-write pin as gateAndUpdateSimhash
+        // same read-what-you-write pin as gateAndUpdateSimhash; the
+        // miner's per-batch persists are released as soon as the
+        // checkpoint materializes — a long-running stream must not
+        // pin two cache entries per micro-batch
+        val kept = try gated.localCheckpoint(true) finally releaseMiner()
         try {
           kept.write.mode("append").parquet(outPath)
           appendVectors(kept, vecCol, idCol, indexPath)
@@ -1119,7 +1174,7 @@ object SeenIndex {
     exactlyOnceEpoch(batch, key, indexPath, outPath, crashpoint) { epoch =>
       val ref = readVectorsExcluding(spark, indexPath, epoch)
         .select(col("id").as(idCol), col("vec").as(vecCol))
-      graft.similarity.Similarity.dropSeenEmbedding(
+      graft.similarity.Similarity.dropSeenEmbeddingReleasable(
         batch, ref, vecCol, idCol, threshold, planes, bands, probeHamming, broadcastVerify)
     } { (kept, epoch) =>
       appendVectorsEpoch(kept, vecCol, idCol, indexPath, epoch)
@@ -1154,4 +1209,338 @@ object SeenIndex {
         if (ledgerKeepLast > 0) compactLedger(batch.sparkSession, indexPath, ledgerKeepLast)
       }
       .start()
+
+  // ---- WINDOWED EXACTLY-ONCE: retention expiry + ledgered replay composed ----
+  //
+  // The production re-crawl shape — "re-admit content whose every
+  // prior admission aged out" AND "a crash replays to identical
+  // output" — needs BOTH the retention window and the ledger on one
+  // index. The window gates key expiry on an epoch; the ledger keys
+  // exclusion on an epoch; one column cannot serve both (a calendar
+  // value colliding with an allocation counter corrupts a replay's
+  // exclusion — the hazard the plain forms' scaladoc names). The
+  // composed forms therefore split them: `epoch` stays the ledger's
+  // ALLOCATION COUNTER, and a separate `admitted` column carries the
+  // ADMISSION STAMP the retention window expires on (see
+  // [[winEpochSchema]]). Unstamped history (every pre-composition
+  // append) reads as admitted-NULL = never expires.
+
+  /** [[appendEpoch]] with an ADMISSION STAMP: rows carry the ledger's
+    * allocation `epoch` (the replay-exclusion key) AND the caller's
+    * `admitted` stamp (the retention-expiry key).
+    */
+  def appendEpochAdmitted(
+      sigs: DataFrame, sigCol: String, path: String, epoch: Long, admitted: Long): Unit =
+    sigs.select(col(sigCol).cast("long").as("sig"), lit(epoch).cast("long").as("epoch"),
+        lit(admitted).cast("long").as("admitted"))
+      .filter(col("sig").isNotNull)
+      .distinct()
+      .write.mode("append").parquet(path)
+
+  /** The signature frame restricted to admission stamps >=
+    * `minAdmitted`, plus every unstamped row — [[readWindow]] keyed on
+    * the `admitted` column instead of the epoch counter. This is the
+    * visibility read the windowed-exactly-once gates derive from (and
+    * a diagnostic: "what would still gate at cutoff m").
+    */
+  def readWindowAdmitted(spark: SparkSession, path: String, minAdmitted: Long): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = fsFor(spark, p)
+    requireNotMidCompaction(fs, path)
+    if (fs.exists(p) && fs.listStatus(p).exists(_.getPath.getName.endsWith(".parquet")))
+      spark.read.schema(winEpochSchema).parquet(path)
+        .filter(col("admitted").isNull || col("admitted") >= minAdmitted)
+        .select("sig")
+    else
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+  }
+
+  /** The replay view of a WINDOWED index: signatures that are (a) not
+    * tagged with the replaying batch's own allocation `epoch` and
+    * (b) still inside the retention window (`admitted >= minAdmitted`;
+    * unstamped rows never expire). An aged-out signature is invisible
+    * exactly like a same-epoch one — but for an independently-keyed
+    * reason, which is the whole point of the two-column layout.
+    */
+  private def readWindowAdmittedExcluding(
+      spark: SparkSession, path: String, epoch: Long, minAdmitted: Long): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = fsFor(spark, p)
+    requireNotMidCompaction(fs, path)
+    if (fs.exists(p) && fs.listStatus(p).exists(_.getPath.getName.endsWith(".parquet")))
+      spark.read.schema(winEpochSchema).parquet(path)
+        .filter(col("epoch").isNull || col("epoch") =!= epoch)
+        .filter(col("admitted").isNull || col("admitted") >= minAdmitted)
+        .select("sig")
+    else
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+  }
+
+  /** One WINDOWED exactly-once ingest batch — [[exactlyOnceEpochSimhash]]
+    * with the gate reading [[readWindowAdmittedExcluding]] and the
+    * append stamping [[appendEpochAdmitted]]. The ledger protocol is
+    * unchanged (committed marker, idempotent epoch allocation,
+    * deterministic overwrite output), so every crash point replays to
+    * identical output; the window only changes WHICH history can gate
+    * a row. `admittedAt`/`minAdmitted` are evaluated per ATTEMPT: a
+    * replay after a long outage re-reads the window at its own clock,
+    * and the output stays exactly-once regardless because the kept
+    * set lands wholesale at the epoch-keyed overwrite location — the
+    * admissions a reader sees are the ones decided by the attempt
+    * that COMMITTED.
+    */
+  private[graft] def exactlyOnceEpochSimhashWindow(
+      batch: DataFrame,
+      textCol: String,
+      key: String,
+      indexPath: String,
+      outPath: String,
+      maxHamming: Int,
+      admittedAt: Long,
+      minAdmitted: Long,
+      crashpoint: String => Unit = _ => ()): Unit = {
+    val spark = batch.sparkSession
+    val hashed = batch.withColumn("__sig",
+      SimHash64.simhash64(graft.text.TextAnalysis.tokens(col(textCol))))
+    exactlyOnceEpoch(batch, key, indexPath, outPath, crashpoint) { epoch =>
+      Dedup.dropSeenHamming(
+        hashed,
+        readWindowAdmittedExcluding(spark, indexPath, epoch, minAdmitted)
+          .select(col("sig").as("__sig")),
+        "__sig", maxHamming) -> (() => ())
+    } { (kept, epoch) =>
+      appendEpochAdmitted(kept, "__sig", indexPath, epoch, admittedAt)
+    } (_.drop("__sig"))
+  }
+
+  /** [[exactlyOnceEpochSimhashWindow]] for a precomputed 64-bit
+    * signature column — the media form. Output rows keep `sigCol`.
+    */
+  private[graft] def exactlyOnceEpochHammingWindow(
+      batch: DataFrame,
+      sigCol: String,
+      key: String,
+      indexPath: String,
+      outPath: String,
+      maxHamming: Int,
+      admittedAt: Long,
+      minAdmitted: Long,
+      crashpoint: String => Unit = _ => ()): Unit = {
+    val spark = batch.sparkSession
+    exactlyOnceEpoch(batch, key, indexPath, outPath, crashpoint) { epoch =>
+      Dedup.dropSeenHamming(
+        batch,
+        readWindowAdmittedExcluding(spark, indexPath, epoch, minAdmitted)
+          .select(col("sig").as(sigCol)),
+        sigCol, maxHamming) -> (() => ())
+    } { (kept, epoch) =>
+      appendEpochAdmitted(kept, sigCol, indexPath, epoch, admittedAt)
+    } (identity)
+  }
+
+  /** [[gateStreamSimhashExactlyOnce]] WITH RETENTION: every
+    * micro-batch reads the clock once, gates against history admitted
+    * within the last `windowAge` clock units (unstamped legacy rows
+    * never expire), and stamps its own admissions at that clock value
+    * — so a document whose every prior admission aged out is
+    * RE-ADMITTED, lands under a fresh `outPath/epoch=<n>/`, and
+    * resets its retention clock, while a crash at any point still
+    * replays to identical output with zero duplicates. `clock`
+    * defaults to wall-clock millis; inject a fake for deterministic
+    * tests or to key the window on crawl days instead. The index and
+    * its `<indexPath>.epochs` ledger remain a UNIT (see [[dropLedger]]);
+    * compaction for this layout is [[compactWindowed]], which keeps
+    * the `(sig, epoch)` exclusion grain.
+    */
+  def gateStreamSimhashWindowExactlyOnce(
+      stream: DataFrame,
+      textCol: String,
+      indexPath: String,
+      outPath: String,
+      checkpointDir: String,
+      windowAge: Long,
+      maxHamming: Int = 3,
+      ledgerKeepLast: Int = 0,
+      clock: () => Long = () => System.currentTimeMillis()): org.apache.spark.sql.streaming.StreamingQuery = {
+    requireExactRadius(maxHamming)
+    require(windowAge >= 0, s"windowAge=$windowAge must be >= 0")
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val now = clock()
+        exactlyOnceEpochSimhashWindow(
+          batch, textCol, batchKey(checkpointDir, batchId), indexPath, outPath, maxHamming,
+          admittedAt = now, minAdmitted = now - windowAge)
+        if (ledgerKeepLast > 0) compactLedger(batch.sparkSession, indexPath, ledgerKeepLast)
+      }
+      .start()
+  }
+
+  /** [[gateStreamSimhashWindowExactlyOnce]] for a precomputed 64-bit
+    * signature column — the media form of the composed loop.
+    */
+  def gateStreamHammingWindowExactlyOnce(
+      stream: DataFrame,
+      sigCol: String,
+      indexPath: String,
+      outPath: String,
+      checkpointDir: String,
+      windowAge: Long,
+      maxHamming: Int = 3,
+      ledgerKeepLast: Int = 0,
+      clock: () => Long = () => System.currentTimeMillis()): org.apache.spark.sql.streaming.StreamingQuery = {
+    requireExactRadius(maxHamming)
+    require(windowAge >= 0, s"windowAge=$windowAge must be >= 0")
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val now = clock()
+        exactlyOnceEpochHammingWindow(
+          batch, sigCol, batchKey(checkpointDir, batchId), indexPath, outPath, maxHamming,
+          admittedAt = now, minAdmitted = now - windowAge)
+        if (ledgerKeepLast > 0) compactLedger(batch.sparkSession, indexPath, ledgerKeepLast)
+      }
+      .start()
+  }
+
+  /** [[compact]] for a WINDOWED-exactly-once index: collapses replay
+    * duplicates at the `(sig, epoch)` grain — never across epochs, so
+    * a replay's own-epoch exclusion sees exactly the history it would
+    * have uncompacted (one signature legitimately holds SEVERAL
+    * admission epochs here: that is what re-admission writes).
+    * Within a group the latest admission stamp survives and an
+    * unstamped sighting dominates (never-expires stays never-expires).
+    * `dropAdmittedBefore` additionally deletes rows whose stamp
+    * expired before the given horizon — pass a value no later than
+    * every future batch's window start (`clock() - windowAge`), and
+    * the deleted rows are exactly the ones no future gate could see
+    * (a replay of the row's own epoch never saw it anyway, and
+    * re-appends it). Same crash-safe backup-then-swap, same
+    * one-writer rule as [[compact]].
+    */
+  def compactWindowed(
+      spark: SparkSession, path: String, dropAdmittedBefore: Option[Long] = None): Unit =
+    compactInto(spark, path) { df =>
+      val collapsed = df.groupBy("sig", "epoch")
+        .agg(
+          max(col("admitted")).as("__max_admitted"),
+          max(when(col("admitted").isNull, 1).otherwise(0)).as("__unstamped"))
+        .select(col("sig"), col("epoch"),
+          when(col("__unstamped") === 1, lit(null).cast("long"))
+            .otherwise(col("__max_admitted")).as("admitted"))
+      dropAdmittedBefore.fold(collapsed)(h =>
+        collapsed.filter(col("admitted").isNull || col("admitted") >= h))
+    }(winEpochSchema)
+
+  // -- the embedding modality of the composed loop --
+
+  /** [[appendVectorsEpoch]] with an ADMISSION STAMP — the vector form
+    * of [[appendEpochAdmitted]].
+    */
+  def appendVectorsEpochAdmitted(
+      df: DataFrame, vecCol: String, idCol: String, path: String,
+      epoch: Long, admitted: Long): Unit =
+    df.select(col(idCol).cast("long").as("id"), col(vecCol).cast("array<float>").as("vec"),
+        lit(epoch).cast("long").as("epoch"), lit(admitted).cast("long").as("admitted"))
+      .filter(col("vec").isNotNull && col("id").isNotNull)
+      .distinct()
+      .write.mode("append").parquet(path)
+
+  /** The vector replay view of a windowed index —
+    * [[readWindowAdmittedExcluding]] for embeddings.
+    */
+  private def readVectorsWindowAdmittedExcluding(
+      spark: SparkSession, path: String, epoch: Long, minAdmitted: Long): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = fsFor(spark, p)
+    requireNotMidCompaction(fs, path)
+    if (fs.exists(p) && fs.listStatus(p).exists(_.getPath.getName.endsWith(".parquet")))
+      spark.read.schema(vecWinEpochSchema).parquet(path)
+        .filter(col("epoch").isNull || col("epoch") =!= epoch)
+        .filter(col("admitted").isNull || col("admitted") >= minAdmitted)
+        .select("id", "vec")
+    else
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], vecSchema)
+  }
+
+  /** [[exactlyOnceEpochSimhashWindow]] at the EMBEDDING level — same
+    * composed protocol over the vector index; the gate stays
+    * APPROXIMATE (an LSH miss passes) but replay-deterministic given
+    * fixed `planes` and a fixed attempt clock.
+    */
+  private[graft] def exactlyOnceEpochEmbeddingWindow(
+      batch: DataFrame,
+      vecCol: String,
+      idCol: String,
+      key: String,
+      indexPath: String,
+      outPath: String,
+      threshold: Double,
+      planes: Array[Array[Float]],
+      admittedAt: Long,
+      minAdmitted: Long,
+      bands: Int = 8,
+      probeHamming: Int = 0,
+      broadcastVerify: Boolean = false,
+      crashpoint: String => Unit = _ => ()): Unit = {
+    val spark = batch.sparkSession
+    exactlyOnceEpoch(batch, key, indexPath, outPath, crashpoint) { epoch =>
+      val ref = readVectorsWindowAdmittedExcluding(spark, indexPath, epoch, minAdmitted)
+        .select(col("id").as(idCol), col("vec").as(vecCol))
+      graft.similarity.Similarity.dropSeenEmbeddingReleasable(
+        batch, ref, vecCol, idCol, threshold, planes, bands, probeHamming, broadcastVerify)
+    } { (kept, epoch) =>
+      appendVectorsEpochAdmitted(kept, vecCol, idCol, indexPath, epoch, admittedAt)
+    } (identity)
+  }
+
+  /** [[gateStreamSimhashWindowExactlyOnce]] at the EMBEDDING level —
+    * the semantic form of the composed loop. Compaction for this
+    * layout is [[compactVectorsWindowed]].
+    */
+  def gateStreamEmbeddingWindowExactlyOnce(
+      stream: DataFrame,
+      vecCol: String,
+      idCol: String,
+      indexPath: String,
+      outPath: String,
+      checkpointDir: String,
+      windowAge: Long,
+      threshold: Double,
+      planes: Array[Array[Float]],
+      bands: Int = 8,
+      probeHamming: Int = 0,
+      broadcastVerify: Boolean = false,
+      ledgerKeepLast: Int = 0,
+      clock: () => Long = () => System.currentTimeMillis()): org.apache.spark.sql.streaming.StreamingQuery = {
+    require(windowAge >= 0, s"windowAge=$windowAge must be >= 0")
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val now = clock()
+        exactlyOnceEpochEmbeddingWindow(
+          batch, vecCol, idCol, batchKey(checkpointDir, batchId), indexPath, outPath,
+          threshold, planes, admittedAt = now, minAdmitted = now - windowAge,
+          bands = bands, probeHamming = probeHamming, broadcastVerify = broadcastVerify)
+        if (ledgerKeepLast > 0) compactLedger(batch.sparkSession, indexPath, ledgerKeepLast)
+      }
+      .start()
+  }
+
+  /** [[compactWindowed]] for the vector index — `(id, vec, epoch)`
+    * grain, same stamp rules, same optional expiry horizon.
+    */
+  def compactVectorsWindowed(
+      spark: SparkSession, path: String, dropAdmittedBefore: Option[Long] = None): Unit =
+    compactInto(spark, path) { df =>
+      val collapsed = df.groupBy("id", "vec", "epoch")
+        .agg(
+          max(col("admitted")).as("__max_admitted"),
+          max(when(col("admitted").isNull, 1).otherwise(0)).as("__unstamped"))
+        .select(col("id"), col("vec"), col("epoch"),
+          when(col("__unstamped") === 1, lit(null).cast("long"))
+            .otherwise(col("__max_admitted")).as("admitted"))
+      dropAdmittedBefore.fold(collapsed)(h =>
+        collapsed.filter(col("admitted").isNull || col("admitted") >= h))
+    }(vecWinEpochSchema)
 }

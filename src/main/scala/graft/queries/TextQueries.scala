@@ -379,6 +379,47 @@ object TextQueries {
       |WHERE doc_id % 3 = 1
       |ORDER BY epoch, doc_id""".stripMargin
 
+  /** q107: the WINDOWED EXACTLY-ONCE ingest lifecycle — q106's
+    * retention semantics COMPOSED with q103's durable-index shape
+    * under the exactly-once ledger
+    * ([[graft.dedup.SeenIndex.exactlyOnceEpochSimhashWindow]]): three
+    * ledgered batches of the SAME corpus slice with an advancing
+    * admission clock. Batch 1 (@t=100) bootstraps; batch 2 (@t=150,
+    * window from 70) finds every admission live and gates to ZERO;
+    * batch 3 (@t=300, window from 220) finds every admission aged out
+    * and re-admits the full slice. Output: every (doc_id, epoch)
+    * admission read back from the epoch-partitioned exactly-once
+    * output directory — the slice crossed with epochs {1, 3} and
+    * nothing at 2, DuckDB-expressible from first principles exactly
+    * like q106. An expiry bug admits nothing at 3, a clock-reset or
+    * ledger bug admits rows at 2 (or duplicates a partition), and any
+    * of those breaks the hash match. Crash-replay idempotence of the
+    * same protocol is pinned separately by SeenIndexSpec's kill
+    * schedules.
+    */
+  def q107WindowExactlyOnce(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Sources.documents(spark, dir)
+      .filter(col("doc_id") % 3 === 2 && col("text").isNotNull)
+      .select("doc_id", "text")
+    val path = graft.core.TempDirs.create("q107_weo_index_")
+    val outp = graft.core.TempDirs.create("q107_weo_out_")
+    Seq(("b1", 100L, 0L), ("b2", 150L, 70L), ("b3", 300L, 220L)).foreach {
+      case (key, at, min) =>
+        graft.dedup.SeenIndex.exactlyOnceEpochSimhashWindow(
+          docs, "text", key, path, outp, 3, admittedAt = at, minAdmitted = min)
+    }
+    spark.read.parquet(outp)
+      .select(col("doc_id"), col("epoch").cast("long").as("epoch"))
+      .orderBy("epoch", "doc_id")
+  }
+
+  val q107Sql: String =
+    """SELECT doc_id, epoch
+      |FROM documents
+      |CROSS JOIN (SELECT CAST(1 AS BIGINT) AS epoch UNION ALL SELECT 3) epochs
+      |WHERE doc_id % 3 = 2 AND text IS NOT NULL
+      |ORDER BY epoch, doc_id""".stripMargin
+
   /** The full curation pipeline (annotate -> exact dedup -> near
     * dedup -> quality gate), oracle-checked hash-exact end to end:
     * the DuckDB mirror re-derives every stage from first principles —
@@ -1083,6 +1124,7 @@ object TextQueries {
     "q102_containment_gate" -> (q102ContainmentGate _),
     "q103_ingest_epochs" -> (q103IngestEpochs _),
     "q106_window_gate" -> (q106WindowGate _),
+    "q107_window_exactly_once" -> (q107WindowExactlyOnce _),
     "q60_neardup_keep_best" -> (q60NearDupKeepBest _),
     "q61_bm25" -> (q61Bm25 _),
     "q63_normalize" -> (q63Normalize _),
@@ -1104,6 +1146,7 @@ object TextQueries {
     "q101_jaccard_gate" -> q101Sql,
     "q102_containment_gate" -> q102Sql,
     "q106_window_gate" -> q106Sql,
+    "q107_window_exactly_once" -> q107Sql,
     "q36_curation_pipeline" -> q36Sql,
     "q47_chunking" -> q47Sql,
     "q48_repeated_spans" -> q48Sql,

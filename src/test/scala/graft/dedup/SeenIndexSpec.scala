@@ -833,6 +833,223 @@ class SeenIndexSpec extends SparkSpec {
     assert(SeenIndex.read(spark, idx).count() == visibleModel(0L).size)
   }
 
+  test("windowed exactly-once: kills at every crash point; re-admission happens exactly when every prior admission aged out; zero duplicate rows") {
+    import sqlImplicits._
+    val idx = tmpDir() + "/widx"; val out = tmpDir() + "/wout"
+    val base = (1 to 50).map(i => s"w$i").mkString(" ")
+    val other = (100 to 160).map(i => s"v$i").mkString(" ")
+    val novel = (500 to 560).map(i => s"z$i").mkString(" ")
+    def outRows(): Seq[(Long, Long)] =
+      spark.read.parquet(out).select("doc_id", "epoch")
+        .collect().map(r => (r.getLong(0), r.getAs[Number]("epoch").longValue)).toSeq
+    def run(batch: org.apache.spark.sql.DataFrame, key: String, at: Long, min: Long,
+            killAt: String = ""): Unit =
+      SeenIndex.exactlyOnceEpochSimhashWindow(batch, "text", key, idx, out, 3,
+        admittedAt = at, minAdmitted = min,
+        crashpoint = s => if (s == killAt) throw new RuntimeException(s"killed at $s"))
+    // batch w0 @ t=100 (epoch 1): bootstrap, with kills before + after the gate
+    val b0 = Seq((1L, base), (2L, other)).toDF("doc_id", "text")
+    intercept[RuntimeException] { run(b0, "w0", 100L, 20L, killAt = "allocated") }
+    intercept[RuntimeException] { run(b0, "w0", 100L, 20L, killAt = "output") }
+    run(b0, "w0", 100L, 20L)
+    assert(outRows().sorted == Seq((1L, 1L), (2L, 1L)))
+    // batch w1 @ t=150, window from 70: base (admitted @100) is LIVE ->
+    // gated; novel passes. The kill lands AFTER the index append — the
+    // point where a naive replay gates the batch against itself.
+    val b1 = Seq((10L, base), (11L, novel)).toDF("doc_id", "text")
+    intercept[RuntimeException] { run(b1, "w1", 150L, 70L, killAt = "appended") }
+    run(b1, "w1", 150L, 70L)
+    assert(outRows().sorted == Seq((1L, 1L), (2L, 1L), (11L, 2L)))
+    // batch w2 @ t=250, window from 170: EVERY prior admission (base and
+    // other @100, novel @150) has aged out -> the full batch re-admits,
+    // with a mid-gate kill first
+    val b2 = Seq((20L, base), (21L, novel)).toDF("doc_id", "text")
+    intercept[RuntimeException] { run(b2, "w2", 250L, 170L, killAt = "gated") }
+    run(b2, "w2", 250L, 170L)
+    assert(outRows().sorted == Seq((1L, 1L), (2L, 1L), (11L, 2L), (20L, 3L), (21L, 3L)))
+    // batch w3 @ t=300, window from 220: base's RE-admission (@250)
+    // reset its clock -> gated; other's only admission (@100) aged out
+    // -> re-admitted. Expiry is measured from the LAST admission.
+    val b3 = Seq((30L, base), (31L, other)).toDF("doc_id", "text")
+    intercept[RuntimeException] { run(b3, "w3", 300L, 220L, killAt = "appended") }
+    run(b3, "w3", 300L, 220L)
+    val want = Seq((1L, 1L), (2L, 1L), (11L, 2L), (20L, 3L), (21L, 3L), (31L, 4L))
+    assert(outRows().sorted == want)
+    // replays of every committed batch across the whole schedule are
+    // pure no-ops: zero duplicates, zero drops
+    run(b0, "w0", 999L, 0L); run(b1, "w1", 999L, 0L)
+    run(b2, "w2", 999L, 0L); run(b3, "w3", 999L, 0L)
+    val finalRows = outRows()
+    assert(finalRows.sorted == want)
+    assert(finalRows.length == finalRows.distinct.length, s"duplicated rows: $finalRows")
+  }
+
+  test("windowed exactly-once streaming loop: fake clock drives expiry re-admission end to end; restart resumes") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import sqlImplicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val idx = tmpDir() + "/idx"; val out = tmpDir() + "/out"
+    val base = (1 to 50).map(i => s"w$i").mkString(" ")
+    var now = 1000L
+    def admitted(): Set[Long] =
+      spark.read.parquet(out).select("doc_id").collect().map(_.getLong(0)).toSet
+    val input = MemoryStream[(Long, String)]
+    val q = SeenIndex.gateStreamSimhashWindowExactlyOnce(
+      input.toDF().toDF("doc_id", "text"), "text", idx, out, tmpDir(),
+      windowAge = 100L, clock = () => now)
+    input.addData((1L, base)); q.processAllAvailable()   // t=1000: bootstrap
+    now = 1050L
+    input.addData((2L, base)); q.processAllAvailable()   // in window -> gated
+    assert(admitted() == Set(1L))
+    now = 1200L
+    input.addData((3L, base)); q.processAllAvailable()   // 1000 < 1100 -> re-admitted
+    assert(admitted() == Set(1L, 3L))
+    now = 1250L
+    input.addData((4L, base)); q.processAllAvailable()   // clock reset @1200 -> gated
+    assert(admitted() == Set(1L, 3L))
+    q.stop()
+    // a fresh query (new checkpoint => new batch keys) resumes from the
+    // same windowed index: the @1200 admission still gates at t=1260
+    val input2 = MemoryStream[(Long, String)]
+    now = 1260L
+    val q2 = SeenIndex.gateStreamSimhashWindowExactlyOnce(
+      input2.toDF().toDF("doc_id", "text"), "text", idx, out, tmpDir(),
+      windowAge = 100L, clock = () => now)
+    input2.addData((5L, base)); q2.processAllAvailable()
+    q2.stop()
+    assert(admitted() == Set(1L, 3L))
+  }
+
+  test("windowed exactly-once Hamming and embedding forms: aged-out signatures re-admit, kills replay clean") {
+    import sqlImplicits._
+    // media form
+    val hidx = tmpDir() + "/hidx"; val hout = tmpDir() + "/hout"
+    val s0 = 0x0123456789abcdefL
+    def runH(batch: org.apache.spark.sql.DataFrame, key: String, at: Long, min: Long,
+             killAt: String = ""): Unit =
+      SeenIndex.exactlyOnceEpochHammingWindow(batch, "ahash", key, hidx, hout, 3,
+        admittedAt = at, minAdmitted = min,
+        crashpoint = s => if (s == killAt) throw new RuntimeException("kill"))
+    runH(Seq((1L, s0)).toDF("media_id", "ahash"), "h0", 100L, 0L)
+    // near signature in-window -> gated (even across a replay)
+    val b1 = Seq((2L, s0 ^ 3L)).toDF("media_id", "ahash")
+    intercept[RuntimeException] { runH(b1, "h1", 150L, 70L, killAt = "appended") }
+    runH(b1, "h1", 150L, 70L)
+    // aged out -> re-admitted
+    val b2 = Seq((3L, s0)).toDF("media_id", "ahash")
+    intercept[RuntimeException] { runH(b2, "h2", 300L, 220L, killAt = "appended") }
+    runH(b2, "h2", 300L, 220L)
+    assert(spark.read.parquet(hout).select("media_id")
+      .collect().map(_.getLong(0)).toSet == Set(1L, 3L))
+    // embedding form
+    val eidx = tmpDir() + "/eidx"; val eout = tmpDir() + "/eout"
+    val dim = 8
+    val planes = graft.similarity.Similarity.hyperplanes(dim, numPlanes = 64)
+    val e1 = Seq(1f, 0f, 0f, 0f, 0f, 0f, 0f, 0f)
+    def runE(batch: org.apache.spark.sql.DataFrame, key: String, at: Long, min: Long,
+             killAt: String = ""): Unit =
+      SeenIndex.exactlyOnceEpochEmbeddingWindow(batch, "embedding", "vec_id", key,
+        eidx, eout, threshold = 0.9, planes = planes,
+        admittedAt = at, minAdmitted = min, broadcastVerify = true,
+        crashpoint = s => if (s == killAt) throw new RuntimeException("kill"))
+    runE(Seq((1L, e1)).toDF("vec_id", "embedding"), "e0", 100L, 0L)
+    val eb1 = Seq((2L, e1)).toDF("vec_id", "embedding")
+    intercept[RuntimeException] { runE(eb1, "e1", 150L, 70L, killAt = "appended") }
+    runE(eb1, "e1", 150L, 70L) // in window -> gated
+    runE(Seq((3L, e1)).toDF("vec_id", "embedding"), "e2", 300L, 220L) // aged out -> re-admitted
+    assert(spark.read.parquet(eout).select("vec_id")
+      .collect().map(_.getLong(0)).toSet == Set(1L, 3L))
+  }
+
+  test("compactWindowed keeps the (sig, epoch) exclusion grain, collapses replay duplicates, drops rows behind the horizon") {
+    import sqlImplicits._
+    val idx = tmpDir() + "/cwidx"
+    def rows(): Set[(Long, Option[Long], Option[Long])] =
+      spark.read.schema("sig LONG, epoch LONG, admitted LONG").parquet(idx)
+        .collect().map(r => (r.getLong(0),
+          if (r.isNullAt(1)) None else Some(r.getLong(1)),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSet
+    // sig 7 admitted at epoch 1 (t=100, a replay duplicated the row)
+    // and RE-admitted at epoch 5 (t=300); sig 8 at epoch 2 (t=100);
+    // sig 9 from the pre-composition API (untagged, unstamped)
+    SeenIndex.appendEpochAdmitted(Seq(7L).toDF("sig"), "sig", idx, 1L, 100L)
+    SeenIndex.appendEpochAdmitted(Seq(7L).toDF("sig"), "sig", idx, 1L, 100L)
+    SeenIndex.appendEpochAdmitted(Seq(7L).toDF("sig"), "sig", idx, 5L, 300L)
+    SeenIndex.appendEpochAdmitted(Seq(8L).toDF("sig"), "sig", idx, 2L, 100L)
+    SeenIndex.append(Seq(9L).toDF("sig"), "sig", idx)
+    SeenIndex.compactWindowed(spark, idx)
+    // the (sig, epoch) grain survives — sig 7 keeps BOTH epochs (the
+    // rows a replay's own-epoch exclusion distinguishes); the
+    // same-epoch duplicate collapsed; untagged stays untagged
+    assert(rows() == Set(
+      (7L, Some(1L), Some(100L)), (7L, Some(5L), Some(300L)),
+      (8L, Some(2L), Some(100L)), (9L, None, None)))
+    // windowed visibility at every cutoff matches the uncompacted rules
+    def visible(m: Long): Set[Long] =
+      SeenIndex.readWindowAdmitted(spark, idx, m).collect().map(_.getLong(0)).toSet
+    assert(visible(0L) == Set(7L, 8L, 9L))
+    assert(visible(200L) == Set(7L, 9L))
+    assert(visible(400L) == Set(9L))
+    // the expiry horizon deletes exactly the rows no future gate could
+    // see; unstamped rows are never dropped
+    SeenIndex.compactWindowed(spark, idx, dropAdmittedBefore = Some(200L))
+    assert(rows() == Set((7L, Some(5L), Some(300L)), (9L, None, None)))
+    assert(visible(200L) == Set(7L, 9L))
+    // vector form: same grain + horizon rules
+    val vidx = tmpDir() + "/cwvidx"
+    val v = Seq((1L, Seq(1f, 0f))).toDF("id", "vec")
+    SeenIndex.appendVectorsEpochAdmitted(v, "vec", "id", vidx, 1L, 100L)
+    SeenIndex.appendVectorsEpochAdmitted(v, "vec", "id", vidx, 1L, 100L)
+    SeenIndex.appendVectorsEpochAdmitted(v, "vec", "id", vidx, 4L, 300L)
+    SeenIndex.compactVectorsWindowed(spark, vidx)
+    assert(spark.read.schema("id LONG, vec ARRAY<FLOAT>, epoch LONG, admitted LONG")
+      .parquet(vidx).count() == 2)
+    SeenIndex.compactVectorsWindowed(spark, vidx, dropAdmittedBefore = Some(200L))
+    assert(spark.read.schema("id LONG, vec ARRAY<FLOAT>, epoch LONG, admitted LONG")
+      .parquet(vidx).select("epoch").collect().map(_.getLong(0)).toSeq == Seq(4L))
+    // compacting a never-written index stays a no-op
+    SeenIndex.compactWindowed(spark, tmpDir() + "/never")
+  }
+
+  test("windowed exactly-once fuzz: random kill schedules with an advancing clock never duplicate or drop an admission") {
+    import sqlImplicits._
+    val idx = tmpDir() + "/fidx"; val out = tmpDir() + "/fout"
+    val rnd = new scala.util.Random(1717)
+    val stages = Vector("allocated", "gated", "output", "appended")
+    val windowAge = 100L
+    def text(i: Int) = (i * 1000 to i * 1000 + 60).map(j => s"q$j").mkString(" ")
+    var now = 1000L
+    var nextDoc = 0L
+    // model: text id -> admission stamp of its LAST admission
+    val lastAdmitted = scala.collection.mutable.Map[Int, Long]()
+    val expected = scala.collection.mutable.Set[Long]()
+    (0 until 12).foreach { step =>
+      now += 20L + rnd.nextInt(80) // monotone clock, sometimes jumping past the window
+      val min = now - windowAge
+      // each batch: one row, 50% a repeat of an earlier text
+      val t = if (step > 0 && rnd.nextBoolean()) rnd.nextInt(step) else step
+      val id = nextDoc; nextDoc += 1
+      val willAdmit = !lastAdmitted.get(t).exists(_ >= min)
+      if (willAdmit) { lastAdmitted(t) = now; expected += id }
+      val batch = Seq((id, text(t))).toDF("doc_id", "text")
+      val key = s"f$step"
+      (0 until rnd.nextInt(3)).foreach { _ =>
+        val killAt = stages(rnd.nextInt(stages.length))
+        intercept[RuntimeException] {
+          SeenIndex.exactlyOnceEpochSimhashWindow(batch, "text", key, idx, out, 3,
+            admittedAt = now, minAdmitted = min,
+            crashpoint = s => if (s == killAt) throw new RuntimeException("kill"))
+        }
+      }
+      SeenIndex.exactlyOnceEpochSimhashWindow(batch, "text", key, idx, out, 3,
+        admittedAt = now, minAdmitted = min)
+    }
+    val got = spark.read.parquet(out).select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(got.length == got.distinct.length, s"duplicated rows: $got")
+    assert(got.toSet == expected.toSet,
+      s"got=${got.sorted.toList} want=${expected.toList.sorted}")
+  }
+
   test("epoch allocation is dash-safe: a key that is a dash-prefix of another never claims its marker") {
     import org.apache.hadoop.fs.Path
     val idx = tmpDir() + "/idx"

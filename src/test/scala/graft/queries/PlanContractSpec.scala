@@ -405,6 +405,12 @@ class PlanContractSpec extends SparkSpec {
     // plan is the union of three checkpointed admitted sets + oracle
     // ORDER BY's range exchange.
     "q106_window_gate" -> 1,
+    // q107: q103's shape for the windowed exactly-once compose — all
+    // three ledgered batches RAN eagerly inside the query constructor
+    // (gate + epoch-keyed output write + stamped append); the audited
+    // plan is the parquet read of the epoch-partitioned output +
+    // oracle ORDER BY's range exchange.
+    "q107_window_exactly_once" -> 1,
     // q89: vocabTokenCounts' distinct-word exchange + the per-doc
     // prefix-sum window / chunk aggregate exchange (shared
     // partitioning) + oracle ORDER BY. The vocab table joins back by
