@@ -867,26 +867,39 @@ object StreamingOps {
     * state ([[minhashCandidatesStream]]) -> exact verification against
     * the static corpus index ([[verifiedNearDupStream]]).
     *
-    * STATE BOUND: this composes the UNBOUNDED candidate miner (the
-    * finite-run / parity shape — its seen-set grows with the whole
-    * stream). A production firehose should compose
-    * [[minhashCandidatesStreamTtl]] (event-time-expired state) with
-    * [[verifiedNearDupStream]] directly; the unbounded default is not
-    * a production endorsement.
+    * STATE BOUND — an EXPLICIT choice, no default: `tsCol = Some(ts)`
+    * composes the TTL miner ([[minhashCandidatesStreamTtl]] — each
+    * seen signature expires `ttlMs` after its event time, so state is
+    * bounded by one TTL horizon and a near-dup arriving more than
+    * `ttlMs` after its partner is intentionally not reported);
+    * `tsCol = None` composes the UNBOUNDED miner (the finite-run /
+    * parity shape — its seen-set grows with the whole stream), and
+    * writing the `None` is the caller owning that. (r16 hardwired the
+    * unbounded miner; a firehose user got unbounded state with only a
+    * scaladoc warning.)
     */
   def minhashVerifiedStream(
       docs: DataFrame,
       index: DataFrame,
       textCol: String,
       idCol: String,
+      tsCol: Option[String],
+      ttlMs: Long = 3600000L,
+      lateness: String = "10 seconds",
       n: Int = 3,
       threshold: Double = 0.5,
       numHashes: Int = 32,
       bands: Int = 8,
-      seed: Long = 42L): DataFrame =
-    verifiedNearDupStream(
-      minhashCandidatesStream(docs, textCol, idCol, n, numHashes, bands, seed),
-      index, threshold)
+      seed: Long = 42L): DataFrame = {
+    val candidates = tsCol match {
+      case Some(ts) =>
+        minhashCandidatesStreamTtl(docs, textCol, idCol, ts, ttlMs, lateness,
+          n, numHashes, bands, seed)
+      case None =>
+        minhashCandidatesStream(docs, textCol, idCol, n, numHashes, bands, seed)
+    }
+    verifiedNearDupStream(candidates, index, threshold)
+  }
 
   // ------------------------------------------- streaming curation pack
 
@@ -919,9 +932,10 @@ object StreamingOps {
     * slice is buffered and sorted in ONE task — the same
     * serialization the batch facade's window form has, WITHOUT a
     * distributed escape (a stream cannot chunk a running offset).
-    * A handful-of-strata firehose belongs in a `foreachBatch` loop
-    * over [[graft.text.SequencePacking.assignBinsDistributed]]
-    * with carried offsets, not in this stateful twin.
+    * A handful-of-strata firehose belongs in
+    * [[packBinsForeachBatch]] — the shipped `foreachBatch` loop over
+    * [[graft.text.SequencePacking.assignBinsDistributed]] with
+    * carried offsets — not in this stateful twin.
     */
   def packBinsStream(
       docs: DataFrame,
@@ -956,6 +970,205 @@ object StreamingOps {
           state.update(PackState(off))
           out.iterator
         })
+  }
+
+  // -- the foreachBatch firehose escapes for the sequential-counter twins --
+  //
+  // packBinsStream and lengthBatchingStream carry ONE running counter
+  // per stratum/bucket in keyed state: minimal state, but parallelism
+  // = the key count and each key's whole micro-batch slice buffers and
+  // sorts in one task. Their scaladocs used to POINT at "a foreachBatch
+  // loop over the distributed batch operator with carried offsets" as
+  // the firehose shape; these ship it. Per micro-batch the
+  // fully-distributed batch operator runs (chunked running sums —
+  // parallelism bounded by data, not keys) and the cross-batch counters
+  // live in a tiny per-batch parquet snapshot: batch n reads the
+  // latest `offsets-<m>` (m < n, missing = zeros), computes, then
+  // OVERWRITES `outPath/batch=<n>/` and `offsets-<n>` — every step
+  // deterministic given (batch, offsets-<m>) and every write an
+  // overwrite at a batch-keyed location, so a crash anywhere replays
+  // identically (the SeenIndex exactly-once argument, without needing
+  // a ledger because the batchId itself keys the state chain).
+  // OutPath, stateDir, and the checkpoint are a UNIT: a fresh
+  // checkpoint restarts batchIds at 0 — give it fresh dirs too.
+
+  /** Latest carried-counter snapshot strictly BEFORE `batchId` —
+    * `(key string, offset long)`; empty on the first batch.
+    */
+  private def carriedOffsets(
+      spark: SparkSession, stateDir: String, batchId: Long): DataFrame = {
+    val dir = new org.apache.hadoop.fs.Path(stateDir)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val prior =
+      if (fs.exists(dir))
+        fs.listStatus(dir).map(_.getPath.getName).collect {
+          case n if n.startsWith("offsets-") && n.substring(8).nonEmpty &&
+            n.substring(8).forall(_.isDigit) => n.substring(8).toLong
+        }.filter(_ < batchId)
+      else Array.empty[Long]
+    if (prior.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("key", StringType), StructField("offset", LongType))))
+    else
+      spark.read.schema("key STRING, offset BIGINT")
+        .parquet(s"$stateDir/offsets-${prior.max}")
+  }
+
+  /** [[packBinsStream]]'s firehose escape (see the section comment):
+    * per-stratum start-offset packing at FULL parallelism via
+    * [[graft.text.SequencePacking.assignBinsDistributed]], offsets
+    * carried across micro-batches in `stateDir`. Output rows land
+    * under `outPath/batch=<n>/` with the input columns plus
+    * `n_tokens`, `start_offset`, `bin` (read `outPath` as one table;
+    * partition discovery adds `batch`). Rows with a null stratum,
+    * order, or token count are dropped, exactly as the stateful twin
+    * drops them. Parity (StreamingOpsSpec): fed in `orderCol` order
+    * per stratum, the union of all batch dirs equals the batch
+    * operator on the union of the batches.
+    */
+  def packBinsForeachBatch(
+      docs: DataFrame,
+      textCol: String,
+      strataCol: String,
+      orderCol: String,
+      capacity: Int,
+      outPath: String,
+      stateDir: String,
+      checkpointDir: String,
+      numChunks: Int = 64): org.apache.spark.sql.streaming.StreamingQuery = {
+    require(capacity > 0, s"capacity=$capacity must be positive")
+    requireIntegralId(docs, orderCol)
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        packBinsBatch(batch, batchId, textCol, strataCol, orderCol, capacity,
+          outPath, stateDir, numChunks)
+      }
+      .start()
+  }
+
+  /** One [[packBinsForeachBatch]] micro-batch — factored out so the
+    * replay-idempotence contract is directly testable (the same
+    * factoring as SeenIndex's exactly-once bodies).
+    */
+  private[graft] def packBinsBatch(
+      batch: DataFrame,
+      batchId: Long,
+      textCol: String,
+      strataCol: String,
+      orderCol: String,
+      capacity: Int,
+      outPath: String,
+      stateDir: String,
+      numChunks: Int = 64): Unit = {
+    val spark = batch.sparkSession
+    val carried = carriedOffsets(spark, stateDir, batchId)
+      .toDF("__cb_key", "__cb_base")
+    val packed = graft.text.SequencePacking.assignBinsDistributed(
+      batch.filter(col(strataCol).isNotNull && col(orderCol).isNotNull &&
+        col(textCol).isNotNull),
+      textCol, strataCol, orderCol, capacity, numChunks)
+    // shift each stratum by its carried base; the snapshot is
+    // control-plane-sized (one row per stratum), so broadcast
+    val shifted = packed
+      .join(broadcast(carried), col(strataCol).cast("string") === col("__cb_key"), "left")
+      .withColumn("__cb_base", coalesce(col("__cb_base"), lit(0L)))
+      .withColumn("start_offset", col("start_offset") + col("__cb_base"))
+      .withColumn("bin", floor(col("start_offset") / lit(capacity.toLong)))
+      .drop("__cb_key")
+      // two consumers (output write + totals aggregate): one
+      // materialization, released before the batch returns
+      .localCheckpoint(true)
+    try {
+      shifted.drop("__cb_base").write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+      // post-batch totals: end offset of each stratum's last doc;
+      // strata absent from this batch keep their carried value
+      val totals = shifted
+        .groupBy(col(strataCol).cast("string").as("key"))
+        .agg(max(col("start_offset") + col("n_tokens")).as("offset"))
+        .unionByName(carried.select(col("__cb_key").as("key"), col("__cb_base").as("offset")))
+        .groupBy(col("key")).agg(max(col("offset")).as("offset"))
+      totals.write.mode("overwrite").parquet(s"$stateDir/offsets-$batchId")
+    } finally shifted.unpersist(blocking = false)
+  }
+
+  /** [[lengthBatchingStream]]'s firehose escape (see the section
+    * comment): per-bucket arrival-order batch ordinals at full
+    * parallelism — the within-batch ordinal is a unit-count run of
+    * the SAME chunked machinery
+    * ([[graft.text.SequencePacking.assignBinsDistributedFromCounts]]
+    * with a literal 1 per row: its start_offset IS the 0-based
+    * per-bucket rank), shifted by the carried per-bucket count.
+    * Output rows `(id, n_tokens, bucket, batch_id)` land under
+    * `outPath/batch=<n>/`; same arrival-order semantics and
+    * null-drop rule as the stateful twin, same per-(bucket, batch)
+    * size-multiset parity with the batch operator.
+    */
+  def lengthBatchingForeachBatch(
+      docs: DataFrame,
+      idCol: String,
+      tokensCol: String,
+      bucketWidth: Int,
+      batchSize: Int,
+      outPath: String,
+      stateDir: String,
+      checkpointDir: String,
+      numChunks: Int = 64): org.apache.spark.sql.streaming.StreamingQuery = {
+    require(bucketWidth > 0, s"bucketWidth=$bucketWidth must be positive")
+    require(batchSize > 0, s"batchSize=$batchSize must be positive")
+    requireIntegralId(docs, idCol)
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        lengthBatchingBatch(batch, batchId, idCol, tokensCol, bucketWidth, batchSize,
+          outPath, stateDir, numChunks)
+      }
+      .start()
+  }
+
+  /** One [[lengthBatchingForeachBatch]] micro-batch — factored out
+    * like [[packBinsBatch]] so replay idempotence is testable.
+    */
+  private[graft] def lengthBatchingBatch(
+      batch: DataFrame,
+      batchId: Long,
+      idCol: String,
+      tokensCol: String,
+      bucketWidth: Int,
+      batchSize: Int,
+      outPath: String,
+      stateDir: String,
+      numChunks: Int = 64): Unit = {
+    val spark = batch.sparkSession
+    val carried = carriedOffsets(spark, stateDir, batchId)
+      .toDF("__cb_key", "__cb_base")
+    val prepped = batch
+      .select(col(idCol).cast("long").as("id"),
+        col(tokensCol).cast("long").as("n_tokens"))
+      .filter(col("id").isNotNull && col("n_tokens").isNotNull)
+      // integral div, the batch operator's arithmetic
+      // (LengthBatching.assignBatchesFromCounts), not floor-of-
+      // double — exactness past 2^53 and the repo-wide convention
+      .withColumn("bucket", expr(s"n_tokens div ${bucketWidth.toLong}"))
+      .withColumn("__one", lit(1L))
+    val ranked = graft.text.SequencePacking.assignBinsDistributedFromCounts(
+      prepped, "__one", "bucket", "id", batchSize, numChunks)
+    val shifted = ranked
+      .join(broadcast(carried), col("bucket").cast("string") === col("__cb_key"), "left")
+      .withColumn("__cb_base", coalesce(col("__cb_base"), lit(0L)))
+      .withColumn("batch_id",
+        expr(s"(start_offset + __cb_base) div ${batchSize.toLong}"))
+      .localCheckpoint(true)
+    try {
+      shifted.select(col("id"), col("n_tokens"), col("bucket"), col("batch_id"))
+        .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+      val totals = shifted
+        .groupBy(col("bucket").cast("string").as("key"))
+        .agg(max(col("start_offset") + col("__cb_base") + 1L).as("offset"))
+        .unionByName(carried.select(col("__cb_key").as("key"), col("__cb_base").as("offset")))
+        .groupBy(col("key")).agg(max(col("offset")).as("offset"))
+      totals.write.mode("overwrite").parquet(s"$stateDir/offsets-$batchId")
+    } finally shifted.unpersist(blocking = false)
   }
 
   // ----------------------------------- streaming text-analysis twins
@@ -1177,19 +1390,24 @@ object StreamingOps {
     * batches — q77's released set when fed the corpus slice with the
     * bench slice's grams.
     *
-    * STATE BOUND: with the default `tsCol = None` the dedup stage is
+    * STATE BOUND — an EXPLICIT choice, no default: `tsCol = Some(ts)`
+    * bounds the dedup stage's seen-set to the watermark horizon
+    * (`dropDuplicatesWithinWatermark` — the production shape; a dup
+    * arriving beyond the horizon is re-admitted); `tsCol = None` is
     * the UNBOUNDED seen-set (one fingerprint per distinct doc,
-    * forever) — the finite-run / parity shape. A production firehose
-    * must pass `tsCol` (+ `watermark`) for expiring state, or gate
-    * through the durable [[graft.dedup.SeenIndex]] loops; do not
-    * inherit the unbounded default silently.
+    * forever) — the finite-run / parity shape, and writing the `None`
+    * is the caller owning that. (r16 shipped `None` as a silent
+    * default; a firehose user following the signature inherited
+    * unbounded state — the exact failure this parameter now refuses
+    * to default.) For cross-RUN dedup state, gate through the durable
+    * [[graft.dedup.SeenIndex]] loops instead.
     */
   def releaseGateStream(
       docs: DataFrame,
       benchGrams: Seq[String],
       textCol: String,
       idCol: String,
-      tsCol: Option[String] = None,
+      tsCol: Option[String],
       watermark: String = "1 hour",
       n: Int = 3,
       flagThreshold: Double = 0.05,
@@ -1765,9 +1983,10 @@ object StreamingOps {
     * THROUGHPUT CEILING: O(buckets) state keys also means at most
     * `buckets` concurrent tasks, each buffering and sorting its whole
     * per-bucket micro-batch slice — and Zipfian document lengths make
-    * the middle buckets hot. A firehose belongs in a `foreachBatch`
-    * loop over the batch operator with carried per-bucket counts, as
-    * with [[packBinsStream]].
+    * the middle buckets hot. A firehose belongs in
+    * [[lengthBatchingForeachBatch]] — the shipped `foreachBatch` loop
+    * with carried per-bucket counts — as with [[packBinsStream]] /
+    * [[packBinsForeachBatch]].
     */
   def lengthBatchingStream(
       docs: DataFrame,

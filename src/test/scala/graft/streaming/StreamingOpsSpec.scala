@@ -416,6 +416,7 @@ class StreamingOpsSpec extends SparkSpec {
     // bands=16 mirrors verifyCandidates' default banding exactly
     val stream = StreamingOps.minhashVerifiedStream(
       input.toDF().toDF("doc_id", "text"), index, "text", "doc_id",
+      tsCol = None, // the explicit unbounded/parity choice
       threshold = 0.5, bands = 16)
     val q = stream.writeStream.outputMode("append").format("memory").queryName("mvs").start()
     Seq(Seq((1L, base), (4L, other)), Seq((2L, base), (3L, nearDup)), Seq((5L, nearDup2)))
@@ -522,6 +523,145 @@ class StreamingOpsSpec extends SparkSpec {
     factors.unpersist()
     assert(got == want)
     assert(got.exists(_._3 >= 2), "the whole-epoch repeat really fires")
+  }
+
+  test("releaseGateStream TTL mode: dedup state stays bounded under a 3x longer stream; expiry re-admits") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import sqlImplicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // STATE BOUND: distinct texts with advancing event time; the
+    // watermarked dedup stage must hold ~horizon keys, not all-time
+    val bench = StreamingOps.benchGramSet(
+      Seq((0L, "zq1 zq2 zq3 zq4 zq5")).toDF("doc_id", "text"), "text")
+    val input = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val stream = StreamingOps.releaseGateStream(
+      input.toDF().toDF("doc_id", "text", "ts"), bench, "text", "doc_id",
+      tsCol = Some("ts"), watermark = "5 seconds")
+    val q = stream.writeStream.outputMode("append").format("memory").queryName("rgsttl").start()
+    def text(i: Int) = (i * 100 to i * 100 + 40).map(j => s"t$j").mkString(" ")
+    def feed(ids: Range): Unit = {
+      ids.grouped(10).foreach { g =>
+        input.addData(g.map(i =>
+          (i.toLong, text(i), ts(f"2024-01-01 10:${i / 60}%02d:${i % 60}%02d"))))
+        q.processAllAvailable()
+      }
+    }
+    def stateRows(): Long =
+      q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+    feed(0 until 30)
+    val after1x = stateRows()
+    feed(30 until 90) // 3x the stream
+    val after3x = stateRows()
+    q.stop()
+    assert(after3x <= after1x + 15,
+      s"state grew with the stream (1x=$after1x, 3x=$after3x) — the watermark bound is not holding")
+    assert(after3x < 30, s"state=$after3x should be ~watermark-horizon-sized, 90 docs were fed")
+    // EXPIRY RE-ADMISSION at the dedup stage the gate composes: a dup
+    // within the horizon is suppressed, one beyond it re-admits
+    val input2 = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val dd = StreamingOps.exactDedupStream(
+      input2.toDF().toDF("doc_id", "text", "ts"), "text", Some("ts"), "5 seconds")
+    val q2 = dd.writeStream.outputMode("append").format("memory").queryName("ddttl").start()
+    val a = text(1); val b = text(2)
+    input2.addData((1L, a, ts("2024-01-01 10:00:00"))); q2.processAllAvailable()
+    input2.addData((2L, a, ts("2024-01-01 10:00:02"))); q2.processAllAvailable() // in horizon: dup
+    input2.addData((99L, b, ts("2024-01-01 11:00:00"))); q2.processAllAvailable() // watermark marker
+    input2.addData((3L, a, ts("2024-01-01 11:00:01"))); q2.processAllAvailable() // expired: re-admit
+    q2.stop()
+    val got = spark.table("ddttl").select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L, 99L, 3L), s"got=$got")
+  }
+
+  test("minhashVerifiedStream TTL mode: in-horizon pairs verified exactly, expired history never pairs") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import sqlImplicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val textX = (1 to 50).map(i => s"w$i").mkString(" ")
+    val other = (100 to 160).map(i => s"v$i").mkString(" ")
+    val index = StreamingOps.shingleIndex(
+      Seq((1L, textX), (2L, textX), (3L, textX), (99L, other)).toDF("doc_id", "text"),
+      "text", "doc_id").persist()
+    val input = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val stream = StreamingOps.minhashVerifiedStream(
+      input.toDF().toDF("doc_id", "text", "ts"), index, "text", "doc_id",
+      tsCol = Some("ts"), ttlMs = 3600000L, threshold = 0.5, bands = 16)
+    val q = stream.writeStream.outputMode("append").format("memory").queryName("mvsttl").start()
+    input.addData((1L, textX, ts("2024-01-01 10:00:00"))); q.processAllAvailable()
+    input.addData((99L, other, ts("2024-01-01 13:00:00"))); q.processAllAvailable()
+    // same text as doc 1 but its state expired -> NO pair
+    input.addData((2L, textX, ts("2024-01-01 13:05:00"))); q.processAllAvailable()
+    // within doc 2's horizon -> pair (2, 3), verified at exact jaccard 1.0
+    input.addData((3L, textX, ts("2024-01-01 13:10:00"))); q.processAllAvailable()
+    q.stop()
+    index.unpersist()
+    val got = spark.table("mvsttl").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == Set((2L, 3L, 1.0)), s"got=$got")
+  }
+
+  test("packBinsForeachBatch: carried offsets equal the batch operator on the union; replays idempotent; wrapper end-to-end") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import sqlImplicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def tmp() = java.nio.file.Files.createTempDirectory("pbfb").toString
+    val docs = (1 to 12).map(i =>
+      (i.toLong, if (i % 2 == 0) "even" else "odd", (1 to (i % 4) + 1).map(j => s"x${i}_$j").mkString(" ")))
+    val union = docs.toDF("doc_id", "stratum", "text")
+    val want = graft.text.SequencePacking.assignBins(
+      union, "text", "stratum", "doc_id", capacity = 5)
+      .select("doc_id", "start_offset", "bin")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // manual per-batch protocol, fed in id order (the parity contract)
+    val out = tmp() + "/out"; val st = tmp() + "/state"
+    def runBatch(ids: Seq[Int], id: Long): Unit =
+      StreamingOps.packBinsBatch(
+        docs.filter(d => ids.contains(d._1.toInt)).toDF("doc_id", "stratum", "text"),
+        id, "text", "stratum", "doc_id", capacity = 5, out, st)
+    runBatch(1 to 4, 0L)
+    runBatch(5 to 8, 1L)
+    runBatch(5 to 8, 1L) // replay: deterministic input offsets + overwrite => idempotent
+    runBatch(9 to 12, 2L)
+    def read(path: String): Set[(Long, Long, Long)] =
+      spark.read.parquet(path).select("doc_id", "start_offset", "bin")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(read(out) == want, s"got=${read(out)}\nwant=$want")
+    // the streaming wrapper drives the same bodies
+    val out2 = tmp() + "/out"; val st2 = tmp() + "/state"
+    val input = MemoryStream[(Long, String, String)]
+    val q = StreamingOps.packBinsForeachBatch(
+      input.toDF().toDF("doc_id", "stratum", "text"), "text", "stratum", "doc_id",
+      capacity = 5, out2, st2, tmp() + "/cp")
+    docs.grouped(4).foreach { b => input.addData(b); q.processAllAvailable() }
+    q.stop()
+    assert(read(out2) == want)
+  }
+
+  test("lengthBatchingForeachBatch: carried per-bucket counts equal the batch operator on the union; replays idempotent") {
+    import sqlImplicits._
+    def tmp() = java.nio.file.Files.createTempDirectory("lbfb").toString
+    // Zipf-ish token counts across two buckets (width 10)
+    val docs = (1 to 12).map(i => (i.toLong, (i % 3) * 10L + 3L))
+    val union = docs.toDF("doc_id", "n_tokens")
+    val want = graft.text.LengthBatching.assignBatchesFromCounts(
+      union, "n_tokens", "doc_id", bucketWidth = 10, batchSize = 2, distributed = true)
+      .select("doc_id", "bucket", "batch_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val out = tmp() + "/out"; val st = tmp() + "/state"
+    def runBatch(ids: Seq[Int], id: Long): Unit =
+      StreamingOps.lengthBatchingBatch(
+        docs.filter(d => ids.contains(d._1.toInt)).toDF("doc_id", "n_tokens"),
+        id, "doc_id", "n_tokens", bucketWidth = 10, batchSize = 2, out, st)
+    runBatch(1 to 4, 0L)
+    runBatch(5 to 8, 1L)
+    runBatch(5 to 8, 1L) // replay is a pure overwrite of the same rows
+    runBatch(9 to 12, 2L)
+    // the twin fixes its output names like its stateful sibling: id,
+    // n_tokens, bucket, batch_id
+    val got = spark.read.parquet(out).select("id", "bucket", "batch_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want, s"got=$got\nwant=$want")
   }
 
   test("TTL-bounded streaming minhash: partners within the horizon pair, expired history does not") {
@@ -758,7 +898,8 @@ class StreamingOpsSpec extends SparkSpec {
     val bench = StreamingOps.benchGramSet(benchDocs.toDF("doc_id", "text"), "text")
     val input = MemoryStream[(Long, String)]
     val stream = StreamingOps.releaseGateStream(
-      input.toDF().toDF("doc_id", "text"), bench, "text", "doc_id")
+      input.toDF().toDF("doc_id", "text"), bench, "text", "doc_id",
+      tsCol = None) // the explicit unbounded/parity choice
     val q = stream.writeStream.outputMode("append").format("memory").queryName("rgs").start()
     corpusDocs.grouped(100).foreach { b => input.addData(b); q.processAllAvailable() }
     q.stop()
