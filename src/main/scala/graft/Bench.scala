@@ -12,6 +12,11 @@ import scala.util.control.NonFatal
   * the sum of medians. Single runs at this scale showed ~2x
   * run-to-run variance (JIT/GC/page cache) — round 1 vs round 2
   * "regressed" 31% with zero engine changes on the measured path.
+  * The JSON additionally carries a machine-contention diagnosis: a
+  * fixed trivial `sentinel` query timed first and last (disagreement
+  * = the machine got busy mid-run), and `run_spread_mean`/
+  * `run_spread_max` (per-query max/min across repeats — fat spreads
+  * on unchanged queries = external load, not regression).
   */
 object Bench {
 
@@ -61,6 +66,26 @@ object Bench {
     // invariant live in ONE place ([[graft.core.CacheHygiene]]) shared
     // with ScaleBench and ExplainAudit.
     def resetState(): Unit = graft.core.CacheHygiene.resetAll(spark)
+    // CONTENTION SENTINEL: the same fixed trivial query (parquet scan
+    // + tiny shuffle — the substrate every real query shares) measured
+    // median-of-3 BEFORE and AFTER the sweep. On a quiet box the two
+    // agree to within noise; on a machine that got busy mid-run the
+    // "last" number inflates, so a slow total carries its own
+    // diagnosis instead of reading as a regression (BENCH_r16 recorded
+    // 160 s where the same code measured 77-92 s quiet — adjudicated
+    // only by off-line re-runs; this field makes that adjudication
+    // part of the artifact).
+    def sentinelOnce(): Double = {
+      resetState()
+      val t0 = System.nanoTime()
+      try {
+        spark.read.parquet(s"$sfDir/lineitem.parquet")
+          .groupBy("l_returnflag").count().collect()
+      } catch { case NonFatal(_) => () }
+      (System.nanoTime() - t0) / 1e9
+    }
+    sentinelOnce() // untimed warm-up, same rule as the query sweep
+    val sentinelFirst = median((0 until 3).map(_ => sentinelOnce()))
     // Local-iteration escape hatch: SPARK_GRAFT_BENCH_ONLY=q83_...,q88_...
     // limits the run to the named queries. The driver never sets it,
     // so round benches always cover the full registry.
@@ -81,14 +106,24 @@ object Bench {
       val warmup = once()
       val n = if (failed) 1 else if (warmup < 1.0) math.max(runs, 5) else math.max(runs, 1)
       val times = (0 until n).map(_ => once())
-      name -> (if (failed) -1.0 else median(times))
+      // per-query max/min across the repeats: the second contention
+      // signal — a busy machine shows up as a fat spread on queries
+      // whose code did not change
+      val spread = if (failed || times.min <= 0) -1.0 else times.max / times.min
+      name -> (if (failed) -1.0 else median(times), spread)
     }
-    val failedNames = results.collect { case (k, v) if v < 0 => k }.toSeq.sorted
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val sentinelLast = median((0 until 3).map(_ => sentinelOnce()))
+    val spreads = results.values.collect { case (v, s) if v >= 0 && s > 0 => s }
+    val spreadMean = if (spreads.isEmpty) -1.0 else spreads.sum / spreads.size
+    val spreadMax = if (spreads.isEmpty) -1.0 else spreads.max
+    val failedNames = results.collect { case (k, (v, _)) if v < 0 => k }.toSeq.sorted
+    val qs = results.map { case (k, (v, _)) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.values.filter(_ >= 0).sum
+    val total = results.values.map(_._1).filter(_ >= 0).sum
     val failedJson = failedNames.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"failed":$failedJson}"""
+    val sentinelJson =
+      s"""{"first":$sentinelFirst,"last":$sentinelLast}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"failed":$failedJson,"sentinel":$sentinelJson,"run_spread_mean":$spreadMean,"run_spread_max":$spreadMax}"""
     // The driver captures only the LAST ~2000 chars of output and
     // parses the JSON line out of that tail. With 90 queries the
     // full-name line is ~3000 chars, so the head (including "metric"
@@ -107,12 +142,14 @@ object Bench {
     // Fall back to full names on prefix collision (would otherwise
     // emit duplicate JSON keys).
     val collide = results.keys.groupBy(short).collect { case (p, ks) if ks.size > 1 => p }.toSet
-    val qsCompact = results.map { case (k, v) =>
+    val qsCompact = results.map { case (k, (v, _)) =>
       val sk = if (collide(short(k))) k else short(k)
       "\"" + sk + "\":" + (if (v < 0) "-1" else fmt3(v))
     }.mkString("{", ",", "}")
+    val sentinelCompact =
+      s"""{"first":${fmt3(sentinelFirst)},"last":${fmt3(sentinelLast)}}"""
     val compact =
-      s"""{"metric":"total","value":${fmt3(total)},"unit":"sec","queries":$qsCompact,"sf":"$sfDir","runs":$runs,"failed":$failedJson}"""
+      s"""{"metric":"total","value":${fmt3(total)},"unit":"sec","queries":$qsCompact,"sf":"$sfDir","runs":$runs,"failed":$failedJson,"sentinel":$sentinelCompact,"run_spread_mean":${fmt3(spreadMean)},"run_spread_max":${fmt3(spreadMax)}}"""
     // Bare line on stdout (build.sbt's StdoutOutput strategy keeps it
     // unprefixed) + a file copy, so the driver can parse either way.
     println(compact)

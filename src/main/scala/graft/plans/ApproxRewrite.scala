@@ -35,10 +35,21 @@ class ApproxRewrite extends Rule[LogicalPlan] {
   /** Tolerant flag parse: a malformed value (e.g. "1", "yes") leaves
     * the rewrite OFF instead of throwing from inside the optimizer —
     * which would fail EVERY query in the session, not just skip an
-    * optional optimization.
+    * optional optimization. Tolerant must not mean SILENT, though: a
+    * user who opts in with a truthy-but-not-"true" spelling would
+    * otherwise get unrewritten plans with no signal, so the first
+    * unrecognized value logs one warning (once per JVM, not once per
+    * optimized plan).
     */
-  private def enabled: Boolean =
-    conf.getConfString(ApproxRewrite.Flag, "false").trim.equalsIgnoreCase("true")
+  private def enabled: Boolean = {
+    val raw = conf.getConfString(ApproxRewrite.Flag, "false").trim
+    val on = raw.equalsIgnoreCase("true")
+    if (!on && !raw.isEmpty && !raw.equalsIgnoreCase("false") &&
+        ApproxRewrite.warnedValue.compareAndSet(null, raw))
+      logWarning(s"${ApproxRewrite.Flag}='$raw' is not 'true'/'false'; " +
+        "treating it as OFF — set it to exactly 'true' to enable the rewrite")
+    on
+  }
 
   override def apply(plan: LogicalPlan): LogicalPlan =
     if (!enabled) plan
@@ -52,4 +63,9 @@ class ApproxRewrite extends Rule[LogicalPlan] {
 
 object ApproxRewrite {
   val Flag = "spark.graft.approxRewrite"
+
+  /** First unrecognized flag value seen, for the once-per-JVM warning
+    * (visible to GraftExtensionsSpec).
+    */
+  private[graft] val warnedValue = new java.util.concurrent.atomic.AtomicReference[String](null)
 }

@@ -69,6 +69,12 @@ class GraftExtensionsSpec extends AnyFunSuite {
       assert(!intCol.queryExecution.optimizedPlan.toString.contains("percentile_approx"))
       val medInt = intCol.head().getDouble(0)
       assert(medInt == 500.5, medInt.toString) // still the exact interpolated median
+      // a truthy-but-not-"true" spelling stays OFF (tolerant) but is
+      // NOT silent: the first such value is recorded for the
+      // once-per-JVM warning
+      spark.conf.set(graft.plans.ApproxRewrite.Flag, "1")
+      assert(!optimizedPlan.contains("percentile_approx"))
+      assert(graft.plans.ApproxRewrite.warnedValue.get() == "1")
     } finally spark.conf.set(graft.plans.ApproxRewrite.Flag, "false")
   }
 

