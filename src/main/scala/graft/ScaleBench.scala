@@ -820,6 +820,29 @@ object ScaleBench {
             "embedding", "vec_id", threshold = 0.9, gatePlanes).count()
         }
       },
+      // The SIGNED twin of embedding_gate_vs_history: same fixed
+      // batch, same growing history, but the reference signatures
+      // read from the durable geometry-keyed cache (built OUTSIDE the
+      // timed thunk) instead of being recomputed — the thunk's
+      // history-scaling term drops from 190 dim-float dots per index
+      // row to a 24-byte column scan, so both alpha AND the absolute
+      // time should sit below the unsigned entry's.
+      "embedding_gate_vs_history_signed" -> {
+        lazy val gatePlanesS = graft.similarity.Similarity.hyperplanes(64, 64)
+        lazy val histS = {
+          val p = graft.core.TempDirs.create("scale_hist_vecs_signed_")
+          graft.dedup.SeenIndex.appendVectors(
+            emb.filter(col("vec_id") % 3 =!= 0), "embedding", "vec_id", p)
+          graft.dedup.SeenIndex.ensureSigCache(spark, p, gatePlanesS) // builds the cache
+          p
+        }
+        () => {
+          val batch = emb.filter(col("vec_id") % 3 === 0 && col("vec_id") < CopyStride)
+          val r = graft.dedup.SeenIndex.dropSeenEmbeddingSigned(
+            batch, "embedding", "vec_id", histS, threshold = 0.9, planes = gatePlanesS)
+          val n = r.result.count(); r.release(); n
+        }
+      },
       // Jaccard ingest gate (batch vs reference MinHash banding +
       // exact set-overlap verify): the shingle explode dominates the
       // per-row cost and the band join is collision-bound, so alpha

@@ -1543,4 +1543,364 @@ object SeenIndex {
       dropAdmittedBefore.fold(collapsed)(h =>
         collapsed.filter(col("admitted").isNull || col("admitted") >= h))
     }(vecWinEpochSchema)
+
+  // ---- the SIGNED vector index: precomputed-signature gating ----
+  //
+  // Every embedding gate above recomputes the reference side's
+  // 190-plane RHP signatures (64 coarse + 2x63 refine dots of dim
+  // floats per row) over the ENTIRE growing index, every epoch /
+  // micro-batch — at a billion-vector index that pass, not the scan,
+  // is the dominant history-linear term. The signed forms cache the
+  // signatures durably in a GEOMETRY-KEYED sibling directory
+  // (`<path>.sigs-<key>`, key = hash of the coarse planes; the refine
+  // geometries are fixed constants of the mining contract and bands
+  // only matter at band-slicing time, so neither keys the cache):
+  //
+  //   - rows mirror the index ((id, vec, epoch, admitted)) plus the
+  //     three signature columns, computed by the SAME
+  //     Similarity.withSignatures projection the live path derives
+  //     from (one normalization from raw — see its scaladoc for why
+  //     re-normalizing is not an identity), so cached and live
+  //     signatures are bit-identical by construction;
+  //   - appends run in LOCKSTEP (index first — the source of truth —
+  //     then cache), and every gate first checks ROW-COUNT PARITY
+  //     (parquet-metadata counts, no data scan): any divergence — a
+  //     crash between the two appends, a compaction's rewrite, a
+  //     direct unsigned append — triggers a full rebuild from the
+  //     index, which costs exactly what ONE unsigned gate pays;
+  //   - degenerate vectors ride along with null signatures (they
+  //     never gate; keeping the row is what makes count parity a
+  //     valid invariant);
+  //   - a caller changing `planes` simply lands on a fresh cache dir;
+  //     the old one is orphaned (delete it manually if the geometry
+  //     is retired — two gates with different thresholds may
+  //     legitimately share one index under different geometries).
+
+  private def geomKey(planes: Array[Array[Float]]): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val bb = java.nio.ByteBuffer.allocate(4)
+    planes.foreach(_.foreach { f =>
+      bb.clear(); bb.putFloat(f); md.update(bb.array(), 0, 4)
+    })
+    md.digest().map(b => f"${b & 0xff}%02x").mkString.take(16)
+  }
+
+  private def sigsDir(path: String, planes: Array[Array[Float]]) =
+    sibling(path, s".sigs-${geomKey(planes)}")
+
+  private val sigCacheSchema = StructType(vecWinEpochSchema.fields ++ Seq(
+    StructField("sig", LongType, nullable = true),
+    StructField("rsig", LongType, nullable = true),
+    StructField("rsig2", LongType, nullable = true)))
+
+  private def hasParquet(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Boolean =
+    fs.exists(p) && fs.listStatus(p).exists(_.getPath.getName.endsWith(".parquet"))
+
+  /** The exact row set the vector appends write (distinct non-null
+    * (id, vec), optional tags) with the three signature columns —
+    * the cache's append unit.
+    */
+  private def sigCacheRows(
+      df: DataFrame, vecCol: String, idCol: String, planes: Array[Array[Float]],
+      epoch: Option[Long], admitted: Option[Long]): DataFrame = {
+    val rows = df
+      .select(col(idCol).cast("long").as("id"), col(vecCol).cast("array<float>").as("vec"))
+      .filter(col("vec").isNotNull && col("id").isNotNull)
+      .distinct()
+      .withColumn("epoch", epoch.map(e => lit(e)).getOrElse(lit(null)).cast("long"))
+      .withColumn("admitted", admitted.map(a => lit(a)).getOrElse(lit(null)).cast("long"))
+    graft.similarity.Similarity.withSignatures(rows, "vec", planes)
+      .select(col("id"), col("vec"), col("epoch"), col("admitted"),
+        col("__sig").as("sig"), col("__rsig").as("rsig"), col("__rsig2").as("rsig2"))
+  }
+
+  /** Lockstep append: index rows first (the source of truth), then
+    * the matching signature rows — a crash between the two leaves the
+    * cache short, which the next gate's count-parity check detects
+    * and heals by rebuild.
+    */
+  private def appendVectorsAndSigs(
+      df: DataFrame, vecCol: String, idCol: String, path: String,
+      planes: Array[Array[Float]], epoch: Option[Long], admitted: Option[Long]): Unit = {
+    (epoch, admitted) match {
+      case (None, _) => appendVectors(df, vecCol, idCol, path)
+      case (Some(e), None) => appendVectorsEpoch(df, vecCol, idCol, path, e)
+      case (Some(e), Some(a)) => appendVectorsEpochAdmitted(df, vecCol, idCol, path, e, a)
+    }
+    sigCacheRows(df, vecCol, idCol, planes, epoch, admitted)
+      .write.mode("append").parquet(sigsDir(path, planes).toString)
+  }
+
+  /** Validate (and if needed rebuild) the signature cache for this
+    * index + geometry. The check is two parquet-metadata row counts;
+    * a mismatch rebuilds the cache wholesale from the index — the
+    * cost of one unsigned gate, paid only after a crash, a
+    * compaction, or an unsigned append touched the index.
+    */
+  def ensureSigCache(spark: SparkSession, path: String, planes: Array[Array[Float]]): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = fsFor(spark, p)
+    requireNotMidCompaction(fs, path)
+    val dir = sigsDir(path, planes)
+    val idxRows =
+      if (hasParquet(fs, p)) spark.read.schema(vecWinEpochSchema).parquet(path).count()
+      else 0L
+    val cacheRows =
+      if (hasParquet(fs, dir))
+        spark.read.schema(sigCacheSchema).parquet(dir.toString).count()
+      else 0L
+    if (idxRows != cacheRows) {
+      if (idxRows == 0L) deleteOrThrow(fs, dir)
+      else {
+        val tmp = sibling(dir.toString, ".rebuild-tmp")
+        graft.similarity.Similarity.withSignatures(
+          spark.read.schema(vecWinEpochSchema).parquet(path), "vec", planes)
+          .select(col("id"), col("vec"), col("epoch"), col("admitted"),
+            col("__sig").as("sig"), col("__rsig").as("rsig"), col("__rsig2").as("rsig2"))
+          .write.mode("overwrite").parquet(tmp.toString)
+        // tmp-then-swap: a crash mid-rebuild must not leave a cache
+        // whose count could coincidentally equal the index's
+        deleteOrThrow(fs, dir)
+        renameOrThrow(fs, tmp, dir)
+      }
+    }
+  }
+
+  /** The cache as a PRESIGNED reference frame for
+    * [[graft.similarity.Similarity.dropSeenEmbeddingPresigned]]:
+    * `(idCol, unit vecCol, __sig, __rsig, __rsig2)`, optionally
+    * epoch-excluded (the exactly-once replay view) and
+    * admission-windowed. Degenerate rows (null signatures) drop here
+    * — they never gate.
+    */
+  private def readSigs(
+      spark: SparkSession, path: String, planes: Array[Array[Float]],
+      vecCol: String, idCol: String,
+      excludeEpoch: Option[Long] = None,
+      minAdmitted: Option[Long] = None): DataFrame = {
+    val dir = sigsDir(path, planes)
+    val fs = fsFor(spark, dir)
+    if (!hasParquet(fs, dir))
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(
+          StructField(idCol, LongType), StructField(vecCol, ArrayType(FloatType, true)),
+          StructField("__sig", LongType), StructField("__rsig", LongType),
+          StructField("__rsig2", LongType))))
+    val raw = spark.read.schema(sigCacheSchema).parquet(dir.toString)
+    val epochOk = excludeEpoch
+      .map(e => col("epoch").isNull || col("epoch") =!= e).getOrElse(lit(true))
+    val windowOk = minAdmitted
+      .map(m => col("admitted").isNull || col("admitted") >= m).getOrElse(lit(true))
+    val selected = raw.filter(epochOk && windowOk)
+      .filter(col("sig").isNotNull)
+      .select(col("id").as(idCol), col("vec").as(vecCol),
+        col("sig").as("__sig"), col("rsig").as("__rsig"), col("rsig2").as("__rsig2"))
+    // the miner's verify stage needs UNIT vectors; normalize the raw
+    // stored vector with the shared expression (one normalization
+    // from raw — identical floats to the live path)
+    graft.similarity.Similarity.unitized(selected, vecCol)
+      .filter(col(vecCol).isNotNull)
+  }
+
+  /** READ-ONLY signed gate: the batch rows not near anything in the
+    * index, via the signature cache, with NO append — the dry-run /
+    * measurement form. The result is lazy; call `release()` after
+    * the terminal action (it drops the miner's internal persists).
+    */
+  def dropSeenEmbeddingSigned(
+      batch: DataFrame,
+      vecCol: String,
+      idCol: String,
+      path: String,
+      threshold: Double,
+      planes: Array[Array[Float]],
+      bands: Int = 8,
+      probeHamming: Int = 0,
+      broadcastVerify: Boolean = false): graft.core.Releasable[DataFrame] = {
+    val spark = batch.sparkSession
+    ensureSigCache(spark, path, planes)
+    val (gated, releaseMiner) = graft.similarity.Similarity.dropSeenEmbeddingPresigned(
+      batch, readSigs(spark, path, planes, vecCol, idCol),
+      vecCol, idCol, threshold, planes, bands, probeHamming, broadcastVerify)
+    graft.core.Releasable(gated, releaseMiner)
+  }
+
+  /** [[gateAndUpdateEmbedding]] over the SIGNED index: identical
+    * admissions (spec-pinned), but the reference side's signatures
+    * read from the cache instead of being recomputed — the gate's
+    * history-scaling term drops from 190 dim-float dots per index row
+    * to a 24-byte column scan.
+    */
+  def gateAndUpdateEmbeddingSigned(
+      batch: DataFrame,
+      vecCol: String,
+      idCol: String,
+      path: String,
+      threshold: Double,
+      planes: Array[Array[Float]],
+      bands: Int = 8,
+      probeHamming: Int = 0,
+      broadcastVerify: Boolean = false): graft.core.Releasable[DataFrame] = {
+    val spark = batch.sparkSession
+    ensureSigCache(spark, path, planes)
+    val (gated, releaseMiner) = graft.similarity.Similarity.dropSeenEmbeddingPresigned(
+      batch, readSigs(spark, path, planes, vecCol, idCol),
+      vecCol, idCol, threshold, planes, bands, probeHamming, broadcastVerify)
+    val kept = try gated.localCheckpoint(true) finally releaseMiner()
+    appendVectorsAndSigs(kept, vecCol, idCol, path, planes, None, None)
+    graft.core.Releasable(kept, () => { kept.unpersist(blocking = false); () })
+  }
+
+  /** [[gateStreamEmbedding]] over the SIGNED index — same
+    * at-least-once ordering, signature cache maintained in lockstep
+    * per micro-batch.
+    */
+  def gateStreamEmbeddingSigned(
+      stream: DataFrame,
+      vecCol: String,
+      idCol: String,
+      indexPath: String,
+      outPath: String,
+      checkpointDir: String,
+      threshold: Double,
+      planes: Array[Array[Float]],
+      bands: Int = 8,
+      probeHamming: Int = 0,
+      broadcastVerify: Boolean = false): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        ensureSigCache(spark, indexPath, planes)
+        val (gated, releaseMiner) = graft.similarity.Similarity.dropSeenEmbeddingPresigned(
+          batch, readSigs(spark, indexPath, planes, vecCol, idCol),
+          vecCol, idCol, threshold, planes, bands, probeHamming, broadcastVerify)
+        val kept = try gated.localCheckpoint(true) finally releaseMiner()
+        try {
+          kept.write.mode("append").parquet(outPath)
+          appendVectorsAndSigs(kept, vecCol, idCol, indexPath, planes, None, None)
+        } finally kept.unpersist(blocking = false)
+        ()
+      }
+      .start()
+
+  /** [[exactlyOnceEpochEmbedding]] over the SIGNED index. Replay
+    * correctness with the cache: a crash between the index and cache
+    * appends leaves a count mismatch, the replay's [[ensureSigCache]]
+    * rebuilds from the index (own-epoch rows INCLUDED, tagged), and
+    * the gate's epoch exclusion then removes them from the replay
+    * view — the same identical-admitted-set argument as the unsigned
+    * protocol.
+    */
+  private[graft] def exactlyOnceEpochEmbeddingSigned(
+      batch: DataFrame,
+      vecCol: String,
+      idCol: String,
+      key: String,
+      indexPath: String,
+      outPath: String,
+      threshold: Double,
+      planes: Array[Array[Float]],
+      bands: Int = 8,
+      probeHamming: Int = 0,
+      broadcastVerify: Boolean = false,
+      crashpoint: String => Unit = _ => ()): Unit = {
+    val spark = batch.sparkSession
+    ensureSigCache(spark, indexPath, planes)
+    exactlyOnceEpoch(batch, key, indexPath, outPath, crashpoint) { epoch =>
+      graft.similarity.Similarity.dropSeenEmbeddingPresigned(
+        batch, readSigs(spark, indexPath, planes, vecCol, idCol, excludeEpoch = Some(epoch)),
+        vecCol, idCol, threshold, planes, bands, probeHamming, broadcastVerify)
+    } { (kept, epoch) =>
+      appendVectorsAndSigs(kept, vecCol, idCol, indexPath, planes, Some(epoch), None)
+    } (identity)
+  }
+
+  /** [[gateStreamEmbeddingExactlyOnce]] over the SIGNED index. */
+  def gateStreamEmbeddingExactlyOnceSigned(
+      stream: DataFrame,
+      vecCol: String,
+      idCol: String,
+      indexPath: String,
+      outPath: String,
+      checkpointDir: String,
+      threshold: Double,
+      planes: Array[Array[Float]],
+      bands: Int = 8,
+      probeHamming: Int = 0,
+      broadcastVerify: Boolean = false,
+      ledgerKeepLast: Int = 0): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        exactlyOnceEpochEmbeddingSigned(
+          batch, vecCol, idCol, batchKey(checkpointDir, batchId), indexPath, outPath,
+          threshold, planes, bands, probeHamming, broadcastVerify)
+        if (ledgerKeepLast > 0) compactLedger(batch.sparkSession, indexPath, ledgerKeepLast)
+      }
+      .start()
+
+  /** [[exactlyOnceEpochEmbeddingWindow]] over the SIGNED index — the
+    * full composition: retention window + exactly-once + cached
+    * signatures on one index.
+    */
+  private[graft] def exactlyOnceEpochEmbeddingWindowSigned(
+      batch: DataFrame,
+      vecCol: String,
+      idCol: String,
+      key: String,
+      indexPath: String,
+      outPath: String,
+      threshold: Double,
+      planes: Array[Array[Float]],
+      admittedAt: Long,
+      minAdmitted: Long,
+      bands: Int = 8,
+      probeHamming: Int = 0,
+      broadcastVerify: Boolean = false,
+      crashpoint: String => Unit = _ => ()): Unit = {
+    val spark = batch.sparkSession
+    ensureSigCache(spark, indexPath, planes)
+    exactlyOnceEpoch(batch, key, indexPath, outPath, crashpoint) { epoch =>
+      graft.similarity.Similarity.dropSeenEmbeddingPresigned(
+        batch,
+        readSigs(spark, indexPath, planes, vecCol, idCol,
+          excludeEpoch = Some(epoch), minAdmitted = Some(minAdmitted)),
+        vecCol, idCol, threshold, planes, bands, probeHamming, broadcastVerify)
+    } { (kept, epoch) =>
+      appendVectorsAndSigs(kept, vecCol, idCol, indexPath, planes, Some(epoch), Some(admittedAt))
+    } (identity)
+  }
+
+  /** [[gateStreamEmbeddingWindowExactlyOnce]] over the SIGNED index. */
+  def gateStreamEmbeddingWindowExactlyOnceSigned(
+      stream: DataFrame,
+      vecCol: String,
+      idCol: String,
+      indexPath: String,
+      outPath: String,
+      checkpointDir: String,
+      windowAge: Long,
+      threshold: Double,
+      planes: Array[Array[Float]],
+      bands: Int = 8,
+      probeHamming: Int = 0,
+      broadcastVerify: Boolean = false,
+      ledgerKeepLast: Int = 0,
+      clock: () => Long = () => System.currentTimeMillis()): org.apache.spark.sql.streaming.StreamingQuery = {
+    require(windowAge >= 0, s"windowAge=$windowAge must be >= 0")
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val now = clock()
+        exactlyOnceEpochEmbeddingWindowSigned(
+          batch, vecCol, idCol, batchKey(checkpointDir, batchId), indexPath, outPath,
+          threshold, planes, admittedAt = now, minAdmitted = now - windowAge,
+          bands = bands, probeHamming = probeHamming, broadcastVerify = broadcastVerify)
+        if (ledgerKeepLast > 0) compactLedger(batch.sparkSession, indexPath, ledgerKeepLast)
+      }
+      .start()
+  }
 }

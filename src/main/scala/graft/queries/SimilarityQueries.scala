@@ -611,9 +611,38 @@ object SimilarityQueries {
       .orderBy("vec_id")
   }
 
+  /** q108: q104's durable semantic ingest lifecycle over the SIGNED
+    * vector index ([[graft.dedup.SeenIndex.gateAndUpdateEmbeddingSigned]]
+    * — reference signatures read from the geometry-keyed cache
+    * instead of recomputed per epoch, the gate's history-scaling
+    * term). Admissions are IDENTICAL to q104's by construction (the
+    * cache stores the same `withSignatures` projection the live path
+    * computes — one normalization from raw, same fixed refine
+    * geometries), which RowsOnlyContractSpec pins row for row; the
+    * cache's self-heal and crash behavior are pinned in SeenIndexSpec.
+    */
+  def q108SignedEmbeddingEpochs(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Sources.embeddings(spark, dir)
+    val g = Similarity.lshGeometry(threshold = 0.4, targetRecall = 0.95, numPlanes = 64)
+    val planes = Similarity.hyperplanes(dim = 64, numPlanes = 64)
+    val path = graft.core.TempDirs.create("q108_signed_vec_index_")
+    graft.dedup.SeenIndex.gateAndUpdateEmbeddingSigned(
+      emb.filter(col("vec_id") % 3 =!= 0), "embedding", "vec_id", path,
+      threshold = 0.4, planes = planes, bands = g.bands,
+      probeHamming = g.probeHamming, broadcastVerify = true).release()
+    graft.dedup.SeenIndex.gateAndUpdateEmbeddingSigned(
+      emb.filter(col("vec_id") % 3 === 0), "embedding", "vec_id", path,
+      threshold = 0.4, planes = planes, bands = g.bands,
+      probeHamming = g.probeHamming, broadcastVerify = true)
+      .result // checkpointed: never recomputes, safe to return un-released
+      .select("vec_id")
+      .orderBy("vec_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q100_embedding_gate" -> (q100EmbeddingGate _),
     "q104_embedding_epochs" -> (q104EmbeddingEpochs _),
+    "q108_signed_embedding_epochs" -> (q108SignedEmbeddingEpochs _),
     "q105_image_ingest_epochs" -> (q105ImageIngestEpochs _),
     "q83_phash_dups" -> (q83PhashDups _),
     "q94_cluster_balanced_sample" -> (q94ClusterBalancedSample _),

@@ -543,6 +543,33 @@ object Similarity {
     batch.join(seen, col(idCol) === col("__seen_id"), "left_anti") -> release
   }
 
+  /** [[dropSeenEmbeddingReleasable]] against a PRESIGNED reference:
+    * `refSigged` must carry `(idCol, vecCol as a UNIT vector, __sig,
+    * __rsig, __rsig2)` — the projection [[withSignatures]] writes and
+    * [[graft.dedup.SeenIndex]]'s signature cache re-reads. The gate
+    * skips the reference-side 190-plane signature pass entirely (the
+    * one term that grows with index size); everything downstream of
+    * candidate generation is the shared [[minePairs]] body, so
+    * presigned and live gating cannot drift in probe, prune, or
+    * verify behavior.
+    */
+  private[graft] def dropSeenEmbeddingPresigned(
+      batch: DataFrame,
+      refSigged: DataFrame,
+      vecCol: String,
+      idCol: String,
+      threshold: Double,
+      planes: Array[Array[Float]],
+      bands: Int = 8,
+      probeHamming: Int = 0,
+      broadcastVerify: Boolean = false): (DataFrame, () => Unit) = {
+    val (pairs, release) = minePairs(
+      batch, None, vecCol, idCol, threshold, planes, bands, probeHamming, broadcastVerify,
+      refSigged = Some(refSigged))
+    val seen = pairs.select(col("id_a").as("__seen_id")).distinct()
+    batch.join(seen, col(idCol) === col("__seen_id"), "left_anti") -> release
+  }
+
   /** All-pairs near-duplicate mining above a cosine threshold: LSH
     * band-bucket self-join (the scale path — candidate generation is a
     * shuffle on (band, hash), never a cross join), then exact cosine
@@ -609,13 +636,57 @@ object Similarity {
     * filter removes the row.
     */
   private def unitVectors(df: DataFrame, vecCol: String, idCol: String): DataFrame =
-    df.select(col(idCol), col(vecCol))
-      .withColumn("__norm", norm(col(vecCol)))
-      .select(col(idCol),
+    unitized(df.select(col(idCol), col(vecCol)), vecCol)
+      .filter(col(vecCol).isNotNull)
+
+  /** Normalize `vecCol` IN PLACE (degenerate vectors null out — see
+    * [[unitVectors]]), preserving every other column — the one
+    * normalization expression the miners and the durable signature
+    * cache ([[graft.dedup.SeenIndex]]) share, so a cached signature
+    * and a live one are computed from bit-identical unit vectors.
+    */
+  private[graft] def unitized(df: DataFrame, vecCol: String): DataFrame = {
+    require(!df.columns.contains("__norm"), "input must not contain reserved column __norm")
+    df.withColumn("__norm", norm(col(vecCol)))
+      .withColumn(vecCol,
         when(col("__norm") > 0 && !isnan(col("__norm")) &&
             col("__norm") < lit(Double.PositiveInfinity),
-          transform(col(vecCol), x => x / col("__norm"))).as(vecCol))
-      .filter(col(vecCol).isNotNull)
+          transform(col(vecCol), x => x / col("__norm"))))
+      .drop("__norm")
+  }
+
+  /** The two fixed 63-plane refine geometries every miner uses —
+    * factored so the signature cache computes bit-identical refine
+    * signatures at append time (the seeds are part of the mining
+    * contract, not per-call knobs).
+    */
+  private[graft] def refinePlanesA(dim: Int): Array[Array[Float]] =
+    hyperplanes(dim, 63, seed = 1042L)
+  private[graft] def refinePlanesB(dim: Int): Array[Array[Float]] =
+    hyperplanes(dim, 63, seed = 2042L)
+
+  /** The caller's columns plus `__sig`/`__rsig`/`__rsig2` computed
+    * from the ONCE-normalized vector with the miner's exact geometry
+    * (coarse `planes` + the two fixed refine sets) — the single
+    * definition [[graft.dedup.SeenIndex]]'s signature cache shares
+    * with the live mining path, so cached and recomputed signatures
+    * can never drift. `vecCol` stays RAW in the output (the cache
+    * stores raw vectors and re-normalizes at read — normalizing an
+    * already-normalized float vector is NOT an identity in float
+    * arithmetic, so the discipline is: always exactly one
+    * normalization from raw). Degenerate vectors yield null
+    * signatures; the row is kept.
+    */
+  private[graft] def withSignatures(
+      df: DataFrame, vecCol: String, planes: Array[Array[Float]]): DataFrame = {
+    val dim = planes.head.length
+    require(!df.columns.contains("__unitv"), "input must not contain reserved column __unitv")
+    unitized(df.withColumn("__unitv", col(vecCol)), "__unitv")
+      .withColumn("__sig", rhpSignature(col("__unitv"), planes))
+      .withColumn("__rsig", rhpSignature(col("__unitv"), refinePlanesA(dim)))
+      .withColumn("__rsig2", rhpSignature(col("__unitv"), refinePlanesB(dim)))
+      .drop("__unitv")
+  }
 
   /** Refine-prune cut: the max 126-bit flip count a candidate pair may
     * show and still be worth an exact verify. A TRUE at-threshold
@@ -689,7 +760,10 @@ object Similarity {
       planes: Array[Array[Float]],
       bands: Int,
       probeHamming: Int,
-      broadcastVerify: Boolean): (DataFrame, () => Unit) = {
+      broadcastVerify: Boolean,
+      refSigged: Option[DataFrame] = None): (DataFrame, () => Unit) = {
+    require(ref.isEmpty || refSigged.isEmpty,
+      "pass the reference either raw (ref) or presigned (refSigged), not both")
     require(planes.length % bands == 0,
       s"planes=${planes.length} must divide evenly into bands=$bands")
     val bitsPerBand = planes.length / bands
@@ -698,8 +772,8 @@ object Similarity {
         s"toward the all-pairs join at scale; size planes = bands x k with k >= 8")
     require(probeHamming >= 0 && probeHamming <= bitsPerBand, s"probeHamming=$probeHamming")
     val dim = planes.head.length
-    val refinePlanes = hyperplanes(dim, 63, seed = 1042L)
-    val refinePlanes2 = hyperplanes(dim, 63, seed = 2042L)
+    val refinePlanes = refinePlanesA(dim)
+    val refinePlanes2 = refinePlanesB(dim)
     val bandMask = if (bitsPerBand == 64) -1L else (1L << bitsPerBand) - 1
     // ONE persisted (id, unit-vec, 3 signatures) projection per side:
     // four plan branches consume each side (both probedKeys legs of
@@ -716,7 +790,16 @@ object Similarity {
       .withColumn("__rsig2", rhpSignature(col(vecCol), refinePlanes2))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val aS = sigged(unitVectors(df, vecCol, idCol))
-    val bS = ref.map(r => sigged(unitVectors(r, vecCol, idCol))).getOrElse(aS)
+    // presigned reference: the caller supplies (idCol, UNIT vecCol,
+    // __sig, __rsig, __rsig2) — signatures read from a durable cache
+    // instead of recomputed (the 190-plane pass is the term that
+    // grows with index size); persisted here for the same
+    // multi-consumer reason as sigged, released by the same handle
+    val bS = refSigged
+      .map(_.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      .orElse(ref.map(r => sigged(unitVectors(r, vecCol, idCol))))
+      .getOrElse(aS)
+    val crossCorpus = ref.nonEmpty || refSigged.nonEmpty
     def probedKeys(sigs: DataFrame, radius: Int): DataFrame = {
       val exact = sigs.select(
         col(idCol), col("__rsig"), col("__rsig2"),
@@ -737,7 +820,7 @@ object Similarity {
       .toDF("id_b", "rsig_b", "rsig2_b", "band", "h")
     val maxDisagree = refineCut(refinePlanes.length + refinePlanes2.length, threshold)
     val joined = a.join(b, Seq("band", "h"))
-    val candidates = (if (ref.isEmpty) joined.filter(col("id_a") < col("id_b")) else joined)
+    val candidates = (if (!crossCorpus) joined.filter(col("id_a") < col("id_b")) else joined)
       .filter(
         (bit_count(col("rsig_a").bitwiseXOR(col("rsig_b"))) +
           bit_count(col("rsig2_a").bitwiseXOR(col("rsig2_b")))) <= maxDisagree)
@@ -756,6 +839,6 @@ object Similarity {
       .withColumn("cosine", dot(col("vec_a"), col("vec_b"))) // unit vectors
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
-    pairs -> (() => { aS.unpersist(); if (ref.nonEmpty) bS.unpersist(); () })
+    pairs -> (() => { aS.unpersist(); if (crossCorpus) bS.unpersist(); () })
   }
 }

@@ -1050,6 +1050,104 @@ class SeenIndexSpec extends SparkSpec {
       s"got=${got.sorted.toList} want=${expected.toList.sorted}")
   }
 
+  test("signed embedding gate: cached signatures yield identical admissions; the cache self-heals after unsigned appends and compaction") {
+    import sqlImplicits._
+    val dim = 8
+    val planes = graft.similarity.Similarity.hyperplanes(dim, numPlanes = 64)
+    def unit(i: Int) = Seq.tabulate(dim)(j => if (j == i) 1f else 0f)
+    val zero = Seq.fill(dim)(0f)
+    val pathU = tmpDir() + "/u"; val pathS = tmpDir() + "/s"
+    def gateU(rows: Seq[(Long, Seq[Float])]): Set[Long] = {
+      val r = SeenIndex.gateAndUpdateEmbedding(
+        rows.toDF("vec_id", "embedding"), "embedding", "vec_id", pathU,
+        threshold = 0.9, planes = planes, broadcastVerify = true)
+      val kept = r.result.collect().map(_.getLong(0)).toSet; r.release(); kept
+    }
+    def gateS(rows: Seq[(Long, Seq[Float])]): Set[Long] = {
+      val r = SeenIndex.gateAndUpdateEmbeddingSigned(
+        rows.toDF("vec_id", "embedding"), "embedding", "vec_id", pathS,
+        threshold = 0.9, planes = planes, broadcastVerify = true)
+      val kept = r.result.collect().map(_.getLong(0)).toSet; r.release(); kept
+    }
+    // three epochs, degenerates included: every admission decision
+    // must match the unsigned gate exactly
+    val lifecycle = Seq(
+      Seq((1L, unit(0)), (2L, unit(1)), (3L, zero)),
+      Seq((10L, unit(0)), (11L, unit(3)), (12L, zero)),
+      Seq((20L, unit(3)), (21L, zero)))
+    lifecycle.foreach { b =>
+      val (u, s) = (gateU(b), gateS(b))
+      assert(u == s, s"signed/unsigned drift on batch ${b.map(_._1)}: unsigned=$u signed=$s")
+    }
+    // SELF-HEAL 1: an UNSIGNED append leaves the cache short; the next
+    // signed gate must detect the count mismatch, rebuild, and gate
+    // against the directly-appended vector
+    SeenIndex.appendVectors(Seq((30L, unit(5))).toDF("id", "vec"), "vec", "id", pathS)
+    assert(gateS(Seq((31L, unit(5)))).isEmpty,
+      "a vector appended outside the signed path must still gate after the rebuild")
+    // SELF-HEAL 2: compaction rewrites the index (fewer rows); signed
+    // decisions must survive the rebuild it triggers
+    SeenIndex.compactVectors(spark, pathS)
+    assert(gateS(Seq((40L, unit(0)), (41L, unit(6)))) == Set(41L))
+    // the cache mirrors the compacted index rows exactly (count parity)
+    val idxRows = spark.read.schema("id LONG, vec ARRAY<FLOAT>, epoch LONG, admitted LONG")
+      .parquet(pathS).count()
+    SeenIndex.ensureSigCache(spark, pathS, planes)
+    val fs = new org.apache.hadoop.fs.Path(pathS)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val sigDirs = fs.listStatus(new org.apache.hadoop.fs.Path(tmpPathParent(pathS)))
+      .map(_.getPath.getName).filter(_.startsWith(new org.apache.hadoop.fs.Path(pathS).getName + ".sigs-"))
+    assert(sigDirs.length == 1, sigDirs.mkString(","))
+    val cacheRows = spark.read
+      .schema("id LONG, vec ARRAY<FLOAT>, epoch LONG, admitted LONG, sig LONG, rsig LONG, rsig2 LONG")
+      .parquet(tmpPathParent(pathS) + "/" + sigDirs.head).count()
+    assert(cacheRows == idxRows, s"cache=$cacheRows index=$idxRows")
+  }
+
+  test("signed exactly-once embedding ingest (plain + windowed): kills replay clean, a torn lockstep append heals, aged-out re-admits") {
+    import sqlImplicits._
+    val dim = 8
+    val planes = graft.similarity.Similarity.hyperplanes(dim, numPlanes = 64)
+    def unit(i: Int) = Seq.tabulate(dim)(j => if (j == i) 1f else 0f)
+    val idx = tmpDir() + "/seidx"; val out = tmpDir() + "/seout"
+    def run(batch: org.apache.spark.sql.DataFrame, key: String, killAt: String = ""): Unit =
+      SeenIndex.exactlyOnceEpochEmbeddingSigned(batch, "embedding", "vec_id", key, idx, out,
+        threshold = 0.9, planes = planes, broadcastVerify = true,
+        crashpoint = s => if (s == killAt) throw new RuntimeException("kill"))
+    run(Seq((1L, unit(0))).toDF("vec_id", "embedding"), "k0")
+    val b1 = Seq((10L, unit(0)), (11L, unit(3))).toDF("vec_id", "embedding")
+    intercept[RuntimeException] { run(b1, "k1", killAt = "appended") }
+    run(b1, "k1")
+    run(b1, "k1") // committed: no-op
+    assert(spark.read.parquet(out).select("vec_id")
+      .collect().map(_.getLong(0)).toSet == Set(1L, 11L))
+    // torn lockstep: an index-only append (no cache row) before the
+    // next batch — ensureSigCache's parity check must rebuild, and the
+    // stray vector then gates the batch
+    SeenIndex.appendVectorsEpoch(Seq((50L, unit(5))).toDF("id", "vec"), "vec", "id", idx, 99L)
+    run(Seq((20L, unit(5))).toDF("vec_id", "embedding"), "k2")
+    assert(spark.read.parquet(out).select("vec_id")
+      .collect().map(_.getLong(0)).toSet == Set(1L, 11L))
+    // the WINDOWED signed composition: in-window gate, aged-out re-admit
+    val widx = tmpDir() + "/wseidx"; val wout = tmpDir() + "/wseout"
+    def runW(batch: org.apache.spark.sql.DataFrame, key: String, at: Long, min: Long,
+             killAt: String = ""): Unit =
+      SeenIndex.exactlyOnceEpochEmbeddingWindowSigned(batch, "embedding", "vec_id", key,
+        widx, wout, threshold = 0.9, planes = planes,
+        admittedAt = at, minAdmitted = min, broadcastVerify = true,
+        crashpoint = s => if (s == killAt) throw new RuntimeException("kill"))
+    runW(Seq((1L, unit(0))).toDF("vec_id", "embedding"), "w0", 100L, 0L)
+    val wb1 = Seq((2L, unit(0))).toDF("vec_id", "embedding")
+    intercept[RuntimeException] { runW(wb1, "w1", 150L, 70L, killAt = "output") }
+    runW(wb1, "w1", 150L, 70L) // in window -> gated
+    runW(Seq((3L, unit(0))).toDF("vec_id", "embedding"), "w2", 300L, 220L) // aged out -> re-admitted
+    assert(spark.read.parquet(wout).select("vec_id")
+      .collect().map(_.getLong(0)).toSet == Set(1L, 3L))
+  }
+
+  private def tmpPathParent(path: String): String =
+    new org.apache.hadoop.fs.Path(path).getParent.toString
+
   test("epoch allocation is dash-safe: a key that is a dash-prefix of another never claims its marker") {
     import org.apache.hadoop.fs.Path
     val idx = tmpDir() + "/idx"

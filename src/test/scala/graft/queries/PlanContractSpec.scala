@@ -411,6 +411,11 @@ class PlanContractSpec extends SparkSpec {
     // plan is the parquet read of the epoch-partitioned output +
     // oracle ORDER BY's range exchange.
     "q107_window_exactly_once" -> 1,
+    // q108: q104's shape through the signed index — both epochs RAN
+    // eagerly inside the query constructor (cache build + presigned
+    // gate + lockstep append); the audited plan is the checkpointed
+    // admitted set + oracle ORDER BY's range exchange.
+    "q108_signed_embedding_epochs" -> 1,
     // q89: vocabTokenCounts' distinct-word exchange + the per-doc
     // prefix-sum window / chunk aggregate exchange (shared
     // partitioning) + oracle ORDER BY. The vocab table joins back by

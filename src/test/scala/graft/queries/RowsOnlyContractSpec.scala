@@ -678,6 +678,20 @@ class RowsOnlyContractSpec extends SparkSpec {
     info(s"epoch-2 admitted ${viaIndex.size} vectors (== stateless gate)")
   }
 
+  test("q108 contract: the SIGNED embedding ingest admits exactly q104's set (cached == recomputed signatures)") {
+    val signed = SparkEntry.queries("q108_signed_embedding_epochs")(spark, dir)
+      .collect().map(_.getLong(0)).toSet
+    val unsigned = SparkEntry.queries("q104_embedding_epochs")(spark, dir)
+      .collect().map(_.getLong(0)).toSet
+    // the cache stores the same withSignatures projection the live
+    // path computes (one normalization from raw, fixed refine
+    // geometries) — a single differing admission means the cached and
+    // recomputed signatures drifted
+    assert(signed == unsigned,
+      s"signed path diverged: onlySigned=${signed.diff(unsigned).take(5)} onlyUnsigned=${unsigned.diff(signed).take(5)}")
+    info(s"signed epoch-2 admitted ${signed.size} vectors (== unsigned lifecycle)")
+  }
+
   test("q105 contract: the durable two-epoch image ingest admits exactly the stateless dropSeenImages kept set") {
     val docs = graft.sources.Sources.documents(spark, dir)
     val viaIndex = SparkEntry.queries("q105_image_ingest_epochs")(spark, dir)
