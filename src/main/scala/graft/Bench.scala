@@ -68,13 +68,17 @@ object Bench {
     def resetState(): Unit = graft.core.CacheHygiene.resetAll(spark)
     // CONTENTION SENTINEL: the same fixed trivial query (parquet scan
     // + tiny shuffle — the substrate every real query shares) measured
-    // median-of-3 BEFORE and AFTER the sweep. On a quiet box the two
-    // agree to within noise; on a machine that got busy mid-run the
-    // "last" number inflates, so a slow total carries its own
-    // diagnosis instead of reading as a regression (BENCH_r16 recorded
-    // 160 s where the same code measured 77-92 s quiet — adjudicated
-    // only by off-line re-runs; this field makes that adjudication
-    // part of the artifact).
+    // median-of-3 BEFORE and AFTER the sweep. The reading rule:
+    // "last" MUCH SLOWER than "first" means the machine got busy
+    // mid-run, so a slow total carries its own diagnosis instead of
+    // reading as a regression (BENCH_r16 recorded 160 s where the
+    // same code measured 77-92 s quiet — adjudicated only by off-line
+    // re-runs; this field makes that adjudication part of the
+    // artifact). "first" somewhat slower than "last" is the expected
+    // quiet-box shape: even after the warm-up burst below, a freshly
+    // started JVM keeps tiering up through the sweep's early queries,
+    // so the direction of the disagreement — not its mere existence —
+    // is the signal.
     def sentinelOnce(): Double = {
       resetState()
       val t0 = System.nanoTime()
@@ -84,7 +88,12 @@ object Bench {
       } catch { case NonFatal(_) => () }
       (System.nanoTime() - t0) / 1e9
     }
-    sentinelOnce() // untimed warm-up, same rule as the query sweep
+    // a BURST of untimed warm-ups, not one: the first sentinel runs on
+    // a cold JVM, and a single execution leaves its codegen/JIT far
+    // from steady state (measured: first 0.48 s vs last 0.20 s on a
+    // quiet box with one warm-up — a 2.4x artifact that would read as
+    // reverse contention under a naive equal-within-noise rule)
+    (0 until 5).foreach(_ => sentinelOnce())
     val sentinelFirst = median((0 until 3).map(_ => sentinelOnce()))
     // Local-iteration escape hatch: SPARK_GRAFT_BENCH_ONLY=q83_...,q88_...
     // limits the run to the named queries. The driver never sets it,

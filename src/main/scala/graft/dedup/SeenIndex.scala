@@ -143,7 +143,7 @@ object SeenIndex {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = fsFor(spark, p)
     requireNotMidCompaction(fs, path)
-    if (fs.exists(p) && fs.listStatus(p).exists(_.getPath.getName.endsWith(".parquet")))
+    if (hasParquet(fs, p))
       spark.read.schema(schema).parquet(path)
     else
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
@@ -207,7 +207,7 @@ object SeenIndex {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = fsFor(spark, p)
     requireNotMidCompaction(fs, path)
-    if (fs.exists(p) && fs.listStatus(p).exists(_.getPath.getName.endsWith(".parquet")))
+    if (hasParquet(fs, p))
       spark.read.schema(epochSchema).parquet(path)
         .filter(col("epoch").isNull || col("epoch") >= minEpoch)
         .select("sig")
@@ -752,7 +752,7 @@ object SeenIndex {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = fsFor(spark, p)
     requireNotMidCompaction(fs, path)
-    if (fs.exists(p) && fs.listStatus(p).exists(_.getPath.getName.endsWith(".parquet")))
+    if (hasParquet(fs, p))
       spark.read.schema(epochSchema).parquet(path)
         .filter(col("epoch").isNull || col("epoch") =!= epoch)
         .select("sig")
@@ -982,7 +982,7 @@ object SeenIndex {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = fsFor(spark, p)
     requireNotMidCompaction(fs, path)
-    if (fs.exists(p) && fs.listStatus(p).exists(_.getPath.getName.endsWith(".parquet")))
+    if (hasParquet(fs, p))
       spark.read.schema(vecSchema).parquet(path)
     else
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], vecSchema)
@@ -1022,7 +1022,7 @@ object SeenIndex {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = fsFor(spark, p)
     requireNotMidCompaction(fs, path)
-    if (fs.exists(p) && fs.listStatus(p).exists(_.getPath.getName.endsWith(".parquet")))
+    if (hasParquet(fs, p))
       spark.read.schema(vecEpochSchema).parquet(path)
         .filter(col("epoch").isNull || col("epoch") >= minEpoch)
         .select("id", "vec")
@@ -1144,7 +1144,7 @@ object SeenIndex {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = fsFor(spark, p)
     requireNotMidCompaction(fs, path)
-    if (fs.exists(p) && fs.listStatus(p).exists(_.getPath.getName.endsWith(".parquet")))
+    if (hasParquet(fs, p))
       spark.read.schema(vecEpochSchema).parquet(path)
         .filter(col("epoch").isNull || col("epoch") =!= epoch)
         .select("id", "vec")
@@ -1247,7 +1247,7 @@ object SeenIndex {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = fsFor(spark, p)
     requireNotMidCompaction(fs, path)
-    if (fs.exists(p) && fs.listStatus(p).exists(_.getPath.getName.endsWith(".parquet")))
+    if (hasParquet(fs, p))
       spark.read.schema(winEpochSchema).parquet(path)
         .filter(col("admitted").isNull || col("admitted") >= minAdmitted)
         .select("sig")
@@ -1267,7 +1267,7 @@ object SeenIndex {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = fsFor(spark, p)
     requireNotMidCompaction(fs, path)
-    if (fs.exists(p) && fs.listStatus(p).exists(_.getPath.getName.endsWith(".parquet")))
+    if (hasParquet(fs, p))
       spark.read.schema(winEpochSchema).parquet(path)
         .filter(col("epoch").isNull || col("epoch") =!= epoch)
         .filter(col("admitted").isNull || col("admitted") >= minAdmitted)
@@ -1454,7 +1454,7 @@ object SeenIndex {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = fsFor(spark, p)
     requireNotMidCompaction(fs, path)
-    if (fs.exists(p) && fs.listStatus(p).exists(_.getPath.getName.endsWith(".parquet")))
+    if (hasParquet(fs, p))
       spark.read.schema(vecWinEpochSchema).parquet(path)
         .filter(col("epoch").isNull || col("epoch") =!= epoch)
         .filter(col("admitted").isNull || col("admitted") >= minAdmitted)

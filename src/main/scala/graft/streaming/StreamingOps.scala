@@ -1014,6 +1014,28 @@ object StreamingOps {
         .parquet(s"$stateDir/offsets-${prior.max}")
   }
 
+  /** Prune counter snapshots no replay can need: batch n's replay
+    * reads the latest snapshot strictly below n, so after `offsets-<n>`
+    * lands everything below n-1 is dead weight — without pruning a
+    * firehose accumulates one snapshot dir per micro-batch forever and
+    * [[carriedOffsets]]' per-batch listing grows with stream age.
+    * Keeping n-1 (not just n) is one snapshot of paranoia beyond what
+    * the micro-batch runner's replay-only-the-last-batch contract
+    * requires.
+    */
+  private def pruneOffsets(
+      spark: SparkSession, stateDir: String, batchId: Long): Unit = {
+    val dir = new org.apache.hadoop.fs.Path(stateDir)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) return
+    fs.listStatus(dir).map(_.getPath.getName).collect {
+      case n if n.startsWith("offsets-") && n.substring(8).nonEmpty &&
+        n.substring(8).forall(_.isDigit) && n.substring(8).toLong < batchId - 1 => n
+    }.foreach { n =>
+      fs.delete(new org.apache.hadoop.fs.Path(dir, n), true); ()
+    }
+  }
+
   /** [[packBinsStream]]'s firehose escape (see the section comment):
     * per-stratum start-offset packing at FULL parallelism via
     * [[graft.text.SequencePacking.assignBinsDistributed]], offsets
@@ -1074,7 +1096,11 @@ object StreamingOps {
       .join(broadcast(carried), col(strataCol).cast("string") === col("__cb_key"), "left")
       .withColumn("__cb_base", coalesce(col("__cb_base"), lit(0L)))
       .withColumn("start_offset", col("start_offset") + col("__cb_base"))
-      .withColumn("bin", floor(col("start_offset") / lit(capacity.toLong)))
+      // integral div, not floor-of-double: the carried start_offset
+      // accumulates over the stream's LIFETIME, so unlike the batch
+      // operator's single-corpus window it can cross 2^53 where double
+      // division loses exactness (the repo-wide div convention)
+      .withColumn("bin", expr(s"start_offset div ${capacity.toLong}"))
       .drop("__cb_key")
       // two consumers (output write + totals aggregate): one
       // materialization, released before the batch returns
@@ -1089,6 +1115,7 @@ object StreamingOps {
         .unionByName(carried.select(col("__cb_key").as("key"), col("__cb_base").as("offset")))
         .groupBy(col("key")).agg(max(col("offset")).as("offset"))
       totals.write.mode("overwrite").parquet(s"$stateDir/offsets-$batchId")
+      pruneOffsets(spark, stateDir, batchId)
     } finally shifted.unpersist(blocking = false)
   }
 
@@ -1168,6 +1195,7 @@ object StreamingOps {
         .unionByName(carried.select(col("__cb_key").as("key"), col("__cb_base").as("offset")))
         .groupBy(col("key")).agg(max(col("offset")).as("offset"))
       totals.write.mode("overwrite").parquet(s"$stateDir/offsets-$batchId")
+      pruneOffsets(spark, stateDir, batchId)
     } finally shifted.unpersist(blocking = false)
   }
 

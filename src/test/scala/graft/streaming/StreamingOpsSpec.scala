@@ -627,6 +627,10 @@ class StreamingOpsSpec extends SparkSpec {
       spark.read.parquet(path).select("doc_id", "start_offset", "bin")
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(read(out) == want, s"got=${read(out)}\nwant=$want")
+    // snapshots a replay can no longer need are pruned: after batch 2
+    // only offsets-1 (replay paranoia) and offsets-2 remain
+    val snaps = new java.io.File(st).list().filter(_.startsWith("offsets-")).sorted
+    assert(snaps.toSeq == Seq("offsets-1", "offsets-2"), snaps.mkString(","))
     // the streaming wrapper drives the same bodies
     val out2 = tmp() + "/out"; val st2 = tmp() + "/state"
     val input = MemoryStream[(Long, String, String)]

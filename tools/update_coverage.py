@@ -31,12 +31,20 @@ END = "<!-- /AUTOGEN:scoreboard -->"
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    vout = Path(args[0] if args else "/tmp/vout")
+    argv = sys.argv[1:]
     tests = None
-    for i, a in enumerate(sys.argv[1:]):
-        if a == "--tests":
-            tests = int(sys.argv[1:][i + 1])
+    positional = []
+    i = 0
+    while i < len(argv):
+        if argv[i] == "--tests":
+            if i + 1 >= len(argv):
+                sys.exit("--tests requires a value")
+            tests = int(argv[i + 1])
+            i += 2
+        else:
+            positional.append(argv[i])
+            i += 1
+    vout = Path(positional[0] if positional else "/tmp/vout")
     oracle_path = vout / "oracle_sql.json"
     if not oracle_path.exists():
         sys.exit(f"{oracle_path} not found — run graft.Verify first")
