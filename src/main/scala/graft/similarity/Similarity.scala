@@ -517,9 +517,11 @@ object Similarity {
       planes: Array[Array[Float]],
       bands: Int = 8,
       probeHamming: Int = 0,
-      broadcastVerify: Boolean = false): DataFrame =
+      broadcastVerify: Boolean = false,
+      semiPruneVerify: Boolean = true): DataFrame =
     dropSeenEmbeddingReleasable(
-      batch, ref, vecCol, idCol, threshold, planes, bands, probeHamming, broadcastVerify)._1
+      batch, ref, vecCol, idCol, threshold, planes, bands, probeHamming, broadcastVerify,
+      semiPruneVerify)._1
 
   /** [[dropSeenEmbedding]] plus a scoped release handle for the
     * miner's internal signature persists — what the durable ingest
@@ -536,9 +538,16 @@ object Similarity {
       planes: Array[Array[Float]],
       bands: Int = 8,
       probeHamming: Int = 0,
-      broadcastVerify: Boolean = false): (DataFrame, () => Unit) = {
+      broadcastVerify: Boolean = false,
+      // gates are batch-vs-reference by definition, so the candidate
+      // set is batch-collision-bound — the regime where the verify's
+      // broadcast semi-prune (see minePairs) is safe and is THE term
+      // that stops the whole index's wide payload riding a shuffle
+      // every micro-batch; disable only for pathological batches
+      semiPruneVerify: Boolean = true): (DataFrame, () => Unit) = {
     val (pairs, release) = minePairs(
-      batch, Some(ref), vecCol, idCol, threshold, planes, bands, probeHamming, broadcastVerify)
+      batch, Some(ref), vecCol, idCol, threshold, planes, bands, probeHamming, broadcastVerify,
+      semiPruneVerify = semiPruneVerify)
     val seen = pairs.select(col("id_a").as("__seen_id")).distinct()
     batch.join(seen, col(idCol) === col("__seen_id"), "left_anti") -> release
   }
@@ -562,10 +571,11 @@ object Similarity {
       planes: Array[Array[Float]],
       bands: Int = 8,
       probeHamming: Int = 0,
-      broadcastVerify: Boolean = false): (DataFrame, () => Unit) = {
+      broadcastVerify: Boolean = false,
+      semiPruneVerify: Boolean = true): (DataFrame, () => Unit) = {
     val (pairs, release) = minePairs(
       batch, None, vecCol, idCol, threshold, planes, bands, probeHamming, broadcastVerify,
-      refSigged = Some(refSigged))
+      refSigged = Some(refSigged), semiPruneVerify = semiPruneVerify)
     val seen = pairs.select(col("id_a").as("__seen_id")).distinct()
     batch.join(seen, col(idCol) === col("__seen_id"), "left_anti") -> release
   }
@@ -761,7 +771,8 @@ object Similarity {
       bands: Int,
       probeHamming: Int,
       broadcastVerify: Boolean,
-      refSigged: Option[DataFrame] = None): (DataFrame, () => Unit) = {
+      refSigged: Option[DataFrame] = None,
+      semiPruneVerify: Boolean = false): (DataFrame, () => Unit) = {
     require(ref.isEmpty || refSigged.isEmpty,
       "pass the reference either raw (ref) or presigned (refSigged), not both")
     require(planes.length % bands == 0,
@@ -820,18 +831,42 @@ object Similarity {
       .toDF("id_b", "rsig_b", "rsig2_b", "band", "h")
     val maxDisagree = refineCut(refinePlanes.length + refinePlanes2.length, threshold)
     val joined = a.join(b, Seq("band", "h"))
-    val candidates = (if (!crossCorpus) joined.filter(col("id_a") < col("id_b")) else joined)
+    val candidatesRaw = (if (!crossCorpus) joined.filter(col("id_a") < col("id_b")) else joined)
       .filter(
         (bit_count(col("rsig_a").bitwiseXOR(col("rsig_b"))) +
           bit_count(col("rsig2_a").bitwiseXOR(col("rsig2_b")))) <= maxDisagree)
       .select("id_a", "id_b")
       .distinct()
+    // semi-prune feeds the candidate stream to TWO consumers (the
+    // prune's broadcast and the verify join) — lazy persist so the
+    // band join still runs once and construction stays job-free
+    val candidates =
+      if (semiPruneVerify && !broadcastVerify)
+        candidatesRaw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else candidatesRaw
     // the verify lookups read the SAME persisted projection (pruned to
     // (id, vec)) — no second scan of the vector source
     val vecA = aS.select(col(idCol), col(vecCol)).toDF("id_a", "vec_a")
     val vecB = bS.select(col(idCol), col(vecCol)).toDF("id_b", "vec_b")
     val (ja, jb) =
       if (broadcastVerify) (broadcast(vecA), broadcast(vecB))
+      else if (semiPruneVerify)
+        // THE GATE-REGIME verify shape: the plain shuffle-hash join
+        // exchanges the reference side's ENTIRE wide (id, vec)
+        // payload every invocation — at a billion-vector index that
+        // is the dominant per-micro-batch shuffle, and only
+        // candidate-matched rows (bounded by the batch's collision
+        // count, batch-sized in the ingest-gate regime) survive the
+        // join anyway. Semi-joining the wide payload against a
+        // BROADCAST of the candidate id set prunes it DURING the
+        // scan, before any exchange; only the pruned remnant rides
+        // the shuffle-hash verify. Opt in only where candidates are
+        // known batch-bound (the dropSeen family defaults it on) —
+        // a mining workload's quadratic candidate set must never be
+        // broadcast.
+        (vecA.hint("shuffle_hash"),
+          vecB.join(broadcast(candidates.select("id_b").distinct()), Seq("id_b"), "left_semi")
+            .hint("shuffle_hash"))
       else (vecA.hint("shuffle_hash"), vecB.hint("shuffle_hash"))
     val pairs = candidates
       .join(ja, "id_a")
@@ -839,6 +874,11 @@ object Similarity {
       .withColumn("cosine", dot(col("vec_a"), col("vec_b"))) // unit vectors
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
-    pairs -> (() => { aS.unpersist(); if (crossCorpus) bS.unpersist(); () })
+    val releaseCandidates: () => Unit =
+      if (semiPruneVerify && !broadcastVerify) () => { candidates.unpersist(); () }
+      else () => ()
+    pairs -> (() => {
+      releaseCandidates(); aS.unpersist(); if (crossCorpus) bS.unpersist(); ()
+    })
   }
 }

@@ -39,6 +39,23 @@ class SimilaritySpec extends SparkSpec {
     assert(pairs.toSeq == Seq((1L, 2L)))
   }
 
+  test("semi-pruned gate verify equals the plain shuffle-hash and broadcast verifies on the fixture") {
+    val emb = graft.sources.Sources.embeddings(spark, "/root/testdata/sf0.001")
+    val planes = Similarity.hyperplanes(64, 64)
+    def kept(broadcastV: Boolean, semiPrune: Boolean): Set[Long] =
+      Similarity.dropSeenEmbedding(
+        emb.filter(col("vec_id") % 3 === 0),
+        emb.filter(col("vec_id") % 3 =!= 0),
+        "embedding", "vec_id", threshold = 0.4, planes,
+        broadcastVerify = broadcastV, semiPruneVerify = semiPrune)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+    val pruned = kept(broadcastV = false, semiPrune = true)
+    assert(pruned == kept(broadcastV = false, semiPrune = false),
+      "the broadcast semi-prune must not change a single admission vs the plain shuffle verify")
+    assert(pruned == kept(broadcastV = true, semiPrune = false))
+    assert(pruned.nonEmpty, "fixture drifted: the gate admits nothing")
+  }
+
   test("releasable miner variants match the plain paths and drop every cache entry they added") {
     import sqlImplicits._
     val v = Array.tabulate(8)(i => (i + 1).toFloat)
