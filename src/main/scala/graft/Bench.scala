@@ -104,7 +104,13 @@ object Bench {
       case Some(names) => SparkEntry.queries.filter { case (k, _) => names(k) }
       case None => SparkEntry.queries
     }
-    val results = selected.map { case (name, fn) =>
+    // NAME-SORTED execution order, not Map iteration order: adding one
+    // query to the registry reshuffles an immutable HashMap's order,
+    // which silently changes every query's warm-state inheritance (JIT
+    // tiers, page cache) — measured as multi-second swings on
+    // UNTOUCHED decode-heavy queries when q108 landed. A fixed order
+    // keeps per-query numbers comparable across rounds.
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       var failed = false
       def once(): Double = {
         resetState()
@@ -122,13 +128,13 @@ object Bench {
       name -> (if (failed) -1.0 else median(times), spread)
     }
     val sentinelLast = median((0 until 3).map(_ => sentinelOnce()))
-    val spreads = results.values.collect { case (v, s) if v >= 0 && s > 0 => s }
+    val spreads = results.collect { case (_, (v, s)) if v >= 0 && s > 0 => s }
     val spreadMean = if (spreads.isEmpty) -1.0 else spreads.sum / spreads.size
     val spreadMax = if (spreads.isEmpty) -1.0 else spreads.max
     val failedNames = results.collect { case (k, (v, _)) if v < 0 => k }.toSeq.sorted
     val qs = results.map { case (k, (v, _)) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.values.map(_._1).filter(_ >= 0).sum
+    val total = results.map(_._2._1).filter(_ >= 0).sum
     val failedJson = failedNames.map("\"" + _ + "\"").mkString("[", ",", "]")
     val sentinelJson =
       s"""{"first":$sentinelFirst,"last":$sentinelLast}"""
@@ -150,7 +156,7 @@ object Bench {
     def fmt3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     // Fall back to full names on prefix collision (would otherwise
     // emit duplicate JSON keys).
-    val collide = results.keys.groupBy(short).collect { case (p, ks) if ks.size > 1 => p }.toSet
+    val collide = results.map(_._1).groupBy(short).collect { case (p, ks) if ks.size > 1 => p }.toSet
     val qsCompact = results.map { case (k, (v, _)) =>
       val sk = if (collide(short(k))) k else short(k)
       "\"" + sk + "\":" + (if (v < 0) "-1" else fmt3(v))

@@ -863,7 +863,11 @@ object Similarity {
         // the shuffle-hash verify. Opt in only where candidates are
         // known batch-bound (the dropSeen family defaults it on) —
         // a mining workload's quadratic candidate set must never be
-        // broadcast.
+        // broadcast. OPERATIONAL NOTE: the broadcast's materialization
+        // executes the whole candidate subplan (the band join over the
+        // reference signatures) under spark.sql.broadcastTimeout
+        // (default 300 s) — size that conf to the index scan on very
+        // large indexes, or fall back to semiPruneVerify = false.
         (vecA.hint("shuffle_hash"),
           vecB.join(broadcast(candidates.select("id_b").distinct()), Seq("id_b"), "left_semi")
             .hint("shuffle_hash"))

@@ -992,6 +992,19 @@ object StreamingOps {
   // OutPath, stateDir, and the checkpoint are a UNIT: a fresh
   // checkpoint restarts batchIds at 0 — give it fresh dirs too.
 
+  /** The batch ids of every `offsets-<n>` snapshot in `stateDir` —
+    * the one parser [[carriedOffsets]] and [[pruneOffsets]] share.
+    */
+  private def snapshotIds(
+      fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path): Array[Long] =
+    if (fs.exists(dir))
+      fs.listStatus(dir).map(_.getPath.getName).collect {
+        case n if n.startsWith("offsets-") && n.substring(8).nonEmpty &&
+          n.substring(8).forall(_.isDigit) => n.substring(8).toLong
+      }
+    else Array.empty[Long]
+
   /** Latest carried-counter snapshot strictly BEFORE `batchId` —
     * `(key string, offset long)`; empty on the first batch.
     */
@@ -999,13 +1012,7 @@ object StreamingOps {
       spark: SparkSession, stateDir: String, batchId: Long): DataFrame = {
     val dir = new org.apache.hadoop.fs.Path(stateDir)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val prior =
-      if (fs.exists(dir))
-        fs.listStatus(dir).map(_.getPath.getName).collect {
-          case n if n.startsWith("offsets-") && n.substring(8).nonEmpty &&
-            n.substring(8).forall(_.isDigit) => n.substring(8).toLong
-        }.filter(_ < batchId)
-      else Array.empty[Long]
+    val prior = snapshotIds(fs, dir).filter(_ < batchId)
     if (prior.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         StructType(Seq(StructField("key", StringType), StructField("offset", LongType))))
@@ -1027,12 +1034,8 @@ object StreamingOps {
       spark: SparkSession, stateDir: String, batchId: Long): Unit = {
     val dir = new org.apache.hadoop.fs.Path(stateDir)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(dir)) return
-    fs.listStatus(dir).map(_.getPath.getName).collect {
-      case n if n.startsWith("offsets-") && n.substring(8).nonEmpty &&
-        n.substring(8).forall(_.isDigit) && n.substring(8).toLong < batchId - 1 => n
-    }.foreach { n =>
-      fs.delete(new org.apache.hadoop.fs.Path(dir, n), true); ()
+    snapshotIds(fs, dir).filter(_ < batchId - 1).foreach { n =>
+      fs.delete(new org.apache.hadoop.fs.Path(dir, s"offsets-$n"), true); ()
     }
   }
 

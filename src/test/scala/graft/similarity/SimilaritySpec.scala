@@ -54,6 +54,12 @@ class SimilaritySpec extends SparkSpec {
       "the broadcast semi-prune must not change a single admission vs the plain shuffle verify")
     assert(pruned == kept(broadcastV = true, semiPrune = false))
     assert(pruned.nonEmpty, "fixture drifted: the gate admits nothing")
+    // the gate must also DROP something, or the three-way equality is
+    // vacuous (zero candidates would pass the whole batch through
+    // every variant without the prune path ever pruning)
+    val nBatch = emb.filter(col("vec_id") % 3 === 0).count()
+    assert(pruned.size < nBatch,
+      s"fixture drifted: the gate dropped nothing ($nBatch rows in, ${pruned.size} kept)")
   }
 
   test("releasable miner variants match the plain paths and drop every cache entry they added") {
