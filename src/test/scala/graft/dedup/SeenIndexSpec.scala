@@ -1148,6 +1148,61 @@ class SeenIndexSpec extends SparkSpec {
   private def tmpPathParent(path: String): String =
     new org.apache.hadoop.fs.Path(path).getParent.toString
 
+  test("model-based property: random stamped-append/compactWindowed schedules preserve admitted-axis visibility at every cutoff") {
+    import sqlImplicits._
+    // The admitted-axis mirror of the epoch-axis model test: a sig is
+    // visible at cutoff m iff it has any UNSTAMPED row (never expires)
+    // or any row stamped >= m. compactWindowed (with and without an
+    // expiry horizon no later than the probing cutoffs) must preserve
+    // that visibility — the invariant the windowed-exactly-once gates
+    // reduce to.
+    val idx = tmpDir() + "/widx"
+    val rnd = new scala.util.Random(23)
+    var hasUnstamped = Map.empty[Long, Boolean].withDefaultValue(false)
+    var maxStamp = Map.empty[Long, Long]
+    var nextEpoch = 0L
+    def visibleModel(m: Long): Set[Long] =
+      (hasUnstamped.keySet ++ maxStamp.keySet).filter(s =>
+        hasUnstamped(s) || maxStamp.get(s).exists(_ >= m)).toSet
+    def visibleIndex(m: Long): Set[Long] =
+      SeenIndex.readWindowAdmitted(spark, idx, m).collect().map(_.getLong(0)).toSet
+    (0 until 24).foreach { step =>
+      val sigs = Seq.fill(1 + rnd.nextInt(4))(rnd.nextInt(12).toLong).distinct
+      rnd.nextInt(4) match {
+        case 0 | 1 => // stamped append at a fresh epoch, random stamp 1..8
+          nextEpoch += 1
+          val t = 1L + rnd.nextInt(8)
+          SeenIndex.appendEpochAdmitted(sigs.toDF("sig"), "sig", idx, nextEpoch, t)
+          sigs.foreach(s => maxStamp += s -> math.max(t, maxStamp.getOrElse(s, Long.MinValue)))
+        case 2 => // unstamped append: those sigs never expire
+          SeenIndex.append(sigs.toDF("sig"), "sig", idx)
+          sigs.foreach(s => hasUnstamped += s -> true)
+        case 3 =>
+          // any horizon: visibility depends only on the MAX stamp per
+          // sig, and the max survives every horizon <= itself — when
+          // the horizon exceeds it, ALL the sig's stamped rows drop
+          // and the model entry goes with them (the sub-horizon
+          // visibility change the scaladoc warns gates about is
+          // exactly what both sides mirror here)
+          val horizon = if (rnd.nextBoolean()) Some(rnd.nextInt(10).toLong) else None
+          SeenIndex.compactWindowed(spark, idx, dropAdmittedBefore = horizon)
+          horizon.foreach { h =>
+            maxStamp = maxStamp.filter { case (_, t) => t >= h }
+          }
+      }
+      val cutoffs = if (step % 6 == 5) 1L to 9L else Seq(1L + rnd.nextInt(9).toLong)
+      cutoffs.foreach { m =>
+        assert(visibleIndex(m) == visibleModel(m),
+          s"step=$step cutoff=$m: index=${visibleIndex(m)} model=${visibleModel(m)}")
+      }
+    }
+    // terminal compact with a mid-range horizon: parity holds at
+    // every cutoff after the drop on both sides
+    SeenIndex.compactWindowed(spark, idx, dropAdmittedBefore = Some(5L))
+    maxStamp = maxStamp.filter { case (_, t) => t >= 5L }
+    (1L to 9L).foreach(m => assert(visibleIndex(m) == visibleModel(m)))
+  }
+
   test("epoch allocation is dash-safe: a key that is a dash-prefix of another never claims its marker") {
     import org.apache.hadoop.fs.Path
     val idx = tmpDir() + "/idx"

@@ -39,6 +39,51 @@ class SimilaritySpec extends SparkSpec {
     assert(pairs.toSeq == Seq((1L, 2L)))
   }
 
+  test("withSignatures equals the live mining signature expressions on random vectors (the cache drift guard)") {
+    import sqlImplicits._
+    // The signed index's whole correctness argument is that the cache
+    // writer and the live miner compute signatures from the SAME
+    // once-normalized vector; this pins the two compositions equal at
+    // the unit level, degenerate rows included (random vectors plus
+    // zero-norm, Inf-element, and null rows).
+    val rnd = new scala.util.Random(99)
+    val dim = 16
+    val rows: Seq[(Long, Seq[Float])] = (1L to 40L).map { i =>
+      val v: Seq[Float] = (i % 10) match {
+        case 7 => Seq.fill(dim)(0f)
+        case 8 => Seq.tabulate(dim)(j => if (j == 0) Float.PositiveInfinity else 1f)
+        case 9 => null
+        case _ => Seq.fill(dim)((rnd.nextFloat() - 0.5f) * 4f)
+      }
+      (i, v)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val planes = Similarity.hyperplanes(dim, 64, seed = 7L)
+    def rowSet(d: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long, Long)] =
+      d.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // the live composition: one normalization from raw, then the
+    // coarse + two fixed refine signatures
+    val live = Similarity.unitized(df.select(col("vec_id"), col("embedding")), "embedding")
+      .filter(col("embedding").isNotNull)
+      .select(col("vec_id"),
+        Similarity.rhpSignature(col("embedding"), planes).as("s"),
+        Similarity.rhpSignature(col("embedding"), Similarity.refinePlanesA(dim)).as("r1"),
+        Similarity.rhpSignature(col("embedding"), Similarity.refinePlanesB(dim)).as("r2"))
+    // the cache composition: raw vector preserved, sigs from a temp
+    // normalized copy; degenerates carry null sigs and drop here
+    val cached = Similarity.withSignatures(
+      df.select(col("vec_id"), col("embedding")), "embedding", planes)
+      .filter(col("__sig").isNotNull)
+      .select(col("vec_id"), col("__sig"), col("__rsig"), col("__rsig2"))
+    assert(rowSet(cached) == rowSet(live),
+      "cached and live signature compositions drifted")
+    // every non-degenerate row signed; every degenerate row kept with
+    // null sigs (count parity's precondition)
+    assert(rowSet(cached).size == 28) // 40 - 12 degenerate (i%10 in {7,8,9})
+    assert(Similarity.withSignatures(
+      df.select(col("vec_id"), col("embedding")), "embedding", planes).count() == 40)
+  }
+
   test("semi-pruned gate verify equals the plain shuffle-hash and broadcast verifies on the fixture") {
     val emb = graft.sources.Sources.embeddings(spark, "/root/testdata/sf0.001")
     val planes = Similarity.hyperplanes(64, 64)
