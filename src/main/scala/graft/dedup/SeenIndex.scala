@@ -682,7 +682,12 @@ object SeenIndex {
       ledgerAllocs: Long,
       ledgerCommitted: Long,
       ledgerWatermark: Option[Long],
-      midCompaction: Boolean)
+      midCompaction: Boolean,
+      // geometry-keyed signature-cache siblings (`.sigs-<key>`) —
+      // the maintenance window should know derived caches exist (a
+      // compaction leaves them stale until the next gate's parity
+      // check rebuilds; a retired geometry's cache is reclaimable)
+      sigCaches: Long = 0L)
 
   /** [[IndexStats]] for a SIGNATURE index (`distinct` = distinct
     * sigs). One aggregate pass over the index parquet plus two
@@ -729,6 +734,16 @@ object SeenIndex {
     val watermarks = markers.collect {
       case n if n.startsWith("watermark-") => n.substring("watermark-".length).toLong
     }
+    // the normalized path's parent (sibling artifacts live there);
+    // normalize first so a trailing slash doesn't look one level deep
+    val normalized = new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(path).toString)
+    val parent = normalized.getParent
+    val sigCaches =
+      if (parent != null && fs.exists(parent))
+        fs.listStatus(parent).count(st => st.isDirectory &&
+          st.getPath.getName.startsWith(normalized.getName + ".sigs-")).toLong
+      else 0L
     IndexStats(
       rows = rows, distinct = dist, untagged = untagged,
       minEpoch = minE, maxEpoch = maxE,
@@ -736,7 +751,8 @@ object SeenIndex {
       ledgerAllocs = markers.count(_.startsWith("alloc-")).toLong,
       ledgerCommitted = markers.count(_.startsWith("committed-")).toLong,
       ledgerWatermark = if (watermarks.isEmpty) None else Some(watermarks.max),
-      midCompaction = mid)
+      midCompaction = mid,
+      sigCaches = sigCaches)
   }
 
   private def committedMarker(indexPath: String, key: String) =

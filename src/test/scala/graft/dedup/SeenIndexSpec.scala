@@ -1089,6 +1089,9 @@ class SeenIndexSpec extends SparkSpec {
     // decisions must survive the rebuild it triggers
     SeenIndex.compactVectors(spark, pathS)
     assert(gateS(Seq((40L, unit(0)), (41L, unit(6)))) == Set(41L))
+    // the maintenance view reports the cache sibling
+    assert(SeenIndex.vectorStats(spark, pathS).sigCaches == 1L)
+    assert(SeenIndex.vectorStats(spark, pathU).sigCaches == 0L)
     // the cache mirrors the compacted index rows exactly (count parity)
     val idxRows = spark.read.schema("id LONG, vec ARRAY<FLOAT>, epoch LONG, admitted LONG")
       .parquet(pathS).count()
@@ -1147,6 +1150,55 @@ class SeenIndexSpec extends SparkSpec {
 
   private def tmpPathParent(path: String): String =
     new org.apache.hadoop.fs.Path(path).getParent.toString
+
+  test("signed streaming loops: micro-batches gate against the growing signed index; windowed form expires on the fake clock") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import sqlImplicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dim = 8
+    val planes = graft.similarity.Similarity.hyperplanes(dim, numPlanes = 64)
+    def unit(i: Int) = Seq.tabulate(dim)(j => if (j == i) 1f else 0f)
+    // at-least-once signed loop with restart-resume
+    val idx = tmpDir() + "/ssidx"; val out = tmpDir() + "/ssout"
+    def admitted(): Set[Long] =
+      spark.read.schema("vec_id LONG, embedding ARRAY<FLOAT>").parquet(out)
+        .collect().map(_.getLong(0)).toSet
+    val input = MemoryStream[(Long, Seq[Float])]
+    val q = SeenIndex.gateStreamEmbeddingSigned(
+      input.toDF().toDF("vec_id", "embedding"), "embedding", "vec_id", idx, out, tmpDir(),
+      threshold = 0.9, planes = planes, broadcastVerify = true)
+    input.addData((1L, unit(0))); q.processAllAvailable()
+    input.addData((2L, unit(0)), (3L, unit(3))); q.processAllAvailable() // 2 gated, 3 novel
+    q.stop()
+    assert(admitted() == Set(1L, 3L))
+    val input2 = MemoryStream[(Long, Seq[Float])]
+    val q2 = SeenIndex.gateStreamEmbeddingSigned(
+      input2.toDF().toDF("vec_id", "embedding"), "embedding", "vec_id", idx, out, tmpDir(),
+      threshold = 0.9, planes = planes, broadcastVerify = true)
+    input2.addData((10L, unit(0)), (11L, unit(3))); q2.processAllAvailable()
+    q2.stop()
+    assert(admitted() == Set(1L, 3L), "a restarted signed query must resume from the index")
+    // windowed exactly-once signed loop: fake clock drives expiry
+    val widx = tmpDir() + "/wssidx"; val wout = tmpDir() + "/wssout"
+    var now = 1000L
+    def wAdmitted(): Set[Long] =
+      spark.read.parquet(wout).select("vec_id").collect().map(_.getLong(0)).toSet
+    val input3 = MemoryStream[(Long, Seq[Float])]
+    val q3 = SeenIndex.gateStreamEmbeddingWindowExactlyOnceSigned(
+      input3.toDF().toDF("vec_id", "embedding"), "embedding", "vec_id", widx, wout, tmpDir(),
+      windowAge = 100L, threshold = 0.9, planes = planes, broadcastVerify = true,
+      clock = () => now)
+    input3.addData((1L, unit(0))); q3.processAllAvailable()       // t=1000 bootstrap
+    now = 1050L
+    input3.addData((2L, unit(0))); q3.processAllAvailable()       // in window -> gated
+    assert(wAdmitted() == Set(1L))
+    now = 1200L
+    input3.addData((3L, unit(0))); q3.processAllAvailable()       // aged out -> re-admitted
+    now = 1250L
+    input3.addData((4L, unit(0))); q3.processAllAvailable()       // clock reset @1200 -> gated
+    q3.stop()
+    assert(wAdmitted() == Set(1L, 3L))
+  }
 
   test("model-based property: random stamped-append/compactWindowed schedules preserve admitted-axis visibility at every cutoff") {
     import sqlImplicits._
