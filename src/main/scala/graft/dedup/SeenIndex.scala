@@ -41,6 +41,8 @@ import org.apache.spark.sql.types.{ArrayType, FloatType, LongType, StructField, 
   */
 object SeenIndex {
 
+  @transient private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   private val schema = StructType(Seq(StructField("sig", LongType, nullable = false)))
 
   /** The pigeonhole bound every Hamming gate in this object relies on:
@@ -378,7 +380,9 @@ object SeenIndex {
     * bytes per row a year of daily appends of overlapping vectors is
     * the big duplicate bill, where the signature index's was 8 bytes.
     */
-  def compactVectors(spark: SparkSession, path: String): Unit =
+  def compactVectors(spark: SparkSession, path: String): Unit = {
+    val fpBefore = indexFingerprint(fsFor(spark, new org.apache.hadoop.fs.Path(path)),
+      new org.apache.hadoop.fs.Path(path))
     compactInto(spark, path) { df =>
       df.groupBy("id", "vec")
         .agg(
@@ -392,6 +396,64 @@ object SeenIndex {
           when(col("__unstamped") === 1, lit(null).cast("long"))
             .otherwise(col("__max_admitted")).as("admitted"))
     }(vecWinEpochSchema)
+    carrySigCaches(spark, path, fpBefore) { cache =>
+      // the SAME collapse as the index rewrite above, with the
+      // signature columns riding the group-by: they are functions of
+      // the vector alone, so they are constant within an (id, vec)
+      // group — the carried cache is row-for-row the signed mirror of
+      // the compacted index
+      cache.groupBy("id", "vec", "sig", "rsig", "rsig2")
+        .agg(
+          max(col("epoch")).as("__max_epoch"),
+          max(when(col("epoch").isNull, 1).otherwise(0)).as("__untagged"),
+          max(col("admitted")).as("__max_admitted"),
+          max(when(col("admitted").isNull, 1).otherwise(0)).as("__unstamped"))
+        .select(col("id"), col("vec"),
+          when(col("__untagged") === 1, lit(null).cast("long"))
+            .otherwise(col("__max_epoch")).as("epoch"),
+          when(col("__unstamped") === 1, lit(null).cast("long"))
+            .otherwise(col("__max_admitted")).as("admitted"),
+          col("sig"), col("rsig"), col("rsig2"))
+    }
+  }
+
+  /** Carry every signature-cache sibling of a vector index through a
+    * compaction that just swapped in a rewritten index. A cache whose
+    * sync marker names the PRE-compaction fingerprint is trustworthy:
+    * `collapse` (the cache-side twin of the index rewrite) is applied
+    * under the same tmp-then-swap discipline and the cache is
+    * re-marked against the compacted index — the cost is paid here,
+    * once, visibly, instead of as a silent full-index signature
+    * rebuild inside the next gate. A cache that was ALREADY stale
+    * cannot be carried (its rows are not a mirror, and the planes
+    * behind its geometry key are unknown to compaction), so it is
+    * deleted loudly; the next signed gate rebuilds it from scratch.
+    * Crash anywhere in here leaves a markerless or missing cache —
+    * [[ensureSigCache]] heals by rebuild.
+    */
+  private def carrySigCaches(
+      spark: SparkSession, path: String, fpBefore: String)(
+      collapse: DataFrame => DataFrame): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = fsFor(spark, p)
+    val caches = sigCacheDirs(fs, path)
+    if (caches.isEmpty) return
+    val fpAfter = indexFingerprint(fs, p)
+    caches.foreach { dir =>
+      if (readSyncMarker(fs, dir).contains(fpBefore) && hasParquet(fs, dir)) {
+        val tmp = sibling(dir.toString, ".rebuild-tmp")
+        collapse(spark.read.schema(sigCacheSchema).parquet(dir.toString))
+          .write.mode("overwrite").parquet(tmp.toString)
+        deleteOrThrow(fs, dir)
+        renameOrThrow(fs, tmp, dir)
+        writeSyncMarker(fs, dir, fpAfter)
+      } else {
+        log.warn(s"carrySigCaches: $dir was already out of sync with $path at compaction " +
+          "time — deleting it; the next signed gate on its geometry pays one full rebuild")
+        deleteOrThrow(fs, dir)
+      }
+    }
+  }
 
   /** The shared compaction body: materialize `rewrite(index)` to a
     * temp sibling FIRST (the rewrite plan reads the very files being
@@ -526,7 +588,9 @@ object SeenIndex {
     * pair — the allocation is what survives a crash, so a replayed
     * batch re-uses ITS OWN epoch — and `committed-<key>` records that
     * the batch's output AND index append both finished, making any
-    * later replay a pure no-op.
+    * later replay a pure no-op. The WINDOWED loops add one
+    * `stamp-<key>-<clock>` marker recording the first attempt's
+    * admission clock (see [[attemptStamp]]).
     *
     * THE INDEX AND ITS LEDGER ARE A UNIT: move, copy, back up, or
     * delete them together. Deleting the index alone leaves committed
@@ -594,6 +658,39 @@ object SeenIndex {
     }
   }
 
+  /** Look up (or on the FIRST attempt, persist) the admission clock
+    * for batch `key`: a `stamp-<key>-<millis>` marker next to the
+    * alloc markers, so a crash REPLAY re-reads the first attempt's
+    * clock instead of sampling its own. Without it, a clock that
+    * regressed across the crash (NTP step, restart on another host)
+    * widens the replay's retention window — more history visible,
+    * FEWER rows kept — and if the crashed attempt had already
+    * appended its kept set to the index, the difference survives as
+    * epoch-tagged signatures the committed output never admitted:
+    * phantom admissions gating every future batch. Pinning the stamp
+    * to the allocation makes the windowed gate a pure function of
+    * (batch, committed history, ledger), the same argument the
+    * unwindowed protocol already makes. Same marker-filename
+    * discipline as [[allocEpoch]] (values live in names, digits-only
+    * suffix parse); [[compactLedger]] prunes stamps with their
+    * marker pair.
+    */
+  private[dedup] def attemptStamp(
+      fs: org.apache.hadoop.fs.FileSystem, indexPath: String, key: String, now: Long): Long = {
+    require(now >= 0, s"attemptStamp: clock value $now must be >= 0")
+    val dir = epochsDir(indexPath)
+    fs.mkdirs(dir)
+    val prefix = s"stamp-$key-"
+    fs.listStatus(dir).map(_.getPath.getName).collectFirst {
+      case n if n.startsWith(prefix) && n.length > prefix.length &&
+        n.substring(prefix.length).forall(_.isDigit) =>
+        n.substring(prefix.length).toLong
+    }.getOrElse {
+      fs.create(new org.apache.hadoop.fs.Path(dir, s"stamp-$key-$now"), false).close()
+      now
+    }
+  }
+
   /** Prune the exactly-once ledger. The `.epochs` directory grows two
     * marker files per micro-batch forever, and [[allocEpoch]] LISTS
     * the directory every batch — a year of 5-minute batches is 200 k
@@ -633,12 +730,27 @@ object SeenIndex {
         val cut = body.lastIndexOf('-')
         (body.substring(0, cut), body.substring(cut + 1).toLong)
     }
+    // the windowed loops persist one stamp-<key>-<clock> per batch
+    // (attemptStamp); pruned with the pair, keyed here for the lookup
+    val stampByKey = names.collect {
+      case n if n.startsWith("stamp-") =>
+        val body = n.substring("stamp-".length)
+        (body.substring(0, body.lastIndexOf('-')), n)
+    }.toMap
     // a committed marker with no alloc can only be the leftover of a
-    // prune that crashed between the two deletes (allocs are created
-    // first and deleted first) — sweep it so re-runs converge
+    // prune that crashed between the deletes (allocs are created
+    // first and deleted first) — sweep it so re-runs converge. A
+    // stamp with no alloc is the same crash leftover (stamps are
+    // deleted LAST) or an abandoned checkpoint's attempt that crashed
+    // before allocating — which appended nothing, so its clock value
+    // protects nothing; sweep both. (One-writer rule: compactLedger
+    // never runs concurrently with a live attempt.)
     val allocKeys = allocs.map(_._1).toSet
     committed.diff(allocKeys).foreach { key =>
       deleteOrThrow(fs, new org.apache.hadoop.fs.Path(dir, s"committed-$key"))
+    }
+    stampByKey.foreach { case (key, n) =>
+      if (!allocKeys.contains(key)) deleteOrThrow(fs, new org.apache.hadoop.fs.Path(dir, n))
     }
     val prunable = allocs.filter { case (key, _) => committed.contains(key) }
       .sortBy(_._2)
@@ -652,6 +764,8 @@ object SeenIndex {
     prunable.foreach { case (key, epoch) =>
       deleteOrThrow(fs, new org.apache.hadoop.fs.Path(dir, s"alloc-$key-$epoch"))
       deleteOrThrow(fs, new org.apache.hadoop.fs.Path(dir, s"committed-$key"))
+      stampByKey.get(key).foreach(n =>
+        deleteOrThrow(fs, new org.apache.hadoop.fs.Path(dir, n)))
     }
     // sweep superseded watermark files (monotone: keep only the max)
     names.collect {
@@ -736,14 +850,10 @@ object SeenIndex {
     }
     // the normalized path's parent (sibling artifacts live there);
     // normalize first so a trailing slash doesn't look one level deep
-    val normalized = new org.apache.hadoop.fs.Path(
-      new org.apache.hadoop.fs.Path(path).toString)
-    val parent = normalized.getParent
-    val sigCaches =
-      if (parent != null && fs.exists(parent))
-        fs.listStatus(parent).count(st => st.isDirectory &&
-          st.getPath.getName.startsWith(normalized.getName + ".sigs-")).toLong
-      else 0L
+    // exact `.sigs-<16 hex>` names only: a crashed rebuild's leftover
+    // `.sigs-<key>.rebuild-tmp` is not a live cache and must not
+    // inflate the maintenance view (ADVICE r17)
+    val sigCaches = sigCacheDirs(fs, path).length.toLong
     IndexStats(
       rows = rows, distinct = dist, untagged = untagged,
       minEpoch = minE, maxEpoch = maxE,
@@ -1072,7 +1182,10 @@ object SeenIndex {
     val ref = readVectors(spark, path)
       .select(col("id").as(idCol), col("vec").as(vecCol))
     val (gated, releaseMiner) = graft.similarity.Similarity.dropSeenEmbeddingReleasable(
-      batch, ref, vecCol, idCol, threshold, planes, bands, probeHamming, broadcastVerify)
+      batch, ref, vecCol, idCol, threshold, planes, bands, probeHamming, broadcastVerify,
+      // candidates are batch-bound in the ingest-gate regime: the
+      // semi-prune keeps the index's wide payload off the shuffle
+      semiPruneVerify = true)
     // eager checkpoint materializes the gate, so the miner's internal
     // persists are releasable immediately
     val kept = try gated.localCheckpoint(true) finally releaseMiner()
@@ -1104,7 +1217,10 @@ object SeenIndex {
     // as gateAndUpdateSimhash (see its in-body comment); miner
     // internals released the moment it materializes
     val (gated, releaseMiner) = graft.similarity.Similarity.dropSeenEmbeddingReleasable(
-      batch, ref, vecCol, idCol, threshold, planes, bands, probeHamming, broadcastVerify)
+      batch, ref, vecCol, idCol, threshold, planes, bands, probeHamming, broadcastVerify,
+      // candidates are batch-bound in the ingest-gate regime: the
+      // semi-prune keeps the index's wide payload off the shuffle
+      semiPruneVerify = true)
     val kept = try gated.localCheckpoint(true) finally releaseMiner()
     appendVectorsEpoch(kept, vecCol, idCol, path, epoch)
     graft.core.Releasable(kept, () => { kept.unpersist(blocking = false); () })
@@ -1139,7 +1255,8 @@ object SeenIndex {
         val ref = readVectors(batch.sparkSession, indexPath)
           .select(col("id").as(idCol), col("vec").as(vecCol))
         val (gated, releaseMiner) = graft.similarity.Similarity.dropSeenEmbeddingReleasable(
-          batch, ref, vecCol, idCol, threshold, planes, bands, probeHamming, broadcastVerify)
+          batch, ref, vecCol, idCol, threshold, planes, bands, probeHamming, broadcastVerify,
+          semiPruneVerify = true)
         // same read-what-you-write pin as gateAndUpdateSimhash; the
         // miner's per-batch persists are released as soon as the
         // checkpoint materializes — a long-running stream must not
@@ -1191,7 +1308,8 @@ object SeenIndex {
       val ref = readVectorsExcluding(spark, indexPath, epoch)
         .select(col("id").as(idCol), col("vec").as(vecCol))
       graft.similarity.Similarity.dropSeenEmbeddingReleasable(
-        batch, ref, vecCol, idCol, threshold, planes, bands, probeHamming, broadcastVerify)
+        batch, ref, vecCol, idCol, threshold, planes, bands, probeHamming, broadcastVerify,
+        semiPruneVerify = true)
     } { (kept, epoch) =>
       appendVectorsEpoch(kept, vecCol, idCol, indexPath, epoch)
     } (identity)
@@ -1298,12 +1416,17 @@ object SeenIndex {
     * unchanged (committed marker, idempotent epoch allocation,
     * deterministic overwrite output), so every crash point replays to
     * identical output; the window only changes WHICH history can gate
-    * a row. `admittedAt`/`minAdmitted` are evaluated per ATTEMPT: a
-    * replay after a long outage re-reads the window at its own clock,
-    * and the output stays exactly-once regardless because the kept
-    * set lands wholesale at the epoch-keyed overwrite location — the
-    * admissions a reader sees are the ones decided by the attempt
-    * that COMMITTED.
+    * a row. `admittedAt`/`minAdmitted` are the CALLER's to hold fixed
+    * across replays of one `key`: the output is exactly-once under
+    * any values (the kept set lands wholesale at the epoch-keyed
+    * overwrite location), but a replay that re-evaluates the window
+    * at a DIFFERENT clock can keep a different set than a crashed
+    * attempt already appended to the index — stranding epoch-tagged
+    * signatures the committed output never admitted, which then gate
+    * future batches as phantom admissions. The stream loops persist
+    * the first attempt's clock in the ledger ([[attemptStamp]]) so
+    * every replay re-reads it; a direct caller must do the same (or
+    * guarantee its clock cannot regress between attempts).
     */
   private[graft] def exactlyOnceEpochSimhashWindow(
       batch: DataFrame,
@@ -1355,15 +1478,19 @@ object SeenIndex {
   }
 
   /** [[gateStreamSimhashExactlyOnce]] WITH RETENTION: every
-    * micro-batch reads the clock once, gates against history admitted
-    * within the last `windowAge` clock units (unstamped legacy rows
-    * never expire), and stamps its own admissions at that clock value
-    * — so a document whose every prior admission aged out is
-    * RE-ADMITTED, lands under a fresh `outPath/epoch=<n>/`, and
-    * resets its retention clock, while a crash at any point still
-    * replays to identical output with zero duplicates. `clock`
-    * defaults to wall-clock millis; inject a fake for deterministic
-    * tests or to key the window on crawl days instead. The index and
+    * micro-batch reads the clock ONCE — on its first attempt, after
+    * which the value is persisted in the ledger ([[attemptStamp]])
+    * and every crash replay re-reads it, so a regressed clock can
+    * never let a replay keep a different set than the crashed
+    * attempt appended — gates against history admitted within the
+    * last `windowAge` clock units (unstamped legacy rows never
+    * expire), and stamps its own admissions at that clock value — so
+    * a document whose every prior admission aged out is RE-ADMITTED,
+    * lands under a fresh `outPath/epoch=<n>/`, and resets its
+    * retention clock, while a crash at any point still replays to
+    * identical output with zero duplicates. `clock` defaults to
+    * wall-clock millis; inject a fake for deterministic tests or to
+    * key the window on crawl days instead. The index and
     * its `<indexPath>.epochs` ledger remain a UNIT (see [[dropLedger]]);
     * compaction for this layout is [[compactWindowed]], which keeps
     * the `(sig, epoch)` exclusion grain.
@@ -1383,9 +1510,14 @@ object SeenIndex {
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val now = clock()
+        val key = batchKey(checkpointDir, batchId)
+        // the stamp is persisted with the ledger so a crash REPLAY
+        // re-reads the first attempt's clock — see attemptStamp for
+        // the regressed-clock phantom-admission hazard it closes
+        val fs = fsFor(batch.sparkSession, new org.apache.hadoop.fs.Path(indexPath))
+        val now = attemptStamp(fs, indexPath, key, clock())
         exactlyOnceEpochSimhashWindow(
-          batch, textCol, batchKey(checkpointDir, batchId), indexPath, outPath, maxHamming,
+          batch, textCol, key, indexPath, outPath, maxHamming,
           admittedAt = now, minAdmitted = now - windowAge)
         if (ledgerKeepLast > 0) compactLedger(batch.sparkSession, indexPath, ledgerKeepLast)
       }
@@ -1410,9 +1542,12 @@ object SeenIndex {
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val now = clock()
+        val key = batchKey(checkpointDir, batchId)
+        // replay reuses the first attempt's clock (see attemptStamp)
+        val fs = fsFor(batch.sparkSession, new org.apache.hadoop.fs.Path(indexPath))
+        val now = attemptStamp(fs, indexPath, key, clock())
         exactlyOnceEpochHammingWindow(
-          batch, sigCol, batchKey(checkpointDir, batchId), indexPath, outPath, maxHamming,
+          batch, sigCol, key, indexPath, outPath, maxHamming,
           admittedAt = now, minAdmitted = now - windowAge)
         if (ledgerKeepLast > 0) compactLedger(batch.sparkSession, indexPath, ledgerKeepLast)
       }
@@ -1504,7 +1639,8 @@ object SeenIndex {
       val ref = readVectorsWindowAdmittedExcluding(spark, indexPath, epoch, minAdmitted)
         .select(col("id").as(idCol), col("vec").as(vecCol))
       graft.similarity.Similarity.dropSeenEmbeddingReleasable(
-        batch, ref, vecCol, idCol, threshold, planes, bands, probeHamming, broadcastVerify)
+        batch, ref, vecCol, idCol, threshold, planes, bands, probeHamming, broadcastVerify,
+        semiPruneVerify = true)
     } { (kept, epoch) =>
       appendVectorsEpochAdmitted(kept, vecCol, idCol, indexPath, epoch, admittedAt)
     } (identity)
@@ -1533,9 +1669,12 @@ object SeenIndex {
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val now = clock()
+        val key = batchKey(checkpointDir, batchId)
+        // replay reuses the first attempt's clock (see attemptStamp)
+        val fs = fsFor(batch.sparkSession, new org.apache.hadoop.fs.Path(indexPath))
+        val now = attemptStamp(fs, indexPath, key, clock())
         exactlyOnceEpochEmbeddingWindow(
-          batch, vecCol, idCol, batchKey(checkpointDir, batchId), indexPath, outPath,
+          batch, vecCol, idCol, key, indexPath, outPath,
           threshold, planes, admittedAt = now, minAdmitted = now - windowAge,
           bands = bands, probeHamming = probeHamming, broadcastVerify = broadcastVerify)
         if (ledgerKeepLast > 0) compactLedger(batch.sparkSession, indexPath, ledgerKeepLast)
@@ -1547,7 +1686,9 @@ object SeenIndex {
     * grain, same stamp rules, same optional expiry horizon.
     */
   def compactVectorsWindowed(
-      spark: SparkSession, path: String, dropAdmittedBefore: Option[Long] = None): Unit =
+      spark: SparkSession, path: String, dropAdmittedBefore: Option[Long] = None): Unit = {
+    val fpBefore = indexFingerprint(fsFor(spark, new org.apache.hadoop.fs.Path(path)),
+      new org.apache.hadoop.fs.Path(path))
     compactInto(spark, path) { df =>
       val collapsed = df.groupBy("id", "vec", "epoch")
         .agg(
@@ -1559,6 +1700,21 @@ object SeenIndex {
       dropAdmittedBefore.fold(collapsed)(h =>
         collapsed.filter(col("admitted").isNull || col("admitted") >= h))
     }(vecWinEpochSchema)
+    carrySigCaches(spark, path, fpBefore) { cache =>
+      // the (id, vec, epoch)-grain twin of the index rewrite above;
+      // signatures ride the group-by (constant per vec)
+      val collapsed = cache.groupBy("id", "vec", "epoch", "sig", "rsig", "rsig2")
+        .agg(
+          max(col("admitted")).as("__max_admitted"),
+          max(when(col("admitted").isNull, 1).otherwise(0)).as("__unstamped"))
+        .select(col("id"), col("vec"), col("epoch"),
+          when(col("__unstamped") === 1, lit(null).cast("long"))
+            .otherwise(col("__max_admitted")).as("admitted"),
+          col("sig"), col("rsig"), col("rsig2"))
+      dropAdmittedBefore.fold(collapsed)(h =>
+        collapsed.filter(col("admitted").isNull || col("admitted") >= h))
+    }
+  }
 
   // ---- the SIGNED vector index: precomputed-signature gating ----
   //
@@ -1579,18 +1735,34 @@ object SeenIndex {
   //     re-normalizing is not an identity), so cached and live
   //     signatures are bit-identical by construction;
   //   - appends run in LOCKSTEP (index first — the source of truth —
-  //     then cache), and every gate first checks ROW-COUNT PARITY
-  //     (parquet-metadata counts, no data scan): any divergence — a
-  //     crash between the two appends, a compaction's rewrite, a
-  //     direct unsigned append — triggers a full rebuild from the
-  //     index, which costs exactly what ONE unsigned gate pays;
+  //     then cache), and the cache carries a SYNC MARKER naming the
+  //     exact index file set it was built against (`_synced-<fp>`,
+  //     fp = hash of the sorted (file name, length) pairs — one FS
+  //     listing, no Spark job). Every gate compares the marker to the
+  //     index's CURRENT fingerprint: any divergence — a crash between
+  //     the two appends, a compaction's rewrite, a direct unsigned
+  //     append — triggers a full rebuild from the index, which costs
+  //     exactly what ONE unsigned gate's signature pass pays. (A
+  //     row-count parity check was the first design; it is blind to
+  //     equal-count divergence — a compaction collapsing K duplicates
+  //     followed by K unsigned appends — and costs two count() jobs
+  //     per gate. The file-set fingerprint closes both holes: part
+  //     file names are write-UUID-unique, so no append, rewrite, or
+  //     swap can reproduce a prior fingerprint.)
   //   - degenerate vectors ride along with null signatures (they
-  //     never gate; keeping the row is what makes count parity a
-  //     valid invariant);
+  //     never gate; keeping the row keeps the cache a faithful row
+  //     mirror of the index);
+  //   - [[compactVectors]]/[[compactVectorsWindowed]] carry every
+  //     in-sync cache THROUGH the compaction (the same collapse, run
+  //     on the cache rows — signatures are functions of the vector
+  //     alone, so they ride the group-by), re-marked against the
+  //     compacted fingerprint: the cost is paid once, visibly, at
+  //     compaction, not as a silent full rebuild in the next gate;
   //   - a caller changing `planes` simply lands on a fresh cache dir;
-  //     the old one is orphaned (delete it manually if the geometry
-  //     is retired — two gates with different thresholds may
-  //     legitimately share one index under different geometries).
+  //     [[listSigCaches]] reports every geometry's cache and its sync
+  //     state, [[dropSigCache]]/[[dropSigCaches]] reclaim retired
+  //     ones (two gates with different thresholds may legitimately
+  //     share one index under different geometries).
 
   private def geomKey(planes: Array[Array[Float]]): String = {
     val md = java.security.MessageDigest.getInstance("MD5")
@@ -1604,6 +1776,26 @@ object SeenIndex {
   private def sigsDir(path: String, planes: Array[Array[Float]]) =
     sibling(path, s".sigs-${geomKey(planes)}")
 
+  /** The cache-sibling name shape: `<index>.sigs-<16 hex chars>`.
+    * Exact-match (not prefix) so a crashed rebuild's leftover
+    * `.sigs-<key>.rebuild-tmp` never counts as a live cache.
+    */
+  private val SigCacheName = """\.sigs-[0-9a-f]{16}$""".r
+
+  private def sigCacheDirs(
+      fs: org.apache.hadoop.fs.FileSystem, path: String): Seq[org.apache.hadoop.fs.Path] = {
+    val normalized = new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(path).toString)
+    val parent = normalized.getParent
+    if (parent == null || !fs.exists(parent)) Seq.empty
+    else fs.listStatus(parent).toSeq.collect {
+      case st if st.isDirectory &&
+        st.getPath.getName.startsWith(normalized.getName + ".sigs-") &&
+        SigCacheName.findFirstIn(st.getPath.getName.stripPrefix(normalized.getName)).isDefined =>
+        st.getPath
+    }
+  }
+
   private val sigCacheSchema = StructType(vecWinEpochSchema.fields ++ Seq(
     StructField("sig", LongType, nullable = true),
     StructField("rsig", LongType, nullable = true),
@@ -1612,6 +1804,51 @@ object SeenIndex {
   private def hasParquet(fs: org.apache.hadoop.fs.FileSystem,
       p: org.apache.hadoop.fs.Path): Boolean =
     fs.exists(p) && fs.listStatus(p).exists(_.getPath.getName.endsWith(".parquet"))
+
+  /** Fingerprint of the index's current parquet-file set: MD5 over
+    * the sorted (name, length) pairs. One FS listing, no Spark job.
+    * Part-file names carry write UUIDs, so any append, compaction, or
+    * rewrite changes the set — marker equality therefore means "the
+    * cache was synced against EXACTLY this index state", an invariant
+    * row-count parity cannot give (equal counts survive a compaction
+    * that collapses K duplicates followed by K fresh appends).
+    */
+  private def indexFingerprint(
+      fs: org.apache.hadoop.fs.FileSystem, p: org.apache.hadoop.fs.Path): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    if (fs.exists(p))
+      fs.listStatus(p)
+        .collect { case st if st.isFile && st.getPath.getName.endsWith(".parquet") =>
+          s"${st.getPath.getName}:${st.getLen}" }
+        .sorted
+        .foreach(s => md.update(s.getBytes("UTF-8")))
+    md.digest().map(b => f"${b & 0xff}%02x").mkString
+  }
+
+  /** The `_synced-<fingerprint>` marker inside a cache dir. The
+    * leading underscore keeps it invisible to parquet reads (Spark
+    * skips `_`/`.`-prefixed files). At most one is ever live:
+    * [[writeSyncMarker]] deletes stale markers BEFORE creating the
+    * new one, so a crash between the two leaves none (= rebuild,
+    * safe) rather than two (= ambiguity).
+    */
+  private val SyncMarkerPrefix = "_synced-"
+
+  private def readSyncMarker(
+      fs: org.apache.hadoop.fs.FileSystem, dir: org.apache.hadoop.fs.Path): Option[String] =
+    if (!fs.exists(dir)) None
+    else fs.listStatus(dir).map(_.getPath.getName)
+      .filter(_.startsWith(SyncMarkerPrefix)) match {
+        case Array(one) => Some(one.substring(SyncMarkerPrefix.length))
+        case _ => None // zero, or a state no crash point can produce — treat as unsynced
+      }
+
+  private def writeSyncMarker(
+      fs: org.apache.hadoop.fs.FileSystem, dir: org.apache.hadoop.fs.Path, fp: String): Unit = {
+    fs.listStatus(dir).map(_.getPath).filter(_.getName.startsWith(SyncMarkerPrefix))
+      .foreach(deleteOrThrow(fs, _))
+    fs.create(new org.apache.hadoop.fs.Path(dir, SyncMarkerPrefix + fp), true).close()
+  }
 
   /** The exact row set the vector appends write (distinct non-null
     * (id, vec), optional tags) with the three signature columns —
@@ -1632,9 +1869,11 @@ object SeenIndex {
   }
 
   /** Lockstep append: index rows first (the source of truth), then
-    * the matching signature rows — a crash between the two leaves the
-    * cache short, which the next gate's count-parity check detects
-    * and heals by rebuild.
+    * the matching signature rows, then the sync marker re-stamped to
+    * the index's NEW fingerprint. A crash before the marker write
+    * leaves it naming the pre-append file set, which no longer
+    * matches — the next gate detects the divergence and heals by
+    * rebuild.
     */
   private def appendVectorsAndSigs(
       df: DataFrame, vecCol: String, idCol: String, path: String,
@@ -1644,43 +1883,124 @@ object SeenIndex {
       case (Some(e), None) => appendVectorsEpoch(df, vecCol, idCol, path, e)
       case (Some(e), Some(a)) => appendVectorsEpochAdmitted(df, vecCol, idCol, path, e, a)
     }
+    val dir = sigsDir(path, planes)
     sigCacheRows(df, vecCol, idCol, planes, epoch, admitted)
-      .write.mode("append").parquet(sigsDir(path, planes).toString)
+      .write.mode("append").parquet(dir.toString)
+    val fs = fsFor(df.sparkSession, dir)
+    writeSyncMarker(fs, dir, indexFingerprint(fs, new org.apache.hadoop.fs.Path(path)))
   }
 
   /** Validate (and if needed rebuild) the signature cache for this
-    * index + geometry. The check is two parquet-metadata row counts;
-    * a mismatch rebuilds the cache wholesale from the index — the
-    * cost of one unsigned gate, paid only after a crash, a
-    * compaction, or an unsigned append touched the index.
+    * index + geometry. The check is one FS listing compared against
+    * the cache's sync marker — NO Spark job, so a synced gate pays
+    * ~nothing here (the first design ran two count() jobs per gate;
+    * at small indexes that fixed cost exceeded the recompute the
+    * cache saves — BENCH_scale r17 measured the signed gate 1.6x
+    * SLOWER than unsigned because of it). A divergent marker rebuilds
+    * the cache wholesale from the index — the cost of one unsigned
+    * gate's signature pass, paid only after a crash, an out-of-band
+    * compaction, or an unsigned append touched the index — and the
+    * rebuild logs its reason (a silent rebuild inside a gate would
+    * read as the gate being slow).
     */
   def ensureSigCache(spark: SparkSession, path: String, planes: Array[Array[Float]]): Unit = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = fsFor(spark, p)
     requireNotMidCompaction(fs, path)
     val dir = sigsDir(path, planes)
-    val idxRows =
-      if (hasParquet(fs, p)) spark.read.schema(vecWinEpochSchema).parquet(path).count()
-      else 0L
-    val cacheRows =
-      if (hasParquet(fs, dir))
-        spark.read.schema(sigCacheSchema).parquet(dir.toString).count()
-      else 0L
-    if (idxRows != cacheRows) {
-      if (idxRows == 0L) deleteOrThrow(fs, dir)
-      else {
-        val tmp = sibling(dir.toString, ".rebuild-tmp")
-        graft.similarity.Similarity.withSignatures(
-          spark.read.schema(vecWinEpochSchema).parquet(path), "vec", planes)
-          .select(col("id"), col("vec"), col("epoch"), col("admitted"),
-            col("__sig").as("sig"), col("__rsig").as("rsig"), col("__rsig2").as("rsig2"))
-          .write.mode("overwrite").parquet(tmp.toString)
-        // tmp-then-swap: a crash mid-rebuild must not leave a cache
-        // whose count could coincidentally equal the index's
-        deleteOrThrow(fs, dir)
-        renameOrThrow(fs, tmp, dir)
-      }
+    val fp = indexFingerprint(fs, p)
+    val marker = readSyncMarker(fs, dir)
+    if (marker.contains(fp)) return
+    if (!hasParquet(fs, p)) { deleteOrThrow(fs, dir); return } // empty index: no cache at all
+    log.info(s"ensureSigCache: rebuilding $dir from $path (" +
+      (if (marker.isEmpty) "no sync marker — first build, a crashed rebuild, or a pre-marker cache"
+       else "sync marker names a different index file set — an unsigned append, " +
+         "an out-of-band compaction, or a torn lockstep append") + ")")
+    val tmp = sibling(dir.toString, ".rebuild-tmp")
+    graft.similarity.Similarity.withSignatures(
+      spark.read.schema(vecWinEpochSchema).parquet(path), "vec", planes)
+      .select(col("id"), col("vec"), col("epoch"), col("admitted"),
+        col("__sig").as("sig"), col("__rsig").as("rsig"), col("__rsig2").as("rsig2"))
+      .write.mode("overwrite").parquet(tmp.toString)
+    // tmp-then-swap: a crash mid-rebuild must not leave a half-built
+    // cache behind a marker that could be mistaken for synced (the
+    // fresh dir has no marker until the line below)
+    deleteOrThrow(fs, dir)
+    renameOrThrow(fs, tmp, dir)
+    writeSyncMarker(fs, dir, fp)
+  }
+
+  /** One signature-cache sibling of a vector index, as
+    * [[listSigCaches]] reports it: the 16-hex geometry key from the
+    * directory name, the directory itself, its parquet footprint, and
+    * whether its sync marker names the index's CURRENT fingerprint
+    * (`synced = false` means the next signed gate on this geometry
+    * pays a full rebuild — or the geometry is retired and the cache
+    * is reclaimable via [[dropSigCache]]).
+    */
+  case class SigCacheInfo(
+      geometryKey: String,
+      path: String,
+      dataFiles: Long,
+      dataBytes: Long,
+      synced: Boolean)
+
+  /** Every live signature cache of the vector index at `path` — the
+    * maintenance view [[IndexStats.sigCaches]] counts, itemized. Two
+    * FS listings per cache, no Spark job; safe on a missing index.
+    */
+  def listSigCaches(spark: SparkSession, path: String): Seq[SigCacheInfo] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = fsFor(spark, p)
+    val fp = indexFingerprint(fs, p)
+    sigCacheDirs(fs, path).map { dir =>
+      val files = fs.listStatus(dir)
+        .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      SigCacheInfo(
+        geometryKey = dir.getName.substring(dir.getName.lastIndexOf('-') + 1),
+        path = dir.toString,
+        dataFiles = files.length.toLong,
+        dataBytes = files.map(_.getLen).sum,
+        synced = readSyncMarker(fs, dir).contains(fp))
     }
+  }
+
+  /** Delete ONE geometry's signature cache — the reclaim path for a
+    * retired geometry (a caller that stopped gating at its old
+    * threshold leaves the old planes' cache orphaned forever
+    * otherwise). Also sweeps a crashed rebuild's `.rebuild-tmp`
+    * leftover for the same key. Idempotent; a no-op on an unknown
+    * key. Deleting a LIVE geometry's cache is safe but wasteful (the
+    * next signed gate rebuilds it).
+    */
+  def dropSigCache(spark: SparkSession, path: String, geometryKey: String): Unit = {
+    require(geometryKey.matches("[0-9a-f]{16}"),
+      s"geometryKey='$geometryKey' is not a 16-hex cache key (see listSigCaches)")
+    val fs = fsFor(spark, new org.apache.hadoop.fs.Path(path))
+    val dir = sibling(path, s".sigs-$geometryKey")
+    deleteOrThrow(fs, dir)
+    deleteOrThrow(fs, sibling(dir.toString, ".rebuild-tmp"))
+  }
+
+  /** [[dropSigCache]] for EVERY geometry of the index at `path`,
+    * rebuild-tmp leftovers included — the full-reset / orphan-sweep
+    * form. The index itself is untouched.
+    */
+  def dropSigCaches(spark: SparkSession, path: String): Unit = {
+    val fs = fsFor(spark, new org.apache.hadoop.fs.Path(path))
+    sigCacheDirs(fs, path).foreach { dir =>
+      deleteOrThrow(fs, dir)
+      deleteOrThrow(fs, sibling(dir.toString, ".rebuild-tmp"))
+    }
+    // rebuild-tmp leftovers whose live dir is already gone
+    val normalized = new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(path).toString)
+    val parent = normalized.getParent
+    if (parent != null && fs.exists(parent))
+      fs.listStatus(parent).map(_.getPath)
+        .filter(q => q.getName.startsWith(normalized.getName + ".sigs-") &&
+          q.getName.endsWith(".rebuild-tmp"))
+        .foreach(deleteOrThrow(fs, _))
   }
 
   /** The cache as a PRESIGNED reference frame for
@@ -1802,6 +2122,120 @@ object SeenIndex {
       }
       .start()
 
+  /** Default byte floor below which [[gateAndUpdateEmbeddingAuto]]
+    * stays unsigned: under ~16 MB of index parquet the whole gate is
+    * sub-second either way and the signed path's extra artifacts
+    * (cache dir, marker round-trips, the cache write on every append)
+    * buy nothing worth their operational surface. Above it, signed
+    * strictly wins per gate once the cache exists: the
+    * history-scaling term drops from 190 dim-float dots per index row
+    * to a 24-byte column scan, and validation is one FS listing (no
+    * Spark job). Calibrated against BENCH_scale's
+    * embedding_gate_vs_history pair (see ScaleBench).
+    */
+  val AutoSignBytes: Long = 16L << 20
+
+  /** Should a gate on `path` with `planes` take the signed path? Yes
+    * if this geometry's cache already exists (using it is free;
+    * ignoring it would strand it stale), or if the index's parquet
+    * footprint crosses `autoSignBytes` (building the cache costs
+    * roughly the signature pass one unsigned gate pays anyway, plus
+    * one write of the index's footprint — amortized across every
+    * subsequent gate). One or two FS listings, no Spark job.
+    */
+  private def useSigned(
+      spark: SparkSession, path: String, planes: Array[Array[Float]],
+      autoSignBytes: Long): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = fsFor(spark, p)
+    hasParquet(fs, sigsDir(path, planes)) || {
+      val bytes =
+        if (fs.exists(p))
+          fs.listStatus(p)
+            .collect { case st if st.isFile && st.getPath.getName.endsWith(".parquet") => st.getLen }
+            .sum
+        else 0L
+      bytes >= autoSignBytes
+    }
+  }
+
+  /** [[gateAndUpdateEmbedding]] that CHOOSES signed vs unsigned per
+    * call: signed iff this geometry's cache already exists or the
+    * index's parquet footprint crosses `autoSignBytes` (default
+    * [[AutoSignBytes]]) — the first gate past the floor pays one
+    * cache build (≈ the signature pass an unsigned gate runs anyway)
+    * and every later gate skips the full-index 190-dot recompute.
+    * Admissions are identical on both paths (spec-pinned); only the
+    * plan changes. Prefer this over picking a form by hand in any
+    * long-lived ingest loop.
+    */
+  def gateAndUpdateEmbeddingAuto(
+      batch: DataFrame,
+      vecCol: String,
+      idCol: String,
+      path: String,
+      threshold: Double,
+      planes: Array[Array[Float]],
+      bands: Int = 8,
+      probeHamming: Int = 0,
+      broadcastVerify: Boolean = false,
+      autoSignBytes: Long = AutoSignBytes): graft.core.Releasable[DataFrame] =
+    if (useSigned(batch.sparkSession, path, planes, autoSignBytes))
+      gateAndUpdateEmbeddingSigned(
+        batch, vecCol, idCol, path, threshold, planes, bands, probeHamming, broadcastVerify)
+    else
+      gateAndUpdateEmbedding(
+        batch, vecCol, idCol, path, threshold, planes, bands, probeHamming, broadcastVerify)
+
+  /** [[gateStreamEmbedding]] with per-micro-batch signed/unsigned
+    * selection ([[gateAndUpdateEmbeddingAuto]]'s policy): the loop
+    * starts unsigned while the index is small and switches to the
+    * signed path — building the cache once — the batch after the
+    * index crosses `autoSignBytes`; from then on the cache is
+    * maintained in lockstep. Same at-least-once ordering as
+    * [[gateStreamEmbedding]].
+    */
+  def gateStreamEmbeddingAuto(
+      stream: DataFrame,
+      vecCol: String,
+      idCol: String,
+      indexPath: String,
+      outPath: String,
+      checkpointDir: String,
+      threshold: Double,
+      planes: Array[Array[Float]],
+      bands: Int = 8,
+      probeHamming: Int = 0,
+      broadcastVerify: Boolean = false,
+      autoSignBytes: Long = AutoSignBytes): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val signed = useSigned(spark, indexPath, planes, autoSignBytes)
+        val (gated, releaseMiner) =
+          if (signed) {
+            ensureSigCache(spark, indexPath, planes)
+            graft.similarity.Similarity.dropSeenEmbeddingPresigned(
+              batch, readSigs(spark, indexPath, planes, vecCol, idCol),
+              vecCol, idCol, threshold, planes, bands, probeHamming, broadcastVerify)
+          } else {
+            val ref = readVectors(spark, indexPath)
+              .select(col("id").as(idCol), col("vec").as(vecCol))
+            graft.similarity.Similarity.dropSeenEmbeddingReleasable(
+              batch, ref, vecCol, idCol, threshold, planes, bands, probeHamming,
+              broadcastVerify, semiPruneVerify = true)
+          }
+        val kept = try gated.localCheckpoint(true) finally releaseMiner()
+        try {
+          kept.write.mode("append").parquet(outPath)
+          if (signed) appendVectorsAndSigs(kept, vecCol, idCol, indexPath, planes, None, None)
+          else appendVectors(kept, vecCol, idCol, indexPath)
+        } finally kept.unpersist(blocking = false)
+        ()
+      }
+      .start()
+
   /** [[exactlyOnceEpochEmbedding]] over the SIGNED index. Replay
     * correctness with the cache: a crash between the index and cache
     * appends leaves a count mismatch, the replay's [[ensureSigCache]]
@@ -1910,9 +2344,12 @@ object SeenIndex {
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val now = clock()
+        val key = batchKey(checkpointDir, batchId)
+        // replay reuses the first attempt's clock (see attemptStamp)
+        val fs = fsFor(batch.sparkSession, new org.apache.hadoop.fs.Path(indexPath))
+        val now = attemptStamp(fs, indexPath, key, clock())
         exactlyOnceEpochEmbeddingWindowSigned(
-          batch, vecCol, idCol, batchKey(checkpointDir, batchId), indexPath, outPath,
+          batch, vecCol, idCol, key, indexPath, outPath,
           threshold, planes, admittedAt = now, minAdmitted = now - windowAge,
           bands = bands, probeHamming = probeHamming, broadcastVerify = broadcastVerify)
         if (ledgerKeepLast > 0) compactLedger(batch.sparkSession, indexPath, ledgerKeepLast)

@@ -507,6 +507,16 @@ object Similarity {
     * also always kept — the verify stage joins by id, so a null-id
     * row can never be proven seen either; gate null ids upstream if
     * they can occur.
+    *
+    * `semiPruneVerify = true` additionally broadcasts the candidate
+    * id set to prune the reference payload before the verify shuffle
+    * (see the in-body comment at [[minePairs]]) — a plan-shape win
+    * when candidates are KNOWN batch-bound, which the durable ingest
+    * loops opt into; it defaults OFF here because the broadcast
+    * materializes the whole candidate subplan under
+    * spark.sql.broadcastTimeout, and a collision-heavy batch against
+    * a big reference can fail where the default pure-shuffle plan
+    * succeeds (ADVICE r17).
     */
   def dropSeenEmbedding(
       batch: DataFrame,
@@ -518,7 +528,7 @@ object Similarity {
       bands: Int = 8,
       probeHamming: Int = 0,
       broadcastVerify: Boolean = false,
-      semiPruneVerify: Boolean = true): DataFrame =
+      semiPruneVerify: Boolean = false): DataFrame =
     dropSeenEmbeddingReleasable(
       batch, ref, vecCol, idCol, threshold, planes, bands, probeHamming, broadcastVerify,
       semiPruneVerify)._1
@@ -539,12 +549,14 @@ object Similarity {
       bands: Int = 8,
       probeHamming: Int = 0,
       broadcastVerify: Boolean = false,
-      // gates are batch-vs-reference by definition, so the candidate
-      // set is batch-collision-bound — the regime where the verify's
-      // broadcast semi-prune (see minePairs) is safe and is THE term
-      // that stops the whole index's wide payload riding a shuffle
-      // every micro-batch; disable only for pathological batches
-      semiPruneVerify: Boolean = true): (DataFrame, () => Unit) = {
+      // OFF by default on the public surface (same rationale as
+      // dropSeenEmbedding: the semi-prune's broadcast can time out on
+      // a collision-heavy batch where the pure-shuffle plan would
+      // succeed). The durable ingest loops (SeenIndex) pass true
+      // explicitly — there the candidate set is known batch-bound and
+      // the semi-prune is THE term that stops the whole index's wide
+      // payload riding a shuffle every micro-batch.
+      semiPruneVerify: Boolean = false): (DataFrame, () => Unit) = {
     val (pairs, release) = minePairs(
       batch, Some(ref), vecCol, idCol, threshold, planes, bands, probeHamming, broadcastVerify,
       semiPruneVerify = semiPruneVerify)
@@ -572,6 +584,10 @@ object Similarity {
       bands: Int = 8,
       probeHamming: Int = 0,
       broadcastVerify: Boolean = false,
+      // default ON (unlike the public gates): every caller is a
+      // SeenIndex durable-ingest loop, where candidates are known
+      // batch-bound and the semi-prune is what keeps the index's
+      // wide payload off the per-micro-batch shuffle
       semiPruneVerify: Boolean = true): (DataFrame, () => Unit) = {
     val (pairs, release) = minePairs(
       batch, None, vecCol, idCol, threshold, planes, bands, probeHamming, broadcastVerify,

@@ -1255,6 +1255,209 @@ class SeenIndexSpec extends SparkSpec {
     (1L to 9L).foreach(m => assert(visibleIndex(m) == visibleModel(m)))
   }
 
+  test("sig-cache staleness survives the equal-count trap: compact collapsing a duplicate + one unsigned append still rebuilds") {
+    import sqlImplicits._
+    val dim = 8
+    val planes = graft.similarity.Similarity.hyperplanes(dim, numPlanes = 64)
+    def unit(i: Int) = Seq.tabulate(dim)(j => if (j == i) 1f else 0f)
+    val path = tmpDir() + "/eqidx"
+    // seed a DUPLICATE (1, v0) row pair directly, then let the signed
+    // gate build a cache mirroring the 3-row index (v0, v0, v1)
+    SeenIndex.appendVectors(Seq((1L, unit(0))).toDF("id", "vec"), "vec", "id", path)
+    SeenIndex.appendVectors(Seq((1L, unit(0))).toDF("id", "vec"), "vec", "id", path)
+    val g1 = SeenIndex.gateAndUpdateEmbeddingSigned(
+      Seq((2L, unit(1))).toDF("vec_id", "embedding"), "embedding", "vec_id", path,
+      threshold = 0.9, planes = planes, broadcastVerify = true)
+    assert(g1.result.collect().map(_.getLong(0)).toSet == Set(2L)); g1.release()
+    // compaction collapses the duplicate (3 -> 2 rows), then ONE
+    // unsigned append restores the row count to 3: a cache validated
+    // by row-count parity alone would see 3 == 3 and trust content
+    // that has never seen v5 (the r17 ADVICE hole) — the file-set
+    // fingerprint names the exact index state, so the gate rebuilds
+    SeenIndex.compactVectors(spark, path)
+    SeenIndex.appendVectors(Seq((9L, unit(5))).toDF("id", "vec"), "vec", "id", path)
+    val g2 = SeenIndex.gateAndUpdateEmbeddingSigned(
+      Seq((10L, unit(5))).toDF("vec_id", "embedding"), "embedding", "vec_id", path,
+      threshold = 0.9, planes = planes, broadcastVerify = true)
+    assert(g2.result.isEmpty,
+      "a vector appended after an equal-count compact+append sequence must still gate")
+    g2.release()
+  }
+
+  test("compaction carries the signature cache in lockstep: the next signed gate finds it SYNCED (no silent rebuild)") {
+    import sqlImplicits._
+    val dim = 8
+    val planes = graft.similarity.Similarity.hyperplanes(dim, numPlanes = 64)
+    def unit(i: Int) = Seq.tabulate(dim)(j => if (j == i) 1f else 0f)
+    val path = tmpDir() + "/carryidx"
+    def gateS(rows: Seq[(Long, Seq[Float])]): Set[Long] = {
+      val r = SeenIndex.gateAndUpdateEmbeddingSigned(
+        rows.toDF("vec_id", "embedding"), "embedding", "vec_id", path,
+        threshold = 0.9, planes = planes, broadcastVerify = true)
+      val kept = r.result.collect().map(_.getLong(0)).toSet; r.release(); kept
+    }
+    assert(gateS(Seq((1L, unit(0)), (2L, unit(1)))) == Set(1L, 2L))
+    assert(gateS(Seq((3L, unit(2)))) == Set(3L))
+    SeenIndex.compactVectors(spark, path)
+    // synced == ensureSigCache will return without a rebuild: the
+    // carry paid the compaction cost once, inside compactVectors
+    val infos = SeenIndex.listSigCaches(spark, path)
+    assert(infos.length == 1 && infos.head.synced,
+      s"cache not carried through compaction: $infos")
+    assert(gateS(Seq((4L, unit(0)), (5L, unit(5)))) == Set(5L))
+    // the WINDOWED twin: two admitted epochs, compactVectorsWindowed
+    // with an expiry horizon, cache still synced and gating correctly
+    val widx = tmpDir() + "/carrywidx"; val wout = tmpDir() + "/carrywout"
+    def runW(rows: Seq[(Long, Seq[Float])], key: String, at: Long, min: Long): Unit =
+      SeenIndex.exactlyOnceEpochEmbeddingWindowSigned(
+        rows.toDF("vec_id", "embedding"), "embedding", "vec_id", key, widx, wout,
+        threshold = 0.9, planes = planes, admittedAt = at, minAdmitted = min,
+        broadcastVerify = true)
+    runW(Seq((1L, unit(0))), "w0", 100L, 0L)
+    runW(Seq((2L, unit(1))), "w1", 200L, 150L)
+    SeenIndex.compactVectorsWindowed(spark, widx, dropAdmittedBefore = Some(150L))
+    val winfos = SeenIndex.listSigCaches(spark, widx)
+    assert(winfos.length == 1 && winfos.head.synced,
+      s"windowed cache not carried: $winfos")
+    // v0's only admission (at=100) was dropped by the horizon: it
+    // re-admits; v1 (at=200) still gates
+    runW(Seq((3L, unit(0)), (4L, unit(1))), "w2", 250L, 150L)
+    assert(spark.read.parquet(wout).select("vec_id")
+      .collect().map(_.getLong(0)).toSet == Set(1L, 2L, 3L))
+  }
+
+  test("sig-cache tooling: listSigCaches reports geometry + sync state; dropSigCache(s) reclaim; rebuild-tmp never counts") {
+    import sqlImplicits._
+    val dim = 8
+    val planesA = graft.similarity.Similarity.hyperplanes(dim, numPlanes = 64)
+    val planesB = graft.similarity.Similarity.hyperplanes(dim, numPlanes = 64, seed = 7L)
+    def unit(i: Int) = Seq.tabulate(dim)(j => if (j == i) 1f else 0f)
+    val path = tmpDir() + "/toolidx"
+    val g = SeenIndex.gateAndUpdateEmbeddingSigned(
+      Seq((1L, unit(0))).toDF("vec_id", "embedding"), "embedding", "vec_id", path,
+      threshold = 0.9, planes = planesA, broadcastVerify = true)
+    g.result.count(); g.release()
+    // a read-only signed gate on a SECOND geometry builds its cache
+    val r = SeenIndex.dropSeenEmbeddingSigned(
+      Seq((2L, unit(1))).toDF("vec_id", "embedding"), "embedding", "vec_id", path,
+      threshold = 0.9, planes = planesB, broadcastVerify = true)
+    r.result.count(); r.release()
+    val infos = SeenIndex.listSigCaches(spark, path)
+    assert(infos.length == 2 && infos.forall(_.synced) && infos.forall(_.dataBytes > 0)
+      && infos.map(_.geometryKey).distinct.length == 2, infos.toString)
+    // an unsigned append desyncs BOTH geometries' caches
+    SeenIndex.appendVectors(Seq((9L, unit(5))).toDF("id", "vec"), "vec", "id", path)
+    assert(SeenIndex.listSigCaches(spark, path).forall(!_.synced))
+    // a crashed rebuild's leftover must not count as a live cache
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val keyA = infos.head.geometryKey
+    fs.mkdirs(new org.apache.hadoop.fs.Path(path + ".sigs-" + keyA + ".rebuild-tmp"))
+    assert(SeenIndex.vectorStats(spark, path).sigCaches == 2L,
+      "rebuild-tmp leftover inflated the cache count")
+    assert(SeenIndex.listSigCaches(spark, path).length == 2)
+    // reclaim one geometry (its rebuild-tmp leftover goes with it)
+    SeenIndex.dropSigCache(spark, path, keyA)
+    assert(SeenIndex.listSigCaches(spark, path).map(_.geometryKey) ==
+      infos.map(_.geometryKey).filterNot(_ == keyA))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(path + ".sigs-" + keyA + ".rebuild-tmp")))
+    intercept[IllegalArgumentException] { SeenIndex.dropSigCache(spark, path, "not-a-key") }
+    SeenIndex.dropSigCaches(spark, path)
+    assert(SeenIndex.listSigCaches(spark, path).isEmpty)
+    assert(SeenIndex.vectorStats(spark, path).sigCaches == 0L)
+  }
+
+  test("windowed exactly-once replay under a REGRESSED clock: the persisted attempt stamp keeps admissions identical") {
+    import sqlImplicits._
+    val idx = tmpDir() + "/stampidx"; val out = tmpDir() + "/stampout"
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val docA = (1 to 60).map(i => s"a$i").mkString(" ")
+    // mirrors the stream loop body: persist the attempt clock, then
+    // run the batch protocol at the persisted value
+    def run(id: Long, key: String, clockNow: Long, killAt: String = ""): Unit = {
+      val now = SeenIndex.attemptStamp(fs, idx, key, clockNow)
+      SeenIndex.exactlyOnceEpochSimhashWindow(
+        Seq((id, docA)).toDF("doc_id", "text"), "text", key, idx, out, 3,
+        admittedAt = now, minAdmitted = now - 50L,
+        crashpoint = s => if (s == killAt) throw new RuntimeException("kill"))
+    }
+    run(1L, "b0", 10L) // bootstrap admission at t=10
+    // t=100: the t=10 admission aged out -> re-admit; crash AFTER the
+    // index append (the kept set is already in the index, stamped 100)
+    intercept[RuntimeException] { run(2L, "b1", 100L, killAt = "appended") }
+    // the replay's clock REGRESSED to 55: evaluated fresh, the window
+    // would reopen over the t=10 row and gate the doc — stranding the
+    // crashed append as a phantom admission. The stamp overrides.
+    run(2L, "b1", 55L)
+    assert(spark.read.parquet(out).select("doc_id")
+      .collect().map(_.getLong(0)).toSet == Set(1L, 2L),
+      "regressed-clock replay dropped the re-admission")
+    // no phantom left behind: at t=120 the committed re-admission
+    // (admitted=100, in window) gates — output unchanged
+    run(3L, "b2", 120L)
+    assert(spark.read.parquet(out).select("doc_id")
+      .collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+    // stamps prune with their marker pair
+    SeenIndex.compactLedger(spark, idx, keepLast = 1)
+    val names = fs.listStatus(new org.apache.hadoop.fs.Path(idx + ".epochs"))
+      .map(_.getPath.getName)
+    assert(names.count(_.startsWith("stamp-")) == 1, names.mkString(","))
+    assert(names.count(_.startsWith("alloc-")) == 1, names.mkString(","))
+  }
+
+  test("auto embedding gate: unsigned below the byte floor, signed above, identical admissions; the stream form switches mid-run") {
+    import sqlImplicits._
+    val dim = 8
+    val planes = graft.similarity.Similarity.hyperplanes(dim, numPlanes = 64)
+    def unit(i: Int) = Seq.tabulate(dim)(j => if (j == i) 1f else 0f)
+    // tiny index, default floor: stays unsigned — no cache artifacts
+    val pathU = tmpDir() + "/autou"
+    val a1 = SeenIndex.gateAndUpdateEmbeddingAuto(
+      Seq((1L, unit(0)), (2L, unit(1))).toDF("vec_id", "embedding"), "embedding", "vec_id",
+      pathU, threshold = 0.9, planes = planes, broadcastVerify = true)
+    assert(a1.result.collect().map(_.getLong(0)).toSet == Set(1L, 2L)); a1.release()
+    assert(SeenIndex.listSigCaches(spark, pathU).isEmpty,
+      "auto must not build a cache under the byte floor")
+    // floor 0: signed from the first gate, cache built and maintained
+    val pathS = tmpDir() + "/autos"
+    def gateAuto(rows: Seq[(Long, Seq[Float])]): Set[Long] = {
+      val r = SeenIndex.gateAndUpdateEmbeddingAuto(
+        rows.toDF("vec_id", "embedding"), "embedding", "vec_id", pathS,
+        threshold = 0.9, planes = planes, broadcastVerify = true, autoSignBytes = 0L)
+      val kept = r.result.collect().map(_.getLong(0)).toSet; r.release(); kept
+    }
+    assert(gateAuto(Seq((1L, unit(0)), (2L, unit(1)))) == Set(1L, 2L))
+    assert(gateAuto(Seq((3L, unit(0)), (4L, unit(4)))) == Set(4L)) // same decisions as unsigned
+    val sInfos = SeenIndex.listSigCaches(spark, pathS)
+    assert(sInfos.length == 1 && sInfos.head.synced, sInfos.toString)
+    // ONCE a cache exists the auto gate uses it even under the
+    // default floor (ignoring it would strand it stale)
+    val a2 = SeenIndex.gateAndUpdateEmbeddingAuto(
+      Seq((5L, unit(4))).toDF("vec_id", "embedding"), "embedding", "vec_id", pathS,
+      threshold = 0.9, planes = planes, broadcastVerify = true)
+    assert(a2.result.isEmpty); a2.release()
+    assert(SeenIndex.listSigCaches(spark, pathS).forall(_.synced))
+    // stream form: batch 1 runs unsigned (empty index, 0 bytes < 1),
+    // batch 2 crosses the floor and switches to signed
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val idx = tmpDir() + "/autostream"; val sout = tmpDir() + "/autostreamout"
+    val input = MemoryStream[(Long, Seq[Float])]
+    val q = SeenIndex.gateStreamEmbeddingAuto(
+      input.toDF().toDF("vec_id", "embedding"), "embedding", "vec_id", idx, sout, tmpDir(),
+      threshold = 0.9, planes = planes, broadcastVerify = true, autoSignBytes = 1L)
+    input.addData((1L, unit(0))); q.processAllAvailable()
+    assert(SeenIndex.listSigCaches(spark, idx).isEmpty, "batch 1 must run unsigned")
+    input.addData((2L, unit(0)), (3L, unit(3))); q.processAllAvailable()
+    q.stop()
+    assert(spark.read.schema("vec_id LONG, embedding ARRAY<FLOAT>").parquet(sout)
+      .collect().map(_.getLong(0)).toSet == Set(1L, 3L))
+    val streamInfos = SeenIndex.listSigCaches(spark, idx)
+    assert(streamInfos.length == 1 && streamInfos.head.synced,
+      s"batch 2 must have switched to the signed path: $streamInfos")
+  }
+
   test("epoch allocation is dash-safe: a key that is a dash-prefix of another never claims its marker") {
     import org.apache.hadoop.fs.Path
     val idx = tmpDir() + "/idx"
