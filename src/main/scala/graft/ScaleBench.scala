@@ -38,6 +38,32 @@ object ScaleBench {
 
   private val CopyStride = 10000000L
 
+  /** The 8x reference history behind the embedding_gate_vs_history8
+    * pair: the scale's reference vectors (vec_id % 3 != 0) plus seven
+    * sign-scrambled copies at disjoint id offsets (1e9 per copy, far
+    * above any fixture id). Per-(copy, index) sign flips preserve
+    * norms and within-copy structure while pushing cross-copy cosines
+    * to the near-orthogonal background — same construction as
+    * [[ensureFixture]], different seed salt — so growing the history
+    * 8x grows the reference-side SIGNATURE work 8x without inflating
+    * the candidate volume.
+    */
+  private def history8(spark: SparkSession, emb: DataFrame): String = {
+    val p = graft.core.TempDirs.create("scale_hist_vecs8_")
+    val ref = emb.filter(col("vec_id") % 3 =!= 0)
+    val copies = (0 until 8).map { k =>
+      if (k == 0) ref
+      else ref.select(
+        (col("vec_id") + lit(k.toLong * 1000000000L)).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          when(pmod(xxhash64(lit(k + 1000), i), lit(2)) === 0, x).otherwise(-x)).as("embedding"),
+        col("label"))
+    }
+    graft.dedup.SeenIndex.appendVectors(
+      copies.reduce(_.unionByName(_)), "embedding", "vec_id", p)
+    p
+  }
+
   def ensureFixture(spark: SparkSession, baseDir: String, outDir: String, n: Int): Unit = {
     val done = new java.io.File(s"$outDir/_DONE")
     if (done.exists()) return
@@ -813,20 +839,37 @@ object ScaleBench {
         }
         () => {
           val batch = emb.filter(col("vec_id") % 3 === 0 && col("vec_id") < CopyStride)
-          graft.similarity.Similarity.dropSeenEmbedding(
+          // RELEASED form, like the signed twin and like every
+          // durable ingest loop: the r17 artifact compared this
+          // entry's plain (leaky) form — whose persisted reference
+          // projection stayed in the LRU store across the entry's
+          // runs, so run 2 (metric=min) read a warm cache — against
+          // a signed twin that released per call and re-scanned
+          // cold. That asymmetry, plus ensureSigCache's two count()
+          // jobs per gate (now one FS listing against the sync
+          // marker), was the whole "signed 1.6x slower" artifact.
+          val (kept, rel) = graft.similarity.Similarity.dropSeenEmbeddingReleasable(
             batch,
             graft.dedup.SeenIndex.readVectors(spark, hist)
               .select(col("id").as("vec_id"), col("vec").as("embedding")),
-            "embedding", "vec_id", threshold = 0.9, gatePlanes).count()
+            "embedding", "vec_id", threshold = 0.9, gatePlanes,
+            // gate regime (candidates batch-bound): the semi-prune
+            // the ingest loops use; verify plan symmetric with the
+            // signed twin below
+            semiPruneVerify = true)
+          val n = kept.count(); rel(); n
         }
       },
       // The SIGNED twin of embedding_gate_vs_history: same fixed
-      // batch, same growing history, but the reference signatures
-      // read from the durable geometry-keyed cache (built OUTSIDE the
-      // timed thunk) instead of being recomputed — the thunk's
-      // history-scaling term drops from 190 dim-float dots per index
-      // row to a 24-byte column scan, so both alpha AND the absolute
-      // time should sit below the unsigned entry's.
+      // batch, same growing history, same released-per-call shape,
+      // but the reference signatures read from the durable
+      // geometry-keyed cache (built OUTSIDE the timed thunk) instead
+      // of being recomputed. The per-gate saving is the 190 dim-float
+      // dots per index row; at this harness's 64-dim geometry that
+      // is comparable to the parquet scan both forms pay, so expect
+      // PARITY here and a widening signed win on the 8x-history pair
+      // below — the regime (planes x dim x rows dominant) the cache
+      // exists for.
       "embedding_gate_vs_history_signed" -> {
         lazy val gatePlanesS = graft.similarity.Similarity.hyperplanes(64, 64)
         lazy val histS = {
@@ -840,6 +883,44 @@ object ScaleBench {
           val batch = emb.filter(col("vec_id") % 3 === 0 && col("vec_id") < CopyStride)
           val r = graft.dedup.SeenIndex.dropSeenEmbeddingSigned(
             batch, "embedding", "vec_id", histS, threshold = 0.9, planes = gatePlanesS)
+          val n = r.result.count(); r.release(); n
+        }
+      },
+      // The crossover pair: same fixed batch, history 8x the vs_history
+      // entry's (copies sign-scrambled toward the near-orthogonal
+      // background, like ensureFixture's cross-copy treatment, so the
+      // CANDIDATE volume stays flat and the only term that grows 8x is
+      // the reference-side signature work — recompute for the unsigned
+      // form, a 24-byte column scan for the signed). This is the
+      // regime the cache exists for: at x30 the history is ~320 k
+      // rows = ~3.9 GFLOP of per-gate recompute, and the signed form
+      // should now be the strictly cheaper one (its fixed validation
+      // cost is one FS listing).
+      "embedding_gate_vs_history8" -> {
+        lazy val gatePlanes8 = graft.similarity.Similarity.hyperplanes(64, 64)
+        lazy val hist8 = history8(spark, emb)
+        () => {
+          val batch = emb.filter(col("vec_id") % 3 === 0 && col("vec_id") < CopyStride)
+          val (kept, rel) = graft.similarity.Similarity.dropSeenEmbeddingReleasable(
+            batch,
+            graft.dedup.SeenIndex.readVectors(spark, hist8)
+              .select(col("id").as("vec_id"), col("vec").as("embedding")),
+            "embedding", "vec_id", threshold = 0.9, gatePlanes8,
+            semiPruneVerify = true)
+          val n = kept.count(); rel(); n
+        }
+      },
+      "embedding_gate_vs_history8_signed" -> {
+        lazy val gatePlanes8S = graft.similarity.Similarity.hyperplanes(64, 64)
+        lazy val hist8S = {
+          val p = history8(spark, emb)
+          graft.dedup.SeenIndex.ensureSigCache(spark, p, gatePlanes8S) // cache built OUTSIDE the thunk
+          p
+        }
+        () => {
+          val batch = emb.filter(col("vec_id") % 3 === 0 && col("vec_id") < CopyStride)
+          val r = graft.dedup.SeenIndex.dropSeenEmbeddingSigned(
+            batch, "embedding", "vec_id", hist8S, threshold = 0.9, planes = gatePlanes8S)
           val n = r.result.count(); r.release(); n
         }
       },
@@ -870,11 +951,19 @@ object ScaleBench {
       // scans, not the product.
       "embedding_gate" -> {
         lazy val gatePlanes = graft.similarity.Similarity.hyperplanes(64, 64)
-        () =>
-          graft.similarity.Similarity.dropSeenEmbedding(
+        () => {
+          // released per call (the per-micro-batch production shape;
+          // the plain form's LRU-keep made earlier rounds' run-2
+          // numbers warm-cache reads — see embedding_gate_vs_history)
+          val (kept, rel) = graft.similarity.Similarity.dropSeenEmbeddingReleasable(
             emb.filter(col("vec_id") % 3 === 0),
             emb.filter(col("vec_id") % 3 =!= 0),
-            "embedding", "vec_id", threshold = 0.9, gatePlanes).count()
+            "embedding", "vec_id", threshold = 0.9, gatePlanes,
+            // gate regime: explicit opt-in now that the public
+            // default is the robust pure-shuffle plan
+            semiPruneVerify = true)
+          val n = kept.count(); rel(); n
+        }
       },
       // Durable two-epoch embedding ingest: epoch 1 writes the
       // reference vectors to a fresh parquet index, epoch 2 gates the

@@ -1893,10 +1893,12 @@ object SeenIndex {
   /** Validate (and if needed rebuild) the signature cache for this
     * index + geometry. The check is one FS listing compared against
     * the cache's sync marker — NO Spark job, so a synced gate pays
-    * ~nothing here (the first design ran two count() jobs per gate;
-    * at small indexes that fixed cost exceeded the recompute the
-    * cache saves — BENCH_scale r17 measured the signed gate 1.6x
-    * SLOWER than unsigned because of it). A divergent marker rebuilds
+    * ~nothing here. (The first design ran two count() jobs per gate;
+    * together with a benchmark twin that compared a released signed
+    * gate against an unsigned gate whose persists stayed warm in the
+    * LRU store, that produced r17's "signed 1.6x slower" artifact —
+    * both halves fixed in r18, see ScaleBench's
+    * embedding_gate_vs_history pair.) A divergent marker rebuilds
     * the cache wholesale from the index — the cost of one unsigned
     * gate's signature pass, paid only after a crash, an out-of-band
     * compaction, or an unsigned append touched the index — and the
@@ -2067,7 +2069,14 @@ object SeenIndex {
     * admissions (spec-pinned), but the reference side's signatures
     * read from the cache instead of being recomputed — the gate's
     * history-scaling term drops from 190 dim-float dots per index row
-    * to a 24-byte column scan.
+    * to a 24-byte column scan. Honest sizing (BENCH_scale r18,
+    * released-per-call on both sides): at the 64-dim / 64-plane
+    * measured geometry the recompute is comparable to the parquet
+    * scan both forms pay, so the signed gate is at PARITY up to
+    * ~40 k-row indexes and pulls ahead as planes x dim x rows grows
+    * (the 8x-history pair); the win scales with the geometry, the
+    * scan does not. Prefer [[gateAndUpdateEmbeddingAuto]], which
+    * encodes exactly that rule.
     */
   def gateAndUpdateEmbeddingSigned(
       batch: DataFrame,
@@ -2126,12 +2135,13 @@ object SeenIndex {
     * stays unsigned: under ~16 MB of index parquet the whole gate is
     * sub-second either way and the signed path's extra artifacts
     * (cache dir, marker round-trips, the cache write on every append)
-    * buy nothing worth their operational surface. Above it, signed
-    * strictly wins per gate once the cache exists: the
-    * history-scaling term drops from 190 dim-float dots per index row
-    * to a 24-byte column scan, and validation is one FS listing (no
-    * Spark job). Calibrated against BENCH_scale's
-    * embedding_gate_vs_history pair (see ScaleBench).
+    * buy nothing worth their operational surface. Above it the signed
+    * path never loses and increasingly wins: validation is one FS
+    * listing (no Spark job), the cache scan costs the index scan plus
+    * 24 B/row, and the saving — 190 dim-float dots per index row —
+    * grows with planes x dim x rows while the scan term does not
+    * (BENCH_scale's embedding_gate_vs_history pair measures parity at
+    * 64-dim/40 k rows; the 8x-history pair shows the gap opening).
     */
   val AutoSignBytes: Long = 16L << 20
 
