@@ -434,6 +434,55 @@ class PlanContractSpec extends SparkSpec {
     assert(offenders.isEmpty, s"unbounded join shapes:\n${offenders.mkString("\n")}")
   }
 
+  /** Queries ALLOWED to plan a partition-less (global) window, with
+    * the planned node count and the boundedness argument. A window
+    * with no PARTITION BY moves its whole input to one partition —
+    * the classic single-task scale-killer — so every occurrence must
+    * be over a provably constant-bounded input. These are the audited
+    * sites (all in-code documented):
+    *   - PQ shortlist ranking (`similarity/Pq.scala`): ranks a
+    *     top-nprobe-cells / top-k shortlist — rows bounded by the
+    *     query's k and nprobe constants, never by corpus size.
+    *   - importance-resampling bucket table
+    *     (`text/ImportanceResampling.scala`): a fixed 16^k hash-bucket
+    *     prefix-sum — 65 536 rows at k=4 regardless of corpus.
+    *   - seeded corpus shuffle per-shard carry
+    *     (`ops/CorpusShuffle.scala`): a prefix sum over ONE ROW PER
+    *     SHARD (shard count is a constant of the layout).
+    * A NEW query planning a partition-less window fails this test by
+    * name: either partition it, or justify the bound here and in the
+    * operator's scaladoc. This turns the bench tail's `WindowExec: No
+    * Partition Defined` warning noise into an enforced whitelist —
+    * the warning can no longer hide a real unbounded global window.
+    */
+  private val globalWindowBudget: Map[String, Int] = Map(
+    "q54_importance_weights" -> 1, // 16^k bucket table prefix-sum
+    "q59_resample" -> 1, //            same bucket table, resample stage
+    "q74_corpus_shuffle" -> 1, //      one row per shard carry
+    "q77_corpus_release" -> 1, //      same per-shard carry, composed
+    "q96_knn_pq" -> 1, //              top-k shortlist rank
+    "q97_knn_ivfpq" -> 1) //           nprobe-cells x k shortlist rank
+
+  test("partition-less windows appear only at the whitelisted constant-bounded sites") {
+    import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
+    val actual = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      resetState()
+      name -> nodes(fn(spark, dir).queryExecution.executedPlan).count {
+        case w: WindowExec => w.partitionSpec.isEmpty
+        case w: WindowGroupLimitExec => w.partitionSpec.isEmpty
+        case _ => false
+      }
+    }
+    resetState()
+    val diffs = actual.collect {
+      case (name, n) if n != globalWindowBudget.getOrElse(name, 0) =>
+        s"$name: planned $n partition-less window(s), whitelisted ${globalWindowBudget.getOrElse(name, 0)}"
+    }
+    assert(diffs.isEmpty,
+      "partition-less window drift (a global window moves ALL rows to one partition — " +
+        s"partition it or document the constant bound in globalWindowBudget):\n${diffs.mkString("\n")}")
+  }
+
   test("per-query shuffle budgets hold") {
     val actual = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       resetState()
