@@ -151,16 +151,32 @@ object SeenIndex {
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
   }
 
+  /** Mid-compaction guard for the APPEND primitives (review r18):
+    * parquet append on a missing main path CREATES it — resurrecting
+    * the index as just-this-batch while `.compact-old` still holds
+    * the only full copy. Every reader's fail-loud check would then
+    * pass (the path exists), gates would admit all history as novel,
+    * and [[recover]]'s main-present branch would DELETE the backup —
+    * the one sequence that permanently loses the index. Appends must
+    * fail as loud as reads.
+    */
+  private def requireAppendable(df: DataFrame, path: String): Unit =
+    requireNotMidCompaction(
+      fsFor(df.sparkSession, new org.apache.hadoop.fs.Path(path)), path)
+
   /** Append `sigs` (any frame with a long `sigCol`) to the index —
     * nulls dropped (an unhashable row has nothing to remember),
     * distinct WITHIN the append (cross-epoch duplicates are the
     * reader's non-problem, same-file duplicates are just waste).
     */
-  def append(sigs: DataFrame, sigCol: String, path: String): Unit =
+  def append(sigs: DataFrame, sigCol: String, path: String): Unit = {
+    requireAppendable(sigs, path)
     sigs.select(col(sigCol).cast("long").as("sig"))
       .filter(col("sig").isNotNull)
       .distinct()
       .write.mode("append").parquet(path)
+    ()
+  }
 
   // ---- retention windows: optional epoch tags on the same layout ----
 
@@ -193,11 +209,14 @@ object SeenIndex {
     * working unchanged over tagged files (it projects just `sig`), so
     * adopting epochs never breaks an un-windowed consumer.
     */
-  def appendEpoch(sigs: DataFrame, sigCol: String, path: String, epoch: Long): Unit =
+  def appendEpoch(sigs: DataFrame, sigCol: String, path: String, epoch: Long): Unit = {
+    requireAppendable(sigs, path)
     sigs.select(col(sigCol).cast("long").as("sig"), lit(epoch).cast("long").as("epoch"))
       .filter(col("sig").isNotNull)
       .distinct()
       .write.mode("append").parquet(path)
+    ()
+  }
 
   /** The signature frame restricted to epochs >= `minEpoch`, plus
     * every untagged row — the RECRAWL-WINDOW read. A pipeline that
@@ -617,11 +636,19 @@ object SeenIndex {
   /** The stable identity of one logical micro-batch: the checkpoint
     * location names the QUERY (it is the one thing Structured
     * Streaming keeps fixed across restarts) and the batchId names the
-    * batch within it. Hex-hashed to stay filename-safe.
+    * batch within it. Hex-hashed to stay filename-safe. The path is
+    * NORMALIZED first (same discipline as [[sibling]]): Structured
+    * Streaming resolves "/ckpt" and "/ckpt/" to the same checkpoint,
+    * so a restart script that spells the directory with a trailing
+    * slash replays the same logical batch — an unnormalized hash
+    * would miss its committed marker, allocate a FRESH epoch, and
+    * re-emit the batch's rows under a second epoch directory,
+    * breaking the exactly-once output contract (review r18).
     */
   private[dedup] def batchKey(checkpointDir: String, batchId: Long): String = {
+    val normalized = new org.apache.hadoop.fs.Path(checkpointDir).toString
     val md = java.security.MessageDigest.getInstance("MD5")
-    md.digest(s"$checkpointDir#$batchId".getBytes("UTF-8"))
+    md.digest(s"$normalized#$batchId".getBytes("UTF-8"))
       .map(b => f"${b & 0xff}%02x").mkString
   }
 
@@ -1123,23 +1150,29 @@ object SeenIndex {
     * never gates anything, mirroring the family rule that unhashable
     * rows can't be proven seen), distinct within the append.
     */
-  def appendVectors(df: DataFrame, vecCol: String, idCol: String, path: String): Unit =
+  def appendVectors(df: DataFrame, vecCol: String, idCol: String, path: String): Unit = {
+    requireAppendable(df, path)
     df.select(col(idCol).cast("long").as("id"), col(vecCol).cast("array<float>").as("vec"))
       .filter(col("vec").isNotNull && col("id").isNotNull)
       .distinct()
       .write.mode("append").parquet(path)
+    ()
+  }
 
   /** [[appendVectors]] with an EPOCH tag — same mixing rules as the
     * signature index's [[appendEpoch]] (untagged files read as epoch
     * NULL = never expires; [[readVectors]] keeps working unchanged).
     */
   def appendVectorsEpoch(
-      df: DataFrame, vecCol: String, idCol: String, path: String, epoch: Long): Unit =
+      df: DataFrame, vecCol: String, idCol: String, path: String, epoch: Long): Unit = {
+    requireAppendable(df, path)
     df.select(col(idCol).cast("long").as("id"), col(vecCol).cast("array<float>").as("vec"),
         lit(epoch).cast("long").as("epoch"))
       .filter(col("vec").isNotNull && col("id").isNotNull)
       .distinct()
       .write.mode("append").parquet(path)
+    ()
+  }
 
   /** The vector frame restricted to epochs >= `minEpoch` plus every
     * untagged row — [[readWindow]] for embeddings.
@@ -1226,6 +1259,41 @@ object SeenIndex {
     graft.core.Releasable(kept, () => { kept.unpersist(blocking = false); () })
   }
 
+  /** One at-least-once embedding-gate micro-batch — the shared body
+    * of [[gateStreamEmbedding]], [[gateStreamEmbeddingSigned]] and
+    * [[gateStreamEmbeddingAuto]] (review r18: previously three
+    * hand-synced copies). Order is the at-least-once contract: gate
+    * -> eager localCheckpoint (read-what-you-write; miner persists
+    * released the moment it materializes) -> output append -> index
+    * append (signed form: index + cache in lockstep).
+    */
+  private def embeddingGateBatch(
+      batch: DataFrame, vecCol: String, idCol: String, indexPath: String,
+      outPath: String, threshold: Double, planes: Array[Array[Float]],
+      bands: Int, probeHamming: Int, broadcastVerify: Boolean, signed: Boolean): Unit = {
+    val spark = batch.sparkSession
+    val (gated, releaseMiner) =
+      if (signed) {
+        ensureSigCache(spark, indexPath, planes)
+        graft.similarity.Similarity.dropSeenEmbeddingPresigned(
+          batch, readSigs(spark, indexPath, planes, vecCol, idCol),
+          vecCol, idCol, threshold, planes, bands, probeHamming, broadcastVerify)
+      } else {
+        val ref = readVectors(spark, indexPath)
+          .select(col("id").as(idCol), col("vec").as(vecCol))
+        graft.similarity.Similarity.dropSeenEmbeddingReleasable(
+          batch, ref, vecCol, idCol, threshold, planes, bands, probeHamming, broadcastVerify,
+          semiPruneVerify = true)
+      }
+    val kept = try gated.localCheckpoint(true) finally releaseMiner()
+    try {
+      kept.write.mode("append").parquet(outPath)
+      if (signed) appendVectorsAndSigs(kept, vecCol, idCol, indexPath, planes, None, None)
+      else appendVectors(kept, vecCol, idCol, indexPath)
+    } finally kept.unpersist(blocking = false)
+    ()
+  }
+
   /** [[gateStreamSimhash]] at the EMBEDDING level — the durable
     * streaming ingest loop for the semantic gate: every micro-batch
     * runs one [[gateAndUpdateEmbedding]] epoch against the vector
@@ -1252,21 +1320,8 @@ object SeenIndex {
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val ref = readVectors(batch.sparkSession, indexPath)
-          .select(col("id").as(idCol), col("vec").as(vecCol))
-        val (gated, releaseMiner) = graft.similarity.Similarity.dropSeenEmbeddingReleasable(
-          batch, ref, vecCol, idCol, threshold, planes, bands, probeHamming, broadcastVerify,
-          semiPruneVerify = true)
-        // same read-what-you-write pin as gateAndUpdateSimhash; the
-        // miner's per-batch persists are released as soon as the
-        // checkpoint materializes — a long-running stream must not
-        // pin two cache entries per micro-batch
-        val kept = try gated.localCheckpoint(true) finally releaseMiner()
-        try {
-          kept.write.mode("append").parquet(outPath)
-          appendVectors(kept, vecCol, idCol, indexPath)
-        } finally kept.unpersist(blocking = false)
-        ()
+        embeddingGateBatch(batch, vecCol, idCol, indexPath, outPath,
+          threshold, planes, bands, probeHamming, broadcastVerify, signed = false)
       }
       .start()
 
@@ -1364,12 +1419,15 @@ object SeenIndex {
     * `admitted` stamp (the retention-expiry key).
     */
   def appendEpochAdmitted(
-      sigs: DataFrame, sigCol: String, path: String, epoch: Long, admitted: Long): Unit =
+      sigs: DataFrame, sigCol: String, path: String, epoch: Long, admitted: Long): Unit = {
+    requireAppendable(sigs, path)
     sigs.select(col(sigCol).cast("long").as("sig"), lit(epoch).cast("long").as("epoch"),
         lit(admitted).cast("long").as("admitted"))
       .filter(col("sig").isNotNull)
       .distinct()
       .write.mode("append").parquet(path)
+    ()
+  }
 
   /** The signature frame restricted to admission stamps >=
     * `minAdmitted`, plus every unstamped row — [[readWindow]] keyed on
@@ -1410,23 +1468,49 @@ object SeenIndex {
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
   }
 
+  /** Pin one windowed attempt's clock pair to the FIRST attempt's:
+    * the `stamp-<key>-<clock>` marker persisted next to the alloc
+    * markers re-anchors `admittedAt`, and the window AGE
+    * (admittedAt - minAdmitted) is preserved relative to it — so a
+    * replay whose clock regressed (or jumped) evaluates the
+    * IDENTICAL retention window, and its kept set can never diverge
+    * from what a crashed attempt already appended (the
+    * phantom-admission hazard [[attemptStamp]] documents). Lives
+    * inside the shared windowed bodies so every caller — stream loop,
+    * test harness, future batch driver — is safe by default (review
+    * r18: previously only the stream loops stamped). Skips stamping
+    * for an already-committed key: the protocol's step 1 makes that
+    * replay a no-op, and stamping would recreate a pruned marker as
+    * an orphan.
+    */
+  private def pinnedWindow(
+      spark: SparkSession, indexPath: String, key: String,
+      admittedAt: Long, minAdmitted: Long): (Long, Long) = {
+    val fs = fsFor(spark, new org.apache.hadoop.fs.Path(indexPath))
+    requireNotMidCompaction(fs, indexPath)
+    if (fs.exists(committedMarker(indexPath, key))) (admittedAt, minAdmitted)
+    else {
+      val at = attemptStamp(fs, indexPath, key, admittedAt)
+      (at, at - (admittedAt - minAdmitted))
+    }
+  }
+
   /** One WINDOWED exactly-once ingest batch — [[exactlyOnceEpochSimhash]]
     * with the gate reading [[readWindowAdmittedExcluding]] and the
     * append stamping [[appendEpochAdmitted]]. The ledger protocol is
     * unchanged (committed marker, idempotent epoch allocation,
     * deterministic overwrite output), so every crash point replays to
     * identical output; the window only changes WHICH history can gate
-    * a row. `admittedAt`/`minAdmitted` are the CALLER's to hold fixed
-    * across replays of one `key`: the output is exactly-once under
-    * any values (the kept set lands wholesale at the epoch-keyed
-    * overwrite location), but a replay that re-evaluates the window
-    * at a DIFFERENT clock can keep a different set than a crashed
-    * attempt already appended to the index — stranding epoch-tagged
-    * signatures the committed output never admitted, which then gate
-    * future batches as phantom admissions. The stream loops persist
-    * the first attempt's clock in the ledger ([[attemptStamp]]) so
-    * every replay re-reads it; a direct caller must do the same (or
-    * guarantee its clock cannot regress between attempts).
+    * a row. `admittedAt`/`minAdmitted` are PINNED to the first
+    * attempt's values ([[pinnedWindow]]): the output is exactly-once
+    * under any values (the kept set lands wholesale at the
+    * epoch-keyed overwrite location), but a replay that re-evaluated
+    * the window at a DIFFERENT clock could keep a different set than
+    * a crashed attempt already appended to the index — stranding
+    * epoch-tagged signatures the committed output never admitted,
+    * which would gate future batches as phantom admissions. The pin
+    * makes every caller safe by default, not just the stream loops
+    * (review r18).
     */
   private[graft] def exactlyOnceEpochSimhashWindow(
       batch: DataFrame,
@@ -1439,16 +1523,17 @@ object SeenIndex {
       minAdmitted: Long,
       crashpoint: String => Unit = _ => ()): Unit = {
     val spark = batch.sparkSession
+    val (at, minAt) = pinnedWindow(spark, indexPath, key, admittedAt, minAdmitted)
     val hashed = batch.withColumn("__sig",
       SimHash64.simhash64(graft.text.TextAnalysis.tokens(col(textCol))))
     exactlyOnceEpoch(batch, key, indexPath, outPath, crashpoint) { epoch =>
       Dedup.dropSeenHamming(
         hashed,
-        readWindowAdmittedExcluding(spark, indexPath, epoch, minAdmitted)
+        readWindowAdmittedExcluding(spark, indexPath, epoch, minAt)
           .select(col("sig").as("__sig")),
         "__sig", maxHamming) -> (() => ())
     } { (kept, epoch) =>
-      appendEpochAdmitted(kept, "__sig", indexPath, epoch, admittedAt)
+      appendEpochAdmitted(kept, "__sig", indexPath, epoch, at)
     } (_.drop("__sig"))
   }
 
@@ -1466,14 +1551,15 @@ object SeenIndex {
       minAdmitted: Long,
       crashpoint: String => Unit = _ => ()): Unit = {
     val spark = batch.sparkSession
+    val (at, minAt) = pinnedWindow(spark, indexPath, key, admittedAt, minAdmitted)
     exactlyOnceEpoch(batch, key, indexPath, outPath, crashpoint) { epoch =>
       Dedup.dropSeenHamming(
         batch,
-        readWindowAdmittedExcluding(spark, indexPath, epoch, minAdmitted)
+        readWindowAdmittedExcluding(spark, indexPath, epoch, minAt)
           .select(col("sig").as(sigCol)),
         sigCol, maxHamming) -> (() => ())
     } { (kept, epoch) =>
-      appendEpochAdmitted(kept, sigCol, indexPath, epoch, admittedAt)
+      appendEpochAdmitted(kept, sigCol, indexPath, epoch, at)
     } (identity)
   }
 
@@ -1510,14 +1596,12 @@ object SeenIndex {
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val key = batchKey(checkpointDir, batchId)
-        // the stamp is persisted with the ledger so a crash REPLAY
-        // re-reads the first attempt's clock — see attemptStamp for
-        // the regressed-clock phantom-admission hazard it closes
-        val fs = fsFor(batch.sparkSession, new org.apache.hadoop.fs.Path(indexPath))
-        val now = attemptStamp(fs, indexPath, key, clock())
+        // the batch body pins the attempt clock in the ledger
+        // (pinnedWindow), so a crash replay re-reads the first
+        // attempt's window even if this clock() regressed
+        val now = clock()
         exactlyOnceEpochSimhashWindow(
-          batch, textCol, key, indexPath, outPath, maxHamming,
+          batch, textCol, batchKey(checkpointDir, batchId), indexPath, outPath, maxHamming,
           admittedAt = now, minAdmitted = now - windowAge)
         if (ledgerKeepLast > 0) compactLedger(batch.sparkSession, indexPath, ledgerKeepLast)
       }
@@ -1542,12 +1626,9 @@ object SeenIndex {
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val key = batchKey(checkpointDir, batchId)
-        // replay reuses the first attempt's clock (see attemptStamp)
-        val fs = fsFor(batch.sparkSession, new org.apache.hadoop.fs.Path(indexPath))
-        val now = attemptStamp(fs, indexPath, key, clock())
+        val now = clock() // replay-pinned inside the body (pinnedWindow)
         exactlyOnceEpochHammingWindow(
-          batch, sigCol, key, indexPath, outPath, maxHamming,
+          batch, sigCol, batchKey(checkpointDir, batchId), indexPath, outPath, maxHamming,
           admittedAt = now, minAdmitted = now - windowAge)
         if (ledgerKeepLast > 0) compactLedger(batch.sparkSession, indexPath, ledgerKeepLast)
       }
@@ -1590,12 +1671,15 @@ object SeenIndex {
     */
   def appendVectorsEpochAdmitted(
       df: DataFrame, vecCol: String, idCol: String, path: String,
-      epoch: Long, admitted: Long): Unit =
+      epoch: Long, admitted: Long): Unit = {
+    requireAppendable(df, path)
     df.select(col(idCol).cast("long").as("id"), col(vecCol).cast("array<float>").as("vec"),
         lit(epoch).cast("long").as("epoch"), lit(admitted).cast("long").as("admitted"))
       .filter(col("vec").isNotNull && col("id").isNotNull)
       .distinct()
       .write.mode("append").parquet(path)
+    ()
+  }
 
   /** The vector replay view of a windowed index —
     * [[readWindowAdmittedExcluding]] for embeddings.
@@ -1635,14 +1719,15 @@ object SeenIndex {
       broadcastVerify: Boolean = false,
       crashpoint: String => Unit = _ => ()): Unit = {
     val spark = batch.sparkSession
+    val (at, minAt) = pinnedWindow(spark, indexPath, key, admittedAt, minAdmitted)
     exactlyOnceEpoch(batch, key, indexPath, outPath, crashpoint) { epoch =>
-      val ref = readVectorsWindowAdmittedExcluding(spark, indexPath, epoch, minAdmitted)
+      val ref = readVectorsWindowAdmittedExcluding(spark, indexPath, epoch, minAt)
         .select(col("id").as(idCol), col("vec").as(vecCol))
       graft.similarity.Similarity.dropSeenEmbeddingReleasable(
         batch, ref, vecCol, idCol, threshold, planes, bands, probeHamming, broadcastVerify,
         semiPruneVerify = true)
     } { (kept, epoch) =>
-      appendVectorsEpochAdmitted(kept, vecCol, idCol, indexPath, epoch, admittedAt)
+      appendVectorsEpochAdmitted(kept, vecCol, idCol, indexPath, epoch, at)
     } (identity)
   }
 
@@ -1669,12 +1754,9 @@ object SeenIndex {
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val key = batchKey(checkpointDir, batchId)
-        // replay reuses the first attempt's clock (see attemptStamp)
-        val fs = fsFor(batch.sparkSession, new org.apache.hadoop.fs.Path(indexPath))
-        val now = attemptStamp(fs, indexPath, key, clock())
+        val now = clock() // replay-pinned inside the body (pinnedWindow)
         exactlyOnceEpochEmbeddingWindow(
-          batch, vecCol, idCol, key, indexPath, outPath,
+          batch, vecCol, idCol, batchKey(checkpointDir, batchId), indexPath, outPath,
           threshold, planes, admittedAt = now, minAdmitted = now - windowAge,
           bands = bands, probeHamming = probeHamming, broadcastVerify = broadcastVerify)
         if (ledgerKeepLast > 0) compactLedger(batch.sparkSession, indexPath, ledgerKeepLast)
@@ -1782,7 +1864,12 @@ object SeenIndex {
     */
   private val SigCacheName = """\.sigs-[0-9a-f]{16}$""".r
 
-  private def sigCacheDirs(
+  /** Every `.sigs-`-prefixed sibling directory of the index at
+    * `path` — the shared listing behind [[sigCacheDirs]] (live
+    * caches) and [[sigCacheTmpDirs]] (crashed-rebuild leftovers), so
+    * the normalize-then-list-parent discipline exists once.
+    */
+  private def sigSiblings(
       fs: org.apache.hadoop.fs.FileSystem, path: String): Seq[org.apache.hadoop.fs.Path] = {
     val normalized = new org.apache.hadoop.fs.Path(
       new org.apache.hadoop.fs.Path(path).toString)
@@ -1790,11 +1877,17 @@ object SeenIndex {
     if (parent == null || !fs.exists(parent)) Seq.empty
     else fs.listStatus(parent).toSeq.collect {
       case st if st.isDirectory &&
-        st.getPath.getName.startsWith(normalized.getName + ".sigs-") &&
-        SigCacheName.findFirstIn(st.getPath.getName.stripPrefix(normalized.getName)).isDefined =>
-        st.getPath
+        st.getPath.getName.startsWith(normalized.getName + ".sigs-") => st.getPath
     }
   }
+
+  private def sigCacheDirs(
+      fs: org.apache.hadoop.fs.FileSystem, path: String): Seq[org.apache.hadoop.fs.Path] =
+    sigSiblings(fs, path).filter(q => SigCacheName.findFirstIn(q.getName).isDefined)
+
+  private def sigCacheTmpDirs(
+      fs: org.apache.hadoop.fs.FileSystem, path: String): Seq[org.apache.hadoop.fs.Path] =
+    sigSiblings(fs, path).filter(_.getName.endsWith(".rebuild-tmp"))
 
   private val sigCacheSchema = StructType(vecWinEpochSchema.fields ++ Seq(
     StructField("sig", LongType, nullable = true),
@@ -1990,19 +2083,7 @@ object SeenIndex {
     */
   def dropSigCaches(spark: SparkSession, path: String): Unit = {
     val fs = fsFor(spark, new org.apache.hadoop.fs.Path(path))
-    sigCacheDirs(fs, path).foreach { dir =>
-      deleteOrThrow(fs, dir)
-      deleteOrThrow(fs, sibling(dir.toString, ".rebuild-tmp"))
-    }
-    // rebuild-tmp leftovers whose live dir is already gone
-    val normalized = new org.apache.hadoop.fs.Path(
-      new org.apache.hadoop.fs.Path(path).toString)
-    val parent = normalized.getParent
-    if (parent != null && fs.exists(parent))
-      fs.listStatus(parent).map(_.getPath)
-        .filter(q => q.getName.startsWith(normalized.getName + ".sigs-") &&
-          q.getName.endsWith(".rebuild-tmp"))
-        .foreach(deleteOrThrow(fs, _))
+    (sigCacheDirs(fs, path) ++ sigCacheTmpDirs(fs, path)).foreach(deleteOrThrow(fs, _))
   }
 
   /** The cache as a PRESIGNED reference frame for
@@ -2117,17 +2198,8 @@ object SeenIndex {
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val spark = batch.sparkSession
-        ensureSigCache(spark, indexPath, planes)
-        val (gated, releaseMiner) = graft.similarity.Similarity.dropSeenEmbeddingPresigned(
-          batch, readSigs(spark, indexPath, planes, vecCol, idCol),
-          vecCol, idCol, threshold, planes, bands, probeHamming, broadcastVerify)
-        val kept = try gated.localCheckpoint(true) finally releaseMiner()
-        try {
-          kept.write.mode("append").parquet(outPath)
-          appendVectorsAndSigs(kept, vecCol, idCol, indexPath, planes, None, None)
-        } finally kept.unpersist(blocking = false)
-        ()
+        embeddingGateBatch(batch, vecCol, idCol, indexPath, outPath,
+          threshold, planes, bands, probeHamming, broadcastVerify, signed = true)
       }
       .start()
 
@@ -2221,34 +2293,16 @@ object SeenIndex {
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val spark = batch.sparkSession
-        val signed = useSigned(spark, indexPath, planes, autoSignBytes)
-        val (gated, releaseMiner) =
-          if (signed) {
-            ensureSigCache(spark, indexPath, planes)
-            graft.similarity.Similarity.dropSeenEmbeddingPresigned(
-              batch, readSigs(spark, indexPath, planes, vecCol, idCol),
-              vecCol, idCol, threshold, planes, bands, probeHamming, broadcastVerify)
-          } else {
-            val ref = readVectors(spark, indexPath)
-              .select(col("id").as(idCol), col("vec").as(vecCol))
-            graft.similarity.Similarity.dropSeenEmbeddingReleasable(
-              batch, ref, vecCol, idCol, threshold, planes, bands, probeHamming,
-              broadcastVerify, semiPruneVerify = true)
-          }
-        val kept = try gated.localCheckpoint(true) finally releaseMiner()
-        try {
-          kept.write.mode("append").parquet(outPath)
-          if (signed) appendVectorsAndSigs(kept, vecCol, idCol, indexPath, planes, None, None)
-          else appendVectors(kept, vecCol, idCol, indexPath)
-        } finally kept.unpersist(blocking = false)
-        ()
+        embeddingGateBatch(batch, vecCol, idCol, indexPath, outPath,
+          threshold, planes, bands, probeHamming, broadcastVerify,
+          signed = useSigned(batch.sparkSession, indexPath, planes, autoSignBytes))
       }
       .start()
 
   /** [[exactlyOnceEpochEmbedding]] over the SIGNED index. Replay
     * correctness with the cache: a crash between the index and cache
-    * appends leaves a count mismatch, the replay's [[ensureSigCache]]
+    * appends leaves the sync marker naming the pre-append file set
+    * (a fingerprint mismatch), the replay's [[ensureSigCache]]
     * rebuilds from the index (own-epoch rows INCLUDED, tagged), and
     * the gate's epoch exclusion then removes them from the replay
     * view — the same identical-admitted-set argument as the unsigned
@@ -2322,15 +2376,16 @@ object SeenIndex {
       broadcastVerify: Boolean = false,
       crashpoint: String => Unit = _ => ()): Unit = {
     val spark = batch.sparkSession
+    val (at, minAt) = pinnedWindow(spark, indexPath, key, admittedAt, minAdmitted)
     ensureSigCache(spark, indexPath, planes)
     exactlyOnceEpoch(batch, key, indexPath, outPath, crashpoint) { epoch =>
       graft.similarity.Similarity.dropSeenEmbeddingPresigned(
         batch,
         readSigs(spark, indexPath, planes, vecCol, idCol,
-          excludeEpoch = Some(epoch), minAdmitted = Some(minAdmitted)),
+          excludeEpoch = Some(epoch), minAdmitted = Some(minAt)),
         vecCol, idCol, threshold, planes, bands, probeHamming, broadcastVerify)
     } { (kept, epoch) =>
-      appendVectorsAndSigs(kept, vecCol, idCol, indexPath, planes, Some(epoch), Some(admittedAt))
+      appendVectorsAndSigs(kept, vecCol, idCol, indexPath, planes, Some(epoch), Some(at))
     } (identity)
   }
 
@@ -2354,12 +2409,9 @@ object SeenIndex {
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val key = batchKey(checkpointDir, batchId)
-        // replay reuses the first attempt's clock (see attemptStamp)
-        val fs = fsFor(batch.sparkSession, new org.apache.hadoop.fs.Path(indexPath))
-        val now = attemptStamp(fs, indexPath, key, clock())
+        val now = clock() // replay-pinned inside the body (pinnedWindow)
         exactlyOnceEpochEmbeddingWindowSigned(
-          batch, vecCol, idCol, key, indexPath, outPath,
+          batch, vecCol, idCol, batchKey(checkpointDir, batchId), indexPath, outPath,
           threshold, planes, admittedAt = now, minAdmitted = now - windowAge,
           bands = bands, probeHamming = probeHamming, broadcastVerify = broadcastVerify)
         if (ledgerKeepLast > 0) compactLedger(batch.sparkSession, indexPath, ledgerKeepLast)

@@ -1125,7 +1125,7 @@ class SeenIndexSpec extends SparkSpec {
     assert(spark.read.parquet(out).select("vec_id")
       .collect().map(_.getLong(0)).toSet == Set(1L, 11L))
     // torn lockstep: an index-only append (no cache row) before the
-    // next batch — ensureSigCache's parity check must rebuild, and the
+    // next batch — ensureSigCache's fingerprint check must rebuild, and the
     // stray vector then gates the batch
     SeenIndex.appendVectorsEpoch(Seq((50L, unit(5))).toDF("id", "vec"), "vec", "id", idx, 99L)
     run(Seq((20L, unit(5))).toDF("vec_id", "embedding"), "k2")
@@ -1373,15 +1373,14 @@ class SeenIndexSpec extends SparkSpec {
     val fs = new org.apache.hadoop.fs.Path(idx)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val docA = (1 to 60).map(i => s"a$i").mkString(" ")
-    // mirrors the stream loop body: persist the attempt clock, then
-    // run the batch protocol at the persisted value
-    def run(id: Long, key: String, clockNow: Long, killAt: String = ""): Unit = {
-      val now = SeenIndex.attemptStamp(fs, idx, key, clockNow)
+    // a DIRECT caller passing raw clock values — the pin lives inside
+    // the shared windowed body (pinnedWindow), so no caller-side
+    // stamping ritual is needed for replay safety
+    def run(id: Long, key: String, clockNow: Long, killAt: String = ""): Unit =
       SeenIndex.exactlyOnceEpochSimhashWindow(
         Seq((id, docA)).toDF("doc_id", "text"), "text", key, idx, out, 3,
-        admittedAt = now, minAdmitted = now - 50L,
+        admittedAt = clockNow, minAdmitted = clockNow - 50L,
         crashpoint = s => if (s == killAt) throw new RuntimeException("kill"))
-    }
     run(1L, "b0", 10L) // bootstrap admission at t=10
     // t=100: the t=10 admission aged out -> re-admit; crash AFTER the
     // index append (the kept set is already in the index, stamped 100)
@@ -1456,6 +1455,45 @@ class SeenIndexSpec extends SparkSpec {
     val streamInfos = SeenIndex.listSigCaches(spark, idx)
     assert(streamInfos.length == 1 && streamInfos.head.synced,
       s"batch 2 must have switched to the signed path: $streamInfos")
+  }
+
+  test("batchKey normalizes the checkpoint path: trailing-slash spellings derive the SAME batch identity") {
+    // Structured Streaming resolves "/ckpt" and "/ckpt/" to one
+    // checkpoint; an unnormalized hash would miss the committed
+    // marker on a differently-spelled restart and re-emit the batch
+    // under a fresh epoch (review r18)
+    assert(SeenIndex.batchKey("/ckpt", 5L) == SeenIndex.batchKey("/ckpt/", 5L))
+    assert(SeenIndex.batchKey("/ckpt", 5L) != SeenIndex.batchKey("/ckpt", 6L))
+    assert(SeenIndex.batchKey("/ckpt/a", 5L) != SeenIndex.batchKey("/ckpt/b", 5L))
+  }
+
+  test("appends fail loud on a mid-compaction index instead of resurrecting it over the backup") {
+    import sqlImplicits._
+    import org.apache.hadoop.fs.Path
+    val path = tmpDir() + "/midc"
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    SeenIndex.append(Seq(1L, 2L).toDF("sig"), "sig", path)
+    // simulate a compaction crash between the two swap renames: the
+    // main path is gone, .compact-old holds the only full copy
+    assert(fs.rename(new Path(path), new Path(path + ".compact-old")))
+    // a direct append would CREATE the main path with just this
+    // batch — every reader's fail-loud check would then pass, gates
+    // would admit all history as novel, and recover() would DELETE
+    // the backup (review r18). It must throw instead.
+    intercept[IllegalStateException] {
+      SeenIndex.append(Seq(3L).toDF("sig"), "sig", path)
+    }
+    intercept[IllegalStateException] {
+      SeenIndex.appendVectors(
+        Seq((1L, Seq(1f, 0f))).toDF("id", "vec"), "vec", "id", path)
+    }
+    intercept[IllegalStateException] {
+      SeenIndex.appendEpochAdmitted(Seq(3L).toDF("sig"), "sig", path, 1L, 100L)
+    }
+    // recover() restores the backup; the append then works
+    SeenIndex.recover(spark, path)
+    SeenIndex.append(Seq(3L).toDF("sig"), "sig", path)
+    assert(SeenIndex.read(spark, path).distinct().count() == 3)
   }
 
   test("epoch allocation is dash-safe: a key that is a dash-prefix of another never claims its marker") {
