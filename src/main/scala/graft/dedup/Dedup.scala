@@ -669,16 +669,24 @@ object Dedup {
     * join shares, so the self-join and the cross-corpus join can
     * never slice differently.
     */
-  private[graft] def bandedSigs(sigs: DataFrame, bands: Int): DataFrame = {
+  private[graft] def bandedSigs(sigs: DataFrame, bands: Int): DataFrame =
+    sigs.toDF("sig").where(col("sig").isNotNull).distinct().select(
+      col("sig"), hammingBandKeys(col("sig"), bands).as("bk"))
+      .select(col("sig"), col("bk.band"), col("bk.h"))
+
+  /** The exploded `(band, h)` slice keys of one 64-bit signature
+    * column — the ONE slicing definition behind [[bandedSigs]] AND
+    * every streaming Hamming gate (review r18: the streams carried
+    * three hand-copies of this explode; a drift in any copy would
+    * silently break the stream-vs-batch parity their scaladocs pin).
+    */
+  private[graft] def hammingBandKeys(sig: Column, bands: Int): Column = {
     require(bands >= 1 && 64 % bands == 0, s"bands=$bands must divide 64")
     val width = 64 / bands
     val mask = if (width == 64) -1L else (1L << width) - 1L
-    sigs.toDF("sig").where(col("sig").isNotNull).distinct().select(
-      col("sig"),
-      explode(array((0 until bands).map { b =>
-        struct(lit(b).as("band"), shiftright(col("sig"), b * width).bitwiseAND(lit(mask)).as("h"))
-      }: _*)).as("bk"))
-      .select(col("sig"), col("bk.band"), col("bk.h"))
+    explode(array((0 until bands).map { b =>
+      struct(lit(b).as("band"), shiftright(sig, b * width).bitwiseAND(lit(mask)).as("h"))
+    }: _*))
   }
 
   /** Near-signature edges BETWEEN two signature sets:

@@ -156,7 +156,6 @@ object StreamingOps {
     import docs.sparkSession.implicits._
     require(numHashes % bands == 0, s"numHashes=$numHashes must divide into bands=$bands")
     requireIntegralId(docs, idCol)
-    val rowsPerBand = numHashes / bands
     // null text null-propagates to a null signature; such docs must be
     // dropped HERE — banded they would all share one constant band
     // hash and the pairing loop would dereference the null sig (an NPE
@@ -223,21 +222,17 @@ object StreamingOps {
       maxHamming: Int,
       bands: Int = 4): Dataset[HamPair] = {
     import hashed.sparkSession.implicits._
-    require(bands >= 1 && 64 % bands == 0, s"bands=$bands must divide 64")
     requireIntegralId(hashed, idCol)
-    val width = 64 / bands
-    val mask = if (width == 64) -1L else (1L << width) - 1L
     // null id OR null sig rows are dropped: the batch twin's
     // id_a < id_b comparison silently discards null ids, while here a
-    // null would be a typed-Dataset poison pill killing the stream
+    // null would be a typed-Dataset poison pill killing the stream.
+    // Slicing is Dedup.hammingBandKeys — the batch joins' definition,
+    // so stream and batch can never band differently.
     val banded = hashed
       .select(col(idCol).cast("long").as("id"), col(sigCol).cast("long").as("sig"))
       .filter(col("sig").isNotNull && col("id").isNotNull)
       .select(col("id"), col("sig"),
-        explode(array((0 until bands).map { b =>
-          struct(lit(b).as("band"),
-            shiftright(col("sig"), b * width).bitwiseAND(lit(mask)).as("h"))
-        }: _*)).as("bk"))
+        graft.dedup.Dedup.hammingBandKeys(col("sig"), bands).as("bk"))
       .select(col("bk.band").as("band"), col("bk.h").as("h"), col("id"), col("sig"))
       .as[BandedSig]
     banded
@@ -287,8 +282,6 @@ object StreamingOps {
     require(bands >= 1 && 64 % bands == 0, s"bands=$bands must divide 64")
     require(ttlMs > 0, s"ttlMs=$ttlMs must be positive")
     requireIntegralId(hashed, idCol)
-    val width = 64 / bands
-    val mask = if (width == 64) -1L else (1L << width) - 1L
     val banded = hashed
       .withWatermark(tsCol, lateness)
       .select(col(idCol).cast("long").as("id"), col(sigCol).cast("long").as("sig"), col(tsCol).as("ts"))
@@ -296,10 +289,7 @@ object StreamingOps {
       // the same replay-forever poison pill as a null id
       .filter(col("sig").isNotNull && col("id").isNotNull && col("ts").isNotNull)
       .select(col("id"), col("sig"), col("ts"),
-        explode(array((0 until bands).map { b =>
-          struct(lit(b).as("band"),
-            shiftright(col("sig"), b * width).bitwiseAND(lit(mask)).as("h"))
-        }: _*)).as("bk"))
+        graft.dedup.Dedup.hammingBandKeys(col("sig"), bands).as("bk"))
       .select(col("bk.band").as("band"), col("bk.h").as("h"), col("id"), col("sig"), col("ts"))
       .as[BandedSigT]
     banded
@@ -334,6 +324,25 @@ object StreamingOps {
             out.iterator
           }
         })
+  }
+
+  /** The shared admit-iff-zero-hits group pass behind the three
+    * stateless dropSeen stream gates (review r18: previously three
+    * hand-synced copies). State is NEVER set: all of a group's rows
+    * explode from one input row, so the group completes within its
+    * micro-batch — zero retained state by construction.
+    */
+  private def admitIfUnseen[K, H, O: org.apache.spark.sql.Encoder](
+      grouped: org.apache.spark.sql.KeyValueGroupedDataset[K, H])(
+      isHit: H => Boolean)(out: K => O): Dataset[O] = {
+    implicit val longEnc: org.apache.spark.sql.Encoder[Long] =
+      org.apache.spark.sql.Encoders.scalaLong
+    grouped.flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+      (key: K, rows: Iterator[H], state: GroupState[Long]) => {
+        var hits = 0
+        rows.foreach { r => if (isHit(r)) hits += 1 }
+        if (hits == 0) Iterator.single(out(key)) else Iterator.empty
+      })
   }
 
   final case class SeenHit(id: Long, sig: Long, hit: Option[Int])
@@ -381,20 +390,14 @@ object StreamingOps {
       maxHamming: Int = 3,
       bands: Int = 4): Dataset[KeptSig] = {
     import hashed.sparkSession.implicits._
-    require(bands >= 1 && 64 % bands == 0, s"bands=$bands must divide 64")
     requireIntegralId(hashed, idCol)
-    val width = 64 / bands
-    val mask = if (width == 64) -1L else (1L << width) - 1L
     val bandedRef = graft.dedup.Dedup.bandedSigs(refSigs, bands)
       .toDF("ref_sig", "band", "h")
-    hashed
+    val grouped = hashed
       .select(col(idCol).cast("long").as("id"), col(sigCol).cast("long").as("sig"))
       .filter(col("sig").isNotNull && col("id").isNotNull)
       .select(col("id"), col("sig"),
-        explode(array((0 until bands).map { b =>
-          struct(lit(b).as("band"),
-            shiftright(col("sig"), b * width).bitwiseAND(lit(mask)).as("h"))
-        }: _*)).as("bk"))
+        graft.dedup.Dedup.hammingBandKeys(col("sig"), bands).as("bk"))
       .select(col("id"), col("sig"), col("bk.band").as("band"), col("bk.h").as("h"))
       .join(bandedRef, Seq("band", "h"), "left")
       .select(col("id"), col("sig"),
@@ -402,14 +405,7 @@ object StreamingOps {
           bit_count(col("sig").bitwiseXOR(col("ref_sig"))) <= maxHamming, lit(1)).as("hit"))
       .as[SeenHit]
       .groupByKey(r => (r.id, r.sig))
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
-        (key: (Long, Long), rows: Iterator[SeenHit], state: GroupState[Long]) => {
-          // state is never set: all of a row's band rows explode from
-          // one input row, so its group completes in its micro-batch
-          var hits = 0
-          rows.foreach { r => if (r.hit.isDefined) hits += 1 }
-          if (hits == 0) Iterator.single(KeptSig(key._1, key._2)) else Iterator.empty
-        })
+    admitIfUnseen(grouped)(_.hit.isDefined)(k => KeptSig(k._1, k._2))
   }
 
   final case class SeenVecHit(id: Long, vec: Seq[Float], hit: Option[Int])
@@ -494,7 +490,7 @@ object StreamingOps {
       .withColumn("__rsig", Similarity.rhpSignature(col("__uvec"), planes))
       .select(col("__uvec").as("ref_uvec"), bandKeys(col("__rsig")).as("bk"))
       .select(col("ref_uvec"), col("bk.band").as("band"), col("bk.h").as("h"))
-    withUnit(
+    val grouped = withUnit(
       vecs.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
         .filter(col("id").isNotNull),
       "vec")
@@ -507,14 +503,7 @@ object StreamingOps {
           Similarity.dot(col("__uvec"), col("ref_uvec")) >= threshold, lit(1)).as("hit"))
       .as[SeenVecHit]
       .groupByKey(r => (r.id, r.vec))
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
-        (key: (Long, Seq[Float]), rows: Iterator[SeenVecHit], state: GroupState[Long]) => {
-          // state is never set: all of a row's band rows explode from
-          // one input row, so its group completes in its micro-batch
-          var hits = 0
-          rows.foreach { r => if (r.hit.isDefined) hits += 1 }
-          if (hits == 0) Iterator.single(KeptVec(key._1, key._2)) else Iterator.empty
-        })
+    admitIfUnseen(grouped)(_.hit.isDefined)(k => KeptVec(k._1, k._2))
   }
 
   final case class SeenJacHit(id: Long, hit: Option[Int])
@@ -580,7 +569,7 @@ object StreamingOps {
       .select(col("ref_id"), bandKeys(col("__sig")).as("bk"))
       .select(col("ref_id"), col("bk.band").as("band"), col("bk.h").as("h"))
     val refGs = refIndex.select(col("id").as("ref_id"), col("gs").as("gs_b"))
-    docs
+    val grouped = docs
       .select(col(idCol).cast("long").as("id"),
         ShingleHashes.shingleHashes(col(textCol), n).as("gs"))
       .filter(col("id").isNotNull)
@@ -598,14 +587,7 @@ object StreamingOps {
         }, lit(1)).as("hit"))
       .as[SeenJacHit]
       .groupByKey(_.id)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
-        (id: Long, rows: Iterator[SeenJacHit], state: GroupState[Long]) => {
-          // state is never set: all of an id's rows derive from one
-          // input row, so its group completes in its micro-batch
-          var hits = 0
-          rows.foreach { r => if (r.hit.isDefined) hits += 1 }
-          if (hits == 0) Iterator.single(KeptId(id)) else Iterator.empty
-        })
+    admitIfUnseen(grouped)(_.hit.isDefined)(KeptId(_))
   }
 
   final case class ContHit(id: Long, na: Long, ref_id: Option[Long])
@@ -656,9 +638,14 @@ object StreamingOps {
       .select(col(idCol).cast("long").as("id"),
         graft.dedup.ShingleHashes.shingleHashes(col(textCol), n).as("gs"))
       .filter(col("id").isNotNull)
-      .withColumn("na", size(col("gs")).cast("long"))
-      // explode_outer keeps shingle-less arrivals as one null-g row
-      // (joins nothing, na = 0 ⇒ kept)
+      // coalesce: NULL text null-propagates to a null gs, and under
+      // ANSI size(NULL) is NULL — decoded into ContHit's primitive
+      // `na: Long` that would NPE-kill the stream on replay forever
+      // (review r18). 0 = "cannot be proven contained" = kept, the
+      // batch twin's behavior for the same row.
+      .withColumn("na", coalesce(size(col("gs")).cast("long"), lit(0L)))
+      // explode_outer keeps shingle-less (and null-text) arrivals as
+      // one null-g row (joins nothing, na = 0 ⇒ kept)
       .select(col("id"), col("na"), explode_outer(col("gs")).as("g"))
       .join(refSh.hint("shuffle_hash"), Seq("g"), "left")
       .select(col("id"), col("na"), col("ref_id"))
@@ -707,6 +694,11 @@ object StreamingOps {
       lateness: String = "10 seconds",
       bands: Int = 4): Dataset[HamPair] = {
     import media.sparkSession.implicits._
+    // fail fast on a non-integral id BEFORE the cast below hides the
+    // real type from hammingPairsStreamTtl's own guard — an ANSI cast
+    // of a string id would otherwise throw mid-stream and replay
+    // forever (review r18)
+    requireIntegralId(media, "media_id")
     val hashed = media
       .select(col("media_id").cast("long").as("media_id"), col("bytes"), col("ts"))
       .filter(col("media_id").isNotNull) // typed-decode poison pill
@@ -755,7 +747,6 @@ object StreamingOps {
     require(numHashes % bands == 0, s"numHashes=$numHashes must divide into bands=$bands")
     require(ttlMs > 0, s"ttlMs=$ttlMs must be positive")
     requireIntegralId(docs, idCol)
-    val rowsPerBand = numHashes / bands
     val sig = docs
       .withWatermark(tsCol, lateness)
       .select(col(idCol).cast("long").as("id"), col(tsCol).as("ts"),
@@ -2074,7 +2065,12 @@ object StreamingOps {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
         (userId: Long, rows: Iterator[EventIn], state: GroupState[CycleState]) => {
-          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          // null-safe ts key: the batch twin's window ORDER BY sorts
+          // null ts FIRST (SQL nulls-first ascending); Long.MinValue
+          // reproduces that, where bare .getTime would NPE-poison the
+          // stream on the first null-ts event (review r18)
+          val sorted = rows.toSeq.sortBy(e =>
+            (if (e.ts == null) Long.MinValue else e.ts.getTime, e.event_id))
           var st = state.getOption.getOrElse(CycleState(null, 0L))
           val out = sorted.map { e =>
             // mirror of the batch change detector `prev IS DISTINCT

@@ -181,6 +181,44 @@ class StreamingOpsSpec extends SparkSpec {
     assert(g.toSeq == b.toSeq)
   }
 
+  test("cycle labeling survives a null event timestamp and matches the batch twin's nulls-first order") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import sqlImplicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def t(ms: Long) = new java.sql.Timestamp(ms)
+    // one null-ts event per device: the batch window's ORDER BY puts
+    // it FIRST (SQL nulls-first ascending); the stream's in-group sort
+    // must agree instead of NPE-ing at .getTime (review r18)
+    val events = Seq(
+      StreamingOps.EventIn(1L, null, 7L, "on", 1.0),
+      StreamingOps.EventIn(2L, t(1000), 7L, "on", 1.0),
+      StreamingOps.EventIn(3L, t(2000), 7L, "off", 0.0),
+      StreamingOps.EventIn(4L, t(3000), 7L, "on", 1.0))
+    val input = MemoryStream[StreamingOps.EventIn]
+    val q = StreamingOps.cycleLabelStream(input.toDS()).toDF()
+      .writeStream.outputMode("append").format("memory").queryName("nullts").start()
+    input.addData(events); q.processAllAvailable(); q.stop()
+    val got = spark.table("nullts").select("event_id", "cycle")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val batch = graft.ops.Segmentation.labelCycles(
+      events.toDS().toDF(), Seq("user_id"), Seq(col("ts"), col("event_id")), "event_type")
+      .select("event_id", "cycle")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == batch, s"stream=$got batch=$batch")
+  }
+
+  test("phashDupPairsStreamTtl fails fast on a non-integral media id instead of an ANSI cast mid-stream") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import sqlImplicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(String, Array[Byte], java.sql.Timestamp)]
+    val media = input.toDF().toDF("media_id", "bytes", "ts")
+    val e = intercept[IllegalArgumentException] {
+      StreamingOps.phashDupPairsStreamTtl(media)
+    }
+    assert(e.getMessage.contains("media_id"), e.getMessage)
+  }
+
   test("streaming minhash candidates match the batch pair set across micro-batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import sqlImplicits._
@@ -383,7 +421,10 @@ class StreamingOpsSpec extends SparkSpec {
       .toDF("doc_id", "text")
     val index = StreamingOps.shingleIndex(ref, "text", "doc_id").persist()
     val batch1 = Seq((1L, short), (2L, halfOld)) // 1 gated (coverage 1), 2 kept (~0.4)
-    val batch2 = Seq((3L, novel), (4L, "a b"))   // both kept (novel; shingle-less)
+    // null text: a stream-killing poison pill before review r18
+    // (ANSI size(NULL) = NULL decoded into ContHit's primitive na);
+    // the family rule says unprovable => kept, like the batch twin
+    val batch2 = Seq((3L, novel), (4L, "a b"), (5L, null.asInstanceOf[String]))
     val input = MemoryStream[(Long, String)]
     val stream = StreamingOps.dropSeenContainedStream(
       input.toDF().toDF("doc_id", "text"), index, "text", "doc_id", threshold = 0.8)
@@ -397,7 +438,7 @@ class StreamingOpsSpec extends SparkSpec {
     index.unpersist()
     // EXACT parity — both twins verify the exact coverage
     assert(got == want, s"stream=$got batch=$want")
-    assert(got == Set(2L, 3L, 4L), s"got=$got")
+    assert(got == Set(2L, 3L, 4L, 5L), s"got=$got")
   }
 
   test("streaming verified near-dedup equals batch verifyCandidates on the union of batches") {
