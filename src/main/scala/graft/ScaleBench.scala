@@ -864,12 +864,19 @@ object ScaleBench {
       // batch, same growing history, same released-per-call shape,
       // but the reference signatures read from the durable
       // geometry-keyed cache (built OUTSIDE the timed thunk) instead
-      // of being recomputed. The per-gate saving is the 190 dim-float
-      // dots per index row; at this harness's 64-dim geometry that
-      // is comparable to the parquet scan both forms pay, so expect
-      // PARITY here and a widening signed win on the 8x-history pair
-      // below — the regime (planes x dim x rows dominant) the cache
-      // exists for.
+      // of being recomputed. MEASURED (r18, quiet, released both
+      // sides): signed wins this pair at EVERY scale (~20-25%, alpha
+      // 0.05 vs 0.07) — the r17 artifact's "signed 1.6x slower" was
+      // the unsigned twin's leaked LRU persists plus two count()
+      // validation jobs, both fixed. On the 8x-history pair below,
+      // signed wins x1-x10 and shows a repeatable ~1.4x penalty at
+      // the x30 point only, whose 320k-row index+cache build runs in
+      // the same JVM moments before the measurement — the validation
+      // itself is one FS listing (measured ~6 ms), so the honest
+      // claim is: at 64-dim the signed gate is parity-to-faster in
+      // the production regime, and its structural win (replacing a
+      // planes x dim x rows recompute with a 24 B/row column scan)
+      // grows with the geometry, not with this fixture's sizes.
       "embedding_gate_vs_history_signed" -> {
         lazy val gatePlanesS = graft.similarity.Similarity.hyperplanes(64, 64)
         lazy val histS = {
