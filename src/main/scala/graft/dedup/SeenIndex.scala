@@ -700,7 +700,10 @@ object SeenIndex {
     * unwindowed protocol already makes. Same marker-filename
     * discipline as [[allocEpoch]] (values live in names, digits-only
     * suffix parse); [[compactLedger]] prunes stamps with their
-    * marker pair.
+    * marker pair. COST: one more O(markers) directory listing per
+    * windowed batch on top of allocEpoch's — on an object store
+    * where LIST is the expensive op, run the loops with
+    * `ledgerKeepLast > 0` so both listings stay O(keepLast).
     */
   private[dedup] def attemptStamp(
       fs: org.apache.hadoop.fs.FileSystem, indexPath: String, key: String, now: Long): Long = {
@@ -825,9 +828,10 @@ object SeenIndex {
       ledgerWatermark: Option[Long],
       midCompaction: Boolean,
       // geometry-keyed signature-cache siblings (`.sigs-<key>`) —
-      // the maintenance window should know derived caches exist (a
-      // compaction leaves them stale until the next gate's parity
-      // check rebuilds; a retired geometry's cache is reclaimable)
+      // the maintenance window should know derived caches exist
+      // (compactVectors carries in-sync ones through the rewrite and
+      // deletes stale ones loudly; a retired geometry's cache is
+      // reclaimable — see listSigCaches/dropSigCache)
       sigCaches: Long = 0L)
 
   /** [[IndexStats]] for a SIGNATURE index (`distinct` = distinct
