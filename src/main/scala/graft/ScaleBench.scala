@@ -871,12 +871,16 @@ object ScaleBench {
       // validation jobs, both fixed. On the 8x-history pair below,
       // signed wins x1-x10 and shows a repeatable ~1.4x penalty at
       // the x30 point only, whose 320k-row index+cache build runs in
-      // the same JVM moments before the measurement — the validation
-      // itself is one FS listing (measured ~6 ms), so the honest
-      // claim is: at 64-dim the signed gate is parity-to-faster in
-      // the production regime, and its structural win (replacing a
-      // planes x dim x rows recompute with a 24 B/row column scan)
-      // grows with the geometry, not with this fixture's sizes.
+      // the same JVM moments before the measurement. ADJUDICATED
+      // cross-JVM (r18): with the 320k index+cache built in a
+      // SEPARATE JVM and only the gates measured, signed wins at that
+      // size too (min 3.86 s vs 4.89 s over 3 interleaved runs) — the
+      // in-entry x30 penalty is build-JVM contamination, not a signed
+      // cost; the validation itself is one FS listing (measured
+      // ~6 ms). Net honest claim: at 64-dim the signed gate is
+      // parity-to-faster at every measured size, and its structural
+      // win (replacing a planes x dim x rows recompute with a
+      // 24 B/row column scan) grows with the geometry.
       "embedding_gate_vs_history_signed" -> {
         lazy val gatePlanesS = graft.similarity.Similarity.hyperplanes(64, 64)
         lazy val histS = {
