@@ -28,8 +28,12 @@ import org.apache.spark.sql.functions._
   * `TakeOrderedAndProject`), unit normalization so ADC dots
   * approximate cosine, then independent L2 Lloyd's per subspace with
   * the same RNG-free evenly-spaced init. Degenerate vectors
-  * (null / NaN / zero norm) are excluded everywhere by the same
-  * guard as [[Ivf.index]].
+  * (null / NaN / zero or INFINITE norm / wrong length) are excluded
+  * everywhere by one shared guard (review r18: the original guard
+  * passed Inf norms — x/Inf is NaN, which poisoned codebook entry 0
+  * during training and scored garbage rows with plausible finite ADC
+  * sums — and never checked length, so a wrong-dim row crashed the
+  * executor loop or was silently mis-coded).
   */
 object Pq {
 
@@ -41,6 +45,91 @@ object Pq {
     require(ksub >= 1 && ksub <= 256, s"ksub=$ksub must fit one byte")
     def dsub: Int = dim / m
   }
+
+  /** The ONE row guard every PQ entry point shares: finite positive
+    * norm (Inf norm makes x/Inf = NaN — the training/scoring poison
+    * documented in the header) and exact dimension (slice/index loops
+    * assume it; VecDot/NearestCell tolerate mismatches, these tight
+    * loops cannot).
+    */
+  private def usableVec(vecCol: String, dim: Int) = {
+    val n = Similarity.norm(col(vecCol))
+    n.isNotNull && n > 0 && !isnan(n) && n < lit(Double.PositiveInfinity) &&
+      size(col(vecCol)) === dim
+  }
+
+  /** Deterministic driver-side unit-vector sample — the shared
+    * sampling block of [[train]] and [[trainResidual]].
+    */
+  private def sampleUnitVectors(
+      df: DataFrame, vecCol: String, dim: Int, sampleSize: Int, seed: Long): Array[Array[Double]] =
+    df.select(col(vecCol))
+      .filter(usableVec(vecCol, dim))
+      .orderBy(xxhash64(col(vecCol), lit(seed)).asc)
+      .limit(sampleSize)
+      .collect().map { r =>
+        val v = r.getSeq[Float](0).toArray.map(_.toDouble)
+        val norm = math.sqrt(v.map(x => x * x).sum)
+        v.map(_ / norm)
+      }
+
+  /** One byte per subspace: argmin-L2 codeword of `target`'s each
+    * subvector — the ONE coding loop [[encode]] (target = the unit
+    * vector) and [[encodeIvf]] (target = the residual) share.
+    */
+  private def codeOf(target: Array[Double], pq: Model): Array[Byte] = {
+    val dsub = pq.dsub
+    val code = new Array[Byte](pq.m)
+    var s = 0
+    while (s < pq.m) {
+      val cb = pq.codebooks(s)
+      var best = 0
+      var bestD = Double.PositiveInfinity
+      var c = 0
+      while (c < cb.length) {
+        var dist = 0.0
+        var i = 0
+        while (i < dsub) { val t = target(s * dsub + i) - cb(c)(i); dist += t * t; i += 1 }
+        if (dist < bestD) { bestD = dist; best = c }
+        c += 1
+      }
+      code(s) = best.toByte
+      s += 1
+    }
+    code
+  }
+
+  /** `table(s)(c) = dot(unit-query subvector s, sub-centroid c)` —
+    * the ADC lookup table [[topK]] and [[topKIvf]] share, built once
+    * on the driver from the ALREADY-normalized query.
+    */
+  private def adcTable(qu: Array[Double], pq: Model): Array[Array[Double]] = {
+    val dsub = pq.dsub
+    Array.tabulate(pq.m) { s =>
+      Array.tabulate(pq.ksub) { c =>
+        val cb = pq.codebooks(s)
+        if (c >= cb.length) Double.NegativeInfinity
+        else {
+          var d = 0.0
+          var i = 0
+          while (i < dsub) { d += qu(s * dsub + i) * cb(c)(i); i += 1 }
+          d
+        }
+      }
+    }
+  }
+
+  /** `(id, score, rank)` tail shared by [[topK]]/[[topKIvf]]: top-k
+    * by score desc (ties to the smaller id), ranked. The rank window
+    * is global but runs over k ROWS (post-limit) — whitelisted in
+    * PlanContractSpec's partition-less-window budget.
+    */
+  private def rankTail(scored: DataFrame, k: Int): DataFrame =
+    scored
+      .orderBy(col("score").desc, col("id").asc)
+      .limit(k)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("score").desc, col("id").asc)))
 
   /** Fit `m` independent sub-quantizers on a deterministic sample.
     * `ksub <= 256` so a code is one byte per subspace.
@@ -56,16 +145,7 @@ object Pq {
       seed: Long = 42L): Model = {
     require(m >= 1 && dim % m == 0, s"dim=$dim must be divisible by m=$m")
     require(ksub >= 1 && ksub <= 256, s"ksub=$ksub must fit one byte")
-    val n = Similarity.norm(col(vecCol))
-    val sample = df.select(col(vecCol))
-      .filter(n > 0 && !isnan(n))
-      .orderBy(xxhash64(col(vecCol), lit(seed)).asc)
-      .limit(sampleSize)
-      .collect().map { r =>
-        val v = r.getSeq[Float](0).toArray.map(_.toDouble)
-        val norm = math.sqrt(v.map(x => x * x).sum)
-        v.map(_ / norm)
-      }
+    val sample = sampleUnitVectors(df, vecCol, dim, sampleSize, seed)
     require(sample.length >= ksub, s"sample ${sample.length} < ksub=$ksub")
     val dsub = dim / m
     val codebooks = Array.tabulate(m) { s =>
@@ -166,16 +246,7 @@ object Pq {
     val dim = ivf.centroids.head.length
     require(m >= 1 && dim % m == 0, s"dim=$dim must be divisible by m=$m")
     require(ksub >= 1 && ksub <= 256, s"ksub=$ksub must fit one byte")
-    val n = Similarity.norm(col(vecCol))
-    val sample = df.select(col(vecCol))
-      .filter(n > 0 && !isnan(n))
-      .orderBy(xxhash64(col(vecCol), lit(seed)).asc)
-      .limit(sampleSize)
-      .collect().map { r =>
-        val v = r.getSeq[Float](0).toArray.map(_.toDouble)
-        val norm = math.sqrt(v.map(x => x * x).sum)
-        v.map(_ / norm)
-      }
+    val sample = sampleUnitVectors(df, vecCol, dim, sampleSize, seed)
     require(sample.length >= ksub, s"sample ${sample.length} < ksub=$ksub")
     val residuals = sample.map { u =>
       val cell = nearestCellDot(u, ivf.centroids)
@@ -206,40 +277,18 @@ object Pq {
     import df.sparkSession.implicits._
     require(pq.dim == ivf.centroids.head.length,
       s"pq dim ${pq.dim} != ivf dim ${ivf.centroids.head.length}")
-    val n = Similarity.norm(col(vecCol))
     df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
-      .filter(n.isNotNull && n > 0 && !isnan(n))
+      .filter(usableVec("v", pq.dim))
       .as[(Long, Array[Float])]
       .mapPartitions { rows =>
-        val dsub = pq.dsub
         rows.map { case (id, vf) =>
           val v = vf.map(_.toDouble)
           val norm = math.sqrt(v.map(x => x * x).sum)
           val u = v.map(_ / norm)
           val cell = nearestCellDot(u, ivf.centroids)
           val cent = ivf.centroids(cell)
-          val code = new Array[Byte](pq.m)
-          var s = 0
-          while (s < pq.m) {
-            val cb = pq.codebooks(s)
-            var best = 0
-            var bestD = Double.PositiveInfinity
-            var c = 0
-            while (c < cb.length) {
-              var dist = 0.0
-              var i = 0
-              while (i < dsub) {
-                val t = (u(s * dsub + i) - cent(s * dsub + i)) - cb(c)(i)
-                dist += t * t
-                i += 1
-              }
-              if (dist < bestD) { bestD = dist; best = c }
-              c += 1
-            }
-            code(s) = best.toByte
-            s += 1
-          }
-          IvfCodeRow(id, cell, code)
+          val residual = Array.tabulate(pq.dim)(i => u(i) - cent(i))
+          IvfCodeRow(id, cell, codeOf(residual, pq))
         }
       }
   }
@@ -263,10 +312,16 @@ object Pq {
       nprobe: Int = 2): DataFrame = {
     import encoded.sparkSession.implicits._
     require(query.length == pq.dim, s"query dim ${query.length} != model dim ${pq.dim}")
+    // a mismatched model pair would crash the cellConst loop (ivf dim
+    // smaller) or silently probe the WRONG cells (ivf dim larger —
+    // truncated dots, recall collapse with no error); encodeIvf
+    // cross-checks the pair, the query path must too (review r18)
+    require(ivf.centroids.head.length == pq.dim,
+      s"ivf dim ${ivf.centroids.head.length} != pq dim ${pq.dim} — mismatched model pair")
+    require(nprobe >= 1, s"nprobe=$nprobe must be >= 1 (0 would silently return no rows)")
     val qn = math.sqrt(query.map(x => x * x).sum)
     require(qn > 0 && !qn.isNaN, "query vector must have positive finite norm")
     val qu = query.map(_ / qn)
-    val dsub = pq.dsub
     val cellConst: Array[Double] = ivf.centroids.map { cent =>
       var d = 0.0
       var i = 0
@@ -277,22 +332,15 @@ object Pq {
       .sortBy(c => (-cellConst(c), c))
       .take(math.min(nprobe, ivf.k))
       .toArray
-    val table: Array[Array[Double]] = Array.tabulate(pq.m) { s =>
-      Array.tabulate(pq.ksub) { c =>
-        val cb = pq.codebooks(s)
-        if (c >= cb.length) Double.NegativeInfinity
-        else {
-          var d = 0.0
-          var i = 0
-          while (i < dsub) { d += qu(s * dsub + i) * cb(c)(i); i += 1 }
-          d
-        }
-      }
-    }
-    encoded
+    val table = adcTable(qu, pq)
+    val scored = encoded
       .filter(col("cell").isin(probed.map(Integer.valueOf).toIndexedSeq: _*))
       .mapPartitions { rows =>
         rows.map { r =>
+          if (r.cell < 0 || r.cell >= cellConst.length)
+            throw new IllegalArgumentException(
+              s"encoded row cell ${r.cell} out of range for ivf.k=${cellConst.length}: " +
+                "the index was built against a different IVF model")
           var sc = cellConst(r.cell)
           var s = 0
           while (s < table.length) { sc += table(s)(r.code(s) & 0xff); s += 1 }
@@ -300,10 +348,7 @@ object Pq {
         }
       }
       .toDF("id", "score")
-      .orderBy(col("score").desc, col("id").asc)
-      .limit(k)
-      .withColumn("rank", row_number().over(
-        org.apache.spark.sql.expressions.Window.orderBy(col("score").desc, col("id").asc)))
+    rankTail(scored, k)
   }
 
   /** Persist the IVF-PQ index PARTITIONED by cell — the at-scale
@@ -324,7 +369,11 @@ object Pq {
     */
   def readIndex(spark: org.apache.spark.sql.SparkSession, path: String): Dataset[IvfCodeRow] = {
     import spark.implicits._
-    spark.read.parquet(path)
+    // explicit schema (partition column included): an index whose
+    // every input row was degenerate writes only _SUCCESS, and schema
+    // INFERENCE would throw on the empty layout instead of returning
+    // the empty Dataset the round-trip contract promises (review r18)
+    spark.read.schema("id LONG, code BINARY, cell INT").parquet(path)
       .select(col("id").cast("long").as("id"), col("cell").cast("int").as("cell"), col("code"))
       .as[IvfCodeRow]
   }
@@ -360,37 +409,17 @@ object Pq {
     */
   def encode(df: DataFrame, vecCol: String, idCol: String, model: Model): Dataset[CodeRow] = {
     import df.sparkSession.implicits._
-    val n = Similarity.norm(col(vecCol))
     df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
-      .filter(n.isNotNull && n > 0 && !isnan(n))
+      .filter(usableVec("v", model.dim))
       .as[(Long, Array[Float])]
       .mapPartitions { rows =>
-        val dsub = model.dsub
         rows.map { case (id, vf) =>
           val v = vf.map(_.toDouble)
           val norm = math.sqrt(v.map(x => x * x).sum)
-          val code = new Array[Byte](model.m)
-          var s = 0
-          while (s < model.m) {
-            val cb = model.codebooks(s)
-            var best = 0
-            var bestD = Double.PositiveInfinity
-            var c = 0
-            while (c < cb.length) {
-              var dist = 0.0
-              var i = 0
-              while (i < dsub) {
-                val t = v(s * dsub + i) / norm - cb(c)(i)
-                dist += t * t
-                i += 1
-              }
-              if (dist < bestD) { bestD = dist; best = c }
-              c += 1
-            }
-            code(s) = best.toByte
-            s += 1
-          }
-          CodeRow(id, code)
+          // normalize ONCE (the old loop divided each element ksub
+          // times inside the innermost codeword scan)
+          val u = v.map(_ / norm)
+          CodeRow(id, codeOf(u, model))
         }
       }
   }
@@ -413,21 +442,8 @@ object Pq {
     require(query.length == model.dim, s"query dim ${query.length} != model dim ${model.dim}")
     val qn = math.sqrt(query.map(x => x * x).sum)
     require(qn > 0 && !qn.isNaN, "query vector must have positive finite norm")
-    val dsub = model.dsub
-    // table(s)(c) = dot(normalized query subvector s, sub-centroid c)
-    val table: Array[Array[Double]] = Array.tabulate(model.m) { s =>
-      Array.tabulate(model.ksub) { c =>
-        val cb = model.codebooks(s)
-        if (c >= cb.length) Double.NegativeInfinity
-        else {
-          var d = 0.0
-          var i = 0
-          while (i < dsub) { d += (query(s * dsub + i) / qn) * cb(c)(i); i += 1 }
-          d
-        }
-      }
-    }
-    encoded
+    val table = adcTable(query.map(_ / qn), model)
+    val scored = encoded
       .mapPartitions { rows =>
         rows.map { r =>
           var sc = 0.0
@@ -437,10 +453,7 @@ object Pq {
         }
       }
       .toDF("id", "score")
-      .orderBy(col("score").desc, col("id").asc)
-      .limit(k)
-      .withColumn("rank", row_number().over(
-        org.apache.spark.sql.expressions.Window.orderBy(col("score").desc, col("id").asc)))
+    rankTail(scored, k)
   }
 
   /** The production search shape: ADC SHORTLIST, exact RERANK. The

@@ -82,6 +82,41 @@ class PqSpec extends SparkSpec {
     }
   }
 
+  test("shared guard covers Inf norms and wrong-length rows; model-pair and nprobe misuse fails loud; empty index round-trips") {
+    import sqlImplicits._
+    val m = 4
+    val good = corpus(16, m)
+    // Inf element: norm=Inf passed the old guard, poisoned codebook 0
+    // in training and scored garbage rows with finite ADC sums;
+    // wrong-length rows crashed the executor index loops (review r18)
+    val bad = Seq(
+      (9003L, Float.PositiveInfinity +: Seq.fill(2 * m - 1)(1f)),
+      (9004L, Seq.fill(2 * m - 3)(1f)), // too short
+      (9005L, Seq.fill(2 * m + 5)(1f))) // too long
+      .toDF("vec_id", "embedding")
+    val model = Pq.train(good.union(bad), "embedding", dim = 2 * m, m = m, ksub = 4,
+      iters = 5, sampleSize = 64)
+    val enc = Pq.encode(good.union(bad), "embedding", "vec_id", model)
+    assert(enc.collect().map(_.id).toSet == (0 until 16).map(_.toLong).toSet,
+      "Inf-norm and wrong-length rows must be excluded, not crash or mis-encode")
+    val ivf = Ivf.train(good, "embedding", k = 4, iters = 5, sampleSize = 64)
+    val encIvf = Pq.encodeIvf(good.union(bad), "embedding", "vec_id", ivf,
+      Pq.trainResidual(good, "embedding", ivf, m = m, ksub = 4, iters = 5, sampleSize = 64))
+    assert(encIvf.collect().map(_.id).toSet == (0 until 16).map(_.toLong).toSet)
+    // query-path misuse: zero probes and mismatched model pairs must
+    // refuse instead of returning empty / probing the wrong cells
+    val pq = Pq.trainResidual(good, "embedding", ivf, m = m, ksub = 4, iters = 5, sampleSize = 64)
+    val q = Array.fill(2 * m)(1.0)
+    intercept[IllegalArgumentException] { Pq.topKIvf(encIvf, pq, ivf, q, k = 3, nprobe = 0) }
+    val smallIvf = Ivf.train(corpus(16, 2), "embedding", k = 2, iters = 3, sampleSize = 16)
+    intercept[IllegalArgumentException] { Pq.topKIvf(encIvf, pq, smallIvf, q, k = 3) }
+    // an all-degenerate corpus writes an EMPTY partitioned layout;
+    // readIndex must return the empty Dataset, not fail inference
+    val emptyDir = java.nio.file.Files.createTempDirectory("pq_empty_").toString + "/idx"
+    Pq.writeIndex(Pq.encodeIvf(bad, "embedding", "vec_id", ivf, pq), emptyDir)
+    assert(Pq.readIndex(spark, emptyDir).count() == 0L)
+  }
+
   test("encodeIvf assigns the same cell as Ivf.cellOf — train/encode/expression parity") {
     val m = 4
     val df = corpus(64, m)
