@@ -45,6 +45,14 @@ import org.apache.spark.sql.functions._
   * and because prefixes hold the rarest shingles, bucket sizes stay
   * small: the join cost tracks the frequency of RARE grams, not hot
   * ones.
+  *
+  * PRECONDITION (review r18): `idCol` values must be UNIQUE per
+  * input frame. Shingle distinctness is per ROW; duplicate ids merge
+  * their rows' shingle multisets, inflating `n_sh` and producing
+  * containment values above 1.0 — garbage ratios both forms agree on
+  * (so the parity spec cannot catch it) with no error raised.
+  * Deduplicate by id upstream ([[Dedup.exactDedup]]) if ids can
+  * repeat.
   */
 object Containment {
 
@@ -138,6 +146,36 @@ object Containment {
     * it, so the public wrappers can either drop the handle (default:
     * LRU ages it out) or surface it ([[containmentPairsPrefixReleasable]]).
     */
+  /** The rarest-first prefix slice both prefix paths share (review
+    * r18: previously two hand-synced copies of the window block and
+    * the pigeonhole length formula). Order: document frequency ASC,
+    * hash ASC; prefix length `nsh - ceil(nsh*t - 1e-9) + 1` — the
+    * 1e-9 slack guards the float product rounding a hair ABOVE the
+    * exact value (which would push ceil one too high and the prefix
+    * one too short, risking a pair sitting exactly at the threshold);
+    * erring toward a longer prefix only adds candidates, never loses
+    * any. `absentAsZero` is the cross-corpus variant's rule: a batch
+    * shingle the reference has never seen (no dfreq row) ranks FIRST
+    * (dfreq 0) — it fills the prefix while generating zero candidates.
+    */
+  private def prefixSlice(
+      sh: DataFrame, dfreq: DataFrame, threshold: Double, absentAsZero: Boolean): DataFrame = {
+    val joined =
+      if (absentAsZero) sh.join(dfreq, Seq("g"), "left").na.fill(0L, Seq("__dfreq"))
+      else sh.join(dfreq, "g")
+    // Both window functions share the partition-by-id exchange (the
+    // unordered count rides the rank's partitioning), so the per-doc
+    // set size costs no extra aggregate+join.
+    joined
+      .withColumn("__rk",
+        row_number().over(Window.partitionBy("id").orderBy(col("__dfreq").asc, col("g").asc)))
+      .withColumn("__nsh", count(lit(1)).over(Window.partitionBy("id")))
+      .withColumn("__plen",
+        col("__nsh") - ceil(col("__nsh") * lit(threshold) - lit(1e-9)) + lit(1L))
+      .filter(col("__rk") <= col("__plen"))
+      .select("id", "g")
+  }
+
   private def containmentPairsPrefixImpl(
       df: DataFrame,
       textCol: String,
@@ -149,23 +187,10 @@ object Containment {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
 
-    // Global shingle order: document frequency ASC, hash ASC. The
-    // required overlap is alpha = ceil(t * na); the 1e-9 slack guards
-    // the float product rounding a hair ABOVE the exact value (which
-    // would push ceil one too high and the prefix one too short,
-    // risking a pair sitting exactly at the threshold) — erring
-    // toward a longer prefix only adds candidates, never loses any.
+    // Global shingle order + pigeonhole prefix length: see
+    // prefixSlice (the ONE definition both prefix paths share)
     val dfreq = sh.groupBy("g").agg(count(lit(1)).as("__dfreq"))
-    // Both window functions share the partition-by-id exchange (the
-    // unordered count rides the rank's partitioning), so the per-doc
-    // set size costs no extra aggregate+join here.
-    val ranked = sh.join(dfreq, "g")
-      .withColumn("__rk",
-        row_number().over(Window.partitionBy("id").orderBy(col("__dfreq").asc, col("g").asc)))
-      .withColumn("__nsh", count(lit(1)).over(Window.partitionBy("id")))
-      .withColumn("__plen",
-        col("__nsh") - ceil(col("__nsh") * lit(threshold) - lit(1e-9)) + lit(1L))
-    val prefix = ranked.filter(col("__rk") <= col("__plen")).select("id", "g")
+    val prefix = prefixSlice(sh, dfreq, threshold, absentAsZero = false)
 
     // Candidates: a prefix shingle of EITHER member matches the other
     // member's full set. Generating from both sides' prefixes is
@@ -205,10 +230,12 @@ object Containment {
     (out, sh)
   }
 
-  /** `(id, g)` — distinct shingle-hash table; documents with fewer
-    * than `n` tokens contribute no rows (empty shingle set ⇒ they can
-    * never reach any containment threshold > 0, same contract as the
-    * Jaccard path).
+  /** `(id, g)` — shingle-hash table, distinct PER ROW
+    * ([[ShingleHashes]] dedups within a document; the object-level
+    * unique-id precondition is what makes it distinct per id).
+    * Documents with fewer than `n` tokens contribute no rows (empty
+    * shingle set ⇒ they can never reach any containment threshold
+    * > 0, same contract as the Jaccard path).
     */
   private def shingleTable(df: DataFrame, textCol: String, idCol: String, n: Int): DataFrame =
     df.select(
@@ -239,14 +266,32 @@ object Containment {
       textCol: String,
       idCol: String,
       n: Int = 3,
-      threshold: Double = 0.8): DataFrame = {
-    val losers = containmentPairsPrefixDetailed(df, textCol, idCol, n, threshold)
+      threshold: Double = 0.8): DataFrame =
+    dropContainedReleasable(df, textCol, idCol, n, threshold).result
+
+  /** [[dropContained]] with a release handle over the persisted
+    * shingle table — the form a long-lived service looping the
+    * resolution must use (review r18: the plain form persists per
+    * call and disk-persisted blocks are not LRU-reclaimed, so
+    * repeated calls accumulate dead cache entries; same contract as
+    * every other `*Releasable` here).
+    */
+  def dropContainedReleasable(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int = 3,
+      threshold: Double = 0.8): graft.core.Releasable[DataFrame] = {
+    val (pairs, sh) = containmentPairsPrefixImpl(df, textCol, idCol, n, threshold)
+    val losers = pairs
       .select(
         when(col("na") < col("nb"), col("id_a"))
           .when(col("nb") < col("na"), col("id_b"))
           .otherwise(greatest(col("id_a"), col("id_b"))).as("__loser"))
       .distinct()
-    df.join(losers, df(idCol) === col("__loser"), "left_anti")
+    graft.core.Releasable(
+      df.join(losers, df(idCol) === col("__loser"), "left_anti"),
+      () => { sh.unpersist(blocking = false); () })
   }
 
   /** Containment ACROSS two corpora — the COVERAGE pair miner behind
@@ -295,19 +340,10 @@ object Containment {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val shB = shingleTable(ref, textCol, idCol, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // rarest-in-reference first; absent shingles (dfreq 0 via the
-    // left join) sort before everything and never produce candidates
+    // rarest-in-reference first; absent shingles rank as dfreq 0 —
+    // see prefixSlice (the ONE definition both prefix paths share)
     val dfreqRef = shB.groupBy("g").agg(count(lit(1)).as("__dfreq"))
-    val ranked = shA.join(dfreqRef, Seq("g"), "left")
-      .na.fill(0L, Seq("__dfreq"))
-      .withColumn("__rk",
-        row_number().over(Window.partitionBy("id").orderBy(col("__dfreq").asc, col("g").asc)))
-      .withColumn("__nsh", count(lit(1)).over(Window.partitionBy("id")))
-      // same 1e-9 ceil slack as the self-join path: err toward a
-      // longer prefix, never a lost pair
-      .withColumn("__plen",
-        col("__nsh") - ceil(col("__nsh") * lit(threshold) - lit(1e-9)) + lit(1L))
-    val cand = ranked.filter(col("__rk") <= col("__plen")).select("id", "g")
+    val cand = prefixSlice(shA, dfreqRef, threshold, absentAsZero = true)
       .toDF("id_a", "g")
       .join(shB.toDF("id_b", "g"), "g")
       .select("id_a", "id_b")
@@ -343,10 +379,25 @@ object Containment {
       textCol: String,
       idCol: String,
       n: Int = 3,
-      threshold: Double = 0.8): DataFrame = {
-    val seen = containmentPairsAgainst(batch, ref, textCol, idCol, n, threshold)
-      .select(col("id_a").as("__seen_id"))
-      .distinct()
-    batch.join(seen, batch(idCol) === col("__seen_id"), "left_anti")
+      threshold: Double = 0.8): DataFrame =
+    dropSeenContainedReleasable(batch, ref, textCol, idCol, n, threshold).result
+
+  /** [[dropSeenContained]] with a release handle over BOTH persisted
+    * shingle tables (batch + the corpus-token-sized exploded
+    * reference) — the form a per-batch ingest loop must call (review
+    * r18: the plain gate dropped the handle, so a long-running
+    * service accumulated two dead cache entries per batch).
+    */
+  def dropSeenContainedReleasable(
+      batch: DataFrame,
+      ref: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int = 3,
+      threshold: Double = 0.8): graft.core.Releasable[DataFrame] = {
+    val r = containmentPairsAgainstReleasable(batch, ref, textCol, idCol, n, threshold)
+    val seen = r.result.select(col("id_a").as("__seen_id")).distinct()
+    graft.core.Releasable(
+      batch.join(seen, batch(idCol) === col("__seen_id"), "left_anti"), r.release)
   }
 }

@@ -64,6 +64,34 @@ class ContainmentSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("releasable gate and resolution forms: identical decisions, every cache entry released") {
+    import sqlImplicits._
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    // resolution: Releasable twin of dropContained
+    val relDrop = Containment.dropContainedReleasable(docs, "text", "doc_id", threshold = 0.8)
+    val gotDrop = relDrop.result.collect().map(_.getLong(0)).toSet
+    relDrop.release(); relDrop.release() // idempotent
+    assert(spark.sparkContext.getPersistentRDDs.keySet.diff(before).isEmpty,
+      "dropContainedReleasable.release() must drop its shingle cache")
+    assert(gotDrop == Containment.dropContained(docs, "text", "doc_id", threshold = 0.8)
+      .collect().map(_.getLong(0)).toSet)
+    // gate: Releasable twin of dropSeenContained (two persisted tables)
+    val batch = Seq((1L, (1 to 10).map(i => s"w$i").mkString(" ")),
+      (2L, (500 to 560).map(i => s"z$i").mkString(" "))).toDF("doc_id", "text")
+    val ref = Seq((10L, (1 to 40).map(i => s"w$i").mkString(" "))).toDF("doc_id", "text")
+    spark.catalog.clearCache()
+    val before2 = spark.sparkContext.getPersistentRDDs.keySet
+    val relGate = Containment.dropSeenContainedReleasable(batch, ref, "text", "doc_id", threshold = 0.8)
+    val gotGate = relGate.result.collect().map(_.getLong(0)).toSet
+    relGate.release()
+    assert(spark.sparkContext.getPersistentRDDs.keySet.diff(before2).isEmpty,
+      "dropSeenContainedReleasable.release() must drop BOTH shingle caches")
+    assert(gotGate == Set(2L), s"got=$gotGate")
+    spark.catalog.clearCache()
+  }
+
   test("prefix-filtered path equals the all-pairs form on the documents fixture") {
     val docsSf = Sources.documents(spark, "/root/testdata/sf0.001")
     val exact = Containment.containmentPairs(docsSf, "text", "doc_id", threshold = 0.8)
