@@ -652,6 +652,53 @@ object SeenIndex {
       .map(b => f"${b & 0xff}%02x").mkString
   }
 
+  /** Pre-r18 key: the RAW checkpoint string, unnormalized. Kept only
+    * so [[resolveBatchKey]] can find markers a pre-normalization
+    * deployment wrote — never used for new allocations.
+    */
+  private def legacyBatchKey(checkpointDir: String, batchId: Long): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.digest(s"$checkpointDir#$batchId".getBytes("UTF-8"))
+      .map(b => f"${b & 0xff}%02x").mkString
+  }
+
+  /** [[batchKey]] with a one-shot LEGACY probe for upgrades. The r18
+    * normalization means a deployment whose restart script spells the
+    * checkpoint dir in a form the Hadoop Path normalizes (trailing
+    * slash, `file:///x` vs `file:/x`) computes a DIFFERENT key for
+    * the same logical batch after upgrading: the replayed last batch
+    * would miss its committed marker under the new key, allocate a
+    * fresh epoch, and re-emit its rows once (exactly-once break,
+    * ADVICE r18). So: if the normalized key has NO markers in the
+    * ledger but the legacy (raw-string) key DOES, the replay adopts
+    * the legacy key and finishes the old batch's protocol under it —
+    * committed markers are honored, a crashed attempt re-finds its
+    * allocated epoch and stamp. Fresh batches (no markers under
+    * either key) always use the normalized key. The extra FS listing
+    * only happens when the two spellings differ AND the new key is
+    * unmarked — i.e. once per batch on non-canonical spellings, never
+    * on canonical ones.
+    */
+  private[dedup] def resolveBatchKey(
+      spark: SparkSession,
+      indexPath: String,
+      checkpointDir: String,
+      batchId: Long): String = {
+    val key = batchKey(checkpointDir, batchId)
+    val legacy = legacyBatchKey(checkpointDir, batchId)
+    if (legacy == key) return key
+    val dir = epochsDir(indexPath)
+    val fs = fsFor(spark, dir)
+    if (!fs.exists(dir)) return key
+    val names = fs.listStatus(dir).map(_.getPath.getName)
+    def marked(k: String): Boolean = names.exists { n =>
+      n == s"committed-$k" || n.startsWith(s"stamp-$k-") ||
+        (n.startsWith(s"alloc-$k-") &&
+          n.substring(s"alloc-$k-".length).forall(_.isDigit))
+    }
+    if (!marked(key) && marked(legacy)) legacy else key
+  }
+
   /** Allocate (or on replay, LOOK UP) the epoch number for batch
     * `key`. Numbers live in the marker FILENAMES — `alloc-<key>-<n>`
     * — so neither allocation nor lookup reads file contents, and a
@@ -1078,7 +1125,7 @@ object SeenIndex {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         exactlyOnceEpochSimhash(
-          batch, textCol, batchKey(checkpointDir, batchId), indexPath, outPath, maxHamming)
+          batch, textCol, resolveBatchKey(batch.sparkSession, indexPath, checkpointDir, batchId), indexPath, outPath, maxHamming)
         if (ledgerKeepLast > 0) compactLedger(batch.sparkSession, indexPath, ledgerKeepLast)
       }
       .start()
@@ -1103,7 +1150,7 @@ object SeenIndex {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         exactlyOnceEpochHamming(
-          batch, sigCol, batchKey(checkpointDir, batchId), indexPath, outPath, maxHamming)
+          batch, sigCol, resolveBatchKey(batch.sparkSession, indexPath, checkpointDir, batchId), indexPath, outPath, maxHamming)
         if (ledgerKeepLast > 0) compactLedger(batch.sparkSession, indexPath, ledgerKeepLast)
       }
       .start()
@@ -1397,7 +1444,7 @@ object SeenIndex {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         exactlyOnceEpochEmbedding(
-          batch, vecCol, idCol, batchKey(checkpointDir, batchId), indexPath, outPath,
+          batch, vecCol, idCol, resolveBatchKey(batch.sparkSession, indexPath, checkpointDir, batchId), indexPath, outPath,
           threshold, planes, bands, probeHamming, broadcastVerify)
         if (ledgerKeepLast > 0) compactLedger(batch.sparkSession, indexPath, ledgerKeepLast)
       }
@@ -1605,7 +1652,7 @@ object SeenIndex {
         // attempt's window even if this clock() regressed
         val now = clock()
         exactlyOnceEpochSimhashWindow(
-          batch, textCol, batchKey(checkpointDir, batchId), indexPath, outPath, maxHamming,
+          batch, textCol, resolveBatchKey(batch.sparkSession, indexPath, checkpointDir, batchId), indexPath, outPath, maxHamming,
           admittedAt = now, minAdmitted = now - windowAge)
         if (ledgerKeepLast > 0) compactLedger(batch.sparkSession, indexPath, ledgerKeepLast)
       }
@@ -1632,7 +1679,7 @@ object SeenIndex {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val now = clock() // replay-pinned inside the body (pinnedWindow)
         exactlyOnceEpochHammingWindow(
-          batch, sigCol, batchKey(checkpointDir, batchId), indexPath, outPath, maxHamming,
+          batch, sigCol, resolveBatchKey(batch.sparkSession, indexPath, checkpointDir, batchId), indexPath, outPath, maxHamming,
           admittedAt = now, minAdmitted = now - windowAge)
         if (ledgerKeepLast > 0) compactLedger(batch.sparkSession, indexPath, ledgerKeepLast)
       }
@@ -1760,7 +1807,7 @@ object SeenIndex {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val now = clock() // replay-pinned inside the body (pinnedWindow)
         exactlyOnceEpochEmbeddingWindow(
-          batch, vecCol, idCol, batchKey(checkpointDir, batchId), indexPath, outPath,
+          batch, vecCol, idCol, resolveBatchKey(batch.sparkSession, indexPath, checkpointDir, batchId), indexPath, outPath,
           threshold, planes, admittedAt = now, minAdmitted = now - windowAge,
           bands = bands, probeHamming = probeHamming, broadcastVerify = broadcastVerify)
         if (ledgerKeepLast > 0) compactLedger(batch.sparkSession, indexPath, ledgerKeepLast)
@@ -2354,7 +2401,7 @@ object SeenIndex {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         exactlyOnceEpochEmbeddingSigned(
-          batch, vecCol, idCol, batchKey(checkpointDir, batchId), indexPath, outPath,
+          batch, vecCol, idCol, resolveBatchKey(batch.sparkSession, indexPath, checkpointDir, batchId), indexPath, outPath,
           threshold, planes, bands, probeHamming, broadcastVerify)
         if (ledgerKeepLast > 0) compactLedger(batch.sparkSession, indexPath, ledgerKeepLast)
       }
@@ -2415,7 +2462,7 @@ object SeenIndex {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val now = clock() // replay-pinned inside the body (pinnedWindow)
         exactlyOnceEpochEmbeddingWindowSigned(
-          batch, vecCol, idCol, batchKey(checkpointDir, batchId), indexPath, outPath,
+          batch, vecCol, idCol, resolveBatchKey(batch.sparkSession, indexPath, checkpointDir, batchId), indexPath, outPath,
           threshold, planes, admittedAt = now, minAdmitted = now - windowAge,
           bands = bands, probeHamming = probeHamming, broadcastVerify = broadcastVerify)
         if (ledgerKeepLast > 0) compactLedger(batch.sparkSession, indexPath, ledgerKeepLast)

@@ -21,7 +21,7 @@ import org.apache.spark.sql.types._
   * raw DIB frames ([[Avi]]). Codecs the JDK lacks (MP4/WebM,
   * compressed audio) fall back to [[FakeDecoder]] (deterministic
   * features from the bytes) — an honest stub behind the same
-  * `Decoder` seam. (Re-checked through round 17: an H.264 decoder in
+  * `Decoder` seam. (Re-checked through round 19: an H.264 decoder in
   * pure JVM exists in the ecosystem but this build's dependency set
   * is fixed to the Spark runtime + test libs, and writing one from
   * scratch is out of scope — the `Decoder` seam is where one plugs

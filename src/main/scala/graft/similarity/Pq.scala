@@ -341,6 +341,14 @@ object Pq {
             throw new IllegalArgumentException(
               s"encoded row cell ${r.cell} out of range for ivf.k=${cellConst.length}: " +
                 "the index was built against a different IVF model")
+          // a code encoded under a different pq.m would either die
+          // with a bare ArrayIndexOutOfBounds (shorter) or silently
+          // ignore trailing bytes and mis-score (longer) — same
+          // mismatched-model-pair class as the cell check above
+          if (r.code.length != table.length)
+            throw new IllegalArgumentException(
+              s"encoded row code length ${r.code.length} != pq.m=${table.length}: " +
+                "the index was built against a different PQ model")
           var sc = cellConst(r.cell)
           var s = 0
           while (s < table.length) { sc += table(s)(r.code(s) & 0xff); s += 1 }
@@ -446,6 +454,10 @@ object Pq {
     val scored = encoded
       .mapPartitions { rows =>
         rows.map { r =>
+          if (r.code.length != table.length)
+            throw new IllegalArgumentException(
+              s"encoded row code length ${r.code.length} != pq.m=${table.length}: " +
+                "the index was built against a different PQ model")
           var sc = 0.0
           var s = 0
           while (s < table.length) { sc += table(s)(r.code(s) & 0xff); s += 1 }

@@ -1496,6 +1496,51 @@ class SeenIndexSpec extends SparkSpec {
     assert(SeenIndex.read(spark, path).distinct().count() == 3)
   }
 
+  test("resolveBatchKey adopts a pre-normalization ledger's legacy key; fresh batches use the normalized key") {
+    import org.apache.hadoop.fs.Path
+    val idx = tmpDir() + "/idx"
+    // trailing slash: Hadoop Path normalization changes the spelling,
+    // so the pre-r18 (raw-string) key differs from the current one
+    val ckpt = tmpDir() + "/ckpt/"
+    val normKey = SeenIndex.batchKey(ckpt, 7L)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val legacyKey = md.digest(s"$ckpt#7".getBytes("UTF-8"))
+      .map(b => f"${b & 0xff}%02x").mkString
+    assert(legacyKey != normKey, "spelling must normalize differently for this test")
+    // no ledger at all -> normalized key (fresh deployment)
+    assert(SeenIndex.resolveBatchKey(spark, idx, ckpt, 7L) == normKey)
+    val ledger = new Path(idx + ".epochs")
+    val fs = ledger.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(ledger)
+    // empty ledger -> still the normalized key
+    assert(SeenIndex.resolveBatchKey(spark, idx, ckpt, 7L) == normKey)
+    // a pre-upgrade COMMITTED marker under the legacy key: the replay
+    // must adopt it (or it would re-allocate and re-emit the batch —
+    // the one-time exactly-once break of ADVICE r18)
+    fs.create(new Path(ledger, s"committed-$legacyKey"), true).close()
+    assert(SeenIndex.resolveBatchKey(spark, idx, ckpt, 7L) == legacyKey)
+    // a different batchId has no legacy markers -> normalized key
+    assert(SeenIndex.resolveBatchKey(spark, idx, ckpt, 8L) == SeenIndex.batchKey(ckpt, 8L))
+    // once the new key has its own markers, it wins over legacy
+    fs.create(new Path(ledger, s"alloc-$normKey-3"), true).close()
+    assert(SeenIndex.resolveBatchKey(spark, idx, ckpt, 7L) == normKey)
+    // a crashed pre-upgrade attempt (alloc marker only, no committed)
+    // is also adopted, so the replay re-finds ITS OWN epoch
+    val legacy9 = md.digest(s"$ckpt#9".getBytes("UTF-8"))
+      .map(b => f"${b & 0xff}%02x").mkString
+    fs.create(new Path(ledger, s"alloc-$legacy9-5"), true).close()
+    assert(SeenIndex.resolveBatchKey(spark, idx, ckpt, 9L) == legacy9)
+    // dash-safety: a stray marker that merely dash-prefixes the
+    // legacy key must not cause adoption
+    val legacy10 = md.digest(s"$ckpt#10".getBytes("UTF-8"))
+      .map(b => f"${b & 0xff}%02x").mkString
+    fs.create(new Path(ledger, s"alloc-$legacy10-extra-5"), true).close()
+    assert(SeenIndex.resolveBatchKey(spark, idx, ckpt, 10L) == SeenIndex.batchKey(ckpt, 10L))
+    // canonical spelling: legacy == normalized, no ledger probe needed
+    val canon = tmpDir() + "/c"
+    assert(SeenIndex.resolveBatchKey(spark, idx, canon, 7L) == SeenIndex.batchKey(canon, 7L))
+  }
+
   test("epoch allocation is dash-safe: a key that is a dash-prefix of another never claims its marker") {
     import org.apache.hadoop.fs.Path
     val idx = tmpDir() + "/idx"

@@ -117,6 +117,31 @@ class PqSpec extends SparkSpec {
     assert(Pq.readIndex(spark, emptyDir).count() == 0L)
   }
 
+  test("codes encoded under a different pq.m fail loud in topK and topKIvf, not mis-score") {
+    import sqlImplicits._
+    val m = 4
+    val df = corpus(32, m)
+    val model = Pq.train(df, "embedding", dim = 2 * m, m = m, ksub = 4, iters = 5, sampleSize = 32)
+    val q = Array.fill(2 * m)(1.0)
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    // a LONGER code (encoded under pq.m=6) would silently ignore
+    // trailing bytes; a SHORTER one (pq.m=2) died with a bare AIOOBE
+    // in the executor loop (ADVICE r18) — both must name the cause
+    Seq(2, 6).foreach { wrongM =>
+      val wrong = Pq.encode(df, "embedding", "vec_id", model)
+        .map(r => Pq.CodeRow(r.id, Array.fill[Byte](wrongM)(0)))
+      val e = intercept[Throwable] { Pq.topK(wrong, model, q, k = 3).collect() }
+      assert(msgs(e).exists(_.contains("different PQ model")), s"m=$wrongM: ${msgs(e)}")
+    }
+    val ivf = Ivf.train(df, "embedding", k = 4, iters = 5, sampleSize = 32)
+    val pq = Pq.trainResidual(df, "embedding", ivf, m = m, ksub = 4, iters = 5, sampleSize = 32)
+    val wrongIvf = Pq.encodeIvf(df, "embedding", "vec_id", ivf, pq)
+      .map(r => Pq.IvfCodeRow(r.id, r.cell, Array.fill[Byte](2)(0)))
+    val e = intercept[Throwable] { Pq.topKIvf(wrongIvf, pq, ivf, q, k = 3, nprobe = 4).collect() }
+    assert(msgs(e).exists(_.contains("different PQ model")), msgs(e).toString)
+  }
+
   test("encodeIvf assigns the same cell as Ivf.cellOf — train/encode/expression parity") {
     val m = 4
     val df = corpus(64, m)
