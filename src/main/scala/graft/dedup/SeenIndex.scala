@@ -59,8 +59,27 @@ object SeenIndex {
         "maxHamming < 4; a larger radius would silently miss true near-duplicates. " +
         "Use Dedup.dropSeenHamming directly with more bands if you need a wider radius.")
 
+  /** The simhash forms commandeer `__sig` as a working column and
+    * DROP it from the output; a caller's column of that name would be
+    * silently overwritten and deleted — fail loud instead, matching
+    * [[graft.similarity.Similarity.unitized]]'s `__norm` guard
+    * (review r19).
+    */
+  private def requireNoSigCol(df: DataFrame): DataFrame = {
+    require(!df.columns.contains("__sig"),
+      "'__sig' is a reserved working column of the simhash gates and is " +
+        "dropped from the output — rename the caller's column first")
+    df
+  }
+
   private def fsFor(spark: SparkSession, p: org.apache.hadoop.fs.Path) =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def toHex(bytes: Array[Byte]): String =
+    bytes.map(b => f"${b & 0xff}%02x").mkString
+
+  private def emptyFrame(spark: SparkSession, s: StructType): DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
 
   private def renameOrThrow(
       fs: org.apache.hadoop.fs.FileSystem,
@@ -148,7 +167,7 @@ object SeenIndex {
     if (hasParquet(fs, p))
       spark.read.schema(schema).parquet(path)
     else
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      emptyFrame(spark, schema)
   }
 
   /** Mid-compaction guard for the APPEND primitives (review r18):
@@ -233,7 +252,7 @@ object SeenIndex {
         .filter(col("epoch").isNull || col("epoch") >= minEpoch)
         .select("sig")
     else
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      emptyFrame(spark, schema)
   }
 
   /** [[gateAndUpdateSimhash]] with a RETENTION WINDOW: gate only
@@ -255,7 +274,7 @@ object SeenIndex {
       maxHamming: Int = 3): graft.core.Releasable[DataFrame] = {
     requireExactRadius(maxHamming)
     val spark = batch.sparkSession
-    val hashed = batch.withColumn("__sig",
+    val hashed = requireNoSigCol(batch).withColumn("__sig",
       SimHash64.simhash64(graft.text.TextAnalysis.tokens(col(textCol))))
     // eager localCheckpoint for the same read-what-you-write reason
     // as gateAndUpdateSimhash (see its in-body comment)
@@ -284,7 +303,7 @@ object SeenIndex {
       maxHamming: Int = 3): graft.core.Releasable[DataFrame] = {
     requireExactRadius(maxHamming)
     val spark = batch.sparkSession
-    val hashed = batch.withColumn("__sig",
+    val hashed = requireNoSigCol(batch).withColumn("__sig",
       SimHash64.simhash64(graft.text.TextAnalysis.tokens(col(textCol))))
     // EAGER localCheckpoint, not persist: the gate READS the very
     // directory the append below WRITES, so a lazy (or evicted-cache)
@@ -375,20 +394,10 @@ object SeenIndex {
     * where rename is a copy should compact during a scheduled quiet
     * window.
     */
-  def compact(spark: SparkSession, path: String): Unit =
-    compactInto(spark, path) { df =>
-      df.groupBy("sig")
-        .agg(
-          max(col("epoch")).as("__max_epoch"),
-          max(when(col("epoch").isNull, 1).otherwise(0)).as("__untagged"),
-          max(col("admitted")).as("__max_admitted"),
-          max(when(col("admitted").isNull, 1).otherwise(0)).as("__unstamped"))
-        .select(col("sig"),
-          when(col("__untagged") === 1, lit(null).cast("long"))
-            .otherwise(col("__max_epoch")).as("epoch"),
-          when(col("__unstamped") === 1, lit(null).cast("long"))
-            .otherwise(col("__max_admitted")).as("admitted"))
-    }(winEpochSchema)
+  def compact(spark: SparkSession, path: String): Unit = {
+    requireIndexFamily(spark, path, wantVec = false, "compact")
+    compactInto(spark, path)(collapseLatest(_, Seq("sig"), Nil))(winEpochSchema)
+  }
 
   /** [[compact]] for the VECTOR index — the same one-row-per-distinct
     * rewrite over `(id, vec)` keys (grouping on the array column is
@@ -400,40 +409,17 @@ object SeenIndex {
     * the big duplicate bill, where the signature index's was 8 bytes.
     */
   def compactVectors(spark: SparkSession, path: String): Unit = {
+    requireIndexFamily(spark, path, wantVec = true, "compactVectors")
     val fpBefore = indexFingerprint(fsFor(spark, new org.apache.hadoop.fs.Path(path)),
       new org.apache.hadoop.fs.Path(path))
-    compactInto(spark, path) { df =>
-      df.groupBy("id", "vec")
-        .agg(
-          max(col("epoch")).as("__max_epoch"),
-          max(when(col("epoch").isNull, 1).otherwise(0)).as("__untagged"),
-          max(col("admitted")).as("__max_admitted"),
-          max(when(col("admitted").isNull, 1).otherwise(0)).as("__unstamped"))
-        .select(col("id"), col("vec"),
-          when(col("__untagged") === 1, lit(null).cast("long"))
-            .otherwise(col("__max_epoch")).as("epoch"),
-          when(col("__unstamped") === 1, lit(null).cast("long"))
-            .otherwise(col("__max_admitted")).as("admitted"))
-    }(vecWinEpochSchema)
-    carrySigCaches(spark, path, fpBefore) { cache =>
-      // the SAME collapse as the index rewrite above, with the
-      // signature columns riding the group-by: they are functions of
-      // the vector alone, so they are constant within an (id, vec)
-      // group — the carried cache is row-for-row the signed mirror of
-      // the compacted index
-      cache.groupBy("id", "vec", "sig", "rsig", "rsig2")
-        .agg(
-          max(col("epoch")).as("__max_epoch"),
-          max(when(col("epoch").isNull, 1).otherwise(0)).as("__untagged"),
-          max(col("admitted")).as("__max_admitted"),
-          max(when(col("admitted").isNull, 1).otherwise(0)).as("__unstamped"))
-        .select(col("id"), col("vec"),
-          when(col("__untagged") === 1, lit(null).cast("long"))
-            .otherwise(col("__max_epoch")).as("epoch"),
-          when(col("__unstamped") === 1, lit(null).cast("long"))
-            .otherwise(col("__max_admitted")).as("admitted"),
-          col("sig"), col("rsig"), col("rsig2"))
-    }
+    compactInto(spark, path)(collapseLatest(_, Seq("id", "vec"), Nil))(vecWinEpochSchema)
+    // the SAME collapse as the index rewrite, with the signature
+    // columns riding the group-by: they are functions of the vector
+    // alone, so they are constant within an (id, vec) group — the
+    // carried cache is row-for-row the signed mirror of the
+    // compacted index
+    carrySigCaches(spark, path, fpBefore)(
+      collapseLatest(_, Seq("id", "vec"), Seq("sig", "rsig", "rsig2")))
   }
 
   /** Carry every signature-cache sibling of a vector index through a
@@ -492,6 +478,65 @@ object SeenIndex {
     * window, and readers must be quiesced across the swap for the
     * same reason.
     */
+  /** The one collapse rule every compaction form shares: group on
+    * `keys` (the identity grain — `epoch` is INSIDE the keys for the
+    * windowed forms, collapsed across for the plain ones), keep the
+    * LATEST tag with untagged/unstamped dominating (never-expires
+    * stays never-expires), and carry `ride` columns (the signature
+    * cache's sig/rsig/rsig2 — constant within a group by
+    * construction) through the group-by. Written once so the index
+    * rewrite and its cache twin are the same code path, not two
+    * hand-synced copies (review r19).
+    */
+  private def collapseLatest(
+      df: DataFrame, keys: Seq[String], ride: Seq[String]): DataFrame = {
+    val epochInKey = keys.contains("epoch")
+    val aggs =
+      (if (epochInKey) Seq.empty
+       else Seq(
+         max(col("epoch")).as("__max_epoch"),
+         max(when(col("epoch").isNull, 1).otherwise(0)).as("__untagged"))) ++ Seq(
+        max(col("admitted")).as("__max_admitted"),
+        max(when(col("admitted").isNull, 1).otherwise(0)).as("__unstamped"))
+    val epochOut =
+      if (epochInKey) col("epoch")
+      else when(col("__untagged") === 1, lit(null).cast("long"))
+        .otherwise(col("__max_epoch")).as("epoch")
+    val admittedOut = when(col("__unstamped") === 1, lit(null).cast("long"))
+      .otherwise(col("__max_admitted")).as("admitted")
+    df.groupBy((keys ++ ride).map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .select(keys.filterNot(_ == "epoch").map(col) ++
+        Seq(epochOut, admittedOut) ++ ride.map(col): _*)
+  }
+
+  /** Fail LOUD when a compaction form is pointed at the WRONG index
+    * family: the schema-on-read projection null-fills missing
+    * columns, so `compact` (groups on `sig`) run against a VECTOR
+    * index would collapse the whole index to ONE null-sig row — and
+    * the swap then deletes the backup: total, silent data loss from
+    * one mistyped maintenance call (review r19). One driver-side
+    * footer read, no Spark job rows.
+    */
+  private def requireIndexFamily(
+      spark: SparkSession, path: String, wantVec: Boolean, op: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = fsFor(spark, p)
+    if (!fs.exists(p) || !hasParquet(fs, p)) return
+    val cols = spark.read.parquet(path).schema.fieldNames.toSet
+    val isVec = cols.contains("vec")
+    if (wantVec && !isVec)
+      throw new IllegalStateException(
+        s"$op: $path is a SIGNATURE index (columns: ${cols.mkString(", ")}) — " +
+          "use compact/compactWindowed; the vector form's (id, vec) group-by " +
+          "would collapse it to a single null row and destroy it")
+    if (!wantVec && isVec)
+      throw new IllegalStateException(
+        s"$op: $path is a VECTOR index (columns: ${cols.mkString(", ")}) — " +
+          "use compactVectors/compactVectorsWindowed; the signature form's sig " +
+          "group-by would collapse it to a single null row and destroy it")
+  }
+
   private def compactInto(spark: SparkSession, path: String)(
       rewrite: DataFrame => DataFrame)(readSchema: StructType): Unit = {
     val p = new org.apache.hadoop.fs.Path(path)
@@ -541,7 +586,7 @@ object SeenIndex {
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val hashed = batch.withColumn("__sig",
+        val hashed = requireNoSigCol(batch).withColumn("__sig",
           SimHash64.simhash64(graft.text.TextAnalysis.tokens(col(textCol))))
         val kept = Dedup.dropSeenHamming(
           hashed, read(batch.sparkSession, indexPath).select(col("sig").as("__sig")),
@@ -648,8 +693,7 @@ object SeenIndex {
   private[dedup] def batchKey(checkpointDir: String, batchId: Long): String = {
     val normalized = new org.apache.hadoop.fs.Path(checkpointDir).toString
     val md = java.security.MessageDigest.getInstance("MD5")
-    md.digest(s"$normalized#$batchId".getBytes("UTF-8"))
-      .map(b => f"${b & 0xff}%02x").mkString
+    toHex(md.digest(s"$normalized#$batchId".getBytes("UTF-8")))
   }
 
   /** Pre-r18 key: the RAW checkpoint string, unnormalized. Kept only
@@ -658,8 +702,7 @@ object SeenIndex {
     */
   private def legacyBatchKey(checkpointDir: String, batchId: Long): String = {
     val md = java.security.MessageDigest.getInstance("MD5")
-    md.digest(s"$checkpointDir#$batchId".getBytes("UTF-8"))
-      .map(b => f"${b & 0xff}%02x").mkString
+    toHex(md.digest(s"$checkpointDir#$batchId".getBytes("UTF-8")))
   }
 
   /** [[batchKey]] with a one-shot LEGACY probe for upgrades. The r18
@@ -687,17 +730,37 @@ object SeenIndex {
     val key = batchKey(checkpointDir, batchId)
     val legacy = legacyBatchKey(checkpointDir, batchId)
     if (legacy == key) return key
+    // once ANY batch of this (index, checkpoint) resolved to the
+    // normalized key, every later batchId is post-upgrade work and
+    // can never need the legacy probe (batchIds are monotone per
+    // checkpoint; streaming replays only the last uncommitted batch)
+    // — so the per-batch ledger listing is paid once per process, not
+    // for the stream's lifetime (review r19)
+    val memoKey = s"$indexPath|$checkpointDir"
+    val floor = keyFmtNormalizedFrom.get(memoKey)
+    if (floor != null && batchId >= floor.longValue()) return key
     val dir = epochsDir(indexPath)
     val fs = fsFor(spark, dir)
-    if (!fs.exists(dir)) return key
+    def memoized: String = {
+      keyFmtNormalizedFrom.merge(memoKey, java.lang.Long.valueOf(batchId),
+        (a, b) => if (a.longValue() <= b.longValue()) a else b)
+      key
+    }
+    if (!fs.exists(dir)) return memoized
     val names = fs.listStatus(dir).map(_.getPath.getName)
     def marked(k: String): Boolean = names.exists { n =>
       n == s"committed-$k" || n.startsWith(s"stamp-$k-") ||
         (n.startsWith(s"alloc-$k-") &&
           n.substring(s"alloc-$k-".length).forall(_.isDigit))
     }
-    if (!marked(key) && marked(legacy)) legacy else key
+    if (!marked(key) && marked(legacy)) legacy else memoized
   }
+
+  /** Smallest batchId per (index, checkpoint) known to have resolved
+    * to the NORMALIZED key — see [[resolveBatchKey]].
+    */
+  private val keyFmtNormalizedFrom =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
 
   /** Allocate (or on replay, LOOK UP) the epoch number for batch
     * `key`. Numbers live in the marker FILENAMES — `alloc-<key>-<n>`
@@ -723,10 +786,15 @@ object SeenIndex {
         n.substring(prefix.length).forall(_.isDigit) =>
         n.substring(prefix.length).toLong
     }.getOrElse {
+      // one malformed foreign file (editor backup, partial upload)
+      // must not wedge every future allocation with a
+      // NumberFormatException — parse only well-formed suffixes, the
+      // same digits-only discipline as the lookup above (review r19)
       val next = names.collect {
-        case n if n.startsWith("alloc-") => n.substring(n.lastIndexOf('-') + 1).toLong
-        case n if n.startsWith("watermark-") => n.substring("watermark-".length).toLong
-      }.foldLeft(0L)(math.max) + 1L
+        case n if n.startsWith("alloc-") => n.substring(n.lastIndexOf('-') + 1)
+        case n if n.startsWith("watermark-") => n.substring("watermark-".length)
+      }.collect { case d if d.nonEmpty && d.forall(_.isDigit) => d.toLong }
+        .foldLeft(0L)(math.max) + 1L
       fs.create(new org.apache.hadoop.fs.Path(dir, s"alloc-$key-$next"), false).close()
       next
     }
@@ -801,16 +869,22 @@ object SeenIndex {
     val committed = names.collect {
       case n if n.startsWith("committed-") => n.substring("committed-".length)
     }.toSet
+    // skip malformed foreign names (no dash, non-digit suffix) — the
+    // digits-only discipline of allocEpoch's parses (review r19)
     val allocs = names.collect {
-      case n if n.startsWith("alloc-") =>
-        val body = n.substring("alloc-".length)
+      case n if n.startsWith("alloc-") => n.substring("alloc-".length)
+    }.collect {
+      case body if body.lastIndexOf('-') > 0 && {
+        val d = body.substring(body.lastIndexOf('-') + 1)
+        d.nonEmpty && d.forall(_.isDigit)
+      } =>
         val cut = body.lastIndexOf('-')
         (body.substring(0, cut), body.substring(cut + 1).toLong)
     }
     // the windowed loops persist one stamp-<key>-<clock> per batch
     // (attemptStamp); pruned with the pair, keyed here for the lookup
     val stampByKey = names.collect {
-      case n if n.startsWith("stamp-") =>
+      case n if n.startsWith("stamp-") && n.substring("stamp-".length).lastIndexOf('-') > 0 =>
         val body = n.substring("stamp-".length)
         (body.substring(0, body.lastIndexOf('-')), n)
     }.toMap
@@ -846,8 +920,10 @@ object SeenIndex {
     }
     // sweep superseded watermark files (monotone: keep only the max)
     names.collect {
-      case n if n.startsWith("watermark-") && n.substring("watermark-".length).toLong < newWatermark =>
-        deleteOrThrow(fs, new org.apache.hadoop.fs.Path(dir, n))
+      case n if n.startsWith("watermark-") && {
+        val d = n.substring("watermark-".length)
+        d.nonEmpty && d.forall(_.isDigit) && d.toLong < newWatermark
+      } => deleteOrThrow(fs, new org.apache.hadoop.fs.Path(dir, n))
     }
     ()
   }
@@ -924,7 +1000,10 @@ object SeenIndex {
       if (fs.exists(ledger)) fs.listStatus(ledger).map(_.getPath.getName)
       else Array.empty[String]
     val watermarks = markers.collect {
-      case n if n.startsWith("watermark-") => n.substring("watermark-".length).toLong
+      case n if n.startsWith("watermark-") &&
+        n.substring("watermark-".length).nonEmpty &&
+        n.substring("watermark-".length).forall(_.isDigit) =>
+        n.substring("watermark-".length).toLong
     }
     // the normalized path's parent (sibling artifacts live there);
     // normalize first so a trailing slash doesn't look one level deep
@@ -961,7 +1040,7 @@ object SeenIndex {
         .filter(col("epoch").isNull || col("epoch") =!= epoch)
         .select("sig")
     else
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      emptyFrame(spark, schema)
   }
 
   /** One EXACTLY-ONCE ingest batch — the body [[gateStreamSimhashExactlyOnce]]
@@ -1026,6 +1105,15 @@ object SeenIndex {
       gate: Long => (DataFrame, () => Unit))(
       appendKept: (DataFrame, Long) => Unit)(
       project: DataFrame => DataFrame): Unit = {
+    // the output lands under outPath/epoch=<n>; a batch that already
+    // carries an 'epoch' data column would collide with the partition
+    // column on read-back (Spark throws "duplicate column(s) in the
+    // data schema and the partition schema"), breaking the documented
+    // read-outPath-as-one-table contract — refuse up front (review r19)
+    require(!batch.columns.contains("epoch"),
+      "exactly-once batches must not carry an 'epoch' column: the output is " +
+        "partitioned by the allocated epoch and partition discovery would " +
+        "collide with the data column on read-back — rename it before the gate")
     val spark = batch.sparkSession
     val fs = fsFor(spark, new org.apache.hadoop.fs.Path(indexPath))
     // fail BEFORE touching the ledger: a crashed compaction must stop
@@ -1060,7 +1148,7 @@ object SeenIndex {
       maxHamming: Int,
       crashpoint: String => Unit = _ => ()): Unit = {
     val spark = batch.sparkSession
-    val hashed = batch.withColumn("__sig",
+    val hashed = requireNoSigCol(batch).withColumn("__sig",
       SimHash64.simhash64(graft.text.TextAnalysis.tokens(col(textCol))))
     exactlyOnceEpoch(batch, key, indexPath, outPath, crashpoint) { epoch =>
       Dedup.dropSeenHamming(
@@ -1189,7 +1277,7 @@ object SeenIndex {
     if (hasParquet(fs, p))
       spark.read.schema(vecSchema).parquet(path)
     else
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], vecSchema)
+      emptyFrame(spark, vecSchema)
   }
 
   /** Append `(idCol, vecCol)` rows to the vector index — null vectors
@@ -1237,7 +1325,7 @@ object SeenIndex {
         .filter(col("epoch").isNull || col("epoch") >= minEpoch)
         .select("id", "vec")
     else
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], vecSchema)
+      emptyFrame(spark, vecSchema)
   }
 
   /** One ingest epoch at the EMBEDDING level — the durable form of
@@ -1388,7 +1476,7 @@ object SeenIndex {
         .filter(col("epoch").isNull || col("epoch") =!= epoch)
         .select("id", "vec")
     else
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], vecSchema)
+      emptyFrame(spark, vecSchema)
   }
 
   /** [[exactlyOnceEpochSimhash]] at the EMBEDDING level — same
@@ -1495,7 +1583,7 @@ object SeenIndex {
         .filter(col("admitted").isNull || col("admitted") >= minAdmitted)
         .select("sig")
     else
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      emptyFrame(spark, schema)
   }
 
   /** The replay view of a WINDOWED index: signatures that are (a) not
@@ -1516,7 +1604,7 @@ object SeenIndex {
         .filter(col("admitted").isNull || col("admitted") >= minAdmitted)
         .select("sig")
     else
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      emptyFrame(spark, schema)
   }
 
   /** Pin one windowed attempt's clock pair to the FIRST attempt's:
@@ -1575,7 +1663,7 @@ object SeenIndex {
       crashpoint: String => Unit = _ => ()): Unit = {
     val spark = batch.sparkSession
     val (at, minAt) = pinnedWindow(spark, indexPath, key, admittedAt, minAdmitted)
-    val hashed = batch.withColumn("__sig",
+    val hashed = requireNoSigCol(batch).withColumn("__sig",
       SimHash64.simhash64(graft.text.TextAnalysis.tokens(col(textCol))))
     exactlyOnceEpoch(batch, key, indexPath, outPath, crashpoint) { epoch =>
       Dedup.dropSeenHamming(
@@ -1702,18 +1790,14 @@ object SeenIndex {
     * one-writer rule as [[compact]].
     */
   def compactWindowed(
-      spark: SparkSession, path: String, dropAdmittedBefore: Option[Long] = None): Unit =
+      spark: SparkSession, path: String, dropAdmittedBefore: Option[Long] = None): Unit = {
+    requireIndexFamily(spark, path, wantVec = false, "compactWindowed")
     compactInto(spark, path) { df =>
-      val collapsed = df.groupBy("sig", "epoch")
-        .agg(
-          max(col("admitted")).as("__max_admitted"),
-          max(when(col("admitted").isNull, 1).otherwise(0)).as("__unstamped"))
-        .select(col("sig"), col("epoch"),
-          when(col("__unstamped") === 1, lit(null).cast("long"))
-            .otherwise(col("__max_admitted")).as("admitted"))
+      val collapsed = collapseLatest(df, Seq("sig", "epoch"), Nil)
       dropAdmittedBefore.fold(collapsed)(h =>
         collapsed.filter(col("admitted").isNull || col("admitted") >= h))
     }(winEpochSchema)
+  }
 
   // -- the embedding modality of the composed loop --
 
@@ -1746,7 +1830,7 @@ object SeenIndex {
         .filter(col("admitted").isNull || col("admitted") >= minAdmitted)
         .select("id", "vec")
     else
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], vecSchema)
+      emptyFrame(spark, vecSchema)
   }
 
   /** [[exactlyOnceEpochSimhashWindow]] at the EMBEDDING level — same
@@ -1820,33 +1904,18 @@ object SeenIndex {
     */
   def compactVectorsWindowed(
       spark: SparkSession, path: String, dropAdmittedBefore: Option[Long] = None): Unit = {
+    requireIndexFamily(spark, path, wantVec = true, "compactVectorsWindowed")
     val fpBefore = indexFingerprint(fsFor(spark, new org.apache.hadoop.fs.Path(path)),
       new org.apache.hadoop.fs.Path(path))
-    compactInto(spark, path) { df =>
-      val collapsed = df.groupBy("id", "vec", "epoch")
-        .agg(
-          max(col("admitted")).as("__max_admitted"),
-          max(when(col("admitted").isNull, 1).otherwise(0)).as("__unstamped"))
-        .select(col("id"), col("vec"), col("epoch"),
-          when(col("__unstamped") === 1, lit(null).cast("long"))
-            .otherwise(col("__max_admitted")).as("admitted"))
+    def expire(collapsed: DataFrame): DataFrame =
       dropAdmittedBefore.fold(collapsed)(h =>
         collapsed.filter(col("admitted").isNull || col("admitted") >= h))
-    }(vecWinEpochSchema)
-    carrySigCaches(spark, path, fpBefore) { cache =>
-      // the (id, vec, epoch)-grain twin of the index rewrite above;
-      // signatures ride the group-by (constant per vec)
-      val collapsed = cache.groupBy("id", "vec", "epoch", "sig", "rsig", "rsig2")
-        .agg(
-          max(col("admitted")).as("__max_admitted"),
-          max(when(col("admitted").isNull, 1).otherwise(0)).as("__unstamped"))
-        .select(col("id"), col("vec"), col("epoch"),
-          when(col("__unstamped") === 1, lit(null).cast("long"))
-            .otherwise(col("__max_admitted")).as("admitted"),
-          col("sig"), col("rsig"), col("rsig2"))
-      dropAdmittedBefore.fold(collapsed)(h =>
-        collapsed.filter(col("admitted").isNull || col("admitted") >= h))
-    }
+    compactInto(spark, path)(df =>
+      expire(collapseLatest(df, Seq("id", "vec", "epoch"), Nil)))(vecWinEpochSchema)
+    // the (id, vec, epoch)-grain twin of the index rewrite above;
+    // signatures ride the group-by (constant per vec)
+    carrySigCaches(spark, path, fpBefore)(cache =>
+      expire(collapseLatest(cache, Seq("id", "vec", "epoch"), Seq("sig", "rsig", "rsig2"))))
   }
 
   // ---- the SIGNED vector index: precomputed-signature gating ----
@@ -1903,7 +1972,7 @@ object SeenIndex {
     planes.foreach(_.foreach { f =>
       bb.clear(); bb.putFloat(f); md.update(bb.array(), 0, 4)
     })
-    md.digest().map(b => f"${b & 0xff}%02x").mkString.take(16)
+    toHex(md.digest()).take(16)
   }
 
   private def sigsDir(path: String, planes: Array[Array[Float]]) =
@@ -1966,7 +2035,7 @@ object SeenIndex {
           s"${st.getPath.getName}:${st.getLen}" }
         .sorted
         .foreach(s => md.update(s.getBytes("UTF-8")))
-    md.digest().map(b => f"${b & 0xff}%02x").mkString
+    toHex(md.digest())
   }
 
   /** The `_synced-<fingerprint>` marker inside a cache dir. The
@@ -2152,12 +2221,10 @@ object SeenIndex {
     val dir = sigsDir(path, planes)
     val fs = fsFor(spark, dir)
     if (!hasParquet(fs, dir))
-      return spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        StructType(Seq(
-          StructField(idCol, LongType), StructField(vecCol, ArrayType(FloatType, true)),
-          StructField("__sig", LongType), StructField("__rsig", LongType),
-          StructField("__rsig2", LongType))))
+      return emptyFrame(spark, StructType(Seq(
+        StructField(idCol, LongType), StructField(vecCol, ArrayType(FloatType, true)),
+        StructField("__sig", LongType), StructField("__rsig", LongType),
+        StructField("__rsig2", LongType))))
     val raw = spark.read.schema(sigCacheSchema).parquet(dir.toString)
     val epochOk = excludeEpoch
       .map(e => col("epoch").isNull || col("epoch") =!= e).getOrElse(lit(true))
@@ -2174,10 +2241,18 @@ object SeenIndex {
       .filter(col(vecCol).isNotNull)
   }
 
-  /** READ-ONLY signed gate: the batch rows not near anything in the
-    * index, via the signature cache, with NO append — the dry-run /
-    * measurement form. The result is lazy; call `release()` after
-    * the terminal action (it drops the miner's internal persists).
+  /** Signed gate with NO index append — the dry-run / measurement
+    * form. NOT fully read-only: it validates the signature cache
+    * first ([[ensureSigCache]]), which REBUILDS the cache (a parquet
+    * write + swap) when the sync marker is stale and deletes it when
+    * the index is empty — so it needs write access to the cache
+    * sibling and must respect the one-writer rule like any other
+    * signed form. A truly read-only caller (monitoring with read-only
+    * credentials) should check [[listSigCaches]] first and use the
+    * unsigned [[graft.similarity.Similarity.dropSeenEmbedding]] dry
+    * run when the cache is out of sync. The result is lazy; call
+    * `release()` after the terminal action (it drops the miner's
+    * internal persists).
     */
   def dropSeenEmbeddingSigned(
       batch: DataFrame,

@@ -250,6 +250,63 @@ object Ivf {
   def readIndex(spark: org.apache.spark.sql.SparkSession, tableName: String): DataFrame =
     spark.table(tableName)
 
+  /** Append a NEW batch to a [[writeIndex]] bucketed table without
+    * retraining: assign cells with the SAME frozen model (cell is a
+    * pure function of the model, so appended rows are
+    * indistinguishable from original ones to every probe) and insert
+    * into the existing bucket layout. Cost scales with the batch,
+    * never the table. Ids must stay unique across appends (caller's
+    * contract). Watch [[Pq.driftCheck]]-style statistics (mean dot to
+    * the assigned centroid, via [[assignmentTightness]]) to know when
+    * the cell geometry needs a retrain.
+    */
+  def appendToIndex(
+      df: DataFrame, vecCol: String, idCol: String, model: Model, tableName: String): Unit =
+    index(df, vecCol, idCol, model)
+      .write.mode("append").insertInto(tableName)
+
+  /** Mean cosine between each usable row's unit vector and its
+    * ASSIGNED centroid — the IVF-side drift statistic: a frozen cell
+    * geometry fits a drifted corpus more loosely, so this mean falls
+    * from its training-time value. One distributed aggregation;
+    * NaN on zero usable rows.
+    */
+  def assignmentTightness(df: DataFrame, vecCol: String, model: Model): Double = {
+    val assigned = finiteNormed(df.select(col(vecCol)), vecCol)
+      .select(transform(col(vecCol), x => x / col("__n")).as("u"))
+      .withColumn("cell", cellOf(col("u"), model))
+    val cents = model.centroids
+    val withDot = assigned.withColumn("cent",
+      element_at(
+        array(cents.toIndexedSeq.map(c =>
+          array(c.toIndexedSeq.map(x => lit(x)): _*)): _*),
+        col("cell") + 1))
+      .select(Similarity.dot(col("u"), col("cent")).as("d"))
+    withDot.agg(avg("d")).collect()(0) match {
+      case r if r.isNullAt(0) => Double.NaN
+      case r => r.getDouble(0)
+    }
+  }
+
+  /** Persist the trained IVF model as a small parquet table — one row
+    * per cell; the artifact a daily-ingest pipeline loads to
+    * [[appendToIndex]] without retraining.
+    */
+  def writeModel(spark: org.apache.spark.sql.SparkSession, model: Model, path: String): Unit = {
+    import spark.implicits._
+    model.centroids.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a [[writeModel]] artifact; fails loud on an empty layout. */
+  def readModel(spark: org.apache.spark.sql.SparkSession, path: String): Model = {
+    val rows = spark.read.parquet(path).select("cell", "centroid").collect()
+    require(rows.nonEmpty, s"no IVF model rows at $path")
+    Model(rows.sortBy(_.getInt(0)).map(_.getSeq[Float](1).toArray))
+  }
+
   /** Top-k by cosine probing only the query's `nprobe` nearest cells. */
   def topK(
       indexed: DataFrame,

@@ -371,6 +371,138 @@ object Pq {
   def writeIndex(encoded: Dataset[IvfCodeRow], path: String): Unit =
     encoded.toDF().write.mode("overwrite").partitionBy("cell").parquet(path)
 
+  /** Append a NEW batch to an existing [[writeIndex]] layout without
+    * retraining or re-encoding the corpus — the daily-ingest
+    * maintenance path. The batch is encoded against the SAME frozen
+    * (ivf, pq) model pair the index was built with (cells and codes
+    * are pure functions of the models, so appended rows are
+    * indistinguishable from original ones to every probe API) and
+    * lands as new files under the SAME `cell=<n>` partition
+    * directories — cost scales with the BATCH, never the index
+    * (ScaleBench `pq_append_vs_index` pins the flat term). Ids must
+    * stay unique across appends (caller's contract, as everywhere in
+    * this module); recall against new rows is full (they are encoded
+    * exactly), while codebook fit for a DRIFTED distribution degrades
+    * gradually — watch [[driftCheck]] and retrain when it fires.
+    */
+  def appendToIndex(
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      ivf: Ivf.Model,
+      pq: Model,
+      path: String): Unit =
+    encodeIvf(df, vecCol, idCol, ivf, pq)
+      .toDF().write.mode("append").partitionBy("cell").parquet(path)
+
+  /** Mean squared reconstruction error of the IVF-PQ coder over
+    * `df`'s usable rows: `E[ ||u - (centroid_cell + decode(code))||² ]`
+    * with `u` the unit vector. ONE distributed aggregation (encode +
+    * decode + squared error per row, map-side-combined avg); returns
+    * NaN on zero usable rows. This is the drift statistic for a
+    * frozen model pair: as the incoming distribution walks away from
+    * the training-time one, residuals stop matching the codebooks and
+    * the error rises — compare against the training-time baseline
+    * with [[driftCheck]].
+    */
+  def quantizationError(
+      df: DataFrame, vecCol: String, ivf: Ivf.Model, pq: Model): Double = {
+    import df.sparkSession.implicits._
+    require(pq.dim == ivf.centroids.head.length,
+      s"pq dim ${pq.dim} != ivf dim ${ivf.centroids.head.length}")
+    val errs = df.select(col(vecCol).as("v"))
+      .filter(usableVec("v", pq.dim))
+      .as[Array[Float]]
+      .mapPartitions { rows =>
+        rows.map { vf =>
+          val v = vf.map(_.toDouble)
+          val norm = math.sqrt(v.map(x => x * x).sum)
+          val u = v.map(_ / norm)
+          val cell = nearestCellDot(u, ivf.centroids)
+          val cent = ivf.centroids(cell)
+          val residual = Array.tabulate(pq.dim)(i => u(i) - cent(i))
+          val code = codeOf(residual, pq)
+          var err = 0.0
+          val dsub = pq.dsub
+          var s = 0
+          while (s < pq.m) {
+            val cw = pq.codebooks(s)(code(s) & 0xff)
+            var i = 0
+            while (i < dsub) {
+              val d = residual(s * dsub + i) - cw(i)
+              err += d * d
+              i += 1
+            }
+            s += 1
+          }
+          err
+        }
+      }
+      .toDF("err")
+    errs.agg(avg("err")).collect()(0) match {
+      case r if r.isNullAt(0) => Double.NaN
+      case r => r.getDouble(0)
+    }
+  }
+
+  /** One drift verdict for a frozen model pair: `current` is the
+    * batch's [[quantizationError]], `baseline` the training-time one
+    * (capture it right after train with the SAME function over the
+    * training corpus or a held-out slice), `ratio = current /
+    * baseline`, and `retrainDue` fires when the ratio crosses
+    * `factor`. An empty batch (NaN current) never fires.
+    */
+  final case class DriftStat(
+      baseline: Double, current: Double, ratio: Double, retrainDue: Boolean)
+
+  /** Evaluate [[DriftStat]] for a batch against a frozen model pair.
+    * `factor` defaults to 1.5 — at 1.5× the training-time quantization
+    * error, ADC scores have visibly decayed and a retrain+re-encode
+    * window should be scheduled.
+    */
+  def driftCheck(
+      df: DataFrame, vecCol: String, ivf: Ivf.Model, pq: Model,
+      baseline: Double, factor: Double = 1.5): DriftStat = {
+    require(baseline > 0 && !baseline.isNaN && !baseline.isInfinite,
+      s"baseline=$baseline must be a positive finite training-time quantizationError")
+    require(factor > 1.0, s"factor=$factor must be > 1 (1.0 would fire on noise)")
+    val current = quantizationError(df, vecCol, ivf, pq)
+    val ratio = current / baseline
+    DriftStat(baseline, current, ratio, retrainDue = !current.isNaN && ratio > factor)
+  }
+
+  /** Persist the trained PQ model as a small parquet table — the
+    * artifact a daily-ingest pipeline loads to [[appendToIndex]]
+    * without retraining. One row per (subspace, codeword); dim/m/ksub
+    * ride every row (a handful of codewords — control-plane size).
+    */
+  def writeModel(spark: org.apache.spark.sql.SparkSession, pq: Model, path: String): Unit = {
+    import spark.implicits._
+    val rows = for {
+      s <- pq.codebooks.indices
+      c <- pq.codebooks(s).indices
+    } yield (pq.dim, pq.m, pq.ksub, s, c, pq.codebooks(s)(c).toSeq)
+    rows.toDF("dim", "m", "ksub", "subspace", "codeword", "values")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a [[writeModel]] artifact. Fails loud on an empty or torn
+    * layout (a model is never legitimately empty).
+    */
+  def readModel(spark: org.apache.spark.sql.SparkSession, path: String): Model = {
+    val rows = spark.read.parquet(path)
+      .select("dim", "m", "ksub", "subspace", "codeword", "values")
+      .collect()
+    require(rows.nonEmpty, s"no PQ model rows at $path")
+    val dim = rows.head.getInt(0); val m = rows.head.getInt(1); val ksub = rows.head.getInt(2)
+    val codebooks = Array.tabulate(m) { s =>
+      rows.filter(_.getInt(3) == s).sortBy(_.getInt(4))
+        .map(_.getSeq[Float](5).toArray)
+    }
+    require(codebooks.forall(_.nonEmpty), s"torn PQ model at $path: a subspace has no codewords")
+    Model(dim, m, ksub, codebooks)
+  }
+
   /** Read back a [[writeIndex]] layout. The partition column comes
     * back typed by directory inference; it is cast and re-ordered to
     * the [[IvfCodeRow]] shape so every probe API accepts the result.

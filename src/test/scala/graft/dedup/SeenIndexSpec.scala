@@ -1496,46 +1496,121 @@ class SeenIndexSpec extends SparkSpec {
     assert(SeenIndex.read(spark, path).distinct().count() == 3)
   }
 
+  test("compaction forms refuse the wrong index family instead of collapsing it to one null row") {
+    import sqlImplicits._
+    val sigIdx = tmpDir() + "/sigidx"
+    val vecIdx = tmpDir() + "/vecidx"
+    SeenIndex.append(Seq(1L, 2L).toDF("sig"), "sig", sigIdx)
+    SeenIndex.append(Seq(2L).toDF("sig"), "sig", sigIdx) // cross-append duplicate
+    SeenIndex.appendVectors(
+      Seq((1L, Seq(1f, 0f)), (2L, Seq(0f, 1f))).toDF("id", "vec"), "vec", "id", vecIdx)
+    // the schema-on-read projection null-fills missing columns, so the
+    // wrong form's group-by would silently collapse the whole index to
+    // ONE null row and the swap would delete the backup (review r19)
+    intercept[IllegalStateException] { SeenIndex.compact(spark, vecIdx) }
+    intercept[IllegalStateException] { SeenIndex.compactWindowed(spark, vecIdx) }
+    intercept[IllegalStateException] { SeenIndex.compactVectors(spark, sigIdx) }
+    intercept[IllegalStateException] { SeenIndex.compactVectorsWindowed(spark, sigIdx) }
+    // the indexes are untouched and the RIGHT forms still work
+    assert(SeenIndex.read(spark, sigIdx).count() == 3)
+    SeenIndex.compact(spark, sigIdx)
+    assert(SeenIndex.read(spark, sigIdx).count() == 2)
+    SeenIndex.compactVectors(spark, vecIdx)
+    assert(SeenIndex.readVectors(spark, vecIdx).count() == 2)
+  }
+
+  test("exactly-once batches with an 'epoch' column are refused (partition-column collision on read-back)") {
+    import sqlImplicits._
+    val idx = tmpDir() + "/idx"; val out = tmpDir() + "/out"
+    val bad = Seq((1L, "alpha beta", 7L)).toDF("doc_id", "text", "epoch")
+    val e = intercept[IllegalArgumentException] {
+      SeenIndex.exactlyOnceEpochSimhash(bad, "text", "k1", idx, out, 3)
+    }
+    assert(e.getMessage.contains("epoch"), e.getMessage)
+  }
+
+  test("simhash gates refuse a caller's __sig column instead of silently overwriting and dropping it") {
+    import sqlImplicits._
+    val bad = Seq((1L, "alpha beta", 99L)).toDF("doc_id", "text", "__sig")
+    val e = intercept[IllegalArgumentException] {
+      SeenIndex.gateAndUpdateSimhash(bad, "text", tmpDir() + "/idx")
+    }
+    assert(e.getMessage.contains("__sig"), e.getMessage)
+  }
+
+  test("one malformed foreign file in the ledger wedges neither allocation nor ledger compaction") {
+    import org.apache.hadoop.fs.Path
+    import sqlImplicits._
+    val idx = tmpDir() + "/idx"; val out = tmpDir() + "/out"
+    SeenIndex.exactlyOnceEpochSimhash(
+      Seq((1L, "alpha beta gamma")).toDF("doc_id", "text"), "text", "k1", idx, out, 3)
+    val ledger = new Path(idx + ".epochs")
+    val fs = ledger.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // an editor backup / partial upload next to the real markers:
+    // every later batch's allocEpoch max-scan and compactLedger's
+    // parses must skip it, not die with NumberFormatException
+    fs.create(new Path(ledger, "alloc-k1-1~"), true).close()
+    fs.create(new Path(ledger, "watermark-old.bak"), true).close()
+    fs.create(new Path(ledger, "stamp-nodash"), true).close()
+    SeenIndex.exactlyOnceEpochSimhash(
+      Seq((2L, "delta epsilon zeta")).toDF("doc_id", "text"), "text", "k2", idx, out, 3)
+    SeenIndex.compactLedger(spark, idx, keepLast = 1)
+    val stats = SeenIndex.stats(spark, idx)
+    assert(stats.ledgerCommitted >= 1)
+    assert(spark.read.parquet(out).count() == 2)
+  }
+
   test("resolveBatchKey adopts a pre-normalization ledger's legacy key; fresh batches use the normalized key") {
     import org.apache.hadoop.fs.Path
     val idx = tmpDir() + "/idx"
-    // trailing slash: Hadoop Path normalization changes the spelling,
-    // so the pre-r18 (raw-string) key differs from the current one
-    val ckpt = tmpDir() + "/ckpt/"
-    val normKey = SeenIndex.batchKey(ckpt, 7L)
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val legacyKey = md.digest(s"$ckpt#7".getBytes("UTF-8"))
-      .map(b => f"${b & 0xff}%02x").mkString
-    assert(legacyKey != normKey, "spelling must normalize differently for this test")
-    // no ledger at all -> normalized key (fresh deployment)
-    assert(SeenIndex.resolveBatchKey(spark, idx, ckpt, 7L) == normKey)
     val ledger = new Path(idx + ".epochs")
     val fs = ledger.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(ledger)
-    // empty ledger -> still the normalized key
-    assert(SeenIndex.resolveBatchKey(spark, idx, ckpt, 7L) == normKey)
-    // a pre-upgrade COMMITTED marker under the legacy key: the replay
-    // must adopt it (or it would re-allocate and re-emit the batch —
-    // the one-time exactly-once break of ADVICE r18)
-    fs.create(new Path(ledger, s"committed-$legacyKey"), true).close()
-    assert(SeenIndex.resolveBatchKey(spark, idx, ckpt, 7L) == legacyKey)
-    // a different batchId has no legacy markers -> normalized key
-    assert(SeenIndex.resolveBatchKey(spark, idx, ckpt, 8L) == SeenIndex.batchKey(ckpt, 8L))
-    // once the new key has its own markers, it wins over legacy
-    fs.create(new Path(ledger, s"alloc-$normKey-3"), true).close()
-    assert(SeenIndex.resolveBatchKey(spark, idx, ckpt, 7L) == normKey)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def legacyKeyOf(ckpt: String, b: Long): String =
+      md.digest(s"$ckpt#$b".getBytes("UTF-8")).map(x => f"${x & 0xff}%02x").mkString
+    // NOTE: resolveBatchKey memoizes "normalized from batchId N on"
+    // per (index, checkpoint) — production resolves batchIds in
+    // order, so each scenario below uses its own checkpoint spelling
+    // (trailing slash: Hadoop Path normalization changes the string,
+    // so the pre-r18 raw-string key differs from the current one).
+
+    // pre-upgrade COMMITTED marker under the legacy key: the restart's
+    // replay must adopt it (or it would re-allocate and re-emit the
+    // batch — the one-time exactly-once break of ADVICE r18)
+    val ckptA = tmpDir() + "/ckptA/"
+    assert(legacyKeyOf(ckptA, 7L) != SeenIndex.batchKey(ckptA, 7L),
+      "spelling must normalize differently for this test")
+    fs.create(new Path(ledger, s"committed-${legacyKeyOf(ckptA, 7L)}"), true).close()
+    assert(SeenIndex.resolveBatchKey(spark, idx, ckptA, 7L) == legacyKeyOf(ckptA, 7L))
+
     // a crashed pre-upgrade attempt (alloc marker only, no committed)
     // is also adopted, so the replay re-finds ITS OWN epoch
-    val legacy9 = md.digest(s"$ckpt#9".getBytes("UTF-8"))
-      .map(b => f"${b & 0xff}%02x").mkString
-    fs.create(new Path(ledger, s"alloc-$legacy9-5"), true).close()
-    assert(SeenIndex.resolveBatchKey(spark, idx, ckpt, 9L) == legacy9)
+    val ckptB = tmpDir() + "/ckptB/"
+    fs.create(new Path(ledger, s"alloc-${legacyKeyOf(ckptB, 9L)}-5"), true).close()
+    assert(SeenIndex.resolveBatchKey(spark, idx, ckptB, 9L) == legacyKeyOf(ckptB, 9L))
+
+    // markers under the NEW key win over legacy ones
+    val ckptC = tmpDir() + "/ckptC/"
+    fs.create(new Path(ledger, s"committed-${legacyKeyOf(ckptC, 7L)}"), true).close()
+    fs.create(new Path(ledger, s"alloc-${SeenIndex.batchKey(ckptC, 7L)}-3"), true).close()
+    assert(SeenIndex.resolveBatchKey(spark, idx, ckptC, 7L) == SeenIndex.batchKey(ckptC, 7L))
+
     // dash-safety: a stray marker that merely dash-prefixes the
     // legacy key must not cause adoption
-    val legacy10 = md.digest(s"$ckpt#10".getBytes("UTF-8"))
-      .map(b => f"${b & 0xff}%02x").mkString
-    fs.create(new Path(ledger, s"alloc-$legacy10-extra-5"), true).close()
-    assert(SeenIndex.resolveBatchKey(spark, idx, ckpt, 10L) == SeenIndex.batchKey(ckpt, 10L))
+    val ckptD = tmpDir() + "/ckptD/"
+    fs.create(new Path(ledger, s"alloc-${legacyKeyOf(ckptD, 10L)}-extra-5"), true).close()
+    assert(SeenIndex.resolveBatchKey(spark, idx, ckptD, 10L) == SeenIndex.batchKey(ckptD, 10L))
+
+    // fresh checkpoint, no markers anywhere -> normalized key; and the
+    // memo then skips the probe for every LATER batchId (monotone in
+    // production), so a legacy marker planted afterwards for a later
+    // batch — impossible ordering in a real stream — is ignored
+    val ckptE = tmpDir() + "/ckptE/"
+    assert(SeenIndex.resolveBatchKey(spark, idx, ckptE, 3L) == SeenIndex.batchKey(ckptE, 3L))
+    fs.create(new Path(ledger, s"committed-${legacyKeyOf(ckptE, 4L)}"), true).close()
+    assert(SeenIndex.resolveBatchKey(spark, idx, ckptE, 4L) == SeenIndex.batchKey(ckptE, 4L))
+
     // canonical spelling: legacy == normalized, no ledger probe needed
     val canon = tmpDir() + "/c"
     assert(SeenIndex.resolveBatchKey(spark, idx, canon, 7L) == SeenIndex.batchKey(canon, 7L))
