@@ -48,8 +48,7 @@ object ScaleBench {
     * 8x grows the reference-side SIGNATURE work 8x without inflating
     * the candidate volume.
     */
-  private def history8(spark: SparkSession, emb: DataFrame): String = {
-    val p = graft.core.TempDirs.create("scale_hist_vecs8_")
+  private def history8Into(spark: SparkSession, emb: DataFrame, p: String): Unit = {
     val ref = emb.filter(col("vec_id") % 3 =!= 0)
     val copies = (0 until 8).map { k =>
       if (k == 0) ref
@@ -61,7 +60,110 @@ object ScaleBench {
     }
     graft.dedup.SeenIndex.appendVectors(
       copies.reduce(_.unionByName(_)), "embedding", "vec_id", p)
+  }
+
+  // ---- vs-history fixtures: DETERMINISTIC paths, built OUTSIDE the
+  // measuring JVM ----
+  //
+  // r18's committed artifact showed the signed 8x-history pair
+  // INVERTED at x30 (4.48 vs 3.03 s) even though the cache build ran
+  // outside the timed thunk: the 320k-row index+cache build in the
+  // SAME JVM moments before the measurement left lasting state (heap
+  // geometry, code cache, page cache) that taxed the signed gate —
+  // adjudicated cross-JVM (signed 3.86 vs 4.89 s) but only in a
+  // comment. The general fix: every vs-history fixture lives at a
+  // deterministic path under the scale dir, built by a CHILD JVM
+  // (the `--fixtures` mode, forked by [[main]] before any timed run)
+  // so NO timed thunk — first run included — shares a JVM with its
+  // own fixture build. Entries fall back to an in-JVM build with a
+  // loud warning when the fixture phase did not run (e.g. a selective
+  // SPARK_GRAFT_SCALE_ONLY re-sweep against a fresh target dir).
+
+  /** The gate geometry every vs-history entry shares (seed-stable, so
+    * the child JVM's sig caches carry the same geometry key).
+    */
+  private def vsHistoryPlanes: Array[Array[Float]] =
+    graft.similarity.Similarity.hyperplanes(64, 64)
+
+  private val VsHistoryFixtures =
+    Seq("hist_sigs", "hist_vecs", "hist_vecs8", "hist_phash", "pq_index")
+
+  private def fixtureMarker(dir: String, name: String) =
+    new java.io.File(s"$dir/_FIXTURE_$name")
+
+  private def ensureVsHistoryFixture(
+      spark: SparkSession, dir: String, name: String, quiet: Boolean = false)(
+      build: String => Unit): String = {
+    val p = s"$dir/$name"
+    val done = fixtureMarker(dir, name)
+    if (!done.exists()) {
+      if (!quiet)
+        System.err.println(s"ScaleBench: vs-history fixture '$name' not prebuilt — building " +
+          "it in the MEASURING JVM; this entry's timings may be contaminated " +
+          "(r18's x30 signed artifact). Full runs build fixtures in a child JVM.")
+      build(p)
+      done.createNewFile()
+    }
     p
+  }
+
+  private def buildHistSigs(spark: SparkSession, dir: String)(p: String): Unit = {
+    val docs = graft.sources.Sources.documents(spark, dir)
+    graft.dedup.SeenIndex.append(
+      docs.filter(col("doc_id") % 3 =!= 0)
+        .select(graft.dedup.SimHash64.simhash64(
+          graft.text.TextAnalysis.tokens(col("text"))).as("sig")),
+      "sig", p)
+  }
+
+  private def buildHistVecs(spark: SparkSession, dir: String)(p: String): Unit = {
+    val emb = graft.sources.Sources.embeddings(spark, dir)
+    graft.dedup.SeenIndex.appendVectors(
+      emb.filter(col("vec_id") % 3 =!= 0), "embedding", "vec_id", p)
+    graft.dedup.SeenIndex.ensureSigCache(spark, p, vsHistoryPlanes)
+  }
+
+  private def buildHistVecs8(spark: SparkSession, dir: String)(p: String): Unit = {
+    history8Into(spark, graft.sources.Sources.embeddings(spark, dir), p)
+    graft.dedup.SeenIndex.ensureSigCache(spark, p, vsHistoryPlanes)
+  }
+
+  private def buildHistPhash(spark: SparkSession, dir: String)(p: String): Unit = {
+    val docs = graft.sources.Sources.documents(spark, dir)
+    graft.multimodal.PerceptualHash.perceptualHashes(
+      graft.multimodal.Multimodal.syntheticImages(
+        docs.filter(col("doc_id") % 3 =!= 0), "doc_id", "text"))
+      .toDF().select(col("media_id"), col("ahash"))
+      .write.mode("overwrite").parquet(p)
+  }
+
+  /** The pq_append_vs_index fixture: frozen models trained on the x1
+    * base slice (identical at every scale — the copies only add
+    * sign-scrambled rows) + the scale's reference slice encoded and
+    * written cell-partitioned. The models persist next to the index
+    * so the measuring JVM only LOADS them.
+    */
+  private def buildPqIndex(spark: SparkSession, dir: String)(p: String): Unit = {
+    val emb = graft.sources.Sources.embeddings(spark, dir)
+    val base = emb.filter(col("vec_id") % 3 =!= 0 && col("vec_id") < CopyStride)
+    val ivf = graft.similarity.Ivf.train(base, "embedding", k = 8, iters = 5)
+    val pq = graft.similarity.Pq.trainResidual(base, "embedding", ivf, m = 8, ksub = 16)
+    graft.similarity.Ivf.writeModel(spark, ivf, s"$p.ivf_model")
+    graft.similarity.Pq.writeModel(spark, pq, s"$p.pq_model")
+    graft.similarity.Pq.writeIndex(
+      graft.similarity.Pq.encodeIvf(
+        emb.filter(col("vec_id") % 3 =!= 0), "embedding", "vec_id", ivf, pq), p)
+  }
+
+  /** Build every vs-history fixture for one scale dir — the body of
+    * the `--fixtures` child JVM.
+    */
+  def buildVsHistoryFixtures(spark: SparkSession, dir: String): Unit = {
+    ensureVsHistoryFixture(spark, dir, "hist_sigs", quiet = true)(buildHistSigs(spark, dir))
+    ensureVsHistoryFixture(spark, dir, "hist_vecs", quiet = true)(buildHistVecs(spark, dir))
+    ensureVsHistoryFixture(spark, dir, "hist_vecs8", quiet = true)(buildHistVecs8(spark, dir))
+    ensureVsHistoryFixture(spark, dir, "hist_phash", quiet = true)(buildHistPhash(spark, dir))
+    ensureVsHistoryFixture(spark, dir, "pq_index", quiet = true)(buildPqIndex(spark, dir))
   }
 
   def ensureFixture(spark: SparkSession, baseDir: String, outDir: String, n: Int): Unit = {
@@ -666,15 +768,8 @@ object ScaleBench {
       // pins the incremental candidate stage as collision-bound in
       // signature space, not history-quadratic.
       "phash_incremental_vs_history" -> {
-        lazy val histHashes = {
-          val p = graft.core.TempDirs.create("scale_phash_hist_")
-          graft.multimodal.PerceptualHash.perceptualHashes(
-            graft.multimodal.Multimodal.syntheticImages(
-              docs.filter(col("doc_id") % 3 =!= 0), "doc_id", "text"))
-            .toDF().select(col("media_id"), col("ahash"))
-            .write.mode("overwrite").parquet(p)
-          p
-        }
+        lazy val histHashes =
+          ensureVsHistoryFixture(spark, dir, "hist_phash")(buildHistPhash(spark, dir))
         () => {
           val batch = graft.multimodal.PerceptualHash.perceptualHashes(
             graft.multimodal.Multimodal.syntheticImages(
@@ -804,15 +899,8 @@ object ScaleBench {
       // alpha ~ 0 is the "gate cost flat in history size" claim made
       // measurable instead of inferred.
       "simhash_gate_vs_history" -> {
-        lazy val hist = {
-          val p = graft.core.TempDirs.create("scale_hist_sigs_")
-          graft.dedup.SeenIndex.append(
-            docs.filter(col("doc_id") % 3 =!= 0)
-              .select(graft.dedup.SimHash64.simhash64(
-                graft.text.TextAnalysis.tokens(col("text"))).as("sig")),
-            "sig", p)
-          p
-        }
+        lazy val hist =
+          ensureVsHistoryFixture(spark, dir, "hist_sigs")(buildHistSigs(spark, dir))
         () => {
           val batch = docs
             .filter(col("doc_id") % 3 === 0 && col("doc_id") < CopyStride)
@@ -830,13 +918,9 @@ object ScaleBench {
       // term; the band join ships LSH keys, the verify joins by
       // candidate id).
       "embedding_gate_vs_history" -> {
-        lazy val gatePlanes = graft.similarity.Similarity.hyperplanes(64, 64)
-        lazy val hist = {
-          val p = graft.core.TempDirs.create("scale_hist_vecs_")
-          graft.dedup.SeenIndex.appendVectors(
-            emb.filter(col("vec_id") % 3 =!= 0), "embedding", "vec_id", p)
-          p
-        }
+        lazy val gatePlanes = vsHistoryPlanes
+        lazy val hist =
+          ensureVsHistoryFixture(spark, dir, "hist_vecs")(buildHistVecs(spark, dir))
         () => {
           val batch = emb.filter(col("vec_id") % 3 === 0 && col("vec_id") < CopyStride)
           // RELEASED form, like the signed twin and like every
@@ -882,14 +966,12 @@ object ScaleBench {
       // win (replacing a planes x dim x rows recompute with a
       // 24 B/row column scan) grows with the geometry.
       "embedding_gate_vs_history_signed" -> {
-        lazy val gatePlanesS = graft.similarity.Similarity.hyperplanes(64, 64)
-        lazy val histS = {
-          val p = graft.core.TempDirs.create("scale_hist_vecs_signed_")
-          graft.dedup.SeenIndex.appendVectors(
-            emb.filter(col("vec_id") % 3 =!= 0), "embedding", "vec_id", p)
-          graft.dedup.SeenIndex.ensureSigCache(spark, p, gatePlanesS) // builds the cache
-          p
-        }
+        lazy val gatePlanesS = vsHistoryPlanes
+        // SHARED with the unsigned twin: same index, same prebuilt
+        // cache sibling (the unsigned form never reads it) — built in
+        // the fixture child JVM
+        lazy val histS =
+          ensureVsHistoryFixture(spark, dir, "hist_vecs")(buildHistVecs(spark, dir))
         () => {
           val batch = emb.filter(col("vec_id") % 3 === 0 && col("vec_id") < CopyStride)
           val r = graft.dedup.SeenIndex.dropSeenEmbeddingSigned(
@@ -908,8 +990,9 @@ object ScaleBench {
       // should now be the strictly cheaper one (its fixed validation
       // cost is one FS listing).
       "embedding_gate_vs_history8" -> {
-        lazy val gatePlanes8 = graft.similarity.Similarity.hyperplanes(64, 64)
-        lazy val hist8 = history8(spark, emb)
+        lazy val gatePlanes8 = vsHistoryPlanes
+        lazy val hist8 =
+          ensureVsHistoryFixture(spark, dir, "hist_vecs8")(buildHistVecs8(spark, dir))
         () => {
           val batch = emb.filter(col("vec_id") % 3 === 0 && col("vec_id") < CopyStride)
           val (kept, rel) = graft.similarity.Similarity.dropSeenEmbeddingReleasable(
@@ -922,12 +1005,12 @@ object ScaleBench {
         }
       },
       "embedding_gate_vs_history8_signed" -> {
-        lazy val gatePlanes8S = graft.similarity.Similarity.hyperplanes(64, 64)
-        lazy val hist8S = {
-          val p = history8(spark, emb)
-          graft.dedup.SeenIndex.ensureSigCache(spark, p, gatePlanes8S) // cache built OUTSIDE the thunk
-          p
-        }
+        lazy val gatePlanes8S = vsHistoryPlanes
+        // shared with the unsigned 8x twin; index + cache prebuilt in
+        // the fixture child JVM (the r18 x30 inversion was exactly
+        // this build running in the measuring JVM)
+        lazy val hist8S =
+          ensureVsHistoryFixture(spark, dir, "hist_vecs8")(buildHistVecs8(spark, dir))
         () => {
           val batch = emb.filter(col("vec_id") % 3 === 0 && col("vec_id") < CopyStride)
           val r = graft.dedup.SeenIndex.dropSeenEmbeddingSigned(
@@ -1050,6 +1133,39 @@ object ScaleBench {
             k = 10, nprobe = 4, expand = 10).count()
         }
       },
+      // Incremental IVF-PQ index maintenance (q109's scale twin): a
+      // FIXED ~2.3k-vector batch encoded with frozen models (loaded,
+      // never retrained) and appended to an index that grows with x,
+      // plus the daily job's drift pass over the batch. The append
+      // never reads the index — new files land under the existing
+      // cell=<n> dirs — so alpha ~ 0 is the "append cost scales with
+      // the batch, not the index" claim made measurable. The scaled
+      // index + frozen models are prebuilt in the fixture child JVM;
+      // each entry COPIES the index once (outside the thunk) so runs
+      // never mutate the shared fixture.
+      "pq_append_vs_index" -> {
+        lazy val fixture =
+          ensureVsHistoryFixture(spark, dir, "pq_index")(buildPqIndex(spark, dir))
+        lazy val ivfm2 = graft.similarity.Ivf.readModel(spark, s"$fixture.ivf_model")
+        lazy val pqm2 = graft.similarity.Pq.readModel(spark, s"$fixture.pq_model")
+        lazy val workIdx = {
+          val w = graft.core.TempDirs.create("scale_pq_append_") + "/idx"
+          val src = new java.io.File(fixture)
+          def copy(f: java.io.File, to: java.io.File): Unit = {
+            if (f.isDirectory) { to.mkdirs(); f.listFiles().foreach(c => copy(c, new java.io.File(to, c.getName))) }
+            else java.nio.file.Files.copy(f.toPath, to.toPath)
+          }
+          copy(src, new java.io.File(w))
+          w
+        }
+        () => {
+          val batch = emb.filter(col("vec_id") % 3 === 0 && col("vec_id") < CopyStride)
+          graft.similarity.Pq.appendToIndex(batch, "embedding", "vec_id", ivfm2, pqm2, workIdx)
+          val drift = graft.similarity.Pq.driftCheck(
+            batch, "embedding", ivfm2, pqm2, baseline = 1e-3)
+          if (drift.current.isNaN) -1L else batch.count()
+        }
+      },
       // Cluster-balanced sampling: map-side cell assignment + ONE
       // cell-partitioned window whose row_number<=cap plans as a
       // partial WindowGroupLimit — shuffle volume is bounded by
@@ -1111,7 +1227,58 @@ object ScaleBench {
       })
   }
 
+  /** `--fixtures <baseDir> <dir> <x>`: the child-JVM fixture phase —
+    * builds the scale copies and every vs-history fixture for ONE
+    * scale dir, then exits. Forked by the normal run so the measuring
+    * JVM never executes a fixture build (see the vs-history fixture
+    * block comment for the r18 artifact this prevents).
+    */
+  private def fixturesMain(args: Array[String]): Unit = {
+    val baseDir = args(1); val dir = args(2); val x = args(3).toInt
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    try {
+      spark.sparkContext.setLogLevel("WARN")
+      ensureFixture(spark, baseDir, dir, x)
+      buildVsHistoryFixtures(spark, dir)
+    } finally spark.stop()
+  }
+
+  /** Fork the `--fixtures` child for one scale dir unless every
+    * marker is already present. Inherits this JVM's module flags and
+    * heap settings; falls back (loudly) to nothing — the entries'
+    * in-JVM fallback builders then fire with their own warning.
+    */
+  private def prepareFixturesIsolated(baseDir: String, dir: String, x: Int): Unit = {
+    val allDone = new java.io.File(s"$dir/_DONE").exists() &&
+      VsHistoryFixtures.forall(n => fixtureMarker(dir, n).exists())
+    if (allDone) return
+    try {
+      val javaBin = System.getProperty("java.home") + "/bin/java"
+      import scala.jdk.CollectionConverters._
+      val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
+        .getInputArguments.asScala
+        .filterNot(a => a.startsWith("-agentlib") || a.startsWith("-javaagent"))
+      val cp = System.getProperty("java.class.path")
+      val cmd = Seq(javaBin) ++ jvmArgs ++
+        Seq("-cp", cp, "graft.ScaleBench", "--fixtures", baseDir, dir, x.toString)
+      println(s"  x$x: building fixtures in a child JVM (keeps the measuring JVM clean)")
+      val code = new ProcessBuilder(cmd: _*).inheritIO().start().waitFor()
+      if (code != 0)
+        System.err.println(s"fixture child for x$x exited $code — entries will fall back " +
+          "to in-JVM builds (timings may be contaminated)")
+    } catch {
+      case NonFatal(e) =>
+        System.err.println(s"could not fork fixture child for x$x ($e) — entries will " +
+          "fall back to in-JVM builds (timings may be contaminated)")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("--fixtures")) { fixturesMain(args); return }
     val baseDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val outPath = args.lift(1).getOrElse("BENCH_scale.json")
     val scales = args.lift(2).getOrElse("1,3,10").split(",").map(_.trim.toInt).toSeq
@@ -1137,7 +1304,8 @@ object ScaleBench {
     val extras = scala.collection.concurrent.TrieMap.empty[(Int, String), String]
     val perScale = scales.map { x =>
       val dir = s"target/scale/x$x"
-      ensureFixture(spark, baseDir, dir, x)
+      prepareFixturesIsolated(baseDir, dir, x)
+      ensureFixture(spark, baseDir, dir, x) // no-op when the child built it; inline fallback otherwise
       // Per-scale warmup: touch both inputs and JIT the hot custom
       // expressions on a tiny slice so the FIRST timed query of a
       // scale is not billed for compilation (observed: 2.4 s vs 0.7 s

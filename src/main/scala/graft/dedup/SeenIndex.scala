@@ -2515,6 +2515,57 @@ object SeenIndex {
     } (identity)
   }
 
+  /** [[gateStreamEmbeddingWindowExactlyOnce]] with per-micro-batch
+    * signed/unsigned selection ([[gateAndUpdateEmbeddingAuto]]'s
+    * policy, same [[AutoSignBytes]] floor) — the FULL composition on
+    * autopilot: retention window + exactly-once + cached signatures,
+    * with the loop starting unsigned while the index is small and
+    * switching to the signed path (building the cache once) the
+    * batch after the index crosses `autoSignBytes`. Admissions and
+    * the exactly-once output are identical on both paths and across
+    * the switch (the ledger protocol is path-independent: epoch
+    * allocation, pinned window stamps, and committed markers are
+    * shared; only WHERE the reference signatures come from changes) —
+    * spec-pinned including a mid-stream switch and a crash replay
+    * straddling it.
+    */
+  def gateStreamEmbeddingWindowExactlyOnceAuto(
+      stream: DataFrame,
+      vecCol: String,
+      idCol: String,
+      indexPath: String,
+      outPath: String,
+      checkpointDir: String,
+      windowAge: Long,
+      threshold: Double,
+      planes: Array[Array[Float]],
+      bands: Int = 8,
+      probeHamming: Int = 0,
+      broadcastVerify: Boolean = false,
+      ledgerKeepLast: Int = 0,
+      autoSignBytes: Long = AutoSignBytes,
+      clock: () => Long = () => System.currentTimeMillis()): org.apache.spark.sql.streaming.StreamingQuery = {
+    require(windowAge >= 0, s"windowAge=$windowAge must be >= 0")
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val now = clock() // replay-pinned inside the body (pinnedWindow)
+        val key = resolveBatchKey(batch.sparkSession, indexPath, checkpointDir, batchId)
+        if (useSigned(batch.sparkSession, indexPath, planes, autoSignBytes))
+          exactlyOnceEpochEmbeddingWindowSigned(
+            batch, vecCol, idCol, key, indexPath, outPath,
+            threshold, planes, admittedAt = now, minAdmitted = now - windowAge,
+            bands = bands, probeHamming = probeHamming, broadcastVerify = broadcastVerify)
+        else
+          exactlyOnceEpochEmbeddingWindow(
+            batch, vecCol, idCol, key, indexPath, outPath,
+            threshold, planes, admittedAt = now, minAdmitted = now - windowAge,
+            bands = bands, probeHamming = probeHamming, broadcastVerify = broadcastVerify)
+        if (ledgerKeepLast > 0) compactLedger(batch.sparkSession, indexPath, ledgerKeepLast)
+      }
+      .start()
+  }
+
   /** [[gateStreamEmbeddingWindowExactlyOnce]] over the SIGNED index. */
   def gateStreamEmbeddingWindowExactlyOnceSigned(
       stream: DataFrame,

@@ -41,6 +41,25 @@ object SimilarityQueries {
     memoByFingerprint(ivfModelCache, dir, "ivf")(
       graft.similarity.Ivf.train(Sources.embeddings(spark, dir), "embedding", k = 8, iters = 5))
 
+  // q109's frozen BASE-corpus models + training-time quantization
+  // error: properties of the dataset split, retrained per call would
+  // fire three redundant driver actions per invocation (the same
+  // dataset-property rule as [[ivfModel]]); the measured lifecycle —
+  // persist, reload, append, drift, search — still runs per call.
+  private val q109BaseCache = scala.collection.concurrent.TrieMap
+    .empty[String, (graft.similarity.Ivf.Model, graft.similarity.Pq.Model, Double)]
+
+  private def q109BaseModels(
+      spark: SparkSession, dir: String): (graft.similarity.Ivf.Model, graft.similarity.Pq.Model, Double) =
+    memoByFingerprint(q109BaseCache, dir, "q109base") {
+      val base = Sources.embeddings(spark, dir)
+        .filter(col("vec_id") =!= 0L && col("vec_id") % 4 =!= 3)
+      val ivf0 = graft.similarity.Ivf.train(base, "embedding", k = 8, iters = 5)
+      val pq0 = graft.similarity.Pq.trainResidual(base, "embedding", ivf0, m = 8, ksub = 16)
+      val baseline = graft.similarity.Pq.quantizationError(base, "embedding", ivf0, pq0)
+      (ivf0, pq0, baseline)
+    }
+
   /** Exact brute-force cosine top-10 neighbors of vec 0 — fully
     * oracle-checked INCLUDING the cosine doubles: [[VecDot]]
     * accumulates left-to-right in double over float inputs widened to
@@ -484,6 +503,56 @@ object SimilarityQueries {
       .withColumnRenamed("id", "vec_id")
   }
 
+  /** q109: the INCREMENTAL ANN index lifecycle — the daily-ingest
+    * maintenance shape [[graft.similarity.Pq.appendToIndex]] exists
+    * for: train IVF+PQ on the BASE corpus only (vec_id % 4 != 3),
+    * persist the models ([[graft.similarity.Pq.writeModel]] /
+    * [[graft.similarity.Ivf.writeModel]] — the artifacts a daily job
+    * loads instead of retraining) and the cell-partitioned index,
+    * then APPEND the new batch (vec_id % 4 == 3) with the RELOADED
+    * frozen models — no retrain, no re-encode of the corpus; cost
+    * scales with the batch (ScaleBench `pq_append_vs_index`). A
+    * [[graft.similarity.Pq.driftCheck]] against the training-time
+    * quantization error rides the output (`drift_ratio`) — the
+    * statistic that tells the job when a retrain window is due.
+    * The search is q97's IVFADC rerank over the GROWN index. Rows
+    * -only: codebooks/cells are not SQL-expressible; the contract
+    * (appended rows indistinguishable from one-shot encoding, recall
+    * floor vs the exact anchor on the grown corpus, recall within
+    * slack of a retrained-from-scratch index, drift ratio ~1 on the
+    * same-distribution batch) is pinned in RowsOnlyContractSpec and
+    * PqSpec/IvfSpec. Bench-budget justification (BASELINE.md policy):
+    * a durable-lifecycle query — the measured window contains real
+    * filesystem protocol work (model persist + reload, index write +
+    * append, a drift pass) by design, like q103–q108; the frozen
+    * base models are fingerprint-memoized dataset properties.
+    */
+  def q109PqIndexAppend(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Sources.embeddings(spark, dir).filter(col("vec_id") =!= 0L)
+    val base = emb.filter(col("vec_id") % 4 =!= 3)
+    val batch = emb.filter(col("vec_id") % 4 === 3)
+    val q = queryVec(spark, dir, 0L).map(_.toDouble)
+    val (ivf0, pq0, baseline) = q109BaseModels(spark, dir)
+    val ivfDir = graft.core.TempDirs.create("q109_ivf_model_")
+    val pqDir = graft.core.TempDirs.create("q109_pq_model_")
+    val idxDir = graft.core.TempDirs.create("q109_pq_index_") + "/idx"
+    graft.similarity.Ivf.writeModel(spark, ivf0, ivfDir)
+    graft.similarity.Pq.writeModel(spark, pq0, pqDir)
+    graft.similarity.Pq.writeIndex(
+      graft.similarity.Pq.encodeIvf(base, "embedding", "vec_id", ivf0, pq0), idxDir)
+    // the daily job's view: RELOADED frozen models, append-only index
+    val ivf = graft.similarity.Ivf.readModel(spark, ivfDir)
+    val pq = graft.similarity.Pq.readModel(spark, pqDir)
+    graft.similarity.Pq.appendToIndex(batch, "embedding", "vec_id", ivf, pq, idxDir)
+    val drift = graft.similarity.Pq.driftCheck(
+      batch, "embedding", ivf, pq, baseline = math.max(baseline, 1e-12))
+    graft.similarity.Pq.topKIvfRerank(
+      graft.similarity.Pq.readIndex(spark, idxDir), pq, ivf,
+      emb, "embedding", "vec_id", q, k = 10, nprobe = 4, expand = 10)
+      .withColumnRenamed("id", "vec_id")
+      .withColumn("drift_ratio", round(lit(drift.ratio), 6))
+  }
+
   /** q98: INCREMENTAL image dedup — the ingest-gate shape: the corpus
     * splits into a reference index (doc_id % 3 != 0, "already
     * ingested") and a new batch (doc_id % 3 == 0), and the batch's
@@ -650,6 +719,7 @@ object SimilarityQueries {
     "q96_knn_pq" -> (q96KnnPq _),
     "q97_knn_ivfpq" -> (q97KnnIvfPq _),
     "q98_phash_incremental" -> (q98PhashIncremental _),
+    "q109_pq_index_append" -> (q109PqIndexAppend _),
     "q84_kmeans_cells" -> (q84KmeansCells _),
     "q90_phash_clusters" -> (q90PhashClusters _),
     "q91_audio_clusters" -> (q91AudioClusters _),

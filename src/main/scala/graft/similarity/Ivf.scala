@@ -261,9 +261,16 @@ object Ivf {
     * the cell geometry needs a retrain.
     */
   def appendToIndex(
-      df: DataFrame, vecCol: String, idCol: String, model: Model, tableName: String): Unit =
+      df: DataFrame, vecCol: String, idCol: String, model: Model,
+      tableName: String, buckets: Int): Unit =
+    // append with the SAME bucket spec: Spark validates it against
+    // the existing table and fails loud on a mismatch, so appended
+    // files stay probe-colocated with the original ones
     index(df, vecCol, idCol, model)
-      .write.mode("append").insertInto(tableName)
+      .write.mode("append")
+      .bucketBy(buckets, "cell")
+      .sortBy("cell")
+      .saveAsTable(tableName)
 
   /** Mean cosine between each usable row's unit vector and its
     * ASSIGNED centroid — the IVF-side drift statistic: a frozen cell
@@ -302,7 +309,10 @@ object Ivf {
 
   /** Load a [[writeModel]] artifact; fails loud on an empty layout. */
   def readModel(spark: org.apache.spark.sql.SparkSession, path: String): Model = {
-    val rows = spark.read.parquet(path).select("cell", "centroid").collect()
+    // explicit schema: an empty/missing layout must hit the loud
+    // require below, not schema inference's AnalysisException
+    val rows = spark.read.schema("cell INT, centroid ARRAY<FLOAT>")
+      .parquet(path).select("cell", "centroid").collect()
     require(rows.nonEmpty, s"no IVF model rows at $path")
     Model(rows.sortBy(_.getInt(0)).map(_.getSeq[Float](1).toArray))
   }

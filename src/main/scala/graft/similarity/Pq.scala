@@ -490,7 +490,11 @@ object Pq {
     * layout (a model is never legitimately empty).
     */
   def readModel(spark: org.apache.spark.sql.SparkSession, path: String): Model = {
-    val rows = spark.read.parquet(path)
+    // explicit schema: an empty/missing layout must hit the loud
+    // require below, not schema inference's AnalysisException
+    val rows = spark.read
+      .schema("dim INT, m INT, ksub INT, subspace INT, codeword INT, values ARRAY<FLOAT>")
+      .parquet(path)
       .select("dim", "m", "ksub", "subspace", "codeword", "values")
       .collect()
     require(rows.nonEmpty, s"no PQ model rows at $path")

@@ -1457,6 +1457,68 @@ class SeenIndexSpec extends SparkSpec {
       s"batch 2 must have switched to the signed path: $streamInfos")
   }
 
+  test("windowed exactly-once AUTO loop: unsigned->signed mid-stream, window expiry preserved, crash replay straddling the switch") {
+    import sqlImplicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dim = 8
+    val planes = graft.similarity.Similarity.hyperplanes(dim, numPlanes = 64)
+    def unit(i: Int) = Seq.tabulate(dim)(j => if (j == i) 1f else 0f)
+    val idx = tmpDir() + "/autoweo"; val out = tmpDir() + "/autoweoout"
+    var now = 1000L
+    val input = MemoryStream[(Long, Seq[Float])]
+    val q = SeenIndex.gateStreamEmbeddingWindowExactlyOnceAuto(
+      input.toDF().toDF("vec_id", "embedding"), "embedding", "vec_id", idx, out, tmpDir(),
+      windowAge = 500L, threshold = 0.9, planes = planes, broadcastVerify = true,
+      autoSignBytes = 1L, clock = () => now)
+    // batch 1: empty index (0 bytes < floor) -> unsigned, no cache
+    input.addData((1L, unit(0)), (2L, unit(1))); q.processAllAvailable()
+    assert(SeenIndex.listSigCaches(spark, idx).isEmpty, "batch 1 must run unsigned")
+    // batch 2: index past the floor -> signed; cache built; duplicate
+    // of 1 dropped, novel 3 admitted — same admissions as unsigned
+    input.addData((3L, unit(0)), (4L, unit(4))); q.processAllAvailable()
+    val infos = SeenIndex.listSigCaches(spark, idx)
+    assert(infos.length == 1 && infos.head.synced, s"batch 2 must have switched to signed: $infos")
+    // batch 3 INSIDE the window: still duplicates
+    input.addData((5L, unit(0))); q.processAllAvailable()
+    // batch 4 BEYOND the window: signature 0 expired -> re-admitted
+    now = 2000L
+    input.addData((6L, unit(0))); q.processAllAvailable()
+    q.stop()
+    val got = spark.read.schema("vec_id LONG, embedding ARRAY<FLOAT>").parquet(out)
+    assert(got.collect().map(_.getLong(0)).toSet == Set(1L, 2L, 4L, 6L),
+      "exactly-once windowed admissions across the signed switch")
+    // each admitted row appears EXACTLY once (epoch-partitioned overwrite)
+    assert(got.count() == 4)
+    assert(SeenIndex.listSigCaches(spark, idx).forall(_.synced),
+      "signed appends must keep the cache in lockstep")
+
+    // crash replay STRADDLING the switch: the unsigned body crashes
+    // after its index append; the replay (as the auto loop would after
+    // a restart with the index now past the floor) runs the SIGNED
+    // body with the same key — output must equal a clean single run
+    val idx2 = tmpDir() + "/autoweo2"; val out2 = tmpDir() + "/autoweo2out"
+    val b1 = Seq((1L, unit(0)), (2L, unit(1))).toDF("vec_id", "embedding")
+    SeenIndex.exactlyOnceEpochEmbeddingWindow(
+      b1, "embedding", "vec_id", "k1", idx2, out2, threshold = 0.9, planes = planes,
+      admittedAt = 1000L, minAdmitted = 500L, broadcastVerify = true)
+    val b2 = Seq((3L, unit(0)), (4L, unit(4))).toDF("vec_id", "embedding")
+    intercept[RuntimeException] {
+      SeenIndex.exactlyOnceEpochEmbeddingWindow(
+        b2, "embedding", "vec_id", "k2", idx2, out2, threshold = 0.9, planes = planes,
+        admittedAt = 1100L, minAdmitted = 600L, broadcastVerify = true,
+        crashpoint = p => if (p == "appended") throw new RuntimeException("kill"))
+    }
+    // replay of k2 on the signed path (auto switched after restart)
+    SeenIndex.exactlyOnceEpochEmbeddingWindowSigned(
+      b2, "embedding", "vec_id", "k2", idx2, out2, threshold = 0.9, planes = planes,
+      admittedAt = 1100L, minAdmitted = 600L, broadcastVerify = true)
+    val got2 = spark.read.schema("vec_id LONG, embedding ARRAY<FLOAT>").parquet(out2)
+      .collect().map(_.getLong(0)).toSeq.sorted
+    assert(got2 == Seq(1L, 2L, 4L),
+      s"straddling replay must keep the crashed attempt's admitted set exactly once, got $got2")
+  }
+
   test("batchKey normalizes the checkpoint path: trailing-slash spellings derive the SAME batch identity") {
     // Structured Streaming resolves "/ckpt" and "/ckpt/" to one
     // checkpoint; an unnormalized hash would miss the committed

@@ -354,6 +354,11 @@ class PlanContractSpec extends SparkSpec {
     // The IVFADC shortlist runs as bounded jobs at construction time,
     // its scan pruned to the probed cells by a pushable isin filter.
     "q97_knn_ivfpq" -> 0,
+    // q109: q97's audited rerank shape over the APPENDED index — the
+    // bounded-id isin rerank leg plus a lit drift column; train /
+    // persist / append / drift run as bounded jobs at construction
+    // time (the append itself is one batch-sized encode+write).
+    "q109_pq_index_append" -> 0,
     // q98: cross-corpus banded Hamming join — both sides' distinct
     // (id,sig) members + distinct sigs band and join in signature
     // space, the two membership joins map ids back (broadcast at this
@@ -461,7 +466,8 @@ class PlanContractSpec extends SparkSpec {
     "q74_corpus_shuffle" -> 1, //      one row per shard carry
     "q77_corpus_release" -> 1, //      same per-shard carry, composed
     "q96_knn_pq" -> 1, //              top-k shortlist rank
-    "q97_knn_ivfpq" -> 1) //           nprobe-cells x k shortlist rank
+    "q97_knn_ivfpq" -> 1, //           nprobe-cells x k shortlist rank
+    "q109_pq_index_append" -> 1) //    same shortlist rank, grown index
 
   test("partition-less windows appear only at the whitelisted constant-bounded sites") {
     import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}

@@ -654,6 +654,56 @@ class RowsOnlyContractSpec extends SparkSpec {
     }
   }
 
+  test("q109 contract: append-maintained index matches one-shot encode; recall floor and parity with retrained-from-scratch; drift ~1 in-distribution") {
+    val out = SparkEntry.queries("q109_pq_index_append")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2), r.getDouble(3)))
+    assert(out.length == 10 && out.map(_._3).toSeq == (1 to 10))
+    // drift ratio on a SAME-DISTRIBUTION batch must sit near 1 (the
+    // retrain signal must not fire on normal ingest) — wide slack:
+    // the batch is a quarter of the corpus, baseline the other 3/4
+    val ratio = out.head._4
+    assert(ratio > 0.5 && ratio < 1.5, s"in-distribution drift ratio $ratio outside (0.5, 1.5)")
+    // exact anchor on the GROWN corpus (the appended rows are live
+    // search targets, not second-class citizens)
+    val emb = Sources.embeddings(spark, dir)
+    val q = emb.filter(col("vec_id") === 0L).select("embedding")
+      .head().getSeq[Float](0).toArray.map(_.toDouble)
+    val exactRows = emb.filter(col("vec_id") =!= 0L)
+      .select(col("vec_id"), col("embedding")).collect().flatMap { r =>
+        val v = r.getSeq[Float](1).map(_.toDouble)
+        val nv = math.sqrt(v.map(x => x * x).sum)
+        val nq = math.sqrt(q.map(x => x * x).sum)
+        if (nv > 0 && !nv.isNaN) {
+          val c = v.zip(q).map { case (a, b) => a * b }.sum / (nv * nq)
+          if (c.isNaN) None else Some(r.getLong(0) -> c)
+        } else None
+      }
+    val exactTop = exactRows.sortBy { case (id, c) => (-c, id) }.take(10).map(_._1).toSet
+    val recallAppended = out.map(_._1).count(exactTop.contains) / 10.0
+    info(s"measured appended-index recall@10 = $recallAppended")
+    assert(recallAppended >= 0.5,
+      s"appended-index recall@10 $recallAppended below the q97 coverage floor 0.5")
+    // parity with a RETRAINED-from-scratch index on the grown corpus:
+    // the frozen base-trained models may not lose more than one
+    // neighbor of ten to staleness on a same-distribution batch
+    val all = emb.filter(col("vec_id") =!= 0L)
+    val ivfR = graft.similarity.Ivf.train(all, "embedding", k = 8, iters = 5)
+    val pqR = graft.similarity.Pq.trainResidual(all, "embedding", ivfR, m = 8, ksub = 16)
+    val encR = graft.similarity.Pq.encodeIvf(all, "embedding", "vec_id", ivfR, pqR)
+    val retrained = graft.similarity.Pq.topKIvfRerank(
+      encR, pqR, ivfR, all, "embedding", "vec_id", q, k = 10, nprobe = 4, expand = 10)
+      .collect().map(_.getLong(0))
+    val recallRetrained = retrained.count(exactTop.contains) / 10.0
+    info(s"measured retrained-from-scratch recall@10 = $recallRetrained")
+    assert(recallAppended >= recallRetrained - 0.1,
+      s"appended recall $recallAppended trails retrained $recallRetrained by more than one neighbor")
+    // reported scores are TRUE cosines (rerank contract)
+    val byId = exactRows.toMap
+    out.foreach { case (id, score, _, _) =>
+      assert(math.abs(score - byId(id)) < 1e-6, s"id=$id score $score != exact cosine ${byId(id)}")
+    }
+  }
+
   test("q103 contract: the durable two-epoch ingest admits exactly q99's kept set") {
     val viaIndex = SparkEntry.queries("q103_ingest_epochs")(spark, dir)
       .collect().map(_.getLong(0)).toSet

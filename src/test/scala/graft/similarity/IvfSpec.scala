@@ -191,6 +191,39 @@ class IvfSpec extends SparkSpec {
     }
   }
 
+  test("appendToIndex grows a bucketed index without retraining; assignmentTightness falls on drift") {
+    import sqlImplicits._
+    val df = graft.sources.Sources.embeddings(spark, "/root/testdata/sf0.001")
+    val base = df.filter(col("vec_id") % 2 === 0)
+    val batch = df.filter(col("vec_id") % 2 === 1)
+    val model = Ivf.train(base, "embedding", k = 4, iters = 5)
+    try {
+      Ivf.writeIndex(Ivf.index(base, "embedding", "vec_id", model), "ivf_append_test", buckets = 2)
+      Ivf.appendToIndex(batch, "embedding", "vec_id", model, "ivf_append_test", buckets = 2)
+      val grown = Ivf.readIndex(spark, "ivf_append_test")
+      // appended rows are indistinguishable from one-shot indexing
+      val oneShot = Ivf.index(df, "embedding", "vec_id", model)
+      assert(grown.count() == oneShot.count())
+      val a = grown.select("vec_id", "cell").collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+      val b = oneShot.select("vec_id", "cell").collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+      assert(a == b)
+      // drift statistic: the training corpus is tighter than noise
+      val tight = Ivf.assignmentTightness(base, "embedding", model)
+      assert(tight > 0 && tight <= 1.0 + 1e-9, s"tightness=$tight")
+      val noise = (0 until 64).map { i =>
+        (5000L + i, Seq.tabulate(base.select("embedding").head().getSeq[Float](0).length)(
+          j => (((i * 31 + j * 17) % 13) - 6).toFloat))
+      }.toDF("vec_id", "embedding")
+      val loose = Ivf.assignmentTightness(noise, "embedding", model)
+      assert(loose < tight, s"noise must assign more loosely: $loose vs $tight")
+      // empty batch -> NaN, never a crash
+      assert(Ivf.assignmentTightness(
+        Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding"), "embedding", model).isNaN)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS ivf_append_test")
+    }
+  }
+
   test("works on the embeddings fixture (rows-only sanity)") {
     val df = graft.sources.Sources.embeddings(spark, "/root/testdata/sf0.001")
     val model = Ivf.train(df, "embedding", k = 8, iters = 5)

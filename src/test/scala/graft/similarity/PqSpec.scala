@@ -142,6 +142,83 @@ class PqSpec extends SparkSpec {
     assert(msgs(e).exists(_.contains("different PQ model")), msgs(e).toString)
   }
 
+  test("appendToIndex grows an existing index without retraining: results equal one-shot encode of the union") {
+    val m = 4
+    val all = corpus(64, m)
+    val base = all.filter("vec_id < 40")
+    val batch = all.filter("vec_id >= 40")
+    val ivf = Ivf.train(base, "embedding", k = 4, iters = 5, sampleSize = 64)
+    val pq = Pq.trainResidual(base, "embedding", ivf, m = m, ksub = 4, iters = 5, sampleSize = 64)
+    val dir = java.nio.file.Files.createTempDirectory("pq_append_").toString + "/idx"
+    Pq.writeIndex(Pq.encodeIvf(base, "embedding", "vec_id", ivf, pq), dir)
+    Pq.appendToIndex(batch, "embedding", "vec_id", ivf, pq, dir)
+    val grown = Pq.readIndex(spark, dir).collect().map(r => (r.id, r.cell, r.code.toSeq)).toSet
+    val oneShot = Pq.encodeIvf(all, "embedding", "vec_id", ivf, pq)
+      .collect().map(r => (r.id, r.cell, r.code.toSeq)).toSet
+    assert(grown == oneShot, "appended rows must be indistinguishable from one-shot encoding")
+    // probes see the appended rows: a query near an appended vector finds it
+    val q = Array(1.0, 0.2, 0.9, -0.1, 0.3, 1.0, -0.7, 0.4)
+    val gotGrown = Pq.topKIvf(Pq.readIndex(spark, dir), pq, ivf, q, k = 10, nprobe = 4)
+      .collect().map(_.getLong(0)).toSeq
+    val gotOneShot = Pq.topKIvf(Pq.encodeIvf(all, "embedding", "vec_id", ivf, pq),
+      pq, ivf, q, k = 10, nprobe = 4).collect().map(_.getLong(0)).toSeq
+    assert(gotGrown == gotOneShot)
+  }
+
+  test("quantizationError is ~0 on the lossless vocabulary, rises on a drifted corpus, and driftCheck fires") {
+    import sqlImplicits._
+    val m = 4
+    val base = corpus(64, m)
+    val ivf = Ivf.train(base, "embedding", k = 4, iters = 5, sampleSize = 64)
+    val pq = Pq.trainResidual(base, "embedding", ivf, m = m, ksub = 4, iters = 5, sampleSize = 64)
+    val baseline = Pq.quantizationError(base, "embedding", ivf, pq)
+    assert(baseline >= 0 && baseline < 1e-9, s"lossless corpus must quantize exactly, got $baseline")
+    // a drifted batch: vectors OFF the trained vocabulary directions
+    val drifted = (0 until 32).map { i =>
+      (1000L + i, (0 until m).flatMap(s => Seq(0.6f + 0.01f * ((i + s) % 7), 0.8f)))
+    }.toDF("vec_id", "embedding")
+    val current = Pq.quantizationError(drifted, "embedding", ivf, pq)
+    assert(current > 1e-4, s"drifted corpus must show quantization error, got $current")
+    // driftCheck needs a positive baseline: use a tiny-but-real one
+    val eps = 1e-6
+    val stat = Pq.driftCheck(drifted, "embedding", ivf, pq, baseline = math.max(baseline, eps))
+    assert(stat.retrainDue, s"drift must fire: $stat")
+    assert(!Pq.driftCheck(base, "embedding", ivf, pq, baseline = math.max(current, eps)).retrainDue)
+    // empty batch: NaN current never fires
+    val empty = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
+    val statE = Pq.driftCheck(empty, "embedding", ivf, pq, baseline = 1.0)
+    assert(statE.current.isNaN && !statE.retrainDue)
+    intercept[IllegalArgumentException] {
+      Pq.driftCheck(base, "embedding", ivf, pq, baseline = 0.0)
+    }
+  }
+
+  test("PQ and IVF models round-trip through writeModel/readModel bit-exactly") {
+    val m = 4
+    val df = corpus(64, m)
+    val ivf = Ivf.train(df, "embedding", k = 4, iters = 5, sampleSize = 64)
+    val pq = Pq.trainResidual(df, "embedding", ivf, m = m, ksub = 4, iters = 5, sampleSize = 64)
+    val pqDir = java.nio.file.Files.createTempDirectory("pq_model_").toString + "/pq"
+    val ivfDir = java.nio.file.Files.createTempDirectory("ivf_model_").toString + "/ivf"
+    Pq.writeModel(spark, pq, pqDir)
+    Ivf.writeModel(spark, ivf, ivfDir)
+    val pq2 = Pq.readModel(spark, pqDir)
+    val ivf2 = Ivf.readModel(spark, ivfDir)
+    assert(pq2.dim == pq.dim && pq2.m == pq.m && pq2.ksub == pq.ksub)
+    assert(pq2.codebooks.map(_.map(_.toSeq).toSeq).toSeq ==
+      pq.codebooks.map(_.map(_.toSeq).toSeq).toSeq)
+    assert(ivf2.centroids.map(_.toSeq).toSeq == ivf.centroids.map(_.toSeq).toSeq)
+    // loaded models encode identically to the originals
+    val a = Pq.encodeIvf(df, "embedding", "vec_id", ivf, pq)
+      .collect().map(r => (r.id, r.cell, r.code.toSeq)).toSet
+    val b = Pq.encodeIvf(df, "embedding", "vec_id", ivf2, pq2)
+      .collect().map(r => (r.id, r.cell, r.code.toSeq)).toSet
+    assert(a == b)
+    intercept[IllegalArgumentException] {
+      Pq.readModel(spark, java.nio.file.Files.createTempDirectory("pq_none_").toString)
+    }
+  }
+
   test("encodeIvf assigns the same cell as Ivf.cellOf — train/encode/expression parity") {
     val m = 4
     val df = corpus(64, m)
