@@ -862,6 +862,54 @@ object TextQueries {
       |        g -> array_to_string((string_split(text, ' '))[g*8+1 : g*8+8], ' ')),
       |      chr(10))""".stripMargin
 
+  /** q110: URL canonicalization + URL-level dedup
+    * ([[graft.text.UrlOps]]) — the crawl-frontier pass that collapses
+    * spelling variants of the same page BEFORE content dedup. The
+    * fixture derives one messy-but-valid URL per document with
+    * deterministic variation across every canonicalization rule:
+    * scheme/host CASE (doc_id%2 / %4), a `www.` prefix (%3==0), the
+    * https default port `:443` (%5==0), a trailing path slash
+    * (%3==1), `utm_`/`utm_campaign` tracking params in shuffled order
+    * (%2), and a fragment (%7==0). The engine runs the GENERIC
+    * canonicalizer (`try_parse_url` + regexp/array algebra) and
+    * groups; the DuckDB oracle mirrors the canonical form from FIRST
+    * PRINCIPLES of the construction — so any parser rule the engine
+    * gets wrong (port kept, param unsorted, fragment leaking) breaks
+    * the hash match. Output: one row per canonical URL with its
+    * min-id keeper and spelling count.
+    */
+  def q110UrlDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Sources.documents(spark, dir)
+    val url = concat(
+      when(col("doc_id") % 2 === 0, lit("https")).otherwise(lit("HTTPS")),
+      lit("://"),
+      when(col("doc_id") % 3 === 0, lit("www.")).otherwise(lit("")),
+      when(col("doc_id") % 4 < 2, upper(col("source"))).otherwise(col("source")),
+      lit(".Example.COM"),
+      when(col("doc_id") % 5 === 0, lit(":443")).otherwise(lit("")),
+      lit("/docs/"), (col("doc_id") % 20).cast("string"),
+      when(col("doc_id") % 3 === 1, lit("/")).otherwise(lit("")),
+      when(col("doc_id") % 2 === 0,
+        concat(lit("?utm_source=feed&id="), (col("doc_id") % 10).cast("string")))
+        .otherwise(concat(lit("?id="), (col("doc_id") % 10).cast("string"), lit("&utm_campaign=x"))),
+      when(col("doc_id") % 7 === 0, lit("#sec")).otherwise(lit("")))
+    graft.text.UrlOps.withCanonicalUrl(
+      docs.select(col("doc_id"), url.as("url")), "url")
+      .groupBy("canonical_url")
+      .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_spellings"))
+      .orderBy("canonical_url")
+  }
+
+  val q110Sql: String =
+    """SELECT 'https://' || lower(source) || '.example.com/docs/' ||
+      |         CAST(doc_id % 20 AS VARCHAR) || '?id=' || CAST(doc_id % 10 AS VARCHAR)
+      |         AS canonical_url,
+      |       MIN(doc_id) AS keeper_id,
+      |       COUNT(*) AS n_spellings
+      |FROM documents
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
+
   /** q66: cross-document repeated-line removal
     * ([[graft.text.LineOps.dedupLines]] — MassiveText/RefinedWeb
     * boilerplate stripping). Boilerplate lines welded onto ~1/3 and
@@ -1130,7 +1178,8 @@ object TextQueries {
     "q63_normalize" -> (q63Normalize _),
     "q65_top_grams" -> (q65TopGrams _),
     "q66_line_dedup" -> (q66LineDedup _),
-    "q67_line_filter" -> (q67LineFilter _))
+    "q67_line_filter" -> (q67LineFilter _),
+    "q110_url_dedup" -> (q110UrlDedup _))
 
   val oracle: Map[String, String] = Map(
     "q86_drop_contained" -> q86Sql,
@@ -1156,5 +1205,6 @@ object TextQueries {
     "q63_normalize" -> q63Sql,
     "q65_top_grams" -> q65Sql,
     "q66_line_dedup" -> q66Sql,
-    "q67_line_filter" -> q67Sql)
+    "q67_line_filter" -> q67Sql,
+    "q110_url_dedup" -> q110Sql)
 }

@@ -359,6 +359,10 @@ class PlanContractSpec extends SparkSpec {
     // persist / append / drift run as bounded jobs at construction
     // time (the append itself is one batch-sized encode+write).
     "q109_pq_index_append" -> 0,
+    // q110: one aggregate shuffle on the canonical URL + the oracle
+    // ORDER BY's range exchange; canonicalization itself is pure
+    // map-side expression algebra (no join, no window).
+    "q110_url_dedup" -> 2,
     // q98: cross-corpus banded Hamming join — both sides' distinct
     // (id,sig) members + distinct sigs band and join in signature
     // space, the two membership joins map ids back (broadcast at this
