@@ -948,23 +948,21 @@ object ScaleBench {
       // batch, same growing history, same released-per-call shape,
       // but the reference signatures read from the durable
       // geometry-keyed cache (built OUTSIDE the timed thunk) instead
-      // of being recomputed. MEASURED (r18, quiet, released both
-      // sides): signed wins this pair at EVERY scale (~20-25%, alpha
-      // 0.05 vs 0.07) — the r17 artifact's "signed 1.6x slower" was
-      // the unsigned twin's leaked LRU persists plus two count()
-      // validation jobs, both fixed. On the 8x-history pair below,
-      // signed wins x1-x10 and shows a repeatable ~1.4x penalty at
-      // the x30 point only, whose 320k-row index+cache build runs in
-      // the same JVM moments before the measurement. ADJUDICATED
-      // cross-JVM (r18): with the 320k index+cache built in a
-      // SEPARATE JVM and only the gates measured, signed wins at that
-      // size too (min 3.86 s vs 4.89 s over 3 interleaved runs) — the
-      // in-entry x30 penalty is build-JVM contamination, not a signed
-      // cost; the validation itself is one FS listing (measured
-      // ~6 ms). Net honest claim: at 64-dim the signed gate is
-      // parity-to-faster at every measured size, and its structural
-      // win (replacing a planes x dim x rows recompute with a
-      // 24 B/row column scan) grows with the geometry.
+      // of being recomputed. MEASURED (r19, quiet, released both
+      // sides, ALL fixtures built in the child JVM): signed wins BOTH
+      // pairs at EVERY scale in the committed artifact — this pair
+      // ~25-30% (x30: 1.04 vs 1.45 s), the 8x pair below ~23%
+      // (x30: 2.27 vs 2.98 s) — no cross-JVM footnote needed anymore.
+      // History of the artifact: r17's "signed 1.6x slower" was the
+      // unsigned twin's leaked LRU persists plus two count()
+      // validation jobs (both fixed); r18's 8x-pair x30 inversion
+      // (4.48 vs 3.03 s) was the 320k-row index+cache build running
+      // in the measuring JVM moments before the gate (fixed by the
+      // `--fixtures` child-JVM phase above). The validation itself is
+      // one FS listing (measured ~6 ms). Net claim: at 64-dim the
+      // signed gate is faster at every measured size, and its
+      // structural win (replacing a planes x dim x rows recompute
+      // with a 24 B/row column scan) grows with the geometry.
       "embedding_gate_vs_history_signed" -> {
         lazy val gatePlanesS = vsHistoryPlanes
         // SHARED with the unsigned twin: same index, same prebuilt
