@@ -101,6 +101,16 @@ object ScaleBench {
         System.err.println(s"ScaleBench: vs-history fixture '$name' not prebuilt — building " +
           "it in the MEASURING JVM; this entry's timings may be contaminated " +
           "(r18's x30 signed artifact). Full runs build fixtures in a child JVM.")
+      // A marker-less target that EXISTS is a partial build from a
+      // killed prior attempt. The SeenIndex builders APPEND, so
+      // building on top would silently double the history and every
+      // timing against it — delete the leftover index and its dotted
+      // siblings (`.sigs-*`, `.epochs`, `.ivf_model`, ...) first.
+      // Sibling match is `name + "."`-prefixed, so hist_vecs never
+      // sweeps hist_vecs8.
+      Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+        .filter(f => f.getName == name || f.getName.startsWith(name + "."))
+        .foreach(org.apache.hadoop.fs.FileUtil.fullyDelete)
       build(p)
       done.createNewFile()
     }
@@ -1147,13 +1157,16 @@ object ScaleBench {
         lazy val ivfm2 = graft.similarity.Ivf.readModel(spark, s"$fixture.ivf_model")
         lazy val pqm2 = graft.similarity.Pq.readModel(spark, s"$fixture.pq_model")
         lazy val workIdx = {
+          // FileUtil.copy (vs a hand-rolled walk): listFiles() returns
+          // null on I/O errors mid-traversal, and a retry into a
+          // partially-copied target needs overwrite semantics
           val w = graft.core.TempDirs.create("scale_pq_append_") + "/idx"
-          val src = new java.io.File(fixture)
-          def copy(f: java.io.File, to: java.io.File): Unit = {
-            if (f.isDirectory) { to.mkdirs(); f.listFiles().foreach(c => copy(c, new java.io.File(to, c.getName))) }
-            else java.nio.file.Files.copy(f.toPath, to.toPath)
-          }
-          copy(src, new java.io.File(w))
+          val conf = spark.sparkContext.hadoopConfiguration
+          val src = new org.apache.hadoop.fs.Path(new java.io.File(fixture).getAbsolutePath)
+          val dst = new org.apache.hadoop.fs.Path(new java.io.File(w).getAbsolutePath)
+          val fs = dst.getFileSystem(conf)
+          require(org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, dst, false, conf),
+            s"fixture copy $fixture -> $w failed")
           w
         }
         () => {

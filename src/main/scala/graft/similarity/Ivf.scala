@@ -169,12 +169,17 @@ object Ivf {
     * null vector would NPE at getSeq, a null element null-propagates
     * through dot() so `__n > 0` fails, a NaN element makes the norm
     * NaN (caught by `!isnan`) and would otherwise poison centroids or
-    * out-rank every real neighbor, and a zero-norm vector carries no
-    * direction (x/0 → NaN dots).
+    * out-rank every real neighbor, a zero-norm vector carries no
+    * direction (x/0 → NaN dots), and an INFINITE norm (one Inf
+    * element) passes `> 0 && !isnan` but normalizes its Inf component
+    * to Inf/Inf = NaN — the same poison by another door (review r19:
+    * Pq.usableVec closed this in r18; this guard had the original
+    * hole).
     */
   private def finiteNormed(df: DataFrame, vecCol: String): DataFrame =
     df.withColumn("__n", Similarity.norm(col(vecCol)))
-      .filter(col("__n") > 0 && !isnan(col("__n")))
+      .filter(col("__n") > 0 && !isnan(col("__n")) &&
+        col("__n") < lit(Double.PositiveInfinity))
 
   /** Build the index table: rows + `cell`. Vectors are normalized once
     * so probes are bare dot products. DEGENERATE rows are dropped by
@@ -183,7 +188,12 @@ object Ivf {
     * Spark ranks ABOVE every real neighbor.
     */
   def index(df: DataFrame, vecCol: String, idCol: String, model: Model): DataFrame =
-    finiteNormed(df.select(col(idCol), col(vecCol)), vecCol)
+    // exact-dimension guard on top of finiteNormed: NearestCell and
+    // the probe dots TRUNCATE a wrong-length row instead of failing,
+    // so an off-dim row would sit in a cell scoring systematically
+    // wrong dots — exclude it like every other degenerate (review r19)
+    finiteNormed(df.select(col(idCol), col(vecCol))
+        .filter(size(col(vecCol)) === model.centroids.head.length), vecCol)
       .select(col(idCol), transform(col(vecCol), x => x / col("__n")).as(vecCol))
       .withColumn("cell", cellOf(col(vecCol), model))
 
@@ -279,7 +289,12 @@ object Ivf {
     * NaN on zero usable rows.
     */
   def assignmentTightness(df: DataFrame, vecCol: String, model: Model): Double = {
-    val assigned = finiteNormed(df.select(col(vecCol)), vecCol)
+    // exact-dimension guard on top of finiteNormed: NearestCell/dot
+    // tolerate a wrong-length row by truncating, which would skew the
+    // statistic silently instead of excluding the row (review r19)
+    val dim = model.centroids.head.length
+    val assigned = finiteNormed(
+      df.select(col(vecCol)).filter(size(col(vecCol)) === dim), vecCol)
       .select(transform(col(vecCol), x => x / col("__n")).as("u"))
       .withColumn("cell", cellOf(col("u"), model))
     val cents = model.centroids

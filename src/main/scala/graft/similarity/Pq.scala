@@ -407,42 +407,55 @@ object Pq {
     */
   def quantizationError(
       df: DataFrame, vecCol: String, ivf: Ivf.Model, pq: Model): Double = {
+    val (sumErr, usable, _) = quantizationErrorStat(df, vecCol, ivf, pq)
+    if (usable == 0) Double.NaN else sumErr / usable
+  }
+
+  /** `(sum of squared reconstruction errors, usable rows, total rows)`
+    * in ONE distributed aggregation — the usable/total split is what
+    * lets [[driftCheck]] tell "empty batch" (never fires) from "every
+    * row unusable" (a pipeline break — fails loud).
+    */
+  private def quantizationErrorStat(
+      df: DataFrame, vecCol: String, ivf: Ivf.Model, pq: Model): (Double, Long, Long) = {
     import df.sparkSession.implicits._
     require(pq.dim == ivf.centroids.head.length,
       s"pq dim ${pq.dim} != ivf dim ${ivf.centroids.head.length}")
-    val errs = df.select(col(vecCol).as("v"))
-      .filter(usableVec("v", pq.dim))
-      .as[Array[Float]]
+    val errs = df.select(col(vecCol).as("_1"), usableVec(vecCol, pq.dim).as("_2"))
+      .as[(Array[Float], Boolean)]
       .mapPartitions { rows =>
-        rows.map { vf =>
-          val v = vf.map(_.toDouble)
-          val norm = math.sqrt(v.map(x => x * x).sum)
-          val u = v.map(_ / norm)
-          val cell = nearestCellDot(u, ivf.centroids)
-          val cent = ivf.centroids(cell)
-          val residual = Array.tabulate(pq.dim)(i => u(i) - cent(i))
-          val code = codeOf(residual, pq)
-          var err = 0.0
-          val dsub = pq.dsub
-          var s = 0
-          while (s < pq.m) {
-            val cw = pq.codebooks(s)(code(s) & 0xff)
-            var i = 0
-            while (i < dsub) {
-              val d = residual(s * dsub + i) - cw(i)
-              err += d * d
-              i += 1
+        rows.map { case (vf, usable) =>
+          if (!usable) (0.0, 0L)
+          else {
+            val v = vf.map(_.toDouble)
+            val norm = math.sqrt(v.map(x => x * x).sum)
+            val u = v.map(_ / norm)
+            val cell = nearestCellDot(u, ivf.centroids)
+            val cent = ivf.centroids(cell)
+            val residual = Array.tabulate(pq.dim)(i => u(i) - cent(i))
+            val code = codeOf(residual, pq)
+            var err = 0.0
+            val dsub = pq.dsub
+            var s = 0
+            while (s < pq.m) {
+              val cw = pq.codebooks(s)(code(s) & 0xff)
+              var i = 0
+              while (i < dsub) {
+                val d = residual(s * dsub + i) - cw(i)
+                err += d * d
+                i += 1
+              }
+              s += 1
             }
-            s += 1
+            (err, 1L)
           }
-          err
         }
       }
-      .toDF("err")
-    errs.agg(avg("err")).collect()(0) match {
-      case r if r.isNullAt(0) => Double.NaN
-      case r => r.getDouble(0)
-    }
+      .toDF("err", "u")
+    val r = errs.agg(sum("err"), sum("u"), count(lit(1))).collect()(0)
+    if (r.isNullAt(2) || r.getLong(2) == 0L) (0.0, 0L, 0L)
+    else (if (r.isNullAt(0)) 0.0 else r.getDouble(0),
+      if (r.isNullAt(1)) 0L else r.getLong(1), r.getLong(2))
   }
 
   /** One drift verdict for a frozen model pair: `current` is the
@@ -450,7 +463,8 @@ object Pq {
     * (capture it right after train with the SAME function over the
     * training corpus or a held-out slice), `ratio = current /
     * baseline`, and `retrainDue` fires when the ratio crosses
-    * `factor`. An empty batch (NaN current) never fires.
+    * `factor`. An empty batch (NaN current) never fires; a NON-empty
+    * batch whose rows are ALL unusable fails loud in [[driftCheck]].
     */
   final case class DriftStat(
       baseline: Double, current: Double, ratio: Double, retrainDue: Boolean)
@@ -466,7 +480,19 @@ object Pq {
     require(baseline > 0 && !baseline.isNaN && !baseline.isInfinite,
       s"baseline=$baseline must be a positive finite training-time quantizationError")
     require(factor > 1.0, s"factor=$factor must be > 1 (1.0 would fire on noise)")
-    val current = quantizationError(df, vecCol, ivf, pq)
+    val (sumErr, usable, total) = quantizationErrorStat(df, vecCol, ivf, pq)
+    // the most drastic drift of all is invisible to the error average:
+    // a batch whose EVERY row fails usableVec (the embedding provider
+    // changed dimension, or upstream started emitting nulls/zeros)
+    // would yield NaN here while appendToIndex silently appends zero
+    // rows for the same batch — the monitor must scream, not shrug
+    // (review r19)
+    require(total == 0 || usable > 0,
+      s"driftCheck: all $total rows are unusable for dim=${pq.dim} " +
+        "(null/zero/non-finite norm or wrong dimension) — this is a pipeline " +
+        "break (e.g. the embedding dimension changed), not drift; " +
+        "appendToIndex/quantizationError silently no-op on such a batch")
+    val current = if (usable == 0) Double.NaN else sumErr / usable
     val ratio = current / baseline
     DriftStat(baseline, current, ratio, retrainDue = !current.isNaN && ratio > factor)
   }

@@ -24,8 +24,15 @@ import org.apache.spark.sql.functions._
   *      any other explicit port is KEPT (a different service)
   *   4. the fragment dropped (never sent to the server)
   *   5. tracking parameters dropped: any name starting `utm_`, plus
-  *      `gclid`/`fbclid`/`msclkid`/`ref` (click-attribution noise
-  *      that never changes the resource)
+  *      `gclid`/`fbclid`/`msclkid` (click-attribution ids minted by
+  *      the ad networks themselves — globally attribution-only,
+  *      never resource-selecting). Names that are MERELY
+  *      conventionally tracking (`ref`, `source`, ...) are NOT in
+  *      the default: on real sites `ref` selects the resource
+  *      (GitHub's `?ref=<branch>`, e-commerce category refs), and
+  *      stripping it would collapse distinct pages into one keeper
+  *      (review r19). Pass them via `dropParams` where the crawl
+  *      knows its hosts.
   *   6. surviving parameters SORTED lexicographically (param order is
   *      almost never semantic; sorting collapses reordered spellings)
   *   7. the path's trailing slashes stripped; an empty path becomes
@@ -36,13 +43,19 @@ import org.apache.spark.sql.functions._
   */
 object UrlOps {
 
-  /** Non-`utm_` tracking parameter names dropped by rule 5. */
-  val TrackingParams: Seq[String] = Seq("gclid", "fbclid", "msclkid", "ref")
+  /** Non-`utm_` tracking parameter names dropped by rule 5 — only
+    * the globally-safe ad-network ids. Host-conventional names like
+    * `ref` are deliberately absent; opt in via `dropParams`.
+    */
+  val TrackingParams: Seq[String] = Seq("gclid", "fbclid", "msclkid")
 
   /** The canonical spelling of `url` per the object contract, as one
     * composed codegen'd expression; NULL for malformed input.
+    * `dropParams` extends rule 5's exact-name drop list for crawls
+    * that know their hosts' conventions (e.g. add `"ref"` for a
+    * storefront corpus, never for a code-forge one).
     */
-  def canonicalizeUrl(url: Column): Column = {
+  def canonicalizeUrl(url: Column, dropParams: Seq[String] = Nil): Column = {
     val u = trim(url)
     val scheme = lower(try_parse_url(u, lit("PROTOCOL")))
     val host = regexp_replace(lower(try_parse_url(u, lit("HOST"))), "^www\\.", "")
@@ -57,10 +70,11 @@ object UrlOps {
     val path = when(regexp_replace(rawPath, "/+$", "") === "", lit("/"))
       .otherwise(regexp_replace(rawPath, "/+$", ""))
     val rawQuery = try_parse_url(u, lit("QUERY"))
+    val dropped = TrackingParams ++ dropParams
     val kept = array_sort(filter(
       split(coalesce(rawQuery, lit("")), "&"),
       p => !(p === "" || p.startsWith("utm_") ||
-        element_at(split(p, "="), 1).isin(TrackingParams: _*))))
+        element_at(split(p, "="), 1).isin(dropped: _*))))
     val queryPart = when(size(kept) > 0, concat(lit("?"), array_join(kept, "&")))
       .otherwise(lit(""))
     when(scheme.isNull || host.isNull || host === "", lit(null).cast("string"))
@@ -75,10 +89,11 @@ object UrlOps {
     regexp_replace(lower(try_parse_url(trim(url), lit("HOST"))), "^www\\.", "")
 
   /** `df` plus a `canonical_url` column (NULL for malformed rows). */
-  def withCanonicalUrl(df: DataFrame, urlCol: String): DataFrame = {
+  def withCanonicalUrl(
+      df: DataFrame, urlCol: String, dropParams: Seq[String] = Nil): DataFrame = {
     require(!df.columns.contains("canonical_url"),
       "input already has a canonical_url column — rename it first")
-    df.withColumn("canonical_url", canonicalizeUrl(col(urlCol)))
+    df.withColumn("canonical_url", canonicalizeUrl(col(urlCol), dropParams))
   }
 
   /** URL-level exact dedup: one row per canonical URL — the row with
@@ -91,7 +106,9 @@ object UrlOps {
     * the projection once, ranks map-side (WindowGroupLimit), never
     * wider than the key space.
     */
-  def dropDuplicateUrls(df: DataFrame, urlCol: String, idCol: String): DataFrame = {
+  def dropDuplicateUrls(
+      df: DataFrame, urlCol: String, idCol: String,
+      dropParams: Seq[String] = Nil): DataFrame = {
     // the leading space keeps a fallback key from ever colliding with
     // a canonical form (canonical strings start with a scheme letter,
     // never whitespace — canonicalizeUrl trims)
@@ -102,7 +119,7 @@ object UrlOps {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(key)
       .orderBy(col(idCol).asc)
-    withCanonicalUrl(df, urlCol)
+    withCanonicalUrl(df, urlCol, dropParams)
       .withColumn("__rk", row_number().over(w))
       .filter(col("__rk") === 1)
       .drop("__rk", "canonical_url")

@@ -219,6 +219,21 @@ class IvfSpec extends SparkSpec {
       // empty batch -> NaN, never a crash
       assert(Ivf.assignmentTightness(
         Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding"), "embedding", model).isNaN)
+      // one poisoned row (Inf element -> Inf norm -> Inf/Inf = NaN
+      // component) or a wrong-dim row must be EXCLUDED, not drag the
+      // whole statistic to NaN / a truncated-dot skew (review r19)
+      val dim = base.select("embedding").head().getSeq[Float](0).length
+      val poisoned = base.select("vec_id", "embedding").unionByName(Seq(
+        (9001L, Seq.fill(dim)(Float.PositiveInfinity)),
+        (9002L, Seq.fill(dim + 3)(0.5f)),
+        (9003L, Seq.fill(dim)(0f))).toDF("vec_id", "embedding"))
+      val guarded = Ivf.assignmentTightness(poisoned, "embedding", model)
+      assert(!guarded.isNaN && math.abs(guarded - tight) < 1e-12,
+        s"degenerate rows must not move the statistic: $guarded vs $tight")
+      // the Inf-norm guard also keeps poisoned rows OUT of the index
+      // (a NaN-component row would NaN-dot above every real neighbor)
+      assert(Ivf.index(poisoned, "embedding", "vec_id", model)
+        .filter(col("vec_id") >= 9001L).count() == 0)
     } finally {
       spark.sql("DROP TABLE IF EXISTS ivf_append_test")
     }

@@ -191,6 +191,21 @@ class PqSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Pq.driftCheck(base, "embedding", ivf, pq, baseline = 0.0)
     }
+    // the most drastic drift: a NON-empty batch whose every row is
+    // unusable (here: the embedding provider changed dimension) must
+    // FAIL LOUD, not report NaN/"no drift" while appendToIndex
+    // silently appends nothing (review r19)
+    val wrongDim = (0 until 8).map(i => (2000L + i, Seq.fill(pq.dim + 4)(0.5f)))
+      .toDF("vec_id", "embedding")
+    val ex = intercept[IllegalArgumentException] {
+      Pq.driftCheck(wrongDim, "embedding", ivf, pq, baseline = 1.0)
+    }
+    assert(ex.getMessage.contains("unusable"), ex.getMessage)
+    // a MIXED batch still measures over its usable rows only
+    val mixed = drifted.unionByName(wrongDim)
+    val statM = Pq.driftCheck(mixed, "embedding", ivf, pq, baseline = math.max(baseline, eps))
+    assert(statM.retrainDue && math.abs(statM.current - current) < 1e-12,
+      s"mixed batch must score its usable rows exactly: $statM vs $current")
   }
 
   test("PQ and IVF models round-trip through writeModel/readModel bit-exactly") {

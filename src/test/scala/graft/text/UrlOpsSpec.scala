@@ -29,9 +29,25 @@ class UrlOpsSpec extends SparkSpec {
     assert(canon("http://example.com:80/a") == Seq(Some("http://example.com/a")))
     assert(canon("http://example.com:443/a") == Seq(Some("http://example.com:443/a")),
       ":443 is only default for httpS")
-    // params sort but survive; utm_ prefix is a prefix match, 'ref' is exact
+    // params sort but survive; utm_ prefix is a prefix match
+    // 'ref' SURVIVES by default — on real hosts it selects the
+    // resource (GitHub's ?ref=<branch>); stripping it is opt-in
+    // via dropParams (review r19)
     assert(canon("https://h.io/p?b=2&a=1&ref=tw&refresh=1") ==
-      Seq(Some("https://h.io/p?a=1&b=2&refresh=1")))
+      Seq(Some("https://h.io/p?a=1&b=2&ref=tw&refresh=1")))
+    locally {
+      import sqlImplicits._
+      val optIn = Seq("https://h.io/p?b=2&a=1&ref=tw&refresh=1").toDF("url")
+        .select(UrlOps.canonicalizeUrl(col("url"), dropParams = Seq("ref")).as("c"))
+        .collect().map(_.getString(0)).toSeq
+      assert(optIn == Seq("https://h.io/p?a=1&b=2&refresh=1"))
+      // distinct pages under ref stay distinct through the dedup
+      val pages = Seq(
+        (1L, "https://forge.io/org/repo/blob/README.md?ref=main"),
+        (2L, "https://forge.io/org/repo/blob/README.md?ref=release-2.0"))
+        .toDF("doc_id", "url")
+      assert(UrlOps.dropDuplicateUrls(pages, "url", "doc_id").count() == 2)
+    }
     // http and https stay distinct schemes (no scheme folding)
     assert(canon("http://example.com/a").head.get != canon("https://example.com/a").head.get)
     // interior slashes are content; only TRAILING ones strip
