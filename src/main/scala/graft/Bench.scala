@@ -138,7 +138,18 @@ object Bench {
     val failedJson = failedNames.map("\"" + _ + "\"").mkString("[", ",", "]")
     val sentinelJson =
       s"""{"first":$sentinelFirst,"last":$sentinelLast}"""
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"failed":$failedJson,"sentinel":$sentinelJson,"run_spread_mean":$spreadMean,"run_spread_max":$spreadMax}"""
+    // Per-query spreads (max/min across repeats) ride the FILE copy
+    // only: run_spread_max alone says "something spiked" without
+    // naming it, so every fat-spread adjudication used to need a
+    // re-run. Top-8 by spread, 2 decimals — enough to point at the
+    // one GC-paused sub-second query without bloating the line.
+    val spreadsJson = results
+      .collect { case (k, (v, s)) if v >= 0 && s > 0 => (k, s) }
+      .sortBy(-_._2).take(8)
+      .map { case (k, s) =>
+        "\"" + k + "\":" + String.format(java.util.Locale.ROOT, "%.2f", Double.box(s))
+      }.mkString("{", ",", "}")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"failed":$failedJson,"sentinel":$sentinelJson,"run_spread_mean":$spreadMean,"run_spread_max":$spreadMax,"top_spreads":$spreadsJson}"""
     // The driver captures only the LAST ~2000 chars of output and
     // parses the JSON line out of that tail. With 90 queries the
     // full-name line is ~3000 chars, so the head (including "metric"
