@@ -359,6 +359,12 @@ private class AdxLikeDataWriter(
     dt match {
       case IntegerType => stmt.setInt(j, row.getInt(i))
       case LongType => stmt.setLong(j, row.getLong(i))
+      // Short/Byte: admitted by supportsExternalMetadata and the
+      // stream-offset whitelist, so the data path must carry them
+      // too — validation accepting what bind() threw on surfaced as
+      // per-row executor crashes (review r19)
+      case ShortType => stmt.setShort(j, row.getShort(i))
+      case ByteType => stmt.setByte(j, row.getByte(i))
       case DoubleType => stmt.setDouble(j, row.getDouble(i))
       case FloatType => stmt.setFloat(j, row.getFloat(i))
       case BooleanType => stmt.setBoolean(j, row.getBoolean(i))
@@ -398,6 +404,11 @@ private object AdxLikeDataWriter {
   def sqlType(dt: DataType): Int = dt match {
     case IntegerType => Types.INTEGER
     case LongType => Types.BIGINT
+    case ShortType => Types.SMALLINT
+    // SMALLINT, not TINYINT: Derby (the tested remote) has no
+    // TINYINT, and this code only feeds setNull — a byte writes
+    // into a SMALLINT column losslessly
+    case ByteType => Types.SMALLINT
     case DoubleType => Types.DOUBLE
     case FloatType => Types.REAL
     case BooleanType => Types.BOOLEAN
@@ -490,11 +501,19 @@ private class AdxLikeScanBuilder(
     other match {
       case o: AdxLikeScanBuilder =>
         import org.apache.spark.sql.connector.join.JoinType._
-        val kw = joinType match {
-          case INNER_JOIN => "JOIN"
-          case LEFT_OUTER_JOIN => "LEFT JOIN"
-          case RIGHT_OUTER_JOIN => "RIGHT JOIN"
+        // total match: the API contract on an unsupported type is
+        // "return false, keep the join in Spark" — a MatchError here
+        // would fail the whole query at planning when a Spark upgrade
+        // adds e.g. FULL_OUTER_JOIN (review r19; the `out` match
+        // below already had its defensive default)
+        val kwOpt = joinType match {
+          case INNER_JOIN => Some("JOIN")
+          case LEFT_OUTER_JOIN => Some("LEFT JOIN")
+          case RIGHT_OUTER_JOIN => Some("RIGHT JOIN")
+          case _ => None
         }
+        if (kwOpt.isEmpty) return false
+        val kw = kwOpt.get
         // the null-extended side's columns MUST report nullable even
         // when the remote declares them NOT NULL: Spark rebuilds the
         // join output straight from this readSchema (no outer-join
@@ -974,6 +993,8 @@ private class AdxLikeReader(
     val v: Any = schema.fields(i).dataType match {
       case IntegerType => rs.getInt(i + 1)
       case LongType => rs.getLong(i + 1)
+      case ShortType => rs.getShort(i + 1)
+      case ByteType => rs.getByte(i + 1)
       // a Kusto-normalized "real" arrives as remote text — coerce the
       // special values and parse failures exactly like
       // [[graft.ops.Scalars.coerceSpecialDouble]] (adx_plugin.py:252-257)
@@ -1180,8 +1201,17 @@ private[graft] object AdxLike {
       case op @ ("=" | "<>" | "<" | "<=" | ">" | ">=") =>
         for (l <- operand(kids(0)); r <- operand(kids(1))) yield s"$l $op $r"
       case "<=>" =>
+        // The expansion must be NULL-PROOF, not merely equivalent on
+        // non-null rows: under NOT (`is distinct from`), the naive
+        // `l = r OR (l IS NULL AND r IS NULL)` evaluates to SQL NULL
+        // when exactly one side is NULL (FALSE OR NULL), and NOT NULL
+        // is NULL — the remote ON silently DROPS row pairs Spark
+        // would join, and a pushed join replaces the Spark join so
+        // the rows are unrecoverable (review r19). Each disjunct
+        // below is TRUE or FALSE on every input, never NULL.
         for (l <- operand(kids(0)); r <- operand(kids(1)))
-          yield s"($l = $r OR ($l IS NULL AND $r IS NULL))"
+          yield s"(($l IS NULL AND $r IS NULL) OR " +
+            s"($l IS NOT NULL AND $r IS NOT NULL AND $l = $r))"
       case "IS_NULL" => operand(kids(0)).map(c => s"$c IS NULL")
       case "IS_NOT_NULL" => operand(kids(0)).map(c => s"$c IS NOT NULL")
       case "AND" => for (l <- sub(kids(0)); r <- sub(kids(1))) yield s"$l AND $r"

@@ -69,10 +69,15 @@ object Jdbc {
     }
   }
 
-  /** Retry `f` up to `maxRetries` times on [[Retryable]] failures with
-    * linear backoff; [[Fatal]] failures propagate immediately. Mirrors
-    * the reference's 3-attempt reconnect loop
-    * (mysql_plugin.py:181-192 / adx_plugin.py:131-165).
+  /** Run `f` with a TOTAL budget of `maxRetries` ATTEMPTS (the name
+    * is the connector-option convention; the semantics are attempts:
+    * `maxRetries = 3` means one initial try plus up to two retries,
+    * `maxRetries = 1` means a single try and no retry — exactly
+    * [[graft.core.Retry.withRetries]]'s `maxAttempts`, and exactly
+    * the reference's 3-ATTEMPT reconnect loop,
+    * mysql_plugin.py:181-192 / adx_plugin.py:131-165). Retries only
+    * [[Retryable]] failures, with linear backoff; [[Fatal]] failures
+    * propagate immediately.
     */
   private[sources] def withRetries[T](maxRetries: Int = 3, backoffMs: Long = 200L)(f: => T): T =
     graft.core.Retry.withRetries(maxRetries, backoffMs)(classify(_) == Retryable)(f)
@@ -126,11 +131,17 @@ object Jdbc {
 
   /** Register a JDBC table in the [[SourceRegistry]] under `name` —
     * rows->table (S4) collapses to this plus a subquery dbtable.
+    * The inner read runs with maxRetries = 1: [[SourceRegistry.read]]
+    * applies the retry policy around the registered reader, and a
+    * retrying reader inside a retrying registry would multiply the
+    * attempt budget (up to 9 connects with compounded backoff on a
+    * down database — review r19). One layer owns the policy.
     */
   def register(
       name: String,
       url: String,
       dbtable: String,
       props: Map[String, String] = Map.empty): Unit =
-    SourceRegistry.register(name, (spark, _) => read(spark, url, dbtable, props))
+    SourceRegistry.register(name,
+      (spark, _) => read(spark, url, dbtable, props, maxRetries = 1))
 }

@@ -19,7 +19,13 @@ import org.apache.spark.sql.types._
 object ReportSink {
 
   /** Markdown report: title, schema, row count, per-numeric-column
-    * min/max/mean (one aggregate job), and the first `maxRows` rows.
+    * min/max/mean (one aggregate job), and the first `maxRows` rows
+    * (a second, limit-short-circuited job). TWO actions total over
+    * `df`'s lineage — fine for the summary-sized frames reports are
+    * made of; for an expensive upstream (a large join/agg), persist
+    * the frame yourself before rendering, because the sample job
+    * re-executes the lineage up to its first shuffle (review r19:
+    * the old header claimed one job).
     */
   def render(df: DataFrame, title: String, maxRows: Int = 20): String = {
     val sb = new StringBuilder

@@ -36,6 +36,15 @@ object Sources {
     * fixture's nanos are all whole microseconds, so this is lossless).
     * Integer division (`DIV`) is required: the ns epoch (~1.7e18)
     * exceeds double's exact integer range.
+    *
+    * SESSION-WIDE side effect, by necessity: the flag is consulted at
+    * EXECUTION time too (the vectorized reader re-checks it when
+    * materializing the scan), so restoring it after this call would
+    * break the lazy frame it returns. After the first events() call,
+    * any OTHER TIMESTAMP(NANOS) parquet read in the session loads as
+    * raw-nanos LongType instead of failing loudly — if you ingest
+    * foreign nanos tables in the same session, rebuild their
+    * timestamps the way this reader does (review r19).
     */
   def events(spark: SparkSession, d: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

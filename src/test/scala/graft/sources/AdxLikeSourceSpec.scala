@@ -759,4 +759,70 @@ class AdxLikeSourceSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(left == Map(2L -> "seeded", 10L -> "a", 11L -> "b"), left.toString)
   }
+
+  test("null-safe equality compiles NULL-PROOF: NOT(a <=> b) keeps one-side-NULL pairs on the remote") {
+    // Spark's a <=> b is two-valued (never SQL NULL); the compiled
+    // remote form must be too, or NOT(...) silently drops row pairs
+    // whose ON evaluates to NULL — and a pushed join REPLACES the
+    // Spark join, so the loss is invisible (review r19: the old
+    // expansion `a = b OR (a IS NULL AND b IS NULL)` was NULL when
+    // exactly one side was NULL).
+    import org.apache.spark.sql.connector.expressions.Expressions
+    import org.apache.spark.sql.connector.expressions.filter.{Not, Predicate}
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val schema = StructType(Seq(StructField("x", LongType), StructField("y", LongType)))
+    val nse = new Predicate("<=>",
+      Array[org.apache.spark.sql.connector.expressions.Expression](
+        Expressions.column("x"), Expressions.column("y")))
+    def keptOnDerby(cond: String): Set[(Option[Long], Option[Long])] = {
+      val conn = DriverManager.getConnection(url)
+      try {
+        val st = conn.createStatement()
+        val rs = st.executeQuery(
+          "SELECT x, y FROM (VALUES (1, 1), (1, CAST(NULL AS BIGINT)), " +
+            "(CAST(NULL AS BIGINT), 1), (CAST(NULL AS BIGINT), CAST(NULL AS BIGINT))) " +
+            s"AS t(x, y) WHERE $cond")
+        val out = scala.collection.mutable.Set.empty[(Option[Long], Option[Long])]
+        while (rs.next()) {
+          val a = rs.getLong(1); val an = rs.wasNull()
+          val b = rs.getLong(2); val bn = rs.wasNull()
+          out += ((if (an) None else Some(a), if (bn) None else Some(b)))
+        }
+        rs.close(); st.close(); out.toSet
+      } finally conn.close()
+    }
+    val eq = AdxLike.compileJoinCondition(nse, schema).get
+    assert(keptOnDerby(eq) ==
+      Set((Some(1L), Some(1L)), (None, None)), eq)
+    val ne = AdxLike.compileJoinCondition(new Not(nse), schema).get
+    // the exact pairs the old expansion dropped (NOT NULL -> NULL)
+    assert(keptOnDerby(ne) ==
+      Set((Some(1L), None), (None, Some(1L))), ne)
+  }
+
+  test("Short/Byte columns write and read through the connector (validation and data path agree)") {
+    // supportsExternalMetadata and the stream-offset whitelist both
+    // admit Short/Byte, so the row codec must carry them too —
+    // accepting at planning and throwing per-row in bind()/decode()
+    // surfaced as executor task crashes (review r19)
+    import sqlImplicits._
+    val conn = DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      try st.execute("DROP TABLE smallints") catch { case _: SQLException => () }
+      st.execute("CREATE TABLE smallints (id BIGINT, s SMALLINT, b SMALLINT)")
+      st.close()
+    } finally conn.close()
+    val rows = Seq((1L, 7.toShort, 3.toByte), (2L, Short.MinValue, Byte.MaxValue))
+      .toDF("id", "s", "b")
+    rows.write.format(fmt)
+      .option("url", url).option("table", "smallints").mode("append").save()
+    // read back under an explicit Short/Byte schema (the user-schema
+    // path supportsExternalMetadata enables)
+    val got = spark.read.format(fmt)
+      .schema("id LONG, s SHORT, b BYTE")
+      .option("url", url).option("table", "smallints").load()
+      .collect().map(r => (r.getLong(0), r.getShort(1), r.getByte(2))).toSet
+    assert(got == Set((1L, 7.toShort, 3.toByte), (2L, Short.MinValue, Byte.MaxValue)), got)
+  }
 }
