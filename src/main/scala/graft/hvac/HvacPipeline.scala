@@ -107,9 +107,15 @@ object HvacPipeline {
     val verdicts = ctx.result[Seq[VarianceVerdict]]("variance_raw")
     val high = verdicts.filter(_.variance == "High").map(_.stage).toSet
     val cleaned = ctx.table("cleaned")
+    // Cycle identity is (user_id, cycle) — labelCycles restarts
+    // numbering per device key, and Step 2 already filters at that
+    // grain. A bare `cycle` here merged device A's cycle 3 with
+    // device B's cycle 3: distinct counts read as one device's worth
+    // and merged pseudo-cycles spanned devices, inflating durations
+    // (review r19; the single-device fixture tests never caught it).
     val cycleCounts = cleaned
       .groupBy("event_type")
-      .agg(countDistinct("cycle").as("n_cycles"))
+      .agg(countDistinct(col("user_id"), col("cycle")).as("n_cycles"))
       .collect()
       .map(r => r.getString(0) -> r.getLong(1))
       .toMap
@@ -117,7 +123,10 @@ object HvacPipeline {
       if (high.isEmpty) Map.empty
       else
         ShortCycling
-          .detect(cleaned.filter(col("event_type").isInCollection(high)), Seq("event_type"), "cycle", "ts")
+          .detect(
+            cleaned.filter(col("event_type").isInCollection(high))
+              .withColumn("__cycle_key", struct(col("user_id"), col("cycle"))),
+            Seq("event_type"), "__cycle_key", "ts")
           .collect()
           .map(r => r.getString(0) -> r.getAs[Boolean]("short_cycling"))
           .toMap

@@ -45,10 +45,17 @@ object AsOfJoin {
         Seq(col(rightTs).as("__ts"), lit(0).as("__isLeft"), payStruct.as("__pay")) ++
         leftRest.map(c => lit(null).cast(left.schema(c).dataType).as(s"__l_$c")): _*)
     // Right rows sort BEFORE left rows at equal timestamps, so a right
-    // row at exactly the left timestamp matches (<= semantics).
+    // row at exactly the left timestamp matches (<= semantics). The
+    // trailing `__pay` term makes the order TOTAL when the right side
+    // has DUPLICATE timestamps per key: without it, which duplicate
+    // `last` picks depends on shuffle layout — run-to-run
+    // nondeterministic right_* output (review r19). Ties now
+    // deterministically resolve to the LARGEST payload tuple (struct
+    // ordering is lexicographic over (right_ts, payload...)); left
+    // rows carry a null __pay, ordered first within their slot.
     val w = Window
       .partitionBy(keys.map(col): _*)
-      .orderBy(col("__ts").asc, col("__isLeft").asc)
+      .orderBy(col("__ts").asc, col("__isLeft").asc, col("__pay").asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val filled = lTagged.unionByName(rTagged)
       .withColumn("__match", last(col("__pay"), ignoreNulls = true).over(w))

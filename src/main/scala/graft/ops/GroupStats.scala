@@ -113,8 +113,15 @@ object GroupStats {
 
   /** J2 — keep only rows whose group key passes `validCyclePredicate`:
     * a left-semi join against the aggregated valid-key set (reference:
-    * Requirements/ExamplePipelineCode.md:211-218). The valid set is
-    * small (one row per cycle), so Spark broadcasts it.
+    * Requirements/ExamplePipelineCode.md:211-218). NO broadcast hint:
+    * the valid set is one row per CYCLE — data-plane sized, linear in
+    * the corpus (a year of a million devices is billions of cycles),
+    * so a forced broadcast would hit the 8 GB hard limit exactly at
+    * the scale this operator exists for (review r19). At small scale
+    * AQE still picks a broadcast semi-join from the runtime size of
+    * the aggregated side; at crawl scale the semi-join shuffles
+    * co-partitioned on `groupCols`, which cycleStats already hash-
+    * partitions on.
     */
   def filterValidCycles(
       df: DataFrame,
@@ -126,6 +133,6 @@ object GroupStats {
     val valid = cycleStats(df, groupCols, valueCol, tsCol, stateCol)
       .filter(validCyclePredicate(valueCol, minCount))
       .select(groupCols.map(col): _*)
-    df.join(broadcast(valid), groupCols, "left_semi")
+    df.join(valid, groupCols, "left_semi")
   }
 }

@@ -16,13 +16,21 @@ object RobustStats {
 
   val DefaultRcvThreshold = 0.35
 
-  /** Per-group rCV. Output: groupCols :+ (median, mad, rcv). */
+  /** Per-group rCV. Output: groupCols :+ (median, mad, rcv).
+    * NULL group keys form a group like groupBy's own semantics: the
+    * join back is NULL-SAFE (`<=>` per key) — a plain using-columns
+    * equi-join silently dropped the null-key group that both
+    * aggregation passes produced a row for (review r19).
+    */
   def robustCV(df: DataFrame, groupCols: Seq[String], valueCol: String): DataFrame = {
     val g = groupCols.map(col)
     val medians = df
       .groupBy(g: _*)
       .agg(GroupStats.exactMedian(col(valueCol)).as("median"))
-    val joined = df.join(medians, groupCols)
+      .select(groupCols.map(c => col(c).as(s"__m_$c")) :+ col("median"): _*)
+    val joined = df
+      .join(medians, groupCols.map(c => col(c) <=> col(s"__m_$c")).reduce(_ && _))
+      .drop(groupCols.map(c => s"__m_$c"): _*)
     joined
       .groupBy(g: _*)
       .agg(

@@ -14,14 +14,15 @@ import org.apache.spark.sql.functions.{broadcast => bcast, _}
   * the ROW IDENTITY: a row is kept iff its score clears the rate
   * threshold, where the score is THREE Lehmer/MINSTD rounds
   *
-  *   `h0 = mod(id * 48271 + seed, 2147483647); h = h0 * 48271 mod m; ...`
+  *   `h0 = mod(mod(id, m) * 48271 + seed, 2147483647); h = h0 * 48271 mod m; ...`
   *
   * (multiplier from the public MINSTD spec; one round is a bijection
   * but leaves a small contiguous id range unwrapped and therefore
   * unmixed — the extra rounds wrap the modulus hundreds of times, so
-  * even ids 0..n score uniformly). Every intermediate stays below
-  * (m-1) * 48271 < 2^63: no overflow under Spark's ANSI arithmetic on
-  * any engine. Membership depends only on (id, seed, rate), so the
+  * even ids 0..n score uniformly). The id is mod-reduced BEFORE the
+  * first multiply, so every intermediate stays below
+  * (m-1) * 48271 < 2^47: no overflow under Spark's ANSI arithmetic
+  * for the FULL Long id range, xxhash64 surrogates included. Membership depends only on (id, seed, rate), so the
   * sample is
   *
   *   - reproducible bit-for-bit on any cluster shape or engine (the
@@ -57,12 +58,17 @@ object Sampling {
     }
 
   /** Uniform [0, m) sampling score of an integral id column —
-    * overflow-safe in BIGINT for |id| < ~1.9e14 (the first round's
-    * id * 48271 must stay inside Long; fixture ids and the scale
-    * harness's 1e7-strided copies are far below that).
+    * overflow-safe for the FULL Long range: the id is pmod-reduced
+    * into [0, m) before the first multiply, which is value-identical
+    * to multiplying the raw id (mod arithmetic) wherever the raw form
+    * didn't overflow, and well-defined where it did. The raw
+    * `id * 48271` form died under ANSI (ARITHMETIC_OVERFLOW) exactly
+    * for the xxhash64 surrogate ids [[requireIntegralId]]'s own error
+    * message tells callers to construct (review r19). Every
+    * intermediate now stays below (m-1) * 48271 < 2^47.
     */
   def sampleScore(id: Column, seed: Long): Column = {
-    val h0 = pmod(id.cast("long") * lit(Mult) + lit(seed % Mod), lit(Mod))
+    val h0 = pmod(pmod(id.cast("long"), lit(Mod)) * lit(Mult) + lit(seed % Mod), lit(Mod))
     val h1 = pmod(h0 * lit(Mult), lit(Mod))
     pmod(h1 * lit(Mult), lit(Mod))
   }
@@ -314,6 +320,12 @@ object Sampling {
       seed: Long = 0L): DataFrame = {
     require(cap > 0, s"cap=$cap must be positive")
     requireIntegralId(df, idCol, "domainCap")
+    // reserved working names (the IntervalJoin/CorpusShuffle
+    // convention): withColumn would silently REPLACE a caller's
+    // column, and the final select would return rank values in place
+    // of their data for over-cap domains only (review r19)
+    Seq("__rk", "__n").foreach(c => require(!df.columns.contains(c),
+      s"domainCap: input already has a '$c' column — rename it first"))
     val over = df.groupBy(col(domainCol))
       .agg(count(lit(1)).as("__n"))
       .filter(col("__n") > cap)
@@ -365,6 +377,8 @@ object Sampling {
       scoreCol: String,
       p: Double): DataFrame = {
     require(p > 0.0 && p <= 1.0, s"p=$p must be in (0, 1]")
+    Seq("__rk", "__k").foreach(c => require(!df.columns.contains(c),
+      s"topFractionByScore: input already has a '$c' column — rename it first"))
     val ks = df.groupBy(col(strataCol))
       .agg(ceil(lit(p) * count(lit(1)).cast("double")).cast("long").as("__k"))
       .localCheckpoint(true)

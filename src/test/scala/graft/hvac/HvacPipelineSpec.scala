@@ -34,4 +34,33 @@ class HvacPipelineSpec extends SparkSpec {
     assert(merged.columns.toSet == Set("dev", "ts", "tstate", "energy"))
     assert(merged.count() == 2) // only aligned minutes survive
   }
+
+  test("issues count cycles at the (device, cycle) grain, not bare cycle ids") {
+    import sqlImplicits._
+    // two devices, each with 8 valid heat cycles whose per-device
+    // cycle ids COINCIDE (labelCycles restarts numbering per device):
+    // 16 real heat cycles. The bare-cycle grain counted the distinct
+    // ids (8 < MinCyclesForIssues = 10) and wrongly flagged
+    // lowCycleCount on any multi-device frame (review r19).
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    var eid = 0L
+    val rows = for {
+      dev <- Seq(1L, 2L)
+      run <- 0 until 16 // alternate heat/idle -> 8 heat cycles/device
+      i <- 0 until 4
+    } yield {
+      eid += 1
+      val stage = if (run % 2 == 0) "heat" else "idle"
+      val value = if (stage == "heat") 500.0 + i else 1.0
+      (eid, ts(f"2024-01-0${dev} ${run}%02d:0$i:00"), dev, stage, value)
+    }
+    val events = rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val ctx = HvacPipeline.pipeline.run(
+      graft.core.PipelineContext("multidev", tables = Map("events" -> events)))
+    assert(ctx.errors.isEmpty, ctx.errors.toString)
+    val issues = ctx.result[Seq[StageIssues]]("issues")
+    val heat = issues.find(_.stage == "heat").get
+    assert(!heat.lowCycleCount,
+      s"16 (device, cycle) heat cycles must clear MinCyclesForIssues: $issues")
+  }
 }

@@ -59,4 +59,23 @@ class AsOfJoinSpec extends SparkSpec {
       toleranceSeconds = Some(61)).collect()
     assert(loose(0).getAs[Double]("right_v") == 7.0)
   }
+
+  test("duplicate right timestamps resolve deterministically (largest payload tuple)") {
+    import sqlImplicits._
+    // two right rows at the SAME (key, ts): without a total window
+    // order, which one `last` picked depended on shuffle layout —
+    // run-to-run nondeterminism (review r19). The tie now resolves
+    // by the payload struct ordering: largest (right_ts, payload...)
+    // tuple wins, on every run and every partition count.
+    val left = Seq((1L, ts("2024-01-01 10:05:00"), "l")).toDF("user_id", "ts", "tag")
+    val right = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "A"),
+      (1L, ts("2024-01-01 10:00:00"), "B")).toDF("user_id", "ts", "v")
+    (1 to 5).foreach { i =>
+      val out = AsOfJoin.asOf(
+        left, right.repartition(i), Seq("user_id"), "ts", "ts", Seq("v")).collect()
+      assert(out.length == 1 && out(0).getAs[String]("right_v") == "B",
+        s"partitions=$i: ${out.mkString(",")}")
+    }
+  }
 }

@@ -237,4 +237,41 @@ class SamplingSpec extends SparkSpec {
     assert(math.abs(realized - budget.toDouble) < 4 * sigma,
       s"realized $realized vs budget $budget")
   }
+
+  test("full-range Long ids (xxhash64 surrogates) sample without ANSI overflow") {
+    import sqlImplicits._
+    // requireIntegralId's error message tells callers to hash string
+    // ids through xxhash64, whose range covers all of Long — the raw
+    // `id * 48271` first round overflowed exactly there under ANSI
+    // (review r19). The mod-reduced form must agree with the old one
+    // on small ids (same scores, bit-for-bit) and work on the edges.
+    val small = (0L until 1000L).toDF("doc_id")
+    val kept = Sampling.uniform(small, "doc_id", rate = 0.25, seed = 42L)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept.size > 180 && kept.size < 320, kept.size.toString)
+    val edges = Seq(Long.MaxValue, Long.MinValue, Long.MaxValue - 1, -1L, 0L).toDF("doc_id")
+    // no ARITHMETIC_OVERFLOW; scores land in [0, m)
+    val scored = edges.select(Sampling.sampleScore(org.apache.spark.sql.functions.col("doc_id"), 7L))
+      .collect().map(_.getLong(0))
+    assert(scored.forall(v => v >= 0L && v < 2147483647L), scored.mkString(","))
+    // xxhash64 end-to-end: deterministic, layout-invariant
+    val hashed = (1 to 500).map(i => s"url-$i").toDF("u")
+      .select(org.apache.spark.sql.functions.xxhash64(org.apache.spark.sql.functions.col("u")).as("doc_id"))
+    val a = Sampling.uniform(hashed, "doc_id", 0.5, 1L).collect().map(_.getLong(0)).toSet
+    val b = Sampling.uniform(hashed.repartition(7), "doc_id", 0.5, 1L).collect().map(_.getLong(0)).toSet
+    assert(a == b && a.nonEmpty)
+  }
+
+  test("domainCap and topFractionByScore refuse reserved working columns") {
+    import sqlImplicits._
+    val df = Seq((1L, "d", 1)).toDF("doc_id", "domain", "__rk")
+    intercept[IllegalArgumentException] {
+      Sampling.domainCap(df, "doc_id", "domain", cap = 5)
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.topFractionByScore(
+        Seq((1L, "s", 0.5, 9)).toDF("doc_id", "lang", "score", "__k"),
+        "doc_id", "lang", "score", p = 0.5)
+    }
+  }
 }
