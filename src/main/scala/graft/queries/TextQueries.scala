@@ -998,7 +998,7 @@ object TextQueries {
       |  FROM lined
       |), marked AS (
       |  SELECT doc_id, pos, ln,
-      |    CASE WHEN len(string_split(ln, ' ')) >= 3
+      |    CASE WHEN len(list_filter(string_split(ln, ' '), w -> w <> '')) >= 3
       |          AND (ln LIKE '%.' OR ln LIKE '%!' OR ln LIKE '%?' OR ln LIKE '%"')
       |          AND NOT contains(lower(ln), 'javascript')
       |          AND NOT contains(lower(ln), 'cookie')

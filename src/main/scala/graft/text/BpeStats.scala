@@ -189,13 +189,20 @@ object BpeStats {
     * that `(word, n_sub)` table plus one per-doc sum — so the UDF
     * cost is vocabulary-bounded while the corpus only pays join+agg.
     * Words outside the broadcast table cannot occur (the table is
-    * derived from this corpus' own distinct words).
+    * derived from this corpus' own distinct words). EVERY input row
+    * appears in the output (wordless documents count 0, null ids are
+    * keys like any other — the same null-safe join-back discipline as
+    * [[BpeTokenizer.countsFromModel]]; review r19: the old form
+    * returned a bare (id, count) aggregate that silently OMITTED
+    * wordless documents and contradicted this doc line).
     */
   def subtokenCounts(
       df: DataFrame,
       textCol: String,
       idCol: String,
       merges: Seq[((String, String), Long)]): DataFrame = {
+    require(!df.columns.contains("n_subtokens"),
+      "input must not contain reserved column n_subtokens")
     val ranks = merges.map(_._1).zipWithIndex.toMap
     val bcRanks = df.sparkSession.sparkContext.broadcast(ranks)
     val segLen = udf((w: String) => segmentWord(w, bcRanks.value).length)
@@ -204,10 +211,12 @@ object BpeStats {
       .filter(length(col("w")) > 0)
       .distinct()
       .withColumn("n_sub", segLen(col("w")))
-    df.select(col(idCol), explode(split(col(textCol), " ")).as("w"))
+    val counts = df.select(col(idCol), explode(split(col(textCol), " ")).as("w"))
       .filter(length(col("w")) > 0)
       .join(bcast(vocabSeg), Seq("w"))
       .groupBy(col(idCol))
       .agg(sum(col("n_sub")).cast("long").as("n_subtokens"))
+    graft.text.BpeTokenizer.joinBackNullSafe(df, counts, idCol)
+      .withColumn("n_subtokens", coalesce(col("n_subtokens"), lit(0L)))
   }
 }

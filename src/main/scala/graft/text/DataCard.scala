@@ -49,20 +49,29 @@ object DataCard {
       strataCols: Seq[String],
       exact: Boolean = true): DataFrame = {
     require(strataCols.nonEmpty, "at least one stratum column")
-    val toks = TextAnalysis.tokens(col(textCol))
+    require(!df.columns.contains("__dc_toks"),
+      "input must not contain reserved column __dc_toks")
+    // BIND the token array to an attribute before multi-referencing it
+    // (the TextAnalysis discipline: Catalyst does not de-duplicate
+    // structural references to non-cheap trees, so the raw split tree
+    // re-tokenized every document ~7x across size() + the quality
+    // score's internal uses — review r19)
+    val toksCol = col("__dc_toks")
     // null text counts as 0 tokens / 0 quality (coalesce), so every
     // stat aggregates over the SAME population n_docs reports — bare
     // NULLs would drop those docs from sums/median/max while still
     // inflating the mean's denominator
-    val perDoc = df.select(
+    val perDoc = df
+      .withColumn("__dc_toks", TextAnalysis.tokens(col(textCol)))
+      .select(
       (strataCols.map(col) :+
         col(idCol) :+
-        coalesce(size(toks), lit(0)).as("__nt") :+
+        coalesce(size(toksCol), lit(0)).as("__nt") :+
         // null text fingerprints to a sentinel (all-null texts are one
         // duplicate group) — a bare md5(NULL) is NULL and the inner
         // copies join would silently drop those docs from every stat
         coalesce(md5(col(textCol).cast("binary")), lit("__null_text__")).as("__fp") :+
-        coalesce(round(TextAnalysis.qualityScoreOfTokens(toks, col(textCol)) * lit(1e9))
+        coalesce(round(TextAnalysis.qualityScoreOfTokens(toksCol, col(textCol)) * lit(1e9))
           .cast("long"), lit(0L)).as("__qn")): _*)
     val copies = perDoc.groupBy(col("__fp")).agg(count(lit(1)).as("__copies"))
     perDoc

@@ -56,7 +56,11 @@ object LineOps {
     require(minWords >= 1, s"minWords=$minWords must be >= 1")
     val arr = split(col(textCol), "\n")
     def keep(l: Column): Column = {
-      val words = size(split(l, " ")) >= minWords
+      // count NON-EMPTY tokens: a bare size(split(l, " ")) counts the
+      // empty strings repeated/leading spaces produce, so 'Buy  now.'
+      // passed minWords=3 with two real words — and this gate runs on
+      // RAW crawl text, before Normalize squeezes spaces (review r19)
+      val words = size(filter(split(l, " "), w => w =!= "")) >= minWords
       val term =
         if (requireTerminal)
           l.endsWith(".") || l.endsWith("!") || l.endsWith("?") || l.endsWith("\"")

@@ -106,5 +106,10 @@ object Normalize {
     */
   def cleaned(df: DataFrame, textCol: String, out: String = "clean_text"): DataFrame =
     df.withColumn(out, clean(col(textCol)))
-      .withColumn("changed", (col(out) =!= col(textCol)).cast("int"))
+      // null-safe: a null text row cleans to null — NOTHING changed,
+      // so the flag is 0, not SQL NULL. A null flag silently left the
+      // row out of every avg/sum health rollup's denominator (the
+      // same-population pitfall DataCard coalesces against,
+      // review r19).
+      .withColumn("changed", (!(col(out) <=> col(textCol))).cast("int"))
 }

@@ -149,7 +149,7 @@ object SequencePacking {
       s"orderCol '$orderCol' must be an integral type so chunk order matches " +
         s"the oracle's sort order; got $orderType")
     val reserved = Seq("__sp_ord_min", "__sp_span", "__sp_chunk", "__sp_chunk_tokens",
-      "__sp_chunk_base", "start_offset", "bin")
+      "__sp_chunk_base", "__sp_bstrat", "__sp_bchunk", "start_offset", "bin")
     reserved.foreach(c => require(!df.columns.contains(c), s"input must not contain reserved column $c"))
     // decimal(38,0) span math: (max - min) on a long column can
     // overflow for adversarial id ranges (hash-derived ids spanning
@@ -168,8 +168,16 @@ object SequencePacking {
     // they survive the equi-join (chunk -1 precedes every real chunk,
     // matching the oracle's nulls-first order) instead of being
     // silently dropped.
+    // NULL-SAFE stratum join (the joinBackNullSafe discipline): the
+    // window form keeps a null stratum as its own partition, but a
+    // plain using-columns equi-join never matches null keys — the
+    // distributed twin silently DROPPED every null-stratum document,
+    // a row-loss divergence between two paths documented as
+    // bit-identical (review r19).
     val chunked = withTok
-      .join(bcast(bounds), Seq(strataCol))
+      .join(bcast(bounds.withColumnRenamed(strataCol, "__sp_bstrat")),
+        col(strataCol) <=> col("__sp_bstrat"))
+      .drop("__sp_bstrat")
       .withColumn("__sp_chunk",
         coalesce(floor((ord - col("__sp_ord_min")) / col("__sp_span")), lit(-1L)))
     // pass 2: per-chunk totals -> exclusive cumulative base per chunk.
@@ -188,7 +196,11 @@ object SequencePacking {
     val local = Window.partitionBy(col(strataCol), col("__sp_chunk")).orderBy(col(orderCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     chunked
-      .join(bcast(chunkBases), Seq(strataCol, "__sp_chunk"))
+      .join(bcast(chunkBases
+          .withColumnRenamed(strataCol, "__sp_bstrat")
+          .withColumnRenamed("__sp_chunk", "__sp_bchunk")),
+        col(strataCol) <=> col("__sp_bstrat") && col("__sp_chunk") === col("__sp_bchunk"))
+      .drop("__sp_bstrat", "__sp_bchunk")
       .withColumn("start_offset",
         col("__sp_chunk_base") + sum(col(tokensCol)).over(local) - col(tokensCol))
       .withColumn("bin", floor(col("start_offset") / lit(capacity.toLong)))

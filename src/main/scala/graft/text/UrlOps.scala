@@ -37,6 +37,10 @@ import org.apache.spark.sql.functions._
   *      almost never semantic; sorting collapses reordered spellings)
   *   7. the path's trailing slashes stripped; an empty path becomes
   *      `/` (so `http://h` and `http://h/` collapse)
+  *   8. userinfo (`alice@host`) PRESERVED verbatim, case-sensitive —
+  *      it is part of the RFC 3986 authority and selects a distinct
+  *      resource on credentialed/mirror hosts (review r19: it was
+  *      silently dropped, collapsing distinct URLs)
   *
   * Malformed URLs canonicalize to NULL (`try_parse_url`), never
   * throw — crawl frontiers are full of garbage lines.
@@ -58,6 +62,14 @@ object UrlOps {
   def canonicalizeUrl(url: Column, dropParams: Seq[String] = Nil): Column = {
     val u = trim(url)
     val scheme = lower(try_parse_url(u, lit("PROTOCOL")))
+    // userinfo is part of the RFC 3986 authority and NO documented
+    // rule touches it — rebuild it verbatim (case-sensitive: user
+    // names are not hosts). Dropping it collapsed distinct
+    // credentialed/mirror URLs into one keeper (review r19).
+    val userinfo = try_parse_url(u, lit("USERINFO"))
+    val userinfoPart =
+      when(userinfo.isNull || userinfo === "", lit(""))
+        .otherwise(concat(userinfo, lit("@")))
     val host = regexp_replace(lower(try_parse_url(u, lit("HOST"))), "^www\\.", "")
     val authority = lower(try_parse_url(u, lit("AUTHORITY")))
     val port = regexp_extract(authority, ":(\\d+)$", 1)
@@ -78,7 +90,7 @@ object UrlOps {
     val queryPart = when(size(kept) > 0, concat(lit("?"), array_join(kept, "&")))
       .otherwise(lit(""))
     when(scheme.isNull || host.isNull || host === "", lit(null).cast("string"))
-      .otherwise(concat(scheme, lit("://"), host, portPart, path, queryPart))
+      .otherwise(concat(scheme, lit("://"), userinfoPart, host, portPart, path, queryPart))
   }
 
   /** The canonical host with the `www.` prefix stripped — the crawl
@@ -109,6 +121,8 @@ object UrlOps {
   def dropDuplicateUrls(
       df: DataFrame, urlCol: String, idCol: String,
       dropParams: Seq[String] = Nil): DataFrame = {
+    require(!df.columns.contains("__rk"),
+      "dropDuplicateUrls: input already has a '__rk' column — rename it first")
     // the leading space keeps a fallback key from ever colliding with
     // a canonical form (canonical strings start with a scheme letter,
     // never whitespace — canonicalizeUrl trims)

@@ -70,6 +70,7 @@ class BpeStatsSpec extends SparkSpec {
     val df = fixture()
     val merges = BpeStats.trainMerges(BpeStats.cappedVocab(df, "text", 100), 4)
     val got = BpeStats.subtokenCounts(df, "text", "doc_id", merges)
+      .select("doc_id", "n_subtokens")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     // after 4 merges: low -> [lo,w,</w>]=3, lower -> [lo,w,e,r,</w>]=5,
     // newest -> [n,e,w,est</w>]=4, widest -> [w,i,d,est</w>]=4
@@ -81,6 +82,16 @@ class BpeStatsSpec extends SparkSpec {
     val plan = BpeStats.subtokenCounts(df, "text", "doc_id", merges)
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), plan)
+    // EVERY input row survives: a wordless doc counts 0 (the old
+    // aggregate-only form silently omitted it), and the caller's
+    // columns pass through per the doc contract (review r19)
+    import sqlImplicits._
+    val withEmpty = df.unionByName(Seq((3L, ""), (4L, "   ")).toDF("doc_id", "text"))
+    val full = BpeStats.subtokenCounts(withEmpty, "text", "doc_id", merges)
+    assert(full.columns.toSeq == Seq("doc_id", "text", "n_subtokens"))
+    val m = full.select("doc_id", "n_subtokens")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m.keySet == Set(1L, 2L, 3L, 4L) && m(3L) == 0L && m(4L) == 0L, m.toString)
   }
 
   test("cappedVocab: top-N by (freq desc, word asc) — deterministic truncation") {

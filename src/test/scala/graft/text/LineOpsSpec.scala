@@ -193,4 +193,16 @@ class LineOpsSpec extends SparkSpec {
     assert(row.head.getAs[Long]("n_docs") == 2)
     assert(row.head.getAs[Long]("keeper") == 3L)
   }
+
+  test("lineFilter counts real words, not the empty tokens repeated spaces produce") {
+    import sqlImplicits._
+    // 'Buy  now.' splits to ["Buy","","now."] — the bare size() gate
+    // counted 3 "words" and let two-word chrome through on raw crawl
+    // text (this gate runs BEFORE Normalize squeezes spaces,
+    // review r19)
+    val df = Seq((1L, "Buy  now.\nA real sentence with words.")).toDF("doc_id", "text")
+    val out = LineOps.lineFilter(df, "text", "doc_id", minWords = 3).collect()(0)
+    assert(out.getAs[Int]("n_kept") == 1, out.toString)
+    assert(out.getAs[String]("clean") == "A real sentence with words.")
+  }
 }

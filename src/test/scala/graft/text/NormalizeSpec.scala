@@ -69,4 +69,12 @@ class NormalizeSpec extends SparkSpec {
       .select("id", "changed").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(out == Map(1L -> 0, 2L -> 1))
   }
+
+  test("cleaned: the changed flag is 0/1 on every row, never NULL (null text = unchanged)") {
+    import sqlImplicits._
+    val df = Seq(Some("a  b"), Some("ok"), None).toDF("t")
+    val out = Normalize.cleaned(df, "t", out = "c")
+      .select("changed").collect().map(r => if (r.isNullAt(0)) None else Some(r.getInt(0)))
+    assert(out.toSeq == Seq(Some(1), Some(0), Some(0)), out.mkString(","))
+  }
 }

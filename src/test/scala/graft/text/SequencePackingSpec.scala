@@ -240,4 +240,23 @@ class SequencePackingSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.split("Exchange hashpartitioning").length - 1 == 1, plan)
   }
+
+  test("null strata survive the distributed form identically to the window form") {
+    import sqlImplicits._
+    // a plain using-columns equi-join never matches null keys, so the
+    // distributed twin silently DROPPED every null-stratum document
+    // while the window form kept them as their own partition —
+    // row-loss divergence between paths documented as bit-identical
+    // (review r19; now a null-safe <=> join)
+    val rows = (0 until 60).map { i =>
+      val src = if (i % 3 == 0) None else Some(s"s${i % 2}")
+      (i.toLong, src, Seq.fill(5 + i % 17)("w").mkString(" "))
+    }
+    val df = rows.toDF("doc_id", "source", "text").repartition(5)
+    val oracle = triple(SequencePacking.assignBins(df, "text", "source", "doc_id", 64))
+    val dist = triple(
+      SequencePacking.assignBinsDistributed(df, "text", "source", "doc_id", 64, numChunks = 4))
+    assert(oracle.size == 60, oracle.size.toString)
+    assert(dist == oracle)
+  }
 }

@@ -105,4 +105,23 @@ class UrlOpsSpec extends SparkSpec {
       _.isInstanceOf[org.apache.spark.sql.execution.window.WindowGroupLimitExec]),
       plan.toString)
   }
+
+  test("userinfo is preserved verbatim: credentialed URLs never collapse into the bare host") {
+    import sqlImplicits._
+    // userinfo is RFC 3986 authority that no canonicalization rule
+    // touches — rebuilding the URL without it collapsed distinct
+    // resources (review r19)
+    assert(canon(
+      "https://alice@host.io/p", "https://bob@host.io/p", "https://host.io/p") ==
+      Seq(Some("https://alice@host.io/p"), Some("https://bob@host.io/p"),
+        Some("https://host.io/p")))
+    val pages = Seq(
+      (1L, "https://alice@host.io/p"), (2L, "https://bob@host.io/p"),
+      (3L, "https://host.io/p")).toDF("doc_id", "url")
+    assert(UrlOps.dropDuplicateUrls(pages, "url", "doc_id").count() == 3)
+    intercept[IllegalArgumentException] {
+      UrlOps.dropDuplicateUrls(
+        Seq((1L, "https://h.io/", 9)).toDF("doc_id", "url", "__rk"), "url", "doc_id")
+    }
+  }
 }
