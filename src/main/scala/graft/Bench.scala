@@ -38,6 +38,19 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // AQE partition coalescing for CACHED plan fragments too (off by
+      // default for historical plan-stability reasons): the engine's
+      // hot paths persist small intermediates (miner signature
+      // projections, hamming member tables, shingle tables), and with
+      // this off every one of them — and every exchange downstream of
+      // it — is pinned at spark.sql.shuffle.partitions map tasks
+      // regardless of data size, each paying the per-shuffle-file
+      // fixed cost (measured r19: q90's post-cache stages were 32
+      // tasks x ~500 ms of shuffle-file I/O for ~5000 rows; with AQE
+      // they coalesce to 1 task x ~25 ms). Scale-adaptive by
+      // construction — AQE sizes partitions from bytes, so large data
+      // keeps large partition counts (guide §2).
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

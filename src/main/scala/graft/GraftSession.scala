@@ -22,6 +22,13 @@ object GraftSession {
       .appName("graft")
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.adaptive.enabled", "true")
+      // AQE partition coalescing for CACHED plan fragments too (off by
+      // default): the engine's hot paths persist small intermediates,
+      // and without this every exchange downstream of a cache is
+      // pinned at spark.sql.shuffle.partitions tasks regardless of
+      // size — per-shuffle-file overhead dominates small stages, and
+      // AQE keeps large data at large partition counts (guide §2).
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.files.maxPartitionBytes", "134217728")

@@ -613,8 +613,30 @@ object Dedup {
       idCol: String,
       sigCol: String,
       maxHamming: Int,
-      bands: Int = 4): DataFrame = {
+      bands: Int = 4): DataFrame =
+    hammingPairsReleasable(df, idCol, sigCol, maxHamming, bands)._1
+
+  /** [[hammingPairs]] plus a release thunk for the internal persisted
+    * member table — for callers that must leave no cache entry behind
+    * (the media Releasable wrappers compose it into their handles;
+    * the plain form drops the thunk and lets the entry age out of the
+    * LRU store, the one-shot-batch trade documented at
+    * [[hammingClustersReleasable]]).
+    */
+  private[graft] def hammingPairsReleasable(
+      df: DataFrame,
+      idCol: String,
+      sigCol: String,
+      maxHamming: Int,
+      bands: Int = 4): (DataFrame, () => Unit) = {
+    // ONE persisted (id, sig) member table: five plan branches consume
+    // it (banding, the two cross-expansion joins, both intra sides),
+    // and the upstream is typically an EXPENSIVE decode/hash pass
+    // (measured r19: q95's WAV-synthesis + Welch FFT executed twice at
+    // ~70 s of task time each — the persist halves the query). 16-ish
+    // bytes per id.
     val members = memberTable(df, idCol, sigCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sigEdges = sigHammingEdges(members, maxHamming, bands)
     // Cross-signature pairs: expand each near-sig edge to its member
     // cross product. Edges have sig_a < sig_b, so each unordered id
@@ -635,7 +657,8 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         bit_count(lit(0L)).as("hamming")) // typed like the cross branch
-    cross.unionByName(intra).select("id_a", "id_b", "hamming")
+    (cross.unionByName(intra).select("id_a", "id_b", "hamming"),
+      () => { members.unpersist(blocking = false); () })
   }
 
   /** Distinct `(id, sig)` members with null ids/sigs dropped — a null
@@ -728,8 +751,13 @@ object Dedup {
       sigCol: String,
       maxHamming: Int,
       bands: Int = 4): DataFrame = {
+    // Both member tables feed two branches each (banding + the id
+    // expansion join) over typically expensive decode/hash upstreams —
+    // same persist rationale as hammingPairs.
     val mL = memberTable(left, idCol, sigCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val mR = memberTable(right, idCol, sigCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     sigHammingEdgesAgainst(mL.select("sig"), mR.select("sig"), maxHamming, bands)
       .join(mL.toDF("id_a", "sig_a"), "sig_a")
       .join(mR.toDF("id_b", "sig_b"), "sig_b")

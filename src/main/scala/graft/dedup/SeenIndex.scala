@@ -274,6 +274,10 @@ object SeenIndex {
       maxHamming: Int = 3): graft.core.Releasable[DataFrame] = {
     requireExactRadius(maxHamming)
     val spark = batch.sparkSession
+    // NOT persisted (unlike the Hamming gates): the double-evaluated
+    // upstream here is one tokenize+SimHash pass over the batch text —
+    // caching the text-carrying frame costs more than recomputing it
+    // (measured r19: q103 1.2 -> 4.8 s with the persist on)
     val hashed = requireNoSigCol(batch).withColumn("__sig",
       SimHash64.simhash64(graft.text.TextAnalysis.tokens(col(textCol))))
     // eager localCheckpoint for the same read-what-you-write reason
@@ -303,6 +307,7 @@ object SeenIndex {
       maxHamming: Int = 3): graft.core.Releasable[DataFrame] = {
     requireExactRadius(maxHamming)
     val spark = batch.sparkSession
+    // NOT persisted — see gateAndUpdateSimhashWindow (q103 receipt)
     val hashed = requireNoSigCol(batch).withColumn("__sig",
       SimHash64.simhash64(graft.text.TextAnalysis.tokens(col(textCol))))
     // EAGER localCheckpoint, not persist: the gate READS the very
@@ -332,11 +337,19 @@ object SeenIndex {
       maxHamming: Int = 3): graft.core.Releasable[DataFrame] = {
     requireExactRadius(maxHamming)
     val spark = batch.sparkSession
+    // persisted: the gate consumes `batch` twice in one eager job
+    // (seen-set branch + anti-join left); unpersisted, the caller's
+    // upstream — typically a media decode+hash pass — runs twice per
+    // epoch (measured r19: q105 paid ~10 s of decode task time per
+    // extra pass). Dropped before this call returns.
+    val pinned = batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // eager localCheckpoint for the same read-what-you-write reason
     // as gateAndUpdateSimhash (see its in-body comment)
-    val kept = Dedup.dropSeenHamming(batch, read(spark, path).select(col("sig").as(sigCol)),
-      sigCol, maxHamming)
-      .localCheckpoint(true)
+    val kept =
+      try Dedup.dropSeenHamming(pinned, read(spark, path).select(col("sig").as(sigCol)),
+        sigCol, maxHamming)
+        .localCheckpoint(true)
+      finally pinned.unpersist(blocking = false)
     append(kept, sigCol, path)
     graft.core.Releasable(kept, () => { kept.unpersist(blocking = false); () })
   }
@@ -355,12 +368,16 @@ object SeenIndex {
       maxHamming: Int = 3): graft.core.Releasable[DataFrame] = {
     requireExactRadius(maxHamming)
     val spark = batch.sparkSession
+    // persisted: same two-consumer rationale as gateAndUpdateHamming
+    val pinned = batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // eager localCheckpoint for the same read-what-you-write reason
     // as gateAndUpdateSimhash (see its in-body comment)
-    val kept = Dedup.dropSeenHamming(
-      batch, readWindow(spark, path, minEpoch).select(col("sig").as(sigCol)),
-      sigCol, maxHamming)
-      .localCheckpoint(true)
+    val kept =
+      try Dedup.dropSeenHamming(
+        pinned, readWindow(spark, path, minEpoch).select(col("sig").as(sigCol)),
+        sigCol, maxHamming)
+        .localCheckpoint(true)
+      finally pinned.unpersist(blocking = false)
     appendEpoch(kept, sigCol, path, epoch)
     graft.core.Releasable(kept, () => { kept.unpersist(blocking = false); () })
   }

@@ -72,7 +72,31 @@ object AudioFingerprint {
       sigName: String): DataFrame = {
     require(which == "ehash" || which == "dhash" || which == "shash",
       s"which=$which must be ehash|dhash|shash")
-    audioHashes(media).toDF().select(col("media_id").as(idName), col(which).as(sigName))
+    // Compute ONLY the requested hash: the decode runs inside
+    // mapPartitions, so Spark's column pruning cannot see that an
+    // ehash consumer never reads shash — routing through
+    // [[audioHashes]] paid the Welch FFT (64 Hann-windowed 1024-point
+    // transforms per payload, the most expensive kernel in the module)
+    // for every envelope-hash query (guide §2.3: don't compute what
+    // you throw away). Decode rules and hash functions are the shared
+    // ones, so the emitted (id, sig) rows are identical to projecting
+    // [[audioHashes]].
+    import media.sparkSession.implicits._
+    val hashFn: Array[Double] => Long = which match {
+      case "ehash" => eHash64
+      case "dhash" => dHash64
+      case _ => sHash64
+    }
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        if (r.bytes == null || r.bytes.isEmpty) Iterator.empty
+        else {
+          val samples = Multimodal.decodeAudioSamples(r.bytes)
+          if (samples == null || samples.isEmpty) Iterator.empty
+          else Iterator.single((r.media_id, hashFn(samples)))
+        }
+      }
+    }.toDF(idName, sigName)
   }
 
   /** Near-duplicate audio pairs: `(id_a, id_b, hamming)` with

@@ -31,6 +31,19 @@ import org.apache.spark.sql.types._
   */
 object Multimodal {
 
+  /** ImageIO's default stream cache is a TEMP FILE per encode/decode
+    * (`ImageIO.setUseCache(true)` is the JDK default): every payload
+    * pays a file create+write+delete, and 32 concurrent decode tasks
+    * serialize on the filesystem (measured r19: q90's decode stage at
+    * ~13 ms/image of executor time, thread dumps parked in
+    * UnixFileSystem.delete0). All payloads here are in-memory byte
+    * arrays — heap-buffered streams are strictly better. JVM-global,
+    * idempotent; called lazily from every decode/encode entry point so
+    * executor JVMs get it too.
+    */
+  private lazy val imageIoHeapStreams: Unit =
+    javax.imageio.ImageIO.setUseCache(false)
+
   /** Canonical media-table schema: id, kind (image|audio|video), raw
     * bytes, width/height/duration metadata as a map.
     */
@@ -140,6 +153,7 @@ object Multimodal {
       pick: Int => Seq[Int]): IndexedSeq[(Int, java.awt.image.BufferedImage)] =
     if (Avi.isAvi(bytes)) Avi.framesAt(bytes, pick)
     else try {
+      imageIoHeapStreams
       val iis = javax.imageio.ImageIO.createImageInputStream(new java.io.ByteArrayInputStream(bytes))
       if (iis == null) return IndexedSeq.empty
       try {
@@ -177,6 +191,7 @@ object Multimodal {
   final class ImageIoDecoder(fallback: Decoder = FakeDecoder) extends Decoder {
     def decode(kind: String, bytes: Array[Byte], dim: Int): Array[Float] = {
       if (kind != "image" || bytes.isEmpty) return fallback.decode(kind, bytes, dim)
+      imageIoHeapStreams
       val img =
         try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
         catch { case scala.util.control.NonFatal(_) => null }
@@ -405,6 +420,19 @@ object Multimodal {
     }
   }
 
+  /** Spread a small (id, text) projection across the cluster's cores
+    * before the CPU-heavy encode `mapPartitions` below. The synthetic
+    * generators' input is typically ONE parquet split (a few MB of
+    * text), so without this every downstream PNG/WAV/AVI encode AND
+    * the first decode pass run inside a single task — measured r19:
+    * q90's decode stage was 1 task x 2-4 s wall on local[32] (guide
+    * §2.5, input parallelism). Scale-adaptive: identity when the input
+    * already carries >= cores partitions (no extra exchange at real
+    * scale), and what shuffles is the raw text, never encoded media.
+    */
+  private def spread(ds: Dataset[(Long, String)]): Dataset[(Long, String)] =
+    graft.core.Parallelism.spreadIfNarrow(ds)
+
   /** Build a synthetic media table of REAL encoded PNGs from any
     * (id, text) frame — test scaffolding one notch more honest than
     * [[syntheticMedia]]: the payload actually decodes, and the pixels
@@ -422,9 +450,10 @@ object Multimodal {
       w: Int = 32,
       h: Int = 32): Dataset[MediaRow] = {
     import df.sparkSession.implicits._
-    df.select(col(idCol).cast("long").as("media_id"), col(textCol).as("text"))
-      .as[(Long, String)]
+    spread(df.select(col(idCol).cast("long").as("media_id"), col(textCol).as("text"))
+      .as[(Long, String)])
       .mapPartitions { rows =>
+        imageIoHeapStreams
         rows.map { case (id, text) =>
           val bytes =
             if (text == null) Array.emptyByteArray
@@ -462,8 +491,8 @@ object Multimodal {
       textCol: String,
       samplesPerByte: Int = 16): Dataset[MediaRow] = {
     import df.sparkSession.implicits._
-    df.select(col(idCol).cast("long").as("media_id"), col(textCol).as("text"))
-      .as[(Long, String)]
+    spread(df.select(col(idCol).cast("long").as("media_id"), col(textCol).as("text"))
+      .as[(Long, String)])
       .mapPartitions { rows =>
         rows.map { case (id, text) =>
           val bytes =
@@ -508,8 +537,8 @@ object Multimodal {
       h: Int = 16,
       nFrames: Int = 4): Dataset[MediaRow] = {
     import df.sparkSession.implicits._
-    df.select(col(idCol).cast("long").as("media_id"), col(textCol).as("text"))
-      .as[(Long, String)]
+    spread(df.select(col(idCol).cast("long").as("media_id"), col(textCol).as("text"))
+      .as[(Long, String)])
       .mapPartitions { rows =>
         rows.map { case (id, text) =>
           val bytes =

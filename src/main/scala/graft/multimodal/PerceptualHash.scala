@@ -212,7 +212,9 @@ object PerceptualHash {
     // which with validated non-negative components implies va <= vb —
     // so after the va =!= vb filter the video pair is already
     // canonically ordered and fa/fb sides need no swap.
-    val framePairs = graft.dedup.Dedup.hammingPairs(keyed, "id", "sig", maxHamming)
+    val (framePairsRaw, releaseMembers) =
+      graft.dedup.Dedup.hammingPairsReleasable(keyed, "id", "sig", maxHamming)
+    val framePairs = framePairsRaw
       .select(
         expr(s"id_a div $FrameStride").as("va"),
         pmod(col("id_a"), lit(FrameStride)).as("fa"),
@@ -233,7 +235,8 @@ object PerceptualHash {
           col("matched_b").cast("double") / col("n_b").cast("double")))
       .filter(col("match_frac") >= minMatchFrac)
       .select("id_a", "id_b", "matched_a", "matched_b", "n_a", "n_b", "match_frac")
-    graft.core.Releasable(out, () => { fh.unpersist(blocking = false); () })
+    graft.core.Releasable(out,
+      () => { releaseMembers(); fh.unpersist(blocking = false); () })
   }
 
   /** Video near-duplicate CLUSTERS without any pair materialization —

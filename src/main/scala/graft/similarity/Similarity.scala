@@ -867,8 +867,22 @@ object Similarity {
     // construction job-free (PlanContractSpec pins that for q30); the
     // entry ages out of the LRU store, the one-shot-batch trade
     // documented at PerceptualHash.videoDupPairsReleasable.
+    // spreadIfNarrow on the SELF-MINE only: a single-split vector
+    // source otherwise serializes the 190-plane signature pass AND the
+    // quadratic band self-join below it (both inherit the cache's
+    // partitioning — measured r19: q30's whole candidate generation
+    // ran as ONE 2.5 s task; with the spread 1.7 s total, -52%).
+    // Identity when the source already carries >= cores partitions, so
+    // at real scale no extra exchange is paid (guide §2.5). The GATE
+    // paths (cross-corpus) deliberately skip it: their candidate
+    // volume is batch-bound and cheap, and a forced wide cache only
+    // adds per-task overhead to every downstream stage (measured r19:
+    // q100/q104/q108 +0.7-1.2 s with the spread on).
+    val crossCorpusInput = ref.nonEmpty || refSigged.nonEmpty
     def sigged(vecs: DataFrame): DataFrame =
-      signatureTriple(vecs, vecCol, planes) // the one triple definition (see withSignatures)
+      signatureTriple(
+        if (crossCorpusInput) vecs else graft.core.Parallelism.spreadIfNarrow(vecs),
+        vecCol, planes)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val aS = sigged(unitVectors(df, vecCol, idCol))
     // presigned reference: the caller supplies (idCol, UNIT vecCol,

@@ -99,7 +99,11 @@ class PlanContractSpec extends SparkSpec {
     // pair-grain distinct that was quadratic in duplicate-class size
     // (x30 scale sweep: 1.4 M pair rows through one exchange).
     // Reviewed trade: more small exchanges, no quadratic one.
-    "q27_simhash_pairs" -> 7,
+    // r19: the (id, sig) member table is now PERSISTED inside
+    // hammingPairs (its expensive decode/hash upstream ran once per
+    // plan branch before), so the member-side exchanges plan once
+    // under the cached fragment: 7 -> 3.
+    "q27_simhash_pairs" -> 3,
     "q28_knn_brute" -> 0,
     "q29_knn_ann" -> 0,
     "q30_embedding_near_dup" -> 2,
@@ -283,7 +287,7 @@ class PlanContractSpec extends SparkSpec {
     // q83: distinct-signature banded Hamming join — see the q27 note;
     // hashes are computed map-side off the synthetic PNGs, only
     // (id, sig) rows shuffle, all exchanges linear in members/sigs.
-    "q83_phash_dups" -> 7,
+    "q83_phash_dups" -> 3, // r19: persisted member table, see q27
     // q84: one cell-grain aggregate + oracle ORDER BY; the Lloyd
     // rounds inside trainDistributed run as separate bounded jobs
     // before this plan is built (control-plane actions, k×dim rows).
@@ -300,7 +304,7 @@ class PlanContractSpec extends SparkSpec {
     // q87: same shape as q83 (distinct-signature Hamming join, see
     // the q27 note); WAV encode/decode/hash is all map-side, only
     // (id, 8-byte sig) rows shuffle.
-    "q87_audio_dups" -> 7,
+    "q87_audio_dups" -> 3, // r19: persisted member table, see q27
     // q88: the frame-grain Hamming join inherits q27's 7-exchange
     // distinct-signature shape (duplicated frames across copies of a
     // video are exactly the huge-duplicate-class case it exists for)
@@ -308,7 +312,7 @@ class PlanContractSpec extends SparkSpec {
     // aggregate + count joins with the oracle ORDER BY collapsing
     // onto shared exchanges at this scale. Frame payloads never
     // shuffle — the composite-keyed hash table is 16 bytes/frame.
-    "q88_video_dups" -> 11,
+    "q88_video_dups" -> 7, // r19: persisted member table, see q27
     // q90: hammingClusters — member distinct + labeled-members join
     // + the per-id collapse aggregate (multi-sig ids fold to one row)
     // + min-id rep aggregate (+ oracle ORDER BY merging in at this
@@ -340,7 +344,7 @@ class PlanContractSpec extends SparkSpec {
     "q94_cluster_balanced_sample" -> 2,
     // q95: q87's exact shape (distinct-signature banded Hamming
     // join) over the spectral hash.
-    "q95_audio_dups_spectral" -> 7,
+    "q95_audio_dups_spectral" -> 3, // r19: persisted member table, see q27
     // q96: the AUDITED plan is the rerank leg — a bounded-id isin
     // filter pushed to the scan, exact cosine, TakeOrderedAndProject
     // (no shuffle); even the k-row global rank window plans without
@@ -368,7 +372,7 @@ class PlanContractSpec extends SparkSpec {
     // space, the two membership joins map ids back (broadcast at this
     // scale), + oracle ORDER BY; decode stays map-side on both legs
     // (8-byte keys shuffle).
-    "q98_phash_incremental" -> 5,
+    "q98_phash_incremental" -> 3, // r19: persisted member tables, see q27
     // q99: the text gate — batch SimHash scan, both sides' distinct
     // sigs band and join in signature space, the seen set anti-joins
     // back (broadcast at this scale), + oracle ORDER BY. Reference
